@@ -1,0 +1,794 @@
+"""Relational operator closure (SURVEY.md §2.5).
+
+The reference implements no relational algebra of its own (its only
+join-shaped logic is the backfill anti-join, ``/root/reference/ingest/
+fgb_upload/main.py:117-138``, and its only aggregates are audit counts,
+``ingest/processing.py:160-181``).  The harness requires the full
+surface anyway; everything here is a Catalyst built-in — the engine
+adds zero custom execution code for this module.
+
+Scale notes are per-query; the common ones:
+  * joins to small dims are explicitly ``broadcast()`` (no shuffle of
+    the fact table);
+  * aggregations are expressed so map-side partial aggregation applies
+    (plain ``groupBy().agg()``);
+  * every LIMIT has a total order (deterministic top-k), implemented as
+    order+limit which Spark executes as TakeOrderedAndProject (no
+    global sort materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from geohub_data_pipeline_spark.plans.registry import query
+from geohub_data_pipeline_spark.plans._util import (
+    davg,
+    davg_sql,
+    dsum,
+    dsum_sql,
+    load_tables,
+)
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1-shaped pricing summary (scan + filter + hash agg + sort)
+# ---------------------------------------------------------------------------
+
+_Q1_SQL = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {dsum_sql('l_quantity')} AS sum_qty,
+  {dsum_sql('l_extendedprice')} AS sum_base_price,
+  {dsum_sql('l_extendedprice * (1 - l_discount)', 6)} AS sum_disc_price,
+  {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+  {davg_sql('l_quantity')} AS avg_qty,
+  {davg_sql('l_extendedprice')} AS avg_price,
+  {davg_sql('l_discount')} AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("q1_pricing_summary", "relational", "§2.5 agg/sort; audit-count analog T16", _Q1_SQL)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary: filter -> hash agg -> sort.
+
+    Scale: filter + column pruning push into the parquet scan; the agg
+    is partial+final (map-side combine), so the shuffle carries only
+    6 groups x partial states, not 100 TB of rows.
+    """
+    t = load_tables(spark, sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        t.lineitem
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price, 6).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+_JOIN_INNER_SQL = f"""
+SELECT c.c_mktsegment,
+       count(*) AS n_orders,
+       {dsum_sql('o.o_totalprice')} AS total_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+@query("join_inner", "relational", "§2.5 joins (equi inner)", _JOIN_INNER_SQL)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join fact->dim, dim broadcast (no fact shuffle)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.join(F.broadcast(t.customer),
+                      t.orders.o_custkey == t.customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             dsum(F.col("o_totalprice")).alias("total_price"))
+        .orderBy("c_mktsegment")
+    )
+
+
+_JOIN_LEFT_SQL = """
+SELECT c.c_custkey, c.c_name, count(o.o_orderkey) AS n_orders
+FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY c.c_custkey
+"""
+
+
+@query("join_left_outer", "relational", "§2.5 joins (left outer)", _JOIN_LEFT_SQL)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping order-less customers (count = 0)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.customer.join(t.orders, t.orders.o_custkey == t.customer.c_custkey,
+                        "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count(F.col("o_orderkey")).alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+_JOIN_FULL_SQL = """
+WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
+     s AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1)
+SELECT coalesce(c.nk, s.nk) AS nationkey,
+       coalesce(c.n_cust, 0) AS n_cust,
+       coalesce(s.n_supp, 0) AS n_supp
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+ORDER BY nationkey
+"""
+
+
+@query("join_full_outer", "relational", "§2.5 joins (full outer)", _JOIN_FULL_SQL)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two pre-aggregated sides (agg-before-join:
+    shuffles carry one row per nation, not raw tables)."""
+    t = load_tables(spark, sf_dir)
+    c = t.customer.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_cust"))
+    s = t.supplier.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_supp"))
+    return (
+        c.join(s, "nk", "full")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+_JOIN_SEMI_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+ORDER BY c_custkey
+"""
+
+
+@query("join_semi", "relational", "§2.5 joins (left semi)", _JOIN_SEMI_SQL)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers having at least one open order."""
+    t = load_tables(spark, sf_dir)
+    open_orders = t.orders.filter(F.col("o_orderstatus") == "O")
+    return (
+        t.customer.join(open_orders,
+                        t.customer.c_custkey == open_orders.o_custkey,
+                        "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+_JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+ORDER BY c_custkey
+"""
+
+
+@query("join_anti", "relational",
+       "§2.5 joins (left anti); backfill skip T20 "
+       "(ref ingest/fgb_upload/main.py:117-138)", _JOIN_ANTI_SQL)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — the reference's backfill 'skip if output exists'
+    pattern (ingest/fgb_upload/main.py:121-125) as a relational op."""
+    t = load_tables(spark, sf_dir)
+    pending = t.orders.filter(F.col("o_orderstatus") == "P")
+    return (
+        t.customer.join(pending, t.customer.c_custkey == pending.o_custkey,
+                        "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+_JOIN_Q5_SQL = f"""
+SELECT n.n_name,
+       {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 6)} AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o    ON l.l_orderkey = o.o_orderkey
+JOIN customer c  ON o.o_custkey = c.c_custkey
+JOIN supplier s  ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n    ON c.c_nationkey = n.n_nationkey
+JOIN region r    ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n.n_name
+"""
+
+
+@query("join_multiway_broadcast", "relational",
+       "§2.5 joins (multiway + broadcast)", _JOIN_Q5_SQL)
+def join_multiway_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-way join, local-supplier revenue by nation.
+
+    Scale: region/nation/supplier/customer are broadcast — the only
+    shuffle left is lineitem->orders; with both bucketed by orderkey
+    even that disappears.  The ASIA filter is pushed below the joins
+    by Catalyst.
+    """
+    t = load_tables(spark, sf_dir)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t.lineitem
+        .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.supplier),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(dsum(revenue, 6).alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+_RANGE_JOIN_SQL = f"""
+SELECT v.bucket_id, v.lo, v.hi,
+       count(*) AS n_items,
+       {dsum_sql('l.l_extendedprice')} AS bucket_price
+FROM lineitem l
+JOIN (VALUES {', '.join(f'({i}, {i * 5}.0, {(i + 1) * 5}.0)' for i in range(10))})
+     v(bucket_id, lo, hi)
+  ON l.l_quantity >= v.lo AND l.l_quantity < v.hi
+GROUP BY v.bucket_id, v.lo, v.hi
+ORDER BY v.bucket_id
+"""
+
+
+@query("join_range_theta", "relational", "§2.5 joins (theta/range via broadcast)",
+       _RANGE_JOIN_SQL)
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join: quantity binned against an interval dim.
+
+    Scale: the interval table is tiny and broadcast, so the range join
+    is a broadcast-nested-loop over 10 rows — no shuffle and no
+    cartesian blow-up of the fact side.
+    """
+    t = load_tables(spark, sf_dir)
+    buckets = spark.createDataFrame(
+        [(i, float(i * 5), float((i + 1) * 5)) for i in range(10)],
+        "bucket_id INT, lo DOUBLE, hi DOUBLE",
+    )
+    return (
+        t.lineitem.join(
+            F.broadcast(buckets),
+            (F.col("l_quantity") >= F.col("lo"))
+            & (F.col("l_quantity") < F.col("hi")),
+        )
+        .groupBy("bucket_id", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             dsum(F.col("l_extendedprice")).alias("bucket_price"))
+        .orderBy("bucket_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+_AGG_STATS_SQL = f"""
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       {dsum_sql('l_quantity')} AS sum_qty,
+       CAST(min(l_quantity) AS DOUBLE) AS min_qty,
+       CAST(max(l_quantity) AS DOUBLE) AS max_qty,
+       {davg_sql('l_quantity')} AS avg_qty,
+       round(stddev_samp(l_quantity), 4) AS std_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("agg_stats", "relational", "§2.5 aggregation (stats)", _AGG_STATS_SQL)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full stats pack per group (count/sum/min/max/avg/stddev)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            F.min("l_quantity").cast("double").alias("min_qty"),
+            F.max("l_quantity").cast("double").alias("max_qty"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_AGG_DISTINCT_SQL = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(DISTINCT o_orderpriority) AS n_priorities
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@query("agg_distinct", "relational", "§2.5 aggregation (count distinct)",
+       _AGG_DISTINCT_SQL)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple count-distincts in one agg (Catalyst expands)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_AGG_CUBE_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows, {dsum_sql('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+@query("agg_cube", "relational", "§2.5 aggregation (cube)", _AGG_CUBE_SQL)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (all 4 grouping sets)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             dsum(F.col("l_quantity")).alias("sum_qty"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(),
+                 F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+_AGG_ROLLUP_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders, {dsum_sql('o_totalprice')} AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+@query("agg_rollup", "relational", "§2.5 aggregation (rollup)", _AGG_ROLLUP_SQL)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy status -> priority -> grand total."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             dsum(F.col("o_totalprice")).alias("total_price"))
+        .orderBy(F.col("o_orderstatus").asc_nulls_first(),
+                 F.col("o_orderpriority").asc_nulls_first())
+    )
+
+
+_AGG_GSETS_SQL = f"""
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       {dsum_sql('l_extendedprice')} AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+@query("agg_grouping_sets", "relational", "§2.5 aggregation (grouping sets)",
+       _AGG_GSETS_SQL)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL front (spark.sql)."""
+    load_tables(spark, sf_dir).lineitem.createOrReplaceTempView("lineitem")
+    return spark.sql(_AGG_GSETS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+_WINDOW_RANK_SQL = """
+SELECT * FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         row_number()  OVER w AS rn,
+         rank()         OVER w AS rnk,
+         dense_rank()   OVER w AS drnk,
+         ntile(4)       OVER w AS quartile,
+         round(percent_rank() OVER w, 6) AS pct_rank
+  FROM customer
+  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+) WHERE rn <= 5
+ORDER BY c_nationkey, rn
+"""
+
+
+@query("window_rank", "relational", "§2.5 windows (ranking)", _WINDOW_RANK_SQL)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family over a deterministic (tie-broken) order."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        t.customer.select(
+            "c_nationkey", "c_custkey", "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        )
+        .filter(F.col("rn") <= 5)
+        .orderBy("c_nationkey", "rn")
+    )
+
+
+_WINDOW_ANALYTIC_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       lag(o_totalprice)  OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       first_value(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND UNBOUNDED FOLLOWING) AS first_price,
+       last_value(o_totalprice)  OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND UNBOUNDED FOLLOWING) AS last_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@query("window_analytic", "relational", "§2.5 windows (lag/lead/first/last)",
+       _WINDOW_ANALYTIC_SQL)
+def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window family with explicit frames."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        t.orders.select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.lag("o_totalprice").over(w).alias("prev_price"),
+            F.lead("o_totalprice").over(w).alias("next_price"),
+            F.first("o_totalprice").over(wf).alias("first_price"),
+            F.last("o_totalprice").over(wf).alias("last_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+_WINDOW_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(30,4)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_spend,
+       CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS orders_in_3
+FROM orders
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@query("window_running", "relational", "§2.5 windows (frames/running agg); "
+       "progress model T15 analog (ref ingest/utils.py:79-123)",
+       _WINDOW_RUNNING_SQL)
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running + sliding frames (decimal-exact running sum)."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t.orders.select(
+            "o_custkey", "o_orderkey",
+            F.sum(F.col("o_totalprice").cast("decimal(30,4)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").alias("running_spend"),
+            F.count(F.lit(1)).over(w.rowsBetween(-2, Window.currentRow))
+            .cast("bigint").alias("orders_in_3"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+_TOPK_SQL = """
+SELECT * FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rn
+  FROM part
+) WHERE rn <= 3
+ORDER BY p_brand, rn
+"""
+
+
+@query("topk_per_group", "relational", "§2.5 sort/limit (top-k per group)",
+       _TOPK_SQL)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 priciest parts per brand via row_number (scales: rank is
+    computed within partitions after one shuffle on the group key)."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return (
+        t.part.select("p_brand", "p_partkey", "p_retailprice",
+                      F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .orderBy("p_brand", "rn")
+    )
+
+
+_SORT_LIMIT_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+@query("sort_limit", "relational", "§2.5 sort/limit (global top-k)",
+       _SORT_LIMIT_SQL)
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 — Spark plans TakeOrderedAndProject (per-partition
+    heap + driver merge), never a full global sort."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+_SET_UNION_SQL = """
+SELECT k FROM (
+  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+  UNION
+  SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0
+) ORDER BY k
+"""
+
+
+@query("set_union", "relational", "§2.5 set ops (union distinct)", _SET_UNION_SQL)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    a = t.orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k"))
+    b = t.customer.filter(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("k"))
+    return a.union(b).distinct().orderBy("k")
+
+
+_SET_INTERSECT_SQL = """
+SELECT k FROM (
+  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+  INTERSECT
+  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+) ORDER BY k
+"""
+
+
+@query("set_intersect", "relational", "§2.5 set ops (intersect)",
+       _SET_INTERSECT_SQL)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having both fulfilled and open orders."""
+    t = load_tables(spark, sf_dir)
+    a = t.orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k"))
+    b = t.orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("k"))
+    return a.intersect(b).orderBy("k")
+
+
+_SET_EXCEPT_SQL = """
+SELECT k FROM (
+  SELECT l_partkey AS k FROM lineitem
+  EXCEPT
+  SELECT l_partkey AS k FROM lineitem
+  WHERE l_returnflag = 'R' AND l_quantity > 40
+) ORDER BY k
+"""
+
+
+@query("set_except", "relational", "§2.5 set ops (except)", _SET_EXCEPT_SQL)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts never returned in bulk (EXCEPT DISTINCT semantics)."""
+    t = load_tables(spark, sf_dir)
+    a = t.lineitem.select(F.col("l_partkey").alias("k"))
+    b = t.lineitem.filter(
+        (F.col("l_returnflag") == "R") & (F.col("l_quantity") > 40)
+    ).select(F.col("l_partkey").alias("k"))
+    return a.subtract(b).orderBy("k")
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface
+# ---------------------------------------------------------------------------
+
+_SCALAR_STRING_SQL = """
+SELECT p_partkey,
+       upper(p_brand) AS brand_uc,
+       substr(p_name, 1, 12) AS name_prefix,
+       length(p_name) AS name_len,
+       regexp_replace(p_type, ' ', '_') AS type_slug,
+       concat(p_brand, ':', p_type) AS brand_type,
+       md5(p_name) AS name_md5
+FROM part
+ORDER BY p_partkey
+"""
+
+
+@query("scalar_string", "relational",
+       "§2.5 scalar fns (string; md5 = user-id hash T18, "
+       "ref ingest/fgb_upload/main.py:36-41)", _SCALAR_STRING_SQL)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t.part.select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_uc"),
+            F.substring("p_name", 1, 12).alias("name_prefix"),
+            F.length("p_name").alias("name_len"),
+            F.regexp_replace("p_type", " ", "_").alias("type_slug"),
+            F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+            F.md5("p_name").alias("name_md5"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+_SCALAR_MATH_SQL = """
+SELECT l_orderkey, l_linenumber,
+       abs(l_discount - 0.05) AS abs_disc,
+       round(l_extendedprice, 1) AS price_r1,
+       CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+       CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+       sqrt(l_extendedprice) AS price_sqrt,
+       power(l_tax, 2) AS tax_sq,
+       CAST(l_partkey % 7 AS BIGINT) AS pk_mod7
+FROM lineitem
+WHERE l_linenumber = 1
+ORDER BY l_orderkey
+"""
+
+
+@query("scalar_math", "relational", "§2.5 scalar fns (math)", _SCALAR_MATH_SQL)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IEEE-exact math functions (abs/round/floor/ceil/sqrt/pow/mod)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.lineitem.filter(F.col("l_linenumber") == 1)
+        .select(
+            "l_orderkey", "l_linenumber",
+            F.abs(F.col("l_discount") - 0.05).alias("abs_disc"),
+            F.round("l_extendedprice", 1).alias("price_r1"),
+            F.floor("l_quantity").alias("qty_floor"),
+            F.ceil("l_quantity").alias("qty_ceil"),
+            F.sqrt("l_extendedprice").alias("price_sqrt"),
+            F.pow("l_tax", F.lit(2)).alias("tax_sq"),
+            (F.col("l_partkey") % 7).cast("bigint").alias("pk_mod7"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+_SCALAR_DATETIME_SQL = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(month(o_orderdate) AS INT) AS order_month,
+       CAST(dayofmonth(o_orderdate) AS INT) AS order_day,
+       CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+       date_trunc('month', o_orderdate) AS month_start,
+       CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+@query("scalar_datetime", "relational", "§2.5 scalar fns (date/time)",
+       _SCALAR_DATETIME_SQL)
+def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.select(
+            "o_orderkey",
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.month("o_orderdate").cast("int").alias("order_month"),
+            F.dayofmonth("o_orderdate").cast("int").alias("order_day"),
+            F.quarter("o_orderdate").cast("int").alias("order_quarter"),
+            F.date_trunc("month", F.col("o_orderdate"))
+            .cast("timestamp_ntz").alias("month_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"))
+            .cast("timestamp_ntz").alias("due_date"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_CASE_SQL = f"""
+SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 150000 THEN 'medium'
+            WHEN o_totalprice < 300000 THEN 'large'
+            ELSE 'jumbo' END AS size_class,
+       count(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS total_price
+FROM orders
+GROUP BY 1
+ORDER BY size_class
+"""
+
+
+@query("conditional_case", "relational",
+       "§2.5 scalar fns (CASE); dispatch predicate analog T12 "
+       "(ref ingest/processing.py:730-739)", _CASE_SQL)
+def conditional_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    size_class = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .when(F.col("o_totalprice") < 300000, "large")
+        .otherwise("jumbo")
+    )
+    return (
+        t.orders.groupBy(size_class.alias("size_class"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             dsum(F.col("o_totalprice")).alias("total_price"))
+        .orderBy("size_class")
+    )
+
+
+_DISTINCT_SQL = """
+SELECT DISTINCT l_returnflag, l_linestatus
+FROM lineitem
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("distinct_projection", "relational", "§2.5 aggregation (distinct); "
+       "user distinct T21 (ref ingest/fgb_upload/main.py:224-227)",
+       _DISTINCT_SQL)
+def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t.lineitem.select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    )

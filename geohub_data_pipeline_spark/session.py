@@ -1,0 +1,72 @@
+"""SparkSession factory and runtime configuration.
+
+The engine must behave identically whether it builds its own session
+(CLI / tests / bench) or receives one from a host harness, so every
+conf that affects *semantics* is applied at runtime via ``configure``.
+
+Scale notes (targets a 1000-executor cluster; tested on local[32]):
+  - AQE on: runtime shuffle-partition coalescing, skew-join splitting,
+    and broadcast demotion/promotion are the main levers that keep a
+    plan healthy at 100x the data without re-tuning.
+  - ``spark.sql.shuffle.partitions`` is only the pre-AQE upper bound;
+    AQE coalesces down.  At cluster scale raise it to ~2-3x total cores.
+  - Arrow enabled: every pandas-UDF operator (geometry, raster, media)
+    moves data in Arrow batches, not pickled rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are runtime-settable and semantically load-bearing.
+RUNTIME_CONFS: dict[str, str] = {
+    # Deterministic wall-clock semantics for timestamp <-> string and
+    # ltz<->ntz conversions, independent of host timezone.
+    "spark.sql.session.timeZone": "UTC",
+    # The harness' events.parquet stores TIMESTAMP(NANOS); Spark has no
+    # nanosecond timestamp type, so read as epoch-nanos long and convert
+    # (sources/tables.py) — same µs truncation DuckDB applies.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+# Static confs (must be set before the JVM starts).
+STATIC_CONFS: dict[str, str] = {
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    "spark.ui.enabled": "false",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.mergeSchema": "false",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (harness-provided or ours).
+
+    Best-effort: a conf that is static in some Spark build is skipped
+    rather than failing the query.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark
+
+
+def get_session(app_name: str = "geohub-data-pipeline-spark",
+                master: str | None = None) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+    )
+    for k, v in {**STATIC_CONFS, **RUNTIME_CONFS}.items():
+        builder = builder.config(k, v)
+    return configure(builder.getOrCreate())

@@ -1,0 +1,64 @@
+"""Parquet table sources for the harness star schema.
+
+Tables (TESTDATA.md): region nation customer supplier part orders
+lineitem events documents embeddings — one parquet file per table under
+``{sf_dir}/``.
+
+Scale note: each ``load_table`` is a plain ``spark.read.parquet`` so
+Catalyst keeps predicate pushdown / column pruning / partition pruning;
+never materialize or cache here.  At 100 TB these would be directories
+of many files (possibly partitioned); the API is path-based so nothing
+changes.
+"""
+
+from __future__ import annotations
+
+from types import SimpleNamespace
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geohub_data_pipeline_spark.session import configure
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one harness table; normalizes the events nanosecond timestamp.
+
+    events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS,false) which
+    Spark cannot map to a timestamp type; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as epoch-nanos
+    BIGINT and is converted here with integer division (``div 1000`` —
+    double division would lose precision above 2**53 ns) to a
+    microsecond timestamp, matching DuckDB's ns->µs truncation.
+    """
+    configure(spark)
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> SimpleNamespace:
+    """Load every harness table: ``t = load_tables(...); t.lineitem``."""
+    return SimpleNamespace(
+        **{name: load_table(spark, sf_dir, name) for name in TABLES}
+    )
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each table as a temp view so ``spark.sql`` can use it."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

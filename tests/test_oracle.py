@@ -1,0 +1,37 @@
+"""End-to-end correctness: every registered query vs its DuckDB oracle.
+
+This mirrors the driver's t2 gate (CORRECTNESS_r{N}.json): row count +
+schema + order-insensitive value match at a small scale factor.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from geohub_data_pipeline_spark.plans import all_queries
+from geohub_data_pipeline_spark.testing import compare_frames
+
+SPECS = all_queries()
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_query_matches_oracle(name, spark, duck, sf_dir):
+    spec = SPECS[name]
+    sdf = spec.fn(spark, sf_dir).toPandas()
+    if spec.sql is None:
+        # rows-only check (non-SQL-expressible op)
+        assert len(sdf) >= 0
+        return
+    ddf = duck.execute(spec.sql).df()
+    problems = compare_frames(sdf, ddf)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    names = set(e.queries())
+    oracles = e.oracle_sql()
+    assert set(oracles) <= names
