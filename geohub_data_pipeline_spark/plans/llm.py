@@ -1,1 +1,580 @@
-"""LLM-training-data pipeline operators (north star) — filled in below."""
+"""LLM-training-data pipeline operators (north star; BASELINE.json).
+
+Deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
+cosine), similarity search (brute-force + LSH-bucketed ANN), text
+analysis (language-ID, quality, tokens, fingerprints) and multimodal
+metadata — each as a query with a DuckDB oracle.
+
+Dedup corpora: the harness documents are unique, so dedup queries run
+on ``documents UNION ALL`` a deterministic re-injection of every 97th
+doc under ``doc_id + 1_000_000`` — real duplicate pairs the operators
+must find.
+
+Oracle-parity notes: MinHash is the md5-string-min construction
+(functions/text.py); all dot products are identical sequential folds
+on both engines; similarity ranks order by (rounded score, id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geohub_data_pipeline_spark.plans.registry import query
+from geohub_data_pipeline_spark.plans._util import load_tables
+from geohub_data_pipeline_spark.functions import text as T
+from geohub_data_pipeline_spark.functions import vectors as V
+from geohub_data_pipeline_spark.operators import dedup as D
+from geohub_data_pipeline_spark.operators import similarity as S
+
+DUP_EVERY = 97          # every 97th doc re-injected as a duplicate
+DUP_OFFSET = 1_000_000
+
+# ---------------------------------------------------------------------------
+# SQL building blocks (DuckDB), mirrored from functions/text.py + vectors.py
+# ---------------------------------------------------------------------------
+
+_CORPUS_CTE = f"""corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {DUP_OFFSET} AS doc_id, text FROM documents
+  WHERE doc_id % {DUP_EVERY} = 0
+)"""
+
+_SHINGLES_CTE = f"""w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM corpus
+),
+sh AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, least(len(ws) - {T.SHINGLE_WORDS - 1}, {T.MAX_SHINGLES}) + 1),
+           i -> ws[i] || '_' || ws[i+1] || '_' || ws[i+2]) AS shingles
+  FROM w WHERE len(ws) >= {T.SHINGLE_WORDS}
+)"""
+
+_MH_COLS = ",\n  ".join(
+    f"list_aggregate(list_transform(shingles, s -> md5('{j}:' || s)), 'min') AS mh{j}"
+    for j in range(T.MINHASH_FUNCS)
+)
+
+_SIG_CTE = f"sig AS (\n  SELECT doc_id,\n  {_MH_COLS}\n  FROM sh\n)"
+
+_BAND0 = "md5(mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3)"
+_BAND1 = "md5(mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7)"
+
+
+def _dot(a: str, b: str, dim: int = 64) -> str:
+    """DuckDB sequential-fold dot product (mirrors functions/vectors.dot)."""
+    return (f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)")
+
+
+_EMB_CTE = f"""e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, v, sqrt({_dot('v', 'v')}) AS nrm FROM e
+)"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+    dups = (
+        docs.filter(F.col("doc_id") % DUP_EVERY == 0)
+        .select((F.col("doc_id") + DUP_OFFSET).alias("doc_id"), "text")
+    )
+    return docs.unionByName(dups)
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t.embeddings.select(
+        "vec_id", "label", V.as_double(F.col("embedding")).alias("vec"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+_DEDUP_EXACT_SQL = f"""
+WITH {_CORPUS_CTE}
+SELECT md5(text) AS content_hash,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       count(*) AS n_copies
+FROM corpus
+GROUP BY md5(text)
+ORDER BY keep_id
+"""
+
+
+@query("dedup_exact_keep_first", "llm", "north star: exact dedup (hash-groupBy)",
+       _DEDUP_EXACT_SQL)
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact keep-first dedup via content hash.
+
+    Scale: the single shuffle key is the 32-char md5, never the body;
+    map-side partial agg collapses per-partition copies first.
+    """
+    return (
+        D.exact_dedup(_corpus(spark, sf_dir), "text", "doc_id")
+        .orderBy("keep_id")
+    )
+
+
+_MINHASH_SIG_SQL = f"""
+WITH {_CORPUS_CTE},
+{_SHINGLES_CTE},
+{_SIG_CTE}
+SELECT doc_id, {', '.join(f'mh{j}' for j in range(T.MINHASH_FUNCS))},
+       {_BAND0} AS band0, {_BAND1} AS band1
+FROM sig
+ORDER BY doc_id
+"""
+
+
+@query("minhash_signatures", "llm", "north star: MinHash signatures",
+       _MINHASH_SIG_SQL)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature (8 funcs) + 2 LSH band hashes.
+
+    Scale: signature computation is pure map-side codegen (shingle ->
+    md5 -> array_min); zero shuffles until the band join.
+    """
+    return (
+        D.minhash_signatures(_corpus(spark, sf_dir), "text", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+_MINHASH_LSH_SQL = f"""
+WITH {_CORPUS_CTE},
+{_SHINGLES_CTE},
+{_SIG_CTE},
+b AS (
+  SELECT doc_id, 0 AS band_idx, {_BAND0} AS band_hash FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band_idx, {_BAND1} AS band_hash FROM sig
+)
+SELECT a.doc_id AS id_a, b2.doc_id AS id_b, count(*) AS n_shared_bands
+FROM b a
+JOIN b b2 ON a.band_idx = b2.band_idx AND a.band_hash = b2.band_hash
+         AND a.doc_id < b2.doc_id
+GROUP BY a.doc_id, b2.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+@query("dedup_minhash_lsh", "llm", "north star: MinHash+LSH near-dup pairs",
+       _MINHASH_LSH_SQL)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidate pairs sharing >=1 LSH band.
+
+    The injected duplicates must surface with n_shared_bands = 2.
+    Scale: the only shuffle is the band-bucket self-join keyed on the
+    band hash; operators/dedup.py caps pathological buckets.
+    """
+    sigs = D.minhash_signatures(_corpus(spark, sf_dir), "text", "doc_id")
+    return (
+        D.lsh_candidate_pairs(sigs, "doc_id")
+        .orderBy("id_a", "id_b")
+    )
+
+
+_SIMHASH_SQL = f"""
+WITH {_CORPUS_CTE},
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus
+),
+h AS (
+  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS th FROM toks
+),
+bits AS (
+  SELECT doc_id, bb.b AS bit,
+         sum(CASE WHEN (th >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+  FROM h, (SELECT unnest(range(0, {T.SIMHASH_BITS})) AS b) bb
+  GROUP BY doc_id, bb.b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN cnt > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS simhash,
+       CAST(sum(CASE WHEN cnt > 0 AND bit >= {T.SIMHASH_BITS // 2}
+                     THEN 1 << (bit - {T.SIMHASH_BITS // 2}) ELSE 0 END) AS BIGINT) AS band_hi,
+       CAST(sum(CASE WHEN cnt > 0 AND bit < {T.SIMHASH_BITS // 2}
+                     THEN 1 << bit ELSE 0 END) AS BIGINT) AS band_lo
+FROM bits
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@query("dedup_simhash", "llm", "north star: SimHash fingerprints", _SIMHASH_SQL)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint + half-band split (hamming blocking).
+
+    Scale: fingerprint is computed in one map-side pass per document
+    (unrolled bit folds, no explode shuffle).
+    """
+    fp = D.simhash_fingerprints(_corpus(spark, sf_dir), "text", "doc_id")
+    return fp.select(
+        "doc_id",
+        F.col("simhash").cast("bigint").alias("simhash"),
+        F.col("band_hi").cast("bigint").alias("band_hi"),
+        F.col("band_lo").cast("bigint").alias("band_lo"),
+    ).orderBy("doc_id")
+
+
+_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+sizes AS (SELECT id, count(*) AS n_tok FROM toks GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+  FROM toks a JOIN toks b ON b.id = a.id + 1 AND b.tok = a.tok
+  GROUP BY a.id, b.id
+)
+SELECT i.id_a, i.id_b, i.n_inter,
+       round(CAST(i.n_inter AS DOUBLE)
+             / (sa.n_tok + sb.n_tok - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.id = i.id_a
+JOIN sizes sb ON sb.id = i.id_b
+ORDER BY i.id_a
+"""
+
+
+@query("dedup_ngram_jaccard", "llm", "north star: n-gram Jaccard verify",
+       _JACCARD_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard over consecutive-id candidate pairs —
+    the verify stage that follows LSH candidate generation.
+
+    Scale: explode-to-tokens then sort-merge join on (neighbor id,
+    token); linear in corpus size, no quadratic pair blow-up.
+    """
+    t = load_tables(spark, sf_dir)
+    return (
+        D.jaccard_consecutive(t.documents, "text", "doc_id")
+        .orderBy("id_a")
+    )
+
+
+_EMB_DEDUP_SQL = f"""
+WITH {_EMB_CTE},
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+         round({_dot('a.v', 'b.v')} / (a.nrm * b.nrm), 6) AS cos_sim
+  FROM n a
+  JOIN n b ON b.label = a.label
+          AND b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 25
+)
+SELECT id_a, id_b, label, cos_sim
+FROM p WHERE cos_sim >= 0.1
+ORDER BY id_a, id_b
+"""
+
+
+@query("dedup_embedding_cosine", "llm",
+       "north star: embedding-cosine near-dup", _EMB_DEDUP_SQL)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs: same-label blocking + id-window
+    candidates, cosine >= 0.1.
+
+    Scale: blocking key (label) bounds the pair space; norms are
+    precomputed per vector, not per pair.
+    """
+    v = S.with_norm(_vecs(spark, sf_dir))
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("label"),
+                 F.col("vec").alias("va"), F.col("__norm").alias("na"))
+    b = v.select(F.col("vec_id").alias("id_b"),
+                 F.col("label").alias("label_b"),
+                 F.col("vec").alias("vb"), F.col("__norm").alias("nb"))
+    pairs = a.join(
+        b,
+        (F.col("label_b") == F.col("label"))
+        & (F.col("id_b") > F.col("id_a"))
+        & (F.col("id_b") <= F.col("id_a") + 25),
+    )
+    return (
+        pairs.select(
+            "id_a", "id_b", "label",
+            F.round(V.cosine(F.col("va"), F.col("vb"),
+                             F.col("na"), F.col("nb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.1)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (ANN)
+# ---------------------------------------------------------------------------
+
+_ANN_BRUTE_SQL = f"""
+WITH {_EMB_CTE},
+q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_dot('q.v', 'c.v')} / (q.nrm * c.nrm), 6) AS cos_sim
+  FROM n c JOIN q ON c.vec_id <> q.vec_id
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, cos_sim, rank
+FROM r WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+@query("ann_cosine_topk", "llm", "north star: brute-force cosine top-k",
+       _ANN_BRUTE_SQL)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for every 50th vector as query.
+
+    Scale: queries are broadcast; the corpus — the 100 TB side — is
+    scanned once and never shuffled (operators/similarity.py).
+    """
+    vecs = _vecs(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") % 50 == 0)
+    return (
+        S.brute_force_topk(vecs, queries, k=5)
+        .orderBy("query_id", "rank")
+    )
+
+
+_ANN_LSH_SQL = f"""
+WITH {_EMB_CTE},
+p AS (
+  SELECT CAST(vec_id - 1 AS INT) AS plane_id, v AS pv
+  FROM e WHERE vec_id IN (1, 2, 3, 4)
+),
+bk AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN {_dot('e.v', 'p.pv')} > 0
+                       THEN 1 << p.plane_id ELSE 0 END) AS INT) AS bucket
+  FROM e, p GROUP BY e.vec_id
+),
+nv AS (SELECT n.*, bk.bucket FROM n JOIN bk ON n.vec_id = bk.vec_id),
+q AS (SELECT * FROM nv WHERE vec_id % 50 = 0),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,
+         round({_dot('q.v', 'c.v')} / (q.nrm * c.nrm), 6) AS cos_sim
+  FROM nv c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, bucket, cos_sim, rank
+FROM r WHERE rank <= 3
+ORDER BY query_id, rank
+"""
+
+
+@query("ann_lsh_bucketed", "llm", "north star: LSH-bucketed ANN", _ANN_LSH_SQL)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-3 within random-hyperplane LSH buckets (4 planes = 16
+    buckets, planes taken deterministically from the corpus).
+
+    Scale: candidate set shrinks ~16x per plane-set; the bucket join
+    replaces the full cross product.
+    """
+    vecs = _vecs(spark, sf_dir)
+    planes = vecs.filter(F.col("vec_id").isin(1, 2, 3, 4)).select(
+        (F.col("vec_id") - 1).cast("int").alias("plane_id"),
+        F.col("vec").alias("plane_vec"),
+    )
+    return (
+        S.lsh_bucketed_topk(vecs, planes, k=3,
+                            query_filter=F.col("vec_id") % 50 == 0)
+        .select("query_id", "neighbor_id", "bucket", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": ("the", "a"),
+    "es": ("data", "row"),
+    "de": ("key", "value"),
+    "fr": ("merge", "sort"),
+    "zh": ("spark", "query"),
+}
+
+
+def _marker_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+    return (f"CAST(len(list_filter(string_split(text, ' '), "
+            f"w -> w IN ({words}))) AS INTEGER)")
+
+
+_LANG_PRED_SQL = """CASE
+  WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+  WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+  WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+  WHEN s_fr >= s_zh THEN 'fr'
+  ELSE 'zh' END"""
+
+_LANG_SQL = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         {_marker_sql('en')} AS s_en,
+         {_marker_sql('es')} AS s_es,
+         {_marker_sql('de')} AS s_de,
+         {_marker_sql('fr')} AS s_fr,
+         {_marker_sql('zh')} AS s_zh
+  FROM documents
+)
+SELECT doc_id, lang, s_en, s_es, s_de, s_fr, s_zh,
+       {_LANG_PRED_SQL} AS predicted_lang,
+       ({_LANG_PRED_SQL}) = lang AS is_correct
+FROM s
+ORDER BY doc_id
+"""
+
+
+@query("text_language_id", "llm", "north star: language-ID heuristic",
+       _LANG_SQL)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word (stopword n-gram) language scorer with deterministic
+    arg-max tie-breaking; pure map-side codegen."""
+    t = load_tables(spark, sf_dir)
+    scores = t.documents.select(
+        "doc_id", "lang",
+        *[
+            T.stopword_hits(F.col("text"), _LANG_MARKERS[lang])
+            .cast("int").alias(f"s_{lang}")
+            for lang in ("en", "es", "de", "fr", "zh")
+        ],
+    )
+    s = {lang: F.col(f"s_{lang}") for lang in ("en", "es", "de", "fr", "zh")}
+    pred = (
+        F.when((s["en"] >= s["es"]) & (s["en"] >= s["de"])
+               & (s["en"] >= s["fr"]) & (s["en"] >= s["zh"]), "en")
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"])
+              & (s["es"] >= s["zh"]), "es")
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["zh"]), "de")
+        .when(s["fr"] >= s["zh"], "fr")
+        .otherwise("zh")
+    )
+    return scores.select(
+        "*", pred.alias("predicted_lang"),
+        (pred == F.col("lang")).alias("is_correct"),
+    ).orderBy("doc_id")
+
+
+_STOPWORDS = ("the", "a", "data", "row", "key", "value")
+_STOP_LIST = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+_QUALITY_SQL = f"""
+WITH q AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+         n_chars,
+         CAST(len(list_filter(string_split(text, ' '),
+              w -> w IN ({_STOP_LIST}))) AS INTEGER) AS n_stop,
+         CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INTEGER) AS n_punct
+  FROM documents
+)
+SELECT doc_id, n_words, n_chars, n_stop, n_punct,
+       round(CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words, 6) AS avg_word_len,
+       round(CAST(n_stop AS DOUBLE) / n_words, 6) AS stop_ratio,
+       round(least(CAST(n_words AS DOUBLE) / 100, 1.0) * 0.6
+             + (CAST(n_stop AS DOUBLE) / n_words) * 0.4, 6) AS quality
+FROM q
+ORDER BY doc_id
+"""
+
+
+@query("text_quality_score", "llm", "north star: quality scoring", _QUALITY_SQL)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/stopword/punctuation quality features + composite score
+    (exact integer-ratio arithmetic — deterministic)."""
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select(
+        "doc_id",
+        T.token_count_whitespace(F.col("text")).cast("int").alias("n_words"),
+        "n_chars",
+        T.stopword_hits(F.col("text"), _STOPWORDS).cast("int").alias("n_stop"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.,;:!?]"), 0))
+        .cast("int").alias("n_punct"),
+    )
+    nw = F.col("n_words").cast("double")
+    return base.select(
+        "*",
+        F.round((F.col("n_chars") - (F.col("n_words") - 1)).cast("double")
+                / F.col("n_words"), 6).alias("avg_word_len"),
+        F.round(F.col("n_stop").cast("double") / F.col("n_words"), 6)
+        .alias("stop_ratio"),
+        F.round(F.least(nw / 100, F.lit(1.0)) * 0.6
+                + (F.col("n_stop").cast("double") / F.col("n_words")) * 0.4, 6)
+        .alias("quality"),
+    ).orderBy("doc_id")
+
+
+_TOKENS_SQL = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INTEGER) AS n_re_tokens,
+       round(CAST(n_chars AS DOUBLE)
+             / len(regexp_extract_all(text, '[a-z]+|[0-9]+')), 6) AS chars_per_token
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("text_token_count", "llm", "north star: token counting", _TOKENS_SQL)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts per document."""
+    t = load_tables(spark, sf_dir)
+    n_re = T.token_count_regex(F.col("text"))
+    return t.documents.select(
+        "doc_id",
+        T.token_count_whitespace(F.col("text")).cast("int")
+        .alias("n_ws_tokens"),
+        n_re.cast("int").alias("n_re_tokens"),
+        F.round(F.col("n_chars").cast("double") / n_re, 6)
+        .alias("chars_per_token"),
+    ).orderBy("doc_id")
+
+
+_FINGERPRINT_SQL = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+             string_split(lower(text), ' '))), ' ')) AS fingerprint
+  FROM documents
+)
+SELECT fingerprint, CAST(min(doc_id) AS BIGINT) AS keep_id,
+       count(*) AS n_docs
+FROM fp
+GROUP BY fingerprint
+ORDER BY keep_id
+"""
+
+
+@query("text_fingerprint", "llm", "north star: document fingerprinting",
+       _FINGERPRINT_SQL)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint (sorted token set md5) —
+    catches shuffled/reordered duplicates exact hashing misses."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.documents
+        .select("doc_id", T.normalized_fingerprint(F.col("text"))
+                .alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"),
+             F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("keep_id")
+    )

@@ -1,1 +1,621 @@
-"""Pipeline dataflow operators (SURVEY.md §2.1-§2.3) — filled in below."""
+"""Pipeline dataflow operators (SURVEY.md §2.1-§2.3).
+
+The reference's ETL operators re-expressed relationally.  The harness
+tables carry no blob URLs, so each query first *derives* a
+deterministic ingest workload from ``documents`` (same construction in
+the oracle): user/folder/extension from doc_id arithmetic — then
+applies the real operator columns from functions/paths.py.
+
+Covered here: S2 message parse, T1-T3 path algebra, S10 VSI wrapping,
+T4 raw filter, T5/T12/T13 dispatch routing, T15 progress
+partitioning, T16 count audit, T18/T21 user hashing/distinct, T20
+backfill anti-join, plus the tiling/raster analogs (T8 tile keys, T8
+-zg zoom heuristic, T11 overview downsample) and multimodal metadata
+plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from geohub_data_pipeline_spark.plans.registry import query
+from geohub_data_pipeline_spark.plans._util import davg, davg_sql, dsum, dsum_sql, load_tables
+from geohub_data_pipeline_spark.functions import paths as P
+from geohub_data_pipeline_spark.functions import tiles as TL
+
+# ---------------------------------------------------------------------------
+# Deterministic ingest workload derived from documents (shared Spark/SQL)
+# ---------------------------------------------------------------------------
+
+_EXTS = (".gpkg", ".zip", ".tif", ".pmtiles", ".geojson")
+
+_URL_SQL = f"""uploads AS (
+  SELECT doc_id,
+         'user' || CAST(doc_id % 10 AS VARCHAR) AS u,
+         CASE WHEN doc_id % 7 = 0 THEN '/staging/' ELSE '/raw/' END AS folder,
+         CASE doc_id % 5
+           {' '.join(f"WHEN {i} THEN '{e}'" for i, e in enumerate(_EXTS))}
+         END AS ext
+  FROM documents
+),
+msgs AS (
+  SELECT doc_id,
+         'https://acct.blob.core.windows.net/userdata/' || u || folder
+           || 'doc_' || CAST(doc_id AS VARCHAR) || ext AS blob_url,
+         u, ext,
+         md5('tok' || CAST(doc_id AS VARCHAR)) AS token,
+         doc_id % 2 = 0 AS join_vector_tiles
+  FROM uploads
+)"""
+
+
+def _uploads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the ``msgs`` CTE above."""
+    t = load_tables(spark, sf_dir)
+    d = F.col("doc_id")
+    u = F.concat(F.lit("user"), (d % 10).cast("string"))
+    folder = F.when(d % 7 == 0, "/staging/").otherwise("/raw/")
+    ext = F.col("ext")
+    df = t.documents.select(
+        "doc_id", u.alias("u"), folder.alias("folder"),
+        F.element_at(
+            F.array(*[F.lit(e) for e in _EXTS]), (d % 5 + 1).cast("int")
+        ).alias("ext"),
+    )
+    return df.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://acct.blob.core.windows.net/userdata/"),
+            F.col("u"), F.col("folder"),
+            F.lit("doc_"), F.col("doc_id").cast("string"), ext,
+        ).alias("blob_url"),
+        "u", "ext",
+        F.md5(F.concat(F.lit("tok"), F.col("doc_id").cast("string")))
+        .alias("token"),
+        (d % 2 == 0).alias("join_vector_tiles"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S2 — message parse / project
+# ---------------------------------------------------------------------------
+
+_MSG_PARSE_SQL = f"""
+WITH {_URL_SQL},
+raw_msgs AS (
+  SELECT doc_id,
+         blob_url || ';' || token || ';join_vector_tiles='
+           || CASE WHEN join_vector_tiles THEN 'true' ELSE 'false' END AS msg
+  FROM msgs
+)
+SELECT doc_id,
+       string_split(msg, ';')[1] AS blob_url,
+       string_split(msg, ';')[2] AS token,
+       string_split(msg, ';')[3] = 'join_vector_tiles=true' AS join_vector_tiles
+FROM raw_msgs
+ORDER BY doc_id
+"""
+
+
+@query("msg_parse_project", "pipeline",
+       "§2.1 S2 message parse (ref ingest/ingest.py:62-66)", _MSG_PARSE_SQL)
+def msg_parse_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the semicolon work-item message into typed columns —
+    the streaming source projection of the service loop."""
+    msgs = _uploads(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            ";", F.col("blob_url"), F.col("token"),
+            F.concat(F.lit("join_vector_tiles="),
+                     F.when(F.col("join_vector_tiles"), "true")
+                     .otherwise("false")),
+        ).alias("msg"),
+    )
+    parts = F.split(F.col("msg"), ";")
+    return msgs.select(
+        "doc_id",
+        parts.getItem(0).alias("blob_url"),
+        parts.getItem(1).alias("token"),
+        (parts.getItem(2) == "join_vector_tiles=true")
+        .alias("join_vector_tiles"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# T1-T3 + S10 — path algebra
+# ---------------------------------------------------------------------------
+
+_PATH_SQL = f"""
+WITH {_URL_SQL}
+SELECT doc_id,
+       blob_url,
+       regexp_replace(blob_url, '^[a-z][a-z0-9+.-]*://[^/]+/', '') AS blob_path,
+       regexp_replace(
+         regexp_replace(blob_url, '^[a-z][a-z0-9+.-]*://[^/]+/', ''),
+         '/raw/', '/datasets/') AS dst_blob_path,
+       CASE WHEN ext = '.zip'
+            THEN '/vsizip/' || regexp_replace(blob_url, '^[a-z][a-z0-9+.-]*://[^/]+/', '')
+            ELSE regexp_replace(blob_url, '^[a-z][a-z0-9+.-]*://[^/]+/', '')
+       END AS vsi_path,
+       'out/cog/doc_' || CAST(doc_id AS VARCHAR) || '_band'
+         || CAST(doc_id % 3 + 1 AS VARCHAR) || '.tif' AS cog_path
+FROM msgs
+ORDER BY doc_id
+"""
+
+
+@query("path_rewrite", "pipeline",
+       "§2.2 T1-T3 path algebra + §2.1 S10 VSI wrap "
+       "(ref ingest/utils.py:15-77, ingest/config.py:32-38)", _PATH_SQL)
+def path_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL -> blob path -> raw->datasets rewrite -> VSI/COG output
+    paths — the reference's entire path algebra as codegen strings."""
+    up = _uploads(spark, sf_dir)
+    blob_path = P.chop_blob_url(F.col("blob_url"))
+    return up.select(
+        "doc_id",
+        "blob_url",
+        blob_path.alias("blob_path"),
+        P.dst_blob_path(blob_path).alias("dst_blob_path"),
+        P.vsi_path(blob_path).alias("vsi_path"),
+        P.local_cog_path(blob_path, "out/cog",
+                         (F.col("doc_id") % 3 + 1)).alias("cog_path"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# T4 — raw-folder filter
+# ---------------------------------------------------------------------------
+
+_RAW_FILTER_SQL = f"""
+WITH {_URL_SQL}
+SELECT u AS user, count(*) AS n_raw_uploads
+FROM msgs
+WHERE blob_url LIKE '%/raw/%'
+GROUP BY u
+ORDER BY u
+"""
+
+
+@query("raw_folder_filter", "pipeline",
+       "§2.2 T4 raw filter (ref ingest/ingest.py:76,190-195)",
+       _RAW_FILTER_SQL)
+def raw_folder_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Only /raw/ uploads are processed; everything else completes
+    untouched — the one true row filter of the service path."""
+    up = _uploads(spark, sf_dir)
+    return (
+        up.filter(P.is_raw(F.col("blob_url")))
+        .groupBy(F.col("u").alias("user"))
+        .agg(F.count(F.lit(1)).alias("n_raw_uploads"))
+        .orderBy("user")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T5/T12/T13 — dispatch routing
+# ---------------------------------------------------------------------------
+
+_DISPATCH_SQL = f"""
+WITH {_URL_SQL}
+SELECT CASE
+         WHEN ext = '.pmtiles' THEN 'passthrough'
+         WHEN ext = '.tif' THEN 'raster'
+         WHEN ext = '.zip' THEN 'vector_archive'
+         ELSE 'vector'
+       END AS route,
+       count(*) AS n_files,
+       count(DISTINCT u) AS n_users
+FROM msgs
+WHERE blob_url LIKE '%/raw/%'
+GROUP BY 1
+ORDER BY route
+"""
+
+
+@query("dispatch_route", "pipeline",
+       "§2.2 T5 passthrough + T12/T13 dispatch tree "
+       "(ref ingest/ingest.py:246-247, ingest/processing.py:555-826)",
+       _DISPATCH_SQL)
+def dispatch_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dispatch tree as a routing column: pmtiles passthrough /
+    raster / archived vector / vector."""
+    up = _uploads(spark, sf_dir).filter(P.is_raw(F.col("blob_url")))
+    route = (
+        F.when(F.col("ext") == ".pmtiles", "passthrough")
+        .when(F.col("ext") == ".tif", "raster")
+        .when(F.col("ext") == ".zip", "vector_archive")
+        .otherwise("vector")
+    )
+    return (
+        up.groupBy(route.alias("route"))
+        .agg(F.count(F.lit(1)).alias("n_files"),
+             F.countDistinct("u").alias("n_users"))
+        .orderBy("route")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T18/T21 — user distinct + md5 id
+# ---------------------------------------------------------------------------
+
+_USERS_SQL = f"""
+WITH {_URL_SQL}
+SELECT DISTINCT u AS user, md5(u) AS user_hash
+FROM msgs
+WHERE u <> 'user0'
+ORDER BY user
+"""
+
+
+@query("user_hash_distinct", "pipeline",
+       "§2.2 T18 md5 user-id + T21 distinct users "
+       "(ref ingest/fgb_upload/main.py:36-41,224-227)", _USERS_SQL)
+def user_hash_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users (minus the excluded one) with their md5 ids."""
+    up = _uploads(spark, sf_dir)
+    return (
+        up.filter(F.col("u") != "user0")
+        .select(F.col("u").alias("user"),
+                P.user_id_hash(F.col("u")).alias("user_hash"))
+        .distinct()
+        .orderBy("user")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T20 — backfill anti-join
+# ---------------------------------------------------------------------------
+
+_BACKFILL_SQL = f"""
+WITH {_URL_SQL},
+raw_uploads AS (
+  SELECT doc_id, blob_url,
+         regexp_replace(
+           regexp_replace(blob_url, '^[a-z][a-z0-9+.-]*://[^/]+/', ''),
+           '/raw/', '/datasets/') AS dst
+  FROM msgs WHERE blob_url LIKE '%/raw/%'
+),
+existing AS (
+  SELECT regexp_replace(
+           regexp_replace(blob_url, '^[a-z][a-z0-9+.-]*://[^/]+/', ''),
+           '/raw/', '/datasets/') AS dst
+  FROM msgs WHERE blob_url LIKE '%/raw/%' AND doc_id % 3 = 0
+)
+SELECT r.doc_id, r.dst
+FROM raw_uploads r
+WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.dst = r.dst)
+ORDER BY r.doc_id
+"""
+
+
+@query("backfill_anti_join", "pipeline",
+       "§2.2 T20 backfill skip logic "
+       "(ref ingest/fgb_upload/main.py:117-138)", _BACKFILL_SQL)
+def backfill_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regenerate-missing-outputs scan: raw uploads anti-joined against
+    already-produced datasets (simulated: every 3rd exists).
+
+    Scale: Catalyst picks broadcast-anti when the existing-outputs
+    listing is small; with both sides huge it degrades gracefully to
+    shuffled hash anti-join on the dst key.
+    """
+    up = _uploads(spark, sf_dir).filter(P.is_raw(F.col("blob_url")))
+    dst = P.dst_blob_path(P.chop_blob_url(F.col("blob_url")))
+    raw_uploads = up.select("doc_id", dst.alias("dst"))
+    existing = up.filter(F.col("doc_id") % 3 == 0).select(dst.alias("dst"))
+    return (
+        raw_uploads.join(existing, "dst", "left_anti")
+        .select("doc_id", "dst")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T15 — progress partitioning
+# ---------------------------------------------------------------------------
+
+_PROGRESS_SQL = """
+WITH chunks AS (
+  SELECT source AS dataset, doc_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+              AS INTEGER) AS chunk_index,
+         count(*) OVER (PARTITION BY source) AS nchunks
+  FROM documents
+)
+SELECT dataset, doc_id, chunk_index,
+       CAST(30 + (70 * chunk_index) // nchunks AS INTEGER) AS progress
+FROM chunks
+ORDER BY dataset, chunk_index
+"""
+
+
+@query("progress_partition", "pipeline",
+       "§2.2 T15 progress model (ref ingest/utils.py:79-123: 30% "
+       "download offset + per-chunk percentage)", _PROGRESS_SQL)
+def progress_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's chunk-progress model as a window: progress =
+    30 + 70 * chunk_index / nchunks (integer arithmetic)."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    wall = Window.partitionBy("source")
+    return (
+        t.documents.select(
+            F.col("source").alias("dataset"),
+            "doc_id",
+            F.row_number().over(w).cast("int").alias("chunk_index"),
+            F.count(F.lit(1)).over(wall).alias("nchunks"),
+        )
+        .select(
+            "dataset", "doc_id", "chunk_index",
+            (F.lit(30) + F.expr("(70 * chunk_index) div nchunks"))
+            .cast("int").alias("progress"),
+        )
+        .orderBy("dataset", "chunk_index")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T16 — feature-count audit
+# ---------------------------------------------------------------------------
+
+_AUDIT_SQL = """
+SELECT source AS dataset,
+       count(*) AS original_count,
+       count(CASE WHEN doc_id % 11 <> 0 THEN 1 END) AS converted_count,
+       CASE WHEN count(CASE WHEN doc_id % 11 <> 0 THEN 1 END) = 0 THEN 'error'
+            WHEN count(CASE WHEN doc_id % 11 <> 0 THEN 1 END) < count(*)
+              THEN 'warning'
+            ELSE 'ok' END AS audit_status
+FROM documents
+GROUP BY source
+ORDER BY dataset
+"""
+
+
+@query("feature_count_audit", "pipeline",
+       "§2.2 T16 feature-count audit (ref ingest/processing.py:160-181: "
+       "converted==0 or != original => error blob)", _AUDIT_SQL)
+def feature_count_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Original-vs-converted reconciliation per dataset (every 11th row
+    simulates a dropped invalid feature — '-skipfailures')."""
+    t = load_tables(spark, sf_dir)
+    converted = F.count(F.when(F.col("doc_id") % 11 != 0, F.lit(1)))
+    original = F.count(F.lit(1))
+    return (
+        t.documents.groupBy(F.col("source").alias("dataset"))
+        .agg(
+            original.alias("original_count"),
+            converted.alias("converted_count"),
+            F.when(converted == 0, "error")
+            .when(converted < original, "warning")
+            .otherwise("ok").alias("audit_status"),
+        )
+        .orderBy("dataset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T8 — tile key assignment + tile aggregation
+# ---------------------------------------------------------------------------
+
+_TILE_MATH_SQL = """
+  SELECT event_id, value,
+         CAST(2 + event_id % 5 AS INTEGER) AS z,
+         (CAST(event_id % 360 AS DOUBLE) - 180.0) + 0.25 AS lon,
+         (CAST((user_id * 11) % 160 AS DOUBLE) - 80.0) + 0.5 AS lat
+  FROM events
+"""
+
+_TILE_XY_SQL = """
+  SELECT event_id, value, z,
+         CAST(least(greatest(floor((1 << z) * (lon + 180.0) / 360.0), 0),
+                    (1 << z) - 1) AS BIGINT) AS x,
+         CAST(least(greatest(floor((1 << z) * (1.0 - ln(tan(radians(lat))
+                    + 1.0 / cos(radians(lat))) / pi()) / 2.0), 0),
+                    (1 << z) - 1) AS BIGINT) AS y
+  FROM pts
+"""
+
+_TILE_ASSIGN_SQL = f"""
+WITH pts AS ({_TILE_MATH_SQL})
+{_TILE_XY_SQL.replace("SELECT event_id, value, z,", "SELECT event_id, z,", 1)}
+ORDER BY event_id
+"""
+
+
+@query("tile_assignment", "pipeline",
+       "§2.2 T8 tile-key assignment (tiling = groupBy(z,x,y); "
+       "ref ingest/processing.py:228-311 tippecanoe path)",
+       _TILE_ASSIGN_SQL)
+def tile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebMercator z/x/y tile key per point (points derived
+    deterministically from events) — the map-side half of tiling."""
+    t = load_tables(spark, sf_dir)
+    pts = t.events.select(
+        "event_id",
+        (F.lit(2) + F.col("event_id") % 5).cast("int").alias("z"),
+        ((F.col("event_id") % 360).cast("double") - 180.0 + 0.25).alias("lon"),
+        (((F.col("user_id") * 11) % 160).cast("double") - 80.0 + 0.5)
+        .alias("lat"),
+    )
+    return pts.select(
+        "event_id",
+        *TL.tile_cols(F.col("lon"), F.col("lat"), F.col("z")),
+    ).orderBy("event_id")
+
+
+_TILE_AGG_SQL = f"""
+WITH pts AS ({_TILE_MATH_SQL}),
+keyed AS ({_TILE_XY_SQL})
+SELECT z, x, y, count(*) AS n_features, {dsum_sql('value')} AS total_value
+FROM keyed
+GROUP BY z, x, y
+ORDER BY z, x, y
+"""
+
+
+@query("tile_aggregation", "pipeline",
+       "§2.2 T8/T9 tile build = shuffle on (z,x,y) "
+       "(ref ingest/processing.py:228-402)", _TILE_AGG_SQL)
+def tile_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tiling shuffle: features grouped into (z,x,y) tiles.
+
+    Scale: hash shuffle on the tile key with map-side partial agg;
+    low-zoom skew (z0 = one tile) is handled by the partial+final agg
+    pattern — heavy per-tile payload encoding would use the two-phase
+    variant in operators/tiling.py.
+    """
+    t = load_tables(spark, sf_dir)
+    pts = t.events.select(
+        "event_id", "value",
+        (F.lit(2) + F.col("event_id") % 5).cast("int").alias("z"),
+        ((F.col("event_id") % 360).cast("double") - 180.0 + 0.25).alias("lon"),
+        (((F.col("user_id") * 11) % 160).cast("double") - 80.0 + 0.5)
+        .alias("lat"),
+    )
+    keyed = pts.select(
+        "value", *TL.tile_cols(F.col("lon"), F.col("lat"), F.col("z")))
+    return (
+        keyed.groupBy("z", "x", "y")
+        .agg(F.count(F.lit(1)).alias("n_features"),
+             dsum(F.col("value")).alias("total_value"))
+        .orderBy("z", "x", "y")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T8 -zg — data-driven max-zoom heuristic
+# ---------------------------------------------------------------------------
+
+_ZOOM_LADDER = [(1, 0), (4, 1), (16, 2), (64, 3), (256, 4), (1024, 5),
+                (4096, 6), (16384, 7), (65536, 8), (262144, 9)]
+
+_ZOOM_CASE = "CASE " + " ".join(
+    f"WHEN n_features <= {n} THEN {z}" for n, z in _ZOOM_LADDER
+) + " ELSE 10 END"
+
+_ZOOM_SQL = f"""
+WITH d AS (
+  SELECT source AS dataset, count(*) AS n_features FROM documents GROUP BY source
+)
+SELECT dataset, n_features, CAST({_ZOOM_CASE} AS INTEGER) AS maxzoom
+FROM d
+ORDER BY dataset
+"""
+
+
+@query("zoom_heuristic", "pipeline",
+       "§2.2 T8 '-zg' data-driven max-zoom "
+       "(ref ingest/processing.py:237-255 tippecanoe -zg flag)", _ZOOM_SQL)
+def zoom_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Choose maxzoom so tile capacity (4^z) covers feature density —
+    the -zg analog as an exact integer CASE ladder."""
+    t = load_tables(spark, sf_dir)
+    zoom = F.lit(10)
+    for n, z in reversed(_ZOOM_LADDER):
+        zoom = F.when(F.col("n_features") <= n, z).otherwise(zoom)
+    return (
+        t.documents.groupBy(F.col("source").alias("dataset"))
+        .agg(F.count(F.lit(1)).alias("n_features"))
+        .select("dataset", "n_features", zoom.cast("int").alias("maxzoom"))
+        .orderBy("dataset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T11 — overview (pyramid) downsample
+# ---------------------------------------------------------------------------
+
+_OVERVIEW_SQL = f"""
+WITH blocks AS (
+  SELECT CAST(p_partkey % 24 AS INTEGER) AS x,
+         CAST((p_partkey // 24) % 24 AS INTEGER) AS y,
+         p_retailprice AS val
+  FROM part
+)
+SELECT CAST(x // 2 AS INTEGER) AS x1, CAST(y // 2 AS INTEGER) AS y1,
+       count(*) AS n_cells,
+       {davg_sql('val')} AS mean_val,
+       CAST(max(val) AS DOUBLE) AS max_val
+FROM blocks
+GROUP BY x // 2, y // 2
+ORDER BY x1, y1
+"""
+
+
+@query("overview_downsample", "pipeline",
+       "§2.2 T11 COG overview cascade: level k+1 = groupBy(x//2, y//2) "
+       "(ref ingest/processing.py:496-509 overview resampling)",
+       _OVERVIEW_SQL)
+def overview_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One overview-pyramid round: 2x2 block aggregation (the rollup
+    that materializes raster overviews; cascade = log2(maxdim) rounds,
+    each 4x smaller — see operators/raster.py)."""
+    t = load_tables(spark, sf_dir)
+    blocks = t.part.select(
+        (F.col("p_partkey") % 24).cast("int").alias("x"),
+        (F.expr("p_partkey div 24") % 24).cast("int").alias("y"),
+        F.col("p_retailprice").alias("val"),
+    )
+    return (
+        blocks.groupBy(
+            F.expr("x div 2").cast("int").alias("x1"),
+            F.expr("y div 2").cast("int").alias("y1"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_cells"),
+             davg(F.col("val")).alias("mean_val"),
+             F.max("val").cast("double").alias("max_val"))
+        .orderBy("x1", "y1")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal metadata plumbing
+# ---------------------------------------------------------------------------
+
+_MULTIMODAL_SQL = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                       ELSE 'video' END AS media_type,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS content_hash,
+       CASE WHEN doc_id % 3 = 0
+            THEN CAST(256 + (doc_id % 8) * 128 AS INTEGER) END AS width,
+       CASE WHEN doc_id % 3 = 0
+            THEN CAST(256 + (doc_id % 4) * 128 AS INTEGER) END AS height,
+       CASE WHEN doc_id % 3 <> 0
+            THEN CAST(n_chars // 10 AS BIGINT) END AS duration_s
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("multimodal_metadata", "pipeline",
+       "north star: multimodal columns (binary payload + typed "
+       "metadata; decode kernels in operators/multimodal.py)",
+       _MULTIMODAL_SQL)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata view over opaque media payloads: byte length,
+    content hash, per-modality dimensions.  The binary decode /
+    feature-extract kernels are mapInPandas operators
+    (operators/multimodal.py) exercised in tests."""
+    t = load_tables(spark, sf_dir)
+    d = F.col("doc_id")
+    media = (
+        F.when(d % 3 == 0, "image")
+        .when(d % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return t.documents.select(
+        "doc_id",
+        media.alias("media_type"),
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+        F.md5("text").alias("content_hash"),
+        F.when(d % 3 == 0, (256 + (d % 8) * 128).cast("int")).alias("width"),
+        F.when(d % 3 == 0, (256 + (d % 4) * 128).cast("int")).alias("height"),
+        F.when(d % 3 != 0, F.expr("n_chars div 10").cast("bigint"))
+        .alias("duration_s"),
+    ).orderBy("doc_id")

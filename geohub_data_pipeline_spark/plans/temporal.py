@@ -1,1 +1,277 @@
-"""Event-time / temporal operators (SURVEY.md §2.4 X8) — filled in below."""
+"""Event-time / temporal operators (SURVEY.md §2.4 X8 + §2.5).
+
+The reference has no event-time semantics (X8: "no windows, no
+watermarks") — these cover the harness' ``events`` capability in batch
+form; the streaming (watermarked) versions of the same operators live
+in streaming/windows.py and are exercised by tests/test_streaming.py
+(batch/stream parity: identical window semantics by construction).
+
+Oracle-parity notes: events.ts is nanosecond parquet, truncated to µs
+identically by both engines (sources/tables.py); window starts are
+computed with epoch-µs integer arithmetic in the oracle to match
+Spark's epoch-aligned windows; session boundaries use the half-open
+``[start, last + gap)`` rule Spark's session_window implements.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from geohub_data_pipeline_spark.plans.registry import query
+from geohub_data_pipeline_spark.plans._util import dsum, dsum_sql, load_tables
+from geohub_data_pipeline_spark.operators.asof import asof_join
+
+# ---------------------------------------------------------------------------
+# Tumbling window
+# ---------------------------------------------------------------------------
+
+_TUMBLING_SQL = f"""
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       {dsum_sql('value')} AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+@query("events_tumbling_window", "temporal",
+       "§2.4 X8 event-time tumbling window", _TUMBLING_SQL)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling aggregation per event type.
+
+    Scale: a tumbling window is just a derived grouping key — plain
+    partial+final hash agg, one shuffle keyed (hour, type).  The
+    streaming twin adds withWatermark and emits identical windows.
+    """
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz")
+            .alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             dsum(F.col("value")).alias("total_value"))
+        .orderBy("window_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding window
+# ---------------------------------------------------------------------------
+
+_SLIDING_SQL = f"""
+WITH e AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events
+),
+x AS (
+  SELECT make_timestamp(us - us % 1800000000 - k.k * 1800000000) AS window_start,
+         value
+  FROM e, (SELECT unnest([0, 1]) AS k) k
+)
+SELECT window_start,
+       CAST(window_start + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+       count(*) AS n_events,
+       {dsum_sql('value')} AS total_value
+FROM x
+GROUP BY window_start
+ORDER BY window_start
+"""
+
+
+@query("events_sliding_window", "temporal",
+       "§2.4 X8 event-time sliding window", _SLIDING_SQL)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (each event lands in 2).
+
+    Spark's ``window()`` generates the epoch-aligned window set; the
+    oracle reproduces it with integer epoch-µs arithmetic.
+    """
+    t = load_tables(spark, sf_dir)
+    w = F.window(F.col("ts"), "1 hour", "30 minutes")
+    return (
+        t.events
+        .groupBy(w.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             dsum(F.col("value")).alias("total_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+            "n_events", "total_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session window
+# ---------------------------------------------------------------------------
+
+_SESSION_SQL = f"""
+WITH d AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+),
+m AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM m
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 10 MINUTE AS session_end,
+       count(*) AS n_events,
+       {dsum_sql('value')} AS total_value
+FROM s
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+@query("events_sessionization", "temporal",
+       "§2.4 X8 session windows", _SESSION_SQL)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute-gap sessionization per user via ``session_window``.
+
+    Session = events closer than the gap; end = last event + gap
+    (half-open).  Scale: one shuffle on user_id; the streaming twin is
+    the same expression plus a watermark (state eviction).
+    """
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events
+        .groupBy(F.session_window(F.col("ts"), "10 minutes").alias("sw"),
+                 "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             dsum(F.col("value")).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("sw.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("sw.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events", "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join
+# ---------------------------------------------------------------------------
+
+_ASOF_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id, c.ts AS click_ts,
+       p.ts AS matched_ts, p.value AS matched_value
+FROM clicks c
+ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY c.event_id
+"""
+
+
+@query("asof_join_events", "temporal",
+       "§2.5 as-of join (custom operator, operators/asof.py)", _ASOF_SQL)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click joined to that user's latest prior purchase.
+
+    Custom operator: union + keyed window (ONE shuffle of |L|+|R|
+    rows) — see operators/asof.py; the oracle is DuckDB's native
+    ASOF JOIN.
+    """
+    t = load_tables(spark, sf_dir)
+    clicks = t.events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts"), "value")
+    purchases = t.events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value")
+    joined = asof_join(clicks, purchases, on="user_id",
+                       left_ts="ts", right_ts="ts",
+                       payload_cols=["value"])
+    return joined.select(
+        "event_id", "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("click_ts"),
+        F.col("matched_ts"),
+        F.col("matched_value"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Latest-per-key dedup + JSON props
+# ---------------------------------------------------------------------------
+
+_LATEST_SQL = """
+SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+             ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+@query("events_dedup_latest", "temporal",
+       "§2.4 latest-state compaction (streaming dedup analog)",
+       _LATEST_SQL)
+def events_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per user (changelog compaction / stream-to-table)."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        t.events.select("user_id", "event_id",
+                        F.col("ts").cast("timestamp_ntz").alias("ts"),
+                        "event_type",
+                        F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("user_id")
+    )
+
+
+_JSON_SQL = f"""
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("events_json_props", "temporal",
+       "§2.5 scalar fns (json — events.props bag)", _JSON_SQL)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the JSON property bag and aggregate an extracted field."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.get_json_object("props", "$.k").cast("bigint"))
+            .cast("bigint").alias("sum_k"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
