@@ -36,7 +36,7 @@ HEADLINE = [
     "text_quality_score",
     "events_sessionization",
     "asof_join_events",
-    "tile_assignment",
+    "tile_aggregation",
 ]
 
 

@@ -77,6 +77,11 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str,
             F.array(*[F.col(f"band{b}") for b in range(n_bands)])
         ).alias("band_idx", "band_hash"),
     )
+    # The band table is referenced 4x (bucket sizing + both self-join
+    # sides); without materialization Spark recomputes the full
+    # shingle->md5 signature lineage each time.  The cached projection
+    # is tiny — (id, band_idx, 32-char hash) per doc-band.
+    bands = bands.cache()
     sizes = bands.groupBy("band_idx", "band_hash").agg(
         F.count(F.lit(1)).alias("__n"))
     bands = (

@@ -1,0 +1,237 @@
+"""The ingest service loop as Structured Streaming (EP1 analog).
+
+Reference behavior being reproduced (SURVEY.md §2.4, §3 EP1; all ref
+cites into /root/reference/):
+
+* queue poll, <=1 message in flight, exit when drained
+  (ingest/ingest.py:41-58)            -> file stream source,
+  ``maxFilesPerTrigger=1`` + ``trigger(availableNow=True)`` (X1/X2)
+* message parse "url;token;join=bool" (ingest/ingest.py:62-66) -> S2
+  projection; parse failure dead-letters (ingest/ingest.py:197-207)
+  -> quarantine rows (X7/K11)
+* '/raw/' filter: everything else completes untouched
+  (ingest/ingest.py:76,190-195)       -> T4 route
+* '.pmtiles' passthrough copy (ingest/ingest.py:246-247) -> T5 route
+* sidecar state blobs + metadata stage/progress
+  (ingest/azblob.py:114-147,216-235)  -> ONE run-ledger table
+  (dataset, kind, stage, progress, content, ts)
+* progress model: 30 after download, then per-chunk to 100
+  (ingest/utils.py:79-123)            -> T15 window over chunks
+* external cancel {user,url,cancel:true} (ingest/utils.py:126-131)
+  -> cancel lookup -> 'Cancelled' ledger row (X5/X6)
+* at-least-once + ack = checkpoint commit (K10); the ledger write is
+  idempotent per (msg batch, dataset, kind, stage).
+
+Scale: ``foreachBatch`` bodies are pure DataFrame programs — each
+micro-batch distributes like any batch job; per-upload heavy work
+(probe/convert/tile) runs as the batch's job DAG, not driver loops.
+The run ledger is an append-only parquet table partitioned by kind.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from geohub_data_pipeline_spark.functions import paths as P
+
+MESSAGE_SCHEMA = T.StructType([
+    T.StructField("msg_id", T.LongType()),
+    T.StructField("body", T.StringType()),       # "url;token;join_vector_tiles=bool"
+    T.StructField("enqueued_ts", T.StringType()),
+])
+
+CANCEL_SCHEMA = T.StructType([
+    T.StructField("user", T.StringType()),
+    T.StructField("url", T.StringType()),
+    T.StructField("cancel", T.BooleanType()),
+])
+
+LEDGER_COLUMNS = ["dataset", "kind", "stage", "progress", "content", "ts"]
+
+
+def message_stream(spark: SparkSession, messages_dir: str,
+                   max_files_per_trigger: int = 1) -> DataFrame:
+    """File-based stand-in for the Service Bus queue (S1).
+
+    ``maxFilesPerTrigger=1`` reproduces the reference's one-message-
+    in-flight backpressure (X2); swap for a Kafka/EventHubs source in
+    production without touching the pipeline below.
+    """
+    return (
+        spark.readStream.schema(MESSAGE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(messages_dir)
+    )
+
+
+def parse_messages(df: DataFrame) -> DataFrame:
+    """S2: split the 3-field body; malformed rows flagged (not dropped)."""
+    parts = F.split(F.col("body"), ";")
+    return df.select(
+        "msg_id",
+        "body",
+        F.when(F.size(parts) == 3, parts.getItem(0)).alias("blob_url"),
+        F.when(F.size(parts) == 3, parts.getItem(1)).alias("token"),
+        F.when(F.size(parts) == 3,
+               parts.getItem(2) == "join_vector_tiles=true")
+        .alias("join_vector_tiles"),
+        (F.size(parts) != 3).alias("malformed"),
+    )
+
+
+def route_messages(parsed: DataFrame) -> DataFrame:
+    """T4/T5/T12: attach the dispatch route per message."""
+    ext = P.file_ext(F.col("blob_url"))
+    return parsed.select(
+        "*",
+        F.when(F.col("malformed"), "dead_letter")
+        .when(~P.is_raw(F.col("blob_url")), "complete_untouched")
+        .when(ext == ".pmtiles", "passthrough")
+        .when(ext.isin(".tif", ".nc", ".img"), "raster")
+        .otherwise("vector").alias("route"),
+    )
+
+
+def _ledger_rows(routed: DataFrame, cancels: DataFrame | None,
+                 n_chunks: int) -> DataFrame:
+    """Expand each routed message into its run-ledger rows."""
+    ts = F.current_timestamp()
+    dataset = P.chop_blob_url(F.col("blob_url"))
+
+    dead = routed.filter(F.col("route") == "dead_letter").select(
+        F.coalesce(F.col("blob_url"), F.concat(F.lit("msg_"), "msg_id"))
+        .alias("dataset"),
+        F.lit("error").alias("kind"),
+        F.lit(None).cast("string").alias("stage"),
+        F.lit(None).cast("int").alias("progress"),
+        F.concat(F.lit("dead-letter: unparseable message: "), F.col("body"))
+        .alias("content"),
+        ts.alias("ts"),
+    )
+    untouched = routed.filter(F.col("route") == "complete_untouched").select(
+        dataset.alias("dataset"),
+        F.lit("progress").alias("kind"),
+        F.lit("completed_untouched").alias("stage"),
+        F.lit(100).alias("progress"),
+        F.lit(None).cast("string").alias("content"),
+        ts.alias("ts"),
+    )
+    passthrough = routed.filter(F.col("route") == "passthrough").select(
+        dataset.alias("dataset"),
+        F.lit("progress").alias("kind"),
+        F.lit("copied").alias("stage"),
+        F.lit(100).alias("progress"),
+        F.lit(None).cast("string").alias("content"),
+        ts.alias("ts"),
+    )
+
+    work = routed.filter(F.col("route").isin("vector", "raster"))
+    if cancels is not None:
+        cancelled_urls = cancels.filter(F.col("cancel")).select(
+            F.col("url").alias("blob_url"))
+        cancelled = work.join(F.broadcast(cancelled_urls), "blob_url",
+                              "left_semi")
+        work = work.join(F.broadcast(cancelled_urls), "blob_url",
+                         "left_anti")
+        cancel_rows = cancelled.select(
+            dataset.alias("dataset"),
+            F.lit("progress").alias("kind"),
+            F.lit("Cancelled").alias("stage"),
+            F.lit(100).alias("progress"),
+            F.lit(None).cast("string").alias("content"),
+            ts.alias("ts"),
+        )
+    else:
+        cancel_rows = None
+
+    # downloading(0) -> downloaded(30) -> per-chunk -> processed(100)
+    chunks = work.select(
+        dataset.alias("dataset"),
+        F.explode(F.sequence(F.lit(1), F.lit(n_chunks))).alias("chunk"),
+    ).select(
+        "dataset",
+        F.lit("progress").alias("kind"),
+        F.concat(F.lit("processing chunk "), F.col("chunk").cast("string"))
+        .alias("stage"),
+        (F.lit(30) + F.expr(f"(70 * chunk) div {n_chunks}")).cast("int")
+        .alias("progress"),
+        F.lit(None).cast("string").alias("content"),
+        ts.alias("ts"),
+    )
+    endpoints = work.select(
+        dataset.alias("dataset"),
+        F.explode(F.array(
+            F.struct(F.lit("downloading").alias("stage"),
+                     F.lit(0).alias("progress")),
+            F.struct(F.lit("downloaded").alias("stage"),
+                     F.lit(30).alias("progress")),
+            F.struct(F.lit("processed").alias("stage"),
+                     F.lit(100).alias("progress")),
+        )).alias("s"),
+    ).select(
+        "dataset",
+        F.lit("progress").alias("kind"),
+        F.col("s.stage").alias("stage"),
+        F.col("s.progress").alias("progress"),
+        F.lit(None).cast("string").alias("content"),
+        ts.alias("ts"),
+    )
+
+    out = dead.unionByName(untouched).unionByName(passthrough) \
+        .unionByName(chunks).unionByName(endpoints)
+    if cancel_rows is not None:
+        out = out.unionByName(cancel_rows)
+    return out
+
+
+@dataclass
+class IngestService:
+    """Checkpointed streaming ingest service.
+
+    ``run_available_now`` drains the queue and exits — the reference's
+    'empty receive ends the loop' semantics (X1).
+    """
+
+    spark: SparkSession
+    messages_dir: str
+    ledger_dir: str
+    checkpoint_dir: str
+    cancel_dir: str | None = None
+    n_chunks: int = 4
+
+    def _cancels(self) -> DataFrame | None:
+        if self.cancel_dir is None:
+            return None
+        try:
+            return self.spark.read.schema(CANCEL_SCHEMA).json(self.cancel_dir)
+        except Exception:
+            return None
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        routed = route_messages(parse_messages(batch_df))
+        ledger = _ledger_rows(routed, self._cancels(), self.n_chunks)
+        (
+            ledger.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .partitionBy("kind")
+            .parquet(self.ledger_dir)
+        )
+
+    def run_available_now(self) -> None:
+        q = (
+            message_stream(self.spark, self.messages_dir)
+            .writeStream
+            .foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def ledger(self) -> DataFrame:
+        return self.spark.read.parquet(self.ledger_dir)

@@ -1,0 +1,178 @@
+"""Streaming service + windowed-stream tests (SURVEY §2.4 X1-X9).
+
+Exercises: drain-and-exit trigger (X1), one-file-per-trigger
+backpressure (X2), dead-letter quarantine (X7/K11), untouched
+completion for non-raw uploads (T4), pmtiles passthrough (T5),
+progress ledger rows 0->30->per-chunk->100 (T15/X9), external cancel
+(X5/X6), checkpointed exactly-once ledger append across restarts
+(K10), and batch/stream window parity (X8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from geohub_data_pipeline_spark.streaming.service import IngestService
+from geohub_data_pipeline_spark.streaming import windows as W
+from geohub_data_pipeline_spark.sources.tables import load_table
+
+
+def _write_msgs(d: str, name: str, msgs: list[dict]) -> None:
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, name), "w") as f:
+        for m in msgs:
+            f.write(json.dumps(m) + "\n")
+
+
+URL = "https://acct.blob.core.windows.net/userdata/u1"
+
+
+@pytest.fixture()
+def service(spark, tmp_path):
+    base = str(tmp_path)
+    svc = IngestService(
+        spark=spark,
+        messages_dir=f"{base}/msgs",
+        ledger_dir=f"{base}/ledger",
+        checkpoint_dir=f"{base}/ckpt",
+        cancel_dir=f"{base}/cancel",
+        n_chunks=4,
+    )
+    os.makedirs(svc.messages_dir, exist_ok=True)
+    os.makedirs(svc.cancel_dir, exist_ok=True)
+    return svc
+
+
+def test_service_routes_and_ledger(service):
+    _write_msgs(service.messages_dir, "batch1.json", [
+        {"msg_id": 1, "body": f"{URL}/raw/a.gpkg;tok1;join_vector_tiles=true",
+         "enqueued_ts": "2024-01-01T00:00:00"},
+        {"msg_id": 2, "body": f"{URL}/datasets/b.gpkg;tok2;join_vector_tiles=false",
+         "enqueued_ts": "2024-01-01T00:00:01"},
+        {"msg_id": 3, "body": f"{URL}/raw/c.pmtiles;tok3;join_vector_tiles=false",
+         "enqueued_ts": "2024-01-01T00:00:02"},
+        {"msg_id": 4, "body": "garbage-no-semicolons",
+         "enqueued_ts": "2024-01-01T00:00:03"},
+        {"msg_id": 5, "body": f"{URL}/raw/d.tif;tok5;join_vector_tiles=false",
+         "enqueued_ts": "2024-01-01T00:00:04"},
+    ])
+    _write_msgs(service.cancel_dir, "cancel1.json", [
+        {"user": "u1", "url": f"{URL}/raw/d.tif", "cancel": True},
+    ])
+    service.run_available_now()
+    ledger = service.ledger().collect()
+    by_dataset: dict = {}
+    for r in ledger:
+        by_dataset.setdefault(r.dataset, []).append(r)
+
+    # raw vector upload: full progress trail 0 -> 30 -> chunks -> 100
+    a = sorted((r.progress for r in by_dataset["userdata/u1/raw/a.gpkg"]))
+    assert a == [0, 30, 47, 65, 82, 100, 100]
+    stages = {r.stage for r in by_dataset["userdata/u1/raw/a.gpkg"]}
+    assert {"downloading", "downloaded", "processed"} <= stages
+
+    # non-raw: completed untouched, nothing else (T4)
+    b = by_dataset["userdata/u1/datasets/b.gpkg"]
+    assert [r.stage for r in b] == ["completed_untouched"]
+
+    # pmtiles passthrough (T5)
+    c = by_dataset["userdata/u1/raw/c.pmtiles"]
+    assert [r.stage for r in c] == ["copied"]
+
+    # malformed message dead-lettered (X7)
+    errors = [r for r in ledger if r.kind == "error"]
+    assert len(errors) == 1 and "dead-letter" in errors[0].content
+
+    # cancelled upload gets Cancelled, no processing rows (X5/X6)
+    d = by_dataset["userdata/u1/raw/d.tif"]
+    assert [r.stage for r in d] == ["Cancelled"]
+
+
+def test_service_drain_and_restart_exactly_once(service):
+    """X1 drain semantics + K10 checkpoint: re-running after a restart
+    must not duplicate ledger rows; new files are picked up."""
+    _write_msgs(service.messages_dir, "m1.json", [
+        {"msg_id": 1, "body": f"{URL}/raw/x.gpkg;t;join_vector_tiles=false",
+         "enqueued_ts": "2024-01-01T00:00:00"},
+    ])
+    service.run_available_now()
+    n1 = service.ledger().count()
+    # restart with no new input: drained queue => no new rows
+    service.run_available_now()
+    assert service.ledger().count() == n1
+    # new message arrives => exactly its rows are appended
+    _write_msgs(service.messages_dir, "m2.json", [
+        {"msg_id": 2, "body": f"{URL}/raw/y.gpkg;t;join_vector_tiles=false",
+         "enqueued_ts": "2024-01-01T00:01:00"},
+    ])
+    service.run_available_now()
+    assert service.ledger().count() == 2 * n1
+
+
+@pytest.mark.parametrize("maker,batch_builder,end_col,wm_secs", [
+    (
+        W.tumbling_counts,
+        lambda ev: ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"),
+                (F.col("w.start") + F.expr("INTERVAL 1 HOUR")).alias("__end"),
+                "event_type", "n_events"),
+        "__end", 2 * 3600,
+    ),
+    (
+        W.session_stats,
+        lambda ev: ev.groupBy(
+            F.session_window("ts", "10 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("sw.start").alias("session_start"),
+                F.col("sw.end").alias("session_end"), "n_events")
+        .withColumn("__end", F.col("session_end")),
+        "__end", 30 * 60,
+    ),
+])
+def test_stream_batch_window_parity(spark, sf_dir, tmp_path, maker,
+                                    batch_builder, end_col, wm_secs):
+    """A drained watermarked stream emits exactly the batch windows
+    that closed before the final watermark (append-mode contract);
+    everything it emits must match batch bit-for-bit."""
+    events = load_table(spark, sf_dir, "events").limit(300)
+    src = f"{tmp_path}/events_json"
+    events.select(
+        "event_id", "user_id", "event_type",
+        F.col("ts").cast("string").alias("ts"),
+    ).coalesce(1).write.json(src)
+
+    schema = ("event_id LONG, user_id LONG, event_type STRING, ts STRING")
+    stream = (
+        spark.readStream.schema(schema).json(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out_dir = f"{tmp_path}/out"
+    q = (
+        maker(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(out_dir)
+    want = batch_builder(
+        events.select("event_id", "user_id", "event_type", "ts"))
+    # every emitted window matches the batch computation exactly
+    assert got.exceptAll(want.select(*got.columns)).count() == 0
+    # every window closed by the final watermark was emitted
+    max_ts = events.agg(F.max("ts")).first()[0]
+    closed = want.filter(
+        F.col(end_col) <= F.lit(max_ts) - F.expr(f"INTERVAL {wm_secs} SECOND")
+    ).select(*got.columns)
+    assert closed.exceptAll(got).count() == 0
+    assert got.count() >= closed.count()
