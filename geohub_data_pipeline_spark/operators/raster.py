@@ -1,0 +1,173 @@
+"""Raster block pipeline (T11/T12 — the COG-stage analog).
+
+Reference behavior (ref /root/reference/ingest/processing.py:469-552,
+``dataset2cog``): rio_cogeo translate to ZSTD 256x256-block COG with
+nearest-resampled overview pyramid on WebMercatorQuad, one output per
+band unless >=3 color-interpreted bands form an RGB composite
+(ref processing.py:730-739, 783-807).
+
+Spark-first restatement: a raster IS a DataFrame of blocks
+(dataset, subdataset, band, block_x, block_y, width, height,
+pixels array<double>, nodata, srid) — FIXTURES.md §B.  Stages:
+
+* ``rgb_dispatch``      — T12 as a routing column,
+* ``downsample_level``  — one pyramid round: 2x2 block-group nearest
+  resample in ``applyInPandas`` (numpy strided slicing),
+* ``overview_cascade``  — log2 rounds, each 4x smaller,
+* ``block_audit``       — blocks-per-band == ceil(dim/256)^2 golden
+  check (FIXTURES §B golden outputs).
+
+Scale: each cascade round shuffles only the previous level (4x decay
+=> total work ~1.33x level 0); partition by (dataset, band) keeps a
+band's blocks co-located so COG assembly (``foreachPartition`` writer
+when rasterio is present — stubbed here) streams without a final
+shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BLOCK = 256
+
+BLOCK_SCHEMA = (
+    "dataset string, subdataset string, band int, level int, "
+    "block_x int, block_y int, width int, height int, "
+    "pixels array<double>, nodata double, srid int"
+)
+
+
+def rgb_dispatch(bands: DataFrame) -> DataFrame:
+    """T12: >=3 color-interpreted bands (or PHOTOMETRIC) => one
+    multiband 'rgb' output, else one output per band.
+
+    Input: one row per (dataset, subdataset, band) with colorinterp.
+    """
+    per_ds = bands.groupBy(
+        F.col("dataset").alias("ds"),
+        F.col("subdataset").alias("sub"),
+    ).agg(
+        F.count(F.when(F.col("colorinterp").isNotNull()
+                       & (F.col("colorinterp") >= 3), 1)).alias("n_color"),
+        F.max("photometric").alias("ds_photometric"),
+    )
+    return (
+        # null-safe equality: root-level rasters carry subdataset=NULL
+        bands.join(
+            per_ds,
+            F.col("dataset").eqNullSafe(F.col("ds"))
+            & F.col("subdataset").eqNullSafe(F.col("sub")),
+        )
+        .select(
+            "dataset", "subdataset", "band",
+            F.when((F.col("n_color") >= 3)
+                   | F.col("ds_photometric").isNotNull(), "rgb_composite")
+            .otherwise("per_band").alias("cog_mode"),
+        )
+    )
+
+
+def _downsample_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Nearest-resample a 2x2 block neighborhood into one block.
+
+    The four source blocks (or fewer at ragged edges) are mosaicked
+    into a (2*BLOCK)^2 canvas, then every other pixel is taken —
+    exactly rio-cogeo's ``nearest`` overview resampling.
+    """
+    first = pdf.iloc[0]
+    x1, y1 = int(first["__x1"]), int(first["__y1"])
+    canvas = np.full((2 * BLOCK, 2 * BLOCK), np.nan)
+    for _, r in pdf.iterrows():
+        ox = (int(r["block_x"]) % 2) * BLOCK
+        oy = (int(r["block_y"]) % 2) * BLOCK
+        h, w = int(r["height"]), int(r["width"])
+        canvas[oy:oy + h, ox:ox + w] = np.asarray(
+            r["pixels"], dtype=float).reshape(h, w)
+    down = canvas[::2, ::2]
+    # crop trailing all-NaN rows/cols (ragged edges)
+    valid_rows = ~np.isnan(down).all(axis=1)
+    valid_cols = ~np.isnan(down).all(axis=0)
+    h1 = int(valid_rows.cumsum().max()) if valid_rows.any() else 0
+    w1 = int(valid_cols.cumsum().max()) if valid_cols.any() else 0
+    down = down[:h1, :w1]
+    nodata = first["nodata"]
+    pixels = np.where(np.isnan(down),
+                      np.nan if pd.isna(nodata) else float(nodata),
+                      down)
+    return pd.DataFrame([{
+        "dataset": first["dataset"],
+        "subdataset": first["subdataset"],
+        "band": int(first["band"]),
+        "level": int(first["level"]) + 1,
+        "block_x": x1,
+        "block_y": y1,
+        "width": int(down.shape[1]),
+        "height": int(down.shape[0]),
+        "pixels": pixels.ravel().tolist(),
+        "nodata": nodata,
+        "srid": int(first["srid"]),
+    }])
+
+
+def downsample_level(blocks: DataFrame) -> DataFrame:
+    """One overview round: groupBy (band, x//2, y//2) + numpy resample."""
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(blocks.sparkSession)
+    with_key = blocks.withColumn(
+        "__x1", F.expr("block_x div 2")).withColumn(
+        "__y1", F.expr("block_y div 2"))
+    return with_key.groupBy(
+        "dataset", "subdataset", "band", "level", "__x1", "__y1"
+    ).applyInPandas(_downsample_group, BLOCK_SCHEMA)
+
+
+def overview_cascade(blocks: DataFrame, levels: int) -> DataFrame:
+    """Full pyramid: level 0 plus ``levels`` downsample rounds,
+    unioned with a ``level`` column (the materialized-rollup layout
+    of SURVEY §1.1 'tile pyramid')."""
+    if "level" not in blocks.columns:
+        blocks = blocks.withColumn("level", F.lit(0))
+    out = blocks
+    cur = blocks
+    for _ in range(levels):
+        cur = downsample_level(cur)
+        out = out.unionByName(cur)
+    return out
+
+
+def block_audit(blocks: DataFrame) -> DataFrame:
+    """Golden check: per (band, level) block counts + grid extents
+    (FIXTURES §B: level k+1 counts = ceil(level k / 2) per axis)."""
+    return (
+        blocks.groupBy("dataset", "subdataset", "band", "level")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            (F.max("block_x") + 1).alias("grid_w"),
+            (F.max("block_y") + 1).alias("grid_h"),
+            F.sum(F.col("width").cast("long") * F.col("height"))
+            .alias("n_pixels"),
+        )
+        .orderBy("dataset", "subdataset", "band", "level")
+    )
+
+
+def assemble_cog(blocks: DataFrame, dst_dir: str) -> None:
+    """COG assembly sink: streams each (dataset, band) partition into a
+    Cloud-Optimized GeoTIFF via rasterio.
+
+    rasterio/GDAL are not available in this environment — the
+    partition-iterator plumbing is the real contract; the byte writer
+    is the stub.
+    """
+    raise NotImplementedError(
+        "COG byte assembly requires rasterio/GDAL (not installed). "
+        "Planned: blocks.repartition('dataset','band')"
+        ".sortWithinPartitions('level','block_y','block_x')"
+        ".foreachPartition(write_cog) with a rasterio windowed writer; "
+        "layout matches ref ingest/config.py:92-103 (ZSTD, 256x256, "
+        "BIGTIFF, EPSG:3857 WebMercatorQuad)."
+    )

@@ -17,8 +17,51 @@ Scale notes (targets a 1000-executor cluster; tested on local[32]):
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+_PKG_ZIP: str | None = None
+
+
+def _package_zip() -> str:
+    """Zip this package once per process (for addPyFile shipping)."""
+    global _PKG_ZIP
+    if _PKG_ZIP is None:
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        fd, path = tempfile.mkstemp(prefix="geohub_data_pipeline_spark-",
+                                    suffix=".zip")
+        os.close(fd)
+        with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for name in files:
+                    if not name.endswith(".py"):
+                        continue
+                    full = os.path.join(root, name)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+        _PKG_ZIP = path
+    return _PKG_ZIP
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make the engine importable on every executor's Python worker.
+
+    Pandas-UDF kernels (geometry/raster/multimodal) are module-level
+    functions pickled *by reference* — workers must import this
+    package.  ``addPyFile`` ships a zip to every executor, which is
+    also exactly what a 1000-executor cluster deployment needs (no
+    shared filesystem assumption).
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_geohub_pkg_shipped", False):
+        return
+    try:
+        sc.addPyFile(_package_zip())
+    except Exception:
+        pass  # e.g. identical file re-added after session reuse
+    sc._geohub_pkg_shipped = True
 
 # Confs that are runtime-settable and semantically load-bearing.
 RUNTIME_CONFS: dict[str, str] = {
@@ -56,6 +99,7 @@ def configure(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass
+    ship_package(spark)
     return spark
 
 

@@ -1,0 +1,107 @@
+"""Vector geometry kernel tests (T7 analog; FIXTURES.md §B
+vector_features golden checks)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from geohub_data_pipeline_spark.operators import geometry as G
+
+
+def _features(spark):
+    """FIXTURES §B vector_features: mixed types, Multi*, one invalid
+    bowtie, one NULL geometry, srid mix incl. NULL-srid layer."""
+    sq = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]
+    bow = [(0.0, 0.0), (1.0, 1.0), (1.0, 0.0), (0.0, 1.0), (0.0, 0.0)]
+    merc_x, merc_y = G.lonlat_to_mercator(10.0, 45.0)
+    rows = [
+        ("d1", "roads", 1, G.wkb_point(12.5, 41.9), 4326),
+        ("d1", "roads", 2, G.wkb_linestring([(0.0, 0.0), (2.0, 2.0)]), 4326),
+        ("d1", "zones", 3, G.wkb_polygon([sq]), 4326),
+        ("d1", "zones", 4, G.wkb_polygon([bow]), 4326),      # invalid bowtie
+        ("d1", "zones", 5, None, 4326),                       # -skipfailures
+        ("d1", "zones", 6, b"\x01\xff\xff", 4326),            # unparseable
+        ("d2", "merc", 7, G.wkb_point(merc_x, merc_y), 3857), # reproject
+        ("d2", "noskip", 8, G.wkb_point(1.0, 1.0), None),     # NULL-srid layer
+        ("d2", "utm", 9, G.wkb_point(500000.0, 0.0), 32633),  # unsupported CRS
+    ]
+    return spark.createDataFrame(
+        rows, "dataset string, layer string, fid long, geometry binary, "
+              "srid int")
+
+
+def test_wkb_roundtrip_and_promote():
+    p = G.wkb_point(3.5, -7.25)
+    parsed = G.parse_wkb(p)
+    assert parsed["type"] == G.POINT and parsed["coords"] == [3.5, -7.25]
+    mp = G.promote_to_multi(p)
+    pm = G.parse_wkb(mp)
+    assert pm["type"] == G.MULTIPOINT and pm["coords"] == [3.5, -7.25]
+    # promoting a Multi* is a no-op
+    assert G.promote_to_multi(mp) == mp
+
+
+def test_mercator_roundtrip():
+    for lon, lat in [(0.0, 0.0), (10.0, 45.0), (-120.0, -33.0)]:
+        x, y = G.lonlat_to_mercator(lon, lat)
+        lon2, lat2 = G.mercator_to_lonlat(x, y)
+        assert math.isclose(lon, lon2, abs_tol=1e-9)
+        assert math.isclose(lat, lat2, abs_tol=1e-9)
+
+
+def test_normalize_features(spark):
+    out = G.normalize_features(_features(spark)).collect()
+    by_fid = {r.fid: r for r in out}
+
+    # -skipfailures: NULL, unparseable, NULL-srid layer, unsupported CRS
+    assert set(by_fid) == {1, 2, 3, 4, 7}
+
+    # everything promoted to Multi*
+    assert {r.geom_type for r in out} <= {G.MULTIPOINT, G.MULTILINESTRING,
+                                          G.MULTIPOLYGON}
+    # every output is 4326
+    assert {r.srid for r in out} == {4326}
+
+    # 3857 point reprojected back to its lon/lat
+    r7 = by_fid[7]
+    assert math.isclose(r7.bbox_minx, 10.0, abs_tol=1e-9)
+    assert math.isclose(r7.bbox_miny, 45.0, abs_tol=1e-9)
+
+    # bowtie flagged for makevalid, square not
+    assert by_fid[4].needs_makevalid is True
+    assert by_fid[3].needs_makevalid is False
+
+    # bbox of the square polygon
+    r3 = by_fid[3]
+    assert (r3.bbox_minx, r3.bbox_miny, r3.bbox_maxx, r3.bbox_maxy) == \
+        (0.0, 0.0, 1.0, 1.0)
+
+
+def test_feature_count_audit(spark):
+    feats = _features(spark)
+    norm = G.normalize_features(feats)
+    audit = {
+        (r.dataset, r.layer): r
+        for r in G.feature_count_audit(
+            feats, norm, ["dataset", "layer"]).collect()
+    }
+    # zones lost 2 of 4 -> warning; roads complete -> ok;
+    # noskip/utm lost everything -> error (ref processing.py:160-181)
+    assert audit[("d1", "roads")].audit_status == "ok"
+    assert audit[("d1", "zones")].audit_status == "warning"
+    assert audit[("d2", "noskip")].audit_status == "error"
+    assert audit[("d2", "utm")].audit_status == "error"
+
+
+def test_unsupported_crs_raises_without_pyproj():
+    pytest.importorskip
+    try:
+        import pyproj  # noqa: F401
+        pytest.skip("pyproj installed; stub path not reachable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        G._reproject_coords([1.0, 2.0], 32633)

@@ -1,0 +1,89 @@
+"""Raster block pipeline tests (T11/T12 analog; FIXTURES.md §B
+raster_blocks golden checks)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from geohub_data_pipeline_spark.operators import raster as R
+
+
+def _blocks(spark, grid_w=3, grid_h=2, band=1, dataset="r1"):
+    """Raster of grid_w x grid_h blocks; ragged right/bottom edges.
+
+    Pixel value encodes its global position: v = gy * 10000 + gx —
+    makes nearest-resampling exactly checkable.
+    """
+    full_w = grid_w * R.BLOCK - 56     # ragged right edge
+    full_h = grid_h * R.BLOCK - 120    # ragged bottom edge
+    rows = []
+    for by in range(grid_h):
+        for bx in range(grid_w):
+            w = min(R.BLOCK, full_w - bx * R.BLOCK)
+            h = min(R.BLOCK, full_h - by * R.BLOCK)
+            pixels = [
+                float((by * R.BLOCK + yy) * 10000 + (bx * R.BLOCK + xx))
+                for yy in range(h) for xx in range(w)
+            ]
+            rows.append((dataset, None, band, 0, bx, by, w, h, pixels,
+                         None, 3857))
+    return spark.createDataFrame(rows, R.BLOCK_SCHEMA), full_w, full_h
+
+
+def test_downsample_level_nearest(spark):
+    blocks, full_w, full_h = _blocks(spark)
+    lvl1 = R.downsample_level(blocks).collect()
+    # 3x2 grid -> 2x1 level-1 grid
+    assert sorted((b.block_x, b.block_y) for b in lvl1) == [(0, 0), (1, 0)]
+    b00 = next(b for b in lvl1 if (b.block_x, b.block_y) == (0, 0))
+    # the 2x2 mosaic spans the full raster height (392 px) -> 196 rows
+    assert (b00.width, b00.height) == (R.BLOCK, math.ceil(full_h / 2))
+    # nearest resampling: pixel (yy,xx) at level1 = source (2yy, 2xx)
+    px = b00.pixels
+    for yy, xx in [(0, 0), (0, 5), (17, 3), (195, 255)]:
+        assert px[yy * b00.width + xx] == float(2 * yy * 10000 + 2 * xx)
+    # ragged edge block shrinks by half, rounded up
+    b10 = next(b for b in lvl1 if (b.block_x, b.block_y) == (1, 0))
+    assert b10.width == math.ceil((full_w - 2 * R.BLOCK) / 2)
+    assert b10.height == math.ceil(full_h / 2)
+
+
+def test_overview_cascade_counts(spark):
+    blocks, full_w, full_h = _blocks(spark, grid_w=4, grid_h=4)
+    pyramid = R.overview_cascade(blocks, levels=2)
+    audit = {r.level: r for r in R.block_audit(pyramid).collect()}
+    # FIXTURES golden: level k+1 grid = ceil(level k / 2) per axis
+    assert audit[0].n_blocks == 16 and (audit[0].grid_w, audit[0].grid_h) == (4, 4)
+    assert audit[1].n_blocks == 4 and (audit[1].grid_w, audit[1].grid_h) == (2, 2)
+    assert audit[2].n_blocks == 1 and (audit[2].grid_w, audit[2].grid_h) == (1, 1)
+    # each level has ~1/4 the pixels (ragged edges round up)
+    assert audit[1].n_pixels == pytest.approx(audit[0].n_pixels / 4, rel=0.02)
+
+
+def test_rgb_dispatch(spark):
+    rows = [
+        # rgb dataset: 3 color-interpreted bands (colorinterp>=3)
+        ("rgb", None, 1, 3, None), ("rgb", None, 2, 4, None),
+        ("rgb", None, 3, 5, None),
+        # greyscale: one band, no color interp
+        ("grey", None, 1, 1, None),
+        # photometric-tagged dataset
+        ("photo", None, 1, 1, "RGB"), ("photo", None, 2, 1, "RGB"),
+    ]
+    bands = spark.createDataFrame(
+        rows, "dataset string, subdataset string, band int, "
+              "colorinterp int, photometric string")
+    modes = {(r.dataset, r.band): r.cog_mode
+             for r in R.rgb_dispatch(bands).collect()}
+    assert modes[("rgb", 1)] == "rgb_composite"
+    assert modes[("grey", 1)] == "per_band"
+    assert modes[("photo", 1)] == "rgb_composite"
+
+
+def test_assemble_cog_is_stubbed(spark):
+    blocks, *_ = _blocks(spark)
+    with pytest.raises(NotImplementedError):
+        R.assemble_cog(blocks, "/tmp/out")

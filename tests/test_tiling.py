@@ -1,0 +1,102 @@
+"""Tile pyramid tests (T8/T9 analog) incl. the FIXTURES.md property:
+every feature's bbox intersects its assigned tile's bbox at every
+zoom."""
+
+from __future__ import annotations
+
+import json
+import math
+
+from pyspark.sql import functions as F
+
+from geohub_data_pipeline_spark.operators import geometry as G
+from geohub_data_pipeline_spark.operators import tiling as TLG
+
+
+def _normalized(spark, n=40, layer="l1", dataset="d1"):
+    rows = []
+    for i in range(n):
+        lon = -170.0 + (i * 8.7) % 340.0
+        lat = -80.0 + (i * 5.3) % 160.0
+        rows.append((dataset, layer, i, G.wkb_point(lon, lat), 4326))
+    df = spark.createDataFrame(
+        rows, "dataset string, layer string, fid long, geometry binary, "
+              "srid int")
+    return G.normalize_features(df)
+
+
+def _tile_bounds(z, x, y):
+    n = 2 ** z
+    lon0 = x / n * 360.0 - 180.0
+    lon1 = (x + 1) / n * 360.0 - 180.0
+
+    def lat_of(yy):
+        t = math.pi * (1 - 2 * yy / n)
+        return math.degrees(math.atan(math.sinh(t)))
+
+    return lon0, lat_of(y + 1), lon1, lat_of(y)
+
+
+def test_every_feature_lands_in_intersecting_tile(spark):
+    norm = _normalized(spark)
+    keyed = TLG.tile_keys(norm.withColumn("maxzoom", F.lit(5)))
+    rows = keyed.select("fid", "z", "x", "y",
+                        "bbox_minx", "bbox_miny").collect()
+    assert len(rows) > 0
+    eps = 1e-9
+    for r in rows:
+        lon0, lat0, lon1, lat1 = _tile_bounds(r.z, r.x, r.y)
+        assert lon0 - eps <= r.bbox_minx <= lon1 + eps, r
+        assert lat0 - eps <= r.bbox_miny <= lat1 + eps, r
+
+
+def test_point_hits_exactly_one_tile_per_zoom(spark):
+    norm = _normalized(spark, n=25)
+    keyed = TLG.tile_keys(norm.withColumn("maxzoom", F.lit(4)))
+    per = (keyed.groupBy("fid", "z").count().collect())
+    assert all(r["count"] == 1 for r in per)
+    zs = {r.z for r in per}
+    assert zs == {0, 1, 2, 3, 4}
+
+
+def test_build_tiles_payload_and_audit(spark):
+    norm = _normalized(spark, n=30)
+    tiles = TLG.build_tiles(norm, maxzoom=3)
+    collected = tiles.collect()
+    # z0 holds every feature in one tile
+    z0 = [t for t in collected if t.z == 0]
+    assert len(z0) == 1 and z0[0].n_features == 30
+    # payloads are deterministic json with sorted fids
+    body = json.loads(bytes(z0[0].payload))
+    fids = [f["fid"] for f in body["features"]]
+    assert fids == sorted(fids) and len(fids) == 30
+
+    audit = {(r.layer, r.z): r for r in TLG.tile_audit(tiles).collect()}
+    # tilestats invariant: every zoom has tiles, every tile nonempty
+    for z in range(4):
+        a = audit[("l1", z)]
+        assert a.n_tiles >= 1 and a.min_features_per_tile >= 1
+        assert a.n_features == 30   # points: each feature in exactly 1 tile
+
+
+def test_zoom_heuristic_monotone():
+    assert TLG.zoom_for_feature_count(1) == 0
+    assert TLG.zoom_for_feature_count(5) == 2
+    zs = [TLG.zoom_for_feature_count(n) for n in (1, 10, 100, 10_000)]
+    assert zs == sorted(zs)
+
+
+def test_joined_mode_single_pyramid(spark):
+    l1 = _normalized(spark, n=10, layer="a")
+    l2 = _normalized(spark, n=10, layer="b")
+    tiles = TLG.build_tiles_joined([l1, l2], maxzoom=2)
+    z0 = tiles.filter("z = 0").collect()
+    # one tile per layer at z0, same archive (T9 --named-layer analog)
+    assert sorted(t.layer for t in z0) == ["a", "b"]
+    assert all(t.n_features == 10 for t in z0)
+
+
+def test_feature_drop_cap(spark):
+    norm = _normalized(spark, n=30)
+    tiles = TLG.build_tiles(norm, maxzoom=1, max_features_per_tile=7)
+    assert tiles.agg(F.max("n_features")).first()[0] <= 7
