@@ -120,7 +120,6 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     return (
         D.exact_dedup(_corpus(spark, sf_dir), "text", "doc_id")
-        .orderBy("keep_id")
     )
 
 
@@ -145,7 +144,6 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     return (
         D.minhash_signatures(_corpus(spark, sf_dir), "text", "doc_id")
-        .orderBy("doc_id")
     )
 
 
@@ -179,7 +177,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = D.minhash_signatures(_corpus(spark, sf_dir), "text", "doc_id")
     return (
         D.lsh_candidate_pairs(sigs, "doc_id")
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -222,7 +219,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("simhash").cast("bigint").alias("simhash"),
         F.col("band_hi").cast("bigint").alias("band_hi"),
         F.col("band_lo").cast("bigint").alias("band_lo"),
-    ).orderBy("doc_id")
+    )
 
 
 _JACCARD_SQL = """
@@ -258,7 +255,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return (
         D.jaccard_consecutive(t.documents, "text", "doc_id")
-        .orderBy("id_a")
     )
 
 
@@ -305,7 +301,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                              F.col("na"), F.col("nb")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.1)
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -344,7 +339,6 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = vecs.filter(F.col("vec_id") % 50 == 0)
     return (
         S.brute_force_topk(vecs, queries, k=5)
-        .orderBy("query_id", "rank")
     )
 
 
@@ -395,7 +389,6 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.lsh_bucketed_topk(vecs, planes, k=3,
                             query_filter=F.col("vec_id") % 50 == 0)
         .select("query_id", "neighbor_id", "bucket", "cos_sim", "rank")
-        .orderBy("query_id", "rank")
     )
 
 
@@ -470,7 +463,7 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scores.select(
         "*", pred.alias("predicted_lang"),
         (pred == F.col("lang")).alias("is_correct"),
-    ).orderBy("doc_id")
+    )
 
 
 _STOPWORDS = ("the", "a", "data", "row", "key", "value")
@@ -519,7 +512,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.least(nw / 100, F.lit(1.0)) * 0.6
                 + (F.col("n_stop").cast("double") / F.col("n_words")) * 0.4, 6)
         .alias("quality"),
-    ).orderBy("doc_id")
+    )
 
 
 _TOKENS_SQL = """
@@ -545,7 +538,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_re.cast("int").alias("n_re_tokens"),
         F.round(F.col("n_chars").cast("double") / n_re, 6)
         .alias("chars_per_token"),
-    ).orderBy("doc_id")
+    )
 
 
 _FINGERPRINT_SQL = """
@@ -576,5 +569,4 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("keep_id"),
              F.count(F.lit(1)).alias("n_docs"))
-        .orderBy("keep_id")
     )

@@ -120,7 +120,7 @@ def msg_parse_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts.getItem(1).alias("token"),
         (parts.getItem(2) == "join_vector_tiles=true")
         .alias("join_vector_tiles"),
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -162,7 +162,7 @@ def path_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         P.vsi_path(blob_path).alias("vsi_path"),
         P.local_cog_path(blob_path, "out/cog",
                          (F.col("doc_id") % 3 + 1)).alias("cog_path"),
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -190,7 +190,6 @@ def raw_folder_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         up.filter(P.is_raw(F.col("blob_url")))
         .groupBy(F.col("u").alias("user"))
         .agg(F.count(F.lit(1)).alias("n_raw_uploads"))
-        .orderBy("user")
     )
 
 
@@ -233,7 +232,6 @@ def dispatch_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         up.groupBy(route.alias("route"))
         .agg(F.count(F.lit(1)).alias("n_files"),
              F.countDistinct("u").alias("n_users"))
-        .orderBy("route")
     )
 
 
@@ -261,7 +259,6 @@ def user_hash_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("u").alias("user"),
                 P.user_id_hash(F.col("u")).alias("user_hash"))
         .distinct()
-        .orderBy("user")
     )
 
 
@@ -309,7 +306,6 @@ def backfill_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         raw_uploads.join(existing, "dst", "left_anti")
         .select("doc_id", "dst")
-        .orderBy("doc_id")
     )
 
 
@@ -353,7 +349,6 @@ def progress_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(30) + F.expr("(70 * chunk_index) div nchunks"))
             .cast("int").alias("progress"),
         )
-        .orderBy("dataset", "chunk_index")
     )
 
 
@@ -393,7 +388,6 @@ def feature_count_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(converted < original, "warning")
             .otherwise("ok").alias("audit_status"),
         )
-        .orderBy("dataset")
     )
 
 
@@ -444,7 +438,7 @@ def tile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.select(
         "event_id",
         *TL.tile_cols(F.col("lon"), F.col("lat"), F.col("z")),
-    ).orderBy("event_id")
+    )
 
 
 _TILE_AGG_SQL = f"""
@@ -482,7 +476,6 @@ def tile_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.groupBy("z", "x", "y")
         .agg(F.count(F.lit(1)).alias("n_features"),
              dsum(F.col("value")).alias("total_value"))
-        .orderBy("z", "x", "y")
     )
 
 
@@ -521,7 +514,6 @@ def zoom_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.documents.groupBy(F.col("source").alias("dataset"))
         .agg(F.count(F.lit(1)).alias("n_features"))
         .select("dataset", "n_features", zoom.cast("int").alias("maxzoom"))
-        .orderBy("dataset")
     )
 
 
@@ -568,7 +560,6 @@ def overview_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_cells"),
              davg(F.col("val")).alias("mean_val"),
              F.max("val").cast("double").alias("max_val"))
-        .orderBy("x1", "y1")
     )
 
 
@@ -618,4 +609,4 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(d % 3 == 0, (256 + (d % 4) * 128).cast("int")).alias("height"),
         F.when(d % 3 != 0, F.expr("n_chars div 10").cast("bigint"))
         .alias("duration_s"),
-    ).orderBy("doc_id")
+    )

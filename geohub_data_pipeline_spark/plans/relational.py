@@ -80,7 +80,6 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg(F.col("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -109,7 +108,6 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_orders"),
              dsum(F.col("o_totalprice")).alias("total_price"))
-        .orderBy("c_mktsegment")
     )
 
 
@@ -131,7 +129,6 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "left")
         .groupBy("c_custkey", "c_name")
         .agg(F.count(F.col("o_orderkey")).alias("n_orders"))
-        .orderBy("c_custkey")
     )
 
 
@@ -162,7 +159,6 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
             F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
         )
-        .orderBy("nationkey")
     )
 
 
@@ -184,7 +180,6 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
                         t.customer.c_custkey == open_orders.o_custkey,
                         "left_semi")
         .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
     )
 
 
@@ -208,7 +203,6 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.customer.join(pending, t.customer.c_custkey == pending.o_custkey,
                         "left_anti")
         .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
     )
 
 
@@ -253,7 +247,6 @@ def join_multiway_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(dsum(revenue, 6).alias("revenue"),
              F.count(F.lit(1)).alias("n_items"))
-        .orderBy(F.col("revenue").desc(), "n_name")
     )
 
 
@@ -293,7 +286,6 @@ def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket_id", "lo", "hi")
         .agg(F.count(F.lit(1)).alias("n_items"),
              dsum(F.col("l_extendedprice")).alias("bucket_price"))
-        .orderBy("bucket_id")
     )
 
 
@@ -329,7 +321,6 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg(F.col("l_quantity")).alias("avg_qty"),
             F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
         )
-        .orderBy("l_returnflag")
     )
 
 
@@ -356,7 +347,6 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_custkey").alias("n_customers"),
             F.countDistinct("o_orderpriority").alias("n_priorities"),
         )
-        .orderBy("o_orderstatus")
     )
 
 
@@ -377,8 +367,6 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.lineitem.cube("l_returnflag", "l_linestatus")
         .agg(F.count(F.lit(1)).alias("n_rows"),
              dsum(F.col("l_quantity")).alias("sum_qty"))
-        .orderBy(F.col("l_returnflag").asc_nulls_first(),
-                 F.col("l_linestatus").asc_nulls_first())
     )
 
 
@@ -399,8 +387,6 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.orders.rollup("o_orderstatus", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"),
              dsum(F.col("o_totalprice")).alias("total_price"))
-        .orderBy(F.col("o_orderstatus").asc_nulls_first(),
-                 F.col("o_orderpriority").asc_nulls_first())
     )
 
 
@@ -418,7 +404,8 @@ ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS via the SQL front (spark.sql)."""
     load_tables(spark, sf_dir).lineitem.createOrReplaceTempView("lineitem")
-    return spark.sql(_AGG_GSETS_SQL)
+    # same text as the oracle minus the (decorative) global sort
+    return spark.sql(_AGG_GSETS_SQL.rsplit("ORDER BY", 1)[0])
 
 
 # ---------------------------------------------------------------------------
@@ -456,7 +443,6 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         )
         .filter(F.col("rn") <= 5)
-        .orderBy("c_nationkey", "rn")
     )
 
 
@@ -489,7 +475,6 @@ def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("o_totalprice").over(wf).alias("first_price"),
             F.last("o_totalprice").over(wf).alias("last_price"),
         )
-        .orderBy("o_custkey", "o_orderkey")
     )
 
 
@@ -523,7 +508,6 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).over(w.rowsBetween(-2, Window.currentRow))
             .cast("bigint").alias("orders_in_3"),
         )
-        .orderBy("o_custkey", "o_orderkey")
     )
 
 
@@ -550,7 +534,6 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.part.select("p_brand", "p_partkey", "p_retailprice",
                       F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 3)
-        .orderBy("p_brand", "rn")
     )
 
 
@@ -595,7 +578,7 @@ def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("k"))
     b = t.customer.filter(F.col("c_acctbal") < 0).select(
         F.col("c_custkey").alias("k"))
-    return a.union(b).distinct().orderBy("k")
+    return a.union(b).distinct()
 
 
 _SET_INTERSECT_SQL = """
@@ -616,7 +599,7 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("k"))
     b = t.orders.filter(F.col("o_orderstatus") == "O").select(
         F.col("o_custkey").alias("k"))
-    return a.intersect(b).orderBy("k")
+    return a.intersect(b)
 
 
 _SET_EXCEPT_SQL = """
@@ -637,7 +620,7 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = t.lineitem.filter(
         (F.col("l_returnflag") == "R") & (F.col("l_quantity") > 40)
     ).select(F.col("l_partkey").alias("k"))
-    return a.subtract(b).orderBy("k")
+    return a.subtract(b)
 
 
 # ---------------------------------------------------------------------------
@@ -672,7 +655,6 @@ def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
             F.md5("p_name").alias("name_md5"),
         )
-        .orderBy("p_partkey")
     )
 
 
@@ -707,7 +689,6 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow("l_tax", F.lit(2)).alias("tax_sq"),
             (F.col("l_partkey") % 7).cast("bigint").alias("pk_mod7"),
         )
-        .orderBy("l_orderkey")
     )
 
 
@@ -740,7 +721,6 @@ def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"))
             .cast("timestamp_ntz").alias("due_date"),
         )
-        .orderBy("o_orderkey")
     )
 
 
@@ -772,7 +752,6 @@ def conditional_case(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.orders.groupBy(size_class.alias("size_class"))
         .agg(F.count(F.lit(1)).alias("n_orders"),
              dsum(F.col("o_totalprice")).alias("total_price"))
-        .orderBy("size_class")
     )
 
 
@@ -790,5 +769,4 @@ def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return (
         t.lineitem.select("l_returnflag", "l_linestatus").distinct()
-        .orderBy("l_returnflag", "l_linestatus")
     )

@@ -57,7 +57,6 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_events"),
              dsum(F.col("value")).alias("total_value"))
-        .orderBy("window_start", "event_type")
     )
 
 
@@ -104,7 +103,6 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.end").cast("timestamp_ntz").alias("window_end"),
             "n_events", "total_value",
         )
-        .orderBy("window_start")
     )
 
 
@@ -162,7 +160,6 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sw.end").cast("timestamp_ntz").alias("session_end"),
             "n_events", "total_value",
         )
-        .orderBy("user_id", "session_start")
     )
 
 
@@ -210,7 +207,7 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("timestamp_ntz").alias("click_ts"),
         F.col("matched_ts"),
         F.col("matched_value"),
-    ).orderBy("event_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -243,7 +240,6 @@ def events_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") == 1)
         .drop("rn")
-        .orderBy("user_id")
     )
 
 
@@ -273,5 +269,4 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint").alias("sum_k"),
             F.countDistinct("user_id").alias("n_users"),
         )
-        .orderBy("event_type")
     )

@@ -13,8 +13,6 @@ changes.
 
 from __future__ import annotations
 
-from types import SimpleNamespace
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -51,11 +49,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def load_tables(spark: SparkSession, sf_dir: str) -> SimpleNamespace:
-    """Load every harness table: ``t = load_tables(...); t.lineitem``."""
-    return SimpleNamespace(
-        **{name: load_table(spark, sf_dir, name) for name in TABLES}
-    )
+class Tables:
+    """Lazy table namespace: ``t = load_tables(...); t.lineitem``.
+
+    Tables are opened on first attribute access — a query touching two
+    tables pays two parquet-footer reads, not ten.
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self._spark = spark
+        self._sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name not in TABLES:
+            raise AttributeError(name)
+        if name not in self._cache:
+            self._cache[name] = load_table(self._spark, self._sf_dir, name)
+        return self._cache[name]
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> Tables:
+    return Tables(spark, sf_dir)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
