@@ -85,6 +85,10 @@ STATIC_CONFS: dict[str, str] = {
     "spark.ui.enabled": "false",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.mergeSchema": "false",
+    # bucketed tables (co-located joins) land here, not in the repo cwd
+    "spark.sql.warehouse.dir": os.environ.get(
+        "SPARK_GRAFT_WAREHOUSE",
+        os.path.join(tempfile.gettempdir(), "spark-warehouse")),
 }
 
 

@@ -1,0 +1,107 @@
+"""Physical-plan assertions — the 100 TB posture, checked in CI.
+
+These tests pin the *plan shapes* that matter at scale: filters and
+projections reaching the parquet scan, dimension joins broadcasting,
+bucketed joins eliminating their shuffle, salted joins staying
+correct, and AQE being active.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from geohub_data_pipeline_spark.plans import all_queries
+from geohub_data_pipeline_spark.sources.bucketed import write_bucketed
+from geohub_data_pipeline_spark.sources.tables import load_table
+from geohub_data_pipeline_spark.operators.skew import salted_join
+
+SPECS = all_queries()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution
+        .ExplainMode.fromString("formatted"))
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of(SPECS["q1_pricing_summary"].fn(spark, sf_dir))
+    assert "LessThanOrEqual(l_shipdate" in plan      # filter pushed to scan
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    read_cols = {c.split(":")[0] for c in schema.split(",") if ":" in c}
+    # only the needed 7 columns are read (pruning)
+    assert "l_orderkey" not in read_cols and "l_partkey" not in read_cols
+    assert {"l_quantity", "l_returnflag", "l_shipdate"} <= read_cols
+
+
+def test_multiway_join_is_fully_broadcast(spark, sf_dir):
+    plan = plan_of(SPECS["join_multiway_broadcast"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_range_join_is_broadcast_not_cartesian(spark, sf_dir):
+    plan = plan_of(SPECS["join_range_theta"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_corpus_not_shuffled(spark, sf_dir):
+    """Brute-force ANN must broadcast queries; the corpus side only
+    shuffles for the final per-query ranking window."""
+    plan = plan_of(SPECS["ann_cosine_topk"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_aqe_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Co-located fact⋈fact: bucketing both sides on the join key at
+    write time eliminates the join shuffle entirely."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity")
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    write_bucketed(li, "li_b", "l_orderkey", 8)
+    write_bucketed(od, "od_b", "o_orderkey", 8)
+    # at real scale both sides exceed the broadcast threshold; simulate
+    # that so the planner reaches for the shuffle it can now skip
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (
+            spark.table("li_b").join(
+                spark.table("od_b"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        )
+        plan = plan_of(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+    assert "Bucketed: true" in plan
+    # and it still computes the right thing
+    plain = li.join(od, li.l_orderkey == od.o_orderkey).count()
+    assert j.count() == plain
+
+
+def test_salted_join_correctness_and_spread(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    # simulate a pathological key: everything joins to one nation row
+    big = li.withColumn("hot_key", F.lit(1))
+    small = spark.createDataFrame([(1, "hot")], "hot_key int, tag string")
+    salted = salted_join(big, small, "hot_key", n_salts=8)
+    plain = big.join(small, "hot_key")
+    assert salted.count() == plain.count()
+    assert salted.agg(F.sum("l_quantity")).first()[0] == \
+        plain.agg(F.sum("l_quantity")).first()[0]
+    # the salt actually spreads the hot key over n partitions
+    b = big.withColumn(
+        "__salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(8)))
+    assert b.select("__salt").distinct().count() == 8
