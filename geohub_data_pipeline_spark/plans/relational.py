@@ -770,3 +770,177 @@ def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.lineitem.select("l_returnflag", "l_linestatus").distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot, subqueries, percentiles, sketches, array aggregation
+# ---------------------------------------------------------------------------
+
+_PIVOT_SQL = """
+SELECT c.c_mktsegment,
+       count(CASE WHEN o.o_orderstatus = 'F' THEN 1 END) AS n_fulfilled,
+       count(CASE WHEN o.o_orderstatus = 'O' THEN 1 END) AS n_open,
+       count(CASE WHEN o.o_orderstatus = 'P' THEN 1 END) AS n_pending
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@query("pivot_status_by_segment", "relational", "§2.5 aggregation (pivot)",
+       _PIVOT_SQL)
+def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order status across market segments (explicit value list —
+    at scale never let pivot infer values with an extra pass)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.join(F.broadcast(t.customer),
+                      t.orders.o_custkey == t.customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+        .select(
+            "c_mktsegment",
+            F.col("F").alias("n_fulfilled"),
+            F.col("O").alias("n_open"),
+            F.col("P").alias("n_pending"),
+        )
+    )
+
+
+_ABOVE_AVG_SQL = """
+WITH w AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(30,6)))
+              OVER (PARTITION BY o_custkey) AS DOUBLE)
+           / count(*) OVER (PARTITION BY o_custkey) AS cust_avg
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, o_totalprice, round(cust_avg, 4) AS cust_avg
+FROM w
+WHERE o_totalprice > 1.5 * cust_avg
+"""
+
+
+@query("subquery_above_avg", "relational",
+       "§2.5 correlated-aggregate predicate", _ABOVE_AVG_SQL)
+def subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders 50% above their customer's average — the correlated
+    scalar-subquery pattern, planned as a single window pass (no
+    self-join, no per-row subquery execution)."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey")
+    cust_avg = (
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)")).over(w)
+        .cast("double") / F.count(F.lit(1)).over(w)
+    )
+    return (
+        t.orders.select("o_orderkey", "o_custkey", "o_totalprice",
+                        cust_avg.alias("cust_avg"))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
+        .withColumn("cust_avg", F.round("cust_avg", 4))
+    )
+
+
+_IN_SUBQ_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderstatus = 'O'
+  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+"""
+
+
+@query("subquery_in", "relational", "§2.5 IN-subquery (semi-join plan)",
+       _IN_SUBQ_SQL)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery == left-semi join against the filtered dim."""
+    t = load_tables(spark, sf_dir)
+    debtors = t.customer.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    return (
+        t.orders.filter(F.col("o_orderstatus") == "O")
+        .join(F.broadcast(debtors),
+              F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+_PERCENTILE_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+       round(quantile_cont(l_quantity, 0.50), 6) AS q50,
+       round(quantile_cont(l_quantity, 0.75), 6) AS q75,
+       round(quantile_cont(l_extendedprice, 0.90), 6) AS price_p90
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("agg_percentile", "relational", "§2.5 aggregation (percentiles)",
+       _PERCENTILE_SQL)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles (matches quantile_cont).
+
+    Scale note: exact percentile needs a per-group sort; for 100 TB
+    interactive use, swap to approx_percentile (t-digest sketch,
+    one pass, mergeable) — see agg_approx_distinct for the
+    sketch-family pattern.
+    """
+    t = load_tables(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("q25"),
+            F.round(F.expr("percentile(l_quantity, 0.50)"), 6).alias("q50"),
+            F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("q75"),
+            F.round(F.expr("percentile(l_extendedprice, 0.90)"), 6)
+            .alias("price_p90"),
+        )
+    )
+
+
+@query("agg_approx_distinct", "relational",
+       "§2.5 aggregation (HLL sketch; approximate => rows-only check)",
+       None)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) next to the exact count.
+
+    Sketches are THE 100 TB answer for distinct-counting (mergeable,
+    one pass, bounded memory); estimates are engine-specific so the
+    harness records a rows-only check; the test asserts relative
+    error instead.
+    """
+    t = load_tables(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02)
+            .alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+    )
+
+
+_COLLECT_SQL = """
+SELECT o_orderpriority,
+       list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+       CAST(len(list_distinct(list(o_orderstatus))) AS INTEGER) AS n_statuses
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("agg_collect_array", "relational",
+       "§2.5 scalar fns (array agg: collect_set + array_sort)",
+       _COLLECT_SQL)
+def agg_collect_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation with deterministic ordering (collect_set is
+    unordered on both engines — always sort before comparing/storing)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.groupBy("o_orderpriority")
+        .agg(
+            F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+            F.size(F.collect_set("o_orderstatus")).cast("int")
+            .alias("n_statuses"),
+        )
+    )

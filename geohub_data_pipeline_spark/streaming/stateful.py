@@ -1,0 +1,82 @@
+"""Custom stateful streaming operator: per-dataset ingest watchdog.
+
+The reference enforces a hard per-message timeout and emits ``.timeout``
+/ ``Cancelled`` markers (X4, ref /root/reference/ingest/ingest.py:35,
+126-152; K6 ref ingest/azblob.py:29-51).  In Structured Streaming that
+is keyed state + a processing-time timeout:
+``applyInPandasWithState`` tracks every in-flight dataset, folds its
+progress events, and when a dataset goes quiet before reaching a
+terminal stage, the state timeout fires and emits a ``timed_out`` row
+— the ``.timeout`` sidecar blob as a state transition.
+
+Scale: state lives in the executor state store (RocksDB at cluster
+scale), one entry per in-flight dataset, evicted on completion or
+timeout — bounded by in-flight work, not history.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = ("dataset string, n_events long, max_progress int, "
+                 "status string")
+STATE_SCHEMA = "n_events long, max_progress int"
+
+TERMINAL_STAGES = ("processed", "Cancelled", "completed_untouched", "copied")
+
+
+def ingest_watchdog(progress_stream: DataFrame,
+                    timeout_ms: int = 30_000) -> DataFrame:
+    """Fold a (dataset, stage, progress) stream into per-dataset
+    liveness state with a processing-time timeout.
+
+    Note: with an armed timeout even ``trigger(availableNow=True)``
+    keeps the query alive to fire pending timeouts — callers that want
+    drain-then-exit must stop the query after the timeout horizon.
+    """
+
+    def track(key: tuple, pdfs: Iterator[pd.DataFrame],
+              state: GroupState) -> Iterator[pd.DataFrame]:
+        (dataset,) = key
+        if state.hasTimedOut:
+            n, mx = state.get
+            state.remove()
+            yield pd.DataFrame([{"dataset": dataset, "n_events": n,
+                                 "max_progress": mx,
+                                 "status": "timed_out"}])
+            return
+
+        n, mx = state.get if state.exists else (0, 0)
+        done = False
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, int(pdf["progress"].max()))
+                done = done or pdf["stage"].isin(TERMINAL_STAGES).any()
+        if done:
+            state.remove()
+            status = "done"
+        else:
+            state.update((n, mx))
+            state.setTimeoutDuration(timeout_ms)   # X4 watchdog
+            status = "in_flight"
+        yield pd.DataFrame([{"dataset": dataset, "n_events": n,
+                             "max_progress": mx, "status": status}])
+
+    return (
+        progress_stream
+        .groupBy("dataset")
+        .applyInPandasWithState(
+            track,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -1,0 +1,69 @@
+"""Custom stateful streaming operator tests (X4 watchdog)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from geohub_data_pipeline_spark.streaming.stateful import ingest_watchdog
+
+
+def _write(d, name, rows):
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_watchdog_full_lifecycle(spark, tmp_path):
+    """done / in_flight / timed_out transitions, incl. the X4 timeout
+    actually firing for a stalled dataset."""
+    src = f"{tmp_path}/progress"
+    _write(src, "b1.json", [
+        {"dataset": "a", "stage": "downloading", "progress": 0},
+        {"dataset": "a", "stage": "downloaded", "progress": 30},
+        {"dataset": "a", "stage": "processed", "progress": 100},  # terminal
+        {"dataset": "b", "stage": "downloading", "progress": 0},
+        {"dataset": "b", "stage": "downloaded", "progress": 30},  # stalls
+    ])
+    stream = spark.readStream.schema(
+        "dataset string, stage string, progress int").json(src)
+    q = (
+        ingest_watchdog(stream, timeout_ms=4_000)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .format("memory").queryName("watchdog")
+        .start()
+    )
+    # wait past the timeout horizon for the stalled key to fire
+    deadline = time.time() + 90
+    seen_timeout = False
+    while time.time() < deadline and not seen_timeout:
+        time.sleep(2)
+        seen_timeout = (
+            spark.sql("SELECT * FROM watchdog WHERE status = 'timed_out'")
+            .count() > 0
+        ) or not q.isActive
+    if q.isActive:
+        q.stop()
+    q.awaitTermination()
+
+    rows = spark.sql("SELECT * FROM watchdog").collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.dataset, []).append(r)
+
+    # dataset a reached a terminal stage in batch 1: done, state evicted
+    a = by["a"][0]
+    assert a.status == "done" and a.n_events == 3 and a.max_progress == 100
+    assert len(by["a"]) == 1   # no further emissions — state was evicted
+
+    # dataset b: first in_flight, then the watchdog timeout fired
+    statuses = [r.status for r in sorted(by["b"], key=lambda r: r.status,
+                                         reverse=True)]
+    assert "in_flight" in statuses
+    assert "timed_out" in statuses, rows
+    tb = next(r for r in by["b"] if r.status == "timed_out")
+    assert tb.max_progress == 30   # state carried across batches
