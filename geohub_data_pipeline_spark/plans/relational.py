@@ -816,7 +816,7 @@ WITH w AS (
            / count(*) OVER (PARTITION BY o_custkey) AS cust_avg
   FROM orders
 )
-SELECT o_orderkey, o_custkey, o_totalprice, round(cust_avg, 4) AS cust_avg
+SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
 FROM w
 WHERE o_totalprice > 1.5 * cust_avg
 """
@@ -834,11 +834,14 @@ def subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(30,6)")).over(w)
         .cast("double") / F.count(F.lit(1)).over(w)
     )
+    # NB: cust_avg is emitted unrounded — both engines compute the
+    # identical double (decimal sum / count), while round() itself
+    # diverges on exact half-way values (Spark rounds the shortest
+    # decimal repr, DuckDB the binary value).
     return (
         t.orders.select("o_orderkey", "o_custkey", "o_totalprice",
                         cust_avg.alias("cust_avg"))
         .filter(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
-        .withColumn("cust_avg", F.round("cust_avg", 4))
     )
 
 
