@@ -119,6 +119,41 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str,
     )
 
 
+def jaccard_for_pairs(df: DataFrame, pairs: DataFrame, text_col: str,
+                      id_col: str) -> DataFrame:
+    """Exact token-set Jaccard for given candidate pairs (id_a, id_b).
+
+    The verify stage after LSH candidate generation: cost is
+    proportional to candidate tokens, not corpus^2.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(T.words(F.col(text_col)))).alias("tok"),
+    )
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
+    inter = (
+        pairs.select("id_a", "id_b")
+        .join(toks.select(F.col("id").alias("id_a"), "tok"), "id_a")
+        .join(toks.select(F.col("id").alias("id_b"), "tok"),
+              ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter
+        .join(sizes.select(F.col("id").alias("id_a"),
+                           F.col("n_tok").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"),
+                           F.col("n_tok").alias("n_b")), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(F.col("n_inter")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6)
+            .alias("jaccard"),
+        )
+    )
+
+
 def jaccard_consecutive(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Token-set Jaccard for (id, id+1) pairs — one sort-merge join on
     (neighbor id, token); linear in corpus size."""

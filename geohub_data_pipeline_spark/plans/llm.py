@@ -570,3 +570,64 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("keep_id"),
              F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+_DEDUP_PIPELINE_SQL = f"""
+WITH {_CORPUS_CTE},
+{_SHINGLES_CTE},
+{_SIG_CTE},
+b AS (
+  SELECT doc_id, 0 AS band_idx, {_BAND0} AS band_hash FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band_idx, {_BAND1} AS band_hash FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM b a JOIN b b2 ON a.band_idx = b2.band_idx
+                    AND a.band_hash = b2.band_hash
+                    AND a.doc_id < b2.doc_id
+),
+toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM corpus
+),
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN toks ta ON ta.doc_id = c.id_a
+  JOIN toks tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a AS keep_id, i.id_b AS drop_id,
+       round(CAST(i.n_inter AS DOUBLE)
+             / (sa.n_tok + sb.n_tok - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - i.n_inter) >= 0.8
+"""
+
+
+@query("dedup_pipeline_verified", "llm",
+       "north star: full dedup pipeline (LSH candidates -> exact "
+       "Jaccard verify -> keep/drop decisions)", _DEDUP_PIPELINE_SQL)
+def dedup_pipeline_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production dedup shape: cheap candidate generation (MinHash+LSH
+    bands) followed by exact verification (token-set Jaccard >= 0.8)
+    — false LSH collisions are filtered out, injected duplicates
+    survive with jaccard = 1.0.
+
+    Scale: stage costs are candidates-proportional; nothing touches
+    corpus^2.  This is the composition the single operators above are
+    built for.
+    """
+    corpus = _corpus(spark, sf_dir)
+    sigs = D.minhash_signatures(corpus, "text", "doc_id")
+    cand = D.lsh_candidate_pairs(sigs, "doc_id").select("id_a", "id_b")
+    verified = D.jaccard_for_pairs(corpus, cand, "text", "doc_id")
+    return verified.filter(F.col("jaccard") >= 0.8).select(
+        F.col("id_a").alias("keep_id"),
+        F.col("id_b").alias("drop_id"),
+        "jaccard",
+    )
