@@ -96,6 +96,99 @@ def hyperplane_bucket(
         F.sum("__bit").cast("int").alias("bucket"))
 
 
+def kmeans_like_centroids(corpus: DataFrame, id_col: str = "vec_id",
+                          vec_col: str = "vec",
+                          cell_col: str = "label") -> DataFrame:
+    """Per-cell centroids (the IVF coarse quantizer's codebook).
+
+    Uses an existing cell assignment (here: the corpus labels — one
+    Lloyd iteration's M-step); decimal per-dimension sums keep the
+    centroid bit-deterministic under any aggregation order.
+
+    Scale: explode to (cell, dim) — 64x row inflation but only 8 bytes
+    a row — one shuffle keyed (cell, dim), output = cells x dims rows
+    re-packed to arrays.
+    """
+    dims = (
+        corpus.select(cell_col, F.posexplode(vec_col).alias("dim", "x"))
+        .groupBy(cell_col, "dim")
+        .agg((F.sum(F.col("x").cast("decimal(30,12)")).cast("double")
+              / F.count(F.lit(1))).alias("c"))
+    )
+    return (
+        dims.groupBy(cell_col)
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("__s"))
+        .select(
+            F.col(cell_col).alias("cell"),
+            F.transform("__s", lambda s: s["c"]).alias("centroid"),
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    k: int,
+    query_filter,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    cell_col: str = "label",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize into cells, probe the ``n_probe``
+    nearest cells per query, exact top-k within the probed cells.
+
+    Scale: centroids are tiny and broadcast; the corpus is read
+    cell-partitioned (in a real deployment: parquet partitioned by
+    cell => partition pruning turns each probe into a targeted scan).
+    Candidate cost ~ corpus * n_probe / n_cells.
+    """
+    cents = kmeans_like_centroids(corpus, id_col, vec_col, cell_col)
+    cents = with_norm(cents, "centroid").select(
+        "cell", "centroid", F.col("__norm").alias("__cnorm"))
+
+    q = with_norm(corpus.filter(query_filter), vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.col("__norm").alias("__qn"),
+    )
+    # probe assignment: top-n_probe cells by query-centroid cosine
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "__qv", "__qn", "cell",
+        F.round(V.cosine(F.col("__qv"), F.col("centroid"),
+                         F.col("__qn"), F.col("__cnorm")),
+                round_digits).alias("__ccos"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("__ccos").desc(), F.col("cell"))
+    probes = (
+        qc.select("*", F.row_number().over(wp).alias("__pr"))
+        .filter(F.col("__pr") <= n_probe)
+        .select("query_id", "__qv", "__qn", "cell")
+    )
+
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col("__norm").alias("__cn"),
+        F.col(cell_col).alias("cell"),
+    )
+    pairs = c.join(F.broadcast(probes), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id", "neighbor_id", "cell",
+        F.round(V.cosine(F.col("__qv"), F.col("__cv"),
+                         F.col("__qn"), F.col("__cn")),
+                round_digits).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     planes: DataFrame,

@@ -631,3 +631,24 @@ def dedup_pipeline_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").alias("drop_id"),
         "jaccard",
     )
+
+
+@query("ann_ivf_coarse", "llm",
+       "north star: IVF-style ANN (coarse quantizer + n_probe cells; "
+       "approximate recall => rows-only check, recall asserted in "
+       "tests/test_similarity.py)", None)
+def ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: label cells as the coarse codebook, probe the 2
+    nearest cells per query, exact top-3 within probed cells.
+
+    Scale: the 100 TB layout partitions the corpus by cell so each
+    probe is a pruned scan; candidates ~ corpus * n_probe / n_cells.
+    """
+    from geohub_data_pipeline_spark.operators.similarity import ivf_topk
+
+    vecs = _vecs(spark, sf_dir)
+    return (
+        ivf_topk(vecs, k=3, query_filter=F.col("vec_id") % 50 == 0,
+                 n_probe=2)
+        .select("query_id", "neighbor_id", "cell", "cos_sim", "rank")
+    )
