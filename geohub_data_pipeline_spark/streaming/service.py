@@ -195,6 +195,11 @@ class IngestService:
 
     ``run_available_now`` drains the queue and exits — the reference's
     'empty receive ends the loop' semantics (X1).
+
+    ``source``: optional streaming DataFrame with MESSAGE_SCHEMA
+    columns, replacing the file-drop stand-in — e.g. the custom
+    ``ingest_queue`` data source (sources/queue_source.py) or a Kafka
+    topic projected to (msg_id, body, enqueued_ts).
     """
 
     spark: SparkSession
@@ -203,6 +208,7 @@ class IngestService:
     checkpoint_dir: str
     cancel_dir: str | None = None
     n_chunks: int = 4
+    source: DataFrame | None = None
 
     def _cancels(self) -> DataFrame | None:
         if self.cancel_dir is None:
@@ -223,8 +229,10 @@ class IngestService:
         )
 
     def run_available_now(self) -> None:
+        src = (self.source if self.source is not None
+               else message_stream(self.spark, self.messages_dir))
         q = (
-            message_stream(self.spark, self.messages_dir)
+            src
             .writeStream
             .foreachBatch(self._process_batch)
             .option("checkpointLocation", self.checkpoint_dir)

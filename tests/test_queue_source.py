@@ -42,3 +42,41 @@ def test_stream_offsets_resume_exactly_once(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.agg(F.min("msg_id"), F.max("msg_id")).first() == (0, 19)
     assert got.select("msg_id").distinct().count() == 20
+
+
+def test_queue_source_feeds_ingest_service(spark, tmp_path):
+    """End-to-end: custom data source -> service loop -> run ledger."""
+    from pyspark.sql import functions as F
+    from geohub_data_pipeline_spark.streaming.service import IngestService
+
+    register(spark)
+    msgs = (
+        spark.readStream.format("ingest_queue")
+        .option("rate", 12).option("max", 12).load()
+        .select(
+            "msg_id",
+            F.concat_ws(
+                ";", "blob_url", "token",
+                F.concat(F.lit("join_vector_tiles="),
+                         F.when(F.col("join_vector_tiles"), "true")
+                         .otherwise("false"))).alias("body"),
+            F.lit("2024-01-01T00:00:00").alias("enqueued_ts"),
+        )
+    )
+    svc = IngestService(
+        spark=spark,
+        messages_dir="unused",
+        ledger_dir=f"{tmp_path}/ledger",
+        checkpoint_dir=f"{tmp_path}/ckpt",
+        source=msgs,
+    )
+    svc.run_available_now()
+    ledger = svc.ledger()
+    # of msg ids 0..11: %7==0 (0, 7) are /staging/ -> untouched;
+    # %5==3 non-staging (3, 8) are .pmtiles -> passthrough; rest process
+    stages = {r.stage for r in ledger.collect()}
+    assert "completed_untouched" in stages      # staging uploads
+    assert "copied" in stages                   # pmtiles passthrough
+    assert "processed" in stages                # raw conversions
+    n_untouched = ledger.filter("stage = 'completed_untouched'").count()
+    assert n_untouched == 2                     # msg 0 and 7 (% 7 == 0)
