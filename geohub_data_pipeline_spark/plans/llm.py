@@ -652,3 +652,44 @@ def ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
                  n_probe=2)
         .select("query_id", "neighbor_id", "cell", "cos_sim", "rank")
     )
+
+
+_TOP_WORDS_SQL = """
+WITH w AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+),
+c AS (
+  SELECT source, word, count(*) AS n_occurrences
+  FROM w GROUP BY source, word
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY source
+             ORDER BY n_occurrences DESC, word) AS INTEGER) AS rnk
+  FROM c
+)
+SELECT source, word, n_occurrences, rnk
+FROM r WHERE rnk <= 5
+"""
+
+
+@query("lateral_explode_top_words", "llm",
+       "§2.5 UDTF/lateral surface (explode) + north star token stats",
+       _TOP_WORDS_SQL)
+def lateral_explode_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 words per source: the explode/lateral-view path.
+
+    Scale: explode is map-side; the only shuffle keys (source, word) —
+    word frequency tables over 100 TB corpora are exactly this plan.
+    """
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_occurrences").desc(), F.col("word"))
+    return (
+        t.documents
+        .select("source", F.explode(T.words(F.col("text"))).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .select("*", F.row_number().over(w).cast("int").alias("rnk"))
+        .filter(F.col("rnk") <= 5)
+    )

@@ -270,3 +270,39 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+_MAP_FUNCS_SQL = """
+WITH m AS (
+  SELECT event_id, event_type,
+         json_extract_string(props, '$.k') AS k_str
+  FROM events
+)
+SELECT event_id, event_type,
+       concat('type=', event_type, ',k=', k_str) AS kv_string,
+       CAST(k_str AS BIGINT) % 10 AS k_bucket,
+       k_str IS NOT NULL AS has_k
+FROM m
+WHERE event_id % 20 = 0
+"""
+
+
+@query("events_map_functions", "temporal",
+       "§2.5 scalar fns (map/json bag access)", _MAP_FUNCS_SQL)
+def events_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property-bag access via a real MapType: props parsed with
+    from_json into map<string,string>, then element access — the
+    events.props contract from FIXTURES.md."""
+    t = load_tables(spark, sf_dir)
+    m = F.from_json(F.col("props"), "map<string,string>")
+    return (
+        t.events
+        .filter(F.col("event_id") % 20 == 0)
+        .select(
+            "event_id", "event_type",
+            F.concat(F.lit("type="), F.col("event_type"), F.lit(",k="),
+                     m.getItem("k")).alias("kv_string"),
+            (m.getItem("k").cast("bigint") % 10).alias("k_bucket"),
+            m.getItem("k").isNotNull().alias("has_k"),
+        )
+    )

@@ -58,3 +58,30 @@ def dedup_events(events: DataFrame, id_col: str = "event_id",
     """Streaming exactly-once-per-id dedup within the watermark."""
     return events.withWatermark(ts_col, watermark).dropDuplicates(
         [id_col, ts_col])
+
+
+def cancel_stream_join(messages: DataFrame, cancels: DataFrame,
+                       msg_ts: str = "enqueued_ts",
+                       cancel_ts: str = "sent_ts",
+                       url_col: str = "blob_url",
+                       watermark: str = "1 hour",
+                       horizon: str = "30 minutes") -> DataFrame:
+    """X6 as a real stream-stream join: match in-flight uploads to
+    cancel requests arriving within ``horizon`` after enqueue.
+
+    Both sides carry watermarks so the join state is bounded: a
+    message's state is evicted once the cancel-side watermark passes
+    enqueue + horizon.  (The batch service path uses a static cancel
+    lookup; this is the unbounded-streams form.)
+    """
+    m = messages.withWatermark(msg_ts, watermark)
+    c = (cancels.filter(F.col("cancel"))
+         .withColumnRenamed("url", url_col)
+         .withWatermark(cancel_ts, watermark))
+    return m.join(
+        c,
+        (m[url_col] == c[url_col])
+        & (c[cancel_ts] >= m[msg_ts])
+        & (c[cancel_ts] <= m[msg_ts] + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select(m["*"], c[cancel_ts].alias("cancelled_at"))

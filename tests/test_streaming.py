@@ -176,3 +176,55 @@ def test_stream_batch_window_parity(spark, sf_dir, tmp_path, maker,
     ).select(*got.columns)
     assert closed.exceptAll(got).count() == 0
     assert got.count() >= closed.count()
+
+
+def test_cancel_stream_stream_join(spark, tmp_path):
+    """X6: cancel requests joined to in-flight messages within the
+    horizon, as a watermarked stream-stream join."""
+    msrc, csrc = f"{tmp_path}/msgs2", f"{tmp_path}/cancels2"
+    _write_msgs(msrc, "m.json", [
+        {"msg_id": 1, "url": f"{URL}/raw/a.gpkg",
+         "enqueued_ts": "2024-01-01T00:00:00"},
+        {"msg_id": 2, "url": f"{URL}/raw/b.gpkg",
+         "enqueued_ts": "2024-01-01T00:05:00"},
+        {"msg_id": 3, "url": f"{URL}/raw/c.gpkg",
+         "enqueued_ts": "2024-01-01T00:10:00"},
+    ])
+    _write_msgs(csrc, "c.json", [
+        # within horizon of msg 1
+        {"user": "u1", "url": f"{URL}/raw/a.gpkg", "cancel": True,
+         "sent_ts": "2024-01-01T00:10:00"},
+        # cancel=false: ignored
+        {"user": "u1", "url": f"{URL}/raw/b.gpkg", "cancel": False,
+         "sent_ts": "2024-01-01T00:06:00"},
+        # too late for msg 3 (horizon 30 min)
+        {"user": "u1", "url": f"{URL}/raw/c.gpkg", "cancel": True,
+         "sent_ts": "2024-01-01T02:00:00"},
+    ])
+    from geohub_data_pipeline_spark.streaming.windows import cancel_stream_join
+
+    msgs = (
+        spark.readStream.schema("msg_id long, url string, enqueued_ts string")
+        .json(msrc)
+        .select("msg_id", F.col("url").alias("blob_url"),
+                F.col("enqueued_ts").cast("timestamp").alias("enqueued_ts"))
+    )
+    cancels = (
+        spark.readStream.schema(
+            "user string, url string, cancel boolean, sent_ts string")
+        .json(csrc)
+        .withColumn("sent_ts", F.col("sent_ts").cast("timestamp"))
+    )
+    out = f"{tmp_path}/cancelled"
+    q = (
+        cancel_stream_join(msgs, cancels)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{tmp_path}/ckpt2")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(out).collect()
+    assert [r.msg_id for r in rows] == [1]
+    assert str(rows[0].cancelled_at) == "2024-01-01 00:10:00"
