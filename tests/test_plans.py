@@ -43,9 +43,12 @@ def test_multiway_join_is_fully_broadcast(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 4
 
 
-def test_range_join_is_broadcast_not_cartesian(spark, sf_dir):
+def test_range_join_is_hash_not_nested_loop(spark, sf_dir):
+    """Uniform intervals reduce to a derived-key broadcast HASH join
+    (codegen) — neither a nested loop nor a cartesian product."""
     plan = plan_of(SPECS["join_range_theta"].fn(spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
 
