@@ -57,9 +57,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     for n in names:
-        t0 = time.time()
-        specs[n].fn(spark, sf_dir).count()
-        dt = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):          # best-of-2: damp scheduler jitter
+            t0 = time.time()
+            specs[n].fn(spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        dt = round(best, 3)
         timings[n] = dt
         total += dt
 

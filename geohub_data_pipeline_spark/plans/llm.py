@@ -693,3 +693,44 @@ def lateral_explode_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("*", F.row_number().over(w).cast("int").alias("rnk"))
         .filter(F.col("rnk") <= 5)
     )
+
+
+_EDIT_DIST_SQL = """
+WITH p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         substr(a.text, 1, 30) AS pref_a, substr(b.text, 1, 30) AS pref_b
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+)
+SELECT id_a, id_b,
+       CAST(levenshtein(pref_a, pref_b) AS INTEGER) AS edit_distance,
+       round(1.0 - CAST(levenshtein(pref_a, pref_b) AS DOUBLE) / 30,
+             6) AS prefix_similarity
+FROM p
+"""
+
+
+@query("text_edit_distance", "llm",
+       "north star: edit-distance similarity (fuzzy dedup signal)",
+       _EDIT_DIST_SQL)
+def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein distance between consecutive docs' 30-char prefixes
+    — the fuzzy-matching signal for near-dup verification.
+
+    Scale: O(len^2) per pair but JVM-side codegen; always bound the
+    compared prefix length.
+    """
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", F.substring("text", 1, 30).alias("p"))
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("p").alias("pref_a"))
+    b = docs.select((F.col("doc_id") - 1).alias("id_a"),
+                    F.col("doc_id").alias("id_b"), F.col("p").alias("pref_b"))
+    lev = F.levenshtein(F.col("pref_a"), F.col("pref_b"))
+    return (
+        a.join(b, "id_a")
+        .select(
+            "id_a", "id_b",
+            lev.cast("int").alias("edit_distance"),
+            F.round(1.0 - lev.cast("double") / 30, 6)
+            .alias("prefix_similarity"),
+        )
+    )

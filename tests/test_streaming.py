@@ -228,3 +228,47 @@ def test_cancel_stream_stream_join(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert [r.msg_id for r in rows] == [1]
     assert str(rows[0].cancelled_at) == "2024-01-01 00:10:00"
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """X8 late-data policy: events older than the watermark when they
+    arrive are dropped from append-mode windows."""
+    src = f"{tmp_path}/late_src"
+
+    def run():
+        stream = (
+            spark.readStream.schema("event_id long, ts string").json(src)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .option("checkpointLocation", f"{tmp_path}/late_ckpt")
+            .format("parquet").option("path", f"{tmp_path}/late_out")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: events up to 01:00 -> watermark advances to 00:50
+    _write_msgs(src, "b1.json", [
+        {"event_id": 1, "ts": "2024-01-01T00:05:00"},
+        {"event_id": 2, "ts": "2024-01-01T00:06:00"},
+        {"event_id": 3, "ts": "2024-01-01T01:00:00"},
+    ])
+    run()
+    # batch 2: one event far below the watermark (00:05 window already
+    # emitted+closed) and one fresh event
+    _write_msgs(src, "b2.json", [
+        {"event_id": 4, "ts": "2024-01-01T00:07:00"},   # LATE -> dropped
+        {"event_id": 5, "ts": "2024-01-01T01:30:00"},
+    ])
+    run()
+    got = {str(r.ws): r.n
+           for r in spark.read.parquet(f"{tmp_path}/late_out").collect()}
+    # the 00:00 window was finalized with exactly 2 events — the late
+    # arrival did not reopen or re-emit it
+    assert got.get("2024-01-01 00:00:00") == 2
