@@ -131,6 +131,10 @@ def overview_cascade(blocks: DataFrame, levels: int) -> DataFrame:
     of SURVEY §1.1 'tile pyramid')."""
     if "level" not in blocks.columns:
         blocks = blocks.withColumn("level", F.lit(0))
+    # project to the canonical block schema (inputs may carry extra
+    # metadata columns like colorinterp that levels >0 don't have)
+    std_cols = [c.split(" ")[0] for c in BLOCK_SCHEMA.split(", ")]
+    blocks = blocks.select(*std_cols)
     out = blocks
     cur = blocks
     for _ in range(levels):
