@@ -31,11 +31,16 @@ HEADLINE = [
     "topk_per_group",
     "set_intersect",
     "dedup_minhash_lsh",
+    "dedup_pipeline_verified",
     "dedup_exact_keep_first",
     "ann_cosine_topk",
     "text_quality_score",
+    "text_fingerprint",
+    "lateral_explode_top_words",
     "events_sessionization",
+    "events_sliding_window",
     "asof_join_events",
+    "subquery_above_avg",
     "tile_aggregation",
 ]
 

@@ -104,11 +104,48 @@ def _encode_tile(pdf: pd.DataFrame) -> pd.DataFrame:
     }])
 
 
+def _simplify_keyed(keyed: DataFrame,
+                    full_detail_zoom: int = 10) -> DataFrame:
+    """Per-zoom geometry simplification on exploded tile rows
+    (--simplify-only-low-zooms): each row's tolerance comes from its
+    own z column; rows whose geometry degenerates at that zoom are
+    dropped (tippecanoe's tiny-feature elision)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.operators import simplify as S
+
+    cols = keyed.columns
+    schema = keyed.schema
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                d = dict(zip(cols, row))
+                z = int(d["z"])
+                if z < full_detail_zoom and d["geometry"] is not None:
+                    s = S._simplify_parsed(
+                        bytes(d["geometry"]), S.zoom_tolerance(z))
+                    if s is None:
+                        continue
+                    d["geometry"] = s
+                rows.append(d)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return keyed.mapInPandas(batches, schema)
+
+
 def build_tiles(normalized: DataFrame, maxzoom: int | None = None,
-                max_features_per_tile: int = 200_000) -> DataFrame:
+                max_features_per_tile: int = 200_000,
+                simplify_low_zooms: bool = False,
+                full_detail_zoom: int = 10) -> DataFrame:
     """Full tile pyramid from normalize_features output.
 
     maxzoom: fixed, or None for the -zg per-dataset heuristic.
+    simplify_low_zooms: apply per-zoom Douglas-Peucker before the tile
+    shuffle (tippecanoe --simplify-only-low-zooms).
     """
     from geohub_data_pipeline_spark.session import ship_package
     ship_package(normalized.sparkSession)
@@ -126,6 +163,8 @@ def build_tiles(normalized: DataFrame, maxzoom: int | None = None,
         feats = normalized.withColumn("maxzoom", F.lit(maxzoom))
 
     keyed = tile_keys(feats)
+    if simplify_low_zooms:
+        keyed = _simplify_keyed(keyed, full_detail_zoom)
     # tippecanoe-style deterministic feature dropping on overflow
     w = Window.partitionBy("z", "x", "y", "layer").orderBy("fid")
     keyed = (

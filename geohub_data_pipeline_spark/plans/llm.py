@@ -734,3 +734,38 @@ def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("prefix_similarity"),
         )
     )
+
+
+_NORMALIZE_SQL = """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                           ' +', ' ', 'g')) AS normalized,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g'))) AS norm_hash,
+       CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+            '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS INTEGER) AS norm_len
+FROM documents
+WHERE doc_id % 10 = 0
+"""
+
+
+@query("text_normalize", "llm",
+       "north star: text normalization (lowercase, punctuation strip, "
+       "whitespace collapse) — the canonicalization step before "
+       "hashing/dedup", _NORMALIZE_SQL)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text form: lower -> strip non-alphanumerics ->
+    collapse whitespace -> trim; plus its hash (dedup key)."""
+    t = load_tables(spark, sf_dir)
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+        " +", " "))
+    return (
+        t.documents.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            "doc_id",
+            norm.alias("normalized"),
+            F.md5(norm).alias("norm_hash"),
+            F.length(norm).cast("int").alias("norm_len"),
+        )
+    )

@@ -100,3 +100,24 @@ def test_feature_drop_cap(spark):
     norm = _normalized(spark, n=30)
     tiles = TLG.build_tiles(norm, maxzoom=1, max_features_per_tile=7)
     assert tiles.agg(F.max("n_features")).first()[0] <= 7
+
+
+def test_build_tiles_with_low_zoom_simplification(spark):
+    """Low-zoom tiles carry simplified geometry (smaller payload);
+    high-zoom tiles keep full detail (--simplify-only-low-zooms)."""
+    import math
+    wiggly = [(i * 0.002, 0.0005 * math.sin(i)) for i in range(400)]
+    df = spark.createDataFrame(
+        [("d", "l", 1, G.wkb_linestring(wiggly), 4326)],
+        "dataset string, layer string, fid long, geometry binary, srid int")
+    norm = G.normalize_features(df)
+    plain = TLG.build_tiles(norm, maxzoom=11)
+    simp = TLG.build_tiles(norm, maxzoom=11, simplify_low_zooms=True,
+                           full_detail_zoom=10)
+    # payload hashes differ at low zooms (geometry was rewritten)...
+    plain_h = {t.z: t.payload_hash for t in plain.collect()}
+    simp_h = {t.z: t.payload_hash for t in simp.collect()}
+    assert simp_h[0] != plain_h[0]
+    # ...but full-detail zooms are byte-identical
+    assert simp_h[11] == plain_h[11]
+    assert simp_h[10] == plain_h[10]
