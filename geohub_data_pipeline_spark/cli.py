@@ -35,10 +35,33 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--demo", action="store_true",
                     help="run the flagship query on --sf-dir instead")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--serve", metavar="BASE_DIR",
+                    help="run the streaming ingest service over "
+                         "BASE_DIR/{msgs,cancel} until drained (EP1)")
     args = ap.parse_args(argv)
 
     spark = get_session("geohub-cli")
     try:
+        if args.serve:
+            from geohub_data_pipeline_spark.streaming.service import (
+                IngestService,
+            )
+
+            base = args.serve.rstrip("/")
+            svc = IngestService(
+                spark=spark,
+                messages_dir=f"{base}/msgs",
+                ledger_dir=f"{base}/ledger",
+                checkpoint_dir=f"{base}/ckpt",
+                cancel_dir=f"{base}/cancel",
+            )
+            svc.run_available_now()
+            ledger = svc.ledger()
+            counts = {r["stage"]: r["count"] for r in
+                      ledger.groupBy("stage").count().collect()}
+            print(f"ledger rows: {ledger.count()}; stages: {counts}")
+            return 0
+
         if args.demo:
             from geohub_data_pipeline_spark.plans import all_queries
             df = all_queries()["q1_pricing_summary"].fn(spark, args.sf_dir)

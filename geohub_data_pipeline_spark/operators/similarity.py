@@ -125,6 +125,64 @@ def kmeans_like_centroids(corpus: DataFrame, id_col: str = "vec_id",
     )
 
 
+def lloyd_kmeans(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic Lloyd k-means over an embedding column.
+
+    Init: the k lowest-id vectors seed the centroids.  Each iteration
+    is assign (broadcast centroids, argmin squared distance, ties to
+    the lower cell id) + update (decimal-exact per-dim means).
+
+    Returns (assignments: id, cell), (centroids: cell, centroid).
+
+    Scale notes — the iterative-algorithm pattern on Spark:
+      * centroids are tiny and broadcast; the corpus is scanned once
+        per iteration (never shuffled for assignment);
+      * ``localCheckpoint`` truncates the growing lineage each round —
+        without it, iteration i replans/recomputes all prior rounds;
+      * the update shuffle is (cell, dim) keyed — k x dims rows out.
+    """
+    def dist2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    w = Window.partitionBy("__id").orderBy(F.col("__d2"), F.col("cell"))
+
+    wk = Window.orderBy(id_col)
+    cents = (
+        corpus.select(id_col, vec_col)
+        .withColumn("__rn", F.row_number().over(wk))
+        .filter(F.col("__rn") <= k)
+        .select((F.col("__rn") - 1).cast("int").alias("cell"),
+                F.col(vec_col).alias("centroid"))
+    )
+
+    assigned = None
+    for _ in range(iters):
+        pairs = corpus.select(
+            F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+        ).crossJoin(F.broadcast(cents))
+        assigned = (
+            pairs.select(
+                "__id", "__v", "cell",
+                dist2(F.col("__v"), F.col("centroid")).alias("__d2"))
+            .select("*", F.row_number().over(w).alias("__rn"))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("__id").alias(id_col),
+                    F.col("__v").alias(vec_col), "cell")
+        ).localCheckpoint(eager=True)
+        cents = kmeans_like_centroids(
+            assigned, id_col, vec_col, cell_col="cell"
+        ).localCheckpoint(eager=True)
+    return assigned.select(id_col, "cell"), cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     k: int,

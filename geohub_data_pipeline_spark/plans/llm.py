@@ -769,3 +769,30 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(norm).cast("int").alias("norm_len"),
         )
     )
+
+
+@query("ann_ivf_kmeans", "llm",
+       "north star: IVF with learned (Lloyd k-means) coarse quantizer — "
+       "iterative algorithm, non-SQL-expressible => rows-only; "
+       "clustering correctness asserted in tests/test_similarity.py",
+       None)
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN where cells come from 3 Lloyd iterations (k=8,
+    deterministic seeding) instead of the data's labels.
+
+    Scale: assignment never shuffles the corpus (broadcast centroids);
+    localCheckpoint truncates per-iteration lineage.
+    """
+    from geohub_data_pipeline_spark.operators.similarity import (
+        ivf_topk,
+        lloyd_kmeans,
+    )
+
+    vecs = _vecs(spark, sf_dir)
+    assigned, _ = lloyd_kmeans(vecs.select("vec_id", "vec"), k=8, iters=2)
+    cells = vecs.join(assigned, "vec_id").select("vec_id", "vec", "cell")
+    return (
+        ivf_topk(cells, k=3, query_filter=F.col("vec_id") % 100 == 0,
+                 n_probe=2, cell_col="cell")
+        .select("query_id", "neighbor_id", "cell", "cos_sim", "rank")
+    )

@@ -52,3 +52,34 @@ def test_ivf_centroids_deterministic(spark, sf_dir):
               vecs.repartition(13)).collect()}
     assert c1 == c2   # bit-identical under any partitioning
     assert all(len(v) == 64 for v in c1.values())
+
+
+def test_lloyd_kmeans_recovers_blobs(spark):
+    """Three well-separated synthetic blobs: k-means with k=3 must
+    assign each blob to a single cell (purity 1.0) and be
+    deterministic across partitionings."""
+    import math
+    dims = 8
+    rows = []
+    for blob in range(3):
+        base = [0.0] * dims
+        base[blob] = 10.0
+        for i in range(20):
+            v = list(base)
+            v[(i + 1) % dims] += math.sin(i * 0.7) * 0.3
+            v[(i + 3) % dims] += math.cos(i * 1.3) * 0.3
+            rows.append((blob * 100 + i, v))
+    corpus = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+
+    assigned, cents = S.lloyd_kmeans(corpus, k=3, iters=3)
+    a = {r.vec_id: r.cell for r in assigned.collect()}
+    assert len(a) == 60
+    for blob in range(3):
+        cells = {a[blob * 100 + i] for i in range(20)}
+        assert len(cells) == 1, f"blob {blob} split across {cells}"
+    # distinct blobs land in distinct cells
+    assert len({a[0], a[100], a[200]}) == 3
+
+    assigned2, _ = S.lloyd_kmeans(corpus.repartition(7), k=3, iters=3)
+    a2 = {r.vec_id: r.cell for r in assigned2.collect()}
+    assert a == a2
