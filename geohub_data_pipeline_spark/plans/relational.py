@@ -951,3 +951,36 @@ def agg_collect_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_statuses"),
         )
     )
+
+
+_NULL_HANDLING_SQL = """
+SELECT c_custkey,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_masked,
+       CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS pos_balance,
+       coalesce(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END,
+                0.0) AS balance_or_zero,
+       c_acctbal IS NULL AS bal_is_null,
+       CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END IS NULL
+         AS masked_is_null
+FROM customer
+"""
+
+
+@query("scalar_null_handling", "relational",
+       "§2.5 scalar fns (NULL semantics: nullif/coalesce/is-null)",
+       _NULL_HANDLING_SQL)
+def scalar_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic surface: nullif, coalesce, IS NULL — the
+    semantics every outer join and agg above depends on."""
+    t = load_tables(spark, sf_dir)
+    masked = F.when(F.col("c_acctbal") < 0, None).otherwise(
+        F.col("c_acctbal"))
+    return t.customer.select(
+        "c_custkey",
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")),
+                   F.lit("OTHER")).alias("segment_masked"),
+        masked.alias("pos_balance"),
+        F.coalesce(masked, F.lit(0.0)).alias("balance_or_zero"),
+        F.col("c_acctbal").isNull().alias("bal_is_null"),
+        masked.isNull().alias("masked_is_null"),
+    )
