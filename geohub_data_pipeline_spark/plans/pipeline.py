@@ -610,3 +610,48 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(d % 3 != 0, F.expr("n_chars div 10").cast("bigint"))
         .alias("duration_s"),
     )
+
+
+@query("geo_tile_pipeline", "pipeline",
+       "§2.2 T7+T8 end-to-end: WKB normalize -> tile pyramid -> audit "
+       "(geometry kernels are non-SQL-expressible => rows-only; golden "
+       "checks in tests/test_tiling.py, test_fixtures_golden.py)", None)
+def geo_tile_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full vector path on real WKB: deterministic point features
+    derived from `documents` -> normalize (promote-to-multi, bbox) ->
+    -zg tile pyramid -> tilestats audit rows."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.operators import tiling as TLG
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    t = load_tables(spark, sf_dir)
+    pts = t.documents.select(
+        F.col("source").alias("dataset"),
+        F.col("lang").alias("layer"),
+        F.col("doc_id").alias("fid"),
+        ((F.col("doc_id") % 360).cast("double") - 180.0 + 0.125).alias("lon"),
+        (((F.col("doc_id") * 7) % 160).cast("double") - 80.0 + 0.25)
+        .alias("lat"),
+    )
+
+    def to_wkb(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame({
+                "dataset": pdf["dataset"],
+                "layer": pdf["layer"],
+                "fid": pdf["fid"],
+                "geometry": [G.wkb_point(lo, la)
+                             for lo, la in zip(pdf["lon"], pdf["lat"])],
+                "srid": 4326,
+            })
+
+    feats = pts.mapInPandas(
+        to_wkb, "dataset string, layer string, fid long, geometry binary, "
+                "srid int")
+    tiles = TLG.build_tiles(G.normalize_features(feats), maxzoom=None)
+    return TLG.tile_audit(tiles)

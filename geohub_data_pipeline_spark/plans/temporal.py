@@ -306,3 +306,42 @@ def events_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             m.getItem("k").isNotNull().alias("has_k"),
         )
     )
+
+
+_RANGE_FRAME_SQL = f"""
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+       CAST(sum(CAST(value AS DECIMAL(30,4)))
+            OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS value_last_hour,
+       CAST(count(*)
+            OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS events_last_hour
+FROM events
+"""
+
+
+@query("window_range_frame", "temporal",
+       "§2.5 windows (time-interval RANGE frames — trailing-hour agg)",
+       _RANGE_FRAME_SQL)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1-hour running aggregates per user via a RANGE frame
+    keyed on epoch-microseconds (identical frame on both engines).
+
+    Scale: one shuffle on user_id; the range frame is evaluated with a
+    sliding pointer over the sorted partition — O(n), not O(n^2).
+    """
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return t.events.select(
+        "event_id", "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        F.sum(F.col("value").cast("decimal(30,4)")).over(w)
+        .cast("double").alias("value_last_hour"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("events_last_hour"),
+    )
