@@ -272,3 +272,44 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # the 00:00 window was finalized with exactly 2 events — the late
     # arrival did not reopen or re-emit it
     assert got.get("2024-01-01 00:00:00") == 2
+
+
+def test_progress_log_listener(spark, tmp_path):
+    """K7 analog: every micro-batch leaves a queryable progress record."""
+    from geohub_data_pipeline_spark.streaming.listener import (
+        attach_progress_log,
+        detach,
+    )
+
+    log_dir = f"{tmp_path}/qlog"
+    listener = attach_progress_log(spark, log_dir)
+    try:
+        src = f"{tmp_path}/lsrc"
+        _write_msgs(src, "x.json", [{"v": i} for i in range(5)])
+        q = (
+            spark.readStream.schema("v long").json(src)
+            .writeStream.format("parquet")
+            .option("path", f"{tmp_path}/lout")
+            .option("checkpointLocation", f"{tmp_path}/lckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        import time
+        deadline = time.time() + 30
+        events = set()
+        while time.time() < deadline:
+            try:
+                log = spark.read.json(log_dir)
+                events = {r.event for r in log.select("event").collect()}
+                if {"started", "progress", "terminated"} <= events:
+                    break
+            except Exception:
+                pass
+            time.sleep(1)
+        assert {"started", "progress", "terminated"} <= events, events
+        prog = spark.read.json(log_dir).filter("event = 'progress'")
+        payload = json.loads(prog.first().payload)
+        assert payload["numInputRows"] == 5
+    finally:
+        detach(spark, listener)
