@@ -345,3 +345,38 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double").alias("value_last_hour"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("events_last_hour"),
     )
+
+
+_TIME_RANGE_SQL = f"""
+SELECT event_type,
+       count(*) AS n_events,
+       {dsum_sql('value')} AS total_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+GROUP BY event_type
+"""
+
+
+@query("events_time_range_pushdown", "temporal",
+       "§2.5 + scale: time-range scan with parquet pushdown on the "
+       "raw nanosecond column (sources/tables.events_time_range)",
+       _TIME_RANGE_SQL)
+def events_time_range_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-day event slice aggregated per type.
+
+    Scale: the predicate lands on the raw INT64 nanos column, so the
+    parquet reader prunes row groups BEFORE any timestamp conversion —
+    asserted by tests/test_plans.py.
+    """
+    from geohub_data_pipeline_spark.sources.tables import events_time_range
+
+    ev = events_time_range(spark, sf_dir,
+                           "2024-01-10 00:00:00", "2024-01-20 00:00:00")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             dsum(F.col("value")).alias("total_value"),
+             F.countDistinct("user_id").alias("n_users"))
+    )

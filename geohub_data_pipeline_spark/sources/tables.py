@@ -73,6 +73,42 @@ def load_tables(spark: SparkSession, sf_dir: str) -> Tables:
     return Tables(spark, sf_dir)
 
 
+def events_time_range(spark: SparkSession, sf_dir: str,
+                      lo: str | None = None,
+                      hi: str | None = None) -> DataFrame:
+    """Events within [lo, hi) with the time filter pushed to parquet.
+
+    ``events.ts`` is stored as raw epoch-nanos INT64; a filter on the
+    *converted* timestamp column wraps it in an expression and cannot
+    push down.  This helper compares the raw long against nano bounds
+    — the scan itself skips row groups — then converts.  At 100 TB
+    this is the difference between reading a day and reading a year.
+
+    lo/hi: ISO timestamps (UTC), either may be None.
+    """
+    import datetime as _dt
+
+    configure(spark)
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+
+    def nanos(s: str) -> int:
+        dt = _dt.datetime.fromisoformat(s).replace(tzinfo=_dt.timezone.utc)
+        return int(dt.timestamp()) * 1_000_000_000
+
+    if dict(df.dtypes).get("ts") == "bigint":
+        if lo is not None:
+            df = df.filter(F.col("ts") >= nanos(lo))
+        if hi is not None:
+            df = df.filter(F.col("ts") < nanos(hi))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # (non-nanos layout: plain timestamp filters push down natively)
+    if lo is not None:
+        df = df.filter(F.col("ts") >= F.lit(lo))
+    if hi is not None:
+        df = df.filter(F.col("ts") < F.lit(hi))
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register each table as a temp view so ``spark.sql`` can use it."""
     for name in TABLES:

@@ -108,3 +108,14 @@ def test_salted_join_correctness_and_spread(spark, sf_dir):
     b = big.withColumn(
         "__salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(8)))
     assert b.select("__salt").distinct().count() == 8
+
+
+def test_events_time_filter_pushes_to_raw_nanos(spark, sf_dir):
+    """The events time filter must reach the parquet scan as a raw
+    INT64 comparison (row-group pruning), not wrap the converted
+    timestamp."""
+    plan = plan_of(
+        SPECS["events_time_range_pushdown"].fn(spark, sf_dir))
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(ts",
+                     plan), plan
+    assert re.search(r"PushedFilters: \[[^\]]*LessThan\(ts", plan)
