@@ -247,6 +247,58 @@ def ivf_topk(
     )
 
 
+def lsh_multi_table_topk(
+    corpus: DataFrame,
+    plane_tables: list[DataFrame],
+    k: int,
+    query_filter,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    round_digits: int = 6,
+) -> DataFrame:
+    """ANN over the UNION of several independent LSH bucketings.
+
+    Recall of a single hyperplane bucketing is limited by unlucky
+    cuts; L independent plane-sets retrieve the union of their
+    buckets — recall grows ~(1-(1-r)^L) at L x candidate cost.  The
+    candidate union is deduplicated before the exact-score ranking so
+    each pair is scored once.
+    """
+    cands = None
+    for ti, planes in enumerate(plane_tables):
+        buckets = hyperplane_bucket(corpus, planes, id_col, vec_col)
+        vecs = with_norm(corpus, vec_col).join(buckets, id_col)
+        q = vecs.filter(query_filter).select(
+            F.col(id_col).alias("query_id"), "bucket")
+        c = vecs.select(F.col(id_col).alias("neighbor_id"), "bucket")
+        pairs = c.join(F.broadcast(q), "bucket").filter(
+            F.col("neighbor_id") != F.col("query_id")
+        ).select("query_id", "neighbor_id")
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    cands = cands.distinct()
+
+    v = with_norm(corpus, vec_col)
+    qv = v.select(F.col(id_col).alias("query_id"),
+                  F.col(vec_col).alias("__qv"), F.col("__norm").alias("__qn"))
+    cv = v.select(F.col(id_col).alias("neighbor_id"),
+                  F.col(vec_col).alias("__cv"), F.col("__norm").alias("__cn"))
+    scored = (
+        cands.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            F.round(V.cosine(F.col("__qv"), F.col("__cv"),
+                             F.col("__qn"), F.col("__cn")),
+                    round_digits).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     planes: DataFrame,

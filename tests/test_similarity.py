@@ -83,3 +83,33 @@ def test_lloyd_kmeans_recovers_blobs(spark):
     assigned2, _ = S.lloyd_kmeans(corpus.repartition(7), k=3, iters=3)
     a2 = {r.vec_id: r.cell for r in assigned2.collect()}
     assert a == a2
+
+
+def test_multi_table_lsh_recall_monotone(spark, sf_dir):
+    """Union of 3 plane-sets must recall at least as much of the true
+    top-k as any single plane-set."""
+    vecs = _vecs(spark, sf_dir)
+    qf = F.col("vec_id") % 100 == 0
+
+    from pyspark.sql.window import Window
+
+    def planes(ids):
+        return vecs.filter(F.col("vec_id").isin(*ids)).select(
+            (F.dense_rank().over(Window.orderBy("vec_id")) - 1)
+            .cast("int").alias("plane_id"),
+            F.col("vec").alias("plane_vec"))
+
+    p1 = planes([1, 2, 3, 4])
+    p2 = planes([11, 12, 13, 14])
+    p3 = planes([21, 22, 23, 24])
+
+    brute = {(r.query_id, r.neighbor_id)
+             for r in S.brute_force_topk(vecs, vecs.filter(qf), k=3).collect()}
+    single = {(r.query_id, r.neighbor_id)
+              for r in S.lsh_multi_table_topk(vecs, [p1], k=3, query_filter=qf)
+              .collect()}
+    multi = {(r.query_id, r.neighbor_id)
+             for r in S.lsh_multi_table_topk(vecs, [p1, p2, p3], k=3,
+                                             query_filter=qf).collect()}
+    assert len(multi & brute) >= len(single & brute)
+    assert multi, "no candidates retrieved"
