@@ -119,3 +119,12 @@ def test_events_time_filter_pushes_to_raw_nanos(spark, sf_dir):
     assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(ts",
                      plan), plan
     assert re.search(r"PushedFilters: \[[^\]]*LessThan\(ts", plan)
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The as-of join must cost exactly ONE exchange (union + keyed
+    window), not a range-join explosion."""
+    plan = plan_of(SPECS["asof_join_events"].fn(spark, sf_dir))
+    assert plan.count("Exchange") <= 2   # hash by key (+AQE wrapper)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
