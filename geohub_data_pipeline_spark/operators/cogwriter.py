@@ -1,0 +1,205 @@
+"""Pure-python tiled GeoTIFF writer — the COG assembly sink (T11).
+
+Reference output (ref /root/reference/ingest/config.py:92-103,
+processing.py:496-522): Cloud-Optimized GeoTIFF, 256x256 internal
+tiles, overview pyramid, EPSG:3857.  rasterio is unavailable here, so
+this module writes the TIFF container directly:
+
+* classic little-endian TIFF, one IFD per resolution level, chained
+  (full resolution first, then each overview — the COG IFD layout),
+* tiled layout (TileWidth/TileLength/TileOffsets/TileByteCounts),
+* float64 samples (SampleFormat=IEEEFP), uncompressed (ZSTD needs a
+  codec; compression is a byte-transform slot, not a structure
+  change),
+* GeoTIFF georeferencing tags (ModelPixelScale, ModelTiepoint,
+  GeoKeyDirectory with the EPSG code).
+
+The Spark side (``assemble_cog_tables``) groups blocks per
+(dataset, band) and writes one file per group inside
+``applyInPandas`` — each output is produced by exactly one task,
+blocks arrive via Arrow, and the returned manifest is a DataFrame
+(auditable, joinable).  Output verified structurally by
+tests/test_cogwriter.py with an independent TIFF parser.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import struct
+from collections.abc import Iterable
+
+import numpy as np
+
+TILE = 256
+
+# TIFF tag ids
+T_IMAGE_WIDTH = 256
+T_IMAGE_LENGTH = 257
+T_BITS_PER_SAMPLE = 258
+T_COMPRESSION = 259
+T_PHOTOMETRIC = 262
+T_SAMPLES_PER_PIXEL = 277
+T_TILE_WIDTH = 322
+T_TILE_LENGTH = 323
+T_TILE_OFFSETS = 324
+T_TILE_BYTE_COUNTS = 325
+T_SAMPLE_FORMAT = 339
+T_MODEL_PIXEL_SCALE = 33550
+T_MODEL_TIEPOINT = 33922
+T_GEO_KEY_DIRECTORY = 34735
+
+TYPE_SHORT, TYPE_LONG, TYPE_DOUBLE = 3, 4, 12
+
+
+def _entry(tag: int, typ: int, count: int, value_or_offset: int) -> bytes:
+    return struct.pack("<HHI", tag, typ, count) + struct.pack(
+        "<I", value_or_offset)
+
+
+class _Level:
+    def __init__(self, width: int, height: int,
+                 tiles: dict[tuple[int, int], np.ndarray]):
+        self.width = width
+        self.height = height
+        self.tiles = tiles  # (tx, ty) -> float64 array padded to TILE^2
+
+
+def _pad(tile: np.ndarray, nodata: float) -> np.ndarray:
+    h, w = tile.shape
+    if (h, w) == (TILE, TILE):
+        return tile
+    out = np.full((TILE, TILE), nodata, dtype=np.float64)
+    out[:h, :w] = tile
+    return out
+
+
+def write_geotiff(path: str, levels: list[_Level], epsg: int = 3857,
+                  pixel_scale: tuple[float, float] = (1.0, 1.0),
+                  origin: tuple[float, float] = (0.0, 0.0)) -> int:
+    """Write a multi-level tiled float64 GeoTIFF; returns bytes written."""
+    out = bytearray()
+    out += struct.pack("<2sHI", b"II", 42, 0)   # IFD offset patched later
+
+    # ---- payload: tile data per level (offsets recorded) -----------
+    level_tile_meta: list[list[tuple[int, int]]] = []
+    for lv in levels:
+        metas = []
+        nx = math.ceil(lv.width / TILE)
+        ny = math.ceil(lv.height / TILE)
+        for ty in range(ny):
+            for tx in range(nx):
+                tile = lv.tiles.get((tx, ty))
+                if tile is None:
+                    tile = np.zeros((TILE, TILE), dtype=np.float64)
+                buf = np.ascontiguousarray(tile, dtype="<f8").tobytes()
+                metas.append((len(out), len(buf)))
+                out += buf
+        level_tile_meta.append(metas)
+
+    # ---- geo tag payloads (shared by all IFDs) ---------------------
+    scale_off = len(out)
+    out += struct.pack("<3d", pixel_scale[0], pixel_scale[1], 0.0)
+    tiepoint_off = len(out)
+    out += struct.pack("<6d", 0.0, 0.0, 0.0, origin[0], origin[1], 0.0)
+    geokeys_off = len(out)
+    # version 1.1.0, 3 keys: GTModelType=1 (projected), GTRasterType=1,
+    # ProjectedCSType=epsg
+    out += struct.pack("<16H",
+                       1, 1, 0, 3,
+                       1024, 0, 1, 1,
+                       1025, 0, 1, 1,
+                       3072, 0, 1, epsg)
+
+    # ---- IFDs (chained) --------------------------------------------
+    prev_link_pos = 4                      # header's IFD-offset field
+    for lv, metas in zip(levels, level_tile_meta):
+        n_tiles = len(metas)
+        if n_tiles > 1:
+            offsets_off = len(out)
+            out += b"".join(struct.pack("<I", off) for off, _ in metas)
+            counts_off = len(out)
+            out += b"".join(struct.pack("<I", cnt) for _, cnt in metas)
+        tags = [
+            (T_IMAGE_WIDTH, TYPE_LONG, 1, lv.width),
+            (T_IMAGE_LENGTH, TYPE_LONG, 1, lv.height),
+            (T_BITS_PER_SAMPLE, TYPE_SHORT, 1, 64),
+            (T_COMPRESSION, TYPE_SHORT, 1, 1),
+            (T_PHOTOMETRIC, TYPE_SHORT, 1, 1),
+            (T_SAMPLES_PER_PIXEL, TYPE_SHORT, 1, 1),
+            (T_TILE_WIDTH, TYPE_SHORT, 1, TILE),
+            (T_TILE_LENGTH, TYPE_SHORT, 1, TILE),
+            (T_TILE_OFFSETS, TYPE_LONG, n_tiles,
+             metas[0][0] if n_tiles == 1 else offsets_off),
+            (T_TILE_BYTE_COUNTS, TYPE_LONG, n_tiles,
+             metas[0][1] if n_tiles == 1 else counts_off),
+            (T_SAMPLE_FORMAT, TYPE_SHORT, 1, 3),
+            (T_MODEL_PIXEL_SCALE, TYPE_DOUBLE, 3, scale_off),
+            (T_MODEL_TIEPOINT, TYPE_DOUBLE, 6, tiepoint_off),
+            (T_GEO_KEY_DIRECTORY, TYPE_SHORT, 16, geokeys_off),
+        ]
+        ifd_off = len(out)
+        struct.pack_into("<I", out, prev_link_pos, ifd_off)
+        out += struct.pack("<H", len(tags))
+        for t in sorted(tags):
+            out += _entry(*t)
+        prev_link_pos = len(out)
+        out += struct.pack("<I", 0)        # next-IFD link (patched or 0)
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(out)
+    return len(out)
+
+
+def blocks_to_levels(rows: Iterable, nodata: float = 0.0) -> list[_Level]:
+    """Group raster-block rows (operators/raster.py schema, possibly
+    multiple ``level`` values) into writer levels, padded to TILE."""
+    by_level: dict[int, dict[tuple[int, int], np.ndarray]] = {}
+    dims: dict[int, tuple[int, int]] = {}
+    for r in rows:
+        lvl = int(getattr(r, "level", 0) or 0)
+        arr = np.asarray(r.pixels, dtype=np.float64).reshape(
+            int(r.height), int(r.width))
+        nd = nodata if r.nodata is None else float(r.nodata)
+        by_level.setdefault(lvl, {})[(int(r.block_x), int(r.block_y))] = \
+            _pad(arr, nd)
+        w = int(r.block_x) * TILE + int(r.width)
+        h = int(r.block_y) * TILE + int(r.height)
+        cw, ch = dims.get(lvl, (0, 0))
+        dims[lvl] = (max(cw, w), max(ch, h))
+    return [
+        _Level(dims[lvl][0], dims[lvl][1], by_level[lvl])
+        for lvl in sorted(by_level)
+    ]
+
+
+def assemble_cog_tables(blocks, dst_dir: str, epsg: int = 3857):
+    """Distributed COG assembly: one GeoTIFF per (dataset, band),
+    written by the task holding that group; returns a manifest
+    DataFrame (dataset, band, path, n_levels, n_blocks, file_bytes).
+    """
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(blocks.sparkSession)
+
+    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        dataset = pdf["dataset"].iloc[0]
+        band = int(pdf["band"].iloc[0])
+        rows = list(pdf.itertuples(index=False))
+        levels = blocks_to_levels(rows)
+        safe = str(dataset).replace("/", "_")
+        path = os.path.join(dst_dir, f"{safe}_band{band}.tif")
+        nbytes = write_geotiff(path, levels, epsg=epsg)
+        return pd.DataFrame([{
+            "dataset": dataset, "band": band, "path": path,
+            "n_levels": len(levels), "n_blocks": len(rows),
+            "file_bytes": nbytes,
+        }])
+
+    return blocks.groupBy("dataset", "band").applyInPandas(
+        write_group,
+        "dataset string, band int, path string, n_levels int, "
+        "n_blocks long, file_bytes long")

@@ -159,19 +159,18 @@ def block_audit(blocks: DataFrame) -> DataFrame:
     )
 
 
-def assemble_cog(blocks: DataFrame, dst_dir: str) -> None:
-    """COG assembly sink: streams each (dataset, band) partition into a
-    Cloud-Optimized GeoTIFF via rasterio.
+def assemble_cog(blocks: DataFrame, dst_dir: str) -> DataFrame:
+    """COG assembly sink: one tiled multi-IFD GeoTIFF per
+    (dataset, band), written distributed (one file per task).
 
-    rasterio/GDAL are not available in this environment — the
-    partition-iterator plumbing is the real contract; the byte writer
-    is the stub.
+    Implemented by the pure-python TIFF writer in
+    operators/cogwriter.py (256x256 tiles, overview IFD chain,
+    GeoTIFF keys; layout mirrors ref ingest/config.py:92-103 minus
+    ZSTD — compression slots into the tile byte transform when a
+    codec is available).  Returns the write manifest DataFrame.
     """
-    raise NotImplementedError(
-        "COG byte assembly requires rasterio/GDAL (not installed). "
-        "Planned: blocks.repartition('dataset','band')"
-        ".sortWithinPartitions('level','block_y','block_x')"
-        ".foreachPartition(write_cog) with a rasterio windowed writer; "
-        "layout matches ref ingest/config.py:92-103 (ZSTD, 256x256, "
-        "BIGTIFF, EPSG:3857 WebMercatorQuad)."
+    from geohub_data_pipeline_spark.operators.cogwriter import (
+        assemble_cog_tables,
     )
+
+    return assemble_cog_tables(blocks, dst_dir)

@@ -1,0 +1,112 @@
+"""COG writer tests — verified with an INDEPENDENT minimal TIFF parser
+(not the writer's own code paths)."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+import pytest
+
+from geohub_data_pipeline_spark.operators import cogwriter as CW
+from geohub_data_pipeline_spark.operators import raster as R
+
+
+def parse_tiff(path: str) -> list[dict]:
+    """Minimal independent TIFF reader: returns one dict per IFD."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    assert buf[:4] == b"II\x2a\x00"
+    (ifd_off,) = struct.unpack_from("<I", buf, 4)
+    ifds = []
+    while ifd_off:
+        (n,) = struct.unpack_from("<H", buf, ifd_off)
+        tags = {}
+        for i in range(n):
+            tag, typ, count, val = struct.unpack_from(
+                "<HHII", buf, ifd_off + 2 + 12 * i)
+            tags[tag] = (typ, count, val)
+        ifds.append(tags)
+        (ifd_off,) = struct.unpack_from("<I", buf, ifd_off + 2 + 12 * n)
+
+    out = []
+    for tags in ifds:
+        w = tags[CW.T_IMAGE_WIDTH][2]
+        h = tags[CW.T_IMAGE_LENGTH][2]
+        n_tiles = tags[CW.T_TILE_OFFSETS][1]
+        if n_tiles == 1:
+            offsets = [tags[CW.T_TILE_OFFSETS][2]]
+            counts = [tags[CW.T_TILE_BYTE_COUNTS][2]]
+        else:
+            o = tags[CW.T_TILE_OFFSETS][2]
+            offsets = list(struct.unpack_from(f"<{n_tiles}I", buf, o))
+            c = tags[CW.T_TILE_BYTE_COUNTS][2]
+            counts = list(struct.unpack_from(f"<{n_tiles}I", buf, c))
+        tiles = [
+            np.frombuffer(buf[off:off + cnt], dtype="<f8").reshape(
+                CW.TILE, CW.TILE)
+            for off, cnt in zip(offsets, counts)
+        ]
+        out.append({
+            "width": w, "height": h, "tiles": tiles,
+            "bits": tags[CW.T_BITS_PER_SAMPLE][2],
+            "sample_format": tags[CW.T_SAMPLE_FORMAT][2],
+            "compression": tags[CW.T_COMPRESSION][2],
+            "has_geokeys": CW.T_GEO_KEY_DIRECTORY in tags,
+        })
+    return out
+
+
+def _blocks(spark, grid_w=2, grid_h=2, dataset="r1", band=1):
+    full_w, full_h = grid_w * R.BLOCK - 40, grid_h * R.BLOCK - 96
+    rows = []
+    for by in range(grid_h):
+        for bx in range(grid_w):
+            w = min(R.BLOCK, full_w - bx * R.BLOCK)
+            h = min(R.BLOCK, full_h - by * R.BLOCK)
+            px = [float((by * R.BLOCK + yy) * 1000 + bx * R.BLOCK + xx)
+                  for yy in range(h) for xx in range(w)]
+            rows.append((dataset, None, band, 0, bx, by, w, h, px, 0.0, 3857))
+    return spark.createDataFrame(rows, R.BLOCK_SCHEMA), full_w, full_h
+
+
+def test_assemble_cog_writes_valid_multilevel_tiff(spark, tmp_path):
+    blocks, full_w, full_h = _blocks(spark)
+    pyramid = R.overview_cascade(blocks, levels=1)
+    manifest = CW.assemble_cog_tables(pyramid, str(tmp_path)).collect()
+    assert len(manifest) == 1
+    m = manifest[0]
+    assert m.n_levels == 2 and m.n_blocks == 5
+
+    ifds = parse_tiff(m.path)
+    assert len(ifds) == 2                      # full res + 1 overview
+    full, ovr = ifds
+    assert (full["width"], full["height"]) == (full_w, full_h)
+    assert (ovr["width"], ovr["height"]) == (
+        math.ceil(full_w / 2), math.ceil(full_h / 2))
+    for ifd in ifds:
+        assert ifd["bits"] == 64 and ifd["sample_format"] == 3
+        assert ifd["compression"] == 1 and ifd["has_geokeys"]
+
+    # pixel-level checks against the known pattern v = y*1000 + x
+    t0 = full["tiles"][0]
+    assert t0[0, 0] == 0.0 and t0[10, 7] == 10_007.0
+    # second tile in the row starts at x=256
+    t1 = full["tiles"][1]
+    assert t1[0, 0] == 256.0
+    # overview is the nearest-resampled pattern: (2y)*1000 + 2x
+    o0 = ovr["tiles"][0]
+    assert o0[3, 5] == 6_010.0
+
+
+def test_rgb_dataset_yields_one_file_per_band(spark, tmp_path):
+    b1, *_ = _blocks(spark, dataset="m", band=1)
+    b2, *_ = _blocks(spark, dataset="m", band=2)
+    blocks = b1.unionByName(b2)
+    manifest = {m.band: m for m in
+                CW.assemble_cog_tables(blocks, str(tmp_path)).collect()}
+    assert set(manifest) == {1, 2}
+    assert manifest[1].path != manifest[2].path
+    for m in manifest.values():
+        assert parse_tiff(m.path)[0]["width"] > 0

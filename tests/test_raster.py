@@ -83,7 +83,12 @@ def test_rgb_dispatch(spark):
     assert modes[("photo", 1)] == "rgb_composite"
 
 
-def test_assemble_cog_is_stubbed(spark):
+def test_assemble_cog_writes_manifest(spark, tmp_path):
+    """assemble_cog delegates to the pure-python GeoTIFF writer and
+    returns a manifest row per (dataset, band); structural validation
+    lives in tests/test_cogwriter.py."""
     blocks, *_ = _blocks(spark)
-    with pytest.raises(NotImplementedError):
-        R.assemble_cog(blocks, "/tmp/out")
+    manifest = R.assemble_cog(blocks, str(tmp_path)).collect()
+    assert len(manifest) == 1
+    import os
+    assert os.path.getsize(manifest[0].path) == manifest[0].file_bytes > 0
