@@ -75,16 +75,28 @@ def main(argv: list[str] | None = None) -> int:
         from geohub_data_pipeline_spark.operators import geometry as G
         from geohub_data_pipeline_spark.operators import tiling as TLG
 
+        from pyspark.sql import functions as F
+
+        from geohub_data_pipeline_spark.operators import pmtiles as PMT
+
         feats = spark.read.parquet(args.src)
         norm = G.normalize_features(feats)
-        tiles = TLG.build_tiles(norm, maxzoom=args.maxzoom)
+        tiles = TLG.build_tiles(norm, maxzoom=args.maxzoom,
+                                simplify_low_zooms=True)
         tiles.write.mode("overwrite").partitionBy("z").parquet(
             f"{args.dst}/tiles")
-        TLG.tile_audit(spark.read.parquet(f"{args.dst}/tiles")) \
+        tiles_back = spark.read.parquet(f"{args.dst}/tiles")
+        TLG.tile_audit(tiles_back) \
             .write.mode("overwrite").parquet(f"{args.dst}/tile_audit")
         G.feature_count_audit(feats, norm, ["dataset", "layer"]) \
             .write.mode("overwrite").parquet(f"{args.dst}/feature_audit")
-        n = spark.read.parquet(f"{args.dst}/tiles").count()
+        manifest = PMT.write_pmtiles_tables(
+            tiles_back.withColumn("dataset", F.lit("output")),
+            f"{args.dst}/archives").collect()
+        n = tiles_back.count()
+        for m in manifest:
+            print(f"archive: {m.path} ({m.n_tiles} tiles, "
+                  f"{m.n_layers} layers, z{m.min_zoom}-{m.max_zoom})")
         print(f"wrote {n} tiles to {args.dst}/tiles")
         return 0
     finally:

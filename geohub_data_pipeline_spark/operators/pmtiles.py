@@ -1,0 +1,292 @@
+"""PMTiles v3 archive writer/reader — the reference's primary output.
+
+The reference ships tippecanoe-produced ``.pmtiles`` archives and
+audits them by reading their metadata (ref /root/reference/ingest/
+processing.py:257-265, 349-359; fgb_upload/main.py:54-66).  This
+module writes structurally valid PMTiles v3 archives straight from
+the tile DataFrame (operators/tiling.py) and reads them back:
+
+* 127-byte v3 header (magic ``PMTiles``, version 3),
+* Hilbert-ordered tile ids (the spec's addressing scheme),
+* varint-encoded root directory (delta tile ids, run lengths,
+  lengths, offsets), no leaf directories (fine up to ~16k entries
+  per archive; leaf dirs are an extension point),
+* JSON metadata with ``vector_layers`` (the field the reference's
+  backfill reads, ref fgb_upload/main.py:54-66),
+* internal/tile compression = none (codec slot).
+
+``write_pmtiles_tables`` assembles one archive per dataset inside
+``applyInPandas`` (multi-layer datasets -> one archive listing every
+layer — the T9 joined mode), returning a manifest DataFrame.
+Round-trip verified by tests/test_pmtiles.py with an independent
+parser path (reader vs writer share only the varint helpers).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+
+HEADER_SIZE = 127
+MAGIC = b"PMTiles"
+VERSION = 3
+COMPRESSION_NONE = 1
+TILETYPE_UNKNOWN = 0
+
+
+# ---------------------------------------------------------------------------
+# Hilbert tile addressing (PMTiles tile ids)
+# ---------------------------------------------------------------------------
+
+def _xy2d(z: int, x: int, y: int) -> int:
+    """Hilbert curve distance of (x, y) on a 2^z x 2^z grid."""
+    d = 0
+    s = (1 << z) >> 1
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def _d2xy(z: int, d: int) -> tuple[int, int]:
+    x = y = 0
+    t = d
+    s = 1
+    while s < (1 << z):
+        rx = 1 & (t // 2)
+        ry = 1 & (t ^ rx)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        x += s * rx
+        y += s * ry
+        t //= 4
+        s *= 2
+    return x, y
+
+
+def zxy_to_tileid(z: int, x: int, y: int) -> int:
+    base = ((1 << (2 * z)) - 1) // 3          # sum of 4^i for i < z
+    return base + _xy2d(z, x, y)
+
+
+def tileid_to_zxy(tid: int) -> tuple[int, int, int]:
+    z = 0
+    while ((1 << (2 * (z + 1))) - 1) // 3 <= tid:
+        z += 1
+    x, y = _d2xy(z, tid - ((1 << (2 * z)) - 1) // 3)
+    return z, x, y
+
+
+# ---------------------------------------------------------------------------
+# Varints + directory serialization
+# ---------------------------------------------------------------------------
+
+def _write_varint(out: bytearray, v: int) -> None:
+    while v >= 0x80:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = v = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        v |= (b & 0x7F) << shift
+        if b < 0x80:
+            return v, pos
+        shift += 7
+
+
+def _serialize_directory(entries: list[tuple[int, int, int, int]]) -> bytes:
+    """entries: (tile_id, offset, length, run_length), sorted by id."""
+    out = bytearray()
+    _write_varint(out, len(entries))
+    last = 0
+    for tid, _off, _len, _rl in entries:
+        _write_varint(out, tid - last)
+        last = tid
+    for _tid, _off, _len, rl in entries:
+        _write_varint(out, rl)
+    for _tid, _off, ln, _rl in entries:
+        _write_varint(out, ln)
+    for _tid, off, _ln, _rl in entries:
+        _write_varint(out, off + 1)          # explicit offsets (no 0-chain)
+    return bytes(out)
+
+
+def _parse_directory(buf: bytes) -> list[tuple[int, int, int, int]]:
+    n, pos = _read_varint(buf, 0)
+    tids, rls, lens, offs = [], [], [], []
+    last = 0
+    for _ in range(n):
+        d, pos = _read_varint(buf, pos)
+        last += d
+        tids.append(last)
+    for _ in range(n):
+        v, pos = _read_varint(buf, pos)
+        rls.append(v)
+    for _ in range(n):
+        v, pos = _read_varint(buf, pos)
+        lens.append(v)
+    prev_off = prev_len = 0
+    for i in range(n):
+        v, pos = _read_varint(buf, pos)
+        off = prev_off + prev_len if v == 0 else v - 1
+        offs.append(off)
+        prev_off, prev_len = off, lens[i]
+    return list(zip(tids, offs, lens, rls))
+
+
+# ---------------------------------------------------------------------------
+# Archive write / read
+# ---------------------------------------------------------------------------
+
+def write_pmtiles(path: str, tiles: list[tuple[int, int, int, bytes]],
+                  metadata: dict) -> int:
+    """Write tiles [(z, x, y, payload)] + metadata; returns file size."""
+    keyed = sorted(
+        ((zxy_to_tileid(z, x, y), payload) for z, x, y, payload in tiles))
+    data = bytearray()
+    entries = []
+    contents: dict[bytes, int] = {}
+    for tid, payload in keyed:
+        if payload in contents:               # de-dupe identical tiles
+            off = contents[payload]
+        else:
+            off = len(data)
+            contents[payload] = off
+            data += payload
+        entries.append((tid, off, len(payload), 1))
+
+    root = _serialize_directory(entries)
+    meta = json.dumps(metadata, sort_keys=True).encode()
+
+    zs = [t[0] for t in tiles] or [0]
+    root_off = HEADER_SIZE
+    meta_off = root_off + len(root)
+    tile_off = meta_off + len(meta)
+    header = bytearray(HEADER_SIZE)
+    header[0:7] = MAGIC
+    header[7] = VERSION
+    struct.pack_into("<QQQQQQQQ", header, 8,
+                     root_off, len(root), meta_off, len(meta),
+                     0, 0, tile_off, len(data))
+    struct.pack_into("<QQQ", header, 72,
+                     len(entries), len(entries), len(contents))
+    header[96] = 1                            # clustered
+    header[97] = COMPRESSION_NONE             # internal compression
+    header[98] = COMPRESSION_NONE             # tile compression
+    header[99] = TILETYPE_UNKNOWN
+    header[100] = min(zs)                     # min zoom
+    header[101] = max(zs)                     # max zoom
+    # bounds/center left zeroed (optional for our audits)
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(bytes(header) + root + meta + bytes(data))
+    return HEADER_SIZE + len(root) + len(meta) + len(data)
+
+
+def read_pmtiles(path: str) -> dict:
+    """Read header, metadata, and all tiles (S11/S12 analog)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    if buf[0:7] != MAGIC or buf[7] != VERSION:
+        raise ValueError("not a PMTiles v3 archive")
+    (root_off, root_len, meta_off, meta_len,
+     _leaf_off, _leaf_len, tile_off, tile_len) = struct.unpack_from(
+        "<QQQQQQQQ", buf, 8)
+    n_addressed, n_entries, n_contents = struct.unpack_from("<QQQ", buf, 72)
+    entries = _parse_directory(buf[root_off:root_off + root_len])
+    tiles = {}
+    for tid, off, ln, _rl in entries:
+        z, x, y = tileid_to_zxy(tid)
+        tiles[(z, x, y)] = buf[tile_off + off:tile_off + off + ln]
+    return {
+        "metadata": json.loads(buf[meta_off:meta_off + meta_len]),
+        "tiles": tiles,
+        "min_zoom": buf[100],
+        "max_zoom": buf[101],
+        "n_addressed_tiles": n_addressed,
+        "n_tile_entries": n_entries,
+        "n_tile_contents": n_contents,
+        "clustered": buf[96] == 1,
+    }
+
+
+def pmtiles_layer_names(path: str) -> list[str]:
+    """vector_layers ids (ref fgb_upload/main.py:54-66)."""
+    meta = read_pmtiles(path)["metadata"]
+    return [lyr["id"] for lyr in meta.get("vector_layers", [])]
+
+
+def write_pmtiles_tables(tiles_df, dst_dir: str):
+    """One archive per dataset from a build_tiles output DataFrame
+    (every layer of the dataset in one archive — T9 joined mode);
+    returns a manifest (dataset, path, n_tiles, n_layers, file_bytes,
+    min_zoom, max_zoom)."""
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(tiles_df.sparkSession)
+    if "dataset" not in tiles_df.columns:
+        from pyspark.sql import functions as F
+        tiles_df = tiles_df.withColumn("dataset", F.lit("tiles"))
+
+    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        dataset = pdf["dataset"].iloc[0]
+        layers = sorted(pdf["layer"].unique())
+        # tilestats-style metadata the audits read (T17/S11)
+        meta = {
+            "name": str(dataset),
+            "vector_layers": [{"id": str(l)} for l in layers],
+            "tilestats": {
+                "layerCount": len(layers),
+                "layers": [
+                    {"layer": str(l),
+                     "count": int(pdf[pdf["layer"] == l]["n_features"].sum())}
+                    for l in layers
+                ],
+            },
+        }
+        # one payload per tile id: merge per-layer payloads (tippecanoe
+        # writes one multi-layer MVT per tile; here: one JSON doc with
+        # a "layers" object, layer-name keyed, deterministically sorted)
+        per_tile: dict[tuple[int, int, int], dict] = {}
+        for r in pdf.itertuples(index=False):
+            key = (int(r.z), int(r.x), int(r.y))
+            per_tile.setdefault(key, {})[str(r.layer)] = json.loads(
+                bytes(r.payload))
+        tiles = [
+            (z, x, y,
+             json.dumps({"layers": layer_map}, sort_keys=True,
+                        separators=(",", ":")).encode())
+            for (z, x, y), layer_map in per_tile.items()
+        ]
+        safe = str(dataset).replace("/", "_")
+        path = os.path.join(dst_dir, f"{safe}.pmtiles")
+        nbytes = write_pmtiles(path, tiles, meta)
+        return pd.DataFrame([{
+            "dataset": dataset, "path": path, "n_tiles": len(tiles),
+            "n_layers": len(layers), "file_bytes": nbytes,
+            "min_zoom": int(pdf["z"].min()), "max_zoom": int(pdf["z"].max()),
+        }])
+
+    return tiles_df.groupBy("dataset").applyInPandas(
+        write_group,
+        "dataset string, path string, n_tiles long, n_layers int, "
+        "file_bytes long, min_zoom int, max_zoom int")
