@@ -1,0 +1,43 @@
+"""GeoParquet sink tests (T7's output artifact, Spark-native form)."""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow.parquet as pq
+
+from geohub_data_pipeline_spark.operators import geometry as G
+from geohub_data_pipeline_spark.operators.geoparquet import (
+    write_geoparquet_tables,
+)
+from geohub_data_pipeline_spark.sources import fixtures as FX
+
+
+def test_write_geoparquet_per_layer(spark, tmp_path):
+    feats = FX.vector_features(spark, n_per_layer=20)
+    norm = G.normalize_features(feats)
+    manifest = {(m.dataset, m.layer): m
+                for m in write_geoparquet_tables(
+                    norm, str(tmp_path)).collect()}
+    # one file per surviving layer (nosrid/utm layers dropped upstream)
+    assert ("d1", "points") in manifest and ("d2", "nosrid") not in manifest
+
+    m = manifest[("d1", "points")]
+    table = pq.read_table(m.path)
+    # standardized geo metadata present and well-formed
+    geo = json.loads(table.schema.metadata[b"geo"])
+    assert geo["primary_column"] == "geometry"
+    assert geo["columns"]["geometry"]["encoding"] == "WKB"
+    assert geo["columns"]["geometry"]["geometry_types"] == ["MultiPoint"]
+    bbox = geo["columns"]["geometry"]["bbox"]
+    assert bbox[0] <= bbox[2] and bbox[1] <= bbox[3]
+
+    # WKB payloads parse and row counts match the stage output
+    assert table.num_rows == m.n_features
+    parsed = G.parse_wkb(table["geometry"][0].as_py())
+    assert parsed is not None and parsed["type"] == G.MULTIPOINT
+
+    # and Spark reads it straight back as a plain parquet table
+    back = spark.read.parquet(m.path)
+    assert back.count() == m.n_features
+    assert set(back.columns) == {"fid", "geometry"}
