@@ -1,0 +1,178 @@
+"""Mapbox Vector Tile (MVT 2.1) encoder — pure python, no protobuf lib.
+
+tippecanoe's tile payloads are MVT protobufs (ref /root/reference/
+Dockerfile:1-13 builds tippecanoe; ingest/processing.py:228-311 drives
+it).  This module hand-writes the protobuf wire format:
+
+  Tile        { repeated Layer layers = 3; }
+  Layer       { version = 15 (=2); name = 1; repeated Feature = 2;
+                keys = 3; values = 4; extent = 5 (=4096); }
+  Feature     { id = 1; packed tags = 2; type = 3; packed geometry = 4; }
+
+Geometries are command integers ((id & 7) | count << 3; MoveTo=1,
+LineTo=2, ClosePath=7) with zigzag-encoded coordinate deltas in
+tile-local integer coordinates (extent 4096), exactly per the MVT
+spec.  Input geometry is WKB (operators/geometry.py codec); the
+lon/lat -> tile-local transform is the WebMercator pixel mapping.
+
+Decoded-side verification lives in tests/test_mvt.py with an
+independent minimal protobuf-wire reader.
+"""
+
+from __future__ import annotations
+
+import math
+
+from geohub_data_pipeline_spark.operators import geometry as G
+
+EXTENT = 4096
+
+MOVE_TO, LINE_TO, CLOSE_PATH = 1, 2, 7
+GEOM_POINT, GEOM_LINESTRING, GEOM_POLYGON = 1, 2, 3
+
+_WKB_TO_MVT = {
+    G.POINT: GEOM_POINT, G.MULTIPOINT: GEOM_POINT,
+    G.LINESTRING: GEOM_LINESTRING, G.MULTILINESTRING: GEOM_LINESTRING,
+    G.POLYGON: GEOM_POLYGON, G.MULTIPOLYGON: GEOM_POLYGON,
+}
+
+
+# ---------------------------------------------------------------------------
+# protobuf wire primitives
+# ---------------------------------------------------------------------------
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    while v >= 0x80:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+    return bytes(out)
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63)
+
+
+def _field_varint(num: int, v: int) -> bytes:
+    return _varint(num << 3) + _varint(v)
+
+
+def _field_bytes(num: int, payload: bytes) -> bytes:
+    return _varint((num << 3) | 2) + _varint(len(payload)) + payload
+
+
+# ---------------------------------------------------------------------------
+# coordinate transform: lon/lat -> integer tile-local coordinates
+# ---------------------------------------------------------------------------
+
+def tile_local(lon: float, lat: float, z: int, tx: int, ty: int) -> tuple[int, int]:
+    n = 1 << z
+    wx = (lon + 180.0) / 360.0 * n
+    lat = max(min(lat, 85.051128), -85.051128)
+    rad = math.radians(lat)
+    wy = (1.0 - math.log(math.tan(rad) + 1.0 / math.cos(rad)) / math.pi) \
+        / 2.0 * n
+    px = int(round((wx - tx) * EXTENT))
+    py = int(round((wy - ty) * EXTENT))
+    return px, py
+
+
+# ---------------------------------------------------------------------------
+# geometry command encoding
+# ---------------------------------------------------------------------------
+
+def _cmd(cmd_id: int, count: int) -> int:
+    return (cmd_id & 0x7) | (count << 3)
+
+
+def _encode_rings(parts: list[list[tuple[int, int]]],
+                  close: bool) -> list[int]:
+    """Command stream for multi-part lines (close=False) or rings
+    (close=True); deltas are from the running cursor across parts."""
+    out: list[int] = []
+    cx = cy = 0
+    for pts in parts:
+        if close and len(pts) >= 2 and pts[0] == pts[-1]:
+            pts = pts[:-1]                 # ClosePath replaces closure
+        if len(pts) < (3 if close else 2):
+            continue
+        out.append(_cmd(MOVE_TO, 1))
+        out.append(_zigzag(pts[0][0] - cx))
+        out.append(_zigzag(pts[0][1] - cy))
+        cx, cy = pts[0]
+        out.append(_cmd(LINE_TO, len(pts) - 1))
+        for px, py in pts[1:]:
+            out.append(_zigzag(px - cx))
+            out.append(_zigzag(py - cy))
+            cx, cy = px, py
+        if close:
+            out.append(_cmd(CLOSE_PATH, 1))
+    return out
+
+
+def encode_wkb_geometry(wkb: bytes, z: int, tx: int,
+                        ty: int) -> tuple[int, list[int]] | None:
+    """WKB -> (mvt_geom_type, command integers) in tile-local coords."""
+    parsed = G.parse_wkb(wkb)
+    if parsed is None:
+        return None
+    gtype = _WKB_TO_MVT.get(parsed["type"])
+    if gtype is None:
+        return None
+    parts_px = [
+        [tile_local(p[0], p[1], z, tx, ty)
+         for p in zip(part[0::2], part[1::2])]
+        for part in parsed["parts"]
+    ]
+    if gtype == GEOM_POINT:
+        pts = [pt for part in parts_px for pt in part]
+        cmds = [_cmd(MOVE_TO, len(pts))]
+        cx = cy = 0
+        for px, py in pts:
+            cmds.append(_zigzag(px - cx))
+            cmds.append(_zigzag(py - cy))
+            cx, cy = px, py
+        return gtype, cmds
+    cmds = _encode_rings(parts_px, close=(gtype == GEOM_POLYGON))
+    if not cmds:
+        return None
+    return gtype, cmds
+
+
+# ---------------------------------------------------------------------------
+# tile assembly
+# ---------------------------------------------------------------------------
+
+def encode_feature(fid: int, gtype: int, cmds: list[int]) -> bytes:
+    geom = b"".join(_varint(c) for c in cmds)
+    return (
+        _field_varint(1, fid)
+        + _field_varint(3, gtype)
+        + _field_bytes(4, geom)
+    )
+
+
+def encode_layer(name: str, features: list[bytes]) -> bytes:
+    body = _field_varint(15, 2)                 # version
+    body += _field_bytes(1, name.encode())
+    for f in features:
+        body += _field_bytes(2, f)
+    body += _field_varint(5, EXTENT)
+    return _field_bytes(3, body)                # Tile.layers field
+
+
+def encode_tile(z: int, x: int, y: int,
+                layer_features: dict[str, list[tuple[int, bytes]]]) -> bytes:
+    """layer_features: layer name -> [(fid, wkb)] -> one MVT blob."""
+    out = b""
+    for name in sorted(layer_features):
+        feats = []
+        for fid, wkb in sorted(layer_features[name]):
+            enc = encode_wkb_geometry(bytes(wkb), z, x, y)
+            if enc is None:
+                continue
+            feats.append(encode_feature(fid, enc[0], enc[1]))
+        if feats:
+            out += encode_layer(name, feats)
+    return out

@@ -154,8 +154,11 @@ def _parse_directory(buf: bytes) -> list[tuple[int, int, int, int]]:
 # Archive write / read
 # ---------------------------------------------------------------------------
 
+TILETYPE_MVT = 1
+
+
 def write_pmtiles(path: str, tiles: list[tuple[int, int, int, bytes]],
-                  metadata: dict) -> int:
+                  metadata: dict, tile_type: int = TILETYPE_UNKNOWN) -> int:
     """Write tiles [(z, x, y, payload)] + metadata; returns file size."""
     keyed = sorted(
         ((zxy_to_tileid(z, x, y), payload) for z, x, y, payload in tiles))
@@ -189,7 +192,7 @@ def write_pmtiles(path: str, tiles: list[tuple[int, int, int, bytes]],
     header[96] = 1                            # clustered
     header[97] = COMPRESSION_NONE             # internal compression
     header[98] = COMPRESSION_NONE             # tile compression
-    header[99] = TILETYPE_UNKNOWN
+    header[99] = tile_type
     header[100] = min(zs)                     # min zoom
     header[101] = max(zs)                     # max zoom
     # bounds/center left zeroed (optional for our audits)
@@ -233,11 +236,19 @@ def pmtiles_layer_names(path: str) -> list[str]:
     return [lyr["id"] for lyr in meta.get("vector_layers", [])]
 
 
-def write_pmtiles_tables(tiles_df, dst_dir: str):
+def write_pmtiles_tables(tiles_df, dst_dir: str,
+                         payload_format: str = "json"):
     """One archive per dataset from a build_tiles output DataFrame
     (every layer of the dataset in one archive — T9 joined mode);
     returns a manifest (dataset, path, n_tiles, n_layers, file_bytes,
-    min_zoom, max_zoom)."""
+    min_zoom, max_zoom).
+
+    payload_format: 'json' (audit payloads; layers merged into one
+    JSON doc) or 'mvt' (real vector tiles; multi-layer merge is
+    protobuf message concatenation — an MVT Tile IS repeated Layer
+    fields, so concatenating per-layer blobs yields a valid
+    multi-layer tile).
+    """
     import pandas as pd
 
     from geohub_data_pipeline_spark.session import ship_package
@@ -263,23 +274,30 @@ def write_pmtiles_tables(tiles_df, dst_dir: str):
                 ],
             },
         }
-        # one payload per tile id: merge per-layer payloads (tippecanoe
-        # writes one multi-layer MVT per tile; here: one JSON doc with
-        # a "layers" object, layer-name keyed, deterministically sorted)
+        # one payload per tile id: merge per-layer payloads
         per_tile: dict[tuple[int, int, int], dict] = {}
         for r in pdf.itertuples(index=False):
             key = (int(r.z), int(r.x), int(r.y))
-            per_tile.setdefault(key, {})[str(r.layer)] = json.loads(
-                bytes(r.payload))
-        tiles = [
-            (z, x, y,
-             json.dumps({"layers": layer_map}, sort_keys=True,
-                        separators=(",", ":")).encode())
-            for (z, x, y), layer_map in per_tile.items()
-        ]
+            per_tile.setdefault(key, {})[str(r.layer)] = bytes(r.payload)
+        if payload_format == "mvt":
+            tiles = [
+                (z, x, y,
+                 b"".join(layer_map[k] for k in sorted(layer_map)))
+                for (z, x, y), layer_map in per_tile.items()
+            ]
+        else:
+            tiles = [
+                (z, x, y,
+                 json.dumps({"layers": {k: json.loads(v)
+                                        for k, v in layer_map.items()}},
+                            sort_keys=True,
+                            separators=(",", ":")).encode())
+                for (z, x, y), layer_map in per_tile.items()
+            ]
         safe = str(dataset).replace("/", "_")
         path = os.path.join(dst_dir, f"{safe}.pmtiles")
-        nbytes = write_pmtiles(path, tiles, meta)
+        ttype = TILETYPE_MVT if payload_format == "mvt" else TILETYPE_UNKNOWN
+        nbytes = write_pmtiles(path, tiles, meta, tile_type=ttype)
         return pd.DataFrame([{
             "dataset": dataset, "path": path, "n_tiles": len(tiles),
             "n_layers": len(layers), "file_bytes": nbytes,

@@ -77,12 +77,8 @@ TILE_SCHEMA = ("z int, x long, y long, layer string, n_features long, "
 
 
 def _encode_tile(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Deterministic tile payload: sorted fids + geometry digests.
-
-    A real MVT encoder slots in here unchanged (same grouped-map
-    contract); the engine's correctness surface — which features land
-    in which tile — is identical.
-    """
+    """Deterministic JSON tile payload: sorted fids + geometry digests
+    (cheap, inspection-friendly; the default for audits/tests)."""
     pdf = pdf.sort_values("fid")
     feats = [
         {"fid": int(fid),
@@ -98,6 +94,27 @@ def _encode_tile(pdf: pd.DataFrame) -> pd.DataFrame:
         "x": int(pdf["x"].iloc[0]),
         "y": int(pdf["y"].iloc[0]),
         "layer": pdf["layer"].iloc[0],
+        "n_features": len(pdf),
+        "payload": payload,
+        "payload_hash": hashlib.md5(payload).hexdigest(),
+    }])
+
+
+def _encode_tile_mvt(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Real Mapbox Vector Tile payload (operators/mvt.py) — the
+    renderable byte format tippecanoe emits."""
+    from geohub_data_pipeline_spark.operators import mvt as MVT
+
+    z = int(pdf["z"].iloc[0])
+    x = int(pdf["x"].iloc[0])
+    y = int(pdf["y"].iloc[0])
+    layer = pdf["layer"].iloc[0]
+    payload = MVT.encode_tile(z, x, y, {
+        str(layer): [(int(f), bytes(g))
+                     for f, g in zip(pdf["fid"], pdf["geometry"])]
+    })
+    return pd.DataFrame([{
+        "z": z, "x": x, "y": y, "layer": layer,
         "n_features": len(pdf),
         "payload": payload,
         "payload_hash": hashlib.md5(payload).hexdigest(),
@@ -140,12 +157,15 @@ def _simplify_keyed(keyed: DataFrame,
 def build_tiles(normalized: DataFrame, maxzoom: int | None = None,
                 max_features_per_tile: int = 200_000,
                 simplify_low_zooms: bool = False,
-                full_detail_zoom: int = 10) -> DataFrame:
+                full_detail_zoom: int = 10,
+                encode: str = "json") -> DataFrame:
     """Full tile pyramid from normalize_features output.
 
     maxzoom: fixed, or None for the -zg per-dataset heuristic.
     simplify_low_zooms: apply per-zoom Douglas-Peucker before the tile
     shuffle (tippecanoe --simplify-only-low-zooms).
+    encode: 'json' (audit payloads) or 'mvt' (real Mapbox Vector
+    Tiles, operators/mvt.py).
     """
     from geohub_data_pipeline_spark.session import ship_package
     ship_package(normalized.sparkSession)
@@ -173,8 +193,9 @@ def build_tiles(normalized: DataFrame, maxzoom: int | None = None,
         .filter(F.col("__rank") <= max_features_per_tile)
         .drop("__rank")
     )
+    encoder = _encode_tile_mvt if encode == "mvt" else _encode_tile
     return keyed.groupBy("z", "x", "y", "layer").applyInPandas(
-        _encode_tile, TILE_SCHEMA)
+        encoder, TILE_SCHEMA)
 
 
 def build_tiles_joined(layers: list[DataFrame], **kw) -> DataFrame:

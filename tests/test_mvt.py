@@ -1,0 +1,169 @@
+"""MVT encoder tests — decoded with an independent protobuf-wire
+reader (shares nothing with the encoder)."""
+
+from __future__ import annotations
+
+import math
+
+from geohub_data_pipeline_spark.operators import geometry as G
+from geohub_data_pipeline_spark.operators import mvt as M
+
+
+# ---- independent minimal protobuf-wire decoder ----------------------------
+
+def _read_varint(buf, pos):
+    shift = v = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        v |= (b & 0x7F) << shift
+        if b < 0x80:
+            return v, pos
+        shift += 7
+
+
+def _fields(buf):
+    pos = 0
+    while pos < len(buf):
+        key, pos = _read_varint(buf, pos)
+        num, wt = key >> 3, key & 7
+        if wt == 0:
+            v, pos = _read_varint(buf, pos)
+            yield num, v
+        elif wt == 2:
+            ln, pos = _read_varint(buf, pos)
+            yield num, buf[pos:pos + ln]
+            pos += ln
+        else:
+            raise AssertionError(f"unexpected wire type {wt}")
+
+
+def _unzigzag(v):
+    return (v >> 1) ^ -(v & 1)
+
+
+def decode_tile(buf: bytes) -> dict:
+    layers = {}
+    for num, payload in _fields(buf):
+        assert num == 3
+        name = version = extent = None
+        feats = []
+        for fnum, fval in _fields(payload):
+            if fnum == 1:
+                name = fval.decode()
+            elif fnum == 15:
+                version = fval
+            elif fnum == 5:
+                extent = fval
+            elif fnum == 2:
+                feat = {"id": None, "type": None, "coords": []}
+                for gnum, gval in _fields(fval):
+                    if gnum == 1:
+                        feat["id"] = gval
+                    elif gnum == 3:
+                        feat["type"] = gval
+                    elif gnum == 4:
+                        # decode command stream
+                        pos = 0
+                        cx = cy = 0
+                        paths = []
+                        cur = None
+                        while pos < len(gval):
+                            cmd, pos = _read_varint(gval, pos)
+                            cid, cnt = cmd & 7, cmd >> 3
+                            if cid == M.MOVE_TO:
+                                for _ in range(cnt):
+                                    dx, pos = _read_varint(gval, pos)
+                                    dy, pos = _read_varint(gval, pos)
+                                    cx += _unzigzag(dx)
+                                    cy += _unzigzag(dy)
+                                    cur = [(cx, cy)]
+                                    paths.append(cur)
+                            elif cid == M.LINE_TO:
+                                for _ in range(cnt):
+                                    dx, pos = _read_varint(gval, pos)
+                                    dy, pos = _read_varint(gval, pos)
+                                    cx += _unzigzag(dx)
+                                    cy += _unzigzag(dy)
+                                    cur.append((cx, cy))
+                            elif cid == M.CLOSE_PATH:
+                                cur.append(cur[0])
+                            else:
+                                raise AssertionError(f"bad cmd {cid}")
+                        feat["coords"] = paths
+                feats.append(feat)
+        layers[name] = {"version": version, "extent": extent,
+                        "features": feats}
+    return layers
+
+
+# ---- tests ----------------------------------------------------------------
+
+def test_point_roundtrip_position():
+    lon, lat = 11.3, 47.7
+    z, x, y = 6, 34, 22
+    payload = M.encode_tile(z, x, y, {"pts": [(7, G.wkb_point(lon, lat))]})
+    decoded = decode_tile(payload)
+    layer = decoded["pts"]
+    assert layer["version"] == 2 and layer["extent"] == M.EXTENT
+    f = layer["features"][0]
+    assert f["id"] == 7 and f["type"] == M.GEOM_POINT
+    (px, py) = f["coords"][0][0]
+    assert (px, py) == M.tile_local(lon, lat, z, x, y)
+    # sanity of the transform itself (inside-tile point -> [0, extent))
+    n = 1 << z
+    assert math.floor((lon + 180) / 360 * n) == x
+    assert 0 <= px < M.EXTENT
+
+
+def test_linestring_and_polygon_commands():
+    z, x, y = 2, 2, 1
+    line = G.wkb_linestring([(10.0, 10.0), (12.0, 12.0), (15.0, 11.0)])
+    ring = [(10.0, 10.0), (14.0, 10.0), (14.0, 14.0), (10.0, 14.0),
+            (10.0, 10.0)]
+    poly = G.wkb_polygon([ring])
+    payload = M.encode_tile(z, x, y, {
+        "lines": [(1, line)], "polys": [(2, poly)]})
+    decoded = decode_tile(payload)
+
+    lf = decoded["lines"]["features"][0]
+    assert lf["type"] == M.GEOM_LINESTRING
+    assert len(lf["coords"][0]) == 3
+
+    pf = decoded["polys"]["features"][0]
+    assert pf["type"] == M.GEOM_POLYGON
+    # ClosePath re-closed the ring: first == last, 4 distinct vertices
+    coords = pf["coords"][0]
+    assert coords[0] == coords[-1]
+    assert len(coords) == 5
+
+
+def test_multipolygon_and_empty_dropped():
+    z, x, y = 1, 1, 0
+    payload = M.encode_tile(z, x, y, {
+        "l": [(1, G.wkb_point(90.0, 40.0)), (2, b"\x01\xff")]})
+    decoded = decode_tile(payload)
+    assert len(decoded["l"]["features"]) == 1   # garbage WKB dropped
+
+
+def test_build_tiles_mvt_end_to_end(spark):
+    from pyspark.sql import functions as F
+
+    from geohub_data_pipeline_spark.operators import pmtiles as P
+    from geohub_data_pipeline_spark.operators import tiling as TLG
+
+    feats = spark.createDataFrame(
+        [("d", "roads", i, G.wkb_point(-120.0 + i * 10, 30.0 + i), 4326)
+         for i in range(6)],
+        "dataset string, layer string, fid long, geometry binary, srid int")
+    tiles = TLG.build_tiles(G.normalize_features(feats), maxzoom=2,
+                            encode="mvt")
+    rows = tiles.collect()
+    assert all(len(bytes(r.payload)) > 0 for r in rows)
+    z0 = next(r for r in rows if r.z == 0)
+    decoded = decode_tile(bytes(z0.payload))
+    assert [f["id"] for f in decoded["roads"]["features"]] == list(range(6))
+    # every decoded point is inside the tile-local coordinate space
+    for f in decoded["roads"]["features"]:
+        (px, py) = f["coords"][0][0]
+        assert -M.EXTENT <= px <= 2 * M.EXTENT   # small buffer allowed

@@ -80,3 +80,28 @@ def test_spark_tiles_to_archive(spark, tmp_path):
     z0 = json.loads(back["tiles"][(0, 0, 0)])
     assert set(z0["layers"]) == {"roads", "zones"}
     assert len(z0["layers"]["roads"]["features"]) == 8
+
+
+def test_mvt_pmtiles_archive(spark, tmp_path):
+    """Full renderable path: WKB -> MVT tiles -> PMTiles(type=MVT);
+    multi-layer tiles decode with both layers present."""
+    from tests.test_mvt import decode_tile
+
+    rows = [("d2", layer, i + off,
+             G.wkb_point(-60.0 + i * 15.0, -20.0 + i * 8.0), 4326)
+            for layer, off in (("roads", 0), ("pois", 50))
+            for i in range(5)]
+    feats = spark.createDataFrame(
+        rows, "dataset string, layer string, fid long, geometry binary, "
+              "srid int")
+    tiles = TLG.build_tiles(G.normalize_features(feats), maxzoom=2,
+                            encode="mvt").withColumn("dataset", F.lit("d2"))
+    m = P.write_pmtiles_tables(tiles, str(tmp_path),
+                               payload_format="mvt").collect()[0]
+    back = P.read_pmtiles(m.path)
+    decoded = decode_tile(back["tiles"][(0, 0, 0)])
+    assert set(decoded) == {"pois", "roads"}
+    assert len(decoded["roads"]["features"]) == 5
+    assert len(decoded["pois"]["features"]) == 5
+    with open(m.path, "rb") as f:
+        assert f.read()[99] == 1     # header tile_type = MVT
