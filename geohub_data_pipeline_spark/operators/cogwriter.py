@@ -27,11 +27,14 @@ from __future__ import annotations
 import math
 import os
 import struct
+import zlib
 from collections.abc import Iterable
 
 import numpy as np
 
 TILE = 256
+COMPRESSION_NONE = 1
+COMPRESSION_DEFLATE = 8        # Adobe deflate (zlib)
 
 # TIFF tag ids
 T_IMAGE_WIDTH = 256
@@ -76,8 +79,15 @@ def _pad(tile: np.ndarray, nodata: float) -> np.ndarray:
 
 def write_geotiff(path: str, levels: list[_Level], epsg: int = 3857,
                   pixel_scale: tuple[float, float] = (1.0, 1.0),
-                  origin: tuple[float, float] = (0.0, 0.0)) -> int:
-    """Write a multi-level tiled float64 GeoTIFF; returns bytes written."""
+                  origin: tuple[float, float] = (0.0, 0.0),
+                  compress: bool = True) -> int:
+    """Write a multi-level tiled float64 GeoTIFF; returns bytes written.
+
+    compress=True deflate-compresses each tile (TIFF compression 8 —
+    the stdlib stand-in for the reference's ZSTD profile,
+    ref ingest/config.py:92-101).
+    """
+    compression = COMPRESSION_DEFLATE if compress else COMPRESSION_NONE
     out = bytearray()
     out += struct.pack("<2sHI", b"II", 42, 0)   # IFD offset patched later
 
@@ -93,6 +103,8 @@ def write_geotiff(path: str, levels: list[_Level], epsg: int = 3857,
                 if tile is None:
                     tile = np.zeros((TILE, TILE), dtype=np.float64)
                 buf = np.ascontiguousarray(tile, dtype="<f8").tobytes()
+                if compress:
+                    buf = zlib.compress(buf, 6)
                 metas.append((len(out), len(buf)))
                 out += buf
         level_tile_meta.append(metas)
@@ -124,7 +136,7 @@ def write_geotiff(path: str, levels: list[_Level], epsg: int = 3857,
             (T_IMAGE_WIDTH, TYPE_LONG, 1, lv.width),
             (T_IMAGE_LENGTH, TYPE_LONG, 1, lv.height),
             (T_BITS_PER_SAMPLE, TYPE_SHORT, 1, 64),
-            (T_COMPRESSION, TYPE_SHORT, 1, 1),
+            (T_COMPRESSION, TYPE_SHORT, 1, compression),
             (T_PHOTOMETRIC, TYPE_SHORT, 1, 1),
             (T_SAMPLES_PER_PIXEL, TYPE_SHORT, 1, 1),
             (T_TILE_WIDTH, TYPE_SHORT, 1, TILE),

@@ -24,6 +24,7 @@ parser path (reader vs writer share only the varint helpers).
 
 from __future__ import annotations
 
+import gzip
 import json
 import os
 import struct
@@ -32,7 +33,12 @@ HEADER_SIZE = 127
 MAGIC = b"PMTiles"
 VERSION = 3
 COMPRESSION_NONE = 1
+COMPRESSION_GZIP = 2
 TILETYPE_UNKNOWN = 0
+
+
+def _gzip(data: bytes) -> bytes:
+    return gzip.compress(data, mtime=0)       # mtime=0: deterministic bytes
 
 
 # ---------------------------------------------------------------------------
@@ -158,24 +164,31 @@ TILETYPE_MVT = 1
 
 
 def write_pmtiles(path: str, tiles: list[tuple[int, int, int, bytes]],
-                  metadata: dict, tile_type: int = TILETYPE_UNKNOWN) -> int:
-    """Write tiles [(z, x, y, payload)] + metadata; returns file size."""
+                  metadata: dict, tile_type: int = TILETYPE_UNKNOWN,
+                  compress: bool = True) -> int:
+    """Write tiles [(z, x, y, payload)] + metadata; returns file size.
+
+    compress=True gzips tiles, directory, and metadata (spec
+    compression id 2) — the layout real PMTiles archives use.
+    """
+    codec = _gzip if compress else (lambda b: b)
     keyed = sorted(
         ((zxy_to_tileid(z, x, y), payload) for z, x, y, payload in tiles))
     data = bytearray()
     entries = []
     contents: dict[bytes, int] = {}
     for tid, payload in keyed:
-        if payload in contents:               # de-dupe identical tiles
-            off = contents[payload]
+        blob = codec(payload)
+        if blob in contents:                  # de-dupe identical tiles
+            off, ln = contents[blob]
         else:
-            off = len(data)
-            contents[payload] = off
-            data += payload
-        entries.append((tid, off, len(payload), 1))
+            off, ln = len(data), len(blob)
+            contents[blob] = (off, ln)
+            data += blob
+        entries.append((tid, off, ln, 1))
 
-    root = _serialize_directory(entries)
-    meta = json.dumps(metadata, sort_keys=True).encode()
+    root = codec(_serialize_directory(entries))
+    meta = codec(json.dumps(metadata, sort_keys=True).encode())
 
     zs = [t[0] for t in tiles] or [0]
     root_off = HEADER_SIZE
@@ -189,9 +202,10 @@ def write_pmtiles(path: str, tiles: list[tuple[int, int, int, bytes]],
                      0, 0, tile_off, len(data))
     struct.pack_into("<QQQ", header, 72,
                      len(entries), len(entries), len(contents))
+    comp = COMPRESSION_GZIP if compress else COMPRESSION_NONE
     header[96] = 1                            # clustered
-    header[97] = COMPRESSION_NONE             # internal compression
-    header[98] = COMPRESSION_NONE             # tile compression
+    header[97] = comp                         # internal compression
+    header[98] = comp                         # tile compression
     header[99] = tile_type
     header[100] = min(zs)                     # min zoom
     header[101] = max(zs)                     # max zoom
@@ -213,13 +227,21 @@ def read_pmtiles(path: str) -> dict:
      _leaf_off, _leaf_len, tile_off, tile_len) = struct.unpack_from(
         "<QQQQQQQQ", buf, 8)
     n_addressed, n_entries, n_contents = struct.unpack_from("<QQQ", buf, 72)
-    entries = _parse_directory(buf[root_off:root_off + root_len])
+    internal_comp, tile_comp = buf[97], buf[98]
+
+    def _un(blob: bytes, comp: int) -> bytes:
+        return gzip.decompress(blob) if comp == COMPRESSION_GZIP else blob
+
+    entries = _parse_directory(
+        _un(buf[root_off:root_off + root_len], internal_comp))
     tiles = {}
     for tid, off, ln, _rl in entries:
         z, x, y = tileid_to_zxy(tid)
-        tiles[(z, x, y)] = buf[tile_off + off:tile_off + off + ln]
+        tiles[(z, x, y)] = _un(
+            buf[tile_off + off:tile_off + off + ln], tile_comp)
     return {
-        "metadata": json.loads(buf[meta_off:meta_off + meta_len]),
+        "metadata": json.loads(
+            _un(buf[meta_off:meta_off + meta_len], internal_comp)),
         "tiles": tiles,
         "min_zoom": buf[100],
         "max_zoom": buf[101],

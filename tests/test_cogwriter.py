@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import math
 import struct
+import zlib
 
 import numpy as np
 import pytest
@@ -43,10 +44,15 @@ def parse_tiff(path: str) -> list[dict]:
             offsets = list(struct.unpack_from(f"<{n_tiles}I", buf, o))
             c = tags[CW.T_TILE_BYTE_COUNTS][2]
             counts = list(struct.unpack_from(f"<{n_tiles}I", buf, c))
-        tiles = [
-            np.frombuffer(buf[off:off + cnt], dtype="<f8").reshape(
-                CW.TILE, CW.TILE)
+        comp = tags[CW.T_COMPRESSION][2]
+        raw = [
+            zlib.decompress(buf[off:off + cnt]) if comp == 8
+            else buf[off:off + cnt]
             for off, cnt in zip(offsets, counts)
+        ]
+        tiles = [
+            np.frombuffer(t, dtype="<f8").reshape(CW.TILE, CW.TILE)
+            for t in raw
         ]
         out.append({
             "width": w, "height": h, "tiles": tiles,
@@ -87,7 +93,7 @@ def test_assemble_cog_writes_valid_multilevel_tiff(spark, tmp_path):
         math.ceil(full_w / 2), math.ceil(full_h / 2))
     for ifd in ifds:
         assert ifd["bits"] == 64 and ifd["sample_format"] == 3
-        assert ifd["compression"] == 1 and ifd["has_geokeys"]
+        assert ifd["compression"] == 8 and ifd["has_geokeys"]
 
     # pixel-level checks against the known pattern v = y*1000 + x
     t0 = full["tiles"][0]
