@@ -82,7 +82,7 @@ def main(argv: list[str] | None = None) -> int:
         feats = spark.read.parquet(args.src)
         norm = G.normalize_features(feats)
         tiles = TLG.build_tiles(norm, maxzoom=args.maxzoom,
-                                simplify_low_zooms=True)
+                                simplify_low_zooms=True, encode="mvt")
         tiles.write.mode("overwrite").partitionBy("z").parquet(
             f"{args.dst}/tiles")
         tiles_back = spark.read.parquet(f"{args.dst}/tiles")
@@ -92,7 +92,7 @@ def main(argv: list[str] | None = None) -> int:
             .write.mode("overwrite").parquet(f"{args.dst}/feature_audit")
         manifest = PMT.write_pmtiles_tables(
             tiles_back.withColumn("dataset", F.lit("output")),
-            f"{args.dst}/archives").collect()
+            f"{args.dst}/archives", payload_format="mvt").collect()
         n = tiles_back.count()
         for m in manifest:
             print(f"archive: {m.path} ({m.n_tiles} tiles, "
