@@ -8,9 +8,11 @@ the tile DataFrame (operators/tiling.py) and reads them back:
 
 * 127-byte v3 header (magic ``PMTiles``, version 3),
 * Hilbert-ordered tile ids (the spec's addressing scheme),
-* varint-encoded root directory (delta tile ids, run lengths,
-  lengths, offsets), no leaf directories (fine up to ~16k entries
-  per archive; leaf dirs are an extension point),
+* varint-encoded directories (delta tile ids, run lengths, lengths,
+  offsets) with run-length coalescing of identical consecutive tiles
+  and automatic leaf-directory spill once the root would exceed the
+  spec's 16 KiB header+root budget (entries with run_length == 0 in
+  the root point into the leaf section),
 * JSON metadata with ``vector_layers`` (the field the reference's
   backfill reads, ref fgb_upload/main.py:54-66),
 * internal/tile compression = none (codec slot).
@@ -156,6 +158,38 @@ def _parse_directory(buf: bytes) -> list[tuple[int, int, int, int]]:
     return list(zip(tids, offs, lens, rls))
 
 
+# Spec guidance: header + root directory should fit the first 16 KiB so
+# clients resolve any tile in at most 2 ranged reads (root -> leaf).
+ROOT_DIR_BUDGET = 16384 - HEADER_SIZE
+
+
+def _split_directories(entries, codec):
+    """(root_blob, leaf_section_bytes, n_tile_entries).
+
+    Root-only while it fits ROOT_DIR_BUDGET; otherwise chunk the tile
+    entries into leaf directories (doubling the chunk size until the
+    root of leaf pointers fits).  Root leaf-pointer entries carry
+    run_length == 0 with (offset, length) into the leaf section —
+    the spec's discriminator for "points at a leaf directory".
+    """
+    root = codec(_serialize_directory(entries))
+    if len(root) <= ROOT_DIR_BUDGET:
+        return root, b"", len(entries)
+    leaf_size = 4096
+    while True:
+        root_entries: list[tuple[int, int, int, int]] = []
+        leaves = bytearray()
+        for i in range(0, len(entries), leaf_size):
+            chunk = entries[i:i + leaf_size]
+            blob = codec(_serialize_directory(chunk))
+            root_entries.append((chunk[0][0], len(leaves), len(blob), 0))
+            leaves += blob
+        root = codec(_serialize_directory(root_entries))
+        if len(root) <= ROOT_DIR_BUDGET or leaf_size >= len(entries):
+            return root, bytes(leaves), len(entries)
+        leaf_size *= 2
+
+
 # ---------------------------------------------------------------------------
 # Archive write / read
 # ---------------------------------------------------------------------------
@@ -175,7 +209,7 @@ def write_pmtiles(path: str, tiles: list[tuple[int, int, int, bytes]],
     keyed = sorted(
         ((zxy_to_tileid(z, x, y), payload) for z, x, y, payload in tiles))
     data = bytearray()
-    entries = []
+    entries: list[tuple[int, int, int, int]] = []
     contents: dict[bytes, int] = {}
     for tid, payload in keyed:
         blob = codec(payload)
@@ -185,23 +219,29 @@ def write_pmtiles(path: str, tiles: list[tuple[int, int, int, bytes]],
             off, ln = len(data), len(blob)
             contents[blob] = (off, ln)
             data += blob
+        if entries:                           # run-length coalescing:
+            ptid, poff, pln, prl = entries[-1]
+            if tid == ptid + prl and (off, ln) == (poff, pln):
+                entries[-1] = (ptid, poff, pln, prl + 1)
+                continue
         entries.append((tid, off, ln, 1))
 
-    root = codec(_serialize_directory(entries))
+    root, leaves, n_tile_entries = _split_directories(entries, codec)
     meta = codec(json.dumps(metadata, sort_keys=True).encode())
 
     zs = [t[0] for t in tiles] or [0]
     root_off = HEADER_SIZE
     meta_off = root_off + len(root)
-    tile_off = meta_off + len(meta)
+    leaf_off = meta_off + len(meta)
+    tile_off = leaf_off + len(leaves)
     header = bytearray(HEADER_SIZE)
     header[0:7] = MAGIC
     header[7] = VERSION
     struct.pack_into("<QQQQQQQQ", header, 8,
                      root_off, len(root), meta_off, len(meta),
-                     0, 0, tile_off, len(data))
+                     leaf_off, len(leaves), tile_off, len(data))
     struct.pack_into("<QQQ", header, 72,
-                     len(entries), len(entries), len(contents))
+                     len(keyed), n_tile_entries, len(contents))
     comp = COMPRESSION_GZIP if compress else COMPRESSION_NONE
     header[96] = 1                            # clustered
     header[97] = comp                         # internal compression
@@ -213,8 +253,8 @@ def write_pmtiles(path: str, tiles: list[tuple[int, int, int, bytes]],
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "wb") as f:
-        f.write(bytes(header) + root + meta + bytes(data))
-    return HEADER_SIZE + len(root) + len(meta) + len(data)
+        f.write(bytes(header) + root + meta + leaves + bytes(data))
+    return HEADER_SIZE + len(root) + len(meta) + len(leaves) + len(data)
 
 
 def read_pmtiles(path: str) -> dict:
@@ -224,7 +264,7 @@ def read_pmtiles(path: str) -> dict:
     if buf[0:7] != MAGIC or buf[7] != VERSION:
         raise ValueError("not a PMTiles v3 archive")
     (root_off, root_len, meta_off, meta_len,
-     _leaf_off, _leaf_len, tile_off, tile_len) = struct.unpack_from(
+     leaf_off, _leaf_len, tile_off, tile_len) = struct.unpack_from(
         "<QQQQQQQQ", buf, 8)
     n_addressed, n_entries, n_contents = struct.unpack_from("<QQQ", buf, 72)
     internal_comp, tile_comp = buf[97], buf[98]
@@ -232,13 +272,24 @@ def read_pmtiles(path: str) -> dict:
     def _un(blob: bytes, comp: int) -> bytes:
         return gzip.decompress(blob) if comp == COMPRESSION_GZIP else blob
 
-    entries = _parse_directory(
-        _un(buf[root_off:root_off + root_len], internal_comp))
     tiles = {}
-    for tid, off, ln, _rl in entries:
-        z, x, y = tileid_to_zxy(tid)
-        tiles[(z, x, y)] = _un(
-            buf[tile_off + off:tile_off + off + ln], tile_comp)
+
+    def _walk(entries, depth=0):
+        for tid, off, ln, rl in entries:
+            if rl == 0:                       # leaf-directory pointer
+                if depth:
+                    raise ValueError("nested leaf directories")
+                _walk(_parse_directory(
+                    _un(buf[leaf_off + off:leaf_off + off + ln],
+                        internal_comp)), depth + 1)
+                continue
+            for k in range(rl):               # run-length expansion
+                z, x, y = tileid_to_zxy(tid + k)
+                tiles[(z, x, y)] = _un(
+                    buf[tile_off + off:tile_off + off + ln], tile_comp)
+
+    _walk(_parse_directory(
+        _un(buf[root_off:root_off + root_len], internal_comp)))
     return {
         "metadata": json.loads(
             _un(buf[meta_off:meta_off + meta_len], internal_comp)),

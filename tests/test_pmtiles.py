@@ -105,3 +105,45 @@ def test_mvt_pmtiles_archive(spark, tmp_path):
     assert len(decoded["pois"]["features"]) == 5
     with open(m.path, "rb") as f:
         assert f.read()[99] == 1     # header tile_type = MVT
+
+
+def test_run_length_coalescing(tmp_path):
+    """Dense identical tiles collapse to one directory entry + one
+    content blob; reader expands the run back out."""
+    tiles = [(6, x, y, b"SAME") for x in range(64) for y in range(64)]
+    path = str(tmp_path / "run.pmtiles")
+    P.write_pmtiles(path, tiles, {"name": "run"})
+    back = P.read_pmtiles(path)
+    assert back["n_addressed_tiles"] == 4096
+    assert back["n_tile_entries"] == 1
+    assert back["n_tile_contents"] == 1
+    assert len(back["tiles"]) == 4096
+    assert all(v == b"SAME" for v in back["tiles"].values())
+
+
+def test_leaf_directory_spill(tmp_path):
+    """Archives whose root directory would exceed the 16 KiB budget
+    spill into leaf directories; reader follows the rl==0 pointers."""
+    import struct
+
+    tiles = []
+    for z in (8, 9):
+        n = 2 ** z
+        for x in range(0, n, 3):
+            for y in range(0, n, 5):
+                # (x+y)%4 pattern: mix of shared and unique payloads
+                payload = (b"COMMON" if (x + y) % 4
+                           else f"{z}/{x}/{y}".encode())
+                tiles.append((z, x, y, payload))
+    assert len(tiles) > 20000
+    path = str(tmp_path / "big.pmtiles")
+    P.write_pmtiles(path, tiles, {"name": "big"})
+    buf = open(path, "rb").read()
+    root_off, root_len, _, _, leaf_off, leaf_len, _, _ = \
+        struct.unpack_from("<QQQQQQQQ", buf, 8)
+    assert root_len <= 16384 - P.HEADER_SIZE
+    assert leaf_len > 0
+    back = P.read_pmtiles(path)
+    assert len(back["tiles"]) == len(tiles)
+    for z, x, y, payload in tiles:
+        assert back["tiles"][(z, x, y)] == payload
