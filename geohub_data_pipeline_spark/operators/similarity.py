@@ -40,28 +40,73 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k per query (broadcast-queries pattern).
 
-    Rank key is (rounded cosine desc, neighbor id) — fully
-    deterministic under floating-point ties.
+    The query set (small by contract) is collected and shipped inside
+    an Arrow-batched ``mapInPandas`` kernel; each corpus partition
+    computes every (query, candidate) cosine in numpy and emits only
+    its partition-local top-k per query (plus rounded-score boundary
+    ties).  The final exact rank — (rounded cosine desc, neighbor id),
+    fully deterministic under floating-point ties — runs in Spark over
+    ``n_partitions * |queries| * ~k`` rows instead of
+    ``|queries| * |corpus|``.
+
+    Bit-exactness with the sequential-fold oracle: dot products and
+    norms use ``np.cumsum`` (``np.add.accumulate`` — a strictly
+    sequential left fold, unlike ``np.sum``/BLAS pairwise order), so
+    every double matches functions/vectors.dot and DuckDB
+    ``list_reduce`` bit for bit.
+
+    Scale: the 100 TB corpus is scanned once, never shuffled; only the
+    partial top-k rows move.  Right answer up to ~10^4 queries.
     """
-    c = with_norm(corpus, vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        F.col("__norm").alias("__cn"),
-    )
-    q = with_norm(queries, vec_col).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        F.col("__norm").alias("__qn"),
-    )
-    pairs = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-    scored = pairs.select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            V.cosine(F.col("__qv"), F.col("__cv"),
-                     F.col("__qn"), F.col("__cn")),
-            round_digits,
-        ).alias("cos_sim"),
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = [int(r[0]) for r in qrows]
+    q_mat = [[float(x) for x in r[1]] for r in qrows]
+    rd = round_digits
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+        if not q_ids:
+            return
+        Q = np.asarray(q_mat, dtype=np.float64)
+        qid = np.asarray(q_ids, dtype=np.int64)
+        qn = np.sqrt(np.cumsum(Q * Q, axis=1)[:, -1])
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            cid = pdf[id_col].to_numpy(np.int64)
+            cn = np.sqrt(np.cumsum(C * C, axis=1)[:, -1])
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(qid)):
+                s = np.cumsum(C * Q[j], axis=1)[:, -1] / (cn * qn[j])
+                mask = cid != qid[j]
+                s_m, id_m = s[mask], cid[mask]
+                r = np.round(s_m, rd)
+                order = np.lexsort((id_m, -r))
+                if len(order) > k:
+                    keep, rest = order[:k], order[k:]
+                    # keep rounded-score ties at the cut so the exact
+                    # global rank below sees every contender
+                    keep = np.concatenate(
+                        [keep, rest[r[rest] == r[keep[-1]]]])
+                else:
+                    keep = order
+                out_q.append(np.full(len(keep), qid[j]))
+                out_n.append(id_m[keep])
+                out_s.append(s_m[keep])
+            yield pd.DataFrame({
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "__raw": np.concatenate(out_s),
+            })
+
+    scored = (
+        corpus.select(id_col, vec_col)
+        .mapInPandas(score, "query_id long, neighbor_id long, __raw double")
+        .select("query_id", "neighbor_id",
+                F.round("__raw", rd).alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id"))

@@ -227,23 +227,38 @@ ORDER BY revenue DESC, n.n_name
 def join_multiway_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped 6-way join, local-supplier revenue by nation.
 
-    Scale: region/nation/supplier/customer are broadcast — the only
-    shuffle left is lineitem->orders; with both bucketed by orderkey
-    even that disappears.  The ASIA filter is pushed below the joins
-    by Catalyst.
+    Plan shape: the selective dimension chain is applied first —
+    region(ASIA) -> nation -> customer (all broadcast) filters
+    ``orders`` to ~1/5 *before* the fact table joins it, so the big
+    side (lineitem, the 100 TB table) joins an already-reduced build
+    side and is never shuffled.  Spark without CBO keeps the written
+    join order, so the filter-first ordering is stated explicitly
+    (DuckDB's optimizer derives the same shape itself).
+
+    Scale: the broadcast of the filtered orders holds while
+    selectivity x |orders| fits the broadcast threshold; beyond that,
+    drop the hint and AQE picks shuffle-hash on orderkey — with
+    lineitem and orders bucketed by orderkey the shuffle disappears
+    entirely.
     """
     t = load_tables(spark, sf_dir)
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    asia_cust = (
+        t.customer
+        .join(F.broadcast(t.nation),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t.region.filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    orders_asia = t.orders.join(
+        F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
     return (
         t.lineitem
-        .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(orders_asia),
+              F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(t.supplier),
               (F.col("l_suppkey") == F.col("s_suppkey"))
               & (F.col("s_nationkey") == F.col("c_nationkey")))
-        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
-        .filter(F.col("r_name") == "ASIA")
         .groupBy("n_name")
         .agg(dsum(revenue, 6).alias("revenue"),
              F.count(F.lit(1)).alias("n_items"))

@@ -6,9 +6,9 @@ lineitem events documents embeddings — one parquet file per table under
 
 Scale note: each ``load_table`` is a plain ``spark.read.parquet`` so
 Catalyst keeps predicate pushdown / column pruning / partition pruning;
-never materialize or cache here.  At 100 TB these would be directories
-of many files (possibly partitioned); the API is path-based so nothing
-changes.
+never materialize data here (the only caching is of lazy logical
+plans).  At 100 TB these would be directories of many files (possibly
+partitioned); the API is path-based so nothing changes.
 """
 
 from __future__ import annotations
@@ -32,6 +32,15 @@ TABLES = (
 )
 
 
+# (appId, sf_dir, table) -> DataFrame.  A DataFrame is an immutable
+# *logical plan*, not data: caching it skips the ~100 ms JVM file
+# listing + footer/schema read that `spark.read.parquet` pays per call,
+# while predicate pushdown / column pruning still happen per query on
+# top of the cached scan node.  Keyed by applicationId so a restarted
+# session (new JVM context) never sees plans bound to a dead one.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one harness table; normalizes the events nanosecond timestamp.
 
@@ -42,10 +51,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     double division would lose precision above 2**53 ns) to a
     microsecond timestamp, matching DuckDB's ns->µs truncation.
     """
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     configure(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _TABLE_CACHE[key] = df
     return df
 
 
@@ -88,8 +102,13 @@ def events_time_range(spark: SparkSession, sf_dir: str,
     """
     import datetime as _dt
 
-    configure(spark)
-    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"),
+           "__events_raw")
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        configure(spark)
+        df = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+        _TABLE_CACHE[key] = df
 
     def nanos(s: str) -> int:
         dt = _dt.datetime.fromisoformat(s).replace(tzinfo=_dt.timezone.utc)

@@ -53,10 +53,15 @@ def test_range_join_is_hash_not_nested_loop(spark, sf_dir):
 
 
 def test_ann_corpus_not_shuffled(spark, sf_dir):
-    """Brute-force ANN must broadcast queries; the corpus side only
-    shuffles for the final per-query ranking window."""
+    """Brute-force ANN ships queries inside the scoring kernel; the
+    corpus is scanned once, and the only shuffle is the final
+    per-query ranking window over the partial top-k rows."""
     plan = plan_of(SPECS["ann_cosine_topk"].fn(spark, sf_dir))
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "MapInPandas" in plan
+    # exactly one Exchange node in the tree: the rank window's
+    # ("Exchange (n)" is the tree line; details repeat the word)
+    assert plan.count("Exchange (") == 1
+    assert "hashpartitioning(query_id" in plan
 
 
 def test_aqe_enabled(spark):
