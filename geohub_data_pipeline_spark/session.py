@@ -76,6 +76,8 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # honor pushFilters() on Python data sources (sources/pmtiles_source)
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 # Static confs (must be set before the JVM starts).
