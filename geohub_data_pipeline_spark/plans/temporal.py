@@ -380,3 +380,67 @@ def events_time_range_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
              dsum(F.col("value")).alias("total_value"),
              F.countDistinct("user_id").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Watermark lateness (X8 observability)
+# ---------------------------------------------------------------------------
+
+# streaming delay twin: events later than this vs the per-key high
+# watermark would be dropped by `withWatermark(ts, '10 minutes')`
+_WM_DELAY_US = 10 * 60 * 1_000_000
+
+_WM_LATENESS_SQL = f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events
+),
+lat AS (
+  SELECT event_type,
+         max(us) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - us AS late_us
+  FROM ev
+)
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN late_us > {_WM_DELAY_US} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped,
+       CAST(sum(late_us) AS BIGINT) AS sum_late_us,
+       CAST(max(late_us) AS BIGINT) AS max_late_us
+FROM lat
+GROUP BY event_type
+"""
+
+
+@query("events_watermark_lateness", "temporal",
+       "§2.4 X8 watermark-lateness metrics (late-data observability)",
+       _WM_LATENESS_SQL)
+def events_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How late does each event arrive vs the high watermark, and what
+    would a 10-minute watermark drop?
+
+    The streaming watermark is (max event time seen) - delay; its
+    deterministic batch twin is a running max of event time in arrival
+    order (event_id), computed PER KEY (user_id) so the window is
+    partition-parallel — the keyed form a 1000-executor job actually
+    runs, with no global ordering bottleneck.  All metrics are integer
+    microsecond arithmetic (bit-exact across engines).
+    """
+    t = load_tables(spark, sf_dir)
+    w = (Window.partitionBy("user_id").orderBy("event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    lat = t.events.select(
+        "event_type",
+        (F.max(F.unix_micros("ts")).over(w)
+         - F.unix_micros("ts")).alias("late_us"),
+    )
+    return (
+        lat.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("late_us") > _WM_DELAY_US).cast("bigint"))
+            .alias("n_dropped"),
+            F.sum("late_us").alias("sum_late_us"),
+            F.max("late_us").alias("max_late_us"),
+        )
+    )

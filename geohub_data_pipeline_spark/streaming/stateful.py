@@ -80,3 +80,29 @@ def ingest_watchdog(progress_stream: DataFrame,
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# State-store backend (cluster-scale configuration)
+# ---------------------------------------------------------------------------
+
+ROCKSDB_STATE_CONFS: dict[str, str] = {
+    # Off-heap, spill-to-disk keyed state: required once watermarked /
+    # session state exceeds executor heap (the 100 TB regime).  The
+    # default HDFSBackedStateStoreProvider keeps every version of
+    # every key on-heap.
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    # Changelog checkpointing: upload per-batch deltas instead of full
+    # RocksDB snapshots — turns checkpoint cost O(state) into O(delta).
+    "spark.sql.streaming.stateStore.rocksdb."
+    "changelogCheckpointing.enabled": "true",
+}
+
+
+def enable_rocksdb_state(spark) -> None:
+    """Switch streaming state to RocksDB (applies to queries started
+    AFTER this call; a restarted query keeps its checkpointed choice)."""
+    for k, v in ROCKSDB_STATE_CONFS.items():
+        spark.conf.set(k, v)

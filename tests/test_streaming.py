@@ -313,3 +313,37 @@ def test_progress_log_listener(spark, tmp_path):
         assert payload["numInputRows"] == 5
     finally:
         detach(spark, listener)
+
+
+def test_rocksdb_state_store_parity(spark, sf_dir, tmp_path):
+    """The RocksDB state-store provider (the at-scale backend) produces
+    the same windowed aggregation results as the default provider."""
+    from geohub_data_pipeline_spark.streaming.stateful import (
+        ROCKSDB_STATE_CONFS, enable_rocksdb_state)
+
+    events = load_table(spark, sf_dir, "events")
+    expected = {tuple(r) for r in W.tumbling_counts(events).collect()}
+
+    src_dir = str(tmp_path / "events_src")
+    events.write.parquet(src_dir)
+    prev = {k: spark.conf.get(k, None) for k in ROCKSDB_STATE_CONFS}
+    enable_rocksdb_state(spark)
+    try:
+        stream = (spark.readStream.schema(events.schema).parquet(src_dir))
+        q = (W.tumbling_counts(stream)
+             .writeStream.format("memory").queryName("rocksdb_parity")
+             .outputMode("complete")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {tuple(r)
+               for r in spark.sql("SELECT * FROM rocksdb_parity").collect()}
+        assert got == expected
+        assert "RocksDB" in spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass")
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
