@@ -170,16 +170,70 @@ def kmeans_like_centroids(corpus: DataFrame, id_col: str = "vec_id",
     )
 
 
+def _dist2(a, b):
+    """Sequential-fold squared euclidean distance (Catalyst expr)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def farthest_first_init(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Deterministic k-means++-style seeding (farthest-first traversal).
+
+    Seed 0 is the lowest-id vector; each next seed is the point with
+    the largest squared distance to its nearest already-chosen seed
+    (ties to the lower id).  This is the derandomized form of
+    k-means++ (argmax instead of D^2-sampling): one seed lands in
+    each well-separated cluster, where first-k init can put all k in
+    one cluster.
+
+    Scale: k-1 rounds, each a single corpus scan with the current
+    seeds folded into the expression (no shuffle; TakeOrdered top-1).
+    Only the chosen seed row — one vector — ever reaches the driver.
+    For huge k use k-means|| oversampling instead.
+
+    Returns (cell INT, centroid ARRAY<DOUBLE>) like
+    ``kmeans_like_centroids``.
+    """
+    first = (corpus.select(id_col, vec_col).orderBy(id_col).limit(1)
+             .collect()[0])
+    seeds: list[list[float]] = [list(first[1])]
+    for _ in range(1, k):
+        dists = [
+            _dist2(F.col(vec_col),
+                   F.array(*[F.lit(float(x)) for x in s]))
+            for s in seeds
+        ]
+        nearest = dists[0] if len(dists) == 1 else F.least(*dists)
+        nxt = (corpus.select(id_col, vec_col,
+                             nearest.alias("__d2"))
+               .orderBy(F.col("__d2").desc(), F.col(id_col))
+               .limit(1).collect()[0])
+        seeds.append(list(nxt[1]))
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(i, [float(x) for x in s]) for i, s in enumerate(seeds)],
+        "cell int, centroid array<double>")
+
+
 def lloyd_kmeans(
     corpus: DataFrame,
     k: int = 8,
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "vec",
+    init: str = "first_k",
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic Lloyd k-means over an embedding column.
 
-    Init: the k lowest-id vectors seed the centroids.  Each iteration
+    Init: ``first_k`` — the k lowest-id vectors seed the centroids;
+    ``kpp`` — farthest-first traversal (``farthest_first_init``), the
+    derandomized k-means++.  Each iteration
     is assign (broadcast centroids, argmin squared distance, ties to
     the lower cell id) + update (decimal-exact per-dim means).
 
@@ -192,21 +246,19 @@ def lloyd_kmeans(
         without it, iteration i replans/recomputes all prior rounds;
       * the update shuffle is (cell, dim) keyed — k x dims rows out.
     """
-    def dist2(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0), lambda acc, v: acc + v)
-
     w = Window.partitionBy("__id").orderBy(F.col("__d2"), F.col("cell"))
 
-    wk = Window.orderBy(id_col)
-    cents = (
-        corpus.select(id_col, vec_col)
-        .withColumn("__rn", F.row_number().over(wk))
-        .filter(F.col("__rn") <= k)
-        .select((F.col("__rn") - 1).cast("int").alias("cell"),
-                F.col(vec_col).alias("centroid"))
-    )
+    if init == "kpp":
+        cents = farthest_first_init(corpus, k, id_col, vec_col)
+    else:
+        wk = Window.orderBy(id_col)
+        cents = (
+            corpus.select(id_col, vec_col)
+            .withColumn("__rn", F.row_number().over(wk))
+            .filter(F.col("__rn") <= k)
+            .select((F.col("__rn") - 1).cast("int").alias("cell"),
+                    F.col(vec_col).alias("centroid"))
+        )
 
     assigned = None
     for _ in range(iters):
@@ -216,7 +268,7 @@ def lloyd_kmeans(
         assigned = (
             pairs.select(
                 "__id", "__v", "cell",
-                dist2(F.col("__v"), F.col("centroid")).alias("__d2"))
+                _dist2(F.col("__v"), F.col("centroid")).alias("__d2"))
             .select("*", F.row_number().over(w).alias("__rn"))
             .filter(F.col("__rn") == 1)
             .select(F.col("__id").alias(id_col),

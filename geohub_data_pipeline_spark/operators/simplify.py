@@ -29,15 +29,14 @@ def zoom_tolerance(z: int, px: float = 0.5) -> float:
     return 360.0 / (2 ** z * 256) * px
 
 
-def douglas_peucker(coords: list[float], tol: float) -> list[float]:
-    """DP simplification of a flat [x0,y0,x1,y1,...] coordinate list.
+# below this many vertices the numpy array setup costs more than the
+# scalar loop it replaces
+_NUMPY_MIN_VERTICES = 32
 
-    Iterative (stack-based) — recursion depth on long linestrings
-    would overflow at real data sizes.
-    """
+
+def _dp_scalar(coords: list[float], tol: float) -> list[float]:
+    """Pure-python DP (small geometries)."""
     n = len(coords) // 2
-    if n <= 2:
-        return coords
     keep = [False] * n
     keep[0] = keep[n - 1] = True
     stack = [(0, n - 1)]
@@ -71,6 +70,78 @@ def douglas_peucker(coords: list[float], tol: float) -> list[float]:
         if keep[i]:
             out += [coords[2 * i], coords[2 * i + 1]]
     return out
+
+
+def _dp_numpy(coords: list[float], tol: float) -> list[float]:
+    """Vectorized DP: the farthest-point search runs as numpy array
+    ops for long segments, falling back to the scalar loop (over the
+    original list) once recursion has subdivided below the numpy
+    break-even.  Element-wise IEEE arithmetic and first-max semantics
+    (``np.argmax``) are identical to the scalar loop, so both paths
+    keep exactly the same vertex set."""
+    import numpy as np
+
+    xs = np.asarray(coords[0::2], dtype=np.float64)
+    ys = np.asarray(coords[1::2], dtype=np.float64)
+    n = len(xs)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    tol2 = tol * tol
+    while stack:
+        lo, hi = stack.pop()
+        if hi - lo < 2:
+            continue
+        ax, ay = coords[2 * lo], coords[2 * lo + 1]
+        bx, by = coords[2 * hi], coords[2 * hi + 1]
+        dx, dy = bx - ax, by - ay
+        den = dx * dx + dy * dy
+        if hi - lo >= _NUMPY_MIN_VERTICES:
+            px, py = xs[lo + 1:hi], ys[lo + 1:hi]
+            if den == 0.0:
+                d2 = (px - ax) ** 2 + (py - ay) ** 2
+            else:
+                t = ((px - ax) * dx + (py - ay) * dy) / den
+                np.clip(t, 0.0, 1.0, out=t)
+                d2 = (px - (ax + t * dx)) ** 2 + (py - (ay + t * dy)) ** 2
+            best = lo + 1 + int(np.argmax(d2))
+            best_d2 = float(d2[best - lo - 1])
+        else:
+            best, best_d2 = -1, -1.0
+            for i in range(lo + 1, hi):
+                px_, py_ = coords[2 * i], coords[2 * i + 1]
+                if den == 0.0:
+                    d2 = (px_ - ax) ** 2 + (py_ - ay) ** 2
+                else:
+                    t = ((px_ - ax) * dx + (py_ - ay) * dy) / den
+                    t = 0.0 if t < 0 else (1.0 if t > 1 else t)
+                    d2 = (px_ - (ax + t * dx)) ** 2 \
+                        + (py_ - (ay + t * dy)) ** 2
+                if d2 > best_d2:
+                    best, best_d2 = i, d2
+        if best_d2 > tol2:
+            keep[best] = True
+            stack.append((lo, best))
+            stack.append((best, hi))
+    out = np.empty(2 * int(keep.sum()))
+    out[0::2] = xs[keep]
+    out[1::2] = ys[keep]
+    return out.tolist()
+
+
+def douglas_peucker(coords: list[float], tol: float) -> list[float]:
+    """DP simplification of a flat [x0,y0,x1,y1,...] coordinate list.
+
+    Iterative (stack-based) — recursion depth on long linestrings
+    would overflow at real data sizes.  Long inputs take the numpy
+    path; both paths are bit-identical.
+    """
+    n = len(coords) // 2
+    if n <= 2:
+        return coords
+    if n >= _NUMPY_MIN_VERTICES:
+        return _dp_numpy(coords, tol)
+    return _dp_scalar(coords, tol)
 
 
 def _simplify_parsed(buf: bytes, tol: float) -> bytes | None:

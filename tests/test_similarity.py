@@ -113,3 +113,35 @@ def test_multi_table_lsh_recall_monotone(spark, sf_dir):
                                              query_filter=qf).collect()}
     assert len(multi & brute) >= len(single & brute)
     assert multi, "no candidates retrieved"
+
+
+def test_farthest_first_init_separates_clusters(spark):
+    """Three well-separated clusters with all low ids in cluster A:
+    first-k seeding puts every seed in A; farthest-first puts one seed
+    in each cluster, and Lloyd then recovers the true partition."""
+    rows = []
+    centers = {0: [0.0, 0.0], 1: [100.0, 0.0], 2: [0.0, 100.0]}
+    vid = 0
+    for c, (cx, cy) in centers.items():
+        for j in range(5):
+            rows.append((vid, c, [cx + 0.1 * j, cy - 0.1 * j]))
+            vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, true_cluster int, vec array<double>")
+
+    seeds = S.farthest_first_init(df, k=3).collect()
+    seed_clusters = {
+        0 if s.centroid[0] < 50 and s.centroid[1] < 50
+        else (1 if s.centroid[0] > 50 else 2)
+        for s in seeds}
+    assert seed_clusters == {0, 1, 2}
+
+    assigned, _cents = S.lloyd_kmeans(df, k=3, iters=2, init="kpp")
+    got = assigned.collect()
+    # each true cluster maps to exactly one k-means cell
+    by_true: dict[int, set] = {}
+    truth = {r[0]: r[1] for r in rows}
+    for r in got:
+        by_true.setdefault(truth[r.vec_id], set()).add(r.cell)
+    assert all(len(cells) == 1 for cells in by_true.values())
+    assert len({next(iter(c)) for c in by_true.values()}) == 3
