@@ -392,6 +392,79 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANN_MULTIPROBE_SQL = f"""
+WITH {_EMB_CTE},
+p AS (
+  SELECT CAST(vec_id - 1 AS INT) AS plane_id, v AS pv
+  FROM e WHERE vec_id IN (1, 2, 3, 4)
+),
+d AS (
+  SELECT e.vec_id, p.plane_id, {_dot('e.v', 'p.pv')} AS dp
+  FROM e, p
+),
+bk AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dp > 0 THEN 1 << plane_id ELSE 0 END) AS INT)
+           AS bucket
+  FROM d GROUP BY vec_id
+),
+mr AS (
+  SELECT vec_id, plane_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY abs(dp), plane_id) AS r
+  FROM d WHERE vec_id % 50 = 0
+),
+qp AS (
+  SELECT vec_id, bucket AS probe FROM bk WHERE vec_id % 50 = 0
+  UNION ALL
+  SELECT m.vec_id, CAST(xor(b.bucket, 1 << m.plane_id) AS INT) AS probe
+  FROM mr m JOIN bk b ON m.vec_id = b.vec_id
+  WHERE m.r <= 2
+),
+nv AS (SELECT n.*, bk.bucket FROM n JOIN bk ON n.vec_id = bk.vec_id),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.bucket,
+         round({_dot('q.v', 'c.v')} / (q.nrm * c.nrm), 6) AS cos_sim
+  FROM qp JOIN nv c ON c.bucket = qp.probe
+          JOIN nv q ON q.vec_id = qp.vec_id
+  WHERE c.vec_id <> qp.vec_id
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, bucket, cos_sim, rank
+FROM r WHERE rank <= 3
+ORDER BY query_id, rank
+"""
+
+
+@query("ann_lsh_multiprobe", "llm",
+       "north star: multi-probe LSH ANN (bit-flip neighbor buckets)",
+       _ANN_MULTIPROBE_SQL)
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: same 4-plane bucketing as
+    ``ann_lsh_bucketed``, but each query also probes the 2 buckets
+    reached by flipping its lowest-|margin| plane bits (Lv et al.,
+    VLDB 2007) — L-table recall at single-table hashing cost.
+
+    Scale: one hashing pass over the corpus (planes broadcast); the
+    exploded query×probe side stays tiny and is broadcast into the
+    bucket-keyed candidate join.
+    """
+    vecs = _vecs(spark, sf_dir)
+    planes = vecs.filter(F.col("vec_id").isin(1, 2, 3, 4)).select(
+        (F.col("vec_id") - 1).cast("int").alias("plane_id"),
+        F.col("vec").alias("plane_vec"),
+    )
+    return (
+        S.lsh_multiprobe_topk(vecs, planes, k=3, n_probe=2,
+                              query_filter=F.col("vec_id") % 50 == 0)
+        .select("query_id", "neighbor_id", "bucket", "cos_sim", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -145,3 +145,30 @@ def test_farthest_first_init_separates_clusters(spark):
         by_true.setdefault(truth[r.vec_id], set()).add(r.cell)
     assert all(len(cells) == 1 for cells in by_true.values())
     assert len({next(iter(c)) for c in by_true.values()}) == 3
+
+
+def test_multiprobe_recall_beats_single_bucket(spark, sf_dir):
+    """Multi-probe (n_probe=2) must recall at least as much of the
+    true top-k as the plain single-bucket LSH, with candidates a
+    strict superset of the single-bucket candidate pairs."""
+    vecs = _vecs(spark, sf_dir)
+    qf = F.col("vec_id") % 100 == 0
+    planes = vecs.filter(F.col("vec_id").isin(1, 2, 3, 4)).select(
+        (F.col("vec_id") - 1).cast("int").alias("plane_id"),
+        F.col("vec").alias("plane_vec"))
+
+    brute = {(r.query_id, r.neighbor_id)
+             for r in S.brute_force_topk(vecs, vecs.filter(qf), k=3)
+             .collect()}
+    single = {(r.query_id, r.neighbor_id)
+              for r in S.lsh_bucketed_topk(vecs, planes, k=3,
+                                           query_filter=qf).collect()}
+    probe0 = {(r.query_id, r.neighbor_id)
+              for r in S.lsh_multiprobe_topk(vecs, planes, k=3, n_probe=0,
+                                             query_filter=qf).collect()}
+    probe2 = {(r.query_id, r.neighbor_id)
+              for r in S.lsh_multiprobe_topk(vecs, planes, k=3, n_probe=2,
+                                             query_filter=qf).collect()}
+    assert probe0 == single          # n_probe=0 degenerates to bucketed
+    assert len(probe2 & brute) >= len(single & brute)
+    assert probe2, "no candidates retrieved"
