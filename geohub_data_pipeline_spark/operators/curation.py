@@ -1,0 +1,174 @@
+"""Training-corpus curation operators: repetition filtering, hash
+splits, stratified sampling, token-budget shard packing, benchmark
+contamination detection.
+
+These are the corpus-management steps a large-scale training-data
+pipeline runs between dedup and tokenization.  All are pure Catalyst
+expressions (no UDFs); every derived value is integer-exact or a
+single double division of exact integers, so the DuckDB oracles match
+bit-for-bit.
+
+Scale notes per operator in the docstrings; the common theme is that
+nothing here shuffles more than once, and the only driver-side data
+ever collected is one row per partition (shard packing offsets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from geohub_data_pipeline_spark.functions import text as T
+
+
+def doc_hash(id_col: Column) -> Column:
+    """md5 of the decimal-string id — the deterministic, engine-neutral
+    randomness source for splits and sampling (both engines produce
+    identical lowercase hex)."""
+    return F.md5(id_col.cast("string"))
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     flag_above: float = 0.2) -> DataFrame:
+    """Gopher-style intra-document repetition: the fraction of word
+    3-gram occurrences that are duplicates of an earlier shingle in
+    the same document.  High fractions mark boilerplate / generated
+    spam that survives inter-document dedup.
+
+    Map-side only — no shuffle at any scale; the shingle arrays are
+    per-row scratch that never leaves the expression.
+    """
+    sh = T.word_shingles(F.col(text_col))
+    base = (
+        docs.select(id_col, sh.alias("__sh"))
+        .filter(F.size("__sh") >= 1)
+        .select(
+            id_col,
+            F.size("__sh").alias("n_shingles"),
+            F.size(F.array_distinct("__sh")).alias("n_distinct"),
+        )
+    )
+    dup = (F.col("n_shingles") - F.col("n_distinct")) / F.col("n_shingles")
+    return base.select(
+        "*",
+        dup.alias("dup_fraction"),
+        (dup > flag_above).alias("flagged"),
+    )
+
+
+def hash_split(docs: DataFrame, id_col: str = "doc_id",
+               train_below: str = "e") -> DataFrame:
+    """Deterministic train/val assignment from the first hex char of
+    md5(id): chars below ``train_below`` go to train (default 'e' =
+    14/16 = 87.5% train).  Stable under reprocessing — a document's
+    split never depends on what else is in the corpus.
+
+    Map-side only; the predicate pushes into any downstream filter.
+    """
+    bucket = F.substring(doc_hash(F.col(id_col)), 1, 1)
+    return docs.select(
+        id_col,
+        bucket.alias("hash_bucket"),
+        F.when(bucket < F.lit(train_below), F.lit("train"))
+        .otherwise(F.lit("val")).alias("split"),
+    )
+
+
+def stratified_sample(docs: DataFrame, strata_col: str,
+                      fraction: float, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-stratum sample: rank rows inside each stratum
+    by (md5(id), id) and keep ``ceil(stratum_size * fraction)`` — an
+    exact per-group fraction (``df.sample`` is only approximate and
+    not oracle-reproducible).
+
+    One shuffle keyed on the stratum; each stratum sorts locally.
+    Skewed strata are the same problem as any skewed window — AQE
+    skew-split or pre-salting if one stratum dominates.
+    """
+    h = doc_hash(F.col(id_col))
+    wn = Window.partitionBy(strata_col)
+    wr = Window.partitionBy(strata_col).orderBy(h, id_col)
+    return (
+        docs.select(
+            id_col, strata_col,
+            F.row_number().over(wr).alias("sample_rank"),
+            F.count(F.lit(1)).over(wn).alias("__n"),
+        )
+        .filter(F.col("sample_rank")
+                <= F.ceil(F.col("__n") * F.lit(fraction)))
+        .drop("__n")
+    )
+
+
+def pack_token_shards(docs: DataFrame, capacity: int,
+                      id_col: str = "doc_id",
+                      token_col: str = "tokens") -> DataFrame:
+    """Greedy sequential packing of documents (in id order) into
+    shards of ~``capacity`` tokens: a document's shard is
+    ``floor(tokens_before_it / capacity)`` — the training-data
+    sharding step that bounds per-file token counts.
+
+    The global prefix sum is computed the scalable way: range-
+    partition by id, per-partition subtotals (one row per partition)
+    to the driver, cumulative offsets broadcast back, then a
+    partition-local window adds the offset — no single-partition
+    global window, so this works at any corpus size.  The collect is
+    P rows (one long each), not data.
+    """
+    part = (
+        docs.select(id_col, token_col)
+        .repartitionByRange(F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    totals = {
+        r["__pid"]: r["__t"]
+        for r in part.groupBy("__pid")
+        .agg(F.sum(token_col).alias("__t")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    omap = F.create_map(
+        *[F.lit(x) for pid in offsets for x in (pid, offsets[pid])])
+    wp = (Window.partitionBy("__pid").orderBy(id_col)
+          .rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        part.select(
+            id_col, token_col,
+            (F.coalesce(F.sum(token_col).over(wp), F.lit(0))
+             + omap[F.col("__pid")]).alias("__prev"),
+        )
+        .select(id_col, token_col,
+                F.expr(f"__prev div {int(capacity)}").cast("int")
+                .alias("shard"))
+    )
+
+
+def contamination_pairs(docs: DataFrame, bench_filter,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Benchmark-contamination scan: (train doc, benchmark doc) pairs
+    sharing at least one word 3-gram, with the count of distinct
+    shared shingles.  The standard pre-training hygiene check that a
+    training corpus does not contain eval-set text.
+
+    The benchmark side is tiny by construction and broadcast; the
+    corpus side explodes its (per-doc distinct) shingles map-side, so
+    the only shuffle is the final (doc, bench) count aggregation.
+    """
+    sh = (
+        docs.select(id_col,
+                    F.explode(F.array_distinct(
+                        T.word_shingles(F.col(text_col)))).alias("shingle"))
+    )
+    bench = (sh.filter(bench_filter)
+             .select(F.col(id_col).alias("bench_id"), "shingle"))
+    return (
+        sh.filter(~bench_filter)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy(id_col, "bench_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_shared"))
+    )

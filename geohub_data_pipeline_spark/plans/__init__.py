@@ -16,3 +16,4 @@ from geohub_data_pipeline_spark.plans import relational  # noqa: E402,F401
 from geohub_data_pipeline_spark.plans import pipeline  # noqa: E402,F401
 from geohub_data_pipeline_spark.plans import temporal  # noqa: E402,F401
 from geohub_data_pipeline_spark.plans import llm  # noqa: E402,F401
+from geohub_data_pipeline_spark.plans import curation  # noqa: E402,F401

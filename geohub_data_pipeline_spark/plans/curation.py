@@ -1,0 +1,167 @@
+"""Corpus-curation queries: repetition filter, hash split, stratified
+sample, token-shard packing, benchmark contamination.
+
+The curation steps of a training-data pipeline (operators/curation.py)
+as oracle-checked registry queries over the documents table.  Parity
+notes: all randomness is md5-of-id (identical hex in both engines);
+fractions are single double divisions of exact integers; shard math is
+integer-exact (`div` / `//`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geohub_data_pipeline_spark.plans.registry import query
+from geohub_data_pipeline_spark.plans._util import load_tables
+from geohub_data_pipeline_spark.functions import text as T
+from geohub_data_pipeline_spark.operators import curation as C
+
+_SH = f"""w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, least(len(ws) - {T.SHINGLE_WORDS - 1}, {T.MAX_SHINGLES}) + 1),
+           i -> ws[i] || '_' || ws[i+1] || '_' || ws[i+2]) AS s
+  FROM w WHERE len(ws) >= {T.SHINGLE_WORDS}
+)"""
+
+
+_REPETITION_SQL = f"""
+WITH {_SH}
+SELECT doc_id,
+       CAST(len(s) AS INTEGER) AS n_shingles,
+       CAST(len(list_distinct(s)) AS INTEGER) AS n_distinct,
+       (len(s) - len(list_distinct(s))) / len(s) AS dup_fraction,
+       (len(s) - len(list_distinct(s))) / len(s) > 0.2 AS flagged
+FROM sh
+ORDER BY doc_id
+"""
+
+
+@query("text_repetition_filter", "llm",
+       "north star: quality scoring (intra-doc repetition)",
+       _REPETITION_SQL)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate word-3-gram fraction per document, with
+    a boilerplate flag above 20%.  Map-side only — no shuffle."""
+    t = load_tables(spark, sf_dir)
+    return C.repetition_stats(t.documents)
+
+
+_SPLIT_SQL = """
+SELECT doc_id,
+       substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS hash_bucket,
+       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+            THEN 'train' ELSE 'val' END AS split
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("split_train_val", "llm",
+       "north star: corpus management (deterministic split)",
+       _SPLIT_SQL)
+def split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 87.5/12.5 train/val split from md5(doc_id) —
+    stable under reprocessing, independent of corpus contents."""
+    t = load_tables(spark, sf_dir)
+    return C.hash_split(t.documents)
+
+
+_STRATIFIED_SQL = """
+WITH r AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER)
+           AS sample_rank,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT doc_id, source, sample_rank
+FROM r WHERE sample_rank <= CAST(ceil(n * 0.1) AS BIGINT)
+ORDER BY source, sample_rank
+"""
+
+
+@query("sample_stratified", "llm",
+       "north star: corpus management (per-source sampling)",
+       _STRATIFIED_SQL)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10% per-source sample ranked by md5(doc_id) — the
+    training-mix rebalancing step.  One shuffle keyed on source."""
+    t = load_tables(spark, sf_dir)
+    return C.stratified_sample(t.documents, "source", 0.1)
+
+
+_SHARD_CAPACITY = 20_000
+
+_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS tokens FROM documents
+),
+c AS (
+  SELECT doc_id, tokens,
+         COALESCE(sum(tokens) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM t
+)
+SELECT CAST(prev // {_SHARD_CAPACITY} AS INTEGER) AS shard,
+       CAST(count(*) AS INTEGER) AS n_docs,
+       CAST(sum(tokens) AS BIGINT) AS total_tokens
+FROM c GROUP BY shard
+ORDER BY shard
+"""
+
+
+@query("pack_token_shards", "llm",
+       "north star: corpus management (token-budget sharding)",
+       _PACK_SQL)
+def pack_token_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget shard packing (20k whitespace tokens per
+    shard), reported as per-shard doc/token totals.
+
+    The prefix sum runs as range-partitioned subtotals + broadcast
+    offsets (operators/curation.py) — not a global single-partition
+    window — so the same plan packs a 100 TB corpus.
+    """
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id",
+        T.token_count_whitespace(F.col("text")).cast("long").alias("tokens"))
+    packed = C.pack_token_shards(docs, _SHARD_CAPACITY)
+    return (
+        packed.groupBy("shard")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_docs"),
+             F.sum("tokens").alias("total_tokens"))
+    )
+
+
+_CONTAMINATION_SQL = f"""
+WITH {_SH},
+ex AS (SELECT doc_id, unnest(list_distinct(s)) AS shingle FROM sh),
+b AS (SELECT doc_id AS bench_id, shingle FROM ex WHERE doc_id % 50 = 0)
+SELECT ex.doc_id, b.bench_id, CAST(count(*) AS INTEGER) AS n_shared
+FROM ex JOIN b USING (shingle)
+WHERE ex.doc_id % 50 <> 0
+GROUP BY ex.doc_id, b.bench_id
+ORDER BY ex.doc_id, b.bench_id
+"""
+
+
+@query("contamination_ngram", "llm",
+       "north star: dedup/contamination (benchmark n-gram overlap)",
+       _CONTAMINATION_SQL)
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: training docs sharing word
+    3-grams with the (every-50th-doc) benchmark set, with distinct
+    shared-shingle counts.  Benchmark side broadcast; one count
+    shuffle."""
+    t = load_tables(spark, sf_dir)
+    return C.contamination_pairs(
+        t.documents, F.col("doc_id") % 50 == 0)

@@ -1,0 +1,89 @@
+"""Curation operators: determinism, partition invariance, exactness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from geohub_data_pipeline_spark.operators import curation as C
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_stats_exact(spark):
+    df = _docs(spark, [
+        (1, "a b c d e"),             # 3 shingles, all distinct
+        (2, "x y z x y z x y z"),     # 7 shingles, 3 distinct
+        (3, "too short"),             # < 3 words: excluded
+    ])
+    got = {r.doc_id: r for r in C.repetition_stats(df).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].n_shingles == 3 and got[1].n_distinct == 3
+    assert got[1].dup_fraction == 0.0 and not got[1].flagged
+    assert got[2].n_shingles == 7 and got[2].n_distinct == 3
+    assert abs(got[2].dup_fraction - 4 / 7) < 1e-12 and got[2].flagged
+
+
+def test_hash_split_stable_and_independent(spark):
+    """A doc's split must not change when the corpus around it does."""
+    small = C.hash_split(_docs(spark, [(i, "t") for i in range(20)]))
+    big = C.hash_split(_docs(spark, [(i, "t") for i in range(200)]))
+    s = {r.doc_id: r.split for r in small.collect()}
+    b = {r.doc_id: r.split for r in big.collect()}
+    assert all(b[i] == s[i] for i in s)
+    assert set(b.values()) == {"train", "val"}
+
+
+def test_stratified_sample_exact_fraction(spark):
+    rows = [(i, "s%d" % (i % 3)) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = C.stratified_sample(df, "source", 0.2).collect()
+    per = {}
+    for r in got:
+        per[r.source] = per.get(r.source, 0) + 1
+    assert per == {"s0": 6, "s1": 6, "s2": 6}  # ceil(30 * 0.2)
+    # ranks are 1..n within each stratum
+    assert sorted(r.sample_rank for r in got if r.source == "s0") == \
+        list(range(1, 7))
+
+
+def test_pack_token_shards_partition_invariant(spark):
+    """Shard assignment equals the sequential greedy pack and is
+    identical under different input partitionings."""
+    rows = [(i, 10 + (i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens long")
+    cap = 150
+
+    expected, acc = {}, 0
+    for i, tok in rows:
+        expected[i] = acc // cap
+        acc += tok
+
+    for parts in (1, 5, 32):
+        got = {r.doc_id: r.shard
+               for r in C.pack_token_shards(
+                   df.repartition(parts), cap).collect()}
+        assert got == expected
+    # capacity respected in the greedy sense: a shard's tokens before
+    # its last doc are < capacity
+    tot = {}
+    for i, tok in rows:
+        tot.setdefault(expected[i], []).append(tok)
+    for toks in tot.values():
+        assert sum(toks[:-1]) < cap
+
+
+def test_contamination_pairs_finds_planted_overlap(spark):
+    df = _docs(spark, [
+        (0, "alpha beta gamma delta"),          # benchmark
+        (1, "alpha beta gamma epsilon"),        # shares 2 shingles? no: 1
+        (2, "zeta eta theta iota"),             # no overlap
+        (3, "x alpha beta gamma delta y"),      # contains all of bench 0
+    ])
+    got = {(r.doc_id, r.bench_id): r.n_shared
+           for r in C.contamination_pairs(
+               df, F.col("doc_id") == 0).collect()}
+    assert got[(1, 0)] == 1           # 'alpha_beta_gamma'
+    assert got[(3, 0)] == 2           # both bench shingles
+    assert (2, 0) not in got
