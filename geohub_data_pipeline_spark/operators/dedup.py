@@ -183,3 +183,60 @@ def jaccard_consecutive(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             .alias("jaccard"),
         )
     )
+
+def connected_components(edges: DataFrame, src: str = "id_a",
+                         dst: str = "id_b",
+                         max_iters: int = 20) -> DataFrame:
+    """Connected components over an undirected edge list — the
+    transitive-closure step that turns verified duplicate PAIRS into
+    duplicate CLUSTERS (a~b, b~c => {a,b,c} share one canonical id).
+
+    Hash-to-min label propagation: every node starts labeled with
+    itself; each round it takes the min label over itself and its
+    neighbors; converged when no label changes (<= graph-diameter
+    rounds — near-dup clusters are shallow, so this is small).
+
+    Scale: per round, one join of the edge list with the label table
+    plus a min-aggregation — both keyed shuffles on node ids;
+    ``localCheckpoint`` truncates lineage so round i does not replan
+    rounds 1..i-1.  The convergence probe is a ``limit(1).count()``
+    (stops at the first changed row).  For graphs with huge diameter
+    or heavy skew, the large-star/small-star variant halves rounds —
+    not needed for dedup clusters.
+
+    Returns (node, label) where label = min node id of the component.
+    """
+    # materialize once: the edge list is re-joined every round, and its
+    # lineage may be an expensive pipeline (LSH candidates + verify)
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (sym.select(F.col("u").alias("node")).distinct()
+              .withColumn("label", F.col("node"))
+              .localCheckpoint())
+    for _ in range(max_iters):
+        nbr = (
+            sym.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy("u").agg(F.min("label").alias("__nbr"))
+            .withColumnRenamed("u", "node")
+        )
+        new = (
+            labels.join(nbr, "node", "left")
+            .select("node",
+                    F.least(F.col("label"),
+                            F.coalesce(F.col("__nbr"), F.col("label")))
+                    .alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("label", "__old"), "node")
+            .filter(F.col("label") != F.col("__old")).limit(1).count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels

@@ -706,6 +706,86 @@ def dedup_pipeline_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEDUP_CLUSTER_SQL = f"""
+WITH RECURSIVE {_CORPUS_CTE},
+{_SHINGLES_CTE},
+{_SIG_CTE},
+b AS (
+  SELECT doc_id, 0 AS band_idx, {_BAND0} AS band_hash FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band_idx, {_BAND1} AS band_hash FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM b a JOIN b b2 ON a.band_idx = b2.band_idx
+                    AND a.band_hash = b2.band_hash
+                    AND a.doc_id < b2.doc_id
+),
+toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM corpus
+),
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN toks ta ON ta.doc_id = c.id_a
+  JOIN toks tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+  GROUP BY c.id_a, c.id_b
+),
+vp AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - i.n_inter) >= 0.8
+),
+e AS (
+  SELECT id_a AS u, id_b AS v FROM vp
+  UNION
+  SELECT id_b AS u, id_a AS v FROM vp
+),
+reach AS (
+  SELECT DISTINCT u AS a, u AS b FROM e
+  UNION
+  SELECT r.a, e.v AS b FROM reach r JOIN e ON e.u = r.b
+)
+SELECT a AS doc_id, min(b) AS cluster_id,
+       (a = min(b)) AS is_canonical
+FROM reach GROUP BY a
+ORDER BY doc_id
+"""
+
+
+@query("dedup_cluster_canonical", "llm",
+       "north star: dedup clusters (transitive closure of verified "
+       "pairs -> canonical keeper per component)", _DEDUP_CLUSTER_SQL)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: the verified near-dup pairs of
+    ``dedup_pipeline_verified`` closed transitively (hash-to-min
+    connected components, operators/dedup.py) — every document in a
+    dup component gets the component's min doc_id as cluster_id, and
+    exactly one member is canonical.  This is the actual keep/drop
+    decision a dedup pass ships: pairs alone over-drop when a~b and
+    b~c but a!~c.
+
+    Scale: label propagation is two keyed shuffles per round,
+    diameter-bounded rounds; the oracle mirrors it as a recursive
+    transitive closure.
+    """
+    corpus = _corpus(spark, sf_dir)
+    sigs = D.minhash_signatures(corpus, "text", "doc_id")
+    cand = D.lsh_candidate_pairs(sigs, "doc_id").select("id_a", "id_b")
+    verified = D.jaccard_for_pairs(corpus, cand, "text", "doc_id").filter(
+        F.col("jaccard") >= 0.8)
+    cc = D.connected_components(verified.select("id_a", "id_b"))
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_canonical"),
+    )
+
+
 @query("ann_ivf_coarse", "llm",
        "north star: IVF-style ANN (coarse quantizer + n_probe cells; "
        "approximate recall => rows-only check, recall asserted in "
