@@ -465,6 +465,62 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANN_QUANT_SQL = f"""
+WITH {_EMB_CTE},
+dims AS (
+  SELECT i.i AS dim, min(e.v[i.i]) AS mn, max(e.v[i.i]) - min(e.v[i.i]) AS sp
+  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+  GROUP BY i.i
+),
+prm AS (
+  SELECT list(mn ORDER BY dim) AS mnl, list(sp ORDER BY dim) AS spl
+  FROM dims
+),
+dq AS (
+  SELECT e.vec_id,
+         list_transform(range(1, 65), i ->
+           prm.mnl[i]
+           + CASE WHEN prm.spl[i] = 0 THEN 0.0
+                  ELSE floor((e.v[i] - prm.mnl[i]) / prm.spl[i] * 254 + 0.5)
+             END * (prm.spl[i] / 254)) AS dv
+  FROM e CROSS JOIN prm
+),
+nv AS (SELECT vec_id, dv, sqrt({_dot('dv', 'dv')}) AS nrm FROM dq),
+q AS (SELECT * FROM nv WHERE vec_id % 50 = 0),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_dot('q.dv', 'c.dv')} / (q.nrm * c.nrm), 6) AS approx_sim
+  FROM nv c JOIN q ON c.vec_id <> q.vec_id
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY approx_sim DESC, neighbor_id) AS INTEGER) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, approx_sim, rank
+FROM r WHERE rank <= 3
+ORDER BY query_id, rank
+"""
+
+
+@query("ann_quantized_int8", "llm",
+       "north star: compressed-embedding ANN (int8 scalar "
+       "quantization, dequantized cosine)", _ANN_QUANT_SQL)
+def ann_quantized_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-3 over int8 scalar-quantized embeddings: per-dim
+    min/span codebook (one 64-group aggregation), floor-based
+    quantize/dequantize folded into the scan expression.
+
+    Scale: the persisted codes are 1 byte/dim vs 8 — at 100 TB the
+    compressed scan is what keeps brute-force reranking feasible; the
+    plan shape is identical to exact brute force (corpus never
+    shuffles, queries broadcast).
+    """
+    vecs = _vecs(spark, sf_dir)
+    return S.quantized_topk(vecs, k=3,
+                            query_filter=F.col("vec_id") % 50 == 0)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

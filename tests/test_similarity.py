@@ -172,3 +172,24 @@ def test_multiprobe_recall_beats_single_bucket(spark, sf_dir):
     assert probe0 == single          # n_probe=0 degenerates to bucketed
     assert len(probe2 & brute) >= len(single & brute)
     assert probe2, "no candidates retrieved"
+
+
+def test_quantized_ann_recall_and_determinism(spark, sf_dir):
+    """int8 dequantized top-k must agree with exact brute force on
+    most neighbors (quantization error is ~span/508 per dim), and the
+    codebook must be partition-invariant."""
+    vecs = _vecs(spark, sf_dir)
+    qf = F.col("vec_id") % 100 == 0
+
+    mins, spans = S.quantization_params(vecs)
+    mins2, spans2 = S.quantization_params(vecs.repartition(13))
+    assert mins == mins2 and spans == spans2
+    assert all(sp >= 0 for sp in spans)
+
+    brute = {(r.query_id, r.neighbor_id)
+             for r in S.brute_force_topk(vecs, vecs.filter(qf), k=3)
+             .collect()}
+    quant = {(r.query_id, r.neighbor_id)
+             for r in S.quantized_topk(vecs, k=3, query_filter=qf)
+             .collect()}
+    assert len(quant & brute) >= 0.7 * len(brute)
