@@ -10,7 +10,7 @@ integer-exact (`div` / `//`).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from geohub_data_pipeline_spark.plans.registry import query
@@ -165,3 +165,69 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return C.contamination_pairs(
         t.documents, F.col("doc_id") % 50 == 0)
+
+
+_TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+c AS (SELECT doc_id, term, count(*) AS tc FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dlen FROM tok GROUP BY doc_id),
+dfq AS (SELECT term, count(*) AS dfreq FROM c GROUP BY term),
+n AS (SELECT count(*) AS nd FROM documents),
+s AS (
+  SELECT c.doc_id, c.term,
+         (c.tc * n.nd) / (dl.dlen * dfq.dfreq) AS tfidf,
+         round(ln(CAST(n.nd AS DOUBLE) / dfq.dfreq), 6) AS idf_log
+  FROM c JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN n
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+             ORDER BY tfidf DESC, term) AS INTEGER) AS rank
+  FROM s
+)
+SELECT doc_id, term, tfidf, idf_log, rank
+FROM r WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+
+@query("text_tfidf_top_terms", "llm",
+       "north star: text analysis (TF-IDF salient terms)",
+       _TFIDF_SQL)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 salient terms per document by TF-IDF.
+
+    The RANKING statistic is the exact rational
+    ``(term_count * n_docs) / (doc_len * doc_freq)`` — integer
+    products with one double division, bit-identical across engines
+    (a log-scaled idf is emitted alongside, rounded, for reporting).
+
+    Scale: two keyed shuffles — (doc, term) counts and the term
+    document-frequency table; the df join is broadcast-able whenever
+    the vocabulary fits (it does: vocab grows ~log of corpus)."""
+    t = load_tables(spark, sf_dir)
+    docs = t.documents
+    n_docs = docs.count()
+    tok = docs.select("doc_id",
+                      F.explode(F.split(F.col("text"), " ")).alias("term"))
+    c = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tc"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    dfq = c.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    s = (
+        c.join(dl, "doc_id").join(F.broadcast(dfq), "term")
+        .select(
+            "doc_id", "term",
+            ((F.col("tc") * F.lit(n_docs))
+             / (F.col("dlen") * F.col("dfreq"))).alias("tfidf"),
+            F.round(F.log(F.lit(float(n_docs)) / F.col("dfreq")), 6)
+            .alias("idf_log"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term"))
+    return (
+        s.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= 3)
+    )

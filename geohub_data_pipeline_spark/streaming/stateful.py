@@ -106,3 +106,61 @@ def enable_rocksdb_state(spark) -> None:
     AFTER this call; a restarted query keeps its checkpointed choice)."""
     for k, v in ROCKSDB_STATE_CONFS.items():
         spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# Streaming exact dedup — cross-micro-batch duplicate suppression
+# ---------------------------------------------------------------------------
+
+DEDUP_OUTPUT_SCHEMA = ("content_hash string, doc_id long, "
+                       "is_duplicate boolean, first_id long, n_seen long")
+DEDUP_STATE_SCHEMA = "first_id long, n_seen long"
+
+
+def streaming_exact_dedup(doc_stream: DataFrame,
+                          hash_col: str = "content_hash",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup across micro-batches: the first arrival of each
+    content hash passes (``is_duplicate=false``); every later arrival
+    — same batch or any later one — is flagged against the keeper.
+
+    ``dropDuplicates`` on a stream keeps state but silently drops;
+    this keyed-state form emits the duplicate VERDICT rows a pipeline
+    ledger needs (who was dropped, against whom, how many times).
+
+    Scale: one state entry per distinct content hash — the seen-set.
+    With RocksDB state (``enable_rocksdb_state``) this is disk-backed
+    and sized by unique content, not stream length; production
+    deployments bound it with a state TTL / watermark on arrival time
+    when re-ingest windows allow.
+    """
+
+    def dedup(key: tuple, pdfs: "Iterator[pd.DataFrame]",
+              state: GroupState) -> "Iterator[pd.DataFrame]":
+        (chash,) = key
+        first_id, n_seen = state.get if state.exists else (None, 0)
+        out = []
+        for pdf in pdfs:
+            for did in sorted(int(x) for x in pdf[id_col]):
+                if first_id is None:
+                    first_id = did
+                    out.append((chash, did, False, did, n_seen + 1))
+                else:
+                    out.append((chash, did, True, first_id, n_seen + 1))
+                n_seen += 1
+        state.update((first_id, n_seen))
+        yield pd.DataFrame(
+            out, columns=["content_hash", "doc_id", "is_duplicate",
+                          "first_id", "n_seen"])
+
+    return (
+        doc_stream
+        .groupBy(hash_col)
+        .applyInPandasWithState(
+            dedup,
+            outputStructType=DEDUP_OUTPUT_SCHEMA,
+            stateStructType=DEDUP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -67,3 +67,49 @@ def test_watchdog_full_lifecycle(spark, tmp_path):
     assert "timed_out" in statuses, rows
     tb = next(r for r in by["b"] if r.status == "timed_out")
     assert tb.max_progress == 30   # state carried across batches
+
+
+def test_streaming_exact_dedup_across_restarts(spark, tmp_path):
+    """The seen-set survives checkpointed restarts: a hash first seen
+    in run 1 is flagged duplicate in run 2; in-batch re-arrivals are
+    flagged against the first arrival."""
+    from geohub_data_pipeline_spark.streaming.stateful import (
+        streaming_exact_dedup)
+
+    src = f"{tmp_path}/docs"
+
+    out = f"{tmp_path}/out"
+
+    def run(name):
+        stream = spark.readStream.schema(
+            "content_hash string, doc_id long").json(src)
+        q = (
+            streaming_exact_dedup(stream)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", f"{tmp_path}/ckpt")
+            .trigger(availableNow=True)
+            .format("parquet").option("path", out)
+            .start()
+        )
+        q.awaitTermination()
+        return {(r.content_hash, r.doc_id): r
+                for r in spark.read.parquet(out).collect()}
+
+    _write(src, "b1.json", [
+        {"content_hash": "h1", "doc_id": 1},
+        {"content_hash": "h1", "doc_id": 2},   # in-batch dup
+        {"content_hash": "h2", "doc_id": 3},
+    ])
+    r1 = run("dedup1")
+    assert not r1[("h1", 1)].is_duplicate
+    assert r1[("h1", 2)].is_duplicate and r1[("h1", 2)].first_id == 1
+    assert not r1[("h2", 3)].is_duplicate
+
+    _write(src, "b2.json", [
+        {"content_hash": "h1", "doc_id": 9},   # cross-run dup
+        {"content_hash": "h3", "doc_id": 4},   # new
+    ])
+    r2 = run("dedup2")
+    assert r2[("h1", 9)].is_duplicate and r2[("h1", 9)].first_id == 1
+    assert r2[("h1", 9)].n_seen == 3
+    assert not r2[("h3", 4)].is_duplicate
