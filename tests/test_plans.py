@@ -133,3 +133,34 @@ def test_asof_join_single_shuffle(spark, sf_dir):
     assert plan.count("Exchange") <= 2   # hash by key (+AQE wrapper)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_contamination_bench_side_broadcast(spark, sf_dir):
+    """The benchmark shingle set broadcasts; the corpus side never
+    shuffles before the join."""
+    plan = plan_of(SPECS["contamination_ngram"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_df_table_broadcast(spark, sf_dir):
+    """The term document-frequency table joins broadcast (vocabulary
+    ~log of corpus); only the (doc,term) aggregations shuffle rows."""
+    plan = plan_of(SPECS["text_tfidf_top_terms"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pack_shards_no_single_partition_exchange(spark, sf_dir):
+    """The prefix sum must NOT serialize through a single partition:
+    range-partitioned window + broadcast offsets only."""
+    plan = plan_of(SPECS["pack_token_shards"].fn(spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_multiprobe_query_side_broadcast(spark, sf_dir):
+    """Multi-probe LSH broadcasts the exploded query probes into the
+    bucket join — the corpus side carries no extra shuffle vs the
+    single-bucket operator."""
+    plan = plan_of(SPECS["ann_lsh_multiprobe"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
