@@ -231,3 +231,117 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.select("*", F.row_number().over(w).alias("rank"))
         .filter(F.col("rank") <= 3)
     )
+
+
+_MIXTURE_SQL = """
+WITH t AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS tokens
+  FROM documents
+),
+s AS (
+  SELECT source, CAST(count(*) AS INTEGER) AS n_docs,
+         CAST(sum(tokens) AS BIGINT) AS n_tokens
+  FROM t GROUP BY source
+),
+g AS (SELECT sum(n_tokens) AS tt, count(*) AS ns FROM s)
+SELECT s.source, s.n_docs, s.n_tokens,
+       s.n_tokens / CAST(g.tt AS DOUBLE) AS token_frac,
+       CAST(g.tt AS DOUBLE) / (g.ns * s.n_tokens) AS up_weight
+FROM s CROSS JOIN g
+ORDER BY s.source
+"""
+
+
+@query("mixture_weights", "llm",
+       "north star: corpus management (training-mix rebalancing)",
+       _MIXTURE_SQL)
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token shares and the up/down-weight that equalizes
+    the training mix (target = uniform over sources): weight =
+    total / (n_sources * source_tokens).  Exact-integer inputs, one
+    double division each — bit-identical across engines.
+
+    Scale: one (source)-keyed aggregation; the global totals row is a
+    broadcast scalar."""
+    t = load_tables(spark, sf_dir)
+    per = (
+        t.documents
+        .select("source",
+                T.token_count_whitespace(F.col("text")).alias("tokens"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_docs"),
+             F.sum("tokens").alias("n_tokens"))
+    )
+    g = per.agg(F.sum("n_tokens").alias("tt"),
+                F.count(F.lit(1)).alias("ns"))
+    return per.crossJoin(F.broadcast(g)).select(
+        "source", "n_docs", "n_tokens",
+        (F.col("n_tokens") / F.col("tt").cast("double"))
+        .alias("token_frac"),
+        (F.col("tt").cast("double") / (F.col("ns") * F.col("n_tokens")))
+        .alias("up_weight"),
+    )
+
+
+_LOGPROB_SQL = """
+WITH tok AS (
+  SELECT doc_id, i AS pos, string_split(text, ' ')[i] AS term
+  FROM documents
+  CROSS JOIN unnest(range(1, len(string_split(text, ' ')) + 1)) AS u(i)
+),
+tf AS (SELECT term, count(*) AS tcnt FROM tok GROUP BY term),
+g AS (SELECT count(*) AS tt FROM tok),
+lp AS (
+  SELECT tok.doc_id, tok.pos,
+         ln(tf.tcnt / CAST(g.tt AS DOUBLE)) AS l
+  FROM tok JOIN tf USING (term) CROSS JOIN g
+),
+d AS (
+  SELECT doc_id,
+         CAST(count(*) AS INTEGER) AS n_tokens,
+         list_reduce(list(l ORDER BY pos), (x, y) -> x + y) AS s
+  FROM lp GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, round(s / n_tokens, 6) AS avg_logprob
+FROM d
+ORDER BY doc_id
+"""
+
+
+@query("text_unigram_logprob", "llm",
+       "north star: quality scoring (unigram LM log-probability)",
+       _LOGPROB_SQL)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability per document — the classic cheap
+    LM quality signal (very low = gibberish / OCR noise; very high =
+    repetitive boilerplate).
+
+    Parity: the per-document sum folds the per-token ln() terms in
+    POSITION order (collect -> array_sort -> sequential fold, mirrored
+    by DuckDB ``list_reduce(list(l ORDER BY pos))``) — never a
+    partial-aggregated double sum, whose order is nondeterministic.
+
+    Scale: the term-frequency table is the broadcast side; the
+    (doc, pos) rows shuffle once for the per-doc fold."""
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "term"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("tcnt"))
+    total = tok.count()
+    lp = tok.join(F.broadcast(tf), "term").select(
+        "doc_id", "pos",
+        F.log(F.col("tcnt") / F.lit(float(total))).alias("l"))
+    d = (
+        lp.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_tokens"),
+             F.aggregate(
+                 F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "l"))),
+                     lambda s: s["l"]),
+                 F.lit(0.0), lambda acc, v: acc + v).alias("s"))
+    )
+    return d.select(
+        "doc_id", "n_tokens",
+        F.round(F.col("s") / F.col("n_tokens"), 6).alias("avg_logprob"))
