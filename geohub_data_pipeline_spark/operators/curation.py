@@ -172,3 +172,42 @@ def contamination_pairs(docs: DataFrame, bench_filter,
         .groupBy(id_col, "bench_id")
         .agg(F.count(F.lit(1)).cast("int").alias("n_shared"))
     )
+
+
+def cdc_chunks(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id",
+               boundary_prefix: str = "0") -> DataFrame:
+    """Content-defined chunking: split each document at words whose
+    md5 starts with ``boundary_prefix`` (one hex char => 1/16 of
+    words, ~16-word expected chunks) and hash each chunk.
+
+    Boundaries depend only on local content — the rsync/LBFS trick —
+    so an insertion early in a document re-chunks only up to the next
+    boundary; every later chunk hashes identically.  That is what
+    makes sub-document dedup robust to small edits.
+
+    Scale: boundary marking is map-side; chunk assembly is one
+    (doc, chunk) keyed shuffle with position-ordered reassembly.
+    Returns (id, chunk_id, chunk_hash).
+    """
+    tok = docs.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos0", "word"),
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "word")
+    wb = (Window.partitionBy(id_col).orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ck = tok.select(
+        id_col, "pos", "word",
+        F.sum(F.when(F.substring(F.md5(F.col("word")), 1,
+                                 len(boundary_prefix))
+                     == boundary_prefix, 1).otherwise(0))
+        .over(wb).alias("chunk_id"),
+    )
+    return (
+        ck.groupBy(id_col, "chunk_id")
+        .agg(F.md5(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"]),
+            " ")).alias("chunk_hash"))
+    )

@@ -345,3 +345,67 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", "n_tokens",
         F.round(F.col("s") / F.col("n_tokens"), 6).alias("avg_logprob"))
+
+
+_CDC_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 97 = 0
+),
+tok AS (
+  SELECT doc_id, i AS pos, string_split(text, ' ')[i] AS word
+  FROM corpus
+  CROSS JOIN unnest(range(1, len(string_split(text, ' ')) + 1)) AS u(i)
+),
+ck AS (
+  SELECT doc_id, pos, word,
+         sum(CASE WHEN substring(md5(word), 1, 1) = '0'
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS chunk_id
+  FROM tok
+),
+ch AS (
+  SELECT doc_id, chunk_id,
+         md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_hash
+  FROM ck GROUP BY doc_id, chunk_id
+)
+SELECT chunk_hash,
+       CAST(count(DISTINCT doc_id) AS INTEGER) AS n_docs,
+       CAST(count(*) AS INTEGER) AS n_occ,
+       min(doc_id) AS first_doc
+FROM ch
+GROUP BY chunk_hash
+HAVING count(DISTINCT doc_id) >= 2
+ORDER BY chunk_hash
+"""
+
+
+@query("dedup_cdc_chunks", "llm",
+       "north star: sub-document dedup (content-defined chunking)",
+       _CDC_SQL)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup: content-defined chunking splits every
+    document at words whose md5 starts with '0' (1/16 of words =>
+    ~16-word expected chunks), hashes each chunk, and reports chunks
+    appearing in >= 2 documents — shared boilerplate that whole-doc
+    dedup cannot see.  Boundaries depend only on local content, so a
+    paragraph shifted by an insertion still chunks identically (the
+    rsync/LBFS trick).
+
+    Scale: boundary detection is map-side; chunk assembly is one
+    (doc, chunk) shuffle; the chunk-hash census keys on a 32-byte
+    hash — uniform by construction."""
+    from geohub_data_pipeline_spark.plans.llm import _corpus
+    corpus = _corpus(spark, sf_dir)
+    ch = C.cdc_chunks(corpus)
+    return (
+        ch.groupBy("chunk_hash")
+        .agg(F.countDistinct("doc_id").cast("int").alias("n_docs"),
+             F.count(F.lit(1)).cast("int").alias("n_occ"),
+             F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -87,3 +87,23 @@ def test_contamination_pairs_finds_planted_overlap(spark):
     assert got[(1, 0)] == 1           # 'alpha_beta_gamma'
     assert got[(3, 0)] == 2           # both bench shingles
     assert (2, 0) not in got
+
+
+def test_cdc_chunks_shift_invariant(spark):
+    """Inserting a word at the front of a long document changes only
+    the chunks before the first boundary after the edit; the long
+    tail of chunk hashes is shared — fixed-width chunking would share
+    none."""
+    words = [f"w{i}x" for i in range(400)]
+    a = " ".join(words)
+    b = " ".join(["INSERTED"] + words)
+    df = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string")
+    ch = C.cdc_chunks(df).collect()
+    h1 = {r.chunk_hash for r in ch if r.doc_id == 1}
+    h2 = {r.chunk_hash for r in ch if r.doc_id == 2}
+    assert len(h1) > 5, "expected multiple chunks"
+    shared = h1 & h2
+    # everything after the first boundary is identical
+    assert len(shared) >= len(h1) - 2
+    assert h1 != h2  # the head chunk did change
