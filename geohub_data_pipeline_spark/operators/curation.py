@@ -135,6 +135,7 @@ def pack_token_shards(docs: DataFrame, capacity: int,
         *[F.lit(x) for pid in offsets for x in (pid, offsets[pid])])
     wp = (Window.partitionBy("__pid").orderBy(id_col)
           .rowsBetween(Window.unboundedPreceding, -1))
+    cap = int(capacity)
     return (
         part.select(
             id_col, token_col,
@@ -142,8 +143,10 @@ def pack_token_shards(docs: DataFrame, capacity: int,
              + omap[F.col("__pid")]).alias("__prev"),
         )
         .select(id_col, token_col,
-                F.expr(f"__prev div {int(capacity)}").cast("int")
-                .alias("shard"))
+                F.expr(f"__prev div {cap}").cast("int").alias("shard"),
+                # within-shard start position — what a dataloader seeks
+                # to; exact int remainder of the same prefix sum
+                F.expr(f"__prev % {cap}").cast("int").alias("offset"))
     )
 
 

@@ -409,3 +409,37 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("doc_id").alias("first_doc"))
         .filter(F.col("n_docs") >= 2)
     )
+
+
+_PACK_SEQ_SQL = f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS tokens FROM documents
+),
+c AS (
+  SELECT doc_id, CAST(tokens AS BIGINT) AS tokens,
+         COALESCE(sum(tokens) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM t
+)
+SELECT doc_id, tokens,
+       CAST(prev // {_SHARD_CAPACITY} AS INTEGER) AS shard,
+       CAST(prev % {_SHARD_CAPACITY} AS INTEGER) AS offset
+FROM c
+ORDER BY doc_id
+"""
+
+
+@query("pack_sequences_offsets", "llm",
+       "north star: corpus management (per-doc shard + seek offset)",
+       _PACK_SEQ_SQL)
+def pack_sequences_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document (shard, within-shard offset) assignment — the
+    manifest a training dataloader seeks by.  Same distributed prefix
+    sum as ``pack_token_shards`` (range-partitioned subtotals +
+    broadcast offsets; no single-partition window), emitted per-row."""
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id",
+        T.token_count_whitespace(F.col("text")).cast("long").alias("tokens"))
+    return C.pack_token_shards(docs, _SHARD_CAPACITY)
