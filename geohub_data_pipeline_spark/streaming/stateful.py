@@ -164,3 +164,29 @@ def streaming_exact_dedup(doc_stream: DataFrame,
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_near_dedup(doc_stream: DataFrame,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Streaming NEAR-duplicate suppression: key the stateful seen-set
+    on an LSH band hash instead of the exact content hash — documents
+    whose MinHash band collides are flagged against the first arrival.
+
+    This is the streaming counterpart of batch LSH candidate
+    generation (operators/dedup.py): same signature construction
+    (functions/text.py), so a doc flagged here would also pair up in
+    the batch pipeline.  Signature math is stateless Catalyst
+    expressions, legal on a stream; only the band-keyed seen-set is
+    state (one entry per distinct band hash).
+    """
+    from geohub_data_pipeline_spark.functions import text as T
+    from pyspark.sql import functions as F
+
+    sh = T.word_shingles(F.col(text_col))
+    sig = [T.minhash(sh, j).alias(f"mh{j}") for j in range(T.MINHASH_FUNCS)]
+    keyed = doc_stream.select(F.col(id_col).cast("long").alias("doc_id"),
+                              *sig)
+    band = T.lsh_band([F.col(f"mh{j}") for j in range(T.MINHASH_FUNCS)], 0)
+    return streaming_exact_dedup(
+        keyed.select("doc_id", band.alias("content_hash")))

@@ -113,3 +113,36 @@ def test_streaming_exact_dedup_across_restarts(spark, tmp_path):
     assert r2[("h1", 9)].is_duplicate and r2[("h1", 9)].first_id == 1
     assert r2[("h1", 9)].n_seen == 3
     assert not r2[("h3", 4)].is_duplicate
+
+
+def test_streaming_near_dedup_band_collision(spark, tmp_path):
+    """Docs identical in their first MAX_SHINGLES shingles (B = A plus
+    a tail beyond the shingle cap) share every MinHash band, so the
+    band-keyed seen-set flags B against A; an unrelated doc passes."""
+    from geohub_data_pipeline_spark.streaming.stateful import (
+        streaming_near_dedup)
+
+    base = " ".join(f"w{i}" for i in range(60))
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base + " trailing tail beyond the cap"},
+        {"doc_id": 3, "text": " ".join(f"z{i}" for i in range(60))},
+    ]
+    src = f"{tmp_path}/docs"
+    _write(src, "b1.json", rows)
+    stream = spark.readStream.schema(
+        "doc_id long, text string").json(src)
+    q = (
+        streaming_near_dedup(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .format("memory").queryName("neardedup")
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.doc_id: r for r in
+           spark.sql("SELECT * FROM neardedup").collect()}
+    assert not got[1].is_duplicate
+    assert got[2].is_duplicate and got[2].first_id == 1
+    assert not got[3].is_duplicate
