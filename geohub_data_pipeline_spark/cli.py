@@ -38,6 +38,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--serve", metavar="BASE_DIR",
                     help="run the streaming ingest service over "
                          "BASE_DIR/{msgs,cancel} until drained (EP1)")
+    ap.add_argument("--curate", metavar="DOCS_PARQUET",
+                    help="run the corpus-curation pipeline (exact dedup "
+                         "-> LSH near-dup clusters -> repetition filter "
+                         "-> train/val split -> shard manifest) over a "
+                         "(doc_id, text) parquet; writes to --dst")
+    ap.add_argument("--shard-tokens", type=int, default=20_000,
+                    help="token capacity per training shard")
     args = ap.parse_args(argv)
 
     spark = get_session("geohub-cli")
@@ -60,6 +67,63 @@ def main(argv: list[str] | None = None) -> int:
             counts = {r["stage"]: r["count"] for r in
                       ledger.groupBy("stage").count().collect()}
             print(f"ledger rows: {ledger.count()}; stages: {counts}")
+            return 0
+
+        if args.curate:
+            if not args.dst:
+                ap.error("--curate requires --dst")
+            from pyspark.sql import functions as F
+
+            from geohub_data_pipeline_spark.operators import curation as Cu
+            from geohub_data_pipeline_spark.operators import dedup as D
+
+            docs = spark.read.parquet(args.curate).select("doc_id", "text")
+            n0 = docs.count()
+
+            # 1. exact dedup — keep the lowest id per content hash
+            keep = (docs.groupBy(F.md5("text").alias("__h"))
+                    .agg(F.min("doc_id").alias("doc_id"))
+                    .select("doc_id"))
+            d1 = docs.join(keep, "doc_id")
+
+            # 2. near-dup clusters — drop non-canonical members
+            sigs = D.minhash_signatures(d1, "text", "doc_id")
+            cand = D.lsh_candidate_pairs(sigs, "doc_id").select(
+                "id_a", "id_b")
+            verified = D.jaccard_for_pairs(d1, cand, "text", "doc_id") \
+                .filter(F.col("jaccard") >= 0.8)
+            cc = D.connected_components(verified.select("id_a", "id_b"))
+            drop = cc.filter(F.col("node") != F.col("label")).select(
+                F.col("node").alias("doc_id"))
+            d2 = d1.join(drop, "doc_id", "left_anti")
+
+            # 3. repetition filter (docs too short to shingle pass)
+            rep = Cu.repetition_stats(d2).select("doc_id", "flagged")
+            d3 = (d2.join(rep, "doc_id", "left")
+                  .filter(~F.coalesce(F.col("flagged"), F.lit(False)))
+                  .drop("flagged"))
+
+            # 4. deterministic split; 5. shard manifest for train docs
+            sp = Cu.hash_split(d3).select("doc_id", "split")
+            clean = d3.join(sp, "doc_id")
+            clean.write.mode("overwrite").partitionBy("split").parquet(
+                f"{args.dst}/corpus")
+            train = clean.filter(F.col("split") == "train").select(
+                "doc_id",
+                F.size(F.split("text", " ")).cast("long").alias("tokens"))
+            manifest = Cu.pack_token_shards(train, args.shard_tokens)
+            manifest.write.mode("overwrite").parquet(
+                f"{args.dst}/shard_manifest")
+
+            back = spark.read.parquet(f"{args.dst}/corpus")
+            n_train = back.filter(F.col("split") == "train").count()
+            n_val = back.filter(F.col("split") == "val").count()
+            n_shards = spark.read.parquet(
+                f"{args.dst}/shard_manifest").select("shard") \
+                .distinct().count()
+            print(f"curate: {n0} docs in -> {n_train + n_val} kept "
+                  f"({n_train} train / {n_val} val), "
+                  f"{n_shards} training shards -> {args.dst}")
             return 0
 
         if args.demo:

@@ -61,3 +61,55 @@ def test_cli_pipeline(spark, tmp_path):
     got = spark.read.parquet(f"{out}/tiles")
     assert got.count() > 0
     assert got.filter("z = 0").agg(F.sum("n_features")).first()[0] == 20
+
+
+def test_curation_pipeline(spark, tmp_path):
+    """--curate composition: exact dup, near dup (tail-beyond-cap),
+    and boilerplate docs are removed; survivors get a split and the
+    train side a (shard, offset) manifest."""
+    from geohub_data_pipeline_spark.operators import curation as Cu
+    from geohub_data_pipeline_spark.operators import dedup as D
+
+    base = " ".join(f"alpha{i} beta{i}" for i in range(60))
+    rows = [(1, base),
+            (2, base),                                   # exact dup of 1
+            (3, base + " tail beyond the shingle cap"),  # near dup of 1
+            (4, "spam " * 60),                           # repetitive
+            (5, " ".join(f"unique{i}" for i in range(50)))]
+    src = f"{tmp_path}/docs"
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(src)
+
+    docs = spark.read.parquet(src).select("doc_id", "text")
+    keep = (docs.groupBy(F.md5("text").alias("__h"))
+            .agg(F.min("doc_id").alias("doc_id")).select("doc_id"))
+    d1 = docs.join(keep, "doc_id")
+    assert {r.doc_id for r in d1.select("doc_id").collect()} == \
+        {1, 3, 4, 5}                                     # 2 = exact dup
+
+    sigs = D.minhash_signatures(d1, "text", "doc_id")
+    cand = D.lsh_candidate_pairs(sigs, "doc_id").select("id_a", "id_b")
+    verified = D.jaccard_for_pairs(d1, cand, "text", "doc_id") \
+        .filter(F.col("jaccard") >= 0.8)
+    cc = D.connected_components(verified.select("id_a", "id_b"))
+    drop = cc.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id"))
+    d2 = d1.join(drop, "doc_id", "left_anti")
+    assert {r.doc_id for r in d2.select("doc_id").collect()} == \
+        {1, 4, 5}                                        # 3 = near dup
+
+    rep = Cu.repetition_stats(d2).select("doc_id", "flagged")
+    d3 = (d2.join(rep, "doc_id", "left")
+          .filter(~F.coalesce(F.col("flagged"), F.lit(False)))
+          .drop("flagged"))
+    assert {r.doc_id for r in d3.select("doc_id").collect()} == \
+        {1, 5}                                           # 4 = boilerplate
+
+    sp = Cu.hash_split(d3).select("doc_id", "split")
+    clean = d3.join(sp, "doc_id")
+    assert clean.count() == 2
+    train = clean.filter(F.col("split") == "train").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("tokens"))
+    manifest = Cu.pack_token_shards(train, 100)
+    m = manifest.collect()
+    assert all(r.offset < 100 or r.shard > 0 for r in m)
