@@ -521,6 +521,25 @@ def ann_quantized_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
                             query_filter=F.col("vec_id") % 50 == 0)
 
 
+@query("ann_pq_reconstructed", "llm",
+       "north star: product-quantization ANN (learned per-subvector "
+       "codebooks; approximate recall => rows-only check, recall "
+       "asserted in tests/test_similarity.py)", None)
+def ann_pq_reconstructed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN (Jegou et al. 2011): 16 subvectors x 16 centroids, each
+    codebook trained by farthest-first-seeded Lloyd on a bounded
+    deterministic sample (driver-side numpy — how FAISS trains);
+    corpus vectors encoded to 16 code bytes and scored against exact
+    query vectors after reconstruction (asymmetric ADC scoring).
+
+    Scale: codebooks are a driver-side constant folded into the scan
+    expression, so encode+score is pure map-side codegen; the corpus
+    never shuffles.  Codes are m bytes vs dim*8 — 32x smaller here.
+    """
+    vecs = _vecs(spark, sf_dir)
+    return S.pq_topk(vecs, k=3, query_filter=F.col("vec_id") % 50 == 0)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

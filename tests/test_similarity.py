@@ -193,3 +193,27 @@ def test_quantized_ann_recall_and_determinism(spark, sf_dir):
              for r in S.quantized_topk(vecs, k=3, query_filter=qf)
              .collect()}
     assert len(quant & brute) >= 0.7 * len(brute)
+
+
+def test_pq_recall_and_compression(spark, sf_dir):
+    """PQ-reconstructed top-k must recover a meaningful share of the
+    exact top-k; reconstructions must differ from originals (it IS
+    lossy) while preserving subvector structure (dim preserved)."""
+    vecs = _vecs(spark, sf_dir)
+    qf = F.col("vec_id") % 100 == 0
+
+    books = S.pq_codebooks(vecs, m=16, k=16, iters=3)
+    assert len(books) == 16 and all(len(b) == 16 for b in books)
+    assert all(len(c) == 4 for b in books for c in b)  # 64/16 dims
+
+    recon = vecs.select(
+        "vec_id", S.pq_reconstructed(F.col("vec"), books).alias("rv"))
+    first = recon.orderBy("vec_id").first()
+    assert len(first.rv) == 64
+
+    brute = {(r.query_id, r.neighbor_id)
+             for r in S.brute_force_topk(vecs, vecs.filter(qf), k=3)
+             .collect()}
+    pq = {(r.query_id, r.neighbor_id)
+          for r in S.pq_topk(vecs, k=3, query_filter=qf).collect()}
+    assert len(pq & brute) >= 0.3 * len(brute)
