@@ -240,3 +240,86 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         if changed == 0:
             break
     return labels
+
+
+def alternating_cc(edges: DataFrame, src: str = "id_a",
+                   dst: str = "id_b",
+                   max_iters: int = 20) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., *Connected Components in MapReduce and Beyond*,
+    SoCC 2014) — same (node, label=component-min) contract as
+    ``connected_components``, different round complexity.
+
+    * **large-star(u)**: every *strictly larger* neighbor of u is
+      re-linked to ``m = min(N(u) + {u})``.
+    * **small-star(u)**: every *smaller* neighbor (and u itself) is
+      re-linked to the minimum of u's smaller neighborhood.
+
+    Each phase halves the height of the component's pointer tree, so
+    convergence is O(log n) rounds *independent of graph diameter* —
+    hash-to-min needs diameter rounds, which bites on chain-shaped
+    components (boilerplate docs A~B~C~...~Z at 100 TB).  Per phase:
+    one groupBy(min) + one join keyed on node ids, same shuffle
+    profile as a hash-to-min round; ``localCheckpoint`` truncates the
+    per-round lineage.  Convergence probe: the small-star output is a
+    fixpoint when no (node, parent) pair changed.
+
+    Returns (node, label), label = min node id of the component.
+    """
+    # parent pointers, initialised from the symmetrised edge list
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+            .filter(F.col("u") != F.col("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct().localCheckpoint()
+    )
+
+    prev = None
+    for _ in range(max_iters):
+        # large-star: group the full (symmetric) neighborhood of u,
+        # link each v > u to min(N(u) + {u})
+        sym = e.unionByName(e.select(F.col("v").alias("u"),
+                                     F.col("u").alias("v"))).distinct()
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("__m"))
+        e = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("__m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # small-star: direct every edge large->small, link each small
+        # neighbor AND u itself to the min of the small neighborhood
+        directed = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        mins = directed.groupBy("u").agg(F.min("v").alias("__m"))
+        stars = directed.join(mins, "u")
+        e = (
+            stars.select(F.col("v").alias("u"), F.col("__m").alias("v"))
+            .unionByName(stars.select("u", F.col("__m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        if prev is not None and (
+            e.unionByName(prev).subtract(e.intersect(prev))
+            .limit(1).count() == 0
+        ):
+            break
+        prev = e
+    # fixpoint edges are (node, component-min) stars; roots label
+    # themselves, as do any isolated self-loop inputs
+    return (
+        nodes.join(e.withColumnRenamed("u", "node"), "node", "left")
+        .select("node", F.coalesce("v", "node").alias("label"))
+    )

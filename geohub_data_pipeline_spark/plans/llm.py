@@ -861,6 +861,33 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_cluster_altcc", "llm",
+       "north star: dedup clusters via alternating large-star/"
+       "small-star CC (O(log n) rounds, diameter-independent)",
+       _DEDUP_CLUSTER_SQL)
+def dedup_cluster_altcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same cluster contract as ``dedup_cluster_canonical`` computed
+    by the alternating large-star/small-star algorithm (Kiveris et
+    al. 2014, operators/dedup.py ``alternating_cc``) — each phase
+    halves the pointer-tree height, so rounds are O(log n) regardless
+    of component diameter, where hash-to-min needs diameter rounds
+    (chain-shaped boilerplate clusters at 100 TB).  Oracle: the same
+    recursive transitive closure — the cluster map is algorithm-
+    independent, so this is a full bit-exact check, not rows-only.
+    """
+    corpus = _corpus(spark, sf_dir)
+    sigs = D.minhash_signatures(corpus, "text", "doc_id")
+    cand = D.lsh_candidate_pairs(sigs, "doc_id").select("id_a", "id_b")
+    verified = D.jaccard_for_pairs(corpus, cand, "text", "doc_id").filter(
+        F.col("jaccard") >= 0.8)
+    cc = D.alternating_cc(verified.select("id_a", "id_b"))
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_canonical"),
+    )
+
+
 @query("ann_ivf_coarse", "llm",
        "north star: IVF-style ANN (coarse quantizer + n_probe cells; "
        "approximate recall => rows-only check, recall asserted in "

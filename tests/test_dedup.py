@@ -38,3 +38,37 @@ def test_cc_partition_invariant_and_direction_agnostic(spark):
 
 def test_cc_empty_edges(spark):
     assert D.connected_components(_edges(spark, [])).count() == 0
+
+def test_altcc_matches_hash_to_min(spark):
+    """Large-star/small-star produces the exact same (node, label) map
+    as hash-to-min on mixed component shapes."""
+    pairs = [
+        (1, 2), (2, 3), (3, 4),          # chain
+        (10, 11),                        # pair
+        (20, 21), (21, 22), (20, 22),    # triangle
+        (30, 31), (31, 30),              # duplicate reversed edge
+    ]
+    a = {r.node: r.label
+         for r in D.connected_components(_edges(spark, pairs)).collect()}
+    b = {r.node: r.label
+         for r in D.alternating_cc(_edges(spark, pairs)).collect()}
+    assert a == b
+
+
+def test_altcc_deep_chain_few_rounds(spark):
+    """A 33-node chain (diameter 32) — hash-to-min's worst case —
+    converges within O(log n) alternating rounds and still labels
+    every node with the chain min."""
+    pairs = [(i, i + 1) for i in range(100, 132)]
+    got = {r.node: r.label
+           for r in D.alternating_cc(_edges(spark, pairs),
+                                     max_iters=7).collect()}
+    assert got == {i: 100 for i in range(100, 133)}
+
+
+def test_altcc_empty_and_star(spark):
+    assert D.alternating_cc(_edges(spark, [])).count() == 0
+    got = {r.node: r.label
+           for r in D.alternating_cc(
+               _edges(spark, [(50, 51), (50, 52), (50, 53)])).collect()}
+    assert got == {50: 50, 51: 50, 52: 50, 53: 50}
