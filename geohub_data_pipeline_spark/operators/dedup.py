@@ -77,31 +77,36 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str,
             F.array(*[F.col(f"band{b}") for b in range(n_bands)])
         ).alias("band_idx", "band_hash"),
     )
-    # The band table is referenced 4x (bucket sizing + both self-join
-    # sides); without materialization Spark recomputes the full
-    # shingle->md5 signature lineage each time.  The cached projection
-    # is tiny — (id, band_idx, 32-char hash) per doc-band.
+    # Cached so the sibling query shapes (candidates-only, full
+    # verify pipeline, cluster closure) that rebuild the identical
+    # band lineage hit the CacheManager instead of recomputing the
+    # shingle->md5 signatures.  Tiny projection: (id, band_idx,
+    # 32-char hash) per doc-band.
     bands = bands.cache()
-    sizes = bands.groupBy("band_idx", "band_hash").agg(
-        F.count(F.lit(1)).alias("__n"))
-    bands = (
-        bands.join(sizes, ["band_idx", "band_hash"])
-        .filter(F.col("__n") <= max_bucket)
-        .drop("__n")
+    # bucket-local pair generation: ONE shuffle (groupBy bucket), then
+    # the i<j combinations are a pure Catalyst expression over the
+    # sorted id list — no bucket-size side-join, no self-join (which
+    # shuffles the band table twice and re-keys it).  max_bucket
+    # drops pathological buckets (mass boilerplate) whose local
+    # pair count would be quadratic.
+    buckets = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_list("id")).alias("__ids"))
+        .filter((F.size("__ids") >= 2) & (F.size("__ids") <= max_bucket))
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(F.transform(
+                F.col("__ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("__ids"), i + F.lit(2), F.size("__ids")),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))),
+            ))
+        ).alias("__p")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-        )
+        pairs.select("__p.id_a", "__p.id_b")
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
 
@@ -123,32 +128,38 @@ def jaccard_for_pairs(df: DataFrame, pairs: DataFrame, text_col: str,
                       id_col: str) -> DataFrame:
     """Exact token-set Jaccard for given candidate pairs (id_a, id_b).
 
-    The verify stage after LSH candidate generation: cost is
-    proportional to candidate tokens, not corpus^2.
+    The verify stage after LSH candidate generation.  Plan: the corpus
+    collapses to (id, distinct-token array) map-side — never exploded,
+    never shuffled on tokens — and the candidate pairs join against it
+    twice on doc id; the intersection is a per-row
+    ``array_intersect`` expression.  Cost is proportional to the
+    candidate docs' text, not corpus tokens: at 100 TB the pairs side
+    is orders smaller than the corpus and broadcasts (AQE picks this
+    up from runtime stats), making both joins shuffle-free.
+
+    Pairs with an empty token intersection are dropped (inner-join
+    semantics of the exploded formulation this replaces).
     """
-    toks = df.select(
+    docs = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(T.words(F.col(text_col)))).alias("tok"),
-    )
-    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
-    inter = (
-        pairs.select("id_a", "id_b")
-        .join(toks.select(F.col("id").alias("id_a"), "tok"), "id_a")
-        .join(toks.select(F.col("id").alias("id_b"), "tok"),
-              ["id_b", "tok"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        F.array_distinct(T.words(F.col(text_col))).alias("__toks"),
     )
     return (
-        inter
-        .join(sizes.select(F.col("id").alias("id_a"),
-                           F.col("n_tok").alias("n_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"),
-                           F.col("n_tok").alias("n_b")), "id_b")
+        pairs.select("id_a", "id_b")
+        .join(docs.select(F.col("id").alias("id_a"),
+                          F.col("__toks").alias("__ta")), "id_a")
+        .join(docs.select(F.col("id").alias("id_b"),
+                          F.col("__toks").alias("__tb")), "id_b")
         .select(
             "id_a", "id_b",
-            F.round(F.col("n_inter")
-                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6)
+            F.size(F.array_intersect("__ta", "__tb")).alias("__ni"),
+            F.size("__ta").alias("__na"), F.size("__tb").alias("__nb"),
+        )
+        .filter(F.col("__ni") >= 1)
+        .select(
+            "id_a", "id_b",
+            F.round(F.col("__ni")
+                    / (F.col("__na") + F.col("__nb") - F.col("__ni")), 6)
             .alias("jaccard"),
         )
     )
