@@ -119,7 +119,8 @@ DEDUP_STATE_SCHEMA = "first_id long, n_seen long"
 
 def streaming_exact_dedup(doc_stream: DataFrame,
                           hash_col: str = "content_hash",
-                          id_col: str = "doc_id") -> DataFrame:
+                          id_col: str = "doc_id",
+                          ttl_ms: int | None = None) -> DataFrame:
     """Exact dedup across micro-batches: the first arrival of each
     content hash passes (``is_duplicate=false``); every later arrival
     — same batch or any later one — is flagged against the keeper.
@@ -130,13 +131,28 @@ def streaming_exact_dedup(doc_stream: DataFrame,
 
     Scale: one state entry per distinct content hash — the seen-set.
     With RocksDB state (``enable_rocksdb_state``) this is disk-backed
-    and sized by unique content, not stream length; production
-    deployments bound it with a state TTL / watermark on arrival time
-    when re-ingest windows allow.
+    and sized by unique content, not stream length.  ``ttl_ms`` bounds
+    it further: a hash idle for that long is evicted (processing-time
+    timeout), so state is sized by the re-ingest window, not corpus
+    lifetime — the trade is that a duplicate arriving after its
+    keeper expired is re-admitted as new.  Eviction costs nothing
+    extra: expired keys surface through the same stateful operator on
+    the next micro-batch, no scan job.
+
+    Operational note: with ``ttl_ms`` use a continuous trigger.
+    ``Trigger.AvailableNow`` never self-terminates once a processing-
+    time timeout is registered (Spark keeps scheduling no-data
+    cleanup batches even after state drains) — callers must
+    ``stop()`` explicitly, as tests/test_stateful.py does.
     """
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if ttl_ms
+               else GroupStateTimeout.NoTimeout)
 
     def dedup(key: tuple, pdfs: "Iterator[pd.DataFrame]",
               state: GroupState) -> "Iterator[pd.DataFrame]":
+        if ttl_ms and state.hasTimedOut:
+            state.remove()              # idle past TTL: forget the hash
+            return
         (chash,) = key
         first_id, n_seen = state.get if state.exists else (None, 0)
         out = []
@@ -149,6 +165,8 @@ def streaming_exact_dedup(doc_stream: DataFrame,
                     out.append((chash, did, True, first_id, n_seen + 1))
                 n_seen += 1
         state.update((first_id, n_seen))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)   # sliding idle window
         yield pd.DataFrame(
             out, columns=["content_hash", "doc_id", "is_duplicate",
                           "first_id", "n_seen"])
@@ -161,7 +179,7 @@ def streaming_exact_dedup(doc_stream: DataFrame,
             outputStructType=DEDUP_OUTPUT_SCHEMA,
             stateStructType=DEDUP_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )
 

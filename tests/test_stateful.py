@@ -146,3 +146,59 @@ def test_streaming_near_dedup_band_collision(spark, tmp_path):
     assert not got[1].is_duplicate
     assert got[2].is_duplicate and got[2].first_id == 1
     assert not got[3].is_duplicate
+
+
+def test_streaming_exact_dedup_ttl_eviction(spark, tmp_path):
+    """With ttl_ms set, an idle hash is evicted after the TTL and a
+    later re-arrival is admitted as new; within the TTL the dup
+    verdict still fires.  TTL queries never self-terminate under
+    availableNow (busy no-data cleanup batches), so poll + stop."""
+    from geohub_data_pipeline_spark.streaming.stateful import (
+        streaming_exact_dedup)
+
+    src = f"{tmp_path}/docs"
+    out = f"{tmp_path}/out"
+
+    def run(n_rows, until=None):
+        stream = spark.readStream.schema(
+            "content_hash string, doc_id long").json(src)
+        q = (
+            streaming_exact_dedup(stream, ttl_ms=1_000)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", f"{tmp_path}/ckpt")
+            .trigger(availableNow=True)
+            .format("parquet").option("path", out)
+            .start()
+        )
+        deadline = time.time() + 120
+        def rows():
+            try:
+                return spark.read.parquet(out).collect()
+            except Exception:
+                return []
+        while time.time() < deadline:
+            got = rows()
+            if len(got) >= n_rows and (until is None or until(q)):
+                break
+            time.sleep(1)
+        q.stop()
+        q.awaitTermination()
+        return {(r.content_hash, r.doc_id): r for r in rows()}
+
+    def evicted(q):
+        lp = q.lastProgress
+        so = (lp or {}).get("stateOperators") or [{}]
+        return so[0].get("numRowsTotal") == 0
+
+    _write(src, "b1.json", [{"content_hash": "h1", "doc_id": 1},
+                            {"content_hash": "h1", "doc_id": 2}])
+    # run until output present AND the TTL sweep has drained state
+    r1 = run(2, until=evicted)
+    assert not r1[("h1", 1)].is_duplicate
+    assert r1[("h1", 2)].is_duplicate and r1[("h1", 2)].first_id == 1
+
+    # h1 re-arrives after eviction: admitted as NEW (n_seen restarts)
+    _write(src, "b2.json", [{"content_hash": "h1", "doc_id": 9}])
+    r2 = run(3)
+    assert not r2[("h1", 9)].is_duplicate
+    assert r2[("h1", 9)].first_id == 9 and r2[("h1", 9)].n_seen == 1
