@@ -221,6 +221,91 @@ def farthest_first_init(
         "cell int, centroid array<double>")
 
 
+def kmeans_parallel_init(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    oversample: int | None = None,
+    rounds: int = 4,
+) -> DataFrame:
+    """k-means|| seeding (Bahmani et al., *Scalable k-means++*, VLDB
+    2012), derandomized: a fixed number of oversampling rounds each
+    pick ~``oversample`` candidates in ONE corpus scan, then the
+    O(k log n) candidate set is weighted by population and reclustered
+    to k seeds driver-side.
+
+    Sampling is deterministic: point x joins the candidate set when
+    ``(xxhash64(id, round) mod 2^20) / 2^20 < l * d2(x, C) / cost`` —
+    a pure per-row predicate, so results are independent of
+    partitioning.  Each round costs one broadcast-scan aggregate
+    (cost) + one broadcast-scan filter (candidates); no shuffle ever
+    touches the corpus.  Contrast ``farthest_first_init``: k-1
+    sequential scans — unusable at k in the thousands, where this
+    needs ``rounds`` scans regardless of k.
+
+    Returns (cell INT, centroid ARRAY<DOUBLE>) like
+    ``farthest_first_init``.
+    """
+    import numpy as np
+
+    l = oversample or 2 * k
+    first = (corpus.select(id_col, vec_col).orderBy(id_col).limit(1)
+             .collect()[0])
+    cands: list[list[float]] = [[float(x) for x in first[1]]]
+    m = 1 << 20
+
+    def d2_to(cs):
+        dists = [_dist2(F.col(vec_col),
+                        F.array(*[F.lit(float(x)) for x in c]))
+                 for c in cs]
+        return dists[0] if len(dists) == 1 else F.least(*dists)
+
+    for r in range(rounds):
+        scored = corpus.select(id_col, vec_col,
+                               d2_to(cands).alias("__d2"))
+        cost = scored.agg(F.sum("__d2")).collect()[0][0]
+        if not cost:        # every point already a candidate
+            break
+        u = (F.pmod(F.xxhash64(F.col(id_col), F.lit(r)), F.lit(m))
+             .cast("double") / F.lit(float(m)))
+        picked = (scored.filter(u < F.lit(float(l)) * F.col("__d2")
+                                / F.lit(float(cost)))
+                  .select(id_col, vec_col).collect())
+        cands.extend([float(x) for x in p[1]]
+                     for p in sorted(picked, key=lambda p: p[0]))
+
+    # weight candidates by the population they'd absorb (one scan:
+    # nearest-candidate argmin, ties to the lower index), then
+    # recluster the tiny weighted set to k seeds on the driver
+    C = np.array(cands)
+    idx = F.array_position(
+        F.array(*[d2_to([c]) for c in cands]),
+        d2_to(cands)).cast("int") - 1
+    wrows = (corpus.select(idx.alias("__c"))
+             .groupBy("__c").agg(F.count(F.lit(1)).alias("__w"))
+             .collect())
+    w = np.zeros(len(cands))
+    for row in wrows:
+        w[row["__c"]] = row["__w"]
+
+    # weighted farthest-first + weighted Lloyd on the candidate set
+    seeds = [0]
+    for _ in range(1, min(k, len(cands))):
+        d2 = ((C[:, None, :] - C[seeds][None, :, :]) ** 2).sum(-1).min(1)
+        seeds.append(int(np.argmax(w * d2)))
+    S = C[seeds]
+    for _ in range(8):
+        a = ((C[:, None, :] - S[None, :, :]) ** 2).sum(-1).argmin(1)
+        for c in range(len(S)):
+            if w[a == c].sum() > 0:
+                S[c] = (C[a == c] * w[a == c, None]).sum(0) / w[a == c].sum()
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(i, [float(x) for x in s]) for i, s in enumerate(S)],
+        "cell int, centroid array<double>")
+
+
 def lloyd_kmeans(
     corpus: DataFrame,
     k: int = 8,
@@ -233,7 +318,9 @@ def lloyd_kmeans(
 
     Init: ``first_k`` — the k lowest-id vectors seed the centroids;
     ``kpp`` — farthest-first traversal (``farthest_first_init``), the
-    derandomized k-means++.  Each iteration
+    derandomized k-means++; ``parallel`` — k-means|| oversampling
+    (``kmeans_parallel_init``), constant rounds for huge k.  Each
+    iteration
     is assign (broadcast centroids, argmin squared distance, ties to
     the lower cell id) + update (decimal-exact per-dim means).
 
@@ -250,6 +337,8 @@ def lloyd_kmeans(
 
     if init == "kpp":
         cents = farthest_first_init(corpus, k, id_col, vec_col)
+    elif init == "parallel":
+        cents = kmeans_parallel_init(corpus, k, id_col, vec_col)
     else:
         wk = Window.orderBy(id_col)
         cents = (

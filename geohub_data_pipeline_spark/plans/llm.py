@@ -1051,3 +1051,32 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                  n_probe=2, cell_col="cell")
         .select("query_id", "neighbor_id", "cell", "cos_sim", "rank")
     )
+
+
+@query("ann_ivf_kmeans_parallel", "llm",
+       "north star: IVF whose coarse quantizer is seeded by k-means|| "
+       "oversampling (Bahmani 2012) — constant init rounds for huge "
+       "k; iterative => rows-only, determinism + SSE quality "
+       "asserted in tests/test_similarity.py", None)
+def ann_ivf_kmeans_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same IVF shape as ``ann_ivf_kmeans`` but Lloyd starts from
+    k-means|| seeds (operators/similarity.py ``kmeans_parallel_init``)
+    — rounds of hash-derandomized oversampling, one broadcast scan
+    each, then a driver-side weighted recluster of the ~2k-candidate
+    set.  At k in the thousands this replaces k-1 sequential
+    farthest-first scans with a constant number.
+    """
+    from geohub_data_pipeline_spark.operators.similarity import (
+        ivf_topk,
+        lloyd_kmeans,
+    )
+
+    vecs = _vecs(spark, sf_dir)
+    assigned, _ = lloyd_kmeans(vecs.select("vec_id", "vec"), k=8,
+                               iters=2, init="parallel")
+    cells = vecs.join(assigned, "vec_id").select("vec_id", "vec", "cell")
+    return (
+        ivf_topk(cells, k=3, query_filter=F.col("vec_id") % 100 == 0,
+                 n_probe=2, cell_col="cell")
+        .select("query_id", "neighbor_id", "cell", "cos_sim", "rank")
+    )

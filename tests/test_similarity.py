@@ -217,3 +217,30 @@ def test_pq_recall_and_compression(spark, sf_dir):
     pq = {(r.query_id, r.neighbor_id)
           for r in S.pq_topk(vecs, k=3, query_filter=qf).collect()}
     assert len(pq & brute) >= 0.3 * len(brute)
+
+
+def test_kmeans_parallel_init_deterministic_and_useful(spark, sf_dir):
+    """k-means|| seeding: partitioning-invariant (hash-based
+    sampling), returns k cells, and its Lloyd SSE is no worse than
+    first-k init's (oversampling spreads seeds across clusters)."""
+    vecs = _vecs(spark, sf_dir)
+
+    a = {r.cell: r.centroid
+         for r in S.kmeans_parallel_init(vecs, k=8).collect()}
+    b = {r.cell: r.centroid
+         for r in S.kmeans_parallel_init(vecs.repartition(13), k=8)
+         .collect()}
+    assert a == b and len(a) == 8
+
+    def sse(init):
+        assigned, cents = S.lloyd_kmeans(vecs, k=8, iters=2, init=init)
+        joined = (vecs.join(assigned, "vec_id")
+                  .join(cents.withColumnRenamed("cell", "cell"), "cell"))
+        return joined.select(
+            F.aggregate(
+                F.zip_with("vec", "centroid",
+                           lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0), lambda acc, d: acc + d).alias("d2")
+        ).agg(F.sum("d2")).collect()[0][0]
+
+    assert sse("parallel") <= sse("first_k") * 1.001
