@@ -35,7 +35,7 @@ import json
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -219,4 +219,55 @@ def tile_audit(tiles: DataFrame) -> DataFrame:
             F.min("n_features").alias("min_features_per_tile"),
         )
         .orderBy("layer", "z")
+    )
+
+
+# ---------------------------------------------------------------------------
+# --detect-shared-borders (ref: tippecanoe flag wired through
+# ingest/processing.py tile build) — the DETECTION half: find polygon
+# edges shared by 2+ features so simplification can treat them
+# consistently.  Joint topology-aware simplification itself needs a
+# shared-arc decomposition (GEOS territory); the census below is pure
+# distributed data processing and is the expensive part at scale.
+# ---------------------------------------------------------------------------
+
+def ring_segments(ring: Column) -> Column:
+    """Consecutive-vertex segments of a (closed) ring, each in
+    canonical undirected form — endpoints ordered lexicographically by
+    struct comparison, so the same border yields the same key from
+    both of its polygons regardless of ring orientation."""
+    n = F.size(ring)
+    return F.zip_with(
+        F.slice(ring, 1, n - 1), F.slice(ring, 2, n - 1),
+        lambda p, q: F.struct(F.least(p, q).alias("a"),
+                              F.greatest(p, q).alias("b")))
+
+
+def shared_border_stats(feats: DataFrame,
+                        id_col: str = "feature_id",
+                        ring_col: str = "ring") -> DataFrame:
+    """Per-feature shared-border census: explode every ring into
+    canonical segments, count each segment's owners corpus-wide, and
+    report how much of each feature's boundary is shared.
+
+    Returns (id, n_edges, n_shared, shared_fraction).
+
+    Scale: ONE shuffle keyed on the segment (endpoint-pair) — a
+    fine-grained, uniformly-hashed key, so no skew even when one huge
+    polygon has millions of vertices; the owners-count join back is
+    on the same key (no re-shuffle of the segment side).  This is the
+    tippecanoe `--detect-shared-borders` scan re-expressed as a
+    distributed census instead of an in-memory pointer dedup.
+    """
+    segs = feats.select(
+        F.col(id_col), F.explode(ring_segments(F.col(ring_col))).alias("seg"))
+    census = segs.groupBy("seg").agg(F.count(F.lit(1)).alias("__owners"))
+    return (
+        segs.join(census, "seg")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_edges"),
+             F.sum((F.col("__owners") >= 2).cast("long")).alias("n_shared"))
+        .select(id_col, "n_edges", "n_shared",
+                (F.col("n_shared") / F.col("n_edges"))
+                .alias("shared_fraction"))
     )

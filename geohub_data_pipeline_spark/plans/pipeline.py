@@ -518,6 +518,78 @@ def zoom_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# T8 --detect-shared-borders — polygon shared-edge census
+# ---------------------------------------------------------------------------
+
+_SHARED_BORDER_SQL = """
+WITH cells AS (
+  SELECT DISTINCT CAST(event_id % 360 - 180 AS BIGINT) AS cx,
+                  CAST((user_id * 11) % 160 - 80 AS BIGINT) AS cy
+  FROM events
+),
+feats AS (
+  SELECT (cx + 180) * 400 + (cy + 80) AS feature_id, cx, cy FROM cells
+),
+segs AS (
+  SELECT feature_id, cx AS ax, cy AS ay, cx + 1 AS bx, cy AS by_ FROM feats
+  UNION ALL SELECT feature_id, cx + 1, cy, cx + 1, cy + 1 FROM feats
+  UNION ALL SELECT feature_id, cx, cy + 1, cx + 1, cy + 1 FROM feats
+  UNION ALL SELECT feature_id, cx, cy, cx, cy + 1 FROM feats
+),
+census AS (
+  SELECT ax, ay, bx, by_, count(*) AS owners
+  FROM segs GROUP BY ax, ay, bx, by_
+)
+SELECT s.feature_id,
+       CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(CASE WHEN c.owners >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       CAST(sum(CASE WHEN c.owners >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS shared_fraction
+FROM segs s JOIN census c USING (ax, ay, bx, by_)
+GROUP BY s.feature_id
+ORDER BY s.feature_id
+"""
+
+
+@query("tile_shared_borders", "pipeline",
+       "§2.2 T8 --detect-shared-borders: distributed polygon "
+       "shared-edge census (ref tippecanoe flag in the tile build)",
+       _SHARED_BORDER_SQL)
+def tile_shared_borders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detection half of tippecanoe's ``--detect-shared-borders``:
+    every polygon ring explodes into canonical undirected segments,
+    one census shuffle counts owners per segment, and each feature
+    reports how much of its boundary is shared (operators/tiling.py
+    ``shared_border_stats``).  Workload: the occupied 1-degree grid
+    cells derived from events — neighbors share full edges.
+
+    The joint simplification that uses this census needs shared-arc
+    topology (GEOS); the census is the distributed-scale part.
+    """
+    from geohub_data_pipeline_spark.operators.tiling import (
+        shared_border_stats)
+
+    t = load_tables(spark, sf_dir)
+    cells = t.events.select(
+        (F.col("event_id") % 360 - 180).cast("long").alias("cx"),
+        ((F.col("user_id") * 11) % 160 - 80).cast("long").alias("cy"),
+    ).distinct()
+
+    def pt(x: Column, y: Column) -> Column:
+        return F.struct(x.alias("x"), y.alias("y"))
+
+    cx, cy = F.col("cx"), F.col("cy")
+    ring = F.array(
+        pt(cx, cy), pt(cx + 1, cy), pt(cx + 1, cy + 1),
+        pt(cx, cy + 1), pt(cx, cy))
+    feats = cells.select(
+        ((cx + 180) * 400 + (cy + 80)).alias("feature_id"),
+        ring.alias("ring"))
+    return shared_border_stats(feats)
+
+
+# ---------------------------------------------------------------------------
 # T11 — overview (pyramid) downsample
 # ---------------------------------------------------------------------------
 

@@ -121,3 +121,26 @@ def test_build_tiles_with_low_zoom_simplification(spark):
     # ...but full-detail zooms are byte-identical
     assert simp_h[11] == plain_h[11]
     assert simp_h[10] == plain_h[10]
+
+
+def test_shared_border_stats_adjacent_squares(spark):
+    """Two side-by-side unit squares share exactly one edge; an
+    isolated square shares none; ring orientation must not matter."""
+    from geohub_data_pipeline_spark.operators.tiling import (
+        shared_border_stats)
+
+    def sq(fid, x, y, ccw=True):
+        ring = [(x, y), (x + 1, y), (x + 1, y + 1), (x, y + 1), (x, y)]
+        if not ccw:
+            ring = ring[::-1]
+        return (fid, [{"x": float(px), "y": float(py)}
+                      for px, py in ring])
+
+    feats = spark.createDataFrame(
+        [sq(1, 0, 0), sq(2, 1, 0, ccw=False), sq(3, 10, 10)],
+        "feature_id long, ring array<struct<x double, y double>>")
+    got = {r.feature_id: r for r in shared_border_stats(feats).collect()}
+    assert got[1].n_edges == 4 and got[1].n_shared == 1
+    assert got[2].n_edges == 4 and got[2].n_shared == 1
+    assert got[3].n_edges == 4 and got[3].n_shared == 0
+    assert got[1].shared_fraction == 0.25
