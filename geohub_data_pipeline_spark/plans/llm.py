@@ -540,6 +540,21 @@ def ann_pq_reconstructed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk(vecs, k=3, query_filter=F.col("vec_id") % 50 == 0)
 
 
+@query("ann_pq_adc", "llm",
+       "north star: PQ ANN served by ADC lookup tables over stored "
+       "code bytes (Jegou 2011 SIV) — approximate => rows-only; "
+       "agreement with reconstruction scoring asserted in "
+       "tests/test_similarity.py", None)
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ serving path: corpus rows carry 16 code bytes; each
+    query broadcasts a 256-entry LUT of subvector-centroid dots and
+    rows are scored by m array lookups — the scan reads codes, not
+    vectors (operators/similarity.py ``adc_topk``).
+    """
+    vecs = _vecs(spark, sf_dir)
+    return S.adc_topk(vecs, k=3, query_filter=F.col("vec_id") % 50 == 0)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -186,7 +186,8 @@ def streaming_exact_dedup(doc_stream: DataFrame,
 
 def streaming_near_dedup(doc_stream: DataFrame,
                          text_col: str = "text",
-                         id_col: str = "doc_id") -> DataFrame:
+                         id_col: str = "doc_id",
+                         ttl_ms: int | None = None) -> DataFrame:
     """Streaming NEAR-duplicate suppression: key the stateful seen-set
     on an LSH band hash instead of the exact content hash — documents
     whose MinHash band collides are flagged against the first arrival.
@@ -207,4 +208,4 @@ def streaming_near_dedup(doc_stream: DataFrame,
                               *sig)
     band = T.lsh_band([F.col(f"mh{j}") for j in range(T.MINHASH_FUNCS)], 0)
     return streaming_exact_dedup(
-        keyed.select("doc_id", band.alias("content_hash")))
+        keyed.select("doc_id", band.alias("content_hash")), ttl_ms=ttl_ms)

@@ -72,3 +72,39 @@ def test_altcc_empty_and_star(spark):
            for r in D.alternating_cc(
                _edges(spark, [(50, 51), (50, 52), (50, 53)])).collect()}
     assert got == {50: 50, 51: 50, 52: 50, 53: 50}
+
+
+def test_cc_algorithms_agree_on_random_graphs(spark):
+    """On seeded random graphs, hash-to-min, alternating large/small
+    star, and a driver-side union-find ground truth all produce the
+    identical (node -> component-min) map."""
+    import random
+
+    for seed in (7, 42, 99):
+        rng = random.Random(seed)
+        n = 60
+        pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
+        pairs = [(a, b) for a, b in pairs if a != b]
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = {x for p in pairs for x in p}
+        truth = {x: find(x) for x in nodes}
+
+        e = _edges(spark, pairs)
+        htm = {r.node: r.label
+               for r in D.connected_components(e).collect()}
+        alt = {r.node: r.label
+               for r in D.alternating_cc(e).collect()}
+        assert htm == truth, f"hash-to-min diverges (seed {seed})"
+        assert alt == truth, f"alternating diverges (seed {seed})"

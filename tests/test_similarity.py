@@ -244,3 +244,29 @@ def test_kmeans_parallel_init_deterministic_and_useful(spark, sf_dir):
         ).agg(F.sum("d2")).collect()[0][0]
 
     assert sse("parallel") <= sse("first_k") * 1.001
+
+
+def test_adc_matches_reconstruction_scoring(spark, sf_dir):
+    """ADC lookup-table scoring must rank the same neighbors as
+    explicit reconstruction (identical codes; scores differ only by
+    float summation order, equal after the 6-digit round on almost
+    every pair)."""
+    vecs = _vecs(spark, sf_dir)
+    qf = F.col("vec_id") % 100 == 0
+
+    recon = {(r.query_id, r.neighbor_id): r.approx_sim
+             for r in S.pq_topk(vecs, k=3, query_filter=qf).collect()}
+    adc = {(r.query_id, r.neighbor_id): r.approx_sim
+           for r in S.adc_topk(vecs, k=3, query_filter=qf).collect()}
+    # same top-k sets up to rounding-order ties at the boundary
+    overlap = set(recon) & set(adc)
+    assert len(overlap) >= 0.8 * len(recon)
+    for key in overlap:
+        assert abs(recon[key] - adc[key]) <= 1e-6, key
+
+    # codes are within range and compress 64 doubles to 16 small ints
+    books = S.pq_codebooks(vecs, m=16, k=16, iters=3)
+    first = (vecs.select(S.pq_codes(F.col("vec"), books).alias("c"))
+             .first())
+    assert len(first.c) == 16
+    assert all(0 <= x < 16 for x in first.c)
