@@ -164,3 +164,24 @@ def test_multiprobe_query_side_broadcast(spark, sf_dir):
     single-bucket operator."""
     plan = plan_of(SPECS["ann_lsh_multiprobe"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_adc_corpus_side_never_shuffles(spark, sf_dir):
+    """ADC scoring: the coded corpus scan flows into a broadcast join
+    (query LUTs are the broadcast side); the only Exchange in the
+    plan is the per-query ranking window's hash partitioning."""
+    plan = plan_of(SPECS["ann_pq_adc"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exchanges == 1, plan[:2000]
+
+
+def test_shared_borders_single_census_shuffle(spark, sf_dir):
+    """Shared-border census: segments shuffle once on the segment key
+    (the census groupBy); the owners join-back reuses that exchange
+    rather than re-shuffling the segment side a second way."""
+    plan = plan_of(SPECS["tile_shared_borders"].fn(spark, sf_dir))
+    segs_exchanges = len(re.findall(r"hashpartitioning\(seg", plan))
+    assert segs_exchanges <= 2   # census agg + join probe, same key
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
