@@ -75,6 +75,11 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Respect the advisory post-shuffle partition size instead of
+    # maximizing partition count (Spark docs recommend false): avoids
+    # scheduling swarms of tiny tasks at small SF and produces
+    # right-sized partitions from the same advisory at 100 TB.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # honor pushFilters() on Python data sources (sources/pmtiles_source)
     "spark.sql.python.filterPushdown.enabled": "true",
