@@ -920,6 +920,90 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HLL_SQL = """
+WITH h AS (
+  SELECT DISTINCT
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS hv
+  FROM events
+),
+r AS (
+  SELECT hv >> 52 AS bucket,
+         CASE WHEN (hv & 4503599627370495) = 0 THEN 53
+              ELSE 53 - length(bin(hv & 4503599627370495)) END AS rho
+  FROM h
+),
+m AS (
+  SELECT b.bucket, COALESCE(max(r.rho), 0) AS reg
+  FROM (SELECT unnest(range(256)) AS bucket) b
+  LEFT JOIN r ON r.bucket = b.bucket
+  GROUP BY b.bucket
+),
+s AS (
+  SELECT SUM(CAST(power(2.0, 63 - reg) AS DECIMAL(38,0))) AS sd,
+         SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS v
+  FROM m
+)
+SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_exact,
+       CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                 * (9223372036854775808.0 / CAST(sd AS DOUBLE)) <= 640.0
+             AND v > 0
+            THEN round(256.0 * ln(256.0 / v), 4)
+            ELSE round((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                       * (9223372036854775808.0 / CAST(sd AS DOUBLE)), 4)
+       END AS hll_estimate
+FROM s
+"""
+
+
+@query("agg_hll_manual", "relational",
+       "§2.5 aggregation: HAND-ROLLED HyperLogLog (p=8, md5-derived "
+       "hash) — cross-engine bit-exact, full oracle (unlike the "
+       "built-in sketch, which is engine-specific)", _HLL_SQL)
+def agg_hll_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed HyperLogLog (Flajolet et al. 2007) from first
+    principles, bit-exact across engines: 60-bit md5-derived hash,
+    256 registers (top 8 bits), rho = leading-zero rank of the low 52
+    bits via ``length(bin())``, harmonic sum done EXACTLY — register
+    contributions 2^(63-reg) are exact integer doubles cast to
+    DECIMAL(38,0) so the sum is order-independent — and one final
+    double division; small-range linear counting applied per the
+    paper, rounded to 4 digits (ln is the one irrational step).
+
+    Scale: the sketch is one groupBy over 256 register keys — the
+    canonical bounded-memory, mergeable distinct count; this query is
+    the parity proof for the built-in ``approx_count_distinct`` path
+    (``agg_approx_distinct``, rows-only by necessity).
+    """
+    t = load_tables(spark, sf_dir)
+    W_MASK = 4503599627370495          # 2^52 - 1
+    h = t.events.select(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+               16, 10).cast("long").alias("hv")).distinct()
+    w = F.col("hv").bitwiseAND(F.lit(W_MASK))
+    r = h.select(
+        F.shiftright("hv", 52).alias("bucket"),
+        F.when(w == 0, 53).otherwise(53 - F.length(F.bin(w))).alias("rho"))
+    buckets = spark.range(256).select(F.col("id").alias("bucket"))
+    regs = (buckets.join(r, "bucket", "left")
+            .groupBy("bucket")
+            .agg(F.coalesce(F.max("rho"), F.lit(0)).alias("reg")))
+    s = regs.agg(
+        F.sum(F.pow(F.lit(2.0), 63 - F.col("reg")).cast("decimal(38,0)"))
+        .alias("sd"),
+        F.sum(F.when(F.col("reg") == 0, 1).otherwise(0)).alias("v"))
+    raw = (F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+           * F.lit(65536.0)
+           * (F.lit(9223372036854775808.0) / F.col("sd").cast("double")))
+    est = s.select(
+        F.when((raw <= 640.0) & (F.col("v") > 0),
+               F.round(F.lit(256.0) * F.log(F.lit(256.0) / F.col("v")), 4))
+        .otherwise(F.round(raw, 4)).alias("hll_estimate"))
+    exact = t.events.agg(
+        F.countDistinct("user_id").alias("n_exact"))
+    return exact.crossJoin(est).select("n_exact", "hll_estimate")
+
+
 @query("agg_approx_distinct", "relational",
        "§2.5 aggregation (HLL sketch; approximate => rows-only check)",
        None)

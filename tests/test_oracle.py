@@ -35,3 +35,12 @@ def test_entry_smoke(spark):
     names = set(e.queries())
     oracles = e.oracle_sql()
     assert set(oracles) <= names
+
+
+def test_hll_estimate_accuracy(spark, sf_dir):
+    """The hand-rolled HLL (p=8 => ~6.5% typical error) must land
+    within 20% of the exact distinct count."""
+    row = SPECS["agg_hll_manual"].fn(spark, sf_dir).collect()[0]
+    assert row.n_exact > 0
+    rel = abs(row.hll_estimate - row.n_exact) / row.n_exact
+    assert rel <= 0.20, (row.n_exact, row.hll_estimate)
