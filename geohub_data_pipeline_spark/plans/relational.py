@@ -920,6 +920,60 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HIST_QUANTILE_SQL = """
+WITH b AS (
+  SELECT CAST(floor(l_extendedprice / 100) AS BIGINT) AS bin,
+         count(*) AS c
+  FROM lineitem GROUP BY bin
+),
+t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM b),
+cum AS (SELECT bin, sum(c) OVER (ORDER BY bin) AS cc FROM b)
+SELECT CAST(min(CASE WHEN cc >= 0.50 * n THEN bin END) * 100 + 100
+            AS DOUBLE) AS p50_upper,
+       CAST(min(CASE WHEN cc >= 0.90 * n THEN bin END) * 100 + 100
+            AS DOUBLE) AS p90_upper,
+       CAST(min(CASE WHEN cc >= 0.99 * n THEN bin END) * 100 + 100
+            AS DOUBLE) AS p99_upper
+FROM cum, t
+"""
+
+
+@query("agg_histogram_quantile", "relational",
+       "§2.5 aggregation: mergeable equi-width-histogram quantile "
+       "sketch — integer-exact, full oracle (the cross-engine-safe "
+       "approximate-percentile)", _HIST_QUANTILE_SQL)
+def agg_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles from a 100-unit equi-width histogram:
+    bin counts (one groupBy — mergeable, bounded memory), cumulative
+    counts over the ~1k bins, and the first bin whose cumulative
+    count crosses q*n; reported as the bin's upper edge, so every
+    value is integer-derived and bit-exact across engines (contrast
+    ``approx_percentile``'s engine-specific t-digest).
+
+    Scale: the corpus-sized work is ONE aggregation keyed by bin; the
+    window runs over the tiny bin table (single partition by design —
+    ~1k rows regardless of corpus size).  Error is bounded by the bin
+    width; tested against exact percentile.
+    """
+    t = load_tables(spark, sf_dir)
+    b = (t.lineitem
+         .groupBy(F.floor(F.col("l_extendedprice") / 100).cast("long")
+                  .alias("bin"))
+         .agg(F.count(F.lit(1)).alias("c")))
+    cum = b.select(
+        "bin", F.sum("c").over(Window.orderBy("bin")).alias("cc"))
+    n = b.agg(F.sum("c").cast("long").alias("n"))
+    out = cum.crossJoin(n)
+
+    def edge(q: float, name: str):
+        return (F.min(F.when(F.col("cc") >= q * F.col("n"),
+                             F.col("bin"))) * 100 + 100) \
+            .cast("double").alias(name)
+
+    return out.agg(edge(0.50, "p50_upper"), edge(0.90, "p90_upper"),
+                   edge(0.99, "p99_upper"))
+
+
 _HLL_SQL = """
 WITH h AS (
   SELECT DISTINCT

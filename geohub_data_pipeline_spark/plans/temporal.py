@@ -444,3 +444,75 @@ def events_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("late_us").alias("max_late_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel — ordered stage progression per user
+# ---------------------------------------------------------------------------
+
+_FUNNEL_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+v AS (
+  SELECT user_id, min(ts) AS t_view FROM e
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v) AS n_viewed,
+       (SELECT count(*) FROM c) AS n_clicked,
+       (SELECT count(*) FROM p) AS n_purchased,
+       (SELECT CAST(COALESCE(sum(epoch_us(p.t_purchase)
+                                 - epoch_us(v.t_view)), 0) AS BIGINT)
+        FROM p JOIN v ON p.user_id = v.user_id)
+         AS total_us_view_to_purchase
+"""
+
+
+@query("events_funnel", "temporal",
+       "§2.4 funnel: strict-order view -> click -> purchase stage "
+       "progression per user", _FUNNEL_SQL)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel: a user converts a stage only with an event
+    strictly after their previous stage's first event (view -> click
+    -> purchase), the standard product-analytics query.
+
+    Plan: per-stage min-timestamp aggregation joined forward — three
+    aggregations and two joins ALL keyed on user_id, so a cluster
+    reuses one hash partitioning end-to-end (AQE broadcasts the
+    shrinking stage tables at small SF).  Conversion latency is an
+    exact integer microsecond sum — no float drift.
+    """
+    t = load_tables(spark, sf_dir)
+    e = t.events.select("user_id", "event_type", "ts")
+    v = (e.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    c = (e.filter(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .filter(F.col("ts") > F.col("t_view"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    p = (e.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter(F.col("ts") > F.col("t_click"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_purchase")))
+    lat = (p.join(v, "user_id")
+           .agg(F.coalesce(
+               F.sum(F.unix_micros("t_purchase") - F.unix_micros("t_view")),
+               F.lit(0)).cast("long").alias("total_us_view_to_purchase")))
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased")))
+        .crossJoin(lat)
+    )

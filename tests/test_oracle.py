@@ -44,3 +44,21 @@ def test_hll_estimate_accuracy(spark, sf_dir):
     assert row.n_exact > 0
     rel = abs(row.hll_estimate - row.n_exact) / row.n_exact
     assert rel <= 0.20, (row.n_exact, row.hll_estimate)
+
+
+def test_histogram_quantile_brackets_exact(spark, sf_dir):
+    """Each histogram-quantile upper edge must sit within one bin
+    width (100) above the exact percentile."""
+    from geohub_data_pipeline_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    row = SPECS["agg_histogram_quantile"].fn(spark, sf_dir).collect()[0]
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+    ).collect()[0]
+    for est, ex in [(row.p50_upper, exact.p50), (row.p90_upper, exact.p90),
+                    (row.p99_upper, exact.p99)]:
+        assert ex <= est <= ex + 100.0, (est, ex)
