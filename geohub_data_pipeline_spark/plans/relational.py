@@ -974,6 +974,84 @@ def agg_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
                    edge(0.99, "p99_upper"))
 
 
+_CMS_SQL = """
+WITH src AS (
+  SELECT p_brand AS val FROM part
+),
+counters AS (
+  SELECT d.d AS row_id,
+         CAST('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' || val),
+                             1, 15) AS BIGINT) % 256 AS col_id,
+         count(*) AS c
+  FROM src, (SELECT unnest(range(4)) AS d) d
+  GROUP BY row_id, col_id
+),
+probe AS (SELECT DISTINCT val FROM src),
+est AS (
+  SELECT p.val,
+         min(ct.c) AS est_count
+  FROM probe p
+  JOIN (SELECT unnest(range(4)) AS d) d ON true
+  JOIN counters ct
+    ON ct.row_id = d.d
+   AND ct.col_id = CAST('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':'
+                                           || p.val), 1, 15) AS BIGINT) % 256
+  GROUP BY p.val
+),
+exact AS (SELECT val, count(*) AS n FROM src GROUP BY val)
+SELECT e.val AS brand,
+       CAST(x.n AS BIGINT) AS exact_count,
+       CAST(e.est_count AS BIGINT) AS cms_count
+FROM est e JOIN exact x ON e.val = x.val
+ORDER BY brand
+"""
+
+
+@query("agg_countmin_heavyhitters", "relational",
+       "§2.5 aggregation: count-min sketch frequency estimates "
+       "(d=4 md5-salted rows x 256 cols) — integer-exact, full "
+       "oracle", _CMS_SQL)
+def agg_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) from first
+    principles: 4 md5-salted hash rows of 256 counters each; a
+    value's estimate is the min of its 4 counters (always >= truth,
+    over-counting only on collisions).  All integer arithmetic —
+    bit-exact across engines.
+
+    Scale: the sketch build is one aggregation over (row, col) — at
+    most 1024 cells regardless of corpus size, each a map-side
+    partial count; estimates probe the tiny counter table.  This is
+    the bounded-memory path to frequency/heavy-hitter queries where
+    exact per-key counts would shuffle the full corpus keyspace.
+    """
+    t = load_tables(spark, sf_dir)
+    src = t.part.select(F.col("p_brand").alias("val"))
+    d = spark.range(4).select(F.col("id").cast("int").alias("row_id"))
+
+    def cms_col(row: Column, val: Column) -> Column:
+        return F.pmod(
+            F.conv(F.substring(
+                F.md5(F.concat(row.cast("string"), F.lit(":"), val)),
+                1, 15), 16, 10).cast("long"),
+            F.lit(256))
+
+    counters = (
+        src.crossJoin(F.broadcast(d))
+        .groupBy("row_id", cms_col(F.col("row_id"), F.col("val"))
+                 .alias("col_id"))
+        .agg(F.count(F.lit(1)).alias("c")))
+    probe = src.distinct().crossJoin(F.broadcast(d)).select(
+        "val", "row_id",
+        cms_col(F.col("row_id"), F.col("val")).alias("col_id"))
+    est = (probe.join(counters, ["row_id", "col_id"])
+           .groupBy("val").agg(F.min("c").alias("est_count")))
+    exact = src.groupBy("val").agg(F.count(F.lit(1)).alias("n"))
+    return (est.join(exact, "val")
+            .select(F.col("val").alias("brand"),
+                    F.col("n").cast("long").alias("exact_count"),
+                    F.col("est_count").cast("long").alias("cms_count")))
+
+
 _HLL_SQL = """
 WITH h AS (
   SELECT DISTINCT

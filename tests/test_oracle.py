@@ -62,3 +62,42 @@ def test_histogram_quantile_brackets_exact(spark, sf_dir):
     for est, ex in [(row.p50_upper, exact.p50), (row.p90_upper, exact.p90),
                     (row.p99_upper, exact.p99)]:
         assert ex <= est <= ex + 100.0, (est, ex)
+
+
+def test_hll_registers_merge(spark, sf_dir):
+    """Mergeability — the property that makes sketches the 100 TB
+    answer: registers built on two disjoint halves, merged with
+    element-wise max, must equal the registers built on the union."""
+    from geohub_data_pipeline_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def registers(df):
+        h = df.select(
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                               1, 15), 16, 10).cast("long").alias("hv"))
+        w = F.col("hv").bitwiseAND(F.lit(4503599627370495))
+        r = h.select(
+            F.shiftright("hv", 52).alias("bucket"),
+            F.when(w == 0, 53).otherwise(53 - F.length(F.bin(w)))
+            .alias("rho"))
+        return {row.bucket: row.maxrho for row in
+                r.groupBy("bucket").agg(F.max("rho").alias("maxrho"))
+                .collect()}
+
+    full = registers(ev)
+    a = registers(ev.filter(F.col("event_id") % 2 == 0))
+    b = registers(ev.filter(F.col("event_id") % 2 == 1))
+    merged = {k: max(a.get(k, 0), b.get(k, 0)) for k in set(a) | set(b)}
+    assert merged == full
+
+
+def test_countmin_never_undercounts(spark, sf_dir):
+    """CMS invariant: every estimate >= exact count, and with only
+    ~25 brands in 256 columns, most estimates are exactly right."""
+    rows = SPECS["agg_countmin_heavyhitters"].fn(spark, sf_dir).collect()
+    assert rows
+    assert all(r.cms_count >= r.exact_count for r in rows)
+    exact_hits = sum(1 for r in rows if r.cms_count == r.exact_count)
+    assert exact_hits >= 0.6 * len(rows)
