@@ -214,3 +214,40 @@ def cdc_chunks(docs: DataFrame, text_col: str = "text",
                 lambda s: s["word"]),
             " ")).alias("chunk_hash"))
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — regex scrubbing with audit counts
+# ---------------------------------------------------------------------------
+
+# Patterns chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB oracle): no backrefs, no lookaround.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("phone", r"\b555-[0-9]{3,4}\b", "<PHONE>"),
+]
+
+
+def scrub_pii(df: DataFrame, text_col: str,
+              patterns: list[tuple[str, str, str]] | None = None
+              ) -> DataFrame:
+    """Redact PII matches and keep an audit count per pattern — the
+    standard pre-training scrub (emails, phone numbers, ...) as pure
+    Catalyst ``regexp_replace``/``regexp_count`` expressions.
+
+    Scale: map-side only — no shuffle, no Python; regex runs inside
+    whole-stage codegen over the text column.  Patterns are applied
+    in order; counts are taken BEFORE any replacement so overlapping
+    patterns audit against the original text.
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    out = df
+    for name, pat, _ in pats:
+        out = out.withColumn(
+            f"n_{name}",
+            F.regexp_count(F.col(text_col), F.lit(pat)).cast("long"))
+    scrubbed = F.col(text_col)
+    for _, pat, repl in pats:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return out.withColumn("scrubbed", scrubbed)

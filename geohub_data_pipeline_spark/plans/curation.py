@@ -443,3 +443,54 @@ def pack_sequences_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         T.token_count_whitespace(F.col("text")).cast("long").alias("tokens"))
     return C.pack_token_shards(docs, _SHARD_CAPACITY)
+
+
+_PII_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.org or 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_email,
+       CAST(len(regexp_extract_all(t, '\b555-[0-9]{3,4}\b')) AS BIGINT)
+         AS n_phone,
+       regexp_replace(
+         regexp_replace(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+           '<EMAIL>', 'g'),
+         '\b555-[0-9]{3,4}\b', '<PHONE>', 'g') AS scrubbed
+FROM aug
+ORDER BY doc_id
+"""
+
+
+@query("text_pii_scrub", "llm",
+       "north star: PII redaction scrub (emails/phones) with audit "
+       "counts — map-side regex, no shuffle", _PII_SQL)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training PII scrub: redact emails and phone numbers and
+    audit how many of each were hit (operators/curation.py
+    ``scrub_pii``).  The harness corpus carries no PII, so the query
+    plants a deterministic contact line per document first — the
+    scrub itself is the generic operator.
+
+    Scale: pure map-side regexp codegen over the text column; zero
+    shuffles, cost one corpus scan regardless of pattern count.
+    """
+    t = load_tables(spark, sf_dir)
+    aug = t.documents.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"), F.lit("@mail.example.org or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t"))
+    return (
+        C.scrub_pii(aug, "t")
+        .select("doc_id", "n_email", "n_phone", "scrubbed")
+    )

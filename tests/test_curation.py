@@ -107,3 +107,19 @@ def test_cdc_chunks_shift_invariant(spark):
     # everything after the first boundary is identical
     assert len(shared) >= len(h1) - 2
     assert h1 != h2  # the head chunk did change
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    """Emails and 555-phones are replaced and audited; clean text
+    passes through untouched."""
+    from geohub_data_pipeline_spark.operators.curation import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x.co and x@y.org call 555-1234 ok"),
+         (2, "nothing to see here")],
+        "id long, t string")
+    got = {r.id: r for r in scrub_pii(df, "t").collect()}
+    assert got[1].n_email == 2 and got[1].n_phone == 1
+    assert got[1].scrubbed == "mail <EMAIL> and <EMAIL> call <PHONE> ok"
+    assert got[2].n_email == 0 and got[2].n_phone == 0
+    assert got[2].scrubbed == "nothing to see here"
