@@ -974,6 +974,121 @@ def agg_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
                    edge(0.99, "p99_upper"))
 
 
+_BLOOM_SQL = """
+WITH keys AS (
+  SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey % 10 = 3
+),
+bits AS (
+  SELECT CAST('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':'
+                                 || CAST(k AS VARCHAR)), 1, 15)
+              AS BIGINT) % 4096 AS pos
+  FROM keys, (SELECT unnest(range(2)) AS d) d
+),
+words AS (
+  SELECT pos // 32 AS w,
+         CAST(bit_or(CAST(power(2.0, pos % 32) AS BIGINT)) AS BIGINT)
+           AS bits
+  FROM bits GROUP BY pos // 32
+),
+probe AS (
+  SELECT o_orderkey,
+         CAST('0x' || substr(md5('0:' || CAST(o_custkey AS VARCHAR)),
+                             1, 15) AS BIGINT) % 4096 AS p0,
+         CAST('0x' || substr(md5('1:' || CAST(o_custkey AS VARCHAR)),
+                             1, 15) AS BIGINT) % 4096 AS p1,
+         o_custkey
+  FROM orders
+),
+passed AS (
+  SELECT p.o_orderkey, p.o_custkey
+  FROM probe p
+  LEFT JOIN words w0 ON w0.w = p.p0 // 32
+  LEFT JOIN words w1 ON w1.w = p.p1 // 32
+  WHERE CAST(floor(COALESCE(w0.bits, 0) / power(2.0, p.p0 % 32))
+             AS BIGINT) % 2 = 1
+    AND CAST(floor(COALESCE(w1.bits, 0) / power(2.0, p.p1 % 32))
+             AS BIGINT) % 2 = 1
+)
+SELECT (SELECT count(*) FROM passed) AS n_bloom_pass,
+       (SELECT count(*) FROM orders o JOIN keys ON o.o_custkey = keys.k)
+         AS n_exact_match,
+       (SELECT count(*) FROM passed pp
+        WHERE NOT EXISTS (SELECT 1 FROM keys WHERE keys.k = pp.o_custkey))
+         AS n_false_positives
+"""
+
+
+@query("join_bloom_prefilter", "relational",
+       "§2.5 joins: bloom-filter runtime pruning of the fact side "
+       "(4096-bit, 2 md5 hashes) — integer-exact, full oracle",
+       _BLOOM_SQL)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB join optimization: build a bloom filter over the
+    selective dimension's join keys (here ~1/10 of customers) and
+    prune the fact table BEFORE its shuffle — rows failing the bloom
+    can't join, rows passing are exact matches or audited false
+    positives (never a false negative).
+
+    Hand-rolled 4096-bit blocked bloom: 2 md5-salted hashes set bits
+    collected into 128 32-bit words by one aggregation; the probe is
+    two broadcast joins against the word table plus integer bit
+    tests (floor-divide by 2^b — cross-engine-exact, no shift ops).
+    At scale the word table is a byte-sized broadcast and the probe
+    is map-side, so the fact shuffle moves only surviving rows —
+    Spark's own runtime filters do exactly this, opaquely; this one
+    is deterministic and oracle-checkable.
+    """
+    t = load_tables(spark, sf_dir)
+    keys = (t.customer.filter(F.col("c_custkey") % 10 == 3)
+            .select(F.col("c_custkey").alias("k")).distinct())
+    d = spark.range(2).select(F.col("id").alias("d"))
+
+    def h(salt: Column, key: Column) -> Column:
+        return F.pmod(
+            F.conv(F.substring(
+                F.md5(F.concat(salt.cast("string"), F.lit(":"),
+                               key.cast("string"))), 1, 15),
+                16, 10).cast("long"),
+            F.lit(4096))
+
+    bits = keys.crossJoin(F.broadcast(d)).select(
+        h(F.col("d"), F.col("k")).alias("pos"))
+    words = (bits.groupBy(F.floor(F.col("pos") / 32).cast("long")
+                          .alias("w"))
+             .agg(F.bit_or(F.pow(F.lit(2.0), F.col("pos") % 32)
+                           .cast("long")).alias("bits")))
+    probe = t.orders.select(
+        "o_orderkey", "o_custkey",
+        h(F.lit(0), F.col("o_custkey")).alias("p0"),
+        h(F.lit(1), F.col("o_custkey")).alias("p1"))
+
+    def bit_set(bits_col: Column, pos: Column) -> Column:
+        return (F.floor(F.coalesce(bits_col, F.lit(0))
+                        / F.pow(F.lit(2.0), pos % 32))
+                .cast("long") % 2) == 1
+
+    w0 = words.select(F.col("w").alias("w0"), F.col("bits").alias("b0"))
+    w1 = words.select(F.col("w").alias("w1"), F.col("bits").alias("b1"))
+    passed = (
+        probe
+        .join(F.broadcast(w0),
+              F.floor(F.col("p0") / 32).cast("long") == F.col("w0"),
+              "left")
+        .join(F.broadcast(w1),
+              F.floor(F.col("p1") / 32).cast("long") == F.col("w1"),
+              "left")
+        .filter(bit_set(F.col("b0"), F.col("p0"))
+                & bit_set(F.col("b1"), F.col("p1")))
+        .select("o_orderkey", "o_custkey"))
+    n_pass = passed.agg(F.count(F.lit(1)).alias("n_bloom_pass"))
+    n_exact = (t.orders.join(keys, F.col("o_custkey") == F.col("k"))
+               .agg(F.count(F.lit(1)).alias("n_exact_match")))
+    n_fp = (passed.join(keys, F.col("o_custkey") == F.col("k"),
+                        "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_false_positives")))
+    return n_pass.crossJoin(n_exact).crossJoin(n_fp)
+
+
 _CMS_SQL = """
 WITH src AS (
   SELECT p_brand AS val FROM part

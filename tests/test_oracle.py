@@ -101,3 +101,13 @@ def test_countmin_never_undercounts(spark, sf_dir):
     assert all(r.cms_count >= r.exact_count for r in rows)
     exact_hits = sum(1 for r in rows if r.cms_count == r.exact_count)
     assert exact_hits >= 0.6 * len(rows)
+
+
+def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
+    """Bloom invariant: pass-set covers every exact match (no false
+    negatives); false positives are the small audited remainder."""
+    row = SPECS["join_bloom_prefilter"].fn(spark, sf_dir).collect()[0]
+    assert row.n_exact_match > 0
+    assert row.n_bloom_pass == row.n_exact_match + row.n_false_positives
+    # 4096 bits / ~tens of keys => tiny FP rate at harness scale
+    assert row.n_false_positives <= 0.05 * row.n_bloom_pass + 5
