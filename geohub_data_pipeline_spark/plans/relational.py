@@ -1251,6 +1251,97 @@ def agg_hll_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.crossJoin(est).select("n_exact", "hll_estimate")
 
 
+_HLL_GROUP_SQL = """
+WITH h AS (
+  SELECT DISTINCT l_returnflag AS g,
+         CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)
+              AS BIGINT) AS hv
+  FROM lineitem
+),
+r AS (
+  SELECT g, hv >> 52 AS bucket,
+         CASE WHEN (hv & 4503599627370495) = 0 THEN 53
+              ELSE 53 - length(bin(hv & 4503599627370495)) END AS rho
+  FROM h
+),
+m AS (
+  SELECT gs.g, b.bucket, COALESCE(max(r.rho), 0) AS reg
+  FROM (SELECT DISTINCT g FROM r) gs
+  CROSS JOIN (SELECT unnest(range(256)) AS bucket) b
+  LEFT JOIN r ON r.bucket = b.bucket AND r.g = gs.g
+  GROUP BY gs.g, b.bucket
+),
+s AS (
+  SELECT g, SUM(CAST(power(2.0, 63 - reg) AS DECIMAL(38,0))) AS sd,
+         SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS v
+  FROM m GROUP BY g
+),
+x AS (
+  SELECT l_returnflag AS g, count(DISTINCT l_partkey) AS n_exact
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT s.g AS l_returnflag,
+       CAST(x.n_exact AS BIGINT) AS n_exact,
+       CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                 * (9223372036854775808.0 / CAST(sd AS DOUBLE)) <= 640.0
+             AND v > 0
+            THEN round(256.0 * ln(256.0 / v), 4)
+            ELSE round((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                       * (9223372036854775808.0 / CAST(sd AS DOUBLE)), 4)
+       END AS hll_estimate
+FROM s JOIN x ON s.g = x.g
+ORDER BY l_returnflag
+"""
+
+
+@query("agg_hll_per_group", "relational",
+       "§2.5 aggregation: per-group hand-rolled HLL — the sketch "
+       "shape real pipelines ship (one sketch per partition key), "
+       "bit-exact full oracle", _HLL_GROUP_SQL)
+def agg_hll_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct parts per returnflag by a per-group HyperLogLog: the
+    register table is keyed (group, bucket) — one aggregation
+    regardless of group count, 256 registers per group, mergeable
+    across partitions/days by element-wise max (asserted in
+    tests/test_oracle.py for the global sketch).  Same exact-
+    arithmetic harmonic sum as ``agg_hll_manual``.
+    """
+    t = load_tables(spark, sf_dir)
+    W_MASK = 4503599627370495
+    h = t.lineitem.select(
+        F.col("l_returnflag").alias("g"),
+        F.conv(F.substring(F.md5(F.col("l_partkey").cast("string")),
+                           1, 15), 16, 10).cast("long").alias("hv"),
+    ).distinct()
+    w = F.col("hv").bitwiseAND(F.lit(W_MASK))
+    r = h.select(
+        "g", F.shiftright("hv", 52).alias("bucket"),
+        F.when(w == 0, 53).otherwise(53 - F.length(F.bin(w))).alias("rho"))
+    groups = r.select("g").distinct()
+    buckets = spark.range(256).select(F.col("id").alias("bucket"))
+    regs = (groups.crossJoin(F.broadcast(buckets))
+            .join(r, ["g", "bucket"], "left")
+            .groupBy("g", "bucket")
+            .agg(F.coalesce(F.max("rho"), F.lit(0)).alias("reg")))
+    s = regs.groupBy("g").agg(
+        F.sum(F.pow(F.lit(2.0), 63 - F.col("reg")).cast("decimal(38,0)"))
+        .alias("sd"),
+        F.sum(F.when(F.col("reg") == 0, 1).otherwise(0)).alias("v"))
+    raw = (F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+           * F.lit(65536.0)
+           * (F.lit(9223372036854775808.0) / F.col("sd").cast("double")))
+    est = s.select(
+        "g",
+        F.when((raw <= 640.0) & (F.col("v") > 0),
+               F.round(F.lit(256.0) * F.log(F.lit(256.0) / F.col("v")), 4))
+        .otherwise(F.round(raw, 4)).alias("hll_estimate"))
+    exact = (t.lineitem.groupBy(F.col("l_returnflag").alias("g"))
+             .agg(F.countDistinct("l_partkey").alias("n_exact")))
+    return (est.join(exact, "g")
+            .select(F.col("g").alias("l_returnflag"), "n_exact",
+                    "hll_estimate"))
+
+
 @query("agg_approx_distinct", "relational",
        "§2.5 aggregation (HLL sketch; approximate => rows-only check)",
        None)
