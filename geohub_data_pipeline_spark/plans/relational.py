@@ -398,6 +398,72 @@ ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 """
 
 
+_AGG_PIVOT_SQL = f"""
+SELECT o_orderpriority,
+       {dsum_sql('CASE WHEN o_orderstatus = %s THEN o_totalprice END' % "'F'")}
+         AS total_f,
+       {dsum_sql('CASE WHEN o_orderstatus = %s THEN o_totalprice END' % "'O'")}
+         AS total_o,
+       {dsum_sql('CASE WHEN o_orderstatus = %s THEN o_totalprice END' % "'P'")}
+         AS total_p
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("agg_pivot_status", "relational",
+       "§2.5 aggregation (pivot: long -> wide reshaping)",
+       _AGG_PIVOT_SQL)
+def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order value pivoted wide by status (one column per status),
+    the long->wide reshaping query.  Pivot values are enumerated
+    explicitly — at scale that skips the extra distinct-values scan
+    Spark otherwise runs, and makes the output schema static.  The
+    oracle expresses the identical computation as conditional
+    aggregation (the portable form).
+    """
+    t = load_tables(spark, sf_dir)
+    piv = (
+        t.orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(dsum(F.col("o_totalprice")))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.col("F").alias("total_f"),
+        F.col("O").alias("total_o"),
+        F.col("P").alias("total_p"),
+    )
+
+
+_AGG_GSETS_DF_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders, {dsum_sql('o_totalprice')} AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+@query("agg_grouping_sets_df", "relational",
+       "§2.5 aggregation (grouping sets via the native DataFrame "
+       "groupingSets API, vs the SQL-front twin agg_grouping_sets)",
+       _AGG_GSETS_DF_SQL)
+def agg_grouping_sets_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((status), (priority)) — both marginals in ONE
+    scan and one shuffle (the expand operator tags each row per set),
+    where two separate groupBys would scan and shuffle twice."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             dsum(F.col("o_totalprice")).alias("total_price"))
+    )
+
+
 @query("agg_rollup", "relational", "§2.5 aggregation (rollup)", _AGG_ROLLUP_SQL)
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy status -> priority -> grand total."""
