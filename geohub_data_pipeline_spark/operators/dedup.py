@@ -166,31 +166,36 @@ def jaccard_for_pairs(df: DataFrame, pairs: DataFrame, text_col: str,
 
 
 def jaccard_consecutive(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Token-set Jaccard for (id, id+1) pairs — one sort-merge join on
-    (neighbor id, token); linear in corpus size."""
-    toks = df.select(
+    """Token-set Jaccard for (id, id+1) pairs — the docs collapse
+    map-side to (id, distinct-token array) and self-join once on the
+    shifted id; the intersection is a per-row ``array_intersect``.
+    One shuffle keyed on doc id (vs the exploded-token formulation's
+    joins over every token occurrence); linear in corpus size.
+
+    Pairs with an empty intersection are dropped (inner-join
+    semantics of the token-level formulation this replaces).
+    """
+    docs = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(T.words(F.col(text_col)))).alias("tok"),
+        F.array_distinct(T.words(F.col(text_col))).alias("__toks"),
     )
-    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
-    a = toks.select(F.col("id").alias("id_a"), "tok")
-    b = toks.select((F.col("id") - 1).alias("id_a"),
-                    F.col("id").alias("id_b"), "tok")
-    inter = (
-        a.join(b, ["id_a", "tok"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    a = docs.select(F.col("id").alias("id_a"),
+                    F.col("__toks").alias("__ta"))
+    b = docs.select((F.col("id") - 1).alias("id_a"),
+                    F.col("id").alias("id_b"),
+                    F.col("__toks").alias("__tb"))
     return (
-        inter
-        .join(sizes.select(F.col("id").alias("id_a"),
-                           F.col("n_tok").alias("n_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"),
-                           F.col("n_tok").alias("n_b")), "id_b")
+        a.join(b, "id_a")
         .select(
-            "id_a", "id_b", "n_inter",
+            "id_a", "id_b",
+            F.size(F.array_intersect("__ta", "__tb")).alias("n_inter"),
+            F.size("__ta").alias("__na"), F.size("__tb").alias("__nb"),
+        )
+        .filter(F.col("n_inter") >= 1)
+        .select(
+            "id_a", "id_b", F.col("n_inter").cast("long").alias("n_inter"),
             F.round(F.col("n_inter")
-                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6)
+                    / (F.col("__na") + F.col("__nb") - F.col("n_inter")), 6)
             .alias("jaccard"),
         )
     )

@@ -249,8 +249,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard over consecutive-id candidate pairs —
     the verify stage that follows LSH candidate generation.
 
-    Scale: explode-to-tokens then sort-merge join on (neighbor id,
-    token); linear in corpus size, no quadratic pair blow-up.
+    Scale: docs collapse map-side to distinct-token arrays; ONE
+    doc-id-keyed self-join and a per-row array_intersect — linear in
+    corpus size, no token-level shuffle, no quadratic pair blow-up.
     """
     t = load_tables(spark, sf_dir)
     return (
