@@ -185,3 +185,12 @@ def test_shared_borders_single_census_shuffle(spark, sf_dir):
     assert segs_exchanges <= 2   # census agg + join probe, same key
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
         or "BroadcastHashJoin" in plan
+
+
+def test_funnel_shuffles_only_on_user_id(spark, sf_dir):
+    """Every hash exchange in the funnel plan is keyed on user_id —
+    stages reuse one partitioning; the only other exchanges are the
+    final single-row count collects."""
+    plan = plan_of(SPECS["events_funnel"].fn(spark, sf_dir))
+    keys = re.findall(r"Arguments: hashpartitioning\(([a-z_]+)", plan)
+    assert keys and all(k == "user_id" for k in keys), keys
