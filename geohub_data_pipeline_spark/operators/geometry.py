@@ -14,7 +14,9 @@ attrs, srid); the stage is ``normalize_features``:
   other source SRIDs    -> gated behind pyproj (stubbed if absent),
 * ``should_reproject``  -> constant-fold per layer
   (ref ingest/processing.py:36-61),
-* ``-makevalid``        -> requires a geometry engine (GEOS); stubbed:
+* ``-makevalid``        -> MakeValid-lite (pure python): duplicate
+  vertices deduped, rings re-wound OGC-style, bowtie self-crossings
+  split into simple loops; residual invalidity (GEOS-only cases) is
   flagged via ``needs_makevalid`` so callers can quarantine,
 * count audit           -> operators/audits.py.
 
@@ -75,6 +77,14 @@ def wkb_polygon(rings: list[list[tuple[float, float]]]) -> bytes:
     return out
 
 
+def wkb_multipolygon(
+        polys: list[list[list[tuple[float, float]]]]) -> bytes:
+    out = struct.pack("<BII", 1, MULTIPOLYGON, len(polys))
+    for rings in polys:
+        out += wkb_polygon(rings)
+    return out
+
+
 def _read_coords(buf: bytes, off: int, n: int) -> tuple[list, int]:
     coords = list(struct.unpack_from(f"<{2 * n}d", buf, off))
     return coords, off + 16 * n
@@ -92,24 +102,28 @@ def parse_wkb(buf: bytes) -> dict[str, Any] | None:
         base = gtype % 1000
         coords: list[float] = []
         parts: list[list[float]] = []
+        roles: list[bool] = []      # per part: True = exterior ring
         off = 5
         if base == POINT:
             c, off = _read_coords(buf, off, 1)
             coords = c
             parts = [c]
+            roles = [True]
         elif base == LINESTRING:
             n = struct.unpack_from("<I", buf, off)[0]
             c, off = _read_coords(buf, off + 4, n)
             coords = c
             parts = [c]
+            roles = [True]
         elif base == POLYGON:
             nrings = struct.unpack_from("<I", buf, off)[0]
             off += 4
-            for _ in range(nrings):
+            for i in range(nrings):
                 n = struct.unpack_from("<I", buf, off)[0]
                 c, off = _read_coords(buf, off + 4, n)
                 coords += c
                 parts.append(c)
+                roles.append(i == 0)   # WKB: ring 0 exterior, rest holes
         elif base in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON):
             ngeom = struct.unpack_from("<I", buf, off)[0]
             off += 4
@@ -119,13 +133,14 @@ def parse_wkb(buf: bytes) -> dict[str, Any] | None:
                     return None
                 coords += sub["coords"]
                 parts += sub["parts"]
+                roles += sub["roles"]
                 off += sub["nbytes"]
         else:
             return None
         if off > len(buf):
             return None
         return {"type": base, "coords": coords, "parts": parts,
-                "nbytes": off}
+                "roles": roles, "nbytes": off}
     except (struct.error, IndexError):
         return None
 
@@ -167,6 +182,211 @@ def ring_is_bowtie(ring: list[float]) -> bool:
         return 0 < t < 1 and 0 < u < 1
 
     return crosses(seg(0), seg(2)) or crosses(seg(1), seg(3))
+
+
+# ---------------------------------------------------------------------------
+# MakeValid-lite (pure python, no GEOS)
+#
+# Repairs the invalidity classes ``-makevalid`` most commonly fixes in
+# practice (ref ingest/processing.py:142-144 passes -makevalid to
+# ogr2ogr): consecutive duplicate vertices, wrong ring orientation,
+# and single-crossing "bowtie" self-intersections, which split into
+# two valid rings at the crossing point.  Anything deeper (nested
+# self-touching shells, hole/shell crossings) stays flagged.
+# ---------------------------------------------------------------------------
+
+def _pairs(flat: list[float]) -> list[tuple[float, float]]:
+    return list(zip(flat[0::2], flat[1::2]))
+
+
+def _dedupe_ring(pts: list[tuple[float, float]]
+                 ) -> tuple[list[tuple[float, float]], bool]:
+    """Drop consecutive duplicate vertices; returns (closed ring,
+    changed)."""
+    if not pts:
+        return pts, False
+    out = [pts[0]]
+    for p in pts[1:]:
+        if p != out[-1]:
+            out.append(p)
+    if out[0] != out[-1]:
+        out.append(out[0])
+    return out, len(out) != len(pts)
+
+
+def _ring_area2(pts: list[tuple[float, float]]) -> float:
+    """Twice the signed shoelace area (y-up coords: CCW positive)."""
+    return sum(x1 * y2 - x2 * y1
+               for (x1, y1), (x2, y2) in zip(pts, pts[1:]))
+
+
+def _proper_crossing(a, b, c, d) -> tuple[float, float] | None:
+    """Intersection point of segments ab and cd when they properly
+    cross (interiors intersect); None for parallel/touching."""
+    (x1, y1), (x2, y2) = a, b
+    (x3, y3), (x4, y4) = c, d
+    den = (x2 - x1) * (y4 - y3) - (y2 - y1) * (x4 - x3)
+    if den == 0:
+        return None
+    t = ((x3 - x1) * (y4 - y3) - (y3 - y1) * (x4 - x3)) / den
+    u = ((x3 - x1) * (y2 - y1) - (y3 - y1) * (x2 - x1)) / den
+    if 0 < t < 1 and 0 < u < 1:
+        return (x1 + t * (x2 - x1), y1 + t * (y2 - y1))
+    return None
+
+
+def _first_self_crossing(pts: list[tuple[float, float]]
+                         ) -> tuple[int, int, tuple[float, float]] | None:
+    """First proper crossing between non-adjacent segments of a
+    closed ring (O(n^2) — rings are small after simplification)."""
+    n = len(pts) - 1                       # closed: last == first
+    for i in range(n):
+        for j in range(i + 2, n):
+            if i == 0 and j == n - 1:
+                continue                   # adjacent around the seam
+            x = _proper_crossing(pts[i], pts[i + 1], pts[j], pts[j + 1])
+            if x is not None:
+                return i, j, x
+    return None
+
+
+def _split_ring(pts: list[tuple[float, float]], i: int, j: int,
+                x: tuple[float, float]
+                ) -> tuple[list[tuple[float, float]],
+                           list[tuple[float, float]]]:
+    """Split a closed ring at the crossing of segments i and j into
+    the two simple loops meeting at point ``x`` (the bowtie fix)."""
+    loop_a = [x] + pts[i + 1:j + 1] + [x]
+    loop_b = [x] + pts[j + 1:-1] + pts[:i + 1] + [x]
+    return loop_a, loop_b
+
+
+def _orient(pts: list[tuple[float, float]],
+            ccw: bool) -> list[tuple[float, float]]:
+    a2 = _ring_area2(pts)
+    if a2 != 0 and (a2 > 0) != ccw:
+        return [pts[0]] + pts[:0:-1]
+    return pts
+
+
+def _point_in_ring(pt: tuple[float, float],
+                   ring: list[tuple[float, float]]) -> bool:
+    """Even-odd raycast (boundary cases irrelevant for hole homing)."""
+    x, y = pt
+    inside = False
+    for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
+        if (y1 > y) != (y2 > y):
+            if x < x1 + (y - y1) / (y2 - y1) * (x2 - x1):
+                inside = not inside
+    return inside
+
+
+_MAX_SPLITS = 8     # repair cap: a ring with more crossings stays flagged
+
+
+def make_valid_polygons(
+    parts: list[list[float]],
+    roles: list[bool],
+) -> tuple[list[list[list[tuple[float, float]]]], bool, bool]:
+    """MakeValid-lite over parsed polygon rings.
+
+    Input: flat rings + exterior/hole roles (``parse_wkb`` order).
+    Returns ``(polygons, changed, repaired)`` where polygons is
+    [[exterior, hole...], ...] with OGC winding (exterior CCW, holes
+    CW); ``repaired`` False means some invalidity remains (caller
+    keeps the flag; output equals input geometry).
+    """
+    # group rings into polygons: an exterior starts a new polygon
+    polys: list[list[list[tuple[float, float]]]] = []
+    for flat, is_ext in zip(parts, roles):
+        ring = _pairs(flat)
+        if is_ext or not polys:
+            polys.append([ring])
+        else:
+            polys[-1].append(ring)
+
+    out: list[list[list[tuple[float, float]]]] = []
+    changed = False
+    repaired = True
+    for rings in polys:
+        exteriors: list[list[tuple[float, float]]] = []
+        holes: list[list[tuple[float, float]]] = []
+        # 1. dedupe vertices, drop degenerate rings
+        cleaned: list[tuple[list[tuple[float, float]], bool]] = []
+        for ri, ring in enumerate(rings):
+            ring2, ch = _dedupe_ring(ring)
+            changed |= ch
+            if len(ring2) < 4:             # degenerate after dedupe
+                changed = True
+                continue
+            cleaned.append((ring2, ri == 0))
+        # 2. split self-crossing rings (bowtie) into simple loops
+        for ring2, is_ext in cleaned:
+            queue = [ring2]
+            splits = 0
+            simple: list[list[tuple[float, float]]] = []
+            while queue:
+                r = queue.pop()
+                hit = _first_self_crossing(r)
+                if hit is None:
+                    simple.append(r)
+                    continue
+                splits += 1
+                if splits > _MAX_SPLITS:
+                    repaired = False
+                    simple.append(r)
+                    continue
+                changed = True
+                a, b = _split_ring(r, hit[0], hit[1], hit[2])
+                queue += [x for x in (a, b) if len(x) >= 4]
+            if is_ext:
+                exteriors += simple
+            else:
+                if len(simple) > 1:
+                    repaired = False       # crossing hole: out of scope
+                holes += simple
+        if not exteriors:
+            changed = True                 # whole polygon degenerated
+            continue
+        # 3. orientation + hole homing (holes keep the exterior that
+        # contains them; a split exterior re-homes each hole)
+        ext_or = []
+        for e in exteriors:
+            e2 = _orient(e, ccw=True)
+            changed |= (e2 is not e)
+            ext_or.append([e2])
+        for h in holes:
+            h2 = _orient(h, ccw=False)
+            changed |= (h2 is not h)
+            homed = False
+            for rings_out in ext_or:
+                if _point_in_ring(h2[0], rings_out[0]):
+                    rings_out.append(h2)
+                    homed = True
+                    break
+            if not homed:
+                repaired = False
+        out += ext_or
+    return out, changed, repaired
+
+
+def make_valid_wkb(buf: bytes) -> tuple[bytes, bool]:
+    """MakeValid-lite on a (Multi)Polygon WKB blob.
+
+    Returns ``(wkb, still_invalid)``; non-polygon input passes
+    through untouched.  Output is always a MULTIPOLYGON (callers run
+    after PROMOTE_TO_MULTI).
+    """
+    parsed = parse_wkb(buf)
+    if parsed is None or parsed["type"] not in (POLYGON, MULTIPOLYGON):
+        return buf, False
+    polys, changed, repaired = make_valid_polygons(
+        parsed["parts"], parsed["roles"])
+    if not repaired or not changed:
+        return buf, not repaired
+    if not polys:
+        return buf, True                   # fully degenerate: flag
+    return wkb_multipolygon(polys), False
 
 
 # ---------------------------------------------------------------------------
@@ -306,10 +526,16 @@ def normalize_features(features: DataFrame,
                     parsed = parse_wkb(buf)
                 buf = promote_to_multi(buf)
                 parsed_m = parse_wkb(buf)
+                invalid = False
+                if parsed_m["type"] == MULTIPOLYGON:
+                    # -makevalid (lite): bowtie split / vertex dedupe /
+                    # rewinding happen in-row; only unrepairable
+                    # geometries keep the flag for quarantine.
+                    buf2, invalid = make_valid_wkb(buf)
+                    if buf2 != buf:
+                        buf = buf2
+                        parsed_m = parse_wkb(buf)
                 minx, miny, maxx, maxy = bbox_of(parsed_m)
-                invalid = any(
-                    ring_is_bowtie(p) for p in parsed_m["parts"]
-                ) if parsed_m["type"] == MULTIPOLYGON else False
                 rows.append((dataset, layer, int(fid), buf,
                              parsed_m["type"], dst_srid,
                              minx, miny, maxx, maxy, invalid))

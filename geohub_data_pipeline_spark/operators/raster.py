@@ -42,8 +42,16 @@ BLOCK_SCHEMA = (
 
 
 def rgb_dispatch(bands: DataFrame) -> DataFrame:
-    """T12: >=3 color-interpreted bands (or PHOTOMETRIC) => one
-    multiband 'rgb' output, else one output per band.
+    """T12: route each (dataset, subdataset) to one multiband 'rgb'
+    output or one output per band, with the reference's two rules
+    (processing.py:727-731 subdatasets, 783-786 root):
+
+    * root rasters (subdataset NULL): multiband when ANY band has
+      colorinterp >= 3 (``max(colorinterp) >= 3``) — e.g. bands
+      tagged [1,1,3] are still an RGB composite;
+    * subdatasets: multiband when the band COUNT >= 3 (the reference
+      counts colorinterp entries, one per band);
+    * either level: a PHOTOMETRIC tag forces multiband.
 
     Input: one row per (dataset, subdataset, band) with colorinterp.
     """
@@ -51,9 +59,14 @@ def rgb_dispatch(bands: DataFrame) -> DataFrame:
         F.col("dataset").alias("ds"),
         F.col("subdataset").alias("sub"),
     ).agg(
-        F.count(F.when(F.col("colorinterp").isNotNull()
-                       & (F.col("colorinterp") >= 3), 1)).alias("n_color"),
+        F.max("colorinterp").alias("max_ci"),
+        F.count(F.lit(1)).alias("n_bands"),
         F.max("photometric").alias("ds_photometric"),
+    )
+    is_multiband = (
+        F.when(F.col("sub").isNull(), F.col("max_ci") >= 3)
+        .otherwise(F.col("n_bands") >= 3)
+        | F.col("ds_photometric").isNotNull()
     )
     return (
         # null-safe equality: root-level rasters carry subdataset=NULL
@@ -64,8 +77,7 @@ def rgb_dispatch(bands: DataFrame) -> DataFrame:
         )
         .select(
             "dataset", "subdataset", "band",
-            F.when((F.col("n_color") >= 3)
-                   | F.col("ds_photometric").isNotNull(), "rgb_composite")
+            F.when(is_multiband, "rgb_composite")
             .otherwise("per_band").alias("cog_mode"),
         )
     )

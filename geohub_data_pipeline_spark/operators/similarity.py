@@ -116,6 +116,93 @@ def brute_force_topk(
     )
 
 
+def _partition_topk(scored: DataFrame, k: int,
+                    score_col: str) -> DataFrame:
+    """Partition-local top-k per query BEFORE the global rank window.
+
+    The final ordering (score desc, neighbor_id asc) is a total order
+    (neighbor ids are unique per query), so merging per-partition
+    top-k lists is exact — no tie retention needed.  The ranking
+    window's Exchange then carries ~n_partitions * n_queries * k rows
+    instead of |corpus| * |queries|; the kernel itself is one
+    streaming pass (per-batch fold against a queries*k "kept" frame),
+    never materializing a partition's full score set.
+
+    This is the same scale move as ``brute_force_topk``'s kernel; the
+    compressed-scan paths share it so their serving plans stay
+    corpus-scan-shaped at 100 TB.
+    """
+    cols = ["query_id", "neighbor_id", score_col]
+    schema = f"query_id long, neighbor_id long, {score_col} double"
+
+    def kernel(batches):
+        import pandas as pd
+        kept = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cur = pdf if kept is None else pd.concat(
+                [kept, pdf], ignore_index=True)
+            cur = cur.sort_values(
+                ["query_id", score_col, "neighbor_id"],
+                ascending=[True, False, True], kind="mergesort")
+            kept = cur.groupby("query_id", sort=False).head(k)
+        if kept is not None:
+            yield kept
+
+    return scored.select(*cols).mapInPandas(kernel, schema)
+
+
+def _ranked_topk(scored: DataFrame, k: int, score_col: str) -> DataFrame:
+    """Exact global top-k: partition-local pre-top-k, then the
+    per-query rank window over the bounded survivor set."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col(score_col).desc(), F.col("neighbor_id"))
+    return (
+        _partition_topk(scored, k, score_col)
+        .select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _plane_literals(
+    planes: DataFrame,
+    plane_id: str = "plane_id",
+    plane_vec: str = "plane_vec",
+) -> list[tuple[int, list[float]]]:
+    """Collect the (tiny, deterministic) plane table to driver-side
+    literals so hashing folds into the corpus scan as one map-side
+    expression — zero shuffle, zero join."""
+    rows = planes.select(plane_id, plane_vec).collect()
+    return sorted(
+        ((int(r[0]), [float(x) for x in r[1]]) for r in rows),
+        key=lambda t: t[0],
+    )
+
+
+def _plane_dots(vec_col: str,
+                prows: list[tuple[int, list[float]]]) -> Column:
+    """Array of dot(vec, plane_j) in plane-id order, each a sequential
+    fold over a literal plane — identical math to the former
+    crossJoin+groupBy formulation, now pure scan-side codegen."""
+    return F.array(*[
+        V.dot(F.col(vec_col), F.array(*[F.lit(x) for x in pv]))
+        for _, pv in prows
+    ])
+
+
+def _bucket_from_dots(dots: Column,
+                      prows: list[tuple[int, list[float]]]) -> Column:
+    bits = [
+        F.when(dots[i] > 0, F.lit(1 << pid)).otherwise(F.lit(0))
+        for i, (pid, _) in enumerate(prows)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
 def hyperplane_bucket(
     df: DataFrame,
     planes: DataFrame,
@@ -124,21 +211,16 @@ def hyperplane_bucket(
     plane_id: str = "plane_id",
     plane_vec: str = "plane_vec",
 ) -> DataFrame:
-    """Assign each vector its sign-pattern bucket over the planes.
+    """Append each vector's sign-pattern bucket over the planes.
 
     bucket = sum over planes of (dot(v, plane) > 0) << plane_id.
-    Planes are broadcast; one narrow groupBy on the vector id.
+    The planes (tiny by contract) are folded into literal arrays, so
+    the bucket is one map-side expression on the corpus scan — no
+    crossJoin, no groupBy, no Exchange.  All input columns are kept.
     """
-    p = F.broadcast(planes.select(plane_id, plane_vec))
-    crossed = df.select(id_col, vec_col).crossJoin(p)
-    bits = crossed.select(
-        id_col,
-        F.when(V.dot(F.col(vec_col), F.col(plane_vec)) > 0,
-               F.pow(F.lit(2.0), F.col(plane_id)).cast("long"))
-        .otherwise(F.lit(0)).alias("__bit"),
-    )
-    return bits.groupBy(id_col).agg(
-        F.sum("__bit").cast("int").alias("bucket"))
+    prows = _plane_literals(planes, plane_id, plane_vec)
+    dots = _plane_dots(vec_col, prows)
+    return df.withColumn("bucket", _bucket_from_dots(dots, prows))
 
 
 def kmeans_like_centroids(corpus: DataFrame, id_col: str = "vec_id",
@@ -452,8 +534,8 @@ def lsh_multi_table_topk(
     """
     cands = None
     for ti, planes in enumerate(plane_tables):
-        buckets = hyperplane_bucket(corpus, planes, id_col, vec_col)
-        vecs = with_norm(corpus, vec_col).join(buckets, id_col)
+        vecs = hyperplane_bucket(with_norm(corpus, vec_col), planes,
+                                 id_col, vec_col)
         q = vecs.filter(query_filter).select(
             F.col(id_col).alias("query_id"), "bucket")
         c = vecs.select(F.col(id_col).alias("neighbor_id"), "bucket")
@@ -513,23 +595,21 @@ def lsh_multiprobe_topk(
     one pass; the only row shuffle is the bucket-keyed candidate join,
     with the (tiny) exploded query side broadcast.
     """
-    p = F.broadcast(planes.select(plane_id, plane_vec))
-    dots = corpus.select(id_col, vec_col).crossJoin(p).select(
-        id_col,
-        F.col(plane_id).alias("__p"),
-        V.dot(F.col(vec_col), F.col(plane_vec)).alias("__d"),
+    prows = _plane_literals(planes, plane_id, plane_vec)
+    vecs = (
+        with_norm(corpus, vec_col)
+        .withColumn("__dots", _plane_dots(vec_col, prows))
+        .withColumn("bucket",
+                    _bucket_from_dots(F.col("__dots"), prows))
+        .withColumn("__near", F.slice(
+            F.array_sort(F.array(*[
+                F.struct(F.abs(F.col("__dots")[i]).alias("m"),
+                         F.lit(pid).alias("p"))
+                for i, (pid, _) in enumerate(prows)
+            ])),
+            1, n_probe))
+        .drop("__dots")
     )
-    hashed = dots.groupBy(id_col).agg(
-        F.sum(F.when(F.col("__d") > 0,
-                     F.pow(F.lit(2.0), F.col("__p")).cast("long"))
-              .otherwise(F.lit(0))).cast("int").alias("bucket"),
-        F.slice(
-            F.array_sort(F.collect_list(
-                F.struct(F.abs(F.col("__d")).alias("m"),
-                         F.col("__p").alias("p")))),
-            1, n_probe).alias("__near"),
-    )
-    vecs = with_norm(corpus, vec_col).join(hashed, id_col)
     q = vecs.filter(query_filter).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
@@ -578,8 +658,8 @@ def lsh_bucketed_topk(
 
     ``query_filter``: Column predicate selecting the query subset.
     """
-    buckets = hyperplane_bucket(corpus, planes, id_col, vec_col)
-    vecs = with_norm(corpus, vec_col).join(buckets, id_col)
+    vecs = hyperplane_bucket(with_norm(corpus, vec_col), planes,
+                             id_col, vec_col)
     q = vecs.filter(query_filter).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
@@ -684,12 +764,7 @@ def quantized_topk(
                          F.col("__qn"), F.col("__cn")),
                 round_digits).alias("approx_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("approx_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.select("*", F.row_number().over(w).alias("rank"))
-        .filter(F.col("rank") <= k)
-    )
+    return _ranked_topk(scored, k, "approx_sim")
 
 
 # ---------------------------------------------------------------------------
@@ -815,12 +890,7 @@ def pq_topk(
                          F.col("__qn"), F.col("__cn")),
                 round_digits).alias("approx_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("approx_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.select("*", F.row_number().over(w).alias("rank"))
-        .filter(F.col("rank") <= k)
-    )
+    return _ranked_topk(scored, k, "approx_sim")
 
 
 # ---------------------------------------------------------------------------
@@ -924,9 +994,4 @@ def adc_topk(
         F.round(dot / (F.col("__qn") * F.sqrt(rn2)), round_digits)
         .alias("approx_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("approx_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.select("*", F.row_number().over(w).alias("rank"))
-        .filter(F.col("rank") <= k)
-    )
+    return _ranked_topk(scored, k, "approx_sim")

@@ -53,5 +53,23 @@ def all_queries() -> dict[str, QuerySpec]:
     return dict(_REGISTRY)
 
 
+def promote(front: list[str]) -> None:
+    """Rebuild the registry so ``front`` names come first (in the given
+    order), followed by everything else in registration order.
+
+    The correctness harness walks the registry in order and may
+    evaluate only a prefix, so the highest-value / least-proven
+    queries must lead.  Called once from plans/__init__ after all
+    modules register.
+    """
+    missing = [n for n in front if n not in _REGISTRY]
+    if missing:
+        raise KeyError(f"promote: unknown queries {missing}")
+    rest = [n for n in _REGISTRY if n not in set(front)]
+    ordered = {n: _REGISTRY[n] for n in [*front, *rest]}
+    _REGISTRY.clear()
+    _REGISTRY.update(ordered)
+
+
 def get_query(name: str) -> QuerySpec:
     return _REGISTRY[name]

@@ -1408,16 +1408,27 @@ def agg_hll_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "hll_estimate"))
 
 
+_APPROX_DISTINCT_SQL = """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS within_rsd
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 @query("agg_approx_distinct", "relational",
-       "§2.5 aggregation (HLL sketch; approximate => rows-only check)",
-       None)
+       "§2.5 aggregation (HLL sketch; invariant-checked oracle)",
+       _APPROX_DISTINCT_SQL)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) next to the exact count.
+    """approx_count_distinct (HyperLogLog++) checked as an invariant.
 
     Sketches are THE 100 TB answer for distinct-counting (mergeable,
-    one pass, bounded memory); estimates are engine-specific so the
-    harness records a rows-only check; the test asserts relative
-    error instead.
+    one pass, bounded memory).  The estimate itself is engine-specific,
+    so the oracle-compared columns are the exact count plus a boolean
+    ``within_rsd`` asserting |approx - exact| / exact <= 2.5 * rsd —
+    deterministic on both engines while still failing if the sketch
+    breaks.
     """
     t = load_tables(spark, sf_dir)
     return (
@@ -1427,12 +1438,19 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("approx_parts"),
             F.countDistinct("l_partkey").alias("exact_parts"),
         )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (F.abs(F.col("approx_parts") - F.col("exact_parts"))
+             / F.col("exact_parts") <= F.lit(0.05)).alias("within_rsd"),
+        )
     )
 
 
 _COLLECT_SQL = """
 SELECT o_orderpriority,
-       list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+       array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',')
+         AS statuses,
        CAST(len(list_distinct(list(o_orderstatus))) AS INTEGER) AS n_statuses
 FROM orders
 GROUP BY o_orderpriority
@@ -1444,12 +1462,19 @@ GROUP BY o_orderpriority
        _COLLECT_SQL)
 def agg_collect_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation with deterministic ordering (collect_set is
-    unordered on both engines — always sort before comparing/storing)."""
+    unordered on both engines — always sort before comparing/storing).
+
+    The compared column is serialized with array_join: the harness
+    canonicalizer hash-sorts cell values, and raw array cells are
+    unhashable on the pandas side, so arrays are joined to one string
+    in BOTH engines (semantics identical, representation comparable).
+    """
     t = load_tables(spark, sf_dir)
     return (
         t.orders.groupBy("o_orderpriority")
         .agg(
-            F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+            F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",")
+            .alias("statuses"),
             F.size(F.collect_set("o_orderstatus")).cast("int")
             .alias("n_statuses"),
         )

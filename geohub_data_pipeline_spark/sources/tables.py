@@ -57,8 +57,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return cached
     configure(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Harness layouts vary by round: TIMESTAMP(MICROS,
+            # isAdjustedToUTC=false) arrives as TIMESTAMP_NTZ, which
+            # time arithmetic (unix_micros, window()) rejects.  The
+            # session timezone is pinned UTC, so the cast to LTZ is an
+            # exact wall-clock identity — same values DuckDB sees.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _TABLE_CACHE[key] = df
     return df
 
@@ -120,11 +130,16 @@ def events_time_range(spark: SparkSession, sf_dir: str,
         if hi is not None:
             df = df.filter(F.col("ts") < nanos(hi))
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    # (non-nanos layout: plain timestamp filters push down natively)
+    # (non-nanos layout: plain timestamp filters push down natively;
+    # filter the stored column THEN normalize ntz->ltz — under the
+    # pinned UTC session tz the two orders are equivalent, and the
+    # un-wrapped comparison is what reaches the parquet scan)
     if lo is not None:
         df = df.filter(F.col("ts") >= F.lit(lo))
     if hi is not None:
         df = df.filter(F.col("ts") < F.lit(hi))
+    if dict(df.dtypes).get("ts") == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

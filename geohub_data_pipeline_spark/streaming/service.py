@@ -222,9 +222,15 @@ class IngestService:
         routed = route_messages(parse_messages(batch_df))
         ledger = _ledger_rows(routed, self._cancels(), self.n_chunks)
         (
+            # Idempotent under foreachBatch's at-least-once retries:
+            # the write is partitioned by batch_id and dynamic
+            # partition-overwrite replaces ONLY the retried batch's
+            # partitions, so a re-delivered batch_id never double-
+            # appends its ledger rows (other batches are untouched).
             ledger.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .partitionBy("kind")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "kind")
             .parquet(self.ledger_dir)
         )
 

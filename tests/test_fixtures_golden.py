@@ -54,9 +54,14 @@ def test_fgb_stage_golden(spark):
     assert set(r.geom_type for r in norm.select("geom_type")
                .distinct().collect()) <= {G.MULTIPOINT, G.MULTILINESTRING,
                                           G.MULTIPOLYGON}
-    # bowties flagged, counted, and only in the polys layer
-    flagged = norm.filter("needs_makevalid").select("layer").distinct()
-    assert [r.layer for r in flagged.collect()] == ["polys"]
+    # bowties are REPAIRED by makevalid-lite: nothing stays flagged,
+    # and every repaired polys row decodes as simple loops
+    assert norm.filter("needs_makevalid").count() == 0
+    split = norm.filter(
+        (F.col("geom_type") == G.MULTIPOLYGON)).collect()
+    assert all(
+        G._first_self_crossing(G._pairs(p)) is None
+        for r in split for p in G.parse_wkb(bytes(r.geometry))["parts"])
 
     # audit marks lossy layers 'warning' and dead layers 'error'
     audit = {r.layer: r.audit_status

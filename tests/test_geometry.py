@@ -70,14 +70,56 @@ def test_normalize_features(spark):
     assert math.isclose(r7.bbox_minx, 10.0, abs_tol=1e-9)
     assert math.isclose(r7.bbox_miny, 45.0, abs_tol=1e-9)
 
-    # bowtie flagged for makevalid, square not
-    assert by_fid[4].needs_makevalid is True
+    # bowtie REPAIRED by makevalid-lite (split at the crossing into
+    # two triangles), square untouched; neither stays flagged
+    assert by_fid[4].needs_makevalid is False
     assert by_fid[3].needs_makevalid is False
+    fixed = G.parse_wkb(bytes(by_fid[4].geometry))
+    assert fixed["type"] == G.MULTIPOLYGON
+    assert len(fixed["parts"]) == 2           # two simple loops
+    assert all(G._first_self_crossing(G._pairs(p)) is None
+               for p in fixed["parts"])
+    # area is conserved: bowtie = two 0.25 triangles
+    assert sum(abs(G._ring_area2(G._pairs(p))) / 2
+               for p in fixed["parts"]) == pytest.approx(0.5)
 
     # bbox of the square polygon
     r3 = by_fid[3]
     assert (r3.bbox_minx, r3.bbox_miny, r3.bbox_maxx, r3.bbox_maxy) == \
         (0.0, 0.0, 1.0, 1.0)
+
+
+def test_make_valid_duplicate_vertices_and_winding():
+    """Dup vertices dedupe; CW exterior re-wound CCW; holes CW."""
+    sq_dup = [(0.0, 0.0), (2.0, 0.0), (2.0, 0.0), (2.0, 2.0),
+              (0.0, 2.0), (0.0, 0.0)]
+    hole_ccw = [(0.5, 0.5), (1.0, 0.5), (1.0, 1.0), (0.5, 1.0),
+                (0.5, 0.5)]
+    buf = G.wkb_polygon([sq_dup[::-1], hole_ccw])   # exterior CW
+    out, invalid = G.make_valid_wkb(buf)
+    assert invalid is False
+    parsed = G.parse_wkb(out)
+    assert parsed["type"] == G.MULTIPOLYGON
+    ext, hole = [G._pairs(p) for p in parsed["parts"]]
+    assert len(ext) == 5                            # dup removed
+    assert G._ring_area2(ext) > 0                   # CCW exterior
+    assert G._ring_area2(hole) < 0                  # CW hole
+    assert parsed["roles"] == [True, False]
+
+
+def test_make_valid_passthrough_and_flag():
+    # valid square: byte-identical passthrough
+    sq = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]
+    buf = G.wkb_polygon([sq])
+    out, invalid = G.make_valid_wkb(buf)
+    assert out == buf and invalid is False
+    # non-polygon: untouched
+    pt = G.wkb_point(1.0, 2.0)
+    assert G.make_valid_wkb(pt) == (pt, False)
+    # collapsed ring (all vertices equal): flagged degenerate
+    degen = G.wkb_polygon([[(1.0, 1.0)] * 5])
+    out, invalid = G.make_valid_wkb(degen)
+    assert invalid is True
 
 
 def test_feature_count_audit(spark):

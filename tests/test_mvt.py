@@ -138,6 +138,31 @@ def test_linestring_and_polygon_commands():
     assert len(coords) == 5
 
 
+def _shoelace2(pts):
+    return sum(x1 * y2 - x2 * y1
+               for (x1, y1), (x2, y2) in zip(pts, pts[1:]))
+
+
+def test_polygon_winding_normalized():
+    """MVT 2.1: exterior rings CW on screen (positive y-down shoelace),
+    holes CCW — regardless of the input WKB's winding.  Decoders key
+    hole-attachment on this, so reversed input must be re-wound."""
+    z, x, y = 0, 0, 0
+    outer_ccw = [(10.0, 10.0), (40.0, 10.0), (40.0, 40.0), (10.0, 40.0),
+                 (10.0, 10.0)]
+    outer_cw = outer_ccw[::-1]
+    hole_sml = [(20.0, 20.0), (25.0, 20.0), (25.0, 25.0), (20.0, 25.0),
+                (20.0, 20.0)]
+    for outer in (outer_ccw, outer_cw):
+        for hole in (hole_sml, hole_sml[::-1]):
+            payload = M.encode_tile(z, x, y, {
+                "p": [(1, G.wkb_polygon([outer, hole]))]})
+            rings = decode_tile(payload)["p"]["features"][0]["coords"]
+            assert len(rings) == 2
+            assert _shoelace2(rings[0]) > 0    # exterior: screen-CW
+            assert _shoelace2(rings[1]) < 0    # hole: screen-CCW
+
+
 def test_multipolygon_and_empty_dropped():
     z, x, y = 1, 1, 0
     payload = M.encode_tile(z, x, y, {

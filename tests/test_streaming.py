@@ -92,6 +92,38 @@ def test_service_routes_and_ledger(service):
     assert [r.stage for r in d] == ["Cancelled"]
 
 
+def test_ledger_write_idempotent_on_batch_retry(service, spark):
+    """foreachBatch is at-least-once: re-delivering the SAME batch_id
+    must not double the ledger (dynamic partition overwrite replaces
+    the batch's own partitions and leaves other batches intact)."""
+    _write_msgs(service.messages_dir, "batch1.json", [
+        {"msg_id": 1, "body": f"{URL}/raw/a.gpkg;tok1;join_vector_tiles=true",
+         "enqueued_ts": "2024-01-01T00:00:00"},
+    ])
+    batch = spark.read.json(service.messages_dir)
+    service._process_batch(batch, batch_id=0)
+    once = sorted(map(tuple, service.ledger()
+                      .select("dataset", "stage", "progress").collect()))
+    service._process_batch(batch, batch_id=0)      # simulated retry
+    twice = sorted(map(tuple, service.ledger()
+                       .select("dataset", "stage", "progress").collect()))
+    assert twice == once
+
+    # a different batch_id appends alongside, untouched by retries
+    _write_msgs(service.messages_dir, "batch2.json", [
+        {"msg_id": 9, "body": f"{URL}/raw/z.tif;tok9;join_vector_tiles=false",
+         "enqueued_ts": "2024-01-01T00:01:00"},
+    ])
+    b2 = spark.read.json(f"{service.messages_dir}/batch2.json")
+    service._process_batch(b2, batch_id=1)
+    service._process_batch(batch, batch_id=0)      # retry again
+    final = service.ledger()
+    assert final.filter("batch_id = 1").count() > 0
+    assert sorted(map(tuple, final.filter("batch_id = 0")
+                      .select("dataset", "stage", "progress")
+                      .collect())) == once
+
+
 def test_service_drain_and_restart_exactly_once(service):
     """X1 drain semantics + K10 checkpoint: re-running after a restart
     must not duplicate ledger rows; new files are picked up."""
