@@ -417,12 +417,21 @@ def _reproject_coords(coords: list[float], src_srid: int) -> list[float]:
             lon, lat = mercator_to_lonlat(coords[i], coords[i + 1])
             out += [lon, lat]
         return out
-    try:  # other CRS: optional pyproj path
+    from geohub_data_pipeline_spark.operators import crs as _crs
+    native = _crs.to_lonlat(src_srid)
+    if native is not None:      # UTM zones / 3035 / 2154, closed-form
+        out = []
+        for i in range(0, len(coords), 2):
+            lon, lat = native(coords[i], coords[i + 1])
+            out += [lon, lat]
+        return out
+    try:  # remaining CRS: optional pyproj path
         from pyproj import Transformer  # noqa: PLC0415
     except ImportError as exc:
         raise NotImplementedError(
             f"reproject from EPSG:{src_srid} needs pyproj (not installed); "
-            "supported natively: 4326 (no-op), 3857 (spherical Mercator)"
+            "supported natively: 4326 (no-op), 3857 (spherical Mercator), "
+            "UTM 326xx/327xx/258xx, 3035 (LAEA), 2154 (Lambert-93)"
         ) from exc
     tr = Transformer.from_crs(src_srid, 4326, always_xy=True)
     out = []

@@ -44,13 +44,17 @@ def ingest_messages(spark: SparkSession, n: int = 200) -> DataFrame:
 def vector_features(spark: SparkSession, n_per_layer: int = 40) -> DataFrame:
     """Features across datasets/layers with the §B defect mix:
     Point/Line/Polygon + Multi*, ~3% bowties, ~1% NULL geometry,
-    srid mix (4326/3857/32633) and one NULL-srid layer."""
+    srid mix (4326/3857/32633 native + 27700 unsupported) and one
+    NULL-srid layer."""
+    from geohub_data_pipeline_spark.operators import crs as C
+
     rows = []
     fid = 0
     layers = [
         ("d1", "points", 4326), ("d1", "lines", 4326),
         ("d1", "polys", 4326), ("d2", "merc", 3857),
-        ("d2", "utm", 32633), ("d2", "nosrid", None),
+        ("d2", "utm", 32633), ("d2", "osgb", 27700),
+        ("d2", "nosrid", None),
     ]
     for dataset, layer, srid in layers:
         for i in range(n_per_layer):
@@ -59,6 +63,11 @@ def vector_features(spark: SparkSession, n_per_layer: int = 40) -> DataFrame:
             lat = -80.0 + (i * 5.07) % 160.0
             if srid == 3857:
                 x, y = G.lonlat_to_mercator(lon, lat)
+            elif srid == 32633:
+                # genuine zone-33 coordinates (lon 12..18, lat 0..72)
+                lon = 12.0 + (i * 0.73) % 6.0
+                lat = (i * 4.1) % 72.0
+                x, y = C.lonlat_to_utm(lon, lat, 33)
             else:
                 x, y = lon, lat
             if fid % 97 == 0:                      # ~1% NULL geometry
@@ -66,7 +75,8 @@ def vector_features(spark: SparkSession, n_per_layer: int = 40) -> DataFrame:
             elif layer == "polys" and i % 33 == 5:  # ~3% bowties
                 wkb = G.wkb_polygon([[(x, y), (x + 1, y + 1), (x + 1, y),
                                       (x, y + 1), (x, y)]])
-            elif layer == "points" or layer in ("merc", "utm", "nosrid"):
+            elif layer == "points" or layer in ("merc", "utm", "osgb",
+                                                "nosrid"):
                 wkb = G.wkb_point(x, y)
             elif layer == "lines":
                 wkb = G.wkb_linestring([(x, y), (x + 0.5, y + 0.25),

@@ -41,14 +41,21 @@ def test_fgb_stage_golden(spark):
 
     # NULL-srid layer skipped entirely
     assert "nosrid" not in out_layers
-    # unsupported CRS (32633, no pyproj) dropped + auditable
-    assert "utm" not in out_layers
+    # unsupported CRS (27700 OSGB, no pyproj) dropped + auditable;
+    # UTM 32633 is now a native closed-form transform and SURVIVES
+    assert "osgb" not in out_layers
+    assert "utm" in out_layers
 
     in_valid = dict(
         feats.filter(F.col("geometry").isNotNull()
-                     & F.col("srid").isin(4326, 3857))
+                     & F.col("srid").isin(4326, 3857, 32633))
         .groupBy("layer").count().collect())
     assert out_layers == in_valid
+
+    # reprojected UTM rows land inside the zone-33 lon band
+    utm_bbox = norm.filter("layer = 'utm'").agg(
+        F.min("bbox_minx"), F.max("bbox_maxx")).collect()[0]
+    assert 11.9 <= utm_bbox[0] and utm_bbox[1] <= 18.1
 
     # everything Multi*
     assert set(r.geom_type for r in norm.select("geom_type")
@@ -67,7 +74,7 @@ def test_fgb_stage_golden(spark):
     audit = {r.layer: r.audit_status
              for r in G.feature_count_audit(
                  feats, norm, ["layer"]).collect()}
-    assert audit["nosrid"] == "error" and audit["utm"] == "error"
+    assert audit["nosrid"] == "error" and audit["osgb"] == "error"
     assert audit["points"] in ("ok", "warning")
 
 

@@ -26,7 +26,8 @@ def _features(spark):
         ("d1", "zones", 6, b"\x01\xff\xff", 4326),            # unparseable
         ("d2", "merc", 7, G.wkb_point(merc_x, merc_y), 3857), # reproject
         ("d2", "noskip", 8, G.wkb_point(1.0, 1.0), None),     # NULL-srid layer
-        ("d2", "utm", 9, G.wkb_point(500000.0, 0.0), 32633),  # unsupported CRS
+        ("d2", "utm", 9, G.wkb_point(500000.0, 0.0), 32633),  # native UTM
+        ("d2", "osgb", 10, G.wkb_point(400000.0, 100000.0), 27700),  # unsupported
     ]
     return spark.createDataFrame(
         rows, "dataset string, layer string, fid long, geometry binary, "
@@ -57,7 +58,7 @@ def test_normalize_features(spark):
     by_fid = {r.fid: r for r in out}
 
     # -skipfailures: NULL, unparseable, NULL-srid layer, unsupported CRS
-    assert set(by_fid) == {1, 2, 3, 4, 7}
+    assert set(by_fid) == {1, 2, 3, 4, 7, 9}
 
     # everything promoted to Multi*
     assert {r.geom_type for r in out} <= {G.MULTIPOINT, G.MULTILINESTRING,
@@ -69,6 +70,11 @@ def test_normalize_features(spark):
     r7 = by_fid[7]
     assert math.isclose(r7.bbox_minx, 10.0, abs_tol=1e-9)
     assert math.isclose(r7.bbox_miny, 45.0, abs_tol=1e-9)
+
+    # UTM zone 33 false-easting origin = (15E, 0N) exactly
+    r9 = by_fid[9]
+    assert math.isclose(r9.bbox_minx, 15.0, abs_tol=1e-9)
+    assert math.isclose(r9.bbox_miny, 0.0, abs_tol=1e-9)
 
     # bowtie REPAIRED by makevalid-lite (split at the crossing into
     # two triangles), square untouched; neither stays flagged
@@ -130,12 +136,13 @@ def test_feature_count_audit(spark):
         for r in G.feature_count_audit(
             feats, norm, ["dataset", "layer"]).collect()
     }
-    # zones lost 2 of 4 -> warning; roads complete -> ok;
-    # noskip/utm lost everything -> error (ref processing.py:160-181)
+    # zones lost 2 of 4 -> warning; roads + native-CRS utm -> ok;
+    # noskip/osgb lost everything -> error (ref processing.py:160-181)
     assert audit[("d1", "roads")].audit_status == "ok"
     assert audit[("d1", "zones")].audit_status == "warning"
     assert audit[("d2", "noskip")].audit_status == "error"
-    assert audit[("d2", "utm")].audit_status == "error"
+    assert audit[("d2", "utm")].audit_status == "ok"
+    assert audit[("d2", "osgb")].audit_status == "error"
 
 
 def test_unsupported_crs_raises_without_pyproj():
@@ -146,4 +153,4 @@ def test_unsupported_crs_raises_without_pyproj():
     except ImportError:
         pass
     with pytest.raises(NotImplementedError):
-        G._reproject_coords([1.0, 2.0], 32633)
+        G._reproject_coords([1.0, 2.0], 27700)
