@@ -47,6 +47,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="token capacity per training shard")
     args = ap.parse_args(argv)
 
+    from pyspark.sql import SparkSession
+
+    preexisting = SparkSession.getActiveSession() is not None
     spark = get_session("geohub-cli")
     try:
         if args.serve:
@@ -143,7 +146,16 @@ def main(argv: list[str] | None = None) -> int:
 
         from geohub_data_pipeline_spark.operators import pmtiles as PMT
 
-        feats = spark.read.parquet(args.src)
+        if args.src.lower().endswith((".zip", ".gz", ".tar", ".tgz")):
+            # archived GeoJSON source (ref wraps these in GDAL VSI
+            # paths, ingest/utils.py:23-32; here the stdlib expands
+            # members map-side and GeoJSON parses to feature rows)
+            from geohub_data_pipeline_spark.sources.archive import (
+                features_from_archives,
+            )
+            feats = features_from_archives(spark, args.src)
+        else:
+            feats = spark.read.parquet(args.src)
         norm = G.normalize_features(feats)
         tiles = TLG.build_tiles(norm, maxzoom=args.maxzoom,
                                 simplify_low_zooms=True, encode="mvt")
@@ -164,7 +176,10 @@ def main(argv: list[str] | None = None) -> int:
         print(f"wrote {n} tiles to {args.dst}/tiles")
         return 0
     finally:
-        spark.stop()
+        # only stop a session this invocation created — in-process
+        # callers (tests, notebooks) keep theirs
+        if not preexisting:
+            spark.stop()
 
 
 if __name__ == "__main__":

@@ -85,6 +85,44 @@ def wkb_multipolygon(
     return out
 
 
+def _wkb_multi(code: int, parts: list[bytes]) -> bytes:
+    return struct.pack("<BII", 1, code, len(parts)) + b"".join(parts)
+
+
+def wkb_from_geojson(geom: dict) -> bytes | None:
+    """RFC 7946 geometry object -> little-endian 2D WKB (None for
+    unsupported/malformed input — the -skipfailures contract)."""
+    try:
+        gt = geom["type"]
+        c = geom.get("coordinates")
+        if gt == "Point":
+            return wkb_point(float(c[0]), float(c[1]))
+        if gt == "LineString":
+            return wkb_linestring([(float(x), float(y))
+                                   for x, y, *_ in c])
+        if gt == "Polygon":
+            return wkb_polygon([[(float(x), float(y))
+                                 for x, y, *_ in ring] for ring in c])
+        if gt == "MultiPoint":
+            return _wkb_multi(MULTIPOINT, [
+                wkb_point(float(x), float(y)) for x, y, *_ in c])
+        if gt == "MultiLineString":
+            return _wkb_multi(MULTILINESTRING, [
+                wkb_linestring([(float(x), float(y))
+                                for x, y, *_ in line]) for line in c])
+        if gt == "MultiPolygon":
+            return wkb_multipolygon([
+                [[(float(x), float(y)) for x, y, *_ in ring]
+                 for ring in poly] for poly in c])
+        if gt == "GeometryCollection":
+            return None                    # out of scope (ref: ogr2ogr
+            # maps collections per-type; the tiling stage never sees
+            # them because PROMOTE_TO_MULTI runs per concrete type)
+        return None
+    except (KeyError, TypeError, ValueError, IndexError):
+        return None
+
+
 def _read_coords(buf: bytes, off: int, n: int) -> tuple[list, int]:
     coords = list(struct.unpack_from(f"<{2 * n}d", buf, off))
     return coords, off + 16 * n

@@ -1,0 +1,163 @@
+"""Archive content source: .zip / .gz / .tar(.tgz) -> member rows.
+
+The reference wraps archive uploads in GDAL VSI paths
+(``/vsizip/...``, ref ingest/utils.py:23-32, registry
+ingest/config.py:32-38) and lets GDAL read members in place.  This
+container has no GDAL, so the same capability is a Spark source:
+``binaryFile`` scans the archives (distributed, splittable *across*
+files) and a ``mapInPandas`` kernel expands each archive into its
+members with the stdlib (``zipfile``/``gzip``/``tarfile``) — map-side
+only, zero shuffle.  Each member row carries the ``vsi_path`` the
+reference would have produced, so downstream path algebra
+(functions/paths.py) is shared.
+
+GeoJSON members (the interchange format the reference's vector stage
+consumes via ogr2ogr) parse straight into the engine's feature rows:
+one layer per member, WKB geometry, fid from the feature ``id`` or
+its index.  At 100 TB: one archive = one task; members stream through
+Arrow batches and land partitioned like any other feature scan.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import json
+import os
+import tarfile
+import zipfile
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+ARCHIVE_MEMBER_SCHEMA = (
+    "archive_path string, member string, vsi_path string, "
+    "size long, content binary"
+)
+
+_FEATURE_SCHEMA = (
+    "dataset string, layer string, fid long, geometry binary, srid int"
+)
+
+
+def _expand_one(path: str, content: bytes):
+    """Yield (member, vsi_path, payload) for one archive blob."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".zip":
+        with zipfile.ZipFile(io.BytesIO(content)) as zf:
+            for info in zf.infolist():
+                if info.is_dir():
+                    continue
+                yield (info.filename,
+                       f"/vsizip/{path}/{info.filename}",
+                       zf.read(info))
+    elif ext == ".gz":
+        member = os.path.basename(path)[:-3] or os.path.basename(path)
+        yield member, f"/vsigzip/{path}", gzip.decompress(content)
+    elif ext in (".tar", ".tgz"):
+        with tarfile.open(fileobj=io.BytesIO(content), mode="r:*") as tf:
+            for info in tf.getmembers():
+                if not info.isfile():
+                    continue
+                fobj = tf.extractfile(info)
+                if fobj is None:
+                    continue
+                yield (info.name,
+                       f"/vsitar/{path}/{info.name}",
+                       fobj.read())
+    else:
+        # not an archive: pass through as its own single member
+        yield os.path.basename(path), path, content
+
+
+def read_archives(spark: SparkSession, path: str) -> DataFrame:
+    """Scan archives under ``path`` and expand them into member rows.
+
+    Input: any binaryFile-readable path/glob.  Output columns:
+    archive_path, member, vsi_path, size, content.
+    """
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(spark)
+
+    raw = (spark.read.format("binaryFile").load(path)
+           .select("path", "content"))
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for p, content in pdf[["path", "content"]].itertuples(
+                    index=False, name=None):
+                p = p.removeprefix("file:")
+                try:
+                    for member, vsi, payload in _expand_one(
+                            p, bytes(content)):
+                        rows.append((p, member, vsi, len(payload),
+                                     payload))
+                except (zipfile.BadZipFile, tarfile.TarError, OSError,
+                        EOFError):
+                    continue               # corrupt archive: skip+audit
+            yield pd.DataFrame(rows, columns=[
+                "archive_path", "member", "vsi_path", "size", "content"])
+
+    return raw.mapInPandas(kernel, ARCHIVE_MEMBER_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# GeoJSON members -> engine feature rows
+# ---------------------------------------------------------------------------
+
+def _geojson_features(doc: dict):
+    if doc.get("type") == "FeatureCollection":
+        yield from doc.get("features", [])
+    elif doc.get("type") == "Feature":
+        yield doc
+    elif "type" in doc:                    # bare geometry
+        yield {"type": "Feature", "geometry": doc, "properties": {}}
+
+
+def geojson_feature_rows(members: DataFrame) -> DataFrame:
+    """Parse ``.geojson``/``.json`` members into feature rows
+    (dataset, layer, fid, geometry WKB, srid=4326 — GeoJSON is
+    RFC 7946 WGS84 by definition).
+
+    dataset = archive file name; layer = member stem; fid = numeric
+    feature ``id`` when present, else the member-local index.
+    """
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(members.sparkSession)
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for arch, member, payload in pdf[
+                    ["archive_path", "member", "content"]].itertuples(
+                    index=False, name=None):
+                if not member.lower().endswith((".geojson", ".json")):
+                    continue
+                try:
+                    doc = json.loads(bytes(payload).decode("utf-8"))
+                except (ValueError, UnicodeDecodeError):
+                    continue               # -skipfailures
+                dataset = os.path.basename(arch)
+                layer = os.path.splitext(os.path.basename(member))[0]
+                for i, feat in enumerate(_geojson_features(doc)):
+                    geom = feat.get("geometry")
+                    wkb = G.wkb_from_geojson(geom) if geom else None
+                    if wkb is None:
+                        continue           # -skipfailures
+                    fid = feat.get("id")
+                    fid = int(fid) if isinstance(fid, (int, float)) else i
+                    rows.append((dataset, layer, fid, wkb, 4326))
+            yield pd.DataFrame(rows, columns=[
+                "dataset", "layer", "fid", "geometry", "srid"])
+
+    return members.mapInPandas(kernel, _FEATURE_SCHEMA)
+
+
+def features_from_archives(spark: SparkSession, path: str) -> DataFrame:
+    """One-call source: archives under ``path`` -> feature rows ready
+    for ``normalize_features`` (the CLI's archive ingestion path)."""
+    return geojson_feature_rows(read_archives(spark, path))
