@@ -8,9 +8,10 @@ this module writes the TIFF container directly:
 * classic little-endian TIFF, one IFD per resolution level, chained
   (full resolution first, then each overview — the COG IFD layout),
 * tiled layout (TileWidth/TileLength/TileOffsets/TileByteCounts),
-* float64 samples (SampleFormat=IEEEFP), uncompressed (ZSTD needs a
-  codec; compression is a byte-transform slot, not a structure
-  change),
+* float64 samples (SampleFormat=IEEEFP); tiles compressed with the
+  NEGOTIATED codec — ZSTD (the reference profile, via pyarrow's
+  bundled codec) when available, else stdlib deflate — and the codec
+  actually used is recorded in the Compression tag (50000 / 8 / 1),
 * GeoTIFF georeferencing tags (ModelPixelScale, ModelTiepoint,
   GeoKeyDirectory with the EPSG code).
 
@@ -32,9 +33,25 @@ from collections.abc import Iterable
 
 import numpy as np
 
+from geohub_data_pipeline_spark.functions import compression as CMP
+
 TILE = 256
-COMPRESSION_NONE = 1
-COMPRESSION_DEFLATE = 8        # Adobe deflate (zlib)
+COMPRESSION_NONE = CMP.TIFF_NONE
+COMPRESSION_DEFLATE = CMP.TIFF_DEFLATE     # Adobe deflate (zlib)
+COMPRESSION_ZSTD = CMP.TIFF_ZSTD           # libtiff-registered ZSTD
+
+_TAG_OF = {"zstd": COMPRESSION_ZSTD, "deflate": COMPRESSION_DEFLATE,
+           "none": COMPRESSION_NONE}
+
+
+def _codec_of(compress) -> str:
+    """True -> negotiate (zstd if present else deflate); str -> as
+    given; False/None -> none."""
+    if compress is True:
+        return CMP.negotiate("zstd")
+    if not compress:
+        return "none"
+    return compress
 
 # TIFF tag ids
 T_IMAGE_WIDTH = 256
@@ -80,14 +97,16 @@ def _pad(tile: np.ndarray, nodata: float) -> np.ndarray:
 def write_geotiff(path: str, levels: list[_Level], epsg: int = 3857,
                   pixel_scale: tuple[float, float] = (1.0, 1.0),
                   origin: tuple[float, float] = (0.0, 0.0),
-                  compress: bool = True) -> int:
+                  compress: bool | str = True) -> int:
     """Write a multi-level tiled float64 GeoTIFF; returns bytes written.
 
-    compress=True deflate-compresses each tile (TIFF compression 8 —
-    the stdlib stand-in for the reference's ZSTD profile,
-    ref ingest/config.py:92-101).
+    compress=True negotiates the codec: ZSTD (the reference's COG
+    profile, ref ingest/config.py:92-101) when pyarrow provides it,
+    else stdlib deflate; "zstd"/"deflate"/False force a choice.  The
+    Compression tag records what was actually used.
     """
-    compression = COMPRESSION_DEFLATE if compress else COMPRESSION_NONE
+    codec = _codec_of(compress)
+    compression = _TAG_OF[codec]
     out = bytearray()
     out += struct.pack("<2sHI", b"II", 42, 0)   # IFD offset patched later
 
@@ -103,7 +122,9 @@ def write_geotiff(path: str, levels: list[_Level], epsg: int = 3857,
                 if tile is None:
                     tile = np.zeros((TILE, TILE), dtype=np.float64)
                 buf = np.ascontiguousarray(tile, dtype="<f8").tobytes()
-                if compress:
+                if codec == "zstd":
+                    buf = CMP.zstd_compress(buf)
+                elif codec == "deflate":
                     buf = zlib.compress(buf, 6)
                 metas.append((len(out), len(buf)))
                 out += buf

@@ -36,6 +36,7 @@ MAGIC = b"PMTiles"
 VERSION = 3
 COMPRESSION_NONE = 1
 COMPRESSION_GZIP = 2
+COMPRESSION_ZSTD = 4
 TILETYPE_UNKNOWN = 0
 
 
@@ -199,13 +200,27 @@ TILETYPE_MVT = 1
 
 def write_pmtiles(path: str, tiles: list[tuple[int, int, int, bytes]],
                   metadata: dict, tile_type: int = TILETYPE_UNKNOWN,
-                  compress: bool = True) -> int:
+                  compress: bool | str = True) -> int:
     """Write tiles [(z, x, y, payload)] + metadata; returns file size.
 
-    compress=True gzips tiles, directory, and metadata (spec
-    compression id 2) — the layout real PMTiles archives use.
+    compress: True/"gzip" gzips tiles, directory, and metadata (spec
+    compression id 2 — the universally-readable default); "zstd"
+    uses spec compression id 4 via the Arrow codec (self-describing
+    RFC 8878 frames); False writes raw.  The header records the codec
+    actually used.
     """
-    codec = _gzip if compress else (lambda b: b)
+    if compress == "zstd":
+        from geohub_data_pipeline_spark.functions import (
+            compression as _CMP,
+        )
+        codec = _CMP.zstd_compress
+        comp = COMPRESSION_ZSTD
+    elif compress:
+        codec = _gzip
+        comp = COMPRESSION_GZIP
+    else:
+        codec = (lambda b: b)
+        comp = COMPRESSION_NONE
     keyed = sorted(
         ((zxy_to_tileid(z, x, y), payload) for z, x, y, payload in tiles))
     data = bytearray()
@@ -242,7 +257,6 @@ def write_pmtiles(path: str, tiles: list[tuple[int, int, int, bytes]],
                      leaf_off, len(leaves), tile_off, len(data))
     struct.pack_into("<QQQ", header, 72,
                      len(keyed), n_tile_entries, len(contents))
-    comp = COMPRESSION_GZIP if compress else COMPRESSION_NONE
     header[96] = 1                            # clustered
     header[97] = comp                         # internal compression
     header[98] = comp                         # tile compression
@@ -270,7 +284,14 @@ def read_pmtiles(path: str) -> dict:
     internal_comp, tile_comp = buf[97], buf[98]
 
     def _un(blob: bytes, comp: int) -> bytes:
-        return gzip.decompress(blob) if comp == COMPRESSION_GZIP else blob
+        if comp == COMPRESSION_GZIP:
+            return gzip.decompress(blob)
+        if comp == COMPRESSION_ZSTD:
+            from geohub_data_pipeline_spark.functions import (
+                compression as _CMP,
+            )
+            return _CMP.zstd_decompress(blob)
+        return blob
 
     tiles = {}
 

@@ -155,7 +155,7 @@ class PMTilesReader(DataSourceReader):
         import struct
 
         from geohub_data_pipeline_spark.operators.pmtiles import (
-            COMPRESSION_GZIP, MAGIC, VERSION,
+            COMPRESSION_GZIP, COMPRESSION_ZSTD, MAGIC, VERSION,
             _parse_directory, tileid_to_zxy)
 
         zb = self.bounds.get("z", _Bound())
@@ -182,8 +182,14 @@ class PMTilesReader(DataSourceReader):
         internal_comp, tile_comp = buf[97], buf[98]
 
         def _un(blob: bytes, comp: int) -> bytes:
-            return gzip.decompress(blob) if comp == COMPRESSION_GZIP \
-                else blob
+            if comp == COMPRESSION_GZIP:
+                return gzip.decompress(blob)
+            if comp == COMPRESSION_ZSTD:
+                from geohub_data_pipeline_spark.functions import (
+                    compression as _CMP,
+                )
+                return _CMP.zstd_decompress(blob)
+            return blob
 
         def _emit(entries):
             for tid, off, ln, rl in entries:

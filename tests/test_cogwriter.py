@@ -10,8 +10,12 @@ import zlib
 import numpy as np
 import pytest
 
+from geohub_data_pipeline_spark.functions import compression as CMP
 from geohub_data_pipeline_spark.operators import cogwriter as CW
 from geohub_data_pipeline_spark.operators import raster as R
+
+# what compress=True negotiates in THIS environment
+NEGOTIATED_TAG = CW._TAG_OF[CMP.negotiate("zstd")]
 
 
 def parse_tiff(path: str) -> list[dict]:
@@ -45,11 +49,20 @@ def parse_tiff(path: str) -> list[dict]:
             c = tags[CW.T_TILE_BYTE_COUNTS][2]
             counts = list(struct.unpack_from(f"<{n_tiles}I", buf, c))
         comp = tags[CW.T_COMPRESSION][2]
-        raw = [
-            zlib.decompress(buf[off:off + cnt]) if comp == 8
-            else buf[off:off + cnt]
-            for off, cnt in zip(offsets, counts)
-        ]
+
+        def undo(blob, comp=comp):
+            if comp == 8:
+                return zlib.decompress(blob)
+            if comp == 50000:
+                # the Arrow zstd codec is an implementation
+                # independent of the writer's byte path; the frame is
+                # self-describing (RFC 8878 content size)
+                assert blob[:4] == CMP.ZSTD_MAGIC
+                return CMP.zstd_decompress(bytes(blob))
+            return blob
+
+        raw = [undo(buf[off:off + cnt])
+               for off, cnt in zip(offsets, counts)]
         tiles = [
             np.frombuffer(t, dtype="<f8").reshape(CW.TILE, CW.TILE)
             for t in raw
@@ -93,7 +106,7 @@ def test_assemble_cog_writes_valid_multilevel_tiff(spark, tmp_path):
         math.ceil(full_w / 2), math.ceil(full_h / 2))
     for ifd in ifds:
         assert ifd["bits"] == 64 and ifd["sample_format"] == 3
-        assert ifd["compression"] == 8 and ifd["has_geokeys"]
+        assert ifd["compression"] == NEGOTIATED_TAG and ifd["has_geokeys"]
 
     # pixel-level checks against the known pattern v = y*1000 + x
     t0 = full["tiles"][0]
@@ -104,6 +117,38 @@ def test_assemble_cog_writes_valid_multilevel_tiff(spark, tmp_path):
     # overview is the nearest-resampled pattern: (2y)*1000 + 2x
     o0 = ovr["tiles"][0]
     assert o0[3, 5] == 6_010.0
+
+
+def test_zstd_negotiated_and_roundtrips(tmp_path):
+    """The reference COG profile is COMPRESS=ZSTD; with pyarrow's
+    codec present the writer must pick zstd, tag it 50000, and the
+    tile bytes must be genuine RFC 8878 frames an independent
+    decompressor reads back bit-exactly."""
+    assert CMP.zstd_available()            # baked into this env
+    assert NEGOTIATED_TAG == 50000
+    tile = np.arange(CW.TILE * CW.TILE, dtype=np.float64) \
+        .reshape(CW.TILE, CW.TILE)
+    lv = CW._Level(CW.TILE, CW.TILE, {(0, 0): tile})
+    path = str(tmp_path / "z.tif")
+    CW.write_geotiff(path, [lv], compress="zstd")
+    ifd = parse_tiff(path)[0]
+    assert ifd["compression"] == 50000
+    assert np.array_equal(ifd["tiles"][0], tile)
+    # forced-deflate still works and is tagged honestly
+    CW.write_geotiff(path, [lv], compress="deflate")
+    ifd = parse_tiff(path)[0]
+    assert ifd["compression"] == 8
+    assert np.array_equal(ifd["tiles"][0], tile)
+
+
+def test_zstd_frame_content_size_parse():
+    for n in (10, 300, 70000, 600000):
+        blob = (b"pattern" * (n // 7 + 1))[:n]
+        frame = CMP.zstd_compress(blob)
+        assert frame[:4] == CMP.ZSTD_MAGIC
+        assert CMP.zstd_frame_content_size(frame) == n
+        assert CMP.zstd_decompress(frame) == blob
+    assert CMP.zstd_frame_content_size(b"notaframe") is None
 
 
 def test_rgb_dataset_yields_one_file_per_band(spark, tmp_path):

@@ -53,6 +53,28 @@ def test_archive_roundtrip():
     assert P.pmtiles_layer_names(path) == ["roads"]
 
 
+def test_archive_zstd_roundtrip(tmp_path):
+    """compress='zstd' writes spec compression id 4 with genuine
+    RFC 8878 frames; reader and the pushdown source both decode it."""
+    from geohub_data_pipeline_spark.functions import compression as CMP
+
+    tiles = [(0, 0, 0, b'{"all":1}'), (1, 1, 0, b'{"q":1}' * 50)]
+    meta = {"name": "z"}
+    path = str(tmp_path / "z.pmtiles")
+    P.write_pmtiles(path, tiles, meta, compress="zstd")
+    with open(path, "rb") as f:
+        buf = f.read()
+    assert buf[97] == P.COMPRESSION_ZSTD      # internal compression
+    assert buf[98] == P.COMPRESSION_ZSTD      # tile compression
+    # root directory bytes are a real zstd frame, not renamed gzip
+    root_off = int.from_bytes(buf[8:16], "little")
+    assert buf[root_off:root_off + 4] == CMP.ZSTD_MAGIC
+    back = P.read_pmtiles(path)
+    assert back["metadata"] == meta
+    for z, x, y, payload in tiles:
+        assert back["tiles"][(z, x, y)] == payload
+
+
 def test_spark_tiles_to_archive(spark, tmp_path):
     """Full path: WKB features -> tile pyramid -> one PMTiles archive
     per dataset with tilestats metadata (the audit surface)."""
