@@ -215,3 +215,222 @@ def simplify_for_zoom(features: DataFrame, z: int,
             yield pd.DataFrame(keep_rows, columns=cols)
 
     return features.mapInPandas(batches, schema)
+
+
+# ---------------------------------------------------------------------------
+# Joint shared-border simplification (tippecanoe --detect-shared-borders,
+# ref the flag wired through ingest/processing.py's tile build).
+#
+# The census (operators/tiling.py shared_border_stats) finds which
+# segments are shared; HERE the borders are simplified *consistently*:
+# every ring is split into chains at ownership transitions, and each
+# chain is simplified as a CANONICAL pure function of its vertex
+# sequence (canonical direction + deterministic Douglas-Peucker with
+# pinned endpoints).  Two polygons sharing a border see the same
+# vertex sequence (up to reversal), so they independently compute the
+# IDENTICAL simplified chain — crack-free borders with zero cross-
+# feature coordination, which is what makes this formulation scale:
+# the only shuffles are the segment census and the key join-back.
+# ---------------------------------------------------------------------------
+
+def _chain_canonical_dp(chain: list[tuple[float, float]],
+                        tol: float) -> list[tuple[float, float]]:
+    """Simplify one open chain in canonical direction: reversal-
+    invariant, so both owners of a shared border get the same output."""
+    rev = list(reversed(chain))
+    flip = rev < chain                 # full-sequence lexicographic tie-break
+    work = rev if flip else chain
+    flat: list[float] = [c for p in work for c in p]
+    s = douglas_peucker(flat, tol)
+    out = list(zip(s[0::2], s[1::2]))
+    return list(reversed(out)) if flip else out
+
+
+def joint_simplify_ring(pts: list[tuple[float, float]],
+                        seg_keys: list[int],
+                        tol: float) -> list[tuple[float, float]] | None:
+    """Simplify a closed ring chain-by-chain.
+
+    ``seg_keys[i]`` keys segment (pts[i], pts[i+1]): equal keys =
+    same owner set (0 = unshared).  Chain boundaries (ownership
+    transitions) are PINNED — junction vertices survive at every
+    tolerance, which is what keeps three-way corners watertight.
+    Returns the closed simplified ring, or None if it degenerates
+    (< 3 distinct vertices).
+    """
+    m = len(pts) - 1                   # segment count (ring closed)
+    if m < 3 or len(seg_keys) != m:
+        return pts
+    cyc = pts[:-1]
+
+    if len(set(seg_keys)) == 1:
+        # uniform ring (fully shared or fully private): canonical
+        # rotation + direction so both owners simplify the same cycle
+        r = min(range(m), key=lambda i: cyc[i])
+        fwd = [cyc[(r + i) % m] for i in range(m)]
+        bwd = [cyc[(r - i) % m] for i in range(m)]
+        loop = min(fwd, bwd) + [cyc[r]]
+        flat = [c for p in loop for c in p]
+        s = douglas_peucker(flat, tol)
+        out = list(zip(s[0::2], s[1::2]))
+        if len(out) < 4:
+            return None
+        return out
+
+    out: list[tuple[float, float]] = []
+    for _key, ch in _ring_chains(pts, seg_keys):
+        s = _chain_canonical_dp(ch, tol)
+        out += s if not out else s[1:]  # junction vertex shared
+    if len(set(out[:-1])) < 3:
+        return None
+    return out
+
+
+def _ring_chains(pts: list[tuple[float, float]],
+                 seg_keys: list[int]
+                 ) -> list[tuple[int, list[tuple[float, float]]]]:
+    """Split a closed non-uniform ring into (key, chain) maximal runs
+    after rotating a chain boundary to position 0."""
+    m = len(pts) - 1
+    cyc = pts[:-1]
+    b = next(i for i in range(m) if seg_keys[i] != seg_keys[i - 1])
+    rpts = [cyc[(b + i) % m] for i in range(m)] + [cyc[b]]
+    rkeys = [seg_keys[(b + i) % m] for i in range(m)]
+    chains: list[tuple[int, list[tuple[float, float]]]] = []
+    start = 0
+    for i in range(1, m):
+        if rkeys[i] != rkeys[i - 1]:
+            chains.append((rkeys[start], rpts[start:i + 1]))
+            start = i
+    chains.append((rkeys[start], rpts[start:m + 1]))
+    return chains
+
+
+def simplify_rings_joint(rings: DataFrame, tol: float,
+                         id_col: str = "rid",
+                         ring_col: str = "ring") -> DataFrame:
+    """Joint shared-border simplification over a ring table
+    (``id_col``, ``ring_col``: array<struct<x,y>> closed rings).
+
+    Plan shape: segment-census shuffle (fine-grained uniform key),
+    key-array join back on the ring id, then one map-side pass.
+    Returns (id_col, ring) with simplified rings; degenerate rings
+    are dropped.
+    """
+    from pyspark.sql import functions as F
+
+    from geohub_data_pipeline_spark.operators.tiling import ring_segments
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(rings.sparkSession)
+
+    segs = rings.select(
+        F.col(id_col),
+        F.posexplode(ring_segments(F.col(ring_col))).alias("pos", "seg"))
+    census = segs.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("__owners"),
+        F.xxhash64(F.array_sort(F.collect_list(id_col))).alias("__k"))
+    keys = (
+        segs.join(census, "seg")
+        .groupBy(id_col)
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct(
+                F.col("pos"),
+                F.when(F.col("__owners") >= 2, F.col("__k"))
+                .otherwise(F.lit(0)).alias("k")))),
+            lambda s: s["k"]).alias("__seg_keys"))
+    )
+    joined = rings.join(keys, id_col)
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rid, ring, seg_keys in pdf[
+                    [id_col, ring_col, "__seg_keys"]].itertuples(
+                    index=False, name=None):
+                pts = [(float(p["x"]), float(p["y"])) for p in ring]
+                out = joint_simplify_ring(
+                    pts, [int(k) for k in seg_keys], tol)
+                if out is None:
+                    continue
+                rows.append((rid, [{"x": x, "y": y} for x, y in out]))
+            yield pd.DataFrame(rows, columns=[id_col, ring_col])
+
+    return joined.mapInPandas(
+        kernel,
+        f"{id_col} long, {ring_col} array<struct<x: double, y: double>>")
+
+
+def _chain_fingerprint(chain: list[tuple[float, float]],
+                       tol: float) -> str:
+    """Direction-invariant hash of the SIMPLIFIED chain — two owners
+    of a shared border produce the same fingerprint iff their
+    simplified borders are identical (the crack-free invariant)."""
+    import hashlib
+
+    rev = list(reversed(chain))
+    work = rev if rev < chain else chain
+    flat = [c for p in work for c in p]
+    s = douglas_peucker(flat, tol)
+    payload = ",".join(f"{v:.12f}" for v in s)
+    return hashlib.md5(payload.encode()).hexdigest()
+
+
+def joint_chain_hashes(rings: DataFrame, tol: float,
+                       id_col: str = "rid",
+                       ring_col: str = "ring") -> DataFrame:
+    """Per (ring, shared chain): the owner-set key and the fingerprint
+    of the chain AFTER canonical simplification.
+
+    Grouping the output by ``chain_key`` verifies joint simplification
+    end-to-end: every shared chain must show its full owner count and
+    exactly ONE distinct fingerprint.  Same plan shape as
+    ``simplify_rings_joint`` (census shuffle + key join + map pass).
+    """
+    from pyspark.sql import functions as F
+
+    from geohub_data_pipeline_spark.operators.tiling import ring_segments
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(rings.sparkSession)
+
+    segs = rings.select(
+        F.col(id_col),
+        F.posexplode(ring_segments(F.col(ring_col))).alias("pos", "seg"))
+    census = segs.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("__owners"),
+        F.xxhash64(F.array_sort(F.collect_list(id_col))).alias("__k"))
+    keys = (
+        segs.join(census, "seg")
+        .groupBy(id_col)
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct(
+                F.col("pos"),
+                F.when(F.col("__owners") >= 2, F.col("__k"))
+                .otherwise(F.lit(0)).alias("k")))),
+            lambda s: s["k"]).alias("__seg_keys"))
+    )
+    joined = rings.join(keys, id_col)
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rid, ring, seg_keys in pdf[
+                    [id_col, ring_col, "__seg_keys"]].itertuples(
+                    index=False, name=None):
+                pts = [(float(p["x"]), float(p["y"])) for p in ring]
+                sk = [int(k) for k in seg_keys]
+                if len(pts) - 1 != len(sk):
+                    continue
+                if len(set(sk)) == 1:
+                    if sk[0] != 0:     # fully-shared uniform ring
+                        rows.append((rid, sk[0],
+                                     _chain_fingerprint(pts, tol)))
+                    continue
+                for key, ch in _ring_chains(pts, sk):
+                    if key != 0:
+                        rows.append((rid, key,
+                                     _chain_fingerprint(ch, tol)))
+            yield pd.DataFrame(rows, columns=[
+                id_col, "chain_key", "chain_hash"])
+
+    return joined.mapInPandas(
+        kernel, f"{id_col} long, chain_key long, chain_hash string")

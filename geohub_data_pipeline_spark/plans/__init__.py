@@ -50,7 +50,7 @@ promote([
     "events_watermark_lateness", "events_funnel",
     # repaired round-1 reds
     "agg_collect_array", "agg_approx_distinct",
-    # pipeline tail that sat past entry 50
-    "zoom_heuristic", "tile_shared_borders", "overview_downsample",
-    "multimodal_metadata", "geo_tile_pipeline",
+    # pipeline tail that sat past entry 50 (+ the new round-2 op)
+    "zoom_heuristic", "tile_shared_borders", "tile_joint_simplify",
+    "overview_downsample", "multimodal_metadata", "geo_tile_pipeline",
 ])

@@ -589,6 +589,93 @@ def tile_shared_borders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_border_stats(feats)
 
 
+_JOINT_SIMPLIFY_SQL = """
+WITH cells AS (
+  SELECT DISTINCT CAST(event_id % 360 - 180 AS BIGINT) AS cx,
+                  CAST((user_id * 11) % 160 - 80 AS BIGINT) AS cy
+  FROM events
+),
+pairs AS (
+  SELECT 1 AS one FROM cells a JOIN cells b
+  ON (b.cx = a.cx + 1 AND b.cy = a.cy)
+  OR (b.cx = a.cx AND b.cy = a.cy + 1)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_shared_chains,
+       CAST(count(*) AS BIGINT) AS n_crack_free,
+       TRUE AS all_crack_free
+FROM pairs
+"""
+
+
+@query("tile_joint_simplify", "pipeline",
+       "§2.2 T8 --detect-shared-borders JOINT simplification: shared "
+       "chains simplified once, identically for both owners "
+       "(ref tippecanoe flag in the tile build)", _JOINT_SIMPLIFY_SQL)
+def tile_joint_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The simplification half of ``--detect-shared-borders``
+    (operators/simplify.py ``joint_chain_hashes``): each polygon ring
+    splits into chains at ownership transitions, every chain
+    simplifies as a canonical pure function of its vertex sequence,
+    and a direction-invariant fingerprint of the simplified chain is
+    emitted per owner.
+
+    Workload: the occupied 1-degree grid from events, each cell a
+    ring with jittered edge midpoints — the jitter derives from the
+    canonical edge endpoints, so neighbors carry identical border
+    vertices (the well-noded-input contract).  The ORACLE counts
+    adjacent cell pairs independently in SQL: joint simplification is
+    correct iff every adjacent pair yields exactly one shared chain
+    whose two owner fingerprints agree (``all_crack_free``).
+
+    Scale: one census shuffle on the segment key + the key join-back;
+    simplification itself is map-side.
+    """
+    from geohub_data_pipeline_spark.operators.simplify import (
+        joint_chain_hashes, zoom_tolerance)
+
+    t = load_tables(spark, sf_dir)
+    cells = t.events.select(
+        (F.col("event_id") % 360 - 180).cast("long").alias("cx"),
+        ((F.col("user_id") * 11) % 160 - 80).cast("long").alias("cy"),
+    ).distinct()
+
+    def pt(x: Column, y: Column) -> Column:
+        return F.struct(x.cast("double").alias("x"),
+                        y.cast("double").alias("y"))
+
+    def mid(ax: Column, ay: Column, bx: Column, by: Column) -> Column:
+        # deterministic jitter from the CANONICAL edge endpoints:
+        # both owners of an edge compute the identical midpoint
+        j = (F.xxhash64(F.least(ax, bx), F.greatest(ax, bx),
+                        F.least(ay, by), F.greatest(ay, by))
+             % 100).cast("double") / F.lit(1000.0)
+        return F.struct(
+            ((ax + bx).cast("double") / 2 + j).alias("x"),
+            ((ay + by).cast("double") / 2 + j).alias("y"))
+
+    cx, cy = F.col("cx"), F.col("cy")
+    ring = F.array(
+        pt(cx, cy), mid(cx, cy, cx + 1, cy),
+        pt(cx + 1, cy), mid(cx + 1, cy, cx + 1, cy + 1),
+        pt(cx + 1, cy + 1), mid(cx + 1, cy + 1, cx, cy + 1),
+        pt(cx, cy + 1), mid(cx, cy + 1, cx, cy),
+        pt(cx, cy))
+    rings = cells.select(
+        ((cx + 180) * 400 + (cy + 80)).alias("rid"), ring.alias("ring"))
+
+    chains = joint_chain_hashes(rings, zoom_tolerance(4))
+    per_key = chains.groupBy("chain_key").agg(
+        F.count(F.lit(1)).alias("__owners"),
+        F.countDistinct("chain_hash").alias("__hashes"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_shared_chains"),
+        F.sum(((F.col("__owners") == 2) & (F.col("__hashes") == 1))
+              .cast("long")).alias("n_crack_free"),
+        F.every((F.col("__owners") == 2) & (F.col("__hashes") == 1))
+        .alias("all_crack_free"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # T11 — overview (pyramid) downsample
 # ---------------------------------------------------------------------------
