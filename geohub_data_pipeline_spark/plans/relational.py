@@ -911,22 +911,25 @@ WHERE o_totalprice > 1.5 * cust_avg
        "§2.5 correlated-aggregate predicate", _ABOVE_AVG_SQL)
 def subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders 50% above their customer's average — the correlated
-    scalar-subquery pattern, planned as a single window pass (no
-    self-join, no per-row subquery execution)."""
+    scalar-subquery pattern, planned as hash-aggregate + equi-join on
+    the correlation key rather than a window: the aggregate combines
+    map-side (partial+final, whole-stage codegen) and the join-back
+    shuffles only the ~|customers| aggregate rows, where a window
+    would sort the full orders table per partition.  At small SF AQE
+    turns the join-back into a broadcast."""
     t = load_tables(spark, sf_dir)
-    w = Window.partitionBy("o_custkey")
-    cust_avg = (
-        F.sum(F.col("o_totalprice").cast("decimal(30,6)")).over(w)
-        .cast("double") / F.count(F.lit(1)).over(w)
-    )
+    avgs = t.orders.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+         .cast("double") / F.count(F.lit(1))).alias("cust_avg"))
     # NB: cust_avg is emitted unrounded — both engines compute the
     # identical double (decimal sum / count), while round() itself
     # diverges on exact half-way values (Spark rounds the shortest
     # decimal repr, DuckDB the binary value).
     return (
-        t.orders.select("o_orderkey", "o_custkey", "o_totalprice",
-                        cust_avg.alias("cust_avg"))
+        t.orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .join(avgs, "o_custkey")
         .filter(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
     )
 
 
