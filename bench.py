@@ -81,9 +81,14 @@ def main() -> None:
         except Exception:
             pass
 
-    # Warm-up: JVM JIT, parquet footers, broadcast machinery.
-    for df in plans.values():
-        df.count()
+    # Warm-up: JVM JIT, parquet footers, broadcast machinery.  A query
+    # failing at execution time is dropped, not fatal — the suite must
+    # still produce a number for the remaining queries.
+    for n, df in list(plans.items()):
+        try:
+            df.count()
+        except Exception:
+            del plans[n]
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -303,7 +303,9 @@ def _orient(pts: list[tuple[float, float]],
             ccw: bool) -> list[tuple[float, float]]:
     a2 = _ring_area2(pts)
     if a2 != 0 and (a2 > 0) != ccw:
-        return [pts[0]] + pts[:0:-1]
+        # Rings here are CLOSED (last == first): plain reversal keeps the
+        # closure invariant and the same start vertex.
+        return pts[::-1]
     return pts
 
 

@@ -246,6 +246,12 @@ def _chain_canonical_dp(chain: list[tuple[float, float]],
     return list(reversed(out)) if flip else out
 
 
+def _signed_area2(pts: list[tuple[float, float]]) -> float:
+    """Twice the signed area of a closed ring (shoelace; >0 = CCW)."""
+    return sum(x1 * y2 - x2 * y1
+               for (x1, y1), (x2, y2) in zip(pts, pts[1:]))
+
+
 def joint_simplify_ring(pts: list[tuple[float, float]],
                         seg_keys: list[int],
                         tol: float) -> list[tuple[float, float]] | None:
@@ -265,7 +271,9 @@ def joint_simplify_ring(pts: list[tuple[float, float]],
 
     if len(set(seg_keys)) == 1:
         # uniform ring (fully shared or fully private): canonical
-        # rotation + direction so both owners simplify the same cycle
+        # rotation + direction so both owners simplify the same cycle,
+        # then restore the INPUT winding (canonicalization is internal
+        # determinism only — callers keep their OGC winding).
         r = min(range(m), key=lambda i: cyc[i])
         fwd = [cyc[(r + i) % m] for i in range(m)]
         bwd = [cyc[(r - i) % m] for i in range(m)]
@@ -275,6 +283,8 @@ def joint_simplify_ring(pts: list[tuple[float, float]],
         out = list(zip(s[0::2], s[1::2]))
         if len(out) < 4:
             return None
+        if (_signed_area2(out) > 0) != (_signed_area2(pts) > 0):
+            out = out[::-1]
         return out
 
     out: list[tuple[float, float]] = []

@@ -1434,10 +1434,11 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     breaks.
     """
     t = load_tables(spark, sf_dir)
+    rsd = 0.02
     return (
         t.lineitem.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.02)
+            F.approx_count_distinct("l_partkey", rsd=rsd)
             .alias("approx_parts"),
             F.countDistinct("l_partkey").alias("exact_parts"),
         )
@@ -1445,7 +1446,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag",
             "exact_parts",
             (F.abs(F.col("approx_parts") - F.col("exact_parts"))
-             / F.col("exact_parts") <= F.lit(0.05)).alias("within_rsd"),
+             / F.col("exact_parts") <= F.lit(2.5 * rsd)).alias("within_rsd"),
         )
     )
 

@@ -44,7 +44,10 @@ _FEATURE_SCHEMA = (
 
 def _expand_one(path: str, content: bytes):
     """Yield (member, vsi_path, payload) for one archive blob."""
+    low = path.lower()
     ext = os.path.splitext(path)[1].lower()
+    if low.endswith((".tar.gz", ".tar.bz2", ".tar.xz")):
+        ext = ".tar"                       # tarfile mode "r:*" decompresses
     if ext == ".zip":
         with zipfile.ZipFile(io.BytesIO(content)) as zf:
             for info in zf.infolist():

@@ -77,6 +77,28 @@ def test_zip_gz_tar_expansion(spark, tmp_path):
     assert r.size == len(bytes(r.content))
 
 
+def test_tar_gz_expands_members(spark, tmp_path):
+    """`.tar.gz` must route to the tar branch (regression: splitext
+    saw only `.gz` and gunzipped it into one opaque `.tar` member)."""
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+        data = _geojson_layer("polys", 3)
+        info = tarfile.TarInfo("inner/layer.geojson")
+        info.size = len(data)
+        tf.addfile(info, io.BytesIO(data))
+    with open(tmp_path / "bundle.tar.gz", "wb") as f:
+        f.write(buf.getvalue())
+
+    members = A.read_archives(spark, str(tmp_path / "bundle.tar.gz")).collect()
+    assert [r.member for r in members] == ["inner/layer.geojson"]
+    assert bytes(members[0].content) == _geojson_layer("polys", 3)
+    assert members[0].vsi_path.startswith("/vsitar/")
+
+    feats = A.features_from_archives(
+        spark, str(tmp_path / "bundle.tar.gz")).collect()
+    assert len(feats) == 3
+
+
 def test_corrupt_archive_skipped(spark, tmp_path):
     with open(tmp_path / "broken.zip", "wb") as f:
         f.write(b"PK\x03\x04 garbage that is not a zip")

@@ -113,6 +113,27 @@ def test_make_valid_duplicate_vertices_and_winding():
     assert parsed["roles"] == [True, False]
 
 
+def test_make_valid_rewind_keeps_rings_closed():
+    """Re-winding a CLOSED ring must keep last == first (regression:
+    the open-ring reversal idiom doubled the start vertex and left the
+    ring unclosed, emitting malformed WKB for any CW exterior)."""
+    sq_ccw = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]
+    buf = G.wkb_polygon([sq_ccw[::-1]])             # plain valid CW square
+    out, invalid = G.make_valid_wkb(buf)
+    assert invalid is False
+    parsed = G.parse_wkb(out)
+    for flat in parsed["parts"]:
+        ring = G._pairs(flat)
+        assert ring[0] == ring[-1]                  # closed
+        assert len(set(ring[:-1])) == len(ring) - 1  # no doubled vertex
+    ext = G._pairs(parsed["parts"][0])
+    assert G._ring_area2(ext) > 0                   # CCW exterior
+    assert abs(G._ring_area2(ext)) / 2 == pytest.approx(1.0)
+    # _orient itself round-trips: reversing twice restores the ring
+    assert G._orient(G._orient(sq_ccw[::-1], ccw=True), ccw=False) \
+        == sq_ccw[::-1]
+
+
 def test_make_valid_passthrough_and_flag():
     # valid square: byte-identical passthrough
     sq = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]

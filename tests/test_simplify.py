@@ -154,7 +154,9 @@ def test_joint_simplify_rings_dataframe(spark):
 
 def test_joint_simplify_uniform_ring_consistent():
     """A ring fully shared between two owners (stacked duplicates)
-    simplifies to the same cycle for both, regardless of orientation."""
+    simplifies to the same cycle for both — same vertex set regardless
+    of orientation — while each output PRESERVES its input winding
+    (canonicalization is internal; callers keep OGC winding)."""
     ring = _wiggle((0.0, 0.0), (1.0, 0.0)) + _wiggle((1.0, 0.0), (0.5, 1.0))[1:] \
         + _wiggle((0.5, 1.0), (0.0, 0.0))[1:]
     rev = list(reversed(ring))
@@ -162,4 +164,7 @@ def test_joint_simplify_uniform_ring_consistent():
     tol = S.zoom_tolerance(3)
     sa = S.joint_simplify_ring(ring, keys, tol)
     sb = S.joint_simplify_ring(rev, keys, tol)
-    assert sa == sb                    # orientation-independent output
+    assert sa == sb[::-1]              # same cycle, opposite traversal
+    # winding of each output matches its own input
+    assert (S._signed_area2(sa) > 0) == (S._signed_area2(ring) > 0)
+    assert (S._signed_area2(sb) > 0) == (S._signed_area2(rev) > 0)
