@@ -771,14 +771,66 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GEO_TILE_SQL = """
+WITH pts AS (
+  SELECT source AS dataset, lang AS layer, doc_id AS fid,
+         (CAST(doc_id % 360 AS DOUBLE) - 180.0) + 0.125 AS lon,
+         (CAST((doc_id * 7) % 160 AS DOUBLE) - 80.0) + 0.25 AS lat
+  FROM documents
+),
+zooms AS (
+  SELECT dataset,
+         CAST(CASE WHEN n <= 1 THEN 0 WHEN n <= 4 THEN 1 WHEN n <= 16 THEN 2
+              WHEN n <= 64 THEN 3 WHEN n <= 256 THEN 4 WHEN n <= 1024 THEN 5
+              WHEN n <= 4096 THEN 6 WHEN n <= 16384 THEN 7
+              WHEN n <= 65536 THEN 8 WHEN n <= 262144 THEN 9
+              WHEN n <= 1048576 THEN 10 WHEN n <= 4194304 THEN 11
+              WHEN n <= 16777216 THEN 12 WHEN n <= 67108864 THEN 13
+              ELSE 14 END AS INTEGER) AS maxzoom
+  FROM (SELECT dataset, count(*) AS n FROM pts GROUP BY dataset)
+),
+exploded AS (
+  SELECT p.layer, p.lon, p.lat,
+         unnest(generate_series(0, zz.maxzoom)) AS z
+  FROM pts p JOIN zooms zz USING (dataset)
+),
+keyed AS (
+  SELECT layer, z,
+         CAST(least(greatest(floor((1 << z) * (lon + 180.0) / 360.0), 0),
+                    (1 << z) - 1) AS BIGINT) AS x,
+         CAST(least(greatest(floor((1 << z) * (1.0 - ln(tan(radians(lat))
+                    + 1.0 / cos(radians(lat))) / pi()) / 2.0), 0),
+                    (1 << z) - 1) AS BIGINT) AS y
+  FROM exploded
+),
+tiles AS (
+  SELECT layer, z, x, y, count(*) AS n_features
+  FROM keyed GROUP BY layer, z, x, y
+)
+SELECT layer, CAST(z AS INTEGER) AS z,
+       count(*) AS n_tiles,
+       CAST(sum(n_features) AS BIGINT) AS n_features,
+       CAST(min(n_features) AS BIGINT) AS min_features_per_tile
+FROM tiles GROUP BY layer, z ORDER BY layer, z
+"""
+
+
 @query("geo_tile_pipeline", "pipeline",
        "§2.2 T7+T8 end-to-end: WKB normalize -> tile pyramid -> audit "
-       "(geometry kernels are non-SQL-expressible => rows-only; golden "
-       "checks in tests/test_tiling.py, test_fixtures_golden.py)", None)
+       "(tile-key math mirrored as slippy SQL; the WKB geometry kernels "
+       "keep their golden checks in tests/test_tiling.py, "
+       "test_fixtures_golden.py)", _GEO_TILE_SQL)
 def geo_tile_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full vector path on real WKB: deterministic point features
     derived from `documents` -> normalize (promote-to-multi, bbox) ->
-    -zg tile pyramid -> tilestats audit rows."""
+    -zg tile pyramid -> tilestats audit rows.
+
+    Oracle: the tile keys derive from the same deterministic lon/lat,
+    so DuckDB recomputes the (z, x, y) pyramid with the identical
+    slippy-map formula (floor/ln/tan) and the -zg CASE ladder, then
+    mirrors the per-(layer, z) audit — the non-SQL part (WKB encode /
+    normalize) only carries geometry through and cannot change counts
+    for valid point inputs."""
     from collections.abc import Iterator
 
     import pandas as pd
