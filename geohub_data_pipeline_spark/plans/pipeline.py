@@ -730,44 +730,71 @@ _MULTIMODAL_SQL = """
 SELECT doc_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                        ELSE 'video' END AS media_type,
-       CAST(strlen(text) AS BIGINT) AS n_bytes,
-       md5(text) AS content_hash,
-       CASE WHEN doc_id % 3 = 0
-            THEN CAST(256 + (doc_id % 8) * 128 AS INTEGER) END AS width,
-       CASE WHEN doc_id % 3 = 0
-            THEN CAST(256 + (doc_id % 4) * 128 AS INTEGER) END AS height,
-       CASE WHEN doc_id % 3 <> 0
-            THEN CAST(n_chars // 10 AS BIGINT) END AS duration_s
+       TRUE AS ok,
+       CASE WHEN doc_id % 3 = 0 THEN CAST(4 + doc_id % 8 AS INTEGER)
+            WHEN doc_id % 3 = 2 THEN 320 END AS width,
+       CASE WHEN doc_id % 3 = 0 THEN CAST(2 + doc_id % 4 AS INTEGER)
+            WHEN doc_id % 3 = 2 THEN 240 END AS height,
+       CASE WHEN doc_id % 3 <> 2
+            THEN CAST(1 AS INTEGER) END AS n_channels,
+       CASE WHEN doc_id % 3 = 1 THEN CAST(n_chars // 10 AS BIGINT)
+            WHEN doc_id % 3 = 2
+            THEN CAST(NULLIF(n_chars // 10, 0) AS BIGINT) END AS n_samples,
+       CASE WHEN doc_id % 3 = 1
+            THEN CAST(16000 AS INTEGER) END AS sample_rate
 FROM documents
 ORDER BY doc_id
 """
 
 
 @query("multimodal_metadata", "pipeline",
-       "north star: multimodal columns (binary payload + typed "
-       "metadata; decode kernels in operators/multimodal.py)",
+       "north star: multimodal columns — REAL media bytes generated "
+       "per row (stdlib PNG/WAV encoders) and decoded back by the "
+       "real stdlib codecs in operators/multimodal.py",
        _MULTIMODAL_SQL)
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typed metadata view over opaque media payloads: byte length,
-    content hash, per-modality dimensions.  The binary decode /
-    feature-extract kernels are mapInPandas operators
-    (operators/multimodal.py) exercised in tests."""
+    """End-to-end multimodal decode on GENUINE media bytes: every
+    document becomes a payload — images are real PNGs (zlib+IHDR),
+    audio real PCM16 WAVs, video the documented fake-TLV (no stdlib
+    video codec) — and ``decode_media`` recovers the typed metadata
+    from the bytes alone.  The oracle recomputes the expected
+    dimensions from the same deterministic doc_id/n_chars formulas,
+    so a broken encoder OR decoder fails the compare."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.operators import multimodal as MM
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
     t = load_tables(spark, sf_dir)
-    d = F.col("doc_id")
-    media = (
-        F.when(d % 3 == 0, "image")
-        .when(d % 3 == 1, "audio")
-        .otherwise("video")
-    )
-    return t.documents.select(
-        "doc_id",
-        media.alias("media_type"),
-        F.octet_length("text").cast("bigint").alias("n_bytes"),
-        F.md5("text").alias("content_hash"),
-        F.when(d % 3 == 0, (256 + (d % 8) * 128).cast("int")).alias("width"),
-        F.when(d % 3 == 0, (256 + (d % 4) * 128).cast("int")).alias("height"),
-        F.when(d % 3 != 0, F.expr("n_chars div 10").cast("bigint"))
-        .alias("duration_s"),
+    base = t.documents.select("doc_id", "n_chars")
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, nch in zip(pdf["doc_id"], pdf["n_chars"]):
+                did, nch = int(did), int(nch)
+                if did % 3 == 0:
+                    mt, payload = "image", MM.encode_png_gray(
+                        4 + did % 8, 2 + did % 4)
+                elif did % 3 == 1:
+                    mt, payload = "audio", MM.encode_wav_pcm16(
+                        nch // 10, 16000)
+                else:
+                    mt, payload = "video", MM.fake_media_payload(
+                        "video", width=320, height=240,
+                        n_samples=nch // 10)
+                rows.append((did, mt, payload, "docs"))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "media_type", "payload", "source"])
+
+    media = base.mapInPandas(gen, MM.MEDIA_SCHEMA)
+    return MM.decode_media(media).select(
+        F.col("media_id").alias("doc_id"),
+        "media_type", "ok", "width", "height",
+        "n_channels", "n_samples", "sample_rate",
     )
 
 
