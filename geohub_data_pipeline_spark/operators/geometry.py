@@ -228,9 +228,13 @@ def ring_is_bowtie(ring: list[float]) -> bool:
 # Repairs the invalidity classes ``-makevalid`` most commonly fixes in
 # practice (ref ingest/processing.py:142-144 passes -makevalid to
 # ogr2ogr): consecutive duplicate vertices, wrong ring orientation,
-# and single-crossing "bowtie" self-intersections, which split into
-# two valid rings at the crossing point.  Anything deeper (nested
-# self-touching shells, hole/shell crossings) stays flagged.
+# "bowtie" self-intersections (split into valid rings at each crossing
+# point, exteriors and holes alike), holes crossing their shell (noded
+# Greiner–Hormann-style difference, ``_ring_difference``), and holes
+# outside every shell (dropped — they subtract nothing).  What still
+# stays flagged: tangencies / endpoint-touches / collinear overlaps
+# (ambiguous noding), rings with > _MAX_SPLITS crossings, and nested
+# shells.
 # ---------------------------------------------------------------------------
 
 def _pairs(flat: list[float]) -> list[tuple[float, float]]:
@@ -321,6 +325,151 @@ def _point_in_ring(pt: tuple[float, float],
     return inside
 
 
+def _crossing_params(a1, a2, b1, b2):
+    """Segment intersection with parameters: returns (t, u, point) for
+    a proper interior crossing, None for disjoint, or the string
+    'degenerate' for tangencies / endpoint-touches / collinear overlap
+    (cases the node-split repair refuses — caller keeps the flag)."""
+    (x1, y1), (x2, y2) = a1, a2
+    (x3, y3), (x4, y4) = b1, b2
+    den = (x2 - x1) * (y4 - y3) - (y2 - y1) * (x4 - x3)
+    if den == 0:
+        # parallel: overlap check via cross products of endpoints
+        c1 = (x3 - x1) * (y2 - y1) - (y3 - y1) * (x2 - x1)
+        c2 = (x4 - x1) * (y2 - y1) - (y4 - y1) * (x2 - x1)
+        if c1 == 0 and c2 == 0:
+            lo1, hi1 = sorted((a1, a2))
+            lo2, hi2 = sorted((b1, b2))
+            if max(lo1, lo2) < min(hi1, hi2):
+                return "degenerate"        # collinear overlap
+        return None
+    t = ((x3 - x1) * (y4 - y3) - (y3 - y1) * (x4 - x3)) / den
+    u = ((x3 - x1) * (y2 - y1) - (y3 - y1) * (x2 - x1)) / den
+    if 0 < t < 1 and 0 < u < 1:
+        return (t, u, (x1 + t * (x2 - x1), y1 + t * (y2 - y1)))
+    if (0 <= t <= 1 and u in (0.0, 1.0)) or (0 <= u <= 1
+                                             and t in (0.0, 1.0)):
+        return "degenerate"                # endpoint touches the other
+    return None
+
+
+def _ring_difference(shell: list[tuple[float, float]],
+                     hole: list[tuple[float, float]]
+                     ) -> list[list[tuple[float, float]]] | None:
+    """``shell minus hole`` for a hole ring that properly CROSSES its
+    shell — the node-splitting repair for crossing rings (the class of
+    self-intersection ``-makevalid`` fixes by noding the linework;
+    ref ingest/processing.py:142-144).
+
+    Greiner–Hormann-style difference specialised to two simple closed
+    rings: intersection nodes are inserted into both rings, then the
+    result boundary follows the shell while outside the hole and the
+    hole (backwards) while inside the shell.
+
+    Returns a list of closed CCW loops; ``[]`` when the rings do not
+    properly cross (caller falls back to containment homing); ``None``
+    on a degeneracy (tangency, endpoint touch, collinear overlap —
+    stays flagged).
+    """
+    A = shell[:-1] if _ring_area2(shell) > 0 else shell[:-1][::-1]
+    B = hole[:-1] if _ring_area2(hole) > 0 else hole[:-1][::-1]
+    na, nb = len(A), len(B)
+
+    # 1. collect proper crossings per edge pair
+    crossings = []                         # (ia, t, ib, u, pt)
+    for i in range(na):
+        a1, a2 = A[i], A[(i + 1) % na]
+        for j in range(nb):
+            r = _crossing_params(a1, a2, B[j], B[(j + 1) % nb])
+            if r == "degenerate":
+                return None
+            if r is not None:
+                crossings.append((i, r[0], j, r[1], r[2]))
+    if not crossings:
+        return []
+    if len(crossings) % 2:
+        return None                        # numerically inconsistent
+
+    # 2. augmented cyclic vertex lists: entries are
+    #    [point, link_id or None]; crossings inserted in edge order
+    def augment(base, keyed):
+        out = []
+        for idx, pt in enumerate(base):
+            out.append([pt, None])
+            hits = sorted(k for k in keyed if k[0] == idx)
+            for _, _t, link in hits:
+                out.append([keyed[(idx, _t, link)], link])
+        return out
+
+    a_keyed = {}
+    b_keyed = {}
+    for link, (ia, t, ib, u, pt) in enumerate(crossings):
+        a_keyed[(ia, t, link)] = pt
+        b_keyed[(ib, u, link)] = pt
+    aug_a = augment(A, a_keyed)
+    aug_b = augment(B, b_keyed)
+    a_pos = {n[1]: k for k, n in enumerate(aug_a) if n[1] is not None}
+    b_pos = {n[1]: k for k, n in enumerate(aug_b) if n[1] is not None}
+
+    # 3. classify each crossing on A as entry-into-B or exit, by
+    #    walking A from a base vertex whose inside/outside state is
+    #    known (base vertices are never ON B: that was 'degenerate')
+    entry = {}
+    inside = _point_in_ring(aug_a[0][0], hole)
+    if aug_a[0][1] is not None:            # first node is a crossing
+        return None
+    for node in aug_a[1:] + aug_a[:1]:
+        if node[1] is not None:
+            entry[node[1]] = not inside
+            inside = not inside
+
+    # 4. traverse: start at each unvisited EXIT crossing, follow A
+    #    forward while outside the hole, switch to B backward at each
+    #    entry crossing (the hole boundary bounds the removed region)
+    visited = set()
+    loops: list[list[tuple[float, float]]] = []
+    for start in entry:
+        if entry[start] or start in visited:
+            continue
+        loop = []
+        link = start
+        guard = 0
+        while True:
+            guard += 1
+            if guard > 4 * (len(aug_a) + len(aug_b)):
+                return None                # traversal failed to close
+            visited.add(link)
+            # follow A forward from this crossing to the next crossing
+            k = a_pos[link]
+            while True:
+                k = (k + 1) % len(aug_a)
+                loop.append(aug_a[k][0])
+                if aug_a[k][1] is not None:
+                    link = aug_a[k][1]
+                    break
+            if link == start:
+                break
+            if not entry[link]:            # consecutive exit: bad state
+                return None
+            visited.add(link)
+            # follow B backward from this crossing to the next crossing
+            k = b_pos[link]
+            while True:
+                k = (k - 1) % len(aug_b)
+                loop.append(aug_b[k][0])
+                if aug_b[k][1] is not None:
+                    link = aug_b[k][1]
+                    break
+            if link == start:
+                break
+        loop = [p for i, p in enumerate(loop) if p != loop[i - 1]]
+        if len(loop) >= 3:
+            loop = loop + [loop[0]]
+            if abs(_ring_area2(loop)) > 0:
+                loops.append(_orient(loop, ccw=True))
+    return loops if loops else None
+
+
 _MAX_SPLITS = 8     # repair cap: a ring with more crossings stays flagged
 
 
@@ -382,14 +531,37 @@ def make_valid_polygons(
             if is_ext:
                 exteriors += simple
             else:
+                # a self-crossing (bowtie) hole splits into multiple
+                # simple holes — each homes independently below
                 if len(simple) > 1:
-                    repaired = False       # crossing hole: out of scope
+                    changed = True
                 holes += simple
         if not exteriors:
             changed = True                 # whole polygon degenerated
             continue
+        # 2.5 crossing-ring node-split: a hole that properly CROSSES
+        # its shell is subtracted from it (intersection nodes inserted,
+        # boundary reassembled) — the remaining -makevalid class.
+        kept_holes: list[list[tuple[float, float]]] = []
+        for h in holes:
+            consumed = False
+            for k, e in enumerate(exteriors):
+                diff = _ring_difference(e, h)
+                if diff is None:           # tangency/degenerate: flag
+                    repaired = False
+                    consumed = True
+                    break
+                if diff:
+                    exteriors[k:k + 1] = diff
+                    changed = True
+                    consumed = True
+                    break
+            if not consumed:
+                kept_holes.append(h)
+        holes = kept_holes
         # 3. orientation + hole homing (holes keep the exterior that
-        # contains them; a split exterior re-homes each hole)
+        # contains them; a split exterior re-homes each hole).  A hole
+        # inside no exterior subtracts nothing — dropped, not flagged.
         ext_or = []
         for e in exteriors:
             e2 = _orient(e, ccw=True)
@@ -405,7 +577,7 @@ def make_valid_polygons(
                     homed = True
                     break
             if not homed:
-                repaired = False
+                changed = True
         out += ext_or
     return out, changed, repaired
 

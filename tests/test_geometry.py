@@ -149,6 +149,52 @@ def test_make_valid_passthrough_and_flag():
     assert invalid is True
 
 
+def test_make_valid_crossing_hole_node_split():
+    """A hole properly crossing its shell is repaired by noding the
+    linework and reassembling the boundary (shell minus hole)."""
+    sq = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+    hole = [(3.0, 1.0), (5.0, 1.0), (5.0, 3.0), (3.0, 3.0), (3.0, 1.0)]
+    out, invalid = G.make_valid_wkb(G.wkb_polygon([sq, hole[::-1]]))
+    assert invalid is False
+    p = G.parse_wkb(out)
+    rings = [G._pairs(x) for x in p["parts"]]
+    assert p["roles"] == [True]                     # hole consumed
+    assert sum(G._ring_area2(r) / 2 for r in rings) == pytest.approx(14.0)
+    assert all(r[0] == r[-1] for r in rings)
+    assert all(G._first_self_crossing(r) is None for r in rings)
+
+    # slab crossing BOTH edges: shell splits into two exteriors
+    slab = [(-1.0, 1.0), (5.0, 1.0), (5.0, 3.0), (-1.0, 3.0), (-1.0, 1.0)]
+    out, invalid = G.make_valid_wkb(G.wkb_polygon([sq, slab[::-1]]))
+    assert invalid is False
+    p = G.parse_wkb(out)
+    assert p["roles"] == [True, True]
+    areas = sorted(G._ring_area2(G._pairs(x)) / 2 for x in p["parts"])
+    assert areas == pytest.approx([4.0, 4.0])
+
+
+def test_make_valid_hole_edge_cases():
+    sq = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+    # hole entirely outside the shell subtracts nothing: dropped
+    far = [(10.0, 10.0), (11.0, 10.0), (11.0, 11.0), (10.0, 11.0),
+           (10.0, 10.0)]
+    out, invalid = G.make_valid_wkb(G.wkb_polygon([sq, far[::-1]]))
+    assert invalid is False
+    assert G.parse_wkb(out)["roles"] == [True]
+    # self-crossing (bowtie) hole inside the shell: split into two holes
+    bow = [(1.0, 1.0), (3.0, 3.0), (3.0, 1.0), (1.0, 3.0), (1.0, 1.0)]
+    out, invalid = G.make_valid_wkb(G.wkb_polygon([sq, bow]))
+    assert invalid is False
+    p = G.parse_wkb(out)
+    assert p["roles"] == [True, False, False]
+    assert sum(G._ring_area2(G._pairs(x)) / 2
+               for x in p["parts"]) == pytest.approx(14.0)
+    # tangency (hole vertex ON a shell edge): refused, stays flagged
+    tang = [(2.0, 0.0), (3.0, 1.0), (1.0, 1.0), (2.0, 0.0)]
+    out, invalid = G.make_valid_wkb(G.wkb_polygon([sq, tang[::-1]]))
+    assert invalid is True
+
+
 def test_feature_count_audit(spark):
     feats = _features(spark)
     norm = G.normalize_features(feats)
