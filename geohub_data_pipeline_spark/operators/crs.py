@@ -11,12 +11,19 @@ closed-form from the published formulas:
 * EPSG:3035 — ETRS89 / LAEA Europe (Snyder 1987 §24, ellipsoidal
   form with authalic latitude),
 * EPSG:2154 — RGF93 / Lambert-93, Lambert Conformal Conic 2SP
-  (IOGP Guidance Note 7-2 formulas).
+  (IOGP Guidance Note 7-2 formulas),
+* a PARAMETER TABLE (``_CRS_TABLE``) dispatching any EPSG defined by
+  the TM / LCC-2SP / LAEA / Albers families: 27700 (OSGB36 British
+  National Grid, incl. the published 7-parameter Helmert datum
+  shift), 2193 (NZTM2000), 5070 + ESRI:102008 (Albers equal-area
+  conic, Snyder 1987 §14), 3978 (Canada Atlas Lambert).
 
 Everything is plain ``math`` on (lon, lat) pairs — usable inside
-Arrow-batched kernels with zero dependencies.  Datum shifts between
-WGS84 and ETRS89/RGF93 (cm-level) are out of scope, as they are for
-the reference's default PROJ pipelines too.
+Arrow-batched kernels with zero dependencies.  Datum handling: the
+cm-level WGS84<->ETRS89/RGF93/NAD83/NZGD2000 shifts are out of scope
+(as for the reference's default PROJ pipelines); the ~120 m OSGB36
+shift is applied via the published Helmert parameters (~2 m accuracy,
+the standard non-OSTN path).
 """
 
 from __future__ import annotations
@@ -27,6 +34,7 @@ import math
 
 _WGS84 = (6378137.0, 1.0 / 298.257223563)
 _GRS80 = (6378137.0, 1.0 / 298.257222101)
+_AIRY1830 = (6377563.396, 1.0 / 299.3249646)
 
 
 # ---------------------------------------------------------------------------
@@ -255,13 +263,283 @@ def lcc_to_lonlat(e_crd: float, n_crd: float) -> tuple[float, float]:
 
 
 # ---------------------------------------------------------------------------
-# EPSG dispatch
+# Albers Equal Area Conic 2SP — Snyder 1987 §14 (ellipsoidal form)
 # ---------------------------------------------------------------------------
+
+def _aea_consts(a: float, f: float, lat0, lon0, sp1, sp2):
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+
+    def q(phi):
+        s = math.sin(phi)
+        return (1 - e2) * (s / (1 - e2 * s * s)
+                           - (1 / (2 * e)) * math.log(
+                               (1 - e * s) / (1 + e * s)))
+
+    def m(phi):
+        return math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+
+    p0, p1, p2 = (math.radians(v) for v in (lat0, sp1, sp2))
+    n = (m(p1) ** 2 - m(p2) ** 2) / (q(p2) - q(p1))
+    big_c = m(p1) ** 2 + n * q(p1)
+    rho0 = a * math.sqrt(big_c - n * q(p0)) / n
+    qp = q(math.pi / 2)
+    return e, e2, q, n, big_c, rho0, qp
+
+
+def _beta_to_phi(beta: float, e2: float) -> float:
+    """Authalic -> geodetic latitude series (Snyder 3-18)."""
+    return (beta
+            + (e2 / 3 + 31 * e2 ** 2 / 180 + 517 * e2 ** 3 / 5040)
+            * math.sin(2 * beta)
+            + (23 * e2 ** 2 / 360 + 251 * e2 ** 3 / 3780)
+            * math.sin(4 * beta)
+            + (761 * e2 ** 3 / 45360) * math.sin(6 * beta))
+
+
+def _make_aea(ellps, lat0, lon0, sp1, sp2, fe, fn):
+    a = ellps[0]
+    e, e2, q, n, big_c, rho0, qp = _aea_consts(a, ellps[1],
+                                               lat0, lon0, sp1, sp2)
+
+    def fwd(lon: float, lat: float) -> tuple[float, float]:
+        phi = math.radians(lat)
+        theta = n * math.radians(lon - lon0)
+        rho = a * math.sqrt(big_c - n * q(phi)) / n
+        return fe + rho * math.sin(theta), fn + rho0 - rho * math.cos(theta)
+
+    def inv(x: float, y: float) -> tuple[float, float]:
+        dx, dy = x - fe, rho0 - (y - fn)
+        rho = math.hypot(dx, dy)
+        theta = math.atan2(dx, dy) if n > 0 else math.atan2(-dx, -dy)
+        qq = (big_c - (rho * n / a) ** 2) / n
+        beta = math.asin(min(1.0, max(-1.0, qq / qp)))
+        return (lon0 + math.degrees(theta / n),
+                math.degrees(_beta_to_phi(beta, e2)))
+
+    return fwd, inv
+
+
+# ---------------------------------------------------------------------------
+# Parameterized family factories (TM / LCC-2SP / LAEA) — same math as
+# the named instances above, with grid constants from a table
+# ---------------------------------------------------------------------------
+
+def _make_tm(ellps, lat0, lon0, k0, fe, fn):
+    consts = _tm_consts(*ellps)
+    y0 = _tm_forward(lon0, lat0, lon0, consts)[1] if lat0 else 0.0
+
+    def fwd(lon: float, lat: float) -> tuple[float, float]:
+        x, y = _tm_forward(lon, lat, lon0, consts)
+        return fe + k0 * x, fn + k0 * (y - y0)
+
+    def inv(e_crd: float, n_crd: float) -> tuple[float, float]:
+        x = (e_crd - fe) / k0
+        y = (n_crd - fn) / k0 + y0
+        return _tm_inverse(x, y, lon0, consts)
+
+    return fwd, inv
+
+
+def _make_lcc2(ellps, lat0, lon0, sp1, sp2, fe, fn):
+    a = ellps[0]
+    e, n, big_f, rho0, t = _lcc_consts(*ellps, lat0, sp1, sp2)
+
+    def fwd(lon: float, lat: float) -> tuple[float, float]:
+        phi = math.radians(lat)
+        theta = n * math.radians(lon - lon0)
+        rho = a * big_f * t(phi) ** n
+        return fe + rho * math.sin(theta), fn + rho0 - rho * math.cos(theta)
+
+    def inv(e_crd: float, n_crd: float) -> tuple[float, float]:
+        x = e_crd - fe
+        y = rho0 - (n_crd - fn)
+        rho = math.copysign(math.hypot(x, y), n)
+        theta = math.atan2(x, y)
+        lon = math.degrees(theta / n) + lon0
+        tp = (rho / (a * big_f)) ** (1 / n)
+        phi = math.pi / 2 - 2 * math.atan(tp)
+        for _ in range(8):
+            s = math.sin(phi)
+            phi_next = math.pi / 2 - 2 * math.atan(
+                tp * ((1 - e * s) / (1 + e * s)) ** (e / 2))
+            if abs(phi_next - phi) < 1e-13:
+                phi = phi_next
+                break
+            phi = phi_next
+        return lon, math.degrees(phi)
+
+    return fwd, inv
+
+
+def _make_laea(ellps, lat0, lon0, fe, fn):
+    e, e2, q, qp, beta0, rq, d = _laea_consts(*ellps, lat0)
+
+    def fwd(lon: float, lat: float) -> tuple[float, float]:
+        phi = math.radians(lat)
+        lam = math.radians(lon - lon0)
+        beta = math.asin(q(phi) / qp)
+        b = rq * math.sqrt(
+            2 / (1 + math.sin(beta0) * math.sin(beta)
+                 + math.cos(beta0) * math.cos(beta) * math.cos(lam)))
+        return (fe + b * d * math.cos(beta) * math.sin(lam),
+                fn + (b / d) * (math.cos(beta0) * math.sin(beta)
+                                - math.sin(beta0) * math.cos(beta)
+                                * math.cos(lam)))
+
+    def inv(e_crd: float, n_crd: float) -> tuple[float, float]:
+        x = e_crd - fe
+        y = n_crd - fn
+        rho = math.hypot(x / d, d * y)
+        if rho == 0:
+            return lon0, lat0
+        ce = 2 * math.asin(rho / (2 * rq))
+        beta = math.asin(math.cos(ce) * math.sin(beta0)
+                         + (d * y * math.sin(ce) * math.cos(beta0)) / rho)
+        lam = math.atan2(
+            (x / d) * math.sin(ce),
+            rho * math.cos(beta0) * math.cos(ce)
+            - d * y * math.sin(beta0) * math.sin(ce))
+        return lon0 + math.degrees(lam), math.degrees(_beta_to_phi(beta, e2))
+
+    return fwd, inv
+
+
+# ---------------------------------------------------------------------------
+# 7-parameter Helmert datum shift (position-vector convention) —
+# needed only for OSGB36, whose offset from WGS84 is ~120 m.
+# Parameters: OS "A guide to coordinate systems in Great Britain",
+# WGS84 -> OSGB36 (tx, ty, tz meters; s ppm; rx, ry, rz arc-seconds).
+# ---------------------------------------------------------------------------
+
+_HELMERT_WGS84_TO_OSGB36 = (-446.448, 125.157, -542.060, 20.4894,
+                            -0.1502, -0.2470, -0.8421)
+
+
+def _geodetic_to_ecef(lon: float, lat: float, ellps) -> tuple:
+    a, f = ellps
+    e2 = f * (2 - f)
+    phi, lam = math.radians(lat), math.radians(lon)
+    nu = a / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+    return (nu * math.cos(phi) * math.cos(lam),
+            nu * math.cos(phi) * math.sin(lam),
+            nu * (1 - e2) * math.sin(phi))
+
+
+def _ecef_to_geodetic(x: float, y: float, z: float,
+                      ellps) -> tuple[float, float]:
+    a, f = ellps
+    e2 = f * (2 - f)
+    lam = math.atan2(y, x)
+    p = math.hypot(x, y)
+    phi = math.atan2(z, p * (1 - e2))
+    for _ in range(10):
+        nu = a / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+        phi_next = math.atan2(z + e2 * nu * math.sin(phi), p)
+        if abs(phi_next - phi) < 1e-12:
+            phi = phi_next
+            break
+        phi = phi_next
+    return math.degrees(lam), math.degrees(phi)
+
+
+def _helmert(x: float, y: float, z: float, params,
+             inverse: bool = False) -> tuple:
+    tx, ty, tz, s_ppm, rx_s, ry_s, rz_s = params
+    sgn = -1.0 if inverse else 1.0
+    s = sgn * s_ppm * 1e-6
+    rx = sgn * math.radians(rx_s / 3600.0)
+    ry = sgn * math.radians(ry_s / 3600.0)
+    rz = sgn * math.radians(rz_s / 3600.0)
+    return (sgn * tx + (1 + s) * x - rz * y + ry * z,
+            sgn * ty + rz * x + (1 + s) * y - rx * z,
+            sgn * tz - ry * x + rx * y + (1 + s) * z)
+
+
+def _with_datum(fwd, inv, ellps, params):
+    """Wrap a (fwd, inv) grid pair so the lon/lat side is WGS84 and the
+    datum shift happens through ECEF + Helmert."""
+
+    def fwd2(lon: float, lat: float) -> tuple[float, float]:
+        xyz = _geodetic_to_ecef(lon, lat, _WGS84)
+        xyz = _helmert(*xyz, params)
+        return fwd(*_ecef_to_geodetic(*xyz, ellps))
+
+    def inv2(e_crd: float, n_crd: float) -> tuple[float, float]:
+        lon, lat = inv(e_crd, n_crd)
+        xyz = _geodetic_to_ecef(lon, lat, ellps)
+        xyz = _helmert(*xyz, params, inverse=True)
+        return _ecef_to_geodetic(*xyz, _WGS84)
+
+    return fwd2, inv2
+
+
+# ---------------------------------------------------------------------------
+# EPSG dispatch — family parameter table + UTM zone ranges
+# ---------------------------------------------------------------------------
+
+# srid -> (family, ellipsoid, params dict, helmert-to-datum or None)
+_CRS_TABLE: dict[int, tuple] = {
+    # OSGB36 / British National Grid (EPSG registry: TM, Airy 1830)
+    27700: ("tm", _AIRY1830,
+            dict(lat0=49.0, lon0=-2.0, k0=0.9996012717,
+                 fe=400000.0, fn=-100000.0), _HELMERT_WGS84_TO_OSGB36),
+    # NZGD2000 / New Zealand Transverse Mercator 2000
+    2193: ("tm", _GRS80,
+           dict(lat0=0.0, lon0=173.0, k0=0.9996,
+                fe=1600000.0, fn=10000000.0), None),
+    # NAD83 / Conus Albers (the standard US-wide equal-area grid)
+    5070: ("aea", _GRS80,
+           dict(lat0=23.0, lon0=-96.0, sp1=29.5, sp2=45.5,
+                fe=0.0, fn=0.0), None),
+    # ESRI:102008 North America Albers Equal Area Conic
+    102008: ("aea", _GRS80,
+             dict(lat0=40.0, lon0=-96.0, sp1=20.0, sp2=60.0,
+                  fe=0.0, fn=0.0), None),
+    # NAD83 / Canada Atlas Lambert
+    3978: ("lcc2", _GRS80,
+           dict(lat0=49.0, lon0=-95.0, sp1=49.0, sp2=77.0,
+                fe=0.0, fn=0.0), None),
+    # ETRS89-extended / LAEA Europe (same instance as the module-level
+    # functions; kept in the table so dispatch is uniform)
+    3035: ("laea", _GRS80,
+           dict(lat0=52.0, lon0=10.0, fe=4321000.0, fn=3210000.0), None),
+    # RGF93 v1 / Lambert-93
+    2154: ("lcc2", _GRS80,
+           dict(lat0=46.5, lon0=3.0, sp1=44.0, sp2=49.0,
+                fe=700000.0, fn=6600000.0), None),
+}
+
+_FAMILIES = {"tm": _make_tm, "lcc2": _make_lcc2,
+             "laea": _make_laea, "aea": _make_aea}
+
+_PAIR_CACHE: dict[int, tuple] = {}
+
+
+def _pair(srid: int):
+    """(fwd, inv) closures for a table CRS, built once per srid."""
+    if srid in _PAIR_CACHE:
+        return _PAIR_CACHE[srid]
+    family, ellps, params, helmert = _CRS_TABLE[srid]
+    fwd, inv = _FAMILIES[family](ellps, **params)
+    if helmert is not None:
+        fwd, inv = _with_datum(fwd, inv, ellps, helmert)
+    _PAIR_CACHE[srid] = (fwd, inv)
+    return fwd, inv
+
+
+def supported_srids() -> list[int]:
+    """Every srid reproject handles natively (table + UTM ranges)."""
+    return (sorted(_CRS_TABLE)
+            + list(range(32601, 32661)) + list(range(32701, 32761))
+            + list(range(25828, 25839)))
+
 
 def to_lonlat(srid: int):
     """Return ``f(x, y) -> (lon, lat)`` for a supported projected CRS,
     else None.  Supported: UTM WGS84 N/S (32601-32660 / 32701-32760),
-    UTM ETRS89 N (25828-25838), LAEA Europe (3035), Lambert-93 (2154).
+    UTM ETRS89 N (25828-25838), and every ``_CRS_TABLE`` entry
+    (27700, 2193, 5070, 102008, 3978, 3035, 2154).
     """
     if 32601 <= srid <= 32660:
         zone = srid - 32600
@@ -273,10 +551,8 @@ def to_lonlat(srid: int):
         zone = srid - 25800
         return lambda x, y: utm_to_lonlat(x, y, zone, north=True,
                                           ellipsoid=_TM_GRS80)
-    if srid == 3035:
-        return laea_to_lonlat
-    if srid == 2154:
-        return lcc_to_lonlat
+    if srid in _CRS_TABLE:
+        return _pair(srid)[1]
     return None
 
 
@@ -292,8 +568,6 @@ def from_lonlat(srid: int):
         zone = srid - 25800
         return lambda lon, lat: lonlat_to_utm(lon, lat, zone, north=True,
                                               ellipsoid=_TM_GRS80)
-    if srid == 3035:
-        return lonlat_to_laea
-    if srid == 2154:
-        return lonlat_to_lcc
+    if srid in _CRS_TABLE:
+        return _pair(srid)[0]
     return None

@@ -631,7 +631,7 @@ def _reproject_coords(coords: list[float], src_srid: int) -> list[float]:
         return out
     from geohub_data_pipeline_spark.operators import crs as _crs
     native = _crs.to_lonlat(src_srid)
-    if native is not None:      # UTM zones / 3035 / 2154, closed-form
+    if native is not None:      # UTM zones + _CRS_TABLE, closed-form
         out = []
         for i in range(0, len(coords), 2):
             lon, lat = native(coords[i], coords[i + 1])
@@ -643,7 +643,8 @@ def _reproject_coords(coords: list[float], src_srid: int) -> list[float]:
         raise NotImplementedError(
             f"reproject from EPSG:{src_srid} needs pyproj (not installed); "
             "supported natively: 4326 (no-op), 3857 (spherical Mercator), "
-            "UTM 326xx/327xx/258xx, 3035 (LAEA), 2154 (Lambert-93)"
+            "UTM 326xx/327xx/258xx, and the TM/LCC/LAEA/Albers parameter "
+            "table (27700, 2193, 5070, 102008, 3978, 3035, 2154)"
         ) from exc
     tr = Transformer.from_crs(src_srid, 4326, always_xy=True)
     out = []

@@ -129,10 +129,119 @@ def test_epsg_dispatch_coverage():
     assert C.to_lonlat(25832) is not None       # ETRS89 / UTM 32N
     assert C.to_lonlat(3035) is not None
     assert C.to_lonlat(2154) is not None
-    assert C.to_lonlat(27700) is None           # OSGB: not covered
+    for srid in (27700, 2193, 5070, 102008, 3978):  # parameter table
+        assert C.to_lonlat(srid) is not None, srid
+        assert C.from_lonlat(srid) is not None, srid
     assert C.to_lonlat(4326) is None            # geographic: caller's no-op
+    assert C.to_lonlat(99999) is None
     # inverse(forward) identity through the dispatcher too
     fwd, inv = C.from_lonlat(25832), C.to_lonlat(25832)
     lon, lat = inv(*fwd(9.0, 51.0))
     assert math.isclose(lon, 9.0, abs_tol=1e-9)
     assert math.isclose(lat, 51.0, abs_tol=1e-9)
+    # the table 3035/2154 path is byte-identical to the named instances
+    assert C._pair(3035)[0](10.5, 51.2) == C.lonlat_to_laea(10.5, 51.2)
+    assert C._pair(2154)[0](3.5, 47.0) == C.lonlat_to_lcc(3.5, 47.0)
+
+
+# ---------------------------------------------------------------------------
+# EPSG:27700 — OSGB36 British National Grid (TM, Airy 1830 + Helmert)
+# ---------------------------------------------------------------------------
+
+def test_osgb_worked_example_grid():
+    """OS 'A guide to coordinate systems in Great Britain' worked
+    example: OSGB36 lat 52°39'27.2531\"N, lon 1°43'4.5177\"E ->
+    E 651409.903, N 313177.270 (graticule side is OSGB36, so the
+    Helmert-free grid pair is tested here)."""
+    fwd, inv = C._make_tm(C._AIRY1830, lat0=49.0, lon0=-2.0,
+                          k0=0.9996012717, fe=400000.0, fn=-100000.0)
+    lat = 52 + 39 / 60 + 27.2531 / 3600
+    lon = 1 + 43 / 60 + 4.5177 / 3600
+    e, n = fwd(lon, lat)
+    assert math.isclose(e, 651409.903, abs_tol=2e-3)
+    assert math.isclose(n, 313177.270, abs_tol=2e-3)
+    lon2, lat2 = inv(651409.903, 313177.270)
+    assert math.isclose(lon2, lon, abs_tol=1e-7)
+    assert math.isclose(lat2, lat, abs_tol=1e-7)
+
+
+def test_osgb_true_origin_and_datum():
+    fwd, inv = C._make_tm(C._AIRY1830, lat0=49.0, lon0=-2.0,
+                          k0=0.9996012717, fe=400000.0, fn=-100000.0)
+    e, n = fwd(-2.0, 49.0)                      # true origin by definition
+    assert math.isclose(e, 400000.0, abs_tol=1e-6)
+    assert math.isclose(n, -100000.0, abs_tol=1e-6)
+    # full WGS84 path: round-trip to sub-mm, datum shift ~60-180 m
+    f27, i27 = C.from_lonlat(27700), C.to_lonlat(27700)
+    for lon, lat in [(-1.5, 52.0), (-4.2, 55.9), (0.1, 51.5)]:
+        E, N = f27(lon, lat)
+        lon2, lat2 = i27(E, N)
+        assert math.isclose(lon, lon2, abs_tol=1e-7)
+        assert math.isclose(lat, lat2, abs_tol=1e-7)
+        Eg, Ng = fwd(lon, lat)                  # same point, no datum
+        assert 60.0 < math.hypot(E - Eg, N - Ng) < 180.0
+
+
+# ---------------------------------------------------------------------------
+# EPSG:2193 — NZTM2000
+# ---------------------------------------------------------------------------
+
+def test_nztm_origin_and_roundtrip():
+    fwd, inv = C.from_lonlat(2193), C.to_lonlat(2193)
+    e, n = fwd(173.0, 0.0)                      # true origin (lat0=0)
+    assert math.isclose(e, 1600000.0, abs_tol=1e-6)
+    assert math.isclose(n, 10000000.0, abs_tol=1e-6)
+    for lon, lat in [(174.7633, -36.8485), (172.64, -43.53),
+                     (168.66, -45.03)]:
+        lon2, lat2 = inv(*fwd(lon, lat))
+        assert math.isclose(lon, lon2, abs_tol=1e-8)
+        assert math.isclose(lat, lat2, abs_tol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# EPSG:5070 / ESRI:102008 — Albers Equal Area Conic (Snyder §14)
+# ---------------------------------------------------------------------------
+
+def test_albers_origin_exact():
+    fwd, _ = C.from_lonlat(5070), C.to_lonlat(5070)
+    assert fwd(-96.0, 23.0) == (0.0, 0.0)       # projection origin
+
+
+def test_albers_true_scale_on_standard_parallels():
+    """An AEA cone is true-scale along both standard parallels: a
+    0.1-deg lon step measures nu*cos(phi)*0.1deg of arc."""
+    a, f = 6378137.0, 1.0 / 298.257222101
+    e2 = f * (2 - f)
+    fwd, _ = C.from_lonlat(5070), None
+    for sp in (29.5, 45.5):
+        phi = math.radians(sp)
+        nu = a / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+        expect = nu * math.cos(phi) * math.radians(0.1)
+        e1, n1 = fwd(-96.0, sp)
+        e2_, n2 = fwd(-95.9, sp)
+        assert math.hypot(e2_ - e1, n2 - n1) == pytest.approx(
+            expect, rel=2e-6)
+
+
+def test_albers_roundtrip_both_grids():
+    for srid in (5070, 102008):
+        fwd, inv = C.from_lonlat(srid), C.to_lonlat(srid)
+        for lon, lat in [(-85.0, 35.0), (-120.0, 47.0), (-96.0, 23.0),
+                         (-70.0, 44.0), (-110.0, 30.0)]:
+            lon2, lat2 = inv(*fwd(lon, lat))
+            assert math.isclose(lon, lon2, abs_tol=1e-7), srid
+            assert math.isclose(lat, lat2, abs_tol=1e-7), srid
+
+
+# ---------------------------------------------------------------------------
+# EPSG:3978 — Canada Atlas Lambert (parameterized LCC family)
+# ---------------------------------------------------------------------------
+
+def test_canada_lcc_origin_and_roundtrip():
+    fwd, inv = C.from_lonlat(3978), C.to_lonlat(3978)
+    assert fwd(-95.0, 49.0) == (0.0, 0.0)       # false origin at lat0/lon0
+    for lon, lat in [(-106.0, 52.0), (-75.7, 45.4), (-123.1, 49.3),
+                     (-63.6, 44.6)]:
+        lon2, lat2 = inv(*fwd(lon, lat))
+        assert math.isclose(lon, lon2, abs_tol=1e-9)
+        assert math.isclose(lat, lat2, abs_tol=1e-9)

@@ -27,7 +27,7 @@ def _features(spark):
         ("d2", "merc", 7, G.wkb_point(merc_x, merc_y), 3857), # reproject
         ("d2", "noskip", 8, G.wkb_point(1.0, 1.0), None),     # NULL-srid layer
         ("d2", "utm", 9, G.wkb_point(500000.0, 0.0), 32633),  # native UTM
-        ("d2", "osgb", 10, G.wkb_point(400000.0, 100000.0), 27700),  # unsupported
+        ("d2", "irish", 10, G.wkb_point(200000.0, 250000.0), 29902),  # unsupported
     ]
     return spark.createDataFrame(
         rows, "dataset string, layer string, fid long, geometry binary, "
@@ -195,6 +195,24 @@ def test_make_valid_hole_edge_cases():
     assert invalid is True
 
 
+def test_normalize_accepts_table_crs(spark):
+    """Features in parameter-table CRSs (Albers 5070, OSGB 27700)
+    reproject to lon/lat through normalize_features."""
+    from geohub_data_pipeline_spark.operators import crs as C
+    pts = {5070: C.from_lonlat(5070)(-85.0, 35.0),
+           27700: C.from_lonlat(27700)(-1.5, 52.0)}
+    rows = [("d", "l", srid, G.wkb_point(*xy), srid)
+            for srid, xy in pts.items()]
+    feats = spark.createDataFrame(
+        rows, "dataset string, layer string, fid long, geometry binary, "
+              "srid int")
+    out = {r.fid: r for r in G.normalize_features(feats).collect()}
+    assert abs(out[5070].bbox_minx - -85.0) < 1e-6 \
+        and abs(out[5070].bbox_miny - 35.0) < 1e-6
+    assert abs(out[27700].bbox_minx - -1.5) < 1e-6 \
+        and abs(out[27700].bbox_miny - 52.0) < 1e-6
+
+
 def test_feature_count_audit(spark):
     feats = _features(spark)
     norm = G.normalize_features(feats)
@@ -209,7 +227,7 @@ def test_feature_count_audit(spark):
     assert audit[("d1", "zones")].audit_status == "warning"
     assert audit[("d2", "noskip")].audit_status == "error"
     assert audit[("d2", "utm")].audit_status == "ok"
-    assert audit[("d2", "osgb")].audit_status == "error"
+    assert audit[("d2", "irish")].audit_status == "error"
 
 
 def test_unsupported_crs_raises_without_pyproj():
