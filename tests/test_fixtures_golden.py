@@ -41,9 +41,9 @@ def test_fgb_stage_golden(spark):
 
     # NULL-srid layer skipped entirely
     assert "nosrid" not in out_layers
-    # unsupported CRS (27700 OSGB, no pyproj) dropped + auditable;
-    # UTM 32633 is now a native closed-form transform and SURVIVES
-    assert "osgb" not in out_layers
+    # unsupported CRS (29902 Irish grid, no pyproj) dropped +
+    # auditable; UTM 32633 is a native closed-form transform and SURVIVES
+    assert "unsupp" not in out_layers
     assert "utm" in out_layers
 
     in_valid = dict(
@@ -74,7 +74,7 @@ def test_fgb_stage_golden(spark):
     audit = {r.layer: r.audit_status
              for r in G.feature_count_audit(
                  feats, norm, ["layer"]).collect()}
-    assert audit["nosrid"] == "error" and audit["osgb"] == "error"
+    assert audit["nosrid"] == "error" and audit["unsupp"] == "error"
     assert audit["points"] in ("ok", "warning")
 
 

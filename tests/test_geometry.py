@@ -222,7 +222,7 @@ def test_feature_count_audit(spark):
             feats, norm, ["dataset", "layer"]).collect()
     }
     # zones lost 2 of 4 -> warning; roads + native-CRS utm -> ok;
-    # noskip/osgb lost everything -> error (ref processing.py:160-181)
+    # noskip/irish lost everything -> error (ref processing.py:160-181)
     assert audit[("d1", "roads")].audit_status == "ok"
     assert audit[("d1", "zones")].audit_status == "warning"
     assert audit[("d2", "noskip")].audit_status == "error"
@@ -238,4 +238,4 @@ def test_unsupported_crs_raises_without_pyproj():
     except ImportError:
         pass
     with pytest.raises(NotImplementedError):
-        G._reproject_coords([1.0, 2.0], 27700)
+        G._reproject_coords([1.0, 2.0], 29902)   # Irish grid: no table entry
