@@ -1,4 +1,4 @@
-"""Archive content source: .zip / .gz / .tar(.tgz) -> member rows.
+"""Archive content source: .zip / .gz / .tar(.tgz) / .7z -> member rows.
 
 The reference wraps archive uploads in GDAL VSI paths
 (``/vsizip/...``, ref ingest/utils.py:23-32, registry
@@ -23,6 +23,7 @@ from __future__ import annotations
 import gzip
 import io
 import json
+import lzma
 import os
 import tarfile
 import zipfile
@@ -70,6 +71,10 @@ def _expand_one(path: str, content: bytes):
                 yield (info.name,
                        f"/vsitar/{path}/{info.name}",
                        fobj.read())
+    elif ext == ".7z":
+        from geohub_data_pipeline_spark.sources import sevenzip
+        for member, payload in sevenzip.extract_7z(content):
+            yield member, f"/vsi7z/{path}/{member}", payload
     else:
         # not an archive: pass through as its own single member
         yield os.path.basename(path), path, content
@@ -99,8 +104,8 @@ def read_archives(spark: SparkSession, path: str) -> DataFrame:
                         rows.append((p, member, vsi, len(payload),
                                      payload))
                 except (zipfile.BadZipFile, tarfile.TarError, OSError,
-                        EOFError):
-                    continue               # corrupt archive: skip+audit
+                        EOFError, ValueError, lzma.LZMAError):
+                    continue  # corrupt/unsupported archive: skip+audit
             yield pd.DataFrame(rows, columns=[
                 "archive_path", "member", "vsi_path", "size", "content"])
 

@@ -11,8 +11,92 @@ import os
 import tarfile
 import zipfile
 
+import lzma
+import struct
+import zlib
+
 from geohub_data_pipeline_spark.operators import geometry as G
 from geohub_data_pipeline_spark.sources import archive as A
+from geohub_data_pipeline_spark.sources import sevenzip as SZ
+
+
+# ---------------------------------------------------------------------------
+# Minimal spec-following .7z WRITER (tests only): builds the container
+# straight from 7zFormat.txt so the reader is exercised on independent
+# bytes (no round-trip through the reader's own assumptions).
+# ---------------------------------------------------------------------------
+
+def _7z_num(n: int) -> bytes:
+    if n < 0x80:
+        return bytes([n])
+    return b"\xff" + struct.pack("<Q", n)     # full 8-byte form
+
+
+def _7z_names(names: list[str]) -> bytes:
+    data = b"\x00" + "".join(n + "\x00" for n in names).encode("utf-16-le")
+    return _7z_num(0x11) + _7z_num(len(data)) + data
+
+
+def _7z_wrap(header: bytes, packed: bytes) -> bytes:
+    start_hdr = struct.pack("<QQI", len(packed), len(header),
+                            zlib.crc32(header))
+    return (SZ.MAGIC + b"\x00\x04"
+            + struct.pack("<I", zlib.crc32(start_hdr))
+            + start_hdr + packed + header)
+
+
+def write_7z_copy(files: list[tuple[str, bytes]]) -> bytes:
+    """One Copy-coder folder per file, uncompressed header."""
+    packed = b"".join(c for _, c in files)
+    n = len(files)
+    hdr = bytearray()
+    hdr += _7z_num(0x01)                                  # kHeader
+    hdr += _7z_num(0x04)                                  # kMainStreamsInfo
+    hdr += _7z_num(0x06) + _7z_num(0) + _7z_num(n)        # kPackInfo pos=0
+    hdr += _7z_num(0x09) + b"".join(_7z_num(len(c)) for _, c in files)
+    hdr += _7z_num(0x00)
+    hdr += _7z_num(0x07)                                  # kUnpackInfo
+    hdr += _7z_num(0x0B) + _7z_num(n) + b"\x00"           # kFolder, internal
+    hdr += b"\x01\x01\x00" * n     # numCoders=1, flags idSize=1, Copy
+    hdr += _7z_num(0x0C) + b"".join(_7z_num(len(c)) for _, c in files)
+    hdr += _7z_num(0x00)
+    hdr += _7z_num(0x00)                                  # end streams info
+    hdr += _7z_num(0x05) + _7z_num(n)                     # kFilesInfo
+    hdr += _7z_names([f for f, _ in files])
+    hdr += _7z_num(0x00)
+    hdr += _7z_num(0x00)                                  # end header
+    return _7z_wrap(bytes(hdr), packed)
+
+
+def write_7z_lzma2(files: list[tuple[str, bytes]]) -> bytes:
+    """One solid LZMA2 folder holding every file (SubStreamsInfo)."""
+    raw = b"".join(c for _, c in files)
+    filt = [{"id": lzma.FILTER_LZMA2, "dict_size": 1 << 20}]
+    packed = lzma.compress(raw, format=lzma.FORMAT_RAW, filters=filt)
+    n = len(files)
+    hdr = bytearray()
+    hdr += _7z_num(0x01)
+    hdr += _7z_num(0x04)
+    hdr += _7z_num(0x06) + _7z_num(0) + _7z_num(1)
+    hdr += _7z_num(0x09) + _7z_num(len(packed)) + _7z_num(0x00)
+    hdr += _7z_num(0x07)
+    hdr += _7z_num(0x0B) + _7z_num(1) + b"\x00"
+    # numCoders=1; flags 0x21 = idSize 1 + has-attrs; codec id 0x21
+    # (LZMA2); propSize 1; dict prop p=18 -> (2|(p&1))<<(p//2+11) = 1MiB
+    hdr += bytes([0x01, 0x21, 0x21, 0x01, 18])
+    hdr += _7z_num(0x0C) + _7z_num(len(raw))
+    hdr += _7z_num(0x00)
+    hdr += _7z_num(0x08)                                  # kSubStreamsInfo
+    hdr += _7z_num(0x0D) + _7z_num(n)
+    hdr += _7z_num(0x09) + b"".join(
+        _7z_num(len(c)) for _, c in files[:-1])
+    hdr += _7z_num(0x00)
+    hdr += _7z_num(0x00)
+    hdr += _7z_num(0x05) + _7z_num(n)
+    hdr += _7z_names([f for f, _ in files])
+    hdr += _7z_num(0x00)
+    hdr += _7z_num(0x00)
+    return _7z_wrap(bytes(hdr), packed)
 
 
 def _geojson_layer(kind: str, n: int) -> bytes:
@@ -97,6 +181,92 @@ def test_tar_gz_expands_members(spark, tmp_path):
     feats = A.features_from_archives(
         spark, str(tmp_path / "bundle.tar.gz")).collect()
     assert len(feats) == 3
+
+
+def test_7z_reader_unit():
+    files = [("a/points.geojson", _geojson_layer("points", 3)),
+             ("b.txt", b"hello 7z")]
+    for blob in (write_7z_copy(files), write_7z_lzma2(files)):
+        got = SZ.extract_7z(blob)
+        assert [(n, bytes(c)) for n, c in got] == files
+    # LZMA1 coder path: raw-compress one member, hand-build the folder
+    raw = files[0][1]
+    filt = [{"id": lzma.FILTER_LZMA1, "dict_size": 1 << 16,
+             "lc": 3, "lp": 0, "pb": 2}]
+    packed = lzma.compress(raw, format=lzma.FORMAT_RAW, filters=filt)
+    props = bytes([(2 * 5 + 0) * 9 + 3]) + struct.pack("<I", 1 << 16)
+    hdr = bytearray()
+    hdr += _7z_num(0x01) + _7z_num(0x04)
+    hdr += _7z_num(0x06) + _7z_num(0) + _7z_num(1)
+    hdr += _7z_num(0x09) + _7z_num(len(packed)) + _7z_num(0x00)
+    hdr += _7z_num(0x07) + _7z_num(0x0B) + _7z_num(1) + b"\x00"
+    hdr += bytes([0x01, 0x23]) + SZ._CODEC_LZMA1 + _7z_num(5) + props
+    hdr += _7z_num(0x0C) + _7z_num(len(raw)) + _7z_num(0x00)
+    hdr += _7z_num(0x00)
+    hdr += _7z_num(0x05) + _7z_num(1) + _7z_names(["m.geojson"])
+    hdr += _7z_num(0x00) + _7z_num(0x00)
+    got = SZ.extract_7z(_7z_wrap(bytes(hdr), packed))
+    assert got == [("m.geojson", raw)]
+    # unsupported codec (BCJ 0x04) and garbage both raise ValueError
+    import pytest
+    with pytest.raises(ValueError):
+        bad = write_7z_copy(files).replace(b"\x01\x01\x00", b"\x01\x01\x04", 1)
+        SZ.extract_7z(bad)
+    with pytest.raises(ValueError):
+        SZ.extract_7z(b"7z\xbc\xaf\x27\x1cgarbage")
+
+
+def test_7z_encoded_header():
+    """kEncodedHeader (the 7-Zip CLI default): the header itself is an
+    LZMA2-compressed folder appended after the file data."""
+    content = _geojson_layer("lines", 3)
+    packed_main = content                               # Copy coder
+    inner = bytearray()
+    inner += _7z_num(0x01) + _7z_num(0x04)
+    inner += _7z_num(0x06) + _7z_num(0) + _7z_num(1)
+    inner += _7z_num(0x09) + _7z_num(len(content)) + _7z_num(0x00)
+    inner += _7z_num(0x07) + _7z_num(0x0B) + _7z_num(1) + b"\x00"
+    inner += b"\x01\x01\x00"
+    inner += _7z_num(0x0C) + _7z_num(len(content)) + _7z_num(0x00)
+    inner += _7z_num(0x00)
+    inner += _7z_num(0x05) + _7z_num(1) + _7z_names(["enc.geojson"])
+    inner += _7z_num(0x00) + _7z_num(0x00)
+    filt = [{"id": lzma.FILTER_LZMA2, "dict_size": 1 << 20}]
+    hc = lzma.compress(bytes(inner), format=lzma.FORMAT_RAW, filters=filt)
+    outer = bytearray()
+    outer += _7z_num(0x17)                              # kEncodedHeader
+    outer += _7z_num(0x06) + _7z_num(len(packed_main)) + _7z_num(1)
+    outer += _7z_num(0x09) + _7z_num(len(hc)) + _7z_num(0x00)
+    outer += _7z_num(0x07) + _7z_num(0x0B) + _7z_num(1) + b"\x00"
+    outer += bytes([0x01, 0x21, 0x21, 0x01, 18])
+    outer += _7z_num(0x0C) + _7z_num(len(inner)) + _7z_num(0x00)
+    outer += _7z_num(0x00)
+    blob = _7z_wrap(bytes(outer), packed_main + hc)
+    assert SZ.extract_7z(blob) == [("enc.geojson", content)]
+
+
+def test_7z_through_archive_source(spark, tmp_path):
+    blob = write_7z_lzma2(
+        [("layers/points.geojson", _geojson_layer("points", 4)),
+         ("layers/polys.geojson", _geojson_layer("polys", 2)),
+         ("note.txt", b"not a layer")])
+    with open(tmp_path / "bundle.7z", "wb") as f:
+        f.write(blob)
+    # an unsupported/corrupt .7z is quarantined, not a task failure
+    with open(tmp_path / "broken.7z", "wb") as f:
+        f.write(b"7z\xbc\xaf\x27\x1c" + b"\x00" * 40)
+
+    members = A.read_archives(spark, str(tmp_path)).collect()
+    by_member = {r.member: r for r in members}
+    assert set(by_member) == {"layers/points.geojson",
+                              "layers/polys.geojson", "note.txt"}
+    r = by_member["layers/points.geojson"]
+    assert r.vsi_path.startswith("/vsi7z/") \
+        and r.vsi_path.endswith("bundle.7z/layers/points.geojson")
+    assert bytes(r.content) == _geojson_layer("points", 4)
+
+    feats = A.features_from_archives(spark, str(tmp_path)).collect()
+    assert len(feats) == 6                 # 4 points + 2 polys
 
 
 def test_corrupt_archive_skipped(spark, tmp_path):
