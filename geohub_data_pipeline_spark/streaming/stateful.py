@@ -184,6 +184,105 @@ def streaming_exact_dedup(doc_stream: DataFrame,
     )
 
 
+NEAR_DEDUP_OUTPUT_SCHEMA = "keep_id long, drop_id long, jaccard double"
+NEAR_DEDUP_STATE_SCHEMA = "entries string"       # JSON [[id, [tok,...]]]
+
+
+def streaming_near_dedup_verified(doc_stream: DataFrame,
+                                  text_col: str = "text",
+                                  id_col: str = "doc_id",
+                                  threshold: float = 0.8,
+                                  ttl_ms: int | None = None,
+                                  max_bucket: int = 1000) -> DataFrame:
+    """Streaming near-dedup with the BATCH pipeline's exact semantics:
+    MinHash/LSH band collision -> true token-set Jaccard verify ->
+    (keep_id, drop_id, jaccard) verdicts.
+
+    Parity contract (asserted in tests/test_stateful.py): over the
+    same corpus — in any micro-batch split and arrival order — the
+    distinct verdict set equals the batch ``dedup_pipeline_verified``
+    result, because every stage reuses the batch construction:
+    signatures and band hashes are the same Catalyst expressions
+    (functions/text.py), token sets are computed Catalyst-side with
+    the same tokenizer, and the verify threshold is identical.  Pairs
+    are emitted oriented (min_id keeps) regardless of arrival order.
+
+    Scale: state = per-band-bucket token sets, capped at
+    ``max_bucket`` entries (the batch pipeline drops pathological
+    buckets the same way); RocksDB-backed at cluster scale; ``ttl_ms``
+    bounds the re-ingest window like streaming_exact_dedup.
+    """
+    import json
+
+    from geohub_data_pipeline_spark.functions import text as T
+    from pyspark.sql import functions as F
+
+    n_funcs, n_bands = T.MINHASH_FUNCS, T.LSH_BANDS
+    sh = T.word_shingles(F.col(text_col))
+    base = (
+        doc_stream.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.array_distinct(T.words(F.col(text_col))).alias("toks"),
+            sh.alias("__sh"))
+        .filter(F.size("__sh") >= 1)
+        .select("doc_id", "toks",
+                *[T.minhash(F.col("__sh"), j).alias(f"mh{j}")
+                  for j in range(n_funcs)])
+    )
+    mh = [F.col(f"mh{j}") for j in range(n_funcs)]
+    bands = base.select(
+        "doc_id", "toks",
+        F.posexplode(F.array(
+            *[T.lsh_band(mh, b, n_bands) for b in range(n_bands)]
+        )).alias("band_idx", "band_hash"),
+    )
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if ttl_ms
+               else GroupStateTimeout.NoTimeout)
+
+    def verify(key: tuple, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        if ttl_ms and state.hasTimedOut:
+            state.remove()
+            return
+        entries: list = (json.loads(state.get[0]) if state.exists else [])
+        seen = {e[0] for e in entries}
+        rows: list = []
+        for pdf in pdfs:
+            rows += list(zip(pdf["doc_id"], pdf["toks"]))
+        out = []
+        for did, toks in sorted(rows, key=lambda r: int(r[0])):
+            did = int(did)
+            if did in seen:
+                continue                 # re-delivery: already judged
+            tset = set(map(str, toks))
+            for eid, etoks in entries:
+                es = set(etoks)
+                ni = len(tset & es)
+                if ni == 0:
+                    continue
+                j = ni / (len(tset) + len(es) - ni)
+                if j >= threshold:
+                    lo, hi = min(eid, did), max(eid, did)
+                    out.append((lo, hi, round(j, 6)))
+            if len(entries) < max_bucket:
+                entries.append([did, sorted(tset)])
+                seen.add(did)
+        state.update((json.dumps(entries),))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            out, columns=["keep_id", "drop_id", "jaccard"])
+
+    return bands.groupBy("band_idx", "band_hash").applyInPandasWithState(
+        verify,
+        outputStructType=NEAR_DEDUP_OUTPUT_SCHEMA,
+        stateStructType=NEAR_DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
 def streaming_near_dedup(doc_stream: DataFrame,
                          text_col: str = "text",
                          id_col: str = "doc_id",

@@ -202,3 +202,45 @@ def test_streaming_exact_dedup_ttl_eviction(spark, tmp_path):
     r2 = run(3)
     assert not r2[("h1", 9)].is_duplicate
     assert r2[("h1", 9)].first_id == 9 and r2[("h1", 9)].n_seen == 1
+
+
+def test_streaming_near_dedup_batch_parity(spark, tmp_path):
+    """PARITY ORACLE: the streaming verified near-dedup over N
+    micro-batches produces exactly the batch dedup_pipeline_verified
+    verdict set on the same corpus — same bands, same token Jaccard,
+    same threshold — independent of batch split and arrival order."""
+    from geohub_data_pipeline_spark.plans.llm import (
+        _corpus,
+        dedup_pipeline_verified,
+    )
+    from geohub_data_pipeline_spark.streaming.stateful import (
+        streaming_near_dedup_verified,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    batch = {(r.keep_id, r.drop_id, r.jaccard)
+             for r in dedup_pipeline_verified(spark, sf_dir).collect()}
+    assert batch, "fixture corpus must contain injected near-dups"
+
+    # split the corpus into 3 micro-batch files, NOT in doc_id order
+    docs = _corpus(spark, sf_dir).collect()
+    src = f"{tmp_path}/corpus"
+    for i in range(3):
+        _write(src, f"b{i}.json",
+               [{"doc_id": r.doc_id, "text": r.text}
+                for j, r in enumerate(docs) if (j * 7 + 3) % 3 == i])
+
+    stream = spark.readStream.schema("doc_id long, text string") \
+        .option("maxFilesPerTrigger", 1).json(src)
+    q = (
+        streaming_near_dedup_verified(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .format("memory").queryName("near_parity")
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {(r.keep_id, r.drop_id, r.jaccard)
+           for r in spark.sql("SELECT * FROM near_parity").collect()}
+    assert got == batch
