@@ -230,11 +230,13 @@ def ring_is_bowtie(ring: list[float]) -> bool:
 # ogr2ogr): consecutive duplicate vertices, wrong ring orientation,
 # "bowtie" self-intersections (split into valid rings at each crossing
 # point, exteriors and holes alike), holes crossing their shell (noded
-# Greiner–Hormann-style difference, ``_ring_difference``), and holes
-# outside every shell (dropped — they subtract nothing).  What still
-# stays flagged: tangencies / endpoint-touches / collinear overlaps
-# (ambiguous noding), rings with > _MAX_SPLITS crossings, and nested
-# shells.
+# Greiner–Hormann-style difference, ``_ring_difference``), holes
+# outside every shell (dropped — they subtract nothing), overlapping
+# polygon parts (noded union, ``_ring_overlay(union=True)``, enclosed
+# loops becoming holes), and nested shells (absorbed, GEOS
+# structure-mode semantics).  What still stays flagged: tangencies /
+# endpoint-touches / collinear overlaps (ambiguous noding) and rings
+# with > _MAX_SPLITS crossings.
 # ---------------------------------------------------------------------------
 
 def _pairs(flat: list[float]) -> list[tuple[float, float]]:
@@ -353,26 +355,29 @@ def _crossing_params(a1, a2, b1, b2):
     return None
 
 
-def _ring_difference(shell: list[tuple[float, float]],
-                     hole: list[tuple[float, float]]
-                     ) -> list[list[tuple[float, float]]] | None:
-    """``shell minus hole`` for a hole ring that properly CROSSES its
-    shell — the node-splitting repair for crossing rings (the class of
-    self-intersection ``-makevalid`` fixes by noding the linework;
-    ref ingest/processing.py:142-144).
+def _ring_overlay(shell: list[tuple[float, float]],
+                  other: list[tuple[float, float]],
+                  union: bool = False
+                  ) -> list[list[tuple[float, float]]] | None:
+    """Greiner–Hormann-style overlay of two simple closed rings with
+    intersection nodes inserted into both — the node-splitting repair
+    for crossing rings (the class of self-intersection ``-makevalid``
+    fixes by noding the linework; ref ingest/processing.py:142-144).
 
-    Greiner–Hormann-style difference specialised to two simple closed
-    rings: intersection nodes are inserted into both rings, then the
-    result boundary follows the shell while outside the hole and the
-    hole (backwards) while inside the shell.
+    ``union=False``: ``shell minus other`` — the result follows the
+    shell while outside the other ring and the other ring BACKWARDS
+    while inside the shell.  ``union=True``: ``shell plus other`` —
+    same walk but the other ring is traversed FORWARDS (outside the
+    shell).
 
-    Returns a list of closed CCW loops; ``[]`` when the rings do not
-    properly cross (caller falls back to containment homing); ``None``
-    on a degeneracy (tangency, endpoint touch, collinear overlap —
-    stays flagged).
+    Returns a list of closed loops (wound as traversed: CCW shells;
+    a CW loop from a union is an enclosed hole); ``[]`` when the
+    rings do not properly cross (caller falls back to containment
+    logic); ``None`` on a degeneracy (tangency, endpoint touch,
+    collinear overlap — left untouched / flagged by the caller).
     """
     A = shell[:-1] if _ring_area2(shell) > 0 else shell[:-1][::-1]
-    B = hole[:-1] if _ring_area2(hole) > 0 else hole[:-1][::-1]
+    B = other[:-1] if _ring_area2(other) > 0 else other[:-1][::-1]
     na, nb = len(A), len(B)
 
     # 1. collect proper crossings per edge pair
@@ -415,7 +420,7 @@ def _ring_difference(shell: list[tuple[float, float]],
     #    walking A from a base vertex whose inside/outside state is
     #    known (base vertices are never ON B: that was 'degenerate')
     entry = {}
-    inside = _point_in_ring(aug_a[0][0], hole)
+    inside = _point_in_ring(aug_a[0][0], other)
     if aug_a[0][1] is not None:            # first node is a crossing
         return None
     for node in aug_a[1:] + aug_a[:1]:
@@ -455,7 +460,7 @@ def _ring_difference(shell: list[tuple[float, float]],
             # follow B backward from this crossing to the next crossing
             k = b_pos[link]
             while True:
-                k = (k - 1) % len(aug_b)
+                k = (k + 1) % len(aug_b) if union else (k - 1) % len(aug_b)
                 loop.append(aug_b[k][0])
                 if aug_b[k][1] is not None:
                     link = aug_b[k][1]
@@ -466,8 +471,37 @@ def _ring_difference(shell: list[tuple[float, float]],
         if len(loop) >= 3:
             loop = loop + [loop[0]]
             if abs(_ring_area2(loop)) > 0:
-                loops.append(_orient(loop, ccw=True))
+                # difference loops are always shells (orient CCW); a
+                # union loop keeps its traversal winding — CW means an
+                # enclosed hole between the two shells
+                loops.append(loop if union else _orient(loop, ccw=True))
     return loops if loops else None
+
+
+def _ring_difference(shell: list[tuple[float, float]],
+                     hole: list[tuple[float, float]]
+                     ) -> list[list[tuple[float, float]]] | None:
+    """``shell minus hole`` (see ``_ring_overlay``)."""
+    return _ring_overlay(shell, hole, union=False)
+
+
+def _off_boundary_vertex(ring: list[tuple[float, float]],
+                         other: list[tuple[float, float]]):
+    """A vertex of ``ring`` not lying on ``other``'s boundary, or
+    None (rings share every tested vertex)."""
+    for p in ring[:-1]:
+        on = False
+        for a, b in zip(other, other[1:]):
+            (x1, y1), (x2, y2) = a, b
+            x, y = p
+            cross = (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1)
+            if cross == 0 and min(x1, x2) <= x <= max(x1, x2) \
+                    and min(y1, y2) <= y <= max(y1, y2):
+                on = True
+                break
+        if not on:
+            return p
+    return None
 
 
 _MAX_SPLITS = 8     # repair cap: a ring with more crossings stays flagged
@@ -494,9 +528,10 @@ def make_valid_polygons(
         else:
             polys[-1].append(ring)
 
-    out: list[list[list[tuple[float, float]]]] = []
     changed = False
     repaired = True
+    all_ext: list[list[tuple[float, float]]] = []
+    all_holes: list[list[tuple[float, float]]] = []
     for rings in polys:
         exteriors: list[list[tuple[float, float]]] = []
         holes: list[list[tuple[float, float]]] = []
@@ -558,27 +593,79 @@ def make_valid_polygons(
                     break
             if not consumed:
                 kept_holes.append(h)
-        holes = kept_holes
-        # 3. orientation + hole homing (holes keep the exterior that
-        # contains them; a split exterior re-homes each hole).  A hole
-        # inside no exterior subtracts nothing — dropped, not flagged.
-        ext_or = []
-        for e in exteriors:
-            e2 = _orient(e, ccw=True)
-            changed |= (e2 is not e)
-            ext_or.append([e2])
-        for h in holes:
-            h2 = _orient(h, ccw=False)
-            changed |= (h2 is not h)
-            homed = False
-            for rings_out in ext_or:
-                if _point_in_ring(h2[0], rings_out[0]):
-                    rings_out.append(h2)
-                    homed = True
+        all_ext += exteriors
+        all_holes += kept_holes
+
+    # 2.6 overlapping / nested shells — ACROSS polygon parts (the
+    # "interiors of parts must not intersect" invalidity class):
+    # exteriors that properly CROSS are unioned (noded reassembly; an
+    # enclosed CW loop becomes a hole); an exterior strictly inside
+    # another is absorbed (GEOS structure-mode semantics).  Shells
+    # touching at a point (e.g. bowtie-split twins) are left as-is.
+    # Bbox prefilter keeps the common many-disjoint-islands case
+    # linear in part count.
+    exteriors = all_ext
+    holes = all_holes
+
+    def bbox(r):
+        xs = [p[0] for p in r]
+        ys = [p[1] for p in r]
+        return min(xs), min(ys), max(xs), max(ys)
+
+    merged, rounds = True, 0
+    while merged and rounds < _MAX_SPLITS:
+        merged, rounds = False, rounds + 1
+        boxes = [bbox(e) for e in exteriors]
+        for i in range(len(exteriors)):
+            for j in range(i + 1, len(exteriors)):
+                bi, bj = boxes[i], boxes[j]
+                if bi[2] < bj[0] or bj[2] < bi[0] \
+                        or bi[3] < bj[1] or bj[3] < bi[1]:
+                    continue               # disjoint bboxes
+                ei, ej = exteriors[i], exteriors[j]
+                ov = _ring_overlay(ei, ej, union=True)
+                if ov is None:
+                    continue               # tangency: leave both
+                if ov:
+                    shells = [r for r in ov if _ring_area2(r) > 0]
+                    holes += [r for r in ov if _ring_area2(r) < 0]
+                    exteriors = (exteriors[:i] + shells
+                                 + exteriors[i + 1:j]
+                                 + exteriors[j + 1:])
+                    changed = merged = True
                     break
-            if not homed:
-                changed = True
-        out += ext_or
+                pj = _off_boundary_vertex(ej, ei)
+                if pj is not None and _point_in_ring(pj, ei):
+                    exteriors.pop(j)       # nested shell absorbed
+                    changed = merged = True
+                    break
+                pi = _off_boundary_vertex(ei, ej)
+                if pi is not None and _point_in_ring(pi, ej):
+                    exteriors.pop(i)
+                    changed = merged = True
+                    break
+            if merged:
+                break
+
+    # 3. orientation + hole homing (holes keep the exterior that
+    # contains them; split/merged exteriors re-home every hole).  A
+    # hole inside no exterior subtracts nothing — dropped, not flagged.
+    out: list[list[list[tuple[float, float]]]] = []
+    for e in exteriors:
+        e2 = _orient(e, ccw=True)
+        changed |= (e2 is not e)
+        out.append([e2])
+    for h in holes:
+        h2 = _orient(h, ccw=False)
+        changed |= (h2 is not h)
+        homed = False
+        for rings_out in out:
+            if _point_in_ring(h2[0], rings_out[0]):
+                rings_out.append(h2)
+                homed = True
+                break
+        if not homed:
+            changed = True
     return out, changed, repaired
 
 

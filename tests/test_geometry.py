@@ -195,6 +195,51 @@ def test_make_valid_hole_edge_cases():
     assert invalid is True
 
 
+def test_make_valid_overlapping_and_nested_shells():
+    """Multipolygon parts whose interiors intersect are unioned via
+    noded reassembly; fully-nested shells are absorbed (GEOS
+    structure-mode semantics); disjoint valid parts pass through."""
+    A = [(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0), (0.0, 0.0)]
+    B = [(1.0, 1.0), (3.0, 1.0), (3.0, 3.0), (1.0, 3.0), (1.0, 1.0)]
+    out, invalid = G.make_valid_wkb(G.wkb_multipolygon([[A], [B]]))
+    assert invalid is False
+    p = G.parse_wkb(out)
+    assert p["roles"] == [True]                     # single merged shell
+    assert G._ring_area2(G._pairs(p["parts"][0])) / 2 == pytest.approx(7.0)
+
+    inner = [(0.5, 0.5), (1.0, 0.5), (1.0, 1.0), (0.5, 1.0), (0.5, 0.5)]
+    out, invalid = G.make_valid_wkb(G.wkb_multipolygon([[A], [inner]]))
+    assert invalid is False
+    p = G.parse_wkb(out)
+    assert p["roles"] == [True]                     # nested shell absorbed
+    assert G._ring_area2(G._pairs(p["parts"][0])) / 2 == pytest.approx(4.0)
+
+    far = [(10.0, 10.0), (11.0, 10.0), (11.0, 11.0), (10.0, 11.0),
+           (10.0, 10.0)]
+    buf = G.wkb_multipolygon([[A], [far]])
+    out, invalid = G.make_valid_wkb(buf)
+    assert invalid is False and out == buf          # disjoint untouched
+
+
+def test_ring_overlay_union_enclosed_hole():
+    """A union whose shells interlock captures the enclosed region as
+    a CW loop — it becomes a hole of the merged shell."""
+    c1 = [(0.0, 0.0), (3.0, 0.0), (3.0, 1.0), (1.0, 1.0), (1.0, 2.0),
+          (3.0, 2.0), (3.0, 3.0), (0.0, 3.0), (0.0, 0.0)]
+    c2 = [(2.0, 0.5), (4.0, 0.5), (4.0, 2.5), (2.0, 2.5), (2.0, 0.5)]
+    ov = G._ring_overlay(c1, c2, union=True)
+    assert ov is not None
+    areas = sorted(G._ring_area2(r) / 2 for r in ov)
+    assert areas[0] < 0 < areas[1]                  # hole + shell
+    # conservation: shell - hole == area(c1) + area(c2) - overlap
+    out, invalid = G.make_valid_wkb(G.wkb_multipolygon([[c1], [c2]]))
+    assert invalid is False
+    p = G.parse_wkb(out)
+    assert p["roles"] == [True, False]              # shell + homed hole
+    net = sum(G._ring_area2(G._pairs(x)) / 2 for x in p["parts"])
+    assert net == pytest.approx(areas[0] + areas[1])
+
+
 def test_normalize_accepts_table_crs(spark):
     """Features in parameter-table CRSs (Albers 5070, OSGB 27700)
     reproject to lon/lat through normalize_features."""
