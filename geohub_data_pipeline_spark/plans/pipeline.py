@@ -893,3 +893,148 @@ def geo_tile_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "srid int")
     tiles = TLG.build_tiles(G.normalize_features(feats), maxzoom=None)
     return TLG.tile_audit(tiles)
+
+
+# ---------------------------------------------------------------------------
+# T7 CRS stack under the gate: forward+inverse (incl. OSGB Helmert)
+# ---------------------------------------------------------------------------
+
+_CRS_RT_SQL = """
+SELECT doc_id,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 27700 WHEN 1 THEN 5070
+            WHEN 2 THEN 2154 ELSE 3035 END AS INTEGER) AS srid,
+       round(-1.0 + (doc_id % 80) * 0.1, 4) AS lon_rt,
+       round(42.0 + ((doc_id * 3) % 80) * 0.1, 4) AS lat_rt
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("crs_roundtrip", "pipeline",
+       "§2.2 T7 reprojection: forward+inverse through the closed-form "
+       "CRS table (TM/LCC/LAEA/Albers + OSGB Helmert datum path; "
+       "absolute control points in tests/test_crs.py)", _CRS_RT_SQL)
+def crs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project deterministic lon/lat through a rotating projected CRS
+    (27700 incl. 7-param Helmert, 5070 Albers, 2154 LCC, 3035 LAEA)
+    and invert back — the oracle is the input formula, so a broken
+    forward, inverse, dispatch, or datum path all surface as value
+    mismatches.  Absolute (one-sided) correctness is pinned by the
+    published control points in tests/test_crs.py.
+
+    Scale: stateless per-row math in an Arrow-batched kernel — a scan,
+    no shuffle.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.operators import crs as C
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select(
+        "doc_id",
+        (-1.0 + (F.col("doc_id") % 80).cast("double") * 0.1).alias("lon"),
+        (42.0 + ((F.col("doc_id") * 3) % 80).cast("double") * 0.1)
+        .alias("lat"),
+    )
+    srids = [27700, 5070, 2154, 3035]
+
+    def rt(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pairs = {s: (C.from_lonlat(s), C.to_lonlat(s)) for s in srids}
+        for pdf in it:
+            rows = []
+            for did, lon, lat in zip(pdf["doc_id"], pdf["lon"], pdf["lat"]):
+                srid = srids[int(did) % 4]
+                fwd, inv = pairs[srid]
+                lon2, lat2 = inv(*fwd(float(lon), float(lat)))
+                # + 0.0 canonicalizes -0.0 (a -1e-9 residual rounds to
+                # negative zero, which hash-compares unequal to 0.0)
+                rows.append((int(did), srid,
+                             round(lon2, 4) + 0.0, round(lat2, 4) + 0.0))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "srid", "lon_rt", "lat_rt"])
+
+    return base.mapInPandas(
+        rt, "doc_id long, srid int, lon_rt double, lat_rt double")
+
+
+# ---------------------------------------------------------------------------
+# T7 -makevalid under the gate: repair classes as a hard oracle
+# ---------------------------------------------------------------------------
+
+_MAKEVALID_SQL = """
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'ok' WHEN 1 THEN 'repaired'
+            WHEN 2 THEN 'repaired' ELSE 'flagged' END AS status,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+            WHEN 2 THEN 1 ELSE 2 END AS INTEGER) AS n_rings
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("makevalid_audit", "pipeline",
+       "§2.2 T7 -makevalid: deterministic invalidity classes -> "
+       "repair outcome audit (ref ingest/processing.py:142-144; "
+       "geometry goldens in tests/test_geometry.py)", _MAKEVALID_SQL)
+def makevalid_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document becomes a polygon in a rotating invalidity
+    class — valid square, bowtie self-intersection, hole crossing its
+    shell, tangent hole (unrepairable) — and ``make_valid_wkb``'s
+    verdict per class is oracle-checked: class 0 passes through
+    untouched (1 ring), bowties split into 2 simple rings, crossing
+    holes are consumed by noded subtraction (1 ring), tangencies stay
+    flagged with their original 2 rings.
+
+    Scale: per-feature map-side kernel — a scan, no shuffle.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select(
+        "doc_id",
+        (-170.0 + (F.col("doc_id") % 340).cast("double")).alias("cx"),
+        (-80.0 + ((F.col("doc_id") * 7) % 159).cast("double")).alias("cy"),
+    )
+
+    def audit(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, cx, cy in zip(pdf["doc_id"], pdf["cx"], pdf["cy"]):
+                did, x, y = int(did), float(cx), float(cy)
+                sq = [(x, y), (x + 1, y), (x + 1, y + 1), (x, y + 1),
+                      (x, y)]
+                cls = did % 4
+                if cls == 0:
+                    buf = G.wkb_polygon([sq])
+                elif cls == 1:
+                    buf = G.wkb_polygon([[(x, y), (x + 1, y + 1),
+                                          (x + 1, y), (x, y + 1), (x, y)]])
+                elif cls == 2:
+                    hole = [(x + 0.75, y + 0.25), (x + 1.25, y + 0.25),
+                            (x + 1.25, y + 0.75), (x + 0.75, y + 0.75),
+                            (x + 0.75, y + 0.25)]
+                    buf = G.wkb_polygon([sq, hole[::-1]])
+                else:
+                    tang = [(x + 0.5, y), (x + 0.75, y + 0.25),
+                            (x + 0.25, y + 0.25), (x + 0.5, y)]
+                    buf = G.wkb_polygon([sq, tang[::-1]])
+                out, invalid = G.make_valid_wkb(buf)
+                status = ("flagged" if invalid
+                          else "repaired" if out != buf else "ok")
+                n_rings = len(G.parse_wkb(out)["parts"])
+                rows.append((did, status, n_rings))
+            yield pd.DataFrame(rows, columns=["doc_id", "status",
+                                              "n_rings"])
+
+    return base.mapInPandas(
+        audit, "doc_id long, status string, n_rings int")
