@@ -75,11 +75,13 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # Respect the advisory post-shuffle partition size instead of
-    # maximizing partition count (Spark docs recommend false): avoids
-    # scheduling swarms of tiny tasks at small SF and produces
-    # right-sized partitions from the same advisory at 100 TB.
-    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    # Keep AQE's coalesce parallelism-first (the Spark default): with
+    # parallelismFirst=false the 64 MB advisory collapsed every
+    # CPU-heavy post-shuffle stage (window sorts, sessionization) to
+    # ONE task at bench scale — measured 1.45 s -> 0.55 s on
+    # sessionization at sf1 flipping this back.  Tiny-task pressure is
+    # bounded by minPartitionSize (1 MB default) instead.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # honor pushFilters() on Python data sources (sources/pmtiles_source)
     "spark.sql.python.filterPushdown.enabled": "true",
