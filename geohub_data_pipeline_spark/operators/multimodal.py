@@ -135,6 +135,52 @@ def _decode_png(payload: bytes, meta: dict) -> dict:
     return meta
 
 
+def _decode_jpeg(payload: bytes, meta: dict) -> dict:
+    """JPEG dimension probe: walk the marker stream to the SOF segment
+    (baseline C0 / extended C1 / progressive C2) and read the frame
+    header — the GDAL-style metadata probe; pixel decode needs a full
+    DCT codec and stays behind the PIL guard."""
+    try:
+        if payload[:2] != b"\xff\xd8":
+            raise ValueError("bad JPEG SOI")
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                raise ValueError("marker desync")
+            marker = payload[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2                   # standalone markers
+                continue
+            (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+            if marker in (0xC0, 0xC1, 0xC2):
+                _prec, h, w, ncomp = struct.unpack_from(
+                    ">BHHB", payload, pos + 4)
+                meta.update(ok=True, width=w, height=h, n_channels=ncomp)
+                return meta
+            if marker == 0xD9:             # EOI before any SOF
+                break
+            pos += 2 + seglen
+        raise ValueError("no SOF frame header")
+    except Exception as ex:
+        meta["error"] = f"decode-error: {ex}"
+    return meta
+
+
+def _decode_gif(payload: bytes, meta: dict) -> dict:
+    """GIF logical-screen probe (GIF87a/89a header)."""
+    try:
+        if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
+            raise ValueError("bad GIF header")
+        w, h = struct.unpack_from("<HH", payload, 6)
+        packed = payload[10]
+        # palette-indexed: report palette channel count (3 = RGB table)
+        meta.update(ok=True, width=w, height=h,
+                    n_channels=3 if packed & 0x80 else 1)
+    except Exception as ex:
+        meta["error"] = f"decode-error: {ex}"
+    return meta
+
+
 def _decode_wav(payload: bytes, meta: dict) -> dict:
     """Real WAV decode via the stdlib ``wave`` reader."""
     try:
@@ -153,6 +199,10 @@ def _decode_one(media_type: str, payload: bytes) -> dict:
     # real stdlib codecs FIRST: genuine bytes take the genuine path
     if payload[:4] == PNG_MAGIC[:4]:
         return _decode_png(payload, meta)
+    if payload[:3] == b"\xff\xd8\xff":
+        return _decode_jpeg(payload, meta)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload, meta)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload, meta)
     if payload[:4] == FAKE_MAGIC:

@@ -61,6 +61,29 @@ def test_stdlib_codecs_roundtrip():
         "audio", wav[:20])["error"]
 
 
+def test_jpeg_and_gif_probes():
+    """JPEG SOF marker-walk and GIF header probes on crafted real
+    marker streams (pixel payload irrelevant to the probe)."""
+    import struct
+    # SOI + APP0(JFIF) + SOF0(8-bit, 31x17, 3 comp) + EOI
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02" + b"\x00" * 7
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + struct.pack(">BHHB", 8, 31, 17, 3) + b"\x00\x00"
+    jpeg = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    m = M._decode_one("image", jpeg)
+    assert m["ok"] and (m["width"], m["height"], m["n_channels"]) == (17, 31, 3)
+    # progressive SOF2 also matches
+    jpeg2 = jpeg.replace(b"\xff\xc0", b"\xff\xc2")
+    m = M._decode_one("image", jpeg2)
+    assert m["ok"] and m["width"] == 17
+    # truncated before SOF: decode-error quarantine
+    assert "decode-error" in M._decode_one("image", b"\xff\xd8\xff\xe0")["error"]
+
+    gif = b"GIF89a" + struct.pack("<HH", 12, 7) + bytes([0x80, 0, 0])
+    m = M._decode_one("image", gif)
+    assert m["ok"] and (m["width"], m["height"], m["n_channels"]) == (12, 7, 3)
+    assert "decode-error" in M._decode_one("image", b"GIF89a\x01")["error"]
+
+
 def test_frame_sample_plan(spark):
     decoded = M.decode_media(_media(spark))
     plan = M.frame_sample_plan(decoded, every_n=300).collect()
