@@ -532,14 +532,14 @@ def supported_srids() -> list[int]:
     """Every srid reproject handles natively (table + UTM ranges)."""
     return (sorted(_CRS_TABLE)
             + list(range(32601, 32661)) + list(range(32701, 32761))
-            + list(range(25828, 25839)))
+            + list(range(25828, 25839)) + list(range(26901, 26924)))
 
 
 def to_lonlat(srid: int):
     """Return ``f(x, y) -> (lon, lat)`` for a supported projected CRS,
     else None.  Supported: UTM WGS84 N/S (32601-32660 / 32701-32760),
-    UTM ETRS89 N (25828-25838), and every ``_CRS_TABLE`` entry
-    (27700, 2193, 5070, 102008, 3978, 3035, 2154).
+    UTM ETRS89 N (25828-25838), UTM NAD83 N (26901-26923), and every
+    ``_CRS_TABLE`` entry (27700, 2193, 5070, 102008, 3978, 3035, 2154).
     """
     if 32601 <= srid <= 32660:
         zone = srid - 32600
@@ -549,6 +549,10 @@ def to_lonlat(srid: int):
         return lambda x, y: utm_to_lonlat(x, y, zone, north=False)
     if 25828 <= srid <= 25838:
         zone = srid - 25800
+        return lambda x, y: utm_to_lonlat(x, y, zone, north=True,
+                                          ellipsoid=_TM_GRS80)
+    if 26901 <= srid <= 26923:              # NAD83 / UTM 1N..23N (GRS80)
+        zone = srid - 26900
         return lambda x, y: utm_to_lonlat(x, y, zone, north=True,
                                           ellipsoid=_TM_GRS80)
     if srid in _CRS_TABLE:
@@ -566,6 +570,10 @@ def from_lonlat(srid: int):
         return lambda lon, lat: lonlat_to_utm(lon, lat, zone, north=False)
     if 25828 <= srid <= 25838:
         zone = srid - 25800
+        return lambda lon, lat: lonlat_to_utm(lon, lat, zone, north=True,
+                                              ellipsoid=_TM_GRS80)
+    if 26901 <= srid <= 26923:              # NAD83 / UTM 1N..23N (GRS80)
+        zone = srid - 26900
         return lambda lon, lat: lonlat_to_utm(lon, lat, zone, north=True,
                                               ellipsoid=_TM_GRS80)
     if srid in _CRS_TABLE:

@@ -135,6 +135,22 @@ def _decode_png(payload: bytes, meta: dict) -> dict:
     return meta
 
 
+def encode_mp4_probe(width: int, height: int, n_ticks: int,
+                     timescale: int = 10) -> bytes:
+    """Deterministic minimal ISO-BMFF stream (ftyp + moov/mvhd +
+    trak/tkhd) — real spec-conformant container bytes for driving the
+    MP4 probe; no media samples (probe-level, like GDAL's)."""
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    mvhd = box(b"mvhd", b"\x00" * 12
+               + struct.pack(">II", timescale, n_ticks) + b"\x00" * 80)
+    tkhd = box(b"tkhd", b"\x00" * 76
+               + struct.pack(">II", width << 16, height << 16))
+    return (box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+            + box(b"moov", mvhd + box(b"trak", tkhd)))
+
+
 def _decode_jpeg(payload: bytes, meta: dict) -> dict:
     """JPEG dimension probe: walk the marker stream to the SOF segment
     (baseline C0 / extended C1 / progressive C2) and read the frame
@@ -181,6 +197,65 @@ def _decode_gif(payload: bytes, meta: dict) -> dict:
     return meta
 
 
+def _decode_mp4(payload: bytes, meta: dict) -> dict:
+    """ISO-BMFF (MP4/MOV) probe: box walk to moov/mvhd for duration
+    (exposed as n_samples ticks + sample_rate timescale) and trak/tkhd
+    for display width/height (16.16 fixed point)."""
+    try:
+        def walk(lo: int, hi: int):
+            pos = lo
+            while pos + 8 <= hi:
+                (size,), btype = struct.unpack_from(">I", payload, pos), \
+                    payload[pos + 4:pos + 8]
+                if size == 1:              # 64-bit largesize
+                    (size,) = struct.unpack_from(">Q", payload, pos + 8)
+                    body = pos + 16
+                elif size == 0:            # to end of enclosing box
+                    size = hi - pos
+                    body = pos + 8
+                else:
+                    body = pos + 8
+                if size < 8 or pos + size > hi:
+                    raise ValueError("bad box size")
+                yield btype, body, pos + size
+                pos += size
+
+        found = False
+        for btype, body, end in walk(0, len(payload)):
+            if btype != b"moov":
+                continue
+            for b2, body2, end2 in walk(body, end):
+                if b2 == b"mvhd":
+                    ver = payload[body2]
+                    if ver == 1:
+                        ts, dur = struct.unpack_from(
+                            ">IQ", payload, body2 + 20)
+                    else:
+                        ts, dur = struct.unpack_from(
+                            ">II", payload, body2 + 12)
+                    meta.update(ok=True, sample_rate=ts, n_samples=dur)
+                    found = True
+                elif b2 == b"trak":
+                    for b3, body3, _e3 in walk(body2, end2):
+                        if b3 == b"tkhd":
+                            # width/height (16.16 fixed) follow
+                            # ver/flags + times + track_id + reserved
+                            # + duration + reserved[8] + layer/alt/
+                            # volume/reserved + matrix[36]
+                            ver = payload[body3]
+                            off = body3 + (88 if ver == 1 else 76)
+                            w16, h16 = struct.unpack_from(
+                                ">II", payload, off)
+                            if w16 and h16:
+                                meta.update(width=w16 >> 16,
+                                            height=h16 >> 16)
+        if not found:
+            raise ValueError("no moov/mvhd box")
+    except Exception as ex:
+        meta["error"] = f"decode-error: {ex}"
+    return meta
+
+
 def _decode_wav(payload: bytes, meta: dict) -> dict:
     """Real WAV decode via the stdlib ``wave`` reader."""
     try:
@@ -205,6 +280,8 @@ def _decode_one(media_type: str, payload: bytes) -> dict:
         return _decode_gif(payload, meta)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload, meta)
+    if payload[4:8] == b"ftyp":
+        return _decode_mp4(payload, meta)
     if payload[:4] == FAKE_MAGIC:
         t, w, h, c, n, sr = struct.unpack_from("<BIIIQI", payload, 4)
         meta.update(ok=True, width=w or None, height=h or None,

@@ -737,11 +737,11 @@ SELECT doc_id,
             WHEN doc_id % 3 = 2 THEN 240 END AS height,
        CASE WHEN doc_id % 3 <> 2
             THEN CAST(1 AS INTEGER) END AS n_channels,
-       CASE WHEN doc_id % 3 = 1 THEN CAST(n_chars // 10 AS BIGINT)
-            WHEN doc_id % 3 = 2
-            THEN CAST(NULLIF(n_chars // 10, 0) AS BIGINT) END AS n_samples,
-       CASE WHEN doc_id % 3 = 1
-            THEN CAST(16000 AS INTEGER) END AS sample_rate
+       CASE WHEN doc_id % 3 <> 0
+            THEN CAST(n_chars // 10 AS BIGINT) END AS n_samples,
+       CASE WHEN doc_id % 3 = 1 THEN CAST(16000 AS INTEGER)
+            WHEN doc_id % 3 = 2 THEN CAST(10 AS INTEGER)
+            END AS sample_rate
 FROM documents
 ORDER BY doc_id
 """
@@ -755,11 +755,11 @@ ORDER BY doc_id
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal decode on GENUINE media bytes: every
     document becomes a payload — images are real PNGs (zlib+IHDR),
-    audio real PCM16 WAVs, video the documented fake-TLV (no stdlib
-    video codec) — and ``decode_media`` recovers the typed metadata
-    from the bytes alone.  The oracle recomputes the expected
-    dimensions from the same deterministic doc_id/n_chars formulas,
-    so a broken encoder OR decoder fails the compare."""
+    audio real PCM16 WAVs, video real ISO-BMFF (ftyp/moov/mvhd/tkhd)
+    — and ``decode_media`` recovers the typed metadata from the bytes
+    alone.  The oracle recomputes the expected dimensions from the
+    same deterministic doc_id/n_chars formulas, so a broken encoder
+    OR decoder fails the compare."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -783,9 +783,8 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                     mt, payload = "audio", MM.encode_wav_pcm16(
                         nch // 10, 16000)
                 else:
-                    mt, payload = "video", MM.fake_media_payload(
-                        "video", width=320, height=240,
-                        n_samples=nch // 10)
+                    mt, payload = "video", MM.encode_mp4_probe(
+                        320, 240, nch // 10, timescale=10)
                 rows.append((did, mt, payload, "docs"))
             yield pd.DataFrame(rows, columns=[
                 "media_id", "media_type", "payload", "source"])

@@ -245,3 +245,15 @@ def test_canada_lcc_origin_and_roundtrip():
         lon2, lat2 = inv(*fwd(lon, lat))
         assert math.isclose(lon, lon2, abs_tol=1e-9)
         assert math.isclose(lat, lat2, abs_tol=1e-9)
+
+
+def test_nad83_utm_zone_range():
+    """EPSG 269xx NAD83 UTM zones dispatch to the GRS80 TM path."""
+    fwd, inv = C.from_lonlat(26910), C.to_lonlat(26910)   # zone 10N
+    e, n = fwd(-123.0, 0.0)                               # central meridian
+    assert math.isclose(e, 500000.0, abs_tol=1e-6)
+    for lon, lat in [(-122.3, 47.6), (-121.5, 38.6)]:
+        lon2, lat2 = inv(*fwd(lon, lat))
+        assert math.isclose(lon, lon2, abs_tol=1e-9)
+        assert math.isclose(lat, lat2, abs_tol=1e-9)
+    assert C.to_lonlat(26924) is None and C.to_lonlat(26900) is None

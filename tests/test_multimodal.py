@@ -84,6 +84,31 @@ def test_jpeg_and_gif_probes():
     assert "decode-error" in M._decode_one("image", b"GIF89a\x01")["error"]
 
 
+def test_mp4_probe():
+    """ISO-BMFF box walk on a crafted moov/mvhd/trak/tkhd stream."""
+    import struct
+
+    def box(btype, body):
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    # spec layouts: mvhd v0 has timescale/duration at body+12; tkhd
+    # v0 has width/height (16.16) at body+76
+    mvhd = box(b"mvhd", b"\x00" * 12
+               + struct.pack(">II", 90000, 90000 * 7) + b"\x00" * 80)
+    tkhd = box(b"tkhd", b"\x00" * 76
+               + struct.pack(">II", 640 << 16, 360 << 16))
+    trak = box(b"trak", tkhd)
+    blob = (box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+            + box(b"moov", mvhd + trak))
+    m = M._decode_one("video", blob)
+    assert m["ok"]
+    assert (m["sample_rate"], m["n_samples"]) == (90000, 630000)
+    assert (m["width"], m["height"]) == (640, 360)
+    # garbage after ftyp: quarantine, not a crash
+    assert "decode-error" in M._decode_one(
+        "video", box(b"ftyp", b"isom") + b"\x00\x01garbage")["error"]
+
+
 def test_frame_sample_plan(spark):
     decoded = M.decode_media(_media(spark))
     plan = M.frame_sample_plan(decoded, every_n=300).collect()
