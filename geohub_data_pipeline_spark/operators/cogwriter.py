@@ -105,6 +105,18 @@ def write_geotiff(path: str, levels: list[_Level], epsg: int = 3857,
     else stdlib deflate; "zstd"/"deflate"/False force a choice.  The
     Compression tag records what was actually used.
     """
+    out = geotiff_bytes(levels, epsg, pixel_scale, origin, compress)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(out)
+    return len(out)
+
+
+def geotiff_bytes(levels: list[_Level], epsg: int = 3857,
+                  pixel_scale: tuple[float, float] = (1.0, 1.0),
+                  origin: tuple[float, float] = (0.0, 0.0),
+                  compress: bool | str = True) -> bytes:
+    """Assemble the tiled multi-IFD GeoTIFF container in memory."""
     codec = _codec_of(compress)
     compression = _TAG_OF[codec]
     out = bytearray()
@@ -179,10 +191,7 @@ def write_geotiff(path: str, levels: list[_Level], epsg: int = 3857,
         prev_link_pos = len(out)
         out += struct.pack("<I", 0)        # next-IFD link (patched or 0)
 
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "wb") as f:
-        f.write(out)
-    return len(out)
+    return bytes(out)
 
 
 def blocks_to_levels(rows: Iterable, nodata: float = 0.0) -> list[_Level]:

@@ -32,8 +32,9 @@ promote([
     # never driver-checked (r2's window tail) — MUST lead
     "tile_shared_borders", "tile_joint_simplify",
     "overview_downsample", "multimodal_metadata", "geo_tile_pipeline",
-    # new in round 3 (CRS stack + makevalid under the hard gate)
-    "crs_roundtrip", "makevalid_audit",
+    # new in round 3 (CRS stack + makevalid + raster probe under the
+    # hard gate)
+    "crs_roundtrip", "makevalid_audit", "raster_probe",
     # round-1-only relational/pipeline flagships
     "q1_pricing_summary", "join_multiway_broadcast", "join_range_theta",
     "agg_cube", "window_rank", "topk_per_group", "set_intersect",

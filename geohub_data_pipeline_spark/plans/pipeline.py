@@ -1037,3 +1037,77 @@ def makevalid_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return base.mapInPandas(
         audit, "doc_id long, status string, n_rings int")
+
+
+# ---------------------------------------------------------------------------
+# S5/S6 raster probe under the gate: real GeoTIFF bytes round-trip
+# ---------------------------------------------------------------------------
+
+_RASTER_PROBE_SQL = """
+SELECT doc_id,
+       TRUE AS ok,
+       CAST(64 + (doc_id % 4) * 32 AS INTEGER) AS width,
+       CAST(64 + ((doc_id * 3) % 3) * 32 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS n_bands,
+       TRUE AS tiled,
+       CAST(doc_id % 2 AS INTEGER) AS n_overviews,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 3857 WHEN 1 THEN 32633
+            ELSE 3035 END AS INTEGER) AS epsg,
+       'none' AS compression
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("raster_probe", "pipeline",
+       "§2.1 S5/S6 raster probe: real GeoTIFF container bytes written "
+       "(operators/cogwriter.py) and probed back "
+       "(operators/rasterprobe.py) — the gdalinfo analog "
+       "(ref ingest/processing.py:443-520)", _RASTER_PROBE_SQL)
+def raster_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a real tiled GeoTIFF per document (deterministic size /
+    EPSG / overview count from doc_id) and probe the BYTES back with
+    the independent header reader — a broken writer or probe both
+    fail the oracle compare.
+
+    Scale: generate + probe are one map-side Arrow kernel each; no
+    shuffle, no driver round-trip.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.operators import cogwriter as W
+    from geohub_data_pipeline_spark.operators import rasterprobe as RP
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id")
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 64 + (did % 4) * 32
+                h = 64 + ((did * 3) % 3) * 32
+                epsg = [3857, 32633, 3035][did % 3]
+                levels = [W._Level(width=w, height=h, tiles={
+                    (0, 0): np.zeros((W.TILE, W.TILE),
+                                     dtype=np.float64)})]
+                if did % 2:
+                    levels.append(W._Level(
+                        width=max(1, w // 2), height=max(1, h // 2),
+                        tiles={}))
+                rows.append((did, W.geotiff_bytes(
+                    levels, epsg=epsg, compress=False)))
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    blobs = base.mapInPandas(gen, "path long, content binary")
+    return RP.probe_rasters(blobs).select(
+        F.col("path").cast("long").alias("doc_id"),
+        "ok", "width", "height", "n_bands", "tiled",
+        "n_overviews", "epsg", "compression",
+    )
