@@ -34,7 +34,7 @@ promote([
     "overview_downsample", "multimodal_metadata", "geo_tile_pipeline",
     # new in round 3 (CRS stack + makevalid + raster probe under the
     # hard gate)
-    "crs_roundtrip", "makevalid_audit", "raster_probe",
+    "crs_roundtrip", "makevalid_audit", "raster_probe", "gpkg_source",
     # round-1-only relational/pipeline flagships
     "q1_pricing_summary", "join_multiway_broadcast", "join_range_theta",
     "agg_cube", "window_rank", "topk_per_group", "set_intersect",

@@ -1111,3 +1111,76 @@ def raster_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ok", "width", "height", "n_bands", "tiled",
         "n_overviews", "epsg", "compression",
     )
+
+
+# ---------------------------------------------------------------------------
+# S5 vector source under the gate: real GeoPackage bytes round-trip
+# ---------------------------------------------------------------------------
+
+_GPKG_SQL = """
+SELECT doc_id,
+       CAST(1 + doc_id % 3 AS BIGINT) AS n_features,
+       CAST(CASE doc_id % 2 WHEN 0 THEN 4326 ELSE 3857 END
+            AS INTEGER) AS srid,
+       round(CAST(doc_id % 90 AS DOUBLE) + 0.5, 3) AS first_x
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("gpkg_source", "pipeline",
+       "§2.1 S5 vector probe/source: real GeoPackage (SQLite) files "
+       "written and read back stdlib-only (sources/geopackage.py; "
+       "ref ingest/processing.py:100-213 ogr2ogr path)", _GPKG_SQL)
+def gpkg_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a real GeoPackage per document (deterministic layer of
+    1-3 points, rotating srid) and read it back through the sqlite3
+    source — writer, GPKG blob codec, and reader all sit under the
+    oracle compare.
+
+    Scale: each .gpkg is built and read inside one Arrow kernel on
+    executor-local scratch; no shuffle.
+    """
+    import os
+    import tempfile
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.sources import geopackage as GP
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id")
+
+    def rt(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                srid = 4326 if did % 2 == 0 else 3857
+                n = 1 + did % 3
+                x0 = float(did % 90) + 0.5
+                feats = [(i + 1, G.wkb_point(x0 + i, 0.25))
+                         for i in range(n)]
+                fd, tmp = tempfile.mkstemp(suffix=".gpkg")
+                os.close(fd)
+                try:
+                    os.unlink(tmp)         # write_gpkg creates it
+                    GP.write_gpkg(tmp, {"pts": feats}, srid=srid)
+                    with open(tmp, "rb") as f:
+                        content = f.read()
+                finally:
+                    if os.path.exists(tmp):
+                        os.unlink(tmp)
+                got = list(GP.read_gpkg_bytes(content, f"d{did}"))
+                first = G.parse_wkb(got[0][3])["coords"][0] if got else None
+                rows.append((did, len(got), got[0][4] if got else None,
+                             round(first, 3)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_features", "srid", "first_x"])
+
+    return base.mapInPandas(
+        rt, "doc_id long, n_features long, srid int, first_x double")

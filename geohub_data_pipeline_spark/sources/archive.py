@@ -126,30 +126,45 @@ def _geojson_features(doc: dict):
 
 
 def geojson_feature_rows(members: DataFrame) -> DataFrame:
-    """Parse ``.geojson``/``.json`` members into feature rows
-    (dataset, layer, fid, geometry WKB, srid=4326 — GeoJSON is
-    RFC 7946 WGS84 by definition).
+    """Parse ``.geojson``/``.json`` AND ``.gpkg`` members into feature
+    rows (dataset, layer, fid, geometry WKB, srid — GeoJSON is
+    RFC 7946 WGS84 by definition; GeoPackage members go through the
+    stdlib sqlite3 reader in sources/geopackage.py with their declared
+    srs).
 
-    dataset = archive file name; layer = member stem; fid = numeric
-    feature ``id`` when present, else the member-local index.
+    dataset = archive file name; layer = member stem (GeoJSON) or
+    feature table name (GeoPackage); fid = feature ``id``/pk when
+    present, else the member-local index.
     """
     from geohub_data_pipeline_spark.operators import geometry as G
     from geohub_data_pipeline_spark.session import ship_package
     ship_package(members.sparkSession)
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sqlite3
+
+        from geohub_data_pipeline_spark.sources import geopackage as GP
+
         for pdf in it:
             rows = []
             for arch, member, payload in pdf[
                     ["archive_path", "member", "content"]].itertuples(
                     index=False, name=None):
-                if not member.lower().endswith((".geojson", ".json")):
+                dataset = os.path.basename(arch)
+                low = member.lower()
+                if low.endswith(".gpkg"):
+                    try:
+                        rows += list(GP.read_gpkg_bytes(
+                            bytes(payload), dataset))
+                    except (sqlite3.Error, ValueError, OSError):
+                        pass               # -skipfailures
+                    continue
+                if not low.endswith((".geojson", ".json")):
                     continue
                 try:
                     doc = json.loads(bytes(payload).decode("utf-8"))
                 except (ValueError, UnicodeDecodeError):
                     continue               # -skipfailures
-                dataset = os.path.basename(arch)
                 layer = os.path.splitext(os.path.basename(member))[0]
                 for i, feat in enumerate(_geojson_features(doc)):
                     geom = feat.get("geometry")

@@ -1,0 +1,193 @@
+"""GeoPackage (.gpkg) feature source — stdlib sqlite3, no GDAL.
+
+GeoPackage is the reference's highest-traffic vector upload format;
+it processes them through ogr2ogr (ref ingest/processing.py:100-213,
+ingest/config.py:22-31 format registry).  A GeoPackage is a SQLite
+database with registered metadata tables (OGC 12-128r18):
+
+* ``gpkg_contents``       — layer registry (data_type='features'),
+* ``gpkg_geometry_columns`` — geometry column + srs per layer,
+* feature tables          — one row per feature; geometry cells are
+  GPKG blobs: ``GP`` magic, version, flags (envelope size + byte
+  order + empty bit), srs_id, optional envelope, then plain WKB.
+
+This source opens the bytes with stdlib ``sqlite3``, enumerates
+feature layers, strips the GPKG blob header, and emits the engine's
+standard feature rows (dataset, layer, fid, geometry WKB, srid) —
+the same schema the archive/GeoJSON source produces, so everything
+downstream (normalize, makevalid, tiling, GeoParquet) is shared.
+
+Scale: one .gpkg = one task (SQLite is a single-file format);
+feature rows stream out through Arrow batches and repartition like
+any other feature scan.  Corrupt files quarantine, never fail tasks.
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+import struct
+import tempfile
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+FEATURE_SCHEMA = (
+    "dataset string, layer string, fid long, geometry binary, srid int"
+)
+
+_ENVELOPE_BYTES = {0: 0, 1: 32, 2: 48, 3: 48, 4: 64}
+
+
+def parse_gpkg_blob(blob: bytes) -> tuple[int, bytes] | None:
+    """GPKG geometry blob -> (srs_id, wkb); None for empty geometry.
+
+    Raises ValueError on malformed headers (caller quarantines).
+    """
+    if len(blob) < 8 or blob[:2] != b"GP":
+        raise ValueError("bad GPKG blob magic")
+    flags = blob[3]
+    if flags & 0x20:
+        raise ValueError("extended GPKG geometry unsupported")
+    env_code = (flags >> 1) & 0x07
+    if env_code not in _ENVELOPE_BYTES:
+        raise ValueError(f"invalid envelope indicator {env_code}")
+    bo = "<" if flags & 0x01 else ">"
+    (srs_id,) = struct.unpack_from(bo + "i", blob, 4)
+    if flags & 0x10:                       # empty-geometry flag
+        return None
+    wkb = blob[8 + _ENVELOPE_BYTES[env_code]:]
+    if not wkb:
+        raise ValueError("GPKG blob missing WKB body")
+    return srs_id, wkb
+
+
+def _feature_layers(con: sqlite3.Connection) -> list[tuple[str, str, int]]:
+    """(table, geometry_column, srs_id) for every features layer."""
+    rows = con.execute(
+        "SELECT c.table_name, g.column_name, g.srs_id "
+        "FROM gpkg_contents c "
+        "JOIN gpkg_geometry_columns g ON g.table_name = c.table_name "
+        "WHERE c.data_type = 'features' ORDER BY c.table_name"
+    ).fetchall()
+    return [(str(t), str(col), int(srs)) for t, col, srs in rows]
+
+
+def _pk_column(con: sqlite3.Connection, table: str) -> str | None:
+    for cid, name, _t, _nn, _d, pk in con.execute(
+            f'PRAGMA table_info("{table}")'):
+        if pk:
+            return str(name)
+    return None
+
+
+def read_gpkg_bytes(content: bytes, dataset: str):
+    """Yield (dataset, layer, fid, wkb, srid) rows from .gpkg bytes.
+
+    sqlite3 requires a file path, so the bytes land in a temp file for
+    the duration of the read (executor-local scratch — the same thing
+    the reference's GDAL does with downloaded blobs).
+    """
+    fd, tmp = tempfile.mkstemp(suffix=".gpkg")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(content)
+        con = sqlite3.connect(tmp)
+        try:
+            for table, geom_col, srs_default in _feature_layers(con):
+                pk = _pk_column(con, table)
+                fid_expr = f'"{pk}"' if pk else "rowid"
+                cur = con.execute(
+                    f'SELECT {fid_expr}, "{geom_col}" FROM "{table}" '
+                    f"ORDER BY {fid_expr}")
+                for fid, blob in cur:
+                    if blob is None:
+                        yield dataset, table, int(fid), None, srs_default
+                        continue
+                    parsed = parse_gpkg_blob(bytes(blob))
+                    if parsed is None:     # empty geometry
+                        yield dataset, table, int(fid), None, srs_default
+                        continue
+                    srs_id, wkb = parsed
+                    yield (dataset, table, int(fid), wkb,
+                           srs_id if srs_id > 0 else srs_default)
+        finally:
+            con.close()
+    finally:
+        os.unlink(tmp)
+
+
+def features_from_gpkg(spark: SparkSession, path: str) -> DataFrame:
+    """Scan .gpkg files under ``path`` into engine feature rows."""
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(spark)
+
+    raw = (spark.read.format("binaryFile").load(path)
+           .select("path", "content"))
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                dataset = os.path.basename(str(p).removeprefix("file:"))
+                try:
+                    rows += list(read_gpkg_bytes(bytes(content), dataset))
+                except (sqlite3.Error, ValueError, OSError):
+                    continue               # corrupt gpkg: quarantine
+            yield pd.DataFrame(rows, columns=[
+                "dataset", "layer", "fid", "geometry", "srid"])
+
+    return raw.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def write_gpkg(path: str, layers: dict[str, list[tuple]],
+               srid: int = 4326) -> None:
+    """Minimal spec-conformant GeoPackage writer (fixtures + sinks):
+    ``layers`` maps layer name -> [(fid, wkb bytes), ...]."""
+    con = sqlite3.connect(path)
+    try:
+        con.execute("PRAGMA application_id = 0x47504B47")  # 'GPKG'
+        con.execute("PRAGMA user_version = 10300")
+        con.execute(
+            "CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL, "
+            "srs_id INTEGER PRIMARY KEY, organization TEXT NOT NULL, "
+            "organization_coordsys_id INTEGER NOT NULL, "
+            "definition TEXT NOT NULL, description TEXT)")
+        con.execute(
+            "INSERT INTO gpkg_spatial_ref_sys VALUES "
+            "(?, ?, 'EPSG', ?, 'undefined', NULL)",
+            (f"EPSG:{srid}", srid, srid))
+        con.execute(
+            "CREATE TABLE gpkg_contents (table_name TEXT NOT NULL PRIMARY "
+            "KEY, data_type TEXT NOT NULL, identifier TEXT UNIQUE, "
+            "description TEXT DEFAULT '', last_change DATETIME, "
+            "min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, "
+            "srs_id INTEGER)")
+        con.execute(
+            "CREATE TABLE gpkg_geometry_columns (table_name TEXT NOT "
+            "NULL, column_name TEXT NOT NULL, geometry_type_name TEXT "
+            "NOT NULL, srs_id INTEGER NOT NULL, z TINYINT NOT NULL, "
+            "m TINYINT NOT NULL, PRIMARY KEY (table_name, column_name))")
+        for layer, feats in layers.items():
+            con.execute(
+                f'CREATE TABLE "{layer}" (fid INTEGER PRIMARY KEY, '
+                "geom BLOB)")
+            con.execute(
+                "INSERT INTO gpkg_contents (table_name, data_type, "
+                "identifier, srs_id) VALUES (?, 'features', ?, ?)",
+                (layer, layer, srid))
+            con.execute(
+                "INSERT INTO gpkg_geometry_columns VALUES "
+                "(?, 'geom', 'GEOMETRY', ?, 0, 0)", (layer, srid))
+            for fid, wkb in feats:
+                blob = None
+                if wkb is not None:
+                    blob = (b"GP\x00\x01"          # version 0, LE, no env
+                            + struct.pack("<i", srid) + wkb)
+                con.execute(
+                    f'INSERT INTO "{layer}" VALUES (?, ?)', (fid, blob))
+        con.commit()
+    finally:
+        con.close()

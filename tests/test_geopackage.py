@@ -1,0 +1,90 @@
+"""GeoPackage source tests: stdlib sqlite3 reader + spec blobs."""
+
+from __future__ import annotations
+
+import io
+import struct
+import zipfile
+
+from geohub_data_pipeline_spark.operators import geometry as G
+from geohub_data_pipeline_spark.sources import archive as A
+from geohub_data_pipeline_spark.sources import geopackage as GP
+
+
+def _sample_gpkg(path, srid=4326):
+    GP.write_gpkg(path, {
+        "points": [(1, G.wkb_point(12.5, 41.9)),
+                   (2, G.wkb_point(-3.7, 40.4)),
+                   (7, None)],                       # NULL geometry
+        "zones": [(1, G.wkb_polygon([[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0),
+                                      (0.0, 1.0), (0.0, 0.0)]]))],
+    }, srid=srid)
+
+
+def test_gpkg_blob_roundtrip():
+    wkb = G.wkb_point(1.5, -2.5)
+    blob = b"GP\x00\x01" + struct.pack("<i", 4326) + wkb
+    assert GP.parse_gpkg_blob(blob) == (4326, wkb)
+    # envelope variant (XY, 32 bytes) skips the envelope
+    blob_env = (b"GP\x00\x03" + struct.pack("<i", 3857)
+                + struct.pack("<4d", 0, 0, 0, 0) + wkb)
+    assert GP.parse_gpkg_blob(blob_env) == (3857, wkb)
+    # empty-geometry flag -> None
+    assert GP.parse_gpkg_blob(b"GP\x00\x11"
+                              + struct.pack("<i", 4326) + wkb) is None
+    # big-endian header ints
+    blob_be = b"GP\x00\x00" + struct.pack(">i", 4326) + wkb
+    assert GP.parse_gpkg_blob(blob_be) == (4326, wkb)
+    import pytest
+    with pytest.raises(ValueError):
+        GP.parse_gpkg_blob(b"XX\x00\x01garbage....")
+
+
+def test_features_from_gpkg(spark, tmp_path):
+    _sample_gpkg(str(tmp_path / "data.gpkg"))
+    out = GP.features_from_gpkg(spark, str(tmp_path / "data.gpkg")) \
+        .collect()
+    by_key = {(r.layer, r.fid): r for r in out}
+    assert set(by_key) == {("points", 1), ("points", 2), ("points", 7),
+                           ("zones", 1)}
+    assert all(r.dataset == "data.gpkg" and r.srid == 4326 for r in out)
+    p = G.parse_wkb(bytes(by_key[("points", 1)].geometry))
+    assert p["type"] == G.POINT and p["coords"] == [12.5, 41.9]
+    assert by_key[("points", 7)].geometry is None    # NULL preserved
+
+    # corrupt gpkg quarantined, not a task failure
+    with open(tmp_path / "broken.gpkg", "wb") as f:
+        f.write(b"SQLite format 3\x00" + b"\x00" * 80)
+    got = GP.features_from_gpkg(spark, str(tmp_path)).collect()
+    assert {r.dataset for r in got} == {"data.gpkg"}
+
+
+def test_gpkg_through_normalize(spark, tmp_path):
+    """GPKG feature rows flow straight into the T7 normalize stage."""
+    _sample_gpkg(str(tmp_path / "d.gpkg"), srid=4326)
+    feats = GP.features_from_gpkg(spark, str(tmp_path / "d.gpkg"))
+    norm = {(r.layer, r.fid): r
+            for r in G.normalize_features(feats).collect()}
+    # NULL geometry dropped by -skipfailures; the rest normalized
+    assert set(norm) == {("points", 1), ("points", 2), ("zones", 1)}
+    assert norm[("points", 1)].geom_type == G.MULTIPOINT
+    assert norm[("zones", 1)].geom_type == G.MULTIPOLYGON
+
+
+def test_zipped_gpkg_member(spark, tmp_path):
+    """A .gpkg inside a .zip expands through the archive source."""
+    _sample_gpkg(str(tmp_path / "inner.gpkg"), srid=3857)
+    with open(tmp_path / "inner.gpkg", "rb") as f:
+        gpkg_bytes = f.read()
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("upload/inner.gpkg", gpkg_bytes)
+    with open(tmp_path / "bundle.zip", "wb") as f:
+        f.write(buf.getvalue())
+
+    feats = A.features_from_archives(
+        spark, str(tmp_path / "bundle.zip")).collect()
+    assert {(r.layer, r.fid) for r in feats} == \
+        {("points", 1), ("points", 2), ("points", 7), ("zones", 1)}
+    assert all(r.srid == 3857 for r in feats)
+    assert all(r.dataset == "bundle.zip" for r in feats)
