@@ -182,5 +182,16 @@ def geojson_feature_rows(members: DataFrame) -> DataFrame:
 
 def features_from_archives(spark: SparkSession, path: str) -> DataFrame:
     """One-call source: archives under ``path`` -> feature rows ready
-    for ``normalize_features`` (the CLI's archive ingestion path)."""
-    return geojson_feature_rows(read_archives(spark, path))
+    for ``normalize_features`` (the CLI's archive ingestion path).
+
+    GeoJSON and GeoPackage members parse map-side; shapefile members
+    (.shp paired with their sibling .prj for the srid) go through one
+    archive-keyed grouping (sources/shapefile.py)."""
+    from pyspark.sql import functions as F
+
+    from geohub_data_pipeline_spark.sources import shapefile as SHP
+
+    members = read_archives(spark, path)
+    shp = SHP.shapefile_feature_rows(
+        members.filter(F.lower(F.col("member")).rlike(r"\.(shp|prj)$")))
+    return geojson_feature_rows(members).unionByName(shp)

@@ -1,0 +1,192 @@
+"""ESRI Shapefile source — stdlib struct, no GDAL.
+
+Zipped shapefiles are the canonical upload the reference feeds
+through ogr2ogr (ref ingest/processing.py:100-213; archive registry
+ingest/utils.py:23-32).  The format is fixed-layout binary
+(ESRI Shapefile Technical Description, 1998):
+
+* ``.shp``: 100-byte header (big-endian file code 9994, little-endian
+  shape type + bbox) then records: (record number, content length)
+  big-endian + little-endian shape payload,
+* shape payloads: Null(0), Point(1), PolyLine(3), Polygon(5),
+  MultiPoint(8) and their Z/M variants (coordinates read, Z/M
+  dropped — 2D engine),
+* ``.prj``: WKT1 CRS; the EPSG code is recovered from the trailing
+  AUTHORITY clause or well-known names.
+
+Polygon records are ring soup (outer rings clockwise by convention,
+holes counter-clockwise, order unspecified).  The source emits them
+verbatim as a POLYGON with rings in file order and lets
+``normalize_features``' makevalid stage do what it already does for
+every other source: re-wind, split, and home holes into their
+shells — one structure-repair path for all formats.
+
+Scale: one shapefile = one task; members pair up (.shp + .prj) via a
+groupBy on the archive key, then rows stream out as Arrow batches.
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+FEATURE_SCHEMA = (
+    "dataset string, layer string, fid long, geometry binary, srid int"
+)
+
+# shape type -> base kind (Z/M variants collapse to the same kind)
+_KIND = {1: "point", 11: "point", 21: "point",
+         3: "line", 13: "line", 23: "line",
+         5: "polygon", 15: "polygon", 25: "polygon",
+         8: "multipoint", 18: "multipoint", 28: "multipoint"}
+
+
+def epsg_from_prj(wkt: str) -> int | None:
+    """Best-effort EPSG from a .prj WKT1 string: the LAST AUTHORITY
+    clause (the whole-CRS one) or well-known names."""
+    codes = re.findall(r'AUTHORITY\[\s*"EPSG"\s*,\s*"?(\d+)"?\s*\]',
+                       wkt, re.IGNORECASE)
+    if codes:
+        return int(codes[-1])
+    low = wkt.lower()
+    if "pseudo-mercator" in low or "web_mercator" in low \
+            or "web mercator" in low:
+        return 3857
+    if "wgs_1984" in low or "wgs 84" in low or "wgs84" in low:
+        return 4326
+    return None
+
+
+def _points(buf: bytes, off: int, n: int) -> list[tuple[float, float]]:
+    return [struct.unpack_from("<2d", buf, off + 16 * i) for i in range(n)]
+
+
+def _parse_record(shape_type: int, buf: bytes):
+    """One .shp record payload -> WKB bytes (or None for Null shape)."""
+    from geohub_data_pipeline_spark.operators import geometry as G
+
+    kind = _KIND.get(shape_type)
+    if shape_type == 0:
+        return None
+    if kind is None:
+        raise ValueError(f"unsupported shape type {shape_type}")
+    if kind == "point":
+        x, y = struct.unpack_from("<2d", buf, 4)
+        return G.wkb_point(x, y)
+    if kind == "multipoint":
+        (n,) = struct.unpack_from("<i", buf, 36)
+        return _multipoint_wkb(_points(buf, 40, n))
+    n_parts, n_points = struct.unpack_from("<2i", buf, 36)
+    part_idx = [struct.unpack_from("<i", buf, 44 + 4 * i)[0]
+                for i in range(n_parts)]
+    pts_off = 44 + 4 * n_parts
+    pts = _points(buf, pts_off, n_points)
+    bounds = part_idx + [n_points]
+    parts = [pts[bounds[i]:bounds[i + 1]] for i in range(n_parts)]
+    parts = [p for p in parts if len(p) >= 2]
+    if not parts:
+        raise ValueError("empty geometry parts")
+    if kind == "line":
+        if len(parts) == 1:
+            return G.wkb_linestring(parts[0])
+        return _multilinestring_wkb(parts)
+    # polygon: rings in file order; normalize_features re-winds and
+    # homes holes (shapefile outer=CW / hole=CCW convention)
+    rings = [p if p[0] == p[-1] else p + [p[0]] for p in parts]
+    return G.wkb_polygon(rings)
+
+
+def _multipoint_wkb(pts) -> bytes:
+    from geohub_data_pipeline_spark.operators import geometry as G
+    body = struct.pack("<BII", 1, G.MULTIPOINT, len(pts))
+    for x, y in pts:
+        body += struct.pack("<BI2d", 1, G.POINT, x, y)
+    return body
+
+
+def _multilinestring_wkb(parts) -> bytes:
+    from geohub_data_pipeline_spark.operators import geometry as G
+    body = struct.pack("<BII", 1, G.MULTILINESTRING, len(parts))
+    for p in parts:
+        body += struct.pack("<BII", 1, G.LINESTRING, len(p))
+        for x, y in p:
+            body += struct.pack("<2d", x, y)
+    return body
+
+
+def read_shp_bytes(shp: bytes, dataset: str, layer: str,
+                   srid: int | None):
+    """Yield (dataset, layer, fid, wkb, srid) from .shp bytes.
+
+    Unparseable records become NULL-geometry rows (the engine's
+    -skipfailures path drops + audits them downstream).
+    """
+    if len(shp) < 100:
+        raise ValueError("truncated shapefile header")
+    (file_code,) = struct.unpack_from(">i", shp, 0)
+    if file_code != 9994:
+        raise ValueError("bad shapefile file code")
+    (file_len_words,) = struct.unpack_from(">i", shp, 24)
+    end = min(len(shp), file_len_words * 2)
+    pos = 100
+    while pos + 8 <= end:
+        rec_no, content_words = struct.unpack_from(">2i", shp, pos)
+        payload = shp[pos + 8:pos + 8 + content_words * 2]
+        pos += 8 + content_words * 2
+        if len(payload) < 4:
+            raise ValueError("truncated record")
+        (shape_type,) = struct.unpack_from("<i", payload, 0)
+        try:
+            wkb = _parse_record(shape_type, payload)
+        except (ValueError, struct.error):
+            wkb = None                     # -skipfailures row
+        yield dataset, layer, int(rec_no), wkb, srid
+
+
+def shapefile_feature_rows(members: DataFrame) -> DataFrame:
+    """Expand ``.shp`` archive members (sources/archive.py member
+    schema) into feature rows, pairing each with its sibling ``.prj``
+    for the srid.
+
+    Plan: ONE shuffle grouping members by archive (so .shp and .prj
+    land together), then pure map-side parsing.
+    """
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(members.sparkSession)
+
+    def per_archive(pdf: pd.DataFrame) -> pd.DataFrame:
+        import os
+        rows = []
+        prjs = {}
+        for member, content in zip(pdf["member"], pdf["content"]):
+            if str(member).lower().endswith(".prj"):
+                stem = os.path.splitext(str(member))[0]
+                try:
+                    prjs[stem] = epsg_from_prj(
+                        bytes(content).decode("utf-8", "replace"))
+                except Exception:
+                    prjs[stem] = None
+        for arch, member, content in zip(
+                pdf["archive_path"], pdf["member"], pdf["content"]):
+            m = str(member)
+            if not m.lower().endswith(".shp"):
+                continue
+            stem = os.path.splitext(m)[0]
+            dataset = os.path.basename(str(arch))
+            layer = os.path.basename(stem)
+            srid = prjs.get(stem, 4326)
+            try:
+                rows += list(read_shp_bytes(bytes(content), dataset,
+                                            layer, srid))
+            except (ValueError, struct.error):
+                continue                   # corrupt member: quarantine
+        return pd.DataFrame(rows, columns=[
+            "dataset", "layer", "fid", "geometry", "srid"])
+
+    return members.groupBy("archive_path").applyInPandas(
+        per_archive, FEATURE_SCHEMA)
