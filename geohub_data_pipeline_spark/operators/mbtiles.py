@@ -1,0 +1,114 @@
+"""MBTiles archive sink/source — stdlib sqlite3 (MBTiles 1.3 spec).
+
+MBTiles is in the reference's accepted upload list
+(ref ingest/config.py:58 docstring registry); GDAL/tippecanoe treat
+it as the SQLite twin of PMTiles.  Per the spec an MBTiles file is a
+SQLite database with:
+
+* ``metadata(name, value)`` — name/format/bounds/min-maxzoom rows,
+* ``tiles(zoom_level, tile_column, tile_row, tile_data)`` — tile_row
+  in TMS scheme (y flipped vs the slippy/XYZ rows the engine's
+  ``build_tiles`` emits: ``tms_y = 2^z - 1 - y``).
+
+``write_mbtiles_tables`` mirrors ``write_pmtiles_tables``: one
+archive per dataset from a build_tiles output DataFrame, written
+inside ``applyInPandas`` (one file = one task), returning a manifest
+DataFrame.  ``read_mbtiles`` inverts the flip so round-trips are
+identity on (z, x, y).
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+
+MANIFEST_SCHEMA = ("dataset string, path string, n_tiles long, "
+                   "min_zoom int, max_zoom int, file_bytes long")
+
+
+def write_mbtiles(path: str, tiles: list[tuple[int, int, int, bytes]],
+                  metadata: dict[str, str]) -> int:
+    """Write (z, x, y, payload) XYZ tiles + metadata; returns bytes."""
+    if os.path.exists(path):
+        os.unlink(path)
+    con = sqlite3.connect(path)
+    try:
+        con.execute("CREATE TABLE metadata (name TEXT, value TEXT)")
+        con.execute(
+            "CREATE TABLE tiles (zoom_level INTEGER, tile_column "
+            "INTEGER, tile_row INTEGER, tile_data BLOB)")
+        con.execute(
+            "CREATE UNIQUE INDEX tile_index ON tiles "
+            "(zoom_level, tile_column, tile_row)")
+        for k, v in sorted(metadata.items()):
+            con.execute("INSERT INTO metadata VALUES (?, ?)",
+                        (str(k), str(v)))
+        for z, x, y, payload in tiles:
+            tms_y = (1 << z) - 1 - y       # XYZ -> TMS row flip
+            con.execute("INSERT INTO tiles VALUES (?, ?, ?, ?)",
+                        (int(z), int(x), tms_y, payload))
+        con.commit()
+    finally:
+        con.close()
+    return os.path.getsize(path)
+
+
+def read_mbtiles(path: str):
+    """(metadata dict, [(z, x, y, payload)] in XYZ rows)."""
+    con = sqlite3.connect(path)
+    try:
+        meta = {str(k): str(v) for k, v in
+                con.execute("SELECT name, value FROM metadata")}
+        tiles = []
+        for z, x, tms_y, data in con.execute(
+                "SELECT zoom_level, tile_column, tile_row, tile_data "
+                "FROM tiles ORDER BY zoom_level, tile_column, tile_row"):
+            y = (1 << int(z)) - 1 - int(tms_y)
+            tiles.append((int(z), int(x), y, bytes(data)))
+        return meta, tiles
+    finally:
+        con.close()
+
+
+def write_mbtiles_tables(tiles_df, dst_dir: str):
+    """One .mbtiles per dataset from a ``build_tiles`` output
+    DataFrame; per-layer payloads of the same (z, x, y) concatenate
+    (valid for MVT — a Tile is repeated Layer messages).  Returns a
+    manifest DataFrame."""
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(tiles_df.sparkSession)
+    if "dataset" not in tiles_df.columns:
+        from pyspark.sql import functions as F
+        tiles_df = tiles_df.withColumn("dataset", F.lit("tiles"))
+
+    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        dataset = str(pdf["dataset"].iloc[0])
+        per_tile: dict[tuple[int, int, int], bytes] = {}
+        for r in pdf.itertuples(index=False):
+            key = (int(r.z), int(r.x), int(r.y))
+            per_tile[key] = per_tile.get(key, b"") + bytes(r.payload)
+        zs = [z for z, _, _ in per_tile]
+        meta = {
+            "name": dataset,
+            "format": "pbf",
+            "minzoom": str(min(zs)),
+            "maxzoom": str(max(zs)),
+            "scheme": "tms",
+        }
+        path = os.path.join(dst_dir, f"{dataset}.mbtiles")
+        os.makedirs(dst_dir, exist_ok=True)
+        nbytes = write_mbtiles(
+            path, [(z, x, y, p) for (z, x, y), p in per_tile.items()],
+            meta)
+        return pd.DataFrame([{
+            "dataset": dataset, "path": path,
+            "n_tiles": len(per_tile),
+            "min_zoom": min(zs), "max_zoom": max(zs),
+            "file_bytes": nbytes,
+        }])
+
+    return tiles_df.groupBy("dataset").applyInPandas(
+        write_group, MANIFEST_SCHEMA)

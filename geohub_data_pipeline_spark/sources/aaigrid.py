@@ -1,0 +1,106 @@
+"""Arc/Info ASCII Grid (.asc/.grd) raster source — stdlib text parse.
+
+``.asc`` is in the reference's accepted raster format list
+(ref ingest/config.py:67-78 ALLOWED_GDAL_FORMATS); GDAL reads it into
+the same pipeline as GeoTIFF.  The format is a 6-line text header
+(ncols, nrows, xllcorner/xllcenter, yllcorner/yllcenter, cellsize,
+optional nodata_value) followed by row-major whitespace-separated
+values, north row first.
+
+The source parses bytes straight into the engine's raster BLOCK model
+(operators/raster.py BLOCK_SCHEMA: 256x256 blocks, level 0), so an
+.asc upload flows through the SAME overview cascade, dispatch, and
+COG assembly as any GeoTIFF — format support is a parser, not a new
+pipeline.
+
+Scale: one grid = one task (single-file text format); blocks leave as
+Arrow batches and the cascade re-partitions them like any raster.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+from geohub_data_pipeline_spark.operators.raster import BLOCK, BLOCK_SCHEMA
+
+_HEADER_KEYS = {"ncols", "nrows", "xllcorner", "yllcorner", "xllcenter",
+                "yllcenter", "cellsize", "nodata_value"}
+
+
+def parse_aaigrid(text: str) -> tuple[dict, np.ndarray]:
+    """Parse .asc text -> (header dict, float64 array [nrows, ncols]).
+
+    Raises ValueError on malformed input (callers quarantine).
+    """
+    tokens = text.split()
+    header: dict[str, float] = {}
+    i = 0
+    while i + 1 < len(tokens) and tokens[i].lower() in _HEADER_KEYS:
+        header[tokens[i].lower()] = float(tokens[i + 1])
+        i += 2
+    if "ncols" not in header or "nrows" not in header:
+        raise ValueError("AAIGrid: missing ncols/nrows header")
+    ncols, nrows = int(header["ncols"]), int(header["nrows"])
+    if ncols <= 0 or nrows <= 0:
+        raise ValueError("AAIGrid: non-positive dimensions")
+    values = tokens[i:]
+    if len(values) != ncols * nrows:
+        raise ValueError(
+            f"AAIGrid: expected {ncols * nrows} values, "
+            f"got {len(values)}")
+    try:
+        arr = np.array(values, dtype=np.float64).reshape(nrows, ncols)
+    except ValueError as ex:
+        raise ValueError(f"AAIGrid: non-numeric cell: {ex}") from None
+    return header, arr
+
+
+def _blocks_of(dataset: str, header: dict, arr: np.ndarray,
+               srid: int) -> list[tuple]:
+    nodata = float(header.get("nodata_value", -9999.0))
+    nrows, ncols = arr.shape
+    rows = []
+    for by in range(0, nrows, BLOCK):
+        for bx in range(0, ncols, BLOCK):
+            tile = arr[by:by + BLOCK, bx:bx + BLOCK]
+            rows.append((
+                dataset, None, 1, 0, bx // BLOCK, by // BLOCK,
+                int(tile.shape[1]), int(tile.shape[0]),
+                [float(v) for v in tile.ravel()], nodata, srid,
+            ))
+    return rows
+
+
+def blocks_from_aaigrid(spark: SparkSession, path: str,
+                        srid: int = 4326) -> DataFrame:
+    """Scan .asc files under ``path`` into raster block rows
+    (BLOCK_SCHEMA level 0) — ready for rgb_dispatch /
+    overview_cascade / COG assembly."""
+    import os
+
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(spark)
+
+    raw = (spark.read.format("binaryFile").load(path)
+           .select("path", "content"))
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [c.split(" ")[0] for c in BLOCK_SCHEMA.split(", ")]
+        for pdf in it:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                dataset = os.path.basename(str(p).removeprefix("file:"))
+                try:
+                    header, arr = parse_aaigrid(
+                        bytes(content).decode("ascii", "strict"))
+                    rows += _blocks_of(dataset, header, arr, srid)
+                except (ValueError, UnicodeDecodeError):
+                    continue               # corrupt grid: quarantine
+            yield pd.DataFrame(rows, columns=cols)
+
+    return raw.mapInPandas(kernel, BLOCK_SCHEMA)
