@@ -45,6 +45,13 @@ def main(argv: list[str] | None = None) -> int:
                          "(doc_id, text) parquet; writes to --dst")
     ap.add_argument("--shard-tokens", type=int, default=20_000,
                     help="token capacity per training shard")
+    ap.add_argument("--raster", metavar="SRC",
+                    help="raster ingest (T11): .asc/.grd or classic "
+                         ".nc under SRC -> overview cascade -> COG "
+                         "GeoTIFFs in --dst (probed back for the "
+                         "manifest)")
+    ap.add_argument("--overview-levels", type=int, default=2,
+                    help="overview pyramid rounds for --raster")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -129,6 +136,50 @@ def main(argv: list[str] | None = None) -> int:
                   f"{n_shards} training shards -> {args.dst}")
             return 0
 
+        if args.raster:
+            if not args.dst:
+                ap.error("--raster requires --dst")
+            from geohub_data_pipeline_spark.operators import (
+                cogwriter as W,
+                raster as R,
+                rasterprobe as RP,
+            )
+            from geohub_data_pipeline_spark.sources import aaigrid as AG
+            from geohub_data_pipeline_spark.sources import netcdf3 as NC
+
+            low = args.raster.lower()
+            if low.endswith(".nc"):
+                blocks = NC.blocks_from_netcdf3(spark, args.raster)
+            elif low.endswith((".asc", ".grd")):
+                blocks = AG.blocks_from_aaigrid(spark, args.raster)
+            else:                          # directory: both families
+                import os as _os
+                parts = []
+                for fn, glob in ((AG.blocks_from_aaigrid, "*.asc"),
+                                 (AG.blocks_from_aaigrid, "*.grd"),
+                                 (NC.blocks_from_netcdf3, "*.nc")):
+                    try:
+                        parts.append(fn(spark, _os.path.join(
+                            args.raster, glob)))
+                    except Exception:
+                        continue           # no files of this family
+                if not parts:
+                    ap.error(f"no .asc/.grd/.nc under {args.raster}")
+                blocks = parts[0]
+                for p in parts[1:]:
+                    blocks = blocks.unionByName(p)
+            pyramid = R.overview_cascade(blocks, args.overview_levels)
+            manifest = W.assemble_cog_tables(
+                pyramid, f"{args.dst}/cog").collect()
+            for m in manifest:
+                with open(m.path, "rb") as f:
+                    probe = RP.probe_geotiff(f.read())
+                print(f"cog: {m.path} {probe['width']}x{probe['height']} "
+                      f"band {m.band}, {probe['n_overviews']} overviews, "
+                      f"{probe['compression']}, {m.file_bytes} bytes")
+            print(f"wrote {len(manifest)} COGs to {args.dst}/cog")
+            return 0
+
         if args.demo:
             from geohub_data_pipeline_spark.plans import all_queries
             df = all_queries()["q1_pricing_summary"].fn(spark, args.sf_dir)
@@ -146,14 +197,21 @@ def main(argv: list[str] | None = None) -> int:
 
         from geohub_data_pipeline_spark.operators import pmtiles as PMT
 
-        if args.src.lower().endswith((".zip", ".gz", ".tar", ".tgz")):
-            # archived GeoJSON source (ref wraps these in GDAL VSI
+        if args.src.lower().endswith((".zip", ".gz", ".tar", ".tgz",
+                                      ".7z")):
+            # archived vector source (ref wraps these in GDAL VSI
             # paths, ingest/utils.py:23-32; here the stdlib expands
-            # members map-side and GeoJSON parses to feature rows)
+            # members map-side and GeoJSON/GeoPackage/shapefile
+            # members parse to feature rows)
             from geohub_data_pipeline_spark.sources.archive import (
                 features_from_archives,
             )
             feats = features_from_archives(spark, args.src)
+        elif args.src.lower().endswith(".gpkg"):
+            from geohub_data_pipeline_spark.sources.geopackage import (
+                features_from_gpkg,
+            )
+            feats = features_from_gpkg(spark, args.src)
         else:
             feats = spark.read.parquet(args.src)
         norm = G.normalize_features(feats)

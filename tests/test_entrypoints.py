@@ -113,3 +113,44 @@ def test_curation_pipeline(spark, tmp_path):
     manifest = Cu.pack_token_shards(train, 100)
     m = manifest.collect()
     assert all(r.offset < 100 or r.shard > 0 for r in m)
+
+
+def test_cli_raster_pipeline(spark, tmp_path, capsys):
+    """--raster: .asc + classic .nc -> cascade -> COG files, probed."""
+    from test_format_sources import _asc_text
+    from test_netcdf3 import write_cdf1
+
+    from geohub_data_pipeline_spark.cli import main
+    from geohub_data_pipeline_spark.operators import rasterprobe as RP
+
+    with open(tmp_path / "dem.asc", "w") as f:
+        f.write(_asc_text(300, 270)[0])
+    with open(tmp_path / "climate.nc", "wb") as f:
+        f.write(write_cdf1())
+
+    rc = main(["--raster", str(tmp_path), "--dst", str(tmp_path / "out"),
+               "--overview-levels", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "wrote 3 COGs" in out          # dem band1 + climate temp x2
+    cog = tmp_path / "out" / "cog" / "dem.asc_band1.tif"
+    with open(cog, "rb") as f:
+        m = RP.probe_geotiff(f.read())
+    assert (m["width"], m["height"], m["n_overviews"]) == (300, 270, 1)
+    assert m["tiled"] and m["compression"] in ("zstd", "deflate")
+
+
+def test_cli_gpkg_source(spark, tmp_path, capsys):
+    """--src data.gpkg drives the vector tile pipeline."""
+    from test_geopackage import _sample_gpkg
+
+    from geohub_data_pipeline_spark.cli import main
+
+    _sample_gpkg(str(tmp_path / "data.gpkg"))
+    rc = main(["--src", str(tmp_path / "data.gpkg"),
+               "--dst", str(tmp_path / "out"), "--maxzoom", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "wrote" in out and "tiles" in out
+    audits = spark.read.parquet(str(tmp_path / "out" / "tile_audit"))
+    assert audits.count() > 0
