@@ -75,9 +75,15 @@ def _feature_layers(con: sqlite3.Connection) -> list[tuple[str, str, int]]:
     return [(str(t), str(col), int(srs)) for t, col, srs in rows]
 
 
+def _q(ident: str) -> str:
+    """SQLite identifier quoting (layer/column names come from the
+    file's own registry — escape embedded quotes defensively)."""
+    return '"' + ident.replace('"', '""') + '"'
+
+
 def _pk_column(con: sqlite3.Connection, table: str) -> str | None:
     for cid, name, _t, _nn, _d, pk in con.execute(
-            f'PRAGMA table_info("{table}")'):
+            f"PRAGMA table_info({_q(table)})"):
         if pk:
             return str(name)
     return None
@@ -98,10 +104,10 @@ def read_gpkg_bytes(content: bytes, dataset: str):
         try:
             for table, geom_col, srs_default in _feature_layers(con):
                 pk = _pk_column(con, table)
-                fid_expr = f'"{pk}"' if pk else "rowid"
+                fid_expr = _q(pk) if pk else "rowid"
                 cur = con.execute(
-                    f'SELECT {fid_expr}, "{geom_col}" FROM "{table}" '
-                    f"ORDER BY {fid_expr}")
+                    f"SELECT {fid_expr}, {_q(geom_col)} "
+                    f"FROM {_q(table)} ORDER BY {fid_expr}")
                 for fid, blob in cur:
                     if blob is None:
                         yield dataset, table, int(fid), None, srs_default
