@@ -150,17 +150,24 @@ def main(argv: list[str] | None = None) -> int:
             low = args.raster.lower()
             if low.endswith(".nc"):
                 blocks = NC.blocks_from_netcdf3(spark, args.raster)
+                georefs = [NC.georef_from_netcdf3(spark, args.raster)]
             elif low.endswith((".asc", ".grd")):
                 blocks = AG.blocks_from_aaigrid(spark, args.raster)
+                georefs = [AG.georef_from_aaigrid(spark, args.raster)]
             else:                          # directory: both families
                 import os as _os
-                parts = []
-                for fn, glob in ((AG.blocks_from_aaigrid, "*.asc"),
-                                 (AG.blocks_from_aaigrid, "*.grd"),
-                                 (NC.blocks_from_netcdf3, "*.nc")):
+                parts, georefs = [], []
+                for fn, gfn, glob in (
+                        (AG.blocks_from_aaigrid,
+                         AG.georef_from_aaigrid, "*.asc"),
+                        (AG.blocks_from_aaigrid,
+                         AG.georef_from_aaigrid, "*.grd"),
+                        (NC.blocks_from_netcdf3,
+                         NC.georef_from_netcdf3, "*.nc")):
                     try:
-                        parts.append(fn(spark, _os.path.join(
-                            args.raster, glob)))
+                        src = _os.path.join(args.raster, glob)
+                        parts.append(fn(spark, src))
+                        georefs.append(gfn(spark, src))
                     except Exception:
                         continue           # no files of this family
                 if not parts:
@@ -168,9 +175,12 @@ def main(argv: list[str] | None = None) -> int:
                 blocks = parts[0]
                 for p in parts[1:]:
                     blocks = blocks.unionByName(p)
+            georef = georefs[0]
+            for g in georefs[1:]:
+                georef = georef.unionByName(g)
             pyramid = R.overview_cascade(blocks, args.overview_levels)
             manifest = W.assemble_cog_tables(
-                pyramid, f"{args.dst}/cog").collect()
+                pyramid, f"{args.dst}/cog", georef=georef).collect()
             for m in manifest:
                 with open(m.path, "rb") as f:
                     probe = RP.probe_geotiff(f.read())

@@ -216,25 +216,56 @@ def blocks_to_levels(rows: Iterable, nodata: float = 0.0) -> list[_Level]:
     ]
 
 
-def assemble_cog_tables(blocks, dst_dir: str, epsg: int = 3857):
+def assemble_cog_tables(blocks, dst_dir: str, epsg: int = 3857,
+                        georef=None):
     """Distributed COG assembly: one GeoTIFF per (dataset, band),
     written by the task holding that group; returns a manifest
     DataFrame (dataset, band, path, n_levels, n_blocks, file_bytes).
+
+    ``georef`` (optional): a per-dataset GEOREF_SCHEMA DataFrame
+    (operators/raster.py) from the format sources' ``georef_from_*``
+    — broadcast-joined onto the blocks so each output file carries
+    the grid's real ModelPixelScale/ModelTiepoint/EPSG instead of the
+    unit defaults (the reference preserves georeferencing through
+    GDAL end to end, ref ingest/processing.py:469-552).
     """
     import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
 
     from geohub_data_pipeline_spark.session import ship_package
 
     ship_package(blocks.sparkSession)
+    if georef is not None:
+        # per-dataset sidecar is tiny by construction: broadcast, no
+        # shuffle added to the block stream
+        blocks = blocks.join(
+            broadcast(georef.dropDuplicates(["dataset"])),
+            "dataset", "left")
+    else:
+        for c, t in (("origin_x", "double"), ("origin_y", "double"),
+                     ("pixel_sx", "double"), ("pixel_sy", "double"),
+                     ("georef_srid", "int")):
+            blocks = blocks.withColumn(c, F.lit(None).cast(t))
 
     def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
         dataset = pdf["dataset"].iloc[0]
         band = int(pdf["band"].iloc[0])
+        first = pdf.iloc[0]
+        ox = first.get("origin_x")
+        scale = (float(first["pixel_sx"]), float(first["pixel_sy"])) \
+            if pd.notna(ox) else (1.0, 1.0)
+        origin = (float(first["origin_x"]), float(first["origin_y"])) \
+            if pd.notna(ox) else (0.0, 0.0)
+        g_epsg = int(first["georef_srid"]) \
+            if pd.notna(first.get("georef_srid")) else epsg
         rows = list(pdf.itertuples(index=False))
         levels = blocks_to_levels(rows)
         safe = str(dataset).replace("/", "_")
         path = os.path.join(dst_dir, f"{safe}_band{band}.tif")
-        nbytes = write_geotiff(path, levels, epsg=epsg)
+        nbytes = write_geotiff(path, levels, epsg=g_epsg,
+                               pixel_scale=scale, origin=origin)
         return pd.DataFrame([{
             "dataset": dataset, "band": band, "path": path,
             "n_levels": len(levels), "n_blocks": len(rows),

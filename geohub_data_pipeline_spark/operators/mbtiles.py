@@ -96,7 +96,10 @@ def write_mbtiles_tables(tiles_df, dst_dir: str):
             "format": "pbf",
             "minzoom": str(min(zs)),
             "maxzoom": str(max(zs)),
-            "scheme": "tms",
+            # NOTE: no "scheme" metadata row — MBTiles 1.3 defines
+            # tile_row as TMS already; tippecanoe/gdal omit the key,
+            # and TileJSON-derived readers that honour a scheme key
+            # would double-flip rows if it were present.
         }
         path = os.path.join(dst_dir, f"{dataset}.mbtiles")
         os.makedirs(dst_dir, exist_ok=True)

@@ -40,6 +40,16 @@ BLOCK_SCHEMA = (
     "pixels array<double>, nodata double, srid int"
 )
 
+# Per-dataset georeferencing sidecar (origin = TOP-LEFT corner,
+# pixel_sy positive = north-up): produced by the format sources
+# (aaigrid/netcdf3 georef_from_*), consumed by
+# cogwriter.assemble_cog_tables(georef=...) so the output COG keeps
+# the grid's spatial referencing end to end.
+GEOREF_SCHEMA = (
+    "dataset string, origin_x double, origin_y double, "
+    "pixel_sx double, pixel_sy double, georef_srid int"
+)
+
 
 def rgb_dispatch(bands: DataFrame) -> DataFrame:
     """T12: route each (dataset, subdataset) to one multiband 'rgb'

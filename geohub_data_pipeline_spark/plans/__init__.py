@@ -20,26 +20,49 @@ from geohub_data_pipeline_spark.plans import curation  # noqa: E402,F401
 
 from geohub_data_pipeline_spark.plans.registry import promote  # noqa: E402
 
-# The harness evaluates the registry in order and checks a 50-entry
-# prefix per round.  Round 3 rotation: lead with the 5 queries that
-# have NEVER had a gate row (round 2's list was 55 long, so its tail
-# of 5 fell off the window), then any queries new this round, then the
-# 48 round-1-only queries for a fresh hard signal after two rounds of
-# churn (the llm/curation/temporal surface went 50/50 green in r2 and
-# rotates to the back).  The trivial scalar family sits last as the
-# spill past entry 50.
+# Registry ordering policy: STALEST-FIRST.  The external gate checks a
+# fixed-size prefix of this list each round, so the order is a
+# deterministic rotation by "rounds since last driver check" — every
+# query cycles back under the hard gate on a bounded schedule and none
+# can stay unchecked indefinitely.  Ties break by original
+# registration order.  New queries (never checked) slot in right after
+# the most-overdue block so they get a gate row in their first round.
+#
+# Round-4 staleness: 7 queries last checked in r1 (most overdue),
+# then queries NEW this round, then the 50 last checked in r2, then
+# the 50 last checked in r3 (freshest, spill past the window — they
+# rotate forward again next round).
 promote([
-    # never driver-checked (r2's window tail) — MUST lead
-    "tile_shared_borders", "tile_joint_simplify",
-    "overview_downsample", "multimodal_metadata", "geo_tile_pipeline",
-    # new in round 3 (CRS stack + makevalid + raster probe under the
-    # hard gate)
-    "crs_roundtrip", "makevalid_audit", "raster_probe", "gpkg_source",
-    # round-1-only relational/pipeline flagships
+    # last checked r1 — most overdue, MUST lead
+    "backfill_anti_join", "progress_partition", "scalar_null_handling",
+    "conditional_case", "scalar_string", "scalar_math", "scalar_datetime",
+    # new in round 4 — first gate row (uncommented as each lands)
+    # last checked r2
+    "agg_approx_distinct", "agg_collect_array", "zoom_heuristic",
+    "events_tumbling_window", "events_sliding_window",
+    "events_sessionization", "asof_join_events", "events_dedup_latest",
+    "events_json_props", "events_map_functions", "window_range_frame",
+    "events_time_range_pushdown", "events_watermark_lateness",
+    "events_funnel", "dedup_exact_keep_first", "minhash_signatures",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+    "dedup_embedding_cosine", "ann_cosine_topk", "ann_lsh_bucketed",
+    "ann_lsh_multiprobe", "ann_quantized_int8", "ann_pq_reconstructed",
+    "ann_pq_adc", "text_language_id", "text_quality_score",
+    "text_token_count", "text_fingerprint", "dedup_pipeline_verified",
+    "dedup_cluster_canonical", "dedup_cluster_altcc", "ann_ivf_coarse",
+    "lateral_explode_top_words", "text_edit_distance", "text_normalize",
+    "ann_ivf_kmeans", "ann_ivf_kmeans_parallel", "text_repetition_filter",
+    "split_train_val", "sample_stratified", "pack_token_shards",
+    "contamination_ngram", "text_tfidf_top_terms", "mixture_weights",
+    "text_unigram_logprob", "dedup_cdc_chunks", "pack_sequences_offsets",
+    "text_pii_scrub",
+    # last checked r3 — freshest, rotate forward next round
+    "tile_shared_borders", "tile_joint_simplify", "overview_downsample",
+    "multimodal_metadata", "geo_tile_pipeline", "crs_roundtrip",
+    "makevalid_audit", "raster_probe", "gpkg_source",
     "q1_pricing_summary", "join_multiway_broadcast", "join_range_theta",
     "agg_cube", "window_rank", "topk_per_group", "set_intersect",
     "tile_aggregation", "tile_assignment", "feature_count_audit",
-    # remaining round-1-only joins / aggs / windows / sets
     "join_inner", "join_left_outer", "join_full_outer", "join_semi",
     "join_anti", "join_bloom_prefilter",
     "agg_stats", "agg_distinct", "agg_pivot_status",
@@ -49,11 +72,6 @@ promote([
     "window_analytic", "window_running", "sort_limit",
     "set_union", "set_except", "distinct_projection",
     "pivot_status_by_segment", "subquery_above_avg", "subquery_in",
-    # round-1-only pipeline surface
     "msg_parse_project", "path_rewrite", "raw_folder_filter",
-    "dispatch_route", "user_hash_distinct", "backfill_anti_join",
-    "progress_partition",
-    # scalar family: simplest plans, spill candidates past entry 50
-    "scalar_null_handling", "conditional_case", "scalar_string",
-    "scalar_math", "scalar_datetime",
+    "dispatch_route", "user_hash_distinct",
 ])

@@ -60,6 +60,63 @@ def parse_aaigrid(text: str) -> tuple[dict, np.ndarray]:
     return header, arr
 
 
+def georef_of(header: dict) -> tuple[float, float, float, float]:
+    """(origin_x, origin_y, pixel_sx, pixel_sy) from an AAIGrid header.
+
+    The header gives the LOWER-LEFT corner (or cell center, for the
+    xllcenter/yllcenter variants); GeoTIFF's ModelTiepoint wants the
+    TOP-LEFT corner, so the Y origin is yll + nrows*cellsize.
+    """
+    cell = float(header.get("cellsize", 1.0))
+    nrows = int(header["nrows"])
+    if "xllcorner" in header:
+        x0 = float(header["xllcorner"])
+    elif "xllcenter" in header:
+        x0 = float(header["xllcenter"]) - cell / 2.0
+    else:
+        x0 = 0.0
+    if "yllcorner" in header:
+        yll = float(header["yllcorner"])
+    elif "yllcenter" in header:
+        yll = float(header["yllcenter"]) - cell / 2.0
+    else:
+        yll = 0.0
+    return x0, yll + nrows * cell, cell, cell
+
+
+def georef_from_aaigrid(spark: SparkSession, path: str,
+                        srid: int = 4326) -> DataFrame:
+    """Per-dataset georeferencing sidecar (GEOREF_SCHEMA) from .asc
+    headers — consumed by ``assemble_cog_tables(georef=...)`` so COGs
+    keep the grid's spatial referencing (the reference preserves it
+    through GDAL; ref ingest/processing.py:469-552)."""
+    import os
+
+    from geohub_data_pipeline_spark.operators.raster import GEOREF_SCHEMA
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(spark)
+
+    raw = (spark.read.format("binaryFile").load(path)
+           .select("path", "content"))
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [c.split(" ")[0] for c in GEOREF_SCHEMA.split(", ")]
+        for pdf in it:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                dataset = os.path.basename(str(p).removeprefix("file:"))
+                try:
+                    header, _ = parse_aaigrid(
+                        bytes(content).decode("ascii", "strict"))
+                    ox, oy, sx, sy = georef_of(header)
+                    rows.append((dataset, ox, oy, sx, sy, srid))
+                except (ValueError, UnicodeDecodeError):
+                    continue
+            yield pd.DataFrame(rows, columns=cols)
+
+    return raw.mapInPandas(kernel, GEOREF_SCHEMA)
+
+
 def _blocks_of(dataset: str, header: dict, arr: np.ndarray,
                srid: int) -> list[tuple]:
     nodata = float(header.get("nodata_value", -9999.0))

@@ -60,6 +60,8 @@ class _R:
         return raw.decode("utf-8")
 
     def attr_values(self, nc_type: int, nelems: int):
+        if nc_type not in _NC_TYPES:
+            raise ValueError(f"netcdf3: invalid nc_type {nc_type}")
         fmt, size = _NC_TYPES[nc_type]
         total = size * nelems
         raw = self.take(total)
@@ -117,8 +119,13 @@ def parse_netcdf3(payload: bytes) -> list[dict]:
         vname = r.name()
         nd = r.u4()
         dimids = [r.u4() for _ in range(nd)]
+        if any(i >= len(dims) for i in dimids):
+            raise ValueError(f"netcdf3: variable {vname!r} references "
+                             "an out-of-range dimension id")
         attrs = _read_attrs(r)
         nc_type = r.u4()
+        if nc_type not in _NC_TYPES:
+            raise ValueError(f"netcdf3: invalid nc_type {nc_type}")
         r.u4()                              # vsize
         begin = r.u4() if version == 1 else \
             struct.unpack(">Q", r.take(8))[0]
@@ -176,11 +183,22 @@ def read_netcdf3_bytes(payload: bytes, dataset: str,
     """BLOCK rows for every 2-D/3-D numeric variable (the GDAL
     subdataset-per-variable model)."""
     rows: list[tuple] = []
-    for var in parse_netcdf3(payload):
+    variables = parse_netcdf3(payload)
+    by_name = {v["name"]: v for v in variables}
+    for var in variables:
         nd = len(var["dims"])
         if nd not in (2, 3) or var["nc_type"] == 2:
             continue                        # coordinate/scalar vars
         arr = _var_array(payload, var)
+        # bottom-up grid (ascending y coordinate): store north-up, the
+        # same flip GDAL's netCDF driver applies, so the block rows and
+        # the GEOREF sidecar (georef_of_netcdf3) agree on orientation
+        yv = by_name.get(var["dims"][-2][0])
+        if (yv is not None and len(yv["dims"]) == 1
+                and yv["nc_type"] != 2 and var["dims"][-2][1] >= 2):
+            ys = _var_array(payload, yv)
+            if len(ys) >= 2 and ys[1] > ys[0]:
+                arr = np.flip(arr, axis=-2)
         nodata = _nodata_of(var["attrs"])
         if nd == 2:
             rows += _blocks_of(dataset, var["name"], 1, arr, nodata,
@@ -190,6 +208,74 @@ def read_netcdf3_bytes(payload: bytes, dataset: str,
                 rows += _blocks_of(dataset, var["name"], t + 1,
                                    arr[t], nodata, srid)
     return rows
+
+
+def georef_of_netcdf3(payload: bytes) -> tuple | None:
+    """(origin_x, origin_y, pixel_sx, pixel_sy) from 1-D coordinate
+    variables, or None when the file has none.
+
+    The CF convention (and GDAL's netCDF driver) registers coordinate
+    values at CELL CENTERS: a raster variable's trailing two dims
+    (y, x) match 1-D variables of the same names whose spacing gives
+    the pixel size; the top-left CORNER is the first center offset by
+    half a cell (north-up when the y coordinate descends).
+    """
+    variables = parse_netcdf3(payload)
+    by_name = {v["name"]: v for v in variables}
+    for var in variables:
+        if len(var["dims"]) < 2 or var["nc_type"] == 2:
+            continue
+        (yname, ylen), (xname, xlen) = var["dims"][-2], var["dims"][-1]
+        yv, xv = by_name.get(yname), by_name.get(xname)
+        if (yv is None or xv is None or len(yv["dims"]) != 1
+                or len(xv["dims"]) != 1 or ylen < 2 or xlen < 2
+                or yv["nc_type"] == 2 or xv["nc_type"] == 2):
+            continue
+        xs = _var_array(payload, xv)
+        ys = _var_array(payload, yv)
+        dx = float(xs[1] - xs[0])
+        dy = float(ys[1] - ys[0])
+        if dx == 0 or dy == 0:
+            continue
+        origin_x = float(xs[0]) - dx / 2.0
+        # GeoTIFF origin is the top-left corner; a descending y
+        # coordinate already starts at the north edge's center.
+        origin_y = float(ys[0]) + abs(dy) / 2.0 if dy < 0 \
+            else float(ys[-1]) + abs(dy) / 2.0
+        return origin_x, origin_y, abs(dx), abs(dy)
+    return None
+
+
+def georef_from_netcdf3(spark: SparkSession, path: str,
+                        srid: int = 4326) -> DataFrame:
+    """Per-dataset georeferencing sidecar (GEOREF_SCHEMA) from .nc
+    coordinate variables — consumed by
+    ``assemble_cog_tables(georef=...)``."""
+    import os
+
+    from geohub_data_pipeline_spark.operators.raster import GEOREF_SCHEMA
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(spark)
+
+    raw = (spark.read.format("binaryFile").load(path)
+           .select("path", "content"))
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [c.split(" ")[0] for c in GEOREF_SCHEMA.split(", ")]
+        for pdf in it:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                dataset = os.path.basename(str(p).removeprefix("file:"))
+                try:
+                    g = georef_of_netcdf3(bytes(content))
+                except (ValueError, struct.error, KeyError,
+                        IndexError):
+                    continue
+                if g is not None:
+                    rows.append((dataset, *g, srid))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return raw.mapInPandas(kernel, GEOREF_SCHEMA)
 
 
 def blocks_from_netcdf3(spark: SparkSession, path: str,
@@ -212,7 +298,8 @@ def blocks_from_netcdf3(spark: SparkSession, path: str,
                 try:
                     rows += read_netcdf3_bytes(bytes(content), dataset,
                                                srid)
-                except (ValueError, struct.error):
+                except (ValueError, struct.error, KeyError,
+                        IndexError):
                     continue               # NetCDF-4 / corrupt: skip
             yield pd.DataFrame(rows, columns=cols)
 

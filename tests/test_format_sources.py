@@ -103,3 +103,59 @@ def test_write_mbtiles_tables(spark, tmp_path):
     z0 = [p for z, x, y, p in got if z == 0][0]
     decoded = MVT.decode_tile(z0) if hasattr(MVT, "decode_tile") else None
     assert decoded is None or decoded
+
+
+def test_aaigrid_georef_of():
+    """Header lower-left corner -> GeoTIFF top-left origin."""
+    text, _ = _asc_text(5, 4)
+    header, _ = AG.parse_aaigrid(text)
+    ox, oy, sx, sy = AG.georef_of(header)
+    assert (ox, sx, sy) == (10.0, 0.5, 0.5)
+    assert oy == 40.0 + 4 * 0.5                       # yll + nrows*cell
+    # center-registered variant shifts by half a cell
+    h2 = {"ncols": 5, "nrows": 4, "xllcenter": 10.25,
+          "yllcenter": 40.25, "cellsize": 0.5}
+    assert AG.georef_of(h2) == (10.0, 42.0, 0.5, 0.5)
+
+
+def test_aaigrid_georef_threads_to_cog(spark, tmp_path):
+    """ADVICE r3: the .asc header's georeferencing must survive into
+    the COG's ModelPixelScale/ModelTiepoint/EPSG."""
+    from geohub_data_pipeline_spark.operators import cogwriter as CW
+    from geohub_data_pipeline_spark.operators import rasterprobe as RP
+
+    text, _ = _asc_text(300, 270)
+    with open(tmp_path / "dem.asc", "w") as f:
+        f.write(text)
+    blocks = AG.blocks_from_aaigrid(spark, str(tmp_path))
+    georef = AG.georef_from_aaigrid(spark, str(tmp_path))
+    g = georef.collect()
+    assert len(g) == 1 and g[0].dataset == "dem.asc"
+    assert (g[0].origin_x, g[0].origin_y) == (10.0, 40.0 + 270 * 0.5)
+
+    pyramid = R.overview_cascade(blocks, levels=1)
+    manifest = CW.assemble_cog_tables(
+        pyramid, str(tmp_path / "cog"), georef=georef).collect()
+    assert len(manifest) == 1
+    with open(manifest[0].path, "rb") as f:
+        probe = RP.probe_geotiff(f.read())
+    assert (probe["origin_x"], probe["origin_y"]) == (10.0, 175.0)
+    assert (probe["pixel_scale_x"], probe["pixel_scale_y"]) == (0.5, 0.5)
+    assert probe["epsg"] == 4326
+
+
+def test_assemble_cog_without_georef_keeps_defaults(spark, tmp_path):
+    """No sidecar -> unit geotransform + caller epsg (back-compat)."""
+    from geohub_data_pipeline_spark.operators import cogwriter as CW
+    from geohub_data_pipeline_spark.operators import rasterprobe as RP
+
+    text, _ = _asc_text(64, 64)
+    with open(tmp_path / "d.asc", "w") as f:
+        f.write(text)
+    blocks = AG.blocks_from_aaigrid(spark, str(tmp_path))
+    manifest = CW.assemble_cog_tables(
+        blocks, str(tmp_path / "cog")).collect()
+    with open(manifest[0].path, "rb") as f:
+        probe = RP.probe_geotiff(f.read())
+    assert (probe["origin_x"], probe["origin_y"]) == (0.0, 0.0)
+    assert probe["epsg"] == 3857

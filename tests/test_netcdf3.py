@@ -101,3 +101,71 @@ def test_netcdf3_blocks_and_dispatch(spark, tmp_path):
              for r in R.rgb_dispatch(bands).collect()}
     assert modes[("temp", 1)] == "per_band"
     assert modes[("elev", 1)] == "per_band"
+
+
+# ---------------------------------------------------------------------------
+# Coordinate-variable georeferencing (ADVICE r3: thread geotransform)
+# ---------------------------------------------------------------------------
+
+def write_cdf1_with_coords(ys, xs) -> bytes:
+    """y/x coordinate variables (CF cell centers) + elev(y, x) f8."""
+    ny, nx = len(ys), len(xs)
+    ya = np.asarray(ys, dtype=">f8")
+    xa = np.asarray(xs, dtype=">f8")
+    elev = np.arange(ny * nx, dtype=">f8").reshape(ny, nx)
+
+    def var(name, dimids, nc_type, vsize, begin):
+        return (_nm(name) + struct.pack(">I", len(dimids))
+                + b"".join(struct.pack(">I", d) for d in dimids)
+                + struct.pack(">II", 0, 0)
+                + struct.pack(">III", nc_type, vsize, begin))
+
+    header = struct.pack(">3sBI", b"CDF", 1, 0)
+    header += struct.pack(">II", 0x0A, 2)
+    header += _nm("y") + struct.pack(">I", ny)
+    header += _nm("x") + struct.pack(">I", nx)
+    header += struct.pack(">II", 0, 0)                 # no global attrs
+
+    def varlist(b0, b1, b2):
+        return (struct.pack(">II", 0x0B, 3)
+                + var("y", [0], 6, ya.nbytes, b0)
+                + var("x", [1], 6, xa.nbytes, b1)
+                + var("elev", [0, 1], 6, elev.nbytes, b2))
+
+    hlen = len(header) + len(varlist(0, 0, 0))
+    b0 = hlen
+    b1 = b0 + ya.nbytes
+    b2 = b1 + xa.nbytes
+    return (header + varlist(b0, b1, b2)
+            + ya.tobytes() + xa.tobytes() + elev.tobytes())
+
+
+def test_georef_of_netcdf3_north_up():
+    """Descending y (north first): origin = first centers +- half."""
+    blob = write_cdf1_with_coords([50.0, 49.0, 48.0],
+                                  [10.0, 10.5, 11.0, 11.5])
+    g = NC.georef_of_netcdf3(blob)
+    assert g == (10.0 - 0.25, 50.0 + 0.5, 0.5, 1.0)
+    # the fixture without coordinate vars has none
+    from tests.test_netcdf3 import write_cdf1
+    assert NC.georef_of_netcdf3(write_cdf1()) is None
+
+
+def test_netcdf3_bottom_up_flip(spark, tmp_path):
+    """Ascending y: data stored north-up (GDAL's bottom-up flip) and
+    the georef's origin is the north edge, so both agree."""
+    blob = write_cdf1_with_coords([48.0, 49.0, 50.0],
+                                  [10.0, 10.5, 11.0, 11.5])
+    with open(tmp_path / "b.nc", "wb") as f:
+        f.write(blob)
+    g = NC.georef_of_netcdf3(blob)
+    assert g == (9.75, 50.5, 0.5, 1.0)
+    rows = NC.blocks_from_netcdf3(spark, str(tmp_path)).collect()
+    elev = [r for r in rows if r.subdataset == "elev"][0]
+    # stored row 0 must now be the NORTH row (originally the last)
+    assert elev.pixels[:4] == [8.0, 9.0, 10.0, 11.0]
+
+    georef = NC.georef_from_netcdf3(spark, str(tmp_path)).collect()
+    assert len(georef) == 1
+    assert (georef[0].origin_x, georef[0].origin_y) == (9.75, 50.5)
+    assert (georef[0].pixel_sx, georef[0].pixel_sy) == (0.5, 1.0)
