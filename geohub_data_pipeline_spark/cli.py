@@ -222,6 +222,11 @@ def main(argv: list[str] | None = None) -> int:
                 features_from_gpkg,
             )
             feats = features_from_gpkg(spark, args.src)
+        elif args.src.lower().rstrip("/").endswith(".gdb"):
+            from geohub_data_pipeline_spark.sources.filegdb import (
+                features_from_gdb,
+            )
+            feats = features_from_gdb(spark, args.src)
         else:
             feats = spark.read.parquet(args.src)
         norm = G.normalize_features(feats)

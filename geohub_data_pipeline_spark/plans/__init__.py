@@ -36,7 +36,8 @@ promote([
     # last checked r1 — most overdue, MUST lead
     "backfill_anti_join", "progress_partition", "scalar_null_handling",
     "conditional_case", "scalar_string", "scalar_math", "scalar_datetime",
-    # new in round 4 — first gate row (uncommented as each lands)
+    # new in round 4 — first gate row
+    "gdb_source",
     # last checked r2
     "agg_approx_distinct", "agg_collect_array", "zoom_heuristic",
     "events_tumbling_window", "events_sliding_window",

@@ -1184,3 +1184,80 @@ def gpkg_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return base.mapInPandas(
         rt, "doc_id long, n_features long, srid int, first_x double")
+
+
+# ---------------------------------------------------------------------------
+# S5 vector source under the gate: real OpenFileGDB bytes round-trip
+# ---------------------------------------------------------------------------
+
+_GDB_SQL = """
+SELECT doc_id,
+       CAST(1 + doc_id % 3 + doc_id % 2 AS BIGINT) AS n_features,
+       CAST(1 + doc_id % 2 AS BIGINT) AS n_layers,
+       CAST(4326 AS INTEGER) AS srid,
+       round(CAST(doc_id % 90 AS DOUBLE) + 0.5, 3) AS first_x
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("gdb_source", "pipeline",
+       "§2.1 S5 vector probe/source: real OpenFileGDB (.gdb) directories "
+       "written and read back stdlib-only (sources/filegdb.py; ref "
+       "ingest/config.py:59-62 OpenFileGDB allowlist)", _GDB_SQL)
+def gdb_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a real FileGDB per document (deterministic point layer,
+    plus a line layer for odd ids) and read it back through the
+    catalog-walking source — writer, varint/shape codecs, and reader
+    all sit under the oracle compare.
+
+    Scale: each .gdb is built and read inside one Arrow kernel on
+    executor-local scratch; no shuffle.
+    """
+    import shutil
+    import tempfile
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.sources import filegdb as FG
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id")
+
+    def rt(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os as _os
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 1 + did % 3
+                x0 = float(did % 90) + 0.5
+                layers = {"pts": [(i + 1, G.wkb_point(x0 + i, 0.25))
+                                  for i in range(n)]}
+                if did % 2:
+                    layers["ln"] = [(1, G.wkb_linestring(
+                        [(x0, 0.0), (x0 + 1.0, 1.0)]))]
+                tmp = tempfile.mkdtemp()
+                gdb = _os.path.join(tmp, f"d{did}.gdb")
+                try:
+                    FG.write_filegdb(gdb, layers)
+                    files = {fn: open(_os.path.join(gdb, fn), "rb").read()
+                             for fn in _os.listdir(gdb)}
+                finally:
+                    shutil.rmtree(tmp, ignore_errors=True)
+                got = list(FG.read_filegdb(files, f"d{did}.gdb"))
+                pts = [r for r in got if r[1] == "pts"]
+                first = G.parse_wkb(pts[0][3])["coords"][0] if pts else None
+                rows.append((did, len(got), len({r[1] for r in got}),
+                             got[0][4] if got else None,
+                             round(first, 3)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_features", "n_layers", "srid", "first_x"])
+
+    return base.mapInPandas(
+        rt, "doc_id long, n_features long, n_layers long, srid int, "
+            "first_x double")

@@ -185,13 +185,18 @@ def features_from_archives(spark: SparkSession, path: str) -> DataFrame:
     for ``normalize_features`` (the CLI's archive ingestion path).
 
     GeoJSON and GeoPackage members parse map-side; shapefile members
-    (.shp paired with their sibling .prj for the srid) go through one
-    archive-keyed grouping (sources/shapefile.py)."""
+    (.shp paired with their sibling .prj for the srid) and zipped
+    FileGDB directories (*.gdb/a*.gdbtable sets) each go through one
+    archive-keyed grouping (sources/shapefile.py, sources/filegdb.py).
+    """
     from pyspark.sql import functions as F
 
+    from geohub_data_pipeline_spark.sources import filegdb as FGDB
     from geohub_data_pipeline_spark.sources import shapefile as SHP
 
     members = read_archives(spark, path)
     shp = SHP.shapefile_feature_rows(
         members.filter(F.lower(F.col("member")).rlike(r"\.(shp|prj)$")))
-    return geojson_feature_rows(members).unionByName(shp)
+    gdb = FGDB.filegdb_feature_rows(members)
+    return geojson_feature_rows(members).unionByName(shp) \
+        .unionByName(gdb)
