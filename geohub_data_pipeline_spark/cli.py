@@ -46,10 +46,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--shard-tokens", type=int, default=20_000,
                     help="token capacity per training shard")
     ap.add_argument("--raster", metavar="SRC",
-                    help="raster ingest (T11): .asc/.grd or classic "
-                         ".nc under SRC -> overview cascade -> COG "
-                         "GeoTIFFs in --dst (probed back for the "
-                         "manifest)")
+                    help="raster ingest (T11): .asc/.grd, classic .nc "
+                         "or .nc4/.h5 (HDF5) under SRC -> overview "
+                         "cascade -> COG GeoTIFFs in --dst (probed "
+                         "back for the manifest)")
     ap.add_argument("--overview-levels", type=int, default=2,
                     help="overview pyramid rounds for --raster")
     args = ap.parse_args(argv)
@@ -145,16 +145,20 @@ def main(argv: list[str] | None = None) -> int:
                 rasterprobe as RP,
             )
             from geohub_data_pipeline_spark.sources import aaigrid as AG
+            from geohub_data_pipeline_spark.sources import hdf5 as H5
             from geohub_data_pipeline_spark.sources import netcdf3 as NC
 
             low = args.raster.lower()
             if low.endswith(".nc"):
                 blocks = NC.blocks_from_netcdf3(spark, args.raster)
                 georefs = [NC.georef_from_netcdf3(spark, args.raster)]
+            elif low.endswith((".nc4", ".h5", ".hdf5")):
+                blocks = H5.blocks_from_netcdf4(spark, args.raster)
+                georefs = [H5.georef_from_netcdf4(spark, args.raster)]
             elif low.endswith((".asc", ".grd")):
                 blocks = AG.blocks_from_aaigrid(spark, args.raster)
                 georefs = [AG.georef_from_aaigrid(spark, args.raster)]
-            else:                          # directory: both families
+            else:                          # directory: all families
                 import os as _os
                 parts, georefs = [], []
                 for fn, gfn, glob in (
@@ -163,7 +167,9 @@ def main(argv: list[str] | None = None) -> int:
                         (AG.blocks_from_aaigrid,
                          AG.georef_from_aaigrid, "*.grd"),
                         (NC.blocks_from_netcdf3,
-                         NC.georef_from_netcdf3, "*.nc")):
+                         NC.georef_from_netcdf3, "*.nc"),
+                        (H5.blocks_from_netcdf4,
+                         H5.georef_from_netcdf4, "*.nc4")):
                     try:
                         src = _os.path.join(args.raster, glob)
                         parts.append(fn(spark, src))

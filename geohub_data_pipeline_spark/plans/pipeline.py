@@ -1261,3 +1261,86 @@ def gdb_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.mapInPandas(
         rt, "doc_id long, n_features long, n_layers long, srid int, "
             "first_x double")
+
+
+# ---------------------------------------------------------------------------
+# S6/S8 raster source under the gate: real NetCDF-4/HDF5 round-trip
+# ---------------------------------------------------------------------------
+
+_NC4_SQL = """
+SELECT doc_id,
+       CAST(1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS n_subdatasets,
+       CAST((4 + doc_id % 5) * (6 + doc_id % 7)
+            + CASE WHEN doc_id % 3 = 0 THEN 12 ELSE 0 END AS BIGINT)
+           AS total_px,
+       round(0.25 * ((4 + doc_id % 5) * (6 + doc_id % 7))
+             * ((4 + doc_id % 5) * (6 + doc_id % 7) - 1)
+             + CASE WHEN doc_id % 3 = 0 THEN doc_id * 12.0 ELSE 0 END,
+             3) AS sum_px
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("nc4_probe", "pipeline",
+       "§2.1 S6/S8 raster probe/source: real NetCDF-4 (HDF5) files "
+       "written and read back stdlib-only — superblock, object headers, "
+       "symbol tables, contiguous AND chunked+deflate+shuffle layouts "
+       "(sources/hdf5.py; ref ingest/config.py:73 '.nc4' allowlist)",
+       _NC4_SQL)
+def nc4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a real HDF5/NetCDF-4 file per document (deterministic
+    grids; odd ids chunked+deflate+shuffle, multiples of 3 get a
+    second subdataset) and read it back through the raster source —
+    writer, B-tree/heap walkers, and filter pipeline all sit under
+    the oracle compare.
+
+    Scale: each .nc4 is built and read inside one Arrow kernel on
+    executor-local scratch; no shuffle.
+    """
+    import os as _os
+    import tempfile
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.sources import hdf5 as H5
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id")
+
+    def rt(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                h, w = 4 + did % 5, 6 + did % 7
+                dsets = {"temp": (np.arange(h * w, dtype="<f8")
+                                  .reshape(h, w) * 0.5)}
+                if did % 3 == 0:
+                    dsets["b2"] = np.full((3, 4), float(did),
+                                          dtype="<f8")
+                fd, tmp = tempfile.mkstemp(suffix=".nc4")
+                _os.close(fd)
+                try:
+                    H5.write_hdf5(tmp, dsets,
+                                  chunked={"temp"} if did % 2 else
+                                  frozenset())
+                    with open(tmp, "rb") as f:
+                        payload = f.read()
+                finally:
+                    _os.unlink(tmp)
+                got = H5.read_hdf5_datasets(payload)
+                total = sum(int(np.prod(d.shape)) for d in got)
+                s = sum(float(d.data.sum()) for d in got)
+                rows.append((did, len(got), total, round(s, 3)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_subdatasets", "total_px", "sum_px"])
+
+    return base.mapInPandas(
+        rt, "doc_id long, n_subdatasets long, total_px long, "
+            "sum_px double")
