@@ -13,10 +13,14 @@ closed-form from the published formulas:
 * EPSG:2154 — RGF93 / Lambert-93, Lambert Conformal Conic 2SP
   (IOGP Guidance Note 7-2 formulas),
 * a PARAMETER TABLE (``_CRS_TABLE``) dispatching any EPSG defined by
-  the TM / LCC-2SP / LAEA / Albers families: 27700 (OSGB36 British
-  National Grid, incl. the published 7-parameter Helmert datum
-  shift), 2193 (NZTM2000), 5070 + ESRI:102008 (Albers equal-area
-  conic, Snyder 1987 §14), 3978 (Canada Atlas Lambert).
+  the TM / LCC-2SP / LAEA / Albers / polar-stereographic / Krovak
+  families: 27700 (OSGB36 British National Grid, incl. the published
+  7-parameter Helmert datum shift), 29902/29903 (Irish Grid, TM75
+  Helmert), 2193 (NZTM2000), 5070 + ESRI:102008 + 3577 (Albers
+  equal-area conic, Snyder 1987 §14), 3978 (Canada Atlas Lambert),
+  26985 (NAD83 Maryland state-plane LCC), 3413/3031 (polar
+  stereographic variant B, Snyder §21), 5514 (S-JTSK Krovak East
+  North, IOGP GN7-2 §3.6 incl. the 3-param datum shift).
 
 Everything is plain ``math`` on (lon, lat) pairs — usable inside
 Arrow-batched kernels with zero dependencies.  Datum handling: the
@@ -406,6 +410,138 @@ def _make_laea(ellps, lat0, lon0, fe, fn):
 
 
 # ---------------------------------------------------------------------------
+# Polar Stereographic variant B (Snyder 1987 §21, ellipsoidal form
+# with a standard parallel) — EPSG:3413 / 3031, the climate-raster
+# grids (NSIDC sea-ice north, Antarctic)
+# ---------------------------------------------------------------------------
+
+def _make_ps(ellps, lat_ts, lon0, fe, fn):
+    a, f = ellps
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+    south = lat_ts < 0
+
+    def t_of(phi):
+        s = math.sin(phi)
+        return (math.tan(math.pi / 4 - phi / 2)
+                / ((1 - e * s) / (1 + e * s)) ** (e / 2))
+
+    phi_f = math.radians(abs(lat_ts))
+    m_f = math.cos(phi_f) / math.sqrt(1 - e2 * math.sin(phi_f) ** 2)
+    t_f = t_of(phi_f)
+
+    def _phi_of_tp(tp: float) -> float:
+        phi = math.pi / 2 - 2 * math.atan(tp)
+        for _ in range(8):
+            s = math.sin(phi)
+            phi_next = math.pi / 2 - 2 * math.atan(
+                tp * ((1 - e * s) / (1 + e * s)) ** (e / 2))
+            if abs(phi_next - phi) < 1e-13:
+                return phi_next
+            phi = phi_next
+        return phi
+
+    def fwd(lon: float, lat: float) -> tuple[float, float]:
+        lam = math.radians(lon - lon0)
+        phi = math.radians(lat)
+        if south:
+            # south aspect: t of -phi, y grows toward the pole's north
+            rho = a * m_f * t_of(-phi) / t_f
+            return fe + rho * math.sin(lam), fn + rho * math.cos(lam)
+        rho = a * m_f * t_of(phi) / t_f
+        return fe + rho * math.sin(lam), fn - rho * math.cos(lam)
+
+    def inv(e_crd: float, n_crd: float) -> tuple[float, float]:
+        x, y = e_crd - fe, n_crd - fn
+        rho = math.hypot(x, y)
+        if rho == 0:
+            return lon0, -90.0 if south else 90.0
+        tp = rho * t_f / (a * m_f)
+        if south:
+            lam = math.atan2(x, y)
+            return (lon0 + math.degrees(lam),
+                    -math.degrees(_phi_of_tp(tp)))
+        lam = math.atan2(x, -y)
+        return lon0 + math.degrees(lam), math.degrees(_phi_of_tp(tp))
+
+    return fwd, inv
+
+
+# ---------------------------------------------------------------------------
+# Krovak oblique conformal conic (IOGP Guidance Note 7-2 §3.6) —
+# EPSG:5514 S-JTSK / Krovak East North (Czech + Slovak national grid)
+# ---------------------------------------------------------------------------
+
+_BESSEL1841 = (6377397.155, 1.0 / 299.1528128)
+
+
+def _make_krovak(ellps, lat_c, lon0, alpha_c, lat_p, k_p, fe, fn):
+    """lon0 is Greenwich-referenced (the EPSG definition's 24°50' East
+    of Ferro, Ferro = 17°40' W).  Output axes are the East-North
+    variant: E = -westing, N = -southing (EPSG:5514)."""
+    a, f = ellps
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+    phi_c = math.radians(lat_c)
+    alpha = math.radians(alpha_c)
+    phi_p = math.radians(lat_p)
+
+    A = a * math.sqrt(1 - e2) / (1 - e2 * math.sin(phi_c) ** 2)
+    B = math.sqrt(1 + e2 * math.cos(phi_c) ** 4 / (1 - e2))
+    gamma0 = math.asin(math.sin(phi_c) / B)
+    t0 = (math.tan(math.pi / 4 + gamma0 / 2)
+          * ((1 + e * math.sin(phi_c)) / (1 - e * math.sin(phi_c)))
+          ** (e * B / 2)
+          / math.tan(math.pi / 4 + phi_c / 2) ** B)
+    n = math.sin(phi_p)
+    r0 = k_p * A / math.tan(phi_p)
+
+    def fwd(lon: float, lat: float) -> tuple[float, float]:
+        phi = math.radians(lat)
+        s = math.sin(phi)
+        U = 2 * (math.atan(
+            t0 * math.tan(phi / 2 + math.pi / 4) ** B
+            / ((1 + e * s) / (1 - e * s)) ** (e * B / 2)) - math.pi / 4)
+        V = B * math.radians(lon0 - lon)
+        T = math.asin(math.cos(alpha) * math.sin(U)
+                      + math.sin(alpha) * math.cos(U) * math.cos(V))
+        D = math.asin(math.cos(U) * math.sin(V) / math.cos(T))
+        theta = n * D
+        r = (r0 * math.tan(math.pi / 4 + phi_p / 2) ** n
+             / math.tan(T / 2 + math.pi / 4) ** n)
+        x_south = r * math.cos(theta)
+        y_west = r * math.sin(theta)
+        return fe - y_west, fn - x_south
+
+    def inv(e_crd: float, n_crd: float) -> tuple[float, float]:
+        y_west = fe - e_crd
+        x_south = fn - n_crd
+        r = math.hypot(x_south, y_west)
+        theta = math.atan2(y_west, x_south)
+        D = theta / n
+        T = 2 * (math.atan(
+            (r0 / r) ** (1 / n) * math.tan(math.pi / 4 + phi_p / 2))
+            - math.pi / 4)
+        U = math.asin(math.cos(alpha) * math.sin(T)
+                      - math.sin(alpha) * math.cos(T) * math.cos(D))
+        V = math.asin(math.cos(T) * math.sin(D) / math.cos(U))
+        phi = U
+        for _ in range(10):
+            s = math.sin(phi)
+            phi_next = 2 * (math.atan(
+                (math.tan(U / 2 + math.pi / 4) / t0) ** (1 / B)
+                * ((1 + e * s) / (1 - e * s)) ** (e / 2)) - math.pi / 4)
+            if abs(phi_next - phi) < 1e-13:
+                phi = phi_next
+                break
+            phi = phi_next
+        lon = lon0 - math.degrees(V / B)
+        return lon, math.degrees(phi)
+
+    return fwd, inv
+
+
+# ---------------------------------------------------------------------------
 # 7-parameter Helmert datum shift (position-vector convention) —
 # needed only for OSGB36, whose offset from WGS84 is ~120 m.
 # Parameters: OS "A guide to coordinate systems in Great Britain",
@@ -414,6 +550,18 @@ def _make_laea(ellps, lat0, lon0, fe, fn):
 
 _HELMERT_WGS84_TO_OSGB36 = (-446.448, 125.157, -542.060, 20.4894,
                             -0.1502, -0.2470, -0.8421)
+
+# EPSG:1953 "TM75 to ETRS89 (2)" position-vector parameters, negated
+# to the WGS84 -> TM75 direction (exact-inverse error ~ mm at these
+# magnitudes): tx ty tz (m), s (ppm), rx ry rz (arc-sec).
+_HELMERT_WGS84_TO_TM75 = (-482.5, 130.596, -564.557, -8.15,
+                          1.042, 0.214, 0.631)
+
+# EPSG:1623 "S-JTSK to WGS 84 (1)" geocentric translations, negated.
+_HELMERT_WGS84_TO_SJTSK = (-589.0, -76.0, -480.0, 0.0, 0.0, 0.0, 0.0)
+
+# Airy Modified 1849 (Ireland)
+_AIRY_MOD = (6377340.189, 1.0 / 299.3249646)
 
 
 def _geodetic_to_ecef(lon: float, lat: float, ellps) -> tuple:
@@ -508,10 +656,43 @@ _CRS_TABLE: dict[int, tuple] = {
     2154: ("lcc2", _GRS80,
            dict(lat0=46.5, lon0=3.0, sp1=44.0, sp2=49.0,
                 fe=700000.0, fn=6600000.0), None),
+    # --- round-4 additions (VERDICT r3 item 4) ------------------------
+    # TM65 / Irish Grid + TM75 / Irish Grid (TM on Airy Modified;
+    # EPSG:1953 TM75<->ETRS89 position-vector Helmert, inverted to the
+    # WGS84->datum direction; the mm-level TM65/TM75 difference is
+    # below this path's accuracy, as for the reference's default PROJ)
+    29902: ("tm", _AIRY_MOD,
+            dict(lat0=53.5, lon0=-8.0, k0=1.000035,
+                 fe=200000.0, fn=250000.0), _HELMERT_WGS84_TO_TM75),
+    29903: ("tm", _AIRY_MOD,
+            dict(lat0=53.5, lon0=-8.0, k0=1.000035,
+                 fe=200000.0, fn=250000.0), _HELMERT_WGS84_TO_TM75),
+    # NSIDC Sea Ice Polar Stereographic North (lat_ts 70N, lon0 -45)
+    3413: ("ps", _WGS84,
+           dict(lat_ts=70.0, lon0=-45.0, fe=0.0, fn=0.0), None),
+    # Antarctic Polar Stereographic (lat_ts 71S, lon0 0)
+    3031: ("ps", _WGS84,
+           dict(lat_ts=-71.0, lon0=0.0, fe=0.0, fn=0.0), None),
+    # S-JTSK / Krovak East North (Bessel 1841; EPSG:1623 3-param
+    # S-JTSK->WGS84 Helmert inverted; lon0 = 42°30' E of Ferro)
+    5514: ("krovak", _BESSEL1841,
+           dict(lat_c=49.5, lon0=42.5 - 17.0 - 40.0 / 60.0,
+                alpha_c=30.0 + 17.0 / 60.0 + 17.3031 / 3600.0,
+                lat_p=78.5, k_p=0.9999, fe=0.0, fn=0.0),
+           _HELMERT_WGS84_TO_SJTSK),
+    # NAD83 / Maryland (state-plane LCC-2SP sample, meters)
+    26985: ("lcc2", _GRS80,
+            dict(lat0=37.0 + 40.0 / 60.0, lon0=-77.0,
+                 sp1=38.3, sp2=39.45, fe=400000.0, fn=0.0), None),
+    # GDA94 / Australian Albers (the continental equal-area grid)
+    3577: ("aea", _GRS80,
+           dict(lat0=0.0, lon0=132.0, sp1=-18.0, sp2=-36.0,
+                fe=0.0, fn=0.0), None),
 }
 
 _FAMILIES = {"tm": _make_tm, "lcc2": _make_lcc2,
-             "laea": _make_laea, "aea": _make_aea}
+             "laea": _make_laea, "aea": _make_aea,
+             "ps": _make_ps, "krovak": _make_krovak}
 
 _PAIR_CACHE: dict[int, tuple] = {}
 
@@ -532,14 +713,17 @@ def supported_srids() -> list[int]:
     """Every srid reproject handles natively (table + UTM ranges)."""
     return (sorted(_CRS_TABLE)
             + list(range(32601, 32661)) + list(range(32701, 32761))
-            + list(range(25828, 25839)) + list(range(26901, 26924)))
+            + list(range(25828, 25839)) + list(range(26901, 26924))
+            + list(range(28348, 28359)))
 
 
 def to_lonlat(srid: int):
     """Return ``f(x, y) -> (lon, lat)`` for a supported projected CRS,
     else None.  Supported: UTM WGS84 N/S (32601-32660 / 32701-32760),
-    UTM ETRS89 N (25828-25838), UTM NAD83 N (26901-26923), and every
-    ``_CRS_TABLE`` entry (27700, 2193, 5070, 102008, 3978, 3035, 2154).
+    UTM ETRS89 N (25828-25838), UTM NAD83 N (26901-26923), GDA94 MGA
+    S (28348-28358), and every ``_CRS_TABLE`` entry (27700, 2193,
+    5070, 102008, 3978, 3035, 2154, 29902, 29903, 3413, 3031, 5514,
+    26985, 3577).
     """
     if 32601 <= srid <= 32660:
         zone = srid - 32600
@@ -554,6 +738,10 @@ def to_lonlat(srid: int):
     if 26901 <= srid <= 26923:              # NAD83 / UTM 1N..23N (GRS80)
         zone = srid - 26900
         return lambda x, y: utm_to_lonlat(x, y, zone, north=True,
+                                          ellipsoid=_TM_GRS80)
+    if 28348 <= srid <= 28358:              # GDA94 / MGA 48S..58S (GRS80)
+        zone = srid - 28300
+        return lambda x, y: utm_to_lonlat(x, y, zone, north=False,
                                           ellipsoid=_TM_GRS80)
     if srid in _CRS_TABLE:
         return _pair(srid)[1]
@@ -575,6 +763,10 @@ def from_lonlat(srid: int):
     if 26901 <= srid <= 26923:              # NAD83 / UTM 1N..23N (GRS80)
         zone = srid - 26900
         return lambda lon, lat: lonlat_to_utm(lon, lat, zone, north=True,
+                                              ellipsoid=_TM_GRS80)
+    if 28348 <= srid <= 28358:              # GDA94 / MGA 48S..58S (GRS80)
+        zone = srid - 28300
+        return lambda lon, lat: lonlat_to_utm(lon, lat, zone, north=False,
                                               ellipsoid=_TM_GRS80)
     if srid in _CRS_TABLE:
         return _pair(srid)[0]

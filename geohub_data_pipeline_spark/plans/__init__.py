@@ -37,7 +37,7 @@ promote([
     "backfill_anti_join", "progress_partition", "scalar_null_handling",
     "conditional_case", "scalar_string", "scalar_math", "scalar_datetime",
     # new in round 4 — first gate row
-    "gdb_source", "nc4_probe",
+    "gdb_source", "nc4_probe", "crs_roundtrip_extended",
     # last checked r2
     "agg_approx_distinct", "agg_collect_array", "zoom_heuristic",
     "events_tumbling_window", "events_sliding_window",

@@ -1344,3 +1344,95 @@ def nc4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.mapInPandas(
         rt, "doc_id long, n_subdatasets long, total_px long, "
             "sum_px double")
+
+
+# ---------------------------------------------------------------------------
+# T7 CRS stack round 4: the widened table under the gate
+# ---------------------------------------------------------------------------
+
+_CRS_RT2_SQL = """
+SELECT doc_id,
+       CAST(CASE doc_id % 6 WHEN 0 THEN 29902 WHEN 1 THEN 3413
+            WHEN 2 THEN 3031 WHEN 3 THEN 5514 WHEN 4 THEN 26985
+            ELSE 3577 END AS INTEGER) AS srid,
+       round(CASE doc_id % 6
+             WHEN 0 THEN -8.0 + (doc_id % 30) * 0.05
+             WHEN 1 THEN -45.0 + (doc_id % 120) * 1.5
+             WHEN 2 THEN -180.0 + (doc_id % 120) * 3.0
+             WHEN 3 THEN 13.0 + (doc_id % 50) * 0.1
+             WHEN 4 THEN -79.0 + (doc_id % 30) * 0.1
+             ELSE 115.0 + (doc_id % 35) * 1.0 END, 4) AS lon_rt,
+       round(CASE doc_id % 6
+             WHEN 0 THEN 51.5 + ((doc_id * 3) % 40) * 0.1
+             WHEN 1 THEN 62.0 + ((doc_id * 3) % 25) * 1.0
+             WHEN 2 THEN -88.0 + ((doc_id * 3) % 25) * 1.0
+             WHEN 3 THEN 48.5 + ((doc_id * 3) % 25) * 0.1
+             WHEN 4 THEN 38.0 + ((doc_id * 3) % 20) * 0.1
+             ELSE -43.0 + ((doc_id * 3) % 33) * 1.0 END, 4) AS lat_rt
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("crs_roundtrip_extended", "pipeline",
+       "§2.2 T7 reprojection, round-4 table widening: Irish Grid TM "
+       "(+TM75 Helmert), polar stereographic N/S, Krovak, state-plane "
+       "LCC, Australian Albers (operators/crs.py; absolute control "
+       "points in tests/test_crs.py)", _CRS_RT2_SQL)
+def crs_roundtrip_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward+inverse through the round-4 CRS additions (29902
+    Irish Grid incl. datum path, 3413/3031 polar stereographic,
+    5514 Krovak incl. S-JTSK shift, 26985 Maryland LCC, 3577
+    Australian Albers), each over its realistic lon/lat window.  The
+    oracle is the input formula — any broken forward, inverse,
+    dispatch, or Helmert path surfaces as a value mismatch.
+
+    Scale: stateless per-row math in an Arrow-batched kernel — a
+    scan, no shuffle.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.operators import crs as C
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id")
+    srids = [29902, 3413, 3031, 5514, 26985, 3577]
+    lon_of = [
+        lambda d: -8.0 + (d % 30) * 0.05,
+        lambda d: -45.0 + (d % 120) * 1.5,
+        lambda d: -180.0 + (d % 120) * 3.0,
+        lambda d: 13.0 + (d % 50) * 0.1,
+        lambda d: -79.0 + (d % 30) * 0.1,
+        lambda d: 115.0 + (d % 35) * 1.0,
+    ]
+    lat_of = [
+        lambda d: 51.5 + ((d * 3) % 40) * 0.1,
+        lambda d: 62.0 + ((d * 3) % 25) * 1.0,
+        lambda d: -88.0 + ((d * 3) % 25) * 1.0,
+        lambda d: 48.5 + ((d * 3) % 25) * 0.1,
+        lambda d: 38.0 + ((d * 3) % 20) * 0.1,
+        lambda d: -43.0 + ((d * 3) % 33) * 1.0,
+    ]
+
+    def rt(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pairs = {s: (C.from_lonlat(s), C.to_lonlat(s)) for s in srids}
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                k = did % 6
+                srid = srids[k]
+                lon, lat = lon_of[k](did), lat_of[k](did)
+                fwd, inv = pairs[srid]
+                lon2, lat2 = inv(*fwd(lon, lat))
+                rows.append((did, srid,
+                             round(lon2, 4) + 0.0, round(lat2, 4) + 0.0))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "srid", "lon_rt", "lat_rt"])
+
+    return base.mapInPandas(
+        rt, "doc_id long, srid int, lon_rt double, lat_rt double")

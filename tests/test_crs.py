@@ -257,3 +257,120 @@ def test_nad83_utm_zone_range():
         assert math.isclose(lon, lon2, abs_tol=1e-9)
         assert math.isclose(lat, lat2, abs_tol=1e-9)
     assert C.to_lonlat(26924) is None and C.to_lonlat(26900) is None
+
+
+# ---------------------------------------------------------------------------
+# round-4 additions: Irish Grid, polar stereographic, Krovak,
+# state-plane LCC, Australian Albers, MGA south zones
+# ---------------------------------------------------------------------------
+
+def test_irish_grid_projection_origin():
+    """The raw TM grid (no datum shift) maps the true origin exactly."""
+    fwd, inv = C._FAMILIES["tm"](
+        C._AIRY_MOD, lat0=53.5, lon0=-8.0, k0=1.000035,
+        fe=200000.0, fn=250000.0)
+    assert fwd(-8.0, 53.5) == pytest.approx((200000.0, 250000.0),
+                                            abs=1e-6)
+    lon, lat = inv(*fwd(-6.26, 53.35))              # Dublin-ish
+    assert (lon, lat) == pytest.approx((-6.26, 53.35), abs=1e-7)
+
+
+def test_irish_grid_datum_shift_magnitude():
+    """WGS84 -> TM75 Helmert moves Irish points by tens of meters
+    (the documented ~30-80 m shift), and roundtrips through the full
+    dispatch."""
+    fwd, inv = C.from_lonlat(29902), C.to_lonlat(29902)
+    raw_fwd, _ = C._FAMILIES["tm"](
+        C._AIRY_MOD, lat0=53.5, lon0=-8.0, k0=1.000035,
+        fe=200000.0, fn=250000.0)
+    e1, n1 = fwd(-7.0, 53.0)
+    e0, n0 = raw_fwd(-7.0, 53.0)
+    shift = math.hypot(e1 - e0, n1 - n0)
+    assert 20.0 < shift < 150.0
+    assert inv(e1, n1) == pytest.approx((-7.0, 53.0), abs=1e-7)
+    # 29903 (TM75) dispatches identically
+    assert C.from_lonlat(29903)(-7.0, 53.0) == (e1, n1)
+
+
+def test_polar_stereo_north_3413():
+    fwd, inv = C.from_lonlat(3413), C.to_lonlat(3413)
+    # pole maps to grid origin
+    assert fwd(-45.0, 90.0) == pytest.approx((0.0, 0.0), abs=1e-6)
+    # standard parallel on the central meridian: x=0, y=-a*m(70)
+    x, y = fwd(-45.0, 70.0)
+    assert x == pytest.approx(0.0, abs=1e-6)
+    assert y == pytest.approx(-2188100, abs=2000)   # a*m(70) ~ 2188 km
+    for lon, lat in [(-45.0, 70.0), (10.0, 75.5), (-120.0, 82.25)]:
+        assert inv(*fwd(lon, lat)) == pytest.approx((lon, lat),
+                                                    abs=1e-9)
+
+
+def test_polar_stereo_south_3031():
+    fwd, inv = C.from_lonlat(3031), C.to_lonlat(3031)
+    assert fwd(0.0, -90.0) == pytest.approx((0.0, 0.0), abs=1e-6)
+    x, y = fwd(0.0, -71.0)
+    assert x == pytest.approx(0.0, abs=1e-6)
+    assert y == pytest.approx(2083100, abs=2000)    # a*m(71) ~ 2083 km
+    # grid-north toward Greenwich: +90E maps to +x
+    x2, y2 = fwd(90.0, -71.0)
+    assert x2 == pytest.approx(abs(y), abs=2000) and \
+        y2 == pytest.approx(0.0, abs=1e-6)
+    for lon, lat in [(0.0, -71.0), (135.0, -80.0), (-60.0, -75.25)]:
+        assert inv(*fwd(lon, lat)) == pytest.approx((lon, lat),
+                                                    abs=1e-9)
+
+
+def test_krovak_gn7_worked_example():
+    """IOGP Guidance Note 7-2 §3.6 test point (on the Bessel/S-JTSK
+    datum, so the raw family is used): 50°12'32.442\"N
+    16°50'59.179\"E -> southing 1050538.63, westing 568991.00."""
+    fwd, inv = C._FAMILIES["krovak"](
+        C._BESSEL1841, lat_c=49.5, lon0=42.5 - 17.0 - 40.0 / 60.0,
+        alpha_c=30.0 + 17.0 / 60.0 + 17.3031 / 3600.0,
+        lat_p=78.5, k_p=0.9999, fe=0.0, fn=0.0)
+    lat = 50.0 + 12.0 / 60.0 + 32.442 / 3600.0
+    lon = 16.0 + 50.0 / 60.0 + 59.179 / 3600.0
+    e, n = fwd(lon, lat)
+    assert e == pytest.approx(-568991.00, abs=0.1)
+    assert n == pytest.approx(-1050538.63, abs=0.1)
+    assert inv(e, n) == pytest.approx((lon, lat), abs=1e-9)
+
+
+def test_krovak_5514_dispatch_roundtrip():
+    fwd, inv = C.from_lonlat(5514), C.to_lonlat(5514)
+    for lon, lat in [(14.42, 50.09), (17.1, 48.15), (18.2, 49.2)]:
+        e, n = fwd(lon, lat)
+        assert e < 0 and n < 0                       # EN axes negative
+        assert inv(e, n) == pytest.approx((lon, lat), abs=1e-7)
+
+
+def test_maryland_lcc_26985():
+    fwd, inv = C.from_lonlat(26985), C.to_lonlat(26985)
+    # 2SP grid origin by definition: (lat0, lon0) -> (FE, FN)
+    lat0 = 37.0 + 40.0 / 60.0
+    assert fwd(-77.0, lat0) == pytest.approx((400000.0, 0.0), abs=1e-6)
+    assert inv(*fwd(-76.6, 39.3)) == pytest.approx((-76.6, 39.3),
+                                                   abs=1e-9)
+
+
+def test_australian_albers_3577():
+    fwd, inv = C.from_lonlat(3577), C.to_lonlat(3577)
+    assert fwd(132.0, 0.0) == pytest.approx((0.0, 0.0), abs=1e-6)
+    for lon, lat in [(151.2, -33.87), (115.86, -31.95), (147.0, -42.9)]:
+        assert inv(*fwd(lon, lat)) == pytest.approx((lon, lat),
+                                                    abs=1e-7)
+
+
+def test_mga_south_zones():
+    """GDA94 / MGA 48S..58S dispatch to south-UTM on GRS80."""
+    fwd, inv = C.from_lonlat(28355), C.to_lonlat(28355)   # zone 55
+    e, n = fwd(147.0, -37.0)                              # lon0 = 147
+    assert e == pytest.approx(500000.0, abs=1e-6)         # on meridian
+    assert n < 10000000.0
+    assert inv(e, n) == pytest.approx((147.0, -37.0), abs=1e-7)
+    assert 28355 in C.supported_srids()
+
+
+def test_new_codes_in_supported_srids():
+    for srid in (29902, 29903, 3413, 3031, 5514, 26985, 3577):
+        assert srid in C.supported_srids()
