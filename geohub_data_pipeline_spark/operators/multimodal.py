@@ -6,10 +6,11 @@ never round-trip through Python row objects.
 
 The *decode* step ships three paths, tried in order:
 
-* REAL stdlib codecs: PNG (zlib inflate + chunk walk — no external
-  deps) and WAV (``wave``) are decoded from actual bytes,
+* REAL stdlib codecs: PNG (zlib inflate + chunk walk), baseline JPEG
+  (functions/jpegcodec.py — full Huffman + IDCT pixel decode) and WAV
+  (``wave``) are decoded from actual bytes,
 * real third-party codecs (PIL / soundfile / av) behind import guards
-  for formats stdlib can't read (JPEG, FLAC, video),
+  for formats stdlib can't read (progressive JPEG, FLAC, video),
 * a deterministic fake codec for a self-describing TLV header format
   (``FAKE_MAGIC``) used where no codec applies (video in this env) —
   the Spark-side plumbing (schema, batching, partitioning, UDF
@@ -152,10 +153,23 @@ def encode_mp4_probe(width: int, height: int, n_ticks: int,
 
 
 def _decode_jpeg(payload: bytes, meta: dict) -> dict:
-    """JPEG dimension probe: walk the marker stream to the SOF segment
-    (baseline C0 / extended C1 / progressive C2) and read the frame
-    header — the GDAL-style metadata probe; pixel decode needs a full
-    DCT codec and stays behind the PIL guard."""
+    """Real JPEG decode for baseline streams: the stdlib Huffman+IDCT
+    codec (functions/jpegcodec.py) produces actual pixels, so the
+    reported dims/channels are decode-true.  Non-baseline processes
+    (progressive SOF2, arithmetic) fall back to the SOF dimension
+    probe — the GDAL-style metadata path — and full pixel decode for
+    those stays behind the PIL guard."""
+    try:
+        from geohub_data_pipeline_spark.functions.jpegcodec import (
+            decode_baseline_jpeg,
+        )
+        arr = decode_baseline_jpeg(payload)
+        meta.update(ok=True, width=int(arr.shape[1]),
+                    height=int(arr.shape[0]),
+                    n_channels=1 if arr.ndim == 2 else int(arr.shape[2]))
+        return meta
+    except Exception:
+        pass                               # fall through to SOF probe
     try:
         if payload[:2] != b"\xff\xd8":
             raise ValueError("bad JPEG SOI")

@@ -1436,3 +1436,80 @@ def crs_roundtrip_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return base.mapInPandas(
         rt, "doc_id long, srid int, lon_rt double, lat_rt double")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal round 4: baseline JPEG pixel decode under the gate
+# ---------------------------------------------------------------------------
+
+# Constant EVEN 8x8 tiles round-trip bit-exactly through the baseline
+# codec (see functions/jpegcodec.py docstring), so the decoded pixel
+# statistics have a closed form over the tile-value formula.
+_JPEG_SQL = """
+SELECT d.doc_id,
+       CAST(16 + 8 * (d.doc_id % 3) AS INTEGER) AS width,
+       CAST(16 + 8 * (d.doc_id % 2) AS INTEGER) AS height,
+       round(s.mean_v, 4) AS px_mean,
+       CAST(s.min_v AS INTEGER) AS px_min,
+       CAST(s.max_v AS INTEGER) AS px_max
+FROM documents d,
+LATERAL (
+    SELECT avg(((d.doc_id * 7 + t.i * 10) % 128) * 2.0) AS mean_v,
+           min(((d.doc_id * 7 + t.i * 10) % 128) * 2) AS min_v,
+           max(((d.doc_id * 7 + t.i * 10) % 128) * 2) AS max_v
+    FROM range(12) t(i)
+    WHERE t.i < (2 + d.doc_id % 3) * (2 + d.doc_id % 2)
+) s
+ORDER BY d.doc_id
+"""
+
+
+@query("jpeg_pixel_stats", "pipeline",
+       "multimodal: baseline JPEG full pixel decode (stdlib "
+       "Huffman+IDCT, functions/jpegcodec.py) — encoder and decoder "
+       "under a closed-form pixel oracle", _JPEG_SQL)
+def jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode a deterministic constant-tile grayscale JPEG per
+    document (every value even, so DCT+quantization round-trips
+    exactly), decode it with the baseline codec, and report pixel
+    statistics — Huffman coding, DC prediction, IDCT, and marker
+    framing all sit under the oracle compare.
+
+    Scale: per-row encode+decode in an Arrow-batched kernel; no
+    shuffle.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.functions import jpegcodec as J
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id")
+
+    def rt(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ntx, nty = 2 + did % 3, 2 + did % 2
+                img = np.zeros((nty * 8, ntx * 8), dtype=np.uint8)
+                for ty in range(nty):
+                    for tx in range(ntx):
+                        i = ty * ntx + tx
+                        img[ty * 8:(ty + 1) * 8, tx * 8:(tx + 1) * 8] \
+                            = ((did * 7 + i * 10) % 128) * 2
+                dec = J.decode_baseline_jpeg(J.encode_baseline_jpeg(img))
+                rows.append((did, int(dec.shape[1]), int(dec.shape[0]),
+                             round(float(dec.mean()), 4),
+                             int(dec.min()), int(dec.max())))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "px_mean", "px_min",
+                "px_max"])
+
+    return base.mapInPandas(
+        rt, "doc_id long, width int, height int, px_mean double, "
+            "px_min int, px_max int")
