@@ -46,8 +46,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--shard-tokens", type=int, default=20_000,
                     help="token capacity per training shard")
     ap.add_argument("--raster", metavar="SRC",
-                    help="raster ingest (T11): .asc/.grd, classic .nc "
-                         "or .nc4/.h5 (HDF5) under SRC -> overview "
+                    help="raster ingest (T11): .asc/.grd/.aig/.sgr, "
+                         "classic .nc, .nc4/.h5 (HDF5) or Erdas raw "
+                         "(.raw/.bl) under SRC -> overview "
                          "cascade -> COG GeoTIFFs in --dst (probed "
                          "back for the manifest)")
     ap.add_argument("--overview-levels", type=int, default=2,
@@ -155,17 +156,38 @@ def main(argv: list[str] | None = None) -> int:
             elif low.endswith((".nc4", ".h5", ".hdf5")):
                 blocks = H5.blocks_from_netcdf4(spark, args.raster)
                 georefs = [H5.georef_from_netcdf4(spark, args.raster)]
-            elif low.endswith((".asc", ".grd")):
+            elif low.endswith((".asc", ".grd", ".aig", ".sgr")):
                 blocks = AG.blocks_from_aaigrid(spark, args.raster)
                 georefs = [AG.georef_from_aaigrid(spark, args.raster)]
+            elif low.endswith((".raw", ".bl")):
+                import os as _os
+                from geohub_data_pipeline_spark.sources import (
+                    erdasraw as ER,
+                )
+                # header + companion data pair live in one directory
+                blocks = ER.blocks_from_erdas(
+                    spark, _os.path.dirname(args.raster) or ".")
+                georefs = []
             else:                          # directory: all families
                 import os as _os
+                from geohub_data_pipeline_spark.sources import (
+                    erdasraw as ER,
+                )
                 parts, georefs = [], []
+                try:
+                    parts.append(ER.blocks_from_erdas(spark,
+                                                      args.raster))
+                except Exception:
+                    pass
                 for fn, gfn, glob in (
                         (AG.blocks_from_aaigrid,
                          AG.georef_from_aaigrid, "*.asc"),
                         (AG.blocks_from_aaigrid,
                          AG.georef_from_aaigrid, "*.grd"),
+                        (AG.blocks_from_aaigrid,
+                         AG.georef_from_aaigrid, "*.aig"),
+                        (AG.blocks_from_aaigrid,
+                         AG.georef_from_aaigrid, "*.sgr"),
                         (NC.blocks_from_netcdf3,
                          NC.georef_from_netcdf3, "*.nc"),
                         (H5.blocks_from_netcdf4,
@@ -177,11 +199,11 @@ def main(argv: list[str] | None = None) -> int:
                     except Exception:
                         continue           # no files of this family
                 if not parts:
-                    ap.error(f"no .asc/.grd/.nc under {args.raster}")
+                    ap.error(f"no raster files under {args.raster}")
                 blocks = parts[0]
                 for p in parts[1:]:
                     blocks = blocks.unionByName(p)
-            georef = georefs[0]
+            georef = georefs[0] if georefs else None
             for g in georefs[1:]:
                 georef = georef.unionByName(g)
             pyramid = R.overview_cascade(blocks, args.overview_levels)

@@ -38,7 +38,7 @@ promote([
     "conditional_case", "scalar_string", "scalar_math", "scalar_datetime",
     # new in round 4 — first gate row
     "gdb_source", "nc4_probe", "crs_roundtrip_extended",
-    "jpeg_pixel_stats",
+    "jpeg_pixel_stats", "erdas_source",
     # last checked r2
     "agg_approx_distinct", "agg_collect_array", "zoom_heuristic",
     "events_tumbling_window", "events_sliding_window",

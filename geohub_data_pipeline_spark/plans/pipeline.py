@@ -1513,3 +1513,81 @@ def jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.mapInPandas(
         rt, "doc_id long, width int, height int, px_mean double, "
             "px_min int, px_max int")
+
+
+# ---------------------------------------------------------------------------
+# S6 raster source round 4: Erdas Imagine Raw under the gate
+# ---------------------------------------------------------------------------
+
+_ERDAS_SQL = """
+SELECT doc_id,
+       CAST(1 + doc_id % 2 AS BIGINT) AS n_bands,
+       CAST((1 + doc_id % 2) * (5 + doc_id % 4) * (7 + doc_id % 3)
+            AS BIGINT) AS total_px,
+       round(((1 + doc_id % 2) * (5 + doc_id % 4) * (7 + doc_id % 3))
+             * ((1 + doc_id % 2) * (5 + doc_id % 4) * (7 + doc_id % 3)
+                - 1) / 2.0, 3) AS sum_px
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("erdas_source", "pipeline",
+       "§2.1 S6 raster source: Erdas Imagine Raw (.raw/.bl) header + "
+       "companion pairs decoded stdlib-only across all FORMAT / "
+       "BYTE_ORDER / INTERLEAVING combinations (sources/erdasraw.py; "
+       "ref ingest/config.py:50)", _ERDAS_SQL)
+def erdas_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write an Erdas raw pair per document (rotating layer count,
+    dims, FORMAT, BYTE_ORDER and INTERLEAVING so every decode branch
+    runs) and read it back — header parse, dtype/order decode, and
+    interleave de-weaving all sit under the closed-form sum oracle.
+
+    Scale: per-row encode+decode in an Arrow-batched kernel; no
+    shuffle.
+    """
+    import os as _os
+    import shutil
+    import tempfile
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.sources import erdasraw as ER
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id")
+    fmts = ["U8", "S16", "F32", "F64"]
+    ils = ["BSQ", "BIL", "BIP"]
+
+    def rt(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nl, h, w = 1 + did % 2, 5 + did % 4, 7 + did % 3
+                cube = np.arange(nl * h * w, dtype=np.float64) \
+                    .reshape(nl, h, w)
+                tmp = tempfile.mkdtemp()
+                try:
+                    ER.write_erdas_raw(
+                        tmp, f"d{did}", cube, fmt=fmts[did % 4],
+                        byte_order="LSB" if did % 2 else "MSB",
+                        interleaving=ils[did % 3])
+                    text = open(_os.path.join(tmp, f"d{did}.raw")).read()
+                    data = open(_os.path.join(tmp, f"d{did}.bl"),
+                                "rb").read()
+                finally:
+                    shutil.rmtree(tmp, ignore_errors=True)
+                out = ER.decode_erdas_raw(ER.parse_eir_header(text),
+                                          data)
+                rows.append((did, int(out.shape[0]), int(out.size),
+                             round(float(out.sum()), 3)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_bands", "total_px", "sum_px"])
+
+    return base.mapInPandas(
+        rt, "doc_id long, n_bands long, total_px long, sum_px double")

@@ -1,8 +1,11 @@
-"""Arc/Info ASCII Grid (.asc/.grd) raster source — stdlib text parse.
+"""Arc/Info ASCII Grid (.asc/.grd/.aig/.sgr) raster source — stdlib
+text parse.
 
-``.asc`` is in the reference's accepted raster format list
-(ref ingest/config.py:67-78 ALLOWED_GDAL_FORMATS); GDAL reads it into
-the same pipeline as GeoTIFF.  The format is a 6-line text header
+``.asc``/``.grd``/``.aig``/``.sgr`` are in the reference's accepted
+raster format list, all grouped under "Arc/Info ASCII Grid File"
+(ref ingest/config.py:46,67-78 ALLOWED_GDAL_FORMATS); GDAL reads
+them into the same pipeline as GeoTIFF.  The format is a 6-line text
+header
 (ncols, nrows, xllcorner/xllcenter, yllcorner/yllcenter, cellsize,
 optional nodata_value) followed by row-major whitespace-separated
 values, north row first.
