@@ -209,6 +209,12 @@ class IngestService:
     cancel_dir: str | None = None
     n_chunks: int = 4
     source: DataFrame | None = None
+    # RocksDB state store by default: the service is the long-running
+    # entry point, and at the 100 TB regime its stateful stages (dedup,
+    # watchdog, windows) must hold state off-heap, sized by unique
+    # keys not stream length (streaming/stateful.py docstring).  A
+    # restarted query keeps its checkpointed provider choice.
+    use_rocksdb_state: bool = True
 
     def _cancels(self) -> DataFrame | None:
         if self.cancel_dir is None:
@@ -235,6 +241,11 @@ class IngestService:
         )
 
     def run_available_now(self) -> None:
+        if self.use_rocksdb_state:
+            from geohub_data_pipeline_spark.streaming.stateful import (
+                enable_rocksdb_state,
+            )
+            enable_rocksdb_state(self.spark)
         src = (self.source if self.source is not None
                else message_stream(self.spark, self.messages_dir))
         q = (

@@ -244,3 +244,104 @@ def test_streaming_near_dedup_batch_parity(spark, tmp_path):
     got = {(r.keep_id, r.drop_id, r.jaccard)
            for r in spark.sql("SELECT * FROM near_parity").collect()}
     assert got == batch
+
+
+def test_exact_dedup_under_rocksdb_with_ttl(spark, tmp_path):
+    """VERDICT r3 item 9: the dedup verdicts are provider-independent —
+    the same seen-set semantics hold with the RocksDB state store
+    (disk-backed, the service default) + TTL as with the default
+    HDFS-backed provider."""
+    from geohub_data_pipeline_spark.streaming.stateful import (
+        ROCKSDB_STATE_CONFS, enable_rocksdb_state,
+        streaming_exact_dedup)
+
+    prev = {k: spark.conf.get(k, None) for k in ROCKSDB_STATE_CONFS}
+    enable_rocksdb_state(spark)
+    try:
+        assert "RocksDBStateStoreProvider" in spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass")
+        src = f"{tmp_path}/docs"
+        out = f"{tmp_path}/out"
+        _write(src, "b1.json", [
+            {"content_hash": "h1", "doc_id": 1},
+            {"content_hash": "h1", "doc_id": 2},
+            {"content_hash": "h2", "doc_id": 3},
+        ])
+        stream = spark.readStream.schema(
+            "content_hash string, doc_id long").json(src)
+        # TTL queries never self-terminate under availableNow (busy
+        # no-data cleanup batches) — poll + stop, like the TTL test.
+        q = (
+            streaming_exact_dedup(stream, ttl_ms=60_000)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", f"{tmp_path}/ckpt")
+            .trigger(availableNow=True)
+            .format("parquet").option("path", out)
+            .start()
+        )
+        deadline = time.time() + 120
+
+        def rows():
+            try:
+                return spark.read.parquet(out).collect()
+            except Exception:
+                return []
+
+        while time.time() < deadline and len(rows()) < 3:
+            time.sleep(1)
+        q.stop()
+        q.awaitTermination()
+        got = {(r.content_hash, r.doc_id): r for r in rows()}
+        assert not got[("h1", 1)].is_duplicate
+        assert got[("h1", 2)].is_duplicate \
+            and got[("h1", 2)].first_id == 1
+        assert not got[("h2", 3)].is_duplicate
+
+        # the RocksDB working dir actually materialized state on disk
+        # for the query (provider really in effect, not just a conf)
+        import glob
+        state_files = glob.glob(f"{tmp_path}/ckpt/state/**/*",
+                                recursive=True)
+        assert state_files, "no state checkpoint written"
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_ingest_service_defaults_to_rocksdb(spark, tmp_path):
+    """IngestService.run_available_now flips the provider conf on."""
+    import json
+    import os
+
+    from geohub_data_pipeline_spark.streaming.service import (
+        IngestService,
+    )
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None)
+    os.makedirs(f"{tmp_path}/msgs", exist_ok=True)
+    with open(f"{tmp_path}/msgs/m1.json", "w") as f:
+        json.dump({"msg_id": "m1", "body": json.dumps({
+            "url": "https://acct.host/c/u1/raw/a.gpkg",
+            "user": "u1"}), "enqueued_ts": "2024-01-01T00:00:00Z"}, f)
+    svc = IngestService(
+        spark=spark,
+        messages_dir=f"{tmp_path}/msgs",
+        ledger_dir=f"{tmp_path}/ledger",
+        checkpoint_dir=f"{tmp_path}/ckpt",
+    )
+    try:
+        svc.run_available_now()
+        assert "RocksDBStateStoreProvider" in spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass")
+        assert svc.ledger().count() > 0
+    finally:
+        if prev is None:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev)
