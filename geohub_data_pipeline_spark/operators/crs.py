@@ -227,8 +227,13 @@ def _lcc_consts(a: float, f: float, lat0, sp1, sp2):
                 / ((1 - e * s) / (1 + e * s)) ** (e / 2))
 
     p0, p1, p2 = (math.radians(v) for v in (lat0, sp1, sp2))
-    n = ((math.log(m(p1)) - math.log(m(p2)))
-         / (math.log(t(p1)) - math.log(t(p2))))
+    if abs(p1 - p2) < 1e-12:
+        # LCC-1SP (EPSG method 9801): the sp2 -> sp1 limit of the 2SP
+        # cone constant is n = sin(sp1) (IOGP GN7-2 §3.1.1.2)
+        n = math.sin(p1)
+    else:
+        n = ((math.log(m(p1)) - math.log(m(p2)))
+             / (math.log(t(p1)) - math.log(t(p2))))
     big_f = m(p1) / (n * t(p1) ** n)
     rho0 = a * big_f * t(p0) ** n
     return e, n, big_f, rho0, t
@@ -345,9 +350,13 @@ def _make_tm(ellps, lat0, lon0, k0, fe, fn):
     return fwd, inv
 
 
-def _make_lcc2(ellps, lat0, lon0, sp1, sp2, fe, fn):
+def _make_lcc2(ellps, lat0, lon0, sp1, sp2, fe, fn, k0=1.0):
+    """LCC 2SP; with ``sp1 == sp2 == lat0`` and ``k0`` this is the
+    exact LCC-1SP (EPSG 9801) form — rho = a F k0 t^n."""
     a = ellps[0]
     e, n, big_f, rho0, t = _lcc_consts(*ellps, lat0, sp1, sp2)
+    big_f *= k0
+    rho0 *= k0
 
     def fwd(lon: float, lat: float) -> tuple[float, float]:
         phi = math.radians(lat)
@@ -415,7 +424,10 @@ def _make_laea(ellps, lat0, lon0, fe, fn):
 # grids (NSIDC sea-ice north, Antarctic)
 # ---------------------------------------------------------------------------
 
-def _make_ps(ellps, lat_ts, lon0, fe, fn):
+def _make_ps(ellps, lat_ts, lon0, fe, fn, k0=None):
+    """Variant B (standard parallel ``lat_ts``); with ``|lat_ts| == 90``
+    and ``k0`` this is variant A (EPSG 9810, scale at the pole — e.g.
+    UPS, k0 = 0.994): rho = 2 a k0 t / sqrt((1+e)^(1+e) (1-e)^(1-e))."""
     a, f = ellps
     e2 = f * (2 - f)
     e = math.sqrt(e2)
@@ -426,9 +438,13 @@ def _make_ps(ellps, lat_ts, lon0, fe, fn):
         return (math.tan(math.pi / 4 - phi / 2)
                 / ((1 - e * s) / (1 + e * s)) ** (e / 2))
 
-    phi_f = math.radians(abs(lat_ts))
-    m_f = math.cos(phi_f) / math.sqrt(1 - e2 * math.sin(phi_f) ** 2)
-    t_f = t_of(phi_f)
+    if k0 is not None and abs(lat_ts) == 90.0:
+        m_f = 2.0 * k0 / math.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+        t_f = 1.0
+    else:
+        phi_f = math.radians(abs(lat_ts))
+        m_f = math.cos(phi_f) / math.sqrt(1 - e2 * math.sin(phi_f) ** 2)
+        t_f = t_of(phi_f)
 
     def _phi_of_tp(tp: float) -> float:
         phi = math.pi / 2 - 2 * math.atan(tp)
@@ -463,6 +479,219 @@ def _make_ps(ellps, lat_ts, lon0, fe, fn):
                     -math.degrees(_phi_of_tp(tp)))
         lam = math.atan2(x, -y)
         return lon0 + math.degrees(lam), math.degrees(_phi_of_tp(tp))
+
+    return fwd, inv
+
+
+# ---------------------------------------------------------------------------
+# Mercator (ellipsoidal 1SP/2SP, EPSG 9804/9805; spherical form for
+# ESRI Mercator_Auxiliary_Sphere) — Snyder 1987 §7
+# ---------------------------------------------------------------------------
+
+def _make_merc(ellps, lon0, k0, fe, fn, spherical=False):
+    """``k0`` is the scale at the equator; a 2SP definition passes
+    k0 = m(lat_ts).  ``spherical=True`` uses radius ``a`` (the web/
+    auxiliary-sphere form)."""
+    a, f = ellps
+    if spherical or f == 0.0:
+        def fwd(lon: float, lat: float) -> tuple[float, float]:
+            return (fe + a * k0 * math.radians(lon - lon0),
+                    fn + a * k0 * math.log(
+                        math.tan(math.pi / 4 + math.radians(lat) / 2)))
+
+        def inv(e_crd: float, n_crd: float) -> tuple[float, float]:
+            lon = lon0 + math.degrees((e_crd - fe) / (a * k0))
+            lat = math.degrees(
+                2 * math.atan(math.exp((n_crd - fn) / (a * k0)))
+                - math.pi / 2)
+            return lon, lat
+
+        return fwd, inv
+
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+
+    def fwd(lon: float, lat: float) -> tuple[float, float]:
+        phi = math.radians(lat)
+        s = e * math.sin(phi)
+        return (fe + a * k0 * math.radians(lon - lon0),
+                fn + a * k0 * math.log(
+                    math.tan(math.pi / 4 + phi / 2)
+                    * ((1 - s) / (1 + s)) ** (e / 2)))
+
+    def inv(e_crd: float, n_crd: float) -> tuple[float, float]:
+        lon = lon0 + math.degrees((e_crd - fe) / (a * k0))
+        tp = math.exp(-(n_crd - fn) / (a * k0))
+        phi = math.pi / 2 - 2 * math.atan(tp)
+        for _ in range(8):
+            s = math.sin(phi)
+            phi_next = math.pi / 2 - 2 * math.atan(
+                tp * ((1 - e * s) / (1 + e * s)) ** (e / 2))
+            if abs(phi_next - phi) < 1e-13:
+                phi = phi_next
+                break
+            phi = phi_next
+        return lon, math.degrees(phi)
+
+    return fwd, inv
+
+
+def merc_2sp_k0(ellps, lat_ts: float) -> float:
+    """Mercator 2SP (EPSG 9805): equivalent equatorial scale
+    k0 = cos(lat_ts) / sqrt(1 - e^2 sin^2(lat_ts))."""
+    a, f = ellps
+    e2 = f * (2 - f)
+    phi = math.radians(lat_ts)
+    return math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+
+
+# ---------------------------------------------------------------------------
+# Hotine Oblique Mercator variant B, "azimuth center" (EPSG method
+# 9815; IOGP GN7-2 §3.4) — Swiss LV03/LV95 (21781/2056), Timbalai RSO
+# Borneo, Alaska zone 1.  Projection center maps exactly to (fe, fn).
+# ---------------------------------------------------------------------------
+
+def _make_homvb(ellps, lat_c, lon_c, alpha_c, gamma_c, k_c, fe, fn):
+    a, f = ellps
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+    phi_c = math.radians(lat_c)
+    lam_c = math.radians(lon_c)
+    alpha = math.radians(alpha_c)
+    gamma = math.radians(gamma_c)
+    sgn = 1.0 if lat_c >= 0 else -1.0
+
+    def t_of(phi):
+        s = math.sin(phi)
+        return (math.tan(math.pi / 4 - phi / 2)
+                / ((1 - e * s) / (1 + e * s)) ** (e / 2))
+
+    B = math.sqrt(1 + e2 * math.cos(phi_c) ** 4 / (1 - e2))
+    A = (a * B * k_c * math.sqrt(1 - e2)
+         / (1 - e2 * math.sin(phi_c) ** 2))
+    t0 = t_of(phi_c)
+    D = (B * math.sqrt(1 - e2)
+         / (math.cos(phi_c) * math.sqrt(1 - e2 * math.sin(phi_c) ** 2)))
+    big_f = D + math.sqrt(max(D * D - 1.0, 0.0)) * sgn
+    H = big_f * t0 ** B
+    G = (big_f - 1.0 / big_f) / 2.0
+    gamma0 = math.asin(math.sin(alpha) / D)
+    lam0 = lam_c - math.asin(G * math.tan(gamma0)) / B
+    if abs(alpha_c - 90.0) < 1e-12:
+        uc = A * (lam_c - lam0)
+    else:
+        uc = ((A / B) * math.atan2(math.sqrt(max(D * D - 1.0, 0.0)),
+                                   math.cos(alpha)) * sgn)
+
+    def fwd(lon: float, lat: float) -> tuple[float, float]:
+        phi = math.radians(lat)
+        lam = math.radians(lon)
+        t = t_of(phi)
+        Q = H / t ** B
+        S = (Q - 1.0 / Q) / 2.0
+        T = (Q + 1.0 / Q) / 2.0
+        V = math.sin(B * (lam - lam0))
+        U = (-V * math.cos(gamma0) + S * math.sin(gamma0)) / T
+        v = A * math.log((1.0 - U) / (1.0 + U)) / (2.0 * B)
+        u = (A * math.atan2(S * math.cos(gamma0) + V * math.sin(gamma0),
+                            math.cos(B * (lam - lam0))) / B) - abs(uc) * sgn
+        return (fe + v * math.cos(gamma) + u * math.sin(gamma),
+                fn + u * math.cos(gamma) - v * math.sin(gamma))
+
+    def inv(e_crd: float, n_crd: float) -> tuple[float, float]:
+        dv = ((e_crd - fe) * math.cos(gamma)
+              - (n_crd - fn) * math.sin(gamma))
+        du = ((n_crd - fn) * math.cos(gamma)
+              + (e_crd - fe) * math.sin(gamma)) + abs(uc) * sgn
+        Q = math.exp(-B * dv / A)
+        S = (Q - 1.0 / Q) / 2.0
+        T = (Q + 1.0 / Q) / 2.0
+        V = math.sin(B * du / A)
+        U = (V * math.cos(gamma0) + S * math.sin(gamma0)) / T
+        tp = (H / math.sqrt((1.0 + U) / (1.0 - U))) ** (1.0 / B)
+        phi = math.pi / 2 - 2 * math.atan(tp)
+        for _ in range(10):
+            s = math.sin(phi)
+            phi_next = math.pi / 2 - 2 * math.atan(
+                tp * ((1 - e * s) / (1 + e * s)) ** (e / 2))
+            if abs(phi_next - phi) < 1e-13:
+                phi = phi_next
+                break
+            phi = phi_next
+        lam = lam0 - math.atan2(S * math.cos(gamma0) - V * math.sin(gamma0),
+                                math.cos(B * du / A)) / B
+        return math.degrees(lam), math.degrees(phi)
+
+    return fwd, inv
+
+
+# ---------------------------------------------------------------------------
+# Oblique Stereographic (EPSG method 9809; IOGP GN7-2 §3.5) — Dutch
+# RD New (28992) and other Rijksdriehoek-style grids.  Conformal
+# sphere formulation.
+# ---------------------------------------------------------------------------
+
+def _make_sterea(ellps, lat0, lon0, k0, fe, fn):
+    a, f = ellps
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+    phi0 = math.radians(lat0)
+    lam0 = math.radians(lon0)
+
+    # conformal sphere at the origin
+    s0 = math.sin(phi0)
+    R = (a * math.sqrt(1 - e2)) / (1 - e2 * s0 * s0)
+    n = math.sqrt(1 + (e2 * math.cos(phi0) ** 4) / (1 - e2))
+
+    def chi_of(phi):
+        s = math.sin(phi)
+        w = ((1 + s) / (1 - s)) * ((1 - e * s) / (1 + e * s)) ** e
+        return w
+
+    w1 = chi_of(phi0) ** n
+    chi0_prov = math.asin((w1 - 1) / (w1 + 1))
+    c = ((n + s0) * (1 - math.sin(chi0_prov))
+         / ((n - s0) * (1 + math.sin(chi0_prov))))
+    w2 = c * w1
+    chi0 = math.asin((w2 - 1) / (w2 + 1))
+
+    def fwd(lon: float, lat: float) -> tuple[float, float]:
+        phi = math.radians(lat)
+        lam = math.radians(lon)
+        big_l = n * (lam - lam0)
+        w = c * chi_of(phi) ** n
+        chi = math.asin((w - 1) / (w + 1))
+        big_b = (1 + math.sin(chi) * math.sin(chi0)
+                 + math.cos(chi) * math.cos(chi0) * math.cos(big_l))
+        return (fe + 2 * R * k0 * math.cos(chi) * math.sin(big_l) / big_b,
+                fn + 2 * R * k0 * (math.sin(chi) * math.cos(chi0)
+                                   - math.cos(chi) * math.sin(chi0)
+                                   * math.cos(big_l)) / big_b)
+
+    def inv(e_crd: float, n_crd: float) -> tuple[float, float]:
+        g = 2 * R * k0 * math.tan(math.pi / 4 - chi0 / 2)
+        h = 4 * R * k0 * math.tan(chi0) + g
+        x = e_crd - fe
+        y = n_crd - fn
+        i = math.atan2(x, h + y)
+        j = math.atan2(x, g - y) - i
+        chi = chi0 + 2 * math.atan2(y - x * math.tan(j / 2), 2 * R * k0)
+        big_l = j + 2 * i
+        lam = big_l / n + lam0
+        psi = 0.5 * math.log((1 + math.sin(chi))
+                             / (c * (1 - math.sin(chi)))) / n
+        phi = 2 * math.atan(math.exp(psi)) - math.pi / 2
+        for _ in range(10):
+            s = e * math.sin(phi)
+            psi_i = math.log(math.tan(phi / 2 + math.pi / 4)
+                             * ((1 - s) / (1 + s)) ** (e / 2))
+            phi_next = phi - (psi_i - psi) * math.cos(phi) * (
+                1 - s * s) / (1 - e2)
+            if abs(phi_next - phi) < 1e-13:
+                phi = phi_next
+                break
+            phi = phi_next
+        return math.degrees(lam), math.degrees(phi)
 
     return fwd, inv
 
@@ -692,7 +921,9 @@ _CRS_TABLE: dict[int, tuple] = {
 
 _FAMILIES = {"tm": _make_tm, "lcc2": _make_lcc2,
              "laea": _make_laea, "aea": _make_aea,
-             "ps": _make_ps, "krovak": _make_krovak}
+             "ps": _make_ps, "krovak": _make_krovak,
+             "merc": _make_merc, "homvb": _make_homvb,
+             "sterea": _make_sterea}
 
 _PAIR_CACHE: dict[int, tuple] = {}
 

@@ -707,7 +707,21 @@ def lonlat_to_mercator(lon: float, lat: float) -> tuple[float, float]:
     return x, y
 
 
-def _reproject_coords(coords: list[float], src_srid: int) -> list[float]:
+_WKT_INV_CACHE: dict[str, object] = {}
+
+
+def _wkt_inverse(wkt: str):
+    """Cached ``(x, y) -> (lon, lat)`` from a WKT1 CRS string, or
+    None if the projection method is outside the closed-form
+    families (operators/crs_wkt.py)."""
+    if wkt not in _WKT_INV_CACHE:
+        from geohub_data_pipeline_spark.operators import crs_wkt as _cw
+        _WKT_INV_CACHE[wkt] = _cw.to_lonlat_wkt(wkt)
+    return _WKT_INV_CACHE[wkt]
+
+
+def _reproject_coords(coords: list[float], src_srid: int,
+                      crs_wkt: str | None = None) -> list[float]:
     if src_srid == 4326:
         return coords
     if src_srid == 3857:
@@ -717,22 +731,36 @@ def _reproject_coords(coords: list[float], src_srid: int) -> list[float]:
             out += [lon, lat]
         return out
     from geohub_data_pipeline_spark.operators import crs as _crs
-    native = _crs.to_lonlat(src_srid)
+    native = _crs.to_lonlat(src_srid) if src_srid > 0 else None
     if native is not None:      # UTM zones + _CRS_TABLE, closed-form
         out = []
         for i in range(0, len(coords), 2):
             lon, lat = native(coords[i], coords[i + 1])
             out += [lon, lat]
         return out
+    if crs_wkt:                 # embedded WKT1 (e.g. .prj sidecar)
+        inv = _wkt_inverse(crs_wkt)
+        if inv is not None:
+            out = []
+            for i in range(0, len(coords), 2):
+                lon, lat = inv(coords[i], coords[i + 1])
+                out += [lon, lat]
+            return out
     try:  # remaining CRS: optional pyproj path
         from pyproj import Transformer  # noqa: PLC0415
     except ImportError as exc:
         raise NotImplementedError(
             f"reproject from EPSG:{src_srid} needs pyproj (not installed); "
             "supported natively: 4326 (no-op), 3857 (spherical Mercator), "
-            "UTM 326xx/327xx/258xx, and the TM/LCC/LAEA/Albers parameter "
-            "table (27700, 2193, 5070, 102008, 3978, 3035, 2154)"
+            "UTM 326xx/327xx/258xx, the TM/LCC/LAEA/Albers parameter "
+            "table (27700, 2193, 5070, 102008, 3978, 3035, 2154, ...), "
+            "and any embedded WKT1 CRS in the closed-form families "
+            "(operators/crs_wkt.py)"
         ) from exc
+    if src_srid <= 0:
+        raise NotImplementedError(
+            "reproject: no EPSG code and the embedded WKT is outside "
+            "the closed-form families")
     tr = Transformer.from_crs(src_srid, 4326, always_xy=True)
     out = []
     for i in range(0, len(coords), 2):
@@ -803,20 +831,30 @@ def normalize_features(features: DataFrame,
     Input columns: dataset, layer, fid, geometry (WKB), srid (+ attrs
     are dropped here; join back on (dataset, layer, fid)).  Layers
     with NULL srid are skipped entirely
-    (ref ingest/processing.py:134-136).
+    (ref ingest/processing.py:134-136).  An optional ``crs_wkt``
+    string column (the source's embedded WKT1 CRS — .prj sidecar,
+    gpkg_spatial_ref_sys definition) lets rows whose EPSG code is
+    unknown (srid 0) or outside the closed-form table reproject via
+    ``operators/crs_wkt.py``, matching the reference's resolve-any-
+    SRS behaviour (ref ingest/processing.py:142-150).
 
     Scale: pure ``mapInPandas`` — map-side, Arrow-batched, no shuffle;
     100 TB of features = a scan.
     """
     from geohub_data_pipeline_spark.session import ship_package
     ship_package(features.sparkSession)
+    has_wkt = "crs_wkt" in features.columns
     cols = ["dataset", "layer", "fid", "geometry", "srid"]
+    in_cols = cols + (["crs_wkt"] if has_wkt else [])
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
-            for dataset, layer, fid, wkb, srid in pdf[cols].itertuples(
-                    index=False, name=None):
+            for row in pdf[in_cols].itertuples(index=False, name=None):
+                dataset, layer, fid, wkb, srid = row[:5]
+                crs_wkt = row[5] if has_wkt else None
+                if crs_wkt is not None and not isinstance(crs_wkt, str):
+                    crs_wkt = None
                 if srid is None or pd.isna(srid):
                     continue                       # skipped layer
                 srid = int(srid)
@@ -828,7 +866,8 @@ def normalize_features(features: DataFrame,
                 buf = bytes(wkb)
                 if should_reproject(srid, dst_srid):
                     try:
-                        new_coords = _reproject_coords(parsed["coords"], srid)
+                        new_coords = _reproject_coords(parsed["coords"],
+                                                       srid, crs_wkt)
                     except NotImplementedError:
                         continue                   # unsupported CRS: drop+audit
                     buf = _rewrite_coords(buf, new_coords)
@@ -853,7 +892,7 @@ def normalize_features(features: DataFrame,
                 "bbox_minx", "bbox_miny", "bbox_maxx", "bbox_maxy",
                 "needs_makevalid"])
 
-    return features.select(*cols).mapInPandas(batches, NORMALIZED_SCHEMA)
+    return features.select(*in_cols).mapInPandas(batches, NORMALIZED_SCHEMA)
 
 
 def feature_count_audit(original: DataFrame, converted: DataFrame,

@@ -1591,3 +1591,163 @@ def erdas_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return base.mapInPandas(
         rt, "doc_id long, n_bands long, total_px long, sum_px double")
+
+
+# ---------------------------------------------------------------------------
+# T7 round 4: WKT1-resolved reprojection under the gate
+# ---------------------------------------------------------------------------
+
+# The reference resolves ANY source SRS from the dataset's embedded
+# WKT via GDAL/PROJ (ref ingest/processing.py:142-150); the engine's
+# equivalent is operators/crs_wkt.py.  Five WKT-only CRSs (no usable
+# EPSG code in the text, as with real ESRI .prj files) rotate by
+# doc_id: ESRI TM, LCC-2SP in US survey feet, polar stereographic
+# variant A, Hotine oblique Mercator variant B, oblique
+# stereographic.  The oracle is the input formula, so a broken parse,
+# family dispatch, unit factor, or datum path all surface as value
+# mismatches; absolute accuracy is pinned by the IOGP worked
+# examples in tests/test_crs_wkt.py.
+_CRS_WKT_SQL = """
+SELECT doc_id,
+       CASE doc_id % 5 WHEN 0 THEN 'tm' WHEN 1 THEN 'lcc_ftus'
+            WHEN 2 THEN 'ps_a' WHEN 3 THEN 'homvb'
+            ELSE 'sterea' END AS family,
+       round(CASE doc_id % 5
+            WHEN 0 THEN 9.0 + (doc_id % 60) * 0.2
+            WHEN 1 THEN -75.0 + (doc_id % 30) * 0.1
+            WHEN 2 THEN -180.0 + (doc_id % 120) * 3.0
+            WHEN 3 THEN 6.0 + (doc_id % 44) * 0.1
+            ELSE 3.5 + (doc_id % 36) * 0.1 END, 4) AS lon_rt,
+       round(CASE doc_id % 5
+            WHEN 0 THEN 30.0 + ((doc_id * 3) % 80) * 0.5
+            WHEN 1 THEN 40.0 + ((doc_id * 3) % 20) * 0.1
+            WHEN 2 THEN 75.0 + ((doc_id * 3) % 13) * 1.0
+            WHEN 3 THEN 45.9 + ((doc_id * 3) % 19) * 0.1
+            ELSE 50.8 + ((doc_id * 3) % 27) * 0.1 END, 4) AS lat_rt
+FROM documents
+ORDER BY doc_id
+"""
+
+_WKT_BANK = [
+    # ESRI-style TM, no AUTHORITY (== EPSG:32633)
+    'PROJCS["WGS_1984_UTM_Zone_33N",GEOGCS["GCS_WGS_1984",'
+    'DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],'
+    'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+    'PROJECTION["Transverse_Mercator"],'
+    'PARAMETER["False_Easting",500000.0],'
+    'PARAMETER["False_Northing",0.0],'
+    'PARAMETER["Central_Meridian",15.0],'
+    'PARAMETER["Scale_Factor",0.9996],'
+    'PARAMETER["Latitude_Of_Origin",0.0],UNIT["Meter",1.0]]',
+    # LCC-2SP in US survey feet (== EPSG:2263 sans datum shift)
+    'PROJCS["NAD83 / New York Long Island (ftUS)",GEOGCS["NAD83",'
+    'DATUM["North_American_Datum_1983",'
+    'SPHEROID["GRS 1980",6378137,298.257222101]],'
+    'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+    'PROJECTION["Lambert_Conformal_Conic_2SP"],'
+    'PARAMETER["standard_parallel_1",41.03333333333333],'
+    'PARAMETER["standard_parallel_2",40.66666666666666],'
+    'PARAMETER["latitude_of_origin",40.16666666666666],'
+    'PARAMETER["central_meridian",-74],'
+    'PARAMETER["false_easting",984250.0],'
+    'PARAMETER["false_northing",0],'
+    'UNIT["US survey foot",0.3048006096012192]]',
+    # polar stereographic variant A (UPS North parameters)
+    'PROJCS["WGS 84 / UPS North (E,N)",GEOGCS["WGS 84",'
+    'DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],'
+    'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+    'PROJECTION["Polar_Stereographic"],'
+    'PARAMETER["latitude_of_origin",90],'
+    'PARAMETER["central_meridian",0],'
+    'PARAMETER["scale_factor",0.994],'
+    'PARAMETER["false_easting",2000000],'
+    'PARAMETER["false_northing",2000000],UNIT["metre",1]]',
+    # Hotine oblique Mercator variant B (== EPSG:2056 Swiss LV95)
+    'PROJCS["CH1903+ / LV95",GEOGCS["CH1903+",DATUM["CH1903+",'
+    'SPHEROID["Bessel 1841",6377397.155,299.1528128],'
+    'TOWGS84[674.374,15.056,405.346,0,0,0,0]],'
+    'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+    'PROJECTION["Hotine_Oblique_Mercator_Azimuth_Center"],'
+    'PARAMETER["latitude_of_center",46.95240555555556],'
+    'PARAMETER["longitude_of_center",7.439583333333333],'
+    'PARAMETER["azimuth",90],PARAMETER["rectified_grid_angle",90],'
+    'PARAMETER["scale_factor",1],'
+    'PARAMETER["false_easting",2600000],'
+    'PARAMETER["false_northing",1200000],UNIT["metre",1]]',
+    # oblique stereographic (== EPSG:28992 Dutch RD New)
+    'PROJCS["Amersfoort / RD New",GEOGCS["Amersfoort",'
+    'DATUM["Amersfoort",'
+    'SPHEROID["Bessel 1841",6377397.155,299.1528128],'
+    'TOWGS84[565.417,50.3319,465.552,-0.398957,0.343988,'
+    '-1.8774,4.0725]],'
+    'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+    'PROJECTION["Oblique_Stereographic"],'
+    'PARAMETER["latitude_of_origin",52.15616055555555],'
+    'PARAMETER["central_meridian",5.38763888888889],'
+    'PARAMETER["scale_factor",0.9999079],'
+    'PARAMETER["false_easting",155000],'
+    'PARAMETER["false_northing",463000],UNIT["metre",1]]',
+]
+
+_WKT_FAMILY = ["tm", "lcc_ftus", "ps_a", "homvb", "sterea"]
+
+
+@query("crs_wkt_roundtrip", "pipeline",
+       "§2.2 T7 reprojection via embedded WKT1 (operators/crs_wkt.py):"
+       " any TM/LCC/Albers/LAEA/PS/Mercator/HOM-B/sterea/Krovak CRS "
+       "resolves from .prj/gpkg WKT without an EPSG table entry "
+       "(ref ingest/processing.py:142-150 resolves any SRS via PROJ)",
+       _CRS_WKT_SQL)
+def crs_wkt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward+inverse through five WKT-defined CRSs with no usable
+    EPSG code (the ESRI .prj situation): TM, ftUS LCC (unit factor
+    both ways), UPS-style variant-A polar stereographic, Swiss HOM-B
+    (translation datum shift), Dutch RD oblique stereographic
+    (7-parameter rotation shift).  The oracle is the input formula.
+
+    Scale: stateless per-row math in an Arrow-batched kernel — a
+    scan, no shuffle; the five transform pairs are built once per
+    executor batch iterator and cached.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.operators import crs_wkt as CW
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id")
+    lon_of = [
+        lambda d: 9.0 + (d % 60) * 0.2,
+        lambda d: -75.0 + (d % 30) * 0.1,
+        lambda d: -180.0 + (d % 120) * 3.0,
+        lambda d: 6.0 + (d % 44) * 0.1,
+        lambda d: 3.5 + (d % 36) * 0.1,
+    ]
+    lat_of = [
+        lambda d: 30.0 + ((d * 3) % 80) * 0.5,
+        lambda d: 40.0 + ((d * 3) % 20) * 0.1,
+        lambda d: 75.0 + ((d * 3) % 13) * 1.0,
+        lambda d: 45.9 + ((d * 3) % 19) * 0.1,
+        lambda d: 50.8 + ((d * 3) % 27) * 0.1,
+    ]
+
+    def rt(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pairs = [CW.pair_from_wkt(w) for w in _WKT_BANK]
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                k = did % 5
+                lon, lat = lon_of[k](did), lat_of[k](did)
+                fwd, inv = pairs[k]
+                lon2, lat2 = inv(*fwd(lon, lat))
+                rows.append((did, _WKT_FAMILY[k],
+                             round(lon2, 4) + 0.0, round(lat2, 4) + 0.0))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "family", "lon_rt", "lat_rt"])
+
+    return base.mapInPandas(
+        rt, "doc_id long, family string, lon_rt double, lat_rt double")

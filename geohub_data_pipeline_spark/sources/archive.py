@@ -198,5 +198,8 @@ def features_from_archives(spark: SparkSession, path: str) -> DataFrame:
     shp = SHP.shapefile_feature_rows(
         members.filter(F.lower(F.col("member")).rlike(r"\.(shp|prj)$")))
     gdb = FGDB.filegdb_feature_rows(members)
-    return geojson_feature_rows(members).unionByName(shp) \
-        .unionByName(gdb)
+    # shapefile rows carry an optional crs_wkt (.prj text for layers
+    # whose EPSG is unresolvable); fill NULL for the other sources
+    return geojson_feature_rows(members) \
+        .unionByName(shp, allowMissingColumns=True) \
+        .unionByName(gdb, allowMissingColumns=True)

@@ -36,7 +36,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 FEATURE_SCHEMA = (
-    "dataset string, layer string, fid long, geometry binary, srid int"
+    "dataset string, layer string, fid long, geometry binary, srid int, "
+    "crs_wkt string"
 )
 
 # shape type -> base kind (Z/M variants collapse to the same kind)
@@ -57,7 +58,11 @@ def epsg_from_prj(wkt: str) -> int | None:
     if "pseudo-mercator" in low or "web_mercator" in low \
             or "web mercator" in low:
         return 3857
-    if "wgs_1984" in low or "wgs 84" in low or "wgs84" in low:
+    # name heuristics only for geographic-rooted WKT: an ESRI PROJCS
+    # named "WGS_1984_UTM_Zone_33N" is NOT 4326 — projected WKT
+    # without AUTHORITY resolves via operators/crs_wkt.py instead
+    if low.lstrip().startswith("geogcs") and (
+            "wgs_1984" in low or "wgs 84" in low or "wgs84" in low):
         return 4326
     return None
 
@@ -162,15 +167,19 @@ def shapefile_feature_rows(members: DataFrame) -> DataFrame:
     def per_archive(pdf: pd.DataFrame) -> pd.DataFrame:
         import os
         rows = []
-        prjs = {}
+        prjs = {}                  # stem -> (epsg | 0 | None, wkt | None)
         for member, content in zip(pdf["member"], pdf["content"]):
             if str(member).lower().endswith(".prj"):
                 stem = os.path.splitext(str(member))[0]
                 try:
-                    prjs[stem] = epsg_from_prj(
-                        bytes(content).decode("utf-8", "replace"))
+                    wkt = bytes(content).decode("utf-8", "replace").strip()
+                    epsg = epsg_from_prj(wkt)
+                    # srid 0 = "EPSG unknown, reproject via the WKT"
+                    # (ESRI .prj files usually omit AUTHORITY tags)
+                    prjs[stem] = (epsg if epsg is not None else 0,
+                                  None if epsg is not None else wkt)
                 except Exception:
-                    prjs[stem] = None
+                    prjs[stem] = (None, None)
         for arch, member, content in zip(
                 pdf["archive_path"], pdf["member"], pdf["content"]):
             m = str(member)
@@ -179,14 +188,14 @@ def shapefile_feature_rows(members: DataFrame) -> DataFrame:
             stem = os.path.splitext(m)[0]
             dataset = os.path.basename(str(arch))
             layer = os.path.basename(stem)
-            srid = prjs.get(stem, 4326)
+            srid, wkt = prjs.get(stem, (4326, None))
             try:
-                rows += list(read_shp_bytes(bytes(content), dataset,
-                                            layer, srid))
+                rows += [r + (wkt,) for r in read_shp_bytes(
+                    bytes(content), dataset, layer, srid)]
             except (ValueError, struct.error):
                 continue                   # corrupt member: quarantine
         return pd.DataFrame(rows, columns=[
-            "dataset", "layer", "fid", "geometry", "srid"])
+            "dataset", "layer", "fid", "geometry", "srid", "crs_wkt"])
 
     return members.groupBy("archive_path").applyInPandas(
         per_archive, FEATURE_SCHEMA)

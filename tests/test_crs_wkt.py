@@ -1,0 +1,270 @@
+"""WKT1 CRS parsing + the round-4 projection families.
+
+Absolute control points are the published IOGP Guidance Note 7-2
+worked examples (one per method); the WKT layer is pinned by
+cross-checking WKT-built transforms against the independently
+parameterized ``_CRS_TABLE`` entries.
+"""
+
+import math
+
+import pytest
+
+from geohub_data_pipeline_spark.operators import crs as C
+from geohub_data_pipeline_spark.operators import crs_wkt as W
+from geohub_data_pipeline_spark.operators import geometry as G
+
+
+def dms(d, m, s):
+    return d + m / 60 + s / 3600
+
+
+_BESSEL = (6377397.155, 1 / 299.1528128)
+
+
+# ---------------------------------------------------------------------------
+# New family factories vs IOGP GN7-2 worked examples
+# ---------------------------------------------------------------------------
+
+def test_hom_variant_b_timbalai():
+    """GN7-2 §3.4: Timbalai 1948 / RSO Borneo worked example."""
+    everest = (6377298.556, 1 / 300.8017)
+    fwd, inv = C._make_homvb(
+        everest, lat_c=4.0, lon_c=115.0,
+        alpha_c=dms(53, 18, 56.9537), gamma_c=dms(53, 7, 48.3685),
+        k_c=0.99984, fe=590476.87, fn=442857.65)
+    lon, lat = dms(115, 48, 19.8196), dms(5, 23, 14.1129)
+    x, y = fwd(lon, lat)
+    assert abs(x - 679245.73) < 0.02 and abs(y - 596562.78) < 0.02
+    lo, la = inv(x, y)
+    assert abs(lo - lon) < 1e-9 and abs(la - lat) < 1e-9
+
+
+def test_hom_swiss_center_maps_to_false_origin():
+    """Azimuth-center variant: the projection center IS (fe, fn)."""
+    fwd, _ = C._make_homvb(
+        _BESSEL, lat_c=dms(46, 57, 8.66), lon_c=dms(7, 26, 22.5),
+        alpha_c=90.0, gamma_c=90.0, k_c=1.0, fe=2600000, fn=1200000)
+    x, y = fwd(dms(7, 26, 22.5), dms(46, 57, 8.66))
+    assert abs(x - 2600000) < 1e-4 and abs(y - 1200000) < 1e-4
+
+
+def test_polar_stereographic_variant_a_ups():
+    """GN7-2 §3.3: UPS North worked example (k0 at the pole)."""
+    fwd, inv = C._make_ps(C._WGS84, lat_ts=90.0, lon0=0.0,
+                          fe=2000000, fn=2000000, k0=0.994)
+    x, y = fwd(44.0, 73.0)
+    assert abs(x - 3320416.75) < 0.02 and abs(y - 632668.43) < 0.02
+    lo, la = inv(x, y)
+    assert abs(lo - 44.0) < 1e-9 and abs(la - 73.0) < 1e-9
+
+
+def test_mercator_variant_a_makassar():
+    """GN7-2 §3.2: Makassar / NEIEZ worked example (Bessel, k0)."""
+    fwd, inv = C._make_merc(_BESSEL, lon0=110.0, k0=0.997,
+                            fe=3900000, fn=900000)
+    x, y = fwd(120.0, -3.0)
+    assert abs(x - 5009726.58) < 0.02 and abs(y - 569150.82) < 0.02
+    lo, la = inv(x, y)
+    assert abs(lo - 120.0) < 1e-9 and abs(la + 3.0) < 1e-9
+
+
+def test_oblique_stereographic_rd_new():
+    """GN7-2 §3.5: Amersfoort / RD New worked example."""
+    fwd, inv = C._make_sterea(
+        _BESSEL, lat0=dms(52, 9, 22.178), lon0=dms(5, 23, 15.5),
+        k0=0.9999079, fe=155000, fn=463000)
+    x, y = fwd(6.0, 53.0)
+    assert abs(x - 196105.283) < 0.005 and abs(y - 557057.739) < 0.005
+    lo, la = inv(x, y)
+    assert abs(lo - 6.0) < 1e-9 and abs(la - 53.0) < 1e-9
+
+
+def test_lcc_1sp_jamaica():
+    """GN7-2 §3.1.1.2: Jamaica 1969 national grid (LCC-1SP via the
+    sp1 == sp2 degenerate cone constant + k0)."""
+    clarke66 = (6378206.4, 1 / 294.9786982)
+    fwd, _ = C._make_lcc2(clarke66, lat0=18.0, lon0=-77.0,
+                          sp1=18.0, sp2=18.0,
+                          fe=250000.0, fn=150000.0, k0=1.0)
+    x, y = fwd(-dms(76, 56, 37.26), dms(17, 55, 55.8))
+    assert abs(x - 255966.58) < 0.02 and abs(y - 142493.51) < 0.02
+
+
+def test_mercator_2sp_scale():
+    """EPSG 9805: 2SP == 1SP with k0 = m(lat_ts)."""
+    k0 = C.merc_2sp_k0(C._WGS84, 42.0)
+    assert k0 == pytest.approx(
+        math.cos(math.radians(42.0))
+        / math.sqrt(1 - C._WGS84[1] * (2 - C._WGS84[1])
+                    * math.sin(math.radians(42.0)) ** 2))
+
+
+# ---------------------------------------------------------------------------
+# WKT1 parser
+# ---------------------------------------------------------------------------
+
+_WKT_27700 = """PROJCS["OSGB36 / British National Grid",
+ GEOGCS["OSGB36",DATUM["OSGB_1936",
+  SPHEROID["Airy 1830",6377563.396,299.3249646],
+  TOWGS84[446.448,-125.157,542.06,0.15,0.247,0.842,-20.489]],
+  PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],
+ PROJECTION["Transverse_Mercator"],
+ PARAMETER["latitude_of_origin",49],PARAMETER["central_meridian",-2],
+ PARAMETER["scale_factor",0.9996012717],
+ PARAMETER["false_easting",400000],PARAMETER["false_northing",-100000],
+ UNIT["metre",1]]"""
+
+# ESRI-style .prj: no AUTHORITY anywhere (the common real-world case)
+_WKT_ESRI_UTM33 = """PROJCS["WGS_1984_UTM_Zone_33N",
+ GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",
+  SPHEROID["WGS_1984",6378137.0,298.257223563]],
+  PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],
+ PROJECTION["Transverse_Mercator"],
+ PARAMETER["False_Easting",500000.0],PARAMETER["False_Northing",0.0],
+ PARAMETER["Central_Meridian",15.0],PARAMETER["Scale_Factor",0.9996],
+ PARAMETER["Latitude_Of_Origin",0.0],UNIT["Meter",1.0]]"""
+
+_WKT_2263_FTUS = """PROJCS["NAD83 / New York Long Island (ftUS)",
+ GEOGCS["NAD83",DATUM["North_American_Datum_1983",
+  SPHEROID["GRS 1980",6378137,298.257222101]],
+  PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],
+ PROJECTION["Lambert_Conformal_Conic_2SP"],
+ PARAMETER["standard_parallel_1",41.03333333333333],
+ PARAMETER["standard_parallel_2",40.66666666666666],
+ PARAMETER["latitude_of_origin",40.16666666666666],
+ PARAMETER["central_meridian",-74],
+ PARAMETER["false_easting",984250.0],PARAMETER["false_northing",0],
+ UNIT["US survey foot",0.3048006096012192]]"""
+
+_WKT_5514_FERRO = """PROJCS["S-JTSK / Krovak East North",
+ GEOGCS["S-JTSK",DATUM["S_JTSK",
+  SPHEROID["Bessel 1841",6377397.155,299.1528128],
+  TOWGS84[589,76,480,0,0,0,0]],
+  PRIMEM["Ferro",-17.66666666666667],
+  UNIT["degree",0.0174532925199433]],
+ PROJECTION["Krovak"],
+ PARAMETER["latitude_of_center",49.5],
+ PARAMETER["longitude_of_center",42.5],
+ PARAMETER["azimuth",30.28813972222222],
+ PARAMETER["pseudo_standard_parallel_1",78.5],
+ PARAMETER["scale_factor",0.9999],
+ PARAMETER["false_easting",0],PARAMETER["false_northing",0],
+ UNIT["metre",1]]"""
+
+_WKT_AUX_SPHERE = """PROJCS["WGS_1984_Web_Mercator_Auxiliary_Sphere",
+ GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",
+  SPHEROID["WGS_1984",6378137.0,298.257223563]],
+  PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],
+ PROJECTION["Mercator_Auxiliary_Sphere"],
+ PARAMETER["False_Easting",0.0],PARAMETER["False_Northing",0.0],
+ PARAMETER["Central_Meridian",0.0],
+ PARAMETER["Standard_Parallel_1",0.0],
+ PARAMETER["Auxiliary_Sphere_Type",0.0],UNIT["Meter",1.0]]"""
+
+_WKT_GEOGCS = """GEOGCS["WGS 84",DATUM["WGS_1984",
+ SPHEROID["WGS 84",6378137,298.257223563]],
+ PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]"""
+
+
+def test_wkt_tm_matches_table_27700():
+    """WKT-built OSGB (incl. TOWGS84 Helmert) vs the independently
+    parameterized table entry: published-params rounding only."""
+    fwd, inv = W.pair_from_wkt(_WKT_27700)
+    tf, ti = C.from_lonlat(27700), C.to_lonlat(27700)
+    for lon, lat in [(-1.5, 52.0), (-5.2, 50.1), (0.9, 51.5)]:
+        x1, y1 = fwd(lon, lat)
+        x2, y2 = tf(lon, lat)
+        assert abs(x1 - x2) < 0.01 and abs(y1 - y2) < 0.01
+        lo, la = inv(x1, y1)
+        # two trips through the first-order Helmert: ~4 cm residual
+        assert abs(lo - lon) < 1e-6 and abs(la - lat) < 1e-6
+
+
+def test_wkt_esri_utm_no_authority():
+    """ESRI .prj (no AUTHORITY tag) == EPSG:32633 exactly."""
+    fwd, _ = W.pair_from_wkt(_WKT_ESRI_UTM33)
+    tf = C.from_lonlat(32633)
+    x1, y1 = fwd(14.3, 48.2)
+    x2, y2 = tf(14.3, 48.2)
+    assert abs(x1 - x2) < 1e-6 and abs(y1 - y2) < 1e-6
+
+
+def test_wkt_linear_unit_us_survey_foot():
+    """ftUS CRS: natural origin -> (FE, FN) in feet; coords honour
+    the unit factor both directions."""
+    fwd, inv = W.pair_from_wkt(_WKT_2263_FTUS)
+    x, y = fwd(-74.0, 40.16666666666666)
+    assert abs(x - 984250.0) < 1e-4 and abs(y) < 1e-4
+    lon, lat = inv(*fwd(-73.98, 40.75))
+    assert abs(lon + 73.98) < 1e-9 and abs(lat - 40.75) < 1e-9
+
+
+def test_wkt_krovak_ferro_primem_matches_table():
+    fwd, _ = W.pair_from_wkt(_WKT_5514_FERRO)
+    tf = C.from_lonlat(5514)
+    x1, y1 = fwd(14.42076, 50.08804)     # Prague
+    x2, y2 = tf(14.42076, 50.08804)
+    assert abs(x1 - x2) < 0.01 and abs(y1 - y2) < 0.01
+
+
+def test_wkt_aux_sphere_is_spherical_mercator():
+    fwd, _ = W.pair_from_wkt(_WKT_AUX_SPHERE)
+    assert fwd(10.0, 45.0) == pytest.approx(
+        G.lonlat_to_mercator(10.0, 45.0))
+
+
+def test_wkt_geogcs_identity():
+    fwd, inv = W.pair_from_wkt(_WKT_GEOGCS)
+    assert fwd(12.5, -33.25) == pytest.approx((12.5, -33.25))
+    assert inv(12.5, -33.25) == pytest.approx((12.5, -33.25))
+
+
+def test_wkt_unknown_projection_returns_none():
+    junk = _WKT_27700.replace("Transverse_Mercator", "Space_Oblique")
+    assert W.pair_from_wkt(junk) is None
+    assert W.to_lonlat_wkt(junk) is None
+
+
+def test_wkt_malformed_raises_value_error_and_gates_none():
+    with pytest.raises(ValueError):
+        W.parse_wkt('PROJCS["unterminated')
+    assert W.to_lonlat_wkt('PROJCS["unterminated') is None
+
+
+# ---------------------------------------------------------------------------
+# epsg_from_prj must NOT claim 4326 for projected ESRI names
+# ---------------------------------------------------------------------------
+
+def test_epsg_from_prj_projected_wgs84_name_is_not_4326():
+    from geohub_data_pipeline_spark.sources.shapefile import epsg_from_prj
+    assert epsg_from_prj(_WKT_ESRI_UTM33) is None
+    assert epsg_from_prj(_WKT_GEOGCS) == 4326
+
+
+# ---------------------------------------------------------------------------
+# normalize_features via the crs_wkt column (srid 0 = WKT-only)
+# ---------------------------------------------------------------------------
+
+def test_normalize_reprojects_via_wkt_column(spark):
+    tf = C.from_lonlat(32633)
+    x, y = tf(14.3, 48.2)
+    feats = spark.createDataFrame(
+        [("d", "l", 1, G.wkb_point(x, y), 0, _WKT_ESRI_UTM33),
+         ("d", "l", 2, G.wkb_point(x, y), 0, None)],     # no WKT: drop
+        "dataset string, layer string, fid long, geometry binary, "
+        "srid int, crs_wkt string")
+    out = {r.fid: r for r in G.normalize_features(feats).collect()}
+    assert set(out) == {1}                # fid 2 dropped (audited)
+    p = G.parse_wkb(bytes(out[1].geometry))
+    assert p["coords"][0] == pytest.approx(14.3, abs=1e-8)
+    assert p["coords"][1] == pytest.approx(48.2, abs=1e-8)
+
+
+def test_normalize_without_wkt_column_unchanged(spark):
+    feats = spark.createDataFrame(
+        [("d", "l", 1, G.wkb_point(10.0, 45.0), 4326)],
+        "dataset string, layer string, fid long, geometry binary, "
+        "srid int")
+    out = G.normalize_features(feats).collect()
+    assert len(out) == 1 and out[0].srid == 4326
