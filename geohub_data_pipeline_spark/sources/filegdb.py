@@ -53,7 +53,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 FEATURE_SCHEMA = (
-    "dataset string, layer string, fid long, geometry binary, srid int"
+    "dataset string, layer string, fid long, geometry binary, srid int, "
+    "crs_wkt string"
 )
 
 # field type byte -> symbolic name (FGDB spec "Field description")
@@ -488,7 +489,8 @@ def _encode_parts(stype: int, parts, sx, sy, multi: bool = False) -> bytes:
 # ---------------------------------------------------------------------------
 
 def read_filegdb(files: dict[str, bytes], dataset: str):
-    """Yield (dataset, layer, fid, wkb, srid) from a .gdb directory's
+    """Yield (dataset, layer, fid, wkb, srid, crs_wkt) from a .gdb
+    directory's
     files ({basename: bytes}).  Raises ValueError when the system
     catalog itself is unreadable; per-layer problems quarantine that
     layer only."""
@@ -525,7 +527,12 @@ def read_filegdb(files: dict[str, bytes], dataset: str):
                 (f for f in fields if f.ftype == FT_GEOMETRY), None)
             if geom_field is None:
                 continue                   # attribute-only table
-            srid = epsg_from_prj(gi.get("wkt", "")) or 4326
+            wkt = gi.get("wkt", "") or ""
+            epsg = epsg_from_prj(wkt) if wkt else None
+            # srid 0 = "EPSG unknown, reproject via the embedded WKT"
+            # (operators/crs_wkt.py); bare tables default to 4326
+            srid = epsg if epsg is not None else (0 if wkt else 4326)
+            crs_wkt = wkt if epsg is None and wkt else None
             raw = values.get(geom_field.name)
             wkb = None
             if raw:
@@ -533,7 +540,7 @@ def read_filegdb(files: dict[str, bytes], dataset: str):
                     wkb = shape_to_wkb(raw, gi)
                 except (ValueError, struct.error, IndexError):
                     wkb = None             # -skipfailures row
-            yield dataset, name, int(fid), wkb, srid
+            yield dataset, name, int(fid), wkb, srid, crs_wkt
 
 
 def features_from_gdb(spark: SparkSession, path: str) -> DataFrame:
@@ -565,7 +572,7 @@ def features_from_gdb(spark: SparkSession, path: str) -> DataFrame:
         except (ValueError, struct.error, IndexError):
             rows = []                      # corrupt gdb: quarantine
         return pd.DataFrame(rows, columns=[
-            "dataset", "layer", "fid", "geometry", "srid"])
+            "dataset", "layer", "fid", "geometry", "srid", "crs_wkt"])
 
     return raw.groupBy("gdb_dir").applyInPandas(per_gdb, FEATURE_SCHEMA)
 
@@ -599,7 +606,7 @@ def filegdb_feature_rows(members: DataFrame) -> DataFrame:
         except (ValueError, struct.error, IndexError):
             rows = []
         return pd.DataFrame(rows, columns=[
-            "dataset", "layer", "fid", "geometry", "srid"])
+            "dataset", "layer", "fid", "geometry", "srid", "crs_wkt"])
 
     return gdb.groupBy("gdb_dir").applyInPandas(per_gdb, FEATURE_SCHEMA)
 

@@ -35,7 +35,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 FEATURE_SCHEMA = (
-    "dataset string, layer string, fid long, geometry binary, srid int"
+    "dataset string, layer string, fid long, geometry binary, srid int, "
+    "crs_wkt string"
 )
 
 _ENVELOPE_BYTES = {0: 0, 1: 32, 2: 48, 3: 48, 4: 64}
@@ -75,6 +76,21 @@ def _feature_layers(con: sqlite3.Connection) -> list[tuple[str, str, int]]:
     return [(str(t), str(col), int(srs)) for t, col, srs in rows]
 
 
+def _srs_definitions(con: sqlite3.Connection) -> dict[int, str]:
+    """srs_id -> WKT definition from ``gpkg_spatial_ref_sys`` (spec
+    table 4, column ``definition``).  Lets layers whose srs_id is not
+    an EPSG code the engine knows reproject via operators/crs_wkt.py,
+    the way GDAL resolves the same column."""
+    try:
+        rows = con.execute(
+            "SELECT srs_id, definition FROM gpkg_spatial_ref_sys"
+        ).fetchall()
+    except sqlite3.Error:
+        return {}
+    return {int(s): str(d) for s, d in rows
+            if d and str(d).strip().upper() not in ("", "UNDEFINED")}
+
+
 def _q(ident: str) -> str:
     """SQLite identifier quoting (layer/column names come from the
     file's own registry — escape embedded quotes defensively)."""
@@ -89,8 +105,11 @@ def _pk_column(con: sqlite3.Connection, table: str) -> str | None:
     return None
 
 
-def read_gpkg_bytes(content: bytes, dataset: str):
-    """Yield (dataset, layer, fid, wkb, srid) rows from .gpkg bytes.
+def read_gpkg_bytes(content: bytes, dataset: str,
+                    with_wkt: bool = False):
+    """Yield (dataset, layer, fid, wkb, srid) rows from .gpkg bytes
+    (+ the layer's ``gpkg_spatial_ref_sys`` WKT definition as a 6th
+    element when ``with_wkt``).
 
     sqlite3 requires a file path, so the bytes land in a temp file for
     the duration of the read (executor-local scratch — the same thing
@@ -102,6 +121,11 @@ def read_gpkg_bytes(content: bytes, dataset: str):
             f.write(content)
         con = sqlite3.connect(tmp)
         try:
+            defs = _srs_definitions(con) if with_wkt else {}
+
+            def out(row, srid):
+                return row + ((defs.get(srid),) if with_wkt else ())
+
             for table, geom_col, srs_default in _feature_layers(con):
                 pk = _pk_column(con, table)
                 fid_expr = _q(pk) if pk else "rowid"
@@ -110,15 +134,18 @@ def read_gpkg_bytes(content: bytes, dataset: str):
                     f"FROM {_q(table)} ORDER BY {fid_expr}")
                 for fid, blob in cur:
                     if blob is None:
-                        yield dataset, table, int(fid), None, srs_default
+                        yield out((dataset, table, int(fid), None,
+                                   srs_default), srs_default)
                         continue
                     parsed = parse_gpkg_blob(bytes(blob))
                     if parsed is None:     # empty geometry
-                        yield dataset, table, int(fid), None, srs_default
+                        yield out((dataset, table, int(fid), None,
+                                   srs_default), srs_default)
                         continue
                     srs_id, wkb = parsed
-                    yield (dataset, table, int(fid), wkb,
-                           srs_id if srs_id > 0 else srs_default)
+                    srid = srs_id if srs_id > 0 else srs_default
+                    yield out((dataset, table, int(fid), wkb, srid),
+                              srid)
         finally:
             con.close()
     finally:
@@ -139,17 +166,20 @@ def features_from_gpkg(spark: SparkSession, path: str) -> DataFrame:
             for p, content in zip(pdf["path"], pdf["content"]):
                 dataset = os.path.basename(str(p).removeprefix("file:"))
                 try:
-                    rows += list(read_gpkg_bytes(bytes(content), dataset))
+                    rows += list(read_gpkg_bytes(bytes(content), dataset,
+                                                 with_wkt=True))
                 except (sqlite3.Error, ValueError, OSError):
                     continue               # corrupt gpkg: quarantine
             yield pd.DataFrame(rows, columns=[
-                "dataset", "layer", "fid", "geometry", "srid"])
+                "dataset", "layer", "fid", "geometry", "srid",
+                "crs_wkt"])
 
     return raw.mapInPandas(kernel, FEATURE_SCHEMA)
 
 
 def write_gpkg(path: str, layers: dict[str, list[tuple]],
-               srid: int = 4326) -> None:
+               srid: int = 4326,
+               srs_definition: str | None = None) -> None:
     """Minimal spec-conformant GeoPackage writer (fixtures + sinks):
     ``layers`` maps layer name -> [(fid, wkb bytes), ...]."""
     con = sqlite3.connect(path)
@@ -163,8 +193,8 @@ def write_gpkg(path: str, layers: dict[str, list[tuple]],
             "definition TEXT NOT NULL, description TEXT)")
         con.execute(
             "INSERT INTO gpkg_spatial_ref_sys VALUES "
-            "(?, ?, 'EPSG', ?, 'undefined', NULL)",
-            (f"EPSG:{srid}", srid, srid))
+            "(?, ?, 'EPSG', ?, ?, NULL)",
+            (f"EPSG:{srid}", srid, srid, srs_definition or "undefined"))
         con.execute(
             "CREATE TABLE gpkg_contents (table_name TEXT NOT NULL PRIMARY "
             "KEY, data_type TEXT NOT NULL, identifier TEXT UNIQUE, "

@@ -268,3 +268,44 @@ def test_normalize_without_wkt_column_unchanged(spark):
         "srid int")
     out = G.normalize_features(feats).collect()
     assert len(out) == 1 and out[0].srid == 4326
+
+
+def test_gpkg_custom_srs_resolves_via_definition(spark, tmp_path):
+    """A GeoPackage layer with a non-EPSG srs_id but a WKT definition
+    in gpkg_spatial_ref_sys reprojects through the definition — the
+    behaviour GDAL gives the reference for the same column."""
+    from geohub_data_pipeline_spark.sources import geopackage as GP
+
+    tf = C.from_lonlat(32633)
+    x, y = tf(14.3, 48.2)
+    GP.write_gpkg(str(tmp_path / "custom.gpkg"),
+                  {"pts": [(1, G.wkb_point(x, y))]},
+                  srid=20000, srs_definition=_WKT_ESRI_UTM33)
+    feats = GP.features_from_gpkg(spark, str(tmp_path / "custom.gpkg"))
+    row = feats.collect()[0]
+    assert row.srid == 20000 and "UTM_Zone_33N" in row.crs_wkt
+    out = G.normalize_features(feats).collect()
+    assert len(out) == 1
+    p = G.parse_wkb(bytes(out[0].geometry))
+    assert p["coords"][0] == pytest.approx(14.3, abs=1e-8)
+    assert p["coords"][1] == pytest.approx(48.2, abs=1e-8)
+
+
+def test_filegdb_esri_wkt_resolves(spark, tmp_path):
+    """A FileGDB whose geometry field carries AUTHORITY-less ESRI WKT
+    gets srid 0 + crs_wkt and reprojects in normalize_features."""
+    from geohub_data_pipeline_spark.sources import filegdb as FG
+
+    tf = C.from_lonlat(32633)
+    x, y = tf(14.3, 48.2)
+    gdb = tmp_path / "n.gdb"
+    FG.write_filegdb(str(gdb), {"pts": [(1, G.wkb_point(x, y))]},
+                     srid_wkt=_WKT_ESRI_UTM33.replace("\n", ""))
+    feats = FG.features_from_gdb(spark, str(tmp_path))
+    row = feats.collect()[0]
+    assert row.srid == 0 and "UTM_Zone_33N" in row.crs_wkt
+    out = G.normalize_features(feats).collect()
+    assert len(out) == 1
+    p = G.parse_wkb(bytes(out[0].geometry))
+    assert p["coords"][0] == pytest.approx(14.3, abs=1e-7)
+    assert p["coords"][1] == pytest.approx(48.2, abs=1e-7)
