@@ -255,9 +255,22 @@ def main(argv: list[str] | None = None) -> int:
                 features_from_gdb,
             )
             feats = features_from_gdb(spark, args.src)
+        elif args.src.lower().endswith(".fgb"):
+            from geohub_data_pipeline_spark.sources.flatgeobuf import (
+                features_from_fgb,
+            )
+            feats = features_from_fgb(spark, args.src)
         else:
             feats = spark.read.parquet(args.src)
         norm = G.normalize_features(feats)
+        # companion .fgb artifacts, as the reference uploads next to
+        # the PMTiles (ref ingest/processing.py:405-443 dataset2pmtiles)
+        from geohub_data_pipeline_spark.sources.flatgeobuf import (
+            write_flatgeobuf_tables,
+        )
+        for m in write_flatgeobuf_tables(
+                norm, f"{args.dst}/fgb").collect():
+            print(f"fgb: {m.path} ({m.n_features} features)")
         tiles = TLG.build_tiles(norm, maxzoom=args.maxzoom,
                                 simplify_low_zooms=True, encode="mvt")
         tiles.write.mode("overwrite").partitionBy("z").parquet(

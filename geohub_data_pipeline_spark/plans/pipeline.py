@@ -1751,3 +1751,87 @@ def crs_wkt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return base.mapInPandas(
         rt, "doc_id long, family string, lon_rt double, lat_rt double")
+
+
+# ---------------------------------------------------------------------------
+# S5/T7 round 4: real FlatGeobuf bytes round-trip under the gate
+# ---------------------------------------------------------------------------
+
+_FGB_SQL = """
+SELECT doc_id,
+       CAST(1 + doc_id % 4 AS BIGINT) AS n_features,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 4326 ELSE 3857
+            END AS INTEGER) AS srid,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 0
+            END AS INTEGER) AS node_size,
+       round(CAST(doc_id % 90 AS DOUBLE) + 0.5, 3) AS first_x,
+       CAST(1 AS BIGINT) AS props_ok
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("fgb_source", "pipeline",
+       "§2.1 S5 + §2.2 T7 artifact: real FlatGeobuf v3 files "
+       "(flatbuffers wire format, packed R-tree index, properties "
+       "codec) written and read back stdlib-only "
+       "(sources/flatgeobuf.py; the reference's primary vector "
+       "artifact — ref ingest/processing.py:100-213 dataset2fgb, "
+       "fgb_upload/main.py backfill)", _FGB_SQL)
+def fgb_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a real .fgb per document (1-4 points, rotating srid,
+    every third file with a packed R-tree index, one string + one
+    double property per feature) and read it back through the
+    flatbuffers codec — builder, header, index skip, geometry and
+    properties codecs all sit under the oracle compare.
+
+    Scale: each .fgb is built and parsed inside one Arrow kernel;
+    no shuffle.
+    """
+    import json
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.sources import flatgeobuf as FGB
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id")
+    cols = [("name", FGB.CT_STRING), ("v", FGB.CT_DOUBLE)]
+
+    def rt(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                srid = 4326 if did % 2 == 0 else 3857
+                node = 16 if did % 3 == 0 else 0
+                n = 1 + did % 4
+                x0 = float(did % 90) + 0.5
+                feats = [(i, G.wkb_point(x0 + i, 0.25),
+                          {"name": f"f{i}", "v": x0 + i})
+                         for i in range(n)]
+                blob = FGB.write_fgb_bytes(
+                    feats, name="pts", srid=srid, columns=cols,
+                    index_node_size=node)
+                hdr = FGB.parse_fgb_header(blob)
+                got = list(FGB.read_fgb_bytes(blob, f"d{did}"))
+                props_ok = int(all(
+                    json.loads(r[6]) == {"name": f"f{r[2]}",
+                                         "v": x0 + r[2]}
+                    and r[3] == feats[r[2]][1] and r[4] == srid
+                    for r in got))
+                first = G.parse_wkb(got[0][3])["coords"][0]
+                rows.append((did, len(got), srid,
+                             hdr["index_node_size"],
+                             round(first, 3), props_ok))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_features", "srid", "node_size",
+                "first_x", "props_ok"])
+
+    return base.mapInPandas(
+        rt, "doc_id long, n_features long, srid int, node_size int, "
+            "first_x double, props_ok long")

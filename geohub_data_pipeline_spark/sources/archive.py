@@ -25,6 +25,7 @@ import io
 import json
 import lzma
 import os
+import struct
 import tarfile
 import zipfile
 from collections.abc import Iterator
@@ -39,7 +40,8 @@ ARCHIVE_MEMBER_SCHEMA = (
 )
 
 _FEATURE_SCHEMA = (
-    "dataset string, layer string, fid long, geometry binary, srid int"
+    "dataset string, layer string, fid long, geometry binary, srid int, "
+    "crs_wkt string"
 )
 
 
@@ -126,11 +128,12 @@ def _geojson_features(doc: dict):
 
 
 def geojson_feature_rows(members: DataFrame) -> DataFrame:
-    """Parse ``.geojson``/``.json`` AND ``.gpkg`` members into feature
-    rows (dataset, layer, fid, geometry WKB, srid — GeoJSON is
-    RFC 7946 WGS84 by definition; GeoPackage members go through the
-    stdlib sqlite3 reader in sources/geopackage.py with their declared
-    srs).
+    """Parse ``.geojson``/``.json``, ``.gpkg`` AND ``.fgb`` members
+    into feature rows (dataset, layer, fid, geometry WKB, srid,
+    crs_wkt — GeoJSON is RFC 7946 WGS84 by definition; GeoPackage
+    members go through the stdlib sqlite3 reader in
+    sources/geopackage.py with their declared srs; FlatGeobuf through
+    sources/flatgeobuf.py with its header CRS).
 
     dataset = archive file name; layer = member stem (GeoJSON) or
     feature table name (GeoPackage); fid = feature ``id``/pk when
@@ -155,8 +158,18 @@ def geojson_feature_rows(members: DataFrame) -> DataFrame:
                 if low.endswith(".gpkg"):
                     try:
                         rows += list(GP.read_gpkg_bytes(
-                            bytes(payload), dataset))
+                            bytes(payload), dataset, with_wkt=True))
                     except (sqlite3.Error, ValueError, OSError):
+                        pass               # -skipfailures
+                    continue
+                if low.endswith(".fgb"):
+                    from geohub_data_pipeline_spark.sources import (
+                        flatgeobuf as FGB,
+                    )
+                    try:
+                        rows += [r[:6] for r in FGB.read_fgb_bytes(
+                            bytes(payload), dataset)]
+                    except (ValueError, struct.error, IndexError):
                         pass               # -skipfailures
                     continue
                 if not low.endswith((".geojson", ".json")):
@@ -173,9 +186,10 @@ def geojson_feature_rows(members: DataFrame) -> DataFrame:
                         continue           # -skipfailures
                     fid = feat.get("id")
                     fid = int(fid) if isinstance(fid, (int, float)) else i
-                    rows.append((dataset, layer, fid, wkb, 4326))
+                    rows.append((dataset, layer, fid, wkb, 4326, None))
             yield pd.DataFrame(rows, columns=[
-                "dataset", "layer", "fid", "geometry", "srid"])
+                "dataset", "layer", "fid", "geometry", "srid",
+                "crs_wkt"])
 
     return members.mapInPandas(kernel, _FEATURE_SCHEMA)
 

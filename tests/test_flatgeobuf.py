@@ -1,0 +1,162 @@
+"""FlatGeobuf codec + Spark source/sink.
+
+Spec: https://flatgeobuf.org (v3).  The writer/reader are
+independent implementations of the same public format, so
+write->read roundtrips pin both directions; WKB payloads must come
+back bit-exact.
+"""
+
+import json
+import struct
+
+import pytest
+
+from geohub_data_pipeline_spark.operators import geometry as G
+from geohub_data_pipeline_spark.sources import flatgeobuf as FGB
+
+
+def wkb_line(pts):
+    return (b"\x01" + struct.pack("<II", 2, len(pts))
+            + b"".join(struct.pack("<2d", *p) for p in pts))
+
+
+def wkb_poly(rings):
+    out = b"\x01" + struct.pack("<II", 3, len(rings))
+    for r in rings:
+        out += struct.pack("<I", len(r)) \
+            + b"".join(struct.pack("<2d", *p) for p in r)
+    return out
+
+
+def wkb_multipoly(polys):
+    out = b"\x01" + struct.pack("<II", 6, len(polys))
+    for p in polys:
+        out += wkb_poly(p)
+    return out
+
+
+_SQ = [(0.0, 0.0), (0.0, 2.0), (2.0, 2.0), (2.0, 0.0), (0.0, 0.0)]
+_HOLE = [(0.5, 0.5), (1.0, 0.5), (1.0, 1.0), (0.5, 1.0), (0.5, 0.5)]
+
+
+def _mixed_features():
+    return [
+        (0, G.wkb_point(10.5, -3.25), {"name": "a", "v": 1.5}),
+        (1, wkb_line([(0, 0), (1, 1), (2, 0.5)]), {"name": "b"}),
+        (2, wkb_poly([_SQ, _HOLE]), {"v": -2.0}),
+        (3, wkb_multipoly([[_SQ], [[(5, 5), (5, 6), (6, 6), (5, 5)]]]),
+         None),
+    ]
+
+
+def test_mixed_layer_roundtrip_bit_exact():
+    feats = _mixed_features()
+    cols = [("name", FGB.CT_STRING), ("v", FGB.CT_DOUBLE)]
+    blob = FGB.write_fgb_bytes(feats, name="mixed", srid=4326,
+                               columns=cols)
+    assert blob[:8] == FGB.MAGIC
+    hdr = FGB.parse_fgb_header(blob)
+    assert hdr["geometry_type"] == FGB.GT_UNKNOWN     # mixed
+    assert hdr["features_count"] == 4
+    assert hdr["columns"] == cols
+    rows = list(FGB.read_fgb_bytes(blob, "d.fgb"))
+    assert len(rows) == 4
+    for ds, layer, fid, wkb, srid, crs_wkt, props in rows:
+        assert ds == "d.fgb" and layer == "mixed" and srid == 4326
+        assert wkb == feats[fid][1]                   # bit-exact WKB
+    assert json.loads(rows[0][6]) == {"name": "a", "v": 1.5}
+    assert json.loads(rows[2][6]) == {"v": -2.0}
+    assert rows[3][6] is None
+
+
+def test_homogeneous_layer_header_type_and_index_skip():
+    feats = [(i, G.wkb_point(float(i), float(i * 2)))
+             for i in range(37)]
+    blob = FGB.write_fgb_bytes(feats, name="pts", srid=3857,
+                               index_node_size=16)
+    hdr = FGB.parse_fgb_header(blob)
+    assert hdr["geometry_type"] == FGB.GT_POINT
+    assert hdr["index_node_size"] == 16
+    # the reader must skip exactly the packed R-tree bytes
+    assert FGB._packed_rtree_size(37, 16) == (37 + 3 + 1) * 40
+    rows = list(FGB.read_fgb_bytes(blob, "x"))
+    assert len(rows) == 37
+    assert all(r[3] == feats[r[2]][1] for r in rows)
+    assert all(r[4] == 3857 for r in rows)
+
+
+def test_packed_rtree_structure():
+    """Root node must cover every leaf; internal offsets point at the
+    first child node's byte position."""
+    boxes = [(float(i), 0.0, float(i) + 1.0, 1.0) for i in range(20)]
+    offs = [i * 100 for i in range(20)]
+    tree = FGB._build_packed_rtree(boxes, offs, node_size=4)
+    n_nodes = len(tree) // 40
+    assert n_nodes == 20 + 5 + 2 + 1
+    root = struct.unpack_from("<4dQ", tree, 0)
+    assert root[:4] == (0.0, 0.0, 20.0, 1.0)
+    assert root[4] == 1 * 40              # first child = node index 1
+    # leaves are the last 20 nodes, in feature order
+    leaf0 = struct.unpack_from("<4dQ", tree, (n_nodes - 20) * 40)
+    assert leaf0[:4] == (0.0, 0.0, 1.0, 1.0) and leaf0[4] == 0
+
+
+def test_crs_wkt_carried():
+    wkt = 'PROJCS["custom",GEOGCS["GCS",DATUM["D",SPHEROID["S",' \
+          '6378137.0,298.257223563]],PRIMEM["Greenwich",0.0],' \
+          'UNIT["Degree",0.0174532925199433]],' \
+          'PROJECTION["Transverse_Mercator"],UNIT["Meter",1.0]]'
+    blob = FGB.write_fgb_bytes([(0, G.wkb_point(1.0, 2.0))],
+                               srid=0, crs_wkt=wkt)
+    hdr = FGB.parse_fgb_header(blob)
+    assert hdr["crs_wkt"] == wkt
+    rows = list(FGB.read_fgb_bytes(blob, "x"))
+    assert rows[0][5] == wkt
+
+
+def test_corrupt_quarantine():
+    with pytest.raises(ValueError):
+        FGB.parse_fgb_header(b"not a flatgeobuf at all")
+    # truncated feature section: reader stops cleanly
+    feats = [(i, G.wkb_point(float(i), 0.0)) for i in range(3)]
+    blob = FGB.write_fgb_bytes(feats)
+    rows = list(FGB.read_fgb_bytes(blob[:-10], "x"))
+    assert len(rows) == 2                 # last frame dropped
+
+
+def test_spark_source_and_normalize(spark, tmp_path):
+    """Scan -> feature rows -> normalize (3857 -> 4326)."""
+    x, y = G.lonlat_to_mercator(12.5, 41.9)
+    blob = FGB.write_fgb_bytes(
+        [(0, G.wkb_point(x, y))], name="places", srid=3857)
+    (tmp_path / "rome.fgb").write_bytes(blob)
+    feats = FGB.features_from_fgb(spark, str(tmp_path / "rome.fgb"))
+    row = feats.collect()[0]
+    assert (row.dataset, row.layer, row.srid) == ("rome.fgb",
+                                                  "places", 3857)
+    out = G.normalize_features(feats).collect()
+    p = G.parse_wkb(bytes(out[0].geometry))
+    assert p["coords"][0] == pytest.approx(12.5, abs=1e-9)
+    assert p["coords"][1] == pytest.approx(41.9, abs=1e-9)
+
+
+def test_write_flatgeobuf_tables(spark, tmp_path):
+    """dataset2fgb analog: one .fgb per (dataset, layer) + manifest,
+    and the artifacts parse back with the same WKB."""
+    feats = spark.createDataFrame(
+        [("up.zip", "roads", 1, G.wkb_point(1.0, 2.0), 4326),
+         ("up.zip", "roads", 2, G.wkb_point(3.0, 4.0), 4326),
+         ("up.zip", "rails", 1, wkb_line([(0, 0), (1, 1)]), 4326)],
+        "dataset string, layer string, fid long, geometry binary, "
+        "srid int")
+    norm = G.normalize_features(feats)
+    manifest = {(r.dataset, r.layer): r for r in
+                FGB.write_flatgeobuf_tables(
+                    norm, str(tmp_path)).collect()}
+    assert set(manifest) == {("up.zip", "roads"), ("up.zip", "rails")}
+    assert manifest[("up.zip", "roads")].n_features == 2
+    back = list(FGB.read_fgb_bytes(
+        open(manifest[("up.zip", "roads")].path, "rb").read(), "x"))
+    assert len(back) == 2
+    # normalize promotes to Multi*: the artifact holds MultiPoint
+    assert struct.unpack_from("<I", back[0][3], 1)[0] % 1000 == 4
