@@ -197,7 +197,20 @@ def _decode_jpeg(payload: bytes, meta: dict) -> dict:
 
 
 def _decode_gif(payload: bytes, meta: dict) -> dict:
-    """GIF logical-screen probe (GIF87a/89a header)."""
+    """Real GIF decode: stdlib LZW + palette codec
+    (functions/gifcodec.py) yields actual first-frame pixels, so the
+    reported dims are decode-true; malformed streams fall back to the
+    logical-screen header probe."""
+    try:
+        from geohub_data_pipeline_spark.functions.gifcodec import (
+            decode_gif_rgb,
+        )
+        arr = decode_gif_rgb(payload)
+        meta.update(ok=True, width=int(arr.shape[1]),
+                    height=int(arr.shape[0]), n_channels=3)
+        return meta
+    except Exception:
+        pass                               # fall through to header probe
     try:
         if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
             raise ValueError("bad GIF header")

@@ -1835,3 +1835,90 @@ def fgb_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.mapInPandas(
         rt, "doc_id long, n_features long, srid int, node_size int, "
             "first_x double, props_ok long")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal round 4b: full GIF LZW pixel decode under the gate
+# ---------------------------------------------------------------------------
+
+# The encoder writes a deterministic grayscale-palette frame
+# (idx[i,j] = (doc_id + 3i + j) mod ncol, palette value 17k mod 256),
+# every third file interlaced; the decoder's pixel stats therefore
+# have a closed form the oracle reproduces.
+_GIF_SQL = """
+SELECT d.doc_id,
+       CAST(8 + (d.doc_id % 5) * 4 AS INTEGER) AS width,
+       CAST(6 + (d.doc_id % 3) * 4 AS INTEGER) AS height,
+       CAST(s.sum_v AS BIGINT) AS px_sum,
+       CAST(s.min_v AS INTEGER) AS px_min,
+       CAST(s.max_v AS INTEGER) AS px_max
+FROM documents d,
+LATERAL (
+    SELECT sum(v) AS sum_v, min(v) AS min_v, max(v) AS max_v
+    FROM (
+        SELECT (((d.doc_id + 3 * (t.i // (8 + (d.doc_id % 5) * 4))
+                  + (t.i % (8 + (d.doc_id % 5) * 4)))
+                 % (4 + d.doc_id % 4)) * 17) % 256 AS v
+        FROM range(336) t(i)
+        WHERE t.i < (8 + (d.doc_id % 5) * 4)
+                    * (6 + (d.doc_id % 3) * 4)
+    )
+) s
+ORDER BY d.doc_id
+"""
+
+
+@query("gif_pixel_stats", "pipeline",
+       "multimodal: full GIF87a/89a LZW pixel decode "
+       "(functions/gifcodec.py — variable-width LZW, interlace, "
+       "palettes); encoder->decoder->stats under a closed-form "
+       "oracle", _GIF_SQL)
+def gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode a deterministic palette frame per document (rotating
+    size/palette, every third interlaced), decode it through the LZW
+    codec, and report exact pixel statistics (integer sum/min/max, no
+    float rounding edge) — bit-exact against the closed-form oracle, so the LZW bit reader, table growth,
+    interlace schedule, and palette mapping all sit under the gate.
+
+    Scale: per-row codec work in an Arrow-batched kernel; no shuffle.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.functions.gifcodec import (
+        decode_gif_rgb,
+        encode_gif,
+    )
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id")
+
+    def rt(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 8 + (did % 5) * 4
+                h = 6 + (did % 3) * 4
+                ncol = 4 + did % 4
+                i = np.arange(h)[:, None]
+                j = np.arange(w)[None, :]
+                idx = ((did + 3 * i + j) % ncol).astype(np.uint8)
+                pal = np.stack([(np.arange(ncol) * 17 % 256)
+                                .astype(np.uint8)] * 3, axis=1)
+                blob = encode_gif(idx, pal, interlace=(did % 3 == 0))
+                arr = decode_gif_rgb(blob)[:, :, 0].astype(np.int64)
+                rows.append((did, int(arr.shape[1]), int(arr.shape[0]),
+                             int(arr.sum()),
+                             int(arr.min()), int(arr.max())))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "px_sum", "px_min",
+                "px_max"])
+
+    return base.mapInPandas(
+        rt, "doc_id long, width int, height int, px_sum long, "
+            "px_min int, px_max int")

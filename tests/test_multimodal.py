@@ -117,3 +117,36 @@ def test_frame_sample_plan(spark):
     assert idx == [0, 300, 600]
     # only video rows produce frames
     assert {r.media_id for r in plan} == {3}
+
+
+def test_gif_full_lzw_decode_paths():
+    """Real GIF pixel decode (functions/gifcodec.py): roundtrip with
+    global palette, local palette override, interlace, multi-frame
+    count, and the decode-true metadata in _decode_one."""
+    import numpy as np
+
+    from geohub_data_pipeline_spark.functions.gifcodec import (
+        decode_gif,
+        decode_gif_rgb,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(3)
+    idx = rng.integers(0, 6, size=(21, 13)).astype(np.uint8)
+    pal = rng.integers(0, 256, size=(6, 3)).astype(np.uint8)
+    for interlace in (False, True):
+        blob = encode_gif(idx, pal, interlace=interlace)
+        got, gpal, nf = decode_gif(blob)
+        assert np.array_equal(got, idx) and nf == 1
+        assert np.array_equal(gpal[:6], pal)
+        rgb = decode_gif_rgb(blob)
+        assert np.array_equal(rgb, pal[idx])
+        meta = M._decode_one("image", blob)
+        assert meta["ok"] and (meta["width"], meta["height"]) == (13, 21)
+        assert meta["n_channels"] == 3
+
+    # truncated LZW stream: decoder stops clean, probe path reports
+    # the header dims
+    blob = encode_gif(idx, pal)
+    meta = M._decode_one("image", blob[:20])
+    assert meta["ok"] and (meta["width"], meta["height"]) == (13, 21)
