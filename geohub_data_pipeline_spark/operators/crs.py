@@ -626,6 +626,91 @@ def _make_homvb(ellps, lat_c, lon_c, alpha_c, gamma_c, k_c, fe, fn):
 
 
 # ---------------------------------------------------------------------------
+# Sinusoidal (Snyder 1987 §30, ellipsoidal) — the MODIS/VIIRS tile
+# grid most climate/EO rasters arrive in — and Equidistant
+# Cylindrical / Plate Carree (EPSG 1028/1029, Snyder §12).
+# ---------------------------------------------------------------------------
+
+def _make_sinu(ellps, lon0, fe, fn):
+    a, f = ellps
+    e2 = f * (2 - f)
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    # meridional arc series (Snyder 3-21) and its inverse (3-26)
+    c0 = 1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256
+    c2 = 3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024
+    c4 = 15 * e4 / 256 + 45 * e6 / 1024
+    c6 = 35 * e6 / 3072
+    e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+    d2 = 3 * e1 / 2 - 27 * e1 ** 3 / 32
+    d4 = 21 * e1 ** 2 / 16 - 55 * e1 ** 4 / 32
+    d6 = 151 * e1 ** 3 / 96
+    d8 = 1097 * e1 ** 4 / 512
+
+    def m_of(phi):
+        return a * (c0 * phi - c2 * math.sin(2 * phi)
+                    + c4 * math.sin(4 * phi) - c6 * math.sin(6 * phi))
+
+    def fwd(lon: float, lat: float) -> tuple[float, float]:
+        phi = math.radians(lat)
+        lam = math.radians(lon - lon0)
+        s = math.sin(phi)
+        x = a * lam * math.cos(phi) / math.sqrt(1 - e2 * s * s)
+        return fe + x, fn + m_of(phi)
+
+    def inv(e_crd: float, n_crd: float) -> tuple[float, float]:
+        m = n_crd - fn
+        mu = m / (a * c0)
+        phi = (mu + d2 * math.sin(2 * mu) + d4 * math.sin(4 * mu)
+               + d6 * math.sin(6 * mu) + d8 * math.sin(8 * mu))
+        for _ in range(2):                 # Newton: series -> ~1e-13 rad
+            s2 = math.sin(phi) ** 2
+            dm = a * (1 - e2) / (1 - e2 * s2) ** 1.5
+            phi -= (m_of(phi) - m) / dm
+        s = math.sin(phi)
+        denom = a * math.cos(phi) / math.sqrt(1 - e2 * s * s)
+        lam = (e_crd - fe) / denom if denom else 0.0
+        return lon0 + math.degrees(lam), math.degrees(phi)
+
+    return fwd, inv
+
+
+def _make_eqc(ellps, lat_ts, lat0, lon0, fe, fn):
+    """Equidistant Cylindrical (EPSG 1028 spherical-on-ellipsoid
+    simplification used by Plate Carree consumers: exact for the
+    sphere; for the ellipsoid uses nu(lat_ts) horizontally and the
+    meridional arc vertically)."""
+    a, f = ellps
+    e2 = f * (2 - f)
+    phi_ts = math.radians(lat_ts)
+    nu_ts = (a * math.cos(phi_ts)
+             / math.sqrt(1 - e2 * math.sin(phi_ts) ** 2))
+    if e2 == 0.0:
+        def fwd(lon: float, lat: float) -> tuple[float, float]:
+            return (fe + nu_ts * math.radians(lon - lon0),
+                    fn + a * math.radians(lat - lat0))
+
+        def inv(x: float, y: float) -> tuple[float, float]:
+            return (lon0 + math.degrees((x - fe) / nu_ts),
+                    lat0 + math.degrees((y - fn) / a))
+
+        return fwd, inv
+    sin_fwd, sin_inv = _make_sinu(ellps, lon0, 0.0, 0.0)
+
+    def fwd(lon: float, lat: float) -> tuple[float, float]:
+        # reuse the meridional arc from the sinusoidal kernel
+        _, m = sin_fwd(lon0, lat)
+        m0 = sin_fwd(lon0, lat0)[1]
+        return (fe + nu_ts * math.radians(lon - lon0), fn + m - m0)
+
+    def inv(x: float, y: float) -> tuple[float, float]:
+        m0 = sin_fwd(lon0, lat0)[1]
+        lat = sin_inv(0.0, (y - fn) + m0)[1]
+        return lon0 + math.degrees((x - fe) / nu_ts), lat
+
+    return fwd, inv
+
+
+# ---------------------------------------------------------------------------
 # Oblique Stereographic (EPSG method 9809; IOGP GN7-2 §3.5) — Dutch
 # RD New (28992) and other Rijksdriehoek-style grids.  Conformal
 # sphere formulation.
@@ -923,7 +1008,8 @@ _FAMILIES = {"tm": _make_tm, "lcc2": _make_lcc2,
              "laea": _make_laea, "aea": _make_aea,
              "ps": _make_ps, "krovak": _make_krovak,
              "merc": _make_merc, "homvb": _make_homvb,
-             "sterea": _make_sterea}
+             "sterea": _make_sterea, "sinu": _make_sinu,
+             "eqc": _make_eqc}
 
 _PAIR_CACHE: dict[int, tuple] = {}
 

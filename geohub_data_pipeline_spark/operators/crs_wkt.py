@@ -313,6 +313,18 @@ def _build_projected(proj_name: str, params: dict, ellps, ang: float,
               "stereographic"):
         return _make_sterea(ellps, lat0, lon0, k0, fe, fn)
 
+    if nm == "sinusoidal":
+        from geohub_data_pipeline_spark.operators.crs import _make_sinu
+        return _make_sinu(ellps, lon0, fe, fn)
+
+    if nm in ("equirectangular", "equidistantcylindrical",
+              "platecarree", "plate_carree"):
+        from geohub_data_pipeline_spark.operators.crs import _make_eqc
+        lat_ts = _get(params, _SP1)
+        lat_ts = (lat_ts * ang * _DEG_PER_RAD) if lat_ts is not None \
+            else 0.0
+        return _make_eqc(ellps, lat_ts, lat0, lon0, fe, fn)
+
     if nm == "krovak":
         psp = angle(("pseudo_standard_parallel_1",), 78.5)
         return _make_krovak(ellps, lat0, lon0,
@@ -338,12 +350,13 @@ def pair_from_wkt(wkt: str):
         ang = _unit_factor(root, math.pi / 180.0)
         helmert = _towgs84(root)
         scale = ang * _DEG_PER_RAD        # units -> degrees
+        primem = _primem_deg(root, ang)   # e.g. Paris-referenced lons
 
         def fwd_g(lon: float, lat: float) -> tuple[float, float]:
-            return lon / scale, lat / scale
+            return (lon - primem) / scale, lat / scale
 
         def inv_g(x: float, y: float) -> tuple[float, float]:
-            return x * scale, y * scale
+            return x * scale + primem, y * scale
 
         if helmert is not None:
             # datum-shift the lon/lat through ECEF; identity "grid"

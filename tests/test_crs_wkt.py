@@ -309,3 +309,53 @@ def test_filegdb_esri_wkt_resolves(spark, tmp_path):
     p = G.parse_wkb(bytes(out[0].geometry))
     assert p["coords"][0] == pytest.approx(14.3, abs=1e-7)
     assert p["coords"][1] == pytest.approx(48.2, abs=1e-7)
+
+
+def test_sinusoidal_snyder_and_modis():
+    """Snyder 1987 §30 worked example (Clarke 1866) + the MODIS
+    sphere grid via WKT dispatch."""
+    clarke66 = (6378206.4, 1 / 294.9786982)
+    fwd, inv = C._make_sinu(clarke66, lon0=-90.0, fe=0, fn=0)
+    x, y = fwd(-75.0, -50.0)
+    assert abs(x - 1075471.5) < 0.5 and abs(y + 5540628.0) < 0.5
+    lo, la = inv(x, y)
+    assert abs(lo + 75.0) < 1e-9 and abs(la + 50.0) < 1e-9
+
+    wkt = ('PROJCS["MODIS Sinusoidal",GEOGCS["Unknown",DATUM["unnamed",'
+           'SPHEROID["Spheroid",6371007.181,0]],PRIMEM["Greenwich",0],'
+           'UNIT["degree",0.0174532925199433]],'
+           'PROJECTION["Sinusoidal"],'
+           'PARAMETER["longitude_of_center",0],'
+           'PARAMETER["false_easting",0],'
+           'PARAMETER["false_northing",0],UNIT["metre",1]]')
+    f2, i2 = W.pair_from_wkt(wkt)
+    assert f2(90.0, 0.0)[0] == pytest.approx(
+        6371007.181 * math.pi / 2, abs=1e-6)
+    lo, la = i2(*f2(12.34, 56.78))
+    assert abs(lo - 12.34) < 1e-9 and abs(la - 56.78) < 1e-9
+
+
+def test_equidistant_cylindrical_epsg_1028():
+    """EPSG method 1028 worked example (WGS84, lat_ts = 0):
+    (55N, 10E) -> E 1113194.91, N 6097230.31."""
+    fwd, inv = C._make_eqc(C._WGS84, 0.0, 0.0, 0.0, 0, 0)
+    x, y = fwd(10.0, 55.0)
+    assert abs(x - 1113194.91) < 0.02 and abs(y - 6097230.31) < 0.02
+    lo, la = inv(x, y)
+    assert abs(lo - 10.0) < 1e-9 and abs(la - 55.0) < 1e-9
+
+
+def test_geogcs_paris_prime_meridian():
+    """GEOGCS-rooted WKT with a Paris prime meridian: stored
+    longitudes are Paris-relative; the pair converts to/from
+    Greenwich WGS84."""
+    wkt = ('GEOGCS["NTF (Paris)",DATUM["NTF",'
+           'SPHEROID["Clarke 1880 (IGN)",6378249.2,293.466021293627]],'
+           'PRIMEM["Paris",2.33722917],'
+           'UNIT["degree",0.0174532925199433]]')
+    fwd, inv = W.pair_from_wkt(wkt)
+    # Greenwich lon 2.33722917 == Paris lon 0
+    x, y = fwd(2.33722917, 48.85)
+    assert abs(x) < 1e-9 and y == pytest.approx(48.85)
+    lo, la = inv(0.0, 48.85)
+    assert lo == pytest.approx(2.33722917) and la == pytest.approx(48.85)
