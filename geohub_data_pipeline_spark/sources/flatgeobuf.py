@@ -427,6 +427,44 @@ def _decode_properties(columns: list[tuple[str, int]],
 # first child node's byte position inside the tree)
 # ---------------------------------------------------------------------------
 
+def _hilbert_d(x: int, y: int, order_bits: int = 16) -> int:
+    """Distance along the Hilbert curve of a 2^order_bits grid
+    (standard xy->d iterative algorithm — the ordering flatbush/FGB
+    recommend for leaf locality)."""
+    d = 0
+    s = 1 << (order_bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:                        # rotate quadrant
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def _hilbert_order(boxes: list[tuple]) -> list[int]:
+    """Feature indices sorted by the Hilbert distance of their bbox
+    centers within the layer extent."""
+    minx = min(b[0] for b in boxes)
+    miny = min(b[1] for b in boxes)
+    maxx = max(b[2] for b in boxes)
+    maxy = max(b[3] for b in boxes)
+    sx = 65535.0 / (maxx - minx) if maxx > minx else 0.0
+    sy = 65535.0 / (maxy - miny) if maxy > miny else 0.0
+
+    def key(i):
+        b = boxes[i]
+        cx = int(((b[0] + b[2]) / 2 - minx) * sx)
+        cy = int(((b[1] + b[3]) / 2 - miny) * sy)
+        return _hilbert_d(cx, cy)
+
+    return sorted(range(len(boxes)), key=key)
+
+
 def _level_sizes(num_items: int, node_size: int) -> list[int]:
     """Node counts per level, leaf level first."""
     sizes = [num_items]
@@ -489,14 +527,15 @@ def write_fgb_bytes(features: list[tuple],
                     srid: int = 4326,
                     crs_wkt: str | None = None,
                     columns: list[tuple[str, int]] | None = None,
-                    index_node_size: int = 0) -> bytes:
+                    index_node_size: int = 0,
+                    hilbert_sort: bool = False) -> bytes:
     """Encode ``(fid, wkb, props-dict)`` (or ``(fid, wkb)``) tuples
     into a FlatGeobuf file.  Geometry type is promoted to Unknown in
     the header when mixed.  ``columns`` is [(name, ColumnType)];
     omitted -> no property schema.  ``index_node_size > 0`` writes
-    the packed R-tree over the features in GIVEN order (callers that
-    want locality-clustered tree quality should Hilbert/bbox-sort
-    first; the tree is valid either way)."""
+    the packed R-tree; ``hilbert_sort`` reorders features along the
+    Hilbert curve first (the spec's recommended leaf-locality order —
+    the tree is valid either way)."""
     columns = columns or []
     parsed = []
     gtypes = set()
@@ -519,6 +558,11 @@ def write_fgb_bytes(features: list[tuple],
         maxx, maxy = max(maxx, bx1), max(maxy, by1)
         boxes.append((bx0, by0, bx1, by1))
         parsed.append((fid, gtype, rings, props))
+
+    if hilbert_sort and len(parsed) > 1:
+        order = _hilbert_order(boxes)
+        parsed = [parsed[i] for i in order]
+        boxes = [boxes[i] for i in order]
 
     header_gt = gtypes.pop() if len(gtypes) == 1 else GT_UNKNOWN
 
@@ -727,7 +771,8 @@ def write_flatgeobuf_tables(normalized: DataFrame,
         pdf = pdf.sort_values("fid")
         feats = [(int(f), bytes(w)) for f, w in
                  zip(pdf["fid"], pdf["geometry"]) if w is not None]
-        blob = write_fgb_bytes(feats, name=layer, srid=4326)
+        blob = write_fgb_bytes(feats, name=layer, srid=4326,
+                               index_node_size=16, hilbert_sort=True)
         os.makedirs(dst_dir, exist_ok=True)
         out = os.path.join(dst_dir, f"{dataset}.{layer}.fgb")
         with open(out, "wb") as f:

@@ -84,6 +84,13 @@ def parse_messages(df: DataFrame) -> DataFrame:
     )
 
 
+# the reference's raster allowlist (ref ingest/config.py
+# ALLOWED_GDAL_FORMATS + the Erdas Imagine Raw pair) — anything else
+# under /raw/ is vector-pathed, as in the reference dispatch
+RASTER_EXTS = (".tif", ".tiff", ".gtif", ".gtiff", ".nc", ".nc4",
+               ".aig", ".asc", ".sgr", ".grd", ".raw", ".bl", ".img")
+
+
 def route_messages(parsed: DataFrame) -> DataFrame:
     """T4/T5/T12: attach the dispatch route per message."""
     ext = P.file_ext(F.col("blob_url"))
@@ -92,7 +99,7 @@ def route_messages(parsed: DataFrame) -> DataFrame:
         F.when(F.col("malformed"), "dead_letter")
         .when(~P.is_raw(F.col("blob_url")), "complete_untouched")
         .when(ext == ".pmtiles", "passthrough")
-        .when(ext.isin(".tif", ".nc", ".img"), "raster")
+        .when(ext.isin(*RASTER_EXTS), "raster")
         .otherwise("vector").alias("route"),
     )
 
