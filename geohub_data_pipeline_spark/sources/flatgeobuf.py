@@ -73,6 +73,7 @@ CT_INT = 5
 CT_LONG = 7
 CT_DOUBLE = 10
 CT_STRING = 11
+CT_JSON = 12
 
 
 # ---------------------------------------------------------------------------
@@ -386,7 +387,7 @@ def _encode_properties(columns: list[tuple[str, int]], props: dict) -> bytes:
             continue
         v = props[name]
         out += struct.pack("<H", idx)
-        if ctype == CT_STRING:
+        if ctype in (CT_STRING, CT_JSON):
             raw = str(v).encode("utf-8")
             out += struct.pack("<I", len(raw)) + raw
         else:
@@ -405,7 +406,7 @@ def _decode_properties(columns: list[tuple[str, int]],
         if idx >= len(columns):
             break
         name, ctype = columns[idx]
-        if ctype == CT_STRING:
+        if ctype in (CT_STRING, CT_JSON):
             (n,) = struct.unpack_from("<I", raw, pos)
             pos += 4
             out[name] = raw[pos:pos + n].decode("utf-8", "replace")
@@ -757,21 +758,33 @@ def write_flatgeobuf_tables(normalized: DataFrame,
     """One ``.fgb`` per (dataset, layer) from ``normalize_features``
     output — the dataset2fgb artifact (ref ingest/processing.py:
     100-213).  Returns a manifest (dataset, layer, path, n_features,
-    file_bytes).
+    file_bytes).  An optional ``properties`` string column (JSON, as
+    the .fgb source emits) is carried into the artifact as a Json
+    column, matching ``-preserve_fid``+attributes behaviour.
 
     Plan: ONE shuffle keyed on (dataset, layer) — the same grouping
     the tiling stage needs — then each group writes its file
     independently; no driver collect."""
     from geohub_data_pipeline_spark.session import ship_package
     ship_package(normalized.sparkSession)
+    has_props = "properties" in normalized.columns
 
     def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
         dataset = str(pdf["dataset"].iloc[0])
         layer = str(pdf["layer"].iloc[0])
         pdf = pdf.sort_values("fid")
-        feats = [(int(f), bytes(w)) for f, w in
-                 zip(pdf["fid"], pdf["geometry"]) if w is not None]
+        if has_props:
+            feats = [(int(f), bytes(w),
+                      {"properties": p} if isinstance(p, str) else None)
+                     for f, w, p in zip(pdf["fid"], pdf["geometry"],
+                                        pdf["properties"])
+                     if w is not None]
+        else:
+            feats = [(int(f), bytes(w)) for f, w in
+                     zip(pdf["fid"], pdf["geometry"]) if w is not None]
         blob = write_fgb_bytes(feats, name=layer, srid=4326,
+                               columns=([("properties", CT_JSON)]
+                                        if has_props else None),
                                index_node_size=16, hilbert_sort=True)
         os.makedirs(dst_dir, exist_ok=True)
         out = os.path.join(dst_dir, f"{dataset}.{layer}.fgb")

@@ -187,3 +187,20 @@ def test_hilbert_sort_and_indexed_artifact():
     order2 = [FGB._hilbert_d(x, y, 1) for x, y in
               [(0, 0), (0, 1), (1, 1), (1, 0)]]
     assert sorted(order2) == [0, 1, 2, 3]
+
+
+def test_sink_carries_properties_json(spark, tmp_path):
+    """A joined-back `properties` column rides into the artifact as a
+    Json column (the reference's FGB keeps attributes)."""
+    feats = spark.createDataFrame(
+        [("d", "l", 1, G.wkb_point(1.0, 2.0), 4326, '{"name":"x"}')],
+        "dataset string, layer string, fid long, geometry binary, "
+        "srid int, properties string")
+    norm = G.normalize_features(feats) \
+        .join(feats.select("dataset", "layer", "fid", "properties"),
+              ["dataset", "layer", "fid"])
+    m = FGB.write_flatgeobuf_tables(norm, str(tmp_path)).collect()[0]
+    hdr = FGB.parse_fgb_header(open(m.path, "rb").read())
+    assert hdr["columns"] == [("properties", FGB.CT_JSON)]
+    back = list(FGB.read_fgb_bytes(open(m.path, "rb").read(), "x"))
+    assert json.loads(back[0][6])["properties"] == '{"name":"x"}'
