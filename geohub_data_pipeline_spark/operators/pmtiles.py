@@ -356,8 +356,12 @@ def write_pmtiles_tables(tiles_df, dst_dir: str,
         dataset = pdf["dataset"].iloc[0]
         layers = sorted(pdf["layer"].unique())
         # tilestats-style metadata the audits read (T17/S11)
+        # name/description/attribution match the tippecanoe flags the
+        # reference passes (ref ingest/processing.py:251-254)
         meta = {
             "name": str(dataset),
+            "description": str(dataset),
+            "attribution": "United Nations Development Programme (UNDP)",
             "vector_layers": [{"id": str(l)} for l in layers],
             "tilestats": {
                 "layerCount": len(layers),
