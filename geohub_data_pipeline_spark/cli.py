@@ -53,6 +53,9 @@ def main(argv: list[str] | None = None) -> int:
                          "back for the manifest)")
     ap.add_argument("--overview-levels", type=int, default=2,
                     help="overview pyramid rounds for --raster")
+    ap.add_argument("--no-warp", action="store_true",
+                    help="skip the WebMercatorQuad warp (keep the "
+                         "source grid; the reference always warps)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -206,6 +209,13 @@ def main(argv: list[str] | None = None) -> int:
             georef = georefs[0] if georefs else None
             for g in georefs[1:]:
                 georef = georef.unionByName(g)
+            if georef is not None and not args.no_warp:
+                # T11 warp: the reference's cog_translate targets the
+                # WebMercatorQuad grid (ref processing.py:497-506)
+                from geohub_data_pipeline_spark.operators import (
+                    warp as WP,
+                )
+                blocks, georef = WP.warp_to_mercator(blocks, georef)
             pyramid = R.overview_cascade(blocks, args.overview_levels)
             manifest = W.assemble_cog_tables(
                 pyramid, f"{args.dst}/cog", georef=georef).collect()

@@ -1922,3 +1922,114 @@ def gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.mapInPandas(
         rt, "doc_id long, width int, height int, px_sum long, "
             "px_min int, px_max int")
+
+
+# ---------------------------------------------------------------------------
+# T11 round 4b: WebMercatorQuad warp under the gate
+# ---------------------------------------------------------------------------
+
+# Per document: a 64x64 EPSG:4326 grid (value = row*64+col, 0.05 deg
+# pixels, rotating origin), warped by the shared per-tile kernel
+# (operators/warp.py warp_tile_array — the exact code the Spark
+# operator runs per target tile).  Eight target pixels around the
+# grid center are sampled; the oracle reproduces the zoom rule, the
+# mercator pixel-center math, and the nearest lookup in closed-form
+# SQL.  Values are exact integers (-1 = nodata).
+_WARP_SQL = """
+WITH geo AS (
+    SELECT doc_id,
+           -30.0 + (doc_id % 7) * 10 AS ox,
+           60.0 - (doc_id % 5) * 5.0 AS oy,
+           CAST(ceil(log2(156543.03392804097
+                / (0.05 * 111319.49079327358
+                   * cos(radians(60.0 - (doc_id % 5) * 5.0)))) - 1e-9)
+                AS INTEGER) AS z
+    FROM documents
+),
+g2 AS (
+    SELECT *, 156543.03392804097 / power(2, z) AS p,
+           6378137.0 * radians(ox + 1.6) AS xc,
+           6378137.0 * ln(tan(pi() / 4 + radians(oy - 1.6) / 2)) AS yc
+    FROM geo
+)
+SELECT g.doc_id, t.i AS k, g.z AS zoom,
+       CAST(CASE WHEN rc.col BETWEEN 0 AND 63
+                  AND rc.row BETWEEN 0 AND 63
+                 THEN rc.row * 64 + rc.col ELSE -1 END AS BIGINT) AS val
+FROM g2 g,
+LATERAL (SELECT i FROM range(8) r(i)) t,
+LATERAL (SELECT
+    floor((g.xc + 20037508.342789244) / g.p) + (t.i * 5 - 18) AS gx,
+    floor((20037508.342789244 - g.yc) / g.p)
+        + ((t.i * 3) % 7 - 3) AS gy) q,
+LATERAL (SELECT
+    -20037508.342789244 + (q.gx + 0.5) * g.p AS mx,
+     20037508.342789244 - (q.gy + 0.5) * g.p AS my) m,
+LATERAL (SELECT
+    CAST(floor((degrees(m.mx / 6378137.0) - g.ox) / 0.05)
+         AS BIGINT) AS col,
+    CAST(floor((g.oy - degrees(2 * atan(exp(my / 6378137.0))
+                               - pi() / 2)) / 0.05)
+         AS BIGINT) AS row) rc
+ORDER BY g.doc_id, k
+"""
+
+
+@query("raster_warp", "pipeline",
+       "§2.2 T11 warp: nearest-resample onto the WebMercatorQuad "
+       "grid (operators/warp.py; ref ingest/processing.py:497-506 "
+       "cog_translate tms=WebMercatorQuad) — zoom rule, mercator "
+       "pixel-center math, and nearest lookup under a closed-form "
+       "oracle", _WARP_SQL)
+def raster_warp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warp a deterministic 64x64 geographic grid per document with
+    the shared per-tile kernel and sample eight output pixels around
+    the grid center.  Plan-level wiring (fan-out shuffle, rebase,
+    georef) is pinned by tests/test_warp.py; this gates the math.
+
+    Scale: per-row numpy in an Arrow kernel; no shuffle.
+    """
+    import math
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.operators import warp as WP
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id")
+
+    def rt(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        src = (np.arange(64)[:, None] * 64
+               + np.arange(64)[None, :]).astype(np.float64)
+        blocks = [(0, 0, 64, 64, src.ravel())]
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ox = -30.0 + (did % 7) * 10
+                oy = 60.0 - (did % 5) * 5.0
+                z = WP.zoom_for_res(WP._res_m(0.05, oy, 4326))
+                p = WP.BASE_RES / (1 << z)
+                xc, yc = WP._merc_xy_from_lonlat(ox + 1.6, oy - 1.6)
+                gx0 = math.floor((xc + WP.ORIGIN) / p)
+                gy0 = math.floor((WP.ORIGIN - yc) / p)
+                tiles: dict[tuple[int, int], np.ndarray] = {}
+                for k in range(8):
+                    gx = gx0 + (k * 5 - 18)
+                    gy = gy0 + ((k * 3) % 7 - 3)
+                    key = (gx // 256, gy // 256)
+                    if key not in tiles:
+                        tiles[key] = WP.warp_tile_array(
+                            key[0], key[1], z, 4326, ox, oy,
+                            0.05, 0.05, blocks, -1.0)
+                    val = tiles[key][gy % 256, gx % 256]
+                    rows.append((did, k, z, int(val)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "k", "zoom", "val"])
+
+    return base.mapInPandas(
+        rt, "doc_id long, k long, zoom int, val long")
