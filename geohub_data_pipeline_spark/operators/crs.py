@@ -116,6 +116,63 @@ def _tm_inverse(x: float, y: float, lon0: float,
     return lon0 + math.degrees(lam), math.degrees(phi)
 
 
+def _tm_forward_np(lon, lat, lon0: float, consts):
+    """Vectorized ``_tm_forward`` over numpy arrays (identical
+    Krueger series; used by the raster warp where per-pixel Python
+    would cost 65k calls per tile)."""
+    import numpy as np
+    A, alpha, _, _, e = consts
+    phi = np.radians(lat)
+    lam = np.radians(lon - lon0)
+    s = np.sin(phi)
+    t = np.sinh(np.arctanh(s) - e * np.arctanh(e * s))
+    coslam = np.cos(lam)
+    xi_p = np.arctan2(t, coslam)
+    eta_p = np.arcsinh(np.sin(lam) / np.hypot(t, coslam))
+    xi = xi_p.copy()
+    eta = eta_p.copy()
+    for j, aj in enumerate(alpha, start=1):
+        xi += aj * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+        eta += aj * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+    return A * eta, A * xi
+
+
+def from_lonlat_np(srid: int):
+    """Vectorized ``f(lon_arr, lat_arr) -> (x_arr, y_arr)`` for the
+    Transverse-Mercator CRS families (UTM zone ranges + table TM
+    entries without a datum shift), else None.  Same series as the
+    scalar path — the warp's fast path for projected sources."""
+    def make(lon0, k0, fe, fn, consts, lat0=0.0):
+        y0 = _tm_forward(lon0, lat0, lon0, consts)[1] if lat0 else 0.0
+
+        def fwd(lon, lat):
+            x, y = _tm_forward_np(lon, lat, lon0, consts)
+            return fe + k0 * x, fn + k0 * (y - y0)
+
+        return fwd
+
+    if 32601 <= srid <= 32660:
+        return make(srid % 100 * 6.0 - 183.0, _UTM_K0, _UTM_FE, 0.0,
+                    _TM_WGS84)
+    if 32701 <= srid <= 32760:
+        return make(srid % 100 * 6.0 - 183.0, _UTM_K0, _UTM_FE,
+                    _UTM_FN_SOUTH, _TM_WGS84)
+    if 25828 <= srid <= 25838 or 26901 <= srid <= 26923:
+        zone = srid - (25800 if srid < 26000 else 26900)
+        return make(zone * 6.0 - 183.0, _UTM_K0, _UTM_FE, 0.0,
+                    _TM_GRS80)
+    if 28348 <= srid <= 28358:
+        return make((srid - 28300) * 6.0 - 183.0, _UTM_K0, _UTM_FE,
+                    _UTM_FN_SOUTH, _TM_GRS80)
+    if srid in _CRS_TABLE:
+        family, ellps, params, helmert = _CRS_TABLE[srid]
+        if family == "tm" and helmert is None:
+            return make(params["lon0"], params["k0"], params["fe"],
+                        params["fn"], _tm_consts(*ellps),
+                        lat0=params["lat0"])
+    return None
+
+
 def lonlat_to_utm(lon: float, lat: float, zone: int,
                   north: bool = True,
                   ellipsoid=_TM_WGS84) -> tuple[float, float]:

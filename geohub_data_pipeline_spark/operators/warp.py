@@ -111,16 +111,23 @@ def warp_tile_array(tbx: int, tby: int, z: int, srid: int,
         row2 = np.broadcast_to(row[:, None], (BLOCK, BLOCK))
     else:
         from geohub_data_pipeline_spark.operators import crs as C
-        fwd = C.from_lonlat(srid)
         lon = np.degrees(X / _R)
         lat = np.degrees(2 * np.arctan(np.exp(Y / _R)) - np.pi / 2)
-        col2 = np.empty((BLOCK, BLOCK), np.int64)
-        row2 = np.empty((BLOCK, BLOCK), np.int64)
-        for i in range(BLOCK):
-            for j in range(BLOCK):
-                sx, sy = fwd(float(lon[j]), float(lat[i]))
-                col2[i, j] = math.floor((sx - ox) / psx)
-                row2[i, j] = math.floor((oy - sy) / psy)
+        fwd_np = C.from_lonlat_np(srid)
+        if fwd_np is not None:              # vectorized TM families
+            lon2, lat2 = np.meshgrid(lon, lat)
+            sx, sy = fwd_np(lon2, lat2)
+            col2 = np.floor((sx - ox) / psx).astype(np.int64)
+            row2 = np.floor((oy - sy) / psy).astype(np.int64)
+        else:
+            fwd = C.from_lonlat(srid)
+            col2 = np.empty((BLOCK, BLOCK), np.int64)
+            row2 = np.empty((BLOCK, BLOCK), np.int64)
+            for i in range(BLOCK):
+                for j in range(BLOCK):
+                    sx, sy = fwd(float(lon[j]), float(lat[i]))
+                    col2[i, j] = math.floor((sx - ox) / psx)
+                    row2[i, j] = math.floor((oy - sy) / psy)
 
     out = np.full((BLOCK, BLOCK), nodata, np.float64)
     for bx, by, bw, bh, pixels in blocks:

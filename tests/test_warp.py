@@ -132,3 +132,53 @@ def test_warp_feeds_cascade_and_cog(spark, tmp_path):
     probe = probe_geotiff(open(manifest[0].path, "rb").read())
     assert probe["epsg"] == 3857
     assert probe["n_overviews"] == 2
+
+
+def test_warp_utm_source_vectorized(spark):
+    """Projected (UTM) source goes through the vectorized TM path;
+    warped values must be legal source values and cover the
+    footprint densely."""
+    from geohub_data_pipeline_spark.operators import crs as C
+
+    assert C.from_lonlat_np(32633) is not None
+    w = h = 128
+    vals = (np.arange(h)[:, None] * 1000.0 + np.arange(w)[None, :])
+    # 100 m pixels starting at a round UTM33 coordinate (lon ~15E)
+    blocks = spark.createDataFrame(
+        [("u", None, 1, 0, 0, 0, w, h, vals.ravel().tolist(),
+          -1.0, 32633)], WP.WARPED_SCHEMA)
+    georef = spark.createDataFrame(
+        [("u", 400000.0, 5300000.0, 100.0, 100.0, 32633)],
+        _GEOREF_SCHEMA)
+    warped, gref = WP.warp_to_mercator(blocks, georef)
+    out = warped.collect()
+    assert out
+    g = gref.collect()[0]
+    assert g.georef_srid == 3857
+    total = np.concatenate([np.array(r.pixels) for r in out])
+    inside = total[total != -1.0]
+    assert inside.size > 1000
+    rowi, coli = np.divmod(inside.astype(np.int64), 1000)
+    assert rowi.min() >= 0 and rowi.max() < h
+    assert coli.min() >= 0 and coli.max() < w
+    # spot-check one warped pixel against the scalar transform
+    r0 = next(r for r in out
+              if not np.all(np.array(r.pixels) == -1.0))
+    arr = np.array(r0.pixels).reshape(256, 256)
+    i, j = np.argwhere(arr != -1.0)[0]
+    mins = min(r.block_x for r in out), min(r.block_y for r in out)
+    # absolute tile index before rebase
+    z = int(round(math.log2(WP.BASE_RES / g.pixel_sx)))
+    abx = r0.block_x + int((g.origin_x + WP.ORIGIN)
+                           / (256 * g.pixel_sx) + 0.5)
+    aby = r0.block_y + int((WP.ORIGIN - g.origin_y)
+                           / (256 * g.pixel_sx) + 0.5)
+    X = -WP.ORIGIN + (abx * 256 + j + 0.5) * g.pixel_sx
+    Y = WP.ORIGIN - (aby * 256 + i + 0.5) * g.pixel_sx
+    lon = math.degrees(X / 6378137.0)
+    lat = math.degrees(2 * math.atan(math.exp(Y / 6378137.0))
+                       - math.pi / 2)
+    sx, sy = C.from_lonlat(32633)(lon, lat)
+    col = math.floor((sx - 400000.0) / 100.0)
+    row = math.floor((5300000.0 - sy) / 100.0)
+    assert arr[i, j] == float(row * 1000 + col)
