@@ -221,10 +221,18 @@ def main(argv: list[str] | None = None) -> int:
                 pyramid, f"{args.dst}/cog", georef=georef).collect()
             for m in manifest:
                 with open(m.path, "rb") as f:
-                    probe = RP.probe_geotiff(f.read())
+                    payload = f.read()
+                probe = RP.probe_geotiff(payload)
+                # post-write validation, as the reference's
+                # cog_validate (ref processing.py:511-514)
+                check = RP.validate_cog(payload)
+                if not check["valid"]:
+                    raise SystemExit(
+                        f"invalid COG {m.path}: {check['errors']}")
                 print(f"cog: {m.path} {probe['width']}x{probe['height']} "
                       f"band {m.band}, {probe['n_overviews']} overviews, "
-                      f"{probe['compression']}, {m.file_bytes} bytes")
+                      f"{probe['compression']}, {m.file_bytes} bytes, "
+                      f"valid COG")
             print(f"wrote {len(manifest)} COGs to {args.dst}/cog")
             return 0
 

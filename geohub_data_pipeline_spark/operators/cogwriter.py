@@ -112,20 +112,30 @@ def write_geotiff(path: str, levels: list[_Level], epsg: int = 3857,
     return len(out)
 
 
+_N_TAGS = 14                               # fixed tag set per IFD
+
+
 def geotiff_bytes(levels: list[_Level], epsg: int = 3857,
                   pixel_scale: tuple[float, float] = (1.0, 1.0),
                   origin: tuple[float, float] = (0.0, 0.0),
                   compress: bool | str = True) -> bytes:
-    """Assemble the tiled multi-IFD GeoTIFF container in memory."""
+    """Assemble the tiled multi-IFD GeoTIFF container in memory.
+
+    CLOUD-OPTIMIZED layout (what rio-cogeo's validator — and the
+    reference's post-write ``cog_validate``, ref processing.py:
+    511-514 — requires): the 8-byte header, every IFD, the tile
+    offset/count arrays, and the geo payloads all lead the file so a
+    reader gets the complete structure in one small ranged read;
+    tile data follows, smallest overview first (the GDAL COG driver's
+    order — low zooms stream before full resolution).
+    """
     codec = _codec_of(compress)
     compression = _TAG_OF[codec]
-    out = bytearray()
-    out += struct.pack("<2sHI", b"II", 42, 0)   # IFD offset patched later
 
-    # ---- payload: tile data per level (offsets recorded) -----------
-    level_tile_meta: list[list[tuple[int, int]]] = []
+    # ---- pass 1: compress tiles, measure structures ----------------
+    level_bufs: list[list[bytes]] = []
     for lv in levels:
-        metas = []
+        bufs = []
         nx = math.ceil(lv.width / TILE)
         ny = math.ceil(lv.height / TILE)
         for ty in range(ny):
@@ -138,33 +148,39 @@ def geotiff_bytes(levels: list[_Level], epsg: int = 3857,
                     buf = CMP.zstd_compress(buf)
                 elif codec == "deflate":
                     buf = zlib.compress(buf, 6)
-                metas.append((len(out), len(buf)))
-                out += buf
-        level_tile_meta.append(metas)
+                bufs.append(buf)
+        level_bufs.append(bufs)
 
-    # ---- geo tag payloads (shared by all IFDs) ---------------------
-    scale_off = len(out)
-    out += struct.pack("<3d", pixel_scale[0], pixel_scale[1], 0.0)
-    tiepoint_off = len(out)
-    out += struct.pack("<6d", 0.0, 0.0, 0.0, origin[0], origin[1], 0.0)
-    geokeys_off = len(out)
-    # version 1.1.0, 3 keys: GTModelType=1 (projected), GTRasterType=1,
-    # ProjectedCSType=epsg
-    out += struct.pack("<16H",
-                       1, 1, 0, 3,
-                       1024, 0, 1, 1,
-                       1025, 0, 1, 1,
-                       3072, 0, 1, epsg)
+    ifd_size = 2 + 12 * _N_TAGS + 4
+    ifd_offs = [8 + i * ifd_size for i in range(len(levels))]
+    cursor = 8 + len(levels) * ifd_size
+    ext_offs: list[tuple[int, int]] = []   # (offsets_off, counts_off)
+    for bufs in level_bufs:
+        if len(bufs) > 1:
+            ext_offs.append((cursor, cursor + 4 * len(bufs)))
+            cursor += 8 * len(bufs)
+        else:
+            ext_offs.append((0, 0))
+    scale_off = cursor
+    tiepoint_off = scale_off + 24
+    geokeys_off = tiepoint_off + 48
+    data_start = geokeys_off + 32
+    if data_start % 2:
+        data_start += 1                    # TIFF word alignment
 
-    # ---- IFDs (chained) --------------------------------------------
-    prev_link_pos = 4                      # header's IFD-offset field
-    for lv, metas in zip(levels, level_tile_meta):
-        n_tiles = len(metas)
-        if n_tiles > 1:
-            offsets_off = len(out)
-            out += b"".join(struct.pack("<I", off) for off, _ in metas)
-            counts_off = len(out)
-            out += b"".join(struct.pack("<I", cnt) for _, cnt in metas)
+    # tile data offsets: smallest overview first
+    tile_offs: list[list[int]] = [[] for _ in levels]
+    pos = data_start
+    for li in range(len(levels) - 1, -1, -1):
+        for buf in level_bufs[li]:
+            tile_offs[li].append(pos)
+            pos += len(buf)
+
+    # ---- pass 2: emit ----------------------------------------------
+    out = bytearray()
+    out += struct.pack("<2sHI", b"II", 42, ifd_offs[0])
+    for li, (lv, bufs) in enumerate(zip(levels, level_bufs)):
+        n_tiles = len(bufs)
         tags = [
             (T_IMAGE_WIDTH, TYPE_LONG, 1, lv.width),
             (T_IMAGE_LENGTH, TYPE_LONG, 1, lv.height),
@@ -175,22 +191,38 @@ def geotiff_bytes(levels: list[_Level], epsg: int = 3857,
             (T_TILE_WIDTH, TYPE_SHORT, 1, TILE),
             (T_TILE_LENGTH, TYPE_SHORT, 1, TILE),
             (T_TILE_OFFSETS, TYPE_LONG, n_tiles,
-             metas[0][0] if n_tiles == 1 else offsets_off),
+             tile_offs[li][0] if n_tiles == 1 else ext_offs[li][0]),
             (T_TILE_BYTE_COUNTS, TYPE_LONG, n_tiles,
-             metas[0][1] if n_tiles == 1 else counts_off),
+             len(bufs[0]) if n_tiles == 1 else ext_offs[li][1]),
             (T_SAMPLE_FORMAT, TYPE_SHORT, 1, 3),
             (T_MODEL_PIXEL_SCALE, TYPE_DOUBLE, 3, scale_off),
             (T_MODEL_TIEPOINT, TYPE_DOUBLE, 6, tiepoint_off),
             (T_GEO_KEY_DIRECTORY, TYPE_SHORT, 16, geokeys_off),
         ]
-        ifd_off = len(out)
-        struct.pack_into("<I", out, prev_link_pos, ifd_off)
+        assert len(tags) == _N_TAGS
         out += struct.pack("<H", len(tags))
         for t in sorted(tags):
             out += _entry(*t)
-        prev_link_pos = len(out)
-        out += struct.pack("<I", 0)        # next-IFD link (patched or 0)
-
+        out += struct.pack(
+            "<I", ifd_offs[li + 1] if li + 1 < len(levels) else 0)
+    for li, bufs in enumerate(level_bufs):
+        if len(bufs) > 1:
+            out += b"".join(struct.pack("<I", o)
+                            for o in tile_offs[li])
+            out += b"".join(struct.pack("<I", len(b)) for b in bufs)
+    out += struct.pack("<3d", pixel_scale[0], pixel_scale[1], 0.0)
+    out += struct.pack("<6d", 0.0, 0.0, 0.0, origin[0], origin[1], 0.0)
+    # version 1.1.0, 3 keys: GTModelType=1 (projected), GTRasterType=1,
+    # ProjectedCSType=epsg
+    out += struct.pack("<16H",
+                       1, 1, 0, 3,
+                       1024, 0, 1, 1,
+                       1025, 0, 1, 1,
+                       3072, 0, 1, epsg)
+    while len(out) < data_start:
+        out += b"\x00"
+    for li in range(len(levels) - 1, -1, -1):
+        out += b"".join(level_bufs[li])
     return bytes(out)
 
 

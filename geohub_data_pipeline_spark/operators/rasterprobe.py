@@ -160,3 +160,97 @@ def probe_rasters(blobs: DataFrame, path_col: str = "path",
             yield pd.DataFrame(rows, columns=cols)
 
     return blobs.mapInPandas(kernel, PROBE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# COG validation — the rio-cogeo `cog_validate` analog the reference
+# runs on every output (ref ingest/processing.py:511-514)
+# ---------------------------------------------------------------------------
+
+def validate_cog(payload: bytes) -> dict:
+    """Validate cloud-optimized layout per rio-cogeo's published
+    rules: returns ``{"valid", "errors", "warnings"}`` instead of
+    raising (malformed TIFF = one error entry).
+
+    Errors (mirroring rio_cogeo.cogeo.cog_validate):
+    * not a tiled TIFF;
+    * main IFD offset beyond the first 300 bytes (headers must lead);
+    * image larger than 512 px with no overviews;
+    * an overview that is not strictly smaller than its predecessor;
+    * tile data starting before the last IFD structure (headers and
+      data interleaved — breaks the one-range-request read pattern).
+
+    Warnings:
+    * tile size not a multiple of 16 (TIFF spec requires it);
+    * nonstandard tile size (not 256/512).
+    """
+    errors: list[str] = []
+    warnings: list[str] = []
+    try:
+        if payload[:2] == b"II":
+            bo = "<"
+        elif payload[:2] == b"MM":
+            bo = ">"
+        else:
+            raise ValueError("not a TIFF (bad byte order)")
+        magic, first_off = struct.unpack_from(bo + "HI", payload, 2)
+        if magic != 42:
+            raise ValueError("not a classic TIFF (bad magic)")
+        if first_off > 300:
+            errors.append(
+                f"main IFD offset {first_off} > 300 (headers must "
+                "lead the file)")
+        ifds = []
+        headers_end = 8
+        ifd_off = first_off
+        seen = set()
+        while ifd_off and ifd_off not in seen and len(ifds) < 64:
+            seen.add(ifd_off)
+            (n_entries,) = struct.unpack_from(bo + "H", payload, ifd_off)
+            tags: dict[int, list] = {}
+            pos = ifd_off + 2
+            for _ in range(n_entries):
+                tag, typ, count = struct.unpack_from(bo + "HHI",
+                                                     payload, pos)
+                tags[tag] = _read_values(payload, bo, typ, count,
+                                         payload[pos + 8:pos + 12])
+                pos += 12
+            headers_end = max(headers_end, pos + 4)
+            ifds.append(tags)
+            (ifd_off,) = struct.unpack_from(bo + "I", payload, pos)
+        if not ifds:
+            raise ValueError("no IFD")
+    except (ValueError, struct.error, IndexError) as ex:
+        return {"valid": False, "errors": [f"unreadable TIFF: {ex}"],
+                "warnings": []}
+
+    main = ifds[0]
+    w = (main.get(256) or [0])[0]
+    h = (main.get(257) or [0])[0]
+    if 322 not in main or 323 not in main:
+        errors.append("not tiled (TileWidth/TileLength missing)")
+    else:
+        tw, th = main[322][0], main[323][0]
+        if tw % 16 or th % 16:
+            warnings.append(f"tile size {tw}x{th} not a multiple of 16")
+        elif tw not in (256, 512):
+            warnings.append(f"nonstandard tile size {tw}x{th}")
+    if max(w, h) > 512 and len(ifds) < 2:
+        errors.append(f"{w}x{h} image with no overviews")
+    pw, ph = w, h
+    for i, ov in enumerate(ifds[1:], start=1):
+        ow = (ov.get(256) or [0])[0]
+        oh = (ov.get(257) or [0])[0]
+        if ow >= pw or oh >= ph:
+            errors.append(
+                f"overview {i} ({ow}x{oh}) not smaller than its "
+                f"predecessor ({pw}x{ph})")
+        pw, ph = ow, oh
+    data_offsets = [off for ifd in ifds
+                    for off in (ifd.get(324) or ifd.get(273) or [])
+                    if off]
+    if data_offsets and min(data_offsets) < headers_end:
+        errors.append(
+            f"tile data at {min(data_offsets)} starts before the IFD "
+            f"structures end at {headers_end}")
+    return {"valid": not errors, "errors": errors, "warnings": warnings}

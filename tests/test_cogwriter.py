@@ -161,3 +161,59 @@ def test_rgb_dataset_yields_one_file_per_band(spark, tmp_path):
     assert manifest[1].path != manifest[2].path
     for m in manifest.values():
         assert parse_tiff(m.path)[0]["width"] > 0
+
+
+def test_validate_cog_rules():
+    """rio-cogeo-style validation (ref processing.py:511-514): our
+    writer's output passes; layout violations are caught."""
+    import struct as _struct
+
+    import numpy as np
+
+    from geohub_data_pipeline_spark.operators.cogwriter import (
+        _Level,
+        geotiff_bytes,
+    )
+    from geohub_data_pipeline_spark.operators.rasterprobe import (
+        validate_cog,
+    )
+
+    def tiles_of(arr):
+        h, w = arr.shape
+        out = {}
+        for ty in range((h + 255) // 256):
+            for tx in range((w + 255) // 256):
+                t = np.zeros((256, 256))
+                sub = arr[ty * 256:(ty + 1) * 256,
+                          tx * 256:(tx + 1) * 256]
+                t[:sub.shape[0], :sub.shape[1]] = sub
+                out[(tx, ty)] = t
+        return out
+
+    lv0 = np.arange(600 * 700, dtype=np.float64).reshape(600, 700)
+    lv1, lv2 = lv0[::2, ::2], lv0[::4, ::4]
+    blob = geotiff_bytes([
+        _Level(700, 600, tiles_of(lv0)),
+        _Level(350, 300, tiles_of(lv1)),
+        _Level(175, 150, tiles_of(lv2))])
+    v = validate_cog(blob)
+    assert v["valid"], v
+
+    # big image, no overviews -> error
+    v = validate_cog(geotiff_bytes([_Level(700, 600, tiles_of(lv0))]))
+    assert not v["valid"] and "no overviews" in v["errors"][0]
+
+    # small image, no overviews -> fine
+    sm = np.ones((64, 80))
+    v = validate_cog(geotiff_bytes([_Level(80, 64, tiles_of(sm))]))
+    assert v["valid"], v
+
+    # non-TIFF and truncated input -> one structured error
+    assert not validate_cog(b"PNG nope")["valid"]
+    assert not validate_cog(blob[:60])["valid"]
+
+    # non-decreasing overview chain -> error
+    v = validate_cog(geotiff_bytes([
+        _Level(700, 600, tiles_of(lv0)),
+        _Level(700, 600, tiles_of(lv0))]))
+    assert not v["valid"] and "not smaller" in v["errors"][0]

@@ -128,7 +128,8 @@ def test_cli_raster_pipeline(spark, tmp_path, capsys):
     with open(tmp_path / "climate.nc", "wb") as f:
         f.write(write_cdf1())
 
-    rc = main(["--raster", str(tmp_path), "--dst", str(tmp_path / "out"),
+    rc = main(["--raster", str(tmp_path), "--no-warp",
+               "--dst", str(tmp_path / "out"),
                "--overview-levels", "1"])
     assert rc == 0
     out = capsys.readouterr().out

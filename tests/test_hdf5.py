@@ -126,7 +126,8 @@ def test_cli_raster_nc4(spark, tmp_path, capsys):
     H5.write_hdf5(str(tmp_path / "cube.nc4"),
                   {"temp": temp, "y": ys, "x": xs},
                   chunked={"temp"})
-    rc = cli.main(["--raster", str(tmp_path / "cube.nc4"),
+    # --no-warp: this test pins the SOURCE grid through the cascade
+    rc = cli.main(["--raster", str(tmp_path / "cube.nc4"), "--no-warp",
                    "--dst", str(tmp_path / "out"),
                    "--overview-levels", "1"])
     assert rc == 0
