@@ -278,6 +278,22 @@ def main(argv: list[str] | None = None) -> int:
                 features_from_fgb,
             )
             feats = features_from_fgb(spark, args.src)
+        elif args.src.lower().endswith(".mbtiles"):
+            # tile-level conversion: MBTiles -> PMTiles (no re-tiling;
+            # the reference allowlists .mbtiles uploads)
+            from geohub_data_pipeline_spark.operators.mbtiles import (
+                tiles_from_mbtiles,
+            )
+            tiles = tiles_from_mbtiles(spark, args.src)
+            manifest = PMT.write_pmtiles_tables(
+                tiles, f"{args.dst}/archives",
+                payload_format="mvt").collect()
+            for m in manifest:
+                print(f"archive: {m.path} ({m.n_tiles} tiles, "
+                      f"{m.n_layers} layers, "
+                      f"z{m.min_zoom}-{m.max_zoom})")
+            print(f"converted {args.src} -> {len(manifest)} PMTiles")
+            return 0
         else:
             feats = spark.read.parquet(args.src)
         norm = G.normalize_features(feats)

@@ -22,6 +22,8 @@ from __future__ import annotations
 import os
 import sqlite3
 
+import pandas as pd
+
 MANIFEST_SCHEMA = ("dataset string, path string, n_tiles long, "
                    "min_zoom int, max_zoom int, file_bytes long")
 
@@ -115,3 +117,50 @@ def write_mbtiles_tables(tiles_df, dst_dir: str):
 
     return tiles_df.groupBy("dataset").applyInPandas(
         write_group, MANIFEST_SCHEMA)
+
+
+def tiles_from_mbtiles(spark, path: str):
+    """Scan ``.mbtiles`` files under ``path`` into the engine's tile
+    rows (dataset, layer, z, x, y in XYZ, payload) — the input half
+    of MBTiles -> PMTiles conversion (the reference allowlists
+    .mbtiles uploads, ref ingest/config.py format docstring).
+
+    Scale: one archive = one task (SQLite is a single-file container);
+    files parallelize across the binaryFile scan.
+    """
+    import os
+    import tempfile
+    from collections.abc import Iterator
+
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(spark)
+
+    raw = (spark.read.format("binaryFile").load(path)
+           .select("path", "content"))
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                dataset = os.path.basename(str(p).removeprefix("file:"))
+                fd, tmp = tempfile.mkstemp(suffix=".mbtiles")
+                try:
+                    with os.fdopen(fd, "wb") as f:
+                        f.write(bytes(content))
+                    meta, tiles = read_mbtiles(tmp)
+                except (sqlite3.Error, ValueError, OSError):
+                    continue               # corrupt archive: quarantine
+                finally:
+                    if os.path.exists(tmp):
+                        os.unlink(tmp)
+                layer = meta.get("name") or os.path.splitext(dataset)[0]
+                for z, x, y, payload in tiles:
+                    rows.append((dataset, layer, z, x, y, payload, 0))
+            yield pd.DataFrame(rows, columns=[
+                "dataset", "layer", "z", "x", "y", "payload",
+                "n_features"])
+
+    return raw.mapInPandas(
+        kernel,
+        "dataset string, layer string, z int, x int, y int, "
+        "payload binary, n_features long")

@@ -159,3 +159,29 @@ def test_assemble_cog_without_georef_keeps_defaults(spark, tmp_path):
         probe = RP.probe_geotiff(f.read())
     assert (probe["origin_x"], probe["origin_y"]) == (0.0, 0.0)
     assert probe["epsg"] == 3857
+
+
+def test_mbtiles_to_pmtiles_cli(spark, tmp_path, capsys):
+    """MBTiles upload -> tile-level PMTiles conversion (no
+    re-tiling), read back through the independent PMTiles reader."""
+    from geohub_data_pipeline_spark.cli import main
+    from geohub_data_pipeline_spark.operators import mbtiles as MB
+    from geohub_data_pipeline_spark.operators import pmtiles as PMT
+
+    tiles = [(0, 0, 0, b"\x1a\x05tile0"),
+             (1, 0, 0, b"\x1a\x05tile1"),
+             (1, 1, 1, b"\x1a\x05tile3")]
+    MB.write_mbtiles(str(tmp_path / "in.mbtiles"), tiles,
+                     {"name": "roads", "format": "pbf"})
+    rc = main(["--src", str(tmp_path / "in.mbtiles"),
+               "--dst", str(tmp_path / "out")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "converted" in out
+    import glob
+    archives = glob.glob(str(tmp_path / "out" / "archives" / "*.pmtiles"))
+    assert len(archives) == 1
+    arch = PMT.read_pmtiles(archives[0])
+    assert arch["tiles"][(0, 0, 0)] == b"\x1a\x05tile0"
+    assert arch["tiles"][(1, 1, 1)] == b"\x1a\x05tile3"
+    assert (arch["min_zoom"], arch["max_zoom"]) == (0, 1)
