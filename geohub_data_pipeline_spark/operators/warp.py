@@ -284,7 +284,11 @@ def warp_georef(warped: DataFrame) -> DataFrame:
 def warp_to_mercator(blocks: DataFrame, georef: DataFrame,
                      max_zoom: int = 24):
     """One-call T11 warp stage: returns (rebased blocks ready for
-    ``overview_cascade``/``assemble_cog_tables``, new georef)."""
-    warped = warp_blocks_to_mercator(blocks, georef, max_zoom)
+    ``overview_cascade``/``assemble_cog_tables``, new georef).
+
+    The warped frame is cached: it has two consumers (the georef
+    aggregate and the rebase join) and without the cache the second
+    one re-runs the whole fan-out + shuffle + resample."""
+    warped = warp_blocks_to_mercator(blocks, georef, max_zoom).cache()
     gref = warp_georef(warped)
     return rebase_warped(warped).drop("zoom"), gref
