@@ -153,7 +153,13 @@ def main(argv: list[str] | None = None) -> int:
             from geohub_data_pipeline_spark.sources import netcdf3 as NC
 
             low = args.raster.lower()
-            if low.endswith(".nc"):
+            if low.endswith((".tif", ".tiff", ".gtif", ".gtiff")):
+                from geohub_data_pipeline_spark.sources import (
+                    geotiff as GTF,
+                )
+                blocks = GTF.blocks_from_geotiff(spark, args.raster)
+                georefs = [GTF.georef_from_geotiff(spark, args.raster)]
+            elif low.endswith(".nc"):
                 blocks = NC.blocks_from_netcdf3(spark, args.raster)
                 georefs = [NC.georef_from_netcdf3(spark, args.raster)]
             elif low.endswith((".nc4", ".h5", ".hdf5")):
@@ -182,7 +188,14 @@ def main(argv: list[str] | None = None) -> int:
                                                       args.raster))
                 except Exception:
                     pass
+                from geohub_data_pipeline_spark.sources import (
+                    geotiff as GTF,
+                )
                 for fn, gfn, glob in (
+                        (GTF.blocks_from_geotiff,
+                         GTF.georef_from_geotiff, "*.tif"),
+                        (GTF.blocks_from_geotiff,
+                         GTF.georef_from_geotiff, "*.tiff"),
                         (AG.blocks_from_aaigrid,
                          AG.georef_from_aaigrid, "*.asc"),
                         (AG.blocks_from_aaigrid,

@@ -39,7 +39,7 @@ promote([
     # new in round 4 — first gate row
     "gdb_source", "nc4_probe", "crs_roundtrip_extended",
     "jpeg_pixel_stats", "erdas_source", "crs_wkt_roundtrip",
-    "fgb_source", "gif_pixel_stats", "raster_warp",
+    "fgb_source", "gif_pixel_stats", "raster_warp", "geotiff_source",
     # last checked r2
     "agg_approx_distinct", "agg_collect_array", "zoom_heuristic",
     "events_tumbling_window", "events_sliding_window",

@@ -2033,3 +2033,86 @@ def raster_warp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return base.mapInPandas(
         rt, "doc_id long, k long, zoom int, val long")
+
+
+# ---------------------------------------------------------------------------
+# S6/T11 round 4b: GeoTIFF pixel reader under the gate
+# ---------------------------------------------------------------------------
+
+_GEOTIFF_SQL = """
+SELECT d.doc_id,
+       CAST(96 + (d.doc_id % 3) * 64 AS INTEGER) AS width,
+       CAST(64 + (d.doc_id % 2) * 64 AS INTEGER) AS height,
+       CAST(CASE WHEN d.doc_id % 2 = 0 THEN 32633 ELSE 4326
+            END AS INTEGER) AS srid,
+       CAST(s.sum_v AS BIGINT) AS px_sum
+FROM documents d,
+LATERAL (
+    SELECT sum((t.i * 7 + d.doc_id) % 251) AS sum_v
+    FROM range(28672) t(i)
+    WHERE t.i < (96 + (d.doc_id % 3) * 64)
+                * (64 + (d.doc_id % 2) * 64)
+) s
+ORDER BY d.doc_id
+"""
+
+
+@query("geotiff_source", "pipeline",
+       "§2.1 S6 + §2.2 T11: GeoTIFF PIXEL decode "
+       "(sources/geotiff.py — tiled+stripped, LZW early-change/"
+       "deflate/zstd/packbits, predictor, GeoKeys) via a "
+       "writer->reader byte round-trip (ref ingest/config.py "
+       "ALLOWED_GDAL_FORMATS leads with .tif)", _GEOTIFF_SQL)
+def geotiff_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a real georeferenced GeoTIFF per document (rotating
+    dims/CRS, deterministic pixels) through the COG writer and read
+    it back through the independent pixel reader — container, codec,
+    GeoKey, and pixel paths all sit under the oracle's closed-form
+    pixel sum.
+
+    Scale: per-row codec work in an Arrow kernel; no shuffle.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.operators.cogwriter import (
+        _Level,
+        geotiff_bytes,
+    )
+    from geohub_data_pipeline_spark.sources.geotiff import read_geotiff
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id")
+
+    def rt(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 96 + (did % 3) * 64
+                h = 64 + (did % 2) * 64
+                srid = 32633 if did % 2 == 0 else 4326
+                vals = ((np.arange(h * w, dtype=np.float64) * 7 + did)
+                        % 251).reshape(h, w)
+                tiles = {}
+                for ty in range((h + 255) // 256):
+                    for tx in range((w + 255) // 256):
+                        tile = np.zeros((256, 256))
+                        sub = vals[ty * 256:(ty + 1) * 256,
+                                   tx * 256:(tx + 1) * 256]
+                        tile[:sub.shape[0], :sub.shape[1]] = sub
+                        tiles[(tx, ty)] = tile
+                blob = geotiff_bytes([_Level(w, h, tiles)], epsg=srid)
+                d = read_geotiff(blob)
+                rows.append((did, d["width"], d["height"], d["srid"],
+                             int(d["bands"][0][:h, :w].sum())))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "srid", "px_sum"])
+
+    return base.mapInPandas(
+        rt, "doc_id long, width int, height int, srid int, "
+            "px_sum long")
