@@ -153,7 +153,18 @@ def main(argv: list[str] | None = None) -> int:
             from geohub_data_pipeline_spark.sources import netcdf3 as NC
 
             low = args.raster.lower()
-            if low.endswith((".tif", ".tiff", ".gtif", ".gtiff")):
+            if low.endswith((".zip", ".tar", ".tgz", ".gz", ".7z")):
+                # archived raster upload (ref /vsizip/ GDAL paths,
+                # ingest/utils.py:23-32)
+                from geohub_data_pipeline_spark.sources.archive import (
+                    raster_blocks_from_members,
+                    raster_georefs_from_members,
+                    read_archives,
+                )
+                members = read_archives(spark, args.raster)
+                blocks = raster_blocks_from_members(members)
+                georefs = [raster_georefs_from_members(members)]
+            elif low.endswith((".tif", ".tiff", ".gtif", ".gtiff")):
                 from geohub_data_pipeline_spark.sources import (
                     geotiff as GTF,
                 )

@@ -128,25 +128,18 @@ def test_stripped_variants(compression, predictor):
     rng = np.random.default_rng(compression * 10 + predictor)
     arr = rng.integers(0, 255, size=(70, 90), dtype=np.uint8)
     if compression == 32773:
-        # simple packbits encoder: literal runs only
-        strips = []
+        # decode-only check (literal-run packbits stream); the module
+        # ships no packbits encoder, so the container path is covered
+        # by the uncompressed build + the raw codec check here
         raw = arr.tobytes()
         enc = bytearray()
         for i in range(0, len(raw), 128):
             chunk = raw[i:i + 128]
             enc.append(len(chunk) - 1)
             enc += chunk
-        # hand-assemble via the builder with compression=1 then swap
-        blob = bytearray(build_strip_tiff(arr, compression=1))
-        # patch compression tag (259) to 32773 and replace data
-        # easier: skip strict byte patching — use one-strip builder
-        # with pre-encoded data by monkey building below
-        ntiff = build_strip_tiff(arr, compression=1)
-        d0 = GT.read_geotiff(ntiff)
+        assert GT._packbits_decode(bytes(enc), len(raw)) == raw
+        d0 = GT.read_geotiff(build_strip_tiff(arr, compression=1))
         assert np.array_equal(d0["bands"][0].astype(np.uint8), arr)
-        # decode-only check for packbits (no encoder in the module)
-        dec = GT._packbits_decode(bytes(enc), len(raw))
-        assert dec == raw
         return
     blob = build_strip_tiff(arr, compression=compression,
                             predictor=predictor, rows_per_strip=16)
@@ -216,3 +209,39 @@ def test_spark_blocks_and_cli_end_to_end(spark, tmp_path, capsys):
     payload = open(cogs[0], "rb").read()
     assert validate_cog(payload)["valid"]
     assert probe_geotiff(payload)["epsg"] == 3857   # warped
+
+
+def test_zipped_raster_upload_cli(spark, tmp_path, capsys):
+    """zip(.tif + .asc) --raster upload: members decode, warp,
+    cascade and land as validated COGs (the /vsizip/ path)."""
+    import io
+    import zipfile
+
+    from geohub_data_pipeline_spark.cli import main
+    from geohub_data_pipeline_spark.operators.cogwriter import (
+        _Level,
+        geotiff_bytes,
+    )
+
+    arr = (np.arange(80 * 70, dtype=np.float64).reshape(80, 70) % 13)
+    tif = geotiff_bytes(
+        [_Level(70, 80, {(0, 0): np.pad(
+            arr, ((0, 176), (0, 186)))})],
+        epsg=4326, pixel_scale=(0.02, 0.02), origin=(5.0, 47.0))
+    asc = ("ncols 50\nnrows 40\nxllcorner 8.0\nyllcorner 44.0\n"
+           "cellsize 0.05\nnodata_value -9999\n"
+           + "\n".join(" ".join(str((r * 50 + c) % 7)
+                                for c in range(50))
+                       for r in range(40)))
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("up/cover.tif", tif)
+        zf.writestr("up/dem.asc", asc)
+    (tmp_path / "up.zip").write_bytes(buf.getvalue())
+
+    rc = main(["--raster", str(tmp_path / "up.zip"),
+               "--dst", str(tmp_path / "out"),
+               "--overview-levels", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("valid COG") == 2     # one per member dataset
