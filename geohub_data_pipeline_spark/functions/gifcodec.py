@@ -164,6 +164,8 @@ def decode_gif(payload: bytes):
         left, top, w, h, ipacked = struct.unpack_from("<HHHHB",
                                                       payload, pos)
         pos += 9
+        if w == 0 or h == 0:
+            raise ValueError("GIF image descriptor with zero dims")
         pal = gct
         if ipacked & 0x80:                 # local color table
             n = 2 << (ipacked & 0x07)

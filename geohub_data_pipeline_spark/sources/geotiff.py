@@ -225,6 +225,11 @@ def read_geotiff(payload: bytes) -> dict:
     if not width or not height:
         raise ValueError("geotiff: missing dimensions")
     spp = one(277, 1)
+    # allocation guard: a corrupt/hostile header must raise, not OOM
+    # the executor (quarantine contract, as sources/netcdf3.py)
+    if width * height * spp > 1 << 30:
+        raise ValueError(
+            f"geotiff: implausible dimensions {width}x{height}x{spp}")
     bits = one(258, 8)
     sfmt = one(339, 1)
     if (sfmt, bits) not in _DTYPES:
