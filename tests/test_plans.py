@@ -239,3 +239,31 @@ def test_funnel_shuffles_only_on_user_id(spark, sf_dir):
     plan = plan_of(SPECS["events_funnel"].fn(spark, sf_dir))
     keys = re.findall(r"Arguments: hashpartitioning\(([a-z_]+)", plan)
     assert keys and all(k == "user_id" for k in keys), keys
+
+
+def test_warp_single_tile_keyed_shuffle(spark):
+    """The WebMercatorQuad warp shuffles exactly once, keyed on the
+    target tile — no cartesian, no extra exchange before the
+    resample kernel (operators/warp.py plan contract)."""
+    import numpy as np
+
+    from geohub_data_pipeline_spark.operators import warp as WP
+
+    vals = np.arange(64 * 64, dtype=float).reshape(64, 64)
+    blocks = spark.createDataFrame(
+        [("d", None, 1, 0, 0, 0, 64, 64, vals.ravel().tolist(),
+          float("nan"), 4326)], WP.WARPED_SCHEMA)
+    georef = spark.createDataFrame(
+        [("d", 10.0, 50.0, 0.01, 0.01, 4326)],
+        "dataset string, origin_x double, origin_y double, "
+        "pixel_sx double, pixel_sy double, georef_srid int")
+    warped = WP.warp_blocks_to_mercator(blocks, georef)
+    plan = plan_of(warped)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan     # georef joins broadcast
+    assert "FlatMapGroupsInPandas" in plan
+    # exactly one block-stream shuffle (the tile grouping) plus the
+    # tiny dedup exchange inside the broadcast georef build
+    assert plan.count("hashpartitioning(") <= 2, plan[:2000]
+    assert "hashpartitioning(dataset" in plan
