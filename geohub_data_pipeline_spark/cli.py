@@ -56,6 +56,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--no-warp", action="store_true",
                     help="skip the WebMercatorQuad warp (keep the "
                          "source grid; the reference always warps)")
+    ap.add_argument("--rgb-composite", action="store_true",
+                    help="write ONE chunky multiband COG per dataset "
+                         "instead of one per band (T12 RGB rule; the "
+                         "reference auto-detects via colorinterp)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -241,8 +245,13 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 blocks, georef = WP.warp_to_mercator(blocks, georef)
             pyramid = R.overview_cascade(blocks, args.overview_levels)
-            manifest = W.assemble_cog_tables(
-                pyramid, f"{args.dst}/cog", georef=georef).collect()
+            if args.rgb_composite:
+                manifest = W.assemble_cog_rgb_tables(
+                    pyramid, f"{args.dst}/cog",
+                    georef=georef).collect()
+            else:
+                manifest = W.assemble_cog_tables(
+                    pyramid, f"{args.dst}/cog", georef=georef).collect()
             for m in manifest:
                 with open(m.path, "rb") as f:
                     payload = f.read()
@@ -253,8 +262,10 @@ def main(argv: list[str] | None = None) -> int:
                 if not check["valid"]:
                     raise SystemExit(
                         f"invalid COG {m.path}: {check['errors']}")
+                what = (f"{m.n_bands}-band rgb" if args.rgb_composite
+                        else f"band {m.band}")
                 print(f"cog: {m.path} {probe['width']}x{probe['height']} "
-                      f"band {m.band}, {probe['n_overviews']} overviews, "
+                      f"{what}, {probe['n_overviews']} overviews, "
                       f"{probe['compression']}, {m.file_bytes} bytes, "
                       f"valid COG")
             print(f"wrote {len(manifest)} COGs to {args.dst}/cog")

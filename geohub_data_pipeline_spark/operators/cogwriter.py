@@ -112,7 +112,8 @@ def write_geotiff(path: str, levels: list[_Level], epsg: int = 3857,
     return len(out)
 
 
-_N_TAGS = 14                               # fixed tag set per IFD
+_N_TAGS = 15                               # fixed tag set per IFD
+T_PLANAR_CONFIG = 284
 
 
 def geotiff_bytes(levels: list[_Level], epsg: int = 3857,
@@ -128,9 +129,18 @@ def geotiff_bytes(levels: list[_Level], epsg: int = 3857,
     reader gets the complete structure in one small ranged read;
     tile data follows, smallest overview first (the GDAL COG driver's
     order — low zooms stream before full resolution).
+
+    MULTIBAND (T12 RGB composites, ref processing.py:727-739): when
+    level tiles are 3-D ``(TILE, TILE, spp)``, the file is written
+    chunky-interleaved (PlanarConfiguration 1) with
+    PhotometricInterpretation RGB for spp >= 3 — ONE file for the
+    composite, as the reference's ``dataset2cog`` without ``bands``.
     """
     codec = _codec_of(compress)
     compression = _TAG_OF[codec]
+    first_tiles = next(iter(levels[0].tiles.values()))
+    spp = first_tiles.shape[2] if first_tiles.ndim == 3 else 1
+    photometric = 2 if spp >= 3 else 1
 
     # ---- pass 1: compress tiles, measure structures ----------------
     level_bufs: list[list[bytes]] = []
@@ -142,7 +152,9 @@ def geotiff_bytes(levels: list[_Level], epsg: int = 3857,
             for tx in range(nx):
                 tile = lv.tiles.get((tx, ty))
                 if tile is None:
-                    tile = np.zeros((TILE, TILE), dtype=np.float64)
+                    shape = (TILE, TILE, spp) if spp > 1 \
+                        else (TILE, TILE)
+                    tile = np.zeros(shape, dtype=np.float64)
                 buf = np.ascontiguousarray(tile, dtype="<f8").tobytes()
                 if codec == "zstd":
                     buf = CMP.zstd_compress(buf)
@@ -161,6 +173,11 @@ def geotiff_bytes(levels: list[_Level], epsg: int = 3857,
             cursor += 8 * len(bufs)
         else:
             ext_offs.append((0, 0))
+    bits_off = sfmt_off = 0
+    if spp > 2:                            # count-spp arrays go external
+        bits_off = cursor
+        sfmt_off = cursor + 2 * spp
+        cursor += 4 * spp
     scale_off = cursor
     tiepoint_off = scale_off + 24
     geokeys_off = tiepoint_off + 48
@@ -181,20 +198,32 @@ def geotiff_bytes(levels: list[_Level], epsg: int = 3857,
     out += struct.pack("<2sHI", b"II", 42, ifd_offs[0])
     for li, (lv, bufs) in enumerate(zip(levels, level_bufs)):
         n_tiles = len(bufs)
+        if spp == 1:
+            bits_tag = (T_BITS_PER_SAMPLE, TYPE_SHORT, 1, 64)
+            sfmt_tag = (T_SAMPLE_FORMAT, TYPE_SHORT, 1, 3)
+        elif spp == 2:                     # two shorts fit inline
+            bits_tag = (T_BITS_PER_SAMPLE, TYPE_SHORT, 2,
+                        64 | (64 << 16))
+            sfmt_tag = (T_SAMPLE_FORMAT, TYPE_SHORT, 2,
+                        3 | (3 << 16))
+        else:
+            bits_tag = (T_BITS_PER_SAMPLE, TYPE_SHORT, spp, bits_off)
+            sfmt_tag = (T_SAMPLE_FORMAT, TYPE_SHORT, spp, sfmt_off)
         tags = [
             (T_IMAGE_WIDTH, TYPE_LONG, 1, lv.width),
             (T_IMAGE_LENGTH, TYPE_LONG, 1, lv.height),
-            (T_BITS_PER_SAMPLE, TYPE_SHORT, 1, 64),
+            bits_tag,
             (T_COMPRESSION, TYPE_SHORT, 1, compression),
-            (T_PHOTOMETRIC, TYPE_SHORT, 1, 1),
-            (T_SAMPLES_PER_PIXEL, TYPE_SHORT, 1, 1),
+            (T_PHOTOMETRIC, TYPE_SHORT, 1, photometric),
+            (T_SAMPLES_PER_PIXEL, TYPE_SHORT, 1, spp),
             (T_TILE_WIDTH, TYPE_SHORT, 1, TILE),
             (T_TILE_LENGTH, TYPE_SHORT, 1, TILE),
             (T_TILE_OFFSETS, TYPE_LONG, n_tiles,
              tile_offs[li][0] if n_tiles == 1 else ext_offs[li][0]),
             (T_TILE_BYTE_COUNTS, TYPE_LONG, n_tiles,
              len(bufs[0]) if n_tiles == 1 else ext_offs[li][1]),
-            (T_SAMPLE_FORMAT, TYPE_SHORT, 1, 3),
+            sfmt_tag,
+            (T_PLANAR_CONFIG, TYPE_SHORT, 1, 1),
             (T_MODEL_PIXEL_SCALE, TYPE_DOUBLE, 3, scale_off),
             (T_MODEL_TIEPOINT, TYPE_DOUBLE, 6, tiepoint_off),
             (T_GEO_KEY_DIRECTORY, TYPE_SHORT, 16, geokeys_off),
@@ -210,6 +239,9 @@ def geotiff_bytes(levels: list[_Level], epsg: int = 3857,
             out += b"".join(struct.pack("<I", o)
                             for o in tile_offs[li])
             out += b"".join(struct.pack("<I", len(b)) for b in bufs)
+    if spp > 2:
+        out += struct.pack(f"<{spp}H", *([64] * spp))
+        out += struct.pack(f"<{spp}H", *([3] * spp))
     out += struct.pack("<3d", pixel_scale[0], pixel_scale[1], 0.0)
     out += struct.pack("<6d", 0.0, 0.0, 0.0, origin[0], origin[1], 0.0)
     # version 1.1.0, 3 keys: GTModelType=1 (projected), GTRasterType=1,
@@ -307,4 +339,93 @@ def assemble_cog_tables(blocks, dst_dir: str, epsg: int = 3857,
     return blocks.groupBy("dataset", "band").applyInPandas(
         write_group,
         "dataset string, band int, path string, n_levels int, "
+        "n_blocks long, file_bytes long")
+
+
+def blocks_to_levels_rgb(rows: Iterable, nodata: float = 0.0) -> list:
+    """Group multi-band block rows into writer levels of
+    ``(TILE, TILE, n_bands)`` chunky tiles (bands sorted by band id;
+    missing band-blocks fill with nodata)."""
+    by_key: dict[tuple[int, int, int], dict[int, np.ndarray]] = {}
+    dims: dict[int, tuple[int, int]] = {}
+    bands: set[int] = set()
+    for r in rows:
+        lvl = int(getattr(r, "level", 0) or 0)
+        band = int(r.band)
+        bands.add(band)
+        arr = np.asarray(r.pixels, dtype=np.float64).reshape(
+            int(r.height), int(r.width))
+        nd = nodata if r.nodata is None else float(r.nodata)
+        by_key.setdefault(
+            (lvl, int(r.block_x), int(r.block_y)), {})[band] = \
+            _pad(arr, nd)
+        w = int(r.block_x) * TILE + int(r.width)
+        h = int(r.block_y) * TILE + int(r.height)
+        cw, ch = dims.get(lvl, (0, 0))
+        dims[lvl] = (max(cw, w), max(ch, h))
+    order = sorted(bands)
+    by_level: dict[int, dict[tuple[int, int], np.ndarray]] = {}
+    for (lvl, bx, by), per_band in by_key.items():
+        stack = np.stack(
+            [per_band.get(b, np.full((TILE, TILE), nodata))
+             for b in order], axis=2)
+        by_level.setdefault(lvl, {})[(bx, by)] = stack
+    return [_Level(dims[lvl][0], dims[lvl][1], by_level[lvl])
+            for lvl in sorted(by_level)]
+
+
+def assemble_cog_rgb_tables(blocks, dst_dir: str, epsg: int = 3857,
+                            georef=None):
+    """T12 multiband assembly: ONE chunky-interleaved RGB COG per
+    (dataset, subdataset), all bands together — the reference's
+    ``dataset2cog`` without a ``bands`` list (ref processing.py:
+    727-739).  Same broadcast-georef plan as ``assemble_cog_tables``;
+    the only difference is the grouping key omits ``band``.
+    """
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(blocks.sparkSession)
+    if georef is not None:
+        blocks = blocks.join(
+            broadcast(georef.dropDuplicates(["dataset"])),
+            "dataset", "left")
+    else:
+        for c, t in (("origin_x", "double"), ("origin_y", "double"),
+                     ("pixel_sx", "double"), ("pixel_sy", "double"),
+                     ("georef_srid", "int")):
+            blocks = blocks.withColumn(c, F.lit(None).cast(t))
+
+    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        dataset = pdf["dataset"].iloc[0]
+        first = pdf.iloc[0]
+        ox = first.get("origin_x")
+        scale = (float(first["pixel_sx"]), float(first["pixel_sy"])) \
+            if pd.notna(ox) else (1.0, 1.0)
+        origin = (float(first["origin_x"]), float(first["origin_y"])) \
+            if pd.notna(ox) else (0.0, 0.0)
+        g_epsg = int(first["georef_srid"]) \
+            if pd.notna(first.get("georef_srid")) else epsg
+        rows = list(pdf.itertuples(index=False))
+        levels = blocks_to_levels_rgb(rows)
+        n_bands = len({int(r.band) for r in rows})
+        safe = str(dataset).replace("/", "_")
+        path = os.path.join(dst_dir, f"{safe}_rgb.tif")
+        nbytes = write_geotiff(path, levels, epsg=g_epsg,
+                               pixel_scale=scale, origin=origin)
+        return pd.DataFrame([{
+            "dataset": dataset, "n_bands": n_bands, "path": path,
+            "n_levels": len(levels), "n_blocks": len(rows),
+            "file_bytes": nbytes,
+        }])
+
+    key = ["dataset"] + (["subdataset"]
+                         if "subdataset" in blocks.columns else [])
+    return blocks.groupBy(*key).applyInPandas(
+        write_group,
+        "dataset string, n_bands int, path string, n_levels int, "
         "n_blocks long, file_bytes long")

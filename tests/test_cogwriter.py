@@ -217,3 +217,44 @@ def test_validate_cog_rules():
         _Level(700, 600, tiles_of(lv0)),
         _Level(700, 600, tiles_of(lv0))]))
     assert not v["valid"] and "not smaller" in v["errors"][0]
+
+
+def test_rgb_multiband_cog(spark, tmp_path):
+    """T12 composite: 3 bands -> ONE chunky RGB COG, read back band-
+    exact by the independent GeoTIFF pixel reader, valid COG layout."""
+    import numpy as np
+
+    from geohub_data_pipeline_spark.operators.cogwriter import (
+        assemble_cog_rgb_tables,
+    )
+    from geohub_data_pipeline_spark.operators.rasterprobe import (
+        probe_geotiff,
+        validate_cog,
+    )
+    from geohub_data_pipeline_spark.sources.geotiff import read_geotiff
+
+    h, w = 60, 80
+    rows = []
+    bands_data = {}
+    for band in (1, 2, 3):
+        arr = ((np.arange(h * w, dtype=np.float64) * band) % 97) \
+            .reshape(h, w)
+        bands_data[band] = arr
+        rows.append(("img", None, band, 0, 0, 0, w, h,
+                     arr.ravel().tolist(), 0.0, 3857))
+    blocks = spark.createDataFrame(
+        rows,
+        "dataset string, subdataset string, band int, level int, "
+        "block_x int, block_y int, width int, height int, "
+        "pixels array<double>, nodata double, srid int")
+    m = assemble_cog_rgb_tables(blocks, str(tmp_path)).collect()[0]
+    assert m.n_bands == 3
+    payload = open(m.path, "rb").read()
+    probe = probe_geotiff(payload)
+    assert probe["n_bands"] == 3
+    assert validate_cog(payload)["valid"]
+    d = read_geotiff(payload)
+    assert len(d["bands"]) == 3
+    for band in (1, 2, 3):
+        assert np.array_equal(d["bands"][band - 1][:h, :w],
+                              bands_data[band])
