@@ -157,6 +157,7 @@ def main(argv: list[str] | None = None) -> int:
             from geohub_data_pipeline_spark.sources import netcdf3 as NC
 
             low = args.raster.lower()
+            tif_probe_paths: list[str] = []
             if low.endswith((".zip", ".tar", ".tgz", ".gz", ".7z")):
                 # archived raster upload (ref /vsizip/ GDAL paths,
                 # ingest/utils.py:23-32)
@@ -174,6 +175,7 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 blocks = GTF.blocks_from_geotiff(spark, args.raster)
                 georefs = [GTF.georef_from_geotiff(spark, args.raster)]
+                tif_probe_paths = [args.raster]
             elif low.endswith(".nc"):
                 blocks = NC.blocks_from_netcdf3(spark, args.raster)
                 georefs = [NC.georef_from_netcdf3(spark, args.raster)]
@@ -206,6 +208,9 @@ def main(argv: list[str] | None = None) -> int:
                 from geohub_data_pipeline_spark.sources import (
                     geotiff as GTF,
                 )
+                tif_probe_paths = [
+                    _os.path.join(args.raster, "*.tif"),
+                    _os.path.join(args.raster, "*.tiff")]
                 for fn, gfn, glob in (
                         (GTF.blocks_from_geotiff,
                          GTF.georef_from_geotiff, "*.tif"),
@@ -245,12 +250,41 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 blocks, georef = WP.warp_to_mercator(blocks, georef)
             pyramid = R.overview_cascade(blocks, args.overview_levels)
+            # T12 auto-dispatch (ref processing.py:783-786): an RGB
+            # photometric source with >= 3 bands becomes ONE
+            # multiband composite; everything else one COG per band.
+            rgb_datasets: set[str] = set()
+            if not args.rgb_composite and tif_probe_paths:
+                for pp in tif_probe_paths:
+                    try:
+                        probes = RP.probe_rasters(
+                            spark.read.format("binaryFile")
+                            .load(pp).select("path", "content"))
+                        rgb_datasets |= {
+                            r.path.rsplit("/", 1)[-1]
+                            for r in probes.collect()
+                            if (r.photometric or 1) >= 2
+                            and (r.n_bands or 1) >= 3}
+                    except Exception:
+                        continue           # no files for this glob
+            from pyspark.sql import functions as SF
+            manifest = []
             if args.rgb_composite:
-                manifest = W.assemble_cog_rgb_tables(
+                manifest += W.assemble_cog_rgb_tables(
                     pyramid, f"{args.dst}/cog",
                     georef=georef).collect()
+            elif rgb_datasets:
+                is_rgb = SF.col("dataset").isin(sorted(rgb_datasets))
+                manifest += W.assemble_cog_rgb_tables(
+                    pyramid.filter(is_rgb), f"{args.dst}/cog",
+                    georef=georef).collect()
+                rest = pyramid.filter(~is_rgb)
+                if rest.limit(1).count():
+                    manifest += W.assemble_cog_tables(
+                        rest, f"{args.dst}/cog",
+                        georef=georef).collect()
             else:
-                manifest = W.assemble_cog_tables(
+                manifest += W.assemble_cog_tables(
                     pyramid, f"{args.dst}/cog", georef=georef).collect()
             for m in manifest:
                 with open(m.path, "rb") as f:
@@ -262,7 +296,8 @@ def main(argv: list[str] | None = None) -> int:
                 if not check["valid"]:
                     raise SystemExit(
                         f"invalid COG {m.path}: {check['errors']}")
-                what = (f"{m.n_bands}-band rgb" if args.rgb_composite
+                what = (f"{m.n_bands}-band rgb"
+                        if "n_bands" in m.__fields__
                         else f"band {m.band}")
                 print(f"cog: {m.path} {probe['width']}x{probe['height']} "
                       f"{what}, {probe['n_overviews']} overviews, "

@@ -33,7 +33,8 @@ _COMPRESSION_NAMES = {1: "none", 5: "lzw", 7: "jpeg", 8: "deflate",
 
 PROBE_SCHEMA = ("path string, ok boolean, width int, height int, "
                 "n_bands int, bits_per_sample int, sample_format int, "
-                "compression string, tiled boolean, tile_width int, "
+                "compression string, photometric int, tiled boolean, "
+                "tile_width int, "
                 "tile_height int, n_overviews int, epsg int, "
                 "pixel_scale_x double, pixel_scale_y double, "
                 "origin_x double, origin_y double, error string")
@@ -122,6 +123,7 @@ def probe_geotiff(payload: bytes) -> dict:
         "sample_format": one(339, 1),
         "compression": _COMPRESSION_NAMES.get(
             one(259, 1), f"unknown({one(259, 1)})"),
+        "photometric": one(262, 1),
         "tiled": 322 in main,
         "tile_width": one(322), "tile_height": one(323),
         "n_overviews": len(ifds) - 1,

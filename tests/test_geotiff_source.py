@@ -245,3 +245,36 @@ def test_zipped_raster_upload_cli(spark, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert out.count("valid COG") == 2     # one per member dataset
+
+
+def test_auto_rgb_dispatch_cli(spark, tmp_path, capsys):
+    """T12 auto-dispatch: an RGB-photometric 3-band .tif becomes ONE
+    composite COG while a gray sibling stays per-band — no flag."""
+    from geohub_data_pipeline_spark.cli import main
+    from geohub_data_pipeline_spark.operators.cogwriter import (
+        _Level,
+        geotiff_bytes,
+    )
+
+    h, w = 80, 90
+    rgb_tiles = {(0, 0): np.stack(
+        [np.pad(((np.arange(h * w) * b) % 97).reshape(h, w)
+                .astype(float), ((0, 176), (0, 166)))
+         for b in (1, 2, 3)], axis=2)}
+    (tmp_path / "rgb.tif").write_bytes(geotiff_bytes(
+        [_Level(w, h, rgb_tiles)], epsg=4326,
+        pixel_scale=(0.02, 0.02), origin=(6.0, 49.0)))
+    gray = {(0, 0): np.pad((np.arange(h * w) % 50).reshape(h, w)
+                           .astype(float), ((0, 176), (0, 166)))}
+    (tmp_path / "gray.tif").write_bytes(geotiff_bytes(
+        [_Level(w, h, gray)], epsg=4326,
+        pixel_scale=(0.02, 0.02), origin=(6.0, 49.0)))
+
+    rc = main(["--raster", str(tmp_path),
+               "--dst", str(tmp_path / "out"),
+               "--overview-levels", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "3-band rgb" in out
+    assert "band 1" in out                # gray stays per-band
+    assert out.count("valid COG") == 2
