@@ -166,35 +166,77 @@ def encode_wkb_geometry(wkb: bytes, z: int, tx: int,
 # tile assembly
 # ---------------------------------------------------------------------------
 
-def encode_feature(fid: int, gtype: int, cmds: list[int]) -> bytes:
+def encode_feature(fid: int, gtype: int, cmds: list[int],
+                   tags: list[int] | None = None) -> bytes:
     geom = b"".join(_varint(c) for c in cmds)
-    return (
-        _field_varint(1, fid)
-        + _field_varint(3, gtype)
-        + _field_bytes(4, geom)
-    )
+    out = _field_varint(1, fid)
+    if tags:
+        out += _field_bytes(2, b"".join(_varint(t) for t in tags))
+    return out + _field_varint(3, gtype) + _field_bytes(4, geom)
 
 
-def encode_layer(name: str, features: list[bytes]) -> bytes:
+def _encode_value(v) -> bytes:
+    """MVT 2.1 Value message (one-of): string=1, double=3, sint=6,
+    bool=7."""
+    if isinstance(v, bool):
+        return _field_varint(7, 1 if v else 0)
+    if isinstance(v, int):
+        return _field_varint(6, (v << 1) ^ (v >> 63))   # zigzag sint64
+    if isinstance(v, float):
+        import struct as _s
+        return bytes([(3 << 3) | 1]) + _s.pack("<d", v)
+    return _field_bytes(1, str(v).encode("utf-8"))
+
+
+def encode_layer(name: str, features: list[bytes],
+                 keys: list[str] | None = None,
+                 values: list | None = None) -> bytes:
     body = _field_varint(15, 2)                 # version
     body += _field_bytes(1, name.encode())
     for f in features:
         body += _field_bytes(2, f)
+    for k in keys or []:
+        body += _field_bytes(3, k.encode("utf-8"))
+    for v in values or []:
+        body += _field_bytes(4, _encode_value(v))
     body += _field_varint(5, EXTENT)
     return _field_bytes(3, body)                # Tile.layers field
 
 
 def encode_tile(z: int, x: int, y: int,
-                layer_features: dict[str, list[tuple[int, bytes]]]) -> bytes:
-    """layer_features: layer name -> [(fid, wkb)] -> one MVT blob."""
+                layer_features: dict[str, list[tuple]]) -> bytes:
+    """layer_features: layer name -> [(fid, wkb)] or
+    [(fid, wkb, props-dict)] -> one MVT blob.  Properties are
+    interned into the layer's keys/values tables (MVT 2.1 §4.4), as
+    tippecanoe preserves attributes from the source FGB."""
     out = b""
     for name in sorted(layer_features):
         feats = []
-        for fid, wkb in sorted(layer_features[name]):
+        keys: list[str] = []
+        values: list = []
+        key_idx: dict[str, int] = {}
+        val_idx: dict[tuple, int] = {}
+        for feat in sorted(layer_features[name],
+                           key=lambda t: t[0]):
+            fid, wkb = feat[0], feat[1]
+            props = feat[2] if len(feat) > 2 and feat[2] else None
             enc = encode_wkb_geometry(bytes(wkb), z, x, y)
             if enc is None:
                 continue
-            feats.append(encode_feature(fid, enc[0], enc[1]))
+            tags: list[int] = []
+            for k in sorted(props) if props else []:
+                v = props[k]
+                if v is None:
+                    continue
+                if k not in key_idx:
+                    key_idx[k] = len(keys)
+                    keys.append(k)
+                vk = (type(v).__name__, v)
+                if vk not in val_idx:
+                    val_idx[vk] = len(values)
+                    values.append(v)
+                tags += [key_idx[k], val_idx[vk]]
+            feats.append(encode_feature(fid, enc[0], enc[1], tags))
         if feats:
-            out += encode_layer(name, feats)
+            out += encode_layer(name, feats, keys, values)
     return out

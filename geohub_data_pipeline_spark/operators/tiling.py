@@ -102,17 +102,33 @@ def _encode_tile(pdf: pd.DataFrame) -> pd.DataFrame:
 
 def _encode_tile_mvt(pdf: pd.DataFrame) -> pd.DataFrame:
     """Real Mapbox Vector Tile payload (operators/mvt.py) — the
-    renderable byte format tippecanoe emits."""
+    renderable byte format tippecanoe emits.  An optional
+    ``properties`` column (JSON string per feature) becomes the
+    layer's keys/values tables."""
+    import json as _json
+
     from geohub_data_pipeline_spark.operators import mvt as MVT
 
     z = int(pdf["z"].iloc[0])
     x = int(pdf["x"].iloc[0])
     y = int(pdf["y"].iloc[0])
     layer = pdf["layer"].iloc[0]
-    payload = MVT.encode_tile(z, x, y, {
-        str(layer): [(int(f), bytes(g))
-                     for f, g in zip(pdf["fid"], pdf["geometry"])]
-    })
+    if "properties" in pdf.columns:
+        def props_of(p):
+            if not isinstance(p, str):
+                return None
+            try:
+                d = _json.loads(p)
+                return d if isinstance(d, dict) else None
+            except ValueError:
+                return None
+        feats = [(int(f), bytes(g), props_of(p))
+                 for f, g, p in zip(pdf["fid"], pdf["geometry"],
+                                    pdf["properties"])]
+    else:
+        feats = [(int(f), bytes(g))
+                 for f, g in zip(pdf["fid"], pdf["geometry"])]
+    payload = MVT.encode_tile(z, x, y, {str(layer): feats})
     return pd.DataFrame([{
         "z": z, "x": x, "y": y, "layer": layer,
         "n_features": len(pdf),
@@ -185,10 +201,14 @@ def build_tiles(normalized: DataFrame, maxzoom: int | None = None,
     keyed = tile_keys(feats)
     if simplify_low_zooms:
         keyed = _simplify_keyed(keyed, full_detail_zoom)
+    # optional attributes column rides to the MVT encoder (the
+    # reference's tippecanoe keeps source FGB attributes in tiles)
+    extra = (["properties"] if "properties" in normalized.columns
+             else [])
     # tippecanoe-style deterministic feature dropping on overflow
     w = Window.partitionBy("z", "x", "y", "layer").orderBy("fid")
     keyed = (
-        keyed.select("z", "x", "y", "layer", "fid", "geometry",
+        keyed.select("z", "x", "y", "layer", "fid", "geometry", *extra,
                      F.row_number().over(w).alias("__rank"))
         .filter(F.col("__rank") <= max_features_per_tile)
         .drop("__rank")

@@ -34,6 +34,9 @@ def _fields(buf):
             ln, pos = _read_varint(buf, pos)
             yield num, buf[pos:pos + ln]
             pos += ln
+        elif wt == 1:                      # 64-bit (double values)
+            yield num, buf[pos:pos + 8]
+            pos += 8
         else:
             raise AssertionError(f"unexpected wire type {wt}")
 
@@ -42,12 +45,28 @@ def _unzigzag(v):
     return (v >> 1) ^ -(v & 1)
 
 
+def _decode_value(buf: bytes):
+    import struct as _s
+    for num, val in _fields(buf):
+        if num == 1:
+            return val.decode()
+        if num == 3:
+            return _s.unpack("<d", val)[0] if isinstance(val, (bytes, bytearray)) else val
+        if num == 6:
+            return _unzigzag(val)
+        if num == 7:
+            return bool(val)
+    return None
+
+
 def decode_tile(buf: bytes) -> dict:
     layers = {}
     for num, payload in _fields(buf):
         assert num == 3
         name = version = extent = None
         feats = []
+        keys = []
+        values = []
         for fnum, fval in _fields(payload):
             if fnum == 1:
                 name = fval.decode()
@@ -55,11 +74,21 @@ def decode_tile(buf: bytes) -> dict:
                 version = fval
             elif fnum == 5:
                 extent = fval
+            elif fnum == 3:
+                keys.append(fval.decode())
+            elif fnum == 4:
+                values.append(_decode_value(fval))
             elif fnum == 2:
-                feat = {"id": None, "type": None, "coords": []}
+                feat = {"id": None, "type": None, "coords": [],
+                        "tags": []}
                 for gnum, gval in _fields(fval):
                     if gnum == 1:
                         feat["id"] = gval
+                    elif gnum == 2:
+                        pos = 0
+                        while pos < len(gval):
+                            t, pos = _read_varint(gval, pos)
+                            feat["tags"].append(t)
                     elif gnum == 3:
                         feat["type"] = gval
                     elif gnum == 4:
@@ -92,8 +121,13 @@ def decode_tile(buf: bytes) -> dict:
                                 raise AssertionError(f"bad cmd {cid}")
                         feat["coords"] = paths
                 feats.append(feat)
+        for feat in feats:                  # resolve interned tags
+            feat["props"] = {
+                keys[feat["tags"][i]]: values[feat["tags"][i + 1]]
+                for i in range(0, len(feat["tags"]), 2)}
         layers[name] = {"version": version, "extent": extent,
-                        "features": feats}
+                        "features": feats, "keys": keys,
+                        "values": values}
     return layers
 
 
@@ -192,3 +226,48 @@ def test_build_tiles_mvt_end_to_end(spark):
     for f in decoded["roads"]["features"]:
         (px, py) = f["coords"][0][0]
         assert -M.EXTENT <= px <= 2 * M.EXTENT   # small buffer allowed
+
+
+def test_feature_properties_interned():
+    """MVT 2.1 §4.4: properties become layer keys/values tables with
+    per-feature tag index pairs — shared values interned once."""
+    p1 = G.wkb_point(10.0, 20.0)
+    p2 = G.wkb_point(11.0, 21.0)
+    blob = M.encode_tile(1, 1, 0, {"pois": [
+        (1, p1, {"name": "cafe", "rank": 3, "open": True,
+                 "score": 0.5}),
+        (2, p2, {"name": "bar", "rank": 3}),
+    ]})
+    layers = decode_tile(blob)
+    feats = {f["id"]: f for f in layers["pois"]["features"]}
+    assert feats[1]["props"] == {"name": "cafe", "rank": 3,
+                                 "open": True, "score": 0.5}
+    assert feats[2]["props"] == {"name": "bar", "rank": 3}
+    # value 3 interned once across both features
+    assert layers["pois"]["values"].count(3) == 1
+    # featureless-properties encoding still valid
+    blob2 = M.encode_tile(1, 1, 0, {"pois": [(1, p1)]})
+    assert decode_tile(blob2)["pois"]["features"][0]["props"] == {}
+
+
+def test_build_tiles_properties_column(spark):
+    """build_tiles(encode='mvt') carries a joined-back properties
+    column into the tile payloads."""
+    import json
+
+    from geohub_data_pipeline_spark.operators import geometry as GG
+    from geohub_data_pipeline_spark.operators import tiling as T
+
+    feats = spark.createDataFrame(
+        [("d", "l", 1, GG.wkb_point(10.0, 20.0), 4326,
+          '{"name":"x","rank":7}')],
+        "dataset string, layer string, fid long, geometry binary, "
+        "srid int, properties string")
+    norm = GG.normalize_features(feats).join(
+        feats.select("dataset", "layer", "fid", "properties"),
+        ["dataset", "layer", "fid"])
+    tiles = T.build_tiles(norm, maxzoom=1, encode="mvt").collect()
+    assert tiles
+    decoded = decode_tile(bytes(tiles[0].payload))
+    assert decoded["l"]["features"][0]["props"] == {"name": "x",
+                                                    "rank": 7}
