@@ -367,6 +367,12 @@ def main(argv: list[str] | None = None) -> int:
         else:
             feats = spark.read.parquet(args.src)
         norm = G.normalize_features(feats)
+        if "properties" in feats.columns:
+            # attributes survive normalize via a fid join and ride
+            # into both artifacts (tippecanoe/ogr2ogr keep them)
+            norm = norm.join(
+                feats.select("dataset", "layer", "fid", "properties"),
+                ["dataset", "layer", "fid"], "left")
         # companion .fgb artifacts, as the reference uploads next to
         # the PMTiles (ref ingest/processing.py:405-443 dataset2pmtiles)
         from geohub_data_pipeline_spark.sources.flatgeobuf import (
