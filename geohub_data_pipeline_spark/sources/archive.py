@@ -41,7 +41,7 @@ ARCHIVE_MEMBER_SCHEMA = (
 
 _FEATURE_SCHEMA = (
     "dataset string, layer string, fid long, geometry binary, srid int, "
-    "crs_wkt string"
+    "crs_wkt string, properties string"
 )
 
 
@@ -157,8 +157,11 @@ def geojson_feature_rows(members: DataFrame) -> DataFrame:
                 low = member.lower()
                 if low.endswith(".gpkg"):
                     try:
-                        rows += list(GP.read_gpkg_bytes(
-                            bytes(payload), dataset, with_wkt=True))
+                        rows += [r + (None,) * (7 - len(r))
+                                 for r in GP.read_gpkg_bytes(
+                                     bytes(payload), dataset,
+                                     with_wkt=True,
+                                     with_props=True)]
                     except (sqlite3.Error, ValueError, OSError):
                         pass               # -skipfailures
                     continue
@@ -167,8 +170,9 @@ def geojson_feature_rows(members: DataFrame) -> DataFrame:
                         flatgeobuf as FGB,
                     )
                     try:
-                        rows += [r[:6] for r in FGB.read_fgb_bytes(
-                            bytes(payload), dataset)]
+                        rows += [r[:6] + (r[6],)
+                                 for r in FGB.read_fgb_bytes(
+                                     bytes(payload), dataset)]
                     except (ValueError, struct.error, IndexError):
                         pass               # -skipfailures
                     continue
@@ -186,10 +190,16 @@ def geojson_feature_rows(members: DataFrame) -> DataFrame:
                         continue           # -skipfailures
                     fid = feat.get("id")
                     fid = int(fid) if isinstance(fid, (int, float)) else i
-                    rows.append((dataset, layer, fid, wkb, 4326, None))
+                    props = feat.get("properties")
+                    pjson = (json.dumps(props, sort_keys=True,
+                                        separators=(",", ":"))
+                             if isinstance(props, dict) and props
+                             else None)
+                    rows.append((dataset, layer, fid, wkb, 4326, None,
+                                 pjson))
             yield pd.DataFrame(rows, columns=[
                 "dataset", "layer", "fid", "geometry", "srid",
-                "crs_wkt"])
+                "crs_wkt", "properties"])
 
     return members.mapInPandas(kernel, _FEATURE_SCHEMA)
 
@@ -210,7 +220,8 @@ def features_from_archives(spark: SparkSession, path: str) -> DataFrame:
 
     members = read_archives(spark, path)
     shp = SHP.shapefile_feature_rows(
-        members.filter(F.lower(F.col("member")).rlike(r"\.(shp|prj)$")))
+        members.filter(
+            F.lower(F.col("member")).rlike(r"\.(shp|prj|dbf)$")))
     gdb = FGDB.filegdb_feature_rows(members)
     # shapefile rows carry an optional crs_wkt (.prj text for layers
     # whose EPSG is unresolvable); fill NULL for the other sources

@@ -43,6 +43,7 @@ repartition like any other feature scan.
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import struct
@@ -54,7 +55,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 FEATURE_SCHEMA = (
     "dataset string, layer string, fid long, geometry binary, srid int, "
-    "crs_wkt string"
+    "crs_wkt string, properties string"
 )
 
 # field type byte -> symbolic name (FGDB spec "Field description")
@@ -533,6 +534,13 @@ def read_filegdb(files: dict[str, bytes], dataset: str):
             # (operators/crs_wkt.py); bare tables default to 4326
             srid = epsg if epsg is not None else (0 if wkt else 4326)
             crs_wkt = wkt if epsg is None and wkt else None
+            attrs = {f.name: values[f.name] for f in fields
+                     if f.ftype != FT_GEOMETRY
+                     and values.get(f.name) is not None
+                     and not isinstance(values.get(f.name), bytes)}
+            props = (json.dumps(attrs, sort_keys=True,
+                                separators=(",", ":"), default=str)
+                     if attrs else None)
             raw = values.get(geom_field.name)
             wkb = None
             if raw:
@@ -540,7 +548,7 @@ def read_filegdb(files: dict[str, bytes], dataset: str):
                     wkb = shape_to_wkb(raw, gi)
                 except (ValueError, struct.error, IndexError):
                     wkb = None             # -skipfailures row
-            yield dataset, name, int(fid), wkb, srid, crs_wkt
+            yield dataset, name, int(fid), wkb, srid, crs_wkt, props
 
 
 def features_from_gdb(spark: SparkSession, path: str) -> DataFrame:
@@ -572,7 +580,8 @@ def features_from_gdb(spark: SparkSession, path: str) -> DataFrame:
         except (ValueError, struct.error, IndexError):
             rows = []                      # corrupt gdb: quarantine
         return pd.DataFrame(rows, columns=[
-            "dataset", "layer", "fid", "geometry", "srid", "crs_wkt"])
+            "dataset", "layer", "fid", "geometry", "srid", "crs_wkt",
+            "properties"])
 
     return raw.groupBy("gdb_dir").applyInPandas(per_gdb, FEATURE_SCHEMA)
 
@@ -606,7 +615,8 @@ def filegdb_feature_rows(members: DataFrame) -> DataFrame:
         except (ValueError, struct.error, IndexError):
             rows = []
         return pd.DataFrame(rows, columns=[
-            "dataset", "layer", "fid", "geometry", "srid", "crs_wkt"])
+            "dataset", "layer", "fid", "geometry", "srid", "crs_wkt",
+            "properties"])
 
     return gdb.groupBy("gdb_dir").applyInPandas(per_gdb, FEATURE_SCHEMA)
 

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 FEATURE_SCHEMA = (
     "dataset string, layer string, fid long, geometry binary, srid int, "
-    "crs_wkt string"
+    "crs_wkt string, properties string"
 )
 
 _ENVELOPE_BYTES = {0: 0, 1: 32, 2: 48, 3: 48, 4: 64}
@@ -106,15 +106,20 @@ def _pk_column(con: sqlite3.Connection, table: str) -> str | None:
 
 
 def read_gpkg_bytes(content: bytes, dataset: str,
-                    with_wkt: bool = False):
+                    with_wkt: bool = False,
+                    with_props: bool = False):
     """Yield (dataset, layer, fid, wkb, srid) rows from .gpkg bytes
     (+ the layer's ``gpkg_spatial_ref_sys`` WKT definition as a 6th
-    element when ``with_wkt``).
+    element when ``with_wkt``; + the row's non-geometry attribute
+    columns as a JSON string 7th element when ``with_props`` — the
+    fields ogr2ogr carries through the reference pipeline).
 
     sqlite3 requires a file path, so the bytes land in a temp file for
     the duration of the read (executor-local scratch — the same thing
     the reference's GDAL does with downloaded blobs).
     """
+    import json
+
     fd, tmp = tempfile.mkstemp(suffix=".gpkg")
     try:
         with os.fdopen(fd, "wb") as f:
@@ -123,29 +128,53 @@ def read_gpkg_bytes(content: bytes, dataset: str,
         try:
             defs = _srs_definitions(con) if with_wkt else {}
 
-            def out(row, srid):
-                return row + ((defs.get(srid),) if with_wkt else ())
+            def out(row, srid, props):
+                row = row + ((defs.get(srid),) if with_wkt else ())
+                if with_props:
+                    row = row + (props,)
+                return row
 
             for table, geom_col, srs_default in _feature_layers(con):
                 pk = _pk_column(con, table)
                 fid_expr = _q(pk) if pk else "rowid"
+                attr_cols = []
+                if with_props:
+                    attr_cols = [
+                        str(name) for _cid, name, _t, _nn, _d, _pk
+                        in con.execute(
+                            f"PRAGMA table_info({_q(table)})")
+                        if str(name) not in (geom_col, pk)]
+                sel = ", ".join(
+                    [fid_expr, _q(geom_col)]
+                    + [_q(c) for c in attr_cols])
                 cur = con.execute(
-                    f"SELECT {fid_expr}, {_q(geom_col)} "
-                    f"FROM {_q(table)} ORDER BY {fid_expr}")
-                for fid, blob in cur:
+                    f"SELECT {sel} FROM {_q(table)} "
+                    f"ORDER BY {fid_expr}")
+                for rec in cur:
+                    fid, blob = rec[0], rec[1]
+                    props = None
+                    if with_props and attr_cols:
+                        d = {c: v for c, v in
+                             zip(attr_cols, rec[2:])
+                             if v is not None
+                             and not isinstance(v, bytes)}
+                        if d:
+                            props = json.dumps(
+                                d, sort_keys=True,
+                                separators=(",", ":"), default=str)
                     if blob is None:
                         yield out((dataset, table, int(fid), None,
-                                   srs_default), srs_default)
+                                   srs_default), srs_default, props)
                         continue
                     parsed = parse_gpkg_blob(bytes(blob))
                     if parsed is None:     # empty geometry
                         yield out((dataset, table, int(fid), None,
-                                   srs_default), srs_default)
+                                   srs_default), srs_default, props)
                         continue
                     srs_id, wkb = parsed
                     srid = srs_id if srs_id > 0 else srs_default
                     yield out((dataset, table, int(fid), wkb, srid),
-                              srid)
+                              srid, props)
         finally:
             con.close()
     finally:
@@ -167,12 +196,13 @@ def features_from_gpkg(spark: SparkSession, path: str) -> DataFrame:
                 dataset = os.path.basename(str(p).removeprefix("file:"))
                 try:
                     rows += list(read_gpkg_bytes(bytes(content), dataset,
-                                                 with_wkt=True))
+                                                 with_wkt=True,
+                                                 with_props=True))
                 except (sqlite3.Error, ValueError, OSError):
                     continue               # corrupt gpkg: quarantine
             yield pd.DataFrame(rows, columns=[
                 "dataset", "layer", "fid", "geometry", "srid",
-                "crs_wkt"])
+                "crs_wkt", "properties"])
 
     return raw.mapInPandas(kernel, FEATURE_SCHEMA)
 

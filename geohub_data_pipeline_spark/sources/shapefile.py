@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame
 
 FEATURE_SCHEMA = (
     "dataset string, layer string, fid long, geometry binary, srid int, "
-    "crs_wkt string"
+    "crs_wkt string, properties string"
 )
 
 # shape type -> base kind (Z/M variants collapse to the same kind)
@@ -165,12 +165,15 @@ def shapefile_feature_rows(members: DataFrame) -> DataFrame:
     ship_package(members.sparkSession)
 
     def per_archive(pdf: pd.DataFrame) -> pd.DataFrame:
+        import json
         import os
         rows = []
         prjs = {}                  # stem -> (epsg | 0 | None, wkt | None)
+        dbfs = {}                  # stem -> [attr dict per record]
         for member, content in zip(pdf["member"], pdf["content"]):
-            if str(member).lower().endswith(".prj"):
-                stem = os.path.splitext(str(member))[0]
+            low = str(member).lower()
+            stem = os.path.splitext(str(member))[0]
+            if low.endswith(".prj"):
                 try:
                     wkt = bytes(content).decode("utf-8", "replace").strip()
                     epsg = epsg_from_prj(wkt)
@@ -180,6 +183,11 @@ def shapefile_feature_rows(members: DataFrame) -> DataFrame:
                                   None if epsg is not None else wkt)
                 except Exception:
                     prjs[stem] = (None, None)
+            elif low.endswith(".dbf"):
+                try:
+                    dbfs[stem] = parse_dbf(bytes(content))
+                except (ValueError, struct.error):
+                    pass           # corrupt sidecar: geometry-only
         for arch, member, content in zip(
                 pdf["archive_path"], pdf["member"], pdf["content"]):
             m = str(member)
@@ -189,13 +197,88 @@ def shapefile_feature_rows(members: DataFrame) -> DataFrame:
             dataset = os.path.basename(str(arch))
             layer = os.path.basename(stem)
             srid, wkt = prjs.get(stem, (4326, None))
+            attrs = dbfs.get(stem, [])
             try:
-                rows += [r + (wkt,) for r in read_shp_bytes(
-                    bytes(content), dataset, layer, srid)]
+                for r in read_shp_bytes(bytes(content), dataset,
+                                        layer, srid):
+                    # .shp record numbers are 1-based sequential; the
+                    # .dbf record at index rec_no-1 is its attributes
+                    rec = (attrs[r[2] - 1]
+                           if 0 < r[2] <= len(attrs) else None)
+                    pjson = (json.dumps(rec, sort_keys=True,
+                                        separators=(",", ":"))
+                             if rec else None)
+                    rows.append(r + (wkt, pjson))
             except (ValueError, struct.error):
                 continue                   # corrupt member: quarantine
         return pd.DataFrame(rows, columns=[
-            "dataset", "layer", "fid", "geometry", "srid", "crs_wkt"])
+            "dataset", "layer", "fid", "geometry", "srid", "crs_wkt",
+            "properties"])
 
     return members.groupBy("archive_path").applyInPandas(
         per_archive, FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# dBase III (.dbf) attribute sidecar — the shapefile's fields
+# (the reference's ogr2ogr carries them; spec: the published Xbase
+# DBF layout — 32-byte header, 32-byte field descriptors terminated
+# by 0x0D, fixed-width records with a deletion flag)
+# ---------------------------------------------------------------------------
+
+def parse_dbf(content: bytes) -> list[dict]:
+    """One dict per (non-deleted) record, typed: N/F -> int/float,
+    L -> bool, else trimmed string.  Record order matches the .shp
+    record order (the pairing the shapefile spec mandates).
+    Raises ValueError on malformed input."""
+    import json  # noqa: F401  (kept for callers serializing rows)
+
+    if len(content) < 32:
+        raise ValueError("dbf: truncated header")
+    n_records, header_len, record_len = struct.unpack_from(
+        "<IHH", content, 4)
+    fields = []
+    pos = 32
+    while pos + 1 <= len(content) and content[pos] != 0x0D:
+        if pos + 32 > len(content):
+            raise ValueError("dbf: truncated field descriptor")
+        raw_name = content[pos:pos + 11].split(b"\x00", 1)[0]
+        ftype = chr(content[pos + 11])
+        flen = content[pos + 16]
+        fields.append((raw_name.decode("ascii", "replace"), ftype,
+                       flen))
+        pos += 32
+    if sum(f[2] for f in fields) + 1 != record_len:
+        raise ValueError("dbf: record length mismatch")
+    out = []
+    pos = header_len
+    for _ in range(n_records):
+        if pos + record_len > len(content):
+            break                          # truncated tail: stop clean
+        rec = content[pos:pos + record_len]
+        pos += record_len
+        if rec[0:1] == b"*":               # deleted record
+            continue
+        row = {}
+        off = 1
+        for name, ftype, flen in fields:
+            raw = rec[off:off + flen]
+            off += flen
+            text = raw.decode("latin-1", "replace").strip()
+            if not text:
+                continue
+            if ftype in ("N", "F"):
+                try:
+                    row[name] = (float(text) if "." in text
+                                 or "e" in text.lower() else int(text))
+                except ValueError:
+                    row[name] = text
+            elif ftype == "L":
+                if text in "YyTt":
+                    row[name] = True
+                elif text in "NnFf":
+                    row[name] = False
+            else:
+                row[name] = text
+        out.append(row)
+    return out

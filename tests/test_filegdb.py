@@ -66,7 +66,7 @@ def test_write_read_filegdb(tmp_path):
     files = {n: open(gdb / n, "rb").read() for n in os.listdir(gdb)}
     rows = list(FG.read_filegdb(files, "sample.gdb"))
     by_layer = {}
-    for ds, layer, fid, wkb, srid, crs_wkt in rows:
+    for ds, layer, fid, wkb, srid, crs_wkt, _props in rows:
         assert ds == "sample.gdb" and srid == 4326 and crs_wkt is None
         by_layer.setdefault(layer, []).append((fid, wkb))
     assert set(by_layer) == {"roads", "parcels"}
