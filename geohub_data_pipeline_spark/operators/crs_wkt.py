@@ -180,6 +180,46 @@ def _spheroid(geogcs: Node) -> tuple[float, float]:
     return a, f
 
 
+# datum name -> datum->WGS84 position-vector params [dx dy dz rx ry
+# rz ds] for the common datums whose ESRI .prj files carry NO TOWGS84
+# clause (ESRI resolves them from its own datum database; the values
+# are the published EPSG single-transform defaults, the same ones
+# PROJ's datum tables apply).  Names normalized via _norm().
+_DATUM_SHIFTS: dict[str, tuple] = {
+    # OSGB 1936 (OS "A guide to coordinate systems in GB")
+    "osgb1936": (446.448, -125.157, 542.06, 0.15, 0.247, 0.842,
+                 -20.489),
+    "dosgb1936": (446.448, -125.157, 542.06, 0.15, 0.247, 0.842,
+                  -20.489),
+    "ordnancesurveyofgreatbritain1936": (
+        446.448, -125.157, 542.06, 0.15, 0.247, 0.842, -20.489),
+    # TM65 / TM75 (EPSG:1953)
+    "tm65": (482.5, -130.596, 564.557, -1.042, -0.214, -0.631, 8.15),
+    "tm75": (482.5, -130.596, 564.557, -1.042, -0.214, -0.631, 8.15),
+    # S-JTSK (EPSG:1623)
+    "sjtsk": (589.0, 76.0, 480.0, 0.0, 0.0, 0.0, 0.0),
+    "systemjednotnetrigonometrickesitekatastralni": (
+        589.0, 76.0, 480.0, 0.0, 0.0, 0.0, 0.0),
+    # Amersfoort (EPSG:15934-era default, RDNAPTRANS-compatible)
+    "amersfoort": (565.417, 50.3319, 465.552, -0.398957, 0.343988,
+                   -1.8774, 4.0725),
+    "damersfoort": (565.417, 50.3319, 465.552, -0.398957, 0.343988,
+                    -1.8774, 4.0725),
+    # CH1903+ (EPSG:1676, geocentric translations)
+    "ch1903": (674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0),
+    "dch1903": (674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0),
+    # NTF / NTF (Paris) (EPSG:1193)
+    "ntf": (-168.0, -60.0, 320.0, 0.0, 0.0, 0.0, 0.0),
+    "nouvelletriangulationfrancaise": (-168.0, -60.0, 320.0,
+                                       0.0, 0.0, 0.0, 0.0),
+    # DHDN / Potsdam (EPSG:1777)
+    "dhdn": (598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7),
+    "deutscheshauptdreiecksnetz": (598.1, 73.7, 418.2, 0.202, 0.045,
+                                   -2.455, 6.7),
+    "potsdam": (598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7),
+}
+
+
 def _towgs84(geogcs: Node) -> tuple | None:
     """WGS84->datum Helmert params in crs.py order
     (tx, ty, tz, s_ppm, rx, ry, rz), or None if absent/zero.
@@ -187,12 +227,23 @@ def _towgs84(geogcs: Node) -> tuple | None:
     WKT1 TOWGS84 is the datum->WGS84 position-vector transform
     ``[dx, dy, dz, rx, ry, rz, ds]`` (EPSG 9606); negating every
     parameter gives the WGS84->datum direction to first order (the
-    convention ``_CRS_TABLE`` stores)."""
+    convention ``_CRS_TABLE`` stores).  When the clause is absent —
+    every ESRI .prj — the DATUM name is looked up in the published
+    defaults (``_DATUM_SHIFTS``), the same resolution GDAL/PROJ give
+    the reference."""
     datum = geogcs.child("DATUM")
     t = datum.child("TOWGS84") if datum else None
     if t is None:
         t = geogcs.child("TOWGS84")
     if t is None:
+        if datum is not None and datum.values \
+                and isinstance(datum.values[0], str):
+            name = _norm(datum.values[0])
+            shift = _DATUM_SHIFTS.get(name) \
+                or _DATUM_SHIFTS.get(name.removeprefix("d"))
+            if shift is not None:
+                dx, dy, dz, rx, ry, rz, ds = shift
+                return (-dx, -dy, -dz, -ds, -rx, -ry, -rz)
         return None
     vals = [float(v) for v in t.values if isinstance(v, (int, float))]
     vals += [0.0] * (7 - len(vals))

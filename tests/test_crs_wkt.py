@@ -349,7 +349,11 @@ def test_geogcs_paris_prime_meridian():
     """GEOGCS-rooted WKT with a Paris prime meridian: stored
     longitudes are Paris-relative; the pair converts to/from
     Greenwich WGS84."""
-    wkt = ('GEOGCS["NTF (Paris)",DATUM["NTF",'
+    # datum name deliberately outside the shift table so the test
+    # isolates the prime-meridian arithmetic (a real NTF datum now
+    # also gets its published Helmert shift — see the datum-name
+    # fallback test)
+    wkt = ('GEOGCS["Custom (Paris)",DATUM["Custom_Local",'
            'SPHEROID["Clarke 1880 (IGN)",6378249.2,293.466021293627]],'
            'PRIMEM["Paris",2.33722917],'
            'UNIT["degree",0.0174532925199433]]')
@@ -446,3 +450,29 @@ def test_attributes_flow_from_every_vector_source(spark, tmp_path):
     # the minimal writer emits only OBJECTID + SHAPE; attributes dict
     # therefore may be empty/None — the shape (7-tuple) is the contract
     assert len(rows[0]) == 7
+
+
+def test_esri_prj_datum_name_fallback():
+    """ESRI .prj files carry no TOWGS84; the datum NAME resolves the
+    published shift — an ESRI-style OSGB .prj must match the table's
+    Helmert 27700 to meters, not sit ~120 m off."""
+    esri = ('PROJCS["British_National_Grid",'
+            'GEOGCS["GCS_OSGB_1936",DATUM["D_OSGB_1936",'
+            'SPHEROID["Airy_1830",6377563.396,299.3249646]],'
+            'PRIMEM["Greenwich",0.0],'
+            'UNIT["Degree",0.0174532925199433]],'
+            'PROJECTION["Transverse_Mercator"],'
+            'PARAMETER["False_Easting",400000.0],'
+            'PARAMETER["False_Northing",-100000.0],'
+            'PARAMETER["Central_Meridian",-2.0],'
+            'PARAMETER["Scale_Factor",0.9996012717],'
+            'PARAMETER["Latitude_Of_Origin",49.0],'
+            'UNIT["Meter",1.0]]')
+    fwd, inv = W.pair_from_wkt(esri)
+    tf = C.from_lonlat(27700)
+    x1, y1 = fwd(-1.5, 52.0)
+    x2, y2 = tf(-1.5, 52.0)
+    assert abs(x1 - x2) < 0.05 and abs(y1 - y2) < 0.05    # cm, not 120 m
+    # an unknown datum name still parses (no shift applied)
+    unk = esri.replace("D_OSGB_1936", "D_Something_Else")
+    assert W.pair_from_wkt(unk) is not None
