@@ -56,6 +56,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--no-warp", action="store_true",
                     help="skip the WebMercatorQuad warp (keep the "
                          "source grid; the reference always warps)")
+    ap.add_argument("--cog-dtype", default="f8",
+                    choices=["u1", "u2", "u4", "i1", "i2", "i4",
+                             "f4", "f8"],
+                    help="COG sample type (the reference preserves "
+                         "the source dtype; the block model is "
+                         "float64, so pick the source's type to "
+                         "avoid 8x inflation of integer rasters)")
     ap.add_argument("--rgb-composite", action="store_true",
                     help="write ONE chunky multiband COG per dataset "
                          "instead of one per band (T12 RGB rule; the "
@@ -272,20 +279,21 @@ def main(argv: list[str] | None = None) -> int:
             if args.rgb_composite:
                 manifest += W.assemble_cog_rgb_tables(
                     pyramid, f"{args.dst}/cog",
-                    georef=georef).collect()
+                    georef=georef, dtype=args.cog_dtype).collect()
             elif rgb_datasets:
                 is_rgb = SF.col("dataset").isin(sorted(rgb_datasets))
                 manifest += W.assemble_cog_rgb_tables(
                     pyramid.filter(is_rgb), f"{args.dst}/cog",
-                    georef=georef).collect()
+                    georef=georef, dtype=args.cog_dtype).collect()
                 rest = pyramid.filter(~is_rgb)
                 if rest.limit(1).count():
                     manifest += W.assemble_cog_tables(
                         rest, f"{args.dst}/cog",
-                        georef=georef).collect()
+                        georef=georef, dtype=args.cog_dtype).collect()
             else:
                 manifest += W.assemble_cog_tables(
-                    pyramid, f"{args.dst}/cog", georef=georef).collect()
+                    pyramid, f"{args.dst}/cog", georef=georef,
+                    dtype=args.cog_dtype).collect()
             for m in manifest:
                 with open(m.path, "rb") as f:
                     payload = f.read()

@@ -97,7 +97,8 @@ def _pad(tile: np.ndarray, nodata: float) -> np.ndarray:
 def write_geotiff(path: str, levels: list[_Level], epsg: int = 3857,
                   pixel_scale: tuple[float, float] = (1.0, 1.0),
                   origin: tuple[float, float] = (0.0, 0.0),
-                  compress: bool | str = True) -> int:
+                  compress: bool | str = True,
+                  dtype: str = "f8") -> int:
     """Write a multi-level tiled float64 GeoTIFF; returns bytes written.
 
     compress=True negotiates the codec: ZSTD (the reference's COG
@@ -105,7 +106,8 @@ def write_geotiff(path: str, levels: list[_Level], epsg: int = 3857,
     else stdlib deflate; "zstd"/"deflate"/False force a choice.  The
     Compression tag records what was actually used.
     """
-    out = geotiff_bytes(levels, epsg, pixel_scale, origin, compress)
+    out = geotiff_bytes(levels, epsg, pixel_scale, origin, compress,
+                        dtype=dtype)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "wb") as f:
         f.write(out)
@@ -116,10 +118,16 @@ _N_TAGS = 15                               # fixed tag set per IFD
 T_PLANAR_CONFIG = 284
 
 
+_DTYPES = {"u1": (8, 1), "u2": (16, 1), "u4": (32, 1),
+           "i1": (8, 2), "i2": (16, 2), "i4": (32, 2),
+           "f4": (32, 3), "f8": (64, 3)}
+
+
 def geotiff_bytes(levels: list[_Level], epsg: int = 3857,
                   pixel_scale: tuple[float, float] = (1.0, 1.0),
                   origin: tuple[float, float] = (0.0, 0.0),
-                  compress: bool | str = True) -> bytes:
+                  compress: bool | str = True,
+                  dtype: str = "f8") -> bytes:
     """Assemble the tiled multi-IFD GeoTIFF container in memory.
 
     CLOUD-OPTIMIZED layout (what rio-cogeo's validator — and the
@@ -138,6 +146,10 @@ def geotiff_bytes(levels: list[_Level], epsg: int = 3857,
     """
     codec = _codec_of(compress)
     compression = _TAG_OF[codec]
+    if dtype not in _DTYPES:
+        raise ValueError(f"unsupported COG dtype {dtype}")
+    bits, sfmt = _DTYPES[dtype]
+    np_dtype = np.dtype("<" + dtype)
     first_tiles = next(iter(levels[0].tiles.values()))
     spp = first_tiles.shape[2] if first_tiles.ndim == 3 else 1
     photometric = 2 if spp >= 3 else 1
@@ -155,7 +167,11 @@ def geotiff_bytes(levels: list[_Level], epsg: int = 3857,
                     shape = (TILE, TILE, spp) if spp > 1 \
                         else (TILE, TILE)
                     tile = np.zeros(shape, dtype=np.float64)
-                buf = np.ascontiguousarray(tile, dtype="<f8").tobytes()
+                if sfmt != 3:              # integer output: round+clip
+                    info = np.iinfo(np_dtype)
+                    tile = np.clip(np.rint(tile), info.min, info.max)
+                buf = np.ascontiguousarray(tile, dtype=np_dtype) \
+                    .tobytes()
                 if codec == "zstd":
                     buf = CMP.zstd_compress(buf)
                 elif codec == "deflate":
@@ -199,13 +215,13 @@ def geotiff_bytes(levels: list[_Level], epsg: int = 3857,
     for li, (lv, bufs) in enumerate(zip(levels, level_bufs)):
         n_tiles = len(bufs)
         if spp == 1:
-            bits_tag = (T_BITS_PER_SAMPLE, TYPE_SHORT, 1, 64)
-            sfmt_tag = (T_SAMPLE_FORMAT, TYPE_SHORT, 1, 3)
+            bits_tag = (T_BITS_PER_SAMPLE, TYPE_SHORT, 1, bits)
+            sfmt_tag = (T_SAMPLE_FORMAT, TYPE_SHORT, 1, sfmt)
         elif spp == 2:                     # two shorts fit inline
             bits_tag = (T_BITS_PER_SAMPLE, TYPE_SHORT, 2,
-                        64 | (64 << 16))
+                        bits | (bits << 16))
             sfmt_tag = (T_SAMPLE_FORMAT, TYPE_SHORT, 2,
-                        3 | (3 << 16))
+                        sfmt | (sfmt << 16))
         else:
             bits_tag = (T_BITS_PER_SAMPLE, TYPE_SHORT, spp, bits_off)
             sfmt_tag = (T_SAMPLE_FORMAT, TYPE_SHORT, spp, sfmt_off)
@@ -240,8 +256,8 @@ def geotiff_bytes(levels: list[_Level], epsg: int = 3857,
                             for o in tile_offs[li])
             out += b"".join(struct.pack("<I", len(b)) for b in bufs)
     if spp > 2:
-        out += struct.pack(f"<{spp}H", *([64] * spp))
-        out += struct.pack(f"<{spp}H", *([3] * spp))
+        out += struct.pack(f"<{spp}H", *([bits] * spp))
+        out += struct.pack(f"<{spp}H", *([sfmt] * spp))
     out += struct.pack("<3d", pixel_scale[0], pixel_scale[1], 0.0)
     out += struct.pack("<6d", 0.0, 0.0, 0.0, origin[0], origin[1], 0.0)
     # version 1.1.0, 3 keys: GTModelType=1 (projected), GTRasterType=1,
@@ -281,7 +297,7 @@ def blocks_to_levels(rows: Iterable, nodata: float = 0.0) -> list[_Level]:
 
 
 def assemble_cog_tables(blocks, dst_dir: str, epsg: int = 3857,
-                        georef=None):
+                        georef=None, dtype: str = "f8"):
     """Distributed COG assembly: one GeoTIFF per (dataset, band),
     written by the task holding that group; returns a manifest
     DataFrame (dataset, band, path, n_levels, n_blocks, file_bytes).
@@ -329,7 +345,8 @@ def assemble_cog_tables(blocks, dst_dir: str, epsg: int = 3857,
         safe = str(dataset).replace("/", "_")
         path = os.path.join(dst_dir, f"{safe}_band{band}.tif")
         nbytes = write_geotiff(path, levels, epsg=g_epsg,
-                               pixel_scale=scale, origin=origin)
+                               pixel_scale=scale, origin=origin,
+                               dtype=dtype)
         return pd.DataFrame([{
             "dataset": dataset, "band": band, "path": path,
             "n_levels": len(levels), "n_blocks": len(rows),
@@ -375,7 +392,7 @@ def blocks_to_levels_rgb(rows: Iterable, nodata: float = 0.0) -> list:
 
 
 def assemble_cog_rgb_tables(blocks, dst_dir: str, epsg: int = 3857,
-                            georef=None):
+                            georef=None, dtype: str = "f8"):
     """T12 multiband assembly: ONE chunky-interleaved RGB COG per
     (dataset, subdataset), all bands together — the reference's
     ``dataset2cog`` without a ``bands`` list (ref processing.py:
@@ -416,7 +433,8 @@ def assemble_cog_rgb_tables(blocks, dst_dir: str, epsg: int = 3857,
         safe = str(dataset).replace("/", "_")
         path = os.path.join(dst_dir, f"{safe}_rgb.tif")
         nbytes = write_geotiff(path, levels, epsg=g_epsg,
-                               pixel_scale=scale, origin=origin)
+                               pixel_scale=scale, origin=origin,
+                               dtype=dtype)
         return pd.DataFrame([{
             "dataset": dataset, "n_bands": n_bands, "path": path,
             "n_levels": len(levels), "n_blocks": len(rows),

@@ -258,3 +258,37 @@ def test_rgb_multiband_cog(spark, tmp_path):
     for band in (1, 2, 3):
         assert np.array_equal(d["bands"][band - 1][:h, :w],
                               bands_data[band])
+
+
+def test_dtype_preserving_output():
+    """u1/u2/i2/f4 COGs round-trip exact through the independent
+    reader with the right BitsPerSample/SampleFormat tags; integer
+    output rounds and clips out-of-range values predictably."""
+    import numpy as np
+
+    from geohub_data_pipeline_spark.operators.cogwriter import (
+        _Level,
+        geotiff_bytes,
+    )
+    from geohub_data_pipeline_spark.operators.rasterprobe import (
+        probe_geotiff,
+        validate_cog,
+    )
+    from geohub_data_pipeline_spark.sources.geotiff import read_geotiff
+
+    arr = (np.arange(256 * 256) % 256).reshape(256, 256).astype(float)
+    lv = [_Level(256, 256, {(0, 0): arr})]
+    for dt, bits, sfmt in (("u1", 8, 1), ("u2", 16, 1),
+                           ("i2", 16, 2), ("f4", 32, 3)):
+        blob = geotiff_bytes(lv, dtype=dt)
+        p = probe_geotiff(blob)
+        assert (p["bits_per_sample"], p["sample_format"]) == (bits,
+                                                              sfmt)
+        assert validate_cog(blob)["valid"]
+        assert np.array_equal(read_geotiff(blob)["bands"][0], arr)
+    # clipping: 300.7 -> 255 in u1; -5 -> 0
+    clip = np.array([[300.7, -5.0]] * 256 * 128,
+                    dtype=float).reshape(256, 256)
+    d = read_geotiff(geotiff_bytes(
+        [_Level(256, 256, {(0, 0): clip})], dtype="u1"))
+    assert d["bands"][0].max() == 255 and d["bands"][0].min() == 0
