@@ -46,11 +46,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--shard-tokens", type=int, default=20_000,
                     help="token capacity per training shard")
     ap.add_argument("--raster", metavar="SRC",
-                    help="raster ingest (T11): .asc/.grd/.aig/.sgr, "
-                         "classic .nc, .nc4/.h5 (HDF5) or Erdas raw "
-                         "(.raw/.bl) under SRC -> overview "
-                         "cascade -> COG GeoTIFFs in --dst (probed "
-                         "back for the manifest)")
+                    help="raster ingest (T11): .tif/.tiff (full pixel "
+                         "decode), .asc/.grd/.aig/.sgr, classic .nc, "
+                         ".nc4/.h5 (HDF5), Erdas raw (.raw/.bl), or a "
+                         ".zip/.tar/.7z of any of these -> "
+                         "WebMercatorQuad warp -> overview cascade -> "
+                         "validated COGs in --dst")
     ap.add_argument("--overview-levels", type=int, default=2,
                     help="overview pyramid rounds for --raster")
     ap.add_argument("--no-warp", action="store_true",
