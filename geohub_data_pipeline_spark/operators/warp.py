@@ -246,32 +246,95 @@ def warp_blocks_to_mercator(blocks: DataFrame, georef: DataFrame,
         warp_tile, WARPED_SCHEMA + ", zoom int")
 
 
-def rebase_warped(warped: DataFrame) -> DataFrame:
+def _tile_mins(blocks: DataFrame, georef: DataFrame,
+               max_zoom: int) -> DataFrame:
+    """Per-(dataset, subdataset) minimum covered tile + zoom,
+    computed from block METADATA only (column pruning keeps the pixel
+    arrays out of this pass entirely — the frame is a few ints per
+    block).  Runs the exact fan-out corner math, so the minimum
+    matches ``warp_blocks_to_mercator``'s tiles for any CRS."""
+    meta = (blocks.filter(F.col("level") == 0)
+            .select("dataset", "subdataset", "block_x", "block_y",
+                    "width", "height")
+            .join(broadcast(georef.dropDuplicates(["dataset"])),
+                  "dataset", "inner"))
+
+    def kernel(it):
+        for pdf in it:
+            out = []
+            for r in pdf.itertuples(index=False):
+                srid = int(r.georef_srid)
+                z = zoom_for_res(
+                    _res_m(float(r.pixel_sx), float(r.origin_y), srid),
+                    max_zoom)
+                p = BASE_RES / (1 << z)
+                x0 = r.origin_x + r.block_x * BLOCK * r.pixel_sx
+                x1 = x0 + r.width * r.pixel_sx
+                y1 = r.origin_y - r.block_y * BLOCK * abs(r.pixel_sy)
+                y0 = y1 - r.height * abs(r.pixel_sy)
+                if srid == 4326:
+                    mx0, my0 = _merc_xy_from_lonlat(x0, y0)
+                elif srid == 3857:
+                    mx0, my0 = x0, y0
+                else:
+                    from geohub_data_pipeline_spark.operators import (
+                        crs as C,
+                    )
+                    inv = C.to_lonlat(srid)
+                    if inv is None:
+                        continue
+                    lo0, la0 = inv(x0, y0)
+                    lo1, la1 = inv(x1, y1)
+                    mx0, my0 = _merc_xy_from_lonlat(min(lo0, lo1),
+                                                    min(la0, la1))
+                # the minimum tile ROW comes from the bbox TOP corner
+                if srid == 4326:
+                    _, my1 = _merc_xy_from_lonlat(x0, y1)
+                elif srid == 3857:
+                    my1 = y1
+                else:
+                    my1 = max(
+                        _merc_xy_from_lonlat(lo0, la0)[1],
+                        _merc_xy_from_lonlat(lo1, la1)[1])
+                eps = 1e-9
+                tbx0 = math.floor((mx0 + ORIGIN) / (BLOCK * p) + eps)
+                tby0 = math.floor((ORIGIN - my1) / (BLOCK * p) + eps)
+                out.append((r.dataset, r.subdataset, max(tbx0, 0),
+                            max(tby0, 0), z))
+            yield pd.DataFrame(out, columns=[
+                "dataset", "subdataset", "tbx0", "tby0", "zoom"])
+
+    per_block = meta.mapInPandas(
+        kernel, "dataset string, subdataset string, tbx0 int, "
+                "tby0 int, zoom int")
+    return (per_block.groupBy("dataset", "subdataset")
+            .agg(F.min("tbx0").alias("_minx"),
+                 F.min("tby0").alias("_miny"),
+                 F.max("zoom").alias("_z")))
+
+
+def rebase_warped(warped: DataFrame, mins: DataFrame) -> DataFrame:
     """Shift absolute tile indices to a 0-based block grid per
-    (dataset, subdataset) so the overview cascade and COG writer see
-    the standard block layout.  The min-index aggregate is partial
-    (map-side combine) and tiny; the join broadcasts."""
-    mins = (warped.groupBy("dataset", "subdataset")
-            .agg(F.min("block_x").alias("_minx"),
-                 F.min("block_y").alias("_miny"))
-            .withColumnsRenamed({"dataset": "_d", "subdataset": "_s"}))
+    (dataset, subdataset) using the metadata-derived minimums —
+    ONE pass over the warped pixel rows, no cache/recompute."""
+    mins = mins.withColumnsRenamed({"dataset": "_d",
+                                    "subdataset": "_s"})
     # null-safe keys: subdataset is NULL for single-dataset rasters
     cond = (warped["dataset"].eqNullSafe(mins["_d"])
             & warped["subdataset"].eqNullSafe(mins["_s"]))
     return (warped.join(broadcast(mins), cond)
             .withColumn("block_x", F.col("block_x") - F.col("_minx"))
             .withColumn("block_y", F.col("block_y") - F.col("_miny"))
-            .drop("_d", "_s", "_minx", "_miny"))
+            .drop("_d", "_s", "_minx", "_miny", "_z"))
 
 
-def warp_georef(warped: DataFrame) -> DataFrame:
-    """GEOREF sidecar (operators/raster.py schema) for a warped
-    dataset: mercator origin of its minimum covered tile + the zoom
-    resolution."""
-    agg = (warped.groupBy("dataset")
-           .agg(F.min("block_x").alias("minx"),
-                F.min("block_y").alias("miny"),
-                F.max("zoom").alias("z")))
+def warp_georef(mins: DataFrame) -> DataFrame:
+    """GEOREF sidecar (operators/raster.py schema) from the
+    metadata-derived per-dataset minimum tile + zoom."""
+    agg = (mins.groupBy("dataset")
+           .agg(F.min("_minx").alias("minx"),
+                F.min("_miny").alias("miny"),
+                F.max("_z").alias("z")))
     p = BASE_RES / F.pow(F.lit(2.0), F.col("z"))
     return agg.select(
         "dataset",
@@ -286,9 +349,10 @@ def warp_to_mercator(blocks: DataFrame, georef: DataFrame,
     """One-call T11 warp stage: returns (rebased blocks ready for
     ``overview_cascade``/``assemble_cog_tables``, new georef).
 
-    The warped frame is cached: it has two consumers (the georef
-    aggregate and the rebase join) and without the cache the second
-    one re-runs the whole fan-out + shuffle + resample."""
-    warped = warp_blocks_to_mercator(blocks, georef, max_zoom).cache()
-    gref = warp_georef(warped)
-    return rebase_warped(warped).drop("zoom"), gref
+    The rebase offsets and output georef come from a metadata-only
+    pass (``_tile_mins`` — pixels pruned), so the heavy warped frame
+    is consumed exactly once, uncached: at 100 TB, caching pixel rows
+    would be the memory bomb, and recomputing the warp the CPU one."""
+    mins = _tile_mins(blocks, georef, max_zoom)
+    warped = warp_blocks_to_mercator(blocks, georef, max_zoom)
+    return rebase_warped(warped, mins).drop("zoom"), warp_georef(mins)
