@@ -169,6 +169,10 @@ def geotiff_bytes(levels: list[_Level], epsg: int = 3857,
                     tile = np.zeros(shape, dtype=np.float64)
                 if sfmt != 3:              # integer output: round+clip
                     info = np.iinfo(np_dtype)
+                    # NaN survives rint/clip and casts to undefined
+                    # ints (warp fills outside-footprint with NaN when
+                    # no nodata is declared) — zero non-finite first
+                    tile = np.where(np.isfinite(tile), tile, 0.0)
                     tile = np.clip(np.rint(tile), info.min, info.max)
                 buf = np.ascontiguousarray(tile, dtype=np_dtype) \
                     .tobytes()
@@ -431,12 +435,23 @@ def assemble_cog_rgb_tables(blocks, dst_dir: str, epsg: int = 3857,
         levels = blocks_to_levels_rgb(rows)
         n_bands = len({int(r.band) for r in rows})
         safe = str(dataset).replace("/", "_")
-        path = os.path.join(dst_dir, f"{safe}_rgb.tif")
+        # the subdataset is part of the GROUP key, so it must be part
+        # of the file name too — else two subdatasets of one dataset
+        # race to the same path and silently overwrite each other
+        sub = pdf["subdataset"].iloc[0] \
+            if "subdataset" in pdf.columns else None
+        if sub is not None and pd.notna(sub) and str(sub):
+            safe_sub = str(sub).replace("/", "_").replace(":", "_")
+            path = os.path.join(dst_dir, f"{safe}_{safe_sub}_rgb.tif")
+        else:
+            sub = None
+            path = os.path.join(dst_dir, f"{safe}_rgb.tif")
         nbytes = write_geotiff(path, levels, epsg=g_epsg,
                                pixel_scale=scale, origin=origin,
                                dtype=dtype)
         return pd.DataFrame([{
-            "dataset": dataset, "n_bands": n_bands, "path": path,
+            "dataset": dataset, "subdataset": sub,
+            "n_bands": n_bands, "path": path,
             "n_levels": len(levels), "n_blocks": len(rows),
             "file_bytes": nbytes,
         }])
@@ -445,5 +460,5 @@ def assemble_cog_rgb_tables(blocks, dst_dir: str, epsg: int = 3857,
                          if "subdataset" in blocks.columns else [])
     return blocks.groupBy(*key).applyInPandas(
         write_group,
-        "dataset string, n_bands int, path string, n_levels int, "
-        "n_blocks long, file_bytes long")
+        "dataset string, subdataset string, n_bands int, path string, "
+        "n_levels int, n_blocks long, file_bytes long")

@@ -85,6 +85,23 @@ def _merc_xy_from_lonlat(lon: float, lat: float) -> tuple[float, float]:
             _R * math.log(math.tan(math.pi / 4 + math.radians(lat) / 2)))
 
 
+def _lonlat_bbox_projected(inv, x0, y0, x1, y1):
+    """Lon/lat bbox of a projected-CRS rectangle, sampled at the four
+    corners plus edge midpoints and center.  Under grid convergence
+    (UTM off the central meridian, Krovak, HOM...) the lon/lat
+    extremes need not sit on the diagonal corners, so a two-corner
+    bound under-covers and drops tiles the block intersects."""
+    xs = (x0, (x0 + x1) / 2.0, x1)
+    ys = (y0, (y0 + y1) / 2.0, y1)
+    lons, lats = [], []
+    for sx in xs:
+        for sy in ys:
+            lo, la = inv(sx, sy)
+            lons.append(lo)
+            lats.append(la)
+    return min(lons), min(lats), max(lons), max(lats)
+
+
 def warp_tile_array(tbx: int, tby: int, z: int, srid: int,
                     ox: float, oy: float, psx: float, psy: float,
                     blocks: list[tuple], nodata: float) -> np.ndarray:
@@ -184,12 +201,13 @@ def warp_blocks_to_mercator(blocks: DataFrame, georef: DataFrame,
                     inv = C.to_lonlat(srid)
                     if inv is None:
                         continue           # unwarpable CRS: drop+audit
-                    lo0, la0 = inv(x0, y0)
-                    lo1, la1 = inv(x1, y1)
-                    mx0, my0 = _merc_xy_from_lonlat(min(lo0, lo1),
-                                                    min(la0, la1))
-                    mx1, my1 = _merc_xy_from_lonlat(max(lo0, lo1),
-                                                    max(la0, la1))
+                    # one-pixel pad absorbs edge curvature between
+                    # the 3x3 sample points
+                    px, py = abs(r.pixel_sx), abs(r.pixel_sy)
+                    lo0, la0, lo1, la1 = _lonlat_bbox_projected(
+                        inv, x0 - px, y0 - py, x1 + px, y1 + py)
+                    mx0, my0 = _merc_xy_from_lonlat(lo0, la0)
+                    mx1, my1 = _merc_xy_from_lonlat(lo1, la1)
                 # inward epsilon (in tile units): a bbox edge exactly
                 # on a tile boundary must not pull in the empty
                 # neighbor, nor lose the boundary tile to float noise
@@ -274,8 +292,11 @@ def _tile_mins(blocks: DataFrame, georef: DataFrame,
                 y0 = y1 - r.height * abs(r.pixel_sy)
                 if srid == 4326:
                     mx0, my0 = _merc_xy_from_lonlat(x0, y0)
+                    # the minimum tile ROW comes from the bbox TOP
+                    _, my1 = _merc_xy_from_lonlat(x0, y1)
                 elif srid == 3857:
                     mx0, my0 = x0, y0
+                    my1 = y1
                 else:
                     from geohub_data_pipeline_spark.operators import (
                         crs as C,
@@ -283,19 +304,13 @@ def _tile_mins(blocks: DataFrame, georef: DataFrame,
                     inv = C.to_lonlat(srid)
                     if inv is None:
                         continue
-                    lo0, la0 = inv(x0, y0)
-                    lo1, la1 = inv(x1, y1)
-                    mx0, my0 = _merc_xy_from_lonlat(min(lo0, lo1),
-                                                    min(la0, la1))
-                # the minimum tile ROW comes from the bbox TOP corner
-                if srid == 4326:
-                    _, my1 = _merc_xy_from_lonlat(x0, y1)
-                elif srid == 3857:
-                    my1 = y1
-                else:
-                    my1 = max(
-                        _merc_xy_from_lonlat(lo0, la0)[1],
-                        _merc_xy_from_lonlat(lo1, la1)[1])
+                    # EXACT fan_out math (3x3 samples + 1-px pad) so
+                    # the minimum matches the warped tiles
+                    px, py = abs(r.pixel_sx), abs(r.pixel_sy)
+                    lo0, la0, lo1, la1 = _lonlat_bbox_projected(
+                        inv, x0 - px, y0 - py, x1 + px, y1 + py)
+                    mx0, my0 = _merc_xy_from_lonlat(lo0, la0)
+                    my1 = _merc_xy_from_lonlat(lo1, la1)[1]
                 eps = 1e-9
                 tbx0 = math.floor((mx0 + ORIGIN) / (BLOCK * p) + eps)
                 tby0 = math.floor((ORIGIN - my1) / (BLOCK * p) + eps)

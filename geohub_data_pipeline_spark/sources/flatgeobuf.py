@@ -693,7 +693,10 @@ def read_fgb_bytes(content: bytes, dataset: str):
     hdr = parse_fgb_header(content)
     cols = hdr["columns"]
     layer = hdr["name"]
-    srid = hdr["srid"] or 4326
+    # srid 0 + embedded WKT means "resolve via the crs_wkt path"
+    # (same convention as shapefile/.prj, GPKG, FileGDB readers);
+    # only a header with NEITHER code NOR WKT defaults to WGS84
+    srid = hdr["srid"] or (0 if hdr["crs_wkt"] else 4326)
     crs_wkt = hdr["crs_wkt"]
     pos = hdr["data_offset"]
     fid = 0
