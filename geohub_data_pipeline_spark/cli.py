@@ -87,11 +87,16 @@ def main(argv: list[str] | None = None) -> int:
                 ledger_dir=f"{base}/ledger",
                 checkpoint_dir=f"{base}/ckpt",
                 cancel_dir=f"{base}/cancel",
+                output_dir=f"{base}/datasets",
             )
             svc.run_available_now()
             ledger = svc.ledger()
             counts = {r["stage"]: r["count"] for r in
                       ledger.groupBy("stage").count().collect()}
+            arts = [r.content for r in
+                    ledger.filter("kind = 'artifact'").collect()]
+            for a in sorted(arts):
+                print(f"artifact: {a}")
             print(f"ledger rows: {ledger.count()}; stages: {counts}")
             return 0
 
@@ -332,32 +337,7 @@ def main(argv: list[str] | None = None) -> int:
 
         from geohub_data_pipeline_spark.operators import pmtiles as PMT
 
-        if args.src.lower().endswith((".zip", ".gz", ".tar", ".tgz",
-                                      ".7z")):
-            # archived vector source (ref wraps these in GDAL VSI
-            # paths, ingest/utils.py:23-32; here the stdlib expands
-            # members map-side and GeoJSON/GeoPackage/shapefile
-            # members parse to feature rows)
-            from geohub_data_pipeline_spark.sources.archive import (
-                features_from_archives,
-            )
-            feats = features_from_archives(spark, args.src)
-        elif args.src.lower().endswith(".gpkg"):
-            from geohub_data_pipeline_spark.sources.geopackage import (
-                features_from_gpkg,
-            )
-            feats = features_from_gpkg(spark, args.src)
-        elif args.src.lower().rstrip("/").endswith(".gdb"):
-            from geohub_data_pipeline_spark.sources.filegdb import (
-                features_from_gdb,
-            )
-            feats = features_from_gdb(spark, args.src)
-        elif args.src.lower().endswith(".fgb"):
-            from geohub_data_pipeline_spark.sources.flatgeobuf import (
-                features_from_fgb,
-            )
-            feats = features_from_fgb(spark, args.src)
-        elif args.src.lower().endswith(".mbtiles"):
+        if args.src.lower().endswith(".mbtiles"):
             # tile-level conversion: MBTiles -> PMTiles (no re-tiling;
             # the reference allowlists .mbtiles uploads)
             from geohub_data_pipeline_spark.operators.mbtiles import (
@@ -374,7 +354,11 @@ def main(argv: list[str] | None = None) -> int:
             print(f"converted {args.src} -> {len(manifest)} PMTiles")
             return 0
         else:
-            feats = spark.read.parquet(args.src)
+            # shared extension dispatch (processing.py): archives,
+            # .gpkg/.gdb/.fgb/.geojson/.shp, else feature parquet —
+            # the same reader path the streaming service runs (EP1)
+            from geohub_data_pipeline_spark import processing as PROC
+            feats = PROC.read_vector_features(spark, args.src)
         norm = G.normalize_features(feats)
         if "properties" in feats.columns:
             # attributes survive normalize via a fid join and ride

@@ -16,6 +16,18 @@ ref /root/reference/ingest/ingest.py:62-66) — in production the same
 reader class wraps the real queue SDK: ``partitions()`` maps to queue
 partitions, offsets to sequence numbers, and the streaming reader's
 (start, end) offsets give exactly-once replay from the checkpoint.
+
+**Spool mode** (``.option("spool", dir)``): instead of synthetic
+messages, the reader drains REAL message lines from JSON files
+dropped into ``dir`` (the same files the file-stream stand-in reads)
+and emits the service's MESSAGE_SCHEMA (msg_id, body, enqueued_ts).
+The offset is the count of message lines consumed over the
+name-sorted file list, so restarts replay exactly-once from the
+checkpoint and ``rate=1`` reproduces the reference's one-message-in-
+flight backpressure at the QUEUE level (ref ingest/ingest.py:51-54)
+rather than via file-source trigger limits.  Contract: spool files
+are append-only and later files sort after earlier ones (timestamped
+or sequence-numbered names), mirroring a queue's FIFO log.
 """
 
 from __future__ import annotations
@@ -71,6 +83,73 @@ class _BatchReader(DataSourceReader):
             yield _message(i)
 
 
+SPOOL_SCHEMA = StructType([
+    StructField("msg_id", LongType()),
+    StructField("body", StringType()),
+    StructField("enqueued_ts", StringType()),
+])
+
+
+def _spool_lines(spool: str) -> list[tuple]:
+    """Flatten the spool directory into (msg_id, body, enqueued_ts)
+    rows in stable (file-name, line) order; msg_id is the global line
+    index — the queue sequence number."""
+    import json
+    import os
+
+    rows: list[tuple] = []
+    try:
+        names = sorted(os.listdir(spool))
+    except OSError:
+        return rows
+    i = 0
+    for name in names:
+        path = os.path.join(spool, name)
+        if not os.path.isfile(path):
+            continue
+        try:
+            with open(path, encoding="utf-8") as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        d = json.loads(line)
+                        rows.append((int(d.get("msg_id", i)),
+                                     d.get("body", line),
+                                     d.get("enqueued_ts")))
+                    except (ValueError, TypeError):
+                        rows.append((i, line, None))
+                    i += 1
+        except OSError:
+            continue
+    return rows
+
+
+class _SpoolStreamReader(SimpleDataSourceStreamReader):
+    """Offset = number of message lines consumed across the sorted
+    spool; deterministic replay between offsets (exactly-once)."""
+
+    def __init__(self, options):
+        self.spool = options["spool"]
+        self.rate = int(options.get("rate", 1))
+
+    def initialOffset(self):
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lines = _spool_lines(self.spool)
+        lo = start["next"]
+        hi = min(lo + self.rate, len(lines))
+        if hi < lo:                        # files vanished: hold
+            hi = lo
+        return iter(lines[lo:hi]), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        lines = _spool_lines(self.spool)
+        return iter(lines[start["next"]:end["next"]])
+
+
 class _StreamReader(SimpleDataSourceStreamReader):
     """Offset-based streaming read: each micro-batch drains ``rate``
     messages; the offset is the next undelivered msg_id (the queue
@@ -98,14 +177,26 @@ class IngestQueueDataSource(DataSource):
         return "ingest_queue"
 
     def schema(self):
-        return SCHEMA
+        return SPOOL_SCHEMA if "spool" in self.options else SCHEMA
 
     def reader(self, schema):
         return _BatchReader(self.options)
 
     def simpleStreamReader(self, schema):
+        if "spool" in self.options:
+            return _SpoolStreamReader(self.options)
         return _StreamReader(self.options)
 
 
 def register(spark) -> None:
     spark.dataSource.register(IngestQueueDataSource)
+
+
+def spool_stream(spark, spool_dir: str, rate: int = 1):
+    """The service's default S1 source: real message lines from the
+    spool directory, ``rate`` per micro-batch (1 = the reference's
+    one-in-flight backpressure, ref ingest/ingest.py:51-54)."""
+    register(spark)
+    return (spark.readStream.format("ingest_queue")
+            .option("spool", spool_dir)
+            .option("rate", rate).load())

@@ -196,17 +196,52 @@ def _ledger_rows(routed: DataFrame, cancels: DataFrame | None,
     return out
 
 
+def _chop_url(url: str) -> str:
+    """Python-side ``chop_blob_url`` (ref ingest/utils.py:15-20):
+    scheme+host stripped, container-relative path kept.  ``file://``
+    URLs (the local stand-in for blob storage) keep their path,
+    relativized so the raw->datasets rewrite lands under the
+    service's output root."""
+    import re
+
+    if url.startswith("file://"):
+        return url[len("file://"):].lstrip("/")
+    return re.sub(r"^[a-z][a-z0-9+.-]*://[^/]+/", "", url)
+
+
 @dataclass
 class IngestService:
     """Checkpointed streaming ingest service.
 
     ``run_available_now`` drains the queue and exits — the reference's
-    'empty receive ends the loop' semantics (X1).
+    'empty receive ends the loop' semantics (X1).  The default source
+    is the ``ingest_queue`` data source in spool mode over
+    ``messages_dir`` with ``rate=1`` — real offset-based exactly-once
+    delivery with the reference's one-message-in-flight backpressure
+    (ref ingest/ingest.py:41-58).
+
+    By default each work message runs the REAL pipeline —
+    ``processing.process_geo_file``: probe -> normalize -> .fgb ->
+    tiles -> PMTiles for vectors, blocks -> warp -> COG for rasters
+    (the same stages the CLI chains; ref ingest/processing.py:555-826
+    called from ingest/ingest.py:210-270) — writing artifacts under
+    ``output_dir`` with the raw->datasets path rewrite, and the
+    progress chunks come from the real probe
+    (``layers + bands + subdatasets``, ref ingest/utils.py:87-123).
+    ``simulate=True`` keeps the routing/ledger machinery but skips
+    conversions (routing tests, dry runs, demo messages whose blobs
+    don't exist).
+
+    At-least-once + idempotent (X7/K10): a retried batch re-runs its
+    conversions, but artifact writes overwrite deterministic paths
+    and the ledger write dynamic-partition-overwrites only the
+    retried batch_id — the reference has the same posture (re-
+    delivered queue message re-uploads the same blobs,
+    ref ingest/ingest.py:159,184-187).
 
     ``source``: optional streaming DataFrame with MESSAGE_SCHEMA
-    columns, replacing the file-drop stand-in — e.g. the custom
-    ``ingest_queue`` data source (sources/queue_source.py) or a Kafka
-    topic projected to (msg_id, body, enqueued_ts).
+    columns, replacing the spool-queue default — e.g. a Kafka topic
+    projected to (msg_id, body, enqueued_ts).
     """
 
     spark: SparkSession
@@ -214,8 +249,10 @@ class IngestService:
     ledger_dir: str
     checkpoint_dir: str
     cancel_dir: str | None = None
-    n_chunks: int = 4
+    n_chunks: int = 4                  # simulate-mode chunk count only
     source: DataFrame | None = None
+    output_dir: str | None = None      # default: <ledger sibling>/datasets
+    simulate: bool = False
     # RocksDB state store by default: the service is the long-running
     # entry point, and at the 100 TB regime its stateful stages (dedup,
     # watchdog, windows) must hold state off-heap, sized by unique
@@ -231,9 +268,109 @@ class IngestService:
         except Exception:
             return None
 
+    def _out_dir(self) -> str:
+        import os
+
+        if self.output_dir:
+            return self.output_dir
+        return os.path.join(
+            os.path.dirname(self.ledger_dir.rstrip("/")), "datasets")
+
+    def _real_ledger(self, routed: DataFrame) -> DataFrame:
+        """T13 for real: per work message, run probe -> convert ->
+        write through ``processing.process_geo_file`` and derive the
+        ledger rows from the actual probe.  The driver loop is over
+        MESSAGES (bounded by the queue's rate, as the reference's
+        one-at-a-time receive); each conversion is a distributed
+        Spark job."""
+        import json
+        import os
+        import shutil
+
+        from geohub_data_pipeline_spark import processing as PROC
+
+        cancelled: set[str] = set()
+        cancels = self._cancels()
+        if cancels is not None:
+            cancelled = {r.url for r in cancels.filter(F.col("cancel"))
+                         .select("url").collect()}
+
+        msgs = routed.select("msg_id", "body", "blob_url", "route",
+                             "join_vector_tiles").collect()
+        rows: list[tuple] = []           # (dataset, kind, stage, progress, content)
+
+        def add(dataset, kind, stage, progress, content=None):
+            rows.append((dataset, kind, stage, progress, content))
+
+        for m in msgs:
+            dataset = _chop_url(m.blob_url) if m.blob_url \
+                else f"msg_{m.msg_id}"
+            if m.route == "dead_letter":
+                add(dataset, "error", None, None,
+                    f"dead-letter: unparseable message: {m.body}")
+                continue
+            if m.route == "complete_untouched":
+                add(dataset, "progress", "completed_untouched", 100)
+                continue
+            if m.blob_url in cancelled:
+                add(dataset, "progress", "Cancelled", 100)
+                continue
+            src = PROC.resolve_local_path(m.blob_url)
+            if src is None:
+                # download failure dead-letters (ref ingest.py:184-187)
+                add(dataset, "error", None, None,
+                    f"download failed: {m.blob_url}")
+                continue
+            # raw -> datasets rewrite names the output location
+            dst_rel = dataset.replace("/raw/", "/datasets/")
+            if m.route == "passthrough":
+                # K9 server-side copy, for real
+                dst = os.path.join(self._out_dir(), dst_rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.copyfile(src, dst)
+                add(dataset, "progress", "copied", 100, dst)
+                continue
+            add(dataset, "progress", "downloading", 0)
+            add(dataset, "progress", "downloaded", 30)
+            stem = dst_rel.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+            dst_dir = os.path.join(
+                self._out_dir(), os.path.dirname(dst_rel), stem)
+            try:
+                res = PROC.process_geo_file(
+                    self.spark, src, dst_dir,
+                    join_vector_tiles=bool(m.join_vector_tiles))
+            except Exception as exc:       # .error blob + dead-letter
+                add(dataset, "error", None, None,
+                    f"ingest error: {type(exc).__name__}: {exc}")
+                continue
+            n = max(len(res["chunks"]), 1)
+            # ref compute_progress: offset 30, per-chunk to 100
+            # (ingest/utils.py:79-84)
+            for i, ch in enumerate(res["chunks"], 1):
+                add(dataset, "progress",
+                    f"processing {ch['kind']} {ch['name']}",
+                    30 + (70 * i) // n)
+            for a in res["artifacts"]:
+                add(dataset, "artifact", None, None, a)
+            add(dataset, "progress", "processed", 100,
+                json.dumps(res["audits"], sort_keys=True))
+
+        schema = T.StructType([
+            T.StructField("dataset", T.StringType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("stage", T.StringType()),
+            T.StructField("progress", T.IntegerType()),
+            T.StructField("content", T.StringType()),
+        ])
+        return (self.spark.createDataFrame(rows, schema)
+                .withColumn("ts", F.current_timestamp()))
+
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         routed = route_messages(parse_messages(batch_df))
-        ledger = _ledger_rows(routed, self._cancels(), self.n_chunks)
+        if self.simulate:
+            ledger = _ledger_rows(routed, self._cancels(), self.n_chunks)
+        else:
+            ledger = self._real_ledger(routed)
         (
             # Idempotent under foreachBatch's at-least-once retries:
             # the write is partitioned by batch_id and dynamic
@@ -247,14 +384,7 @@ class IngestService:
             .parquet(self.ledger_dir)
         )
 
-    def run_available_now(self) -> None:
-        if self.use_rocksdb_state:
-            from geohub_data_pipeline_spark.streaming.stateful import (
-                enable_rocksdb_state,
-            )
-            enable_rocksdb_state(self.spark)
-        src = (self.source if self.source is not None
-               else message_stream(self.spark, self.messages_dir))
+    def _start_once(self, src: DataFrame):
         q = (
             src
             .writeStream
@@ -264,6 +394,34 @@ class IngestService:
             .start()
         )
         q.awaitTermination()
+        return q
+
+    def run_available_now(self, queue_rate: int = 32,
+                          max_rounds: int = 10_000) -> None:
+        if self.use_rocksdb_state:
+            from geohub_data_pipeline_spark.streaming.stateful import (
+                enable_rocksdb_state,
+            )
+            enable_rocksdb_state(self.spark)
+        if self.source is not None:
+            self._start_once(self.source)
+            return
+        from geohub_data_pipeline_spark.sources.queue_source import (
+            spool_stream,
+        )
+        # A Python SimpleDataSourceStreamReader executes ONE micro-
+        # batch per start under availableNow, so drain-then-exit is a
+        # receive loop that stops on an empty receive — exactly the
+        # reference's queue loop (ref ingest/ingest.py:50-58: poll,
+        # process, exit when receive_messages returns nothing).
+        for _ in range(max_rounds):
+            q = self._start_once(
+                spool_stream(self.spark, self.messages_dir,
+                             rate=queue_rate))
+            consumed = sum(int(p["numInputRows"])
+                           for p in (q.recentProgress or []))
+            if consumed == 0:
+                return
 
     def ledger(self) -> DataFrame:
         return self.spark.read.parquet(self.ledger_dir)

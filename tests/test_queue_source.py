@@ -69,6 +69,7 @@ def test_queue_source_feeds_ingest_service(spark, tmp_path):
         ledger_dir=f"{tmp_path}/ledger",
         checkpoint_dir=f"{tmp_path}/ckpt",
         source=msgs,
+        simulate=True,                     # synthetic URLs, no blobs
     )
     svc.run_available_now()
     ledger = svc.ledger()

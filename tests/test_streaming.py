@@ -33,6 +33,10 @@ URL = "https://acct.blob.core.windows.net/userdata/u1"
 
 @pytest.fixture()
 def service(spark, tmp_path):
+    """Routing/ledger-machinery fixture: ``simulate=True`` skips the
+    real conversions (the message URLs here are synthetic); the real
+    pipeline is exercised end-to-end by
+    ``test_service_real_pipeline_e2e``."""
     base = str(tmp_path)
     svc = IngestService(
         spark=spark,
@@ -41,6 +45,7 @@ def service(spark, tmp_path):
         checkpoint_dir=f"{base}/ckpt",
         cancel_dir=f"{base}/cancel",
         n_chunks=4,
+        simulate=True,
     )
     os.makedirs(svc.messages_dir, exist_ok=True)
     os.makedirs(svc.cancel_dir, exist_ok=True)
@@ -122,6 +127,110 @@ def test_ledger_write_idempotent_on_batch_retry(service, spark):
     assert sorted(map(tuple, final.filter("batch_id = 0")
                       .select("dataset", "stage", "progress")
                       .collect())) == once
+
+
+def test_service_real_pipeline_e2e(spark, tmp_path):
+    """T13 full (ref ingest/processing.py:555-826 via ingest.py:
+    210-270): dropping a .gpkg and a .tif message drives the REAL
+    probe -> normalize -> tile -> PMTiles / warp -> COG stages; the
+    ledger's chunk rows come from the actual probe
+    (layers + bands, ref ingest/utils.py:87-123), and valid artifacts
+    land under the raw->datasets rewrite of the blob path."""
+    import numpy as np
+
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.operators import pmtiles as PMT
+    from geohub_data_pipeline_spark.operators import rasterprobe as RP
+    from geohub_data_pipeline_spark.operators.cogwriter import (
+        _Level,
+        geotiff_bytes,
+    )
+    from geohub_data_pipeline_spark.sources import geopackage as GP
+
+    raw = tmp_path / "userdata" / "u1" / "raw"
+    raw.mkdir(parents=True)
+    GP.write_gpkg(str(raw / "sample.gpkg"), {
+        "points": [(1, G.wkb_point(12.5, 41.9)),
+                   (2, G.wkb_point(-3.7, 40.4))],
+        "zones": [(1, G.wkb_polygon([[(0.0, 0.0), (1.0, 0.0),
+                                      (1.0, 1.0), (0.0, 1.0),
+                                      (0.0, 0.0)]]))],
+    }, srid=4326)
+    arr = np.arange(48 * 64, dtype=np.float64).reshape(48, 64)
+    tile = np.zeros((256, 256))
+    tile[:48, :64] = arr
+    (raw / "scene.tif").write_bytes(geotiff_bytes(
+        [_Level(64, 48, {(0, 0): tile})], epsg=3857,
+        pixel_scale=(1000.0, 1000.0), origin=(-2000000.0, 4000000.0)))
+    (raw / "ready.pmtiles").write_bytes(b"PMTiles-passthrough-bytes")
+
+    base = str(tmp_path)
+    _write_msgs(f"{base}/msgs", "b1.json", [
+        {"msg_id": 1,
+         "body": f"file://{raw}/sample.gpkg;tok1;join_vector_tiles=false",
+         "enqueued_ts": "2024-01-01T00:00:00"},
+        {"msg_id": 2,
+         "body": f"file://{raw}/scene.tif;tok2;join_vector_tiles=false",
+         "enqueued_ts": "2024-01-01T00:00:01"},
+        {"msg_id": 3,
+         "body": f"file://{raw}/ready.pmtiles;tok3;join_vector_tiles=false",
+         "enqueued_ts": "2024-01-01T00:00:02"},
+    ])
+    svc = IngestService(
+        spark=spark,
+        messages_dir=f"{base}/msgs",
+        ledger_dir=f"{base}/ledger",
+        checkpoint_dir=f"{base}/ckpt",
+        output_dir=f"{base}/out",
+    )
+    svc.run_available_now(queue_rate=3)
+    ledger = svc.ledger().collect()
+    by_ds: dict = {}
+    for r in ledger:
+        by_ds.setdefault(r.dataset.rsplit("/", 1)[-1], []).append(r)
+
+    # probe-derived chunk rows: one per gpkg layer, one per tif band
+    g_stages = [r.stage for r in by_ds["sample.gpkg"]
+                if r.kind == "progress"]
+    assert "processing layer points" in g_stages
+    assert "processing layer zones" in g_stages
+    assert {"downloading", "downloaded", "processed"} <= set(g_stages)
+    g_prog = sorted(r.progress for r in by_ds["sample.gpkg"]
+                    if r.kind == "progress")
+    assert g_prog == [0, 30, 65, 100, 100]
+    t_stages = [r.stage for r in by_ds["scene.tif"]
+                if r.kind == "progress"]
+    assert "processing band band1" in t_stages
+
+    # real artifacts: .fgb + per-layer PMTiles for the vector,
+    # a valid COG for the raster — all under the datasets rewrite
+    arts = {r.dataset.rsplit("/", 1)[-1]: [] for r in ledger
+            if r.kind == "artifact"}
+    for r in ledger:
+        if r.kind == "artifact":
+            arts[r.dataset.rsplit("/", 1)[-1]].append(r.content)
+    g_arts = arts["sample.gpkg"]
+    fgbs = [a for a in g_arts if a.endswith(".fgb")]
+    pmts = [a for a in g_arts if a.endswith(".pmtiles")]
+    assert len(fgbs) == 2 and len(pmts) == 2      # per-layer mode
+    for p in g_arts:
+        assert os.path.exists(p) and "/datasets/" in p
+    names = {n for p in pmts for n in PMT.pmtiles_layer_names(p)}
+    assert names == {"points", "zones"}
+    cogs = [a for a in arts["scene.tif"] if a.endswith(".tif")]
+    assert len(cogs) == 1
+    with open(cogs[0], "rb") as f:
+        payload = f.read()
+    assert RP.validate_cog(payload)["valid"]
+    probe = RP.probe_geotiff(payload)
+    assert probe["width"] > 0 and probe["n_overviews"] >= 1
+
+    # K9 passthrough: the .pmtiles bytes were server-side copied
+    copied = [r.content for r in by_ds["ready.pmtiles"]
+              if r.stage == "copied"]
+    assert len(copied) == 1
+    with open(copied[0], "rb") as f:
+        assert f.read() == b"PMTiles-passthrough-bytes"
 
 
 def test_service_drain_and_restart_exactly_once(service):
