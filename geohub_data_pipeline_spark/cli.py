@@ -57,13 +57,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--no-warp", action="store_true",
                     help="skip the WebMercatorQuad warp (keep the "
                          "source grid; the reference always warps)")
-    ap.add_argument("--cog-dtype", default="f8",
-                    choices=["u1", "u2", "u4", "i1", "i2", "i4",
-                             "f4", "f8"],
-                    help="COG sample type (the reference preserves "
-                         "the source dtype; the block model is "
-                         "float64, so pick the source's type to "
-                         "avoid 8x inflation of integer rasters)")
+    ap.add_argument("--cog-dtype", default="auto",
+                    choices=["auto", "u1", "u2", "u4", "i1", "i2",
+                             "i4", "f4", "f8"],
+                    help="COG sample type; 'auto' (default) preserves "
+                         "the probed source dtype per dataset (as the "
+                         "reference does through rio-cogeo) and falls "
+                         "back to f8 for sources without a dtype "
+                         "probe; an explicit type forces it for all "
+                         "outputs")
     ap.add_argument("--rgb-composite", action="store_true",
                     help="write ONE chunky multiband COG per dataset "
                          "instead of one per band (T12 RGB rule; the "
@@ -255,6 +257,27 @@ def main(argv: list[str] | None = None) -> int:
             georef = georefs[0] if georefs else None
             for g in georefs[1:]:
                 georef = georef.unionByName(g)
+            # auto dtype: preserve the probed source sample type per
+            # dataset (ref keeps dtype via rio-cogeo's profile,
+            # ingest/config.py:92-101); explicit --cog-dtype forces
+            dtypes_df = None
+            if args.cog_dtype == "auto" and tif_probe_paths:
+                from geohub_data_pipeline_spark.sources import (
+                    geotiff as GTF,
+                )
+                parts_d = []
+                for pp in tif_probe_paths:
+                    try:
+                        parts_d.append(
+                            GTF.dtypes_from_geotiff(spark, pp))
+                    except Exception:
+                        continue
+                if parts_d:
+                    dtypes_df = parts_d[0]
+                    for d in parts_d[1:]:
+                        dtypes_df = dtypes_df.unionByName(d)
+            cog_dtype = ("f8" if args.cog_dtype == "auto"
+                         else args.cog_dtype)
             if georef is not None and not args.no_warp:
                 # T11 warp: the reference's cog_translate targets the
                 # WebMercatorQuad grid (ref processing.py:497-506)
@@ -285,21 +308,24 @@ def main(argv: list[str] | None = None) -> int:
             if args.rgb_composite:
                 manifest += W.assemble_cog_rgb_tables(
                     pyramid, f"{args.dst}/cog",
-                    georef=georef, dtype=args.cog_dtype).collect()
+                    georef=georef, dtype=cog_dtype,
+                    dtypes=dtypes_df).collect()
             elif rgb_datasets:
                 is_rgb = SF.col("dataset").isin(sorted(rgb_datasets))
                 manifest += W.assemble_cog_rgb_tables(
                     pyramid.filter(is_rgb), f"{args.dst}/cog",
-                    georef=georef, dtype=args.cog_dtype).collect()
+                    georef=georef, dtype=cog_dtype,
+                    dtypes=dtypes_df).collect()
                 rest = pyramid.filter(~is_rgb)
                 if rest.limit(1).count():
                     manifest += W.assemble_cog_tables(
                         rest, f"{args.dst}/cog",
-                        georef=georef, dtype=args.cog_dtype).collect()
+                        georef=georef, dtype=cog_dtype,
+                    dtypes=dtypes_df).collect()
             else:
                 manifest += W.assemble_cog_tables(
                     pyramid, f"{args.dst}/cog", georef=georef,
-                    dtype=args.cog_dtype).collect()
+                    dtype=cog_dtype, dtypes=dtypes_df).collect()
             for m in manifest:
                 with open(m.path, "rb") as f:
                     payload = f.read()

@@ -300,8 +300,45 @@ def blocks_to_levels(rows: Iterable, nodata: float = 0.0) -> list[_Level]:
     ]
 
 
+def _attach_sidecars(blocks, georef, dtypes):
+    """Broadcast-join the tiny per-dataset georef + dtype sidecars
+    onto the block stream (no shuffle added); missing sidecars become
+    typed NULL columns so the group kernel has one code path."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    if georef is not None:
+        blocks = blocks.join(
+            broadcast(georef.dropDuplicates(["dataset"])),
+            "dataset", "left")
+    else:
+        for c, t in (("origin_x", "double"), ("origin_y", "double"),
+                     ("pixel_sx", "double"), ("pixel_sy", "double"),
+                     ("georef_srid", "int")):
+            blocks = blocks.withColumn(c, F.lit(None).cast(t))
+    if dtypes is not None:
+        blocks = blocks.join(
+            broadcast(dtypes.dropDuplicates(["dataset"])
+                      .withColumnRenamed("dtype", "__dtype")),
+            "dataset", "left")
+    else:
+        blocks = blocks.withColumn("__dtype",
+                                   F.lit(None).cast("string"))
+    return blocks
+
+
+def _group_dtype(first, fallback: str) -> str:
+    """Per-group output sample type: the probed source dtype when the
+    sidecar carries one, else the caller's choice (the reference
+    preserves the source dtype, ref ingest/config.py:92-101)."""
+    dt = first.get("__dtype")
+    if isinstance(dt, str) and dt in _DTYPES:
+        return dt
+    return fallback
+
+
 def assemble_cog_tables(blocks, dst_dir: str, epsg: int = 3857,
-                        georef=None, dtype: str = "f8"):
+                        georef=None, dtype: str = "f8", dtypes=None):
     """Distributed COG assembly: one GeoTIFF per (dataset, band),
     written by the task holding that group; returns a manifest
     DataFrame (dataset, band, path, n_levels, n_blocks, file_bytes).
@@ -312,26 +349,18 @@ def assemble_cog_tables(blocks, dst_dir: str, epsg: int = 3857,
     the grid's real ModelPixelScale/ModelTiepoint/EPSG instead of the
     unit defaults (the reference preserves georeferencing through
     GDAL end to end, ref ingest/processing.py:469-552).
+
+    ``dtypes`` (optional): a per-dataset ``(dataset, dtype)`` sidecar
+    (e.g. ``sources/geotiff.dtypes_from_geotiff``) — when present, a
+    dataset's output preserves its probed source sample type and the
+    ``dtype`` argument is only the fallback.
     """
     import pandas as pd
-
-    from pyspark.sql import functions as F
-    from pyspark.sql.functions import broadcast
 
     from geohub_data_pipeline_spark.session import ship_package
 
     ship_package(blocks.sparkSession)
-    if georef is not None:
-        # per-dataset sidecar is tiny by construction: broadcast, no
-        # shuffle added to the block stream
-        blocks = blocks.join(
-            broadcast(georef.dropDuplicates(["dataset"])),
-            "dataset", "left")
-    else:
-        for c, t in (("origin_x", "double"), ("origin_y", "double"),
-                     ("pixel_sx", "double"), ("pixel_sy", "double"),
-                     ("georef_srid", "int")):
-            blocks = blocks.withColumn(c, F.lit(None).cast(t))
+    blocks = _attach_sidecars(blocks, georef, dtypes)
 
     def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
         dataset = pdf["dataset"].iloc[0]
@@ -350,7 +379,7 @@ def assemble_cog_tables(blocks, dst_dir: str, epsg: int = 3857,
         path = os.path.join(dst_dir, f"{safe}_band{band}.tif")
         nbytes = write_geotiff(path, levels, epsg=g_epsg,
                                pixel_scale=scale, origin=origin,
-                               dtype=dtype)
+                               dtype=_group_dtype(first, dtype))
         return pd.DataFrame([{
             "dataset": dataset, "band": band, "path": path,
             "n_levels": len(levels), "n_blocks": len(rows),
@@ -396,30 +425,21 @@ def blocks_to_levels_rgb(rows: Iterable, nodata: float = 0.0) -> list:
 
 
 def assemble_cog_rgb_tables(blocks, dst_dir: str, epsg: int = 3857,
-                            georef=None, dtype: str = "f8"):
+                            georef=None, dtype: str = "f8",
+                            dtypes=None):
     """T12 multiband assembly: ONE chunky-interleaved RGB COG per
     (dataset, subdataset), all bands together — the reference's
     ``dataset2cog`` without a ``bands`` list (ref processing.py:
-    727-739).  Same broadcast-georef plan as ``assemble_cog_tables``;
-    the only difference is the grouping key omits ``band``.
+    727-739).  Same broadcast georef/dtype sidecar plan as
+    ``assemble_cog_tables``; the only difference is the grouping key
+    omits ``band``.
     """
     import pandas as pd
-
-    from pyspark.sql import functions as F
-    from pyspark.sql.functions import broadcast
 
     from geohub_data_pipeline_spark.session import ship_package
 
     ship_package(blocks.sparkSession)
-    if georef is not None:
-        blocks = blocks.join(
-            broadcast(georef.dropDuplicates(["dataset"])),
-            "dataset", "left")
-    else:
-        for c, t in (("origin_x", "double"), ("origin_y", "double"),
-                     ("pixel_sx", "double"), ("pixel_sy", "double"),
-                     ("georef_srid", "int")):
-            blocks = blocks.withColumn(c, F.lit(None).cast(t))
+    blocks = _attach_sidecars(blocks, georef, dtypes)
 
     def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
         dataset = pdf["dataset"].iloc[0]
@@ -448,7 +468,7 @@ def assemble_cog_rgb_tables(blocks, dst_dir: str, epsg: int = 3857,
             path = os.path.join(dst_dir, f"{safe}_rgb.tif")
         nbytes = write_geotiff(path, levels, epsg=g_epsg,
                                pixel_scale=scale, origin=origin,
-                               dtype=dtype)
+                               dtype=_group_dtype(first, dtype))
         return pd.DataFrame([{
             "dataset": dataset, "subdataset": sub,
             "n_bands": n_bands, "path": path,

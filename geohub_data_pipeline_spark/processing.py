@@ -101,8 +101,9 @@ def read_vector_features(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_raster_source(spark: SparkSession, path: str):
-    """Extension-dispatched raster read -> (BLOCK rows, GEOREF rows or
-    None).  The OF_RASTER probe analog (S6, ref processing.py:681-687)."""
+    """Extension-dispatched raster read -> (BLOCK rows, GEOREF rows
+    or None, per-dataset dtype sidecar or None).  The OF_RASTER probe
+    analog (S6, ref processing.py:681-687)."""
     low = path.lower()
     if low.endswith(ARCHIVE_EXTS):
         from geohub_data_pipeline_spark.sources.archive import (
@@ -112,27 +113,28 @@ def read_raster_source(spark: SparkSession, path: str):
         )
         members = read_archives(spark, path)
         return (raster_blocks_from_members(members),
-                raster_georefs_from_members(members))
+                raster_georefs_from_members(members), None)
     if low.endswith((".tif", ".tiff", ".gtif", ".gtiff")):
         from geohub_data_pipeline_spark.sources import geotiff as GTF
         return (GTF.blocks_from_geotiff(spark, path),
-                GTF.georef_from_geotiff(spark, path))
+                GTF.georef_from_geotiff(spark, path),
+                GTF.dtypes_from_geotiff(spark, path))
     if low.endswith(".nc"):
         from geohub_data_pipeline_spark.sources import netcdf3 as NC
         return (NC.blocks_from_netcdf3(spark, path),
-                NC.georef_from_netcdf3(spark, path))
+                NC.georef_from_netcdf3(spark, path), None)
     if low.endswith((".nc4", ".h5", ".hdf5")):
         from geohub_data_pipeline_spark.sources import hdf5 as H5
         return (H5.blocks_from_netcdf4(spark, path),
-                H5.georef_from_netcdf4(spark, path))
+                H5.georef_from_netcdf4(spark, path), None)
     if low.endswith((".asc", ".grd", ".aig", ".sgr")):
         from geohub_data_pipeline_spark.sources import aaigrid as AG
         return (AG.blocks_from_aaigrid(spark, path),
-                AG.georef_from_aaigrid(spark, path))
+                AG.georef_from_aaigrid(spark, path), None)
     if low.endswith((".raw", ".bl")):
         from geohub_data_pipeline_spark.sources import erdasraw as ER
         return (ER.blocks_from_erdas(
-            spark, os.path.dirname(path) or "."), None)
+            spark, os.path.dirname(path) or "."), None, None)
     raise ValueError(f"no raster reader for {path}")
 
 
@@ -238,7 +240,7 @@ def process_raster(spark: SparkSession, src_path: str, dst_dir: str,
         rasterprobe as RP,
     )
 
-    blocks, georef = read_raster_source(spark, src_path)
+    blocks, georef, dtypes = read_raster_source(spark, src_path)
     chunks = probe_raster_chunks(blocks)
     if georef is not None and warp:
         from geohub_data_pipeline_spark.operators import warp as WP
@@ -246,7 +248,8 @@ def process_raster(spark: SparkSession, src_path: str, dst_dir: str,
     pyramid = R.overview_cascade(blocks, overview_levels)
     manifest = W.assemble_cog_tables(
         pyramid, f"{dst_dir}/cog", georef=georef,
-        dtype=dtype if dtype else "f8").collect()
+        dtype=dtype if dtype else "f8",
+        dtypes=dtypes if dtype is None else None).collect()
     audits = []
     for m in manifest:
         with open(m.path, "rb") as f:

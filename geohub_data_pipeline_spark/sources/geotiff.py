@@ -366,6 +366,43 @@ def blocks_from_geotiff(spark: SparkSession, path: str) -> DataFrame:
     return raw.mapInPandas(kernel, BLOCK_SCHEMA)
 
 
+def dtypes_from_geotiff(spark: SparkSession, path: str) -> DataFrame:
+    """Per-dataset source-dtype sidecar ``(dataset, dtype)`` read from
+    the TIFF header tags alone (SampleFormat x BitsPerSample — no
+    pixel decode).  Broadcast into COG assembly so the default output
+    PRESERVES the source sample type instead of widening to float64,
+    as the reference does through rio-cogeo's profile
+    (ref /root/reference/ingest/config.py:92-101)."""
+    from geohub_data_pipeline_spark.operators.rasterprobe import (
+        probe_geotiff,
+    )
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(spark)
+
+    codes = {(1, 8): "u1", (1, 16): "u2", (1, 32): "u4",
+             (2, 8): "i1", (2, 16): "i2", (2, 32): "i4",
+             (3, 32): "f4", (3, 64): "f8"}
+    raw = (spark.read.format("binaryFile").load(path)
+           .select("path", "content"))
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                dataset = os.path.basename(str(p).removeprefix("file:"))
+                try:
+                    d = probe_geotiff(bytes(content))
+                except (ValueError, struct.error, IndexError):
+                    continue
+                code = codes.get((int(d["sample_format"] or 1),
+                                  int(d["bits_per_sample"] or 8)))
+                if code:
+                    rows.append((dataset, code))
+            yield pd.DataFrame(rows, columns=["dataset", "dtype"])
+
+    return raw.mapInPandas(kernel, "dataset string, dtype string")
+
+
 def georef_from_geotiff(spark: SparkSession, path: str) -> DataFrame:
     """GEOREF sidecar rows (operators/raster.py schema) from the
     ModelPixelScale/ModelTiepoint tags."""

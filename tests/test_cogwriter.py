@@ -292,3 +292,48 @@ def test_dtype_preserving_output():
     d = read_geotiff(geotiff_bytes(
         [_Level(256, 256, {(0, 0): clip})], dtype="u1"))
     assert d["bands"][0].max() == 255 and d["bands"][0].min() == 0
+
+
+def test_dtype_autopreserved_roundtrip(spark, tmp_path):
+    """A u1 GeoTIFF in -> a u1 COG out with NO dtype flag: the probed
+    source sample type rides the per-dataset dtype sidecar into COG
+    assembly (the reference preserves dtype through rio-cogeo's
+    profile, ref ingest/config.py:92-101)."""
+    import numpy as np
+
+    from geohub_data_pipeline_spark import cli
+    from geohub_data_pipeline_spark.operators.cogwriter import (
+        _Level,
+        geotiff_bytes,
+    )
+    from geohub_data_pipeline_spark.operators.rasterprobe import (
+        probe_geotiff,
+        validate_cog,
+    )
+
+    h, w = 48, 64
+    arr = (np.arange(h * w, dtype=np.float64) % 251).reshape(h, w)
+    tile = np.zeros((256, 256))
+    tile[:h, :w] = arr
+    src = tmp_path / "u1src.tif"
+    src.write_bytes(geotiff_bytes(
+        [_Level(w, h, {(0, 0): tile})], epsg=3857,
+        pixel_scale=(500.0, 500.0), origin=(-1000000.0, 3000000.0),
+        dtype="u1"))
+    dst = tmp_path / "out"
+    assert cli.main(["--raster", str(src), "--dst", str(dst)]) == 0
+    cogs = list((dst / "cog").glob("*.tif"))
+    assert len(cogs) == 1
+    payload = cogs[0].read_bytes()
+    probe = probe_geotiff(payload)
+    # u1 preserved: unsigned-int sample format, 8 bits
+    assert (probe["sample_format"], probe["bits_per_sample"]) == (1, 8)
+    assert validate_cog(payload)["valid"]
+
+    # explicit override still wins
+    dst2 = tmp_path / "out2"
+    assert cli.main(["--raster", str(src), "--dst", str(dst2),
+                     "--cog-dtype", "f4"]) == 0
+    p2 = next((dst2 / "cog").glob("*.tif")).read_bytes()
+    probe2 = probe_geotiff(p2)
+    assert (probe2["sample_format"], probe2["bits_per_sample"]) == (3, 32)
