@@ -279,11 +279,92 @@ def _proper_crossing(a, b, c, d) -> tuple[float, float] | None:
     return None
 
 
+_NONADJ_MASKS: dict[tuple[int, int, int], "Any"] = {}
+
+
+def _nonadj_mask(n: int, i0: int, i1: int):
+    """Cached boolean mask excluding adjacent segment pairs (incl.
+    the seam pair) — they share an endpoint and never PROPERLY
+    cross.  Ring sizes repeat heavily within a batch."""
+    import numpy as np
+    key = (n, i0, i1)
+    m = _NONADJ_MASKS.get(key)
+    if m is None:
+        gap = np.abs(np.arange(i0, i1)[:, None]
+                     - np.arange(n)[None, :])
+        m = (gap >= 2) & (gap != n - 1)
+        if len(_NONADJ_MASKS) > 256:
+            _NONADJ_MASKS.clear()
+        _NONADJ_MASKS[key] = m
+    return m
+
+
+def _has_self_crossing_np(pts: list[tuple[float, float]],
+                          block: int = 512) -> bool:
+    """Vectorized 'does this closed ring properly self-cross at all?'
+    — the same t/u interior-crossing condition as
+    ``_proper_crossing`` rewritten division-free (sign tests on the
+    numerators against the denominator), evaluated for all
+    non-adjacent segment pairs with numpy broadcasting (row-blocked
+    to bound memory at O(block*n)).  Valid rings (the overwhelming
+    majority) answer in one pass instead of n^2/2 Python calls; the
+    exact first-crossing scan runs only when this says a crossing
+    exists.
+
+    Fast path: a ring whose turns all bend one way AND whose total
+    turning is one full revolution is convex, hence simple — one
+    O(n) pass, no pair matrix (a pentagram also turns one way but
+    winds twice, so the revolution check is required)."""
+    import numpy as np
+    P = np.asarray(pts, dtype=np.float64)
+    n = len(P) - 1
+    if n < 4:
+        return False                       # a triangle cannot
+    d = P[1:] - P[:-1]                     # n closed-ring segments
+    # convexity fast path
+    d2 = np.vstack([d, d[:1]])             # seam turn wraps around
+    cross = d2[:-1, 0] * d2[1:, 1] - d2[:-1, 1] * d2[1:, 0]
+    if (cross >= 0).all() or (cross <= 0).all():
+        dot = (d2[:-1] * d2[1:]).sum(axis=1)
+        turning = np.arctan2(cross, dot).sum()
+        if abs(abs(turning) - 2 * np.pi) < 1e-9:
+            return False
+    A = P[:-1]
+    for i0 in range(0, n, block):
+        i1 = min(i0 + block, n)
+        di = d[i0:i1]
+        Ai = A[i0:i1]
+        den = di[:, 0][:, None] * d[:, 1][None, :] \
+            - di[:, 1][:, None] * d[:, 0][None, :]
+        dx = A[None, :, 0] - Ai[:, None, 0]        # A_j - A_i
+        dy = A[None, :, 1] - Ai[:, None, 1]
+        tnum = dx * d[None, :, 1] - dy * d[None, :, 0]
+        unum = dx * di[:, None, 1] - dy * di[:, None, 0]
+        # t = tnum/den in (0,1) and u = unum/den in (0,1), without
+        # dividing: numerators strictly between 0 and den, matching
+        # den's sign (den == 0 fails both branches)
+        pos = den > 0
+        ok = np.where(pos, (tnum > 0) & (tnum < den),
+                      (tnum < 0) & (tnum > den))
+        ok &= np.where(pos, (unum > 0) & (unum < den),
+                       (unum < 0) & (unum > den))
+        ok &= _nonadj_mask(n, i0, i1)
+        if ok.any():
+            return True
+    return False
+
+
 def _first_self_crossing(pts: list[tuple[float, float]]
                          ) -> tuple[int, int, tuple[float, float]] | None:
     """First proper crossing between non-adjacent segments of a
-    closed ring (O(n^2) — rings are small after simplification)."""
+    closed ring (O(n^2) — rings are small after simplification).  A
+    vectorized any-crossing pre-check short-circuits the common valid
+    case; the Python scan below only runs to LOCATE a crossing the
+    pre-check already proved exists (identical pair order, so the
+    split point is unchanged)."""
     n = len(pts) - 1                       # closed: last == first
+    if n >= 8 and not _has_self_crossing_np(pts):
+        return None
     for i in range(n):
         for j in range(i + 2, n):
             if i == 0 and j == n - 1:
@@ -820,6 +901,142 @@ def _rewrite_coords(buf: bytes, new_coords: list[float]) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# Vectorized kernels for the T7 stage: numpy-batched coordinate
+# extraction / reprojection / rewrite (the same treatment the raster
+# warp's TM path got — per-vertex Python here was the vector path's
+# 100 TB bottleneck)
+# ---------------------------------------------------------------------------
+
+def _coord_runs(buf: bytes):
+    """One structure walk -> (base_type, [(byte_offset, n_points),
+    ...]) for a little-endian 2D WKB, or None for malformed input
+    (the -skipfailures contract).  The runs index every coordinate
+    double in the blob, so extraction and rewrite become
+    ``np.frombuffer`` / byte-slice ops instead of per-vertex
+    ``struct`` calls."""
+    try:
+        runs: list[tuple[int, int]] = []
+
+        def walk(off: int) -> int:
+            if buf[off] != 1:              # big-endian unsupported here
+                raise ValueError
+            gtype = struct.unpack_from("<I", buf, off + 1)[0] % 1000
+            off += 5
+            if gtype == POINT:
+                runs.append((off, 1))
+                return off + 16
+            if gtype == LINESTRING:
+                n = struct.unpack_from("<I", buf, off)[0]
+                off += 4
+                runs.append((off, n))
+                return off + 16 * n
+            if gtype == POLYGON:
+                nr = struct.unpack_from("<I", buf, off)[0]
+                off += 4
+                for _ in range(nr):
+                    n = struct.unpack_from("<I", buf, off)[0]
+                    off += 4
+                    runs.append((off, n))
+                    off += 16 * n
+                return off
+            if gtype in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON):
+                ng = struct.unpack_from("<I", buf, off)[0]
+                off += 4
+                for _ in range(ng):
+                    off = walk(off)
+                return off
+            raise ValueError
+
+        base = struct.unpack_from("<I", buf, 1)[0] % 1000
+        end = walk(0)
+        if end > len(buf):
+            raise ValueError
+        return base, runs
+    except (ValueError, struct.error, IndexError):
+        return None
+
+
+def _extract_coords_np(buf: bytes, runs) -> "Any":
+    """All coordinate pairs of a WKB blob as an (N, 2) float64 array
+    (zero-copy views per run)."""
+    import numpy as np
+    if len(runs) == 1:
+        off, n = runs[0]
+        return np.frombuffer(buf, dtype="<f8", count=2 * n,
+                             offset=off).reshape(n, 2)
+    return np.concatenate([
+        np.frombuffer(buf, dtype="<f8", count=2 * n,
+                      offset=off).reshape(n, 2)
+        for off, n in runs])
+
+
+def _rewrite_runs(buf: bytes, runs, arr) -> bytes:
+    """Splice reprojected coordinates back into the blob — one byte-
+    slice assignment per run (structure unchanged by reprojection)."""
+    import numpy as np
+    out = bytearray(buf)
+    i = 0
+    for off, n in runs:
+        out[off:off + 16 * n] = np.ascontiguousarray(
+            arr[i:i + n], dtype="<f8").tobytes()
+        i += n
+    return bytes(out)
+
+
+def _reproject_array(arr, src_srid: int, crs_wkt: str | None):
+    """(N, 2) projected -> (N, 2) lon/lat, vectorized where the CRS
+    family allows (spherical Mercator, TM/UTM via
+    ``crs.to_lonlat_np``); identical fallback ladder to the scalar
+    ``_reproject_coords`` (table CRS -> embedded WKT -> pyproj gate)
+    so the drop/audit semantics are unchanged."""
+    import numpy as np
+    if src_srid == 4326:
+        return arr
+    if src_srid == 3857:
+        lon = np.degrees(arr[:, 0] / _R)
+        lat = np.degrees(2.0 * np.arctan(np.exp(arr[:, 1] / _R))
+                         - np.pi / 2.0)
+        return np.column_stack([lon, lat])
+    from geohub_data_pipeline_spark.operators import crs as _crs
+    if src_srid > 0:
+        inv_np = _crs.to_lonlat_np(src_srid)
+        if inv_np is not None:             # vectorized TM families
+            lon, lat = inv_np(arr[:, 0], arr[:, 1])
+            return np.column_stack([lon, lat])
+        native = _crs.to_lonlat(src_srid)
+        if native is not None:             # other closed forms: scalar
+            out = np.empty_like(arr)
+            for i in range(arr.shape[0]):
+                out[i] = native(float(arr[i, 0]), float(arr[i, 1]))
+            return out
+    if crs_wkt:
+        inv = _wkt_inverse(crs_wkt)
+        if inv is not None:
+            out = np.empty_like(arr)
+            for i in range(arr.shape[0]):
+                out[i] = inv(float(arr[i, 0]), float(arr[i, 1]))
+            return out
+    try:  # remaining CRS: optional pyproj path (array-capable)
+        from pyproj import Transformer  # noqa: PLC0415
+    except ImportError as exc:
+        raise NotImplementedError(
+            f"reproject from EPSG:{src_srid} needs pyproj (not "
+            "installed); supported natively: 4326 (no-op), 3857 "
+            "(spherical Mercator), UTM 326xx/327xx/258xx, the "
+            "TM/LCC/LAEA/Albers parameter table, and any embedded "
+            "WKT1 CRS in the closed-form families "
+            "(operators/crs_wkt.py)"
+        ) from exc
+    if src_srid <= 0:
+        raise NotImplementedError(
+            "reproject: no EPSG code and the embedded WKT is outside "
+            "the closed-form families")
+    tr = Transformer.from_crs(src_srid, 4326, always_xy=True)
+    lon, lat = tr.transform(arr[:, 0], arr[:, 1])
+    return np.column_stack([lon, lat])
+
+
+# ---------------------------------------------------------------------------
 # The T7 stage as a mapInPandas operator
 # ---------------------------------------------------------------------------
 
@@ -839,8 +1056,15 @@ def normalize_features(features: DataFrame,
     SRS behaviour (ref ingest/processing.py:142-150).
 
     Scale: pure ``mapInPandas`` — map-side, Arrow-batched, no shuffle;
-    100 TB of features = a scan.
+    100 TB of features = a scan.  Within each Arrow batch the
+    coordinate work is numpy-batched: one structure walk per blob
+    indexes the coordinate runs, all vertices of all rows sharing a
+    (srid, crs_wkt) are reprojected in ONE vectorized call, and the
+    reprojected doubles are spliced back with byte-slice writes — no
+    per-vertex Python in the hot path.
     """
+    import numpy as np
+
     from geohub_data_pipeline_spark.session import ship_package
     ship_package(features.sparkSession)
     has_wkt = "crs_wkt" in features.columns
@@ -849,7 +1073,10 @@ def normalize_features(features: DataFrame,
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
+            # phase 1: per-row structure walk + coord extraction;
+            # bucket rows by (srid, crs_wkt) for batch reprojection
+            items = []                     # parallel per-row lists
+            buckets: dict[tuple, list[int]] = {}
             for row in pdf[in_cols].itertuples(index=False, name=None):
                 dataset, layer, fid, wkb, srid = row[:5]
                 crs_wkt = row[5] if has_wkt else None
@@ -860,22 +1087,50 @@ def normalize_features(features: DataFrame,
                 srid = int(srid)
                 if wkb is None:
                     continue                       # -skipfailures
-                parsed = parse_wkb(bytes(wkb))
-                if parsed is None or not parsed["coords"]:
-                    continue                       # -skipfailures
                 buf = bytes(wkb)
+                walked = _coord_runs(buf)
+                if walked is None:
+                    continue                       # -skipfailures
+                base, runs = walked
+                if not any(n for _, n in runs):
+                    continue                       # empty geometry
+                arr = _extract_coords_np(buf, runs)
+                idx = len(items)
+                items.append([dataset, layer, int(fid), buf, base,
+                              runs, arr])
                 if should_reproject(srid, dst_srid):
-                    try:
-                        new_coords = _reproject_coords(parsed["coords"],
-                                                       srid, crs_wkt)
-                    except NotImplementedError:
-                        continue                   # unsupported CRS: drop+audit
-                    buf = _rewrite_coords(buf, new_coords)
-                    parsed = parse_wkb(buf)
+                    buckets.setdefault((srid, crs_wkt), []).append(idx)
+
+            # phase 2: ONE vectorized reprojection per CRS bucket
+            dropped: set[int] = set()
+            for (srid, crs_wkt), idxs in buckets.items():
+                arrs = [items[i][6] for i in idxs]
+                try:
+                    flat = _reproject_array(
+                        np.concatenate(arrs) if len(arrs) > 1
+                        else arrs[0], srid, crs_wkt)
+                except NotImplementedError:
+                    dropped.update(idxs)   # unsupported CRS: drop+audit
+                    continue
+                pos = 0
+                for i, a in zip(idxs, arrs):
+                    n = a.shape[0]
+                    new = flat[pos:pos + n]
+                    pos += n
+                    items[i][3] = _rewrite_runs(items[i][3],
+                                                items[i][5], new)
+                    items[i][6] = new
+
+            # phase 3: promote / makevalid / bbox per surviving row
+            rows = []
+            for i, (dataset, layer, fid, buf, base, runs, arr) \
+                    in enumerate(items):
+                if i in dropped:
+                    continue
                 buf = promote_to_multi(buf)
-                parsed_m = parse_wkb(buf)
+                mtype = _PROMOTE.get(base, base)
                 invalid = False
-                if parsed_m["type"] == MULTIPOLYGON:
+                if mtype == MULTIPOLYGON:
                     # -makevalid (lite): bowtie split / vertex dedupe /
                     # rewinding happen in-row; only unrepairable
                     # geometries keep the flag for quarantine.
@@ -883,10 +1138,16 @@ def normalize_features(features: DataFrame,
                     if buf2 != buf:
                         buf = buf2
                         parsed_m = parse_wkb(buf)
-                minx, miny, maxx, maxy = bbox_of(parsed_m)
-                rows.append((dataset, layer, int(fid), buf,
-                             parsed_m["type"], dst_srid,
-                             minx, miny, maxx, maxy, invalid))
+                        minx, miny, maxx, maxy = bbox_of(parsed_m)
+                        rows.append((dataset, layer, fid, buf,
+                                     parsed_m["type"], dst_srid,
+                                     minx, miny, maxx, maxy, invalid))
+                        continue
+                mins = arr.min(axis=0)
+                maxs = arr.max(axis=0)
+                rows.append((dataset, layer, fid, buf, mtype,
+                             dst_srid, float(mins[0]), float(mins[1]),
+                             float(maxs[0]), float(maxs[1]), invalid))
             yield pd.DataFrame(rows, columns=[
                 "dataset", "layer", "fid", "geometry", "geom_type", "srid",
                 "bbox_minx", "bbox_miny", "bbox_maxx", "bbox_maxy",
