@@ -694,7 +694,16 @@ def merc_2sp_k0(ellps, lat_ts: float) -> float:
 # Borneo, Alaska zone 1.  Projection center maps exactly to (fe, fn).
 # ---------------------------------------------------------------------------
 
-def _make_homvb(ellps, lat_c, lon_c, alpha_c, gamma_c, k_c, fe, fn):
+def _make_homvb(ellps, lat_c, lon_c, alpha_c, gamma_c, k_c, fe, fn,
+                natural_origin: bool = False):
+    """Hotine Oblique Mercator.  Default is variant B (EPSG 9815,
+    azimuth/projection center: FE/FN apply at the projection
+    center via the ``uc`` shift along the initial line).
+    ``natural_origin=True`` is variant A (EPSG 9812, the GDAL
+    'Hotine_Oblique_Mercator' / ESRI
+    'Hotine_Oblique_Mercator_Azimuth_Natural_Origin' form): identical
+    construction but FE/FN apply at the natural origin (u=0, v=0), so
+    the ``uc`` shift is omitted."""
     a, f = ellps
     e2 = f * (2 - f)
     e = math.sqrt(e2)
@@ -725,6 +734,8 @@ def _make_homvb(ellps, lat_c, lon_c, alpha_c, gamma_c, k_c, fe, fn):
     else:
         uc = ((A / B) * math.atan2(math.sqrt(max(D * D - 1.0, 0.0)),
                                    math.cos(alpha)) * sgn)
+    if natural_origin:
+        uc = 0.0                           # variant A: FE/FN at u=v=0
 
     def fwd(lon: float, lat: float) -> tuple[float, float]:
         phi = math.radians(lat)

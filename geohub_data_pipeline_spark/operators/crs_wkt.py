@@ -9,9 +9,10 @@ parses the OGC 01-009 / ESRI WKT1 text and instantiates the matching
 closed-form projection family from ``operators/crs.py`` — so ANY
 Transverse Mercator / Lambert Conformal Conic (1SP+2SP) / Albers /
 Lambert Azimuthal / Polar Stereographic (A+B) / Mercator (1SP, 2SP,
-auxiliary-sphere) / Hotine Oblique Mercator variant B / Oblique
-Stereographic / Krovak CRS reprojects from its WKT, not just the
-EPSG codes in the built-in table.
+auxiliary-sphere) / Hotine Oblique Mercator (variant A natural-origin
+AND variant B azimuth-center) / Oblique Stereographic / Krovak CRS
+reprojects from its WKT, not just the EPSG codes in the built-in
+table.
 
 Handled per the WKT1 spec:
 
@@ -352,13 +353,26 @@ def _build_projected(proj_name: str, params: dict, ellps, ang: float,
 
     if nm in ("hotineobliquemercatorazimuthcenter",
               "hotineobliquemercatortwopointcenter",
-              "obliquemercator", "hotineobliquemercator",
+              "obliquemercator",
               "swissobliquecylindrical", "swissobliquemercator",
               "rectifiedskeworthomorphiccenter"):
         azi = angle(("azimuth", "azimuth_of_initial_line"), 90.0)
         gam = angle(("rectified_grid_angle", "angle_from_rectified_"
                      "to_skew_grid", "xy_plane_rotation"), azi)
         return _make_homvb(ellps, lat0, lon0, azi, gam, k0, fe, fn)
+
+    if nm in ("hotineobliquemercator",          # GDAL name, EPSG 9812
+              "hotineobliquemercatorvarianta",
+              "hotineobliquemercatorazimuthnaturalorigin",  # ESRI
+              "rectifiedskeworthomorphicnaturalorigin"):
+        # variant A: same construction, FE/FN at the NATURAL ORIGIN
+        # (u=v=0) instead of the projection center — the common ESRI
+        # .prj export (e.g. NAD83 Michigan Oblique Mercator)
+        azi = angle(("azimuth", "azimuth_of_initial_line"), 90.0)
+        gam = angle(("rectified_grid_angle", "angle_from_rectified_"
+                     "to_skew_grid", "xy_plane_rotation"), azi)
+        return _make_homvb(ellps, lat0, lon0, azi, gam, k0, fe, fn,
+                           natural_origin=True)
 
     if nm in ("obliquestereographic", "doublestereographic",
               "stereographic"):

@@ -1599,31 +1599,34 @@ def erdas_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The reference resolves ANY source SRS from the dataset's embedded
 # WKT via GDAL/PROJ (ref ingest/processing.py:142-150); the engine's
-# equivalent is operators/crs_wkt.py.  Five WKT-only CRSs (no usable
+# equivalent is operators/crs_wkt.py.  Six WKT-only CRSs (no usable
 # EPSG code in the text, as with real ESRI .prj files) rotate by
 # doc_id: ESRI TM, LCC-2SP in US survey feet, polar stereographic
 # variant A, Hotine oblique Mercator variant B, oblique
-# stereographic.  The oracle is the input formula, so a broken parse,
+# stereographic, Hotine oblique Mercator variant A (natural
+# origin, the GDAL 9812 / common ESRI export).  The oracle is the input formula, so a broken parse,
 # family dispatch, unit factor, or datum path all surface as value
 # mismatches; absolute accuracy is pinned by the IOGP worked
 # examples in tests/test_crs_wkt.py.
 _CRS_WKT_SQL = """
 SELECT doc_id,
-       CASE doc_id % 5 WHEN 0 THEN 'tm' WHEN 1 THEN 'lcc_ftus'
+       CASE doc_id % 6 WHEN 0 THEN 'tm' WHEN 1 THEN 'lcc_ftus'
             WHEN 2 THEN 'ps_a' WHEN 3 THEN 'homvb'
-            ELSE 'sterea' END AS family,
-       round(CASE doc_id % 5
+            WHEN 4 THEN 'sterea' ELSE 'homva' END AS family,
+       round(CASE doc_id % 6
             WHEN 0 THEN 9.0 + (doc_id % 60) * 0.2
             WHEN 1 THEN -75.0 + (doc_id % 30) * 0.1
             WHEN 2 THEN -180.0 + (doc_id % 120) * 3.0
             WHEN 3 THEN 6.0 + (doc_id % 44) * 0.1
-            ELSE 3.5 + (doc_id % 36) * 0.1 END, 4) AS lon_rt,
-       round(CASE doc_id % 5
+            WHEN 4 THEN 3.5 + (doc_id % 36) * 0.1
+            ELSE -90.0 + (doc_id % 80) * 0.1 END, 4) AS lon_rt,
+       round(CASE doc_id % 6
             WHEN 0 THEN 30.0 + ((doc_id * 3) % 80) * 0.5
             WHEN 1 THEN 40.0 + ((doc_id * 3) % 20) * 0.1
             WHEN 2 THEN 75.0 + ((doc_id * 3) % 13) * 1.0
             WHEN 3 THEN 45.9 + ((doc_id * 3) % 19) * 0.1
-            ELSE 50.8 + ((doc_id * 3) % 27) * 0.1 END, 4) AS lat_rt
+            WHEN 4 THEN 50.8 + ((doc_id * 3) % 27) * 0.1
+            ELSE 42.0 + ((doc_id * 3) % 55) * 0.1 END, 4) AS lat_rt
 FROM documents
 ORDER BY doc_id
 """
@@ -1687,9 +1690,24 @@ _WKT_BANK = [
     'PARAMETER["scale_factor",0.9999079],'
     'PARAMETER["false_easting",155000],'
     'PARAMETER["false_northing",463000],UNIT["metre",1]]',
+    # Hotine oblique Mercator variant A / natural origin
+    # (== EPSG:3078 NAD83 Michigan Oblique Mercator; GDAL exports
+    # EPSG method 9812 as PROJECTION["Hotine_Oblique_Mercator"])
+    'PROJCS["NAD83 / Michigan Oblique Mercator",GEOGCS["NAD83",'
+    'DATUM["North_American_Datum_1983",'
+    'SPHEROID["GRS 1980",6378137,298.257222101]],'
+    'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+    'PROJECTION["Hotine_Oblique_Mercator"],'
+    'PARAMETER["latitude_of_center",45.30916666666666],'
+    'PARAMETER["longitude_of_center",-86],'
+    'PARAMETER["azimuth",337.25556],'
+    'PARAMETER["rectified_grid_angle",337.25556],'
+    'PARAMETER["scale_factor",0.9996],'
+    'PARAMETER["false_easting",2546731.496],'
+    'PARAMETER["false_northing",-4354009.816],UNIT["metre",1]]',
 ]
 
-_WKT_FAMILY = ["tm", "lcc_ftus", "ps_a", "homvb", "sterea"]
+_WKT_FAMILY = ["tm", "lcc_ftus", "ps_a", "homvb", "sterea", "homva"]
 
 
 @query("crs_wkt_roundtrip", "pipeline",
@@ -1699,11 +1717,13 @@ _WKT_FAMILY = ["tm", "lcc_ftus", "ps_a", "homvb", "sterea"]
        "(ref ingest/processing.py:142-150 resolves any SRS via PROJ)",
        _CRS_WKT_SQL)
 def crs_wkt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Forward+inverse through five WKT-defined CRSs with no usable
+    """Forward+inverse through six WKT-defined CRSs with no usable
     EPSG code (the ESRI .prj situation): TM, ftUS LCC (unit factor
     both ways), UPS-style variant-A polar stereographic, Swiss HOM-B
     (translation datum shift), Dutch RD oblique stereographic
-    (7-parameter rotation shift).  The oracle is the input formula.
+    (7-parameter rotation shift), Michigan HOM variant A
+    (natural-origin false offsets).  The oracle is the input
+    formula.
 
     Scale: stateless per-row math in an Arrow-batched kernel — a
     scan, no shuffle; the five transform pairs are built once per
@@ -1725,6 +1745,7 @@ def crs_wkt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda d: -180.0 + (d % 120) * 3.0,
         lambda d: 6.0 + (d % 44) * 0.1,
         lambda d: 3.5 + (d % 36) * 0.1,
+        lambda d: -90.0 + (d % 80) * 0.1,
     ]
     lat_of = [
         lambda d: 30.0 + ((d * 3) % 80) * 0.5,
@@ -1732,6 +1753,7 @@ def crs_wkt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda d: 75.0 + ((d * 3) % 13) * 1.0,
         lambda d: 45.9 + ((d * 3) % 19) * 0.1,
         lambda d: 50.8 + ((d * 3) % 27) * 0.1,
+        lambda d: 42.0 + ((d * 3) % 55) * 0.1,
     ]
 
     def rt(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1740,7 +1762,7 @@ def crs_wkt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                k = did % 5
+                k = did % 6
                 lon, lat = lon_of[k](did), lat_of[k](did)
                 fwd, inv = pairs[k]
                 lon2, lat2 = inv(*fwd(lon, lat))

@@ -476,3 +476,74 @@ def test_esri_prj_datum_name_fallback():
     # an unknown datum name still parses (no shift applied)
     unk = esri.replace("D_OSGB_1936", "D_Something_Else")
     assert W.pair_from_wkt(unk) is not None
+
+
+MICHIGAN_HOM_A = (
+    'PROJCS["NAD83 / Michigan Oblique Mercator",GEOGCS["NAD83",'
+    'DATUM["North_American_Datum_1983",'
+    'SPHEROID["GRS 1980",6378137,298.257222101]],'
+    'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+    'PROJECTION["Hotine_Oblique_Mercator"],'
+    'PARAMETER["latitude_of_center",45.30916666666666],'
+    'PARAMETER["longitude_of_center",-86],'
+    'PARAMETER["azimuth",337.25556],'
+    'PARAMETER["rectified_grid_angle",337.25556],'
+    'PARAMETER["scale_factor",0.9996],'
+    'PARAMETER["false_easting",2546731.496],'
+    'PARAMETER["false_northing",-4354009.816],UNIT["metre",1]]')
+
+
+def test_hotine_variant_a_natural_origin():
+    """HOM variant A (EPSG 9812, GDAL 'Hotine_Oblique_Mercator' /
+    ESRI '..._Azimuth_Natural_Origin'): the Michigan Oblique Mercator
+    .prj resolves and round-trips, and its outputs differ from the
+    same-parameter variant B by EXACTLY the constant uc shift rotated
+    into grid axes — the defining relation between EPSG 9812 and
+    9815 (GN7-2: variant B subtracts u_c along the initial line)."""
+    import math
+
+    from geohub_data_pipeline_spark.operators import crs_wkt as CW
+
+    pair = CW.pair_from_wkt(MICHIGAN_HOM_A)
+    assert pair is not None, "variant A fell through to the gate"
+    fwd, inv = pair
+
+    # round-trip across Michigan
+    for lon, lat in [(-86.0, 45.3), (-84.5, 42.3), (-88.0, 47.1),
+                     (-83.0, 44.0)]:
+        x, y = fwd(lon, lat)
+        lon2, lat2 = inv(x, y)
+        assert abs(lon2 - lon) < 1e-9 and abs(lat2 - lat) < 1e-9
+
+    # variant B twin: same parameters, azimuth-center form
+    wkt_b = MICHIGAN_HOM_A.replace(
+        'PROJECTION["Hotine_Oblique_Mercator"]',
+        'PROJECTION["Hotine_Oblique_Mercator_Azimuth_Center"]')
+    fwd_b, _ = CW.pair_from_wkt(wkt_b)
+    gamma = math.radians(337.25556)
+    offs = []
+    for lon, lat in [(-86.0, 45.3), (-84.5, 42.3), (-88.0, 47.1)]:
+        xa, ya = fwd(lon, lat)
+        xb, yb = fwd_b(lon, lat)
+        offs.append((xa - xb, ya - yb))
+    # constant offset across all points...
+    for dx, dy in offs[1:]:
+        assert abs(dx - offs[0][0]) < 1e-6
+        assert abs(dy - offs[0][1]) < 1e-6
+    # ...aligned with the initial-line direction: (sin g, cos g) * uc
+    dx, dy = offs[0]
+    uc = math.hypot(dx, dy)
+    assert uc > 1000.0                     # Michigan's u_c is ~5,000 km
+    assert abs(dx - uc * math.copysign(1, dx) *
+               abs(math.sin(gamma))) < 1e-6 * uc + 1e-6
+    assert abs(dy - uc * math.copysign(1, dy) *
+               abs(math.cos(gamma))) < 1e-6 * uc + 1e-6
+
+    # ESRI natural-origin alias resolves to the same transform
+    wkt_esri = MICHIGAN_HOM_A.replace(
+        'PROJECTION["Hotine_Oblique_Mercator"]',
+        'PROJECTION["Hotine_Oblique_Mercator_Azimuth_Natural_Origin"]')
+    fwd_e, _ = CW.pair_from_wkt(wkt_esri)
+    xa, ya = fwd(-84.5, 42.3)
+    xe, ye = fwd_e(-84.5, 42.3)
+    assert xa == xe and ya == ye
