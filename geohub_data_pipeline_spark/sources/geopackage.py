@@ -207,11 +207,41 @@ def features_from_gpkg(spark: SparkSession, path: str) -> DataFrame:
     return raw.mapInPandas(kernel, FEATURE_SCHEMA)
 
 
+def _norm_props(p) -> dict:
+    """Feature properties as a dict: accepts the reader's JSON string
+    form, a dict, or None."""
+    import json
+
+    if p is None:
+        return {}
+    if isinstance(p, str):
+        try:
+            d = json.loads(p)
+            return d if isinstance(d, dict) else {}
+        except ValueError:
+            return {}
+    return p if isinstance(p, dict) else {}
+
+
+def _sqlite_type(v) -> str:
+    if isinstance(v, bool) or isinstance(v, int):
+        return "INTEGER"
+    if isinstance(v, float):
+        return "REAL"
+    return "TEXT"
+
+
 def write_gpkg(path: str, layers: dict[str, list[tuple]],
                srid: int = 4326,
                srs_definition: str | None = None) -> None:
     """Minimal spec-conformant GeoPackage writer (fixtures + sinks):
-    ``layers`` maps layer name -> [(fid, wkb bytes), ...]."""
+    ``layers`` maps layer name -> [(fid, wkb bytes), ...] or
+    [(fid, wkb, properties), ...] where ``properties`` is a dict or
+    the reader's JSON string — attribute values become TYPED columns
+    (INTEGER/REAL/TEXT, widened on conflict) so a GPKG write->read
+    round-trip preserves fields, matching the attribute carry-through
+    of the reference's ogr2ogr path (ref ingest/processing.py:
+    138-159, ``-preserve_fid`` + default field copy)."""
     con = sqlite3.connect(path)
     try:
         con.execute("PRAGMA application_id = 0x47504B47")  # 'GPKG'
@@ -237,9 +267,29 @@ def write_gpkg(path: str, layers: dict[str, list[tuple]],
             "NOT NULL, srs_id INTEGER NOT NULL, z TINYINT NOT NULL, "
             "m TINYINT NOT NULL, PRIMARY KEY (table_name, column_name))")
         for layer, feats in layers.items():
+            # attribute schema: union of property keys, types widened
+            # on conflict (INTEGER+REAL -> REAL, else TEXT)
+            props_of = [_norm_props(f[2]) if len(f) > 2 else {}
+                        for f in feats]
+            cols: dict[str, str] = {}
+            for pr in props_of:
+                for k, v in pr.items():
+                    if v is None or k in ("fid", "geom"):
+                        continue
+                    t = _sqlite_type(v)
+                    prev = cols.get(k)
+                    if prev is None or prev == t:
+                        cols[k] = t
+                    elif {prev, t} == {"INTEGER", "REAL"}:
+                        cols[k] = "REAL"
+                    else:
+                        cols[k] = "TEXT"
+            col_names = sorted(cols)
+            attr_ddl = "".join(
+                f", {_q(c)} {cols[c]}" for c in col_names)
             con.execute(
-                f'CREATE TABLE "{layer}" (fid INTEGER PRIMARY KEY, '
-                "geom BLOB)")
+                f"CREATE TABLE {_q(layer)} (fid INTEGER PRIMARY KEY, "
+                f"geom BLOB{attr_ddl})")
             con.execute(
                 "INSERT INTO gpkg_contents (table_name, data_type, "
                 "identifier, srs_id) VALUES (?, 'features', ?, ?)",
@@ -247,13 +297,20 @@ def write_gpkg(path: str, layers: dict[str, list[tuple]],
             con.execute(
                 "INSERT INTO gpkg_geometry_columns VALUES "
                 "(?, 'geom', 'GEOMETRY', ?, 0, 0)", (layer, srid))
-            for fid, wkb in feats:
+            marks = ", ".join(["?", "?"] + ["?"] * len(col_names))
+            for f, pr in zip(feats, props_of):
+                fid, wkb = f[0], f[1]
                 blob = None
                 if wkb is not None:
                     blob = (b"GP\x00\x01"          # version 0, LE, no env
                             + struct.pack("<i", srid) + wkb)
+                vals = [pr.get(c) for c in col_names]
+                vals = [str(v) if cols.get(c) == "TEXT"
+                        and v is not None else v
+                        for c, v in zip(col_names, vals)]
                 con.execute(
-                    f'INSERT INTO "{layer}" VALUES (?, ?)', (fid, blob))
+                    f"INSERT INTO {_q(layer)} VALUES ({marks})",
+                    (fid, blob, *vals))
         con.commit()
     finally:
         con.close()

@@ -88,3 +88,38 @@ def test_zipped_gpkg_member(spark, tmp_path):
         {("points", 1), ("points", 2), ("points", 7), ("zones", 1)}
     assert all(r.srid == 3857 for r in feats)
     assert all(r.dataset == "bundle.zip" for r in feats)
+
+
+def test_write_gpkg_preserves_attributes(tmp_path):
+    """GPKG write->read round-trip carries typed attribute columns —
+    the reference's ogr2ogr path copies fields by default (ref
+    ingest/processing.py:138-159); a sink that drops the properties
+    bag would lose them."""
+    import json
+
+    p = str(tmp_path / "attrs.gpkg")
+    GP.write_gpkg(p, {
+        "cities": [
+            (1, G.wkb_point(12.5, 41.9),
+             {"name": "roma", "pop": 2873000, "area_km2": 1285.3}),
+            (2, G.wkb_point(-3.7, 40.4),
+             json.dumps({"name": "madrid", "pop": 3223000})),
+            (3, G.wkb_point(2.35, 48.85), None),   # no attributes
+        ],
+        # legacy 2-tuple form still writes
+        "plain": [(1, G.wkb_point(0.0, 0.0))],
+    }, srid=4326)
+
+    rows = list(GP.read_gpkg_bytes(open(p, "rb").read(), "attrs.gpkg",
+                                   with_props=True))
+    by_layer_fid = {(r[1], r[2]): r for r in rows}
+    roma = json.loads(by_layer_fid[("cities", 1)][5])
+    assert roma == {"name": "roma", "pop": 2873000,
+                    "area_km2": 1285.3}
+    madrid = json.loads(by_layer_fid[("cities", 2)][5])
+    assert madrid == {"name": "madrid", "pop": 3223000}
+    assert by_layer_fid[("cities", 3)][5] is None
+    assert by_layer_fid[("plain", 1)][5] is None
+    # int stays int, float stays float through SQLite typing
+    assert isinstance(roma["pop"], int)
+    assert isinstance(roma["area_km2"], float)
