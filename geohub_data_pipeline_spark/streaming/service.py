@@ -253,6 +253,11 @@ class IngestService:
     source: DataFrame | None = None
     output_dir: str | None = None      # default: <ledger sibling>/datasets
     simulate: bool = False
+    # X4 hard per-message timeout (ref INGEST_TIMEOUT=3600,
+    # ingest/ingest.py:35,126-152): a conversion exceeding this gets
+    # its Spark job group cancelled, a timeout error row (the
+    # ``.timeout`` marker analog), and a 'Cancelled' stage row.
+    ingest_timeout: float = 3600.0
     # RocksDB state store by default: the service is the long-running
     # entry point, and at the 100 TB regime its stateful stages (dedup,
     # watchdog, windows) must hold state off-heap, sized by unique
@@ -336,9 +341,17 @@ class IngestService:
             dst_dir = os.path.join(
                 self._out_dir(), os.path.dirname(dst_rel), stem)
             try:
-                res = PROC.process_geo_file(
-                    self.spark, src, dst_dir,
-                    join_vector_tiles=bool(m.join_vector_tiles))
+                res = self._convert_with_timeout(
+                    src, dst_dir, bool(m.join_vector_tiles), dataset)
+            except TimeoutError:
+                # .timeout marker + Cancelled stage + metadata, as
+                # the reference's asyncio.wait timeout branch
+                # (ref ingest/ingest.py:131-152)
+                add(dataset, "error", None, None,
+                    f"timeout: conversion exceeded "
+                    f"{self.ingest_timeout:.0f}s")
+                add(dataset, "progress", "Cancelled", 100)
+                continue
             except Exception as exc:       # .error blob + dead-letter
                 add(dataset, "error", None, None,
                     f"ingest error: {type(exc).__name__}: {exc}")
@@ -364,6 +377,49 @@ class IngestService:
         ])
         return (self.spark.createDataFrame(rows, schema)
                 .withColumn("ts", F.current_timestamp()))
+
+    def _convert_with_timeout(self, src: str, dst_dir: str,
+                              join_tiles: bool, dataset: str):
+        """Run one message's conversion under the X4 watchdog: the
+        work executes in a helper thread whose Spark jobs share a
+        cancellable job group (``interruptOnCancel``), so a hung
+        stage dies with the timeout instead of leaking executors —
+        the Spark form of the reference's cooperative-cancel
+        callbacks (ref ingest/processing.py:446-466)."""
+        import concurrent.futures
+
+        from geohub_data_pipeline_spark import processing as PROC
+
+        sc = self.spark.sparkContext
+        group = f"ingest:{dataset}"
+
+        def run():
+            # job-group properties are thread-local, so only THIS
+            # message's jobs join the cancellable group
+            sc.setJobGroup(group, f"ingest {dataset}",
+                           interruptOnCancel=True)
+            try:
+                return PROC.process_geo_file(
+                    self.spark, src, dst_dir,
+                    join_vector_tiles=join_tiles)
+            finally:
+                sc.setJobGroup("", "")
+
+        pool = concurrent.futures.ThreadPoolExecutor(1)
+        fut = pool.submit(run)
+        try:
+            res = fut.result(timeout=self.ingest_timeout)
+            pool.shutdown(wait=True)
+            return res
+        except concurrent.futures.TimeoutError:
+            sc.cancelJobGroup(group)          # interrupts running jobs
+            # don't block the service on the dying thread: the group
+            # cancel unwinds it; the next message proceeds now
+            pool.shutdown(wait=False)
+            raise TimeoutError from None
+        except BaseException:
+            pool.shutdown(wait=False)
+            raise
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         routed = route_messages(parse_messages(batch_df))

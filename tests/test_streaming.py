@@ -233,6 +233,45 @@ def test_service_real_pipeline_e2e(spark, tmp_path):
         assert f.read() == b"PMTiles-passthrough-bytes"
 
 
+def test_service_ingest_timeout_watchdog(spark, tmp_path, monkeypatch):
+    """X4 (ref INGEST_TIMEOUT, ingest/ingest.py:35,126-152): a
+    conversion exceeding the per-message budget yields a timeout
+    error row + 'Cancelled' stage, and the service moves on."""
+    import time as _time
+
+    from geohub_data_pipeline_spark import processing as PROC
+
+    raw = tmp_path / "u" / "raw"
+    raw.mkdir(parents=True)
+    (raw / "slow.gpkg").write_bytes(b"not really a gpkg")
+
+    def hang(*a, **kw):
+        _time.sleep(90)
+
+    monkeypatch.setattr(PROC, "process_geo_file", hang)
+    svc = IngestService(
+        spark=spark,
+        messages_dir=f"{tmp_path}/msgs",
+        ledger_dir=f"{tmp_path}/ledger",
+        checkpoint_dir=f"{tmp_path}/ckpt",
+        output_dir=f"{tmp_path}/out",
+        ingest_timeout=1.5,
+    )
+    _write_msgs(svc.messages_dir, "b.json", [
+        {"msg_id": 1, "body": f"file://{raw}/slow.gpkg;t;"
+                              "join_vector_tiles=false",
+         "enqueued_ts": "2024-01-01T00:00:00"},
+    ])
+    t0 = _time.time()
+    svc.run_available_now()
+    assert _time.time() - t0 < 60          # did not wait out the hang
+    rows = svc.ledger().collect()
+    stages = {r.stage for r in rows if r.stage}
+    assert "Cancelled" in stages
+    errs = [r.content for r in rows if r.kind == "error"]
+    assert any("timeout" in (e or "") for e in errs)
+
+
 def test_service_drain_and_restart_exactly_once(service):
     """X1 drain semantics + K10 checkpoint: re-running after a restart
     must not duplicate ledger rows; new files are picked up."""
