@@ -20,7 +20,10 @@ closed-form from the published formulas:
   equal-area conic, Snyder 1987 §14), 3978 (Canada Atlas Lambert),
   26985 (NAD83 Maryland state-plane LCC), 3413/3031 (polar
   stereographic variant B, Snyder §21), 5514 (S-JTSK Krovak East
-  North, IOGP GN7-2 §3.6 incl. the 3-param datum shift).
+  North, IOGP GN7-2 §3.6 incl. the 3-param datum shift), 6933/3410
+  (NSIDC EASE-Grid 2.0/1.0, Lambert cylindrical equal-area EPSG
+  9835 / Snyder §10), ESRI 54009/54034 (World Mollweide / World
+  Cylindrical Equal Area).
 
 Everything is plain ``math`` on (lon, lat) pairs — usable inside
 Arrow-batched kernels with zero dependencies.  Datum handling: the
@@ -785,6 +788,85 @@ def _make_homvb(ellps, lat_c, lon_c, alpha_c, gamma_c, k_c, fe, fn,
 # Cylindrical / Plate Carree (EPSG 1028/1029, Snyder §12).
 # ---------------------------------------------------------------------------
 
+def _make_cea(ellps, lat_ts, lon0, fe, fn):
+    """Lambert Cylindrical Equal Area (EPSG method 9835; Snyder 1987
+    §10, ellipsoidal form via authalic latitude) — the EASE-Grid
+    family most snow/ice/soil-moisture EO rasters arrive in
+    (EPSG:6933 EASE-Grid 2.0 global, EPSG:3410 EASE-Grid 1.0 on its
+    sphere) plus ESRI World_Cylindrical_Equal_Area.
+
+    ``f == 0`` degenerates exactly to the spherical form
+    (q -> 2 sin(phi), qp -> 2, authalic series -> identity)."""
+    a, f = ellps
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+    phi1 = math.radians(lat_ts)
+
+    def q_of(phi):
+        if e == 0:
+            return 2.0 * math.sin(phi)
+        s = math.sin(phi)
+        return (1 - e2) * (s / (1 - e2 * s * s)
+                           - (1 / (2 * e)) * math.log(
+                               (1 - e * s) / (1 + e * s)))
+
+    qp = q_of(math.pi / 2)
+    k0 = math.cos(phi1) / math.sqrt(1 - e2 * math.sin(phi1) ** 2)
+
+    def fwd(lon: float, lat: float) -> tuple[float, float]:
+        lam = math.radians(lon - lon0)
+        return (fe + a * k0 * lam,
+                fn + a * q_of(math.radians(lat)) / (2 * k0))
+
+    def inv(e_crd: float, n_crd: float) -> tuple[float, float]:
+        qv = 2 * (n_crd - fn) * k0 / a
+        beta = math.asin(max(-1.0, min(1.0, qv / qp)))
+        phi = _beta_to_phi(beta, e2)
+        lam = (e_crd - fe) / (a * k0)
+        return lon0 + math.degrees(lam), math.degrees(phi)
+
+    return fwd, inv
+
+
+def _make_moll(ellps, lon0, fe, fn):
+    """Mollweide (Snyder 1987 §31) — spherical formulas on the
+    semi-major axis, which is what PROJ's ``+proj=moll`` and ESRI's
+    World_Mollweide (ESRI:54009 on WGS84) compute; the auxiliary
+    angle solves ``2t + sin 2t = pi sin(phi)`` by Newton."""
+    R = ellps[0]
+    SQ2 = math.sqrt(2.0)
+
+    def fwd(lon: float, lat: float) -> tuple[float, float]:
+        phi = math.radians(lat)
+        lam = math.radians(lon - lon0)
+        if abs(phi) >= math.pi / 2 - 1e-12:
+            th = math.copysign(math.pi / 2, phi)
+        else:
+            th = phi
+            target = math.pi * math.sin(phi)
+            for _ in range(50):
+                den = 2.0 + 2.0 * math.cos(2.0 * th)
+                if den < 1e-14:
+                    break
+                d = (2.0 * th + math.sin(2.0 * th) - target) / den
+                th -= d
+                if abs(d) < 1e-14:
+                    break
+        return (fe + R * (2.0 * SQ2 / math.pi) * lam * math.cos(th),
+                fn + R * SQ2 * math.sin(th))
+
+    def inv(e_crd: float, n_crd: float) -> tuple[float, float]:
+        th = math.asin(max(-1.0, min(1.0, (n_crd - fn) / (R * SQ2))))
+        phi = math.asin(max(-1.0, min(
+            1.0, (2.0 * th + math.sin(2.0 * th)) / math.pi)))
+        c = math.cos(th)
+        lam = 0.0 if abs(c) < 1e-12 else \
+            (e_crd - fe) * math.pi / (2.0 * R * SQ2 * c)
+        return lon0 + math.degrees(lam), math.degrees(phi)
+
+    return fwd, inv
+
+
 def _make_sinu(ellps, lon0, fe, fn):
     a, f = ellps
     e2 = f * (2 - f)
@@ -1096,6 +1178,19 @@ def _with_datum(fwd, inv, ellps, params):
 
 # srid -> (family, ellipsoid, params dict, helmert-to-datum or None)
 _CRS_TABLE: dict[int, tuple] = {
+    # --- round-5 additions: the EASE-Grid / global equal-area family --
+    # WGS 84 / NSIDC EASE-Grid 2.0 Global (EPSG registry: Lambert
+    # Cylindrical Equal Area, lat_ts 30N)
+    6933: ("cea", _WGS84,
+           dict(lat_ts=30.0, lon0=0.0, fe=0.0, fn=0.0), None),
+    # NSIDC EASE-Grid 1.0 Global (authalic sphere R=6371228)
+    3410: ("cea", (6371228.0, 0.0),
+           dict(lat_ts=30.0, lon0=0.0, fe=0.0, fn=0.0), None),
+    # ESRI:54034 World Cylindrical Equal Area (WGS84, lat_ts 0)
+    54034: ("cea", _WGS84,
+            dict(lat_ts=0.0, lon0=0.0, fe=0.0, fn=0.0), None),
+    # ESRI:54009 World Mollweide (WGS84; spherical formulas on a)
+    54009: ("moll", _WGS84, dict(lon0=0.0, fe=0.0, fn=0.0), None),
     # OSGB36 / British National Grid (EPSG registry: TM, Airy 1830)
     27700: ("tm", _AIRY1830,
             dict(lat0=49.0, lon0=-2.0, k0=0.9996012717,
@@ -1163,7 +1258,7 @@ _FAMILIES = {"tm": _make_tm, "lcc2": _make_lcc2,
              "ps": _make_ps, "krovak": _make_krovak,
              "merc": _make_merc, "homvb": _make_homvb,
              "sterea": _make_sterea, "sinu": _make_sinu,
-             "eqc": _make_eqc}
+             "eqc": _make_eqc, "cea": _make_cea, "moll": _make_moll}
 
 _PAIR_CACHE: dict[int, tuple] = {}
 

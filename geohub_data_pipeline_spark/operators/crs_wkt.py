@@ -382,6 +382,15 @@ def _build_projected(proj_name: str, params: dict, ellps, ang: float,
         from geohub_data_pipeline_spark.operators.crs import _make_sinu
         return _make_sinu(ellps, lon0, fe, fn)
 
+    if nm in ("cylindricalequalarea", "lambertcylindricalequalarea",
+              "lambertcylindricalequalareaspherical", "behrmann"):
+        from geohub_data_pipeline_spark.operators.crs import _make_cea
+        return _make_cea(ellps, angle(_SP1, 0.0), lon0, fe, fn)
+
+    if nm == "mollweide":
+        from geohub_data_pipeline_spark.operators.crs import _make_moll
+        return _make_moll(ellps, lon0, fe, fn)
+
     if nm in ("equirectangular", "equidistantcylindrical",
               "platecarree", "plate_carree"):
         from geohub_data_pipeline_spark.operators.crs import _make_eqc

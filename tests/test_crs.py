@@ -374,3 +374,129 @@ def test_mga_south_zones():
 def test_new_codes_in_supported_srids():
     for srid in (29902, 29903, 3413, 3031, 5514, 26985, 3577):
         assert srid in C.supported_srids()
+
+
+def test_cea_ease_grid_2():
+    """Lambert Cylindrical Equal Area (EPSG 9835) — EPSG:6933
+    EASE-Grid 2.0 Global.  Checks: exact round-trip, the published
+    grid constants (full-earth extent: x = pi*a*cos(30)/sqrt(1-e2
+    sin2 30) at lon 180 -> +-17,367,530.45 m, the EASE-Grid 2.0
+    documented bound), and the equal-area property (area scale == 1
+    everywhere, sampled numerically)."""
+    import math
+
+    from geohub_data_pipeline_spark.operators import crs as C
+
+    fwd, inv = C.from_lonlat(6933), C.to_lonlat(6933)
+    # documented EASE-Grid 2.0 global extent (NSIDC: +-17367530.45)
+    x180, _ = fwd(180.0, 0.0)
+    assert abs(x180 - 17367530.45) < 1.0
+    # round-trip
+    for lon, lat in [(0, 0), (100.25, 45.5), (-77.1, -33.3),
+                     (179.9, 84.0), (-180.0, -84.0)]:
+        lon2, lat2 = inv(*fwd(lon, lat))
+        # authalic series (Snyder 3-18, truncated at e^6): ~1e-8 deg
+        assert abs(lon2 - lon) < 1e-9 and abs(lat2 - lat) < 1e-7
+    # equal-area: |J| == a^2 (1-e2 sin^2) cos(phi) ... simpler check:
+    # numeric area of a small patch equals its ellipsoidal area
+    a, f = 6378137.0, 1 / 298.257223563
+    e2 = f * (2 - f)
+    for lon, lat in [(10.0, 0.0), (10.0, 45.0), (10.0, 70.0)]:
+        d = 1e-4
+        xa, _ = fwd(lon - d, lat)
+        xb, _ = fwd(lon + d, lat)
+        _, ya = fwd(lon, lat - d)
+        _, yb = fwd(lon, lat + d)
+        planar = abs((xb - xa) * (yb - ya)) / 4.0
+        phi = math.radians(lat)
+        # ellipsoidal patch area: M * N * cos(phi) * dlam * dphi
+        M = a * (1 - e2) / (1 - e2 * math.sin(phi) ** 2) ** 1.5
+        N = a / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+        true = (M * N * math.cos(phi)
+                * math.radians(d) * math.radians(d))
+        assert abs(planar / true - 1.0) < 1e-7, (lat, planar / true)
+
+
+def test_cea_ease_grid_1_sphere():
+    """EPSG:3410 EASE-Grid 1.0 Global: spherical degenerate case of
+    the 9835 formulas (R=6371228, lat_ts=30)."""
+    import math
+
+    from geohub_data_pipeline_spark.operators import crs as C
+
+    fwd, inv = C.from_lonlat(3410), C.to_lonlat(3410)
+    R, lat_ts = 6371228.0, 30.0
+    # spherical CEA closed form: x = R lam cos(lat_ts),
+    # y = R sin(phi)/cos(lat_ts)
+    for lon, lat in [(25.0, 10.0), (-140.0, -55.0)]:
+        x, y = fwd(lon, lat)
+        k = math.cos(math.radians(lat_ts))
+        assert abs(x - R * math.radians(lon) * k) < 1e-6
+        assert abs(y - R * math.sin(math.radians(lat)) / k) < 1e-6
+        lon2, lat2 = inv(x, y)
+        assert abs(lon2 - lon) < 1e-9 and abs(lat2 - lat) < 1e-9
+
+
+def test_mollweide_snyder_example():
+    """Mollweide — Snyder 1987 §31 numerical example (p. 367):
+    sphere R=1, lon0=-90, point (lon=-75, lat=50) ->
+    (x=0.1788845, y=0.9208758).  Plus round-trip and the defining
+    global constants (equator half-width 2*sqrt(2)R, pole y =
+    sqrt(2)R)."""
+    import math
+
+    from geohub_data_pipeline_spark.operators.crs import _make_moll
+
+    fwd, inv = _make_moll((1.0, 0.0), -90.0, 0.0, 0.0)
+    x, y = fwd(-75.0, 50.0)
+    assert abs(x - 0.1788845) < 1e-6
+    assert abs(y - 0.9208758) < 1e-6
+    lon2, lat2 = inv(x, y)
+    assert abs(lon2 + 75.0) < 1e-6 and abs(lat2 - 50.0) < 1e-6
+
+    from geohub_data_pipeline_spark.operators import crs as C
+    fwd9, inv9 = C.from_lonlat(54009), C.to_lonlat(54009)
+    R = 6378137.0
+    x, y = fwd9(180.0, 0.0)
+    assert abs(x - 2.0 * math.sqrt(2.0) * R) < 1e-3
+    _, ypole = fwd9(0.0, 90.0)
+    assert abs(ypole - math.sqrt(2.0) * R) < 1e-3
+    for lon, lat in [(33.3, 12.5), (-120.0, -66.6)]:
+        lon2, lat2 = inv9(*fwd9(lon, lat))
+        assert abs(lon2 - lon) < 1e-8 and abs(lat2 - lat) < 1e-8
+
+
+def test_cea_moll_from_wkt():
+    """The WKT resolver dispatches Cylindrical_Equal_Area and
+    Mollweide method names (ESRI 54034/54009-style .prj)."""
+    from geohub_data_pipeline_spark.operators import crs as C
+    from geohub_data_pipeline_spark.operators import crs_wkt as CW
+
+    wkt_cea = (
+        'PROJCS["WGS 84 / NSIDC EASE-Grid 2.0 Global",GEOGCS["WGS 84",'
+        'DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],'
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Cylindrical_Equal_Area"],'
+        'PARAMETER["standard_parallel_1",30],'
+        'PARAMETER["central_meridian",0],'
+        'PARAMETER["false_easting",0],'
+        'PARAMETER["false_northing",0],UNIT["metre",1]]')
+    fwd_w, _ = CW.pair_from_wkt(wkt_cea)
+    xw, yw = fwd_w(100.25, 45.5)
+    xt, yt = C.from_lonlat(6933)(100.25, 45.5)
+    # sub-um agreement (the WKT path derives 1/f from the parsed
+    # inverse flattening, a 1-ulp different ellipsoid)
+    assert abs(xw - xt) < 1e-6 and abs(yw - yt) < 1e-6
+
+    wkt_moll = (
+        'PROJCS["World_Mollweide",GEOGCS["GCS_WGS_1984",'
+        'DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,'
+        '298.257223563]],PRIMEM["Greenwich",0.0],'
+        'UNIT["Degree",0.0174532925199433]],'
+        'PROJECTION["Mollweide"],PARAMETER["False_Easting",0.0],'
+        'PARAMETER["False_Northing",0.0],'
+        'PARAMETER["Central_Meridian",0.0],UNIT["Meter",1.0]]')
+    fwd_m, _ = CW.pair_from_wkt(wkt_moll)
+    xm, ym = fwd_m(33.3, 12.5)
+    xt, yt = C.from_lonlat(54009)(33.3, 12.5)
+    assert abs(xm - xt) < 1e-6 and abs(ym - yt) < 1e-6
