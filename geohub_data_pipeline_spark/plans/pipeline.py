@@ -960,6 +960,67 @@ def crs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         rt, "doc_id long, srid int, lon_rt double, lat_rt double")
 
 
+_CRS_EA_SQL = """
+SELECT doc_id,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 6933 WHEN 1 THEN 3410
+            WHEN 2 THEN 54034 ELSE 54009 END AS INTEGER) AS srid,
+       round(-170.0 + (doc_id % 340), 4) AS lon_rt,
+       round(-80.0 + ((doc_id * 7) % 160), 4) AS lat_rt
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("crs_roundtrip_equalarea", "pipeline",
+       "§2.2 T7 reprojection round 5: the global equal-area family — "
+       "EASE-Grid 2.0/1.0 cylindrical equal area (EPSG 9835) and "
+       "Mollweide (ref reprojects any SRS via PROJ, "
+       "ingest/processing.py:142-150)", _CRS_EA_SQL)
+def crs_roundtrip_equalarea(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward+inverse through the round-5 equal-area CRS table
+    entries — EPSG:6933 (EASE-Grid 2.0, ellipsoidal CEA via authalic
+    latitude), EPSG:3410 (EASE-Grid 1.0 sphere), ESRI:54034 (World
+    CEA), ESRI:54009 (World Mollweide, Newton auxiliary angle) — the
+    oracle is the input formula, so a broken forward, inverse,
+    authalic series, or Newton solve all surface as mismatches.
+    Absolute correctness pinned in tests/test_crs.py (EASE-Grid
+    documented extent, Snyder §31 worked example).
+
+    Scale: stateless per-row math in an Arrow-batched kernel — a
+    scan, no shuffle.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.operators import crs as C
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id")
+    srids = [6933, 3410, 54034, 54009]
+
+    def rt(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pairs = {s: (C.from_lonlat(s), C.to_lonlat(s)) for s in srids}
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                srid = srids[did % 4]
+                lon = -170.0 + (did % 340)
+                lat = -80.0 + ((did * 7) % 160)
+                fwd, inv = pairs[srid]
+                lon2, lat2 = inv(*fwd(lon, lat))
+                rows.append((did, srid,
+                             round(lon2, 4) + 0.0, round(lat2, 4) + 0.0))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "srid", "lon_rt", "lat_rt"])
+
+    return base.mapInPandas(
+        rt, "doc_id long, srid int, lon_rt double, lat_rt double")
+
+
 # ---------------------------------------------------------------------------
 # T7 -makevalid under the gate: repair classes as a hard oracle
 # ---------------------------------------------------------------------------
