@@ -265,6 +265,28 @@ def process_raster(spark: SparkSession, src_path: str, dst_dir: str,
             "audits": {"cog_validate": audits}}
 
 
+def process_mbtiles(spark: SparkSession, src_path: str,
+                    dst_dir: str) -> dict:
+    """MBTiles upload -> PMTiles archive, tile-level (no re-tiling;
+    the reference allowlists .mbtiles, ref ingest/config.py:42-66)."""
+    from geohub_data_pipeline_spark.operators import pmtiles as PMT
+    from geohub_data_pipeline_spark.operators.mbtiles import (
+        tiles_from_mbtiles,
+    )
+
+    tiles = tiles_from_mbtiles(spark, src_path)
+    manifest = PMT.write_pmtiles_tables(
+        tiles, f"{dst_dir}/archives", payload_format="mvt").collect()
+    return {
+        "chunks": [{"kind": "tileset", "name": m.dataset}
+                   for m in manifest],
+        "artifacts": [m.path for m in manifest],
+        "audits": {"archives": [
+            {"path": m.path, "n_tiles": int(m.n_tiles),
+             "n_layers": int(m.n_layers)} for m in manifest]},
+    }
+
+
 def process_geo_file(spark: SparkSession, src_path: str, dst_dir: str,
                      join_vector_tiles: bool = False,
                      maxzoom: int | None = None,
@@ -272,10 +294,12 @@ def process_geo_file(spark: SparkSession, src_path: str, dst_dir: str,
                      dtype: str | None = None) -> dict:
     """Dispatch one uploaded file down the real tree (ref
     processing.py:555-826): vector extensions -> FGB+PMTiles, raster
-    extensions -> COG.  Raises on unreadable input (the service turns
-    that into a dead-letter/error ledger row, ref ingest/ingest.py:
-    184-187)."""
+    extensions -> COG, .mbtiles -> PMTiles.  Raises on unreadable
+    input (the service turns that into a dead-letter/error ledger
+    row, ref ingest/ingest.py:184-187)."""
     low = src_path.lower().rstrip("/")
+    if low.endswith(".mbtiles"):
+        return process_mbtiles(spark, src_path, dst_dir)
     if low.endswith(RASTER_EXTS) or (
             low.endswith(ARCHIVE_EXTS) and _archive_is_raster(src_path)):
         return process_raster(spark, src_path, dst_dir,

@@ -233,6 +233,41 @@ def test_service_real_pipeline_e2e(spark, tmp_path):
         assert f.read() == b"PMTiles-passthrough-bytes"
 
 
+def test_service_mbtiles_route(spark, tmp_path):
+    """A .mbtiles upload converts tile-level to a PMTiles archive
+    through the service (the reference allowlists .mbtiles)."""
+    from geohub_data_pipeline_spark.operators import mbtiles as MB
+    from geohub_data_pipeline_spark.operators import pmtiles as PMT
+
+    raw = tmp_path / "u" / "raw"
+    raw.mkdir(parents=True)
+    MB.write_mbtiles(str(raw / "roads.mbtiles"),
+                     [(0, 0, 0, b"\x1a\x05tile0"),
+                      (1, 1, 1, b"\x1a\x05tile3")],
+                     {"name": "roads", "format": "pbf"})
+    svc = IngestService(
+        spark=spark,
+        messages_dir=f"{tmp_path}/msgs",
+        ledger_dir=f"{tmp_path}/ledger",
+        checkpoint_dir=f"{tmp_path}/ckpt",
+        output_dir=f"{tmp_path}/out",
+    )
+    _write_msgs(svc.messages_dir, "b.json", [
+        {"msg_id": 1, "body": f"file://{raw}/roads.mbtiles;t;"
+                              "join_vector_tiles=false",
+         "enqueued_ts": "2024-01-01T00:00:00"},
+    ])
+    svc.run_available_now()
+    rows = svc.ledger().collect()
+    arts = [r.content for r in rows if r.kind == "artifact"]
+    assert len(arts) == 1 and arts[0].endswith(".pmtiles")
+    arch = PMT.read_pmtiles(arts[0])
+    assert arch["tiles"][(0, 0, 0)] == b"\x1a\x05tile0"
+    stages = {r.stage for r in rows if r.stage}
+    assert "processed" in stages
+    assert any(s.startswith("processing tileset") for s in stages)
+
+
 def test_service_ingest_timeout_watchdog(spark, tmp_path, monkeypatch):
     """X4 (ref INGEST_TIMEOUT, ingest/ingest.py:35,126-152): a
     conversion exceeding the per-message budget yields a timeout
