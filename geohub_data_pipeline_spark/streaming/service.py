@@ -196,6 +196,10 @@ def _ledger_rows(routed: DataFrame, cancels: DataFrame | None,
     return out
 
 
+class CancelledIngest(Exception):
+    """External cancel request arrived mid-conversion (X5/X6)."""
+
+
 def _chop_url(url: str) -> str:
     """Python-side ``chop_blob_url`` (ref ingest/utils.py:15-20):
     scheme+host stripped, container-relative path kept.  ``file://``
@@ -342,7 +346,8 @@ class IngestService:
                 self._out_dir(), os.path.dirname(dst_rel), stem)
             try:
                 res = self._convert_with_timeout(
-                    src, dst_dir, bool(m.join_vector_tiles), dataset)
+                    src, dst_dir, bool(m.join_vector_tiles), dataset,
+                    blob_url=m.blob_url)
             except TimeoutError:
                 # .timeout marker + Cancelled stage + metadata, as
                 # the reference's asyncio.wait timeout branch
@@ -350,6 +355,14 @@ class IngestService:
                 add(dataset, "error", None, None,
                     f"timeout: conversion exceeded "
                     f"{self.ingest_timeout:.0f}s")
+                add(dataset, "progress", "Cancelled", 100)
+                continue
+            except CancelledIngest:
+                # mid-conversion external cancel (X5/X6): same error
+                # + Cancelled trail the reference emits
+                # (ref ingest/ingest.py:131-152, utils.py:126-131)
+                add(dataset, "error", None, None,
+                    "cancelled by user request during processing")
                 add(dataset, "progress", "Cancelled", 100)
                 continue
             except Exception as exc:       # .error blob + dead-letter
@@ -378,15 +391,31 @@ class IngestService:
         return (self.spark.createDataFrame(rows, schema)
                 .withColumn("ts", F.current_timestamp()))
 
+    def _cancelled_urls(self) -> set[str]:
+        cancels = self._cancels()
+        if cancels is None:
+            return set()
+        try:
+            return {r.url for r in cancels.filter(F.col("cancel"))
+                    .select("url").collect()}
+        except Exception:
+            return set()
+
     def _convert_with_timeout(self, src: str, dst_dir: str,
-                              join_tiles: bool, dataset: str):
-        """Run one message's conversion under the X4 watchdog: the
-        work executes in a helper thread whose Spark jobs share a
-        cancellable job group (``interruptOnCancel``), so a hung
-        stage dies with the timeout instead of leaking executors —
-        the Spark form of the reference's cooperative-cancel
-        callbacks (ref ingest/processing.py:446-466)."""
+                              join_tiles: bool, dataset: str,
+                              blob_url: str | None = None,
+                              poll_secs: float = 2.0):
+        """Run one message's conversion under the X4/X5/X6 watchdog:
+        the work executes in a helper thread whose Spark jobs share a
+        cancellable job group (``interruptOnCancel``); the waiter
+        polls the cancel stream between short waits, so BOTH the hard
+        timeout and an external mid-conversion cancel kill the
+        running stages instead of leaking executors — the Spark form
+        of the reference's cooperative-cancel callbacks threaded
+        through GDAL/tippecanoe (ref ingest/processing.py:446-466,
+        cancel predicate ingest/utils.py:126-131)."""
         import concurrent.futures
+        import time
 
         from geohub_data_pipeline_spark import processing as PROC
 
@@ -407,16 +436,31 @@ class IngestService:
 
         pool = concurrent.futures.ThreadPoolExecutor(1)
         fut = pool.submit(run)
+        deadline = time.time() + self.ingest_timeout
+        check_cancels = self.cancel_dir is not None and blob_url
         try:
-            res = fut.result(timeout=self.ingest_timeout)
-            pool.shutdown(wait=True)
-            return res
-        except concurrent.futures.TimeoutError:
-            sc.cancelJobGroup(group)          # interrupts running jobs
-            # don't block the service on the dying thread: the group
-            # cancel unwinds it; the next message proceeds now
-            pool.shutdown(wait=False)
-            raise TimeoutError from None
+            while True:
+                remaining = deadline - time.time()
+                if remaining <= 0:
+                    sc.cancelJobGroup(group)
+                    # don't block on the dying thread: the group
+                    # cancel unwinds it; the next message proceeds
+                    pool.shutdown(wait=False)
+                    raise TimeoutError
+                try:
+                    res = fut.result(
+                        timeout=min(poll_secs, remaining)
+                        if check_cancels else remaining)
+                    pool.shutdown(wait=True)
+                    return res
+                except concurrent.futures.TimeoutError:
+                    if check_cancels and \
+                            blob_url in self._cancelled_urls():
+                        sc.cancelJobGroup(group)
+                        pool.shutdown(wait=False)
+                        raise CancelledIngest from None
+        except (TimeoutError, CancelledIngest):
+            raise
         except BaseException:
             pool.shutdown(wait=False)
             raise

@@ -307,6 +307,52 @@ def test_service_ingest_timeout_watchdog(spark, tmp_path, monkeypatch):
     assert any("timeout" in (e or "") for e in errs)
 
 
+def test_service_mid_conversion_cancel(spark, tmp_path, monkeypatch):
+    """X5/X6: a cancel request arriving WHILE a conversion runs kills
+    its job group and records the Cancelled trail (the reference's
+    WebPubSub cancel sets the event mid-processing,
+    ref ingest/utils.py:126-131)."""
+    import time as _time
+
+    from geohub_data_pipeline_spark import processing as PROC
+
+    raw = tmp_path / "u" / "raw"
+    raw.mkdir(parents=True)
+    (raw / "slow.gpkg").write_bytes(b"gpkg-ish")
+    blob_url = f"file://{raw}/slow.gpkg"
+    cancel_dir = tmp_path / "cancel"
+    cancel_dir.mkdir()
+
+    def hang(*a, **kw):
+        # the conversion itself drops the cancel request mid-flight
+        _write_msgs(str(cancel_dir), "c.json", [
+            {"user": "u", "url": blob_url, "cancel": True}])
+        _time.sleep(120)
+
+    monkeypatch.setattr(PROC, "process_geo_file", hang)
+    svc = IngestService(
+        spark=spark,
+        messages_dir=f"{tmp_path}/msgs",
+        ledger_dir=f"{tmp_path}/ledger",
+        checkpoint_dir=f"{tmp_path}/ckpt",
+        cancel_dir=str(cancel_dir),
+        output_dir=f"{tmp_path}/out",
+        ingest_timeout=90.0,               # cancel, not timeout
+    )
+    _write_msgs(svc.messages_dir, "b.json", [
+        {"msg_id": 1, "body": f"{blob_url};t;join_vector_tiles=false",
+         "enqueued_ts": "2024-01-01T00:00:00"},
+    ])
+    t0 = _time.time()
+    svc.run_available_now()
+    assert _time.time() - t0 < 70          # cancelled, not timed out
+    rows = svc.ledger().collect()
+    stages = {r.stage for r in rows if r.stage}
+    assert "Cancelled" in stages
+    errs = [r.content for r in rows if r.kind == "error"]
+    assert any("cancelled by user" in (e or "") for e in errs)
+
+
 def test_service_drain_and_restart_exactly_once(service):
     """X1 drain semantics + K10 checkpoint: re-running after a restart
     must not duplicate ledger rows; new files are picked up."""
