@@ -147,11 +147,32 @@ def probe_vector_chunks(feats: DataFrame) -> list[dict]:
             for name in sorted(layers)]
 
 
-def probe_raster_chunks(blocks: DataFrame) -> list[dict]:
+def probe_raster_chunks(blocks: DataFrame,
+                        src_path: str | None = None) -> list[dict]:
     """One chunk per subdataset, else per root band (ref
     ingest/utils.py:106-114 + the dispatch at processing.py:697,
     717-740: subdatasets each convert whole; a root raster converts
-    per band)."""
+    per band).
+
+    GeoTIFF fast path: band count is header metadata
+    (``probe_rasters``), so the probe never decodes tiles; other
+    formats fall back to a distinct over the block frame (one decode
+    pass — the same price the reference's OF_RASTER double-probe
+    pays, ref ingest/utils.py:96-114)."""
+    if src_path and src_path.lower().endswith(
+            (".tif", ".tiff", ".gtif", ".gtiff")):
+        from geohub_data_pipeline_spark.operators.rasterprobe import (
+            probe_rasters,
+        )
+        spark = blocks.sparkSession
+        raw = (spark.read.format("binaryFile").load(src_path)
+               .select("path", "content"))
+        n = max((int(r.n_bands or 1)
+                 for r in probe_rasters(raw).collect() if r.ok),
+                default=0)
+        if n:
+            return [{"kind": "band", "name": f"band{b}"}
+                    for b in range(1, n + 1)]
     cols = ["band"] + (["subdataset"] if "subdataset"
                        in blocks.columns else [])
     rows = blocks.select(*cols).distinct().collect()
@@ -241,7 +262,7 @@ def process_raster(spark: SparkSession, src_path: str, dst_dir: str,
     )
 
     blocks, georef, dtypes = read_raster_source(spark, src_path)
-    chunks = probe_raster_chunks(blocks)
+    chunks = probe_raster_chunks(blocks, src_path)
     if georef is not None and warp:
         from geohub_data_pipeline_spark.operators import warp as WP
         blocks, georef = WP.warp_to_mercator(blocks, georef)

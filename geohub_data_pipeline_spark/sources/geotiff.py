@@ -405,7 +405,13 @@ def dtypes_from_geotiff(spark: SparkSession, path: str) -> DataFrame:
 
 def georef_from_geotiff(spark: SparkSession, path: str) -> DataFrame:
     """GEOREF sidecar rows (operators/raster.py schema) from the
-    ModelPixelScale/ModelTiepoint tags."""
+    ModelPixelScale/ModelTiepoint tags — HEADER-ONLY (probe_geotiff):
+    georeferencing is tag metadata, so this pass never touches tile
+    payloads; at scale the sidecar costs one small ranged read per
+    file, not a decode."""
+    from geohub_data_pipeline_spark.operators.rasterprobe import (
+        probe_geotiff,
+    )
     from geohub_data_pipeline_spark.operators.raster import GEOREF_SCHEMA
     from geohub_data_pipeline_spark.session import ship_package
     ship_package(spark)
@@ -419,17 +425,16 @@ def georef_from_geotiff(spark: SparkSession, path: str) -> DataFrame:
             for p, content in zip(pdf["path"], pdf["content"]):
                 dataset = os.path.basename(str(p).removeprefix("file:"))
                 try:
-                    d = read_geotiff(bytes(content))
-                except (ValueError, struct.error, IndexError,
-                        zlib.error):
+                    d = probe_geotiff(bytes(content))
+                except (ValueError, struct.error, IndexError):
                     continue
-                if d["origin"] is None or d["pixel_scale"] is None:
+                if d["origin_x"] is None or d["pixel_scale_x"] is None:
                     continue               # ungeoreferenced: no row
-                rows.append((dataset, float(d["origin"][0]),
-                             float(d["origin"][1]),
-                             float(d["pixel_scale"][0]),
-                             float(d["pixel_scale"][1]),
-                             int(d["srid"] or 4326)))
+                rows.append((dataset, float(d["origin_x"]),
+                             float(d["origin_y"]),
+                             float(d["pixel_scale_x"]),
+                             float(d["pixel_scale_y"]),
+                             int(d["epsg"] or 4326)))
             yield pd.DataFrame(rows, columns=[
                 "dataset", "origin_x", "origin_y", "pixel_sx",
                 "pixel_sy", "georef_srid"])
