@@ -32,6 +32,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="multilayer joined mode (T9)")
     ap.add_argument("--maxzoom", type=int, default=None,
                     help="fixed max zoom (default: -zg heuristic)")
+    ap.add_argument("--point-drop-rate", type=float, default=None,
+                    help="tippecanoe-style point dropping gamma "
+                         "(e.g. 2.5): keep 1/rate^(maxzoom-z) of "
+                         "points at each zoom below maxzoom, "
+                         "deterministically by feature hash")
     ap.add_argument("--demo", action="store_true",
                     help="run the flagship query on --sf-dir instead")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -401,7 +406,8 @@ def main(argv: list[str] | None = None) -> int:
                 norm, f"{args.dst}/fgb").collect():
             print(f"fgb: {m.path} ({m.n_features} features)")
         tiles = TLG.build_tiles(norm, maxzoom=args.maxzoom,
-                                simplify_low_zooms=True, encode="mvt")
+                                simplify_low_zooms=True, encode="mvt",
+                                point_drop_rate=args.point_drop_rate)
         tiles.write.mode("overwrite").partitionBy("z").parquet(
             f"{args.dst}/tiles")
         tiles_back = spark.read.parquet(f"{args.dst}/tiles")

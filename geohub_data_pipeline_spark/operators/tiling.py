@@ -174,7 +174,8 @@ def build_tiles(normalized: DataFrame, maxzoom: int | None = None,
                 max_features_per_tile: int = 200_000,
                 simplify_low_zooms: bool = False,
                 full_detail_zoom: int = 10,
-                encode: str = "json") -> DataFrame:
+                encode: str = "json",
+                point_drop_rate: float | None = None) -> DataFrame:
     """Full tile pyramid from normalize_features output.
 
     maxzoom: fixed, or None for the -zg per-dataset heuristic.
@@ -182,6 +183,16 @@ def build_tiles(normalized: DataFrame, maxzoom: int | None = None,
     shuffle (tippecanoe --simplify-only-low-zooms).
     encode: 'json' (audit payloads) or 'mvt' (real Mapbox Vector
     Tiles, operators/mvt.py).
+    point_drop_rate: tippecanoe's point-dropping gamma (its default
+    drop rate is 2.5): at zoom z below maxzoom, keep each POINT
+    feature with probability ``1 / rate**(maxzoom - z)`` — except
+    that here 'probability' is a deterministic hash of (layer, fid),
+    so the same input always yields the same pyramid and the kept
+    set is nested across zooms the way tippecanoe's ordered drop is.
+    None (default) keeps every point at every zoom.  Lines/polygons
+    are never dropped (tippecanoe's default).  The filter is a pure
+    Catalyst expression (xxhash64 + pow) — map-side, before the tile
+    shuffle, so dropped points never shuffle at all.
     """
     from geohub_data_pipeline_spark.session import ship_package
     ship_package(normalized.sparkSession)
@@ -199,6 +210,15 @@ def build_tiles(normalized: DataFrame, maxzoom: int | None = None,
         feats = normalized.withColumn("maxzoom", F.lit(maxzoom))
 
     keyed = tile_keys(feats)
+    if point_drop_rate and "geom_type" in normalized.columns:
+        # POINT/MULTIPOINT only; z == maxzoom always keeps everything
+        is_point = F.col("geom_type").isin(1, 4)
+        keep = F.pow(F.lit(float(point_drop_rate)),
+                     (F.col("z") - F.col("maxzoom")).cast("double"))
+        h = F.pmod(F.xxhash64("layer", "fid"), F.lit(1_000_000))
+        keyed = keyed.filter(
+            ~is_point | (F.col("z") == F.col("maxzoom"))
+            | (h < keep * 1_000_000))
     if simplify_low_zooms:
         keyed = _simplify_keyed(keyed, full_detail_zoom)
     # optional attributes column rides to the MVT encoder (the

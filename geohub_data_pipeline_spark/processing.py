@@ -321,8 +321,30 @@ def process_geo_file(spark: SparkSession, src_path: str, dst_dir: str,
     low = src_path.lower().rstrip("/")
     if low.endswith(".mbtiles"):
         return process_mbtiles(spark, src_path, dst_dir)
-    if low.endswith(RASTER_EXTS) or (
-            low.endswith(ARCHIVE_EXTS) and _archive_is_raster(src_path)):
+    if low.endswith(ARCHIVE_EXTS):
+        # the reference double-probes every upload (OF_VECTOR then
+        # OF_RASTER, ref ingest/utils.py:96-114) and converts BOTH
+        # sides — an archive can carry shapefiles AND GeoTIFFs
+        has_r = _archive_is_raster(src_path)
+        has_v = _archive_is_vector(src_path)
+        if has_r and has_v:
+            v = process_vector(spark, src_path, dst_dir,
+                               join_vector_tiles=join_vector_tiles,
+                               maxzoom=maxzoom)
+            r = process_raster(spark, src_path, dst_dir,
+                               overview_levels=overview_levels,
+                               dtype=dtype)
+            return {"chunks": v["chunks"] + r["chunks"],
+                    "artifacts": v["artifacts"] + r["artifacts"],
+                    "audits": {**v["audits"], **r["audits"]}}
+        if has_r:
+            return process_raster(spark, src_path, dst_dir,
+                                  overview_levels=overview_levels,
+                                  dtype=dtype)
+        return process_vector(spark, src_path, dst_dir,
+                              join_vector_tiles=join_vector_tiles,
+                              maxzoom=maxzoom)
+    if low.endswith(RASTER_EXTS):
         return process_raster(spark, src_path, dst_dir,
                               overview_levels=overview_levels,
                               dtype=dtype)
@@ -331,23 +353,32 @@ def process_geo_file(spark: SparkSession, src_path: str, dst_dir: str,
                           maxzoom=maxzoom)
 
 
-def _archive_is_raster(path: str) -> bool:
+def _archive_members_match(path: str, exts: tuple) -> bool:
     """Peek the archive member names (names only — no member
-    decompress) to pick the raster or vector path, as the reference's
-    double-probe does on the VSI path (ref ingest/utils.py:96-114)."""
+    decompress), as the reference's double-probe does on the VSI path
+    (ref ingest/utils.py:96-114)."""
     import tarfile
     import zipfile
 
-    raster = (".tif", ".tiff", ".asc", ".grd", ".nc", ".nc4")
     try:
         if zipfile.is_zipfile(path):
             with zipfile.ZipFile(path) as z:
-                return any(n.lower().endswith(raster)
+                return any(n.lower().endswith(exts)
                            for n in z.namelist())
         if tarfile.is_tarfile(path):
             with tarfile.open(path) as t:
-                return any(n.lower().endswith(raster)
+                return any(n.lower().endswith(exts)
                            for n in t.getnames())
     except OSError:
         pass
     return False
+
+
+def _archive_is_raster(path: str) -> bool:
+    return _archive_members_match(
+        path, (".tif", ".tiff", ".asc", ".grd", ".nc", ".nc4"))
+
+
+def _archive_is_vector(path: str) -> bool:
+    return _archive_members_match(
+        path, (".shp", ".geojson", ".json", ".gpkg", ".fgb"))

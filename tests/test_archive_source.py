@@ -349,3 +349,46 @@ def test_zip_through_cli_tile_pipeline(spark, tmp_path):
     assert set(status.values()) == {"ok"}
     archives = os.listdir(f"{dst}/archives")
     assert any(a.endswith(".pmtiles") for a in archives)
+
+
+def test_mixed_archive_processes_both_sides(spark, tmp_path):
+    """An archive carrying BOTH a vector member and a raster member
+    converts down both paths (the reference double-probes OF_VECTOR
+    then OF_RASTER and converts everything it finds,
+    ref ingest/utils.py:96-114 + processing.py:555-826)."""
+    import numpy as np
+
+    from geohub_data_pipeline_spark import processing as PROC
+    from geohub_data_pipeline_spark.operators.cogwriter import (
+        _Level,
+        geotiff_bytes,
+    )
+
+    gj = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature", "properties": {"name": "a"},
+             "geometry": {"type": "Point", "coordinates": [10.0, 50.0]}},
+            {"type": "Feature", "properties": {"name": "b"},
+             "geometry": {"type": "Point", "coordinates": [11.0, 51.0]}},
+        ],
+    }
+    arr = np.arange(32 * 32, dtype=np.float64).reshape(32, 32)
+    tile = np.zeros((256, 256))
+    tile[:32, :32] = arr
+    tif = geotiff_bytes([_Level(32, 32, {(0, 0): tile})], epsg=3857,
+                        pixel_scale=(1000.0, 1000.0),
+                        origin=(0.0, 2000000.0))
+    zpath = tmp_path / "mixed.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        z.writestr("layers/cities.geojson", json.dumps(gj))
+        z.writestr("imagery/scene.tif", tif)
+
+    res = PROC.process_geo_file(spark, str(zpath), str(tmp_path / "out"))
+    kinds = {c["kind"] for c in res["chunks"]}
+    assert "layer" in kinds and ("band" in kinds
+                                 or "subdataset" in kinds)
+    exts = {a.rsplit(".", 1)[-1] for a in res["artifacts"]}
+    assert {"fgb", "pmtiles", "tif"} <= exts
+    for a in res["artifacts"]:
+        assert os.path.exists(a)

@@ -144,3 +144,49 @@ def test_shared_border_stats_adjacent_squares(spark):
     assert got[2].n_edges == 4 and got[2].n_shared == 1
     assert got[3].n_edges == 4 and got[3].n_shared == 0
     assert got[1].shared_fraction == 0.25
+
+
+def test_point_drop_rate_gamma(spark):
+    """tippecanoe point-dropping gamma: at zoom z < maxzoom each
+    point survives with deterministic 'probability'
+    1/rate**(maxzoom-z); maxzoom keeps everything; non-points are
+    never dropped; the kept set is nested across zooms (a point
+    dropped at z is also dropped below z)."""
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.operators.tiling import build_tiles
+
+    n = 4000
+    rows = [("d", "pts", i,
+             G.promote_to_multi(G.wkb_point(-170 + (i % 340) * 0.9,
+                                            -80 + (i * 7 % 160) * 0.9)),
+             4, 4326,
+             -170 + (i % 340) * 0.9, -80 + (i * 7 % 160) * 0.9,
+             -170 + (i % 340) * 0.9, -80 + (i * 7 % 160) * 0.9, False)
+            for i in range(n)]
+    norm = spark.createDataFrame(rows, (
+        "dataset string, layer string, fid long, geometry binary, "
+        "geom_type int, srid int, bbox_minx double, bbox_miny double, "
+        "bbox_maxx double, bbox_maxy double, needs_makevalid boolean"))
+
+    tiles = build_tiles(norm, maxzoom=4, point_drop_rate=2.5)
+    per_z = {r.z: r.total for r in
+             tiles.groupBy("z").agg(
+                 F.sum("n_features").alias("total")).collect()}
+    # maxzoom keeps all points
+    assert per_z[4] == n
+    # each zoom down keeps ~1/2.5 of the previous (hash-uniform)
+    for z in (3, 2, 1, 0):
+        expect = n / (2.5 ** (4 - z))
+        assert abs(per_z[z] - expect) < 0.15 * n / (2.5 ** (4 - z)) + 30, \
+            (z, per_z[z], expect)
+    # determinism: same input -> same pyramid
+    again = {r.z: r.total for r in
+             build_tiles(norm, maxzoom=4, point_drop_rate=2.5)
+             .groupBy("z").agg(
+                 F.sum("n_features").alias("total")).collect()}
+    assert again == per_z
+    # default: no dropping
+    full = {r.z: r.total for r in
+            build_tiles(norm, maxzoom=4).groupBy("z").agg(
+                F.sum("n_features").alias("total")).collect()}
+    assert all(v == n for v in full.values())
