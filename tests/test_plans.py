@@ -267,3 +267,64 @@ def test_warp_single_tile_keyed_shuffle(spark):
     # tiny dedup exchange inside the broadcast georef build
     assert plan.count("hashpartitioning(") <= 2, plan[:2000]
     assert "hashpartitioning(dataset" in plan
+
+
+def test_normalize_is_scan_only(spark):
+    """T7 normalize_features is a pure map-side pass: no Exchange
+    anywhere in the plan (100 TB of features = a scan)."""
+    from geohub_data_pipeline_spark.operators.geometry import (
+        normalize_features,
+        wkb_point,
+    )
+
+    feats = spark.createDataFrame(
+        [("d", "l", i, wkb_point(float(i), float(i % 80)), 32633)
+         for i in range(10)],
+        "dataset string, layer string, fid long, geometry binary, "
+        "srid int")
+    plan = plan_of(normalize_features(feats))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_cog_sidecars_broadcast_no_extra_exchange(spark):
+    """COG assembly's georef + dtype sidecars ride broadcast joins,
+    so the HEAVY block stream passes through exactly ONE Exchange —
+    the (dataset, band) grouping the writer needs anyway.  (The
+    sidecar dedup aggregates shuffle their own few-rows-per-dataset
+    frames before broadcasting; that never touches pixel rows.)"""
+    from geohub_data_pipeline_spark.operators.cogwriter import (
+        assemble_cog_tables,
+    )
+
+    blocks = spark.createDataFrame(
+        [("d", None, 1, 0, 0, 0, 4, 4, [0.0] * 16, 0.0, 3857)],
+        "dataset string, subdataset string, band int, level int, "
+        "block_x int, block_y int, width int, height int, "
+        "pixels array<double>, nodata double, srid int")
+    georef = spark.createDataFrame(
+        [("d", 0.0, 0.0, 1.0, 1.0, 3857)],
+        "dataset string, origin_x double, origin_y double, "
+        "pixel_sx double, pixel_sy double, georef_srid int")
+    dtypes = spark.createDataFrame([("d", "u1")],
+                                   "dataset string, dtype string")
+    df = assemble_cog_tables(
+        blocks, "/tmp/unused_plan_only", georef=georef, dtypes=dtypes)
+    # count operators on the simple-mode tree (formatted mode lists
+    # each node twice: once in the tree, once in the details)
+    simple = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution
+        .ExplainMode.fromString("simple"))
+    assert simple.count("BroadcastHashJoin") == 2    # georef + dtype
+    assert "SortMergeJoin" not in simple
+    # the block stream's only shuffle is the writer's (dataset, band)
+    # grouping — the one Exchange keyed on the band column
+    block_side = re.findall(
+        r"Exchange hashpartitioning\([^)]*band", simple)
+    assert len(block_side) == 1
+    # and the pixel column appears under no other Exchange: every
+    # remaining shuffle is a sidecar-side dedup on (dataset) alone
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)",
+                         simple):
+        keys = m.group(1)
+        assert "band" in keys or "pixels" not in keys
