@@ -86,6 +86,83 @@ def _cmd(cmd_id: int, count: int) -> int:
     return (cmd_id & 0x7) | (count << 3)
 
 
+# ---------------------------------------------------------------------------
+# numpy-batched twins of the per-vertex primitives: the encode kernel
+# runs per tile inside applyInPandas, and a dense tile holds millions
+# of vertices — per-vertex Python there is the same bottleneck the
+# r5 normalize rewrite removed
+# ---------------------------------------------------------------------------
+
+def tile_local_np(lon, lat, z: int, tx: int, ty: int):
+    """Vectorized ``tile_local``: arrays of lon/lat -> int64 arrays
+    of tile-local pixel coords (same round-half-even as the scalar
+    path: ``np.rint`` == ``round``)."""
+    import numpy as np
+    n = 1 << z
+    wx = (np.asarray(lon, np.float64) + 180.0) / 360.0 * n
+    latc = np.clip(np.asarray(lat, np.float64), -85.051128, 85.051128)
+    rad = np.radians(latc)
+    wy = (1.0 - np.log(np.tan(rad) + 1.0 / np.cos(rad)) / math.pi) \
+        / 2.0 * n
+    px = np.rint((wx - tx) * EXTENT).astype(np.int64)
+    py = np.rint((wy - ty) * EXTENT).astype(np.int64)
+    return px, py
+
+
+def _zigzag_np(v):
+    import numpy as np
+    v = np.asarray(v, np.int64)
+    return ((v << 1) ^ (v >> 63)).astype(np.uint64)
+
+
+def _deltas_np(px, py, cx: int, cy: int):
+    """Interleaved zigzag deltas for a vertex run starting from the
+    cursor (cx, cy); returns (uint64 array len 2n, new cursor)."""
+    import numpy as np
+    dx = np.empty(len(px), np.int64)
+    dy = np.empty(len(py), np.int64)
+    dx[0] = px[0] - cx
+    dy[0] = py[0] - cy
+    np.subtract(px[1:], px[:-1], out=dx[1:])
+    np.subtract(py[1:], py[:-1], out=dy[1:])
+    out = np.empty(2 * len(px), np.uint64)
+    out[0::2] = _zigzag_np(dx)
+    out[1::2] = _zigzag_np(dy)
+    return out, int(px[-1]), int(py[-1])
+
+
+def _varints_np(vals) -> bytes:
+    """Bulk protobuf varint encoding of a uint64 array — byte-plane
+    construction: per value the byte count is ceil(bitlen/7); plane k
+    holds ``(v >> 7k) & 0x7F`` with the continuation bit set below
+    the top plane.  ~10 numpy ops per plane instead of a Python loop
+    per byte."""
+    import numpy as np
+    v = np.asarray(vals, np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes per value: 1 + floor(log2(v))/7 for v>0, 1 for v==0
+    bits = np.zeros(v.shape, np.int64)
+    tmp = v.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = tmp >= (np.uint64(1) << np.uint64(shift))
+        bits[big] += shift
+        tmp[big] >>= np.uint64(shift)
+    nb = bits // 7 + 1
+    offs = np.concatenate(([0], np.cumsum(nb)))
+    total = int(offs[-1])
+    out = np.zeros(total, np.uint8)
+    max_nb = int(nb.max())
+    idx0 = offs[:-1]
+    for k in range(max_nb):
+        sel = nb > k
+        b = (v[sel] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        cont = (nb[sel] - 1) > k
+        out[idx0[sel] + k] = b.astype(np.uint8) | (
+            cont.astype(np.uint8) << 7)
+    return out.tobytes()
+
+
 def _shoelace2(pts: list[tuple[int, int]]) -> int:
     """Twice the signed shoelace area in tile-local (y-down) coords:
     positive = clockwise on screen, the MVT 2.1 exterior winding."""
@@ -132,43 +209,72 @@ def _encode_rings(parts: list[list[tuple[int, int]]],
     return out
 
 
-def encode_wkb_geometry(wkb: bytes, z: int, tx: int,
-                        ty: int) -> tuple[int, list[int]] | None:
-    """WKB -> (mvt_geom_type, command integers) in tile-local coords."""
+def encode_wkb_geometry(wkb: bytes, z: int, tx: int, ty: int):
+    """WKB -> (mvt_geom_type, uint64 command array) in tile-local
+    coords.  The command STREAM is bit-identical to the scalar
+    helpers above (kept for the independent-decoder tests); the
+    transform, deltas, zigzag, and winding test are numpy-batched —
+    a dense tile's million vertices encode without per-vertex
+    Python."""
+    import numpy as np
+
     parsed = G.parse_wkb(wkb)
     if parsed is None:
         return None
     gtype = _WKB_TO_MVT.get(parsed["type"])
     if gtype is None:
         return None
-    parts_px = [
-        [tile_local(p[0], p[1], z, tx, ty)
-         for p in zip(part[0::2], part[1::2])]
-        for part in parsed["parts"]
-    ]
+    parts_np = []
+    for part in parsed["parts"]:
+        arr = np.asarray(part, np.float64).reshape(-1, 2)
+        parts_np.append(tile_local_np(arr[:, 0], arr[:, 1], z, tx, ty))
+
     if gtype == GEOM_POINT:
-        pts = [pt for part in parts_px for pt in part]
-        cmds = [_cmd(MOVE_TO, len(pts))]
-        cx = cy = 0
-        for px, py in pts:
-            cmds.append(_zigzag(px - cx))
-            cmds.append(_zigzag(py - cy))
-            cx, cy = px, py
-        return gtype, cmds
-    cmds = _encode_rings(parts_px, close=(gtype == GEOM_POLYGON),
-                         roles=parsed.get("roles"))
-    if not cmds:
+        px = np.concatenate([p for p, _ in parts_np])
+        py = np.concatenate([q for _, q in parts_np])
+        d, _, _ = _deltas_np(px, py, 0, 0)
+        return gtype, np.concatenate(
+            (np.array([_cmd(MOVE_TO, len(px))], np.uint64), d))
+
+    close = gtype == GEOM_POLYGON
+    roles = parsed.get("roles")
+    chunks: list = []
+    cx = cy = 0
+    for pi, (px, py) in enumerate(parts_np):
+        if close and len(px) >= 2 and px[0] == px[-1] \
+                and py[0] == py[-1]:
+            px, py = px[:-1], py[:-1]      # ClosePath replaces closure
+        if len(px) < (3 if close else 2):
+            continue
+        if close and roles is not None:
+            # screen-CW positive shoelace (MVT 2.1 §4.3.3.3 winding)
+            area2 = int(np.sum(px * np.roll(py, -1)
+                               - np.roll(px, -1) * py))
+            want_cw = roles[pi] if pi < len(roles) else True
+            if area2 != 0 and (area2 > 0) != want_cw:
+                px = np.concatenate((px[:1], px[:0:-1]))
+                py = np.concatenate((py[:1], py[:0:-1]))
+        d, cx, cy = _deltas_np(px, py, cx, cy)
+        chunks.append(np.array([_cmd(MOVE_TO, 1), d[0], d[1],
+                                _cmd(LINE_TO, len(px) - 1)], np.uint64))
+        chunks.append(d[2:])
+        if close:
+            chunks.append(np.array([_cmd(CLOSE_PATH, 1)], np.uint64))
+    if not chunks:
         return None
-    return gtype, cmds
+    return gtype, np.concatenate(chunks)
 
 
 # ---------------------------------------------------------------------------
 # tile assembly
 # ---------------------------------------------------------------------------
 
-def encode_feature(fid: int, gtype: int, cmds: list[int],
+def encode_feature(fid: int, gtype: int, cmds,
                    tags: list[int] | None = None) -> bytes:
-    geom = b"".join(_varint(c) for c in cmds)
+    if isinstance(cmds, list):
+        geom = b"".join(_varint(c) for c in cmds)
+    else:                                  # uint64 array: bulk encode
+        geom = _varints_np(cmds)
     out = _field_varint(1, fid)
     if tags:
         out += _field_bytes(2, b"".join(_varint(t) for t in tags))
