@@ -956,6 +956,54 @@ def _coord_runs(buf: bytes):
         return None
 
 
+def _part_runs(buf: bytes):
+    """Like ``_coord_runs`` but one entry PER PART/RING with its
+    exterior role: ``(base_type, [(byte_offset, n_points,
+    is_exterior), ...])`` or None.  The zero-boxing twin of
+    ``parse_wkb``'s parts/roles for kernels that only need numpy
+    views of each part (the MVT encoder)."""
+    try:
+        runs: list[tuple[int, int, bool]] = []
+
+        def walk(off: int) -> int:
+            if buf[off] != 1:
+                raise ValueError
+            gtype = struct.unpack_from("<I", buf, off + 1)[0] % 1000
+            off += 5
+            if gtype == POINT:
+                runs.append((off, 1, True))
+                return off + 16
+            if gtype == LINESTRING:
+                n = struct.unpack_from("<I", buf, off)[0]
+                off += 4
+                runs.append((off, n, True))
+                return off + 16 * n
+            if gtype == POLYGON:
+                nr = struct.unpack_from("<I", buf, off)[0]
+                off += 4
+                for i in range(nr):
+                    n = struct.unpack_from("<I", buf, off)[0]
+                    off += 4
+                    runs.append((off, n, i == 0))
+                    off += 16 * n
+                return off
+            if gtype in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON):
+                ng = struct.unpack_from("<I", buf, off)[0]
+                off += 4
+                for _ in range(ng):
+                    off = walk(off)
+                return off
+            raise ValueError
+
+        base = struct.unpack_from("<I", buf, 1)[0] % 1000
+        end = walk(0)
+        if end > len(buf):
+            raise ValueError
+        return base, runs
+    except (ValueError, struct.error, IndexError):
+        return None
+
+
 def _extract_coords_np(buf: bytes, runs) -> "Any":
     """All coordinate pairs of a WKB blob as an (N, 2) float64 array
     (zero-copy views per run)."""

@@ -218,16 +218,24 @@ def encode_wkb_geometry(wkb: bytes, z: int, tx: int, ty: int):
     Python."""
     import numpy as np
 
-    parsed = G.parse_wkb(wkb)
-    if parsed is None:
+    walked = G._part_runs(wkb)
+    if walked is None:
         return None
-    gtype = _WKB_TO_MVT.get(parsed["type"])
-    if gtype is None:
+    base, runs = walked
+    gtype = _WKB_TO_MVT.get(base)
+    if gtype is None or not runs:
         return None
     parts_np = []
-    for part in parsed["parts"]:
-        arr = np.asarray(part, np.float64).reshape(-1, 2)
+    roles = []
+    for off, n, exterior in runs:
+        if n == 0:
+            continue
+        arr = np.frombuffer(wkb, dtype="<f8", count=2 * n,
+                            offset=off).reshape(n, 2)
         parts_np.append(tile_local_np(arr[:, 0], arr[:, 1], z, tx, ty))
+        roles.append(exterior)
+    if not parts_np:
+        return None
 
     if gtype == GEOM_POINT:
         px = np.concatenate([p for p, _ in parts_np])
@@ -237,7 +245,6 @@ def encode_wkb_geometry(wkb: bytes, z: int, tx: int, ty: int):
             (np.array([_cmd(MOVE_TO, len(px))], np.uint64), d))
 
     close = gtype == GEOM_POLYGON
-    roles = parsed.get("roles")
     chunks: list = []
     cx = cy = 0
     for pi, (px, py) in enumerate(parts_np):
@@ -246,11 +253,11 @@ def encode_wkb_geometry(wkb: bytes, z: int, tx: int, ty: int):
             px, py = px[:-1], py[:-1]      # ClosePath replaces closure
         if len(px) < (3 if close else 2):
             continue
-        if close and roles is not None:
+        if close:
             # screen-CW positive shoelace (MVT 2.1 §4.3.3.3 winding)
             area2 = int(np.sum(px * np.roll(py, -1)
                                - np.roll(px, -1) * py))
-            want_cw = roles[pi] if pi < len(roles) else True
+            want_cw = roles[pi]
             if area2 != 0 and (area2 > 0) != want_cw:
                 px = np.concatenate((px[:1], px[:0:-1]))
                 py = np.concatenate((py[:1], py[:0:-1]))
