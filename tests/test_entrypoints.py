@@ -155,3 +155,48 @@ def test_cli_gpkg_source(spark, tmp_path, capsys):
     assert "wrote" in out and "tiles" in out
     audits = spark.read.parquet(str(tmp_path / "out" / "tile_audit"))
     assert audits.count() > 0
+
+
+def test_run_backfill_regenerates_missing_fgb(spark, tmp_path):
+    """EP3 end-to-end (ref fgb_upload/main.py:105-192): the backfill
+    regenerates .fgb companions ONLY for datasets that are missing
+    them AND whose raw upload exists, excluding the 'test' user."""
+    import os
+
+    from geohub_data_pipeline_spark.backfill import run_backfill
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.sources import flatgeobuf as FGB
+    from geohub_data_pipeline_spark.sources import geopackage as GP
+
+    base = tmp_path / "store"
+    for user in ("u1", "u2", "test"):
+        (base / user / "datasets").mkdir(parents=True)
+        (base / user / "raw").mkdir(parents=True)
+
+    # u1/a: pmtiles present, fgb MISSING, raw present -> regenerate
+    (base / "u1/datasets/a.pmtiles").write_bytes(b"pm")
+    GP.write_gpkg(str(base / "u1/raw/a.gpkg"), {
+        "pts": [(1, G.wkb_point(10.0, 50.0)),
+                (2, G.wkb_point(11.0, 51.0))]}, srid=4326)
+    # u1/b: fgb already exists -> skipped (T20)
+    (base / "u1/datasets/b.pmtiles").write_bytes(b"pm")
+    (base / "u1/datasets/b.fgb").write_bytes(b"existing")
+    GP.write_gpkg(str(base / "u1/raw/b.gpkg"), {
+        "pts": [(1, G.wkb_point(0.0, 0.0))]}, srid=4326)
+    # u2/c: raw missing -> skipped
+    (base / "u2/datasets/c.pmtiles").write_bytes(b"pm")
+    # test/d: excluded user (T21)
+    (base / "test/datasets/d.pmtiles").write_bytes(b"pm")
+    GP.write_gpkg(str(base / "test/raw/d.gpkg"), {
+        "pts": [(1, G.wkb_point(1.0, 1.0))]}, srid=4326)
+
+    report = run_backfill(spark, str(base)).collect()
+    assert len(report) == 1
+    assert report[0].dataset_path == "u1/datasets/a.pmtiles"
+    assert report[0].n_fgb == 1
+    out = report[0].fgb_paths[0]
+    assert os.path.exists(out)
+    rows = list(FGB.read_fgb_bytes(open(out, "rb").read(), "a"))
+    assert len(rows) == 2                  # both points made it
+    # untouched: pre-existing fgb not overwritten
+    assert (base / "u1/datasets/b.fgb").read_bytes() == b"existing"
