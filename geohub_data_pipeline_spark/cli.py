@@ -43,6 +43,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--serve", metavar="BASE_DIR",
                     help="run the streaming ingest service over "
                          "BASE_DIR/{msgs,cancel} until drained (EP1)")
+    ap.add_argument("--backfill", metavar="BASE_DIR",
+                    help="EP3: scan BASE_DIR's {user}/datasets trees "
+                         "and regenerate missing .fgb companions "
+                         "from {user}/raw uploads")
     ap.add_argument("--curate", metavar="DOCS_PARQUET",
                     help="run the corpus-curation pipeline (exact dedup "
                          "-> LSH near-dup clusters -> repetition filter "
@@ -105,6 +109,16 @@ def main(argv: list[str] | None = None) -> int:
             for a in sorted(arts):
                 print(f"artifact: {a}")
             print(f"ledger rows: {ledger.count()}; stages: {counts}")
+            return 0
+
+        if args.backfill:
+            from geohub_data_pipeline_spark.backfill import run_backfill
+
+            report = run_backfill(spark, args.backfill).collect()
+            for r in report:
+                print(f"backfilled: {r.dataset_path} -> "
+                      f"{r.n_fgb} fgb ({', '.join(r.fgb_paths)})")
+            print(f"backfill: {len(report)} datasets regenerated")
             return 0
 
         if args.curate:
