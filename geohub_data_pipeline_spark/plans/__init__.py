@@ -39,7 +39,7 @@ promote([
     "pack_token_shards", "contamination_ngram", "text_tfidf_top_terms",
     "mixture_weights", "text_unigram_logprob", "dedup_cdc_chunks",
     "pack_sequences_offsets", "text_pii_scrub", "crs_wkt_roundtrip",
-    "crs_roundtrip_equalarea",
+    "crs_roundtrip_equalarea", "crs_roundtrip_codes",
     "tile_shared_borders", "tile_joint_simplify", "overview_downsample",
     "multimodal_metadata", "geo_tile_pipeline", "crs_roundtrip",
     "makevalid_audit", "raster_probe", "gpkg_source", "q1_pricing_summary",

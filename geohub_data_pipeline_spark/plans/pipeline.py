@@ -1500,6 +1500,124 @@ def crs_roundtrip_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# T7 CRS stack round 5b: EPSG-code-only national grids under the gate
+# ---------------------------------------------------------------------------
+
+_CRS_CODES = [28992, 2056, 31370, 31467, 23031, 26714, 27572, 6931,
+              32661, 2180]
+_CRS_CODES_SQL = """
+SELECT doc_id,
+       CAST(CASE doc_id % 10
+            WHEN 0 THEN 28992 WHEN 1 THEN 2056 WHEN 2 THEN 31370
+            WHEN 3 THEN 31467 WHEN 4 THEN 23031 WHEN 5 THEN 26714
+            WHEN 6 THEN 27572 WHEN 7 THEN 6931 WHEN 8 THEN 32661
+            ELSE 2180 END AS INTEGER) AS srid,
+       round(CASE doc_id % 10
+             WHEN 0 THEN 3.5 + (doc_id % 30) * 0.1
+             WHEN 1 THEN 6.0 + (doc_id % 35) * 0.1
+             WHEN 2 THEN 2.6 + (doc_id % 35) * 0.1
+             WHEN 3 THEN 7.6 + (doc_id % 28) * 0.1
+             WHEN 4 THEN 0.0 + (doc_id % 60) * 0.1
+             WHEN 5 THEN -102.0 + (doc_id % 55) * 0.1
+             WHEN 6 THEN -4.0 + (doc_id % 110) * 0.1
+             WHEN 7 THEN -180.0 + (doc_id % 120) * 3.0
+             WHEN 8 THEN -180.0 + (doc_id % 120) * 3.0
+             ELSE 14.2 + (doc_id % 95) * 0.1 END, 4) AS lon_rt,
+       round(CASE doc_id % 10
+             WHEN 0 THEN 50.8 + ((doc_id * 3) % 25) * 0.1
+             WHEN 1 THEN 46.0 + ((doc_id * 3) % 18) * 0.1
+             WHEN 2 THEN 49.6 + ((doc_id * 3) % 19) * 0.1
+             WHEN 3 THEN 47.5 + ((doc_id * 3) % 65) * 0.1
+             WHEN 4 THEN 38.0 + ((doc_id * 3) % 140) * 0.1
+             WHEN 5 THEN 26.0 + ((doc_id * 3) % 200) * 0.1
+             WHEN 6 THEN 42.5 + ((doc_id * 3) % 85) * 0.1
+             WHEN 7 THEN 25.0 + ((doc_id * 3) % 60) * 1.0
+             WHEN 8 THEN 60.0 + ((doc_id * 3) % 30) * 1.0
+             ELSE 49.1 + ((doc_id * 3) % 55) * 0.1 END, 4) AS lat_rt
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("crs_roundtrip_codes", "pipeline",
+       "§2.2 T7 reprojection, round-5b: EPSG-code-only national "
+       "grids — RD New, Swiss LV95, Belgian L72, DHDN GK3, ED50/"
+       "NAD27 UTM, NTF Lambert II, EASE-Grid 2.0 N, UPS N, Poland "
+       "CS92 (ref reprojects any SRS via PROJ, "
+       "ingest/processing.py:142-150)", _CRS_CODES_SQL)
+def crs_roundtrip_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward+inverse through the round-5b ``_CRS_TABLE`` additions
+    — uploads that carry a bare srid and no WKT (VERDICT r4 missing
+    item 3).  Covers every new machinery piece: oblique
+    stereographic + 7-param Helmert (28992), Swiss HOM-B + 3-param
+    (2056), pole-origin LCC-2SP (31370), Bessel Gauss-Krueger
+    (31467), legacy ED50/NAD27 UTM datum shifts (23031/26714),
+    Paris-meridian LCC-1SP (27572), polar-aspect equal-area (6931),
+    UPS variant A (32661), and a negative-false-northing TM (2180).
+    The oracle is the input formula — a broken forward, inverse,
+    parameter, or datum path surfaces as a value mismatch; absolute
+    control points live in tests/test_crs_codes.py.
+
+    Scale: stateless per-row math in an Arrow-batched kernel — a
+    scan, no shuffle.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.operators import crs as C
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id")
+    lon_of = [
+        lambda d: 3.5 + (d % 30) * 0.1,
+        lambda d: 6.0 + (d % 35) * 0.1,
+        lambda d: 2.6 + (d % 35) * 0.1,
+        lambda d: 7.6 + (d % 28) * 0.1,
+        lambda d: 0.0 + (d % 60) * 0.1,
+        lambda d: -102.0 + (d % 55) * 0.1,
+        lambda d: -4.0 + (d % 110) * 0.1,
+        lambda d: -180.0 + (d % 120) * 3.0,
+        lambda d: -180.0 + (d % 120) * 3.0,
+        lambda d: 14.2 + (d % 95) * 0.1,
+    ]
+    lat_of = [
+        lambda d: 50.8 + ((d * 3) % 25) * 0.1,
+        lambda d: 46.0 + ((d * 3) % 18) * 0.1,
+        lambda d: 49.6 + ((d * 3) % 19) * 0.1,
+        lambda d: 47.5 + ((d * 3) % 65) * 0.1,
+        lambda d: 38.0 + ((d * 3) % 140) * 0.1,
+        lambda d: 26.0 + ((d * 3) % 200) * 0.1,
+        lambda d: 42.5 + ((d * 3) % 85) * 0.1,
+        lambda d: 25.0 + ((d * 3) % 60) * 1.0,
+        lambda d: 60.0 + ((d * 3) % 30) * 1.0,
+        lambda d: 49.1 + ((d * 3) % 55) * 0.1,
+    ]
+
+    def rt(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pairs = {s: (C.from_lonlat(s), C.to_lonlat(s))
+                 for s in _CRS_CODES}
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                k = did % 10
+                srid = _CRS_CODES[k]
+                lon, lat = lon_of[k](did), lat_of[k](did)
+                fwd, inv = pairs[srid]
+                lon2, lat2 = inv(*fwd(lon, lat))
+                rows.append((did, srid,
+                             round(lon2, 4) + 0.0, round(lat2, 4) + 0.0))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "srid", "lon_rt", "lat_rt"])
+
+    return base.mapInPandas(
+        rt, "doc_id long, srid int, lon_rt double, lat_rt double")
+
+
+# ---------------------------------------------------------------------------
 # Multimodal round 4: baseline JPEG pixel decode under the gate
 # ---------------------------------------------------------------------------
 

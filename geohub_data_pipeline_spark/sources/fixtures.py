@@ -44,7 +44,7 @@ def ingest_messages(spark: SparkSession, n: int = 200) -> DataFrame:
 def vector_features(spark: SparkSession, n_per_layer: int = 40) -> DataFrame:
     """Features across datasets/layers with the §B defect mix:
     Point/Line/Polygon + Multi*, ~3% bowties, ~1% NULL geometry,
-    srid mix (4326/3857/32633 native + 2056 unsupported) and one
+    srid mix (4326/3857/32633 native + 29101 unsupported) and one
     NULL-srid layer."""
     from geohub_data_pipeline_spark.operators import crs as C
 
@@ -53,7 +53,7 @@ def vector_features(spark: SparkSession, n_per_layer: int = 40) -> DataFrame:
     layers = [
         ("d1", "points", 4326), ("d1", "lines", 4326),
         ("d1", "polys", 4326), ("d2", "merc", 3857),
-        ("d2", "utm", 32633), ("d2", "unsupp", 2056),
+        ("d2", "utm", 32633), ("d2", "unsupp", 29101),
         ("d2", "nosrid", None),
     ]
     for dataset, layer, srid in layers:

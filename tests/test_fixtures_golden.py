@@ -41,7 +41,7 @@ def test_fgb_stage_golden(spark):
 
     # NULL-srid layer skipped entirely
     assert "nosrid" not in out_layers
-    # unsupported CRS (2056 Swiss LV95, no pyproj) dropped +
+    # unsupported CRS (29101 Brazil Polyconic, no pyproj) dropped +
     # auditable; UTM 32633 is a native closed-form transform and SURVIVES
     assert "unsupp" not in out_layers
     assert "utm" in out_layers

@@ -27,7 +27,7 @@ def _features(spark):
         ("d2", "merc", 7, G.wkb_point(merc_x, merc_y), 3857), # reproject
         ("d2", "noskip", 8, G.wkb_point(1.0, 1.0), None),     # NULL-srid layer
         ("d2", "utm", 9, G.wkb_point(500000.0, 0.0), 32633),  # native UTM
-        ("d2", "swiss", 10, G.wkb_point(2600000.0, 1200000.0), 2056),  # unsupported
+        ("d2", "poly", 10, G.wkb_point(250000.0, 7300000.0), 29101),  # unsupported
     ]
     return spark.createDataFrame(
         rows, "dataset string, layer string, fid long, geometry binary, "
@@ -267,12 +267,12 @@ def test_feature_count_audit(spark):
             feats, norm, ["dataset", "layer"]).collect()
     }
     # zones lost 2 of 4 -> warning; roads + native-CRS utm -> ok;
-    # noskip/swiss lost everything -> error (ref processing.py:160-181)
+    # noskip/poly lost everything -> error (ref processing.py:160-181)
     assert audit[("d1", "roads")].audit_status == "ok"
     assert audit[("d1", "zones")].audit_status == "warning"
     assert audit[("d2", "noskip")].audit_status == "error"
     assert audit[("d2", "utm")].audit_status == "ok"
-    assert audit[("d2", "swiss")].audit_status == "error"
+    assert audit[("d2", "poly")].audit_status == "error"
 
 
 def test_unsupported_crs_raises_without_pyproj():
@@ -283,4 +283,4 @@ def test_unsupported_crs_raises_without_pyproj():
     except ImportError:
         pass
     with pytest.raises(NotImplementedError):
-        G._reproject_coords([1.0, 2.0], 2056)   # Swiss LV95: no table entry
+        G._reproject_coords([1.0, 2.0], 29101)  # Brazil Polyconic: no table entry
