@@ -30,8 +30,10 @@ from geohub_data_pipeline_spark.plans.registry import promote  # noqa: E402
 #
 # Round-5 staleness: 17 queries last checked in r2 (most overdue,
 # the LLM/curation tail), then crs_wkt_roundtrip (fixture bank
-# extended with HOM variant A this round), then the 50 last checked
-# in r3, then the 50 checked in r4 (freshest).
+# extended with HOM variant A this round), then the NEW round-5
+# queries (equal-area CRS, EPSG-code-only CRS, Gopher/C4 filter rule
+# sets), then the 50 last checked in r3, then the 50 checked in r4
+# (freshest).
 promote([
     "ann_ivf_coarse", "lateral_explode_top_words", "text_edit_distance",
     "text_normalize", "ann_ivf_kmeans", "ann_ivf_kmeans_parallel",
@@ -40,6 +42,7 @@ promote([
     "mixture_weights", "text_unigram_logprob", "dedup_cdc_chunks",
     "pack_sequences_offsets", "text_pii_scrub", "crs_wkt_roundtrip",
     "crs_roundtrip_equalarea", "crs_roundtrip_codes",
+    "text_gopher_rules", "text_c4_rules",
     "tile_shared_borders", "tile_joint_simplify", "overview_downsample",
     "multimodal_metadata", "geo_tile_pipeline", "crs_roundtrip",
     "makevalid_audit", "raster_probe", "gpkg_source", "q1_pricing_summary",

@@ -494,3 +494,159 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         C.scrub_pii(aug, "t")
         .select("doc_id", "n_email", "n_phone", "scrubbed")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5: the published pre-training filter rule sets as first-class
+# operators — Gopher (Rae et al. 2021, "Scaling Language Models",
+# §A1.1 quality heuristics) and C4 (Raffel et al. 2020, §2.2
+# cleaning rules).  The reference has no analog; these belong to the
+# large-scale training-data pipeline family.
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_STOP_LIST = ", ".join(f"'{w}'" for w in _GOPHER_STOPS)
+
+_GOPHER_SQL = f"""
+WITH g AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS ws,
+         n_chars,
+         CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS INTEGER)
+           AS n_symbols
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(ws) AS INTEGER) AS n_words,
+         round(CAST(n_chars - (len(ws) - 1) AS DOUBLE) / len(ws), 6)
+           AS mean_word_len,
+         round(CAST(n_symbols AS DOUBLE) / len(ws), 6) AS symbol_ratio,
+         round(CAST(len(list_filter(ws,
+               w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+               / len(ws), 6) AS alpha_word_frac,
+         CAST(len(list_filter(list_distinct(ws),
+              w -> w IN ({_GOPHER_STOP_LIST}))) AS INTEGER)
+           AS n_stop_types
+  FROM g
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
+       n_stop_types,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_word_len BETWEEN 3 AND 10
+        AND symbol_ratio < 0.1
+        AND alpha_word_frac >= 0.8
+        AND n_stop_types >= 2) AS pass_gopher
+FROM m
+ORDER BY doc_id
+"""
+
+
+@query("text_gopher_rules", "llm",
+       "LLM pipeline: the Gopher quality-filter rule set (word count, "
+       "mean word length, symbol ratio, alphabetic fraction, stop-word "
+       "diversity) as one map-side pass", _GOPHER_SQL)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality heuristics (Rae et al. 2021 §A1.1) per document:
+    50 <= words <= 100k, 3 <= mean word length <= 10, symbol-to-word
+    ratio (# and ellipsis) < 0.1, >= 80% of words contain an
+    alphabetic character, and at least 2 distinct common stop words —
+    the standard first-stage web-corpus filter.
+
+    Scale: every feature is a Catalyst expression over one corpus
+    scan (split / regexp / higher-order filter); zero shuffles, zero
+    Python.  At 100 TB this is the cheapest possible shape: scan,
+    filter map-side, write.
+    """
+    t = load_tables(spark, sf_dir)
+    ws = T.words(F.col("text"))
+    stops = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+    base = t.documents.select(
+        "doc_id",
+        F.size(ws).cast("int").alias("n_words"),
+        F.round((F.col("n_chars") - (F.size(ws) - 1)).cast("double")
+                / F.size(ws), 6).alias("mean_word_len"),
+        F.round(F.size(F.regexp_extract_all(
+            F.col("text"), F.lit(r"#|\.\.\."), 0)).cast("double")
+            / F.size(ws), 6).alias("symbol_ratio"),
+        F.round(F.size(F.filter(
+            ws, lambda w: w.rlike("[a-z]"))).cast("double")
+            / F.size(ws), 6).alias("alpha_word_frac"),
+        F.size(F.filter(F.array_distinct(ws),
+                        lambda w: F.array_contains(stops, w)))
+        .cast("int").alias("n_stop_types"),
+    )
+    return base.select(
+        "*",
+        (F.col("n_words").between(50, 100000)
+         & F.col("mean_word_len").between(3.0, 10.0)
+         & (F.col("symbol_ratio") < 0.1)
+         & (F.col("alpha_word_frac") >= 0.8)
+         & (F.col("n_stop_types") >= 2)).alias("pass_gopher"),
+    )
+
+
+_C4_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         string_split(text, '. ') AS sents,
+         string_split(text, ' ') AS ws,
+         contains(lower(text), 'lorem ipsum') AS has_lorem,
+         contains(text, '{') AS has_brace
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(sents) AS INTEGER) AS n_sentences,
+         CAST(len(list_filter(sents,
+              s -> len(string_split(trim(s), ' ')) >= 5)) AS INTEGER)
+           AS n_good_sentences,
+         CAST(len(ws) AS INTEGER) AS n_words,
+         has_lorem, has_brace
+  FROM c
+)
+SELECT doc_id, n_sentences, n_good_sentences, n_words,
+       has_lorem, has_brace,
+       (n_sentences >= 3 AND n_good_sentences = n_sentences
+        AND NOT has_lorem AND NOT has_brace
+        AND n_words >= 50) AS pass_c4
+FROM m
+ORDER BY doc_id
+"""
+
+
+@query("text_c4_rules", "llm",
+       "LLM pipeline: the C4 cleaning rule set (sentence count, "
+       "words-per-sentence, lorem-ipsum / code-brace blocklist) as "
+       "one map-side pass", _C4_SQL)
+def text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2) per document:
+    >= 3 sentences, every sentence >= 5 words, no 'lorem ipsum', no
+    curly brace (code page marker), >= 50 words.  The harness corpus
+    is single-line word soup so most docs fail the sentence rule —
+    the rule arithmetic is what the oracle pins.
+
+    Scale: identical shape to the Gopher pass — one scan, all
+    Catalyst expressions, no shuffle.
+    """
+    t = load_tables(spark, sf_dir)
+    sents = F.split(F.col("text"), r"\. ")
+    ws = T.words(F.col("text"))
+    base = t.documents.select(
+        "doc_id",
+        F.size(sents).cast("int").alias("n_sentences"),
+        F.size(F.filter(
+            sents,
+            lambda s: F.size(F.split(F.trim(s), " ")) >= 5))
+        .cast("int").alias("n_good_sentences"),
+        F.size(ws).cast("int").alias("n_words"),
+        F.lower(F.col("text")).contains("lorem ipsum").alias("has_lorem"),
+        F.col("text").contains("{").alias("has_brace"),
+    )
+    return base.select(
+        "*",
+        ((F.col("n_sentences") >= 3)
+         & (F.col("n_good_sentences") == F.col("n_sentences"))
+         & ~F.col("has_lorem") & ~F.col("has_brace")
+         & (F.col("n_words") >= 50)).alias("pass_c4"),
+    )
