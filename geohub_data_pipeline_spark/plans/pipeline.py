@@ -2317,3 +2317,320 @@ def geotiff_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.mapInPandas(
         rt, "doc_id long, width int, height int, srid int, "
             "px_sum long")
+
+
+# ---------------------------------------------------------------------------
+# S5 round-5c: KML/KMZ, GPX, CSV-points sources + SRTM .hgt probe
+# under the gate
+# ---------------------------------------------------------------------------
+
+_KML_SRC_SQL = """
+SELECT doc_id,
+       CAST(1 + doc_id % 3 + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0
+            END AS BIGINT) AS n_features,
+       (doc_id % 3 = 0) AS is_kmz,
+       round(CAST(doc_id % 90 AS DOUBLE) + 0.5, 3) AS first_lon,
+       CAST(1 AS BIGINT) AS props_ok
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("kml_source", "pipeline",
+       "§2.1 S5: KML/KMZ documents (OGC 07-147r2 Placemark/Folder/"
+       "ExtendedData, KMZ zip wrapper) parsed stdlib-only "
+       "(sources/kml.py; ref ingests them via GDAL LIBKML, "
+       "ingest/processing.py:100-213)", _KML_SRC_SQL)
+def kml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a KML document per doc_id (1-3 point Placemarks inside a
+    Folder, every 4th doc plus a holed Polygon outside it, an
+    ExtendedData property per point; every 3rd doc zipped into a KMZ)
+    and read it back through ``read_kml_bytes`` — container walk,
+    coordinates parse, MultiGeometry flattening, property extraction
+    and the KMZ unwrap all sit under the oracle compare.
+
+    Scale: each document is built and parsed inside one Arrow
+    kernel; no shuffle.
+    """
+    import io
+    import json
+    import zipfile
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.sources import kml as KML
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id")
+
+    def rt(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 1 + did % 3
+                x0 = float(did % 90) + 0.5
+                pms = "".join(
+                    f'<Placemark><name>p{i}</name><ExtendedData>'
+                    f'<Data name="pop"><value>{i * 10}</value></Data>'
+                    f'</ExtendedData><Point><coordinates>'
+                    f'{x0 + i},0.25,0</coordinates></Point></Placemark>'
+                    for i in range(n))
+                poly = ""
+                if did % 4 == 0:
+                    poly = ('<Placemark><Polygon><outerBoundaryIs>'
+                            '<LinearRing><coordinates>'
+                            '0,0 2,0 2,2 0,2 0,0'
+                            '</coordinates></LinearRing>'
+                            '</outerBoundaryIs></Polygon></Placemark>')
+                doc = (f'<?xml version="1.0"?>'
+                       f'<kml xmlns="http://www.opengis.net/kml/2.2">'
+                       f'<Document><name>d{did}</name>'
+                       f'<Folder><name>pts</name>{pms}</Folder>'
+                       f'{poly}</Document></kml>').encode()
+                is_kmz = did % 3 == 0
+                if is_kmz:
+                    buf = io.BytesIO()
+                    with zipfile.ZipFile(buf, "w") as z:
+                        z.writestr("doc.kml", doc)
+                    doc = buf.getvalue()
+                got = list(KML.read_kml_bytes(
+                    doc, f"d{did}.{'kmz' if is_kmz else 'kml'}"))
+                pts = [r for r in got if r[1] == "pts"]
+                props_ok = int(
+                    all(json.loads(r[6]) == {"name": f"p{i}",
+                                             "pop": str(i * 10)}
+                        for i, r in enumerate(pts))
+                    and all(G.parse_wkb(r[3])["coords"]
+                            == [x0 + i, 0.25]
+                            for i, r in enumerate(pts))
+                    and all(r[4] == 4326 for r in got))
+                rows.append((did, len(got), is_kmz,
+                             round(G.parse_wkb(pts[0][3])["coords"][0],
+                                   3), props_ok))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_features", "is_kmz", "first_lon",
+                "props_ok"])
+
+    return base.mapInPandas(
+        rt, "doc_id long, n_features long, is_kmz boolean, "
+            "first_lon double, props_ok long")
+
+
+_GPX_SRC_SQL = """
+SELECT doc_id,
+       CAST(1 + doc_id % 3 AS BIGINT) AS n_waypoints,
+       CAST(1 + doc_id % 2 AS BIGINT) AS n_track_segs,
+       round(45.0 + CAST(doc_id % 40 AS DOUBLE) * 0.1, 3)
+         AS first_lat,
+       CAST(1 AS BIGINT) AS shapes_ok
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("gpx_source", "pipeline",
+       "§2.1 S5: GPX 1.1 documents (wpt/trk/trkseg/rte) parsed "
+       "stdlib-only (sources/kml.py; ref ingests them via GDAL's GPX "
+       "driver, ingest/processing.py:100-213)", _GPX_SRC_SQL)
+def gpx_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a GPX document per doc_id (1-3 waypoints, one track
+    with 1-2 segments, one route) and read it back — waypoint
+    points, track MultiLineStrings and route LineStrings under the
+    oracle compare.
+
+    Scale: one Arrow kernel, no shuffle.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.sources import kml as KML
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id")
+
+    def rt(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nw = 1 + did % 3
+                ns = 1 + did % 2
+                lat0 = 45.0 + (did % 40) * 0.1
+                wpts = "".join(
+                    f'<wpt lat="{lat0 + i}" lon="{10 + i}">'
+                    f'<name>w{i}</name></wpt>' for i in range(nw))
+                segs = "".join(
+                    f'<trkseg><trkpt lat="50" lon="{s}"/>'
+                    f'<trkpt lat="50.5" lon="{s + 0.5}"/></trkseg>'
+                    for s in range(ns))
+                doc = (f'<?xml version="1.0"?>'
+                       f'<gpx xmlns="http://www.topografix.com/GPX/1/1"'
+                       f' version="1.1">{wpts}'
+                       f'<trk><name>t</name>{segs}</trk>'
+                       f'<rte><rtept lat="40" lon="5"/>'
+                       f'<rtept lat="41" lon="6"/></rte></gpx>').encode()
+                got = list(KML.read_gpx_bytes(doc, f"d{did}.gpx"))
+                by_layer = {}
+                for r in got:
+                    by_layer.setdefault(r[1], []).append(r)
+                trk = G.parse_wkb(by_layer["tracks"][0][3])
+                rte = G.parse_wkb(by_layer["routes"][0][3])
+                w0 = G.parse_wkb(by_layer["waypoints"][0][3])
+                shapes_ok = int(
+                    trk["type"] == G.MULTILINESTRING
+                    and len(trk["parts"]) == ns
+                    and rte["type"] == G.LINESTRING
+                    and len(by_layer["waypoints"]) == nw)
+                rows.append((did, len(by_layer["waypoints"]),
+                             len(trk["parts"]),
+                             round(w0["coords"][1], 3), shapes_ok))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_waypoints", "n_track_segs", "first_lat",
+                "shapes_ok"])
+
+    return base.mapInPandas(
+        rt, "doc_id long, n_waypoints long, n_track_segs long, "
+            "first_lat double, shapes_ok long")
+
+
+_CSV_SRC_SQL = """
+SELECT doc_id,
+       CAST(1 + doc_id % 5 AS BIGINT) AS n_features,
+       round(-170.0 + CAST(doc_id % 340 AS DOUBLE), 3) AS first_lon,
+       CAST(1 AS BIGINT) AS props_ok
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("csv_points_source", "pipeline",
+       "§2.1 S5: CSV lat/lon point tables (GDAL CSV-driver name "
+       "heuristics, bad-row skip) parsed via sources/csvpoints.py "
+       "(ref allowlists tabular uploads through ogr2ogr)",
+       _CSV_SRC_SQL)
+def csv_points_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a CSV per doc_id (1-5 rows with Latitude/Longitude
+    columns + a name property + one malformed row) and read it back
+    through the bytes form — column detection, float parse, bad-row
+    skip and the property bag under the oracle compare (the
+    Spark-native ``features_from_csv`` shares the same detection and
+    is covered in tests/test_kml_gpx_csv_hgt.py).
+
+    Scale: one Arrow kernel, no shuffle.
+    """
+    import json
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.sources import csvpoints as CSVP
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id")
+
+    def rt(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 1 + did % 5
+                lon0 = -170.0 + (did % 340)
+                body = "name,Latitude,Longitude\n" + "".join(
+                    f"r{i},{0.5 + i},{lon0 + i}\n" for i in range(n)
+                ) + "bad,,\n"
+                got = list(CSVP.read_csv_bytes(
+                    body.encode(), f"d{did}.csv"))
+                props_ok = int(all(
+                    json.loads(r[6]) == {"name": f"r{i}"}
+                    and G.parse_wkb(r[3])["coords"]
+                    == [lon0 + i, 0.5 + i]
+                    for i, r in enumerate(got)))
+                rows.append((did, len(got),
+                             round(G.parse_wkb(got[0][3])["coords"][0],
+                                   3), props_ok))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_features", "first_lon", "props_ok"])
+
+    return base.mapInPandas(
+        rt, "doc_id long, n_features long, first_lon double, "
+            "props_ok long")
+
+
+_HGT_SQL = """
+SELECT doc_id,
+       CAST(1 AS BIGINT) AS n_blocks,
+       CAST(65 AS INTEGER) AS width,
+       CAST(1081600 + 4225 * (doc_id % 10) AS BIGINT) AS px_sum,
+       round(CAST(doc_id % 100 AS DOUBLE) - 0.0078125, 7)
+         AS origin_lon,
+       round(CAST(doc_id % 50 AS DOUBLE) + 1.0078125, 7)
+         AS origin_lat
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("hgt_probe", "pipeline",
+       "§2.1 S6: SRTM .hgt elevation tiles (big-endian int16, "
+       "size-derived grid, filename georeferencing with the "
+       "pixel-is-point half-sample shift) via sources/srtmhgt.py "
+       "(ref converts DEMs through the raster path, "
+       "ingest/processing.py:469-552)", _HGT_SQL)
+def hgt_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a 65x65 SRTM-style tile per doc_id (elevation =
+    doc_id%10 + 7*row + col — no int16 wrap at this size) named
+    N{doc%50}E{doc%100}.hgt, parse it and derive the georef: block
+    splitting, big-endian decode, pixel sum, and the half-sample
+    corner shift (s = 1/64) all under the oracle compare.
+
+    Scale: one Arrow kernel, no shuffle.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.sources import srtmhgt as HGT
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id")
+
+    def rt(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 65
+                arr = (did % 10
+                       + np.add.outer(7 * np.arange(n), np.arange(n))
+                       ).astype(">i2")
+                name = f"N{did % 50:02d}E{did % 100:03d}.hgt"
+                parsed = HGT.parse_hgt(arr.tobytes())
+                blocks = HGT._blocks_of(name, parsed)
+                px_sum = int(sum(sum(b[8]) for b in blocks))
+                sw = HGT.parse_hgt_name(name)
+                s = 1.0 / (n - 1)
+                rows.append((did, len(blocks), blocks[0][6], px_sum,
+                             round(sw[0] - s / 2, 7),
+                             round(sw[1] + 1 + s / 2, 7)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_blocks", "width", "px_sum",
+                "origin_lon", "origin_lat"])
+
+    return base.mapInPandas(
+        rt, "doc_id long, n_blocks long, width int, px_sum long, "
+            "origin_lon double, origin_lat double")

@@ -34,10 +34,11 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-VECTOR_EXTS = (".gpkg", ".gdb", ".fgb", ".geojson", ".json", ".shp")
+VECTOR_EXTS = (".gpkg", ".gdb", ".fgb", ".geojson", ".json", ".shp",
+               ".kml", ".kmz", ".gpx", ".csv")
 RASTER_EXTS = (".tif", ".tiff", ".gtif", ".gtiff", ".nc", ".nc4",
                ".h5", ".hdf5", ".asc", ".grd", ".aig", ".sgr",
-               ".raw", ".bl")
+               ".raw", ".bl", ".hgt")
 ARCHIVE_EXTS = (".zip", ".gz", ".tar", ".tgz", ".7z")
 
 
@@ -96,6 +97,21 @@ def read_vector_features(spark: SparkSession, path: str) -> DataFrame:
                .load(os.path.dirname(path) or ".")
                .select("path", "content"))
         return shapefile_feature_rows(raw)
+    if low.endswith((".kml", ".kmz")):
+        from geohub_data_pipeline_spark.sources.kml import (
+            features_from_kml,
+        )
+        return features_from_kml(spark, path)
+    if low.endswith(".gpx"):
+        from geohub_data_pipeline_spark.sources.kml import (
+            features_from_gpx,
+        )
+        return features_from_gpx(spark, path)
+    if low.endswith(".csv"):
+        from geohub_data_pipeline_spark.sources.csvpoints import (
+            features_from_csv,
+        )
+        return features_from_csv(spark, path)
     # fall through: engine-native feature parquet
     return spark.read.parquet(path)
 
@@ -135,6 +151,10 @@ def read_raster_source(spark: SparkSession, path: str):
         from geohub_data_pipeline_spark.sources import erdasraw as ER
         return (ER.blocks_from_erdas(
             spark, os.path.dirname(path) or "."), None, None)
+    if low.endswith(".hgt"):
+        from geohub_data_pipeline_spark.sources import srtmhgt as HGT
+        return (HGT.blocks_from_hgt(spark, path),
+                HGT.georef_from_hgt(spark, path), None)
     raise ValueError(f"no raster reader for {path}")
 
 
@@ -381,4 +401,5 @@ def _archive_is_raster(path: str) -> bool:
 
 def _archive_is_vector(path: str) -> bool:
     return _archive_members_match(
-        path, (".shp", ".geojson", ".json", ".gpkg", ".fgb"))
+        path, (".shp", ".geojson", ".json", ".gpkg", ".fgb",
+               ".kml", ".gpx", ".csv"))

@@ -176,6 +176,40 @@ def geojson_feature_rows(members: DataFrame) -> DataFrame:
                     except (ValueError, struct.error, IndexError):
                         pass               # -skipfailures
                     continue
+                if low.endswith((".kml", ".kmz", ".gpx")):
+                    import zipfile
+                    from xml.etree.ElementTree import ParseError
+
+                    from geohub_data_pipeline_spark.sources import (
+                        kml as KML,
+                    )
+                    mstem = os.path.splitext(
+                        os.path.basename(member))[0]
+                    try:
+                        if low.endswith(".gpx"):
+                            rows += list(KML.read_gpx_bytes(
+                                bytes(payload), dataset))
+                        else:
+                            rows += list(KML.read_kml_bytes(
+                                bytes(payload), dataset,
+                                default_layer=mstem))
+                    except (ParseError, ValueError, TypeError, OSError,
+                            zipfile.BadZipFile):
+                        pass               # -skipfailures
+                    continue
+                if low.endswith(".csv"):
+                    from geohub_data_pipeline_spark.sources import (
+                        csvpoints as CSVP,
+                    )
+                    mstem = os.path.splitext(
+                        os.path.basename(member))[0]
+                    try:
+                        rows += [(dataset, mstem) + r[2:]
+                                 for r in CSVP.read_csv_bytes(
+                                     bytes(payload), dataset)]
+                    except (ValueError, OSError):
+                        pass               # -skipfailures
+                    continue
                 if not low.endswith((".geojson", ".json")):
                     continue
                 try:

@@ -1,0 +1,192 @@
+"""Round-5 upload formats: KML/KMZ + GPX + CSV points (vector) and
+SRTM .hgt (raster) — sources/kml.py, sources/csvpoints.py,
+sources/srtmhgt.py, wired through processing.py's dispatch tree
+(the reference accepts these via GDAL's LIBKML/GPX/CSV/SRTMHGT
+drivers, ref ingest/processing.py:100-213, 469-552)."""
+
+import io
+import json
+import os
+import zipfile
+
+import numpy as np
+import pytest
+
+from geohub_data_pipeline_spark.operators import geometry as G
+from geohub_data_pipeline_spark.sources import csvpoints as CSVP
+from geohub_data_pipeline_spark.sources import kml as KML
+from geohub_data_pipeline_spark.sources import srtmhgt as HGT
+
+_KML = b"""<?xml version="1.0" encoding="UTF-8"?>
+<kml xmlns="http://www.opengis.net/kml/2.2">
+ <Document><name>demo</name>
+  <Folder><name>pois</name>
+   <Placemark><name>A</name>
+    <ExtendedData><Data name="pop"><value>12</value></Data></ExtendedData>
+    <Point><coordinates>10.5,52.25,0</coordinates></Point></Placemark>
+   <Placemark><name>B</name>
+    <MultiGeometry>
+     <Point><coordinates>1,2</coordinates></Point>
+     <LineString><coordinates>0,0 1,1 2,0</coordinates></LineString>
+    </MultiGeometry></Placemark>
+  </Folder>
+  <Placemark><name>zone</name>
+   <Polygon><outerBoundaryIs><LinearRing>
+    <coordinates>0,0 4,0 4,4 0,4 0,0</coordinates>
+   </LinearRing></outerBoundaryIs>
+   <innerBoundaryIs><LinearRing>
+    <coordinates>1,1 2,1 2,2 1,2 1,1</coordinates>
+   </LinearRing></innerBoundaryIs></Polygon></Placemark>
+ </Document>
+</kml>"""
+
+_GPX = b"""<?xml version="1.0"?>
+<gpx xmlns="http://www.topografix.com/GPX/1/1" version="1.1">
+ <wpt lat="52.1" lon="10.2"><name>w1</name><ele>120</ele></wpt>
+ <trk><name>t1</name>
+  <trkseg><trkpt lat="52.0" lon="10.0"/><trkpt lat="52.1" lon="10.1"/></trkseg>
+  <trkseg><trkpt lat="53.0" lon="11.0"/><trkpt lat="53.1" lon="11.1"/></trkseg>
+ </trk>
+ <rte><name>r1</name><rtept lat="50" lon="9"/><rtept lat="50.5" lon="9.5"/></rte>
+</gpx>"""
+
+
+def test_kml_placemark_parse():
+    rows = list(KML.read_kml_bytes(_KML, "demo.kml"))
+    assert [r[1] for r in rows] == ["pois", "pois", "pois", "demo"]
+    kinds = [G.parse_wkb(r[3])["type"] for r in rows]
+    assert kinds == [G.POINT, G.POINT, G.LINESTRING, G.POLYGON]
+    assert json.loads(rows[0][6]) == {"name": "A", "pop": "12"}
+    assert G.parse_wkb(rows[0][3])["coords"] == [10.5, 52.25]
+    assert all(r[4] == 4326 for r in rows)
+    # the hole made it into the polygon (two parts: shell + ring)
+    assert len(G.parse_wkb(rows[3][3])["parts"]) == 2
+
+
+def test_kmz_unwraps_doc_kml():
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("other.kml", b"<kml/>")
+        z.writestr("doc.kml", _KML)
+    rows = list(KML.read_kml_bytes(buf.getvalue(), "demo.kmz"))
+    assert len(rows) == 4                  # doc.kml wins over other.kml
+
+
+def test_gpx_parse():
+    rows = list(KML.read_gpx_bytes(_GPX, "demo.gpx"))
+    by_layer = {r[1]: r for r in rows}
+    assert set(by_layer) == {"waypoints", "tracks", "routes"}
+    assert G.parse_wkb(by_layer["waypoints"][3])["coords"] == [10.2, 52.1]
+    trk = G.parse_wkb(by_layer["tracks"][3])
+    assert trk["type"] == G.MULTILINESTRING
+    assert json.loads(by_layer["waypoints"][6])["ele"] == "120"
+
+
+def test_kml_source_dataframe(spark, tmp_path):
+    (tmp_path / "demo.kml").write_bytes(_KML)
+    df = KML.features_from_kml(spark, str(tmp_path / "demo.kml"))
+    rows = df.collect()
+    assert len(rows) == 4
+    norm = G.normalize_features(df).collect()
+    assert len(norm) == 4                  # all valid, all 4326 already
+    assert {r.srid for r in norm} == {4326}
+
+
+def test_csv_points_spark_native(spark, tmp_path):
+    p = tmp_path / "cities.csv"
+    p.write_text("name,Latitude,Longitude,pop\n"
+                 "berlin,52.52,13.405,3600000\n"
+                 "paris,48.857,2.352,2100000\n"
+                 "bad,,2.0,0\n")
+    df = CSVP.features_from_csv(spark, str(p))
+    rows = sorted(df.collect(), key=lambda r: r.fid)
+    assert len(rows) == 2                  # NULL lat dropped
+    assert {r.layer for r in rows} == {"cities"}
+    coords = sorted(G.parse_wkb(bytes(r.geometry))["coords"]
+                    for r in rows)
+    assert coords == [[2.352, 48.857], [13.405, 52.52]]
+    props = json.loads(rows[0].properties)
+    assert set(props) == {"name", "pop"}
+    # single-doc bytes form (archive member path)
+    rows2 = list(CSVP.read_csv_bytes(p.read_bytes(), "cities.csv"))
+    assert len(rows2) == 2
+
+
+def test_csv_without_coords_raises(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("a,b\n1,2\n")
+    with pytest.raises(ValueError):
+        CSVP.features_from_csv(spark, str(p))
+
+
+def _hgt_tile(n=257):
+    """Synthetic square SRTM-style tile: elevation = row*1000 + col
+    clipped to int16, with one void."""
+    arr = np.add.outer(np.arange(n) * 7, np.arange(n)) % 9000
+    arr = arr.astype(">i2")
+    arr[5, 5] = -32768
+    return arr.tobytes()
+
+
+def test_hgt_parse_and_blocks(spark, tmp_path):
+    p = tmp_path / "N52E013.hgt"
+    p.write_bytes(_hgt_tile())
+    blocks = HGT.blocks_from_hgt(spark, str(p)).collect()
+    # 257x257 -> 2x2 block grid with ragged 1-px edges
+    assert len(blocks) == 4
+    b00 = next(b for b in blocks if b.block_x == 0 and b.block_y == 0)
+    assert b00.width == 256 and b00.height == 256
+    assert b00.pixels[0] == 0.0 and b00.pixels[1] == 1.0
+    assert b00.pixels[5 * 256 + 5] == -32768.0   # the void
+    assert b00.nodata == -32768.0 and b00.srid == 4326
+    g = HGT.georef_from_hgt(spark, str(p)).collect()
+    assert len(g) == 1
+    s = 1.0 / 256
+    assert g[0].origin_x == pytest.approx(13.0 - s / 2)
+    assert g[0].origin_y == pytest.approx(53.0 + s / 2)
+    assert g[0].pixel_sx == pytest.approx(s)
+
+
+def test_hgt_name_parse():
+    assert HGT.parse_hgt_name("N52E013.hgt") == (13.0, 52.0)
+    assert HGT.parse_hgt_name("S33W070.hgt") == (-70.0, -33.0)
+    assert HGT.parse_hgt_name("garbage.hgt") is None
+
+
+def test_process_geo_file_dispatch_new_formats(spark, tmp_path):
+    """End-to-end through the real tree: .kml -> FGB+PMTiles,
+    .hgt -> validated COG."""
+    from geohub_data_pipeline_spark import processing as PROC
+
+    src = tmp_path / "demo.kml"
+    src.write_bytes(_KML)
+    out = PROC.process_geo_file(spark, str(src), str(tmp_path / "v"))
+    assert any(a.endswith(".fgb") for a in out["artifacts"])
+    assert any(a.endswith(".pmtiles") for a in out["artifacts"])
+    assert {c["kind"] for c in out["chunks"]} == {"layer"}
+
+    hgt = tmp_path / "N52E013.hgt"
+    hgt.write_bytes(_hgt_tile())
+    out = PROC.process_geo_file(spark, str(hgt), str(tmp_path / "r"))
+    cogs = [a for a in out["artifacts"] if a.endswith(".tif")]
+    assert cogs and all(a["valid"]
+                        for a in out["audits"]["cog_validate"])
+
+
+def test_kml_gpx_csv_archive_members(spark, tmp_path):
+    """Zipped .kml/.gpx/.csv members flow through the archive source."""
+    from geohub_data_pipeline_spark.sources.archive import (
+        features_from_archives,
+    )
+
+    z = tmp_path / "mixed.zip"
+    with zipfile.ZipFile(z, "w") as zf:
+        zf.writestr("demo.kml", _KML)
+        zf.writestr("trip.gpx", _GPX)
+        zf.writestr("cities.csv",
+                    "lat,lon,name\n52.52,13.405,berlin\n")
+    rows = features_from_archives(spark, str(z)).collect()
+    layers = {r.layer for r in rows}
+    assert {"pois", "demo", "waypoints", "tracks", "routes",
+            "cities"} <= layers
+    assert len(rows) == 4 + 3 + 1
