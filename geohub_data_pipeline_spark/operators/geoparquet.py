@@ -92,3 +92,91 @@ def write_geoparquet_tables(normalized, dst_dir: str):
         "dataset string, layer string, path string, n_features long, "
         "file_bytes long, bbox_minx double, bbox_miny double, "
         "bbox_maxx double, bbox_maxy double")
+
+
+def geoparquet_info(path: str) -> dict | None:
+    """The parsed ``geo`` footer metadata of a (Geo)Parquet file or
+    of the first parquet part under a directory, else None.  A footer
+    read is a few KB regardless of file size — driver-side by design,
+    like any catalog lookup."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = [path]
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    if not files:
+        return None
+    try:
+        meta = pq.read_schema(files[0]).metadata or {}
+    except OSError:
+        return None
+    raw = meta.get(b"geo")
+    if not raw:
+        return None
+    try:
+        return json.loads(raw)
+    except ValueError:
+        return None
+
+
+def _srid_of_geo(geo: dict) -> int:
+    """GeoParquet ``crs``: null/absent means OGC:CRS84 (lon/lat WGS84
+    == srid 4326 for this 2D engine); a PROJJSON object carries its
+    EPSG code under id.code."""
+    col = geo.get("columns", {}).get(geo.get("primary_column",
+                                             "geometry"), {})
+    crs = col.get("crs")
+    if not crs:
+        return 4326
+    if isinstance(crs, dict):
+        ident = crs.get("id", {})
+        if str(ident.get("authority", "")).upper() == "EPSG":
+            try:
+                return int(ident.get("code"))
+            except (TypeError, ValueError):
+                return 4326
+    return 4326
+
+
+def features_from_geoparquet(spark, path: str):
+    """GeoParquet -> engine feature rows, fully Spark-native: the
+    scan is Spark's own distributed parquet reader (splittable,
+    column-pruned, predicate pushdown on attributes), the layer comes
+    from ``input_file_name`` and the property bag from ``to_json``
+    over the non-geometry columns — no Python in the row path at
+    all; only the one-footer ``geo`` metadata read happens on the
+    driver.  This is the read twin of ``write_geoparquet_tables``
+    (the engine's T7 interchange artifact).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    geo = geoparquet_info(path) or {}
+    gcol = geo.get("primary_column", "geometry")
+    srid = _srid_of_geo(geo) if geo else 4326
+
+    df = spark.read.parquet(path)
+    if gcol not in df.columns:
+        raise ValueError(f"no geometry column {gcol!r} in {path}")
+    dataset = os.path.basename(path.rstrip("/"))
+    layer = F.regexp_extract(F.input_file_name(),
+                             r"([^/]+?)(\.parquet)?$", 1)
+    props = [c for c in df.columns if c not in (gcol, "fid")]
+
+    out = df.select(
+        F.lit(dataset).alias("dataset"),
+        layer.alias("layer"),
+        (F.col("fid").cast("long") if "fid" in df.columns
+         else F.row_number().over(
+             Window.partitionBy(F.input_file_name())
+             .orderBy(F.monotonically_increasing_id())).cast("long"))
+        .alias("fid"),
+        F.col(gcol).alias("geometry"),
+        F.lit(srid).cast("int").alias("srid"),
+        F.lit(None).cast("string").alias("crs_wkt"),
+        (F.to_json(F.struct(*[F.col(c) for c in props])) if props
+         else F.lit(None).cast("string")).alias("properties"),
+    )
+    return out

@@ -112,6 +112,15 @@ def read_vector_features(spark: SparkSession, path: str) -> DataFrame:
             features_from_csv,
         )
         return features_from_csv(spark, path)
+    if low.endswith((".parquet", ".geoparquet")) or os.path.isdir(path):
+        from geohub_data_pipeline_spark.operators.geoparquet import (
+            features_from_geoparquet,
+            geoparquet_info,
+        )
+        # a ``geo`` footer marks a GeoParquet layer file; plain
+        # parquet falls through as engine-native feature rows
+        if geoparquet_info(path) is not None:
+            return features_from_geoparquet(spark, path)
     # fall through: engine-native feature parquet
     return spark.read.parquet(path)
 

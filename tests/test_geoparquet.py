@@ -41,3 +41,38 @@ def test_write_geoparquet_per_layer(spark, tmp_path):
     back = spark.read.parquet(m.path)
     assert back.count() == m.n_features
     assert set(back.columns) == {"fid", "geometry"}
+
+
+def test_geoparquet_reader_roundtrip(spark, tmp_path):
+    """features_from_geoparquet is the read twin of the sink: the
+    engine's own artifacts load back as feature rows with layer,
+    fid, WKB and srid intact — and the path is fully Spark-native
+    (plain parquet scan)."""
+    from geohub_data_pipeline_spark.operators.geoparquet import (
+        features_from_geoparquet,
+        geoparquet_info,
+    )
+    from geohub_data_pipeline_spark import processing as PROC
+
+    feats = FX.vector_features(spark, n_per_layer=10)
+    norm = G.normalize_features(feats)
+    manifest = write_geoparquet_tables(norm, str(tmp_path)).collect()
+    m = next(x for x in manifest if x.layer == "points")
+
+    assert geoparquet_info(m.path)["primary_column"] == "geometry"
+    back = features_from_geoparquet(spark, m.path).collect()
+    assert len(back) == m.n_features
+    assert {r.layer for r in back} == {f"{m.dataset}_points"}
+    assert {r.srid for r in back} == {4326}   # null crs -> OGC:CRS84
+    g = G.parse_wkb(bytes(back[0].geometry))
+    assert g is not None and g["type"] == G.MULTIPOINT
+
+    # the dispatch tree routes a .parquet with a geo footer here
+    routed = PROC.read_vector_features(spark, m.path)
+    assert sorted(routed.columns)[:3] == ["crs_wkt", "dataset", "fid"]
+    assert routed.count() == m.n_features
+
+    # directory-of-layers form: whole output dir loads as one frame
+    all_back = features_from_geoparquet(spark, str(tmp_path))
+    assert all_back.count() == sum(x.n_features for x in manifest)
+    assert all_back.select("layer").distinct().count() == len(manifest)
