@@ -46,13 +46,14 @@ def detect_coord_columns(columns: list[str]) -> tuple[str, str] | None:
 
 def features_from_csv(spark: SparkSession, path: str) -> DataFrame:
     """Scan a CSV (or a directory of CSV parts) with lat/lon columns
-    into engine feature rows.  Layer = file stem; fid = 1-based row
-    number within the dataset (monotonically_increasing_id is not
-    stable across runs, so fid is a row_number over a deterministic
-    sort of the property tuple — small files; large tables should
-    carry their own id column, which is preserved in properties)."""
-    from pyspark.sql import Window
-
+    into engine feature rows.  Layer = file stem; fid = a
+    deterministic 64-bit xxhash of (lon, lat, properties), computed
+    map-side — a global row-number would shuffle every row of a
+    terabyte-scale CSV to one partition, a hash keeps the scan
+    embarrassingly parallel.  Tables carrying a real id column keep
+    it in the property bag; exact-duplicate rows share a fid, which
+    the (dataset, layer, fid) join key tolerates the same way
+    repeated GDAL FIDs are."""
     from geohub_data_pipeline_spark.session import ship_package
     ship_package(spark)
 
@@ -77,8 +78,8 @@ def features_from_csv(spark: SparkSession, path: str) -> DataFrame:
         .alias("properties"),
     ).filter(F.col("_lon").isNotNull() & F.col("_lat").isNotNull())
 
-    w = Window.partitionBy("dataset").orderBy("_lat", "_lon", "properties")
-    base = base.withColumn("fid", F.row_number().over(w).cast("long"))
+    base = base.withColumn(
+        "fid", F.xxhash64("_lon", "_lat", "properties").cast("long"))
 
     def pack(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         header = b"\x01\x01\x00\x00\x00"     # little-endian WKB Point
