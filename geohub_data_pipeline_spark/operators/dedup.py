@@ -21,7 +21,7 @@ computation is embarrassingly parallel map-side work.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from geohub_data_pipeline_spark.functions import text as T
@@ -339,3 +339,68 @@ def alternating_cc(edges: DataFrame, src: str = "id_a",
         nodes.join(e.withColumnRenamed("u", "node"), "node", "left")
         .select("node", F.coalesce("v", "node").alias("label"))
     )
+
+
+def substring_dup_spans(df: DataFrame, text_col: str, id_col: str,
+                        k: int = 40) -> DataFrame:
+    """Exact-substring deduplication, the distributed k-gram form of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"): a character position is duplicated when its
+    k-char gram occurs anywhere else in the corpus (another document
+    OR another position of the same one); overlapping/contiguous
+    duplicated windows merge into maximal spans (the byte ranges the
+    suffix-array method would cut).
+
+    Returns one row per document: ``n_dup_spans``, ``dup_chars``
+    (union length of all spans), ``total_chars``.
+
+    Scale: gram extraction is a Catalyst higher-order ``transform``
+    + ``posexplode`` (map-side); duplicate marking is ONE shuffle on
+    the 8-byte gram hash (count > 1 — the same bucket-join shape as
+    the MinHash band stage, never all-pairs); span merging is a
+    per-document sort-window (gaps-and-islands), shuffled by doc id.
+    Suffix arrays don't distribute; k-gram marking is the published
+    scalable equivalent and finds the identical >= k duplicated
+    ranges.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.length(text_col).alias("total_chars"),
+        F.posexplode(
+            F.expr(f"transform(sequence(1, greatest(length({text_col})"
+                   f" - {k - 1}, 0)), i -> "
+                   f"xxhash64(substr({text_col}, i, {k})))")
+        ).alias("pos0", "gram"),
+    ).select(
+        id_col, "total_chars", (F.col("pos0") + 1).alias("start"), "gram",
+    )
+
+    dup_grams = (grams.groupBy("gram").count()
+                 .filter(F.col("count") > 1).select("gram"))
+    marked = grams.join(dup_grams, "gram", "leftsemi")
+
+    w = (Window.partitionBy(id_col).orderBy("start")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    islands = marked.select(
+        id_col, "total_chars", "start",
+        F.when(
+            F.col("start") > F.coalesce(F.max(F.col("start") + k - 1)
+                                        .over(w), F.lit(-1)) + 1,
+            1).otherwise(0).alias("is_new"),
+    ).withColumn(
+        "island",
+        F.sum("is_new").over(
+            Window.partitionBy(id_col).orderBy("start")
+            .rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+    spans = islands.groupBy(id_col, "total_chars", "island").agg(
+        F.min("start").alias("s0"),
+        (F.max("start") + k - 1).alias("s1"),
+    )
+    return spans.groupBy(id_col, "total_chars").agg(
+        F.count("*").cast("long").alias("n_dup_spans"),
+        F.sum(F.col("s1") - F.col("s0") + 1).cast("long")
+        .alias("dup_chars"),
+    ).select(id_col, "n_dup_spans", "dup_chars",
+             F.col("total_chars").cast("long"))

@@ -1148,3 +1148,77 @@ def ann_ivf_kmeans_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
                       cell_col="cell")
     return _recall_audit(approx, vecs, k=3, query_filter=qf,
                          threshold=0.15)
+
+
+# ---------------------------------------------------------------------------
+# Round-5: exact-substring dedup (Lee et al. 2022 ExactSubstr, the
+# distributed k-gram form) under the gate
+# ---------------------------------------------------------------------------
+
+_SUBSTR_SQL = """
+WITH g0 AS (
+  SELECT doc_id, text, len(text) AS total_chars,
+         unnest(range(1, greatest(len(text) - 39, 0) + 1)) AS start
+  FROM documents
+),
+g AS (
+  SELECT doc_id, total_chars, start,
+         substr(text, start, 40) AS gram
+  FROM g0
+),
+m AS (
+  SELECT * FROM g
+  WHERE gram IN (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1)
+),
+w AS (
+  SELECT doc_id, total_chars, start,
+         CASE WHEN start > coalesce(max(start + 39) OVER (
+              PARTITION BY doc_id ORDER BY start
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              -1) + 1
+              THEN 1 ELSE 0 END AS is_new
+  FROM m
+),
+isl AS (
+  SELECT doc_id, total_chars, start,
+         sum(is_new) OVER (PARTITION BY doc_id ORDER BY start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM w
+),
+sp AS (
+  SELECT doc_id, total_chars, island, min(start) AS s0,
+         max(start) + 39 AS s1
+  FROM isl GROUP BY doc_id, total_chars, island
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+       CAST(sum(s1 - s0 + 1) AS BIGINT) AS dup_chars,
+       CAST(total_chars AS BIGINT) AS total_chars
+FROM sp GROUP BY doc_id, total_chars
+ORDER BY doc_id
+"""
+
+
+@query("dedup_substring_spans", "llm",
+       "LLM pipeline: exact-substring dedup (Lee et al. 2022) — "
+       "40-char duplicated windows merged to maximal spans; one "
+       "8-byte-hash shuffle + per-doc gaps-and-islands window",
+       _SUBSTR_SQL)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level exact duplicate spans per document: a position
+    is duplicated when its 40-char gram occurs anywhere else in the
+    corpus; overlapping/contiguous windows merge (gaps-and-islands).
+    The oracle groups on the literal substring; the Spark side
+    shuffles a 64-bit xxhash instead (5x less shuffle volume at
+    identical semantics — a collision at corpus scale is ~1e-10,
+    the same posture as every MinHash stage).
+
+    Scale: the suffix array of the published method doesn't
+    distribute; this k-gram marking is its scalable equivalent —
+    map-side gram transform, ONE hash-keyed shuffle for the
+    count>1 filter, one doc-keyed window for span merge.
+    """
+    from geohub_data_pipeline_spark.operators import dedup as D
+
+    t = load_tables(spark, sf_dir)
+    return D.substring_dup_spans(t.documents, "text", "doc_id", k=40)
