@@ -375,9 +375,14 @@ def substring_dup_spans(df: DataFrame, text_col: str, id_col: str,
         id_col, "total_chars", (F.col("pos0") + 1).alias("start"), "gram",
     )
 
-    dup_grams = (grams.groupBy("gram").count()
-                 .filter(F.col("count") > 1).select("gram"))
-    marked = grams.join(dup_grams, "gram", "leftsemi")
+    # duplicate marking: a count-over-gram window instead of a
+    # groupBy + semi-join back — the join form scans the gram frame
+    # twice and shuffles twice; the window pays ONE shuffle on the
+    # 8-byte hash and keeps (doc, start) riding along
+    marked = (grams.withColumn(
+        "n_occ", F.count("*").over(Window.partitionBy("gram")))
+        .filter(F.col("n_occ") > 1)
+        .drop("n_occ", "gram"))
 
     w = (Window.partitionBy(id_col).orderBy("start")
          .rowsBetween(Window.unboundedPreceding, -1))
