@@ -86,9 +86,15 @@ def parse_messages(df: DataFrame) -> DataFrame:
 
 # the reference's raster allowlist (ref ingest/config.py
 # ALLOWED_GDAL_FORMATS + the Erdas Imagine Raw pair) — anything else
-# under /raw/ is vector-pathed, as in the reference dispatch
-RASTER_EXTS = (".tif", ".tiff", ".gtif", ".gtiff", ".nc", ".nc4",
-               ".aig", ".asc", ".sgr", ".grd", ".raw", ".bl", ".img")
+# under /raw/ is vector-pathed, as in the reference dispatch.
+# Kept in lock-step with the batch dispatch tree so a service message
+# and a CLI run route the same file identically (.h5/.hdf5/.hgt
+# included since round 5).
+from geohub_data_pipeline_spark.processing import (  # noqa: E402
+    RASTER_EXTS as _BATCH_RASTER_EXTS,
+)
+
+RASTER_EXTS = _BATCH_RASTER_EXTS + (".img",)
 
 
 def route_messages(parsed: DataFrame) -> DataFrame:
