@@ -35,7 +35,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 VECTOR_EXTS = (".gpkg", ".gdb", ".fgb", ".geojson", ".json", ".shp",
-               ".kml", ".kmz", ".gpx", ".csv")
+               ".kml", ".kmz", ".gpx", ".csv", ".geojsonl",
+               ".ndjson", ".geojsons")
 RASTER_EXTS = (".tif", ".tiff", ".gtif", ".gtiff", ".nc", ".nc4",
                ".h5", ".hdf5", ".asc", ".grd", ".aig", ".sgr",
                ".raw", ".bl", ".hgt")
@@ -112,6 +113,11 @@ def read_vector_features(spark: SparkSession, path: str) -> DataFrame:
             features_from_csv,
         )
         return features_from_csv(spark, path)
+    if low.endswith((".geojsonl", ".ndjson", ".geojsons")):
+        from geohub_data_pipeline_spark.sources.geojsonseq import (
+            features_from_geojsonseq,
+        )
+        return features_from_geojsonseq(spark, path)
     if low.endswith((".parquet", ".geoparquet")) or os.path.isdir(path):
         from geohub_data_pipeline_spark.operators.geoparquet import (
             features_from_geoparquet,

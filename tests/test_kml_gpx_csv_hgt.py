@@ -190,3 +190,35 @@ def test_kml_gpx_csv_archive_members(spark, tmp_path):
     assert {"pois", "demo", "waypoints", "tracks", "routes",
             "cities"} <= layers
     assert len(rows) == 4 + 3 + 1
+
+
+def test_geojsonseq_source(spark, tmp_path):
+    """Newline-delimited GeoJSON: splittable text scan, per-line
+    parse, RS prefix tolerated, malformed lines skipped, bare
+    geometries wrapped."""
+    from geohub_data_pipeline_spark.sources.geojsonseq import (
+        features_from_geojsonseq,
+    )
+    from geohub_data_pipeline_spark import processing as PROC
+
+    p = tmp_path / "towns.geojsonl"
+    p.write_text(
+        '{"type":"Feature","id":7,"geometry":{"type":"Point",'
+        '"coordinates":[13.4,52.5]},"properties":{"name":"b"}}\n'
+        '\x1e{"type":"Feature","geometry":{"type":"LineString",'
+        '"coordinates":[[0,0],[1,1]]},"properties":{}}\n'
+        '{"type":"Point","coordinates":[2.3,48.8]}\n'
+        'not json at all\n'
+        '\n')
+    rows = features_from_geojsonseq(spark, str(p)).collect()
+    assert len(rows) == 3                  # bad + blank skipped
+    assert {r.layer for r in rows} == {"towns"}
+    by_fid = {r.fid: r for r in rows}
+    assert 7 in by_fid                     # explicit id preserved
+    assert json.loads(by_fid[7].properties) == {"name": "b"}
+    assert G.parse_wkb(bytes(by_fid[7].geometry))["coords"] == [13.4, 52.5]
+    # dispatch + full pipeline
+    out = PROC.process_geo_file(spark, str(p), str(tmp_path / "o"))
+    assert any(a.endswith(".fgb") for a in out["artifacts"])
+    norm_rows = len(rows)
+    assert out["audits"]["feature_counts"][0]["converted"] == norm_rows
