@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 VECTOR_EXTS = (".gpkg", ".gdb", ".fgb", ".geojson", ".json", ".shp",
                ".kml", ".kmz", ".gpx", ".csv", ".geojsonl",
-               ".ndjson", ".geojsons")
+               ".ndjson", ".geojsons", ".topojson")
 RASTER_EXTS = (".tif", ".tiff", ".gtif", ".gtiff", ".nc", ".nc4",
                ".h5", ".hdf5", ".asc", ".grd", ".aig", ".sgr",
                ".raw", ".bl", ".hgt")
@@ -83,12 +83,17 @@ def read_vector_features(spark: SparkSession, path: str) -> DataFrame:
             features_from_fgb,
         )
         return features_from_fgb(spark, path)
-    if low.endswith((".geojson", ".json")):
+    if low.endswith((".geojson", ".json", ".topojson")):
+        from pyspark.sql import functions as F
+
         from geohub_data_pipeline_spark.sources.archive import (
             geojson_feature_rows,
         )
+        # the member kernel's schema: a bare file is its own
+        # archive-of-one (archive_path = member = the file path)
         raw = (spark.read.format("binaryFile").load(path)
-               .select("path", "content"))
+               .select(F.col("path").alias("archive_path"),
+                       F.col("path").alias("member"), "content"))
         return geojson_feature_rows(raw)
     if low.endswith(".shp"):
         from geohub_data_pipeline_spark.sources.shapefile import (
@@ -417,4 +422,4 @@ def _archive_is_raster(path: str) -> bool:
 def _archive_is_vector(path: str) -> bool:
     return _archive_members_match(
         path, (".shp", ".geojson", ".json", ".gpkg", ".fgb",
-               ".kml", ".gpx", ".csv"))
+               ".kml", ".gpx", ".csv", ".topojson"))

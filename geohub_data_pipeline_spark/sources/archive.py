@@ -210,12 +210,23 @@ def geojson_feature_rows(members: DataFrame) -> DataFrame:
                     except (ValueError, OSError):
                         pass               # -skipfailures
                     continue
-                if not low.endswith((".geojson", ".json")):
+                if not low.endswith((".geojson", ".json", ".topojson")):
                     continue
                 try:
                     doc = json.loads(bytes(payload).decode("utf-8"))
                 except (ValueError, UnicodeDecodeError):
                     continue               # -skipfailures
+                if doc.get("type") == "Topology":
+                    from geohub_data_pipeline_spark.sources import (
+                        topojson as TJ,
+                    )
+                    try:
+                        rows += list(TJ.read_topojson_bytes(
+                            bytes(payload), dataset))
+                    except (ValueError, KeyError, TypeError,
+                            IndexError):
+                        pass               # -skipfailures
+                    continue
                 layer = os.path.splitext(os.path.basename(member))[0]
                 for i, feat in enumerate(_geojson_features(doc)):
                     geom = feat.get("geometry")

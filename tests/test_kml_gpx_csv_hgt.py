@@ -222,3 +222,75 @@ def test_geojsonseq_source(spark, tmp_path):
     assert any(a.endswith(".fgb") for a in out["artifacts"])
     norm_rows = len(rows)
     assert out["audits"]["feature_counts"][0]["converted"] == norm_rows
+
+
+_TOPO = {
+    "type": "Topology",
+    "transform": {"scale": [0.001, 0.001], "translate": [10.0, 50.0]},
+    "objects": {
+        "zones": {"type": "GeometryCollection", "geometries": [
+            {"type": "Polygon", "id": 1, "properties": {"n": "L"},
+             "arcs": [[0, 1]]},
+            {"type": "Polygon", "id": 2, "properties": {"n": "R"},
+             "arcs": [[-1, 2]]},
+        ]},
+        "spine": {"type": "LineString", "arcs": [0]},
+        "pts": {"type": "Point", "coordinates": [500, 500]},
+    },
+    "arcs": [
+        [[1000, 0], [0, 1000]],
+        [[1000, 1000], [-1000, 0], [0, -1000], [1000, 0]],
+        [[1000, 0], [1000, 0], [0, 1000], [-1000, 0]],
+    ],
+}
+
+
+def test_topojson_shared_arc_decode(spark, tmp_path):
+    """The TopoJSON selling point survives the decode: two polygons
+    referencing arc 0 (one reversed) share their border vertices
+    bit-exactly; quantized delta positions land on the transform."""
+    from geohub_data_pipeline_spark.sources import topojson as TJ
+
+    payload = json.dumps(_TOPO).encode()
+    rows = list(TJ.read_topojson_bytes(payload, "t.topojson"))
+    by = {}
+    for r in rows:
+        by.setdefault(r[1], []).append(r)
+    assert set(by) == {"zones", "spine", "pts"}
+    assert G.parse_wkb(by["pts"][0][3])["coords"] == [10.5, 50.5]
+    assert G.parse_wkb(by["spine"][0][3])["coords"] == [11.0, 50.0,
+                                                       11.0, 51.0]
+    left = G.parse_wkb(by["zones"][0][3])["coords"]
+    right = G.parse_wkb(by["zones"][1][3])["coords"]
+    # shared border (11,50)-(11,51) appears in both rings
+    assert left[:4] == [11.0, 50.0, 11.0, 51.0]
+    assert right[:4] == [11.0, 51.0, 11.0, 50.0]
+    assert json.loads(by["zones"][0][6]) == {"n": "L"}
+
+    # DataFrame source + dispatch + full pipeline
+    from geohub_data_pipeline_spark import processing as PROC
+    src = tmp_path / "t.topojson"
+    src.write_bytes(payload)
+    df = PROC.read_vector_features(spark, str(src))
+    assert df.count() == 4
+    out = PROC.process_geo_file(spark, str(src), str(tmp_path / "o"))
+    assert any(a.endswith(".pmtiles") for a in out["artifacts"])
+
+
+def test_bare_geojson_dispatch_regression(spark, tmp_path):
+    """A bare .geojson through read_vector_features (the member
+    kernel used to KeyError on archive_path/member for non-archive
+    input)."""
+    from geohub_data_pipeline_spark import processing as PROC
+
+    p = tmp_path / "towns.geojson"
+    p.write_text(json.dumps({
+        "type": "FeatureCollection",
+        "features": [{"type": "Feature", "id": 1,
+                      "geometry": {"type": "Point",
+                                   "coordinates": [1.0, 2.0]},
+                      "properties": {"a": 1}}]}))
+    rows = PROC.read_vector_features(spark, str(p)).collect()
+    assert len(rows) == 1
+    assert rows[0].layer == "towns"
+    assert G.parse_wkb(bytes(rows[0].geometry))["coords"] == [1.0, 2.0]
