@@ -2634,3 +2634,102 @@ def hgt_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.mapInPandas(
         rt, "doc_id long, n_blocks long, width int, px_sum long, "
             "origin_lon double, origin_lat double")
+
+
+_TOPO_SQL = """
+SELECT doc_id,
+       CAST(2 + doc_id % 3 AS BIGINT) AS n_features,
+       round(-170.0 + CAST(doc_id % 340 AS DOUBLE), 3) AS first_x,
+       CAST(1 AS BIGINT) AS shared_ok,
+       CAST(1 AS BIGINT) AS props_ok
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("topojson_source", "pipeline",
+       "§2.1 S5: TopoJSON Topology documents (quantized delta arcs, "
+       "negative-index reversed stitching, shared borders) decoded "
+       "stdlib-only (sources/topojson.py; ref ingests via GDAL's "
+       "TopoJSON driver, ingest/processing.py:100-213)", _TOPO_SQL)
+def topojson_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a quantized Topology per doc_id — two polygons sharing
+    one arc (the right one referencing it reversed) plus 0-2 extra
+    point objects — and decode it: the cumsum transform, arc
+    stitching with junction dedup, and the shared-border identity
+    (both rings carry bit-equal border vertices) sit under the
+    oracle compare.
+
+    Scale: one Arrow kernel, no shuffle.
+    """
+    import json as _json
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.sources import topojson as TJ
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id")
+
+    def rt(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                tx = -170.0 + (did % 340)
+                n_pts = did % 3
+                objects = {
+                    "zones": {"type": "GeometryCollection",
+                              "geometries": [
+                        {"type": "Polygon", "id": 1,
+                         "properties": {"n": "L"}, "arcs": [[0, 1]]},
+                        {"type": "Polygon", "id": 2,
+                         "properties": {"n": "R"}, "arcs": [[-1, 2]]},
+                    ]},
+                }
+                if n_pts:
+                    objects["pts"] = {
+                        "type": "GeometryCollection", "geometries": [
+                            {"type": "Point",
+                             "coordinates": [i * 100, i * 100]}
+                            for i in range(n_pts)]}
+                topo = {
+                    "type": "Topology",
+                    "transform": {"scale": [0.001, 0.001],
+                                  "translate": [tx, 10.0]},
+                    "objects": objects,
+                    "arcs": [
+                        [[1000, 0], [0, 1000]],
+                        [[1000, 1000], [-1000, 0], [0, -1000],
+                         [1000, 0]],
+                        [[1000, 0], [1000, 0], [0, 1000],
+                         [-1000, 0]],
+                    ],
+                }
+                got = list(TJ.read_topojson_bytes(
+                    _json.dumps(topo).encode(), f"d{did}.topojson"))
+                zones = [r for r in got if r[1] == "zones"]
+                left = G.parse_wkb(zones[0][3])["coords"]
+                right = G.parse_wkb(zones[1][3])["coords"]
+                shared_ok = int(
+                    left[:4] == [tx + 1.0, 10.0, tx + 1.0, 11.0]
+                    and right[:4] == [tx + 1.0, 11.0, tx + 1.0, 10.0])
+                props_ok = int(
+                    _json.loads(zones[0][6]) == {"n": "L"}
+                    and _json.loads(zones[1][6]) == {"n": "R"})
+                pts = [r for r in got if r[1] == "pts"]
+                first_x = (G.parse_wkb(pts[0][3])["coords"][0]
+                           if pts else left[0] - 1.0)
+                rows.append((did, len(got), round(first_x, 3),
+                             shared_ok, props_ok))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_features", "first_x", "shared_ok",
+                "props_ok"])
+
+    return base.mapInPandas(
+        rt, "doc_id long, n_features long, first_x double, "
+            "shared_ok long, props_ok long")
