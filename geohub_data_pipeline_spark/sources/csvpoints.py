@@ -32,6 +32,7 @@ from geohub_data_pipeline_spark.sources.shapefile import FEATURE_SCHEMA
 
 _LON_NAMES = ("lon", "lng", "long", "longitude", "x")
 _LAT_NAMES = ("lat", "latitude", "y")
+_WKT_NAMES = ("wkt", "geometry", "geom", "wkb_geometry", "the_geom")
 
 
 def detect_coord_columns(columns: list[str]) -> tuple[str, str] | None:
@@ -42,6 +43,14 @@ def detect_coord_columns(columns: list[str]) -> tuple[str, str] | None:
     if lon and lat:
         return lon, lat
     return None
+
+
+def detect_wkt_column(columns: list[str]) -> str | None:
+    """The GDAL GEOM_POSSIBLE_NAMES analog: a WKT geometry column —
+    the PostGIS/BigQuery CSV-export shape (any geometry type, not
+    just points)."""
+    low = {c.lower().strip(): c for c in columns}
+    return next((low[n] for n in _WKT_NAMES if n in low), None)
 
 
 def features_from_csv(spark: SparkSession, path: str) -> DataFrame:
@@ -59,13 +68,17 @@ def features_from_csv(spark: SparkSession, path: str) -> DataFrame:
 
     df = (spark.read.option("header", True).option("inferSchema", False)
           .csv(path))
-    pair = detect_coord_columns(df.columns)
-    if pair is None:
-        raise ValueError(f"no lon/lat columns in {path}: {df.columns}")
-    lon_c, lat_c = pair
-
     stem = os.path.basename(path.rstrip("/"))
     stem = stem.rsplit(".", 1)[0] or stem
+    pair = detect_coord_columns(df.columns)
+    if pair is None:
+        wcol = detect_wkt_column(df.columns)
+        if wcol is None:
+            raise ValueError(
+                f"no lon/lat or WKT columns in {path}: {df.columns}")
+        return _wkt_rows(df, wcol, os.path.basename(path.rstrip("/")),
+                         stem)
+    lon_c, lat_c = pair
     props = [c for c in df.columns if c not in (lon_c, lat_c)]
 
     base = df.select(
@@ -100,6 +113,40 @@ def features_from_csv(spark: SparkSession, path: str) -> DataFrame:
     return base.mapInPandas(pack, FEATURE_SCHEMA)
 
 
+def _wkt_rows(df: DataFrame, wcol: str, dataset: str,
+              layer: str) -> DataFrame:
+    """WKT-column CSV -> feature rows: the scan stays Spark-native;
+    the WKT parse runs in an Arrow kernel (any geometry type)."""
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(df.sparkSession)
+
+    props = [c for c in df.columns if c != wcol]
+    base = df.select(
+        F.lit(dataset).alias("dataset"),
+        F.lit(layer).alias("layer"),
+        F.col(wcol).alias("_wkt"),
+        (F.to_json(F.struct(*[F.col(c) for c in props]))
+         if props else F.lit(None).cast("string")).alias("properties"),
+        F.xxhash64(wcol, *props).cast("long").alias("fid"),
+    ).filter(F.col("_wkt").isNotNull())
+
+    def pack(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from geohub_data_pipeline_spark.functions import wkt as W
+        for pdf in it:
+            geoms = [W.wkt_to_wkb(str(t)) for t in pdf["_wkt"]]
+            keep = [i for i, g in enumerate(geoms) if g is not None]
+            sub = pdf.iloc[keep]
+            yield pd.DataFrame({
+                "dataset": sub["dataset"], "layer": sub["layer"],
+                "fid": sub["fid"],
+                "geometry": [geoms[i] for i in keep],
+                "srid": np.int32(4326),
+                "crs_wkt": None, "properties": sub["properties"],
+            })
+
+    return base.mapInPandas(pack, FEATURE_SCHEMA)
+
+
 def read_csv_bytes(payload: bytes, dataset: str):
     """Single-document form (archive members): yield feature rows
     from CSV bytes — same heuristics as ``features_from_csv``."""
@@ -111,19 +158,29 @@ def read_csv_bytes(payload: bytes, dataset: str):
     rd = csv.DictReader(io.StringIO(payload.decode("utf-8", "replace")))
     if not rd.fieldnames:
         return
-    pair = detect_coord_columns(list(rd.fieldnames))
-    if pair is None:
-        return
-    lon_c, lat_c = pair
     stem = dataset.rsplit(".", 1)[0] or dataset
+    pair = detect_coord_columns(list(rd.fieldnames))
+    wcol = None if pair else detect_wkt_column(list(rd.fieldnames))
+    if pair is None and wcol is None:
+        return
     fid = 0
     for row in rd:
-        try:
-            lon, lat = float(row[lon_c]), float(row[lat_c])
-        except (TypeError, ValueError):
-            continue
+        if pair is not None:
+            lon_c, lat_c = pair
+            try:
+                lon, lat = float(row[lon_c]), float(row[lat_c])
+            except (TypeError, ValueError):
+                continue
+            wkb = G.wkb_point(lon, lat)
+            skip = (lon_c, lat_c)
+        else:
+            from geohub_data_pipeline_spark.functions import wkt as W
+            wkb = W.wkt_to_wkb(row.get(wcol) or "")
+            if wkb is None:
+                continue
+            skip = (wcol,)
         fid += 1
         props = {k: v for k, v in row.items()
-                 if k not in (lon_c, lat_c) and v is not None}
-        yield (dataset, stem, fid, G.wkb_point(lon, lat), 4326,
+                 if k not in skip and v is not None}
+        yield (dataset, stem, fid, wkb, 4326,
                None, json.dumps(props, sort_keys=True))
