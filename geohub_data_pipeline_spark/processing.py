@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 VECTOR_EXTS = (".gpkg", ".gdb", ".fgb", ".geojson", ".json", ".shp",
                ".kml", ".kmz", ".gpx", ".csv", ".geojsonl",
-               ".ndjson", ".geojsons", ".topojson")
+               ".ndjson", ".geojsons", ".topojson", ".gml")
 RASTER_EXTS = (".tif", ".tiff", ".gtif", ".gtiff", ".nc", ".nc4",
                ".h5", ".hdf5", ".asc", ".grd", ".aig", ".sgr",
                ".raw", ".bl", ".hgt")
@@ -123,6 +123,11 @@ def read_vector_features(spark: SparkSession, path: str) -> DataFrame:
             features_from_geojsonseq,
         )
         return features_from_geojsonseq(spark, path)
+    if low.endswith(".gml"):
+        from geohub_data_pipeline_spark.sources.gml import (
+            features_from_gml,
+        )
+        return features_from_gml(spark, path)
     if low.endswith((".parquet", ".geoparquet")) or os.path.isdir(path):
         from geohub_data_pipeline_spark.operators.geoparquet import (
             features_from_geoparquet,
@@ -422,4 +427,4 @@ def _archive_is_raster(path: str) -> bool:
 def _archive_is_vector(path: str) -> bool:
     return _archive_members_match(
         path, (".shp", ".geojson", ".json", ".gpkg", ".fgb",
-               ".kml", ".gpx", ".csv", ".topojson"))
+               ".kml", ".gpx", ".csv", ".topojson", ".gml"))

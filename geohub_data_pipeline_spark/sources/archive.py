@@ -176,6 +176,19 @@ def geojson_feature_rows(members: DataFrame) -> DataFrame:
                     except (ValueError, struct.error, IndexError):
                         pass               # -skipfailures
                     continue
+                if low.endswith(".gml"):
+                    from xml.etree.ElementTree import ParseError
+
+                    from geohub_data_pipeline_spark.sources import (
+                        gml as GML,
+                    )
+                    try:
+                        rows += list(GML.read_gml_bytes(
+                            bytes(payload), dataset))
+                    except (ParseError, ValueError, TypeError,
+                            OSError):
+                        pass               # -skipfailures
+                    continue
                 if low.endswith((".kml", ".kmz", ".gpx")):
                     import zipfile
                     from xml.etree.ElementTree import ParseError

@@ -294,3 +294,84 @@ def test_bare_geojson_dispatch_regression(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0].layer == "towns"
     assert G.parse_wkb(bytes(rows[0].geometry))["coords"] == [1.0, 2.0]
+
+
+_GML = b"""<?xml version="1.0"?>
+<wfs:FeatureCollection xmlns:wfs="http://www.opengis.net/wfs/2.0"
+  xmlns:gml="http://www.opengis.net/gml/3.2" xmlns:app="http://x/app">
+ <wfs:member>
+  <app:Building gml:id="b1">
+   <app:name>town hall</app:name>
+   <app:geom>
+    <gml:Point srsName="urn:ogc:def:crs:EPSG::4326">
+     <gml:pos>52.52 13.405</gml:pos>
+    </gml:Point>
+   </app:geom>
+  </app:Building>
+ </wfs:member>
+ <wfs:member>
+  <app:Road gml:id="r1">
+   <app:geom>
+    <gml:LineString srsName="EPSG:25832">
+     <gml:posList>500000 5700000 500100 5700200</gml:posList>
+    </gml:LineString>
+   </app:geom>
+  </app:Road>
+ </wfs:member>
+ <wfs:member>
+  <app:Zone gml:id="z1">
+   <app:geom>
+    <gml:Polygon srsName="http://www.opengis.net/def/crs/EPSG/0/4326">
+     <gml:exterior><gml:LinearRing>
+      <gml:posList>50 10 50 11 51 11 51 10 50 10</gml:posList>
+     </gml:LinearRing></gml:exterior>
+    </gml:Polygon>
+   </app:geom>
+  </app:Zone>
+ </wfs:member>
+</wfs:FeatureCollection>"""
+
+
+def test_gml_wfs_axis_order_and_srids(spark, tmp_path):
+    """GML/WFS: urn and http srsName spellings carry the official
+    LAT,LON axis order for geographic CRS (swapped to the engine's
+    lon/lat); the legacy EPSG:nnnn spelling stays x,y; layers come
+    from the feature element names."""
+    from geohub_data_pipeline_spark.sources import gml as GML
+    from geohub_data_pipeline_spark import processing as PROC
+
+    rows = list(GML.read_gml_bytes(_GML, "wfs.gml"))
+    by = {r[1]: r for r in rows}
+    assert set(by) == {"Building", "Road", "Zone"}
+    assert G.parse_wkb(by["Building"][3])["coords"] == [13.405, 52.52]
+    assert by["Building"][4] == 4326
+    assert json.loads(by["Building"][6])["name"] == "town hall"
+    assert by["Road"][4] == 25832          # projected: no swap
+    assert G.parse_wkb(by["Road"][3])["coords"][:2] == [500000.0,
+                                                        5700000.0]
+    assert G.parse_wkb(by["Zone"][3])["coords"][:4] == [10.0, 50.0,
+                                                        11.0, 50.0]
+    # srsName parse table
+    assert GML.parse_srs("urn:ogc:def:crs:EPSG::4326") == (4326, True)
+    assert GML.parse_srs("EPSG:4326") == (4326, False)
+    assert GML.parse_srs(
+        "http://www.opengis.net/def/crs/EPSG/0/25832") == (25832, False)
+    assert GML.parse_srs(None) == (4326, False)
+
+    # end-to-end: normalize reprojects the 25832 road to 4326
+    src = tmp_path / "wfs.gml"
+    src.write_bytes(_GML)
+    df = PROC.read_vector_features(spark, str(src))
+    norm = {r.layer: r for r in G.normalize_features(df).collect()}
+    assert len(norm) == 3
+    road = G.parse_wkb(bytes(norm["Road"].geometry))
+    assert abs(road["coords"][0] - 9.0) < 1e-6   # E=500000 = central meridian 9E
+
+    # zipped member route
+    z = tmp_path / "wfs.zip"
+    with zipfile.ZipFile(z, "w") as zf:
+        zf.writestr("wfs.gml", _GML)
+    from geohub_data_pipeline_spark.sources.archive import (
+        features_from_archives,
+    )
+    assert features_from_archives(spark, str(z)).count() == 3
