@@ -28,12 +28,17 @@ _HEAD_RE = re.compile(
 
 
 def _coords_of(body: str, dims: int) -> list[tuple[float, float]]:
+    import math
+
     pts = []
     for tok in body.split(","):
         parts = tok.split()
         if len(parts) < 2:
             raise ValueError(f"bad WKT coordinate {tok!r}")
-        pts.append((float(parts[0]), float(parts[1])))
+        x, y = float(parts[0]), float(parts[1])
+        if not (math.isfinite(x) and math.isfinite(y)):
+            raise ValueError(f"non-finite WKT coordinate {tok!r}")
+        pts.append((x, y))
     return pts
 
 
@@ -126,11 +131,16 @@ def _pts_txt(flat: list[float]) -> str:
 
 
 def wkb_to_wkt(wkb: bytes) -> str | None:
-    """Engine 2D WKB -> canonical WKT (None for unparseable)."""
+    """Engine 2D WKB -> canonical WKT (None for unparseable,
+    including non-finite coordinates — WKT has no portable NaN)."""
+    import math
+
     from geohub_data_pipeline_spark.operators import geometry as G
 
     p = G.parse_wkb(wkb)
     if p is None:
+        return None
+    if not all(math.isfinite(v) for v in p.get("coords") or []):
         return None
     t = p["type"]
     if t == G.POINT:

@@ -363,12 +363,16 @@ def substring_dup_spans(df: DataFrame, text_col: str, id_col: str,
     scalable equivalent and finds the identical >= k duplicated
     ranges.
     """
-    grams = df.select(
+    # documents shorter than k carry no k-gram.  The filter must be
+    # explicit: sequence(1, 0) is the DESCENDING [1, 0] in Spark, and
+    # substr(text, 0, k) == substr(text, 1, k), so without it a short
+    # doc emits two identical grams and marks ITSELF duplicated.
+    grams = df.filter(F.length(text_col) >= k).select(
         F.col(id_col),
         F.length(text_col).alias("total_chars"),
         F.posexplode(
-            F.expr(f"transform(sequence(1, greatest(length({text_col})"
-                   f" - {k - 1}, 0)), i -> "
+            F.expr(f"transform(sequence(1, length({text_col})"
+                   f" - {k - 1}), i -> "
                    f"xxhash64(substr({text_col}, i, {k})))")
         ).alias("pos0", "gram"),
     ).select(

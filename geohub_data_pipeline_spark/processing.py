@@ -83,7 +83,12 @@ def read_vector_features(spark: SparkSession, path: str) -> DataFrame:
             features_from_fgb,
         )
         return features_from_fgb(spark, path)
-    if low.endswith((".geojson", ".json", ".topojson")):
+    if low.endswith(".topojson"):
+        from geohub_data_pipeline_spark.sources.topojson import (
+            features_from_topojson,
+        )
+        return features_from_topojson(spark, path)
+    if low.endswith((".geojson", ".json")):
         from pyspark.sql import functions as F
 
         from geohub_data_pipeline_spark.sources.archive import (
@@ -421,10 +426,12 @@ def _archive_members_match(path: str, exts: tuple) -> bool:
 
 def _archive_is_raster(path: str) -> bool:
     return _archive_members_match(
-        path, (".tif", ".tiff", ".asc", ".grd", ".nc", ".nc4"))
+        path, (".tif", ".tiff", ".asc", ".grd", ".nc", ".nc4",
+               ".hgt"))
 
 
 def _archive_is_vector(path: str) -> bool:
     return _archive_members_match(
         path, (".shp", ".geojson", ".json", ".gpkg", ".fgb",
-               ".kml", ".gpx", ".csv", ".topojson", ".gml"))
+               ".kml", ".gpx", ".csv", ".topojson", ".gml",
+               ".geojsonl", ".ndjson", ".geojsons"))

@@ -131,7 +131,7 @@ def _blocks_of(dataset: str, header: dict, arr: np.ndarray,
             rows.append((
                 dataset, None, 1, 0, bx // BLOCK, by // BLOCK,
                 int(tile.shape[1]), int(tile.shape[0]),
-                [float(v) for v in tile.ravel()], nodata, srid,
+                tile.ravel().tolist(), nodata, srid,
             ))
     return rows
 

@@ -127,6 +127,17 @@ def _geojson_features(doc: dict):
         yield {"type": "Feature", "geometry": doc, "properties": {}}
 
 
+def _member_fid(member: str, layer: str, fid) -> int:
+    """Member-scoped 64-bit fid: readers with per-document counters
+    (GPX, KML, GeoJSONSeq lines) restart at 1 per member, so two
+    members in one archive would collide on (dataset, layer, fid)
+    and fan out the downstream properties join."""
+    import hashlib
+
+    h = hashlib.md5(f"{member}|{layer}|{fid}".encode()).digest()
+    return int.from_bytes(h[:8], "big", signed=True)
+
+
 def geojson_feature_rows(members: DataFrame) -> DataFrame:
     """Parse ``.geojson``/``.json``, ``.gpkg`` AND ``.fgb`` members
     into feature rows (dataset, layer, fid, geometry WKB, srid,
@@ -200,15 +211,37 @@ def geojson_feature_rows(members: DataFrame) -> DataFrame:
                         os.path.basename(member))[0]
                     try:
                         if low.endswith(".gpx"):
-                            rows += list(KML.read_gpx_bytes(
+                            got = list(KML.read_gpx_bytes(
                                 bytes(payload), dataset))
                         else:
-                            rows += list(KML.read_kml_bytes(
+                            got = list(KML.read_kml_bytes(
                                 bytes(payload), dataset,
                                 default_layer=mstem))
+                        # per-document counter fids -> member-scoped
+                        rows += [(r[0], r[1],
+                                  _member_fid(member, r[1], r[2]))
+                                 + r[3:] for r in got]
                     except (ParseError, ValueError, TypeError, OSError,
                             zipfile.BadZipFile):
                         pass               # -skipfailures
+                    continue
+                if low.endswith((".geojsonl", ".ndjson", ".geojsons")):
+                    from geohub_data_pipeline_spark.sources import (
+                        geojsonseq as GJS,
+                    )
+                    mstem = os.path.splitext(
+                        os.path.basename(member))[0]
+                    text = bytes(payload).decode("utf-8", "replace")
+                    for ln, line in enumerate(text.splitlines(), 1):
+                        parsed = GJS.parse_feature_line(line)
+                        if parsed is None:
+                            continue       # -skipfailures
+                        wkb, fid, pjson = parsed
+                        rows.append((
+                            dataset, mstem,
+                            fid if fid is not None
+                            else _member_fid(member, mstem, ln),
+                            wkb, 4326, None, pjson))
                     continue
                 if low.endswith(".csv"):
                     from geohub_data_pipeline_spark.sources import (
@@ -220,7 +253,7 @@ def geojson_feature_rows(members: DataFrame) -> DataFrame:
                         rows += [(dataset, mstem) + r[2:]
                                  for r in CSVP.read_csv_bytes(
                                      bytes(payload), dataset)]
-                    except (ValueError, OSError):
+                    except (ValueError, TypeError, OSError):
                         pass               # -skipfailures
                     continue
                 if not low.endswith((".geojson", ".json", ".topojson")):
@@ -346,6 +379,12 @@ def raster_blocks_from_members(members: DataFrame) -> DataFrame:
                         rows += NC.read_netcdf3_bytes(payload, dataset)
                     elif low.endswith(_RASTER_EXT_NC4):
                         rows += H5.read_netcdf4_bytes(payload, dataset)
+                    elif low.endswith(".hgt"):
+                        from geohub_data_pipeline_spark.sources import (
+                            srtmhgt as HGT,
+                        )
+                        rows += HGT._blocks_of(
+                            dataset, HGT.parse_hgt(payload))
                 except Exception:
                     continue               # corrupt member: quarantine
             yield pd.DataFrame(rows, columns=[
@@ -399,6 +438,17 @@ def raster_georefs_from_members(members: DataFrame) -> DataFrame:
                         g = H5.georef_of_netcdf4(payload)
                         if g:
                             rows.append((dataset, *g, 4326))
+                    elif low.endswith(".hgt"):
+                        from geohub_data_pipeline_spark.sources import (
+                            srtmhgt as HGT,
+                        )
+                        sw = HGT.parse_hgt_name(dataset)
+                        n = int(round((len(payload) // 2) ** 0.5))
+                        if sw and n >= 2 and n * n * 2 == len(payload):
+                            s = 1.0 / (n - 1)
+                            rows.append((dataset, sw[0] - s / 2.0,
+                                         sw[1] + 1.0 + s / 2.0,
+                                         s, s, 4326))
                 except Exception:
                     continue
             yield pd.DataFrame(rows, columns=[

@@ -180,7 +180,9 @@ def read_csv_bytes(payload: bytes, dataset: str):
                 continue
             skip = (wcol,)
         fid += 1
+        # k is None for ragged rows (DictReader's restkey) — a None
+        # key crashes json.dumps(sort_keys=True) against str keys
         props = {k: v for k, v in row.items()
-                 if k not in skip and v is not None}
+                 if k is not None and k not in skip and v is not None}
         yield (dataset, stem, fid, wkb, 4326,
                None, json.dumps(props, sort_keys=True))

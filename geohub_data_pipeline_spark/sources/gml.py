@@ -69,16 +69,27 @@ def _floats(text: str) -> list[float]:
     return [float(t) for t in (text or "").replace(",", " ").split()]
 
 
-def _pairs(vals: list[float], swap: bool) -> list[tuple[float, float]]:
-    it = zip(vals[0::2], vals[1::2])
-    return [(b, a) for a, b in it] if swap else list(it)
+def _pairs(vals: list[float], swap: bool,
+           dims: int = 2) -> list[tuple[float, float]]:
+    """Group a flat ordinate list into (x, y) pairs, striding by
+    ``srsDimension`` — a 3D posList (INSPIRE/CityGML) drops Z instead
+    of mispairing it into fabricated vertices."""
+    pts = [(vals[i], vals[i + 1])
+           for i in range(0, len(vals) - dims + 1, dims)]
+    return [(b, a) for a, b in pts] if swap else pts
 
 
 def _ring_coords(ring_el, swap):
     for tag in ("posList", "coordinates", "pos"):
         el = ring_el.find(f".//{{*}}{tag}")
         if el is not None and el.text:
-            return _pairs(_floats(el.text), swap)
+            dims_attr = (el.get("srsDimension")
+                         or ring_el.get("srsDimension"))
+            try:
+                dims = max(2, int(dims_attr)) if dims_attr else 2
+            except ValueError:
+                dims = 2
+            return _pairs(_floats(el.text), swap, dims)
     return []
 
 

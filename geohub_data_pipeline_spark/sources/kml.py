@@ -239,8 +239,8 @@ def features_from_gpx(spark: SparkSession, path: str) -> DataFrame:
                 dataset = os.path.basename(str(p).removeprefix("file:"))
                 try:
                     rows += list(read_gpx_bytes(bytes(content), dataset))
-                except (ET.ParseError, ValueError, OSError):
-                    continue
+                except (ET.ParseError, ValueError, TypeError, OSError):
+                    continue               # missing lat/lon attr etc.
             yield pd.DataFrame(rows, columns=cols)
 
     return raw.mapInPandas(kernel, FEATURE_SCHEMA)

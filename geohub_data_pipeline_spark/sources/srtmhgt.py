@@ -68,7 +68,7 @@ def _blocks_of(dataset: str, arr: np.ndarray) -> list[tuple]:
             rows.append((
                 dataset, None, 1, 0, bx // BLOCK, by // BLOCK,
                 int(tile.shape[1]), int(tile.shape[0]),
-                [float(v) for v in tile.ravel()], _NODATA, 4326,
+                tile.ravel().tolist(), _NODATA, 4326,
             ))
     return rows
 

@@ -375,3 +375,89 @@ def test_gml_wfs_axis_order_and_srids(spark, tmp_path):
         features_from_archives,
     )
     assert features_from_archives(spark, str(z)).count() == 3
+
+
+def test_review_regressions_r5(spark, tmp_path):
+    """Round-5 self-review fixes, each verified by its failing input:
+    GPX wpt missing lon quarantines instead of crashing; ragged CSV
+    rows skip the DictReader None-key; two GPX members in one
+    archive get distinct member-scoped fids; .geojsonl and .hgt
+    members flow through archives; GML srsDimension=3 drops Z
+    instead of mispairing."""
+    from geohub_data_pipeline_spark.sources import gml as GML
+    from geohub_data_pipeline_spark.sources.archive import (
+        features_from_archives,
+    )
+    from geohub_data_pipeline_spark import processing as PROC
+
+    # GPX with a broken waypoint: file route must quarantine the file
+    bad_gpx = (b'<?xml version="1.0"?>'
+               b'<gpx xmlns="http://www.topografix.com/GPX/1/1">'
+               b'<wpt lat="50"><name>broken</name></wpt></gpx>')
+    p = tmp_path / "bad.gpx"
+    p.write_bytes(bad_gpx)
+    assert KML.features_from_gpx(spark, str(p)).count() == 0
+
+    # ragged CSV row (extra field) skips cleanly in the bytes form
+    rows = list(CSVP.read_csv_bytes(
+        b"name,lat,lon\na,50,10\nb,51,11,EXTRA\n", "t.csv"))
+    assert len(rows) == 2
+    assert json.loads(rows[1][6])["name"] == "b"
+
+    # two GPX members: same layers, DISTINCT (dataset, layer, fid)
+    ok_gpx = (b'<?xml version="1.0"?>'
+              b'<gpx xmlns="http://www.topografix.com/GPX/1/1">'
+              b'<wpt lat="50" lon="10"><name>w</name></wpt></gpx>')
+    z = tmp_path / "two.zip"
+    with zipfile.ZipFile(z, "w") as zf:
+        zf.writestr("a.gpx", ok_gpx)
+        zf.writestr("b.gpx", ok_gpx)
+        zf.writestr("pts.geojsonl",
+                    '{"type":"Feature","geometry":{"type":"Point",'
+                    '"coordinates":[1,2]},"properties":{"k":1}}\n')
+    feats = features_from_archives(spark, str(z)).collect()
+    keys = {(r.dataset, r.layer, r.fid) for r in feats}
+    assert len(keys) == len(feats) == 3    # no collisions
+    assert {r.layer for r in feats} == {"waypoints", "pts"}
+
+    # .hgt member through the archive raster path
+    zr = tmp_path / "dem.zip"
+    with zipfile.ZipFile(zr, "w") as zf:
+        zf.writestr("N52E013.hgt", _hgt_tile(65))
+    blocks, georefs, _ = PROC.read_raster_source(spark, str(zr))
+    assert blocks.count() == 1
+    g = georefs.collect()
+    assert len(g) == 1 and abs(g[0].origin_x - (13 - 1 / 128)) < 1e-9
+    assert PROC._archive_is_raster(str(zr))
+    assert PROC._archive_is_vector(str(z))
+
+    # GML 3D posList: Z dropped, not mispaired
+    doc = (b'<?xml version="1.0"?>'
+           b'<gml:FeatureCollection '
+           b'xmlns:gml="http://www.opengis.net/gml/3.2">'
+           b'<gml:featureMember><a gml:id="x"><g>'
+           b'<gml:LineString srsName="urn:ogc:def:crs:EPSG::4326">'
+           b'<gml:posList srsDimension="3">'
+           b'52.0 4.0 10.0 52.1 4.1 12.0</gml:posList>'
+           b'</gml:LineString></g></a></gml:featureMember>'
+           b'</gml:FeatureCollection>')
+    rows = list(GML.read_gml_bytes(doc, "d.gml"))
+    assert G.parse_wkb(rows[0][3])["coords"] == [4.0, 52.0, 4.1, 52.1]
+
+
+def test_substring_dedup_short_docs_not_self_duplicated(spark):
+    """Docs shorter than k must emit NO grams: Spark's
+    sequence(1, 0) is [1, 0] and substr(_, 0, k) == substr(_, 1, k),
+    which marked short docs as duplicates of themselves."""
+    from geohub_data_pipeline_spark.operators.dedup import (
+        substring_dup_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "short"), (2, ""), (3, None),
+         (4, "x" * 80), (5, "x" * 80)],   # 4/5 genuinely duplicated
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           substring_dup_spans(df, "text", "doc_id", k=40).collect()}
+    assert set(out) == {4, 5}
+    assert out[4].dup_chars == 80 and out[4].n_dup_spans == 1
