@@ -21,6 +21,7 @@ independent minimal protobuf-wire reader.
 
 from __future__ import annotations
 
+import json
 import math
 
 from geohub_data_pipeline_spark.operators import geometry as G
@@ -353,3 +354,261 @@ def encode_tile(z: int, x: int, y: int,
         if feats:
             out += encode_layer(name, feats, keys, values)
     return out
+
+
+# ---------------------------------------------------------------------------
+# MVT decoder — the read twin (PMTiles/MBTiles archives -> features).
+# The reference only WRITES tiles (tippecanoe), but its service also
+# passthroughs user-supplied .pmtiles (ref ingest/ingest.py:246-247);
+# decoding lets the engine audit and re-ingest those archives.
+# ---------------------------------------------------------------------------
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    out = shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, pos
+        shift += 7
+
+
+def _iter_fields(buf: bytes):
+    """Yield (field_number, value) — varints as int, length-delimited
+    as bytes; other wire types skipped."""
+    pos = 0
+    while pos < len(buf):
+        key, pos = _read_varint(buf, pos)
+        num, wire = key >> 3, key & 7
+        if wire == 0:
+            v, pos = _read_varint(buf, pos)
+            yield num, v
+        elif wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            yield num, buf[pos:pos + ln]
+            pos += ln
+        elif wire == 5:
+            yield num, buf[pos:pos + 4]
+            pos += 4
+        elif wire == 1:
+            yield num, buf[pos:pos + 8]
+            pos += 8
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+
+
+def _unzigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _decode_tag_value(buf: bytes):
+    import struct as _struct
+
+    for num, v in _iter_fields(buf):
+        if num == 1:
+            return v.decode("utf-8")
+        if num == 2:
+            return _struct.unpack("<f", v)[0]
+        if num == 3:
+            return _struct.unpack("<d", v)[0]
+        if num in (4, 5):
+            return v
+        if num == 6:
+            return _unzigzag(v)
+        if num == 7:
+            return bool(v)
+    return None
+
+
+def _decode_geometry(cmds: list[int], gtype: int):
+    """Command stream -> list of parts (each a list of (px, py))."""
+    parts: list[list[tuple[int, int]]] = []
+    cur: list[tuple[int, int]] = []
+    x = y = 0
+    i = 0
+    while i < len(cmds):
+        cmd, count = cmds[i] & 0x7, cmds[i] >> 3
+        i += 1
+        if cmd == MOVE_TO:
+            for _ in range(count):
+                x += _unzigzag(cmds[i]); y += _unzigzag(cmds[i + 1])
+                i += 2
+                if gtype == GEOM_POINT:
+                    parts.append([(x, y)])
+                else:
+                    if cur:
+                        parts.append(cur)
+                    cur = [(x, y)]
+        elif cmd == LINE_TO:
+            for _ in range(count):
+                x += _unzigzag(cmds[i]); y += _unzigzag(cmds[i + 1])
+                i += 2
+                cur.append((x, y))
+        elif cmd == CLOSE_PATH:
+            if cur:
+                cur.append(cur[0])
+        else:
+            raise ValueError(f"bad geometry command {cmd}")
+    if cur:
+        parts.append(cur)
+    return parts
+
+
+def decode_mvt(buf: bytes) -> dict:
+    """Tile protobuf -> {layer: {"extent": int, "features": [{"id",
+    "type", "parts": [[(px, py)...]], "props": dict}]}}."""
+    layers: dict = {}
+    for num, payload in _iter_fields(buf):
+        if num != 3:
+            continue
+        name, extent = "", EXTENT
+        keys: list[str] = []
+        values: list = []
+        raw_feats: list[bytes] = []
+        for fnum, v in _iter_fields(payload):
+            if fnum == 1:
+                name = v.decode("utf-8")
+            elif fnum == 2:
+                raw_feats.append(v)
+            elif fnum == 3:
+                keys.append(v.decode("utf-8"))
+            elif fnum == 4:
+                values.append(_decode_tag_value(v))
+            elif fnum == 5:
+                extent = v
+        feats = []
+        for raw in raw_feats:
+            fid, gtype, tags, cmds = 0, 0, [], []
+            for gnum, gv in _iter_fields(raw):
+                if gnum == 1:
+                    fid = gv
+                elif gnum == 2:
+                    pos = 0
+                    while pos < len(gv):
+                        t, pos = _read_varint(gv, pos)
+                        tags.append(t)
+                elif gnum == 3:
+                    gtype = gv
+                elif gnum == 4:
+                    pos = 0
+                    while pos < len(gv):
+                        c, pos = _read_varint(gv, pos)
+                        cmds.append(c)
+            props = {keys[tags[i]]: values[tags[i + 1]]
+                     for i in range(0, len(tags) - 1, 2)}
+            feats.append({"id": fid, "type": gtype,
+                          "parts": _decode_geometry(cmds, gtype),
+                          "props": props})
+        layers[name] = {"extent": extent, "features": feats}
+    return layers
+
+
+def tile_local_inv(px: float, py: float, z: int, tx: int, ty: int,
+                   extent: int = EXTENT) -> tuple[float, float]:
+    """Inverse of ``tile_local``: tile-local pixel -> lon/lat."""
+    n = 1 << z
+    wx = tx + px / extent
+    wy = ty + py / extent
+    lon = wx / n * 360.0 - 180.0
+    lat = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * wy / n))))
+    return lon, lat
+
+
+def _shoelace_signed(pts) -> float:
+    s = 0.0
+    for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
+        s += x0 * y1 - x1 * y0
+    return s / 2.0
+
+
+def features_from_tiles(tiles) -> "DataFrame":
+    """Tile rows ``(dataset, z, x, y, payload)`` (the pmtiles/mbtiles
+    sources' schema) -> engine feature rows with lon/lat WKB.
+    Polygon parts group by winding per the spec: in y-down tile
+    coordinates an exterior ring has POSITIVE shoelace area, interior
+    rings negative and attach to the preceding exterior.
+
+    Scale: each tile decodes independently inside an Arrow kernel —
+    a map-side transform of however many tiles the (pushdown-pruned)
+    tile scan returns; no shuffle."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.session import ship_package
+    from geohub_data_pipeline_spark.sources.shapefile import (
+        FEATURE_SCHEMA,
+        _multilinestring_wkb,
+        _multipoint_wkb,
+    )
+    ship_package(tiles.sparkSession)
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    layers = decode_mvt(bytes(r.payload))
+                except (ValueError, IndexError, UnicodeDecodeError):
+                    continue               # corrupt tile: quarantine
+                for lname, layer in layers.items():
+                    ext = layer["extent"]
+                    for f in layer["features"]:
+                        ll = [[tile_local_inv(px, py, int(r.z),
+                                              int(r.x), int(r.y), ext)
+                               for px, py in part]
+                              for part in f["parts"]]
+                        wkb = _parts_wkb(f["type"], f["parts"], ll)
+                        if wkb is None:
+                            continue
+                        props = dict(f["props"])
+                        props.update({"_z": int(r.z), "_x": int(r.x),
+                                      "_y": int(r.y)})
+                        rows.append((
+                            r.dataset, lname, int(f["id"]), wkb, 4326,
+                            None,
+                            json.dumps(props, sort_keys=True,
+                                       default=str)))
+            yield pd.DataFrame(rows, columns=[
+                "dataset", "layer", "fid", "geometry", "srid",
+                "crs_wkt", "properties"])
+
+    return tiles.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def _parts_wkb(gtype: int, parts, ll):
+    from geohub_data_pipeline_spark.sources.shapefile import (
+        _multilinestring_wkb,
+        _multipoint_wkb,
+    )
+
+    if not ll:
+        return None
+    if gtype == GEOM_POINT:
+        pts = [p[0] for p in ll if p]
+        if not pts:
+            return None
+        return G.wkb_point(*pts[0]) if len(pts) == 1 \
+            else _multipoint_wkb(pts)
+    if gtype == GEOM_LINESTRING:
+        lines = [p for p in ll if len(p) >= 2]
+        if not lines:
+            return None
+        return G.wkb_linestring(lines[0]) if len(lines) == 1 \
+            else _multilinestring_wkb(lines)
+    if gtype == GEOM_POLYGON:
+        polys = []
+        for part, llpart in zip(parts, ll):
+            if len(llpart) < 4:
+                continue
+            if _shoelace_signed(part) >= 0 or not polys:
+                polys.append([llpart])     # exterior (y-down CW)
+            else:
+                polys[-1].append(llpart)
+        if not polys:
+            return None
+        if len(polys) == 1:
+            return G.wkb_polygon(polys[0])
+        return G.wkb_multipolygon(polys)
+    return None

@@ -3,6 +3,7 @@ reader (shares nothing with the encoder)."""
 
 from __future__ import annotations
 
+import json
 import math
 
 from geohub_data_pipeline_spark.operators import geometry as G
@@ -271,3 +272,64 @@ def test_build_tiles_properties_column(spark):
     decoded = decode_tile(bytes(tiles[0].payload))
     assert decoded["l"]["features"][0]["props"] == {"name": "x",
                                                     "rank": 7}
+
+
+def test_engine_decoder_roundtrip(spark, tmp_path):
+    """The engine's own decode_mvt/features_from_tiles inverts the
+    encoder: build a PMTiles archive from features, read it back
+    through the pmtiles source + decoder, and recover geometry types,
+    properties and (quantization-bounded) positions."""
+    from geohub_data_pipeline_spark.operators import geometry as GG
+    from geohub_data_pipeline_spark.operators import mvt as M
+    from geohub_data_pipeline_spark.operators import pmtiles as PMT
+    from geohub_data_pipeline_spark.operators import tiling as TLG
+
+    feats = spark.createDataFrame(
+        [("d", "towns", 1,
+          GG.promote_to_multi(GG.wkb_point(13.4, 52.5)), 4326,
+          GG.MULTIPOINT, 13.4, 52.5, 13.4, 52.5,
+          '{"name":"berlin","pop":3600000}')],
+        "dataset string, layer string, fid long, geometry binary, "
+        "srid int, geom_type int, bbox_minx double, bbox_miny double, "
+        "bbox_maxx double, bbox_maxy double, properties string")
+    tiles = TLG.build_tiles(feats, maxzoom=4, encode="mvt")
+    manifest = PMT.write_pmtiles_tables(
+        tiles, str(tmp_path), payload_format="mvt").collect()
+    assert manifest
+
+    from geohub_data_pipeline_spark.sources import pmtiles_source as DS
+    DS.register(spark)
+    back = (spark.read.format("pmtiles")
+            .option("path", manifest[0].path).load())
+    out = M.features_from_tiles(back.filter("z = 4")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.layer == "towns"
+    g = GG.parse_wkb(bytes(r.geometry))
+    assert g["type"] == GG.POINT
+    # quantization error at z4 extent 4096: ~360/(16*4096) deg
+    assert abs(g["coords"][0] - 13.4) < 0.01
+    assert abs(g["coords"][1] - 52.5) < 0.01
+    props = json.loads(r.properties)
+    assert props["name"] == "berlin" and props["pop"] == 3600000
+    assert props["_z"] == 4
+
+
+def test_engine_decoder_polygon_winding(spark):
+    """Polygon with a hole survives encode->decode: exterior/interior
+    grouping by tile-coord winding."""
+    from geohub_data_pipeline_spark.operators import geometry as GG
+    from geohub_data_pipeline_spark.operators import mvt as M
+
+    shell = [(0.0, 0.0), (20.0, 0.0), (20.0, 20.0), (0.0, 20.0),
+             (0.0, 0.0)]
+    hole = [(5.0, 5.0), (5.0, 10.0), (10.0, 10.0), (10.0, 5.0),
+            (5.0, 5.0)]
+    wkb = GG.wkb_polygon([shell, hole])
+    enc = M.encode_tile(2, 2, 1, {"zones": [(7, wkb)]})
+    layers = M.decode_mvt(enc)
+    f = layers["zones"]["features"][0]
+    assert f["type"] == M.GEOM_POLYGON
+    assert len(f["parts"]) == 2
+    signs = [M._shoelace_signed(p) for p in f["parts"]]
+    assert signs[0] > 0 and signs[1] < 0   # exterior CW (y-down)
