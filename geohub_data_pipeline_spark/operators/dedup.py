@@ -413,3 +413,76 @@ def substring_dup_spans(df: DataFrame, text_col: str, id_col: str,
         .alias("dup_chars"),
     ).select(id_col, "n_dup_spans", "dup_chars",
              F.col("total_chars").cast("long"))
+
+
+def semdedup(vecs: DataFrame, centroid_every: int = 40,
+             tau: float = 0.2) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication"):
+    cluster the embedding space, then inside each cluster remove all
+    but one member of every semantic-duplicate group (cosine >= tau),
+    keeping the member CLOSEST to its centroid — the paper's keep
+    rule.  Deterministic centroids (every ``centroid_every``-th
+    vector) stand in for the k-means codebook so the result is
+    oracle-checkable; swap in ``kmeans_parallel`` centroids for
+    production clustering.
+
+    Returns one row per vector: (vec_id, cluster, cent_sim, removed).
+
+    Scale: assignment is a broadcast join against the (bounded)
+    codebook + one vec_id-keyed window; the duplicate scan is a
+    cluster-keyed self-join — pair count is bounded by cluster sizes
+    (the whole point of clustering first), never corpus-quadratic.
+    """
+    from pyspark.sql import Window as W
+
+    from geohub_data_pipeline_spark.functions import vectors as V
+    from geohub_data_pipeline_spark.operators.similarity import with_norm
+    from pyspark.sql.functions import broadcast
+
+    n = with_norm(vecs.select("vec_id", "vec"))
+    cents = (n.filter(F.col("vec_id") % centroid_every == 0)
+             .select(F.col("vec_id").alias("cid"),
+                     F.col("vec").alias("cv"),
+                     F.col("__norm").alias("cnrm")))
+    scored = n.join(broadcast(cents)).select(
+        "vec_id", "vec", "__norm", "cid",
+        V.cosine(F.col("vec"), F.col("cv"),
+                 F.col("__norm"), F.col("cnrm")).alias("cs"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cid"))
+    assigned = (scored.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") == 1)
+                .select("vec_id", "vec", "__norm",
+                        F.col("cid").alias("cluster"),
+                        F.col("cs").alias("cent_sim")))
+
+    a = assigned.select(F.col("vec_id").alias("id_a"),
+                        F.col("vec").alias("va"),
+                        F.col("__norm").alias("na"),
+                        F.col("cluster").alias("cl_a"),
+                        F.col("cent_sim").alias("sim_a"))
+    b = assigned.select(F.col("vec_id").alias("id_b"),
+                        F.col("vec").alias("vb"),
+                        F.col("__norm").alias("nb"),
+                        F.col("cluster").alias("cl_b"),
+                        F.col("cent_sim").alias("sim_b"))
+    losers = (
+        a.join(b, (F.col("cl_b") == F.col("cl_a"))
+               & (F.col("id_b") != F.col("id_a")))
+        .filter(V.cosine(F.col("va"), F.col("vb"),
+                         F.col("na"), F.col("nb")) >= tau)
+        # the PEER keeps when it is closer to the centroid (ties by
+        # smaller id); then I am the removed one
+        .filter((F.col("sim_b") > F.col("sim_a"))
+                | ((F.col("sim_b") == F.col("sim_a"))
+                   & (F.col("id_b") < F.col("id_a"))))
+        .select(F.col("id_a").alias("vec_id")).distinct()
+        .withColumn("removed", F.lit(True))
+    )
+    return (
+        assigned.join(losers, "vec_id", "left")
+        .select("vec_id", F.col("cluster").cast("long"),
+                F.round("cent_sim", 6).alias("cent_sim"),
+                F.coalesce("removed", F.lit(False)).alias("removed"))
+    )

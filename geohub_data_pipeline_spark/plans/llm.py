@@ -1222,3 +1222,66 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return D.substring_dup_spans(t.documents, "text", "doc_id", k=40)
+
+
+# ---------------------------------------------------------------------------
+# Round-5: SemDeDup (Abbas et al. 2023) under the gate
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_SQL = f"""
+WITH {_EMB_CTE},
+c AS (
+  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+  WHERE vec_id % 40 = 0
+),
+s AS (
+  SELECT n.vec_id, n.v, n.nrm, c.cid,
+         {_dot('n.v', 'c.cv')} / (n.nrm * c.cnrm) AS cs
+  FROM n, c
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cs DESC, cid) AS rk
+  FROM s
+),
+a AS (
+  SELECT vec_id, v, nrm, cid AS cluster, cs AS cent_sim
+  FROM r WHERE rk = 1
+),
+losers AS (
+  SELECT DISTINCT x.vec_id
+  FROM a x JOIN a y ON y.cluster = x.cluster
+                   AND y.vec_id <> x.vec_id
+  WHERE {_dot('x.v', 'y.v')} / (x.nrm * y.nrm) >= 0.3
+    AND (y.cent_sim > x.cent_sim
+         OR (y.cent_sim = x.cent_sim AND y.vec_id < x.vec_id))
+)
+SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+       round(a.cent_sim, 6) AS cent_sim,
+       (a.vec_id IN (SELECT vec_id FROM losers)) AS removed
+FROM a
+ORDER BY a.vec_id
+"""
+
+
+@query("dedup_semdedup", "llm",
+       "LLM pipeline: SemDeDup (Abbas et al. 2023) — embedding "
+       "clusters, then keep only the member closest to its centroid "
+       "per semantic-duplicate group; broadcast codebook + "
+       "cluster-keyed self-join", _SEMDEDUP_SQL)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup over the embeddings table: deterministic
+    codebook (every 40th vector), cosine assignment, and the paper's
+    keep-closest-to-centroid rule within each cosine>=0.3 duplicate
+    group.  One row per vector with its cluster, centroid similarity
+    and removal verdict.
+
+    Scale: the codebook broadcasts (bounded like every IVF
+    codebook); assignment is map-side + one vec_id window; the
+    duplicate scan self-joins on the cluster key, so pair cost is
+    sum-of-cluster-sizes-squared — the clustering bounds it, exactly
+    the paper's point.  No corpus-quadratic stage anywhere.
+    """
+    from geohub_data_pipeline_spark.operators.dedup import semdedup
+
+    return semdedup(_vecs(spark, sf_dir), centroid_every=40, tau=0.3)
