@@ -456,6 +456,10 @@ def semdedup(vecs: DataFrame, centroid_every: int = 40,
                 .select("vec_id", "vec", "__norm",
                         F.col("cid").alias("cluster"),
                         F.col("cs").alias("cent_sim")))
+    # three consumers (both sides of the duplicate self-join + the
+    # final projection) would each recompute the corpus x codebook
+    # dot products — cache the assignment like the LSH band table
+    assigned = assigned.cache()
 
     a = assigned.select(F.col("vec_id").alias("id_a"),
                         F.col("vec").alias("va"),
