@@ -421,11 +421,12 @@ def semdedup(vecs: DataFrame, centroid_every: int = 40,
     learning at web-scale through semantic deduplication"):
     cluster the embedding space, then inside each cluster remove all
     but one member of every semantic-duplicate group (cosine >= tau),
-    keeping the member CLOSEST to its centroid — the paper's keep
-    rule.  Deterministic centroids (every ``centroid_every``-th
-    vector) stand in for the k-means codebook so the result is
-    oracle-checkable; swap in ``kmeans_parallel`` centroids for
-    production clustering.
+    keeping the member with the LOWEST similarity to its centroid —
+    the paper's keep rule (§3: low-similarity members preserve
+    diversity/outliers).  Deterministic centroids (every
+    ``centroid_every``-th vector) stand in for the k-means codebook
+    so the result is oracle-checkable; swap in ``kmeans_parallel``
+    centroids for production clustering.
 
     Returns one row per vector: (vec_id, cluster, cent_sim, removed).
 
@@ -445,6 +446,15 @@ def semdedup(vecs: DataFrame, centroid_every: int = 40,
              .select(F.col("vec_id").alias("cid"),
                      F.col("vec").alias("cv"),
                      F.col("__norm").alias("cnrm")))
+    # an id space with no multiple of centroid_every would yield an
+    # empty codebook and silently drop the corpus (the cross join
+    # returns nothing) — fall back to the minimum id as the single
+    # centroid.  Driver cost: one bounded limit(1) probe.
+    if cents.limit(1).count() == 0:
+        cents = (n.orderBy("vec_id").limit(1)
+                 .select(F.col("vec_id").alias("cid"),
+                         F.col("vec").alias("cv"),
+                         F.col("__norm").alias("cnrm")))
     scored = n.join(broadcast(cents)).select(
         "vec_id", "vec", "__norm", "cid",
         V.cosine(F.col("vec"), F.col("cv"),
@@ -476,9 +486,10 @@ def semdedup(vecs: DataFrame, centroid_every: int = 40,
                & (F.col("id_b") != F.col("id_a")))
         .filter(V.cosine(F.col("va"), F.col("vb"),
                          F.col("na"), F.col("nb")) >= tau)
-        # the PEER keeps when it is closer to the centroid (ties by
-        # smaller id); then I am the removed one
-        .filter((F.col("sim_b") > F.col("sim_a"))
+        # the PEER keeps when it has LOWER centroid similarity (the
+        # paper keeps the low-similarity member; ties by smaller id);
+        # then I am the removed one
+        .filter((F.col("sim_b") < F.col("sim_a"))
                 | ((F.col("sim_b") == F.col("sim_a"))
                    & (F.col("id_b") < F.col("id_a"))))
         .select(F.col("id_a").alias("vec_id")).distinct()

@@ -412,7 +412,9 @@ def _decode_tag_value(buf: bytes):
             return _struct.unpack("<f", v)[0]
         if num == 3:
             return _struct.unpack("<d", v)[0]
-        if num in (4, 5):
+        if num == 4:                       # int64: two's complement
+            return v - (1 << 64) if v >= (1 << 63) else v
+        if num == 5:                       # uint64
             return v
         if num == 6:
             return _unzigzag(v)
@@ -479,7 +481,10 @@ def decode_mvt(buf: bytes) -> dict:
                 extent = v
         feats = []
         for raw in raw_feats:
-            fid, gtype, tags, cmds = 0, 0, [], []
+            # Feature.id is OPTIONAL; absent (the common tippecanoe
+            # output) must not read as a literal 0 shared by every
+            # feature — None lets the caller synthesize a unique fid
+            fid, gtype, tags, cmds = None, 0, [], []
             for gnum, gv in _iter_fields(raw):
                 if gnum == 1:
                     fid = gv
@@ -539,8 +544,6 @@ def features_from_tiles(tiles) -> "DataFrame":
     from geohub_data_pipeline_spark.session import ship_package
     from geohub_data_pipeline_spark.sources.shapefile import (
         FEATURE_SCHEMA,
-        _multilinestring_wkb,
-        _multipoint_wkb,
     )
     ship_package(tiles.sparkSession)
 
@@ -554,7 +557,7 @@ def features_from_tiles(tiles) -> "DataFrame":
                     continue               # corrupt tile: quarantine
                 for lname, layer in layers.items():
                     ext = layer["extent"]
-                    for f in layer["features"]:
+                    for fidx, f in enumerate(layer["features"]):
                         ll = [[tile_local_inv(px, py, int(r.z),
                                               int(r.x), int(r.y), ext)
                                for px, py in part]
@@ -565,8 +568,19 @@ def features_from_tiles(tiles) -> "DataFrame":
                         props = dict(f["props"])
                         props.update({"_z": int(r.z), "_x": int(r.x),
                                       "_y": int(r.y)})
+                        fid = f["id"]
+                        if fid is None or not 0 < fid < (1 << 63):
+                            # absent / zero / uint64-overflow id:
+                            # synthesize a tile-scoped 63-bit fid so
+                            # (dataset, layer, fid) stays a key
+                            import hashlib
+                            h = hashlib.md5(
+                                f"{r.z}/{r.x}/{r.y}|{lname}|{fidx}"
+                                .encode()).digest()
+                            fid = int.from_bytes(h[:8], "big") \
+                                & ((1 << 63) - 1)
                         rows.append((
-                            r.dataset, lname, int(f["id"]), wkb, 4326,
+                            r.dataset, lname, int(fid), wkb, 4326,
                             None,
                             json.dumps(props, sort_keys=True,
                                        default=str)))

@@ -1253,7 +1253,7 @@ losers AS (
   FROM a x JOIN a y ON y.cluster = x.cluster
                    AND y.vec_id <> x.vec_id
   WHERE {_dot('x.v', 'y.v')} / (x.nrm * y.nrm) >= 0.3
-    AND (y.cent_sim > x.cent_sim
+    AND (y.cent_sim < x.cent_sim
          OR (y.cent_sim = x.cent_sim AND y.vec_id < x.vec_id))
 )
 SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
@@ -1266,14 +1266,14 @@ ORDER BY a.vec_id
 
 @query("dedup_semdedup", "llm",
        "LLM pipeline: SemDeDup (Abbas et al. 2023) — embedding "
-       "clusters, then keep only the member closest to its centroid "
-       "per semantic-duplicate group; broadcast codebook + "
+       "clusters, then keep only the lowest-centroid-similarity "
+       "member per semantic-duplicate group; broadcast codebook + "
        "cluster-keyed self-join", _SEMDEDUP_SQL)
 def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup over the embeddings table: deterministic
     codebook (every 40th vector), cosine assignment, and the paper's
-    keep-closest-to-centroid rule within each cosine>=0.3 duplicate
-    group.  One row per vector with its cluster, centroid similarity
+    keep-LOWEST-centroid-similarity rule within each cosine>=0.3
+    duplicate group.  One row per vector with its cluster, centroid similarity
     and removal verdict.
 
     Scale: the codebook broadcasts (bounded like every IVF

@@ -128,14 +128,19 @@ def _geojson_features(doc: dict):
 
 
 def _member_fid(member: str, layer: str, fid) -> int:
-    """Member-scoped 64-bit fid: readers with per-document counters
-    (GPX, KML, GeoJSONSeq lines) restart at 1 per member, so two
-    members in one archive would collide on (dataset, layer, fid)
-    and fan out the downstream properties join."""
+    """Member-scoped 63-bit fid: readers with per-document counters
+    or feature-index fids (GPX, KML, CSV, GML, GeoJSON(-Seq),
+    TopoJSON) restart per member, so two members in one archive
+    would collide on (dataset, layer, fid) and fan out the
+    downstream properties join.  63-bit POSITIVE by construction:
+    the MVT Feature.id is a uint varint, so a negative engine fid
+    would crash the tile encoder.  (GeoPackage/FlatGeobuf members
+    keep their native table pks — real per-layer keys, as ogr2ogr
+    preserves them.)"""
     import hashlib
 
     h = hashlib.md5(f"{member}|{layer}|{fid}".encode()).digest()
-    return int.from_bytes(h[:8], "big", signed=True)
+    return int.from_bytes(h[:8], "big") & ((1 << 63) - 1)
 
 
 def geojson_feature_rows(members: DataFrame) -> DataFrame:
@@ -194,8 +199,10 @@ def geojson_feature_rows(members: DataFrame) -> DataFrame:
                         gml as GML,
                     )
                     try:
-                        rows += list(GML.read_gml_bytes(
-                            bytes(payload), dataset))
+                        rows += [(r[0], r[1],
+                                  _member_fid(member, r[1], r[2]))
+                                 + r[3:] for r in GML.read_gml_bytes(
+                                     bytes(payload), dataset)]
                     except (ParseError, ValueError, TypeError,
                             OSError):
                         pass               # -skipfailures
@@ -239,8 +246,9 @@ def geojson_feature_rows(members: DataFrame) -> DataFrame:
                         wkb, fid, pjson = parsed
                         rows.append((
                             dataset, mstem,
-                            fid if fid is not None
-                            else _member_fid(member, mstem, ln),
+                            _member_fid(member, mstem,
+                                        fid if fid is not None
+                                        else ln),
                             wkb, 4326, None, pjson))
                     continue
                 if low.endswith(".csv"):
@@ -250,7 +258,9 @@ def geojson_feature_rows(members: DataFrame) -> DataFrame:
                     mstem = os.path.splitext(
                         os.path.basename(member))[0]
                     try:
-                        rows += [(dataset, mstem) + r[2:]
+                        rows += [(dataset, mstem,
+                                  _member_fid(member, mstem, r[2]))
+                                 + r[3:]
                                  for r in CSVP.read_csv_bytes(
                                      bytes(payload), dataset)]
                     except (ValueError, TypeError, OSError):
@@ -267,8 +277,11 @@ def geojson_feature_rows(members: DataFrame) -> DataFrame:
                         topojson as TJ,
                     )
                     try:
-                        rows += list(TJ.read_topojson_bytes(
-                            bytes(payload), dataset))
+                        rows += [(r[0], r[1],
+                                  _member_fid(member, r[1], r[2]))
+                                 + r[3:]
+                                 for r in TJ.read_topojson_bytes(
+                                     bytes(payload), dataset)]
                     except (ValueError, KeyError, TypeError,
                             IndexError):
                         pass               # -skipfailures
@@ -279,13 +292,20 @@ def geojson_feature_rows(members: DataFrame) -> DataFrame:
                     wkb = G.wkb_from_geojson(geom) if geom else None
                     if wkb is None:
                         continue           # -skipfailures
-                    fid = feat.get("id")
-                    fid = int(fid) if isinstance(fid, (int, float)) else i
+                    src_id = feat.get("id")
+                    fid = (int(src_id)
+                           if isinstance(src_id, (int, float)) else i)
+                    fid = _member_fid(member, layer, fid)
                     props = feat.get("properties")
+                    props = dict(props) \
+                        if isinstance(props, dict) else {}
+                    if src_id is not None:
+                        # the author-assigned id survives in the
+                        # property bag after the member-scoped rekey
+                        props.setdefault("_fid", src_id)
                     pjson = (json.dumps(props, sort_keys=True,
                                         separators=(",", ":"))
-                             if isinstance(props, dict) and props
-                             else None)
+                             if props else None)
                     rows.append((dataset, layer, fid, wkb, 4326, None,
                                  pjson))
             yield pd.DataFrame(rows, columns=[
@@ -442,13 +462,10 @@ def raster_georefs_from_members(members: DataFrame) -> DataFrame:
                         from geohub_data_pipeline_spark.sources import (
                             srtmhgt as HGT,
                         )
-                        sw = HGT.parse_hgt_name(dataset)
-                        n = int(round((len(payload) // 2) ** 0.5))
-                        if sw and n >= 2 and n * n * 2 == len(payload):
-                            s = 1.0 / (n - 1)
-                            rows.append((dataset, sw[0] - s / 2.0,
-                                         sw[1] + 1.0 + s / 2.0,
-                                         s, s, 4326))
+                        g = HGT.hgt_georef(dataset, len(payload))
+                        if g is not None:
+                            rows.append((dataset, g[0], g[1],
+                                         g[2], g[2], 4326))
                 except Exception:
                     continue
             yield pd.DataFrame(rows, columns=[

@@ -59,6 +59,19 @@ def parse_hgt(payload: bytes) -> np.ndarray:
             .reshape(n, n).astype(np.float64))
 
 
+def hgt_georef(name: str, nbytes: int):
+    """(origin_x, origin_y, pixel_s) for one tile from its NAME and
+    byte count, or None — the pixel-is-point half-sample shift in one
+    place (used by the bare-file source and the archive-member
+    kernel)."""
+    sw = parse_hgt_name(name)
+    n = int(round((nbytes // 2) ** 0.5))
+    if sw is None or n < 2 or n * n * 2 != nbytes:
+        return None
+    s = 1.0 / (n - 1)
+    return sw[0] - s / 2.0, sw[1] + 1.0 + s / 2.0, s
+
+
 def _blocks_of(dataset: str, arr: np.ndarray) -> list[tuple]:
     rows = []
     nrows, ncols = arr.shape
@@ -113,13 +126,10 @@ def georef_from_hgt(spark: SparkSession, path: str) -> DataFrame:
             rows = []
             for p, length in zip(pdf["path"], pdf["length"]):
                 dataset = os.path.basename(str(p).removeprefix("file:"))
-                sw = parse_hgt_name(dataset)
-                n = int(round((int(length) // 2) ** 0.5))
-                if sw is None or n < 2 or n * n * 2 != int(length):
+                g = hgt_georef(dataset, int(length))
+                if g is None:
                     continue
-                s = 1.0 / (n - 1)
-                rows.append((dataset, sw[0] - s / 2.0,
-                             sw[1] + 1.0 + s / 2.0, s, s, 4326))
+                rows.append((dataset, g[0], g[1], g[2], g[2], 4326))
             yield pd.DataFrame(rows, columns=cols)
 
     return raw.mapInPandas(kernel, GEOREF_SCHEMA)

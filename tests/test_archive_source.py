@@ -288,10 +288,17 @@ def test_geojson_members_to_features(spark, tmp_path):
             len(by_layer["polys"])} == {5, 4, 3}
     assert {r.dataset for r in feats} == {"multi.zip"}
     assert {r.srid for r in feats} == {4326}
-    # GeoJSON ids carried through; geometry decodes to the right type
-    pts = sorted(by_layer["points"], key=lambda r: r.fid)
-    assert [r.fid for r in pts] == [1, 2, 3, 4, 5]
-    parsed = G.parse_wkb(bytes(pts[0].geometry))
+    # member-scoped fids are unique; GeoJSON ids survive in the
+    # property bag (_fid) after the rekey
+    import json as _json
+    pts = by_layer["points"]
+    assert len({r.fid for r in pts}) == 5
+    assert all(r.fid > 0 for r in pts)
+    src_ids = sorted(_json.loads(r.properties)["_fid"] for r in pts)
+    assert src_ids == [1, 2, 3, 4, 5]
+    p0 = next(r for r in pts
+              if _json.loads(r.properties)["_fid"] == 1)
+    parsed = G.parse_wkb(bytes(p0.geometry))
     assert parsed["type"] == G.POINT and parsed["coords"] == [-60.0, -20.0]
     poly = G.parse_wkb(bytes(by_layer["polys"][0].geometry))
     assert poly["type"] == G.POLYGON

@@ -461,3 +461,20 @@ def test_substring_dedup_short_docs_not_self_duplicated(spark):
            substring_dup_spans(df, "text", "doc_id", k=40).collect()}
     assert set(out) == {4, 5}
     assert out[4].dup_chars == 80 and out[4].n_dup_spans == 1
+
+
+def test_semdedup_empty_codebook_fallback(spark):
+    """An id space with no multiple of centroid_every must not drop
+    the corpus — the minimum id becomes the single centroid."""
+    from geohub_data_pipeline_spark.operators.dedup import semdedup
+
+    df = spark.createDataFrame(
+        [(i, [1.0, float(i % 3)]) for i in range(1, 8)],
+        "vec_id long, vec array<double>")
+    out = semdedup(df, centroid_every=40, tau=0.99)
+    rows = out.collect()
+    assert len(rows) == 7                  # one verdict per vector
+    # identical-direction vectors dedup; the kept one has the LOWEST
+    # centroid similarity per the paper's rule
+    removed = {r.vec_id for r in rows if r.removed}
+    assert removed                         # some dupes exist (i%3 repeats)

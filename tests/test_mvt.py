@@ -333,3 +333,54 @@ def test_engine_decoder_polygon_winding(spark):
     assert len(f["parts"]) == 2
     signs = [M._shoelace_signed(p) for p in f["parts"]]
     assert signs[0] > 0 and signs[1] < 0   # exterior CW (y-down)
+
+
+def test_decoder_negative_int_value_and_absent_id(spark):
+    """Spec fields the engine encoder never emits: int_value (field
+    4, two's complement) and an absent Feature.id — both must decode
+    correctly from external tiles."""
+    from geohub_data_pipeline_spark.operators import mvt as M
+
+    # hand-build a layer: value with int_value -5, feature WITHOUT id
+    v_neg = M._varint((4 << 3) | 0) + M._varint((-5) & ((1 << 64) - 1))
+    value_msg = M._field_bytes(4, v_neg)
+    geom = M._field_bytes(4, b"".join(
+        M._varint(t) for t in [M._cmd(M.MOVE_TO, 1),
+                               M._zigzag(100), M._zigzag(200)]))
+    feat = (M._field_bytes(2, M._varint(0) + M._varint(0))  # tags k0 v0
+            + M._field_varint(3, M.GEOM_POINT) + geom)
+    layer = (M._field_varint(15, 2) + M._field_bytes(1, b"ext")
+             + M._field_bytes(2, feat) + M._field_bytes(3, b"count")
+             + value_msg + M._field_varint(5, M.EXTENT))
+    tile = M._field_bytes(3, layer)
+
+    layers = M.decode_mvt(tile)
+    f = layers["ext"]["features"][0]
+    assert f["id"] is None                 # absent, not 0
+    assert f["props"]["count"] == -5       # two's complement decoded
+
+    df = spark.createDataFrame(
+        [("d", 3, 1, 1, bytearray(tile))],
+        "dataset string, z int, x int, y int, payload binary")
+    rows = M.features_from_tiles(df).collect()
+    assert len(rows) == 1
+    assert 0 < rows[0].fid < (1 << 63)     # synthesized, join-safe
+
+
+def test_archive_member_fids_encode_to_tiles(spark, tmp_path):
+    """Member-scoped hash fids are positive by construction, so an
+    archive of GPX members flows end-to-end into MVT tiles (negative
+    fids would crash the uint varint encoder)."""
+    import zipfile
+
+    from geohub_data_pipeline_spark import processing as PROC
+
+    gpx = (b'<?xml version="1.0"?>'
+           b'<gpx xmlns="http://www.topografix.com/GPX/1/1">'
+           b'<wpt lat="50" lon="10"><name>w</name></wpt></gpx>')
+    z = tmp_path / "trips.zip"
+    with zipfile.ZipFile(z, "w") as zf:
+        zf.writestr("a.gpx", gpx)
+        zf.writestr("b.gpx", gpx)
+    out = PROC.process_geo_file(spark, str(z), str(tmp_path / "o"))
+    assert any(a.endswith(".pmtiles") for a in out["artifacts"])
