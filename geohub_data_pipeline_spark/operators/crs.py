@@ -190,11 +190,11 @@ def _tm_inverse_np(x, y, lon0: float, consts):
 
 
 def to_lonlat_np(srid: int):
-    """Vectorized ``f(x_arr, y_arr) -> (lon_arr, lat_arr)`` for the
-    Transverse-Mercator CRS families (UTM zone ranges + table TM
-    entries without a datum shift), else None.  The inverse twin of
-    ``from_lonlat_np``, bit-identical to the scalar ``to_lonlat``
-    (same series, numpy ufuncs)."""
+    """Vectorized ``f(x_arr, y_arr) -> (lon_arr, lat_arr)``: UTM zone
+    ranges here (bit-identical TM series), every numpy-covered table
+    family via ``operators/crs_np.py`` (LCC/LAEA/sterea/PS/CEA/
+    Albers/Mercator + Helmert datum grids, < 1e-9 deg vs the scalar
+    path), else None."""
     def make(lon0, k0, fe, fn, consts, lat0=0.0):
         y0 = _tm_forward(lon0, lat0, lon0, consts)[1] if lat0 else 0.0
 
@@ -218,19 +218,18 @@ def to_lonlat_np(srid: int):
         return make((srid - 28300) * 6.0 - 183.0, _UTM_K0, _UTM_FE,
                     _UTM_FN_SOUTH, _TM_GRS80)
     if srid in _CRS_TABLE:
-        family, ellps, params, helmert = _CRS_TABLE[srid]
-        if family == "tm" and helmert is None:
-            return make(params["lon0"], params["k0"], params["fe"],
-                        params["fn"], _tm_consts(*ellps),
-                        lat0=params["lat0"])
+        from geohub_data_pipeline_spark.operators import crs_np
+        pair = crs_np.pair_np(srid)
+        if pair is not None:
+            return pair[1]
     return None
 
 
 def from_lonlat_np(srid: int):
-    """Vectorized ``f(lon_arr, lat_arr) -> (x_arr, y_arr)`` for the
-    Transverse-Mercator CRS families (UTM zone ranges + table TM
-    entries without a datum shift), else None.  Same series as the
-    scalar path — the warp's fast path for projected sources."""
+    """Vectorized ``f(lon_arr, lat_arr) -> (x_arr, y_arr)``: UTM zone
+    ranges here, every numpy-covered table family (incl. Helmert
+    datum shifts) via ``operators/crs_np.py`` — the warp's and
+    normalize's fast path for projected sources."""
     def make(lon0, k0, fe, fn, consts, lat0=0.0):
         y0 = _tm_forward(lon0, lat0, lon0, consts)[1] if lat0 else 0.0
 
@@ -254,11 +253,10 @@ def from_lonlat_np(srid: int):
         return make((srid - 28300) * 6.0 - 183.0, _UTM_K0, _UTM_FE,
                     _UTM_FN_SOUTH, _TM_GRS80)
     if srid in _CRS_TABLE:
-        family, ellps, params, helmert = _CRS_TABLE[srid]
-        if family == "tm" and helmert is None:
-            return make(params["lon0"], params["k0"], params["fe"],
-                        params["fn"], _tm_consts(*ellps),
-                        lat0=params["lat0"])
+        from geohub_data_pipeline_spark.operators import crs_np
+        pair = crs_np.pair_np(srid)
+        if pair is not None:
+            return pair[0]
     return None
 
 

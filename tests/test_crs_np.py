@@ -1,0 +1,97 @@
+"""Numpy CRS twins (operators/crs_np.py) vs the scalar reference
+implementations — every covered table srid sweeps a grid of points
+through both paths in both directions."""
+
+import numpy as np
+import pytest
+
+from geohub_data_pipeline_spark.operators import crs as C
+from geohub_data_pipeline_spark.operators import crs_np as CN
+
+# srid -> a plausible lon/lat window (lon0, lon1, lat0, lat1)
+_WINDOWS = {
+    2154: (-4.5, 8.0, 42.0, 51.0),       # Lambert-93
+    31370: (2.6, 6.3, 49.6, 51.4),       # Belgian L72 (pole-origin)
+    3978: (-135.0, -55.0, 42.0, 80.0),   # Canada Atlas LCC
+    26985: (-79.5, -75.0, 37.9, 39.7),   # Maryland
+    27572: (-4.0, 7.5, 42.5, 51.0),      # NTF Lambert II (Helmert)
+    3112: (112.0, 154.0, -44.0, -10.0),  # GA Lambert (southern)
+    28992: (3.3, 7.2, 50.7, 53.6),       # RD New (sterea + Helmert)
+    27700: (-8.0, 1.8, 49.9, 60.8),      # OSGB (TM + Helmert)
+    31467: (7.5, 10.5, 47.3, 55.0),      # DHDN GK3 (TM + Helmert)
+    23031: (0.0, 6.0, 38.0, 52.0),       # ED50 UTM31 (TM + Helmert)
+    26714: (-102.0, -96.0, 26.0, 49.0),  # NAD27 UTM14
+    2180: (14.1, 24.2, 49.0, 55.0),      # Poland CS92
+    3035: (-10.0, 35.0, 34.0, 70.0),     # LAEA Europe (oblique)
+    6931: (-180.0, 180.0, 25.0, 89.0),   # EASE2-N (polar LAEA)
+    6932: (-180.0, 180.0, -89.0, -25.0), # EASE2-S
+    2163: (-125.0, -65.0, 24.0, 50.0),   # Atlas sphere LAEA
+    3573: (-180.0, 180.0, 45.0, 89.0),   # North Pole LAEA Canada
+    3413: (-180.0, 180.0, 35.0, 89.0),   # NSIDC PS North
+    3031: (-180.0, 180.0, -89.0, -50.0), # Antarctic PS
+    32661: (-180.0, 180.0, 60.0, 89.0),  # UPS North (variant A)
+    6933: (-179.0, 179.0, -80.0, 80.0),  # EASE2 global CEA
+    3410: (-179.0, 179.0, -80.0, 80.0),  # EASE1 sphere CEA
+    5070: (-125.0, -66.0, 24.0, 50.0),   # CONUS Albers
+    3577: (112.0, 154.0, -44.0, -10.0),  # Australian Albers
+    102003: (-125.0, -66.0, 24.0, 50.0), # ESRI USA Albers
+    2193: (166.0, 179.0, -47.5, -34.0),  # NZTM (plain TM)
+}
+
+
+def _grid(w, n=9):
+    lon = np.linspace(w[0], w[1], n)
+    lat = np.linspace(w[2], w[3], n)
+    LO, LA = np.meshgrid(lon, lat)
+    return LO.ravel(), LA.ravel()
+
+
+@pytest.mark.parametrize("srid", sorted(_WINDOWS))
+def test_np_matches_scalar_both_directions(srid):
+    pair = CN.pair_np(srid)
+    assert pair is not None, f"no numpy twin for {srid}"
+    fwd_np, inv_np = pair
+    fwd_s, inv_s = C.from_lonlat(srid), C.to_lonlat(srid)
+
+    lon, lat = _grid(_WINDOWS[srid])
+    X, Y = fwd_np(lon, lat)
+    # forward: numpy vs scalar
+    for i in range(0, len(lon), 7):
+        xs, ys = fwd_s(float(lon[i]), float(lat[i]))
+        assert abs(X[i] - xs) < 1e-5 and abs(Y[i] - ys) < 1e-5, \
+            (srid, lon[i], lat[i], X[i], xs)
+    # inverse: numpy round-trip against the INPUT (stronger than
+    # matching the scalar inverse)
+    LO, LA = inv_np(X, Y)
+    dlon = np.abs(LO - lon)
+    dlon = np.minimum(dlon, 360.0 - dlon)   # +-180 are one meridian
+    # 5e-7 deg (~5 cm): the Helmert codes' ECEF iteration tolerance,
+    # identical to the scalar path's round-trip error class
+    assert np.max(dlon) < 5e-7
+    assert np.max(np.abs(LA - lat)) < 5e-7
+    # inverse: numpy vs scalar on a sample
+    for i in range(0, len(lon), 11):
+        lo_s, la_s = inv_s(float(X[i]), float(Y[i]))
+        d = abs(LO[i] - lo_s)
+        assert min(d, 360.0 - d) < 1e-9 and abs(LA[i] - la_s) < 1e-9
+
+
+def test_dispatch_returns_np_kernels():
+    """to_lonlat_np / from_lonlat_np now cover every numpy family,
+    including Helmert grids — the normalize and warp fast paths."""
+    for srid in (2154, 28992, 27700, 3035, 6931, 3413, 5070, 6933,
+                 31467, 23031):
+        assert C.to_lonlat_np(srid) is not None, srid
+        assert C.from_lonlat_np(srid) is not None, srid
+    # scalar-only families still fall through (no wrong answers)
+    for srid in (5514, 2056):              # Krovak, Swiss HOM
+        assert C.to_lonlat_np(srid) is None, srid
+
+
+def test_np_scalar_parity_scalar_inputs():
+    """The np kernels accept python floats too (warp calls them with
+    scalars at tile corners)."""
+    fwd, inv = CN.pair_np(2154)
+    x, y = fwd(2.35, 48.85)
+    lo, la = inv(float(x), float(y))
+    assert abs(lo - 2.35) < 1e-9 and abs(la - 48.85) < 1e-9

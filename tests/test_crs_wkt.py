@@ -422,10 +422,12 @@ def test_attributes_flow_from_every_vector_source(spark, tmp_path):
         "NAME": "a", "POP": 10}
     assert json.loads(rows[("pts", 2)].properties) == {
         "NAME": "b", "POP": 20}
-    assert json.loads(rows[("pts.geojson"[:-8], 9)].properties
-                      if ("pts.geojson"[:-8], 9) in rows
-                      else rows[("pts", 9)].properties) == {
-        "kind": "poi"}
+    # the GeoJSON member's fid is member-scoped (positive hash);
+    # the author id survives as _fid in the property bag
+    gj = [r for (layer, fid), r in rows.items()
+          if layer == "pts" and fid not in (1, 2)]
+    assert len(gj) == 1 and gj[0].fid > 0
+    assert json.loads(gj[0].properties) == {"_fid": 9, "kind": "poi"}
 
     # --- GPKG with attribute columns ------------------------------
     import sqlite3
