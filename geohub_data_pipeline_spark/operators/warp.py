@@ -131,7 +131,7 @@ def warp_tile_array(tbx: int, tby: int, z: int, srid: int,
         lon = np.degrees(X / _R)
         lat = np.degrees(2 * np.arctan(np.exp(Y / _R)) - np.pi / 2)
         fwd_np = C.from_lonlat_np(srid)
-        if fwd_np is not None:              # vectorized TM families
+        if fwd_np is not None:    # numpy-covered families (crs_np.py)
             lon2, lat2 = np.meshgrid(lon, lat)
             sx, sy = fwd_np(lon2, lat2)
             col2 = np.floor((sx - ox) / psx).astype(np.int64)

@@ -328,3 +328,24 @@ def test_cog_sidecars_broadcast_no_extra_exchange(spark):
                          simple):
         keys = m.group(1)
         assert "band" in keys or "pixels" not in keys
+
+
+def test_substring_dedup_one_gram_shuffle(spark, sf_dir):
+    """Exact-substring dedup: one scan, one gram-hash exchange for
+    duplicate marking (a window count, not a groupBy+semi-join that
+    would scan the gram frame twice), one doc exchange for the span
+    windows; no cartesian anywhere."""
+    plan = plan_of(SPECS["dedup_substring_spans"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange (") == 2   # gram hash + doc windows
+    assert "hashpartitioning(gram" in plan
+
+
+def test_semdedup_codebook_broadcast(spark, sf_dir):
+    """SemDeDup: the codebook rides a BROADCAST nested loop (bounded
+    small side by construction); the duplicate scan is a keyed join
+    on the cluster column, never a cartesian."""
+    plan = plan_of(SPECS["dedup_semdedup"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan     # corpus x codebook
+    assert "cl_a" in plan or "cluster" in plan   # keyed self-join
