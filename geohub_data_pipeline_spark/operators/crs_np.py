@@ -19,9 +19,11 @@ or per pixel in Python for ANY table CRS:
   (tests/test_crs_np.py sweeps every covered srid against the
   scalar path).
 
-Families left on the scalar fallback: Krovak, Hotine oblique
-Mercator, sinusoidal, Mollweide, equidistant cylindrical — rare in
-uploads; add twins here if they show up hot.
+Every ``_CRS_TABLE`` family has a twin (incl. Krovak, Hotine
+oblique Mercator, sinusoidal, Mollweide, equidistant cylindrical).
+Embedded-WKT-resolved CRS (AUTHORITY-less .prj) still compose scalar
+closures in crs_wkt.py — those resolve to EPSG codes in the common
+case, so the scalar path only carries the exotic tail.
 """
 
 from __future__ import annotations
@@ -485,3 +487,263 @@ def pair_np(srid: int):
         fwd, inv = _with_datum_np(fwd, inv, ellps, helmert)
     _PAIR_NP_CACHE[srid] = (fwd, inv)
     return fwd, inv
+
+
+def _make_homvb_np(ellps, lat_c, lon_c, alpha_c, gamma_c, k_c, fe, fn,
+                   natural_origin=False):
+    a, f = ellps
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+    phi_c = math.radians(lat_c)
+    lam_c = math.radians(lon_c)
+    alpha = math.radians(alpha_c)
+    gamma = math.radians(gamma_c)
+    sgn = 1.0 if lat_c >= 0 else -1.0
+    B = math.sqrt(1 + e2 * math.cos(phi_c) ** 4 / (1 - e2))
+    A = (a * B * k_c * math.sqrt(1 - e2)
+         / (1 - e2 * math.sin(phi_c) ** 2))
+    s0 = math.sin(phi_c)
+    t0 = (math.tan(math.pi / 4 - phi_c / 2)
+          / ((1 - e * s0) / (1 + e * s0)) ** (e / 2))
+    D = (B * math.sqrt(1 - e2)
+         / (math.cos(phi_c) * math.sqrt(1 - e2 * s0 * s0)))
+    big_f = D + math.sqrt(max(D * D - 1.0, 0.0)) * sgn
+    H = big_f * t0 ** B
+    G = (big_f - 1.0 / big_f) / 2.0
+    gamma0 = math.asin(math.sin(alpha) / D)
+    lam0 = lam_c - math.asin(G * math.tan(gamma0)) / B
+    if abs(alpha_c - 90.0) < 1e-12:
+        uc = A * (lam_c - lam0)
+    else:
+        uc = ((A / B) * math.atan2(math.sqrt(max(D * D - 1.0, 0.0)),
+                                   math.cos(alpha)) * sgn)
+    if natural_origin:
+        uc = 0.0
+
+    def fwd(lon, lat):
+        phi = np.radians(lat)
+        lam = np.radians(np.asarray(lon, np.float64))
+        s = np.sin(phi)
+        t = (np.tan(np.pi / 4 - phi / 2)
+             / ((1 - e * s) / (1 + e * s)) ** (e / 2))
+        Q = H / t ** B
+        S = (Q - 1.0 / Q) / 2.0
+        V = np.sin(B * (lam - lam0))
+        U = (-V * math.cos(gamma0) + S * math.sin(gamma0)) \
+            / ((Q + 1.0 / Q) / 2.0)
+        v = A * np.log((1.0 - U) / (1.0 + U)) / (2.0 * B)
+        u = (A * np.arctan2(
+            S * math.cos(gamma0) + V * math.sin(gamma0),
+            np.cos(B * (lam - lam0))) / B) - abs(uc) * sgn
+        return (fe + v * math.cos(gamma) + u * math.sin(gamma),
+                fn + u * math.cos(gamma) - v * math.sin(gamma))
+
+    def inv(e_crd, n_crd):
+        x = np.asarray(e_crd, np.float64) - fe
+        y = np.asarray(n_crd, np.float64) - fn
+        dv = x * math.cos(gamma) - y * math.sin(gamma)
+        du = (y * math.cos(gamma) + x * math.sin(gamma)) \
+            + abs(uc) * sgn
+        Q = np.exp(-B * dv / A)
+        S = (Q - 1.0 / Q) / 2.0
+        V = np.sin(B * du / A)
+        U = (V * math.cos(gamma0) + S * math.sin(gamma0)) \
+            / ((Q + 1.0 / Q) / 2.0)
+        tp = (H / np.sqrt((1.0 + U) / (1.0 - U))) ** (1.0 / B)
+        phi = np.pi / 2 - 2 * np.arctan(tp)
+        for _ in range(10):
+            s = np.sin(phi)
+            phi = np.pi / 2 - 2 * np.arctan(
+                tp * ((1 - e * s) / (1 + e * s)) ** (e / 2))
+        lam = lam0 - np.arctan2(
+            S * math.cos(gamma0) - V * math.sin(gamma0),
+            np.cos(B * du / A)) / B
+        return np.degrees(lam), np.degrees(phi)
+
+    return fwd, inv
+
+
+def _make_krovak_np(ellps, lat_c, lon0, alpha_c, lat_p, k_p, fe, fn):
+    a, f = ellps
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+    phi_c = math.radians(lat_c)
+    alpha = math.radians(alpha_c)
+    phi_p = math.radians(lat_p)
+    A = a * math.sqrt(1 - e2) / (1 - e2 * math.sin(phi_c) ** 2)
+    B = math.sqrt(1 + e2 * math.cos(phi_c) ** 4 / (1 - e2))
+    gamma0 = math.asin(math.sin(phi_c) / B)
+    t0 = (math.tan(math.pi / 4 + gamma0 / 2)
+          * ((1 + e * math.sin(phi_c)) / (1 - e * math.sin(phi_c)))
+          ** (e * B / 2)
+          / math.tan(math.pi / 4 + phi_c / 2) ** B)
+    n = math.sin(phi_p)
+    r0 = k_p * A / math.tan(phi_p)
+
+    def fwd(lon, lat):
+        phi = np.radians(lat)
+        s = np.sin(phi)
+        U = 2 * (np.arctan(
+            t0 * np.tan(phi / 2 + np.pi / 4) ** B
+            / ((1 + e * s) / (1 - e * s)) ** (e * B / 2)) - np.pi / 4)
+        V = B * np.radians(lon0 - np.asarray(lon, np.float64))
+        T = np.arcsin(math.cos(alpha) * np.sin(U)
+                      + math.sin(alpha) * np.cos(U) * np.cos(V))
+        D = np.arcsin(np.cos(U) * np.sin(V) / np.cos(T))
+        theta = n * D
+        r = (r0 * math.tan(math.pi / 4 + phi_p / 2) ** n
+             / np.tan(T / 2 + np.pi / 4) ** n)
+        x_south = r * np.cos(theta)
+        y_west = r * np.sin(theta)
+        return fe - y_west, fn - x_south
+
+    def inv(e_crd, n_crd):
+        y_west = fe - np.asarray(e_crd, np.float64)
+        x_south = fn - np.asarray(n_crd, np.float64)
+        r = np.hypot(x_south, y_west)
+        theta = np.arctan2(y_west, x_south)
+        D = theta / n
+        T = 2 * (np.arctan(
+            (r0 / r) ** (1 / n) * math.tan(math.pi / 4 + phi_p / 2))
+            - np.pi / 4)
+        U = np.arcsin(math.cos(alpha) * np.sin(T)
+                      - math.sin(alpha) * np.cos(T) * np.cos(D))
+        V = np.arcsin(np.cos(T) * np.sin(D) / np.cos(U))
+        phi = U.copy() if hasattr(U, "copy") else U
+        for _ in range(10):
+            s = np.sin(phi)
+            phi = 2 * (np.arctan(
+                (np.tan(U / 2 + np.pi / 4) / t0) ** (1 / B)
+                * ((1 + e * s) / (1 - e * s)) ** (e / 2)) - np.pi / 4)
+        lon = lon0 - np.degrees(V / B)
+        return lon, np.degrees(phi)
+
+    return fwd, inv
+
+
+def _make_sinu_np(ellps, lon0, fe, fn):
+    a, f = ellps
+    e2 = f * (2 - f)
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    c0 = 1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256
+    c2 = 3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024
+    c4 = 15 * e4 / 256 + 45 * e6 / 1024
+    c6 = 35 * e6 / 3072
+    e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+    d2 = 3 * e1 / 2 - 27 * e1 ** 3 / 32
+    d4 = 21 * e1 ** 2 / 16 - 55 * e1 ** 4 / 32
+    d6 = 151 * e1 ** 3 / 96
+    d8 = 1097 * e1 ** 4 / 512
+
+    def m_of(phi):
+        return a * (c0 * phi - c2 * np.sin(2 * phi)
+                    + c4 * np.sin(4 * phi) - c6 * np.sin(6 * phi))
+
+    def fwd(lon, lat):
+        phi = np.radians(lat)
+        lam = np.radians(np.asarray(lon, np.float64) - lon0)
+        s = np.sin(phi)
+        x = a * lam * np.cos(phi) / np.sqrt(1 - e2 * s * s)
+        return fe + x, fn + m_of(phi)
+
+    def inv(e_crd, n_crd):
+        m = np.asarray(n_crd, np.float64) - fn
+        mu = m / (a * c0)
+        phi = (mu + d2 * np.sin(2 * mu) + d4 * np.sin(4 * mu)
+               + d6 * np.sin(6 * mu) + d8 * np.sin(8 * mu))
+        for _ in range(2):
+            s2 = np.sin(phi) ** 2
+            dm = a * (1 - e2) / (1 - e2 * s2) ** 1.5
+            phi = phi - (m_of(phi) - m) / dm
+        s = np.sin(phi)
+        denom = a * np.cos(phi) / np.sqrt(1 - e2 * s * s)
+        denom_safe = np.where(denom == 0, 1.0, denom)
+        lam = np.where(denom == 0, 0.0,
+                       (np.asarray(e_crd, np.float64) - fe)
+                       / denom_safe)
+        return lon0 + np.degrees(lam), np.degrees(phi)
+
+    return fwd, inv
+
+
+def _make_moll_np(ellps, lon0, fe, fn):
+    R = ellps[0]
+    SQ2 = math.sqrt(2.0)
+
+    def fwd(lon, lat):
+        phi = np.radians(lat)
+        lam = np.radians(np.asarray(lon, np.float64) - lon0)
+        th = phi.copy() if hasattr(phi, "copy") else np.asarray(
+            phi, np.float64)
+        th = np.asarray(th, np.float64)
+        target = np.pi * np.sin(phi)
+        for _ in range(50):
+            den = 2.0 + 2.0 * np.cos(2.0 * th)
+            den_safe = np.where(den < 1e-14, 1.0, den)
+            d = np.where(den < 1e-14, 0.0,
+                         (2.0 * th + np.sin(2.0 * th) - target)
+                         / den_safe)
+            th = th - d
+        pole = np.abs(phi) >= np.pi / 2 - 1e-12
+        th = np.where(pole, np.copysign(np.pi / 2, phi), th)
+        return (fe + R * (2.0 * SQ2 / np.pi) * lam * np.cos(th),
+                fn + R * SQ2 * np.sin(th))
+
+    def inv(e_crd, n_crd):
+        th = np.arcsin(np.clip(
+            (np.asarray(n_crd, np.float64) - fn) / (R * SQ2),
+            -1.0, 1.0))
+        phi = np.arcsin(np.clip(
+            (2.0 * th + np.sin(2.0 * th)) / np.pi, -1.0, 1.0))
+        c = np.cos(th)
+        c_safe = np.where(np.abs(c) < 1e-12, 1.0, c)
+        lam = np.where(np.abs(c) < 1e-12, 0.0,
+                       (np.asarray(e_crd, np.float64) - fe) * np.pi
+                       / (2.0 * R * SQ2 * c_safe))
+        return lon0 + np.degrees(lam), np.degrees(phi)
+
+    return fwd, inv
+
+
+def _make_eqc_np(ellps, lat_ts, lat0, lon0, fe, fn):
+    a, f = ellps
+    e2 = f * (2 - f)
+    phi_ts = math.radians(lat_ts)
+    nu_ts = (a * math.cos(phi_ts)
+             / math.sqrt(1 - e2 * math.sin(phi_ts) ** 2))
+    if e2 == 0.0:
+        def fwd(lon, lat):
+            return (fe + nu_ts * np.radians(
+                np.asarray(lon, np.float64) - lon0),
+                fn + a * np.radians(np.asarray(lat, np.float64)
+                                    - lat0))
+
+        def inv(x, y):
+            return (lon0 + np.degrees(
+                (np.asarray(x, np.float64) - fe) / nu_ts),
+                lat0 + np.degrees(
+                    (np.asarray(y, np.float64) - fn) / a))
+
+        return fwd, inv
+    sin_fwd, sin_inv = _make_sinu_np(ellps, lon0, 0.0, 0.0)
+    m0 = float(np.asarray(sin_fwd(lon0, lat0)[1]))
+
+    def fwd(lon, lat):
+        _, m = sin_fwd(np.full_like(np.asarray(lat, np.float64),
+                                    lon0), lat)
+        return (fe + nu_ts * np.radians(
+            np.asarray(lon, np.float64) - lon0), fn + m - m0)
+
+    def inv(x, y):
+        lat = sin_inv(0.0, (np.asarray(y, np.float64) - fn) + m0)[1]
+        return lon0 + np.degrees(
+            (np.asarray(x, np.float64) - fe) / nu_ts), lat
+
+    return fwd, inv
+
+
+_FAMILIES_NP.update({"homvb": _make_homvb_np,
+                     "krovak": _make_krovak_np,
+                     "sinu": _make_sinu_np,
+                     "moll": _make_moll_np,
+                     "eqc": _make_eqc_np})

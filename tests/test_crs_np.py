@@ -36,6 +36,11 @@ _WINDOWS = {
     3577: (112.0, 154.0, -44.0, -10.0),  # Australian Albers
     102003: (-125.0, -66.0, 24.0, 50.0), # ESRI USA Albers
     2193: (166.0, 179.0, -47.5, -34.0),  # NZTM (plain TM)
+    5514: (12.1, 22.5, 47.8, 51.0),      # Krovak (Helmert)
+    2056: (6.0, 10.5, 45.8, 47.8),       # Swiss LV95 (HOM-B)
+    21781: (6.0, 10.5, 45.8, 47.8),      # Swiss LV03
+    54009: (-170.0, 170.0, -80.0, 80.0), # World Mollweide
+    54034: (-170.0, 170.0, -80.0, 80.0), # World CEA
 }
 
 
@@ -83,9 +88,9 @@ def test_dispatch_returns_np_kernels():
                  31467, 23031):
         assert C.to_lonlat_np(srid) is not None, srid
         assert C.from_lonlat_np(srid) is not None, srid
-    # scalar-only families still fall through (no wrong answers)
-    for srid in (5514, 2056):              # Krovak, Swiss HOM
-        assert C.to_lonlat_np(srid) is None, srid
+    # every table family now has a twin
+    for srid in (5514, 2056, 54009):
+        assert C.to_lonlat_np(srid) is not None, srid
 
 
 def test_np_scalar_parity_scalar_inputs():
