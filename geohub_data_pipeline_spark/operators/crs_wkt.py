@@ -289,9 +289,18 @@ _K0 = ("scale_factor", "scale_factor_at_natural_origin")
 
 
 def _build_projected(proj_name: str, params: dict, ellps, ang: float,
-                     u: float):
+                     u: float, makers=None):
     """(fwd, inv) in METERS from the projection method name + raw
-    PARAMETER dict.  ``ang`` converts angle params to degrees."""
+    PARAMETER dict.  ``ang`` converts angle params to degrees.
+    ``makers`` picks the construction backend: None = the scalar
+    family table (crs.py); pass ``crs_np`` makers for array
+    kernels — the parsing/parameter logic is shared either way."""
+    if makers is None:
+        from geohub_data_pipeline_spark.operators.crs import _FAMILIES
+        makers = _FAMILIES
+
+    def mk(family, **kw):
+        return makers[family](ellps, **kw)
 
     def angle(names, default=0.0):
         v = _get(params, names)
@@ -312,23 +321,24 @@ def _build_projected(proj_name: str, params: dict, ellps, ang: float,
 
     if nm in ("transversemercator", "gausskruger", "gaussboaga",
               "transversemercatorsouthorientated"):
-        return _make_tm(ellps, lat0, lon0, k0, fe, fn)
+        return mk("tm", lat0=lat0, lon0=lon0, k0=k0, fe=fe, fn=fn)
 
     if nm.startswith("lambertconformalconic"):
         if sp2 is not None and sp1 is not None and sp1 != sp2:
-            return _make_lcc2(ellps, lat0, lon0,
-                              sp1 * ang * _DEG_PER_RAD,
-                              sp2 * ang * _DEG_PER_RAD, fe, fn)
+            return mk("lcc2", lat0=lat0, lon0=lon0,
+                      sp1=sp1 * ang * _DEG_PER_RAD,
+                      sp2=sp2 * ang * _DEG_PER_RAD, fe=fe, fn=fn)
         # 1SP: standard parallel = latitude of origin, k0 applies
         sp = (sp1 * ang * _DEG_PER_RAD) if sp1 is not None else lat0
-        return _make_lcc2(ellps, sp, lon0, sp, sp, fe, fn, k0=k0)
+        return mk("lcc2", lat0=sp, lon0=lon0, sp1=sp, sp2=sp,
+                  fe=fe, fn=fn, k0=k0)
 
     if nm in ("albersconicequalarea", "albers", "albersequalarea"):
-        return _make_aea(ellps, lat0, lon0,
-                         angle(_SP1), angle(_SP2), fe, fn)
+        return mk("aea", lat0=lat0, lon0=lon0, sp1=angle(_SP1),
+                  sp2=angle(_SP2), fe=fe, fn=fn)
 
     if nm == "lambertazimuthalequalarea":
-        return _make_laea(ellps, lat0, lon0, fe, fn)
+        return mk("laea", lat0=lat0, lon0=lon0, fe=fe, fn=fn)
 
     if nm in ("polarstereographic", "stereographicnorthpole",
               "stereographicsouthpole",
@@ -337,19 +347,20 @@ def _build_projected(proj_name: str, params: dict, ellps, ang: float,
         lat_ts = angle(_SP1 + _LAT0, default=90.0)
         if abs(lat_ts) >= 90.0 - 1e-12:
             # variant A (scale factor at the pole): UPS-style
-            return _make_ps(ellps, math.copysign(90.0, lat_ts), lon0,
-                            fe, fn, k0=k0)
-        return _make_ps(ellps, lat_ts, lon0, fe, fn)
+            return mk("ps", lat_ts=math.copysign(90.0, lat_ts),
+                      lon0=lon0, fe=fe, fn=fn, k0=k0)
+        return mk("ps", lat_ts=lat_ts, lon0=lon0, fe=fe, fn=fn)
 
     if nm in ("mercator1sp", "mercator", "mercator2sp",
               "mercatorvarianta", "mercatorvariantb"):
         if sp1 is not None and nm != "mercator1sp":
             k0 = merc_2sp_k0(ellps, sp1 * ang * _DEG_PER_RAD)
-        return _make_merc(ellps, lon0, k0, fe, fn)
+        return mk("merc", lon0=lon0, k0=k0, fe=fe, fn=fn)
 
     if nm == "mercatorauxiliarysphere":
         # ESRI web-Mercator: spherical formulas on the semi-major axis
-        return _make_merc(ellps, lon0, k0, fe, fn, spherical=True)
+        return mk("merc", lon0=lon0, k0=k0, fe=fe, fn=fn,
+                  spherical=True)
 
     if nm in ("hotineobliquemercatorazimuthcenter",
               "hotineobliquemercatortwopointcenter",
@@ -359,7 +370,8 @@ def _build_projected(proj_name: str, params: dict, ellps, ang: float,
         azi = angle(("azimuth", "azimuth_of_initial_line"), 90.0)
         gam = angle(("rectified_grid_angle", "angle_from_rectified_"
                      "to_skew_grid", "xy_plane_rotation"), azi)
-        return _make_homvb(ellps, lat0, lon0, azi, gam, k0, fe, fn)
+        return mk("homvb", lat_c=lat0, lon_c=lon0, alpha_c=azi,
+                  gamma_c=gam, k_c=k0, fe=fe, fn=fn)
 
     if nm in ("hotineobliquemercator",          # GDAL name, EPSG 9812
               "hotineobliquemercatorvarianta",
@@ -371,51 +383,63 @@ def _build_projected(proj_name: str, params: dict, ellps, ang: float,
         azi = angle(("azimuth", "azimuth_of_initial_line"), 90.0)
         gam = angle(("rectified_grid_angle", "angle_from_rectified_"
                      "to_skew_grid", "xy_plane_rotation"), azi)
-        return _make_homvb(ellps, lat0, lon0, azi, gam, k0, fe, fn,
-                           natural_origin=True)
+        return mk("homvb", lat_c=lat0, lon_c=lon0, alpha_c=azi,
+                  gamma_c=gam, k_c=k0, fe=fe, fn=fn,
+                  natural_origin=True)
 
     if nm in ("obliquestereographic", "doublestereographic",
               "stereographic"):
-        return _make_sterea(ellps, lat0, lon0, k0, fe, fn)
+        return mk("sterea", lat0=lat0, lon0=lon0, k0=k0,
+                  fe=fe, fn=fn)
 
     if nm == "sinusoidal":
-        from geohub_data_pipeline_spark.operators.crs import _make_sinu
-        return _make_sinu(ellps, lon0, fe, fn)
+        return mk("sinu", lon0=lon0, fe=fe, fn=fn)
 
     if nm in ("cylindricalequalarea", "lambertcylindricalequalarea",
               "lambertcylindricalequalareaspherical", "behrmann"):
-        from geohub_data_pipeline_spark.operators.crs import _make_cea
-        return _make_cea(ellps, angle(_SP1, 0.0), lon0, fe, fn)
+        return mk("cea", lat_ts=angle(_SP1, 0.0), lon0=lon0,
+                  fe=fe, fn=fn)
 
     if nm == "mollweide":
-        from geohub_data_pipeline_spark.operators.crs import _make_moll
-        return _make_moll(ellps, lon0, fe, fn)
+        return mk("moll", lon0=lon0, fe=fe, fn=fn)
 
     if nm in ("equirectangular", "equidistantcylindrical",
               "platecarree", "plate_carree"):
-        from geohub_data_pipeline_spark.operators.crs import _make_eqc
         lat_ts = _get(params, _SP1)
         lat_ts = (lat_ts * ang * _DEG_PER_RAD) if lat_ts is not None \
             else 0.0
-        return _make_eqc(ellps, lat_ts, lat0, lon0, fe, fn)
+        return mk("eqc", lat_ts=lat_ts, lat0=lat0, lon0=lon0,
+                  fe=fe, fn=fn)
 
     if nm == "krovak":
         psp = angle(("pseudo_standard_parallel_1",), 78.5)
-        return _make_krovak(ellps, lat0, lon0,
-                            angle(("azimuth",), 30.28813972222222),
-                            psp, k0, fe, fn)
+        return mk("krovak", lat_c=lat0, lon0=lon0,
+                  alpha_c=angle(("azimuth",), 30.28813972222222),
+                  lat_p=psp, k_p=k0, fe=fe, fn=fn)
 
     return None
 
 
-def pair_from_wkt(wkt: str):
+def pair_from_wkt(wkt: str, use_np: bool = False):
     """(fwd, inv) closures for a WKT1 CRS string, WGS84 (lon, lat)
     degrees on the geographic side and CRS-native units on the
     projected side — or None if the projection method is outside the
-    closed-form families.
+    closed-form families.  ``use_np=True`` builds ARRAY kernels
+    (operators/crs_np.py makers + vectorized datum ladder) from the
+    same parsed parameters; the prime-meridian/unit wrappers below
+    are plain arithmetic and work on both.
 
     Raises ``ValueError`` on malformed WKT (callers treat that the
     same as None under ``-skipfailures``)."""
+    if use_np:
+        from geohub_data_pipeline_spark.operators import crs_np
+        makers = dict(crs_np._FAMILIES_NP)
+        makers["tm"] = crs_np._make_tm_np
+        with_datum = crs_np._with_datum_np
+    else:
+        from geohub_data_pipeline_spark.operators.crs import _FAMILIES
+        makers = _FAMILIES
+        with_datum = _with_datum
     root = parse_wkt(wkt)
     rname = root.name.upper()
 
@@ -434,7 +458,7 @@ def pair_from_wkt(wkt: str):
 
         if helmert is not None:
             # datum-shift the lon/lat through ECEF; identity "grid"
-            fwd_d, inv_d = _with_datum(
+            fwd_d, inv_d = with_datum(
                 lambda lon, lat: (lon, lat),
                 lambda x, y: (x, y), ellps, helmert)
             return (lambda lon, lat: fwd_g(*fwd_d(lon, lat)),
@@ -456,7 +480,8 @@ def pair_from_wkt(wkt: str):
         raise ValueError("wkt: PROJCS without PROJECTION")
     params = _params_of(root)
 
-    made = _build_projected(str(proj.values[0]), params, ellps, ang, u)
+    made = _build_projected(str(proj.values[0]), params, ellps, ang,
+                            u, makers=makers)
     if made is None:
         return None
     fwd_m, inv_m = made
@@ -475,7 +500,7 @@ def pair_from_wkt(wkt: str):
 
     helmert = _towgs84(geogcs)
     if helmert is not None:
-        fwd_m, inv_m = _with_datum(fwd_m, inv_m, ellps, helmert)
+        fwd_m, inv_m = with_datum(fwd_m, inv_m, ellps, helmert)
 
     if u != 1.0:
         base_fwd2, base_inv2 = fwd_m, inv_m
@@ -490,10 +515,10 @@ def pair_from_wkt(wkt: str):
     return fwd_m, inv_m
 
 
-def to_lonlat_wkt(wkt: str):
+def to_lonlat_wkt(wkt: str, use_np: bool = False):
     """``f(x, y) -> (lon, lat)`` for a WKT1 CRS, else None."""
     try:
-        made = pair_from_wkt(wkt)
+        made = pair_from_wkt(wkt, use_np=use_np)
     except (ValueError, IndexError, ZeroDivisionError, AttributeError):
         return None
     return made[1] if made else None

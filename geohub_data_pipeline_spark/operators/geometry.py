@@ -789,6 +789,7 @@ def lonlat_to_mercator(lon: float, lat: float) -> tuple[float, float]:
 
 
 _WKT_INV_CACHE: dict[str, object] = {}
+_WKT_INV_NP_CACHE: dict[str, object] = {}
 
 
 def _wkt_inverse(wkt: str):
@@ -1058,6 +1059,16 @@ def _reproject_array(arr, src_srid: int, crs_wkt: str | None):
                 out[i] = native(float(arr[i, 0]), float(arr[i, 1]))
             return out
     if crs_wkt:
+        if crs_wkt not in _WKT_INV_NP_CACHE:
+            from geohub_data_pipeline_spark.operators import (
+                crs_wkt as _cw,
+            )
+            _WKT_INV_NP_CACHE[crs_wkt] = _cw.to_lonlat_wkt(
+                crs_wkt, use_np=True)
+        inv_np = _WKT_INV_NP_CACHE[crs_wkt]
+        if inv_np is not None:             # array kernels (crs_np.py)
+            lon, lat = inv_np(arr[:, 0], arr[:, 1])
+            return np.column_stack([lon, lat])
         inv = _wkt_inverse(crs_wkt)
         if inv is not None:
             out = np.empty_like(arr)

@@ -100,3 +100,69 @@ def test_np_scalar_parity_scalar_inputs():
     x, y = fwd(2.35, 48.85)
     lo, la = inv(float(x), float(y))
     assert abs(lo - 2.35) < 1e-9 and abs(la - 48.85) < 1e-9
+
+
+_MODIS_SINU = """PROJCS["MODIS Sinusoidal",
+ GEOGCS["WGS 84",DATUM["WGS_1984",
+  SPHEROID["WGS 84",6378137,298.257223563]],
+  PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],
+ PROJECTION["Sinusoidal"],
+ PARAMETER["central_meridian",0],PARAMETER["false_easting",0],
+ PARAMETER["false_northing",0],UNIT["metre",1]]"""
+
+
+def test_wkt_np_kernels_match_scalar():
+    """pair_from_wkt(use_np=True) builds array kernels from the same
+    parsed parameters — parity vs the scalar closures across the
+    fixture bank (ftUS units, TOWGS84 Helmert, Ferro meridian,
+    aux-sphere Mercator, MODIS sinusoidal)."""
+    from tests.test_crs_wkt import (
+        _WKT_2263_FTUS,
+        _WKT_27700,
+        _WKT_5514_FERRO,
+        _WKT_AUX_SPHERE,
+        _WKT_ESRI_UTM33,
+    )
+    from geohub_data_pipeline_spark.operators import crs_wkt as CW
+
+    cases = {
+        _WKT_27700: (-5.0, 1.5, 50.2, 58.0),
+        _WKT_ESRI_UTM33: (12.5, 17.5, 1.0, 70.0),
+        _WKT_2263_FTUS: (-74.2, -71.9, 40.5, 41.2),
+        _WKT_5514_FERRO: (12.5, 22.0, 48.0, 51.0),
+        _WKT_AUX_SPHERE: (-170.0, 170.0, -80.0, 80.0),
+        _MODIS_SINU: (-170.0, 170.0, -80.0, 80.0),
+    }
+    for wkt, w in cases.items():
+        scal = CW.pair_from_wkt(wkt)
+        vec = CW.pair_from_wkt(wkt, use_np=True)
+        assert scal is not None and vec is not None, wkt[:40]
+        lon, lat = _grid(w, n=7)
+        X, Y = vec[0](lon, lat)
+        for i in range(0, len(lon), 5):
+            xs, ys = scal[0](float(lon[i]), float(lat[i]))
+            assert abs(X[i] - xs) < 1e-5 and abs(Y[i] - ys) < 1e-5, \
+                (wkt[:40], lon[i], lat[i])
+        LO, LA = vec[1](X, Y)
+        for i in range(0, len(lon), 5):
+            lo_s, la_s = scal[1](float(X[i]), float(Y[i]))
+            assert abs(LO[i] - lo_s) < 1e-9
+            assert abs(LA[i] - la_s) < 1e-9
+
+
+def test_reproject_array_uses_np_wkt_path():
+    """normalize's array reprojector takes the vectorized WKT route
+    for srid-0 + embedded-WKT features (e.g. MODIS sinusoidal or an
+    AUTHORITY-less .prj)."""
+    from geohub_data_pipeline_spark.operators import geometry as G
+
+    fwd = __import__(
+        "geohub_data_pipeline_spark.operators.crs_wkt",
+        fromlist=["x"]).from_lonlat_wkt(_MODIS_SINU)
+    lon = np.linspace(-150, 150, 400)
+    lat = np.linspace(-70, 70, 400)
+    arr = np.column_stack([[fwd(lo, la)[0] for lo, la in zip(lon, lat)],
+                           [fwd(lo, la)[1] for lo, la in zip(lon, lat)]])
+    out = G._reproject_array(arr, 0, _MODIS_SINU)
+    assert np.max(np.abs(out[:, 0] - lon)) < 1e-7
+    assert np.max(np.abs(out[:, 1] - lat)) < 1e-7
