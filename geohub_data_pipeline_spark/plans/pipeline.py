@@ -2733,3 +2733,72 @@ def topojson_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.mapInPandas(
         rt, "doc_id long, n_features long, first_x double, "
             "shared_ok long, props_ok long")
+
+
+# ---------------------------------------------------------------------------
+# Round-5: grid-partitioned spatial join under the gate
+# ---------------------------------------------------------------------------
+
+_PIP_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         -19.95 + CAST((doc_id * 13) % 400 AS DOUBLE) / 10.0 AS lon,
+         -19.95 + CAST((doc_id * 7) % 400 AS DOUBLE) / 10.0 AS lat
+  FROM documents
+),
+z AS (
+  SELECT CAST(t.i AS BIGINT) AS poly_id,
+         -15.0 + t.i * 6.0 AS cx,
+         -10.0 + (t.i % 3) * 8.0 AS cy,
+         2.47 + t.i * 0.4 AS r
+  FROM range(6) t(i)
+)
+SELECT p.doc_id, z.poly_id
+FROM p, z
+WHERE abs(p.lon - z.cx) + abs(p.lat - z.cy) < z.r
+ORDER BY p.doc_id, z.poly_id
+"""
+
+
+@query("spatial_join_pip", "pipeline",
+       "geo analytics: grid-partitioned point-in-polygon spatial "
+       "join (polygon bbox -> tile fan-out, ONE tile-hash shuffle, "
+       "vectorized PNPOLY ray cast) — the enrichment join the "
+       "ingestion reference never needed", _PIP_SQL)
+def spatial_join_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Points from the documents table against six diamond polygons
+    (rotated squares).  The Spark side runs the REAL machinery —
+    tile-key join + even-odd ray casting (operators/spatial.py) —
+    while the oracle states containment as the L1-ball inequality a
+    diamond admits; radii sit 0.02 off the point lattice so no point
+    lies on a boundary and both formulations agree exactly.
+
+    Scale: the same plan a planetary PIP join runs — map-side keying
+    both sides, one hash shuffle on the tile key, per-(tile,
+    polygon) Arrow groups; a mega-polygon splits across its tiles
+    (built-in salting).
+    """
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.operators import spatial as SP
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    t = load_tables(spark, sf_dir)
+    points = t.documents.select(
+        F.col("doc_id").alias("point_id"),
+        (-19.95 + ((F.col("doc_id") * 13) % 400).cast("double") / 10.0)
+        .alias("lon"),
+        (-19.95 + ((F.col("doc_id") * 7) % 400).cast("double") / 10.0)
+        .alias("lat"),
+    )
+    polys = []
+    for pid in range(6):
+        cx, cy = -15.0 + pid * 6.0, -10.0 + (pid % 3) * 8.0
+        r = 2.47 + pid * 0.4
+        ring = [(cx + r, cy), (cx, cy + r), (cx - r, cy),
+                (cx, cy - r), (cx + r, cy)]
+        polys.append((pid, G.wkb_polygon([ring])))
+    polygons = spark.createDataFrame(
+        polys, "poly_id long, geometry binary")
+    out = SP.points_in_polygons(points, polygons, zoom=6)
+    return out.select(F.col("point_id").alias("doc_id"), "poly_id")

@@ -1,0 +1,73 @@
+"""Grid-partitioned spatial join (operators/spatial.py): PNPOLY
+kernel goldens + the distributed join against a brute-force check."""
+
+import numpy as np
+
+from geohub_data_pipeline_spark.operators import geometry as G
+from geohub_data_pipeline_spark.operators import spatial as SP
+
+
+def test_pnpoly_square_hole_and_diamond():
+    shell = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]],
+                     dtype=float)
+    hole = np.array([[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]],
+                    dtype=float)
+    px = np.array([5.0, 2.0, 5.0, 11.0, -1.0])
+    py = np.array([2.0, 5.0, 5.0, 5.0, 5.0])
+    got = SP.pnpoly_mask(px, py, [shell, hole])
+    #        in    in   in-hole out  out
+    assert got.tolist() == [True, True, False, False, False]
+
+    diamond = np.array([[5, 0], [10, 5], [5, 10], [0, 5], [5, 0]],
+                       dtype=float)
+    px = np.array([5.0, 1.0, 9.5, 5.0])
+    py = np.array([5.0, 1.0, 5.0, 9.9])
+    got = SP.pnpoly_mask(px, py, [diamond])
+    assert got.tolist() == [True, False, True, True]
+
+
+def test_points_in_polygons_matches_bruteforce(spark):
+    rng = np.random.default_rng(11)
+    pts = [(int(i), float(lo), float(la)) for i, (lo, la) in enumerate(
+        zip(rng.uniform(-20, 20, 400), rng.uniform(-20, 20, 400)))]
+    points = spark.createDataFrame(
+        pts, "point_id long, lon double, lat double")
+
+    polys = []
+    rings_by_id = {}
+    for pid in range(6):
+        cx, cy = -15.0 + pid * 6.0, -10.0 + (pid % 3) * 8.0
+        r = 2.5 + pid * 0.4
+        ring = [(cx + r, cy), (cx, cy + r), (cx - r, cy),
+                (cx, cy - r), (cx + r, cy)]
+        polys.append((pid, G.wkb_polygon([ring])))
+        rings_by_id[pid] = np.array(ring, dtype=float)
+    polygons = spark.createDataFrame(
+        polys, "poly_id long, geometry binary")
+
+    got = {(r.point_id, r.poly_id) for r in
+           SP.points_in_polygons(points, polygons, zoom=5).collect()}
+
+    want = set()
+    for i, lo, la in pts:
+        for pid, ring in rings_by_id.items():
+            if SP.pnpoly_mask(np.array([lo]), np.array([la]),
+                              [ring])[0]:
+                want.add((i, pid))
+    assert got == want and len(want) > 10
+
+
+def test_polygon_spanning_many_tiles(spark):
+    """A polygon crossing tile boundaries matches points in every
+    covered tile exactly once."""
+    points = spark.createDataFrame(
+        [(1, 0.1, 0.1), (2, -0.1, 0.1), (3, 0.1, -0.1),
+         (4, 5.0, 5.0)],
+        "point_id long, lon double, lat double")
+    big = G.wkb_polygon([[(-2.0, -2.0), (2.0, -2.0), (2.0, 2.0),
+                          (-2.0, 2.0), (-2.0, -2.0)]])
+    polygons = spark.createDataFrame([(7, big)],
+                                     "poly_id long, geometry binary")
+    rows = SP.points_in_polygons(points, polygons, zoom=8).collect()
+    assert sorted((r.point_id, r.poly_id) for r in rows) == [
+        (1, 7), (2, 7), (3, 7)]
