@@ -2802,3 +2802,84 @@ def spatial_join_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
         polys, "poly_id long, geometry binary")
     out = SP.points_in_polygons(points, polygons, zoom=6)
     return out.select(F.col("point_id").alias("doc_id"), "poly_id")
+
+
+_ZONAL_SQL = """
+WITH px AS (
+  SELECT r.i AS row, c.i AS col,
+         CAST((7 * r.i + c.i) % 1000 AS DOUBLE) AS v,
+         -15.0 + (c.i + 0.5) * 0.1 AS lon,
+         15.0 - (r.i + 0.5) * 0.1 AS lat
+  FROM range(300) r(i), range(300) c(i)
+),
+z AS (
+  SELECT CAST(t.i AS BIGINT) AS poly_id,
+         -15.0 + t.i * 6.0 AS cx,
+         -10.0 + (t.i % 3) * 8.0 AS cy,
+         2.47 + t.i * 0.4 AS r
+  FROM range(6) t(i)
+)
+SELECT 'dem' AS dataset, z.poly_id,
+       CAST(count(*) AS BIGINT) AS n_pixels,
+       sum(px.v) AS sum_v, min(px.v) AS min_v, max(px.v) AS max_v,
+       round(sum(px.v) / count(*), 6) AS mean_v
+FROM px, z
+WHERE abs(px.lon - z.cx) + abs(px.lat - z.cy) < z.r
+GROUP BY z.poly_id
+ORDER BY z.poly_id
+"""
+
+
+@query("zonal_stats", "pipeline",
+       "geo analytics: zonal statistics (raster x polygons) — "
+       "polygons fan to the BLOCK grid, one hash shuffle, per-block "
+       "partial aggregates, no pixel-level shuffle", _ZONAL_SQL)
+def zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean/sum/min/max elevation per diamond zone over a synthetic
+    300x300 single-band raster (pixel value = (7 row + col) % 1000,
+    0.1-degree grid) — the Spark side runs the REAL machinery
+    (operators/spatial.py zonal_stats over BLOCK rows + georef),
+    the oracle states the same sums over the pixel-center lattice
+    with the diamond's L1 inequality.
+
+    Scale: partial aggregation happens where the pixels live; only
+    (dataset, poly_id, partial) rows cross the wire after the one
+    candidate-pair shuffle.
+    """
+    import numpy as np
+
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.operators import spatial as SP
+    from geohub_data_pipeline_spark.operators.raster import BLOCK
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    load_tables(spark, sf_dir)             # keep the harness contract
+    n = 300
+    arr = (7 * np.arange(n)[:, None] + np.arange(n)[None, :]) % 1000
+    rows = []
+    for by in range(0, n, BLOCK):
+        for bx in range(0, n, BLOCK):
+            tile = arr[by:by + BLOCK, bx:bx + BLOCK]
+            rows.append(("dem", None, 1, 0, bx // BLOCK, by // BLOCK,
+                         int(tile.shape[1]), int(tile.shape[0]),
+                         [float(v) for v in tile.ravel()], None, 4326))
+    blocks = spark.createDataFrame(
+        rows, "dataset string, subdataset string, band int, "
+              "level int, block_x int, block_y int, width int, "
+              "height int, pixels array<double>, nodata double, "
+              "srid int")
+    georef = spark.createDataFrame(
+        [("dem", -15.0, 15.0, 0.1, 0.1, 4326)],
+        "dataset string, origin_x double, origin_y double, "
+        "pixel_sx double, pixel_sy double, georef_srid int")
+    polys = []
+    for pid in range(6):
+        cx, cy = -15.0 + pid * 6.0, -10.0 + (pid % 3) * 8.0
+        r = 2.47 + pid * 0.4
+        ring = [(cx + r, cy), (cx, cy + r), (cx - r, cy),
+                (cx, cy - r), (cx + r, cy)]
+        polys.append((pid, G.wkb_polygon([ring])))
+    polygons = spark.createDataFrame(
+        polys, "poly_id long, geometry binary")
+    return SP.zonal_stats(blocks, georef, polygons)

@@ -71,3 +71,38 @@ def test_polygon_spanning_many_tiles(spark):
     rows = SP.points_in_polygons(points, polygons, zoom=8).collect()
     assert sorted((r.point_id, r.poly_id) for r in rows) == [
         (1, 7), (2, 7), (3, 7)]
+
+
+def test_zonal_stats_small_golden(spark):
+    """Zonal stats over a tiny 8x8 raster with a known diamond:
+    hand-computable pixel membership."""
+    import pandas as pd  # noqa: F401
+
+    from geohub_data_pipeline_spark.operators import spatial as SP
+
+    # 8x8 raster, origin (0, 8), pixel 1.0 -> pixel centers at
+    # (0.5..7.5, 7.5..0.5); value = row * 10 + col
+    vals = [float(r * 10 + c) for r in range(8) for c in range(8)]
+    blocks = spark.createDataFrame(
+        [("r", None, 1, 0, 0, 0, 8, 8, vals, None, 4326)],
+        "dataset string, subdataset string, band int, level int, "
+        "block_x int, block_y int, width int, height int, "
+        "pixels array<double>, nodata double, srid int")
+    georef = spark.createDataFrame(
+        [("r", 0.0, 8.0, 1.0, 1.0, 4326)],
+        "dataset string, origin_x double, origin_y double, "
+        "pixel_sx double, pixel_sy double, georef_srid int")
+    # diamond centered (4, 4) radius 1.6: contains centers with
+    # |x-4| + |y-4| < 1.6 -> (3.5,4.5),(4.5,4.5),(3.5,3.5),(4.5,3.5)
+    ring = [(5.6, 4.0), (4.0, 5.6), (2.4, 4.0), (4.0, 2.4),
+            (5.6, 4.0)]
+    polygons = spark.createDataFrame(
+        [(1, G.wkb_polygon([ring]))], "poly_id long, geometry binary")
+    out = SP.zonal_stats(blocks, georef, polygons).collect()
+    assert len(out) == 1
+    r = out[0]
+    # rows: center y 4.5 -> row 3; y 3.5 -> row 4; cols 3 and 4
+    want = {3 * 10 + 3, 3 * 10 + 4, 4 * 10 + 3, 4 * 10 + 4}
+    assert r.n_pixels == 4
+    assert r.sum_v == float(sum(want))
+    assert r.min_v == 33.0 and r.max_v == 44.0
