@@ -196,3 +196,45 @@ def assemble_cog(blocks: DataFrame, dst_dir: str) -> DataFrame:
     )
 
     return assemble_cog_tables(blocks, dst_dir)
+
+
+def band_math(blocks: DataFrame, expr_fn,
+              bands: tuple[int, int] = (1, 2),
+              out_band: int = 1) -> DataFrame:
+    """Raster map algebra over two bands — e.g. a normalized
+    difference index (NDVI-style: ``(a - b) / (a + b)``) — as PURE
+    Catalyst array expressions: the two band block-grids join on
+    their (dataset, subdataset, block) key and ``zip_with`` combines
+    the pixel arrays element-wise inside codegen.  No Python touches
+    a pixel; the one shuffle is the block-key equi-join of two
+    already-aligned grids (co-partitioned at 100 TB by writing bands
+    bucketed on the block key).
+
+    ``expr_fn(a, b)``: a pyspark Column function of two element
+    Columns, e.g. ``lambda a, b: F.try_divide(a - b, a + b)``.
+    Under ANSI mode (Spark 4 default) a plain ``/`` THROWS on zero —
+    use ``try_divide`` (NULL on zero), which surfaces as the
+    output's ``nodata`` (NaN in the pixel array).
+    """
+    # subdataset is NULL for root rasters; an equi-join on it would
+    # drop every row (NULL != NULL) — key on a coalesced copy
+    sub = (F.coalesce(F.col("subdataset"), F.lit(""))
+           if "subdataset" in blocks.columns else F.lit(""))
+    a = blocks.filter(F.col("band") == bands[0]).select(
+        "dataset", "subdataset", sub.alias("__sub"), "level",
+        "block_x", "block_y", "width", "height", "srid",
+        F.col("pixels").alias("__pa"), F.col("nodata").alias("__na"))
+    b = blocks.filter(F.col("band") == bands[1]).select(
+        "dataset", sub.alias("__sub"), "level", "block_x", "block_y",
+        F.col("pixels").alias("__pb"))
+    keys = ["dataset", "__sub", "level", "block_x", "block_y"]
+    joined = a.join(b, keys)
+    out_px = F.zip_with(
+        "__pa", "__pb",
+        lambda x, y: F.coalesce(expr_fn(x, y).cast("double"),
+                                F.lit(float("nan"))))
+    return joined.select(
+        "dataset", "subdataset", F.lit(out_band).alias("band"),
+        "level", "block_x", "block_y", "width", "height",
+        out_px.alias("pixels"),
+        F.lit(float("nan")).alias("nodata"), "srid")

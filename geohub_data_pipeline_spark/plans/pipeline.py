@@ -2883,3 +2883,60 @@ def zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     polygons = spark.createDataFrame(
         polys, "poly_id long, geometry binary")
     return SP.zonal_stats(blocks, georef, polygons)
+
+
+_NDVI_SQL = """
+WITH px AS (
+  SELECT r.i AS row, c.i AS col,
+         CAST((3 * r.i + 2 * c.i) % 100 + 50 AS DOUBLE) AS nir,
+         CAST((2 * r.i + c.i) % 80 + 10 AS DOUBLE) AS red
+  FROM range(64) r(i), range(64) c(i)
+)
+SELECT CAST(row AS INTEGER) AS row, CAST(col AS INTEGER) AS col,
+       round((nir - red) / (nir + red), 6) AS ndvi
+FROM px
+ORDER BY row, col
+"""
+
+
+@query("raster_band_math", "pipeline",
+       "geo analytics: raster map algebra (NDVI) as pure Catalyst "
+       "zip_with over the BLOCK grid — zero Python per pixel, one "
+       "block-key equi-join", _NDVI_SQL)
+def raster_band_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDVI over a synthetic two-band 64x64 raster: band blocks join
+    on the grid key and ``zip_with`` computes (nir-red)/(nir+red)
+    element-wise in codegen; the gate flattens the block back to
+    (row, col, ndvi) with posexplode for the oracle compare.
+
+    Scale: the whole computation is JVM expressions; at 100 TB the
+    bands' block grids co-partition (bucketed write) and the join is
+    exchange-free.
+    """
+    from geohub_data_pipeline_spark.operators import raster as R
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    load_tables(spark, sf_dir)             # harness contract
+    n = 64
+    nir = [float((3 * r + 2 * c) % 100 + 50)
+           for r in range(n) for c in range(n)]
+    red = [float((2 * r + c) % 80 + 10)
+           for r in range(n) for c in range(n)]
+    blocks = spark.createDataFrame(
+        [("s2", None, 1, 0, 0, 0, n, n, nir, None, 4326),
+         ("s2", None, 2, 0, 0, 0, n, n, red, None, 4326)],
+        "dataset string, subdataset string, band int, level int, "
+        "block_x int, block_y int, width int, height int, "
+        "pixels array<double>, nodata double, srid int")
+    ndvi = R.band_math(
+        blocks, lambda a, b: F.try_divide(a - b, a + b))
+    return (
+        ndvi.select("width", F.posexplode("pixels")
+                    .alias("pos", "v"))
+        .select((F.col("pos") / F.col("width")).cast("int")
+                .alias("row"),
+                (F.col("pos") % F.col("width")).cast("int")
+                .alias("col"),
+                F.round("v", 6).alias("ndvi"))
+    )

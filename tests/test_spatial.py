@@ -106,3 +106,32 @@ def test_zonal_stats_small_golden(spark):
     assert r.n_pixels == 4
     assert r.sum_v == float(sum(want))
     assert r.min_v == 33.0 and r.max_v == 44.0
+
+
+def test_band_math_codegen_and_null_semantics(spark):
+    """band_math is pure Catalyst (no Python rows): NDVI values,
+    division-by-zero -> NaN nodata, and the null-subdataset grids
+    join (the root-raster case)."""
+    from geohub_data_pipeline_spark.operators import raster as R
+
+    blocks = spark.createDataFrame(
+        [("d", None, 1, 0, 0, 0, 2, 1, [4.0, 1.0], None, 4326),
+         ("d", None, 2, 0, 0, 0, 2, 1, [2.0, -1.0], None, 4326)],
+        "dataset string, subdataset string, band int, level int, "
+        "block_x int, block_y int, width int, height int, "
+        "pixels array<double>, nodata double, srid int")
+    out = R.band_math(
+        blocks,
+        lambda a, b: __import__('pyspark.sql.functions', fromlist=['x'])
+        .try_divide(a - b, a + b)).collect()
+    assert len(out) == 1
+    px = out[0].pixels
+    assert abs(px[0] - (4 - 2) / (4 + 2)) < 1e-12
+    import math
+    assert math.isnan(px[1])               # (1 + -1) = 0 -> NULL -> NaN
+    from pyspark.sql import functions as FF
+    plan = R.band_math(
+        blocks, lambda a, b: FF.try_divide(a - b, a + b)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "zip_with" in plan.lower() or "ZipWith" in plan \
+        or "lambdafunction" in plan.lower()
