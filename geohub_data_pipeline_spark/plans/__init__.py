@@ -31,9 +31,10 @@ from geohub_data_pipeline_spark.plans.registry import promote  # noqa: E402
 # Round-5 staleness: 17 queries last checked in r2 (most overdue,
 # the LLM/curation tail), then crs_wkt_roundtrip (fixture bank
 # extended with HOM variant A this round), then the NEW round-5
-# queries (equal-area CRS, EPSG-code-only CRS, Gopher/C4 filter rule
-# sets), then the 50 last checked in r3, then the 50 checked in r4
-# (freshest).
+# queries (equal-area + EPSG-code-only CRS, Gopher/C4 rule sets,
+# KML/GPX/CSV/HGT/TopoJSON sources, substring + SemDeDup dedup,
+# spatial join, zonal stats, band math), then the 50 last checked
+# in r3, then the 50 checked in r4 (freshest).
 promote([
     "ann_ivf_coarse", "lateral_explode_top_words", "text_edit_distance",
     "text_normalize", "ann_ivf_kmeans", "ann_ivf_kmeans_parallel",
