@@ -238,3 +238,133 @@ def band_math(blocks: DataFrame, expr_fn,
         "level", "block_x", "block_y", "width", "height",
         out_px.alias("pixels"),
         F.lit(float("nan")).alias("nodata"), "srid")
+
+
+def hillshade(blocks: DataFrame, azimuth: float = 315.0,
+              altitude: float = 45.0, cellsize: float = 1.0,
+              z_factor: float = 1.0) -> DataFrame:
+    """Horn (1981) hillshade — the classic 3x3 FOCAL (stencil)
+    operator, which needs each block's neighbors' edge pixels.  The
+    distributed shape is a halo exchange: every block ships ONLY its
+    1-pixel edge strips/corners to the 8 neighbor groups (tiny rows,
+    not whole blocks), one groupBy co-locates each block with its
+    halo, and the Horn kernel runs vectorized on the padded canvas.
+    Pixels on the raster's outer border emit NaN (no neighbor).
+
+    shade = 255 * (cos(alt) sin(slope) cos(az - aspect)
+                   + sin(alt) cos(slope)), clamped at 0 —
+    dz/dx, dz/dy from the Horn 3x3 weighted differences.
+
+    Scale: halo volume is ~4*256/65536 = 1.5%% of pixel volume; the
+    one shuffle is keyed on the (dataset, band, block) grid — the
+    same key layout every other raster stage uses.
+    """
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(blocks.sparkSession)
+
+    lvl0 = blocks.filter(F.col("level") == 0)
+
+    def halo(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                w, h = int(r.width), int(r.height)
+                arr = np.asarray(r.pixels, np.float64).reshape(h, w)
+                bx, by = int(r.block_x), int(r.block_y)
+                sub = r.subdataset
+                # self
+                rows.append((r.dataset, sub, int(r.band), bx, by,
+                             bx, by, w, h, r.pixels))
+                # edge strips + corners to the 8 neighbors
+                pieces = {
+                    (bx - 1, by): arr[:, :1], (bx + 1, by): arr[:, -1:],
+                    (bx, by - 1): arr[:1, :], (bx, by + 1): arr[-1:, :],
+                    (bx - 1, by - 1): arr[:1, :1],
+                    (bx + 1, by - 1): arr[:1, -1:],
+                    (bx - 1, by + 1): arr[-1:, :1],
+                    (bx + 1, by + 1): arr[-1:, -1:],
+                }
+                for (tx, ty), piece in pieces.items():
+                    if tx < 0 or ty < 0:
+                        continue
+                    rows.append((r.dataset, sub, int(r.band), tx, ty,
+                                 bx, by, piece.shape[1],
+                                 piece.shape[0],
+                                 piece.ravel().tolist()))
+            yield pd.DataFrame(rows, columns=[
+                "dataset", "subdataset", "band", "tgt_x", "tgt_y",
+                "src_x", "src_y", "width", "height", "pixels"])
+
+    fanned = lvl0.mapInPandas(
+        halo, "dataset string, subdataset string, band int, "
+              "tgt_x int, tgt_y int, src_x int, src_y int, "
+              "width int, height int, pixels array<double>")
+
+    az = np.radians(azimuth)
+    alt = np.radians(altitude)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        center = pdf[(pdf["src_x"] == pdf["tgt_x"])
+                     & (pdf["src_y"] == pdf["tgt_y"])]
+        if center.empty:
+            return pd.DataFrame(columns=[
+                "dataset", "subdataset", "band", "level", "block_x",
+                "block_y", "width", "height", "pixels", "nodata",
+                "srid"])
+        c = center.iloc[0]
+        w, h = int(c["width"]), int(c["height"])
+        bx, by = int(c["tgt_x"]), int(c["tgt_y"])
+        canvas = np.full((h + 2, w + 2), np.nan)
+        canvas[1:-1, 1:-1] = np.asarray(
+            c["pixels"], np.float64).reshape(h, w)
+        for r in pdf.itertuples(index=False):
+            if r.src_x == bx and r.src_y == by:
+                continue
+            piece = np.asarray(r.pixels, np.float64).reshape(
+                int(r.height), int(r.width))
+            if r.src_x < bx:
+                xs = slice(0, 1)
+            elif r.src_x > bx:
+                xs = slice(w + 1, w + 2)
+            else:
+                xs = slice(1, w + 1)
+            if r.src_y < by:
+                ys = slice(0, 1)
+            elif r.src_y > by:
+                ys = slice(h + 1, h + 2)
+            else:
+                ys = slice(1, h + 1)
+            # strips were cut on the SENDER to exactly the halo the
+            # receiver needs (same-row neighbors share height,
+            # same-column neighbors share width), so they drop in
+            canvas[ys, xs] = piece
+        z = canvas * z_factor
+        dzdx = ((z[:-2, 2:] + 2 * z[1:-1, 2:] + z[2:, 2:])
+                - (z[:-2, :-2] + 2 * z[1:-1, :-2] + z[2:, :-2])) \
+            / (8.0 * cellsize)
+        dzdy = ((z[2:, :-2] + 2 * z[2:, 1:-1] + z[2:, 2:])
+                - (z[:-2, :-2] + 2 * z[:-2, 1:-1] + z[:-2, 2:])) \
+            / (8.0 * cellsize)
+        # ESRI/Horn formulation: zenith = 90 - altitude, azimuth
+        # converted to math angle; aspect = atan2(dz/dy, -dz/dx)
+        zenith = np.pi / 2 - alt
+        az_math = (2 * np.pi - az + np.pi / 2) % (2 * np.pi)
+        # sqrt(dx^2+dy^2) rather than hypot: bit-identical to the
+        # SQL oracle's expression (hypot's extra guard digits differ)
+        slope = np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy))
+        aspect = np.arctan2(dzdy, -dzdx)
+        shade = 255.0 * (np.cos(zenith) * np.cos(slope)
+                         + np.sin(zenith) * np.sin(slope)
+                         * np.cos(az_math - aspect))
+        shade = np.maximum(shade, 0.0)
+        return pd.DataFrame([{
+            "dataset": c["dataset"], "subdataset": c["subdataset"],
+            "band": int(c["band"]), "level": 0,
+            "block_x": bx, "block_y": by, "width": w, "height": h,
+            "pixels": shade.ravel().tolist(),
+            "nodata": float("nan"), "srid": 4326,
+        }])
+
+    return fanned.groupBy(
+        "dataset", "subdataset", "band", "tgt_x", "tgt_y"
+    ).applyInPandas(kernel, BLOCK_SCHEMA)

@@ -2940,3 +2940,90 @@ def raster_band_math(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("col"),
                 F.round("v", 6).alias("ndvi"))
     )
+
+
+_HILLSHADE_SQL = """
+WITH px AS (
+  SELECT r.i AS row, c.i AS col,
+         CAST(5 * r.i + 3 * c.i + (r.i * c.i) % 7 AS DOUBLE) AS v
+  FROM range(128) r(i), range(128) c(i)
+),
+g AS (
+  SELECT a.row, a.col,
+         ((ne.v + 2 * e.v + se.v) - (nw.v + 2 * w.v + sw.v)) / 8.0
+           AS dzdx,
+         ((sw.v + 2 * s.v + se.v) - (nw.v + 2 * n.v + ne.v)) / 8.0
+           AS dzdy
+  FROM px a
+  JOIN px nw ON nw.row = a.row - 1 AND nw.col = a.col - 1
+  JOIN px n  ON n.row  = a.row - 1 AND n.col  = a.col
+  JOIN px ne ON ne.row = a.row - 1 AND ne.col = a.col + 1
+  JOIN px w  ON w.row  = a.row     AND w.col  = a.col - 1
+  JOIN px e  ON e.row  = a.row     AND e.col  = a.col + 1
+  JOIN px sw ON sw.row = a.row + 1 AND sw.col = a.col - 1
+  JOIN px s  ON s.row  = a.row + 1 AND s.col  = a.col
+  JOIN px se ON se.row = a.row + 1 AND se.col = a.col + 1
+)
+SELECT CAST(row AS INTEGER) AS row, CAST(col AS INTEGER) AS col,
+       round(greatest(
+         255.0 * (cos(pi() / 4) * cos(atan(sqrt(
+                    dzdx * dzdx + dzdy * dzdy)))
+                  + sin(pi() / 4) * sin(atan(sqrt(
+                    dzdx * dzdx + dzdy * dzdy)))
+                  * cos(radians(135.0) - atan2(dzdy, -dzdx))),
+         0.0), 4) AS shade
+FROM g
+ORDER BY row, col
+"""
+
+
+@query("raster_hillshade", "pipeline",
+       "geo analytics: Horn hillshade — a 3x3 FOCAL stencil with a "
+       "1-pixel halo exchange between blocks (edge strips only, "
+       "~1.5% of pixel volume), one grid-key shuffle",
+       _HILLSHADE_SQL)
+def raster_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hillshade of a synthetic 128x128 DEM split into 2x2 blocks —
+    pixels beside the block seams only come out right if the halo
+    exchange delivered every neighbor strip, which is exactly what
+    the oracle's whole-raster 8-way self-join checks.  Border pixels
+    (no neighbors) emit NaN and are excluded on both sides.
+
+    Scale: stencil ops are THE case for halo exchange — shipping
+    1-pixel strips beats regrouping 3x3 whole-block neighborhoods
+    9-fold; the one shuffle rides the raster's existing grid key.
+    """
+    import numpy as np
+
+    from geohub_data_pipeline_spark.operators import raster as R
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    load_tables(spark, sf_dir)             # harness contract
+    n, b = 128, 64
+    arr = (5.0 * np.arange(n)[:, None] + 3.0 * np.arange(n)[None, :]
+           + (np.arange(n)[:, None] * np.arange(n)[None, :]) % 7)
+    rows = []
+    for by in range(0, n, b):
+        for bx in range(0, n, b):
+            tile = arr[by:by + b, bx:bx + b]
+            rows.append(("dem", None, 1, 0, bx // b, by // b, b, b,
+                         tile.ravel().tolist(), None, 4326))
+    blocks = spark.createDataFrame(
+        rows, "dataset string, subdataset string, band int, "
+              "level int, block_x int, block_y int, width int, "
+              "height int, pixels array<double>, nodata double, "
+              "srid int")
+    shade = R.hillshade(blocks, azimuth=315.0, altitude=45.0,
+                        cellsize=1.0)
+    flat = shade.select(
+        "block_x", "block_y", "width",
+        F.posexplode("pixels").alias("pos", "v"))
+    return (flat.select(
+        (F.col("block_y") * b
+         + (F.col("pos") / F.col("width")).cast("int")).cast("int")
+        .alias("row"),
+        (F.col("block_x") * b
+         + (F.col("pos") % F.col("width"))).cast("int").alias("col"),
+        F.round("v", 4).alias("shade"))
+        .filter(F.col("shade").isNotNull() & ~F.isnan("shade")))

@@ -135,3 +135,46 @@ def test_band_math_codegen_and_null_semantics(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "zip_with" in plan.lower() or "ZipWith" in plan \
         or "lambdafunction" in plan.lower()
+
+
+def test_hillshade_planar_ramp_across_block_seam(spark):
+    """A tilted plane z = global_col has constant gradient, so every
+    interior pixel shades identically — INCLUDING the pixels beside
+    the block seam, which only come out right if the halo exchange
+    delivered the neighbor's edge column.  Border pixels are NaN."""
+    import math
+
+    from geohub_data_pipeline_spark.operators import raster as R
+
+    def block(bx, w=8, h=8):
+        vals = [float(bx * 8 + c) for r in range(h) for c in range(w)]
+        return ("d", None, 1, 0, bx, 0, w, h, vals, None, 4326)
+
+    blocks = spark.createDataFrame(
+        [block(0), block(1)],
+        "dataset string, subdataset string, band int, level int, "
+        "block_x int, block_y int, width int, height int, "
+        "pixels array<double>, nodata double, srid int")
+    out = {(r.block_x): r for r in
+           R.hillshade(blocks, azimuth=315.0, altitude=45.0,
+                       cellsize=1.0).collect()}
+    assert set(out) == {0, 1}
+
+    # expected constant: slope 45deg, aspect pi (east-up ramp)
+    zenith = math.radians(45.0)
+    az_math = math.radians(360 - 315 + 90)
+    slope = math.atan(1.0)
+    aspect = math.atan2(0.0, -1.0)
+    want = 255.0 * (math.cos(zenith) * math.cos(slope)
+                    + math.sin(zenith) * math.sin(slope)
+                    * math.cos(az_math - aspect))
+
+    left = np.asarray(out[0].pixels, dtype=float).reshape(8, 8)
+    right = np.asarray(out[1].pixels, dtype=float).reshape(8, 8)
+    # seam columns: left block col 7 and right block col 0 are
+    # INTERIOR thanks to the halo
+    assert np.allclose(left[1:-1, 1:], want, atol=1e-9)
+    assert np.allclose(right[1:-1, :-1], want, atol=1e-9)
+    # raster outer border is NaN (no neighbors)
+    assert np.isnan(left[0, :]).all() and np.isnan(left[:, 0]).all()
+    assert np.isnan(right[:, -1]).all()
