@@ -469,8 +469,9 @@ _PAIR_NP_CACHE: dict[int, tuple] = {}
 
 def pair_np(srid: int):
     """(fwd_np, inv_np) array kernels for a table srid, else None.
-    Covers every ``_CRS_TABLE`` family except Krovak/HOM/sinu/moll/
-    eqc, INCLUDING datum-shifted grids (vectorized Helmert)."""
+    Covers EVERY ``_CRS_TABLE`` family (the module bottom registers
+    Krovak/HOM/sinu/moll/eqc too), including datum-shifted grids
+    (vectorized Helmert)."""
     if srid in _PAIR_NP_CACHE:
         return _PAIR_NP_CACHE[srid]
     entry = C._CRS_TABLE.get(srid)

@@ -217,22 +217,29 @@ def band_math(blocks: DataFrame, expr_fn,
     output's ``nodata`` (NaN in the pixel array).
     """
     # subdataset is NULL for root rasters; an equi-join on it would
-    # drop every row (NULL != NULL) — key on a coalesced copy
-    sub = (F.coalesce(F.col("subdataset"), F.lit(""))
-           if "subdataset" in blocks.columns else F.lit(""))
+    # drop every row (NULL != NULL) — key on a coalesced copy.
+    # Input is the canonical BLOCK_SCHEMA (subdataset required).
+    sub = F.coalesce(F.col("subdataset"), F.lit(""))
     a = blocks.filter(F.col("band") == bands[0]).select(
         "dataset", "subdataset", sub.alias("__sub"), "level",
         "block_x", "block_y", "width", "height", "srid",
         F.col("pixels").alias("__pa"), F.col("nodata").alias("__na"))
     b = blocks.filter(F.col("band") == bands[1]).select(
         "dataset", sub.alias("__sub"), "level", "block_x", "block_y",
-        F.col("pixels").alias("__pb"))
+        F.col("pixels").alias("__pb"),
+        F.col("nodata").alias("__nb"))
     keys = ["dataset", "__sub", "level", "block_x", "block_y"]
     joined = a.join(b, keys)
+    # either band's declared nodata masks the output pixel (Spark's
+    # NaN == NaN is true, so NaN nodata masks too; a NULL nodata
+    # makes the condition NULL and the otherwise-branch fires)
     out_px = F.zip_with(
         "__pa", "__pb",
-        lambda x, y: F.coalesce(expr_fn(x, y).cast("double"),
-                                F.lit(float("nan"))))
+        lambda x, y: F.when(
+            (x == F.col("__na")) | (y == F.col("__nb")),
+            F.lit(float("nan")))
+        .otherwise(F.coalesce(expr_fn(x, y).cast("double"),
+                              F.lit(float("nan")))))
     return joined.select(
         "dataset", "subdataset", F.lit(out_band).alias("band"),
         "level", "block_x", "block_y", "width", "height",
@@ -270,11 +277,18 @@ def hillshade(blocks: DataFrame, azimuth: float = 315.0,
             for r in pdf.itertuples(index=False):
                 w, h = int(r.width), int(r.height)
                 arr = np.asarray(r.pixels, np.float64).reshape(h, w)
+                # declared fill values must not enter the stencil as
+                # elevations — mask to NaN (which the Horn kernel
+                # propagates to every touching output pixel)
+                if r.nodata is not None and not np.isnan(r.nodata):
+                    arr = np.where(arr == float(r.nodata), np.nan,
+                                   arr)
                 bx, by = int(r.block_x), int(r.block_y)
                 sub = r.subdataset
                 # self
                 rows.append((r.dataset, sub, int(r.band), bx, by,
-                             bx, by, w, h, r.pixels))
+                             bx, by, w, h, arr.ravel().tolist(),
+                             int(r.srid)))
                 # edge strips + corners to the 8 neighbors
                 pieces = {
                     (bx - 1, by): arr[:, :1], (bx + 1, by): arr[:, -1:],
@@ -290,15 +304,18 @@ def hillshade(blocks: DataFrame, azimuth: float = 315.0,
                     rows.append((r.dataset, sub, int(r.band), tx, ty,
                                  bx, by, piece.shape[1],
                                  piece.shape[0],
-                                 piece.ravel().tolist()))
+                                 piece.ravel().tolist(),
+                                 int(r.srid)))
             yield pd.DataFrame(rows, columns=[
                 "dataset", "subdataset", "band", "tgt_x", "tgt_y",
-                "src_x", "src_y", "width", "height", "pixels"])
+                "src_x", "src_y", "width", "height", "pixels",
+                "srid"])
 
     fanned = lvl0.mapInPandas(
         halo, "dataset string, subdataset string, band int, "
               "tgt_x int, tgt_y int, src_x int, src_y int, "
-              "width int, height int, pixels array<double>")
+              "width int, height int, pixels array<double>, "
+              "srid int")
 
     az = np.radians(azimuth)
     alt = np.radians(altitude)
@@ -357,12 +374,15 @@ def hillshade(blocks: DataFrame, azimuth: float = 315.0,
                          + np.sin(zenith) * np.sin(slope)
                          * np.cos(az_math - aspect))
         shade = np.maximum(shade, 0.0)
+        # the Horn kernel reads only the 8 NEIGHBORS, so a nodata
+        # CENTER would otherwise emit a finite shade — mask it
+        shade[np.isnan(z[1:-1, 1:-1])] = np.nan
         return pd.DataFrame([{
             "dataset": c["dataset"], "subdataset": c["subdataset"],
             "band": int(c["band"]), "level": 0,
             "block_x": bx, "block_y": by, "width": w, "height": h,
             "pixels": shade.ravel().tolist(),
-            "nodata": float("nan"), "srid": 4326,
+            "nodata": float("nan"), "srid": int(c["srid"]),
         }])
 
     return fanned.groupBy(

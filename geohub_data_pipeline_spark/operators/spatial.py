@@ -158,7 +158,9 @@ def zonal_stats(blocks: DataFrame, georef: DataFrame,
     PARTIAL aggregates merge in a final tiny groupBy — the classic
     two-phase aggregation, never a pixel-level shuffle.
 
-    ``blocks``: BLOCK_SCHEMA level-0 rows in lon/lat (srid 4326);
+    ``blocks``: BLOCK_SCHEMA rows in lon/lat (srid 4326) — only
+    level 0 is aggregated (overviews are resampled copies) and each
+    band reports separately;
     ``georef``: GEOREF_SCHEMA sidecar; ``polygons``:
     (poly_id long, geometry binary) in lon/lat.
     """
@@ -201,8 +203,8 @@ def zonal_stats(blocks: DataFrame, georef: DataFrame,
              "geometry binary, origin_x double, origin_y double, "
              "psx double, psy double")
 
-    cand = blocks.select(
-        "dataset", "block_x", "block_y", "width", "height",
+    cand = blocks.filter(F.col("level") == 0).select(
+        "dataset", "band", "block_x", "block_y", "width", "height",
         "pixels", "nodata",
     ).join(poly_cells, ["dataset", "block_x", "block_y"])
 
@@ -213,6 +215,7 @@ def zonal_stats(blocks: DataFrame, georef: DataFrame,
         for r in pdf.itertuples(index=False):
             w, h = int(r.width), int(r.height)
             vals = np.asarray(r.pixels, np.float64).reshape(h, w)
+            band = int(r.band)
             jj = np.arange(w)
             ii = np.arange(h)
             lon = r.origin_x + (r.block_x * BLOCK + jj + 0.5) * r.psx
@@ -226,22 +229,23 @@ def zonal_stats(blocks: DataFrame, georef: DataFrame,
             if not mask.any():
                 continue
             sel = vals[mask]
-            out.append((r.dataset, int(r.poly_id), int(sel.size),
-                        float(sel.sum()), float(sel.min()),
-                        float(sel.max())))
+            out.append((r.dataset, band, int(r.poly_id),
+                        int(sel.size), float(sel.sum()),
+                        float(sel.min()), float(sel.max())))
         return pd.DataFrame(out, columns=[
-            "dataset", "poly_id", "n", "s", "mn", "mx"])
+            "dataset", "band", "poly_id", "n", "s", "mn", "mx"])
 
     partials = cand.groupBy(
-        "dataset", "block_x", "block_y", "poly_id").applyInPandas(
-        partial, "dataset string, poly_id long, n long, s double, "
-                 "mn double, mx double")
-    return (partials.groupBy("dataset", "poly_id").agg(
+        "dataset", "band", "block_x", "block_y",
+        "poly_id").applyInPandas(
+        partial, "dataset string, band int, poly_id long, n long, "
+                 "s double, mn double, mx double")
+    return (partials.groupBy("dataset", "band", "poly_id").agg(
         F.sum("n").cast("long").alias("n_pixels"),
         F.sum("s").alias("sum_v"),
         F.min("mn").alias("min_v"),
         F.max("mx").alias("max_v"))
-        .select("dataset", "poly_id", "n_pixels", "sum_v", "min_v",
-                "max_v",
+        .select("dataset", "band", "poly_id", "n_pixels", "sum_v",
+                "min_v", "max_v",
                 F.round(F.col("sum_v") / F.col("n_pixels"), 6)
                 .alias("mean_v")))

@@ -2819,7 +2819,7 @@ z AS (
          2.47 + t.i * 0.4 AS r
   FROM range(6) t(i)
 )
-SELECT 'dem' AS dataset, z.poly_id,
+SELECT 'dem' AS dataset, CAST(1 AS INTEGER) AS band, z.poly_id,
        CAST(count(*) AS BIGINT) AS n_pixels,
        sum(px.v) AS sum_v, min(px.v) AS min_v, max(px.v) AS max_v,
        round(sum(px.v) / count(*), 6) AS mean_v

@@ -178,3 +178,41 @@ def test_hillshade_planar_ramp_across_block_seam(spark):
     # raster outer border is NaN (no neighbors)
     assert np.isnan(left[0, :]).all() and np.isnan(left[:, 0]).all()
     assert np.isnan(right[:, -1]).all()
+
+
+def test_band_math_and_hillshade_nodata_masking(spark):
+    """Declared nodata must not leak into analytics: band math masks
+    either band's fill to NaN; hillshade turns fill-adjacent pixels
+    NaN instead of shading a fake cliff."""
+    import math
+
+    from geohub_data_pipeline_spark.operators import raster as R
+
+    blocks = spark.createDataFrame(
+        [("d", None, 1, 0, 0, 0, 2, 1, [4.0, -9999.0], -9999.0, 4326),
+         ("d", None, 2, 0, 0, 0, 2, 1, [2.0, 3.0], -9999.0, 4326)],
+        "dataset string, subdataset string, band int, level int, "
+        "block_x int, block_y int, width int, height int, "
+        "pixels array<double>, nodata double, srid int")
+    from pyspark.sql import functions as FF
+    px = R.band_math(blocks,
+                     lambda a, b: FF.try_divide(a - b, a + b)) \
+        .collect()[0].pixels
+    assert abs(px[0] - 2.0 / 6.0) < 1e-12
+    assert math.isnan(px[1])               # band-1 fill masked
+
+    vals = [500.0] * 64
+    vals[27] = -32768.0                    # one fill pixel (3, 3)
+    dem = spark.createDataFrame(
+        [("d", None, 1, 0, 0, 0, 8, 8, vals, -32768.0, 32633)],
+        "dataset string, subdataset string, band int, level int, "
+        "block_x int, block_y int, width int, height int, "
+        "pixels array<double>, nodata double, srid int")
+    out = R.hillshade(dem, cellsize=1.0).collect()[0]
+    assert out.srid == 32633               # srid carried through
+    shade = np.asarray(out.pixels, dtype=float).reshape(8, 8)
+    # the fill pixel and its 8 neighbors are NaN; far pixels shade
+    # as the flat 500 m plane (slope 0 -> cos(zenith) * 255)
+    assert np.isnan(shade[2:5, 2:5]).all()
+    flat = 255.0 * math.cos(math.radians(45.0))
+    assert abs(shade[6, 6] - flat) < 1e-9
