@@ -247,25 +247,15 @@ def band_math(blocks: DataFrame, expr_fn,
         F.lit(float("nan")).alias("nodata"), "srid")
 
 
-def hillshade(blocks: DataFrame, azimuth: float = 315.0,
-              altitude: float = 45.0, cellsize: float = 1.0,
-              z_factor: float = 1.0) -> DataFrame:
-    """Horn (1981) hillshade — the classic 3x3 FOCAL (stencil)
-    operator, which needs each block's neighbors' edge pixels.  The
-    distributed shape is a halo exchange: every block ships ONLY its
-    1-pixel edge strips/corners to the 8 neighbor groups (tiny rows,
-    not whole blocks), one groupBy co-locates each block with its
-    halo, and the Horn kernel runs vectorized on the padded canvas.
-    Pixels on the raster's outer border emit NaN (no neighbor).
-
-    shade = 255 * (cos(alt) sin(slope) cos(az - aspect)
-                   + sin(alt) cos(slope)), clamped at 0 —
-    dz/dx, dz/dy from the Horn 3x3 weighted differences.
-
-    Scale: halo volume is ~4*256/65536 = 1.5%% of pixel volume; the
-    one shuffle is keyed on the (dataset, band, block) grid — the
-    same key layout every other raster stage uses.
-    """
+def _focal_horn(blocks: DataFrame, cellsize: float,
+                z_factor: float, finish) -> DataFrame:
+    """Shared 3x3 FOCAL (stencil) machinery: halo exchange (each
+    block ships ONLY its 1-pixel edge strips/corners to the 8
+    neighbor groups — ~1.5%% of pixel volume at BLOCK=256), one
+    grid-key groupBy co-locating block+halo, Horn dz/dx+dz/dy on the
+    padded canvas, then ``finish(dzdx, dzdy) -> array`` computes the
+    output surface.  Border and nodata-center pixels emit NaN.
+    Backs ``hillshade`` and ``slope``."""
     from geohub_data_pipeline_spark.session import ship_package
     ship_package(blocks.sparkSession)
 
@@ -317,9 +307,6 @@ def hillshade(blocks: DataFrame, azimuth: float = 315.0,
               "width int, height int, pixels array<double>, "
               "srid int")
 
-    az = np.radians(azimuth)
-    alt = np.radians(altitude)
-
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         center = pdf[(pdf["src_x"] == pdf["tgt_x"])
                      & (pdf["src_y"] == pdf["tgt_y"])]
@@ -362,20 +349,9 @@ def hillshade(blocks: DataFrame, azimuth: float = 315.0,
         dzdy = ((z[2:, :-2] + 2 * z[2:, 1:-1] + z[2:, 2:])
                 - (z[:-2, :-2] + 2 * z[:-2, 1:-1] + z[:-2, 2:])) \
             / (8.0 * cellsize)
-        # ESRI/Horn formulation: zenith = 90 - altitude, azimuth
-        # converted to math angle; aspect = atan2(dz/dy, -dz/dx)
-        zenith = np.pi / 2 - alt
-        az_math = (2 * np.pi - az + np.pi / 2) % (2 * np.pi)
-        # sqrt(dx^2+dy^2) rather than hypot: bit-identical to the
-        # SQL oracle's expression (hypot's extra guard digits differ)
-        slope = np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy))
-        aspect = np.arctan2(dzdy, -dzdx)
-        shade = 255.0 * (np.cos(zenith) * np.cos(slope)
-                         + np.sin(zenith) * np.sin(slope)
-                         * np.cos(az_math - aspect))
-        shade = np.maximum(shade, 0.0)
+        shade = finish(dzdx, dzdy)
         # the Horn kernel reads only the 8 NEIGHBORS, so a nodata
-        # CENTER would otherwise emit a finite shade — mask it
+        # CENTER would otherwise emit a finite value — mask it
         shade[np.isnan(z[1:-1, 1:-1])] = np.nan
         return pd.DataFrame([{
             "dataset": c["dataset"], "subdataset": c["subdataset"],
@@ -388,3 +364,41 @@ def hillshade(blocks: DataFrame, azimuth: float = 315.0,
     return fanned.groupBy(
         "dataset", "subdataset", "band", "tgt_x", "tgt_y"
     ).applyInPandas(kernel, BLOCK_SCHEMA)
+
+
+def hillshade(blocks: DataFrame, azimuth: float = 315.0,
+              altitude: float = 45.0, cellsize: float = 1.0,
+              z_factor: float = 1.0) -> DataFrame:
+    """Horn (1981) hillshade over the block grid (ESRI formulation:
+    zenith = 90 - altitude, azimuth converted to the math angle,
+    aspect = atan2(dz/dy, -dz/dx), clamped at 0).  See
+    ``_focal_horn`` for the distributed halo-exchange shape.
+    sqrt(dx^2+dy^2) rather than hypot keeps the expression
+    bit-identical to the SQL gate oracle."""
+    az = np.radians(azimuth)
+    alt = np.radians(altitude)
+    zenith = np.pi / 2 - alt
+    az_math = (2 * np.pi - az + np.pi / 2) % (2 * np.pi)
+
+    def finish(dzdx, dzdy):
+        slope_r = np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy))
+        aspect = np.arctan2(dzdy, -dzdx)
+        return np.maximum(
+            255.0 * (np.cos(zenith) * np.cos(slope_r)
+                     + np.sin(zenith) * np.sin(slope_r)
+                     * np.cos(az_math - aspect)), 0.0)
+
+    return _focal_horn(blocks, cellsize, z_factor, finish)
+
+
+def slope(blocks: DataFrame, cellsize: float = 1.0,
+          z_factor: float = 1.0) -> DataFrame:
+    """Slope in DEGREES from the Horn 3x3 gradient — the other half
+    of the terrain-derivative pair; same halo-exchange plan as
+    ``hillshade``."""
+
+    def finish(dzdx, dzdy):
+        return np.degrees(np.arctan(np.sqrt(dzdx * dzdx
+                                            + dzdy * dzdy)))
+
+    return _focal_horn(blocks, cellsize, z_factor, finish)
