@@ -402,3 +402,19 @@ def slope(blocks: DataFrame, cellsize: float = 1.0,
                                             + dzdy * dzdy)))
 
     return _focal_horn(blocks, cellsize, z_factor, finish)
+
+
+def aspect(blocks: DataFrame, cellsize: float = 1.0,
+           z_factor: float = 1.0) -> DataFrame:
+    """Aspect in compass DEGREES (0 = north, clockwise; flat cells
+    NaN) from the Horn 3x3 gradient — completes the terrain
+    derivative trio on the shared ``_focal_horn`` halo machinery."""
+
+    def finish(dzdx, dzdy):
+        flat = (dzdx == 0) & (dzdy == 0)
+        a = np.degrees(np.arctan2(dzdy, -dzdx))
+        # math angle -> compass: 90 - a, wrapped to [0, 360)
+        comp = np.mod(90.0 - a, 360.0)
+        return np.where(flat, np.nan, comp)
+
+    return _focal_horn(blocks, cellsize, z_factor, finish)

@@ -249,3 +249,55 @@ def zonal_stats(blocks: DataFrame, georef: DataFrame,
                 "min_v", "max_v",
                 F.round(F.col("sum_v") / F.col("n_pixels"), 6)
                 .alias("mean_v")))
+
+
+_EARTH_R = 6371008.8                       # IUGG mean radius (meters)
+
+
+def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
+    """Vectorized great-circle distance in meters (haversine on the
+    IUGG mean sphere — the standard quick geodesic; sub-0.5%% of the
+    ellipsoidal figure, same as every web-scale pipeline uses)."""
+    p1 = np.radians(np.asarray(lat1, np.float64))
+    p2 = np.radians(np.asarray(lat2, np.float64))
+    dp = p2 - p1
+    dl = np.radians(np.asarray(lon2, np.float64)
+                    - np.asarray(lon1, np.float64))
+    a = (np.sin(dp / 2.0) ** 2
+         + np.cos(p1) * np.cos(p2) * np.sin(dl / 2.0) ** 2)
+    return 2.0 * _EARTH_R * np.arcsin(np.sqrt(a))
+
+
+def geodesic_length(features: DataFrame) -> DataFrame:
+    """Great-circle length (meters) per feature over lon/lat WKB
+    line geometries — LineString / MultiLineString (polygon rings
+    measure their perimeter).  Map-side Arrow kernel, no shuffle:
+    the classic per-row enrichment column."""
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(features.sparkSession)
+
+    def kernel(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                p = G.parse_wkb(bytes(r.geometry))
+                if p is None:
+                    continue
+                parts = p.get("parts") or [p.get("coords") or []]
+                total = 0.0
+                for part in parts:
+                    c = np.asarray(part, np.float64).reshape(-1, 2)
+                    if len(c) < 2:
+                        continue
+                    total += float(haversine_m(
+                        c[:-1, 0], c[:-1, 1],
+                        c[1:, 0], c[1:, 1]).sum())
+                rows.append((r.dataset, r.layer, int(r.fid), total))
+            yield pd.DataFrame(rows, columns=[
+                "dataset", "layer", "fid", "length_m"])
+
+    return features.select(
+        "dataset", "layer", "fid", "geometry").mapInPandas(
+        kernel, "dataset string, layer string, fid long, "
+                "length_m double")

@@ -3101,3 +3101,144 @@ def raster_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("v", 4).alias("slope_deg"))
         .filter(F.col("slope_deg").isNotNull()
                 & ~F.isnan("slope_deg")))
+
+
+_ASPECT_SQL = """
+WITH px AS (
+  SELECT r.i AS row, c.i AS col,
+         CAST(5 * r.i + 3 * c.i + (r.i * c.i) % 7 AS DOUBLE) AS v
+  FROM range(128) r(i), range(128) c(i)
+),
+g AS (
+  SELECT a.row, a.col,
+         ((ne.v + 2 * e.v + se.v) - (nw.v + 2 * w.v + sw.v)) / 8.0
+           AS dzdx,
+         ((sw.v + 2 * s.v + se.v) - (nw.v + 2 * n.v + ne.v)) / 8.0
+           AS dzdy
+  FROM px a
+  JOIN px nw ON nw.row = a.row - 1 AND nw.col = a.col - 1
+  JOIN px n  ON n.row  = a.row - 1 AND n.col  = a.col
+  JOIN px ne ON ne.row = a.row - 1 AND ne.col = a.col + 1
+  JOIN px w  ON w.row  = a.row     AND w.col  = a.col - 1
+  JOIN px e  ON e.row  = a.row     AND e.col  = a.col + 1
+  JOIN px sw ON sw.row = a.row + 1 AND sw.col = a.col - 1
+  JOIN px s  ON s.row  = a.row + 1 AND s.col  = a.col
+  JOIN px se ON se.row = a.row + 1 AND se.col = a.col + 1
+)
+SELECT CAST(row AS INTEGER) AS row, CAST(col AS INTEGER) AS col,
+       round(((90.0 - degrees(atan2(dzdy, -dzdx))) % 360.0 + 360.0)
+             % 360.0, 4) AS aspect_deg
+FROM g
+WHERE NOT (dzdx = 0 AND dzdy = 0)
+ORDER BY row, col
+"""
+
+
+@query("raster_aspect", "pipeline",
+       "geo analytics: Horn aspect (compass degrees, flat cells "
+       "dropped) — third terrain derivative on the shared focal "
+       "stencil", _ASPECT_SQL)
+def raster_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect over the shared synthetic DEM; flat cells and the
+    border drop on both sides."""
+    import numpy as np
+
+    from geohub_data_pipeline_spark.operators import raster as R
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    load_tables(spark, sf_dir)             # harness contract
+    n, b = 128, 64
+    arr = (5.0 * np.arange(n)[:, None] + 3.0 * np.arange(n)[None, :]
+           + (np.arange(n)[:, None] * np.arange(n)[None, :]) % 7)
+    rows = []
+    for by in range(0, n, b):
+        for bx in range(0, n, b):
+            tile = arr[by:by + b, bx:bx + b]
+            rows.append(("dem", None, 1, 0, bx // b, by // b, b, b,
+                         tile.ravel().tolist(), None, 4326))
+    blocks = spark.createDataFrame(
+        rows, "dataset string, subdataset string, band int, "
+              "level int, block_x int, block_y int, width int, "
+              "height int, pixels array<double>, nodata double, "
+              "srid int")
+    asp = R.aspect(blocks, cellsize=1.0)
+    flat = asp.select(
+        "block_x", "block_y", "width",
+        F.posexplode("pixels").alias("pos", "v"))
+    return (flat.select(
+        (F.col("block_y") * b
+         + (F.col("pos") / F.col("width")).cast("int")).cast("int")
+        .alias("row"),
+        (F.col("block_x") * b
+         + (F.col("pos") % F.col("width"))).cast("int").alias("col"),
+        F.round("v", 4).alias("aspect_deg"))
+        .filter(F.col("aspect_deg").isNotNull()
+                & ~F.isnan("aspect_deg")))
+
+
+_GEOLEN_SQL = """
+WITH seg AS (
+  SELECT d.doc_id, t.i AS seg,
+         -30.0 + (d.doc_id % 60) + t.i * 0.2 AS lon1,
+         -50.0 + ((d.doc_id * 3) % 100) + t.i * 0.1 AS lat1,
+         -30.0 + (d.doc_id % 60) + (t.i + 1) * 0.2 AS lon2,
+         -50.0 + ((d.doc_id * 3) % 100) + (t.i + 1) * 0.1 AS lat2
+  FROM documents d, range(4) t(i)
+)
+SELECT doc_id,
+       round(sum(2.0 * 6371008.8 * asin(sqrt(
+           sin(radians(lat2 - lat1) / 2.0)
+             * sin(radians(lat2 - lat1) / 2.0)
+           + cos(radians(lat1)) * cos(radians(lat2))
+             * sin(radians(lon2 - lon1) / 2.0)
+             * sin(radians(lon2 - lon1) / 2.0)))), 2) AS length_m
+FROM seg
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@query("vector_geodesic_length", "pipeline",
+       "geo analytics: great-circle length per feature (haversine, "
+       "IUGG sphere) — map-side Arrow kernel over WKB lines",
+       _GEOLEN_SQL)
+def vector_geodesic_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each document becomes a 5-vertex polyline (0.2 x 0.1 degree
+    steps from a doc-dependent anchor); the REAL operator parses the
+    WKB and sums vectorized haversine segments, the oracle states the
+    identical formula over the generated segment table.  Rounded to
+    centimeters — libm trig ulp differences sit ~5 orders below.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.operators import spatial as SP
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id")
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                lon0 = -30.0 + (did % 60)
+                lat0 = -50.0 + ((did * 3) % 100)
+                pts = [(lon0 + i * 0.2, lat0 + i * 0.1)
+                       for i in range(5)]
+                rows.append(("docs", "lines", did,
+                             G.wkb_linestring(pts)))
+            yield pd.DataFrame(rows, columns=[
+                "dataset", "layer", "fid", "geometry"])
+
+    feats = base.mapInPandas(
+        build, "dataset string, layer string, fid long, "
+               "geometry binary")
+    return (SP.geodesic_length(feats)
+            .select(F.col("fid").alias("doc_id"),
+                    F.round("length_m", 2).alias("length_m")))

@@ -216,3 +216,32 @@ def test_band_math_and_hillshade_nodata_masking(spark):
     assert np.isnan(shade[2:5, 2:5]).all()
     flat = 255.0 * math.cos(math.radians(45.0))
     assert abs(shade[6, 6] - flat) < 1e-9
+
+
+def test_geodesic_length_known_values(spark):
+    """Golden: one degree of longitude at the equator on the IUGG
+    sphere is R * pi/180 ~ 111.195 km; a MultiLineString sums its
+    parts; polygon rings measure perimeter."""
+    from geohub_data_pipeline_spark.operators import spatial as SP
+    from geohub_data_pipeline_spark.sources.shapefile import (
+        _multilinestring_wkb,
+    )
+
+    deg = SP._EARTH_R * np.pi / 180.0
+    feats = spark.createDataFrame(
+        [("d", "l", 1, G.wkb_linestring([(0.0, 0.0), (1.0, 0.0)])),
+         ("d", "l", 2, _multilinestring_wkb(
+             [[(0.0, 0.0), (1.0, 0.0)], [(10.0, 0.0), (12.0, 0.0)]])),
+         ("d", "l", 3, G.wkb_polygon(
+             [[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0),
+               (0.0, 0.0)]]))],
+        "dataset string, layer string, fid long, geometry binary")
+    out = {r.fid: r.length_m
+           for r in SP.geodesic_length(feats).collect()}
+    assert abs(out[1] - deg) < 1.0
+    assert abs(out[2] - 3 * deg) < 1.0
+    # unit square perimeter: 2 equatorial-ish deg + 2 meridian deg;
+    # the top edge at lat 1 is cos(1deg) shorter
+    import math
+    want = deg * (1 + math.cos(math.radians(1.0))) + 2 * deg
+    assert abs(out[3] - want) < 30.0       # haversine vs small-angle
