@@ -47,6 +47,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="EP3: scan BASE_DIR's {user}/datasets trees "
                          "and regenerate missing .fgb companions "
                          "from {user}/raw uploads")
+    ap.add_argument("--decode-pmtiles", metavar="ARCHIVE",
+                    help="re-ingest a PMTiles archive: decode its "
+                         "max-zoom MVT tiles back into feature rows "
+                         "(operators/mvt.py) and write GeoParquet-"
+                         "style feature parquet under --dst")
     ap.add_argument("--curate", metavar="DOCS_PARQUET",
                     help="run the corpus-curation pipeline (exact dedup "
                          "-> LSH near-dup clusters -> repetition filter "
@@ -119,6 +124,34 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"backfilled: {r.dataset_path} -> "
                       f"{r.n_fgb} fgb ({', '.join(r.fgb_paths)})")
             print(f"backfill: {len(report)} datasets regenerated")
+            return 0
+
+        if args.decode_pmtiles:
+            if not args.dst:
+                ap.error("--decode-pmtiles requires --dst")
+            from pyspark.sql import functions as F
+
+            from geohub_data_pipeline_spark.operators import mvt as MVT
+            from geohub_data_pipeline_spark.sources import (
+                pmtiles_source as PMDS,
+            )
+
+            PMDS.register(spark)
+            tiles = (spark.read.format("pmtiles")
+                     .option("path", args.decode_pmtiles).load())
+            # one copy per feature: take only the most detailed zoom
+            # (lower zooms are simplified duplicates)
+            zmax = tiles.agg(F.max("z")).collect()[0][0]
+            feats = MVT.features_from_tiles(tiles.filter(
+                F.col("z") == zmax))
+            out = f"{args.dst.rstrip('/')}/features"
+            feats.write.mode("overwrite").parquet(out)
+            back = spark.read.parquet(out)
+            by_layer = {r["layer"]: r["count"] for r in
+                        back.groupBy("layer").count().collect()}
+            for layer, n in sorted(by_layer.items()):
+                print(f"layer {layer}: {n} features (z{zmax})")
+            print(f"decoded {back.count()} features -> {out}")
             return 0
 
         if args.curate:

@@ -200,3 +200,35 @@ def test_run_backfill_regenerates_missing_fgb(spark, tmp_path):
     assert len(rows) == 2                  # both points made it
     # untouched: pre-existing fgb not overwritten
     assert (base / "u1/datasets/b.fgb").read_bytes() == b"existing"
+
+
+def test_cli_decode_pmtiles_roundtrip(spark, tmp_path, capsys):
+    """--decode-pmtiles re-ingests an engine-written archive: the
+    max-zoom MVT tiles decode back to feature parquet."""
+    from geohub_data_pipeline_spark import cli
+
+    src = tmp_path / "demo.kml"
+    src.write_bytes(
+        b'<?xml version="1.0"?>'
+        b'<kml xmlns="http://www.opengis.net/kml/2.2">'
+        b'<Document><name>demo</name>'
+        b'<Placemark><name>A</name><Point>'
+        b'<coordinates>10.5,52.25</coordinates></Point></Placemark>'
+        b'<Placemark><name>B</name><Point>'
+        b'<coordinates>11.5,51.25</coordinates></Point></Placemark>'
+        b'</Document></kml>')
+    assert cli.main(["--src", str(src),
+                     "--dst", str(tmp_path / "out")]) == 0
+    archive = tmp_path / "out" / "archives" / "output.pmtiles"
+    assert archive.exists()
+
+    assert cli.main(["--decode-pmtiles", str(archive),
+                     "--dst", str(tmp_path / "re")]) == 0
+    back = spark.read.parquet(str(tmp_path / "re" / "features"))
+    rows = back.collect()
+    assert len(rows) == 2
+    assert {r.layer for r in rows} == {"demo"}
+    from geohub_data_pipeline_spark.operators import geometry as G
+    lons = sorted(round(G.parse_wkb(bytes(r.geometry))["coords"][0], 1)
+                  for r in rows)
+    assert lons == [10.5, 11.5]
