@@ -301,3 +301,51 @@ def geodesic_length(features: DataFrame) -> DataFrame:
         "dataset", "layer", "fid", "geometry").mapInPandas(
         kernel, "dataset string, layer string, fid long, "
                 "length_m double")
+
+
+def geodesic_area(features: DataFrame) -> DataFrame:
+    """Spherical polygon area (m^2) per feature over lon/lat WKB —
+    the discrete 'spherical shoelace' every web pipeline uses
+    (turf.js / RFC 7946 guidance):
+
+        A = |R^2/2 * sum (lam2 - lam1)(2 + sin phi1 + sin phi2)|
+
+    summed per ring with hole rings subtracting (shells and holes
+    wind oppositely after normalize's re-winding, so the signed sum
+    handles them; the final abs gives the magnitude).  MultiPolygon
+    parts accumulate.  Map-side Arrow kernel, no shuffle.
+    """
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(features.sparkSession)
+
+    def ring_signed(c: np.ndarray) -> float:
+        lam = np.radians(c[:, 0])
+        phi = np.radians(c[:, 1])
+        return float(np.sum(
+            (lam[1:] - lam[:-1])
+            * (2.0 + np.sin(phi[:-1]) + np.sin(phi[1:]))))
+
+    def kernel(it):
+        half_r2 = _EARTH_R * _EARTH_R / 2.0
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                p = G.parse_wkb(bytes(r.geometry))
+                if p is None or p["type"] not in (G.POLYGON,
+                                                 G.MULTIPOLYGON):
+                    continue
+                total = 0.0
+                for part in p.get("parts") or []:
+                    c = np.asarray(part, np.float64).reshape(-1, 2)
+                    if len(c) >= 4:
+                        total += ring_signed(c)
+                rows.append((r.dataset, r.layer, int(r.fid),
+                             abs(total) * half_r2))
+            yield pd.DataFrame(rows, columns=[
+                "dataset", "layer", "fid", "area_m2"])
+
+    return features.select(
+        "dataset", "layer", "fid", "geometry").mapInPandas(
+        kernel, "dataset string, layer string, fid long, "
+                "area_m2 double")

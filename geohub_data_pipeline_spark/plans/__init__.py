@@ -48,7 +48,7 @@ promote([
     "dedup_substring_spans", "topojson_source", "dedup_semdedup",
     "spatial_join_pip", "zonal_stats", "raster_band_math",
     "raster_hillshade", "raster_slope", "raster_aspect",
-    "vector_geodesic_length",
+    "vector_geodesic_length", "vector_geodesic_area",
     "tile_shared_borders", "tile_joint_simplify", "overview_downsample",
     "multimodal_metadata", "geo_tile_pipeline", "crs_roundtrip",
     "makevalid_audit", "raster_probe", "gpkg_source", "q1_pricing_summary",

@@ -3242,3 +3242,76 @@ def vector_geodesic_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (SP.geodesic_length(feats)
             .select(F.col("fid").alias("doc_id"),
                     F.round("length_m", 2).alias("length_m")))
+
+
+_GEOAREA_SQL = """
+WITH seg AS (
+  SELECT d.doc_id, t.i AS i,
+         -- unit square anchored per doc, vertices CCW
+         CASE t.i WHEN 0 THEN 0.0 WHEN 1 THEN 1.0 WHEN 2 THEN 1.0
+              WHEN 3 THEN 0.0 ELSE 0.0 END
+           + (-60.0 + (d.doc_id % 120)) AS lon1,
+         CASE t.i WHEN 0 THEN 0.0 WHEN 1 THEN 0.0 WHEN 2 THEN 1.0
+              WHEN 3 THEN 1.0 ELSE 0.0 END
+           + (-45.0 + ((d.doc_id * 7) % 90)) AS lat1,
+         CASE t.i WHEN 0 THEN 1.0 WHEN 1 THEN 1.0 WHEN 2 THEN 0.0
+              WHEN 3 THEN 0.0 ELSE 1.0 END
+           + (-60.0 + (d.doc_id % 120)) AS lon2,
+         CASE t.i WHEN 0 THEN 0.0 WHEN 1 THEN 1.0 WHEN 2 THEN 1.0
+              WHEN 3 THEN 0.0 ELSE 0.0 END
+           + (-45.0 + ((d.doc_id * 7) % 90)) AS lat2
+  FROM documents d, range(4) t(i)
+)
+SELECT doc_id,
+       round(abs(sum(radians(lon2 - lon1)
+                     * (2.0 + sin(radians(lat1))
+                        + sin(radians(lat2)))))
+             * 6371008.8 * 6371008.8 / 2.0, 2) AS area_m2
+FROM seg
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@query("vector_geodesic_area", "pipeline",
+       "geo analytics: spherical polygon area (discrete spherical "
+       "shoelace, turf-style) — map-side Arrow kernel over WKB",
+       _GEOAREA_SQL)
+def vector_geodesic_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each document becomes a 1x1-degree CCW square at a
+    doc-dependent anchor; the REAL operator parses the WKB and sums
+    the spherical shoelace, the oracle states the identical
+    segment-sum over the generated vertex table.  Centimeter^2-class
+    rounding keeps libm trig ulp noise five orders below."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.operators import spatial as SP
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id")
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                x0 = -60.0 + (did % 120)
+                y0 = -45.0 + ((did * 7) % 90)
+                ring = [(x0, y0), (x0 + 1, y0), (x0 + 1, y0 + 1),
+                        (x0, y0 + 1), (x0, y0)]
+                rows.append(("docs", "zones", did,
+                             G.wkb_polygon([ring])))
+            yield pd.DataFrame(rows, columns=[
+                "dataset", "layer", "fid", "geometry"])
+
+    feats = base.mapInPandas(
+        build, "dataset string, layer string, fid long, "
+               "geometry binary")
+    return (SP.geodesic_area(feats)
+            .select(F.col("fid").alias("doc_id"),
+                    F.round("area_m2", 2).alias("area_m2")))

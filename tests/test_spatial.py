@@ -245,3 +245,25 @@ def test_geodesic_length_known_values(spark):
     import math
     want = deg * (1 + math.cos(math.radians(1.0))) + 2 * deg
     assert abs(out[3] - want) < 30.0       # haversine vs small-angle
+
+
+def test_geodesic_area_known_values(spark):
+    """Golden: a 1-degree square at the equator covers ~12,364 km^2
+    on the IUGG sphere (R^2 * dlam * dsin(phi)); a hole subtracts."""
+    from geohub_data_pipeline_spark.operators import spatial as SP
+
+    import math
+    R = SP._EARTH_R
+    want = R * R * math.radians(1.0) * (math.sin(math.radians(1.0))
+                                        - math.sin(0.0))
+    sq = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]
+    hole = [(0.25, 0.25), (0.25, 0.75), (0.75, 0.75), (0.75, 0.25),
+            (0.25, 0.25)]                  # opposite winding
+    feats = spark.createDataFrame(
+        [("d", "z", 1, G.wkb_polygon([sq])),
+         ("d", "z", 2, G.wkb_polygon([sq, hole]))],
+        "dataset string, layer string, fid long, geometry binary")
+    out = {r.fid: r.area_m2
+           for r in SP.geodesic_area(feats).collect()}
+    assert abs(out[1] - want) / want < 1e-9
+    assert 0.70 < out[2] / out[1] < 0.78   # ~quarter-area hole gone
