@@ -51,7 +51,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="re-ingest a PMTiles archive: decode its "
                          "max-zoom MVT tiles back into feature rows "
                          "(operators/mvt.py) and write GeoParquet-"
-                         "style feature parquet under --dst")
+                         "style feature parquet under --dst; a "
+                         "feature CLIPPED across several max-zoom "
+                         "tiles decodes as one fragment row per "
+                         "tile (same fid)")
     ap.add_argument("--curate", metavar="DOCS_PARQUET",
                     help="run the corpus-curation pipeline (exact dedup "
                          "-> LSH near-dup clusters -> repetition filter "
@@ -137,21 +140,31 @@ def main(argv: list[str] | None = None) -> int:
             )
 
             PMDS.register(spark)
+            # max zoom comes from the v3 HEADER (byte 101) — no need
+            # to scan every tile payload just to find it
+            with open(args.decode_pmtiles, "rb") as fh:
+                hdr = fh.read(102)
+            zmax = hdr[101]
             tiles = (spark.read.format("pmtiles")
-                     .option("path", args.decode_pmtiles).load())
-            # one copy per feature: take only the most detailed zoom
-            # (lower zooms are simplified duplicates)
-            zmax = tiles.agg(F.max("z")).collect()[0][0]
-            feats = MVT.features_from_tiles(tiles.filter(
-                F.col("z") == zmax))
+                     .option("path", args.decode_pmtiles).load()
+                     .filter(F.col("z") == zmax))
+            # lower zooms are simplified duplicates; at zmax a
+            # feature clipped across tiles keeps one row per tile
+            feats = MVT.features_from_tiles(tiles)
             out = f"{args.dst.rstrip('/')}/features"
             feats.write.mode("overwrite").parquet(out)
             back = spark.read.parquet(out)
-            by_layer = {r["layer"]: r["count"] for r in
-                        back.groupBy("layer").count().collect()}
-            for layer, n in sorted(by_layer.items()):
-                print(f"layer {layer}: {n} features (z{zmax})")
-            print(f"decoded {back.count()} features -> {out}")
+            stats = back.groupBy("layer").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("fid").alias("nfid")).collect()
+            total = 0
+            for r in sorted(stats, key=lambda x: x["layer"]):
+                frag = "" if r["n"] == r["nfid"] else \
+                    f" ({r['n'] - r['nfid']} tile fragments)"
+                print(f"layer {r['layer']}: {r['nfid']} features"
+                      f"{frag} (z{zmax})")
+                total += r["n"]
+            print(f"decoded {total} rows -> {out}")
             return 0
 
         if args.curate:

@@ -283,10 +283,9 @@ def geodesic_length(features: DataFrame) -> DataFrame:
             for r in pdf.itertuples(index=False):
                 p = G.parse_wkb(bytes(r.geometry))
                 if p is None:
-                    continue
-                parts = p.get("parts") or [p.get("coords") or []]
+                    continue               # -skipfailures
                 total = 0.0
-                for part in parts:
+                for part in p["parts"]:
                     c = np.asarray(part, np.float64).reshape(-1, 2)
                     if len(c) < 2:
                         continue
@@ -310,10 +309,13 @@ def geodesic_area(features: DataFrame) -> DataFrame:
 
         A = |R^2/2 * sum (lam2 - lam1)(2 + sin phi1 + sin phi2)|
 
-    summed per ring with hole rings subtracting (shells and holes
-    wind oppositely after normalize's re-winding, so the signed sum
-    handles them; the final abs gives the magnitude).  MultiPolygon
-    parts accumulate.  Map-side Arrow kernel, no shuffle.
+    with each segment's longitude delta wrapped into (-pi, pi] so
+    antimeridian-crossing rings measure correctly.  Rings are signed
+    by their parsed ROLE (exterior adds, hole subtracts) — winding
+    alone would double-count a same-wound hole in non-normalized
+    WKB.  MultiPolygon parts accumulate; non-polygon geometries emit
+    area 0.0 (a row per parseable feature, matching
+    ``geodesic_length``).  Map-side Arrow kernel, no shuffle.
     """
     from geohub_data_pipeline_spark.operators import geometry as G
     from geohub_data_pipeline_spark.session import ship_package
@@ -322,9 +324,12 @@ def geodesic_area(features: DataFrame) -> DataFrame:
     def ring_signed(c: np.ndarray) -> float:
         lam = np.radians(c[:, 0])
         phi = np.radians(c[:, 1])
+        dlam = lam[1:] - lam[:-1]
+        # shortest-arc wrap: a 179.5 -> -179.5 step is +1 degree,
+        # not -359 (antimeridian-crossing rings)
+        dlam = np.mod(dlam + np.pi, 2.0 * np.pi) - np.pi
         return float(np.sum(
-            (lam[1:] - lam[:-1])
-            * (2.0 + np.sin(phi[:-1]) + np.sin(phi[1:]))))
+            dlam * (2.0 + np.sin(phi[:-1]) + np.sin(phi[1:]))))
 
     def kernel(it):
         half_r2 = _EARTH_R * _EARTH_R / 2.0
@@ -332,16 +337,20 @@ def geodesic_area(features: DataFrame) -> DataFrame:
             rows = []
             for r in pdf.itertuples(index=False):
                 p = G.parse_wkb(bytes(r.geometry))
-                if p is None or p["type"] not in (G.POLYGON,
-                                                 G.MULTIPOLYGON):
-                    continue
+                if p is None:
+                    continue               # -skipfailures
                 total = 0.0
-                for part in p.get("parts") or []:
-                    c = np.asarray(part, np.float64).reshape(-1, 2)
-                    if len(c) >= 4:
-                        total += ring_signed(c)
+                if p["type"] in (G.POLYGON, G.MULTIPOLYGON):
+                    roles = p.get("roles") or [True] * len(
+                        p.get("parts") or [])
+                    for part, is_shell in zip(p["parts"], roles):
+                        c = np.asarray(part, np.float64) \
+                            .reshape(-1, 2)
+                        if len(c) >= 4:
+                            a = abs(ring_signed(c))
+                            total += a if is_shell else -a
                 rows.append((r.dataset, r.layer, int(r.fid),
-                             abs(total) * half_r2))
+                             max(total, 0.0) * half_r2))
             yield pd.DataFrame(rows, columns=[
                 "dataset", "layer", "fid", "area_m2"])
 

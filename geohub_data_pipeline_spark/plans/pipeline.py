@@ -2942,8 +2942,7 @@ def raster_band_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HILLSHADE_SQL = """
-WITH px AS (
+_HORN_CTE = """px AS (
   SELECT r.i AS row, c.i AS col,
          CAST(5 * r.i + 3 * c.i + (r.i * c.i) % 7 AS DOUBLE) AS v
   FROM range(128) r(i), range(128) c(i)
@@ -2963,7 +2962,48 @@ g AS (
   JOIN px sw ON sw.row = a.row + 1 AND sw.col = a.col - 1
   JOIN px s  ON s.row  = a.row + 1 AND s.col  = a.col
   JOIN px se ON se.row = a.row + 1 AND se.col = a.col + 1
-)
+)"""
+
+
+def _demo_dem_blocks(spark: SparkSession):
+    """The shared synthetic 128x128 / 2x2-block DEM the three Horn
+    terrain gates run on (value = 5 row + 3 col + (row*col)%7)."""
+    import numpy as np
+
+    n, b = 128, 64
+    arr = (5.0 * np.arange(n)[:, None] + 3.0 * np.arange(n)[None, :]
+           + (np.arange(n)[:, None] * np.arange(n)[None, :]) % 7)
+    rows = []
+    for by in range(0, n, b):
+        for bx in range(0, n, b):
+            tile = arr[by:by + b, bx:bx + b]
+            rows.append(("dem", None, 1, 0, bx // b, by // b, b, b,
+                         tile.ravel().tolist(), None, 4326))
+    return spark.createDataFrame(
+        rows, "dataset string, subdataset string, band int, "
+              "level int, block_x int, block_y int, width int, "
+              "height int, pixels array<double>, nodata double, "
+              "srid int"), b
+
+
+def _flatten_pixels(df: DataFrame, b: int, alias: str) -> DataFrame:
+    """Block rows -> (row, col, <alias>) with NaN/NULL (border or
+    flat cells) dropped — the gate-comparable flat form."""
+    flat = df.select(
+        "block_x", "block_y", "width",
+        F.posexplode("pixels").alias("pos", "v"))
+    return (flat.select(
+        (F.col("block_y") * b
+         + (F.col("pos") / F.col("width")).cast("int")).cast("int")
+        .alias("row"),
+        (F.col("block_x") * b
+         + (F.col("pos") % F.col("width"))).cast("int").alias("col"),
+        F.round("v", 4).alias(alias))
+        .filter(F.col(alias).isNotNull() & ~F.isnan(alias)))
+
+
+_HILLSHADE_SQL = f"""
+WITH {_HORN_CTE}
 SELECT CAST(row AS INTEGER) AS row, CAST(col AS INTEGER) AS col,
        round(greatest(
          255.0 * (cos(pi() / 4) * cos(atan(sqrt(
@@ -2993,64 +3033,19 @@ def raster_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-pixel strips beats regrouping 3x3 whole-block neighborhoods
     9-fold; the one shuffle rides the raster's existing grid key.
     """
-    import numpy as np
-
     from geohub_data_pipeline_spark.operators import raster as R
     from geohub_data_pipeline_spark.session import ship_package
 
     ship_package(spark)
     load_tables(spark, sf_dir)             # harness contract
-    n, b = 128, 64
-    arr = (5.0 * np.arange(n)[:, None] + 3.0 * np.arange(n)[None, :]
-           + (np.arange(n)[:, None] * np.arange(n)[None, :]) % 7)
-    rows = []
-    for by in range(0, n, b):
-        for bx in range(0, n, b):
-            tile = arr[by:by + b, bx:bx + b]
-            rows.append(("dem", None, 1, 0, bx // b, by // b, b, b,
-                         tile.ravel().tolist(), None, 4326))
-    blocks = spark.createDataFrame(
-        rows, "dataset string, subdataset string, band int, "
-              "level int, block_x int, block_y int, width int, "
-              "height int, pixels array<double>, nodata double, "
-              "srid int")
-    shade = R.hillshade(blocks, azimuth=315.0, altitude=45.0,
-                        cellsize=1.0)
-    flat = shade.select(
-        "block_x", "block_y", "width",
-        F.posexplode("pixels").alias("pos", "v"))
-    return (flat.select(
-        (F.col("block_y") * b
-         + (F.col("pos") / F.col("width")).cast("int")).cast("int")
-        .alias("row"),
-        (F.col("block_x") * b
-         + (F.col("pos") % F.col("width"))).cast("int").alias("col"),
-        F.round("v", 4).alias("shade"))
-        .filter(F.col("shade").isNotNull() & ~F.isnan("shade")))
+    blocks, b = _demo_dem_blocks(spark)
+    return _flatten_pixels(
+        R.hillshade(blocks, azimuth=315.0, altitude=45.0,
+                    cellsize=1.0), b, "shade")
 
 
-_SLOPE_SQL = """
-WITH px AS (
-  SELECT r.i AS row, c.i AS col,
-         CAST(5 * r.i + 3 * c.i + (r.i * c.i) % 7 AS DOUBLE) AS v
-  FROM range(128) r(i), range(128) c(i)
-),
-g AS (
-  SELECT a.row, a.col,
-         ((ne.v + 2 * e.v + se.v) - (nw.v + 2 * w.v + sw.v)) / 8.0
-           AS dzdx,
-         ((sw.v + 2 * s.v + se.v) - (nw.v + 2 * n.v + ne.v)) / 8.0
-           AS dzdy
-  FROM px a
-  JOIN px nw ON nw.row = a.row - 1 AND nw.col = a.col - 1
-  JOIN px n  ON n.row  = a.row - 1 AND n.col  = a.col
-  JOIN px ne ON ne.row = a.row - 1 AND ne.col = a.col + 1
-  JOIN px w  ON w.row  = a.row     AND w.col  = a.col - 1
-  JOIN px e  ON e.row  = a.row     AND e.col  = a.col + 1
-  JOIN px sw ON sw.row = a.row + 1 AND sw.col = a.col - 1
-  JOIN px s  ON s.row  = a.row + 1 AND s.col  = a.col
-  JOIN px se ON se.row = a.row + 1 AND se.col = a.col + 1
-)
+_SLOPE_SQL = f"""
+WITH {_HORN_CTE}
 SELECT CAST(row AS INTEGER) AS row, CAST(col AS INTEGER) AS col,
        round(degrees(atan(sqrt(dzdx * dzdx + dzdy * dzdy))), 4)
          AS slope_deg
@@ -3067,64 +3062,18 @@ def raster_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slope in degrees over the same synthetic 2x2-block DEM as the
     hillshade gate; shares ``_focal_horn``'s halo machinery, so the
     seam pixels again prove the exchange."""
-    import numpy as np
-
     from geohub_data_pipeline_spark.operators import raster as R
     from geohub_data_pipeline_spark.session import ship_package
 
     ship_package(spark)
     load_tables(spark, sf_dir)             # harness contract
-    n, b = 128, 64
-    arr = (5.0 * np.arange(n)[:, None] + 3.0 * np.arange(n)[None, :]
-           + (np.arange(n)[:, None] * np.arange(n)[None, :]) % 7)
-    rows = []
-    for by in range(0, n, b):
-        for bx in range(0, n, b):
-            tile = arr[by:by + b, bx:bx + b]
-            rows.append(("dem", None, 1, 0, bx // b, by // b, b, b,
-                         tile.ravel().tolist(), None, 4326))
-    blocks = spark.createDataFrame(
-        rows, "dataset string, subdataset string, band int, "
-              "level int, block_x int, block_y int, width int, "
-              "height int, pixels array<double>, nodata double, "
-              "srid int")
-    sl = R.slope(blocks, cellsize=1.0)
-    flat = sl.select(
-        "block_x", "block_y", "width",
-        F.posexplode("pixels").alias("pos", "v"))
-    return (flat.select(
-        (F.col("block_y") * b
-         + (F.col("pos") / F.col("width")).cast("int")).cast("int")
-        .alias("row"),
-        (F.col("block_x") * b
-         + (F.col("pos") % F.col("width"))).cast("int").alias("col"),
-        F.round("v", 4).alias("slope_deg"))
-        .filter(F.col("slope_deg").isNotNull()
-                & ~F.isnan("slope_deg")))
+    blocks, b = _demo_dem_blocks(spark)
+    return _flatten_pixels(R.slope(blocks, cellsize=1.0), b,
+                           "slope_deg")
 
 
-_ASPECT_SQL = """
-WITH px AS (
-  SELECT r.i AS row, c.i AS col,
-         CAST(5 * r.i + 3 * c.i + (r.i * c.i) % 7 AS DOUBLE) AS v
-  FROM range(128) r(i), range(128) c(i)
-),
-g AS (
-  SELECT a.row, a.col,
-         ((ne.v + 2 * e.v + se.v) - (nw.v + 2 * w.v + sw.v)) / 8.0
-           AS dzdx,
-         ((sw.v + 2 * s.v + se.v) - (nw.v + 2 * n.v + ne.v)) / 8.0
-           AS dzdy
-  FROM px a
-  JOIN px nw ON nw.row = a.row - 1 AND nw.col = a.col - 1
-  JOIN px n  ON n.row  = a.row - 1 AND n.col  = a.col
-  JOIN px ne ON ne.row = a.row - 1 AND ne.col = a.col + 1
-  JOIN px w  ON w.row  = a.row     AND w.col  = a.col - 1
-  JOIN px e  ON e.row  = a.row     AND e.col  = a.col + 1
-  JOIN px sw ON sw.row = a.row + 1 AND sw.col = a.col - 1
-  JOIN px s  ON s.row  = a.row + 1 AND s.col  = a.col
-  JOIN px se ON se.row = a.row + 1 AND se.col = a.col + 1
-)
+_ASPECT_SQL = f"""
+WITH {_HORN_CTE}
 SELECT CAST(row AS INTEGER) AS row, CAST(col AS INTEGER) AS col,
        round(((90.0 - degrees(atan2(dzdy, -dzdx))) % 360.0 + 360.0)
              % 360.0, 4) AS aspect_deg
@@ -3141,40 +3090,14 @@ ORDER BY row, col
 def raster_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect over the shared synthetic DEM; flat cells and the
     border drop on both sides."""
-    import numpy as np
-
     from geohub_data_pipeline_spark.operators import raster as R
     from geohub_data_pipeline_spark.session import ship_package
 
     ship_package(spark)
     load_tables(spark, sf_dir)             # harness contract
-    n, b = 128, 64
-    arr = (5.0 * np.arange(n)[:, None] + 3.0 * np.arange(n)[None, :]
-           + (np.arange(n)[:, None] * np.arange(n)[None, :]) % 7)
-    rows = []
-    for by in range(0, n, b):
-        for bx in range(0, n, b):
-            tile = arr[by:by + b, bx:bx + b]
-            rows.append(("dem", None, 1, 0, bx // b, by // b, b, b,
-                         tile.ravel().tolist(), None, 4326))
-    blocks = spark.createDataFrame(
-        rows, "dataset string, subdataset string, band int, "
-              "level int, block_x int, block_y int, width int, "
-              "height int, pixels array<double>, nodata double, "
-              "srid int")
-    asp = R.aspect(blocks, cellsize=1.0)
-    flat = asp.select(
-        "block_x", "block_y", "width",
-        F.posexplode("pixels").alias("pos", "v"))
-    return (flat.select(
-        (F.col("block_y") * b
-         + (F.col("pos") / F.col("width")).cast("int")).cast("int")
-        .alias("row"),
-        (F.col("block_x") * b
-         + (F.col("pos") % F.col("width"))).cast("int").alias("col"),
-        F.round("v", 4).alias("aspect_deg"))
-        .filter(F.col("aspect_deg").isNotNull()
-                & ~F.isnan("aspect_deg")))
+    blocks, b = _demo_dem_blocks(spark)
+    return _flatten_pixels(R.aspect(blocks, cellsize=1.0), b,
+                           "aspect_deg")
 
 
 _GEOLEN_SQL = """

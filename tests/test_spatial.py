@@ -267,3 +267,28 @@ def test_geodesic_area_known_values(spark):
            for r in SP.geodesic_area(feats).collect()}
     assert abs(out[1] - want) / want < 1e-9
     assert 0.70 < out[2] / out[1] < 0.78   # ~quarter-area hole gone
+
+
+def test_geodesic_area_antimeridian_and_winding(spark):
+    """Fourth-review regressions: a dateline-straddling ring measures
+    its true 1x1-degree size (not ~359x), and a hole wound the SAME
+    way as its shell still subtracts (role-based signing)."""
+    import math
+
+    from geohub_data_pipeline_spark.operators import spatial as SP
+
+    R = SP._EARTH_R
+    want = R * R * math.radians(1.0) * math.sin(math.radians(1.0))
+    dateline = [(179.5, 0.0), (-179.5, 0.0), (-179.5, 1.0),
+                (179.5, 1.0), (179.5, 0.0)]
+    sq = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]
+    hole_same_winding = [(0.25, 0.25), (0.75, 0.25), (0.75, 0.75),
+                         (0.25, 0.75), (0.25, 0.25)]   # CCW like shell
+    feats = spark.createDataFrame(
+        [("d", "z", 1, G.wkb_polygon([dateline])),
+         ("d", "z", 2, G.wkb_polygon([sq, hole_same_winding]))],
+        "dataset string, layer string, fid long, geometry binary")
+    out = {r.fid: r.area_m2
+           for r in SP.geodesic_area(feats).collect()}
+    assert abs(out[1] - want) / want < 1e-9
+    assert 0.70 < out[2] / want < 0.78     # hole subtracts regardless
