@@ -355,10 +355,12 @@ def substring_dup_spans(df: DataFrame, text_col: str, id_col: str,
     (union length of all spans), ``total_chars``.
 
     Scale: gram extraction is a Catalyst higher-order ``transform``
-    + ``posexplode`` (map-side); duplicate marking is ONE shuffle on
-    the 8-byte gram hash (count > 1 — the same bucket-join shape as
-    the MinHash band stage, never all-pairs); span merging is a
-    per-document sort-window (gaps-and-islands), shuffled by doc id.
+    + ``posexplode`` (map-side); duplicate marking is two-phase —
+    partial-aggregated ``groupBy(gram)`` (hot grams collapse map-side)
+    + a semi-join back on the 8-byte gram hash (the same bucket-join
+    shape as the MinHash band stage, never all-pairs, no window over
+    the raw gram stream); span merging is a per-document sort-window
+    (gaps-and-islands), shuffled by doc id.
     Suffix arrays don't distribute; k-gram marking is the published
     scalable equivalent and finds the identical >= k duplicated
     ranges.
@@ -379,14 +381,20 @@ def substring_dup_spans(df: DataFrame, text_col: str, id_col: str,
         id_col, "total_chars", (F.col("pos0") + 1).alias("start"), "gram",
     )
 
-    # duplicate marking: a count-over-gram window instead of a
-    # groupBy + semi-join back — the join form scans the gram frame
-    # twice and shuffles twice; the window pays ONE shuffle on the
-    # 8-byte hash and keeps (doc, start) riding along
-    marked = (grams.withColumn(
-        "n_occ", F.count("*").over(Window.partitionBy("gram")))
-        .filter(F.col("n_occ") > 1)
-        .drop("n_occ", "gram"))
+    # duplicate marking: two-phase, never a window over the raw gram
+    # stream.  A count() OVER (PARTITION BY gram) puts EVERY
+    # occurrence of a corpus-hot k-gram (boilerplate headers,
+    # whitespace runs — exactly what dedup corpora are full of) into
+    # one window partition that must be fully buffered: a straight-
+    # to-spill skew cell at 100 TB.  groupBy(gram) instead collapses
+    # the hot gram map-side (partial aggregation: one row per task
+    # before the shuffle), and the semi-join back streams the probe
+    # side — AQE's skew-join split handles any residual hot key, and
+    # converts the build side to broadcast when the duplicate-gram
+    # set is small.
+    dup_grams = (grams.groupBy("gram").count()
+                 .filter(F.col("count") > 1).select("gram"))
+    marked = grams.join(dup_grams, "gram", "leftsemi").drop("gram")
 
     w = (Window.partitionBy(id_col).orderBy("start")
          .rowsBetween(Window.unboundedPreceding, -1))
@@ -416,17 +424,22 @@ def substring_dup_spans(df: DataFrame, text_col: str, id_col: str,
 
 
 def semdedup(vecs: DataFrame, centroid_every: int = 40,
-             tau: float = 0.2) -> DataFrame:
+             tau: float = 0.2,
+             centroids: DataFrame | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
     learning at web-scale through semantic deduplication"):
     cluster the embedding space, then inside each cluster remove all
     but one member of every semantic-duplicate group (cosine >= tau),
     keeping the member with the LOWEST similarity to its centroid —
     the paper's keep rule (§3: low-similarity members preserve
-    diversity/outliers).  Deterministic centroids (every
-    ``centroid_every``-th vector) stand in for the k-means codebook
-    so the result is oracle-checkable; swap in ``kmeans_parallel``
-    centroids for production clustering.
+    diversity/outliers).
+
+    Codebook: pass ``centroids`` (cid, cv) for a production codebook
+    (see ``semdedup_kmeans`` — k-means||, O(k) broadcast bounded by
+    the cluster count, NOT the corpus); without it, deterministic
+    centroids (every ``centroid_every``-th vector) keep the result
+    oracle-checkable at test SF.  The default codebook grows O(n/40)
+    with the corpus — gate-SF only, never the 100 TB path.
 
     Returns one row per vector: (vec_id, cluster, cent_sim, removed).
 
@@ -442,19 +455,25 @@ def semdedup(vecs: DataFrame, centroid_every: int = 40,
     from pyspark.sql.functions import broadcast
 
     n = with_norm(vecs.select("vec_id", "vec"))
-    cents = (n.filter(F.col("vec_id") % centroid_every == 0)
-             .select(F.col("vec_id").alias("cid"),
-                     F.col("vec").alias("cv"),
-                     F.col("__norm").alias("cnrm")))
-    # an id space with no multiple of centroid_every would yield an
-    # empty codebook and silently drop the corpus (the cross join
-    # returns nothing) — fall back to the minimum id as the single
-    # centroid.  Driver cost: one bounded limit(1) probe.
-    if cents.limit(1).count() == 0:
-        cents = (n.orderBy("vec_id").limit(1)
+    if centroids is not None:
+        cents = with_norm(
+            centroids.select("cid", F.col("cv").alias("vec")), "vec",
+        ).select("cid", F.col("vec").alias("cv"),
+                 F.col("__norm").alias("cnrm"))
+    else:
+        cents = (n.filter(F.col("vec_id") % centroid_every == 0)
                  .select(F.col("vec_id").alias("cid"),
                          F.col("vec").alias("cv"),
                          F.col("__norm").alias("cnrm")))
+        # an id space with no multiple of centroid_every would yield
+        # an empty codebook and silently drop the corpus (the cross
+        # join returns nothing) — fall back to the minimum id as the
+        # single centroid.  Driver cost: one bounded limit(1) probe.
+        if cents.limit(1).count() == 0:
+            cents = (n.orderBy("vec_id").limit(1)
+                     .select(F.col("vec_id").alias("cid"),
+                             F.col("vec").alias("cv"),
+                             F.col("__norm").alias("cnrm")))
     scored = n.join(broadcast(cents)).select(
         "vec_id", "vec", "__norm", "cid",
         V.cosine(F.col("vec"), F.col("cv"),
@@ -468,8 +487,14 @@ def semdedup(vecs: DataFrame, centroid_every: int = 40,
                         F.col("cs").alias("cent_sim")))
     # three consumers (both sides of the duplicate self-join + the
     # final projection) would each recompute the corpus x codebook
-    # dot products — cache the assignment like the LSH band table
-    assigned = assigned.cache()
+    # dot products — materialize the assignment once.
+    # localCheckpoint, NOT cache(): the service is a long-lived
+    # session and cache entries persist in the CacheManager until an
+    # explicit unpersist (which a lazily-returned DataFrame can't
+    # schedule); localCheckpoint blocks are reclaimed by the
+    # ContextCleaner as soon as callers drop the result, bounding
+    # executor storage across repeated calls.
+    assigned = assigned.localCheckpoint(eager=True)
 
     a = assigned.select(F.col("vec_id").alias("id_a"),
                         F.col("vec").alias("va"),
@@ -501,3 +526,25 @@ def semdedup(vecs: DataFrame, centroid_every: int = 40,
                 F.round("cent_sim", 6).alias("cent_sim"),
                 F.coalesce("removed", F.lit(False)).alias("removed"))
     )
+
+
+def semdedup_kmeans(vecs: DataFrame, k: int = 8, iters: int = 2,
+                    tau: float = 0.2) -> DataFrame:
+    """SemDeDup over a PRODUCTION codebook: deterministic k-means||
+    (``lloyd_kmeans(init='parallel')``) supplies exactly ``k``
+    centroids, so the assignment broadcast is O(k * dims) regardless
+    of corpus size — the bounded shape the 100 TB path needs (the
+    default ``semdedup`` codebook grows O(n/centroid_every) and is a
+    driver OOM at scale).
+
+    Same keep rule and output schema as ``semdedup``.  Deterministic
+    end to end (k-means|| here is the derandomized oversampling
+    init), so the result is oracle-checkable.
+    """
+    from geohub_data_pipeline_spark.operators.similarity import lloyd_kmeans
+
+    _, cents = lloyd_kmeans(vecs.select("vec_id", "vec"), k=k,
+                            iters=iters, init="parallel")
+    codebook = cents.select(F.col("cell").cast("long").alias("cid"),
+                            F.col("centroid").alias("cv"))
+    return semdedup(vecs, tau=tau, centroids=codebook)

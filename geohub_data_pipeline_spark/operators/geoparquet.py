@@ -121,23 +121,49 @@ def geoparquet_info(path: str) -> dict | None:
         return None
 
 
-def _srid_of_geo(geo: dict) -> int:
-    """GeoParquet ``crs``: null/absent means OGC:CRS84 (lon/lat WGS84
-    == srid 4326 for this 2D engine); a PROJJSON object carries its
-    EPSG code under id.code."""
-    col = geo.get("columns", {}).get(geo.get("primary_column",
-                                             "geometry"), {})
-    crs = col.get("crs")
-    if not crs:
-        return 4326
+def _epsg_code(crs) -> int | None:
+    """EPSG code of a PROJJSON crs object, or None when the object
+    carries no resolvable EPSG identity."""
     if isinstance(crs, dict):
         ident = crs.get("id", {})
         if str(ident.get("authority", "")).upper() == "EPSG":
             try:
                 return int(ident.get("code"))
             except (TypeError, ValueError):
-                return 4326
-    return 4326
+                return None
+    return None
+
+
+def _srid_of_geo(geo: dict) -> int:
+    """GeoParquet ``crs``: null/absent means OGC:CRS84 (lon/lat WGS84
+    == srid 4326 for this 2D engine); a PROJJSON object carries its
+    EPSG code under id.code.  A PRESENT but unresolvable crs raises —
+    silently assuming 4326 would mis-georeference every feature
+    downstream (the caller's dead-letter path is the quarantine)."""
+    col = geo.get("columns", {}).get(geo.get("primary_column",
+                                             "geometry"), {})
+    crs = col.get("crs")
+    if not crs:
+        return 4326
+    code = _epsg_code(crs)
+    if code is None:
+        raise ValueError(
+            "GeoParquet crs has no EPSG identity (PROJJSON without "
+            "id.authority=EPSG) — refusing to assume lon/lat")
+    return code
+
+
+def _check_encoding(geo: dict, path: str) -> None:
+    """GeoParquet 1.1 allows native/GeoArrow geometry encodings; this
+    reader implements WKB only — reading a native-encoded column as
+    WKB silently drops or garbles every feature, so reject it."""
+    col = geo.get("columns", {}).get(geo.get("primary_column",
+                                             "geometry"), {})
+    enc = str(col.get("encoding", "WKB"))
+    if enc.upper() != "WKB":
+        raise ValueError(
+            f"unsupported GeoParquet geometry encoding {enc!r} in "
+            f"{path} (native/GeoArrow not implemented; WKB only)")
 
 
 def features_from_geoparquet(spark, path: str):
@@ -155,6 +181,8 @@ def features_from_geoparquet(spark, path: str):
 
     geo = geoparquet_info(path) or {}
     gcol = geo.get("primary_column", "geometry")
+    if geo:
+        _check_encoding(geo, path)
     srid = _srid_of_geo(geo) if geo else 4326
 
     df = spark.read.parquet(path)

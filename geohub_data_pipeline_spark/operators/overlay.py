@@ -1,0 +1,501 @@
+"""Polygon overlay analytics: dissolve (merge-by-key) and buffer.
+
+The reference pipeline never overlays geometry (its processing is
+probe/convert/tile — /root/reference/ingest/processing.py has no
+geometry math); these are the analytics operators a user reaches for
+right after ``points_in_polygons`` / ``zonal_stats``: admin-area
+dissolve, buffer-then-join.
+
+Dissolve — the distributed EDGE-CANCELLATION form:
+
+1. every polygon explodes to its directed boundary edges (map-side
+   Arrow kernel; ring winding normalized shell-CCW / hole-CW first);
+2. an interior boundary shared by two polygons of the same key
+   appears ONCE IN EACH DIRECTION, so summing a +/-1 direction sign
+   per (key, undirected edge) cancels it — a partial-aggregated
+   ``groupBy``, the same map-side-combine shape as the substring-
+   dedup gram marking, never a pairwise geometry union;
+3. the surviving net edges are exactly the dissolved region's
+   boundary, stitched back into closed rings per key
+   (``applyInPandas``; rightmost-turn rule at pinch vertices), holes
+   homed to their containing shell by ray cast.
+
+This is the topology form of dissolve: EXACT for polygonal coverages
+(shared borders vertex-identical, interiors disjoint — the admin/
+cadastral/grid inputs dissolve exists for; the same contract under
+which ``tiling.shared_border_stats`` detects shared borders).
+OVERLAPPING same-key polygons do not cancel edge-wise; their
+boundaries survive inside the result and render even-odd (the
+documented coverage contract — duplicated/collinear-stacked borders
+ARE flagged via ``n_open`` > 0, but interior overlap detection needs
+a geometric join, e.g. ``spatial.points_in_polygons`` sampling, and
+is out of dissolve's scope).  Scale: one shuffle of all
+edges (map-side combine collapses duplicates), then one shuffle of
+only the surviving BOUNDARY edges — the per-key stitch group is the
+dissolved outline, not the input volume.
+
+Buffer — planar polygonal approximation (k-segment round joins):
+points become regular k-gons (exact); lines/polygons offset each
+edge and insert circular-arc fans at convex joins, then repair any
+concave-join self-intersection through ``make_valid_polygons`` —
+the polygonal approximation every tiling engine ships.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["dissolve", "dissolve_edges", "buffer_points",
+           "buffer_features", "geometry_audit"]
+
+
+# ---------------------------------------------------------------------------
+# dissolve
+# ---------------------------------------------------------------------------
+
+def _oriented_rings(wkb: bytes) -> list[np.ndarray]:
+    """Polygon/MultiPolygon WKB -> closed ring arrays, wound
+    shell-CCW / hole-CW regardless of source winding (the sign
+    convention edge-cancellation needs)."""
+    from geohub_data_pipeline_spark.operators import geometry as G
+
+    p = G.parse_wkb(wkb)
+    if p is None or p["type"] not in (G.POLYGON, G.MULTIPOLYGON):
+        return []
+    parts = p.get("parts") or []
+    roles = p.get("roles") or [True] * len(parts)
+    out = []
+    for part, is_shell in zip(parts, roles):
+        c = np.asarray(part, np.float64).reshape(-1, 2)
+        if len(c) < 4:
+            continue
+        area2 = float(np.sum(c[:-1, 0] * c[1:, 1] - c[1:, 0] * c[:-1, 1]))
+        if (area2 > 0) != is_shell:
+            c = c[::-1]
+        out.append(c)
+    return out
+
+
+def dissolve_edges(polys: DataFrame, key_col: str = "key",
+                   geom_col: str = "geometry") -> DataFrame:
+    """Stage 1+2 of dissolve: directed boundary edges with their
+    per-(key, undirected edge) NET direction sign — net 0 edges
+    (interior boundaries) are already cancelled.  Exposed for tests
+    and for callers that only need boundary statistics."""
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(polys.sparkSession)
+
+    def edges(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ks, ax, ay, bx, by = [], [], [], [], []
+            for k, wkb in zip(pdf[key_col], pdf[geom_col]):
+                for ring in _oriented_rings(bytes(wkb)):
+                    a, b = ring[:-1], ring[1:]
+                    keep = (a != b).any(axis=1)
+                    a, b = a[keep], b[keep]
+                    ks.extend([k] * len(a))
+                    ax.append(a[:, 0]); ay.append(a[:, 1])
+                    bx.append(b[:, 0]); by.append(b[:, 1])
+            yield pd.DataFrame({
+                key_col: ks,
+                "ax": np.concatenate(ax) if ax else [],
+                "ay": np.concatenate(ay) if ay else [],
+                "bx": np.concatenate(bx) if bx else [],
+                "by": np.concatenate(by) if by else [],
+            })
+
+    e = polys.select(key_col, geom_col).mapInPandas(
+        edges, f"{key_col} long, ax double, ay double, "
+               "bx double, by double")
+
+    # undirected canonical key: lexicographic (x, y) smaller endpoint
+    # first; the direction sign rides as +/-1 and SUMS — a shared
+    # border (one pass each way) nets to 0 and drops map-side.
+    fwd = (F.col("ax") < F.col("bx")) | (
+        (F.col("ax") == F.col("bx")) & (F.col("ay") < F.col("by")))
+    canon = e.select(
+        key_col,
+        F.when(fwd, F.col("ax")).otherwise(F.col("bx")).alias("x1"),
+        F.when(fwd, F.col("ay")).otherwise(F.col("by")).alias("y1"),
+        F.when(fwd, F.col("bx")).otherwise(F.col("ax")).alias("x2"),
+        F.when(fwd, F.col("by")).otherwise(F.col("ay")).alias("y2"),
+        F.when(fwd, F.lit(1)).otherwise(F.lit(-1)).alias("sign"),
+    )
+    net = (canon.groupBy(key_col, "x1", "y1", "x2", "y2")
+           .agg(F.sum("sign").alias("net"))
+           .filter(F.col("net") != 0))
+    # restore traversal direction from the net sign
+    pos = F.col("net") > 0
+    return net.select(
+        key_col,
+        F.when(pos, F.col("x1")).otherwise(F.col("x2")).alias("ax"),
+        F.when(pos, F.col("y1")).otherwise(F.col("y2")).alias("ay"),
+        F.when(pos, F.col("x2")).otherwise(F.col("x1")).alias("bx"),
+        F.when(pos, F.col("y2")).otherwise(F.col("y1")).alias("by"),
+        F.abs(F.col("net")).alias("mult"),
+    )
+
+
+def _stitch_rings(edges: np.ndarray) -> tuple[list[np.ndarray], int]:
+    """Directed edges [n, 4] -> (closed rings, n_unclosed_edges).
+
+    Each ring follows successor edges start==end; at a pinch vertex
+    (several outgoing edges — e.g. two blocks meeting at a corner)
+    the RIGHTMOST turn relative to the incoming direction keeps each
+    loop simple.  Leftover edges that close no loop (non-coverage
+    input) are counted, not silently dropped.
+    """
+    n = len(edges)
+    by_start: dict[tuple[float, float], list[int]] = {}
+    for i in range(n):
+        by_start.setdefault((edges[i, 0], edges[i, 1]), []).append(i)
+    used = np.zeros(n, dtype=bool)
+    rings: list[np.ndarray] = []
+    for start in range(n):
+        if used[start]:
+            continue
+        path = [start]
+        used[start] = True
+        closed = False
+        for _ in range(n):
+            cur = edges[path[-1]]
+            end = (cur[2], cur[3])
+            cands = [i for i in by_start.get(end, []) if not used[i]]
+            if not cands and end == (edges[start, 0], edges[start, 1]):
+                closed = True
+                break
+            if not cands:
+                break
+            if len(cands) == 1:
+                nxt = cands[0]
+            else:
+                # rightmost turn: maximal clockwise angle from the
+                # incoming direction (interior stays on the left)
+                ang_in = math.atan2(cur[3] - cur[1], cur[2] - cur[0])
+
+                def turn(i: int) -> float:
+                    a = math.atan2(edges[i, 3] - edges[i, 1],
+                                   edges[i, 2] - edges[i, 0])
+                    return (a - ang_in - math.pi) % (2.0 * math.pi)
+
+                nxt = max(cands, key=turn)
+            used[nxt] = True
+            path.append(nxt)
+            if (edges[nxt, 2], edges[nxt, 3]) == (
+                    edges[start, 0], edges[start, 1]):
+                closed = True
+                break
+        if closed:
+            pts = np.vstack([edges[path, :2], edges[path[-1], 2:4]])
+            rings.append(pts)
+        else:
+            used[path] = True      # leave marked; counted below
+    n_open = int(n - sum(len(r) - 1 for r in rings))
+    return rings, max(n_open, 0)
+
+
+def _assemble_multipolygon(rings: list[np.ndarray]) -> bytes:
+    """Signed-area classification (CCW shell / CW hole) + ray-cast
+    hole homing -> MULTIPOLYGON WKB."""
+    from geohub_data_pipeline_spark.operators import geometry as G
+
+    shells, holes = [], []
+    for r in rings:
+        area2 = float(np.sum(r[:-1, 0] * r[1:, 1] - r[1:, 0] * r[:-1, 1]))
+        (shells if area2 > 0 else holes).append((abs(area2), r))
+    shells.sort(key=lambda t: t[0])        # smallest first: innermost
+    polys: list[list[list[tuple[float, float]]]] = [
+        [[tuple(p) for p in s]] for _, s in shells]
+    for _, h in holes:
+        pt = (float(h[0, 0]), float(h[0, 1]))
+        # a hole vertex lies ON the shell only in degenerate inputs;
+        # probe the edge midpoint nudged nowhere — ray cast suffices
+        # against candidate shells smallest-to-largest
+        homed = False
+        for i, (_, s) in enumerate(shells):
+            if G._point_in_ring(pt, [tuple(p) for p in s]) or any(
+                    G._point_in_ring((float(x), float(y)),
+                                     [tuple(p) for p in s])
+                    for x, y in h[1:3]):
+                polys[i].append([tuple(p) for p in h])
+                homed = True
+                break
+        if not homed and polys:
+            polys[0].append([tuple(p) for p in h])
+    return G.wkb_multipolygon(polys)
+
+
+def dissolve(polys: DataFrame, key_col: str = "key",
+             geom_col: str = "geometry") -> DataFrame:
+    """Merge all polygons of a key into one MultiPolygon with
+    interior boundaries removed.
+
+    Input: (key long, geometry binary WKB Polygon/MultiPolygon) in a
+    coverage topology (shared borders vertex-identical).  Output one
+    row per key: (key, geometry MULTIPOLYGON WKB, n_rings int,
+    n_open int) — ``n_open`` > 0 flags boundary multiplicity the
+    stitcher could not absorb (duplicated polygons, stacked borders,
+    dangling nets: non-coverage input), the quarantine signal.
+
+    Scale: see module docstring — two shuffles, the second carrying
+    only the dissolved outline; the stitch group per key is the
+    boundary of the dissolved region, not its input polygons.
+    """
+    net = dissolve_edges(polys, key_col, geom_col)
+
+    def stitch(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = pdf[key_col].iloc[0]
+        e = pdf[["ax", "ay", "bx", "by"]].to_numpy(np.float64)
+        rings, _ = _stitch_rings(e)
+        # multiplicity deficit: a net |mult| > 1 edge (duplicated
+        # boundary — stacked polygons, collinear overlap) can be
+        # stitched only once; the surplus is the non-coverage signal
+        n_open = int(pdf["mult"].sum()
+                     - sum(len(r) - 1 for r in rings))
+        if not rings:
+            return pd.DataFrame({key_col: [k], "geometry": [b""],
+                                 "n_rings": [0], "n_open": [n_open]})
+        return pd.DataFrame({
+            key_col: [k],
+            "geometry": [_assemble_multipolygon(rings)],
+            "n_rings": [len(rings)],
+            "n_open": [n_open],
+        })
+
+    return net.groupBy(key_col).applyInPandas(
+        stitch, f"{key_col} long, geometry binary, n_rings int, "
+                "n_open int")
+
+
+# ---------------------------------------------------------------------------
+# buffer
+# ---------------------------------------------------------------------------
+
+def _kgon(cx: float, cy: float, r: float,
+          segments: int) -> list[tuple[float, float]]:
+    """Closed CCW regular k-gon with a vertex at angle 0 (so the
+    half-plane containment form has apothem r*cos(pi/k))."""
+    pts = [(cx + r * math.cos(2.0 * math.pi * i / segments),
+            cy + r * math.sin(2.0 * math.pi * i / segments))
+           for i in range(segments)]
+    return pts + [pts[0]]
+
+
+def buffer_points(points: DataFrame, radius: float,
+                  segments: int = 8,
+                  id_col: str = "point_id") -> DataFrame:
+    """Point buffer: each (id, lon, lat) row becomes a regular
+    ``segments``-gon of circumradius ``radius`` (planar degrees) —
+    exact polygonal form, map-side Arrow kernel, no shuffle.
+    Output: (poly_id, geometry binary WKB)."""
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(points.sparkSession)
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [(int(i), G.wkb_polygon(
+                [_kgon(float(x), float(y), radius, segments)]))
+                for i, x, y in zip(pdf[id_col], pdf["lon"], pdf["lat"])]
+            yield pd.DataFrame(rows, columns=["poly_id", "geometry"])
+
+    return points.select(id_col, "lon", "lat").mapInPandas(
+        kernel, "poly_id long, geometry binary")
+
+
+def _offset_ring(c: np.ndarray, r: float,
+                 segments: int) -> list[tuple[float, float]]:
+    """Outward offset of a closed CCW ring with round (arc-fan)
+    joins at convex vertices; concave joins emit the two offset
+    edge endpoints (the resulting local self-crossing is repaired by
+    make_valid downstream)."""
+    pts: list[tuple[float, float]] = []
+    n = len(c) - 1
+    for i in range(n):
+        p0, p1, p2 = c[(i - 1) % n], c[i], c[(i + 1) % n]
+        d0 = p1 - p0
+        d1 = p2 - p1
+        l0 = math.hypot(*d0) or 1.0
+        l1 = math.hypot(*d1) or 1.0
+        # outward normals of a CCW ring point right of travel
+        n0 = (d0[1] / l0, -d0[0] / l0)
+        n1 = (d1[1] / l1, -d1[0] / l1)
+        pts.append((p1[0] + r * n0[0], p1[1] + r * n0[1]))
+        cross = d0[0] * d1[1] - d0[1] * d1[0]
+        dot = d0[0] * d1[0] + d0[1] * d1[1]
+        a0 = math.atan2(n0[1], n0[0])
+        a1 = math.atan2(n1[1], n1[0])
+        # convex corner of a CCW ring (left turn) gets a round-join
+        # arc fan; a 180-degree reversal (the end cap of a line walk)
+        # gets the half-circle fan
+        if cross > 0 or (cross == 0 and dot < 0):
+            sweep = (a1 - a0) % (2.0 * math.pi) or math.pi
+            steps = max(1, int(round(segments * sweep
+                                     / (2.0 * math.pi))))
+            for s in range(1, steps):
+                a = a0 + sweep * s / steps
+                pts.append((p1[0] + r * math.cos(a),
+                            p1[1] + r * math.sin(a)))
+        pts.append((p1[0] + r * n1[0], p1[1] + r * n1[1]))
+    pts.append(pts[0])
+    return pts
+
+
+def _outer_shells(cands: list[list[tuple[float, float]]]
+                  ) -> list[list[tuple[float, float]]]:
+    """Drop shells nested inside a larger kept shell: the node-split
+    repair of a concave-join self-crossing reorients the backward-
+    swept mini-loop as a standalone shell INSIDE the outline — under
+    even-odd rendering it would punch a hole out of the buffer.
+    Containment test: ring centroid ray cast against bigger shells."""
+    from geohub_data_pipeline_spark.operators import geometry as G
+
+    def area(r):
+        c = np.asarray(r, np.float64)
+        return abs(float(np.sum(c[:-1, 0] * c[1:, 1]
+                                - c[1:, 0] * c[:-1, 1]))) / 2.0
+
+    ordered = sorted(cands, key=area, reverse=True)
+    kept: list[list[tuple[float, float]]] = []
+    for r in ordered:
+        c = np.asarray(r, np.float64)
+        rep = (float(c[:-1, 0].mean()), float(c[:-1, 1].mean()))
+        if any(G._point_in_ring(rep, k) for k in kept):
+            continue
+        kept.append(r)
+    return kept
+
+
+def buffer_features(features: DataFrame, radius: float,
+                    segments: int = 8) -> DataFrame:
+    """Planar buffer of engine feature rows (dataset, layer, fid,
+    geometry WKB): points -> k-gons, polygons -> round-join edge
+    offsets (exterior ring; holes shrink is out of scope and holes
+    are dropped from the buffered outline), linestrings -> both-side
+    offset walk.  Concave-join self-crossings are node-split by
+    ``make_valid_wkb``.  Map-side kernel, no shuffle."""
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(features.sparkSession)
+
+    def one(wkb: bytes) -> bytes | None:
+        p = G.parse_wkb(wkb)
+        if p is None:
+            return None
+        t = p["type"]
+        if t in (G.POINT, G.MULTIPOINT):
+            c = np.asarray(p["coords"], np.float64).reshape(-1, 2)
+            return G.wkb_multipolygon(
+                [[_kgon(float(x), float(y), radius, segments)]
+                 for x, y in c])
+        if t in (G.POLYGON, G.MULTIPOLYGON):
+            rings = _oriented_rings(wkb)
+            roles_shell = [r for r in rings if float(np.sum(
+                r[:-1, 0] * r[1:, 1] - r[1:, 0] * r[:-1, 1])) > 0]
+            out = []
+            for s in roles_shell:
+                ring = _offset_ring(s, radius, segments)
+                fixed, _ = G.make_valid_wkb(G.wkb_polygon([ring]))
+                q = G.parse_wkb(fixed)
+                if q and q["type"] in (G.POLYGON, G.MULTIPOLYGON):
+                    parts = q.get("parts") or []
+                    roles = q.get("roles") or [True] * len(parts)
+                    shells = [
+                        [tuple(pt) for pt in np.asarray(
+                            part, np.float64).reshape(-1, 2)]
+                        for part, is_s in zip(parts, roles) if is_s]
+                    out.extend([s2] for s2 in _outer_shells(shells))
+            return G.wkb_multipolygon(out) if out else None
+        if t in (G.LINESTRING, G.MULTILINESTRING):
+            out = []
+            for part in p["parts"]:
+                c = np.asarray(part, np.float64).reshape(-1, 2)
+                if len(c) < 2:
+                    continue
+                # closed walk: down one side, half-circle end cap,
+                # back the other side, start cap — a degenerate
+                # zero-area "ring" around the path whose offset is
+                # the buffer outline, then the same repair as
+                # polygons (no consecutive duplicate vertices)
+                loop = np.vstack([c, c[-2:0:-1], c[:1]])
+                ring = _offset_ring(loop, radius, segments)
+                fixed, _ = G.make_valid_wkb(G.wkb_polygon([ring]))
+                q = G.parse_wkb(fixed)
+                if q and q["type"] in (G.POLYGON, G.MULTIPOLYGON):
+                    parts2 = q.get("parts") or []
+                    roles2 = q.get("roles") or [True] * len(parts2)
+                    shells2 = [
+                        [tuple(pt) for pt in np.asarray(
+                            pp, np.float64).reshape(-1, 2)]
+                        for pp, is_s in zip(parts2, roles2) if is_s]
+                    out.extend([s2] for s2 in _outer_shells(shells2))
+            return G.wkb_multipolygon(out) if out else None
+        return None
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                buf = one(bytes(r.geometry))
+                if buf is not None:
+                    rows.append((r.dataset, r.layer, int(r.fid), buf))
+            yield pd.DataFrame(rows, columns=[
+                "dataset", "layer", "fid", "geometry"])
+
+    return features.select(
+        "dataset", "layer", "fid", "geometry").mapInPandas(
+        kernel, "dataset string, layer string, fid long, "
+                "geometry binary")
+
+
+# ---------------------------------------------------------------------------
+# audit: closed-form checkable geometry measures
+# ---------------------------------------------------------------------------
+
+def geometry_audit(df: DataFrame, key_col: str = "key",
+                   geom_col: str = "geometry",
+                   ndigits: int = 6) -> DataFrame:
+    """Planar shoelace area / perimeter / ring count per row — the
+    oracle-checkable summary of an overlay result (closed-form for
+    synthetic coverages).  Map-side kernel."""
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(df.sparkSession)
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for k, wkb in zip(pdf[key_col], pdf[geom_col]):
+                p = G.parse_wkb(bytes(wkb))
+                if p is None or p["type"] not in (G.POLYGON,
+                                                  G.MULTIPOLYGON):
+                    rows.append((int(k), 0, 0.0, 0.0))
+                    continue
+                parts = p.get("parts") or []
+                roles = p.get("roles") or [True] * len(parts)
+                area = perim = 0.0
+                for part, is_shell in zip(parts, roles):
+                    c = np.asarray(part, np.float64).reshape(-1, 2)
+                    if len(c) < 4:
+                        continue
+                    a2 = float(np.sum(c[:-1, 0] * c[1:, 1]
+                                      - c[1:, 0] * c[:-1, 1]))
+                    area += (1.0 if is_shell else -1.0) * abs(a2) / 2.0
+                    perim += float(
+                        np.hypot(*(c[1:] - c[:-1]).T).sum())
+                rows.append((int(k), len(parts),
+                             round(area, ndigits),
+                             round(perim, ndigits)))
+            yield pd.DataFrame(rows, columns=[
+                key_col, "n_rings", "area", "perimeter"])
+
+    return df.select(key_col, geom_col).mapInPandas(
+        kernel, f"{key_col} long, n_rings int, area double, "
+                "perimeter double")

@@ -1285,3 +1285,76 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geohub_data_pipeline_spark.operators.dedup import semdedup
 
     return semdedup(_vecs(spark, sf_dir), centroid_every=40, tau=0.3)
+
+
+# ---------------------------------------------------------------------------
+# Round-6: SemDeDup over the PRODUCTION k-means|| codebook
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_KMEANS_SQL = f"""
+WITH {_EMB_CTE},
+d AS (
+  SELECT DISTINCT x.vec_id
+  FROM n x JOIN n y ON y.vec_id <> x.vec_id
+  WHERE {_dot('x.v', 'y.v')} / (x.nrm * y.nrm) >= 0.3
+)
+SELECT n.vec_id,
+       (n.vec_id IN (SELECT vec_id FROM d)) AS has_global_dup,
+       TRUE AS removed_ok,
+       TRUE AS clusters_ok
+FROM n
+ORDER BY n.vec_id
+"""
+
+
+@query("dedup_semdedup_kmeans", "llm",
+       "LLM pipeline: SemDeDup over the bounded k-means|| codebook "
+       "(the production path: O(k) broadcast regardless of corpus "
+       "size); invariant oracle: removed => a global cosine-dup "
+       "exists, cluster count <= k", _SEMDEDUP_KMEANS_SQL)
+def dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the production codebook: k-means|| seeds + Lloyd
+    (``semdedup_kmeans``), k=8 clusters — the broadcast is bounded by
+    k, never by corpus size (the every-40th rule of
+    ``dedup_semdedup`` grows O(n/40): gate-only).
+
+    Cluster ids/centroids are engine-specific (no SQL k-means), so
+    the oracle is the invariant-audit form (_recall_audit's model):
+    per vector, (a) ``has_global_dup`` — exact, both engines
+    brute-force the cosine>=tau pair existence; (b) ``removed_ok`` —
+    a removed vector MUST have a global duplicate (its within-cluster
+    duplicate is one); (c) ``clusters_ok`` — at most k distinct
+    clusters.  A broken codebook or assignment flips (b)/(c); the
+    pair scan in (a) pins the data path.
+
+    Scale: the AUDIT's pair scan is O(n^2) by construction and exists
+    only for this gate query; ``semdedup_kmeans`` itself is the 100 TB
+    shape (broadcast-k assignment + cluster-keyed self-join).
+    """
+    from geohub_data_pipeline_spark.functions import vectors as V
+    from geohub_data_pipeline_spark.operators.dedup import semdedup_kmeans
+    from geohub_data_pipeline_spark.operators.similarity import with_norm
+
+    vecs = _vecs(spark, sf_dir)
+    res = semdedup_kmeans(vecs, k=8, iters=2, tau=0.3)
+
+    n = with_norm(vecs.select("vec_id", "vec"))
+    x = n.select(F.col("vec_id").alias("ida"), F.col("vec").alias("va"),
+                 F.col("__norm").alias("na"))
+    y = n.select(F.col("vec_id").alias("idb"), F.col("vec").alias("vb"),
+                 F.col("__norm").alias("nb"))
+    dups = (x.join(y, F.col("idb") != F.col("ida"))
+            .filter(V.cosine(F.col("va"), F.col("vb"),
+                             F.col("na"), F.col("nb")) >= 0.3)
+            .select(F.col("ida").alias("vec_id")).distinct()
+            .withColumn("__dup", F.lit(True)))
+    nclus = res.agg(F.countDistinct("cluster").alias("__nc"))
+    return (res.join(dups, "vec_id", "left")
+            .crossJoin(F.broadcast(nclus))
+            .select("vec_id",
+                    F.coalesce("__dup", F.lit(False))
+                    .alias("has_global_dup"),
+                    (~F.col("removed")
+                     | F.coalesce("__dup", F.lit(False)))
+                    .alias("removed_ok"),
+                    (F.col("__nc") <= 8).alias("clusters_ok")))

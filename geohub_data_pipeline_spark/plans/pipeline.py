@@ -3238,3 +3238,156 @@ def vector_geodesic_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (SP.geodesic_area(feats)
             .select(F.col("fid").alias("doc_id"),
                     F.round("area_m2", 2).alias("area_m2")))
+
+
+# ---------------------------------------------------------------------------
+# Round-6: polygon overlay — dissolve + buffer under the gate
+# ---------------------------------------------------------------------------
+
+_DISSOLVE_SQL = """
+WITH k AS (SELECT CAST(t.i AS BIGINT) AS key FROM range(12) t(i))
+SELECT key,
+       CAST(1 + CASE WHEN key % 2 = 0 THEN 1 ELSE 0 END AS INT)
+         AS n_rings,
+       round((100 - CASE WHEN key % 2 = 0 THEN 1 ELSE 0 END
+                  - CASE WHEN key % 3 = 0 THEN 1 ELSE 0 END) * 0.01, 6)
+         AS area,
+       round(4.0 + CASE WHEN key % 2 = 0 THEN 0.4 ELSE 0 END, 6)
+         AS perimeter
+FROM k ORDER BY key
+"""
+
+
+@query("geo_dissolve", "pipeline",
+       "geo analytics: distributed dissolve (merge-by-key, interior "
+       "boundaries removed) via edge-cancellation — shared borders "
+       "net to zero in a partial-aggregated groupBy, surviving "
+       "boundary edges stitch to rings per key; holes and concave "
+       "notches exercised", _DISSOLVE_SQL)
+def geo_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A 40x30 grid of 0.1-degree cells partitioned into twelve
+    10x10-cell blocks (key = block).  Even keys drop one INTERIOR
+    cell (the dissolve must emit a hole ring); keys divisible by 3
+    drop their CORNER cell (a concave notch).  The REAL operator
+    (operators/overlay.dissolve) cancels shared edges and stitches
+    the outline; the audited area / perimeter / ring count have the
+    closed forms the oracle states: area = live cells x 0.01,
+    perimeter = 4.0 (+0.4 hole ring), rings = 1 (+1 hole).
+
+    Scale: the same plan a continental admin dissolve runs — edge
+    explosion map-side, ONE partial-aggregated edge shuffle (interior
+    borders cancel map-side), then a stitch shuffle carrying ONLY
+    surviving boundary edges.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.operators import overlay as OV
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    cells = spark.range(1200).select(
+        (F.col("id") % 40).alias("gx"), (F.col("id") / 40)
+        .cast("long").alias("gy"))
+    cells = cells.select(
+        "gx", "gy",
+        ((F.col("gx") / 10).cast("long")
+         + 4 * (F.col("gy") / 10).cast("long")).alias("key"),
+        (F.col("gx") % 10).alias("lx"), (F.col("gy") % 10).alias("ly"),
+    ).filter(
+        ~((F.col("key") % 2 == 0) & (F.col("lx") == 4)
+          & (F.col("ly") == 5))
+        & ~((F.col("key") % 3 == 0) & (F.col("lx") == 0)
+            & (F.col("ly") == 0)))
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for k, gx, gy in zip(pdf["key"], pdf["gx"], pdf["gy"]):
+                # corners from the GLOBAL grid index so adjacent
+                # cells share bit-identical doubles — the coverage
+                # contract edge-cancellation requires (x0 + 0.1
+                # differs from the neighbor's -20.0 + (gx+1)*0.1 in
+                # the last ulp and would cancel nothing)
+                def cx(i: int) -> float:
+                    return -20.0 + i * 0.1
+
+                def cy(j: int) -> float:
+                    return -15.0 + j * 0.1
+
+                gx, gy = int(gx), int(gy)
+                ring = [(cx(gx), cy(gy)), (cx(gx + 1), cy(gy)),
+                        (cx(gx + 1), cy(gy + 1)),
+                        (cx(gx), cy(gy + 1)), (cx(gx), cy(gy))]
+                rows.append((int(k), G.wkb_polygon([ring])))
+            yield pd.DataFrame(rows, columns=["key", "geometry"])
+
+    polys = cells.mapInPandas(build, "key long, geometry binary")
+    return (OV.geometry_audit(OV.dissolve(polys))
+            .orderBy("key"))
+
+
+_BUFFERED_JOIN_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         -19.95 + CAST((doc_id * 13) % 400 AS DOUBLE) / 10.0 AS lon,
+         -19.95 + CAST((doc_id * 7) % 400 AS DOUBLE) / 10.0 AS lat
+  FROM documents
+),
+z AS (
+  SELECT CAST(t.i AS BIGINT) AS poly_id,
+         -15.0 + t.i * 6.0 AS cx,
+         -10.0 + (t.i % 3) * 8.0 AS cy
+  FROM range(6) t(i)
+)
+SELECT p.doc_id, z.poly_id
+FROM p, z
+WHERE greatest(
+        abs(p.lon - z.cx) * cos(pi()/8) + abs(p.lat - z.cy) * sin(pi()/8),
+        abs(p.lon - z.cx) * sin(pi()/8) + abs(p.lat - z.cy) * cos(pi()/8))
+      < 2.47 * cos(pi()/8)
+ORDER BY p.doc_id, z.poly_id
+"""
+
+
+@query("spatial_join_buffered", "pipeline",
+       "geo analytics: buffer-then-join — point sites buffered to "
+       "regular octagons (operators/overlay.buffer_points), then the "
+       "grid-partitioned PIP join; oracle states octagon containment "
+       "as its two-half-plane closed form", _BUFFERED_JOIN_SQL)
+def spatial_join_buffered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six site points buffered to octagons of circumradius 2.47
+    (vertex at angle 0), joined against the documents point lattice
+    with the REAL machinery — k-gon construction + tile-key join +
+    ray cast — while the oracle uses the octagon's half-plane form
+    max(|dx|c+|dy|s, |dx|s+|dy|c) < R*cos(pi/8).  Lattice points sit
+    >= 1e-3 off every octagon edge, so both formulations agree
+    exactly.
+
+    Scale: buffering is map-side; the join is the one-tile-hash-
+    shuffle spatial join (spatial_join_pip's plan) — buffer-then-join
+    never materializes a cartesian.
+    """
+    from geohub_data_pipeline_spark.operators import overlay as OV
+    from geohub_data_pipeline_spark.operators import spatial as SP
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    t = load_tables(spark, sf_dir)
+    points = t.documents.select(
+        F.col("doc_id").alias("point_id"),
+        (-19.95 + ((F.col("doc_id") * 13) % 400).cast("double") / 10.0)
+        .alias("lon"),
+        (-19.95 + ((F.col("doc_id") * 7) % 400).cast("double") / 10.0)
+        .alias("lat"),
+    )
+    sites = spark.range(6).select(
+        F.col("id").alias("point_id"),
+        (-15.0 + F.col("id") * 6.0).alias("lon"),
+        (-10.0 + (F.col("id") % 3) * 8.0).alias("lat"),
+    )
+    octagons = OV.buffer_points(sites, 2.47, segments=8)
+    out = SP.points_in_polygons(points, octagons, zoom=6)
+    return out.select(F.col("point_id").alias("doc_id"), "poly_id")

@@ -15,9 +15,10 @@ ingest/processing.py:100-213).  Pragmatic subset:
   ``urn:ogc:def:crs:EPSG::4326``,
   ``http://www.opengis.net/def/crs/EPSG/0/4326``;
 * the GML axis-order trap: the urn/http forms declare the official
-  axis order, which is LAT,LON for geographic CRS — those swap to
-  the engine's lon/lat; the legacy ``EPSG:nnnn`` spelling stays
-  x,y as GDAL does;
+  axis order — LAT,LON for geographic CRS and NORTHING,EASTING for
+  the INSPIRE/national projected grids (ETRS89-LAEA, SWEREF99,
+  Poland CS92/CS2000, DHDN-GK) — those swap to the engine's x,y;
+  the legacy ``EPSG:nnnn`` spelling stays x,y as GDAL does;
 * scalar child elements of the feature become properties.
 
 Scale: one document = one task in an Arrow-batched kernel — XML
@@ -42,6 +43,19 @@ from geohub_data_pipeline_spark.sources.shapefile import FEATURE_SCHEMA
 # geographic CRS whose official (urn) axis order is lat,lon
 _LATLON_FIRST = {4326, 4258, 4269, 4283, 4267, 4230, 4674}
 
+# PROJECTED CRS whose official axis order is NORTHING,EASTING — the
+# INSPIRE/national grids a urn/http srsName serves north-first (EPSG
+# registry axis order): ETRS89-LAEA Europe (3035), Poland CS92/CS2000
+# (2180, 2176-2179), SWEREF99 TM + zones (3006-3018), DHDN
+# Gauss-Krueger (31466-31469), ETRS89-GK zones (3044-3045).  A
+# urn-form projected code outside this set parses x,y as before.
+_NORTH_FIRST_PROJECTED = (
+    {3035, 2180, 3044, 3045}
+    | set(range(2176, 2180))        # Poland CS2000 zones 5-8
+    | set(range(3006, 3019))        # SWEREF99 TM + 12 local zones
+    | set(range(31466, 31470))      # DHDN / 3-deg Gauss-Krueger 2-5
+)
+
 _GEOM_TAGS = {"Point", "LineString", "Polygon", "MultiPoint",
               "MultiCurve", "MultiSurface", "MultiGeometry",
               "MultiLineString", "MultiPolygon", "Curve", "Surface"}
@@ -62,7 +76,8 @@ def parse_srs(srs: str | None) -> tuple[int, bool]:
         return 4326, False
     code = int(m.group(1))
     official_order = srs.startswith(("urn:", "http://", "https://"))
-    return code, official_order and code in _LATLON_FIRST
+    return code, official_order and (
+        code in _LATLON_FIRST or code in _NORTH_FIRST_PROJECTED)
 
 
 def _floats(text: str) -> list[float]:

@@ -336,8 +336,21 @@ class IngestService:
                 add(dataset, "error", None, None,
                     f"download failed: {m.blob_url}")
                 continue
-            # raw -> datasets rewrite names the output location
-            dst_rel = dataset.replace("/raw/", "/datasets/")
+            # raw -> datasets rewrite names the output location.
+            # The blob_url is queue-controlled input: normalize and
+            # reject any path that escapes the output root ('..'
+            # segments survive _chop_url otherwise — a message like
+            # https://host/c/../../x would write outside output_dir).
+            dst_rel = os.path.normpath(
+                dataset.replace("/raw/", "/datasets/")).lstrip("/")
+            out_root = os.path.realpath(self._out_dir())
+            if (dst_rel.startswith("..") or os.path.commonpath(
+                    [out_root, os.path.realpath(
+                        os.path.join(out_root, dst_rel))]) != out_root):
+                add(dataset, "error", None, None,
+                    f"rejected: output path escapes dataset root: "
+                    f"{m.blob_url}")
+                continue
             if m.route == "passthrough":
                 # K9 server-side copy, for real
                 dst = os.path.join(self._out_dir(), dst_rel)

@@ -76,3 +76,39 @@ def test_geoparquet_reader_roundtrip(spark, tmp_path):
     all_back = features_from_geoparquet(spark, str(tmp_path))
     assert all_back.count() == sum(x.n_features for x in manifest)
     assert all_back.select("layer").distinct().count() == len(manifest)
+
+
+def test_geoparquet_rejects_non_wkb_and_unresolvable_crs(spark, tmp_path):
+    """GeoParquet 1.1 native/GeoArrow encodings and PROJJSON crs
+    without an EPSG identity must REJECT (dead-letter quarantine),
+    not silently read as WKB lon/lat."""
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+
+    from geohub_data_pipeline_spark.operators.geoparquet import (
+        features_from_geoparquet,
+    )
+
+    def write_with_geo(path, geo):
+        tbl = pa.Table.from_pandas(
+            pd.DataFrame({"geometry": [b"\x00"], "name": ["x"]}))
+        tbl = tbl.replace_schema_metadata({b"geo": json.dumps(geo).encode()})
+        pq.write_table(tbl, path)
+
+    native = tmp_path / "native.parquet"
+    write_with_geo(str(native), {
+        "version": "1.1.0", "primary_column": "geometry",
+        "columns": {"geometry": {"encoding": "point",
+                                 "geometry_types": ["Point"]}}})
+    with pytest.raises(ValueError, match="encoding"):
+        features_from_geoparquet(spark, str(native))
+
+    nocrs = tmp_path / "nocrs.parquet"
+    write_with_geo(str(nocrs), {
+        "version": "1.0.0", "primary_column": "geometry",
+        "columns": {"geometry": {"encoding": "WKB",
+                                 "crs": {"type": "ProjectedCRS",
+                                         "name": "mystery"}}}})
+    with pytest.raises(ValueError, match="EPSG"):
+        features_from_geoparquet(spark, str(nocrs))

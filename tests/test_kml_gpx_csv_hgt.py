@@ -357,6 +357,13 @@ def test_gml_wfs_axis_order_and_srids(spark, tmp_path):
     assert GML.parse_srs(
         "http://www.opengis.net/def/crs/EPSG/0/25832") == (25832, False)
     assert GML.parse_srs(None) == (4326, False)
+    # urn/http-form PROJECTED northing-first grids (INSPIRE trap):
+    # official axis order is N,E -> swap; legacy spelling stays x,y
+    assert GML.parse_srs("urn:ogc:def:crs:EPSG::3035") == (3035, True)
+    assert GML.parse_srs(
+        "http://www.opengis.net/def/crs/EPSG/0/2180") == (2180, True)
+    assert GML.parse_srs("EPSG:3035") == (3035, False)
+    assert GML.parse_srs("urn:ogc:def:crs:EPSG::3006") == (3006, True)
 
     # end-to-end: normalize reprojects the 25832 road to 4326
     src = tmp_path / "wfs.gml"

@@ -330,22 +330,52 @@ def test_cog_sidecars_broadcast_no_extra_exchange(spark):
         assert "band" in keys or "pixels" not in keys
 
 
-def test_substring_dedup_one_gram_shuffle(spark, sf_dir):
-    """Exact-substring dedup: one scan, one gram-hash exchange for
-    duplicate marking (a window count, not a groupBy+semi-join that
-    would scan the gram frame twice), one doc exchange for the span
-    windows; no cartesian anywhere."""
+def test_substring_dedup_no_gram_window(spark, sf_dir):
+    """Exact-substring dedup, the de-skewed two-phase marking: hot
+    grams collapse MAP-SIDE in a partial-aggregated groupBy(gram)
+    (never a count() window partitioned by gram, which must buffer
+    every occurrence of a corpus-hot boilerplate gram in one
+    partition), then a semi-join streams the marking back; the only
+    Window nodes are the per-document span merge."""
     plan = plan_of(SPECS["dedup_substring_spans"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert plan.count("Exchange (") == 2   # gram hash + doc windows
+    # no window partitioned on the gram column — the skew cell
+    assert not re.search(r"windowspecdefinition\(gram", plan)
+    assert "LeftSemi" in plan
+    # the dup-gram set is the aggregate output: partial agg upstream
+    # of its exchange (map-side combine collapses hot grams per task)
     assert "hashpartitioning(gram" in plan
 
 
 def test_semdedup_codebook_broadcast(spark, sf_dir):
-    """SemDeDup: the codebook rides a BROADCAST nested loop (bounded
-    small side by construction); the duplicate scan is a keyed join
-    on the cluster column, never a cartesian."""
+    """SemDeDup: the assignment (corpus x broadcast codebook) is
+    materialized once behind a localCheckpoint (its blocks are
+    ContextCleaner-reclaimed when callers drop the result — no cache
+    leak in the long-lived service session), so the visible plan is
+    the downstream duplicate scan: a CLUSTER-KEYED self-join over the
+    checkpointed assignment, never a cartesian."""
     plan = plan_of(SPECS["dedup_semdedup"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" in plan     # corpus x codebook
+    assert "BroadcastNestedLoopJoin" not in plan  # nothing unbounded left
+    assert "Scan ExistingRDD" in plan            # checkpointed assignment
     assert "cl_a" in plan or "cluster" in plan   # keyed self-join
+
+
+def test_semdedup_kmeans_codebook_is_k_bounded(spark, sf_dir):
+    """The production SemDeDup path: the k-means|| codebook has
+    EXACTLY k rows regardless of corpus size (vs the every-40th rule
+    whose broadcast grows O(n/40)), so the assignment broadcast is
+    k-bounded — the 100 TB contract of operators/dedup.semdedup_kmeans."""
+    from geohub_data_pipeline_spark.operators.similarity import lloyd_kmeans
+    from geohub_data_pipeline_spark.plans.llm import _vecs
+
+    vecs = _vecs(spark, sf_dir)
+    _, cents = lloyd_kmeans(vecs.select("vec_id", "vec"), k=8,
+                            iters=1, init="parallel")
+    assert cents.count() == 8              # == k, not O(corpus)
+    # and doubling the corpus leaves the codebook size unchanged
+    big = vecs.unionByName(
+        vecs.withColumn("vec_id", F.col("vec_id") + 100000))
+    _, cents2 = lloyd_kmeans(big.select("vec_id", "vec"), k=8,
+                             iters=1, init="parallel")
+    assert cents2.count() == 8
