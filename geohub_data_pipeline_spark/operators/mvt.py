@@ -626,3 +626,77 @@ def _parts_wkb(gtype: int, parts, ll):
             return G.wkb_polygon(polys[0])
         return G.wkb_multipolygon(polys)
     return None
+
+
+def merge_tile_fragments(feats) -> "DataFrame":
+    """Collapse the per-tile duplicate rows ``features_from_tiles``
+    emits into ONE feature row each — the cross-tile re-merge that
+    makes a PMTiles re-ingest round-trip faithful.
+
+    Why this is a dedup, not a geometric stitch: the engine's encoder
+    (``encode_wkb_geometry``) does NOT clip at tile borders — each
+    covering tile carries the FULL geometry in its local coordinate
+    frame (the MVT buffer/overflow convention), and because every
+    tile's pixel grid is the SAME global grid shifted by an integer
+    (``rint((wx - tx) * EXTENT)`` with integer ``tx``), the decoded
+    lon/lat vertices are bit-identical across copies.  Identity is
+    therefore exact: (dataset, layer, geometry bytes, properties
+    minus the ``_z/_x/_y`` provenance tags).  Third-party archives
+    whose encoder DID clip keep one row per clipped part (their
+    fragments differ byte-wise) — reported, not guessed at.
+
+    Output: FEATURE_SCHEMA columns plus ``n_tiles int`` (how many
+    tiles carried the feature), one row per distinct feature;
+    ``fid`` is the smallest fid among copies (real ids are
+    tile-invariant so this is the id itself; synthesized tile-scoped
+    ids collapse to a deterministic representative); ``properties``
+    keeps the original tags minus provenance.
+
+    Scale: one hash shuffle keyed by the feature identity — the same
+    shape as exact dedup; no geometry math at all.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from geohub_data_pipeline_spark.session import ship_package
+    from geohub_data_pipeline_spark.sources.shapefile import (
+        FEATURE_SCHEMA,
+    )
+    ship_package(feats.sparkSession)
+
+    def strip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            clean = []
+            for props in pdf["properties"]:
+                try:
+                    d = json.loads(props) if props else {}
+                except ValueError:
+                    d = {}
+                d.pop("_z", None)
+                d.pop("_x", None)
+                d.pop("_y", None)
+                clean.append(json.dumps(d, sort_keys=True,
+                                        default=str))
+            out = pdf.copy()
+            out["properties"] = clean
+            yield out
+
+    stripped = feats.mapInPandas(strip, FEATURE_SCHEMA)
+    return (
+        stripped.groupBy(
+            "dataset", "layer",
+            F.xxhash64("geometry", "properties").alias("__ident"))
+        .agg(F.min("fid").alias("fid"),
+             F.first("geometry").alias("geometry"),
+             F.first("srid").alias("srid"),
+             F.first("crs_wkt").alias("crs_wkt"),
+             F.first("properties").alias("__props"),
+             F.count(F.lit(1)).alias("__n"))
+        .select(
+            "dataset", "layer", "fid", "geometry", "srid", "crs_wkt",
+            F.col("__props").alias("properties"),
+            F.col("__n").cast("int").alias("n_tiles"))
+    )

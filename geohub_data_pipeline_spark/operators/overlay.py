@@ -52,8 +52,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["dissolve", "dissolve_edges", "buffer_points",
-           "buffer_features", "geometry_audit"]
+__all__ = ["dissolve", "dissolve_edges", "dissolve_features",
+           "buffer_points", "buffer_features", "geometry_audit"]
 
 
 # ---------------------------------------------------------------------------
@@ -111,8 +111,9 @@ def dissolve_edges(polys: DataFrame, key_col: str = "key",
                 "by": np.concatenate(by) if by else [],
             })
 
+    ktype = polys.schema[key_col].dataType.simpleString()
     e = polys.select(key_col, geom_col).mapInPandas(
-        edges, f"{key_col} long, ax double, ay double, "
+        edges, f"{key_col} {ktype}, ax double, ay double, "
                "bx double, by double")
 
     # undirected canonical key: lexicographic (x, y) smaller endpoint
@@ -237,7 +238,9 @@ def dissolve(polys: DataFrame, key_col: str = "key",
     """Merge all polygons of a key into one MultiPolygon with
     interior boundaries removed.
 
-    Input: (key long, geometry binary WKB Polygon/MultiPolygon) in a
+    Input: (key, geometry binary WKB Polygon/MultiPolygon) — the key
+    column keeps its input type (long id, string admin code, ...) —
+    in a
     coverage topology (shared borders vertex-identical).  Output one
     row per key: (key, geometry MULTIPOLYGON WKB, n_rings int,
     n_open int) — ``n_open`` > 0 flags boundary multiplicity the
@@ -269,9 +272,30 @@ def dissolve(polys: DataFrame, key_col: str = "key",
             "n_open": [n_open],
         })
 
+    ktype = polys.schema[key_col].dataType.simpleString()
     return net.groupBy(key_col).applyInPandas(
-        stitch, f"{key_col} long, geometry binary, n_rings int, "
+        stitch, f"{key_col} {ktype}, geometry binary, n_rings int, "
                 "n_open int")
+
+
+def dissolve_features(features: DataFrame,
+                      by: str = "layer") -> DataFrame:
+    """Dissolve engine FEATURE rows (dataset, layer, fid, geometry,
+    ...) grouped by the ``by`` column within each dataset — the
+    admin-area merge a user runs right after normalize.  Output one
+    row per (dataset, by-value): (dataset, layer, geometry
+    MULTIPOLYGON WKB, n_rings, n_open)."""
+    from pyspark.sql import functions as F
+
+    keyed = features.select(
+        F.concat_ws("\x1f", "dataset", by).alias("key"),
+        "dataset", F.col(by).alias("layer"), "geometry")
+    out = dissolve(keyed.select("key", "geometry"), "key")
+    names = keyed.select("key", "dataset", "layer").dropDuplicates(
+        ["key"])
+    return (out.join(names, "key")
+            .select("dataset", "layer", "geometry", "n_rings",
+                    "n_open"))
 
 
 # ---------------------------------------------------------------------------
@@ -476,7 +500,7 @@ def geometry_audit(df: DataFrame, key_col: str = "key",
                 p = G.parse_wkb(bytes(wkb))
                 if p is None or p["type"] not in (G.POLYGON,
                                                   G.MULTIPOLYGON):
-                    rows.append((int(k), 0, 0.0, 0.0))
+                    rows.append((k, 0, 0.0, 0.0))
                     continue
                 parts = p.get("parts") or []
                 roles = p.get("roles") or [True] * len(parts)
@@ -490,12 +514,13 @@ def geometry_audit(df: DataFrame, key_col: str = "key",
                     area += (1.0 if is_shell else -1.0) * abs(a2) / 2.0
                     perim += float(
                         np.hypot(*(c[1:] - c[:-1]).T).sum())
-                rows.append((int(k), len(parts),
+                rows.append((k, len(parts),
                              round(area, ndigits),
                              round(perim, ndigits)))
             yield pd.DataFrame(rows, columns=[
                 key_col, "n_rings", "area", "perimeter"])
 
+    ktype = df.schema[key_col].dataType.simpleString()
     return df.select(key_col, geom_col).mapInPandas(
-        kernel, f"{key_col} long, n_rings int, area double, "
+        kernel, f"{key_col} {ktype}, n_rings int, area double, "
                 "perimeter double")

@@ -256,3 +256,30 @@ def validate_cog(payload: bytes) -> dict:
             f"tile data at {min(data_offsets)} starts before the IFD "
             f"structures end at {headers_end}")
     return {"valid": not errors, "errors": errors, "warnings": warnings}
+
+
+def validate_cog_path(path: str, prefix_bytes: int = 4 << 20) -> dict:
+    """``validate_cog`` from a bounded HEADER PREFIX of the file —
+    O(MB) memory however large the artifact (a 50 GB BIGTIFF must
+    not be slurped onto the driver to check its layout).
+
+    Sound because every rule above reads only IFD structures and tag
+    value arrays, which a cloud-optimized file keeps at the front by
+    definition: a file whose structures run past the prefix has
+    failed the 'headers lead the file' contract, and is reported as
+    exactly that instead of crashing the driver.
+    """
+    import os
+
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        payload = f.read(prefix_bytes)
+    out = validate_cog(payload)
+    if size > len(payload) and not out["valid"] and any(
+            "unreadable TIFF" in e for e in out["errors"]):
+        # the walk ran off the prefix: the layout itself is the error
+        out["errors"] = [
+            f"IFD/tag structures extend beyond the first "
+            f"{len(payload)} bytes of a {size}-byte file — headers "
+            "do not lead (not cloud-optimized)"]
+    return out

@@ -3391,3 +3391,213 @@ def spatial_join_buffered(spark: SparkSession, sf_dir: str) -> DataFrame:
     octagons = OV.buffer_points(sites, 2.47, segments=8)
     out = SP.points_in_polygons(points, octagons, zoom=6)
     return out.select(F.col("point_id").alias("doc_id"), "poly_id")
+
+
+# ---------------------------------------------------------------------------
+# Round-6: PMTiles re-ingest fragment merge under the gate
+# ---------------------------------------------------------------------------
+
+_MVT_MERGE_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         1 + (doc_id * 577) % 24000 AS px0,
+         1 + (doc_id * 577) % 24000 + 2001 + (doc_id % 7) * 800 AS px1
+  FROM documents
+)
+SELECT doc_id,
+       CAST((px1 // 4096) - (px0 // 4096) + 1 AS BIGINT) AS n_copies,
+       CAST(1 AS BIGINT) AS n_merged,
+       CAST(px0 AS DOUBLE) / 32768 * 360 - 180 AS lon_min,
+       CAST(px1 AS DOUBLE) / 32768 * 360 - 180 AS lon_max,
+       TRUE AS lat_ok
+FROM d ORDER BY doc_id
+"""
+
+
+@query("mvt_fragment_merge", "pipeline",
+       "PMTiles re-ingest round trip: features -> z3 MVT tiles -> "
+       "decode -> merge_tile_fragments; per-tile full-geometry "
+       "copies collapse to ONE row per feature with bit-exact "
+       "coordinates (aligned global pixel grid)", _MVT_MERGE_SQL)
+def mvt_fragment_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each document becomes a rectangle whose corners sit EXACTLY on
+    the zoom-3 global pixel grid (x spans 1-2 tiles plus a fixed
+    one-y-tile band), so encode quantization is exact and the decoded
+    lon values are bit-identical to the closed form the oracle
+    computes (px/2^15 is a power-of-two division; the subsequent
+    *360-180 rounds identically in both engines — no round() needed).
+    The pipeline under test is the REAL one: normalize -> build_tiles
+    (MVT) -> features_from_tiles -> merge_tile_fragments.  n_copies
+    is the covering-tile count (the encoder ships the full geometry
+    to every covering tile), n_merged must be 1, and lat_ok pins the
+    y-axis round trip bit-exactly against the same inverse-Mercator
+    expression the decoder uses.
+    """
+    from collections.abc import Iterator
+
+    import math as _m
+
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.operators import mvt as MVT
+    from geohub_data_pipeline_spark.operators import tiling as TLG
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id")
+
+    def lon_of(px: int) -> float:
+        return px / 32768 * 360 - 180
+
+    def lat_of(wypx: int) -> float:
+        wy = wypx / 4096
+        return _m.degrees(_m.atan(_m.sinh(_m.pi * (1 - 2 * wy / 8))))
+
+    def bounds(did: int):
+        px0 = 1 + (did * 577) % 24000
+        px1 = px0 + 2001 + (did % 7) * 800
+        wy0 = 16501 + (did * 91) % 3000
+        wy1 = wy0 + 501
+        return px0, px1, wy0, wy1
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                px0, px1, wy0, wy1 = bounds(did)
+                x0, x1 = lon_of(px0), lon_of(px1)
+                yN, yS = lat_of(wy0), lat_of(wy1)
+                ring = [(x0, yS), (x1, yS), (x1, yN), (x0, yN),
+                        (x0, yS)]
+                # fid = doc_id + 1: MVT Feature.id is optional and 0
+                # reads as absent (features_from_tiles synthesizes a
+                # per-tile id for it, which would defeat the merge)
+                rows.append(("docs", "zones", did + 1,
+                             G.wkb_polygon([ring]), 4326))
+            yield pd.DataFrame(rows, columns=[
+                "dataset", "layer", "fid", "geometry", "srid"])
+
+    feats = base.mapInPandas(
+        build, "dataset string, layer string, fid long, "
+               "geometry binary, srid int")
+    tiles = (TLG.build_tiles(G.normalize_features(feats), maxzoom=3,
+                             encode="mvt")
+             .filter(F.col("z") == 3)
+             .withColumn("dataset", F.lit("docs")))
+    frags = MVT.features_from_tiles(tiles)
+    n_copies = frags.groupBy("fid").agg(
+        F.count(F.lit(1)).alias("n_copies"))
+    merged = MVT.merge_tile_fragments(frags)
+    n_merged = merged.groupBy("fid").agg(
+        F.count(F.lit(1)).alias("n_merged"))
+
+    def audit(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for fid, wkb in zip(pdf["fid"], pdf["geometry"]):
+                did = int(fid) - 1
+                p = G.parse_wkb(bytes(wkb))
+                xs = [c for part in p["parts"] for c in part[0::2]]
+                ys = [c for part in p["parts"] for c in part[1::2]]
+                px0, px1, wy0, wy1 = bounds(did)
+                lat_ok = (min(ys) == lat_of(wy1)
+                          and max(ys) == lat_of(wy0))
+                rows.append((did, min(xs), max(xs), bool(lat_ok)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "lon_min", "lon_max", "lat_ok"])
+
+    measured = merged.select("fid", "geometry").mapInPandas(
+        audit, "doc_id long, lon_min double, lon_max double, "
+               "lat_ok boolean")
+    return (measured
+            .join(n_copies.select((F.col("fid") - 1).alias("doc_id"),
+                                  "n_copies"), "doc_id")
+            .join(n_merged.select((F.col("fid") - 1).alias("doc_id"),
+                                  "n_merged"), "doc_id")
+            .select("doc_id", F.col("n_copies").cast("long"),
+                    F.col("n_merged").cast("long"),
+                    "lon_min", "lon_max", "lat_ok"))
+
+
+# ---------------------------------------------------------------------------
+# Round-6: Erdas Imagine HFA (.img) source under the gate
+# ---------------------------------------------------------------------------
+
+_HFA_SQL = """
+SELECT doc_id,
+       CAST(1 AS INT) AS n_layers,
+       CAST(9 AS INT) AS width, CAST(5 AS INT) AS height,
+       CAST(45 * (doc_id % 10) + 810 AS BIGINT) AS px_sum,
+       10.05 - 0.1 / 2 AS origin_lon,
+       49.95 + 0.1 / 2 AS origin_lat,
+       CAST(4326 AS INT) AS srid
+FROM documents ORDER BY doc_id
+"""
+
+
+@query("hfa_source", "pipeline",
+       "source: Erdas Imagine HFA (.img) — MIF-dictionary-driven "
+       "parse (entry tree, Eimg_Layer, Edms_State block table, ESRI "
+       "GRID RLE, Eprj_MapInfo center->corner shift); bytes built "
+       "in-job by the spec-conformant fixture writer", _HFA_SQL)
+def hfa_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: build a one-band 9x5 HFA file (pixel v(r,c) =
+    doc_id%10 + 7r + c; 3x5 blocks so the block-row-major assembly is
+    exercised; EVEN doc_ids write ESRI-GRID-RLE u8 blocks, odd write
+    raw f32), parse it with the REAL reader (sources/hfa.py), and
+    emit the probe numbers whose closed forms the oracle states —
+    px_sum = 45*(doc%10) + 7*10*9 + 36*5 = 45*(doc%10) + 810, origin
+    at the pixel-center-to-corner shift.
+
+    Scale: one Arrow kernel, no shuffle (the file-backed path fans
+    binaryFile rows across the cluster identically).
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.sources import hfa as HFA
+    from geohub_data_pipeline_spark.sources.fixtures import (
+        hfa_file_bytes,
+    )
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id")
+
+    def rt(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                arr = (did % 10
+                       + 7 * np.arange(5)[:, None]
+                       + np.arange(9)[None, :]).astype(np.float64)
+                if did % 2 == 0:
+                    buf = hfa_file_bytes(
+                        [("Layer_1", arr.astype(np.uint8), 3, 5,
+                          "u8")], compress=True)
+                else:
+                    buf = hfa_file_bytes(
+                        [("Layer_1", arr.astype(np.float32), 3, 5,
+                          "f32")])
+                parsed = HFA.parse_hfa(buf)
+                layers = parsed["layers"]
+                full = HFA._layer_array(parsed, layers[0])
+                g = HFA._layer_mapinfo(parsed, layers[0])
+                rows.append((did, len(layers), full.shape[1],
+                             full.shape[0], int(full.sum()),
+                             g[0], g[1], g[4]))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_layers", "width", "height", "px_sum",
+                "origin_lon", "origin_lat", "srid"])
+
+    return base.mapInPandas(
+        rt, "doc_id long, n_layers int, width int, height int, "
+            "px_sum long, origin_lon double, origin_lat double, "
+            "srid int")

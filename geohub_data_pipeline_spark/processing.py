@@ -39,7 +39,7 @@ VECTOR_EXTS = (".gpkg", ".gdb", ".fgb", ".geojson", ".json", ".shp",
                ".ndjson", ".geojsons", ".topojson", ".gml")
 RASTER_EXTS = (".tif", ".tiff", ".gtif", ".gtiff", ".nc", ".nc4",
                ".h5", ".hdf5", ".asc", ".grd", ".aig", ".sgr",
-               ".raw", ".bl", ".hgt")
+               ".raw", ".bl", ".hgt", ".img")
 ARCHIVE_EXTS = (".zip", ".gz", ".tar", ".tgz", ".7z")
 
 
@@ -185,6 +185,10 @@ def read_raster_source(spark: SparkSession, path: str):
         from geohub_data_pipeline_spark.sources import srtmhgt as HGT
         return (HGT.blocks_from_hgt(spark, path),
                 HGT.georef_from_hgt(spark, path), None)
+    if low.endswith(".img"):
+        from geohub_data_pipeline_spark.sources import hfa as HFA
+        return (HFA.blocks_from_hfa(spark, path),
+                HFA.georef_from_hfa(spark, path), None)
     raise ValueError(f"no raster reader for {path}")
 
 
@@ -323,9 +327,9 @@ def process_raster(spark: SparkSession, src_path: str, dst_dir: str,
         dtypes=dtypes if dtype is None else None).collect()
     audits = []
     for m in manifest:
-        with open(m.path, "rb") as f:
-            payload = f.read()
-        check = RP.validate_cog(payload)
+        # header-prefix validation: O(MB) driver memory regardless of
+        # artifact size (a multi-GB COG must not be slurped whole)
+        check = RP.validate_cog_path(m.path)
         audits.append({"path": m.path, "valid": bool(check["valid"]),
                        "errors": list(check.get("errors", []))})
         if not check["valid"]:

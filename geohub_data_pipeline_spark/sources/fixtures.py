@@ -140,3 +140,154 @@ def cancel_messages(spark: SparkSession,
         F.lit(True).alias("cancel"),
         F.col("enqueued_ts").alias("sent_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HFA (.img) fixture bytes — spec-conformant writer used by tests AND
+# the hfa_source gate query (independently-constructed input for
+# sources/hfa.py; layout per the public HFA whitepaper)
+# ---------------------------------------------------------------------------
+
+_HFA_DICT = (
+    "{1:lwidth,1:lheight,"
+    "1:e3:thematic,athematic,fft of real-valued data,layerType,"
+    "1:e13:u1,u2,u4,u8,s8,u16,s16,u32,s32,f32,f64,c64,c128,pixelType,"
+    "1:lblockWidth,1:lblockHeight,}Eimg_Layer,"
+    "{1:lnumvirtualblocks,1:lnumobjectsperblock,1:lnextobjectnum,"
+    "1:e2:no compression,ESRI GRID compression,compressionType,"
+    "0:poEdms_VirtualBlockInfo,blockinfo,0:pcfreelist,1:tmodTime,}"
+    "Edms_State,"
+    "{1:SfileCode,1:Loffset,1:lsize,1:e2:false,true,logvalid,"
+    "1:e2:no compression,ESRI GRID compression,compressionType,}"
+    "Edms_VirtualBlockInfo,"
+    "{0:pcproName,1:*oEprj_Coordinate,upperLeftCenter,"
+    "1:*oEprj_Coordinate,lowerRightCenter,1:*oEprj_Size,pixelSize,"
+    "0:pcunits,}Eprj_MapInfo,"
+    "{1:dx,1:dy,}Eprj_Coordinate,"
+    "{1:dwidth,1:dheight,}Eprj_Size,."
+)
+
+_HFA_PTYPES = ["u1", "u2", "u4", "u8", "s8", "u16", "s16", "u32",
+               "s32", "f32", "f64", "c64", "c128"]
+
+
+def _hfa_rle_u8(vals) -> bytes:
+    """ESRI GRID RLE of a u8 value stream (8-bit values, 1-byte run
+    counts < 64)."""
+    import struct
+
+    runs, cur, n = [], int(vals[0]), 1
+    for v in vals[1:]:
+        if int(v) == cur and n < 63:
+            n += 1
+        else:
+            runs.append((n, cur))
+            cur, n = int(v), 1
+    runs.append((n, cur))
+    vmin = min(v for _, v in runs)
+    head = struct.pack("<IIIB", vmin, len(runs), 13 + len(runs), 8)
+    counts = bytes(c for c, _ in runs)
+    data = bytes((v - vmin) & 0xFF for _, v in runs)
+    return head + counts + data
+
+
+def hfa_file_bytes(layers, ul_center=(10.05, 49.95), pixel=(0.1, 0.1),
+                   pro="Geographic Lat/Lon", compress=False) -> bytes:
+    """Minimal spec-conformant HFA container: ``layers`` is a list of
+    (name, 2d numpy array, block_w, block_h, pixeltype-string); one
+    Eimg_Layer entry per band under root, each with RasterDMS +
+    Map_Info children."""
+    import struct
+
+    import numpy as np
+
+    npt = {"u8": np.uint8, "s16": np.int16, "f32": np.float32,
+           "f64": np.float64}
+    buf = bytearray()
+    buf += b"EHFA_HEADER_TAG\x00"
+    buf += struct.pack("<I", 20)
+    hdr_at = len(buf)
+    buf += b"\x00" * 18
+    dict_at = len(buf)
+    buf += _HFA_DICT.encode()
+
+    def entry(name, typ, data_at, data_size, nxt=0, child=0):
+        at = len(buf)
+        buf.extend(struct.pack("<IIIIIi", nxt, 0, 0, child,
+                               data_at, data_size))
+        buf.extend(name.encode().ljust(64, b"\x00"))
+        buf.extend(typ.encode().ljust(32, b"\x00"))
+        buf.extend(b"\x00" * 8)
+        return at
+
+    def cstr(s):
+        at = len(buf)
+        buf.extend(s.encode() + b"\x00")
+        return at, len(s) + 1
+
+    layer_meta = []
+    for name, arr, bw, bh, ptype in layers:
+        h, w = arr.shape
+        binfos = []
+        for by in range(0, h, bh):
+            for bx in range(0, w, bw):
+                tile = np.zeros((bh, bw), npt[ptype])
+                sub = arr[by:by + bh, bx:bx + bw]
+                tile[:sub.shape[0], :sub.shape[1]] = sub
+                at = len(buf)
+                if compress and ptype == "u8":
+                    payload = _hfa_rle_u8(
+                        tile.ravel().astype(np.int64))
+                    buf.extend(payload)
+                    binfos.append((at, len(payload), 1))
+                else:
+                    raw = tile.astype(np.dtype(npt[ptype])
+                                      .newbyteorder("<")).tobytes()
+                    buf.extend(raw)
+                    binfos.append((at, len(raw), 0))
+        binfo_at = len(buf)
+        for off, size, comp in binfos:
+            buf.extend(struct.pack("<hIIHH", 0, off, size, 1, comp))
+        dms_at = len(buf)
+        buf.extend(struct.pack("<IIIH", len(binfos), bw * bh, 0, 0))
+        buf.extend(struct.pack("<II", len(binfos), binfo_at))
+        buf.extend(struct.pack("<II", 0, 0))
+        buf.extend(struct.pack("<I", 0))
+        dms_size = len(buf) - dms_at
+        pro_at, pro_n = cstr(pro)
+        ul_at = len(buf)
+        buf.extend(struct.pack("<dd", *ul_center))
+        lr_at = len(buf)
+        buf.extend(struct.pack(
+            "<dd", ul_center[0] + (w - 1) * pixel[0],
+            ul_center[1] - (h - 1) * pixel[1]))
+        ps_at = len(buf)
+        buf.extend(struct.pack("<dd", *pixel))
+        un_at, un_n = cstr("dd")
+        mi_at = len(buf)
+        buf.extend(struct.pack("<II", pro_n, pro_at))
+        buf.extend(struct.pack("<II", 1, ul_at))
+        buf.extend(struct.pack("<II", 1, lr_at))
+        buf.extend(struct.pack("<II", 1, ps_at))
+        buf.extend(struct.pack("<II", un_n, un_at))
+        mi_size = len(buf) - mi_at
+        lay_at = len(buf)
+        buf.extend(struct.pack("<IIHHII", w, h, 1,
+                               _HFA_PTYPES.index(ptype), bw, bh))
+        layer_meta.append((name, lay_at, len(buf) - lay_at, dms_at,
+                           dms_size, mi_at, mi_size))
+
+    prev = 0
+    first = 0
+    for name, lay_at, lay_size, dms_at, dms_size, mi_at, mi_size \
+            in reversed(layer_meta):
+        mi_e = entry("Map_Info", "Eprj_MapInfo", mi_at, mi_size)
+        dms_e = entry("RasterDMS", "Edms_State", dms_at, dms_size,
+                      nxt=mi_e)
+        lay_e = entry(name, "Eimg_Layer", lay_at, lay_size,
+                      nxt=prev, child=dms_e)
+        prev = first = lay_e
+    root_e = entry("root", "root", 0, 0, child=first)
+    buf[hdr_at:hdr_at + 18] = struct.pack(
+        "<IIIhI", 1, 0, root_e, 128, dict_at)
+    return bytes(buf)

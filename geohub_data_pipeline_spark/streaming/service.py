@@ -87,14 +87,12 @@ def parse_messages(df: DataFrame) -> DataFrame:
 # the reference's raster allowlist (ref ingest/config.py
 # ALLOWED_GDAL_FORMATS + the Erdas Imagine Raw pair) — anything else
 # under /raw/ is vector-pathed, as in the reference dispatch.
-# Kept in lock-step with the batch dispatch tree so a service message
-# and a CLI run route the same file identically (.h5/.hdf5/.hgt
-# included since round 5).
+# IDENTICAL to the batch dispatch tree (the same tuple object) so a
+# service message and a CLI run route any file the same way —
+# .img included since round 6 (sources/hfa.py HFA reader).
 from geohub_data_pipeline_spark.processing import (  # noqa: E402
-    RASTER_EXTS as _BATCH_RASTER_EXTS,
+    RASTER_EXTS,
 )
-
-RASTER_EXTS = _BATCH_RASTER_EXTS + (".img",)
 
 
 def route_messages(parsed: DataFrame) -> DataFrame:

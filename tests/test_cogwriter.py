@@ -337,3 +337,62 @@ def test_dtype_autopreserved_roundtrip(spark, tmp_path):
     p2 = next((dst2 / "cog").glob("*.tif")).read_bytes()
     probe2 = probe_geotiff(p2)
     assert (probe2["sample_format"], probe2["bits_per_sample"]) == (3, 32)
+
+
+def test_validate_cog_path_bounded_memory(tmp_path):
+    """validate_cog_path reads a HEADER PREFIX only: a multi-GB
+    (sparse) COG validates without slurping the file, and a file
+    whose IFD structures sit beyond the prefix is reported as
+    'headers do not lead', not crashed on."""
+    import struct as _struct
+
+    import numpy as np
+
+    from geohub_data_pipeline_spark.operators.cogwriter import (
+        _Level,
+        geotiff_bytes,
+    )
+    from geohub_data_pipeline_spark.operators.rasterprobe import (
+        validate_cog_path,
+    )
+
+    def tiles_of(arr):
+        h, w = arr.shape
+        out = {}
+        for ty in range((h + 255) // 256):
+            for tx in range((w + 255) // 256):
+                t = np.zeros((256, 256))
+                sub = arr[ty * 256:(ty + 1) * 256,
+                          tx * 256:(tx + 1) * 256]
+                t[:sub.shape[0], :sub.shape[1]] = sub
+                out[(tx, ty)] = t
+        return out
+
+    lv0 = np.arange(600 * 700, dtype=np.float64).reshape(600, 700)
+    blob = geotiff_bytes([
+        _Level(700, 600, tiles_of(lv0)),
+        _Level(350, 300, tiles_of(lv0[::2, ::2])),
+        _Level(175, 150, tiles_of(lv0[::4, ::4]))])
+
+    big = tmp_path / "big.tif"
+    with open(big, "wb") as f:
+        f.write(blob)
+        f.seek(3 << 30)                    # sparse 3 GB artifact
+        f.write(b"\x00")
+    import resource
+    before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    v = validate_cog_path(str(big))
+    after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    assert v["valid"], v
+    # rss growth far below the 3 GB file (prefix is 4 MB)
+    assert (after - before) < (512 << 10)  # KB units on linux
+
+    # IFD beyond the prefix: reported as a layout error
+    bad = tmp_path / "bad.tif"
+    with open(bad, "wb") as f:
+        f.write(b"II" + _struct.pack("<HI", 42, 2000))
+        f.seek(4096)
+        f.write(b"\x00")
+    v = validate_cog_path(str(bad), prefix_bytes=1024)
+    assert not v["valid"]
+    assert any("headers do not lead" in e for e in v["errors"])

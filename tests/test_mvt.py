@@ -384,3 +384,54 @@ def test_archive_member_fids_encode_to_tiles(spark, tmp_path):
         zf.writestr("b.gpx", gpx)
     out = PROC.process_geo_file(spark, str(z), str(tmp_path / "o"))
     assert any(a.endswith(".pmtiles") for a in out["artifacts"])
+
+
+def test_merge_tile_fragments_roundtrip(spark, tmp_path):
+    """A polygon spanning several z4 tiles re-ingests as ONE feature
+    row (not one per covering tile): the encoder ships the full
+    geometry to every covering tile on the same global pixel grid,
+    so copies are bit-identical and merge_tile_fragments collapses
+    them exactly.  feature count out == feature count in."""
+    from geohub_data_pipeline_spark.operators import geometry as GG
+    from geohub_data_pipeline_spark.operators import mvt as M
+    from geohub_data_pipeline_spark.operators import pmtiles as PMT
+    from geohub_data_pipeline_spark.operators import tiling as TLG
+
+    # ~40 x 30 degree polygon: spans 2+ tiles in each axis at z4
+    ring = [(-10.0, -5.0), (30.0, -5.0), (30.0, 25.0),
+            (-10.0, 25.0), (-10.0, -5.0)]
+    feats = spark.createDataFrame(
+        [("d", "zones", 7, GG.promote_to_multi(GG.wkb_polygon([ring])),
+          4326, GG.MULTIPOLYGON, -10.0, -5.0, 30.0, 25.0,
+          '{"name":"big"}'),
+         ("d", "zones", 8, GG.promote_to_multi(
+             GG.wkb_point(100.25, 40.25)),
+          4326, GG.MULTIPOINT, 100.25, 40.25, 100.25, 40.25,
+          '{"name":"pt"}')],
+        "dataset string, layer string, fid long, geometry binary, "
+        "srid int, geom_type int, bbox_minx double, bbox_miny double, "
+        "bbox_maxx double, bbox_maxy double, properties string")
+    tiles = TLG.build_tiles(feats, maxzoom=4, encode="mvt")
+    manifest = PMT.write_pmtiles_tables(
+        tiles, str(tmp_path), payload_format="mvt").collect()
+
+    from geohub_data_pipeline_spark.sources import pmtiles_source as DS
+    DS.register(spark)
+    back = (spark.read.format("pmtiles")
+            .option("path", manifest[0].path).load())
+    frags = M.features_from_tiles(back.filter("z = 4"))
+    n_frag = frags.count()
+    assert n_frag > 2                      # polygon rode many tiles
+
+    merged = M.merge_tile_fragments(frags).collect()
+    assert len(merged) == 2                # == input feature count
+    by_fid = {r.fid: r for r in merged}
+    assert by_fid[7].n_tiles > 1 and by_fid[8].n_tiles == 1
+    assert json.loads(by_fid[7].properties) == {"name": "big"}
+    g = GG.parse_wkb(bytes(by_fid[7].geometry))
+    assert g["type"] in (GG.POLYGON, GG.MULTIPOLYGON)
+    # quantization-bounded bbox round-trip
+    c = [xy for part in g["parts"] for xy in part]
+    xs, ys = c[0::2], c[1::2]
+    assert abs(min(xs) - -10.0) < 0.05 and abs(max(xs) - 30.0) < 0.05
+    assert abs(min(ys) - -5.0) < 0.05 and abs(max(ys) - 25.0) < 0.05

@@ -128,3 +128,27 @@ def test_buffer_polygon_and_line_against_distance_field(spark):
     field_check(1, [(0, 0), (3, 0), (3, 1), (1, 1), (1, 3), (0, 3),
                     (0, 0)], True)
     field_check(2, [(0, 0), (2, 0), (2, 2)], False)
+
+
+def test_dissolve_features_string_keys(spark):
+    """dissolve_features groups feature rows by a string column and
+    keys survive with their type (no long-only restriction)."""
+    rows = []
+    for i in range(2):
+        for j in range(2):
+            ring = [(float(i), float(j)), (float(i + 1), float(j)),
+                    (float(i + 1), float(j + 1)),
+                    (float(i), float(j + 1)), (float(i), float(j))]
+            rows.append(("d", "east" if i else "west", i * 2 + j,
+                         G.wkb_polygon([ring])))
+    feats = spark.createDataFrame(
+        rows, "dataset string, layer string, fid long, "
+              "geometry binary")
+    out = {r.layer: r for r in OV.dissolve_features(feats).collect()}
+    assert set(out) == {"east", "west"}
+    assert out["east"].n_rings == 1 and out["east"].n_open == 0
+    a = {r.key: r for r in OV.geometry_audit(
+        spark.createDataFrame(
+            [(k, bytes(v.geometry)) for k, v in out.items()],
+            "key string, geometry binary")).collect()}
+    assert a["east"].area == 2.0 and a["east"].perimeter == 6.0
