@@ -53,7 +53,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["dissolve", "dissolve_edges", "dissolve_features",
-           "buffer_points", "buffer_features", "geometry_audit"]
+           "buffer_points", "buffer_features", "geometry_audit",
+           "polygonize_blocks"]
 
 
 # ---------------------------------------------------------------------------
@@ -524,3 +525,160 @@ def geometry_audit(df: DataFrame, key_col: str = "key",
     return df.select(key_col, geom_col).mapInPandas(
         kernel, f"{key_col} {ktype}, n_rings int, area double, "
                 "perimeter double")
+
+
+# ---------------------------------------------------------------------------
+# raster polygonize (gdal_polygonize parity) on the dissolve machinery
+# ---------------------------------------------------------------------------
+
+def polygonize_blocks(blocks: DataFrame, georef: DataFrame,
+                      block_size: int | None = None) -> DataFrame:
+    """Vectorize a categorical raster: one (Multi)Polygon per
+    distinct pixel VALUE per (dataset, band) — the engine's
+    ``gdal_polygonize`` analog, built on the dissolve machinery.
+
+    Per block (map-side numpy): emit only the REGION-BOUNDARY edges —
+    a pixel side where the neighbor value differs (or is nodata /
+    the block border) — oriented interior-on-the-left, with world
+    coordinates computed from the GLOBAL pixel index so the same
+    physical edge is bit-identical in adjacent blocks.  Then the
+    dissolve cancellation does the rest: a block-border edge whose
+    neighbor block holds the SAME value appears once from each side
+    in opposite directions and nets to zero in the partial-aggregated
+    groupBy — cross-block region stitching falls out of the same one
+    shuffle, no halo exchange needed.  Ring assembly per
+    (dataset, band, value) is the dissolve stitcher (pinch-corner
+    rightmost turns, hole homing).
+
+    Output: (dataset, band, value, geometry MULTIPOLYGON WKB,
+    n_rings, n_open).
+
+    Scale: emitted edge volume is the region-boundary length (not
+    pixels x 4); the stitch group per value is its outline.  Run-
+    length merging of collinear boundary edges would shrink the
+    shuffle further (left as an optimization; the stitcher is
+    indifferent to collinear vertices).
+    """
+    from pyspark.sql.functions import broadcast
+
+    from geohub_data_pipeline_spark.operators.raster import BLOCK
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(blocks.sparkSession)
+
+    bs = block_size or BLOCK
+    geo = (blocks.filter(F.col("level") == 0)
+           .select("dataset", "band", "block_x", "block_y",
+                   "width", "height", "pixels", "nodata")
+           .join(broadcast(georef.dropDuplicates(["dataset"])
+                           .select("dataset", "origin_x", "origin_y",
+                                   "pixel_sx", "pixel_sy")),
+                 "dataset"))
+
+    def edges(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_rows = []
+            for r in pdf.itertuples(index=False):
+                h, w = int(r.height), int(r.width)
+                v = np.asarray(r.pixels, np.float64).reshape(h, w)
+                valid = np.isfinite(v)
+                if r.nodata is not None and not np.isnan(r.nodata):
+                    valid &= v != r.nodata
+                ox, oy = float(r.origin_x), float(r.origin_y)
+                psx, psy = float(r.pixel_sx), abs(float(r.pixel_sy))
+                c0 = int(r.block_x) * bs
+                r0 = int(r.block_y) * bs
+
+                def X(c):
+                    return ox + (c0 + c) * psx
+
+                def Y(rr):
+                    return oy - (r0 + rr) * psy
+
+                def differs(a_val, a_ok, b_val, b_ok):
+                    return a_ok & (~b_ok | (a_val != b_val))
+
+                pad_v = np.pad(v, 1, constant_values=np.nan)
+                pad_ok = np.pad(valid, 1, constant_values=False)
+                nb = {"E": (pad_v[1:-1, 2:], pad_ok[1:-1, 2:]),
+                      "W": (pad_v[1:-1, :-2], pad_ok[1:-1, :-2]),
+                      "N": (pad_v[:-2, 1:-1], pad_ok[:-2, 1:-1]),
+                      "S": (pad_v[2:, 1:-1], pad_ok[2:, 1:-1])}
+                for side, (bv, bok) in nb.items():
+                    rr, cc = np.nonzero(differs(v, valid, bv, bok))
+                    if not len(rr):
+                        continue
+                    val = v[rr, cc]
+                    if side == "E":      # interior west: south->north
+                        x1 = x2 = X(cc + 1)
+                        y1, y2 = Y(rr + 1), Y(rr)
+                    elif side == "W":    # interior east: north->south
+                        x1 = x2 = X(cc)
+                        y1, y2 = Y(rr), Y(rr + 1)
+                    elif side == "N":    # interior south: east->west
+                        x1, x2 = X(cc + 1), X(cc)
+                        y1 = y2 = Y(rr)
+                    else:                # interior north: west->east
+                        x1, x2 = X(cc), X(cc + 1)
+                        y1 = y2 = Y(rr + 1)
+                    x1 = np.broadcast_to(x1, val.shape)
+                    x2 = np.broadcast_to(x2, val.shape)
+                    y1 = np.broadcast_to(y1, val.shape)
+                    y2 = np.broadcast_to(y2, val.shape)
+                    out_rows.append(pd.DataFrame({
+                        "dataset": r.dataset, "band": int(r.band),
+                        "value": val, "ax": x1, "ay": y1,
+                        "bx": x2, "by": y2}))
+            yield (pd.concat(out_rows) if out_rows else pd.DataFrame({
+                "dataset": pd.Series([], dtype=str),
+                "band": pd.Series([], dtype="int32"),
+                "value": pd.Series([], dtype=float),
+                "ax": pd.Series([], dtype=float),
+                "ay": pd.Series([], dtype=float),
+                "bx": pd.Series([], dtype=float),
+                "by": pd.Series([], dtype=float)}))
+
+    e = geo.mapInPandas(
+        edges, "dataset string, band int, value double, ax double, "
+               "ay double, bx double, by double")
+
+    fwd = (F.col("ax") < F.col("bx")) | (
+        (F.col("ax") == F.col("bx")) & (F.col("ay") < F.col("by")))
+    canon = e.select(
+        "dataset", "band", "value",
+        F.when(fwd, F.col("ax")).otherwise(F.col("bx")).alias("x1"),
+        F.when(fwd, F.col("ay")).otherwise(F.col("by")).alias("y1"),
+        F.when(fwd, F.col("bx")).otherwise(F.col("ax")).alias("x2"),
+        F.when(fwd, F.col("by")).otherwise(F.col("ay")).alias("y2"),
+        F.when(fwd, F.lit(1)).otherwise(F.lit(-1)).alias("sign"),
+    )
+    net = (canon.groupBy("dataset", "band", "value",
+                         "x1", "y1", "x2", "y2")
+           .agg(F.sum("sign").alias("net"))
+           .filter(F.col("net") != 0))
+    pos = F.col("net") > 0
+    net = net.select(
+        "dataset", "band", "value",
+        F.when(pos, F.col("x1")).otherwise(F.col("x2")).alias("ax"),
+        F.when(pos, F.col("y1")).otherwise(F.col("y2")).alias("ay"),
+        F.when(pos, F.col("x2")).otherwise(F.col("x1")).alias("bx"),
+        F.when(pos, F.col("y2")).otherwise(F.col("y1")).alias("by"),
+        F.abs(F.col("net")).alias("mult"),
+    )
+
+    def stitch(pdf: pd.DataFrame) -> pd.DataFrame:
+        ds = pdf["dataset"].iloc[0]
+        band = int(pdf["band"].iloc[0])
+        val = float(pdf["value"].iloc[0])
+        e2 = pdf[["ax", "ay", "bx", "by"]].to_numpy(np.float64)
+        rings, _ = _stitch_rings(e2)
+        n_open = int(pdf["mult"].sum()
+                     - sum(len(rg) - 1 for rg in rings))
+        geom = _assemble_multipolygon(rings) if rings else b""
+        return pd.DataFrame({
+            "dataset": [ds], "band": [band], "value": [val],
+            "geometry": [geom], "n_rings": [len(rings)],
+            "n_open": [n_open]})
+
+    return net.groupBy("dataset", "band", "value").applyInPandas(
+        stitch, "dataset string, band int, value double, "
+                "geometry binary, n_rings int, n_open int")

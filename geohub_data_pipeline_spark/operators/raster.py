@@ -418,3 +418,222 @@ def aspect(blocks: DataFrame, cellsize: float = 1.0,
         return np.where(flat, np.nan, comp)
 
     return _focal_horn(blocks, cellsize, z_factor, finish)
+
+
+def contour_blocks(blocks: DataFrame, georef: DataFrame,
+                   levels: list[float],
+                   block_size: int | None = None) -> DataFrame:
+    """Contour lines (gdal_contour analog): marching squares over the
+    pixel-CENTER grid, one MULTILINESTRING of crossing segments per
+    (dataset, band, level).
+
+    Distribution: each 2x2 quad is OWNED by its top-left pixel's
+    block, so a block only needs its right / bottom / bottom-right
+    neighbors' FIRST column/row/pixel — a 3-neighbor halo (~0.8% of
+    pixel volume at BLOCK=256), shipped map-side exactly like the
+    terrain stencil's 8-neighbor halo, then one grid-key groupBy.
+    Classification is ``v > level`` (a level equal to a pixel value
+    should be nudged off the lattice, as gdal_contour users do);
+    quads touching nodata/NaN emit nothing; saddle quads resolve by
+    the center average (the standard marching-squares rule).
+    Segments are exact linear interpolations along quad edges;
+    endpoints on a shared quad edge are bit-identical across blocks
+    (same two pixel values, same expression).  Segments are emitted
+    unchained (renderers and GeoJSON consume them as-is; chaining is
+    the dissolve stitcher's job if closed isolines are wanted).
+    """
+    from pyspark.sql.functions import broadcast
+
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(blocks.sparkSession)
+
+    bs = block_size or BLOCK
+    lvl0 = (blocks.filter(F.col("level") == 0)
+            .select("dataset", "band", "block_x", "block_y",
+                    "width", "height", "pixels", "nodata")
+            .join(broadcast(georef.dropDuplicates(["dataset"])
+                            .select("dataset", "origin_x", "origin_y",
+                                    "pixel_sx", "pixel_sy")), "dataset"))
+
+    def halo(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                w, h = int(r.width), int(r.height)
+                arr = np.asarray(r.pixels, np.float64).reshape(h, w)
+                if r.nodata is not None and not np.isnan(r.nodata):
+                    arr = np.where(arr == float(r.nodata), np.nan,
+                                   arr)
+                bx, by = int(r.block_x), int(r.block_y)
+                meta = (r.dataset, int(r.band), float(r.origin_x),
+                        float(r.origin_y), float(r.pixel_sx),
+                        abs(float(r.pixel_sy)))
+                rows.append((*meta, bx, by, bx, by, w, h,
+                             arr.ravel().tolist()))
+                pieces = {(bx - 1, by): arr[:, :1],
+                          (bx, by - 1): arr[:1, :],
+                          (bx - 1, by - 1): arr[:1, :1]}
+                for (tx, ty), piece in pieces.items():
+                    if tx < 0 or ty < 0:
+                        continue
+                    rows.append((*meta, tx, ty, bx, by,
+                                 piece.shape[1], piece.shape[0],
+                                 piece.ravel().tolist()))
+            yield pd.DataFrame(rows, columns=[
+                "dataset", "band", "ox", "oy", "psx", "psy",
+                "tgt_x", "tgt_y", "src_x", "src_y", "width",
+                "height", "pixels"])
+
+    fanned = lvl0.mapInPandas(
+        halo, "dataset string, band int, ox double, oy double, "
+              "psx double, psy double, tgt_x int, tgt_y int, "
+              "src_x int, src_y int, width int, height int, "
+              "pixels array<double>")
+
+    # case -> list of (edge, edge) segments; edges T/R/B/L; saddles
+    # (5, 10) resolved in the kernel by the center average
+    _CASES = {1: [("L", "B")], 2: [("B", "R")], 3: [("L", "R")],
+              4: [("T", "R")], 6: [("T", "B")], 7: [("L", "T")],
+              8: [("L", "T")], 9: [("T", "B")], 11: [("T", "R")],
+              12: [("L", "R")], 13: [("B", "R")], 14: [("L", "B")]}
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        center = pdf[(pdf["src_x"] == pdf["tgt_x"])
+                     & (pdf["src_y"] == pdf["tgt_y"])]
+        if center.empty:
+            return pd.DataFrame(columns=[
+                "dataset", "band", "level", "x1", "y1", "x2", "y2"])
+        c = center.iloc[0]
+        w, h = int(c["width"]), int(c["height"])
+        bx, by = int(c["tgt_x"]), int(c["tgt_y"])
+        canvas = np.full((h + 1, w + 1), np.nan)
+        canvas[:h, :w] = np.asarray(c["pixels"],
+                                    np.float64).reshape(h, w)
+        for r in pdf.itertuples(index=False):
+            if r.src_x == bx and r.src_y == by:
+                continue
+            piece = np.asarray(r.pixels, np.float64).reshape(
+                int(r.height), int(r.width))
+            if r.src_x > bx and r.src_y > by:
+                canvas[h:, w:] = piece[:1, :1]
+            elif r.src_x > bx:
+                canvas[:min(h, piece.shape[0]), w:] = \
+                    piece[:h, :1]
+            elif r.src_y > by:
+                canvas[h:, :min(w, piece.shape[1])] = \
+                    piece[:1, :w]
+        ox, oy = float(c["ox"]), float(c["oy"])
+        psx, psy = float(c["psx"]), float(c["psy"])
+        # global pixel index from the GRID block size (a partial
+        # edge block's own width/height must not shift its origin)
+        c0 = bx * bs
+        r0 = by * bs
+        tl = canvas[:-1, :-1]
+        tr = canvas[:-1, 1:]
+        br = canvas[1:, 1:]
+        bl = canvas[1:, :-1]
+        ok = (np.isfinite(tl) & np.isfinite(tr) & np.isfinite(br)
+              & np.isfinite(bl))
+
+        def Xc(cc):
+            return ox + (c0 + cc + 0.5) * psx
+
+        def Yc(rr):
+            return oy - (r0 + rr + 0.5) * psy
+
+        out = []
+        for L in levels:
+            code = ((tl > L).astype(np.int8) * 8
+                    + (tr > L) * 4 + (br > L) * 2 + (bl > L) * 1)
+            code = np.where(ok, code, 0)
+
+            def edge_pt(edge, rr, cc):
+                if edge == "T":
+                    v0, v1 = tl[rr, cc], tr[rr, cc]
+                    t = (L - v0) / (v1 - v0)
+                    return (Xc(cc) + t * (Xc(cc + 1) - Xc(cc)),
+                            np.full(rr.shape, 0.0) + Yc(rr))
+                if edge == "B":
+                    v0, v1 = bl[rr, cc], br[rr, cc]
+                    t = (L - v0) / (v1 - v0)
+                    return (Xc(cc) + t * (Xc(cc + 1) - Xc(cc)),
+                            np.full(rr.shape, 0.0) + Yc(rr + 1))
+                if edge == "L":
+                    v0, v1 = tl[rr, cc], bl[rr, cc]
+                    t = (L - v0) / (v1 - v0)
+                    return (np.full(rr.shape, 0.0) + Xc(cc),
+                            Yc(rr) + t * (Yc(rr + 1) - Yc(rr)))
+                v0, v1 = tr[rr, cc], br[rr, cc]
+                t = (L - v0) / (v1 - v0)
+                return (np.full(rr.shape, 0.0) + Xc(cc + 1),
+                        Yc(rr) + t * (Yc(rr + 1) - Yc(rr)))
+
+            for case, segs in _CASES.items():
+                rr, cc = np.nonzero(code == case)
+                if not len(rr):
+                    continue
+                for e1, e2 in segs:
+                    x1, y1 = edge_pt(e1, rr, cc)
+                    x2, y2 = edge_pt(e2, rr, cc)
+                    out.append(pd.DataFrame({
+                        "dataset": c["dataset"],
+                        "band": int(c["band"]),
+                        "level": float(L), "x1": x1, "y1": y1,
+                        "x2": x2, "y2": y2}))
+            # saddles: center average picks the diagonal
+            for case in (5, 10):
+                rr, cc = np.nonzero(code == case)
+                if not len(rr):
+                    continue
+                avg = (tl[rr, cc] + tr[rr, cc] + br[rr, cc]
+                       + bl[rr, cc]) / 4.0
+                hi = avg > L
+                # case 5 (TR+BL above): hi -> (L,T)+(R,B);
+                # lo -> (L,B)+(T,R); case 10 mirrors
+                pairs_hi = [("L", "T"), ("R", "B")] if case == 5 \
+                    else [("T", "R"), ("L", "B")]
+                pairs_lo = [("L", "B"), ("T", "R")] if case == 5 \
+                    else [("L", "T"), ("R", "B")]
+                for sel, pairs in ((hi, pairs_hi), (~hi, pairs_lo)):
+                    if not sel.any():
+                        continue
+                    r2, c2 = rr[sel], cc[sel]
+                    for e1, e2 in pairs:
+                        x1, y1 = edge_pt(e1, r2, c2)
+                        x2, y2 = edge_pt(e2, r2, c2)
+                        out.append(pd.DataFrame({
+                            "dataset": c["dataset"],
+                            "band": int(c["band"]),
+                            "level": float(L), "x1": x1, "y1": y1,
+                            "x2": x2, "y2": y2}))
+        if not out:
+            return pd.DataFrame(columns=[
+                "dataset", "band", "level", "x1", "y1", "x2", "y2"])
+        return pd.concat(out)
+
+    segs = fanned.groupBy("dataset", "band", "tgt_x", "tgt_y") \
+        .applyInPandas(kernel,
+                       "dataset string, band int, level double, "
+                       "x1 double, y1 double, x2 double, y2 double")
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        from geohub_data_pipeline_spark.operators import geometry as G
+        from geohub_data_pipeline_spark.sources.shapefile import (
+            _multilinestring_wkb,
+        )
+
+        pdf = pdf.sort_values(["y1", "x1", "y2", "x2"])
+        lines = [[(x1, y1), (x2, y2)] for x1, y1, x2, y2 in zip(
+            pdf["x1"], pdf["y1"], pdf["x2"], pdf["y2"])]
+        wkb = _multilinestring_wkb(lines) if len(lines) > 1 \
+            else G.wkb_linestring(lines[0])
+        return pd.DataFrame([{
+            "dataset": pdf["dataset"].iloc[0],
+            "band": int(pdf["band"].iloc[0]),
+            "level": float(pdf["level"].iloc[0]),
+            "geometry": wkb,
+            "n_segments": len(lines)}])
+
+    return segs.groupBy("dataset", "band", "level").applyInPandas(
+        assemble, "dataset string, band int, level double, "
+                  "geometry binary, n_segments long")

@@ -413,3 +413,72 @@ def geodesic_area(features: DataFrame) -> DataFrame:
         "dataset", "layer", "fid", "geometry").mapInPandas(
         kernel, "dataset string, layer string, fid long, "
                 "area_m2 double")
+
+
+def nearest_sites_join(points: DataFrame, sites: DataFrame,
+                       k: int = 1, max_radius: float = 1.0,
+                       zoom: int = 6) -> DataFrame:
+    """Bounded-radius k-nearest-neighbor spatial join: each point of
+    ``points`` (point_id, lon, lat) gets its ``k`` nearest rows of
+    ``sites`` (site_id, lon, lat) within ``max_radius`` (planar
+    degrees) — the enrichment join behind "closest facility/station"
+    analytics.
+
+    Plan: sites fan MAP-SIDE to every tile their radius disc's bbox
+    covers at ``zoom`` (the same salting-by-construction as
+    ``points_in_polygons``: a site near many points splits across its
+    tiles); points key to their single tile with pure Catalyst
+    expressions; ONE tile-hash shuffle joins the sides; the exact
+    distance + per-point top-k ranking run keyed by point.  A point
+    with no site within the radius emits nothing (the caller's
+    left-join-back recovers "no match" rows when needed).
+
+    Scale: cost is candidate pairs (sites-per-tile x points-per-
+    tile), never |points| x |sites|; pick zoom so a tile is ~the
+    search radius.  Squared distance only — no sqrt in the hot path,
+    identical ordering.
+    """
+    from pyspark.sql import Window
+
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(points.sparkSession)
+
+    def fan(it):
+        n = 1 << zoom
+        r = max_radius
+        for pdf in it:
+            rows = []
+            for sid, lon, lat in zip(pdf["site_id"], pdf["lon"],
+                                     pdf["lat"]):
+                lon, lat = float(lon), float(lat)
+                tx0 = int((max(lon - r, -180.0) + 180.0) / 360.0 * n)
+                tx1 = int((min(lon + r, 180.0) + 180.0) / 360.0 * n)
+                ty0 = _ytile(lat + r, n)
+                ty1 = _ytile(lat - r, n)
+                for tx in range(max(tx0, 0), min(tx1, n - 1) + 1):
+                    for ty in range(max(ty0, 0), min(ty1, n - 1) + 1):
+                        rows.append((tx * n + ty, int(sid), lon, lat))
+            yield pd.DataFrame(rows, columns=["tile", "site_id",
+                                              "slon", "slat"])
+
+    site_tiles = sites.select("site_id", "lon", "lat").mapInPandas(
+        fan, "tile long, site_id long, slon double, slat double")
+
+    n_lit = F.lit(1 << zoom).cast("long")
+    pt = points.select(
+        "point_id", "lon", "lat",
+        (TL.lon_to_xtile(F.col("lon"), F.lit(zoom)).cast("long") * n_lit
+         + TL.lat_to_ytile(F.col("lat"), F.lit(zoom)).cast("long"))
+        .alias("tile"),
+    )
+    dx = F.col("lon") - F.col("slon")
+    dy = F.col("lat") - F.col("slat")
+    cand = (pt.join(site_tiles, "tile")
+            .select("point_id", "site_id",
+                    (dx * dx + dy * dy).alias("d2"))
+            .filter(F.col("d2") <= F.lit(float(max_radius))
+                    * F.lit(float(max_radius))))
+    w = Window.partitionBy("point_id").orderBy("d2", "site_id")
+    return (cand.select("*", F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") <= k)
+            .select("point_id", "site_id", "d2", "rk"))

@@ -3601,3 +3601,252 @@ def hfa_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         rt, "doc_id long, n_layers int, width int, height int, "
             "px_sum long, origin_lon double, origin_lat double, "
             "srid int")
+
+
+# ---------------------------------------------------------------------------
+# Round-6: bounded-radius nearest-neighbor spatial join under the gate
+# ---------------------------------------------------------------------------
+
+_NEAREST_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         -19.95 + CAST((doc_id * 13) % 400 AS DOUBLE) / 10.0 AS lon,
+         -19.95 + CAST((doc_id * 7) % 400 AS DOUBLE) / 10.0 AS lat
+  FROM documents
+),
+z AS (
+  SELECT CAST(t.i AS BIGINT) AS site_id,
+         -15.0 + t.i * 6.0 AS cx,
+         -10.0 + (t.i % 3) * 8.0 AS cy
+  FROM range(6) t(i)
+),
+d AS (
+  SELECT p.doc_id, z.site_id,
+         (p.lon - z.cx) * (p.lon - z.cx)
+         + (p.lat - z.cy) * (p.lat - z.cy) AS d2
+  FROM p, z
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY d2, site_id) AS rk
+  FROM d WHERE d2 <= 64.0
+)
+SELECT doc_id, site_id, round(d2, 6) AS d2, CAST(rk AS INT) AS rk
+FROM r WHERE rk <= 2
+ORDER BY doc_id, rk
+"""
+
+
+@query("spatial_join_nearest", "pipeline",
+       "geo analytics: bounded-radius k-nearest-neighbor spatial "
+       "join (sites fan to radius-disc tiles, ONE tile-hash shuffle, "
+       "per-point top-k) — closest-facility enrichment",
+       _NEAREST_SQL)
+def spatial_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents point lattice x six sites, k=2 nearest within
+    radius 8 (planar degrees).  The REAL operator runs the tile
+    machinery (operators/spatial.nearest_sites_join); the oracle
+    brute-forces the same argmin — both engines compute d2 with the
+    identical expression on identical doubles, and d2 values are
+    multiples of 0.0025 so round(6) can't straddle a half-boundary.
+
+    Scale: candidate pairs per tile, never |points| x |sites|; the
+    per-point ranking shuffles once on the point key.
+    """
+    from geohub_data_pipeline_spark.operators import spatial as SP
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    t = load_tables(spark, sf_dir)
+    points = t.documents.select(
+        F.col("doc_id").alias("point_id"),
+        (-19.95 + ((F.col("doc_id") * 13) % 400).cast("double") / 10.0)
+        .alias("lon"),
+        (-19.95 + ((F.col("doc_id") * 7) % 400).cast("double") / 10.0)
+        .alias("lat"),
+    )
+    sites = spark.range(6).select(
+        F.col("id").alias("site_id"),
+        (-15.0 + F.col("id") * 6.0).alias("lon"),
+        (-10.0 + (F.col("id") % 3) * 8.0).alias("lat"),
+    )
+    out = SP.nearest_sites_join(points, sites, k=2, max_radius=8.0,
+                                zoom=5)
+    return out.select(F.col("point_id").alias("doc_id"), "site_id",
+                      F.round("d2", 6).alias("d2"),
+                      F.col("rk").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Round-6: raster polygonize (gdal_polygonize parity) under the gate
+# ---------------------------------------------------------------------------
+
+_POLYGONIZE_SQL = """
+SELECT CAST(t.i AS BIGINT) AS value,
+       CAST(CASE WHEN t.i = 1 THEN 11 ELSE 12 END AS INT) AS n_rings,
+       CAST(0 AS INT) AS n_open,
+       CASE WHEN t.i = 1 THEN 11.0 ELSE 12.0 END AS area,
+       CASE WHEN t.i = 1 THEN 44.0 ELSE 48.0 END AS perimeter
+FROM range(3) t(i) ORDER BY value
+"""
+
+
+@query("raster_polygonize", "pipeline",
+       "geo analytics: raster polygonize (gdal_polygonize analog) — "
+       "region-boundary edges per block, cross-block stitching via "
+       "the dissolve edge-cancellation shuffle, per-value ring "
+       "assembly; nodata and pinch corners exercised",
+       _POLYGONIZE_SQL)
+def raster_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A 60x60 categorical raster (value = (r/10 + c/10) mod 3 per
+    10px cell) split into 25-px blocks — region boundaries cross
+    block borders, so the cross-block cancellation is load-bearing —
+    with the center cell of value 1 holed out as nodata.  Same-value
+    cells touch only at CORNERS (anti-diagonal layout), so every
+    cell is its own ring through a pinch vertex.  Closed forms: 12
+    rings / area 12 / perimeter 48 per value (11/11/44 for the holed
+    value 1).
+
+    Scale: emitted edges = region-boundary length; one partial-agg
+    cancellation shuffle; per-value stitch group = the outline.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.operators import overlay as OV
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    bs = 25
+    idx = spark.range(9).select(
+        (F.col("id") % 3).cast("int").alias("bx"),
+        (F.col("id") / 3).cast("int").alias("by"))
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        h = w = 60
+        v = ((np.add.outer(np.arange(h) // 10, np.arange(w) // 10))
+             % 3).astype(float)
+        v[20:30, 20:30] = np.nan          # value-1 cell -> nodata
+        for pdf in it:
+            rows = []
+            for bx, by in zip(pdf["bx"], pdf["by"]):
+                bx, by = int(bx), int(by)
+                t = v[by * bs:(by + 1) * bs, bx * bs:(bx + 1) * bs]
+                rows.append(("dem", None, 1, 0, bx, by,
+                             t.shape[1], t.shape[0],
+                             t.ravel().tolist(), None, 4326))
+            yield pd.DataFrame(rows, columns=[
+                "dataset", "subdataset", "band", "level", "block_x",
+                "block_y", "width", "height", "pixels", "nodata",
+                "srid"])
+
+    blocks = idx.mapInPandas(
+        build, "dataset string, subdataset string, band int, "
+               "level int, block_x int, block_y int, width int, "
+               "height int, pixels array<double>, nodata double, "
+               "srid int")
+    georef = spark.createDataFrame(
+        [("dem", -15.0, 15.0, 0.1, 0.1, 4326)],
+        "dataset string, origin_x double, origin_y double, "
+        "pixel_sx double, pixel_sy double, srid int")
+    pg = OV.polygonize_blocks(blocks, georef, block_size=bs)
+    aud = OV.geometry_audit(
+        pg.selectExpr("cast(value as long) as key", "geometry"))
+    return (pg.selectExpr("cast(value as long) as value", "n_open")
+            .join(aud.withColumnRenamed("key", "value"), "value")
+            .select("value", "n_rings", "n_open", "area", "perimeter")
+            .orderBy("value"))
+
+
+# ---------------------------------------------------------------------------
+# Round-6: contour lines (gdal_contour parity) under the gate
+# ---------------------------------------------------------------------------
+
+_CONTOUR_SQL = """
+SELECT 9.5 + t.i * 10 AS level,
+       CAST(59 AS BIGINT) AS n_segments,
+       round(15.0 - (9.5 + t.i * 10 + 0.5) * 0.1, 6) AS y,
+       round(-15.0 + 0.5 * 0.1, 6) AS x_min,
+       round(-15.0 + 59.5 * 0.1, 6) AS x_max
+FROM range(4) t(i) ORDER BY level
+"""
+
+
+@query("raster_contour", "pipeline",
+       "geo analytics: contour lines (gdal_contour analog) — "
+       "marching squares on the pixel-center grid, 3-neighbor halo, "
+       "exact edge interpolation; ramp oracle in closed form",
+       _CONTOUR_SQL)
+def raster_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A 60x60 row-ramp DEM (v = row index) in 25-px blocks — every
+    contour crosses both block borders, so the halo-owned quads are
+    load-bearing.  Levels k+9.5 sit mid-cell: the interpolation
+    parameter is exactly 0.5 and each contour is a straight
+    horizontal polyline of 59 segments at y = center(r) + 0.5 *
+    (center(r+1) - center(r)), whose closed form the oracle states
+    with the identical arithmetic.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.operators import raster as R
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    bs = 25
+    idx = spark.range(9).select(
+        (F.col("id") % 3).cast("int").alias("bx"),
+        (F.col("id") / 3).cast("int").alias("by"))
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        h = w = 60
+        v = np.add.outer(np.arange(h, dtype=float), np.zeros(w))
+        for pdf in it:
+            rows = []
+            for bx, by in zip(pdf["bx"], pdf["by"]):
+                bx, by = int(bx), int(by)
+                t = v[by * bs:(by + 1) * bs, bx * bs:(bx + 1) * bs]
+                rows.append(("dem", None, 1, 0, bx, by,
+                             t.shape[1], t.shape[0],
+                             t.ravel().tolist(), None, 4326))
+            yield pd.DataFrame(rows, columns=[
+                "dataset", "subdataset", "band", "level", "block_x",
+                "block_y", "width", "height", "pixels", "nodata",
+                "srid"])
+
+    blocks = idx.mapInPandas(
+        build, "dataset string, subdataset string, band int, "
+               "level int, block_x int, block_y int, width int, "
+               "height int, pixels array<double>, nodata double, "
+               "srid int")
+    georef = spark.createDataFrame(
+        [("dem", -15.0, 15.0, 0.1, 0.1, 4326)],
+        "dataset string, origin_x double, origin_y double, "
+        "pixel_sx double, pixel_sy double, srid int")
+    out = R.contour_blocks(blocks, georef,
+                           [9.5, 19.5, 29.5, 39.5], block_size=bs)
+
+    def audit(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for lv, wkb, n in zip(pdf["level"], pdf["geometry"],
+                                  pdf["n_segments"]):
+                p = G.parse_wkb(bytes(wkb))
+                xs = p["coords"][0::2]
+                ys = p["coords"][1::2]
+                assert round(min(ys), 6) == round(max(ys), 6)
+                rows.append((float(lv), int(n), round(min(ys), 6),
+                             round(min(xs), 6), round(max(xs), 6)))
+            yield pd.DataFrame(rows, columns=[
+                "level", "n_segments", "y", "x_min", "x_max"])
+
+    return (out.select("level", "geometry", "n_segments")
+            .mapInPandas(audit,
+                         "level double, n_segments long, y double, "
+                         "x_min double, x_max double")
+            .orderBy("level"))

@@ -152,3 +152,44 @@ def test_dissolve_features_string_keys(spark):
             [(k, bytes(v.geometry)) for k, v in out.items()],
             "key string, geometry binary")).collect()}
     assert a["east"].area == 2.0 and a["east"].perimeter == 6.0
+
+
+def test_polygonize_blocks_cross_block_and_nodata(spark):
+    """Raster polygonize: regions crossing block borders stitch via
+    edge cancellation (no halo), nodata pixels polygonize nothing,
+    corner-touching same-value cells keep separate rings."""
+    import numpy as np
+
+    h = w = 40
+    bs = 15                                 # borders cut regions
+    v = ((np.add.outer(np.arange(h) // 10, np.arange(w) // 10))
+         % 2).astype(float)
+    v[0:10, 0:10] = np.nan                  # a value-0 cell -> nodata
+    rows = []
+    for by in range(0, h, bs):
+        for bx in range(0, w, bs):
+            t = v[by:by + bs, bx:bx + bs]
+            rows.append(("dem", None, 1, 0, bx // bs, by // bs,
+                         t.shape[1], t.shape[0], t.ravel().tolist(),
+                         None, 4326))
+    blocks = spark.createDataFrame(rows, (
+        "dataset string, subdataset string, band int, level int, "
+        "block_x int, block_y int, width int, height int, "
+        "pixels array<double>, nodata double, srid int"))
+    georef = spark.createDataFrame(
+        [("dem", 0.0, 4.0, 0.1, 0.1, 4326)],
+        "dataset string, origin_x double, origin_y double, "
+        "pixel_sx double, pixel_sy double, srid int")
+    out = {r.value: r for r in OV.polygonize_blocks(
+        blocks, georef, block_size=bs).collect()}
+    assert set(out) == {0.0, 1.0}
+    assert all(r.n_open == 0 for r in out.values())
+    aud = {a.key: a for a in OV.geometry_audit(
+        OV.polygonize_blocks(blocks, georef, block_size=bs)
+        .selectExpr("cast(value as long) as key", "geometry"))
+        .collect()}
+    # 4x4 cells of 1x1: value0 at even (r+c), 8 cells minus nodata=7;
+    # value1 the other 8.  Corner-only contact -> one ring per cell.
+    assert aud[0].area == 7.0 and aud[0].n_rings == 7
+    assert aud[1].area == 8.0 and aud[1].n_rings == 8
+    assert aud[0].perimeter == 28.0 and aud[1].perimeter == 32.0

@@ -379,3 +379,13 @@ def test_semdedup_kmeans_codebook_is_k_bounded(spark, sf_dir):
     _, cents2 = lloyd_kmeans(big.select("vec_id", "vec"), k=8,
                              iters=1, init="parallel")
     assert cents2.count() == 8
+
+
+def test_nearest_join_no_cartesian(spark, sf_dir):
+    """k-NN spatial join: one tile-hash join (never a cartesian /
+    nested loop over |points| x |sites|) + the per-point rank
+    window."""
+    plan = plan_of(SPECS["spatial_join_nearest"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(point_id" in plan       # rank window key

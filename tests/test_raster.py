@@ -106,3 +106,49 @@ def test_assemble_cog_writes_manifest(spark, tmp_path):
     assert len(manifest) == 1
     import os
     assert os.path.getsize(manifest[0].path) == manifest[0].file_bytes > 0
+
+
+def test_contour_closed_isoline_and_saddle(spark):
+    """A radial bump's contour is a CLOSED isoline: every segment
+    endpoint is shared by exactly two segments (the chainable form),
+    and endpoints on block borders match bit-exactly across blocks."""
+    import numpy as np
+
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.operators.raster import (
+        contour_blocks,
+    )
+
+    h = w = 40
+    bs = 15
+    yy, xx = np.mgrid[0:h, 0:w]
+    v = -np.hypot(yy - 19.3, xx - 20.1)        # peak mid-raster
+    rows = []
+    for by in range(0, h, bs):
+        for bx in range(0, w, bs):
+            t = v[by:by + bs, bx:bx + bs]
+            rows.append(("dem", None, 1, 0, bx // bs, by // bs,
+                         t.shape[1], t.shape[0], t.ravel().tolist(),
+                         None, 4326))
+    blocks = spark.createDataFrame(rows, (
+        "dataset string, subdataset string, band int, level int, "
+        "block_x int, block_y int, width int, height int, "
+        "pixels array<double>, nodata double, srid int"))
+    georef = spark.createDataFrame(
+        [("dem", 0.0, 4.0, 0.1, 0.1, 4326)],
+        "dataset string, origin_x double, origin_y double, "
+        "pixel_sx double, pixel_sy double, srid int")
+    out = contour_blocks(blocks, georef, [-8.25],
+                         block_size=bs).collect()
+    assert len(out) == 1
+    p = G.parse_wkb(bytes(out[0].geometry))
+    from collections import Counter
+    pts = Counter()
+    for part in p["parts"]:
+        pts[(part[0], part[1])] += 1
+        pts[(part[2], part[3])] += 1
+    # closed loop: every endpoint appears exactly twice, bit-exact
+    # (cross-block seam points would split into 4 singletons if the
+    # interpolation differed between owner blocks)
+    assert pts and all(c == 2 for c in pts.values())
+    assert out[0].n_segments >= 40             # ~circle of r=8.25/0.1

@@ -292,3 +292,28 @@ def test_geodesic_area_antimeridian_and_winding(spark):
            for r in SP.geodesic_area(feats).collect()}
     assert abs(out[1] - want) / want < 1e-9
     assert 0.70 < out[2] / want < 0.78     # hole subtracts regardless
+
+
+def test_nearest_sites_join_semantics(spark):
+    """k-NN join: per-point top-k by squared distance, radius bound
+    drops unreachable points, ties break by site_id."""
+    from geohub_data_pipeline_spark.operators.spatial import (
+        nearest_sites_join,
+    )
+
+    points = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 10.0, 0.0), (3, 50.0, 50.0)],
+        "point_id long, lon double, lat double")
+    sites = spark.createDataFrame(
+        [(0, 1.0, 0.0), (1, -1.0, 0.0), (2, 12.0, 0.0)],
+        "site_id long, lon double, lat double")
+    out = nearest_sites_join(points, sites, k=2, max_radius=5.0,
+                             zoom=4)
+    rows = {(r.point_id, r.rk): r for r in out.collect()}
+    # point 1: equidistant sites 0/1 -> tie broken by site_id
+    assert rows[(1, 1)].site_id == 0 and rows[(1, 2)].site_id == 1
+    assert rows[(1, 1)].d2 == 1.0
+    # point 2: only site 2 within radius 5
+    assert rows[(2, 1)].site_id == 2 and (2, 2) not in rows
+    # point 3: nothing within radius -> no rows
+    assert not any(p == 3 for p, _ in rows)
