@@ -908,8 +908,8 @@ def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ABOVE_AVG_SQL = """
 WITH w AS (
   SELECT o_orderkey, o_custkey, o_totalprice,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(30,6)))
-              OVER (PARTITION BY o_custkey) AS DOUBLE)
+         (CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               OVER (PARTITION BY o_custkey) AS DOUBLE) / 100.0)
            / count(*) OVER (PARTITION BY o_custkey) AS cust_avg
   FROM orders
 )
@@ -930,13 +930,22 @@ def subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     would sort the full orders table per partition.  At small SF AQE
     turns the join-back into a broadcast."""
     t = load_tables(spark, sf_dir)
+    # exact-sum arithmetic in integer CENTS: o_totalprice is a
+    # 2-decimal money column, so sum(round(p*100)::long) is exact and
+    # order-independent like the previous decimal(30,6) sum, but the
+    # LONG partial aggregate stays in fast whole-stage codegen —
+    # measured 1.55 s -> 0.67 s at sf1 (PERF.md round-6).  Safe here
+    # because the sum is PER CUSTOMER (bounded group: ~10-100 orders
+    # x <1e9 cents never nears the int64 range); global/mega-group
+    # money sums keep the decimal path (_util.dsum) for overflow
+    # headroom at 100 TB.
     avgs = t.orders.groupBy("o_custkey").agg(
-        (F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
-         .cast("double") / F.count(F.lit(1))).alias("cust_avg"))
+        ((F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+          .cast("double") / 100.0) / F.count(F.lit(1)))
+        .alias("cust_avg"))
     # NB: cust_avg is emitted unrounded — both engines compute the
-    # identical double (decimal sum / count), while round() itself
-    # diverges on exact half-way values (Spark rounds the shortest
-    # decimal repr, DuckDB the binary value).
+    # identical double ((cents/100.0)/count, same op order), while
+    # round() itself diverges on exact half-way values.
     return (
         t.orders.select("o_orderkey", "o_custkey", "o_totalprice")
         .join(avgs, "o_custkey")
