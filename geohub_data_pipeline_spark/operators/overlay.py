@@ -54,7 +54,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["dissolve", "dissolve_edges", "dissolve_features",
            "buffer_points", "buffer_features", "geometry_audit",
-           "polygonize_blocks"]
+           "polygonize_blocks", "clip_features"]
 
 
 # ---------------------------------------------------------------------------
@@ -682,3 +682,179 @@ def polygonize_blocks(blocks: DataFrame, georef: DataFrame,
     return net.groupBy("dataset", "band", "value").applyInPandas(
         stitch, "dataset string, band int, value double, "
                 "geometry binary, n_rings int, n_open int")
+
+
+# ---------------------------------------------------------------------------
+# clip to a convex window (Sutherland-Hodgman)
+# ---------------------------------------------------------------------------
+
+def _clip_ring_convex(pts: np.ndarray,
+                      clip: list[tuple[float, float]]) -> np.ndarray:
+    """Sutherland-Hodgman: closed ring [n,2] clipped to a CONVEX CCW
+    window; returns a closed ring (possibly empty)."""
+    poly = [tuple(p) for p in pts[:-1]]
+    m = len(clip) - 1
+    for i in range(m):
+        if not poly:
+            break
+        ax, ay = clip[i]
+        bx, by = clip[i + 1]
+        ex, ey = bx - ax, by - ay
+
+        def inside(p):
+            return ex * (p[1] - ay) - ey * (p[0] - ax) >= 0.0
+
+        def isect(p, q):
+            dx, dy = q[0] - p[0], q[1] - p[1]
+            den = ex * dy - ey * dx
+            t = (ex * (ay - p[1]) - ey * (ax - p[0])) / den
+            return (p[0] + t * dx, p[1] + t * dy)
+
+        out = []
+        prev = poly[-1]
+        prev_in = inside(prev)
+        for cur in poly:
+            cur_in = inside(cur)
+            if cur_in:
+                if not prev_in:
+                    out.append(isect(prev, cur))
+                out.append(cur)
+            elif prev_in:
+                out.append(isect(prev, cur))
+            prev, prev_in = cur, cur_in
+        poly = out
+    if len(poly) < 3:
+        return np.empty((0, 2))
+    return np.asarray(poly + [poly[0]], np.float64)
+
+
+def _clip_segment_convex(p, q, clip):
+    """Liang-Barsky-style parametric clip of segment p-q to a convex
+    CCW window; returns (p', q') or None."""
+    t0, t1 = 0.0, 1.0
+    dx, dy = q[0] - p[0], q[1] - p[1]
+    for i in range(len(clip) - 1):
+        ax, ay = clip[i]
+        bx, by = clip[i + 1]
+        ex, ey = bx - ax, by - ay
+        # signed distance rate of p+t*d against the inside half-plane
+        num = ex * (p[1] - ay) - ey * (p[0] - ax)
+        den = ex * dy - ey * dx
+        if den == 0.0:
+            if num < 0.0:
+                return None
+            continue
+        t = -num / den
+        if den < 0.0:                      # leaving
+            t1 = min(t1, t)
+        else:                              # entering
+            t0 = max(t0, t)
+        if t0 > t1:
+            return None
+    return ((p[0] + t0 * dx, p[1] + t0 * dy),
+            (p[0] + t1 * dx, p[1] + t1 * dy))
+
+
+def clip_features(features: DataFrame,
+                  clip_ring: list[tuple[float, float]]) -> DataFrame:
+    """Clip engine feature rows to a CONVEX window (AOI rectangle /
+    convex polygon, closed CCW ring): polygons via Sutherland-
+    Hodgman per ring (holes clip too and stay holes), lines via
+    parametric segment clipping (split parts re-group), points by
+    half-plane test.  Features that clip away entirely are dropped.
+    Map-side Arrow kernel — the classic pre-filter before tiling or a
+    spatial join, no shuffle.
+
+    Convexity is the S-H contract; for concave AOIs, dissolve the
+    AOI into convex pieces and union the clips (or use the tile grid
+    as the window set, as the tiler does).
+    """
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(features.sparkSession)
+
+    clip = [(float(x), float(y)) for x, y in clip_ring]
+    a2 = sum(x1 * y2 - x2 * y1
+             for (x1, y1), (x2, y2) in zip(clip, clip[1:]))
+    if a2 < 0:
+        clip = clip[::-1]
+
+    def one(wkb: bytes) -> bytes | None:
+        p = G.parse_wkb(wkb)
+        if p is None:
+            return None
+        t = p["type"]
+        if t in (G.POINT, G.MULTIPOINT):
+            c = np.asarray(p["coords"], np.float64).reshape(-1, 2)
+            keep = [tuple(pt) for pt in c
+                    if _clip_segment_convex(pt, pt, clip)]
+            if not keep:
+                return None
+            if len(keep) == 1:
+                return G.wkb_point(*keep[0])
+            from geohub_data_pipeline_spark.sources.shapefile import (
+                _multipoint_wkb,
+            )
+            return _multipoint_wkb(keep)
+        if t in (G.LINESTRING, G.MULTILINESTRING):
+            parts_out = []
+            for part in p["parts"]:
+                c = np.asarray(part, np.float64).reshape(-1, 2)
+                run: list[tuple[float, float]] = []
+                for i in range(len(c) - 1):
+                    seg = _clip_segment_convex(tuple(c[i]),
+                                               tuple(c[i + 1]), clip)
+                    if seg is None:
+                        if len(run) >= 2:
+                            parts_out.append(run)
+                        run = []
+                        continue
+                    if run and run[-1] == seg[0]:
+                        run.append(seg[1])
+                    else:
+                        if len(run) >= 2:
+                            parts_out.append(run)
+                        run = list(seg)
+                if len(run) >= 2:
+                    parts_out.append(run)
+            if not parts_out:
+                return None
+            if len(parts_out) == 1:
+                return G.wkb_linestring(parts_out[0])
+            from geohub_data_pipeline_spark.sources.shapefile import (
+                _multilinestring_wkb,
+            )
+            return _multilinestring_wkb(parts_out)
+        if t in (G.POLYGON, G.MULTIPOLYGON):
+            polys = []
+            cur: list[list[tuple[float, float]]] = []
+            parts = p.get("parts") or []
+            roles = p.get("roles") or [True] * len(parts)
+            for part, is_shell in zip(parts, roles):
+                c = np.asarray(part, np.float64).reshape(-1, 2)
+                clipped = _clip_ring_convex(c, clip)
+                if is_shell:
+                    cur = []
+                    polys.append(cur)
+                if len(clipped):
+                    cur.append([tuple(pt) for pt in clipped])
+            polys = [rings for rings in polys if rings]
+            if not polys:
+                return None
+            return G.wkb_multipolygon(polys)
+        return None
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                buf = one(bytes(r.geometry))
+                if buf is not None:
+                    rows.append((r.dataset, r.layer, int(r.fid), buf))
+            yield pd.DataFrame(rows, columns=[
+                "dataset", "layer", "fid", "geometry"])
+
+    return features.select(
+        "dataset", "layer", "fid", "geometry").mapInPandas(
+        kernel, "dataset string, layer string, fid long, "
+                "geometry binary")

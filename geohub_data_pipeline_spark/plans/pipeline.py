@@ -3850,3 +3850,85 @@ def raster_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "level double, n_segments long, y double, "
                          "x_min double, x_max double")
             .orderBy("level"))
+
+
+# ---------------------------------------------------------------------------
+# Round-6: clip-to-AOI under the gate
+# ---------------------------------------------------------------------------
+
+_CLIP_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         CAST(-60 + (doc_id * 13) % 120 AS DOUBLE) AS x0,
+         CAST(-40 + (doc_id * 7) % 80 AS DOUBLE) AS y0
+  FROM documents
+),
+o AS (
+  SELECT doc_id,
+         greatest(0.0, least(x0 + 2.0, 9.7) - greatest(x0, -10.3))
+           AS wx,
+         greatest(0.0, least(y0 + 2.0, 17.9) - greatest(y0, 3.1))
+           AS wy
+  FROM s
+)
+SELECT doc_id, round(wx * wy, 6) AS area,
+       round(2.0 * (wx + wy), 6) AS perimeter
+FROM o WHERE wx > 0 AND wy > 0
+ORDER BY doc_id
+"""
+
+
+@query("geo_clip", "pipeline",
+       "geo analytics: clip features to a convex AOI (Sutherland-"
+       "Hodgman rings, parametric segment clip) — rectangle-window "
+       "oracle in closed form (overlap widths product)", _CLIP_SQL)
+def geo_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each document becomes a 2x2-degree square on the integer
+    lattice; clipping to the rectangle [-10.3, 9.7] x [3.1, 17.9]
+    (offset 0.1 off the lattice so nothing sits ON the window edge)
+    leaves exactly the axis-aligned overlap box, whose area and
+    perimeter the oracle states as the clamp-difference closed form.
+    Features that clip away entirely DROP (the operator's contract) —
+    the kept-row set is part of the check.
+
+    Scale: the clip is a map-side kernel (the classic pre-filter
+    before tiling or a spatial join); no shuffle.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.operators import overlay as OV
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id")
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                x0 = float(-60 + (did * 13) % 120)
+                y0 = float(-40 + (did * 7) % 80)
+                ring = [(x0, y0), (x0 + 2, y0), (x0 + 2, y0 + 2),
+                        (x0, y0 + 2), (x0, y0)]
+                rows.append(("docs", "squares", did,
+                             G.wkb_polygon([ring])))
+            yield pd.DataFrame(rows, columns=[
+                "dataset", "layer", "fid", "geometry"])
+
+    feats = base.mapInPandas(
+        build, "dataset string, layer string, fid long, "
+               "geometry binary")
+    clipped = OV.clip_features(
+        feats, [(-10.3, 3.1), (9.7, 3.1), (9.7, 17.9),
+                (-10.3, 17.9), (-10.3, 3.1)])
+    aud = OV.geometry_audit(
+        clipped.withColumnRenamed("fid", "key"))
+    return aud.select(F.col("key").alias("doc_id"),
+                      F.round("area", 6).alias("area"),
+                      F.round("perimeter", 6).alias("perimeter")) \
+        .orderBy("doc_id")

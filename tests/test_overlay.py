@@ -193,3 +193,34 @@ def test_polygonize_blocks_cross_block_and_nodata(spark):
     assert aud[0].area == 7.0 and aud[0].n_rings == 7
     assert aud[1].area == 8.0 and aud[1].n_rings == 8
     assert aud[0].perimeter == 28.0 and aud[1].perimeter == 32.0
+
+
+def test_clip_features_polygon_line_point(spark):
+    """Convex clip: polygon S-H (holes survive), line parametric clip
+    (split parts re-group), point filter; empty results drop."""
+    win = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0),
+           (0.0, 0.0)]
+    donut = G.wkb_polygon([
+        [(1.0, 1.0), (6.0, 1.0), (6.0, 3.0), (1.0, 3.0), (1.0, 1.0)],
+        [(2.0, 1.5), (2.0, 2.5), (3.0, 2.5), (3.0, 1.5), (2.0, 1.5)],
+    ])
+    zigzag = G.wkb_linestring([(-1.0, 2.0), (2.0, 2.0), (2.0, 6.0),
+                               (3.0, 6.0), (3.0, 2.0), (7.0, 2.0)])
+    pin = G.wkb_point(1.0, 1.0)
+    pout = G.wkb_point(9.0, 9.0)
+    feats = spark.createDataFrame(
+        [("d", "l", 1, donut), ("d", "l", 2, zigzag),
+         ("d", "l", 3, pin), ("d", "l", 4, pout)],
+        "dataset string, layer string, fid long, geometry binary")
+    out = {r.fid: r for r in OV.clip_features(feats, win).collect()}
+    assert set(out) == {1, 2, 3}            # pout dropped
+    a = OV.geometry_audit(spark.createDataFrame(
+        [(1, bytes(out[1].geometry))], "key long, geometry binary")
+    ).collect()[0]
+    # clipped donut: 3x2 box minus the fully-inside 1x1 hole
+    assert a.area == 6.0 - 1.0
+    assert a.n_rings == 2
+    line = G.parse_wkb(bytes(out[2].geometry))
+    # zigzag: two disjoint in-window runs -> multilinestring
+    assert line["type"] == G.MULTILINESTRING
+    assert len(line["parts"]) == 2
