@@ -173,6 +173,11 @@ def _read_record(buf: bytes, off: int, fields: list[_Field],
             if ptr == 0:
                 out[f.name] = None
                 continue
+            # crafted-count guard: a pointer count cannot exceed the
+            # file itself (every item is >= 1 byte) — reject instead
+            # of looping/allocating on attacker-controlled sizes
+            if cnt > len(buf) or ptr > len(buf):
+                raise ValueError("pointer count/offset exceeds file")
             n = cnt if f.pointer == "p" else max(cnt, 1)
             out[f.name] = _read_items(buf, ptr, f, n, types)
             continue
@@ -219,10 +224,17 @@ class _Entry:
         self.children: list[_Entry] = []
 
 
-def _read_entries(buf: bytes, off: int) -> list[_Entry]:
-    """Sibling chain of Ehfa_Entry records starting at ``off``."""
+def _read_entries(buf: bytes, off: int,
+                  seen: set[int] | None = None) -> list[_Entry]:
+    """Sibling chain of Ehfa_Entry records starting at ``off``.
+    ``seen`` guards against crafted next/child cycles."""
+    if seen is None:
+        seen = set()
     out = []
     while off:
+        if off in seen or len(seen) > 10_000:
+            raise ValueError("entry tree cycle or too many entries")
+        seen.add(off)
         nxt, _prev, _parent, child, data, size = struct.unpack_from(
             "<IIIIIi", buf, off)
         name = buf[off + 24:off + 88].split(b"\x00", 1)[0] \
@@ -231,7 +243,7 @@ def _read_entries(buf: bytes, off: int) -> list[_Entry]:
             .decode("latin-1")
         e = _Entry(name, typ, data, size)
         if child:
-            e.children = _read_entries(buf, child)
+            e.children = _read_entries(buf, child, seen)
         out.append(e)
         off = nxt
     return out
@@ -265,6 +277,8 @@ def _rle_decode(raw: bytes, n_values: int) -> np.ndarray:
     """ESRI GRID run-length block -> int64 value array."""
     vmin, n_runs, data_off = struct.unpack_from("<III", raw, 0)
     n_bits = raw[12]
+    if n_runs > len(raw) or data_off > len(raw):
+        raise ValueError("RLE header exceeds block")
     counts = np.empty(n_runs, np.int64)
     pos = 13
     for i in range(n_runs):
@@ -296,6 +310,8 @@ def _rle_decode(raw: bytes, n_values: int) -> np.ndarray:
     else:
         raise ValueError(f"unsupported RLE width {n_bits}")
     vals = vals + int(vmin)
+    if int(counts.sum()) > 4 * n_values or (counts < 0).any():
+        raise ValueError("RLE run counts exceed block size")
     out = np.repeat(vals, counts)
     if len(out) < n_values:
         out = np.concatenate(

@@ -111,3 +111,57 @@ def test_fgb_header_declared_count_mismatch():
     # truncate mid-frame: reader stops without raising
     rows = list(FGB.read_fgb_bytes(bytes(blob[:-7]), "x"))
     assert len(rows) == 2
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_fuzz_hfa(data):
+    from geohub_data_pipeline_spark.sources import hfa as HFA
+
+    for payload in (data, HFA._MAGIC + data):
+        try:
+            parsed = HFA.parse_hfa(payload)
+            for layer in parsed["layers"]:
+                HFA._layer_array(parsed, layer)
+                HFA._layer_mapinfo(parsed, layer)
+        except _KERNEL_CAUGHT + (struct.error, KeyError):
+            pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=13, max_size=200))
+def test_fuzz_hfa_rle(data):
+    """Crafted RLE blocks must raise cleanly (count bombs guarded),
+    never allocate unboundedly or loop."""
+    from geohub_data_pipeline_spark.sources import hfa as HFA
+
+    try:
+        out = HFA._rle_decode(data, 64)
+        assert len(out) == 64
+    except _KERNEL_CAUGHT + (struct.error,):
+        pass
+
+
+def test_hfa_mutation_robustness(tmp_path):
+    """Byte-flip a VALID file at every 7th offset: the reader either
+    parses or raises the quarantine classes, never crashes or hangs."""
+    import numpy as np
+
+    from geohub_data_pipeline_spark.sources import hfa as HFA
+    from geohub_data_pipeline_spark.sources.fixtures import (
+        hfa_file_bytes,
+    )
+
+    base = bytearray(hfa_file_bytes(
+        [("L1", (np.arange(12, dtype=np.float32) % 7)
+          .reshape(3, 4), 4, 3, "f32")]))
+    for i in range(0, len(base), 7):
+        mut = bytearray(base)
+        mut[i] ^= 0xFF
+        try:
+            parsed = HFA.parse_hfa(bytes(mut))
+            for layer in parsed["layers"]:
+                HFA._layer_array(parsed, layer)
+                HFA._layer_mapinfo(parsed, layer)
+        except (ValueError, struct.error, IndexError, KeyError):
+            pass
