@@ -646,11 +646,13 @@ def merge_tile_fragments(feats) -> "DataFrame":
     fragments differ byte-wise) — reported, not guessed at.
 
     Output: FEATURE_SCHEMA columns plus ``n_tiles int`` (how many
-    tiles carried the feature), one row per distinct feature;
-    ``fid`` is the smallest fid among copies (real ids are
-    tile-invariant so this is the id itself; synthesized tile-scoped
-    ids collapse to a deterministic representative); ``properties``
-    keeps the original tags minus provenance.
+    tiles carried the feature), one row per distinct
+    (fid, geometry, properties) identity — real ids are
+    tile-invariant so per-tile copies collapse, while two DISTINCT
+    features that happen to share geometry/properties keep their
+    rows; id-less archives (synthesized per-tile fids) keep one row
+    per tile.  ``properties`` keeps the original tags minus
+    provenance.
 
     Scale: one hash shuffle keyed by the feature identity — the same
     shape as exact dedup; no geometry math at all.
@@ -685,12 +687,17 @@ def merge_tile_fragments(feats) -> "DataFrame":
             yield out
 
     stripped = feats.mapInPandas(strip, FEATURE_SCHEMA)
+    # fid IS part of the identity: two DISTINCT features that happen
+    # to share geometry and properties (stacked identical POIs) keep
+    # their rows when the archive carries real ids; only true
+    # per-tile copies (same fid, bit-identical payload) collapse.
+    # Id-less archives (synthesized per-tile fids) keep one row per
+    # tile, as documented above.
     return (
         stripped.groupBy(
-            "dataset", "layer",
+            "dataset", "layer", "fid",
             F.xxhash64("geometry", "properties").alias("__ident"))
-        .agg(F.min("fid").alias("fid"),
-             F.first("geometry").alias("geometry"),
+        .agg(F.first("geometry").alias("geometry"),
              F.first("srid").alias("srid"),
              F.first("crs_wkt").alias("crs_wkt"),
              F.first("properties").alias("__props"),

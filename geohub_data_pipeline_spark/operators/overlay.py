@@ -836,7 +836,11 @@ def clip_features(features: DataFrame,
                 if is_shell:
                     cur = []
                     polys.append(cur)
-                if len(clipped):
+                # a hole may only follow a SURVIVING shell — if the
+                # shell clipped away, writing the hole first would
+                # promote it to an exterior ring (hole subset shell,
+                # so geometrically this only guards fp slivers)
+                if len(clipped) and (is_shell or cur):
                     cur.append([tuple(pt) for pt in clipped])
             polys = [rings for rings in polys if rings]
             if not polys:

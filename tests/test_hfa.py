@@ -87,3 +87,20 @@ def test_hfa_dispatch(spark, tmp_path):
     blocks, georef, dt = PROC.read_raster_source(spark, str(p))
     assert blocks.count() == 1
     assert georef.count() == 1
+
+
+def test_img_full_pipeline_to_cog(spark, tmp_path):
+    """The round-5 dead-letter route, closed end-to-end: a .img file
+    runs probe -> blocks -> mercator warp -> overview -> VALIDATED
+    COG through processing.process_geo_file (what a service queue
+    message now executes)."""
+    from geohub_data_pipeline_spark import processing as PROC
+
+    arr = (np.arange(40 * 30, dtype=np.float32).reshape(30, 40) % 97)
+    src = tmp_path / "scene.img"
+    write_hfa(str(src), [("Layer_1", arr, 20, 30, "f32")])
+    res = PROC.process_geo_file(spark, str(src), str(tmp_path / "o"))
+    assert res["chunks"] == [{"kind": "subdataset", "name": "Layer_1"}]
+    assert len(res["artifacts"]) == 1
+    assert res["artifacts"][0].endswith("_band1.tif")
+    assert all(a["valid"] for a in res["audits"]["cog_validate"])
