@@ -482,3 +482,123 @@ def nearest_sites_join(points: DataFrame, sites: DataFrame,
     return (cand.select("*", F.row_number().over(w).alias("rk"))
             .filter(F.col("rk") <= k)
             .select("point_id", "site_id", "d2", "rk"))
+
+
+def polygons_intersect_join(left: DataFrame, right: DataFrame,
+                            zoom: int = 7) -> DataFrame:
+    """Polygon x polygon INTERSECTS join: (a_id, b_id) for every
+    pair whose interiors/boundaries meet — the overlay join behind
+    "which parcels touch which flood zones".
+
+    Plan: BOTH sides fan map-side to the tiles their bbox covers
+    (the same keying as ``points_in_polygons``); one tile-hash
+    shuffle co-locates candidates; each candidate pair is tested in
+    exactly ONE tile — the tile containing its bbox-intersection's
+    top-left corner, which by construction is covered by both sides —
+    so no distinct() pass is needed to dedupe multi-tile pairs.  The
+    exact test is vertex-containment both ways (the y-sweep ray
+    cast) plus a chunked edge x edge proper-crossing check.
+
+    Scale: candidates are bbox-localized per tile, never
+    |A| x |B|; a mega-polygon splits across its tiles (built-in
+    salting), and the owner-tile rule keeps output exactly-once
+    without a global shuffle.
+    """
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(left.sparkSession)
+
+    n = 1 << zoom
+
+    def fan(side):
+        def k(it):
+            for pdf in it:
+                rows = []
+                for pid, wkb in zip(pdf["poly_id"], pdf["geometry"]):
+                    rings = _rings_of_wkb(bytes(wkb))
+                    if not rings:
+                        continue
+                    allc = np.concatenate(rings)
+                    lo_x, lo_y = allc.min(axis=0)
+                    hi_x, hi_y = allc.max(axis=0)
+                    tx0 = int((lo_x + 180.0) / 360.0 * n)
+                    tx1 = int((hi_x + 180.0) / 360.0 * n)
+                    ty0 = _ytile(hi_y, n)
+                    ty1 = _ytile(lo_y, n)
+                    for tx in range(max(tx0, 0), min(tx1, n - 1) + 1):
+                        for ty in range(max(ty0, 0),
+                                        min(ty1, n - 1) + 1):
+                            rows.append((tx * n + ty, int(pid),
+                                         bytes(wkb), lo_x, lo_y,
+                                         hi_x, hi_y))
+                yield pd.DataFrame(rows, columns=[
+                    "tile", f"{side}_id", f"{side}_geom",
+                    f"{side}_x0", f"{side}_y0",
+                    f"{side}_x1", f"{side}_y1"])
+        return k
+
+    lt = left.select(F.col("a_id").alias("poly_id"),
+                     "geometry").mapInPandas(
+        fan("a"), "tile long, a_id long, a_geom binary, a_x0 double, "
+                  "a_y0 double, a_x1 double, a_y1 double")
+    rt = right.select(F.col("b_id").alias("poly_id"),
+                      "geometry").mapInPandas(
+        fan("b"), "tile long, b_id long, b_geom binary, b_x0 double, "
+                  "b_y0 double, b_x1 double, b_y1 double")
+
+    cand = lt.join(rt, "tile").filter(
+        (F.col("a_x0") <= F.col("b_x1")) & (F.col("b_x0") <= F.col("a_x1"))
+        & (F.col("a_y0") <= F.col("b_y1")) & (F.col("b_y0") <= F.col("a_y1")))
+
+    def test(it):
+        import math
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                # owner tile: bbox-intersection top-left corner
+                ix = max(r.a_x0, r.b_x0)
+                iy = min(r.a_y1, r.b_y1)
+                otx = min(max(int((ix + 180.0) / 360.0 * n), 0), n - 1)
+                oty = min(max(_ytile(iy, n), 0), n - 1)
+                if otx * n + oty != r.tile:
+                    continue
+                ra = _rings_of_wkb(bytes(r.a_geom))
+                rb = _rings_of_wkb(bytes(r.b_geom))
+                if not ra or not rb:
+                    continue
+                av = np.concatenate(ra)
+                bv = np.concatenate(rb)
+                hit = bool(pnpoly_mask(bv[:, 0], bv[:, 1], ra).any()
+                           or pnpoly_mask(av[:, 0], av[:, 1],
+                                          rb).any())
+                if not hit:
+                    hit = _edges_cross(ra, rb)
+                if hit:
+                    rows.append((int(r.a_id), int(r.b_id)))
+            yield pd.DataFrame(rows, columns=["a_id", "b_id"])
+
+    return cand.mapInPandas(test, "a_id long, b_id long")
+
+
+def _edges_cross(ra: list[np.ndarray], rb: list[np.ndarray]) -> bool:
+    """Any proper segment crossing between two ring sets (chunked
+    broadcast; used only on bbox-overlapping candidate pairs)."""
+    ea = np.concatenate([np.hstack([r[:-1], r[1:]]) for r in ra])
+    eb = np.concatenate([np.hstack([r[:-1], r[1:]]) for r in rb])
+    chunk = max(1, 2_000_000 // max(len(eb), 1))
+    for s in range(0, len(ea), chunk):
+        A = ea[s:s + chunk]
+        p = A[:, None, 0:2]
+        q = A[:, None, 2:4]
+        u = eb[None, :, 0:2]
+        v = eb[None, :, 2:4]
+        d1 = q - p
+        d2 = v - u
+        w = u - p
+        den = d1[..., 0] * d2[..., 1] - d1[..., 1] * d2[..., 0]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (w[..., 0] * d2[..., 1] - w[..., 1] * d2[..., 0]) / den
+            s2 = (w[..., 0] * d1[..., 1] - w[..., 1] * d1[..., 0]) / den
+        if ((den != 0) & (t > 0) & (t < 1) & (s2 > 0)
+                & (s2 < 1)).any():
+            return True
+    return False

@@ -3932,3 +3932,82 @@ def geo_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("area", 6).alias("area"),
                       F.round("perimeter", 6).alias("perimeter")) \
         .orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Round-6: polygon x polygon intersects join under the gate
+# ---------------------------------------------------------------------------
+
+_INTERSECTS_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         -19.95 + CAST((doc_id * 13) % 400 AS DOUBLE) / 10.0 AS lon,
+         -19.95 + CAST((doc_id * 7) % 400 AS DOUBLE) / 10.0 AS lat
+  FROM documents
+),
+z AS (
+  SELECT CAST(t.i AS BIGINT) AS a_id,
+         -15.0 + t.i * 6.0 AS cx,
+         -10.0 + (t.i % 3) * 8.0 AS cy,
+         2.47 + t.i * 0.4 AS r
+  FROM range(6) t(i)
+)
+SELECT z.a_id, p.doc_id AS b_id
+FROM z, p
+WHERE abs(p.lon - z.cx) + abs(p.lat - z.cy) < z.r + 1.137
+ORDER BY a_id, b_id
+"""
+
+
+@query("spatial_join_intersects", "pipeline",
+       "geo analytics: polygon x polygon INTERSECTS join — both "
+       "sides fan to bbox tiles, one tile-hash shuffle, owner-tile "
+       "exactly-once, vertex-containment + edge-crossing exact test; "
+       "L1-ball Minkowski closed form as the oracle",
+       _INTERSECTS_SQL)
+def spatial_join_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six big diamonds x one small diamond per document.  Two L1
+    balls intersect exactly when the L1 distance of their centers is
+    below the radius sum (Minkowski sum of homothetic convex bodies),
+    which the oracle states directly; the Spark side runs the REAL
+    polygon machinery — tile fan-out both sides, owner-tile
+    exactly-once rule, ray-cast containment + proper edge crossings.
+    The 1.137 small radius keeps every radius sum off the
+    0.05-quantized center-distance lattice, so no pair merely
+    touches (1.13 landed a pair exactly ON the boundary).
+    """
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.operators import spatial as SP
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    t = load_tables(spark, sf_dir)
+
+    import pandas as pd
+    from collections.abc import Iterator
+
+    def build_b(it: "Iterator[pd.DataFrame]"):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                cx = -19.95 + ((did * 13) % 400) / 10.0
+                cy = -19.95 + ((did * 7) % 400) / 10.0
+                r = 1.137
+                ring = [(cx + r, cy), (cx, cy + r), (cx - r, cy),
+                        (cx, cy - r), (cx + r, cy)]
+                rows.append((did, G.wkb_polygon([ring])))
+            yield pd.DataFrame(rows, columns=["b_id", "geometry"])
+
+    b = t.documents.select("doc_id").mapInPandas(
+        build_b, "b_id long, geometry binary")
+    polys = []
+    for pid in range(6):
+        cx, cy = -15.0 + pid * 6.0, -10.0 + (pid % 3) * 8.0
+        r = 2.47 + pid * 0.4
+        ring = [(cx + r, cy), (cx, cy + r), (cx - r, cy),
+                (cx, cy - r), (cx + r, cy)]
+        polys.append((pid, G.wkb_polygon([ring])))
+    a = spark.createDataFrame(polys, "a_id long, geometry binary")
+    return (SP.polygons_intersect_join(a, b, zoom=5)
+            .orderBy("a_id", "b_id"))

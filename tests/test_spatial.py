@@ -317,3 +317,34 @@ def test_nearest_sites_join_semantics(spark):
     assert rows[(2, 1)].site_id == 2 and (2, 2) not in rows
     # point 3: nothing within radius -> no rows
     assert not any(p == 3 for p, _ in rows)
+
+
+def test_polygons_intersect_join_cases(spark):
+    """Intersects join: edge-crossing without vertex containment,
+    full containment, disjoint, and exactly-once across tiles."""
+    from geohub_data_pipeline_spark.operators.spatial import (
+        polygons_intersect_join,
+    )
+    from geohub_data_pipeline_spark.operators import geometry as G
+
+    def rect(x0, y0, x1, y1):
+        return G.wkb_polygon([[(x0, y0), (x1, y0), (x1, y1),
+                               (x0, y1), (x0, y0)]])
+
+    # a0: big box; a1: thin wide bar crossing b1 without holding any
+    # of its vertices
+    a = spark.createDataFrame(
+        [(0, rect(0.0, 0.0, 10.0, 10.0)),
+         (1, rect(-20.0, 4.0, 40.0, 5.0))],
+        "a_id long, geometry binary")
+    b = spark.createDataFrame(
+        [(0, rect(2.0, 2.0, 3.0, 3.0)),       # inside a0
+         (1, rect(20.0, -30.0, 22.0, 30.0)),  # tall bar crosses a1
+         (2, rect(50.0, 50.0, 51.0, 51.0))],  # disjoint
+        "b_id long, geometry binary")
+    rows = polygons_intersect_join(a, b, zoom=4).collect()
+    got = {(r.a_id, r.b_id) for r in rows}
+    assert got == {(0, 0), (1, 1)}
+    # exactly-once: no duplicate pairs even though the wide bar spans
+    # many tiles
+    assert len(rows) == len(got)
