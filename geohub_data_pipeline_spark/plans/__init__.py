@@ -29,12 +29,13 @@ from geohub_data_pipeline_spark.plans.registry import promote  # noqa: E402
 # most-overdue block so they get a gate row in their round.
 #
 # Round-6 staleness: the 37 relational/path queries last checked in
-# r3 lead (most overdue), then the NEW/CHANGED round-6 queries
-# (de-skewed substring dedup, k-means|| SemDeDup, dissolve, buffered
-# spatial join, PMTiles fragment merge, HFA source) so each gets a
-# gate row in its first round, then the 49 last checked in r4, then
-# the round-5-checked block (freshest).  After this round's 50-query
-# prefix, the oldest check anywhere is r4.
+# r3 lead (most overdue), then the ELEVEN new/changed round-6 queries
+# (de-skewed substring dedup, k-means|| SemDeDup, dissolve, buffered/
+# nearest/intersects spatial joins, PMTiles fragment merge, HFA
+# source, polygonize, contour, clip) so each gets a gate row in its
+# first round, then the 49 last checked in r4, then the round-5
+# block (freshest).  After this round's 50-query prefix the oldest
+# check anywhere is r4 — round 7 leads with the r4 block.
 promote([
     "join_inner", "join_left_outer", "join_full_outer", "join_semi",
     "join_anti", "agg_stats", "agg_distinct", "agg_pivot_status",
