@@ -99,6 +99,12 @@ def _parse_dictionary(text: str) -> dict[str, list[_Field]]:
         nonlocal pos
         colon = text.index(":", pos)
         count = int(text[pos:colon])
+        if count > 1_000_000:
+            # dictionary text is file-controlled too: a crafted
+            # "999999999:d..." inline count would drive the record
+            # reader's loops/allocations — real dictionaries declare
+            # small fixed counts
+            raise ValueError("implausible dictionary item count")
         pos = colon + 1
         pointer = ""
         if text[pos] in "p*":
@@ -143,16 +149,22 @@ def _parse_dictionary(text: str) -> dict[str, list[_Field]]:
 
 
 def _inst_size(fields: list[_Field],
-               types: dict[str, list[_Field]]) -> int:
+               types: dict[str, list[_Field]],
+               depth: int = 0) -> int:
+    if depth > 32:
+        # a crafted dictionary can declare a type containing itself;
+        # real HFA nesting is ~3 deep
+        raise ValueError("dictionary type nesting too deep")
     total = 0
     for f in fields:
         if f.pointer:
             total += 8              # count ULONG + offset ULONG
             continue
         if f.kind == "o":
-            total += f.count * _inst_size(types[f.sub], types)
+            total += f.count * _inst_size(types[f.sub], types,
+                                          depth + 1)
         elif f.kind == "x":
-            total += f.count * _inst_size(f.sub, types)
+            total += f.count * _inst_size(f.sub, types, depth + 1)
         elif f.kind in _BASE_SIZE:
             total += f.count * _BASE_SIZE[f.kind]
         else:
@@ -162,9 +174,13 @@ def _inst_size(fields: list[_Field],
 
 
 def _read_record(buf: bytes, off: int, fields: list[_Field],
-                 types: dict[str, list[_Field]]) -> dict:
+                 types: dict[str, list[_Field]],
+                 depth: int = 0) -> dict:
     """Decode one data record at ``off`` following the dictionary;
-    pointer fields are dereferenced (absolute offsets)."""
+    pointer fields are dereferenced (absolute offsets).  ``depth``
+    bounds crafted pointer cycles (A -> ptr -> A -> ...)."""
+    if depth > 64:
+        raise ValueError("record pointer nesting too deep")
     out: dict = {}
     for f in fields:
         if f.pointer:
@@ -179,9 +195,10 @@ def _read_record(buf: bytes, off: int, fields: list[_Field],
             if cnt > len(buf) or ptr > len(buf):
                 raise ValueError("pointer count/offset exceeds file")
             n = cnt if f.pointer == "p" else max(cnt, 1)
-            out[f.name] = _read_items(buf, ptr, f, n, types)
+            out[f.name] = _read_items(buf, ptr, f, n, types,
+                                      depth + 1)
             continue
-        out[f.name] = _read_items(buf, off, f, f.count, types)
+        out[f.name] = _read_items(buf, off, f, f.count, types, depth)
         if f.kind == "o":
             off += f.count * _inst_size(types[f.sub], types)
         elif f.kind == "x":
@@ -192,15 +209,16 @@ def _read_record(buf: bytes, off: int, fields: list[_Field],
 
 
 def _read_items(buf: bytes, off: int, f: _Field, count: int,
-                types: dict[str, list[_Field]]):
+                types: dict[str, list[_Field]], depth: int = 0):
     if f.kind == "o":
         sz = _inst_size(types[f.sub], types)
-        vals = [_read_record(buf, off + i * sz, types[f.sub], types)
+        vals = [_read_record(buf, off + i * sz, types[f.sub], types,
+                             depth)
                 for i in range(count)]
         return vals if count != 1 else vals[0]
     if f.kind == "x":
         sz = _inst_size(f.sub, types)
-        vals = [_read_record(buf, off + i * sz, f.sub, types)
+        vals = [_read_record(buf, off + i * sz, f.sub, types, depth)
                 for i in range(count)]
         return vals if count != 1 else vals[0]
     if f.kind in ("c", "C") and count > 1:
