@@ -623,8 +623,9 @@ def contour_blocks(blocks: DataFrame, georef: DataFrame,
         )
 
         pdf = pdf.sort_values(["y1", "x1", "y2", "x2"])
-        lines = [[(x1, y1), (x2, y2)] for x1, y1, x2, y2 in zip(
+        segs_l = [((x1, y1), (x2, y2)) for x1, y1, x2, y2 in zip(
             pdf["x1"], pdf["y1"], pdf["x2"], pdf["y2"])]
+        lines = _chain_segments(segs_l)
         wkb = _multilinestring_wkb(lines) if len(lines) > 1 \
             else G.wkb_linestring(lines[0])
         return pd.DataFrame([{
@@ -632,8 +633,51 @@ def contour_blocks(blocks: DataFrame, georef: DataFrame,
             "band": int(pdf["band"].iloc[0]),
             "level": float(pdf["level"].iloc[0]),
             "geometry": wkb,
-            "n_segments": len(lines)}])
+            "n_segments": len(segs_l),
+            "n_lines": len(lines)}])
 
     return segs.groupBy("dataset", "band", "level").applyInPandas(
         assemble, "dataset string, band int, level double, "
-                  "geometry binary, n_segments long")
+                  "geometry binary, n_segments long, n_lines long")
+
+
+def _chain_segments(segs: list) -> list[list[tuple[float, float]]]:
+    """Chain unordered contour segments into polylines: endpoints
+    are bit-identical where quads meet (same values, same
+    interpolation expression), so adjacency is exact tuple equality.
+    Open chains start at degree-1 endpoints (raster border); the
+    remainder are closed loops (first == last point).  Deterministic:
+    seeds scan in input order."""
+    adj: dict[tuple[float, float], list[int]] = {}
+    for i, (p, q) in enumerate(segs):
+        adj.setdefault(p, []).append(i)
+        adj.setdefault(q, []).append(i)
+    used = [False] * len(segs)
+
+    def walk(i: int, start: tuple[float, float]) -> list:
+        used[i] = True
+        p, q = segs[i]
+        pts = [start, q if p == start else p]
+        while True:
+            cur = pts[-1]
+            nxt = next((j for j in adj.get(cur, ())
+                        if not used[j]), None)
+            if nxt is None:
+                return pts
+            used[nxt] = True
+            a, b = segs[nxt]
+            pts.append(b if a == cur else a)
+
+    lines = []
+    # open chains first so loops don't steal their segments mid-path
+    for i, (p, q) in enumerate(segs):
+        if used[i]:
+            continue
+        if len(adj[p]) == 1:
+            lines.append(walk(i, p))
+        elif len(adj[q]) == 1:
+            lines.append(walk(i, q))
+    for i, (p, q) in enumerate(segs):
+        if not used[i]:
+            lines.append(walk(i, p))
+    return lines

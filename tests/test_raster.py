@@ -141,14 +141,13 @@ def test_contour_closed_isoline_and_saddle(spark):
     out = contour_blocks(blocks, georef, [-8.25],
                          block_size=bs).collect()
     assert len(out) == 1
+    # segments CHAIN into one closed isoline: bit-exact endpoints
+    # across block seams (a differing interpolation would break the
+    # chain into fragments), first point == last point
+    assert out[0].n_lines == 1
     p = G.parse_wkb(bytes(out[0].geometry))
-    from collections import Counter
-    pts = Counter()
-    for part in p["parts"]:
-        pts[(part[0], part[1])] += 1
-        pts[(part[2], part[3])] += 1
-    # closed loop: every endpoint appears exactly twice, bit-exact
-    # (cross-block seam points would split into 4 singletons if the
-    # interpolation differed between owner blocks)
-    assert pts and all(c == 2 for c in pts.values())
+    assert len(p["parts"]) == 1
+    part = p["parts"][0]
+    assert (part[0], part[1]) == (part[-2], part[-1])
     assert out[0].n_segments >= 40             # ~circle of r=8.25/0.1
+    assert len(part) // 2 == out[0].n_segments + 1
