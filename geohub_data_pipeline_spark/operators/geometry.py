@@ -438,7 +438,8 @@ def _crossing_params(a1, a2, b1, b2):
 
 def _ring_overlay(shell: list[tuple[float, float]],
                   other: list[tuple[float, float]],
-                  union: bool = False
+                  union: bool = False,
+                  intersect: bool = False
                   ) -> list[list[tuple[float, float]]] | None:
     """Greiner–Hormann-style overlay of two simple closed rings with
     intersection nodes inserted into both — the node-splitting repair
@@ -449,13 +450,19 @@ def _ring_overlay(shell: list[tuple[float, float]],
     shell while outside the other ring and the other ring BACKWARDS
     while inside the shell.  ``union=True``: ``shell plus other`` —
     same walk but the other ring is traversed FORWARDS (outside the
-    shell).
+    shell).  ``intersect=True``: ``shell AND other`` — start at each
+    crossing where the shell ENTERS the other ring, follow the shell
+    forward while inside, and the other ring forward while inside the
+    shell (the region inside BOTH; with both rings CCW the walk stays
+    forward on each).
 
     Returns a list of closed loops (wound as traversed: CCW shells;
-    a CW loop from a union is an enclosed hole); ``[]`` when the
-    rings do not properly cross (caller falls back to containment
-    logic); ``None`` on a degeneracy (tangency, endpoint touch,
-    collinear overlap — left untouched / flagged by the caller).
+    a CW loop from a union is an enclosed hole; intersection loops of
+    two simple rings are always simple shells, oriented CCW); ``[]``
+    when the rings do not properly cross (caller falls back to
+    containment logic); ``None`` on a degeneracy (tangency, endpoint
+    touch, collinear overlap — left untouched / flagged by the
+    caller).
     """
     A = shell[:-1] if _ring_area2(shell) > 0 else shell[:-1][::-1]
     B = other[:-1] if _ring_area2(other) > 0 else other[:-1][::-1]
@@ -515,7 +522,10 @@ def _ring_overlay(shell: list[tuple[float, float]],
     visited = set()
     loops: list[list[tuple[float, float]]] = []
     for start in entry:
-        if entry[start] or start in visited:
+        # difference/union loops launch from EXIT crossings;
+        # intersection loops launch from ENTRY crossings (the shell
+        # is about to run inside the other ring)
+        if (entry[start] != intersect) or start in visited:
             continue
         loop = []
         link = start
@@ -535,13 +545,15 @@ def _ring_overlay(shell: list[tuple[float, float]],
                     break
             if link == start:
                 break
-            if not entry[link]:            # consecutive exit: bad state
+            if entry[link] == intersect:   # failed to alternate: bad state
                 return None
             visited.add(link)
             # follow B backward from this crossing to the next crossing
+            # (forward for union and intersection)
             k = b_pos[link]
             while True:
-                k = (k + 1) % len(aug_b) if union else (k - 1) % len(aug_b)
+                k = ((k + 1) % len(aug_b) if (union or intersect)
+                     else (k - 1) % len(aug_b))
                 loop.append(aug_b[k][0])
                 if aug_b[k][1] is not None:
                     link = aug_b[k][1]

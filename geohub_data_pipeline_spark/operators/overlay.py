@@ -54,7 +54,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["dissolve", "dissolve_edges", "dissolve_features",
            "buffer_points", "buffer_features", "geometry_audit",
-           "polygonize_blocks", "clip_features"]
+           "polygonize_blocks", "clip_features",
+           "intersect_polygons", "overlay_intersection"]
 
 
 # ---------------------------------------------------------------------------
@@ -907,3 +908,214 @@ def clip_features(features: DataFrame,
         "dataset", "layer", "fid", "geometry").mapInPandas(
         kernel, "dataset string, layer string, fid long, "
                 "geometry binary")
+
+
+# ---------------------------------------------------------------------------
+# two-layer overlay: intersection / union geometry per feature pair
+# ---------------------------------------------------------------------------
+
+def _polys_of_wkb(wkb: bytes) -> list[list[list[tuple[float, float]]]]:
+    """WKB -> [[shell, hole...], ...] closed vertex-tuple rings with
+    OGC winding normalized (shell CCW, holes CW)."""
+    from geohub_data_pipeline_spark.operators import geometry as G
+
+    p = G.parse_wkb(wkb)
+    if p is None or p["type"] not in (G.POLYGON, G.MULTIPOLYGON):
+        return []
+    polys: list[list[list[tuple[float, float]]]] = []
+    roles = p.get("roles") or []
+    for part, is_shell in zip(p.get("parts") or [], roles):
+        c = np.asarray(part, np.float64).reshape(-1, 2)
+        ring = [tuple(pt) for pt in c]
+        if ring and ring[0] != ring[-1]:
+            ring.append(ring[0])
+        from geohub_data_pipeline_spark.operators.geometry import _orient
+        ring = _orient(ring, ccw=is_shell)
+        if is_shell or not polys:
+            polys.append([ring])
+        else:
+            polys[-1].append(ring)
+    return polys
+
+
+def _ring_intersect(sa, sb):
+    """Intersection pieces of two simple CLOSED rings: list of CCW
+    shells; [] when empty; None on a degeneracy (tangency etc.)."""
+    from geohub_data_pipeline_spark.operators import geometry as G
+
+    ov = G._ring_overlay(sa, sb, intersect=True)
+    if ov is None:
+        return None
+    if ov:
+        return [r for r in ov if G._ring_area2(r) > 0]
+    # no proper crossings: containment or disjoint
+    pa = G._off_boundary_vertex(sa, sb)
+    if pa is not None and G._point_in_ring(pa, sb):
+        return [sa]
+    pb = G._off_boundary_vertex(sb, sa)
+    if pb is not None and G._point_in_ring(pb, sa):
+        return [sb]
+    return []
+
+
+def _subtract_hole(pieces, hole):
+    """Subtract one CLOSED hole ring from a list of [shell, hole...]
+    piece polygons.  Returns (pieces, degenerate)."""
+    from geohub_data_pipeline_spark.operators import geometry as G
+
+    out = []
+    degen = False
+    for rings in pieces:
+        shell = rings[0]
+        diff = G._ring_difference(shell, hole)
+        if diff is None:
+            degen = True
+            out.append(rings)
+            continue
+        if diff:
+            # shell properly crossed: replaced by simple shells; the
+            # piece's existing holes re-home to whichever part
+            # contains them
+            for ns in diff:
+                sub = [ns]
+                for h in rings[1:]:
+                    ph = G._off_boundary_vertex(h, ns)
+                    if ph is not None and G._point_in_ring(ph, ns):
+                        sub.append(h)
+                out.append(sub)
+            continue
+        # no crossings: containment cases
+        ps = G._off_boundary_vertex(shell, hole)
+        if ps is not None and G._point_in_ring(ps, hole):
+            continue                      # piece swallowed by the hole
+        ph = G._off_boundary_vertex(hole, shell)
+        if ph is not None and G._point_in_ring(ph, shell):
+            out.append(rings + [G._orient(hole, ccw=False)])
+            continue                      # hole strictly inside: keep it
+        out.append(rings)                 # disjoint
+    return out, degen
+
+
+def intersect_polygons(wkb_a: bytes, wkb_b: bytes):
+    """Exact planar intersection of two (multi)polygons.
+
+    Returns ``(pieces, degenerate)``: pieces is [[shell, hole...],
+    ...] with OGC winding; degenerate True flags a tangency /
+    collinear-overlap the node-split walk refuses (caller quarantines
+    the pair the way ``make_valid_polygons`` keeps its flag).
+    """
+    degen = False
+    pieces: list[list[list[tuple[float, float]]]] = []
+    for pa in _polys_of_wkb(wkb_a):
+        for pb in _polys_of_wkb(wkb_b):
+            got = _ring_intersect(pa[0], pb[0])
+            if got is None:
+                degen = True
+                continue
+            cur = [[s] for s in got]
+            for hole in pa[1:] + pb[1:]:
+                cur, d = _subtract_hole(cur, hole)
+                degen |= d
+            pieces += cur
+    return pieces, degen
+
+
+def overlay_intersection(left: DataFrame, right: DataFrame,
+                         zoom: int = 7) -> DataFrame:
+    """Distributed two-layer polygon overlay INTERSECTION — the GIS
+    "Intersection" tool (parcels x flood zones with the overlap
+    geometry, not just the pair list).
+
+    Plan (same 100 TB shape as ``spatial.polygons_intersect_join``):
+    both layers fan map-side to the WebMercator tiles their bbox
+    covers, ONE tile-hash shuffle co-locates candidates, each
+    bbox-overlapping pair is clipped in exactly one owner tile (the
+    tile holding its bbox-intersection's top-left corner), so output
+    is exactly-once with no distinct() pass.  The per-pair clip is
+    the Greiner-Hormann node-split walk (``geometry._ring_overlay``
+    intersect mode) with containment fallbacks and hole subtraction
+    — never a rasterized approximation.
+
+    Input: ``left(a_id, geometry)``, ``right(b_id, geometry)``.
+    Output: one row per pair with a non-empty intersection —
+    ``a_id, b_id, geometry`` (multipolygon WKB), ``area`` (planar
+    shoelace; holes subtract), ``n_rings``, ``degenerate`` (tangency
+    flagged, geometry may be partial — the quarantine contract).
+    """
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.operators import spatial as SP
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(left.sparkSession)
+
+    n = 1 << zoom
+
+    def fan(side):
+        def k(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                rows = []
+                for pid, wkb in zip(pdf["poly_id"], pdf["geometry"]):
+                    rings = SP._rings_of_wkb(bytes(wkb))
+                    if not rings:
+                        continue
+                    allc = np.concatenate(rings)
+                    lo_x, lo_y = allc.min(axis=0)
+                    hi_x, hi_y = allc.max(axis=0)
+                    tx0 = int((lo_x + 180.0) / 360.0 * n)
+                    tx1 = int((hi_x + 180.0) / 360.0 * n)
+                    ty0 = SP._ytile(hi_y, n)
+                    ty1 = SP._ytile(lo_y, n)
+                    for tx in range(max(tx0, 0), min(tx1, n - 1) + 1):
+                        for ty in range(max(ty0, 0),
+                                        min(ty1, n - 1) + 1):
+                            rows.append((tx * n + ty, int(pid),
+                                         bytes(wkb), lo_x, lo_y,
+                                         hi_x, hi_y))
+                yield pd.DataFrame(rows, columns=[
+                    "tile", f"{side}_id", f"{side}_geom",
+                    f"{side}_x0", f"{side}_y0",
+                    f"{side}_x1", f"{side}_y1"])
+        return k
+
+    lt = left.select(F.col("a_id").alias("poly_id"),
+                     "geometry").mapInPandas(
+        fan("a"), "tile long, a_id long, a_geom binary, a_x0 double, "
+                  "a_y0 double, a_x1 double, a_y1 double")
+    rt = right.select(F.col("b_id").alias("poly_id"),
+                      "geometry").mapInPandas(
+        fan("b"), "tile long, b_id long, b_geom binary, b_x0 double, "
+                  "b_y0 double, b_x1 double, b_y1 double")
+
+    cand = lt.join(rt, "tile").filter(
+        (F.col("a_x0") <= F.col("b_x1")) & (F.col("b_x0") <= F.col("a_x1"))
+        & (F.col("a_y0") <= F.col("b_y1")) & (F.col("b_y0") <= F.col("a_y1")))
+
+    def clip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                ix = max(r.a_x0, r.b_x0)
+                iy = min(r.a_y1, r.b_y1)
+                otx = min(max(int((ix + 180.0) / 360.0 * n), 0), n - 1)
+                oty = min(max(SP._ytile(iy, n), 0), n - 1)
+                if otx * n + oty != r.tile:
+                    continue
+                pieces, degen = intersect_polygons(
+                    bytes(r.a_geom), bytes(r.b_geom))
+                if not pieces and not degen:
+                    continue
+                area = 0.0
+                nr = 0
+                for rings in pieces:
+                    for ring in rings:
+                        area += G._ring_area2(ring) / 2.0
+                        nr += 1
+                buf = G.wkb_multipolygon(pieces) if pieces else None
+                rows.append((int(r.a_id), int(r.b_id), buf,
+                             float(area), nr, bool(degen)))
+            yield pd.DataFrame(rows, columns=[
+                "a_id", "b_id", "geometry", "area", "n_rings",
+                "degenerate"])
+
+    return cand.mapInPandas(
+        clip, "a_id long, b_id long, geometry binary, area double, "
+              "n_rings long, degenerate boolean")

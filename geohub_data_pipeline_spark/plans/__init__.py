@@ -52,7 +52,7 @@ promote([
     "dedup_substring_spans", "dedup_semdedup_kmeans", "geo_dissolve",
     "spatial_join_buffered", "mvt_fragment_merge", "hfa_source",
     "spatial_join_nearest", "raster_polygonize", "raster_contour",
-    "geo_clip", "spatial_join_intersects",
+    "geo_clip", "spatial_join_intersects", "geo_overlay_intersection",
     "scalar_string", "scalar_math", "scalar_datetime",
     "conditional_case", "agg_approx_distinct", "agg_collect_array",
     "scalar_null_handling", "backfill_anti_join", "progress_partition",

@@ -4011,3 +4011,100 @@ def spatial_join_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = spark.createDataFrame(polys, "a_id long, geometry binary")
     return (SP.polygons_intersect_join(a, b, zoom=5)
             .orderBy("a_id", "b_id"))
+
+
+# ---------------------------------------------------------------------------
+# Round-6 continuation: two-layer overlay intersection geometry
+# ---------------------------------------------------------------------------
+
+_OVERLAY_SQL = """
+WITH a AS (
+  SELECT CAST(t.i AS BIGINT) AS a_id,
+         -18.0 + (t.i % 4) * 9.0 AS ax0,
+         -12.0 + (t.i // 4) * 9.0 AS ay0,
+         8.0 AS aw, 8.0 AS ah
+  FROM range(12) t(i)
+),
+b AS (
+  SELECT CAST(t.i AS BIGINT) AS b_id,
+         -19.75 + t.i * 4.25 AS bx0,
+         -14.5 + t.i * 3.75 AS by0,
+         CAST(CASE t.i % 3 WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 16 END
+              AS DOUBLE) AS bw,
+         CAST(CASE t.i % 3 WHEN 0 THEN 4 WHEN 1 THEN 16 ELSE 2 END
+              AS DOUBLE) AS bh
+  FROM range(10) t(i)
+)
+SELECT a_id, b_id,
+       (least(ax0 + aw, bx0 + bw) - greatest(ax0, bx0))
+       * (least(ay0 + ah, by0 + bh) - greatest(ay0, by0)) AS area,
+       CAST(1 AS BIGINT) AS n_rings
+FROM a, b
+WHERE least(ax0 + aw, bx0 + bw) > greatest(ax0, bx0)
+  AND least(ay0 + ah, by0 + bh) > greatest(ay0, by0)
+ORDER BY a_id, b_id
+"""
+
+
+@query("geo_overlay_intersection", "pipeline",
+       "geo analytics: two-layer overlay INTERSECTION geometry — "
+       "both layers fan to bbox tiles, one tile-hash shuffle, "
+       "owner-tile exactly-once, Greiner-Hormann intersect walk + "
+       "containment fallback + hole subtraction; interval-overlap "
+       "product as the oracle", _OVERLAY_SQL)
+def geo_overlay_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Twelve 8x8 A-rectangles x ten B-rectangles (2/4/16-degree
+    power-of-two sizes on quarter-degree anchors, so every crossing
+    coordinate t = (c - x0)/w and every shoelace product is exactly
+    representable — the Spark shoelace area and the oracle's
+    interval-overlap product are bit-identical).  16 proper-crossing
+    pairs (incl. full-span 4-crossing central bands) + 1 containment
+    pair; layer constants verified tangency-free (no shared edge
+    coordinate between layers).  The REAL operator runs the full
+    distributed plan: tile fan-out both sides, owner-tile
+    exactly-once clip, node-split intersection walk.
+
+    Scale: candidates are bbox-localized per tile, never |A| x |B|;
+    the clip cost is per-pair output complexity.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.operators import overlay as OV
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+
+    def build(which: str):
+        def k(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                rows = []
+                for i in pdf["id"]:
+                    i = int(i)
+                    if which == "a":
+                        x0 = -18.0 + (i % 4) * 9.0
+                        y0 = -12.0 + (i // 4) * 9.0
+                        w = h = 8.0
+                    else:
+                        x0 = -19.75 + i * 4.25
+                        y0 = -14.5 + i * 3.75
+                        w = [2.0, 4.0, 16.0][i % 3]
+                        h = [4.0, 16.0, 2.0][i % 3]
+                    ring = [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h),
+                            (x0, y0 + h), (x0, y0)]
+                    rows.append((i, G.wkb_polygon([ring])))
+                yield pd.DataFrame(rows, columns=["pid", "geometry"])
+        return k
+
+    a = spark.range(12).select(F.col("id")).mapInPandas(
+        build("a"), "pid long, geometry binary").select(
+        F.col("pid").alias("a_id"), "geometry")
+    b = spark.range(10).select(F.col("id")).mapInPandas(
+        build("b"), "pid long, geometry binary").select(
+        F.col("pid").alias("b_id"), "geometry")
+    out = OV.overlay_intersection(a, b, zoom=5)
+    return (out.filter(~F.col("degenerate"))
+            .select("a_id", "b_id", "area", "n_rings")
+            .orderBy("a_id", "b_id"))

@@ -224,3 +224,86 @@ def test_clip_features_polygon_line_point(spark):
     # zigzag: two disjoint in-window runs -> multilinestring
     assert line["type"] == G.MULTILINESTRING
     assert len(line["parts"]) == 2
+
+
+def test_intersect_polygons_cases():
+    """Ring-intersection walk: proper crossings (4-crossing central
+    band), corner overlap, containment both ways, disjoint, hole
+    subtraction (fully-inside hole survives as a hole; crossing hole
+    renodes the shell; piece inside a hole vanishes), tangency
+    degenerate flag."""
+    def rect(x0, y0, w, h):
+        return G.wkb_polygon([[(x0, y0), (x0 + w, y0),
+                               (x0 + w, y0 + h), (x0, y0 + h),
+                               (x0, y0)]])
+
+    def area(pieces):
+        return sum(G._ring_area2(r) / 2
+                   for rings in pieces for r in rings)
+
+    # plus-sign: 4 proper crossings, central 2x2 band
+    p, d = OV.intersect_polygons(rect(0, -2, 2, 8), rect(-2, 0, 8, 2))
+    assert (area(p), d, len(p)) == (4.0, False, 1)
+    # corner overlap: 2 crossings
+    p, d = OV.intersect_polygons(rect(0, 0, 4, 4), rect(2, 2, 4, 4))
+    assert (area(p), d) == (4.0, False)
+    # containment both directions
+    p, d = OV.intersect_polygons(rect(0, 0, 8, 8), rect(1, 1, 2, 2))
+    assert (area(p), d) == (4.0, False)
+    p, d = OV.intersect_polygons(rect(1, 1, 2, 2), rect(0, 0, 8, 8))
+    assert (area(p), d) == (4.0, False)
+    # disjoint
+    p, d = OV.intersect_polygons(rect(0, 0, 1, 1), rect(5, 5, 1, 1))
+    assert (p, d) == ([], False)
+    # holes: donut x overlapping rect
+    hole = [(3.0, 3.0), (3.0, 5.0), (5.0, 5.0), (5.0, 3.0),
+            (3.0, 3.0)]
+    donut = G.wkb_polygon([
+        [(0.0, 0.0), (8.0, 0.0), (8.0, 8.0), (0.0, 8.0), (0.0, 0.0)],
+        hole])
+    p, d = OV.intersect_polygons(donut, rect(2, 2, 4, 4))
+    assert (area(p), d) == (16.0 - 4.0, False)   # hole fully inside
+    p, d = OV.intersect_polygons(donut, rect(0.5, 0.5, 3.0, 3.0))
+    assert (area(p), d) == (9.0 - 0.25, False)   # hole crosses piece
+    p, d = OV.intersect_polygons(donut, rect(3.5, 3.5, 1.0, 1.0))
+    assert (p, d) == ([], False)                 # piece inside hole
+    # shared corner = tangency -> degenerate flag, no silent output
+    p, d = OV.intersect_polygons(rect(0, 0, 4, 4), rect(0, 0, 2, 2))
+    assert d is True
+    # multipolygon side: two towers x one band -> two pieces
+    two = G.wkb_multipolygon([
+        [[(0.0, 0.0), (1.0, 0.0), (1.0, 4.0), (0.0, 4.0),
+          (0.0, 0.0)]],
+        [[(3.0, 0.0), (4.0, 0.0), (4.0, 4.0), (3.0, 4.0),
+          (3.0, 0.0)]]])
+    p, d = OV.intersect_polygons(two, rect(-1, 1, 8, 2))
+    assert (area(p), d, len(p)) == (4.0, False, 2)
+
+
+def test_overlay_intersection_distributed(spark):
+    """Distributed two-layer overlay: owner-tile exactly-once (a pair
+    spanning several tiles emits ONE row), areas exact, containment
+    and crossing pairs both present."""
+    def rect(x0, y0, w, h):
+        return G.wkb_polygon([[(x0, y0), (x0 + w, y0),
+                               (x0 + w, y0 + h), (x0, y0 + h),
+                               (x0, y0)]])
+
+    a = spark.createDataFrame(
+        [(0, rect(-20.0, -20.0, 32.0, 32.0)),   # spans many z5 tiles
+         (1, rect(40.0, 10.0, 8.0, 8.0))],
+        "a_id long, geometry binary")
+    b = spark.createDataFrame(
+        [(0, rect(-4.0, -4.0, 64.0, 8.0)),      # crosses a0 only
+         (1, rect(41.0, 11.0, 2.0, 2.0))],      # inside a1
+        "b_id long, geometry binary")
+    rows = {(r.a_id, r.b_id): r
+            for r in OV.overlay_intersection(a, b, zoom=5).collect()}
+    assert set(rows) == {(0, 0), (1, 1)}
+    r00 = rows[(0, 0)]
+    assert r00.area == 16.0 * 8.0 and r00.n_rings == 1
+    assert not r00.degenerate
+    r11 = rows[(1, 1)]
+    assert r11.area == 4.0 and r11.n_rings == 1
+    got = G.parse_wkb(bytes(r11.geometry))
+    assert got["type"] == G.MULTIPOLYGON
