@@ -247,15 +247,48 @@ def band_math(blocks: DataFrame, expr_fn,
         F.lit(float("nan")).alias("nodata"), "srid")
 
 
-def _focal_horn(blocks: DataFrame, cellsize: float,
-                z_factor: float, finish) -> DataFrame:
+def reclassify(blocks: DataFrame,
+               breaks: list[float],
+               classes: list[float],
+               nodata_class: float = float("nan")) -> DataFrame:
+    """Raster reclassification (the gdal_calc / ESRI Reclassify
+    analog): map value RANGES to class codes.  ``breaks`` are the
+    ascending upper bounds of the first ``len(breaks)`` classes
+    (half-open: v < breaks[0] -> classes[0], breaks[0] <= v <
+    breaks[1] -> classes[1], ...); values >= breaks[-1] take the
+    final class, so ``len(classes) == len(breaks) + 1``.  Declared
+    nodata (and NaN) pixels map to ``nodata_class``.
+
+    PURE Catalyst: a chained ``when`` ladder inside ``transform``
+    over the pixel array — no Python per pixel, no shuffle at all
+    (embarrassingly map-side, whatever the block grid).
+    """
+    if len(classes) != len(breaks) + 1:
+        raise ValueError("need len(classes) == len(breaks) + 1")
+    if sorted(breaks) != list(breaks):
+        raise ValueError("breaks must be ascending")
+
+    def ladder(v):
+        expr = F.when(F.isnan(v) | (v == F.col("nodata")),
+                      F.lit(float(nodata_class)))
+        for b, c in zip(breaks, classes):
+            expr = expr.when(v < F.lit(float(b)), F.lit(float(c)))
+        return expr.otherwise(F.lit(float(classes[-1])))
+
+    return blocks.withColumn(
+        "pixels", F.transform("pixels", ladder)).withColumn(
+        "nodata", F.lit(float(nodata_class)))
+
+
+def _focal_window(blocks: DataFrame, canvas_fn) -> DataFrame:
     """Shared 3x3 FOCAL (stencil) machinery: halo exchange (each
     block ships ONLY its 1-pixel edge strips/corners to the 8
     neighbor groups — ~1.5%% of pixel volume at BLOCK=256), one
-    grid-key groupBy co-locating block+halo, Horn dz/dx+dz/dy on the
-    padded canvas, then ``finish(dzdx, dzdy) -> array`` computes the
-    output surface.  Border and nodata-center pixels emit NaN.
-    Backs ``hillshade`` and ``slope``."""
+    grid-key groupBy co-locating block+halo, then
+    ``canvas_fn(z) -> array`` maps the NaN-padded (h+2, w+2) canvas
+    to the (h, w) output surface.  Border and nodata-center pixels
+    emit NaN.  Backs ``hillshade``/``slope``/``aspect`` (Horn
+    derivatives) and ``focal_stats`` (window statistics)."""
     from geohub_data_pipeline_spark.session import ship_package
     ship_package(blocks.sparkSession)
 
@@ -342,17 +375,10 @@ def _focal_horn(blocks: DataFrame, cellsize: float,
             # receiver needs (same-row neighbors share height,
             # same-column neighbors share width), so they drop in
             canvas[ys, xs] = piece
-        z = canvas * z_factor
-        dzdx = ((z[:-2, 2:] + 2 * z[1:-1, 2:] + z[2:, 2:])
-                - (z[:-2, :-2] + 2 * z[1:-1, :-2] + z[2:, :-2])) \
-            / (8.0 * cellsize)
-        dzdy = ((z[2:, :-2] + 2 * z[2:, 1:-1] + z[2:, 2:])
-                - (z[:-2, :-2] + 2 * z[:-2, 1:-1] + z[:-2, 2:])) \
-            / (8.0 * cellsize)
-        shade = finish(dzdx, dzdy)
-        # the Horn kernel reads only the 8 NEIGHBORS, so a nodata
+        shade = canvas_fn(canvas)
+        # a kernel may read only the 8 NEIGHBORS (Horn), so a nodata
         # CENTER would otherwise emit a finite value — mask it
-        shade[np.isnan(z[1:-1, 1:-1])] = np.nan
+        shade[np.isnan(canvas[1:-1, 1:-1])] = np.nan
         return pd.DataFrame([{
             "dataset": c["dataset"], "subdataset": c["subdataset"],
             "band": int(c["band"]), "level": 0,
@@ -364,6 +390,63 @@ def _focal_horn(blocks: DataFrame, cellsize: float,
     return fanned.groupBy(
         "dataset", "subdataset", "band", "tgt_x", "tgt_y"
     ).applyInPandas(kernel, BLOCK_SCHEMA)
+
+
+def _focal_horn(blocks: DataFrame, cellsize: float,
+                z_factor: float, finish) -> DataFrame:
+    """Horn dz/dx + dz/dy derivatives on the shared focal-window
+    canvas; ``finish(dzdx, dzdy) -> array`` computes the output
+    surface.  Backs ``hillshade``/``slope``/``aspect``."""
+    def canvas_fn(canvas):
+        z = canvas * z_factor
+        dzdx = ((z[:-2, 2:] + 2 * z[1:-1, 2:] + z[2:, 2:])
+                - (z[:-2, :-2] + 2 * z[1:-1, :-2] + z[2:, :-2])) \
+            / (8.0 * cellsize)
+        dzdy = ((z[2:, :-2] + 2 * z[2:, 1:-1] + z[2:, 2:])
+                - (z[:-2, :-2] + 2 * z[:-2, 1:-1] + z[:-2, 2:])) \
+            / (8.0 * cellsize)
+        return finish(dzdx, dzdy)
+
+    return _focal_window(blocks, canvas_fn)
+
+
+_FOCAL_STATS = {
+    "mean": lambda s: np.sum(s, axis=0) / 9.0,
+    "sum": lambda s: np.sum(s, axis=0),
+    "min": lambda s: np.min(s, axis=0),
+    "max": lambda s: np.max(s, axis=0),
+    "range": lambda s: np.max(s, axis=0) - np.min(s, axis=0),
+}
+
+
+def focal_stats(blocks: DataFrame, stat: str = "mean") -> DataFrame:
+    """Generic 3x3 focal statistics (the gdaldem / ESRI Focal
+    Statistics analog): ``mean``/``sum``/``min``/``max``/``range``
+    over the full 3x3 window, complete-window semantics — any NaN
+    (nodata or raster border) in the window propagates NaN, so
+    results are identical whatever block grid the raster is split on.
+
+    Same distributed shape as the Horn terrain trio: 1-pixel halo
+    strips to the 8 neighbor groups (~1.5% of pixel volume at
+    BLOCK=256), ONE grid-key shuffle, numpy window views per block —
+    never a 9x whole-block regroup.  ``mean`` is computed as
+    sum-of-views / 9.0 in a fixed stack order so the SQL gate
+    oracle's 8-way self-join sum reproduces it bit-for-bit after the
+    gate's 4-decimal round.
+    """
+    if stat not in _FOCAL_STATS:
+        raise ValueError(f"unknown focal stat {stat!r}; "
+                         f"one of {sorted(_FOCAL_STATS)}")
+    fn = _FOCAL_STATS[stat]
+
+    def canvas_fn(z):
+        views = np.stack([
+            z[:-2, :-2], z[:-2, 1:-1], z[:-2, 2:],
+            z[1:-1, :-2], z[1:-1, 1:-1], z[1:-1, 2:],
+            z[2:, :-2], z[2:, 1:-1], z[2:, 2:]])
+        return fn(views)
+
+    return _focal_window(blocks, canvas_fn)
 
 
 def hillshade(blocks: DataFrame, azimuth: float = 315.0,

@@ -4108,3 +4108,94 @@ def geo_overlay_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.filter(~F.col("degenerate"))
             .select("a_id", "b_id", "area", "n_rings")
             .orderBy("a_id", "b_id"))
+
+
+_RECLASS_SQL = """
+WITH px AS (
+  SELECT CAST(5 * r.i + 3 * c.i + (r.i * c.i) % 7 AS DOUBLE) AS v
+  FROM range(128) r(i), range(128) c(i)
+)
+SELECT CASE WHEN v < 100 THEN 0.0 WHEN v < 300 THEN 1.0
+            WHEN v < 600 THEN 2.0 WHEN v < 900 THEN 3.0
+            ELSE 4.0 END AS cls,
+       COUNT(*) AS n_px
+FROM px GROUP BY 1 ORDER BY cls
+"""
+
+
+@query("raster_reclassify", "pipeline",
+       "geo analytics: raster reclassification — value ranges to "
+       "class codes as a pure-Catalyst when-ladder inside "
+       "transform() over the pixel arrays (zero Python per pixel, "
+       "zero shuffle), audited by per-class pixel counts",
+       _RECLASS_SQL)
+def raster_reclassify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reclassify the shared 128x128 DEM (integer values 0..1022)
+    into five classes with breaks 100/300/600/900, then count pixels
+    per class.  The class ladder runs entirely inside whole-stage
+    codegen (``F.transform`` + chained ``when``); the only shuffle
+    is the audit's 5-group count.
+
+    Scale: reclassification is the map-side-only raster op — at
+    100 TB it pipelines with the scan, and the audit aggregate is
+    partial (5 groups however many blocks).
+    """
+    from geohub_data_pipeline_spark.operators import raster as R
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    load_tables(spark, sf_dir)             # harness contract
+    blocks, _ = _demo_dem_blocks(spark)
+    out = R.reclassify(blocks, [100.0, 300.0, 600.0, 900.0],
+                       [0.0, 1.0, 2.0, 3.0, 4.0])
+    return (out.select(F.explode("pixels").alias("cls"))
+            .groupBy("cls").agg(F.count("*").alias("n_px"))
+            .orderBy("cls"))
+
+
+_FOCAL_MEAN_SQL = """
+WITH px AS (
+  SELECT r.i AS row, c.i AS col,
+         CAST(5 * r.i + 3 * c.i + (r.i * c.i) % 7 AS DOUBLE) AS v
+  FROM range(128) r(i), range(128) c(i)
+)
+SELECT CAST(a.row AS INTEGER) AS row, CAST(a.col AS INTEGER) AS col,
+       round((nw.v + n.v + ne.v + w.v + a.v + e.v + sw.v + s.v
+              + se.v) / 9.0, 4) AS fmean
+FROM px a
+JOIN px nw ON nw.row = a.row - 1 AND nw.col = a.col - 1
+JOIN px n  ON n.row  = a.row - 1 AND n.col  = a.col
+JOIN px ne ON ne.row = a.row - 1 AND ne.col = a.col + 1
+JOIN px w  ON w.row  = a.row     AND w.col  = a.col - 1
+JOIN px e  ON e.row  = a.row     AND e.col  = a.col + 1
+JOIN px sw ON sw.row = a.row + 1 AND sw.col = a.col - 1
+JOIN px s  ON s.row  = a.row + 1 AND s.col  = a.col
+JOIN px se ON se.row = a.row + 1 AND se.col = a.col + 1
+ORDER BY row, col
+"""
+
+
+@query("raster_focal_mean", "pipeline",
+       "geo analytics: generic 3x3 focal statistics (mean) on the "
+       "shared halo-exchange stencil — 1-px strips to the 8 "
+       "neighbor groups, one grid-key shuffle; whole-raster 8-way "
+       "self-join as the oracle", _FOCAL_MEAN_SQL)
+def raster_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal mean over the same 2x2-block DEM as the Horn terrain
+    gates — seam pixels only come out right if every neighbor strip
+    arrived, which the oracle's whole-raster self-join checks.  The
+    integer DEM keeps the 9-value sum exact, so Spark's
+    sum-of-views / 9.0 and the oracle's quotient are the same double
+    before the gate's 4-decimal round.
+
+    Scale: the focal family (mean/sum/min/max/range) shares the
+    terrain trio's halo plan — edge strips, never a 9x whole-block
+    regroup.
+    """
+    from geohub_data_pipeline_spark.operators import raster as R
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    load_tables(spark, sf_dir)             # harness contract
+    blocks, b = _demo_dem_blocks(spark)
+    return _flatten_pixels(R.focal_stats(blocks, "mean"), b, "fmean")

@@ -151,3 +151,65 @@ def test_contour_closed_isoline_and_saddle(spark):
     assert (part[0], part[1]) == (part[-2], part[-1])
     assert out[0].n_segments >= 40             # ~circle of r=8.25/0.1
     assert len(part) // 2 == out[0].n_segments + 1
+
+
+def test_focal_stats_and_reclassify(spark):
+    """focal_stats min/max/range across a block seam (halo must
+    deliver the neighbor strips); reclassify maps ranges + nodata
+    and rejects bad break specs."""
+    import numpy as np
+    import pytest as _pytest
+
+    # 4x4 raster split into 2x2 blocks, values = row*4 + col
+    arr = np.arange(16, dtype=np.float64).reshape(4, 4)
+    rows = []
+    for by in range(2):
+        for bx in range(2):
+            tile = arr[by * 2:by * 2 + 2, bx * 2:bx * 2 + 2]
+            rows.append(("d", None, 1, 0, bx, by, 2, 2,
+                         tile.ravel().tolist(), None, 4326))
+    blocks = spark.createDataFrame(rows, R.BLOCK_SCHEMA)
+
+    def center_vals(df):
+        out = {}
+        for r in df.collect():
+            px = np.asarray(r.pixels).reshape(r.height, r.width)
+            for yy in range(r.height):
+                for xx in range(r.width):
+                    out[(r.block_y * 2 + yy,
+                         r.block_x * 2 + xx)] = px[yy, xx]
+        return out
+
+    mx = center_vals(R.focal_stats(blocks, "max"))
+    mn = center_vals(R.focal_stats(blocks, "min"))
+    rg = center_vals(R.focal_stats(blocks, "range"))
+    # interior pixels (1,1),(1,2),(2,1),(2,2) have full windows —
+    # (1,1) straddles all four blocks only via (2,2)'s window; value
+    # grid: window around (r,c) spans r-1..r+1 x c-1..c+1
+    assert mx[(1, 1)] == 10.0 and mn[(1, 1)] == 0.0
+    assert rg[(2, 2)] == 10.0            # 5..15 window
+    v00 = mx[(0, 0)]                     # raster border: NaN (may
+    assert v00 is None or np.isnan(v00)  # arrive as null via Arrow)
+    # seam check: (1, 2)'s window needs strips from 3 other blocks
+    assert mx[(1, 2)] == 11.0 and mn[(1, 2)] == 1.0
+
+    rc = center_vals(R.reclassify(blocks, [4.0, 8.0],
+                                  [0.0, 1.0, 2.0]))
+    assert rc[(0, 0)] == 0.0 and rc[(1, 0)] == 1.0 \
+        and rc[(3, 3)] == 2.0
+
+    # nodata pixels take the nodata class
+    nd = [("d", None, 1, 0, 0, 0, 2, 2, [1.0, 9.0, 9.0, 2.0],
+           9.0, 4326)]
+    ndf = spark.createDataFrame(nd, R.BLOCK_SCHEMA)
+    got = R.reclassify(ndf, [5.0], [0.0, 1.0],
+                       nodata_class=-1.0).collect()[0]
+    assert got.pixels == [0.0, -1.0, -1.0, 0.0]
+    assert got.nodata == -1.0
+
+    with _pytest.raises(ValueError):
+        R.focal_stats(blocks, "median")
+    with _pytest.raises(ValueError):
+        R.reclassify(blocks, [2.0, 1.0], [0.0, 1.0, 2.0])
+    with _pytest.raises(ValueError):
+        R.reclassify(blocks, [1.0], [0.0])
