@@ -251,3 +251,65 @@ def scrub_pii(df: DataFrame, text_col: str,
     for _, pat, repl in pats:
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     return out.withColumn("scrubbed", scrubbed)
+
+
+def dsir_weights(docs: DataFrame, target_cond: Column,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """DSIR importance-resampling log-weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every document by how much more likely its hashed-unigram
+    features are under a TARGET distribution (the rows matching
+    ``target_cond``, e.g. a trusted high-quality slice) than under
+    the raw-corpus distribution.  Resampling the corpus by these
+    weights yields target-like training data.
+
+    Features are hashed n-grams exactly as in the paper: each token
+    maps to one of 256 buckets by md5 prefix (md5 so the DuckDB gate
+    oracle buckets identically; at scale xxhash/crc are drop-ins).
+    Per-bucket probabilities use add-one smoothing over the bucket
+    count B, and the per-document log-weight is
+
+        log w(x) = sum_tokens [ ln p_target(b(t)) - ln p_raw(b(t)) ]
+
+    folded in POSITION order (``array_sort`` -> sequential
+    ``aggregate``), never a partial-aggregated double sum — the same
+    determinism contract as ``text_unigram_logprob``.
+
+    Scale: the bucket table is <= 256 rows (broadcast); tokenization
+    and bucketing are map-side Catalyst; the only data shuffle is
+    the per-doc fold on ``id_col``.
+    """
+    n_buckets = 256
+    tok = docs.select(
+        F.col(id_col), target_cond.alias("__tgt"),
+        F.posexplode(F.split(F.col(text_col), " "))
+        .alias("pos", "term"),
+    ).select(
+        id_col, "__tgt", "pos",
+        F.substring(F.md5("term"), 1, 2).alias("bucket"))
+
+    counts = tok.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cs"),
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("ct"))
+    totals = counts.agg(F.sum("cs"), F.sum("ct")).collect()[0]
+    ns, nt = int(totals[0]), int(totals[1])
+
+    llr = counts.select(
+        "bucket",
+        (F.log((F.col("ct") + 1.0) / F.lit(float(nt + n_buckets)))
+         - F.log((F.col("cs") + 1.0) / F.lit(float(ns + n_buckets))))
+        .alias("llr"))
+
+    per_tok = tok.join(F.broadcast(llr), "bucket")
+    return (per_tok.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("int").alias("n_tokens"),
+                 F.aggregate(
+                     F.transform(
+                         F.array_sort(
+                             F.collect_list(F.struct("pos", "llr"))),
+                         lambda s: s["llr"]),
+                     F.lit(0.0), lambda acc, v: acc + v)
+                 .alias("__s"))
+            .select(id_col, "n_tokens",
+                    F.round(F.col("__s"), 6).alias("dsir_logw")))

@@ -650,3 +650,49 @@ def text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
          & ~F.col("has_lorem") & ~F.col("has_brace")
          & (F.col("n_words") >= 50)).alias("pass_c4"),
     )
+
+
+_DSIR_SQL = """
+WITH tok AS (
+  SELECT doc_id, lang = 'en' AS tgt, i AS pos,
+         substring(md5(string_split(text, ' ')[i]), 1, 2) AS bucket
+  FROM documents
+  CROSS JOIN unnest(range(1, len(string_split(text, ' ')) + 1)) AS u(i)
+),
+counts AS (
+  SELECT bucket, count(*) AS cs,
+         sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+  FROM tok GROUP BY bucket
+),
+tot AS (SELECT sum(cs) AS ns, sum(ct) AS nt FROM counts),
+llr AS (
+  SELECT bucket,
+         ln((ct + 1.0) / CAST(nt + 256 AS DOUBLE))
+         - ln((cs + 1.0) / CAST(ns + 256 AS DOUBLE)) AS llr
+  FROM counts CROSS JOIN tot
+)
+SELECT t.doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+       round(list_reduce(list(l.llr ORDER BY t.pos),
+                         (x, y) -> x + y), 6) AS dsir_logw
+FROM tok t JOIN llr l USING (bucket)
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+@query("text_dsir_weights", "llm",
+       "north star: DSIR importance-resampling weights (Xie 2023) — "
+       "hashed-unigram bucket LM ratio target-vs-raw, position-"
+       "ordered fold", _DSIR_SQL)
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR log-weights with the English slice as the target
+    distribution: documents whose hashed-unigram profile looks like
+    the target score high; resampling by these weights is the
+    paper's recipe for building a target-matched pretraining mix.
+    See ``operators/curation.dsir_weights`` for the distributed
+    shape (256-bucket broadcast, map-side bucketing, one per-doc
+    fold shuffle).
+    """
+    t = load_tables(spark, sf_dir)
+    return (C.dsir_weights(t.documents, F.col("lang") == "en")
+            .orderBy("doc_id"))

@@ -389,3 +389,16 @@ def test_nearest_join_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "hashpartitioning(point_id" in plan       # rank window key
+
+
+def test_dsir_bucket_table_broadcasts(spark, sf_dir):
+    """DSIR per-token scoring joins the <=256-row bucket-llr table
+    with a BROADCAST hash join — the token stream never shuffles on
+    bucket; the only data shuffle is the per-doc fold."""
+    plan = plan_of(SPECS["text_dsir_weights"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the per-token scoring join must never sort-merge the token
+    # stream on bucket (the bucket-count partial agg may hash its
+    # own 256-group exchange — that's map-side-combined and tiny)
+    assert "SortMergeJoin" not in plan
