@@ -280,18 +280,25 @@ def reclassify(blocks: DataFrame,
         "nodata", F.lit(float(nodata_class)))
 
 
-def _focal_window(blocks: DataFrame, canvas_fn) -> DataFrame:
-    """Shared 3x3 FOCAL (stencil) machinery: halo exchange (each
-    block ships ONLY its 1-pixel edge strips/corners to the 8
-    neighbor groups — ~1.5%% of pixel volume at BLOCK=256), one
-    grid-key groupBy co-locating block+halo, then
-    ``canvas_fn(z) -> array`` maps the NaN-padded (h+2, w+2) canvas
-    to the (h, w) output surface.  Border and nodata-center pixels
-    emit NaN.  Backs ``hillshade``/``slope``/``aspect`` (Horn
-    derivatives) and ``focal_stats`` (window statistics)."""
+def _focal_window(blocks: DataFrame, canvas_fn, halo: int = 1,
+                  mask_center: bool = True) -> DataFrame:
+    """Shared FOCAL (stencil) machinery: halo exchange (each block
+    ships ONLY its ``halo``-pixel edge strips/corners to the 8
+    neighbor groups — ~1.5%% of pixel volume at BLOCK=256 and
+    halo=1), one grid-key groupBy co-locating block+halo, then
+    ``canvas_fn(z) -> array`` maps the NaN-padded (h+2R, w+2R)
+    canvas to the (h, w) output surface.  ``halo`` must not exceed
+    the block dimensions (one ring of neighbors feeds the canvas).
+    ``mask_center=True`` NaNs output pixels whose CENTER is nodata
+    (right for value kernels like Horn, where the stencil reads only
+    neighbors); proximity-style kernels that remain meaningful at a
+    nodata center pass False.  Backs ``hillshade``/``slope``/
+    ``aspect`` (Horn derivatives), ``focal_stats`` (window
+    statistics) and ``proximity`` (bounded distance transform)."""
     from geohub_data_pipeline_spark.session import ship_package
     ship_package(blocks.sparkSession)
 
+    R = int(halo)                 # bound before the inner def below
     lvl0 = blocks.filter(F.col("level") == 0)
 
     def halo(it):
@@ -314,12 +321,12 @@ def _focal_window(blocks: DataFrame, canvas_fn) -> DataFrame:
                              int(r.srid)))
                 # edge strips + corners to the 8 neighbors
                 pieces = {
-                    (bx - 1, by): arr[:, :1], (bx + 1, by): arr[:, -1:],
-                    (bx, by - 1): arr[:1, :], (bx, by + 1): arr[-1:, :],
-                    (bx - 1, by - 1): arr[:1, :1],
-                    (bx + 1, by - 1): arr[:1, -1:],
-                    (bx - 1, by + 1): arr[-1:, :1],
-                    (bx + 1, by + 1): arr[-1:, -1:],
+                    (bx - 1, by): arr[:, :R], (bx + 1, by): arr[:, -R:],
+                    (bx, by - 1): arr[:R, :], (bx, by + 1): arr[-R:, :],
+                    (bx - 1, by - 1): arr[:R, :R],
+                    (bx + 1, by - 1): arr[:R, -R:],
+                    (bx - 1, by + 1): arr[-R:, :R],
+                    (bx + 1, by + 1): arr[-R:, -R:],
                 }
                 for (tx, ty), piece in pieces.items():
                     if tx < 0 or ty < 0:
@@ -351,34 +358,36 @@ def _focal_window(blocks: DataFrame, canvas_fn) -> DataFrame:
         c = center.iloc[0]
         w, h = int(c["width"]), int(c["height"])
         bx, by = int(c["tgt_x"]), int(c["tgt_y"])
-        canvas = np.full((h + 2, w + 2), np.nan)
-        canvas[1:-1, 1:-1] = np.asarray(
+        canvas = np.full((h + 2 * R, w + 2 * R), np.nan)
+        canvas[R:R + h, R:R + w] = np.asarray(
             c["pixels"], np.float64).reshape(h, w)
         for r in pdf.itertuples(index=False):
             if r.src_x == bx and r.src_y == by:
                 continue
             piece = np.asarray(r.pixels, np.float64).reshape(
                 int(r.height), int(r.width))
+            ph, pw = piece.shape
+            # strips were cut on the SENDER to the halo the receiver
+            # needs, aligned against the shared boundary (an edge
+            # block smaller than R sends what it has)
             if r.src_x < bx:
-                xs = slice(0, 1)
+                xs = slice(R - pw, R)
             elif r.src_x > bx:
-                xs = slice(w + 1, w + 2)
+                xs = slice(w + R, w + R + pw)
             else:
-                xs = slice(1, w + 1)
+                xs = slice(R, R + pw)
             if r.src_y < by:
-                ys = slice(0, 1)
+                ys = slice(R - ph, R)
             elif r.src_y > by:
-                ys = slice(h + 1, h + 2)
+                ys = slice(h + R, h + R + ph)
             else:
-                ys = slice(1, h + 1)
-            # strips were cut on the SENDER to exactly the halo the
-            # receiver needs (same-row neighbors share height,
-            # same-column neighbors share width), so they drop in
+                ys = slice(R, R + ph)
             canvas[ys, xs] = piece
         shade = canvas_fn(canvas)
-        # a kernel may read only the 8 NEIGHBORS (Horn), so a nodata
-        # CENTER would otherwise emit a finite value — mask it
-        shade[np.isnan(canvas[1:-1, 1:-1])] = np.nan
+        if mask_center:
+            # a kernel may read only the NEIGHBORS (Horn), so a
+            # nodata CENTER would otherwise emit a finite value
+            shade[np.isnan(canvas[R:R + h, R:R + w])] = np.nan
         return pd.DataFrame([{
             "dataset": c["dataset"], "subdataset": c["subdataset"],
             "band": int(c["band"]), "level": 0,
@@ -447,6 +456,51 @@ def focal_stats(blocks: DataFrame, stat: str = "mean") -> DataFrame:
         return fn(views)
 
     return _focal_window(blocks, canvas_fn)
+
+
+def proximity(blocks: DataFrame, values: list[float],
+              max_dist: int = 4) -> DataFrame:
+    """Bounded-radius raster proximity (the gdal_proximity analog):
+    for every pixel, the exact Euclidean distance (in cell units,
+    center to center) to the nearest TARGET pixel — one whose value
+    is in ``values`` — within ``max_dist`` cells.  Pixels with no
+    target in range emit NaN (the caller reclassifies to a sentinel
+    if GDAL's fixed-maxdist fill is wanted); nodata pixels can't be
+    targets but still receive a distance.
+
+    Distributed shape: the focal-window halo generalized to
+    ``max_dist``-wide strips — each block ships its R-pixel edge
+    bands to the 8 neighbor groups and the transform is exact
+    BECAUSE the radius is bounded by the halo (a target farther than
+    R away can't win).  Per block the distance is a vectorized
+    min over the ~pi R^2 integer offsets with dy^2+dx^2 <= R^2 —
+    every offset is one shifted-array compare, no Python per pixel.
+    Unbounded proximity at 100 TB needs multi-round halo doubling;
+    the bounded form is the one-shuffle case that covers the common
+    "within N cells of a road/river/fire" products.
+    """
+    R = int(max_dist)
+    if R < 1:
+        raise ValueError("max_dist must be >= 1")
+    vals = [float(v) for v in values]
+    offs = [(dy, dx)
+            for dy in range(-R, R + 1) for dx in range(-R, R + 1)
+            if dy * dy + dx * dx <= R * R]
+
+    def canvas_fn(z):
+        h, w = z.shape[0] - 2 * R, z.shape[1] - 2 * R
+        target = np.zeros(z.shape, dtype=bool)
+        for v in vals:
+            target |= z == v
+        best = np.full((h, w), np.inf)
+        for dy, dx in offs:
+            hit = target[R + dy:R + dy + h, R + dx:R + dx + w]
+            d = float(np.sqrt(dy * dy + dx * dx))
+            np.minimum(best, np.where(hit, d, np.inf), out=best)
+        return np.where(np.isinf(best), np.nan, best)
+
+    return _focal_window(blocks, canvas_fn, halo=R,
+                         mask_center=False)
 
 
 def hillshade(blocks: DataFrame, azimuth: float = 315.0,

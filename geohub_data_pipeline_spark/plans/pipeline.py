@@ -4199,3 +4199,53 @@ def raster_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)             # harness contract
     blocks, b = _demo_dem_blocks(spark)
     return _flatten_pixels(R.focal_stats(blocks, "mean"), b, "fmean")
+
+
+_PROXIMITY_SQL = """
+WITH px AS (
+  SELECT r.i AS row, c.i AS col,
+         CAST(5 * r.i + 3 * c.i + (r.i * c.i) % 7 AS BIGINT) AS v
+  FROM range(128) r(i), range(128) c(i)
+),
+t AS (SELECT row, col FROM px WHERE v % 97 = 0)
+SELECT CAST(a.row AS INTEGER) AS row, CAST(a.col AS INTEGER) AS col,
+       round(min(sqrt(CAST((a.row - t.row) * (a.row - t.row)
+                           + (a.col - t.col) * (a.col - t.col)
+                           AS DOUBLE))), 4) AS dist
+FROM px a
+JOIN t ON t.row BETWEEN a.row - 4 AND a.row + 4
+      AND t.col BETWEEN a.col - 4 AND a.col + 4
+WHERE (a.row - t.row) * (a.row - t.row)
+      + (a.col - t.col) * (a.col - t.col) <= 16
+GROUP BY a.row, a.col
+ORDER BY row, col
+"""
+
+
+@query("raster_proximity", "pipeline",
+       "geo analytics: bounded-radius proximity (gdal_proximity "
+       "analog) — R-wide halo strips to the 8 neighbor groups, one "
+       "grid-key shuffle, vectorized offset-min exact Euclidean "
+       "distance; bounded self-join min as the oracle",
+       _PROXIMITY_SQL)
+def raster_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance to the nearest multiple-of-97 DEM cell within 4
+    cells, over the shared 2x2-block DEM — seam pixels only come out
+    right if the 4-wide halo strips arrived from every neighbor,
+    which the oracle's whole-raster bounded join checks.  sqrt of an
+    integer is correctly rounded in both engines, so values are
+    bit-identical before the gate's 4-decimal round.
+
+    Scale: the bounded radius IS the scale contract — R-wide strips
+    (~R/BLOCK of pixel volume) instead of an unbounded multi-round
+    transform; see ``operators/raster.proximity``.
+    """
+    from geohub_data_pipeline_spark.operators import raster as R
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    load_tables(spark, sf_dir)             # harness contract
+    blocks, b = _demo_dem_blocks(spark)
+    targets = [float(v) for v in range(0, 1023, 97)]
+    return _flatten_pixels(
+        R.proximity(blocks, targets, max_dist=4), b, "dist")

@@ -213,3 +213,42 @@ def test_focal_stats_and_reclassify(spark):
         R.reclassify(blocks, [2.0, 1.0], [0.0, 1.0, 2.0])
     with _pytest.raises(ValueError):
         R.reclassify(blocks, [1.0], [0.0])
+
+
+def test_proximity_bounded_distance(spark):
+    """Bounded proximity: exact Euclidean distances across a block
+    seam (4-wide halo), NaN beyond max_dist, nodata pixels receive a
+    distance but are never targets."""
+    import numpy as np
+
+    # 8x8 raster in 4x4 blocks; single target at (1, 6) (in block
+    # (1, 0)) and a nodata cell carrying the target VALUE at (6, 1)
+    arr = np.zeros((8, 8))
+    arr[1, 6] = 5.0
+    arr[6, 1] = 5.0        # will be masked by nodata
+    rows = []
+    for by in range(2):
+        for bx in range(2):
+            tile = arr[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
+            nod = 5.0 if (bx, by) == (0, 1) else None
+            rows.append(("d", None, 1, 0, bx, by, 4, 4,
+                         tile.ravel().tolist(), nod, 4326))
+    blocks = spark.createDataFrame(rows, R.BLOCK_SCHEMA)
+    out = {}
+    for r in R.proximity(blocks, [5.0], max_dist=3).collect():
+        px = np.asarray([np.nan if p is None else p for p in r.pixels
+                         ]).reshape(r.height, r.width)
+        for yy in range(4):
+            for xx in range(4):
+                out[(r.block_y * 4 + yy, r.block_x * 4 + xx)] = \
+                    px[yy, xx]
+    assert out[(1, 6)] == 0.0
+    assert out[(1, 4)] == 2.0                 # seam crossing
+    assert out[(3, 6)] == 2.0
+    assert out[(2, 5)] == np.sqrt(2.0)
+    # nodata pixel at (6,1) is NOT a target: its neighborhood is dry
+    assert np.isnan(out[(6, 3)])
+    # and beyond max_dist from the real target -> NaN
+    assert np.isnan(out[(7, 0)])
+    with pytest.raises(ValueError):
+        R.proximity(blocks, [5.0], max_dist=0)
