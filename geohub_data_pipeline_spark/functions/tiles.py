@@ -45,3 +45,33 @@ def tile_cols(lon: Column, lat: Column, z: Column) -> list[Column]:
         lon_to_xtile(lon, z).alias("x"),
         lat_to_ytile(lat, z).alias("y"),
     ]
+
+
+def hex_cols(lon: Column, lat: Column, size: float) -> list[Column]:
+    """Flat-top hexagon binning: (lon, lat) -> axial (hex_q, hex_r)
+    cell coordinates for hexagons of circumradius ``size`` degrees —
+    the H3-style aggregation key, closed-form and PURE Catalyst
+    (fractional axial coords + cube rounding; Red Blob Games'
+    standard formulation, public domain).
+
+    Every arithmetic step mirrors the SQL the gate oracle runs
+    (same literal order, ``floor(v + 0.5)`` instead of round so both
+    engines share tie semantics), making cell assignment
+    cross-engine deterministic even for boundary points.
+    """
+    s = float(size)
+    qf = (2.0 / 3.0) * lon / s
+    rf = (-1.0 / 3.0) * lon / s + (math.sqrt(3.0) / 3.0) * lat / s
+    sf = -qf - rf
+    rq = F.floor(qf + 0.5).cast("double")
+    rr = F.floor(rf + 0.5).cast("double")
+    rs = F.floor(sf + 0.5).cast("double")
+    dq = F.abs(rq - qf)
+    dr = F.abs(rr - rf)
+    ds = F.abs(rs - sf)
+    q_fix = (dq > dr) & (dq > ds)
+    r_fix = (~q_fix) & (dr > ds)
+    hq = F.when(q_fix, -rr - rs).otherwise(rq)
+    hr = F.when(r_fix, -rq - rs).otherwise(rr)
+    return [hq.cast("long").alias("hex_q"),
+            hr.cast("long").alias("hex_r")]

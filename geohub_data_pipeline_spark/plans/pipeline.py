@@ -4249,3 +4249,77 @@ def raster_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     targets = [float(v) for v in range(0, 1023, 97)]
     return _flatten_pixels(
         R.proximity(blocks, targets, max_dist=4), b, "dist")
+
+
+_HEXBIN_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         -19.95 + CAST((doc_id * 13) % 400 AS DOUBLE) / 10.0 AS lon,
+         -19.95 + CAST((doc_id * 7) % 400 AS DOUBLE) / 10.0 AS lat
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         (2.0 / 3.0) * lon / 3.25 AS qf,
+         (-1.0 / 3.0) * lon / 3.25
+           + (sqrt(3.0) / 3.0) * lat / 3.25 AS rf
+  FROM p
+),
+c AS (
+  SELECT doc_id, qf, rf,
+         floor(qf + 0.5) AS rq, floor(rf + 0.5) AS rr,
+         floor(-qf - rf + 0.5) AS rs
+  FROM h
+),
+d AS (
+  SELECT doc_id, rq, rr, rs,
+         abs(rq - qf) AS dq, abs(rr - rf) AS dr,
+         abs(rs - (-qf - rf)) AS ds
+  FROM c
+),
+cells AS (
+  SELECT doc_id,
+         CAST(CASE WHEN dq > dr AND dq > ds THEN -rr - rs
+                   ELSE rq END AS BIGINT) AS hex_q,
+         CAST(CASE WHEN NOT (dq > dr AND dq > ds) AND dr > ds
+                   THEN -rq - rs ELSE rr END AS BIGINT) AS hex_r
+  FROM d
+)
+SELECT hex_q, hex_r, count(*) AS n_points,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM cells GROUP BY hex_q, hex_r ORDER BY hex_q, hex_r
+"""
+
+
+@query("tile_hexbin", "pipeline",
+       "geo analytics: hexagonal binning — closed-form axial cell "
+       "assignment with cube rounding, pure Catalyst, one "
+       "partial-aggregated shuffle; the identical arithmetic as the "
+       "oracle's SQL", _HEXBIN_SQL)
+def tile_hexbin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex-bin the documents point lattice into flat-top hexagons of
+    3.25-degree circumradius (the H3-style density aggregation).
+    Cell assignment is ``functions/tiles.hex_cols`` — fractional
+    axial coords + cube rounding entirely inside whole-stage
+    codegen, mirrored step-for-step by the oracle SQL (floor(v+0.5)
+    on both sides, so even boundary points land identically).
+
+    Scale: the same shape as ``tile_aggregation`` — map-side
+    assignment, ONE hash shuffle with partial aggregation on the
+    (hex_q, hex_r) key.
+    """
+    from geohub_data_pipeline_spark.functions import tiles as TL
+
+    t = load_tables(spark, sf_dir)
+    pts = t.documents.select(
+        "doc_id",
+        (-19.95 + ((F.col("doc_id") * 13) % 400).cast("double")
+         / 10.0).alias("lon"),
+        (-19.95 + ((F.col("doc_id") * 7) % 400).cast("double")
+         / 10.0).alias("lat"))
+    keyed = pts.select(
+        "doc_id", *TL.hex_cols(F.col("lon"), F.col("lat"), 3.25))
+    return (keyed.groupBy("hex_q", "hex_r")
+            .agg(F.count(F.lit(1)).alias("n_points"),
+                 F.sum("doc_id").alias("sum_ids"))
+            .orderBy("hex_q", "hex_r"))

@@ -190,3 +190,39 @@ def test_point_drop_rate_gamma(spark):
             build_tiles(norm, maxzoom=4).groupBy("z").agg(
                 F.sum("n_features").alias("total")).collect()}
     assert all(v == n for v in full.values())
+
+
+def test_hex_cols_nearest_center(spark):
+    """Cube rounding must assign every point to the NEAREST hex
+    center — verified against the 7-cell neighborhood for a lattice
+    of points, plus containment within the circumradius."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geohub_data_pipeline_spark.functions import tiles as TL
+
+    s = 3.25
+    pts = spark.range(500).select(
+        (-19.95 + ((F.col("id") * 13) % 400).cast("double") / 10.0)
+        .alias("lon"),
+        (-19.95 + ((F.col("id") * 7) % 400).cast("double") / 10.0)
+        .alias("lat"))
+    rows = pts.select(
+        "lon", "lat",
+        *TL.hex_cols(F.col("lon"), F.col("lat"), s)).collect()
+
+    def center(q, r):
+        return (s * 1.5 * q,
+                s * (math.sqrt(3.0) / 2.0 * q + math.sqrt(3.0) * r))
+
+    neigh = [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1),
+             (-1, 1)]
+    for r0 in rows:
+        cx, cy = center(r0.hex_q, r0.hex_r)
+        d0 = np.hypot(r0.lon - cx, r0.lat - cy)
+        assert d0 <= s + 1e-9
+        for dq, dr in neigh[1:]:
+            nx, ny = center(r0.hex_q + dq, r0.hex_r + dr)
+            assert d0 <= np.hypot(r0.lon - nx, r0.lat - ny) + 1e-9
