@@ -54,7 +54,7 @@ promote([
     "spatial_join_nearest", "raster_polygonize", "raster_contour",
     "geo_clip", "spatial_join_intersects", "geo_overlay_intersection",
     "raster_reclassify", "raster_focal_mean", "text_dsir_weights",
-    "raster_proximity", "tile_hexbin",
+    "raster_proximity", "tile_hexbin", "text_bigram_logprob",
     "scalar_string", "scalar_math", "scalar_datetime",
     "conditional_case", "agg_approx_distinct", "agg_collect_array",
     "scalar_null_handling", "backfill_anti_join", "progress_partition",

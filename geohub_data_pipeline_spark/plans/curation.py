@@ -696,3 +696,123 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return (C.dsir_weights(t.documents, F.col("lang") == "en")
             .orderBy("doc_id"))
+
+
+_BIGRAM_SQL = """
+WITH tok AS (
+  SELECT doc_id, lang, i AS pos, string_split(text, ' ')[i] AS term
+  FROM documents
+  CROSS JOIN unnest(range(1, len(string_split(text, ' ')) + 1)) AS u(i)
+),
+big AS (
+  SELECT t1.doc_id, t1.pos, t1.term, t0.term AS prev
+  FROM tok t1
+  LEFT JOIN tok t0 ON t0.doc_id = t1.doc_id AND t0.pos = t1.pos - 1
+),
+ref AS (SELECT term FROM tok WHERE lang = 'en'),
+c1 AS (SELECT term, count(*) AS c FROM ref GROUP BY term),
+c2 AS (
+  SELECT t1.prev, t1.term, count(*) AS c
+  FROM (SELECT b.* FROM big b JOIN documents d USING (doc_id)
+        WHERE d.lang = 'en' AND b.prev IS NOT NULL) t1
+  GROUP BY t1.prev, t1.term
+),
+g AS (SELECT count(*) AS tt, count(DISTINCT term) AS vv FROM ref),
+sc AS (
+  SELECT b.doc_id, b.pos,
+         CASE WHEN b.prev IS NOT NULL AND bc.c IS NOT NULL
+                   AND pu.c IS NOT NULL
+              THEN ln(bc.c / CAST(pu.c AS DOUBLE))
+              ELSE ln(0.4)
+                   + ln((COALESCE(cu.c, 0) + 1.0)
+                        / CAST(g.tt + g.vv AS DOUBLE)) END AS l
+  FROM big b
+  LEFT JOIN c1 cu ON cu.term = b.term
+  LEFT JOIN c1 pu ON pu.term = b.prev
+  LEFT JOIN c2 bc ON bc.prev = b.prev AND bc.term = b.term
+  CROSS JOIN g
+),
+d AS (
+  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+         list_reduce(list(l ORDER BY pos), (x, y) -> x + y) AS s
+  FROM sc GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, round(s / n_tokens, 6) AS bigram_logprob
+FROM d ORDER BY doc_id
+"""
+
+
+@query("text_bigram_logprob", "llm",
+       "north star: bigram LM quality score with Stupid Backoff "
+       "(Brants 2007) against a reference slice — unseen bigrams "
+       "back off to the smoothed unigram at fixed penalty",
+       _BIGRAM_SQL)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean bigram log-probability per document under a language
+    model ESTIMATED FROM THE ENGLISH SLICE ONLY and scored over the
+    whole corpus — the cross-domain perplexity filter (CCNet's
+    KenLM stage, done Spark-first).  In-reference bigrams score
+    ln(c2/c1(prev)); anything unseen — out-of-slice bigram, unknown
+    previous word, document-initial token — backs off to
+    ln(0.4) + smoothed-unigram (Stupid Backoff, the web-scale LM
+    that skips normalization entirely).
+
+    Parity: the per-doc sum folds in POSITION order (the
+    ``text_unigram_logprob`` determinism contract).  Scale: the
+    bigram-count join keys on (prev, term) — one hash shuffle of the
+    token stream; the unigram table broadcasts; first-token rows
+    need no lookup.
+    """
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    tok = t.documents.select(
+        "doc_id", "lang",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos0",
+                                                        "term"),
+    ).select("doc_id", "lang", (F.col("pos0") + 1).alias("pos"),
+             "term")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = tok.withColumn("prev", F.lag("term").over(w))
+
+    ref = tok.filter(F.col("lang") == "en")
+    c1 = ref.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    c2 = (big.filter((F.col("lang") == "en")
+                     & F.col("prev").isNotNull())
+          .groupBy("prev", "term").agg(F.count(F.lit(1)).alias("c")))
+    tt, vv = ref.agg(F.count(F.lit(1)),
+                     F.countDistinct("term")).collect()[0]
+
+    cu = c1.select(F.col("term"), F.col("c").alias("cu_c"))
+    pu = c1.select(F.col("term").alias("prev"),
+                   F.col("c").alias("pu_c"))
+    bc = c2.select("prev", "term", F.col("c").alias("bc_c"))
+    sc = (big
+          .join(F.broadcast(cu), "term", "left")
+          .join(F.broadcast(pu), "prev", "left")
+          .join(bc, ["prev", "term"], "left")
+          .select(
+              "doc_id", "pos",
+              F.when(F.col("prev").isNotNull()
+                     & F.col("bc_c").isNotNull()
+                     & F.col("pu_c").isNotNull(),
+                     F.log(F.col("bc_c")
+                           / F.col("pu_c").cast("double")))
+              .otherwise(
+                  F.log(F.lit(0.4))
+                  + F.log((F.coalesce(F.col("cu_c"), F.lit(0))
+                           + 1.0)
+                          / F.lit(float(int(tt) + int(vv)))))
+              .alias("l")))
+    d = (sc.groupBy("doc_id")
+         .agg(F.count(F.lit(1)).cast("int").alias("n_tokens"),
+              F.aggregate(
+                  F.transform(
+                      F.array_sort(
+                          F.collect_list(F.struct("pos", "l"))),
+                      lambda s: s["l"]),
+                  F.lit(0.0), lambda acc, v: acc + v).alias("s")))
+    return d.select(
+        "doc_id", "n_tokens",
+        F.round(F.col("s") / F.col("n_tokens"), 6)
+        .alias("bigram_logprob")).orderBy("doc_id")
