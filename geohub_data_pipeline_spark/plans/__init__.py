@@ -52,9 +52,14 @@ promote([
     "dedup_substring_spans", "dedup_semdedup_kmeans", "geo_dissolve",
     "spatial_join_buffered", "mvt_fragment_merge", "hfa_source",
     "spatial_join_nearest", "raster_polygonize", "raster_contour",
-    "geo_clip", "spatial_join_intersects", "geo_overlay_intersection",
-    "raster_reclassify", "raster_focal_mean", "text_dsir_weights",
-    "raster_proximity", "tile_hexbin", "text_bigram_logprob",
+    "geo_clip", "spatial_join_intersects",
+    # gate slots 49-50: the two continuation queries exercising the
+    # NEWEST machinery (Greiner-Hormann intersect walk; R-wide halo)
+    "geo_overlay_intersection", "raster_proximity",
+    # 51+: continuation queries verified locally at sf0.01 with the
+    # gate comparator; first in line for the round-7 prefix
+    "raster_focal_mean", "tile_hexbin", "text_bigram_logprob",
+    "text_dsir_weights", "raster_reclassify", "geo_clip_lines_join",
     "scalar_string", "scalar_math", "scalar_datetime",
     "conditional_case", "agg_approx_distinct", "agg_collect_array",
     "scalar_null_handling", "backfill_anti_join", "progress_partition",

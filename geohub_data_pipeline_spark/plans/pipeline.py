@@ -4323,3 +4323,100 @@ def tile_hexbin(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_points"),
                  F.sum("doc_id").alias("sum_ids"))
             .orderBy("hex_q", "hex_r"))
+
+
+_CLIP_LINES_SQL = """
+WITH l AS (
+  SELECT CAST(t.i AS BIGINT) AS line_id,
+         -19.875 + t.i * 1.75 AS x0,
+         -14.125 + t.i * 1.25 AS y0
+  FROM range(20) t(i)
+),
+a AS (
+  SELECT CAST(t.i AS BIGINT) AS poly_id,
+         -18.0 + (t.i % 4) * 9.0 AS ax0,
+         -12.0 + (t.i // 4) * 9.0 AS ay0
+  FROM range(12) t(i)
+),
+c AS (
+  SELECT line_id, poly_id, x0, y0,
+         greatest((ax0 - x0) / 8.0, (ay0 - y0) / 8.0, 0.0) AS tin,
+         least((ax0 + 8.0 - x0) / 8.0, (ay0 + 8.0 - y0) / 8.0,
+               1.0) AS tout
+  FROM l, a
+)
+SELECT line_id, poly_id,
+       round(sqrt(((x0 + tout * 8.0) - (x0 + tin * 8.0))
+                  * ((x0 + tout * 8.0) - (x0 + tin * 8.0))
+                  + ((y0 + tout * 8.0) - (y0 + tin * 8.0))
+                  * ((y0 + tout * 8.0) - (y0 + tin * 8.0))), 4)
+         AS length,
+       CAST(1 AS BIGINT) AS n_parts
+FROM c WHERE tout > tin
+ORDER BY line_id, poly_id
+"""
+
+
+@query("geo_clip_lines_join", "pipeline",
+       "geo analytics: line x polygon CLIP join — per-pair clipped "
+       "length via crossing-split + even-odd midpoint test, "
+       "owner-tile exactly-once; parametric slab clip as the oracle",
+       _CLIP_LINES_SQL)
+def geo_clip_lines_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Twenty diagonal 8x8-degree segments x the twelve 8x8
+    A-rectangles (eighth-degree anchors chosen tangency-free; 44
+    intersecting pairs).  The REAL operator splits each segment at
+    its proper crossings with the polygon linework and keeps
+    sub-segments by even-odd midpoint test; the oracle states the
+    diagonal-through-rectangle clip as the parametric slab entry/
+    exit form.  Crossing coordinates are exact (power-of-two segment
+    extent over eighth anchors), so both sides feed sqrt the same
+    double.
+
+    Scale: the ``overlay_intersection`` plan — bbox-tile fan both
+    sides, one tile-hash shuffle, exactly-once owner tile.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.operators import overlay as OV
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+
+    def build_lines(it: Iterator[pd.DataFrame]
+                    ) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                x0 = -19.875 + i * 1.75
+                y0 = -14.125 + i * 1.25
+                rows.append((i, G.wkb_linestring(
+                    [(x0, y0), (x0 + 8.0, y0 + 8.0)])))
+            yield pd.DataFrame(rows, columns=["line_id", "geometry"])
+
+    def build_rects(it: Iterator[pd.DataFrame]
+                    ) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                x0 = -18.0 + (i % 4) * 9.0
+                y0 = -12.0 + (i // 4) * 9.0
+                ring = [(x0, y0), (x0 + 8.0, y0), (x0 + 8.0, y0 + 8.0),
+                        (x0, y0 + 8.0), (x0, y0)]
+                rows.append((i, G.wkb_polygon([ring])))
+            yield pd.DataFrame(rows, columns=["poly_id", "geometry"])
+
+    lines = spark.range(20).mapInPandas(
+        build_lines, "line_id long, geometry binary")
+    rects = spark.range(12).mapInPandas(
+        build_rects, "poly_id long, geometry binary")
+    out = OV.clip_lines_to_polygons(lines, rects, zoom=5)
+    return (out.filter(~F.col("degenerate"))
+            .select("line_id", "poly_id",
+                    F.round("length", 4).alias("length"), "n_parts")
+            .orderBy("line_id", "poly_id"))

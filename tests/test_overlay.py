@@ -307,3 +307,36 @@ def test_overlay_intersection_distributed(spark):
     assert r11.area == 4.0 and r11.n_rings == 1
     got = G.parse_wkb(bytes(r11.geometry))
     assert got["type"] == G.MULTIPOLYGON
+
+
+def test_clip_lines_to_polygons(spark):
+    """Line x polygon clip join: a line through a donut splits into
+    two parts (hole gap drops by even-odd parity); a U-shaped
+    (concave) polygon also yields two parts; tangency flags
+    degenerate; disjoint pairs emit nothing."""
+    donut = G.wkb_polygon([
+        [(0.0, 0.0), (8.0, 0.0), (8.0, 8.0), (0.0, 8.0), (0.0, 0.0)],
+        [(3.0, 3.0), (3.0, 5.0), (5.0, 5.0), (5.0, 3.0), (3.0, 3.0)],
+    ])
+    ushape = G.wkb_polygon([[
+        (20.0, 0.0), (28.0, 0.0), (28.0, 6.0), (26.0, 6.0),
+        (26.0, 2.0), (22.0, 2.0), (22.0, 6.0), (20.0, 6.0),
+        (20.0, 0.0)]])
+    lines = spark.createDataFrame(
+        [(0, G.wkb_linestring([(-2.0, 4.0), (10.0, 4.0)])),
+         (1, G.wkb_linestring([(18.0, 4.0), (30.0, 4.0)])),
+         (2, G.wkb_linestring([(-2.0, 20.0), (10.0, 20.0)])),
+         (3, G.wkb_linestring([(-2.0, 0.0), (10.0, 0.0)]))],
+        "line_id long, geometry binary")
+    polys = spark.createDataFrame(
+        [(0, donut), (1, ushape)], "poly_id long, geometry binary")
+    rows = {(r.line_id, r.poly_id): r
+            for r in OV.clip_lines_to_polygons(
+                polys=polys, lines=lines, zoom=5).collect()}
+    r0 = rows[(0, 0)]
+    assert r0.length == 6.0 and r0.n_parts == 2   # 8 minus 2 hole
+    assert not r0.degenerate
+    r1 = rows[(1, 1)]
+    assert abs(r1.length - 4.0) < 1e-12 and r1.n_parts == 2  # U arms
+    assert (2, 0) not in rows and (2, 1) not in rows
+    assert rows[(3, 0)].degenerate                # collinear run
