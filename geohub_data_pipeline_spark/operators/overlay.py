@@ -56,7 +56,7 @@ __all__ = ["dissolve", "dissolve_edges", "dissolve_features",
            "buffer_points", "buffer_features", "geometry_audit",
            "polygonize_blocks", "clip_features",
            "intersect_polygons", "overlay_intersection",
-           "clip_lines_to_polygons"]
+           "clip_lines_to_polygons", "overlay_erase"]
 
 
 # ---------------------------------------------------------------------------
@@ -1254,3 +1254,131 @@ def clip_lines_to_polygons(lines: DataFrame, polys: DataFrame,
     return cand.mapInPandas(
         clip, "line_id long, poly_id long, length double, "
               "n_parts long, degenerate boolean")
+
+
+def overlay_erase(left: DataFrame, right: DataFrame,
+                  zoom: int = 7) -> DataFrame:
+    """Two-layer overlay ERASE — the GIS "Erase"/"Difference" tool:
+    each left feature minus the union of every right feature it
+    meets (clip-out: parcels minus water bodies).
+
+    Plan: the same bbox-tile candidate join as
+    ``overlay_intersection``, then ONE groupBy(a_id) that collects
+    the (deduplicated, owner-tile) B geometries hitting each A and
+    subtracts them sequentially with the Greiner-Hormann difference
+    walk (every B shell is subtracted exactly like a hole —
+    ``_subtract_hole``; a fully-enclosed B survives as a real hole
+    ring, a crossing B renodes the shell).  The per-A group is
+    bounded by how many B actually overlap it — the same
+    output-complexity bound as dissolve's per-key stitch.
+
+    B features carrying interior rings are REFUSED via the
+    ``degenerate`` flag (A minus (shell minus hole) would need an
+    add-back union; the quarantine contract, not a silent wrong
+    answer).  Output: ``a_id, geometry, area, n_rings, degenerate``
+    — one row per left feature that still has area (or was flagged);
+    a fully-erased A emits a zero-area row so the caller can tell
+    "erased away" from "never matched".
+    """
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.operators import spatial as SP
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(left.sparkSession)
+
+    n = 1 << zoom
+
+    def fan(side):
+        def k(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                rows = []
+                for pid, wkb in zip(pdf["poly_id"], pdf["geometry"]):
+                    rings = SP._rings_of_wkb(bytes(wkb))
+                    if not rings:
+                        continue
+                    allc = np.concatenate(rings)
+                    lo_x, lo_y = allc.min(axis=0)
+                    hi_x, hi_y = allc.max(axis=0)
+                    tx0 = int((lo_x + 180.0) / 360.0 * n)
+                    tx1 = int((hi_x + 180.0) / 360.0 * n)
+                    ty0 = SP._ytile(hi_y, n)
+                    ty1 = SP._ytile(lo_y, n)
+                    for tx in range(max(tx0, 0), min(tx1, n - 1) + 1):
+                        for ty in range(max(ty0, 0),
+                                        min(ty1, n - 1) + 1):
+                            rows.append((tx * n + ty, int(pid),
+                                         bytes(wkb), lo_x, lo_y,
+                                         hi_x, hi_y))
+                yield pd.DataFrame(rows, columns=[
+                    "tile", f"{side}_id", f"{side}_geom",
+                    f"{side}_x0", f"{side}_y0",
+                    f"{side}_x1", f"{side}_y1"])
+        return k
+
+    lt = left.select(F.col("a_id").alias("poly_id"),
+                     "geometry").mapInPandas(
+        fan("a"), "tile long, a_id long, a_geom binary, a_x0 double, "
+                  "a_y0 double, a_x1 double, a_y1 double")
+    rt = right.select(F.col("b_id").alias("poly_id"),
+                      "geometry").mapInPandas(
+        fan("b"), "tile long, b_id long, b_geom binary, b_x0 double, "
+                  "b_y0 double, b_x1 double, b_y1 double")
+
+    cand = lt.join(rt, "tile").filter(
+        (F.col("a_x0") <= F.col("b_x1")) & (F.col("b_x0") <= F.col("a_x1"))
+        & (F.col("a_y0") <= F.col("b_y1")) & (F.col("b_y0") <= F.col("a_y1")))
+
+    # owner-tile dedup BEFORE the per-A group: a pair spanning four
+    # tiles must subtract once, not four times
+    def owner(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                ix = max(r.a_x0, r.b_x0)
+                iy = min(r.a_y1, r.b_y1)
+                otx = min(max(int((ix + 180.0) / 360.0 * n), 0), n - 1)
+                oty = min(max(SP._ytile(iy, n), 0), n - 1)
+                if otx * n + oty != r.tile:
+                    continue
+                rows.append((int(r.a_id), bytes(r.a_geom),
+                             int(r.b_id), bytes(r.b_geom)))
+            yield pd.DataFrame(rows, columns=[
+                "a_id", "a_geom", "b_id", "b_geom"])
+
+    pairs = cand.mapInPandas(
+        owner, "a_id long, a_geom binary, b_id long, b_geom binary")
+
+    # left features with NO candidate still pass through untouched
+    lonely = (left.join(pairs.select("a_id").distinct(), "a_id",
+                        "left_anti")
+              .select("a_id", F.col("geometry").alias("a_geom"),
+                      F.lit(None).cast("long").alias("b_id"),
+                      F.lit(None).cast("binary").alias("b_geom")))
+
+    def erase(pdf: pd.DataFrame) -> pd.DataFrame:
+        a_id = int(pdf["a_id"].iloc[0])
+        pieces = _polys_of_wkb(bytes(pdf["a_geom"].iloc[0]))
+        degen = False
+        for bw in pdf["b_geom"]:
+            if bw is None:
+                continue
+            for bp in _polys_of_wkb(bytes(bw)):
+                if len(bp) > 1:
+                    degen = True          # B with holes: refused
+                    continue
+                pieces, d = _subtract_hole(pieces, bp[0])
+                degen |= d
+        area = 0.0
+        nr = 0
+        from geohub_data_pipeline_spark.operators import geometry as GG
+        for rings in pieces:
+            for ring in rings:
+                area += GG._ring_area2(ring) / 2.0
+                nr += 1
+        buf = GG.wkb_multipolygon(pieces) if pieces else None
+        return pd.DataFrame([{
+            "a_id": a_id, "geometry": buf, "area": float(area),
+            "n_rings": nr, "degenerate": bool(degen)}])
+
+    return pairs.unionByName(lonely).groupBy("a_id").applyInPandas(
+        erase, "a_id long, geometry binary, area double, "
+               "n_rings long, degenerate boolean")

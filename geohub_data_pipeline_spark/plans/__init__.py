@@ -60,6 +60,7 @@ promote([
     # gate comparator; first in line for the round-7 prefix
     "raster_focal_mean", "tile_hexbin", "text_bigram_logprob",
     "text_dsir_weights", "raster_reclassify", "geo_clip_lines_join",
+    "geo_overlay_erase",
     "scalar_string", "scalar_math", "scalar_datetime",
     "conditional_case", "agg_approx_distinct", "agg_collect_array",
     "scalar_null_handling", "backfill_anti_join", "progress_partition",

@@ -4420,3 +4420,102 @@ def geo_clip_lines_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("line_id", "poly_id",
                     F.round("length", 4).alias("length"), "n_parts")
             .orderBy("line_id", "poly_id"))
+
+
+_ERASE_SQL = """
+WITH a AS (
+  SELECT CAST(t.i AS BIGINT) AS a_id,
+         -18.0 + (t.i % 4) * 9.0 AS ax0,
+         -12.0 + (t.i // 4) * 9.0 AS ay0
+  FROM range(12) t(i)
+),
+b AS (
+  SELECT CASE WHEN t.i < 12
+              THEN -18.0 + (t.i % 4) * 9.0 + 2.25
+              ELSE -16.25 + (t.i - 12) * 9.0 END AS bx0,
+         CASE WHEN t.i < 12
+              THEN -12.0 + (t.i // 4) * 9.0 + 2.75
+              ELSE -4.75 END AS by0,
+         CASE WHEN t.i < 12 THEN 4.0 ELSE 2.0 END AS bw,
+         CASE WHEN t.i < 12 THEN 2.0 ELSE 4.0 END AS bh
+  FROM range(16) t(i)
+),
+cut AS (
+  SELECT a_id,
+         sum((least(ax0 + 8.0, bx0 + bw) - greatest(ax0, bx0))
+             * (least(ay0 + 8.0, by0 + bh) - greatest(ay0, by0)))
+           AS cut
+  FROM a, b
+  WHERE least(ax0 + 8.0, bx0 + bw) > greatest(ax0, bx0)
+    AND least(ay0 + 8.0, by0 + bh) > greatest(ay0, by0)
+  GROUP BY a_id
+)
+SELECT a.a_id, 64.0 - COALESCE(cut.cut, 0.0) AS area,
+       CAST(2 AS BIGINT) AS n_rings
+FROM a LEFT JOIN cut USING (a_id)
+ORDER BY a_id
+"""
+
+
+@query("geo_overlay_erase", "pipeline",
+       "geo analytics: two-layer overlay ERASE — each left feature "
+       "minus every right feature it meets; bbox-tile candidates, "
+       "owner-tile dedup, one groupBy(a_id) sequential G-H "
+       "difference; disjoint-B inclusion-exclusion as the oracle",
+       _ERASE_SQL)
+def geo_overlay_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Twelve 8x8 A-rectangles minus sixteen mutually-disjoint B
+    rectangles: one fully-enclosed B per A (must survive as a real
+    hole ring) plus four B spanning the row gap (each renodes TWO
+    A shells as an edge notch), all on quarter anchors verified
+    tangency-free — so erased area is exactly 64 minus the summed
+    interval-overlap products the oracle states, and every A ends
+    with n_rings = 2 (notched shell + hole).
+
+    Scale: candidates are bbox-localized; the per-A subtraction
+    group is bounded by the B features actually hitting that A.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.operators import overlay as OV
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+
+    def build(which: str):
+        def k(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                rows = []
+                for i in pdf["id"]:
+                    i = int(i)
+                    if which == "a":
+                        x0 = -18.0 + (i % 4) * 9.0
+                        y0 = -12.0 + (i // 4) * 9.0
+                        w = h = 8.0
+                    elif i < 12:
+                        x0 = -18.0 + (i % 4) * 9.0 + 2.25
+                        y0 = -12.0 + (i // 4) * 9.0 + 2.75
+                        w, h = 4.0, 2.0
+                    else:
+                        x0 = -16.25 + (i - 12) * 9.0
+                        y0 = -4.75
+                        w, h = 2.0, 4.0
+                    ring = [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h),
+                            (x0, y0 + h), (x0, y0)]
+                    rows.append((i, G.wkb_polygon([ring])))
+                yield pd.DataFrame(rows, columns=["pid", "geometry"])
+        return k
+
+    a = spark.range(12).mapInPandas(
+        build("a"), "pid long, geometry binary").select(
+        F.col("pid").alias("a_id"), "geometry")
+    b = spark.range(16).mapInPandas(
+        build("b"), "pid long, geometry binary").select(
+        F.col("pid").alias("b_id"), "geometry")
+    out = OV.overlay_erase(a, b, zoom=5)
+    return (out.filter(~F.col("degenerate"))
+            .select("a_id", "area", "n_rings")
+            .orderBy("a_id"))

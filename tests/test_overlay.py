@@ -340,3 +340,37 @@ def test_clip_lines_to_polygons(spark):
     assert abs(r1.length - 4.0) < 1e-12 and r1.n_parts == 2  # U arms
     assert (2, 0) not in rows and (2, 1) not in rows
     assert rows[(3, 0)].degenerate                # collinear run
+
+
+def test_overlay_erase(spark):
+    """Erase: untouched A passes through whole; a fully-covered A
+    emits a zero-area row (distinguishable from never-matched); a
+    donut B is refused via the degenerate flag."""
+    def rect(x0, y0, w, h):
+        return G.wkb_polygon([[(x0, y0), (x0 + w, y0),
+                               (x0 + w, y0 + h), (x0, y0 + h),
+                               (x0, y0)]])
+
+    a = spark.createDataFrame(
+        [(0, rect(0.0, 0.0, 8.0, 8.0)),     # gets a hole + notch
+         (1, rect(40.0, 0.0, 4.0, 4.0)),    # untouched
+         (2, rect(60.0, 0.0, 2.0, 2.0)),    # fully covered
+         (3, rect(-40.0, 0.0, 8.0, 8.0))],  # vs donut B -> flagged
+        "a_id long, geometry binary")
+    donut_b = G.wkb_polygon([
+        [(-41.0, 1.0), (-35.0, 1.0), (-35.0, 5.0), (-41.0, 5.0),
+         (-41.0, 1.0)],
+        [(-39.0, 2.0), (-39.0, 4.0), (-37.0, 4.0), (-37.0, 2.0),
+         (-39.0, 2.0)]])
+    b = spark.createDataFrame(
+        [(0, rect(2.0, 2.0, 2.0, 2.0)),
+         (1, rect(6.0, -1.0, 4.0, 4.0)),
+         (2, rect(59.0, -1.0, 4.0, 4.0)),
+         (3, donut_b)],
+        "b_id long, geometry binary")
+    rows = {r.a_id: r for r in OV.overlay_erase(a, b, zoom=5).collect()}
+    assert rows[0].area == 64.0 - 4.0 - 6.0 and rows[0].n_rings == 2
+    assert not rows[0].degenerate
+    assert rows[1].area == 16.0 and rows[1].n_rings == 1
+    assert rows[2].area == 0.0 and rows[2].n_rings == 0
+    assert rows[3].degenerate
