@@ -26,6 +26,8 @@ shuffle.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 
@@ -818,3 +820,152 @@ def _chain_segments(segs: list) -> list[list[tuple[float, float]]]:
         if not used[i]:
             lines.append(walk(i, p))
     return lines
+
+
+def resample_bilinear(blocks: DataFrame, georef: DataFrame,
+                      dst_origin_x: float, dst_origin_y: float,
+                      dst_sx: float, dst_sy: float,
+                      dst_w: int, dst_h: int,
+                      block: int = BLOCK,
+                      src_block: int = BLOCK) -> DataFrame:
+    """Bilinear resample onto an arbitrary same-CRS target grid —
+    the gdalwarp ``-tr``/``-te`` analog (regridding a DEM to a
+    model's resolution without reprojection).  ``georef`` is the
+    standard sidecar (origin = TOP-LEFT, ``pixel_sy`` positive
+    north-up); the target grid is given by its top-left origin,
+    positive resolutions and size.  Sample points whose 2x2 source
+    stencil is incomplete (outside the source, or in its half-pixel
+    border) emit NaN.
+
+    Distributed shape (the warp plan, bilinear-aware):
+
+    1. map-side: every source block computes its pixel footprint
+       EXPANDED BY ONE SOURCE PIXEL (the bilinear stencil can
+       straddle a block seam) and replicates itself to the target
+       blocks that footprint covers — a small constant fan-out;
+    2. ONE shuffle keyed on the target block;
+    3. per target block: mosaic the received source pieces onto a
+       canvas spanning the needed global source index range, then a
+       vectorized 4-neighbor gather.  No Python per pixel beyond
+       the numpy kernel.
+    """
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(blocks.sparkSession)
+
+    geo = {r.dataset: (float(r.origin_x), float(r.origin_y),
+                       float(r.pixel_sx), float(r.pixel_sy))
+           for r in georef.collect()}          # one row per dataset
+    n_tbx = (int(dst_w) + block - 1) // block
+    n_tby = (int(dst_h) + block - 1) // block
+    dox, doy = float(dst_origin_x), float(dst_origin_y)
+    dsx, dsy = float(dst_sx), float(dst_sy)
+
+    def fan(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                g = geo.get(r.dataset)
+                if g is None:
+                    continue
+                ox, oy, sx, sy = g
+                w, h = int(r.width), int(r.height)
+                bx, by = int(r.block_x), int(r.block_y)
+                # global source pixel index range, +1 px margin
+                # (src_block = the SOURCE grid's full-block stride)
+                c0 = bx * src_block - 1
+                r0 = by * src_block - 1
+                c1 = bx * src_block + w
+                r1 = by * src_block + h
+                # geo extent of that (x grows with col, y shrinks
+                # with row under the north-up convention)
+                x_lo = ox + (c0 + 0.5) * sx
+                x_hi = ox + (c1 + 0.5) * sx
+                y_hi = oy - (r0 + 0.5) * sy
+                y_lo = oy - (r1 + 0.5) * sy
+                # target pixel range covered
+                j0 = int(math.floor((x_lo - dox) / dsx - 0.5))
+                j1 = int(math.ceil((x_hi - dox) / dsx - 0.5))
+                i0 = int(math.floor((doy - y_hi) / dsy - 0.5))
+                i1 = int(math.ceil((doy - y_lo) / dsy - 0.5))
+                tb_x0 = max(j0 // block, 0)
+                tb_x1 = min(j1 // block, n_tbx - 1)
+                tb_y0 = max(i0 // block, 0)
+                tb_y1 = min(i1 // block, n_tby - 1)
+                for ty in range(tb_y0, tb_y1 + 1):
+                    for tx in range(tb_x0, tb_x1 + 1):
+                        rows.append((
+                            r.dataset, r.subdataset, int(r.band),
+                            tx, ty, bx, by, w, h,
+                            list(r.pixels), r.nodata, int(r.srid)))
+            yield pd.DataFrame(rows, columns=[
+                "dataset", "subdataset", "band", "tgt_x", "tgt_y",
+                "src_x", "src_y", "width", "height", "pixels",
+                "nodata", "srid"])
+
+    fanned = blocks.filter(F.col("level") == 0).mapInPandas(
+        fan, "dataset string, subdataset string, band int, "
+             "tgt_x int, tgt_y int, src_x int, src_y int, "
+             "width int, height int, pixels array<double>, "
+             "nodata double, srid int")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = pdf.iloc[0]
+        ds = c["dataset"]
+        ox, oy, sx, sy = geo[ds]
+        tbx, tby = int(c["tgt_x"]), int(c["tgt_y"])
+        tw = min(block, int(dst_w) - tbx * block)
+        th = min(block, int(dst_h) - tby * block)
+        # global source index range this target block samples
+        jj = np.arange(tbx * block, tbx * block + tw)
+        ii = np.arange(tby * block, tby * block + th)
+        xg = dox + (jj + 0.5) * dsx
+        yg = doy - (ii + 0.5) * dsy
+        cs = (xg - ox) / sx - 0.5          # fractional source col
+        rs = (oy - yg) / sy - 0.5          # fractional source row
+        c0 = int(np.floor(cs.min())) if len(cs) else 0
+        r0 = int(np.floor(rs.min())) if len(rs) else 0
+        c1 = int(np.floor(cs.max())) + 1
+        r1 = int(np.floor(rs.max())) + 1
+        canvas = np.full((r1 - r0 + 1, c1 - c0 + 1), np.nan)
+        for r in pdf.itertuples(index=False):
+            w, h = int(r.width), int(r.height)
+            arr = np.asarray(r.pixels, np.float64).reshape(h, w)
+            if r.nodata is not None and not np.isnan(r.nodata):
+                arr = np.where(arr == float(r.nodata), np.nan, arr)
+            gr = int(r.src_y) * src_block - r0
+            gc = int(r.src_x) * src_block - c0
+            rr0, rr1 = max(gr, 0), min(gr + h, canvas.shape[0])
+            cc0, cc1 = max(gc, 0), min(gc + w, canvas.shape[1])
+            if rr0 < rr1 and cc0 < cc1:
+                canvas[rr0:rr1, cc0:cc1] = arr[rr0 - gr:rr1 - gr,
+                                               cc0 - gc:cc1 - gc]
+        CS, RS = np.meshgrid(cs, rs)
+        fc = np.floor(CS).astype(int)
+        fr = np.floor(RS).astype(int)
+        wc = CS - fc
+        wr = RS - fr
+        fc0 = fc - c0
+        fr0 = fr - r0
+        ok = ((fr0 >= 0) & (fc0 >= 0)
+              & (fr0 + 1 < canvas.shape[0])
+              & (fc0 + 1 < canvas.shape[1]))
+        fc0 = np.clip(fc0, 0, canvas.shape[1] - 2)
+        fr0 = np.clip(fr0, 0, canvas.shape[0] - 2)
+        v00 = canvas[fr0, fc0]
+        v01 = canvas[fr0, fc0 + 1]
+        v10 = canvas[fr0 + 1, fc0]
+        v11 = canvas[fr0 + 1, fc0 + 1]
+        out = ((1.0 - wr) * ((1.0 - wc) * v00 + wc * v01)
+               + wr * ((1.0 - wc) * v10 + wc * v11))
+        out = np.where(ok, out, np.nan)
+        return pd.DataFrame([{
+            "dataset": ds, "subdataset": c["subdataset"],
+            "band": int(c["band"]), "level": 0,
+            "block_x": tbx, "block_y": tby, "width": tw,
+            "height": th, "pixels": out.ravel().tolist(),
+            "nodata": float("nan"), "srid": int(c["srid"]),
+        }])
+
+    return fanned.groupBy(
+        "dataset", "subdataset", "band", "tgt_x", "tgt_y"
+    ).applyInPandas(kernel, BLOCK_SCHEMA)

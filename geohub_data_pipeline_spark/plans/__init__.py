@@ -29,13 +29,18 @@ from geohub_data_pipeline_spark.plans.registry import promote  # noqa: E402
 # most-overdue block so they get a gate row in their round.
 #
 # Round-6 staleness: the 37 relational/path queries last checked in
-# r3 lead (most overdue), then the ELEVEN new/changed round-6 queries
-# (de-skewed substring dedup, k-means|| SemDeDup, dissolve, buffered/
-# nearest/intersects spatial joins, PMTiles fragment merge, HFA
-# source, polygonize, contour, clip) so each gets a gate row in its
-# first round, then the 49 last checked in r4, then the round-5
-# block (freshest).  After this round's 50-query prefix the oldest
-# check anywhere is r4 — round 7 leads with the r4 block.
+# r3 lead (most overdue), then the round-6 new/changed queries —
+# eleven from the first half (de-skewed substring dedup, k-means||
+# SemDeDup, dissolve, buffered/nearest/intersects spatial joins,
+# PMTiles fragment merge, HFA source, polygonize, contour, clip) and
+# the continuation block (overlay intersection/erase, line-clip
+# join, focal stats, proximity, reclassify, hexbin, DSIR, bigram
+# LM).  That overflows the 50-query gate prefix: slots 49-50 go to
+# the two continuation queries exercising the NEWEST shared
+# machinery (G-H intersect walk; R-wide halo); the rest of the
+# continuation block sits at 51+ — verified locally at sf0.01 with
+# the gate comparator (see scripts/check_oracle.py), first in line
+# for round 7 ahead of the r4-checked block.
 promote([
     "join_inner", "join_left_outer", "join_full_outer", "join_semi",
     "join_anti", "agg_stats", "agg_distinct", "agg_pivot_status",
@@ -60,7 +65,7 @@ promote([
     # gate comparator; first in line for the round-7 prefix
     "raster_focal_mean", "tile_hexbin", "text_bigram_logprob",
     "text_dsir_weights", "raster_reclassify", "geo_clip_lines_join",
-    "geo_overlay_erase",
+    "geo_overlay_erase", "raster_resample_bilinear",
     "scalar_string", "scalar_math", "scalar_datetime",
     "conditional_case", "agg_approx_distinct", "agg_collect_array",
     "scalar_null_handling", "backfill_anti_join", "progress_partition",

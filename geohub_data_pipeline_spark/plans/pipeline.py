@@ -4519,3 +4519,81 @@ def geo_overlay_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.filter(~F.col("degenerate"))
             .select("a_id", "area", "n_rings")
             .orderBy("a_id"))
+
+
+_RESAMPLE_SQL = """
+WITH s AS (
+  SELECT i_.i AS ii, j_.i AS jj,
+         ((2.0625 + (j_.i + 0.5) * 0.375) - 0.0) / 0.25 - 0.5 AS cs,
+         (32.0 - (29.9375 - (i_.i + 0.5) * 0.375)) / 0.25 - 0.5
+           AS rs
+  FROM range(60) i_(i), range(80) j_(i)
+)
+SELECT CAST(ii AS INTEGER) AS row, CAST(jj AS INTEGER) AS col,
+       round(5.0 * rs + 3.0 * cs + rs * cs, 4) AS v
+FROM s
+WHERE cs >= 0 AND cs < 127 AND rs >= 0 AND rs < 127
+ORDER BY row, col
+"""
+
+
+@query("raster_resample_bilinear", "pipeline",
+       "geo analytics: bilinear regrid to an arbitrary target grid "
+       "(gdalwarp -tr analog) — source blocks fan with a 1-px "
+       "stencil margin, one target-block shuffle, vectorized "
+       "4-neighbor gather; closed-form bilinear surface as the "
+       "oracle", _RESAMPLE_SQL)
+def raster_resample_bilinear(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Resample a 128x128 quarter-degree DEM whose values are the
+    BILINEAR surface v = 5r + 3c + r*c onto an offset 3/8-degree
+    80x60 grid.  Bilinear interpolation reproduces a bilinear
+    function exactly, and every sample coordinate/weight here is an
+    exact binary fraction, so the distributed 4-neighbor gather and
+    the oracle's closed form produce bit-identical doubles.  Target
+    pixels whose 2x2 stencil leaves the source emit NaN and drop on
+    both sides.  Seam coverage: target blocks needing pixels from
+    several source blocks only come out right if the 1-px-margin
+    fan delivered every piece.
+
+    Scale: the warp plan — constant fan-out, one shuffle on the
+    target block key, numpy gather per block.
+    """
+    import numpy as np
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.operators import raster as R
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    load_tables(spark, sf_dir)             # harness contract
+
+    n, b = 128, 64
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rr = np.arange(n)[:, None]
+        cc = np.arange(n)[None, :]
+        arr = 5.0 * rr + 3.0 * cc + rr * cc
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                by, bx = divmod(i, 2)
+                tile = arr[by * b:(by + 1) * b, bx * b:(bx + 1) * b]
+                rows.append(("dem", None, 1, 0, bx, by, b, b,
+                             tile.ravel().tolist(), None, 4326))
+            yield pd.DataFrame(rows, columns=[
+                "dataset", "subdataset", "band", "level", "block_x",
+                "block_y", "width", "height", "pixels", "nodata",
+                "srid"])
+
+    blocks = spark.range(4).mapInPandas(build, R.BLOCK_SCHEMA)
+    georef = spark.createDataFrame(
+        [("dem", 0.0, 32.0, 0.25, 0.25, 4326)],
+        "dataset string, origin_x double, origin_y double, "
+        "pixel_sx double, pixel_sy double, georef_srid int")
+    out = R.resample_bilinear(
+        blocks, georef, 2.0625, 29.9375, 0.375, 0.375, 80, 60,
+        block=64, src_block=64)
+    return _flatten_pixels(out, 64, "v")

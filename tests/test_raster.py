@@ -252,3 +252,56 @@ def test_proximity_bounded_distance(spark):
     assert np.isnan(out[(7, 0)])
     with pytest.raises(ValueError):
         R.proximity(blocks, [5.0], max_dist=0)
+
+
+def test_resample_bilinear_seams_and_nodata(spark):
+    """Bilinear regrid: identity-grid resample reproduces source
+    values exactly (stencil weight 1 on the node), a nodata source
+    pixel poisons the four target samples whose stencil touches it,
+    and out-of-extent samples drop."""
+    import numpy as np
+
+    n, b = 8, 4
+    arr = np.add.outer(np.arange(n) * 10.0, np.arange(n) * 1.0)
+    arr[2, 5] = -9.0                      # nodata sentinel
+    rows = []
+    for by in range(2):
+        for bx in range(2):
+            t = arr[by * b:(by + 1) * b, bx * b:(bx + 1) * b]
+            rows.append(("d", None, 1, 0, bx, by, b, b,
+                         t.ravel().tolist(), -9.0, 4326))
+    blocks = spark.createDataFrame(rows, R.BLOCK_SCHEMA)
+    georef = spark.createDataFrame(
+        [("d", 0.0, 8.0, 1.0, 1.0, 4326)],
+        "dataset string, origin_x double, origin_y double, "
+        "pixel_sx double, pixel_sy double, georef_srid int")
+    # identical grid -> identity resample
+    out = R.resample_bilinear(blocks, georef, 0.0, 8.0, 1.0, 1.0,
+                              8, 8, block=4, src_block=4)
+    got = {}
+    for r in out.collect():
+        px = np.asarray([np.nan if p is None else p
+                         for p in r.pixels]).reshape(r.height,
+                                                     r.width)
+        for yy in range(r.height):
+            for xx in range(r.width):
+                got[(r.block_y * 4 + yy,
+                     r.block_x * 4 + xx)] = px[yy, xx]
+    assert got[(0, 0)] == 0.0 and got[(3, 6)] == 36.0
+    assert got[(5, 2)] == 52.0            # straddles the block seam
+    assert np.isnan(got[(2, 5)])          # nodata source pixel
+    assert np.isnan(got[(7, 7)])          # bottom/right half-pixel
+    # half-resolution offset grid: interior midpoint = 4-node mean
+    out2 = R.resample_bilinear(blocks, georef, 0.5, 7.5, 1.0, 1.0,
+                               7, 7, block=4, src_block=4)
+    mid = {}
+    for r in out2.collect():
+        px = np.asarray([np.nan if p is None else p
+                         for p in r.pixels]).reshape(r.height,
+                                                     r.width)
+        for yy in range(r.height):
+            for xx in range(r.width):
+                mid[(r.block_y * 4 + yy,
+                     r.block_x * 4 + xx)] = px[yy, xx]
+    assert mid[(0, 0)] == (arr[0, 0] + arr[0, 1] + arr[1, 0]
+                           + arr[1, 1]) / 4.0
