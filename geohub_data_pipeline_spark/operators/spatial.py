@@ -602,3 +602,96 @@ def _edges_cross(ra: list[np.ndarray], rb: list[np.ndarray]) -> bool:
                 & (s2 < 1)).any():
             return True
     return False
+
+
+def zonal_histogram(blocks: DataFrame, georef: DataFrame,
+                    polygons: DataFrame) -> DataFrame:
+    """Zonal HISTOGRAM — per-(polygon, value) pixel counts over a
+    categorical raster (land-cover composition per admin area; run
+    it on ``raster.reclassify`` output for class codes).  The
+    majority class is the top row per polygon.
+
+    Same plan as ``zonal_stats``: polygons fan to the BLOCK grid via
+    the broadcast georef, ONE hash shuffle co-locates candidates,
+    per-block partials count distinct values inside the mask
+    (``np.unique`` per block — bounded by the class count), and the
+    final aggregate merges (poly, value) partials.  Pixels never
+    shuffle; only per-class partial counts do.
+    """
+    from pyspark.sql.functions import broadcast
+
+    from geohub_data_pipeline_spark.operators.raster import BLOCK
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(blocks.sparkSession)
+
+    geo = polygons.join(broadcast(georef.dropDuplicates(["dataset"])))
+
+    def fan(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                rings = _rings_of_wkb(bytes(r.geometry))
+                if not rings:
+                    continue
+                allc = np.concatenate(rings)
+                lo_x, lo_y = allc.min(axis=0)
+                hi_x, hi_y = allc.max(axis=0)
+                psx, psy = float(r.pixel_sx), abs(float(r.pixel_sy))
+                c0 = int((lo_x - r.origin_x) / psx) // BLOCK
+                c1 = int((hi_x - r.origin_x) / psx) // BLOCK
+                r0 = int((r.origin_y - hi_y) / psy) // BLOCK
+                r1 = int((r.origin_y - lo_y) / psy) // BLOCK
+                for bx in range(max(c0, 0), c1 + 1):
+                    for by in range(max(r0, 0), r1 + 1):
+                        rows.append((r.dataset, bx, by,
+                                     int(r.poly_id),
+                                     bytes(r.geometry),
+                                     float(r.origin_x),
+                                     float(r.origin_y), psx, psy))
+            yield pd.DataFrame(rows, columns=[
+                "dataset", "block_x", "block_y", "poly_id",
+                "geometry", "origin_x", "origin_y", "psx", "psy"])
+
+    poly_cells = geo.mapInPandas(
+        fan, "dataset string, block_x int, block_y int, poly_id long, "
+             "geometry binary, origin_x double, origin_y double, "
+             "psx double, psy double")
+
+    cand = blocks.filter(F.col("level") == 0).select(
+        "dataset", "band", "block_x", "block_y", "width", "height",
+        "pixels", "nodata",
+    ).join(poly_cells, ["dataset", "block_x", "block_y"])
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        r0 = pdf.iloc[0]
+        rings = _rings_of_wkb(bytes(r0["geometry"]))
+        out = []
+        for r in pdf.itertuples(index=False):
+            w, h = int(r.width), int(r.height)
+            vals = np.asarray(r.pixels, np.float64).reshape(h, w)
+            jj = np.arange(w)
+            ii = np.arange(h)
+            lon = r.origin_x + (r.block_x * BLOCK + jj + 0.5) * r.psx
+            lat = r.origin_y - (r.block_y * BLOCK + ii + 0.5) * r.psy
+            LO, LA = np.meshgrid(lon, lat)
+            mask = pnpoly_mask(LO.ravel(), LA.ravel(), rings) \
+                .reshape(h, w)
+            if r.nodata is not None and not np.isnan(r.nodata):
+                mask &= vals != r.nodata
+            mask &= np.isfinite(vals)
+            if not mask.any():
+                continue
+            uniq, cnt = np.unique(vals[mask], return_counts=True)
+            for v, n in zip(uniq, cnt):
+                out.append((r.dataset, int(r.band), int(r.poly_id),
+                            float(v), int(n)))
+        return pd.DataFrame(out, columns=[
+            "dataset", "band", "poly_id", "value", "n"])
+
+    partials = cand.groupBy(
+        "dataset", "band", "block_x", "block_y",
+        "poly_id").applyInPandas(
+        partial, "dataset string, band int, poly_id long, "
+                 "value double, n long")
+    return (partials.groupBy("dataset", "band", "poly_id", "value")
+            .agg(F.sum("n").cast("long").alias("n_pixels")))

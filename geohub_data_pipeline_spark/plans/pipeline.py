@@ -4597,3 +4597,93 @@ def raster_resample_bilinear(spark: SparkSession,
         blocks, georef, 2.0625, 29.9375, 0.375, 0.375, 80, 60,
         block=64, src_block=64)
     return _flatten_pixels(out, 64, "v")
+
+
+_ZONAL_HIST_SQL = """
+WITH px AS (
+  SELECT CAST((7 * r.i + c.i) % 1000 AS DOUBLE) AS v,
+         -15.0 + (c.i + 0.5) * 0.1 AS lon,
+         15.0 - (r.i + 0.5) * 0.1 AS lat
+  FROM range(300) r(i), range(300) c(i)
+),
+z AS (
+  SELECT CAST(t.i AS BIGINT) AS poly_id,
+         -15.0 + t.i * 6.0 AS cx,
+         -10.0 + (t.i % 3) * 8.0 AS cy,
+         2.47 + t.i * 0.4 AS r
+  FROM range(6) t(i)
+)
+SELECT z.poly_id,
+       CASE WHEN px.v < 200 THEN 0.0 WHEN px.v < 400 THEN 1.0
+            WHEN px.v < 600 THEN 2.0 WHEN px.v < 800 THEN 3.0
+            ELSE 4.0 END AS cls,
+       CAST(count(*) AS BIGINT) AS n_pixels
+FROM px, z
+WHERE abs(px.lon - z.cx) + abs(px.lat - z.cy) < z.r
+GROUP BY z.poly_id, cls
+ORDER BY poly_id, cls
+"""
+
+
+@query("zonal_histogram", "pipeline",
+       "geo analytics: zonal histogram / majority — reclassify "
+       "composed with per-(polygon, class) partial counts over the "
+       "BLOCK grid; one candidate shuffle, per-class partials only",
+       _ZONAL_HIST_SQL)
+def zonal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Land-cover-style class composition per zone: the zonal_stats
+    raster reclassified into five 200-wide classes (via the REAL
+    ``raster.reclassify`` Catalyst ladder — this gate also pins the
+    operator composition), then per-(diamond, class) pixel counts
+    through ``spatial.zonal_histogram``.  The majority class is the
+    argmax row per polygon; the oracle states the CASE ladder and
+    the diamond L1 test over the pixel-center lattice.
+
+    Scale: pixels never shuffle — per-block per-class partial counts
+    (bounded by the class count) are all that cross the wire.
+    """
+    import numpy as np
+
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.operators import raster as R
+    from geohub_data_pipeline_spark.operators import spatial as SP
+    from geohub_data_pipeline_spark.operators.raster import BLOCK
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    load_tables(spark, sf_dir)             # keep the harness contract
+    n = 300
+    arr = (7 * np.arange(n)[:, None] + np.arange(n)[None, :]) % 1000
+    rows = []
+    for by in range(0, n, BLOCK):
+        for bx in range(0, n, BLOCK):
+            tile = arr[by:by + BLOCK, bx:bx + BLOCK]
+            rows.append(("dem", None, 1, 0, bx // BLOCK, by // BLOCK,
+                         int(tile.shape[1]), int(tile.shape[0]),
+                         [float(v) for v in tile.ravel()], None,
+                         4326))
+    blocks = spark.createDataFrame(
+        rows, "dataset string, subdataset string, band int, "
+              "level int, block_x int, block_y int, width int, "
+              "height int, pixels array<double>, nodata double, "
+              "srid int")
+    georef = spark.createDataFrame(
+        [("dem", -15.0, 15.0, 0.1, 0.1, 4326)],
+        "dataset string, origin_x double, origin_y double, "
+        "pixel_sx double, pixel_sy double, georef_srid int")
+    polys = []
+    for pid in range(6):
+        cx, cy = -15.0 + pid * 6.0, -10.0 + (pid % 3) * 8.0
+        r = 2.47 + pid * 0.4
+        ring = [(cx + r, cy), (cx, cy + r), (cx - r, cy),
+                (cx, cy - r), (cx + r, cy)]
+        polys.append((pid, G.wkb_polygon([ring])))
+    zones = spark.createDataFrame(polys, "poly_id long, "
+                                         "geometry binary")
+    classed = R.reclassify(
+        blocks, [200.0, 400.0, 600.0, 800.0],
+        [0.0, 1.0, 2.0, 3.0, 4.0])
+    return (SP.zonal_histogram(classed, georef, zones)
+            .select("poly_id", F.col("value").alias("cls"),
+                    "n_pixels")
+            .orderBy("poly_id", "cls"))

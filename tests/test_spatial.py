@@ -348,3 +348,32 @@ def test_polygons_intersect_join_cases(spark):
     # exactly-once: no duplicate pairs even though the wide bar spans
     # many tiles
     assert len(rows) == len(got)
+
+
+def test_zonal_histogram_counts_and_nodata(spark):
+    """Per-(polygon, value) counts over a categorical raster; nodata
+    pixels drop; majority class = argmax row."""
+    import numpy as np
+
+    from geohub_data_pipeline_spark.operators import raster as R
+
+    arr = np.zeros((4, 4))
+    arr[0:2, :] = 1.0
+    arr[3, 3] = 7.0                        # nodata sentinel
+    blocks = spark.createDataFrame(
+        [("d", None, 1, 0, 0, 0, 4, 4, arr.ravel().tolist(), 7.0,
+          4326)], R.BLOCK_SCHEMA)
+    georef = spark.createDataFrame(
+        [("d", 0.0, 4.0, 1.0, 1.0, 4326)],
+        "dataset string, origin_x double, origin_y double, "
+        "pixel_sx double, pixel_sy double, georef_srid int")
+    ring = [(-0.5, -0.5), (4.5, -0.5), (4.5, 4.5), (-0.5, 4.5),
+            (-0.5, -0.5)]
+    zones = spark.createDataFrame(
+        [(0, G.wkb_polygon([ring]))], "poly_id long, geometry binary")
+    rows = {(r.poly_id, r.value): r.n_pixels
+            for r in SP.zonal_histogram(blocks, georef,
+                                        zones).collect()}
+    assert rows[(0, 1.0)] == 8
+    assert rows[(0, 0.0)] == 7             # 8 zeros minus the nodata
+    assert (0, 7.0) not in rows
