@@ -1240,3 +1240,42 @@ def feature_count_audit(original: DataFrame, converted: DataFrame,
         .when(F.col("converted_count") < F.col("original_count"), "warning")
         .otherwise("ok").alias("audit_status"),
     )
+
+
+def geojson_from_wkb(buf: bytes) -> dict | None:
+    """Little-endian 2D WKB -> RFC 7946 geometry object (the inverse
+    of ``wkb_from_geojson``; None for unparseable input).  Polygon
+    roles group rings back into their polygons for MultiPolygon."""
+    p = parse_wkb(buf)
+    if p is None:
+        return None
+    t = p["type"]
+
+    def pairs(flat):
+        c = flat if isinstance(flat, list) else list(flat)
+        return [[c[i], c[i + 1]] for i in range(0, len(c), 2)]
+
+    if t == POINT:
+        c = p["coords"]
+        return {"type": "Point", "coordinates": [c[0], c[1]]}
+    if t == MULTIPOINT:
+        return {"type": "MultiPoint", "coordinates": pairs(p["coords"])}
+    if t == LINESTRING:
+        return {"type": "LineString",
+                "coordinates": pairs(p["parts"][0])}
+    if t == MULTILINESTRING:
+        return {"type": "MultiLineString",
+                "coordinates": [pairs(x) for x in p["parts"]]}
+    if t in (POLYGON, MULTIPOLYGON):
+        roles = p.get("roles") or [True] * len(p["parts"])
+        polys: list[list[list[list[float]]]] = []
+        for part, is_shell in zip(p["parts"], roles):
+            ring = pairs(part)
+            if is_shell or not polys:
+                polys.append([ring])
+            else:
+                polys[-1].append(ring)
+        if t == POLYGON and len(polys) == 1:
+            return {"type": "Polygon", "coordinates": polys[0]}
+        return {"type": "MultiPolygon", "coordinates": polys}
+    return None

@@ -96,3 +96,57 @@ def features_from_geojsonseq(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return raw.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def write_geojsonseq_tables(features: DataFrame,
+                            dst_dir: str) -> DataFrame:
+    """One ``.geojsonl`` per (dataset, layer) — the read twin of
+    ``features_from_geojsonseq`` (round-trip: write -> read gives
+    back fid/geometry/properties).  One Feature per line, RFC 7946
+    geometry via ``geometry.geojson_from_wkb``, ``id`` = fid,
+    properties inlined from the JSON string column when present.
+
+    Plan: ONE shuffle keyed on (dataset, layer), then each group
+    writes its file independently — no driver collect.  (For a
+    single huge layer, newline-delimited output also concatenates:
+    write per-partition part files with ``df.write.text`` and cat;
+    this artifact-per-layer form matches the engine's .fgb/.pmtiles
+    model.)
+    """
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(features.sparkSession)
+    has_props = "properties" in features.columns
+
+    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        dataset = str(pdf["dataset"].iloc[0])
+        layer = str(pdf["layer"].iloc[0])
+        pdf = pdf.sort_values("fid")
+        path = os.path.join(dst_dir, f"{dataset}_{layer}.geojsonl")
+        n = 0
+        with open(path, "w", encoding="utf-8") as f:
+            for row in pdf.itertuples(index=False):
+                if row.geometry is None:
+                    continue
+                geom = G.geojson_from_wkb(bytes(row.geometry))
+                if geom is None:
+                    continue
+                props = {}
+                if has_props and isinstance(row.properties, str):
+                    try:
+                        props = json.loads(row.properties)
+                    except ValueError:
+                        props = {}
+                feat = {"type": "Feature", "id": int(row.fid),
+                        "geometry": geom, "properties": props}
+                f.write(json.dumps(feat, separators=(",", ":"))
+                        + "\n")
+                n += 1
+        return pd.DataFrame([{
+            "dataset": dataset, "layer": layer, "path": path,
+            "n_features": n,
+            "file_bytes": os.path.getsize(path)}])
+
+    return features.groupBy("dataset", "layer").applyInPandas(
+        write_group, "dataset string, layer string, path string, "
+                     "n_features long, file_bytes long")

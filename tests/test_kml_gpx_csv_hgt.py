@@ -485,3 +485,41 @@ def test_semdedup_empty_codebook_fallback(spark):
     # centroid similarity per the paper's rule
     removed = {r.vec_id for r in rows if r.removed}
     assert removed                         # some dupes exist (i%3 repeats)
+
+
+def test_geojsonseq_writer_roundtrip(spark, tmp_path):
+    """write_geojsonseq_tables -> features_from_geojsonseq is an
+    identity on fid / geometry / properties (the sink twin)."""
+    import json as _json
+
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.sources.geojsonseq import (
+        features_from_geojsonseq,
+        write_geojsonseq_tables,
+    )
+
+    donut = G.wkb_polygon([
+        [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)],
+        [(1.0, 1.0), (1.0, 2.0), (2.0, 2.0), (2.0, 1.0), (1.0, 1.0)],
+    ])
+    rows = [
+        ("d", "l", 1, G.wkb_point(1.5, -2.25), 4326, None,
+         _json.dumps({"name": "a", "v": 3})),
+        ("d", "l", 2, G.wkb_linestring([(0.0, 0.0), (2.5, 1.0)]),
+         4326, None, None),
+        ("d", "l", 3, donut, 4326, None, _json.dumps({"hole": True})),
+    ]
+    feats = spark.createDataFrame(
+        rows, "dataset string, layer string, fid long, "
+              "geometry binary, srid int, crs_wkt string, "
+              "properties string")
+    man = write_geojsonseq_tables(feats, str(tmp_path)).collect()
+    assert len(man) == 1 and man[0].n_features == 3
+    back = {r.fid: r for r in features_from_geojsonseq(
+        spark, man[0].path).collect()}
+    assert set(back) == {1, 2, 3}
+    p1 = G.parse_wkb(bytes(back[1].geometry))
+    assert p1["coords"] == [1.5, -2.25] or p1["parts"] == [[1.5, -2.25]]
+    p3 = G.parse_wkb(bytes(back[3].geometry))
+    assert len(p3["parts"]) == 2           # hole survived
+    assert _json.loads(back[3].properties)["hole"] is True
