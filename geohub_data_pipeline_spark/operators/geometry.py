@@ -1250,10 +1250,7 @@ def geojson_from_wkb(buf: bytes) -> dict | None:
     if p is None:
         return None
     t = p["type"]
-
-    def pairs(flat):
-        c = flat if isinstance(flat, list) else list(flat)
-        return [[c[i], c[i + 1]] for i in range(0, len(c), 2)]
+    pairs = _pairs          # tuples serialize as JSON arrays
 
     if t == POINT:
         c = p["coords"]

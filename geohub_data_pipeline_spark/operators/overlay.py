@@ -959,39 +959,121 @@ def _ring_intersect(sa, sb):
     return []
 
 
+def _ring_strictly_inside(inner, outer) -> bool:
+    """True when a vertex of ``inner`` off ``outer``'s boundary lies
+    inside ``outer``.  A valid containment test ONLY when the rings
+    are already known not to properly cross."""
+    from geohub_data_pipeline_spark.operators import geometry as G
+
+    p = G._off_boundary_vertex(inner, outer)
+    return p is not None and G._point_in_ring(p, outer)
+
+
+def _same_ring(a, b) -> bool:
+    """True when two CLOSED rings trace the same vertex cycle in
+    either direction (exact coordinate equality — the duplicate-row
+    case, not a tolerance match)."""
+    va = [tuple(p) for p in a[:-1]]
+    vb = [tuple(p) for p in b[:-1]]
+    if len(va) != len(vb) or not va:
+        return False
+    for cand in (vb, vb[::-1]):
+        try:
+            k = cand.index(va[0])
+        except ValueError:
+            return False
+        if va == cand[k:] + cand[:k]:
+            return True
+    return False
+
+
+def _merge_hole(hole, holes):
+    """Reconcile a NEW hole ring against a piece's EXISTING holes
+    before it is subtracted, so overlapping subtractions stay exact
+    (sequential erase of overlapping B features previously nested
+    the second hole inside the first and double-subtracted the
+    overlap).
+
+    Returns ``(hole, remaining, covered, degen)``: the (possibly
+    union-grown) ring still to subtract, the existing holes that
+    survive, ``covered`` when the new hole lies entirely inside an
+    existing one (the region is already removed — no-op), and the
+    quarantine flag.  Exact for disjoint / nested / simply-crossing
+    hole pairs; a tangency, or a union whose walk traps an enclosed
+    pocket (two crescents), flags ``degen`` and leaves that existing
+    hole untouched — the quarantine contract, never a silent wrong
+    answer.
+    """
+    from geohub_data_pipeline_spark.operators import geometry as G
+
+    remaining: list = []
+    degen = False
+    for i, h in enumerate(holes):
+        if _same_ring(hole, h):
+            # duplicate subtraction (duplicate B rows): exact no-op
+            return hole, remaining + holes[i:], True, degen
+        ov = G._ring_overlay(hole, h, union=True)
+        if ov is None:
+            degen = True                  # tangency: keep h, flag
+            remaining.append(h)
+            continue
+        if ov:
+            # properly crossing: a clean union is ONE CCW outer loop
+            if len(ov) == 1 and G._ring_area2(ov[0]) > 0:
+                hole = ov[0]              # h absorbed into the hole
+                continue
+            degen = True                  # pocket between the rings
+            remaining.append(h)
+            continue
+        # no proper crossings: containment or disjoint
+        if _ring_strictly_inside(hole, h):
+            # already removed by h (any holes merged so far are also
+            # inside h, so dropping them is implied by keeping h)
+            return hole, remaining + holes[i:], True, degen
+        if _ring_strictly_inside(h, hole):
+            continue                      # h swallowed: drop it
+        remaining.append(h)               # disjoint
+    return hole, remaining, False, degen
+
+
 def _subtract_hole(pieces, hole):
     """Subtract one CLOSED hole ring from a list of [shell, hole...]
-    piece polygons.  Returns (pieces, degenerate)."""
+    piece polygons.  Returns (pieces, degenerate).
+
+    Each piece's existing holes are reconciled first
+    (``_merge_hole``) so a hole overlapping an earlier subtraction
+    removes only the not-yet-removed region."""
     from geohub_data_pipeline_spark.operators import geometry as G
 
     out = []
     degen = False
     for rings in pieces:
         shell = rings[0]
-        diff = G._ring_difference(shell, hole)
+        nh, rem, covered, d = _merge_hole(hole, list(rings[1:]))
+        degen |= d
+        if covered:
+            out.append(rings)             # no-op: region already gone
+            continue
+        diff = G._ring_difference(shell, nh)
         if diff is None:
             degen = True
-            out.append(rings)
+            out.append(rings)             # quarantine: untouched
             continue
         if diff:
             # shell properly crossed: replaced by simple shells; the
-            # piece's existing holes re-home to whichever part
-            # contains them
+            # surviving holes re-home to whichever part contains them
             for ns in diff:
                 sub = [ns]
-                for h in rings[1:]:
-                    ph = G._off_boundary_vertex(h, ns)
-                    if ph is not None and G._point_in_ring(ph, ns):
+                for h in rem:
+                    if _ring_strictly_inside(h, ns):
                         sub.append(h)
                 out.append(sub)
             continue
         # no crossings: containment cases
-        ps = G._off_boundary_vertex(shell, hole)
-        if ps is not None and G._point_in_ring(ps, hole):
+        if _ring_strictly_inside(shell, nh):
             continue                      # piece swallowed by the hole
-        ph = G._off_boundary_vertex(hole, shell)
-        if ph is not None and G._point_in_ring(ph, shell):
-            out.append(rings + [G._orient(hole, ccw=False)])
+        if _ring_strictly_inside(nh, shell):
+            out.append([shell] + rem + [G._orient(nh, ccw=False)])
             continue                      # hole strictly inside: keep it
         out.append(rings)                 # disjoint
     return out, degen
@@ -1021,6 +1103,90 @@ def intersect_polygons(wkb_a: bytes, wkb_b: bytes):
     return pieces, degen
 
 
+def _fan_bbox_tiles(side: str, n: int, lines: bool = False,
+                    with_geom: bool = True):
+    """Shared map-side fan for the overlay family: every feature is
+    emitted once per WebMercator zoom-``n`` tile its bbox covers,
+    tagged with the bbox so the post-shuffle join can prune
+    non-overlapping candidates cheaply.  ``lines=True`` reads raw
+    coordinate parts (LineStrings); otherwise polygon rings.
+    ``with_geom=False`` drops the WKB payload from the shuffle for
+    consumers that re-join geometry by id afterwards.
+
+    Returns ``(kernel, schema)`` for ``mapInPandas``.
+    """
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.operators import spatial as SP
+
+    cols = ["tile", f"{side}_id"]
+    schema = f"tile long, {side}_id long"
+    if with_geom:
+        cols.append(f"{side}_geom")
+        schema += f", {side}_geom binary"
+    for c in ("x0", "y0", "x1", "y1"):
+        cols.append(f"{side}_{c}")
+        schema += f", {side}_{c} double"
+
+    def coords_of(wkb: bytes):
+        if lines:
+            p = G.parse_wkb(wkb)
+            if p is None:
+                return None
+            parts = [np.asarray(x, np.float64).reshape(-1, 2)
+                     for x in p.get("parts") or []]
+            return parts or None
+        return SP._rings_of_wkb(wkb) or None
+
+    def k(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for pid, wkb in zip(pdf["poly_id"], pdf["geometry"]):
+                parts = coords_of(bytes(wkb))
+                if parts is None:
+                    continue
+                allc = np.concatenate(parts)
+                lo_x, lo_y = allc.min(axis=0)
+                hi_x, hi_y = allc.max(axis=0)
+                tx0 = int((lo_x + 180.0) / 360.0 * n)
+                tx1 = int((hi_x + 180.0) / 360.0 * n)
+                ty0 = SP._ytile(hi_y, n)
+                ty1 = SP._ytile(lo_y, n)
+                geom = (bytes(wkb),) if with_geom else ()
+                for tx in range(max(tx0, 0), min(tx1, n - 1) + 1):
+                    for ty in range(max(ty0, 0), min(ty1, n - 1) + 1):
+                        rows.append((tx * n + ty, int(pid), *geom,
+                                     lo_x, lo_y, hi_x, hi_y))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return k, schema
+
+
+def _owner_keep(r, n: int) -> bool:
+    """Exactly-once rule for a bbox-overlapping candidate pair seen
+    in (possibly) several tiles: keep it only in the tile holding
+    the bbox-intersection's top-left corner."""
+    from geohub_data_pipeline_spark.operators import spatial as SP
+
+    ix = max(r.a_x0, r.b_x0)
+    iy = min(r.a_y1, r.b_y1)
+    otx = min(max(int((ix + 180.0) / 360.0 * n), 0), n - 1)
+    oty = min(max(SP._ytile(iy, n), 0), n - 1)
+    return otx * n + oty == r.tile
+
+
+def _candidate_pairs(left: DataFrame, right: DataFrame, n: int,
+                     lines: bool = False, with_a_geom: bool = True):
+    """Fan both layers to bbox tiles, one tile-hash shuffle, bbox
+    prune — the overlay family's shared candidate join."""
+    ka, sa = _fan_bbox_tiles("a", n, lines=lines, with_geom=with_a_geom)
+    kb, sb = _fan_bbox_tiles("b", n)
+    lt = left.mapInPandas(ka, sa)
+    rt = right.mapInPandas(kb, sb)
+    return lt.join(rt, "tile").filter(
+        (F.col("a_x0") <= F.col("b_x1")) & (F.col("b_x0") <= F.col("a_x1"))
+        & (F.col("a_y0") <= F.col("b_y1")) & (F.col("b_y0") <= F.col("a_y1")))
+
+
 def overlay_intersection(left: DataFrame, right: DataFrame,
                          zoom: int = 7) -> DataFrame:
     """Distributed two-layer polygon overlay INTERSECTION — the GIS
@@ -1044,61 +1210,20 @@ def overlay_intersection(left: DataFrame, right: DataFrame,
     flagged, geometry may be partial — the quarantine contract).
     """
     from geohub_data_pipeline_spark.operators import geometry as G
-    from geohub_data_pipeline_spark.operators import spatial as SP
     from geohub_data_pipeline_spark.session import ship_package
     ship_package(left.sparkSession)
 
     n = 1 << zoom
 
-    def fan(side):
-        def k(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in it:
-                rows = []
-                for pid, wkb in zip(pdf["poly_id"], pdf["geometry"]):
-                    rings = SP._rings_of_wkb(bytes(wkb))
-                    if not rings:
-                        continue
-                    allc = np.concatenate(rings)
-                    lo_x, lo_y = allc.min(axis=0)
-                    hi_x, hi_y = allc.max(axis=0)
-                    tx0 = int((lo_x + 180.0) / 360.0 * n)
-                    tx1 = int((hi_x + 180.0) / 360.0 * n)
-                    ty0 = SP._ytile(hi_y, n)
-                    ty1 = SP._ytile(lo_y, n)
-                    for tx in range(max(tx0, 0), min(tx1, n - 1) + 1):
-                        for ty in range(max(ty0, 0),
-                                        min(ty1, n - 1) + 1):
-                            rows.append((tx * n + ty, int(pid),
-                                         bytes(wkb), lo_x, lo_y,
-                                         hi_x, hi_y))
-                yield pd.DataFrame(rows, columns=[
-                    "tile", f"{side}_id", f"{side}_geom",
-                    f"{side}_x0", f"{side}_y0",
-                    f"{side}_x1", f"{side}_y1"])
-        return k
-
-    lt = left.select(F.col("a_id").alias("poly_id"),
-                     "geometry").mapInPandas(
-        fan("a"), "tile long, a_id long, a_geom binary, a_x0 double, "
-                  "a_y0 double, a_x1 double, a_y1 double")
-    rt = right.select(F.col("b_id").alias("poly_id"),
-                      "geometry").mapInPandas(
-        fan("b"), "tile long, b_id long, b_geom binary, b_x0 double, "
-                  "b_y0 double, b_x1 double, b_y1 double")
-
-    cand = lt.join(rt, "tile").filter(
-        (F.col("a_x0") <= F.col("b_x1")) & (F.col("b_x0") <= F.col("a_x1"))
-        & (F.col("a_y0") <= F.col("b_y1")) & (F.col("b_y0") <= F.col("a_y1")))
+    cand = _candidate_pairs(
+        left.select(F.col("a_id").alias("poly_id"), "geometry"),
+        right.select(F.col("b_id").alias("poly_id"), "geometry"), n)
 
     def clip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for r in pdf.itertuples(index=False):
-                ix = max(r.a_x0, r.b_x0)
-                iy = min(r.a_y1, r.b_y1)
-                otx = min(max(int((ix + 180.0) / 360.0 * n), 0), n - 1)
-                oty = min(max(SP._ytile(iy, n), 0), n - 1)
-                if otx * n + oty != r.tile:
+                if not _owner_keep(r, n):
                     continue
                 pieces, degen = intersect_polygons(
                     bytes(r.a_geom), bytes(r.b_geom))
@@ -1148,60 +1273,15 @@ def clip_lines_to_polygons(lines: DataFrame, polys: DataFrame,
 
     n = 1 << zoom
 
-    def fan(side):
-        def k(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in it:
-                rows = []
-                for pid, wkb in zip(pdf["poly_id"], pdf["geometry"]):
-                    p = G.parse_wkb(bytes(wkb))
-                    if p is None:
-                        continue
-                    parts = [np.asarray(x, np.float64).reshape(-1, 2)
-                             for x in p.get("parts") or []]
-                    if not parts:
-                        continue
-                    allc = np.concatenate(parts)
-                    lo_x, lo_y = allc.min(axis=0)
-                    hi_x, hi_y = allc.max(axis=0)
-                    tx0 = int((lo_x + 180.0) / 360.0 * n)
-                    tx1 = int((hi_x + 180.0) / 360.0 * n)
-                    ty0 = SP._ytile(hi_y, n)
-                    ty1 = SP._ytile(lo_y, n)
-                    for tx in range(max(tx0, 0), min(tx1, n - 1) + 1):
-                        for ty in range(max(ty0, 0),
-                                        min(ty1, n - 1) + 1):
-                            rows.append((tx * n + ty, int(pid),
-                                         bytes(wkb), lo_x, lo_y,
-                                         hi_x, hi_y))
-                yield pd.DataFrame(rows, columns=[
-                    "tile", f"{side}_id", f"{side}_geom",
-                    f"{side}_x0", f"{side}_y0",
-                    f"{side}_x1", f"{side}_y1"])
-        return k
-
-    lt = lines.select(F.col("line_id").alias("poly_id"),
-                      "geometry").mapInPandas(
-        fan("a"),
-        "tile long, a_id long, a_geom binary, a_x0 double, "
-        "a_y0 double, a_x1 double, a_y1 double")
-    rt = polys.select(F.col("poly_id"), "geometry").mapInPandas(
-        fan("b"),
-        "tile long, b_id long, b_geom binary, b_x0 double, "
-        "b_y0 double, b_x1 double, b_y1 double")
-
-    cand = lt.join(rt, "tile").filter(
-        (F.col("a_x0") <= F.col("b_x1")) & (F.col("b_x0") <= F.col("a_x1"))
-        & (F.col("a_y0") <= F.col("b_y1")) & (F.col("b_y0") <= F.col("a_y1")))
+    cand = _candidate_pairs(
+        lines.select(F.col("line_id").alias("poly_id"), "geometry"),
+        polys.select(F.col("poly_id"), "geometry"), n, lines=True)
 
     def clip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for r in pdf.itertuples(index=False):
-                ix = max(r.a_x0, r.b_x0)
-                iy = min(r.a_y1, r.b_y1)
-                otx = min(max(int((ix + 180.0) / 360.0 * n), 0), n - 1)
-                oty = min(max(SP._ytile(iy, n), 0), n - 1)
-                if otx * n + oty != r.tile:
+                if not _owner_keep(r, n):
                     continue
                 lp = G.parse_wkb(bytes(r.a_geom))
                 rings = SP._rings_of_wkb(bytes(r.b_geom))
@@ -1281,51 +1361,17 @@ def overlay_erase(left: DataFrame, right: DataFrame,
     "erased away" from "never matched".
     """
     from geohub_data_pipeline_spark.operators import geometry as G
-    from geohub_data_pipeline_spark.operators import spatial as SP
     from geohub_data_pipeline_spark.session import ship_package
     ship_package(left.sparkSession)
 
     n = 1 << zoom
 
-    def fan(side):
-        def k(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in it:
-                rows = []
-                for pid, wkb in zip(pdf["poly_id"], pdf["geometry"]):
-                    rings = SP._rings_of_wkb(bytes(wkb))
-                    if not rings:
-                        continue
-                    allc = np.concatenate(rings)
-                    lo_x, lo_y = allc.min(axis=0)
-                    hi_x, hi_y = allc.max(axis=0)
-                    tx0 = int((lo_x + 180.0) / 360.0 * n)
-                    tx1 = int((hi_x + 180.0) / 360.0 * n)
-                    ty0 = SP._ytile(hi_y, n)
-                    ty1 = SP._ytile(lo_y, n)
-                    for tx in range(max(tx0, 0), min(tx1, n - 1) + 1):
-                        for ty in range(max(ty0, 0),
-                                        min(ty1, n - 1) + 1):
-                            rows.append((tx * n + ty, int(pid),
-                                         bytes(wkb), lo_x, lo_y,
-                                         hi_x, hi_y))
-                yield pd.DataFrame(rows, columns=[
-                    "tile", f"{side}_id", f"{side}_geom",
-                    f"{side}_x0", f"{side}_y0",
-                    f"{side}_x1", f"{side}_y1"])
-        return k
-
-    lt = left.select(F.col("a_id").alias("poly_id"),
-                     "geometry").mapInPandas(
-        fan("a"), "tile long, a_id long, a_geom binary, a_x0 double, "
-                  "a_y0 double, a_x1 double, a_y1 double")
-    rt = right.select(F.col("b_id").alias("poly_id"),
-                      "geometry").mapInPandas(
-        fan("b"), "tile long, b_id long, b_geom binary, b_x0 double, "
-                  "b_y0 double, b_x1 double, b_y1 double")
-
-    cand = lt.join(rt, "tile").filter(
-        (F.col("a_x0") <= F.col("b_x1")) & (F.col("b_x0") <= F.col("a_x1"))
-        & (F.col("a_y0") <= F.col("b_y1")) & (F.col("b_y0") <= F.col("a_y1")))
+    # the a-side ships bbox only (geometry re-joins by id below), so
+    # a left feature spanning many tiles never fans its WKB payload
+    cand = _candidate_pairs(
+        left.select(F.col("a_id").alias("poly_id"), "geometry"),
+        right.select(F.col("b_id").alias("poly_id"), "geometry"),
+        n, with_a_geom=False)
 
     # owner-tile dedup BEFORE the per-A group: a pair spanning four
     # tiles must subtract once, not four times
@@ -1333,26 +1379,18 @@ def overlay_erase(left: DataFrame, right: DataFrame,
         for pdf in it:
             rows = []
             for r in pdf.itertuples(index=False):
-                ix = max(r.a_x0, r.b_x0)
-                iy = min(r.a_y1, r.b_y1)
-                otx = min(max(int((ix + 180.0) / 360.0 * n), 0), n - 1)
-                oty = min(max(SP._ytile(iy, n), 0), n - 1)
-                if otx * n + oty != r.tile:
+                if not _owner_keep(r, n):
                     continue
-                rows.append((int(r.a_id), bytes(r.a_geom),
-                             int(r.b_id), bytes(r.b_geom)))
-            yield pd.DataFrame(rows, columns=[
-                "a_id", "a_geom", "b_id", "b_geom"])
+                rows.append((int(r.a_id), int(r.b_id), bytes(r.b_geom)))
+            yield pd.DataFrame(rows, columns=["a_id", "b_id", "b_geom"])
 
-    pairs = cand.mapInPandas(
-        owner, "a_id long, a_geom binary, b_id long, b_geom binary")
+    pairs = cand.mapInPandas(owner, "a_id long, b_id long, b_geom binary")
 
-    # left features with NO candidate still pass through untouched
-    lonely = (left.join(pairs.select("a_id").distinct(), "a_id",
-                        "left_anti")
-              .select("a_id", F.col("geometry").alias("a_geom"),
-                      F.lit(None).cast("long").alias("b_id"),
-                      F.lit(None).cast("binary").alias("b_geom")))
+    # ONE pass over the candidate pipeline: left-joining the base
+    # layer brings geometry to every group and keeps candidate-less
+    # left features flowing through untouched (null b side)
+    joined = left.select("a_id", F.col("geometry").alias("a_geom")).join(
+        pairs, "a_id", "left")
 
     def erase(pdf: pd.DataFrame) -> pd.DataFrame:
         a_id = int(pdf["a_id"].iloc[0])
@@ -1369,16 +1407,15 @@ def overlay_erase(left: DataFrame, right: DataFrame,
                 degen |= d
         area = 0.0
         nr = 0
-        from geohub_data_pipeline_spark.operators import geometry as GG
         for rings in pieces:
             for ring in rings:
-                area += GG._ring_area2(ring) / 2.0
+                area += G._ring_area2(ring) / 2.0
                 nr += 1
-        buf = GG.wkb_multipolygon(pieces) if pieces else None
+        buf = G.wkb_multipolygon(pieces) if pieces else None
         return pd.DataFrame([{
             "a_id": a_id, "geometry": buf, "area": float(area),
             "n_rings": nr, "degenerate": bool(degen)}])
 
-    return pairs.unionByName(lonely).groupBy("a_id").applyInPandas(
+    return joined.groupBy("a_id").applyInPandas(
         erase, "a_id long, geometry binary, area double, "
                "n_rings long, degenerate boolean")

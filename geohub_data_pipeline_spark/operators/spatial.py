@@ -200,25 +200,13 @@ def _ytile(lat: float, n: int) -> int:
                 / math.pi) / 2.0 * n)
 
 
-def zonal_stats(blocks: DataFrame, georef: DataFrame,
-                polygons: DataFrame) -> DataFrame:
-    """Zonal statistics: aggregate raster pixels inside each polygon
-    — count / sum / min / max / mean per (dataset, poly_id).
-
-    The raster side is already grid-partitioned (the engine's BLOCK
-    model), so the join key is free: polygons fan to the source
-    block cells their bbox covers (via the broadcast georef), ONE
-    hash shuffle co-locates candidate (block, polygon) pairs, the
-    even-odd ray cast masks pixel CENTERS vectorized, and per-block
-    PARTIAL aggregates merge in a final tiny groupBy — the classic
-    two-phase aggregation, never a pixel-level shuffle.
-
-    ``blocks``: BLOCK_SCHEMA rows in lon/lat (srid 4326) — only
-    level 0 is aggregated (overviews are resampled copies) and each
-    band reports separately;
-    ``georef``: GEOREF_SCHEMA sidecar; ``polygons``:
-    (poly_id long, geometry binary) in lon/lat.
-    """
+def _zonal_candidates(blocks: DataFrame, georef: DataFrame,
+                      polygons: DataFrame) -> DataFrame:
+    """Shared zonal-family candidate join: polygons fan map-side to
+    the level-0 BLOCK cells their bbox covers (via the broadcast
+    georef), then ONE (dataset, block) hash shuffle co-locates each
+    block with the polygons that may touch it.  Pixels never fan —
+    each block row pairs with polygon WKB + georef scalars only."""
     from pyspark.sql.functions import broadcast
 
     from geohub_data_pipeline_spark.operators.raster import BLOCK
@@ -258,10 +246,34 @@ def zonal_stats(blocks: DataFrame, georef: DataFrame,
              "geometry binary, origin_x double, origin_y double, "
              "psx double, psy double")
 
-    cand = blocks.filter(F.col("level") == 0).select(
+    return blocks.filter(F.col("level") == 0).select(
         "dataset", "band", "block_x", "block_y", "width", "height",
         "pixels", "nodata",
     ).join(poly_cells, ["dataset", "block_x", "block_y"])
+
+
+def zonal_stats(blocks: DataFrame, georef: DataFrame,
+                polygons: DataFrame) -> DataFrame:
+    """Zonal statistics: aggregate raster pixels inside each polygon
+    — count / sum / min / max / mean per (dataset, poly_id).
+
+    The raster side is already grid-partitioned (the engine's BLOCK
+    model), so the join key is free: polygons fan to the source
+    block cells their bbox covers (via the broadcast georef), ONE
+    hash shuffle co-locates candidate (block, polygon) pairs, the
+    even-odd ray cast masks pixel CENTERS vectorized, and per-block
+    PARTIAL aggregates merge in a final tiny groupBy — the classic
+    two-phase aggregation, never a pixel-level shuffle.
+
+    ``blocks``: BLOCK_SCHEMA rows in lon/lat (srid 4326) — only
+    level 0 is aggregated (overviews are resampled copies) and each
+    band reports separately;
+    ``georef``: GEOREF_SCHEMA sidecar; ``polygons``:
+    (poly_id long, geometry binary) in lon/lat.
+    """
+    from geohub_data_pipeline_spark.operators.raster import BLOCK
+
+    cand = _zonal_candidates(blocks, georef, polygons)
 
     def partial(pdf: pd.DataFrame) -> pd.DataFrame:
         r0 = pdf.iloc[0]
@@ -618,49 +630,9 @@ def zonal_histogram(blocks: DataFrame, georef: DataFrame,
     final aggregate merges (poly, value) partials.  Pixels never
     shuffle; only per-class partial counts do.
     """
-    from pyspark.sql.functions import broadcast
-
     from geohub_data_pipeline_spark.operators.raster import BLOCK
-    from geohub_data_pipeline_spark.session import ship_package
-    ship_package(blocks.sparkSession)
 
-    geo = polygons.join(broadcast(georef.dropDuplicates(["dataset"])))
-
-    def fan(it):
-        for pdf in it:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                rings = _rings_of_wkb(bytes(r.geometry))
-                if not rings:
-                    continue
-                allc = np.concatenate(rings)
-                lo_x, lo_y = allc.min(axis=0)
-                hi_x, hi_y = allc.max(axis=0)
-                psx, psy = float(r.pixel_sx), abs(float(r.pixel_sy))
-                c0 = int((lo_x - r.origin_x) / psx) // BLOCK
-                c1 = int((hi_x - r.origin_x) / psx) // BLOCK
-                r0 = int((r.origin_y - hi_y) / psy) // BLOCK
-                r1 = int((r.origin_y - lo_y) / psy) // BLOCK
-                for bx in range(max(c0, 0), c1 + 1):
-                    for by in range(max(r0, 0), r1 + 1):
-                        rows.append((r.dataset, bx, by,
-                                     int(r.poly_id),
-                                     bytes(r.geometry),
-                                     float(r.origin_x),
-                                     float(r.origin_y), psx, psy))
-            yield pd.DataFrame(rows, columns=[
-                "dataset", "block_x", "block_y", "poly_id",
-                "geometry", "origin_x", "origin_y", "psx", "psy"])
-
-    poly_cells = geo.mapInPandas(
-        fan, "dataset string, block_x int, block_y int, poly_id long, "
-             "geometry binary, origin_x double, origin_y double, "
-             "psx double, psy double")
-
-    cand = blocks.filter(F.col("level") == 0).select(
-        "dataset", "band", "block_x", "block_y", "width", "height",
-        "pixels", "nodata",
-    ).join(poly_cells, ["dataset", "block_x", "block_y"])
+    cand = _zonal_candidates(blocks, georef, polygons)
 
     def partial(pdf: pd.DataFrame) -> pd.DataFrame:
         r0 = pdf.iloc[0]

@@ -122,6 +122,7 @@ def write_geojsonseq_tables(features: DataFrame,
         dataset = str(pdf["dataset"].iloc[0])
         layer = str(pdf["layer"].iloc[0])
         pdf = pdf.sort_values("fid")
+        os.makedirs(dst_dir, exist_ok=True)
         path = os.path.join(dst_dir, f"{dataset}_{layer}.geojsonl")
         n = 0
         with open(path, "w", encoding="utf-8") as f:
@@ -137,7 +138,10 @@ def write_geojsonseq_tables(features: DataFrame,
                         props = json.loads(row.properties)
                     except ValueError:
                         props = {}
-                feat = {"type": "Feature", "id": int(row.fid),
+                # fid is nullable in FEATURE_SCHEMA; pandas surfaces
+                # a null as NaN — RFC 7946 makes "id" optional
+                fid = (None if pd.isna(row.fid) else int(row.fid))
+                feat = {"type": "Feature", "id": fid,
                         "geometry": geom, "properties": props}
                 f.write(json.dumps(feat, separators=(",", ":"))
                         + "\n")
