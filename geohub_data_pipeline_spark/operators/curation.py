@@ -313,3 +313,56 @@ def dsir_weights(docs: DataFrame, target_cond: Column,
                  .alias("__s"))
             .select(id_col, "n_tokens",
                     F.round(F.col("__s"), 6).alias("dsir_logw")))
+
+
+def line_dedup(lines: DataFrame, id_col: str = "doc_id",
+               pos_col: str = "line_no",
+               line_col: str = "line") -> DataFrame:
+    """CCNet-style cross-corpus line deduplication (Wenzek et al.
+    2020, "CCNet: Extracting High Quality Monolingual Datasets from
+    Web Crawl Data"): a line duplicated ANYWHERE in the corpus
+    survives only at its first occurrence (smallest
+    ``(doc, position)``); every other copy drops.  This is the pass
+    that strips boilerplate — navigation bars, cookie banners,
+    repeated headers — corpus-wide BEFORE document-level dedup,
+    where it would otherwise make near-identical documents look
+    distinct.
+
+    Input: pre-split lines ``(id_col, pos_col, line_col)`` — use any
+    splitter (newline, sentence, fixed word window); the operator is
+    agnostic.  Output: one row per document — ``n_lines``,
+    ``n_kept``, ``kept_chars``, and ``kept_hash`` (md5 of the
+    surviving lines joined by newline in position order, so callers
+    can verify reassembly without shipping text twice; NULL when
+    every line dropped).
+
+    Scale: duplicate marking is two-phase — a partial-aggregated
+    ``groupBy`` on the line (corpus-hot boilerplate lines collapse
+    map-side to one row per task; never a window over the raw line
+    stream, the skew lesson from ``dedup.substring_dup_spans``) and
+    ONE join back on the same key; AQE's skew split handles residual
+    hot lines and broadcasts the first-occurrence side when small.
+    Reassembly is a per-document groupBy.
+    """
+    first = lines.groupBy(line_col).agg(
+        F.min(F.struct(id_col, pos_col)).alias("first"))
+    kept = lines.join(first, line_col).filter(
+        (F.col(id_col) == F.col(f"first.{id_col}"))
+        & (F.col(pos_col) == F.col(f"first.{pos_col}")))
+    totals = lines.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_lines"))
+    kept_agg = kept.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum(F.length(line_col)).cast("long").alias("kept_chars"),
+        F.md5(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(pos_col, line_col))),
+                lambda s: s[line_col]),
+            "\n")).alias("kept_hash"))
+    return (totals.join(kept_agg, id_col, "left")
+            .select(id_col, "n_lines",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    F.coalesce("kept_chars", F.lit(0))
+                    .alias("kept_chars"),
+                    "kept_hash"))

@@ -816,3 +816,66 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens",
         F.round(F.col("s") / F.col("n_tokens"), 6)
         .alias("bigram_logprob")).orderBy("doc_id")
+
+
+_LINE_DEDUP_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+l AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS line_no,
+         array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS line
+  FROM w CROSS JOIN unnest(range(0, (len(ws) + 7) // 8)) u(i)
+),
+f AS (
+  SELECT line, min(doc_id * 1000000 + line_no) AS fk
+  FROM l GROUP BY line
+),
+k AS (
+  SELECT l.* FROM l JOIN f
+  ON l.line = f.line AND l.doc_id * 1000000 + l.line_no = f.fk
+),
+t AS (
+  SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id
+),
+ka AS (
+  SELECT doc_id, count(*) AS n_kept,
+         CAST(sum(length(line)) AS BIGINT) AS kept_chars,
+         md5(string_agg(line, chr(10) ORDER BY line_no)) AS kept_hash
+  FROM k GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_lines,
+       COALESCE(ka.n_kept, 0) AS n_kept,
+       COALESCE(ka.kept_chars, 0) AS kept_chars,
+       ka.kept_hash
+FROM t LEFT JOIN ka ON t.doc_id = ka.doc_id
+ORDER BY t.doc_id
+"""
+
+
+@query("text_line_dedup", "llm",
+       "LLM dedup: CCNet-style cross-corpus line dedup — two-phase "
+       "groupBy on the line (map-side combine on hot boilerplate), "
+       "one join back, per-doc reassembly hash", _LINE_DEDUP_SQL)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet line dedup over the documents corpus, pseudo-lines =
+    non-overlapping 8-word windows (the corpus has no newlines; the
+    operator is splitter-agnostic).  A line repeated anywhere keeps
+    only its first (doc_id, line_no) occurrence; per-doc output
+    carries the md5 of the surviving reassembly so the oracle
+    verifies CONTENT, not just counts.
+
+    Scale: splitting is pure Catalyst (transform+posexplode over the
+    word array); marking is the de-skewed two-phase groupBy + join
+    back (never a window over the raw line stream).
+    """
+    t = load_tables(spark, sf_dir)
+    lines = t.documents.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            "transform(sequence(0, (size(split(text, ' ')) + 7) div 8"
+            " - 1), i -> array_join(slice(split(text, ' '), i*8 + 1,"
+            " 8), ' '))")).alias("line_no", "line"),
+    ).select("doc_id", F.col("line_no").cast("long").alias("line_no"),
+             "line")
+    return C.line_dedup(lines).orderBy("doc_id")

@@ -123,3 +123,32 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert got[1].scrubbed == "mail <EMAIL> and <EMAIL> call <PHONE> ok"
     assert got[2].n_email == 0 and got[2].n_phone == 0
     assert got[2].scrubbed == "nothing to see here"
+
+
+def test_line_dedup(spark):
+    """Cross-corpus first-occurrence line dedup: boilerplate shared
+    by every doc survives once (smallest doc/pos); a doc whose every
+    line is boilerplate keeps nothing (NULL hash); within-doc
+    repeats drop too."""
+    import hashlib
+
+    rows = [
+        (0, 0, "cookie banner"), (0, 1, "alpha"), (0, 2, "beta"),
+        (1, 0, "cookie banner"), (1, 1, "alpha"), (1, 2, "gamma"),
+        (2, 0, "cookie banner"),                  # all-boilerplate doc
+        (3, 0, "delta"), (3, 1, "delta"), (3, 2, "eps"),
+    ]
+    lines = spark.createDataFrame(
+        rows, "doc_id long, line_no long, line string")
+    got = {r.doc_id: r for r in C.line_dedup(lines).collect()}
+
+    def h(*ls):
+        return hashlib.md5("\n".join(ls).encode()).hexdigest()
+
+    assert got[0].n_lines == 3 and got[0].n_kept == 3
+    assert got[0].kept_hash == h("cookie banner", "alpha", "beta")
+    assert got[1].n_lines == 3 and got[1].n_kept == 1
+    assert got[1].kept_hash == h("gamma")
+    assert got[2].n_lines == 1 and got[2].n_kept == 0
+    assert got[2].kept_hash is None and got[2].kept_chars == 0
+    assert got[3].n_kept == 2 and got[3].kept_hash == h("delta", "eps")
