@@ -969,3 +969,104 @@ def resample_bilinear(blocks: DataFrame, georef: DataFrame,
     return fanned.groupBy(
         "dataset", "subdataset", "band", "tgt_x", "tgt_y"
     ).applyInPandas(kernel, BLOCK_SCHEMA)
+
+
+def sample_at_points(blocks: DataFrame, georef: DataFrame,
+                     points: DataFrame,
+                     block: int = BLOCK) -> DataFrame:
+    """Bilinear raster sampling at point locations — "extract the
+    elevation under every GPS fix" — as PURE Catalyst: no Python
+    runs per point.
+
+    Each point computes its fractional pixel-center position from
+    the broadcast georef, explodes to its 4 stencil corners, and
+    ONE hash equi-join on (dataset, block_x, block_y) lands each
+    corner on the block that stores it; the pixel gather is
+    ``element_at(pixels, idx)`` inside the join projection, so pixel
+    arrays ship exactly once (the join shuffle) and never ride the
+    output.  The 4 corners then pivot back to one row per point and
+    combine in a FIXED expression order — bit-reproducible, no
+    float-sum ordering dependence.
+
+    Semantics match ``resample_bilinear``: a point whose 2x2 stencil
+    is incomplete (outside the raster or in its half-pixel border)
+    or touches a nodata corner yields NULL, never a silently
+    extrapolated value.
+
+    Input ``points``: (point_id long, dataset string, x double,
+    y double) in georef units.  Output: one row per (point, band) of
+    every dataset the point names — ``point_id, band, value``.
+    """
+    g = georef.dropDuplicates(["dataset"]).select(
+        "dataset", "origin_x", "origin_y", "pixel_sx", "pixel_sy")
+    p = points.join(F.broadcast(g), "dataset")
+
+    gx = (F.col("x") - F.col("origin_x")) / F.col("pixel_sx") - 0.5
+    gy = (F.col("origin_y") - F.col("y")) / F.abs(F.col("pixel_sy")) - 0.5
+    corners = F.array(*[
+        F.struct(F.lit(dc).alias("dc"), F.lit(dr).alias("dr"))
+        for dc in (0, 1) for dr in (0, 1)])
+    c = p.select(
+        "point_id", "dataset",
+        F.floor(gx).cast("long").alias("c0"),
+        F.floor(gy).cast("long").alias("r0"),
+        (gx - F.floor(gx)).alias("wx"),
+        (gy - F.floor(gy)).alias("wy"),
+        F.explode(corners).alias("d"),
+    ).select(
+        "point_id", "dataset", "wx", "wy",
+        F.col("d.dc").alias("dc"), F.col("d.dr").alias("dr"),
+        (F.col("c0") + F.col("d.dc")).alias("cc"),
+        (F.col("r0") + F.col("d.dr")).alias("rr"),
+    ).filter((F.col("cc") >= 0) & (F.col("rr") >= 0)).select(
+        "*",
+        (F.col("cc") / block).cast("int").alias("block_x"),
+        (F.col("rr") / block).cast("int").alias("block_y"),
+    )
+
+    b = blocks.filter(F.col("level") == 0).select(
+        "dataset", "band", "block_x", "block_y",
+        "width", "height", "pixels", "nodata")
+
+    j = c.join(b, ["dataset", "block_x", "block_y"]).filter(
+        (F.col("cc") - F.col("block_x") * block < F.col("width"))
+        & (F.col("rr") - F.col("block_y") * block < F.col("height")))
+    val = F.element_at(
+        "pixels",
+        ((F.col("rr") - F.col("block_y") * block) * F.col("width")
+         + (F.col("cc") - F.col("block_x") * block) + 1).cast("int"))
+    j = j.select(
+        "point_id", "band", "wx", "wy", "dc", "dr",
+        val.alias("v"),
+        ((F.col("nodata").isNotNull())
+         & ~F.isnan("nodata")
+         & (val == F.col("nodata"))).alias("is_nodata"))
+
+    def corner(dc, dr):
+        return F.max(F.when((F.col("dc") == dc)
+                            & (F.col("dr") == dr), F.col("v")))
+
+    agg = j.groupBy("point_id", "band").agg(
+        F.first("wx").alias("wx"), F.first("wy").alias("wy"),
+        corner(0, 0).alias("v00"), corner(1, 0).alias("v10"),
+        corner(0, 1).alias("v01"), corner(1, 1).alias("v11"),
+        F.count("*").alias("n"),
+        F.max(F.col("is_nodata").cast("int")).alias("bad"))
+    wx, wy = F.col("wx"), F.col("wy")
+    blend = ((1.0 - wy) * ((1.0 - wx) * F.col("v00")
+                           + wx * F.col("v10"))
+             + wy * ((1.0 - wx) * F.col("v01")
+                     + wx * F.col("v11")))
+    sampled = agg.select(
+        "point_id", "band",
+        F.when((F.col("n") == 4) & (F.col("bad") == 0), blend)
+        .alias("value"))
+    # a fully-out-of-extent point joins NO block: restore its row
+    # (NULL value) from the tiny per-dataset band list so callers
+    # see an explicit miss, never a silent drop
+    bands = blocks.filter(F.col("level") == 0).select(
+        "dataset", "band").distinct()
+    base = points.join(F.broadcast(bands), "dataset").select(
+        "point_id", "band")
+    return (base.join(sampled, ["point_id", "band"], "left")
+            .select("point_id", "band", "value"))

@@ -4687,3 +4687,90 @@ def zonal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("poly_id", F.col("value").alias("cls"),
                     "n_pixels")
             .orderBy("poly_id", "cls"))
+
+
+_POINT_SAMPLE_SQL = """
+WITH pts AS (
+  -- every literal cast: DuckDB parses 0.1 as DECIMAL (exact
+  -- arithmetic) while Spark computes IEEE doubles
+  SELECT c_custkey AS point_id,
+         CAST(-15.0 AS DOUBLE)
+           + ((c_custkey * 13) % 295) * CAST(0.1 AS DOUBLE)
+           + CAST(0.03 AS DOUBLE) AS x,
+         CAST(15.0 AS DOUBLE)
+           - (((c_custkey * 7) % 293) * CAST(0.1 AS DOUBLE)
+              + CAST(0.04 AS DOUBLE)) AS y
+  FROM customer
+),
+c AS (
+  SELECT point_id,
+         CAST(floor((x - (-15.0)) / 0.1 - 0.5) AS BIGINT) AS c0,
+         CAST(floor((15.0 - y) / 0.1 - 0.5) AS BIGINT) AS r0,
+         ((x - (-15.0)) / 0.1 - 0.5)
+           - floor((x - (-15.0)) / 0.1 - 0.5) AS wx,
+         ((15.0 - y) / 0.1 - 0.5)
+           - floor((15.0 - y) / 0.1 - 0.5) AS wy
+  FROM pts
+)
+SELECT point_id, CAST(1 AS INTEGER) AS band,
+       CASE WHEN c0 >= 0 AND r0 >= 0 AND c0 + 1 < 300
+                 AND r0 + 1 < 300 THEN
+         (1.0 - wy) * ((1.0 - wx) * CAST((7*r0 + c0) % 1000 AS DOUBLE)
+                   + wx * CAST((7*r0 + c0 + 1) % 1000 AS DOUBLE))
+         + wy * ((1.0 - wx) * CAST((7*(r0+1) + c0) % 1000 AS DOUBLE)
+                   + wx * CAST((7*(r0+1) + c0 + 1) % 1000 AS DOUBLE))
+       END AS value
+FROM c
+ORDER BY point_id
+"""
+
+
+@query("raster_point_sample", "pipeline",
+       "geo analytics: bilinear raster sampling at points — pure "
+       "Catalyst (corner explode + one block equi-join + "
+       "element_at gather), no Python per point", _POINT_SAMPLE_SQL)
+def raster_point_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elevation-under-every-point over the synthetic 300x300
+    formula raster ((7 row + col) % 1000, 0.1-degree grid): points
+    derive deterministically from customer keys, the Spark side runs
+    the REAL operator (raster.sample_at_points — corner explode,
+    one (dataset, block) equi-join, element_at gather, fixed-order
+    blend), the oracle states the same bilinear blend in closed
+    form over the pixel formula.
+
+    Scale: pixels ship once (the join shuffle); the blend is
+    whole-stage codegen; no pixel array ever rides the output.
+    """
+    import numpy as np
+
+    from geohub_data_pipeline_spark.operators import raster as R
+    from geohub_data_pipeline_spark.operators.raster import BLOCK
+
+    t = load_tables(spark, sf_dir)
+    n = 300
+    arr = (7 * np.arange(n)[:, None] + np.arange(n)[None, :]) % 1000
+    rows = []
+    for by in range(0, n, BLOCK):
+        for bx in range(0, n, BLOCK):
+            tile = arr[by:by + BLOCK, bx:bx + BLOCK]
+            rows.append(("dem", None, 1, 0, bx // BLOCK, by // BLOCK,
+                         int(tile.shape[1]), int(tile.shape[0]),
+                         [float(v) for v in tile.ravel()], None, 4326))
+    blocks = spark.createDataFrame(
+        rows, "dataset string, subdataset string, band int, "
+              "level int, block_x int, block_y int, width int, "
+              "height int, pixels array<double>, nodata double, "
+              "srid int")
+    georef = spark.createDataFrame(
+        [("dem", -15.0, 15.0, 0.1, 0.1, 4326)],
+        "dataset string, origin_x double, origin_y double, "
+        "pixel_sx double, pixel_sy double, georef_srid int")
+    pts = t.customer.select(
+        F.col("c_custkey").alias("point_id"),
+        F.lit("dem").alias("dataset"),
+        (F.lit(-15.0) + ((F.col("c_custkey") * 13) % 295) * F.lit(0.1)
+         + F.lit(0.03)).alias("x"),
+        (F.lit(15.0) - (((F.col("c_custkey") * 7) % 293) * F.lit(0.1)
+                        + F.lit(0.04))).alias("y"))
+    return (R.sample_at_points(blocks, georef, pts)
+            .orderBy("point_id"))

@@ -305,3 +305,48 @@ def test_resample_bilinear_seams_and_nodata(spark):
                      r.block_x * 4 + xx)] = px[yy, xx]
     assert mid[(0, 0)] == (arr[0, 0] + arr[0, 1] + arr[1, 0]
                            + arr[1, 1]) / 4.0
+
+
+def test_sample_at_points_bilinear(spark):
+    """Pure-Catalyst bilinear point sampling: interior points blend
+    the 4-pixel stencil exactly (block seams included, block=2);
+    half-pixel border and out-of-raster points are NULL; a nodata
+    corner poisons its point (never silent extrapolation)."""
+    import numpy as np
+
+    # 4x4 raster, value = 10*row + col, origin (100, 50), ps 1.0
+    arr = (10.0 * np.arange(4)[:, None]
+           + np.arange(4)[None, :]).astype(float)
+    arr[3, 3] = -9.0                      # nodata cell
+    blk = 2
+    rows = []
+    for by in range(0, 4, blk):
+        for bx in range(0, 4, blk):
+            t = arr[by:by + blk, bx:bx + blk]
+            rows.append(("d", None, 1, 0, bx // blk, by // blk,
+                         t.shape[1], t.shape[0],
+                         [float(v) for v in t.ravel()], -9.0, 4326))
+    blocks = spark.createDataFrame(
+        rows, "dataset string, subdataset string, band int, "
+              "level int, block_x int, block_y int, width int, "
+              "height int, pixels array<double>, nodata double, "
+              "srid int")
+    georef = spark.createDataFrame(
+        [("d", 100.0, 50.0, 1.0, 1.0, 4326)],
+        "dataset string, origin_x double, origin_y double, "
+        "pixel_sx double, pixel_sy double, georef_srid int")
+    pts = spark.createDataFrame(
+        [(0, "d", 101.5, 48.5),   # pixel centers (r1,c1): exact 11
+         (1, "d", 102.0, 48.0),   # straddles the 2x2 block seam
+         (2, "d", 100.2, 49.9),   # half-pixel border -> NULL
+         (3, "d", 99.0, 48.0),    # outside -> NULL
+         (4, "d", 102.9, 46.9)],  # stencil touches nodata -> NULL
+        "point_id long, dataset string, x double, y double")
+    got = {r.point_id: r.value
+           for r in R.sample_at_points(blocks, georef, pts,
+                                       block=blk).collect()}
+    assert got[0] == 11.0
+    # (102.0, 48.0) -> gx=1.5, gy=1.5: mean of 11,12,21,22 = 16.5
+    assert got[1] == 16.5
+    assert got[2] is None and got[3] is None and got[4] is None
+    assert set(got) == {0, 1, 2, 3, 4}
