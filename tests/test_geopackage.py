@@ -123,3 +123,46 @@ def test_write_gpkg_preserves_attributes(tmp_path):
     # int stays int, float stays float through SQLite typing
     assert isinstance(roma["pop"], int)
     assert isinstance(roma["area_km2"], float)
+
+
+def test_write_gpkg_tables_roundtrip(spark, tmp_path):
+    """Distributed sink round-trip: FEATURE_SCHEMA rows -> one .gpkg
+    per dataset (all layers) -> features_from_gpkg returns the same
+    fid/geometry/properties; null geometry skipped, null fid kept
+    (sqlite assigns)."""
+    import json
+
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.sources.flatgeobuf import (
+        FEATURE_SCHEMA,
+    )
+
+    def pt(x, y):
+        return G.wkb_from_geojson(
+            {"type": "Point", "coordinates": [x, y]})
+
+    rows = [
+        ("d1", "roads", 1, pt(1.0, 2.0), 4326, None,
+         json.dumps({"name": "a", "lanes": 2})),
+        ("d1", "roads", 2, pt(3.0, 4.0), 4326, None,
+         json.dumps({"name": "b", "lanes": 4})),
+        ("d1", "poi", 7, pt(5.0, 6.0), 4326, None, None),
+        ("d1", "poi", 8, None, 4326, None, None),     # skipped
+        ("d2", "zones", 1, pt(-1.0, -2.0), 3857, None, None),
+    ]
+    feats = spark.createDataFrame(rows, FEATURE_SCHEMA)
+    man = {r.dataset: r
+           for r in GP.write_gpkg_tables(
+               feats, str(tmp_path)).collect()}
+    assert man["d1"].n_layers == 2 and man["d1"].n_features == 3
+    assert man["d2"].n_features == 1
+
+    back = GP.features_from_gpkg(
+        spark, man["d1"].path).collect()
+    by = {(r.layer, r.fid): r for r in back}
+    assert set(by) == {("roads", 1), ("roads", 2), ("poi", 7)}
+    assert bytes(by[("roads", 1)].geometry) == pt(1.0, 2.0)
+    props = json.loads(by[("roads", 2)].properties)
+    assert props["name"] == "b" and props["lanes"] == 4
+    back2 = GP.features_from_gpkg(spark, man["d2"].path).collect()
+    assert len(back2) == 1 and back2[0].srid == 3857
