@@ -971,6 +971,52 @@ def resample_bilinear(blocks: DataFrame, georef: DataFrame,
     ).applyInPandas(kernel, BLOCK_SCHEMA)
 
 
+def curvature(blocks: DataFrame, cellsize: float = 1.0,
+              kind: str = "standard") -> DataFrame:
+    """Surface curvature (Zevenbergen & Thorne 1987, the gdaldem /
+    ESRI Curvature formulation) — completes the terrain-derivative
+    family on the shared focal-canvas machinery.
+
+    ``standard`` = -2(D + E) * 100 (second derivatives only);
+    ``profile`` (curvature along the slope direction) and ``plan``
+    (across it) combine first and second derivatives; flat cells
+    (zero gradient) emit 0 for profile/plan, the ESRI convention.
+    Units: 1/100 z-units per cellsize^2, positive = convex upward.
+
+    Same distributed shape as ``_focal_horn``: a 1-pixel halo
+    exchange (edge strips only), one grid-key shuffle, vectorized
+    window views per block.
+    """
+    if kind not in ("standard", "profile", "plan"):
+        raise ValueError(f"unknown curvature kind {kind!r}")
+    L = float(cellsize)
+    L2 = L * L
+
+    def canvas_fn(z):
+        z1, z2, z3 = z[:-2, :-2], z[:-2, 1:-1], z[:-2, 2:]
+        z4, z5, z6 = z[1:-1, :-2], z[1:-1, 1:-1], z[1:-1, 2:]
+        z7, z8, z9 = z[2:, :-2], z[2:, 1:-1], z[2:, 2:]
+        D = ((z4 + z6) / 2.0 - z5) / L2
+        E = ((z2 + z8) / 2.0 - z5) / L2
+        if kind == "standard":
+            # + 0.0 normalizes IEEE -0.0 (flat cells) to +0.0
+            return -2.0 * (D + E) * 100.0 + 0.0
+        Fc = (-z1 + z3 + z7 - z9) / (4.0 * L2)
+        G = (-z4 + z6) / (2.0 * L)
+        H = (z2 - z8) / (2.0 * L)
+        g2 = G * G + H * H
+        with np.errstate(invalid="ignore", divide="ignore"):
+            if kind == "profile":
+                out = -2.0 * (D * G * G + E * H * H
+                              + Fc * G * H) / g2 * 100.0
+            else:
+                out = 2.0 * (D * H * H + E * G * G
+                             - Fc * G * H) / g2 * 100.0
+        return np.where(g2 == 0.0, 0.0, out + 0.0)
+
+    return _focal_window(blocks, canvas_fn)
+
+
 def sample_at_points(blocks: DataFrame, georef: DataFrame,
                      points: DataFrame,
                      block: int = BLOCK) -> DataFrame:

@@ -4774,3 +4774,46 @@ def raster_point_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                         + F.lit(0.04))).alias("y"))
     return (R.sample_at_points(blocks, georef, pts)
             .orderBy("point_id"))
+
+
+_CURV_SQL = """
+WITH px AS (
+  SELECT r.i AS row, c.i AS col,
+         CAST(5 * r.i + 3 * c.i + (r.i * c.i) % 7 AS DOUBLE) AS v
+  FROM range(128) r(i), range(128) c(i)
+)
+SELECT CAST(a.row AS INTEGER) AS row, CAST(a.col AS INTEGER) AS col,
+       round(-2.0 * (((w.v + e.v) / 2.0 - a.v)
+                     + ((n.v + s.v) / 2.0 - a.v)) * 100.0
+             + 0.0, 4) AS curv
+FROM px a
+JOIN px n ON n.row = a.row - 1 AND n.col = a.col
+JOIN px s ON s.row = a.row + 1 AND s.col = a.col
+JOIN px w ON w.row = a.row AND w.col = a.col - 1
+JOIN px e ON e.row = a.row AND e.col = a.col + 1
+WHERE a.row BETWEEN 1 AND 126 AND a.col BETWEEN 1 AND 126
+ORDER BY row, col
+"""
+
+
+@query("raster_curvature", "pipeline",
+       "geo analytics: Zevenbergen-Thorne standard curvature — "
+       "fourth member of the terrain family on the same 1-px halo "
+       "exchange; second differences per block, one grid shuffle",
+       _CURV_SQL)
+def raster_curvature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard (ZT) curvature over the shared synthetic 2x2-block
+    DEM: the (row*col)%7 texture makes the second derivative
+    nonzero and block-seam pixels prove the halo exchange (the
+    standard kernel reads the 4-neighbor cross; the oracle is the
+    whole-raster 4-way self-join of the same second difference).
+    Interior restricted to the full-3x3 window both sides — the
+    operator NaNs any border canvas, the oracle bounds rows/cols."""
+    from geohub_data_pipeline_spark.operators import raster as R
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    load_tables(spark, sf_dir)             # harness contract
+    blocks, b = _demo_dem_blocks(spark)
+    return _flatten_pixels(R.curvature(blocks, cellsize=1.0), b,
+                           "curv")

@@ -350,3 +350,67 @@ def test_sample_at_points_bilinear(spark):
     assert got[1] == 16.5
     assert got[2] is None and got[3] is None and got[4] is None
     assert set(got) == {0, 1, 2, 3, 4}
+
+
+def test_curvature_kinds_seam_identical(spark):
+    """ZT curvature (standard/profile/plan) over a blocked DEM
+    equals the whole-array formulation — seams prove the halo — and
+    flat cells emit 0 for profile/plan (ESRI convention)."""
+    import numpy as np
+
+    n, b = 16, 8
+    rng = np.arange(n, dtype=float)
+    arr = (rng[:, None] ** 2 * 0.1 + 3.0 * rng[None, :]
+           + (rng[:, None] * rng[None, :]) % 5)
+    arr[:4, :4] = 7.0                      # flat patch
+    rows = []
+    for by in range(0, n, b):
+        for bx in range(0, n, b):
+            t = arr[by:by + b, bx:bx + b]
+            rows.append(("d", None, 1, 0, bx // b, by // b, b, b,
+                         t.ravel().tolist(), None, 4326))
+    blocks = spark.createDataFrame(
+        rows, "dataset string, subdataset string, band int, "
+              "level int, block_x int, block_y int, width int, "
+              "height int, pixels array<double>, nodata double, "
+              "srid int")
+
+    z1, z2, z3 = arr[:-2, :-2], arr[:-2, 1:-1], arr[:-2, 2:]
+    z4, z5, z6 = arr[1:-1, :-2], arr[1:-1, 1:-1], arr[1:-1, 2:]
+    z7, z8, z9 = arr[2:, :-2], arr[2:, 1:-1], arr[2:, 2:]
+    D = (z4 + z6) / 2.0 - z5
+    E = (z2 + z8) / 2.0 - z5
+    Fc = (-z1 + z3 + z7 - z9) / 4.0
+    G = (-z4 + z6) / 2.0
+    H = (z2 - z8) / 2.0
+    g2 = G * G + H * H
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ref = {
+            "standard": -2.0 * (D + E) * 100.0,
+            "profile": np.where(g2 == 0, 0.0,
+                                -2.0 * (D * G * G + E * H * H
+                                        + Fc * G * H) / g2 * 100.0),
+            "plan": np.where(g2 == 0, 0.0,
+                             2.0 * (D * H * H + E * G * G
+                                    - Fc * G * H) / g2 * 100.0),
+        }
+    for kind, expect in ref.items():
+        got = {}
+        for r in R.curvature(blocks, kind=kind).collect():
+            w = r.width
+            for p, v in enumerate(r.pixels):
+                rr = r.block_y * b + p // w
+                cc = r.block_x * b + p % w
+                if v is not None and not math.isnan(v):
+                    got[(rr, cc)] = v
+        assert set(got) == {(i + 1, j + 1)
+                            for i in range(n - 2)
+                            for j in range(n - 2)}, kind
+        for (rr, cc), v in got.items():
+            assert abs(v - expect[rr - 1, cc - 1]) < 1e-9, (
+                kind, rr, cc)
+    # flat patch interior: profile/plan exactly 0
+    for r in R.curvature(blocks, kind="profile").collect():
+        if r.block_x == 0 and r.block_y == 0:
+            w = r.width
+            assert r.pixels[1 * w + 1] == 0.0
