@@ -282,3 +282,251 @@ def parse_dbf(content: bytes) -> list[dict]:
                 row[name] = text
         out.append(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# writer — the sink twin of read_shp_bytes / parse_dbf
+# ---------------------------------------------------------------------------
+
+def _shp_payload(wkb: bytes) -> tuple[int, bytes]:
+    """WKB -> (shape_type, .shp record payload).  Inverse of
+    ``_parse_record`` for the 2D types; polygon rings re-wound to
+    the shapefile convention (outer CW, holes CCW)."""
+    from geohub_data_pipeline_spark.operators import geometry as G
+
+    p = G.parse_wkb(wkb)
+    if p is None:
+        raise ValueError("unparseable WKB")
+    t = p["type"]
+    if t == G.POINT:
+        x, y = p["coords"][0], p["coords"][1]
+        return 1, struct.pack("<i2d", 1, x, y)
+    if t == G.MULTIPOINT:
+        c = p["coords"]
+        pts = list(zip(c[0::2], c[1::2]))
+        xs, ys = [q[0] for q in pts], [q[1] for q in pts]
+        body = struct.pack("<i4di", 8, min(xs), min(ys),
+                           max(xs), max(ys), len(pts))
+        for x, y in pts:
+            body += struct.pack("<2d", x, y)
+        return 8, body
+    parts = [list(zip(f[0::2], f[1::2])) for f in p["parts"]]
+    if t in (G.LINESTRING, G.MULTILINESTRING):
+        stype = 3
+    elif t in (G.POLYGON, G.MULTIPOLYGON):
+        stype = 5
+        roles = p.get("roles") or [True] * len(parts)
+        fixed = []
+        for part, is_shell in zip(parts, roles):
+            ring = part if part[0] == part[-1] else part + [part[0]]
+            # shapefile winding: outer CW, hole CCW
+            fixed.append(G._orient(ring, ccw=not is_shell))
+        parts = fixed
+    else:
+        raise ValueError(f"unsupported WKB type {t} for shapefile")
+    allp = [q for part in parts for q in part]
+    xs, ys = [q[0] for q in allp], [q[1] for q in allp]
+    body = struct.pack("<i4d2i", stype, min(xs), min(ys),
+                       max(xs), max(ys), len(parts), len(allp))
+    idx = 0
+    for part in parts:
+        body += struct.pack("<i", idx)
+        idx += len(part)
+    for part in parts:
+        for x, y in part:
+            body += struct.pack("<2d", x, y)
+    return stype, body
+
+
+def _dbf_bytes(props: list[dict]) -> bytes:
+    """Attribute dicts -> dBASE III bytes (the ``parse_dbf``
+    inverse): int/float -> N, bool -> L, else C; column widths sized
+    to the data."""
+    cols: dict[str, tuple[str, int, int]] = {}   # name -> (type, w, dec)
+    for pr in props:
+        for k, v in pr.items():
+            name = str(k)[:10]
+            if isinstance(v, bool):
+                t, w, d = "L", 1, 0
+            elif isinstance(v, int):
+                t, w, d = "N", max(18, len(str(v))), 0
+            elif isinstance(v, float):
+                t, w, d = "N", 24, 6
+            elif v is None:
+                continue
+            else:
+                t, w, d = "C", min(max(1, len(str(v))), 254), 0
+            prev = cols.get(name)
+            if prev is None:
+                cols[name] = (t, w, d)
+            elif prev[0] != t or ({prev[0], t} == {"N"}
+                                  and prev[2] != d):
+                # type conflict widens to text
+                if prev[0] == t == "N":
+                    cols[name] = ("N", 24, 6)
+                else:
+                    cols[name] = ("C", 254, 0)
+            else:
+                cols[name] = (t, max(prev[1], w), max(prev[2], d))
+    names = sorted(cols)
+    record_len = 1 + sum(cols[n][1] for n in names)
+    header_len = 32 + 32 * len(names) + 1
+    out = bytearray()
+    out += struct.pack("<B3BIHH20x", 0x03, 26, 8, 15, len(props),
+                       header_len, record_len)
+    for n in names:
+        t, w, d = cols[n]
+        out += struct.pack("<11sc4xBB14x", n.encode("ascii", "replace"),
+                           t.encode(), w, d)
+    out += b"\x0d"
+    for pr in props:
+        out += b" "
+        for n in names:
+            t, w, d = cols[n]
+            v = pr.get(n)
+            if v is None or (t == "L" and not isinstance(v, bool)):
+                out += (b"?" if t == "L" else b" " * w)[:w].ljust(w)
+                continue
+            if t == "L":
+                out += b"T" if v else b"F"
+            elif t == "N":
+                s = (f"{v:.{d}f}" if d else str(int(v)))[:w]
+                out += s.rjust(w).encode("ascii", "replace")
+            else:
+                out += str(v)[:w].ljust(w).encode("latin-1", "replace")
+    out += b"\x1a"
+    return bytes(out)
+
+
+def write_shapefile(base_path: str, feats: list[tuple],
+                    srs_wkt: str | None = None) -> dict:
+    """Write ``<base>.shp`` + ``.shx`` + ``.dbf`` (+ ``.prj`` when a
+    WKT is given) from ``[(fid, wkb, props-dict-or-None), ...]``.
+    One shape type per file (the spec): mixed inputs raise.  Returns
+    {n_features, shape_type, paths}.
+    """
+    recs = []
+    stype = None
+    props = []
+    for f in feats:
+        fid, wkb = f[0], f[1]
+        pr = f[2] if len(f) > 2 and isinstance(f[2], dict) else {}
+        if wkb is None:
+            continue
+        st, body = _shp_payload(bytes(wkb))
+        if stype is None:
+            stype = st
+        elif st != stype:
+            raise ValueError(
+                f"mixed shape types {stype}/{st}: shapefile holds one")
+        recs.append(body)
+        props.append(pr)
+    stype = stype or 0
+
+    def bbox():
+        if not recs:
+            return (0.0, 0.0, 0.0, 0.0)
+        xs, ys = [], []
+        for body in recs:
+            if stype == 1:
+                x, y = struct.unpack_from("<2d", body, 4)
+                xs += [x]; ys += [y]
+            else:
+                x0, y0, x1, y1 = struct.unpack_from("<4d", body, 4)
+                xs += [x0, x1]; ys += [y0, y1]
+        return (min(xs), min(ys), max(xs), max(ys))
+
+    x0, y0, x1, y1 = bbox()
+
+    def header(total_words):
+        return struct.pack(">i5i", 9994, 0, 0, 0, 0, 0) \
+            + struct.pack(">i", total_words) \
+            + struct.pack("<2i", 1000, stype) \
+            + struct.pack("<8d", x0, y0, x1, y1, 0, 0, 0, 0)
+
+    shp = bytearray()
+    shx = bytearray()
+    off_words = 50                         # header = 100 bytes
+    for i, body in enumerate(recs):
+        shx += struct.pack(">2i", off_words, len(body) // 2)
+        shp += struct.pack(">2i", i + 1, len(body) // 2)
+        shp += body
+        off_words += 4 + len(body) // 2
+    paths = {}
+    with open(base_path + ".shp", "wb") as f:
+        f.write(header(off_words) + bytes(shp))
+        paths["shp"] = base_path + ".shp"
+    with open(base_path + ".shx", "wb") as f:
+        f.write(header(50 + 4 * len(recs)) + bytes(shx))
+        paths["shx"] = base_path + ".shx"
+    with open(base_path + ".dbf", "wb") as f:
+        f.write(_dbf_bytes(props))
+        paths["dbf"] = base_path + ".dbf"
+    if srs_wkt:
+        with open(base_path + ".prj", "w", encoding="ascii",
+                  errors="replace") as f:
+            f.write(srs_wkt)
+            paths["prj"] = base_path + ".prj"
+    return {"n_features": len(recs), "shape_type": stype,
+            "paths": paths}
+
+
+def write_shapefile_tables(features: DataFrame,
+                           dst_dir: str) -> DataFrame:
+    """Distributed shapefile sink — one ``<dataset>_<layer>.shp`` +
+    sidecars per (dataset, layer), the write twin of
+    ``shapefile_feature_rows``.  Plan: ONE shuffle keyed on
+    (dataset, layer), each group writes its trio independently, no
+    driver collect.  Input: FEATURE_SCHEMA rows (properties JSON
+    becomes typed .dbf columns); srid 4326 features get a minimal
+    WGS84 .prj with the AUTHORITY clause ``epsg_from_prj`` reads
+    back; other srids carry crs_wkt when present.
+    """
+    import json
+    import os
+
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(features.sparkSession)
+    has_props = "properties" in features.columns
+    has_wkt = "crs_wkt" in features.columns
+
+    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        dataset = str(pdf["dataset"].iloc[0])
+        layer = str(pdf["layer"].iloc[0])
+        os.makedirs(dst_dir, exist_ok=True)
+        base = os.path.join(dst_dir, f"{dataset}_{layer}")
+        pdf = pdf.sort_values("fid")
+        feats = []
+        for row in pdf.itertuples(index=False):
+            if row.geometry is None:
+                continue
+            pr = {}
+            if has_props and isinstance(row.properties, str):
+                try:
+                    pr = json.loads(row.properties)
+                except ValueError:
+                    pr = {}
+            fid = None if pd.isna(row.fid) else int(row.fid)
+            pr.setdefault("fid", fid)
+            feats.append((fid, bytes(row.geometry), pr))
+        wkts = ([w for w in pdf["crs_wkt"].dropna().unique() if w]
+                if has_wkt else [])
+        srids = {int(s) for s in pdf["srid"].dropna()}
+        wkt = wkts[0] if wkts else (
+            'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",'
+            '6378137,298.257223563]],PRIMEM["Greenwich",0],'
+            'UNIT["degree",0.0174532925199433],'
+            'AUTHORITY["EPSG","4326"]]'
+            if srids == {4326} else None)
+        got = write_shapefile(base, feats, srs_wkt=wkt)
+        return pd.DataFrame([{
+            "dataset": dataset, "layer": layer,
+            "path": got["paths"]["shp"],
+            "shape_type": got["shape_type"],
+            "n_features": got["n_features"],
+            "file_bytes": os.path.getsize(got["paths"]["shp"])}])
+
+    return features.groupBy("dataset", "layer").applyInPandas(
+        write_group, "dataset string, layer string, path string, "
+                     "shape_type int, n_features long, "
+                     "file_bytes long")

@@ -134,3 +134,66 @@ def test_zipped_shapefile_end_to_end(spark, tmp_path):
     assert parsed["roles"] == [True, False]        # shell + homed hole
     ext, hole = (G._pairs(p) for p in parsed["parts"])
     assert G._ring_area2(ext) > 0 and G._ring_area2(hole) < 0
+
+
+def test_write_shapefile_roundtrip(spark, tmp_path):
+    """Distributed sink round-trip: FEATURE_SCHEMA rows -> .shp/.shx/
+    .dbf/.prj per (dataset, layer) -> read_shp_bytes + parse_dbf +
+    epsg_from_prj recover geometry, attributes, and srid; polygon
+    rings land in shapefile winding (outer CW)."""
+    import json
+    import os
+    import struct as st
+
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.sources import shapefile as SHP
+    from geohub_data_pipeline_spark.sources.flatgeobuf import (
+        FEATURE_SCHEMA,
+    )
+
+    poly = G.wkb_polygon([
+        [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)],
+        [(1.0, 1.0), (1.0, 2.0), (2.0, 2.0), (2.0, 1.0), (1.0, 1.0)],
+    ])
+    rows = [
+        ("d", "zones", 1, poly, 4326, None,
+         json.dumps({"name": "alpha", "pop": 12, "area": 1.5})),
+        ("d", "pts", 1, G.wkb_point(3.0, 7.0), 4326, None,
+         json.dumps({"name": "x"})),
+        ("d", "pts", 2, G.wkb_point(-1.0, 2.0), 4326, None, None),
+    ]
+    feats = spark.createDataFrame(rows, FEATURE_SCHEMA)
+    man = {(r.dataset, r.layer): r
+           for r in SHP.write_shapefile_tables(
+               feats, str(tmp_path)).collect()}
+    assert man[("d", "pts")].n_features == 2
+    assert man[("d", "pts")].shape_type == 1
+    assert man[("d", "zones")].shape_type == 5
+
+    base = str(tmp_path / "d_pts")
+    shp = open(base + ".shp", "rb").read()
+    back = list(SHP.read_shp_bytes(shp, "d", "pts", 4326))
+    assert len(back) == 2
+    assert bytes(back[0][3]) == G.wkb_point(3.0, 7.0)
+    attrs = SHP.parse_dbf(open(base + ".dbf", "rb").read())
+    assert attrs[0]["name"] == "x" and attrs[0]["fid"] == 1
+    assert "name" not in attrs[1] and attrs[1]["fid"] == 2
+    assert SHP.epsg_from_prj(open(base + ".prj").read()) == 4326
+    # .shx record count mirrors .shp
+    shx = open(base + ".shx", "rb").read()
+    (words,) = st.unpack_from(">i", shx, 24)
+    assert words * 2 == len(shx) == 100 + 8 * 2
+
+    zshp = open(str(tmp_path / "d_zones") + ".shp", "rb").read()
+    zb = list(SHP.read_shp_bytes(zshp, "d", "zones", 4326))
+    p = G.parse_wkb(bytes(zb[0][3]))
+    assert p["type"] in (G.POLYGON, G.MULTIPOLYGON)
+    rings = [list(zip(f[0::2], f[1::2])) for f in p["parts"]]
+    # outer ring CW on disk (reader keeps file order)
+    a2 = G._ring_area2([*rings[0], rings[0][0]][:len(rings[0]) + 1]
+                       if rings[0][0] != rings[0][-1] else rings[0])
+    assert a2 < 0
+    zattrs = SHP.parse_dbf(
+        open(str(tmp_path / "d_zones") + ".dbf", "rb").read())
+    assert zattrs[0]["pop"] == 12 and zattrs[0]["name"] == "alpha"
+    assert abs(zattrs[0]["area"] - 1.5) < 1e-9
