@@ -1116,3 +1116,212 @@ def sample_at_points(blocks: DataFrame, georef: DataFrame,
         "point_id", "band")
     return (base.join(sampled, ["point_id", "band"], "left")
             .select("point_id", "band", "value"))
+
+
+def cost_distance(blocks: DataFrame, sources: DataFrame,
+                  diagonal: bool = True, max_rounds: int = 128,
+                  block: int = BLOCK) -> DataFrame:
+    """Accumulated cost-distance surface (the ESRI Cost Distance /
+    GRASS r.cost analog): least accumulated cost from any source
+    pixel, moving 4- or 8-connected, step cost = mean of the two
+    pixel costs (x sqrt(2) diagonally).  NaN / nodata cost pixels
+    are obstacles; unreachable pixels stay NaN.
+
+    This is the engine's ITERATIVE raster operator — the pattern
+    for anything Dijkstra-shaped on a 100 TB grid:
+
+    1. per-block state (cost + running dist) initialized from the
+       sources (one equi-join);
+    2. each ROUND ships only the 1-pixel dist halo to the 8
+       neighbor groups (the `_focal_window` exchange, ~1.5% of
+       pixel volume), relaxes every block to a LOCAL fixpoint with
+       vectorized 8-shift min-plus sweeps, and reports one boolean;
+    3. the driver loops on `any(changed)` — one aggregated row per
+       round, never pixel data — until the global fixpoint, bounded
+       by max_rounds.
+
+    Rounds needed = longest shortest-path measured in BLOCKS (a
+    wavefront crosses one block ring per round at minimum — in
+    practice the local fixpoint sweeps carry it much further), so
+    the driver loop is O(path-length / BLOCK), not O(pixels).
+    ``localCheckpoint`` truncates the growing lineage each round.
+
+    ``sources``: (row long, col long) global pixel indices.
+    Output: BLOCK_SCHEMA rows, pixels = accumulated cost (NaN where
+    unreachable / obstacle).
+    """
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(blocks.sparkSession)
+    rt2 = float(np.sqrt(2.0))
+    use_diag = bool(diagonal)
+
+    lvl0 = blocks.filter(F.col("level") == 0)
+    src_cells = sources.select(
+        (F.col("col") / block).cast("int").alias("block_x"),
+        (F.col("row") / block).cast("int").alias("block_y"),
+        F.col("row").cast("long").alias("srow"),
+        F.col("col").cast("long").alias("scol"),
+    ).groupBy("block_x", "block_y").agg(
+        F.collect_list(F.struct("srow", "scol")).alias("srcs"))
+
+    st_schema = ("dataset string, subdataset string, band int, "
+                 "block_x int, block_y int, width int, height int, "
+                 "cost array<double>, dist array<double>, srid int, "
+                 "changed boolean")
+
+    def init_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for r in pdf.itertuples(index=False):
+            w, h = int(r.width), int(r.height)
+            cost = np.asarray(r.pixels, np.float64).reshape(h, w)
+            if r.nodata is not None and not np.isnan(r.nodata):
+                cost = np.where(cost == float(r.nodata), np.nan, cost)
+            dist = np.full((h, w), np.inf)
+            srcs = r.srcs if r.srcs is not None else []
+            for s in srcs:
+                rr = int(s["srow"]) - int(r.block_y) * block
+                cc = int(s["scol"]) - int(r.block_x) * block
+                if 0 <= rr < h and 0 <= cc < w:
+                    dist[rr, cc] = 0.0
+            out.append((r.dataset, r.subdataset, int(r.band),
+                        int(r.block_x), int(r.block_y), w, h,
+                        cost.ravel().tolist(),
+                        dist.ravel().tolist(), int(r.srid), True))
+        return pd.DataFrame(out, columns=[
+            "dataset", "subdataset", "band", "block_x", "block_y",
+            "width", "height", "cost", "dist", "srid", "changed"])
+
+    state = (lvl0.join(src_cells, ["block_x", "block_y"], "left")
+             .mapInPandas(lambda it: (init_group(pdf) for pdf in it),
+                          st_schema))
+
+    empty_state = pd.DataFrame(columns=[
+        "dataset", "subdataset", "band", "block_x", "block_y",
+        "width", "height", "cost", "dist", "srid", "changed"])
+
+    def relax(pdf: pd.DataFrame) -> pd.DataFrame:
+        """One round for one block group: rows are the self block
+        (cost+dist) and up to 8 neighbor dist/cost strips keyed by
+        kind.  A group with strips but no self block lies outside
+        the raster: emit nothing."""
+        out = []
+        selfs = pdf[pdf["kind"] == "self"]
+        if selfs.empty:
+            return empty_state
+        r = next(selfs.itertuples(index=False))
+        w, h = int(r.width), int(r.height)
+        cost = np.asarray(r.cost, np.float64).reshape(h, w)
+        dist = np.asarray(r.dist, np.float64).reshape(h, w)
+        dc = np.full((h + 2, w + 2), np.nan)    # cost canvas
+        dd = np.full((h + 2, w + 2), np.inf)    # dist canvas
+        dc[1:-1, 1:-1] = cost
+        dd[1:-1, 1:-1] = dist
+        for s in pdf[pdf["kind"] != "self"].itertuples(
+                index=False):
+            sh, sw = int(s.height), int(s.width)
+            sc = np.asarray(s.cost, np.float64).reshape(sh, sw)
+            sd = np.asarray(s.dist, np.float64).reshape(sh, sw)
+            ys, xs = s.kind.split(",")
+            y0 = {"n": 0, "c": 1, "s": h + 2 - sh}[ys]
+            x0 = {"w": 0, "c": 1, "e": w + 2 - sw}[xs]
+            dc[y0:y0 + sh, x0:x0 + sw] = sc
+            dd[y0:y0 + sh, x0:x0 + sw] = sd
+        # 8-shift min-plus sweeps to the local fixpoint
+        dirs = [(-1, 0, 1.0), (1, 0, 1.0), (0, -1, 1.0),
+                (0, 1, 1.0)]
+        if use_diag:
+            dirs += [(-1, -1, rt2), (-1, 1, rt2),
+                     (1, -1, rt2), (1, 1, rt2)]
+        center_cost = dc[1:-1, 1:-1]
+        blocked = np.isnan(center_cost)
+        for _ in range(2 * max(h, w)):
+            before = dd[1:-1, 1:-1].copy()
+            for dy, dx, wgt in dirs:
+                nb_d = dd[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+                nb_c = dc[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+                step = (center_cost + nb_c) / 2.0 * wgt
+                cand = nb_d + step
+                cur = dd[1:-1, 1:-1]
+                upd = np.where(
+                    np.isnan(cand) | blocked, cur,
+                    np.minimum(cur, cand))
+                dd[1:-1, 1:-1] = upd
+            if np.array_equal(before, dd[1:-1, 1:-1]):
+                break
+        new_dist = dd[1:-1, 1:-1]
+        chg = bool((new_dist < dist).any())
+        out.append((r.dataset, r.subdataset, int(r.band),
+                    int(r.block_x), int(r.block_y), w, h,
+                    cost.ravel().tolist(),
+                    new_dist.ravel().tolist(), int(r.srid),
+                    chg))
+        return pd.DataFrame(out, columns=[
+            "dataset", "subdataset", "band", "block_x",
+            "block_y", "width", "height", "cost", "dist",
+            "srid", "changed"])
+
+    fan_schema = ("dataset string, subdataset string, band int, "
+                  "block_x int, block_y int, width int, height int, "
+                  "cost array<double>, dist array<double>, "
+                  "srid int, kind string")
+
+    def fan(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                w, h = int(r.width), int(r.height)
+                cost = np.asarray(r.cost, np.float64).reshape(h, w)
+                dist = np.asarray(r.dist, np.float64).reshape(h, w)
+                bx, by = int(r.block_x), int(r.block_y)
+
+                def emit(tbx, tby, c, d, kind):
+                    rows.append((r.dataset, r.subdataset,
+                                 int(r.band), tbx, tby,
+                                 c.shape[1], c.shape[0],
+                                 c.ravel().tolist(),
+                                 d.ravel().tolist(), int(r.srid),
+                                 kind))
+
+                emit(bx, by, cost, dist, "self")
+                strips = {
+                    (0, -1): (cost[:, :1], dist[:, :1], "c,e"),
+                    (0, 1): (cost[:, -1:], dist[:, -1:], "c,w"),
+                    (-1, 0): (cost[:1, :], dist[:1, :], "s,c"),
+                    (1, 0): (cost[-1:, :], dist[-1:, :], "n,c"),
+                    (-1, -1): (cost[:1, :1], dist[:1, :1], "s,e"),
+                    (-1, 1): (cost[:1, -1:], dist[:1, -1:], "s,w"),
+                    (1, -1): (cost[-1:, :1], dist[-1:, :1], "n,e"),
+                    (1, 1): (cost[-1:, -1:], dist[-1:, -1:], "n,w"),
+                }
+                for (dby, dbx), (c, d, kind) in strips.items():
+                    if np.isinf(d).all():
+                        continue           # nothing to propagate yet
+                    emit(bx + dbx, by + dby, c, d, kind)
+            yield pd.DataFrame(rows, columns=[
+                "dataset", "subdataset", "band", "block_x",
+                "block_y", "width", "height", "cost", "dist",
+                "srid", "kind"])
+
+    spark = blocks.sparkSession
+    state = state.localCheckpoint(eager=True)
+    for _ in range(int(max_rounds)):
+        fanned = state.mapInPandas(fan, fan_schema)
+        state_new = fanned.groupBy(
+            "dataset", "subdataset", "band", "block_x", "block_y"
+        ).applyInPandas(relax, st_schema)
+        state_new = state_new.localCheckpoint(eager=True)
+        any_chg = state_new.agg(
+            F.max(F.col("changed").cast("int")).alias("c")
+        ).collect()[0]["c"]
+        state = state_new
+        if not any_chg:
+            break
+
+    inf_to_nan = F.transform(
+        "dist", lambda v: F.when(v == float("inf"),
+                                 float("nan")).otherwise(v))
+    return state.select(
+        "dataset", "subdataset", "band", F.lit(0).alias("level"),
+        "block_x", "block_y", "width", "height",
+        inf_to_nan.alias("pixels"),
+        F.lit(float("nan")).alias("nodata"), "srid")

@@ -67,7 +67,7 @@ promote([
     "text_dsir_weights", "raster_reclassify", "geo_clip_lines_join",
     "geo_overlay_erase", "raster_resample_bilinear",
     "zonal_histogram", "text_line_dedup", "raster_point_sample",
-    "raster_curvature", "vector_rasterize",
+    "raster_curvature", "vector_rasterize", "raster_cost_distance",
     "scalar_string", "scalar_math", "scalar_datetime",
     "conditional_case", "agg_approx_distinct", "agg_collect_array",
     "scalar_null_handling", "backfill_anti_join", "progress_partition",

@@ -4880,3 +4880,58 @@ def vector_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks = SP.rasterize(polygons, -15.0, 15.0, 0.1, 0.1,
                           300, 300, burn_col="burn")
     return _flatten_pixels(blocks, 256, "burn")
+
+
+_COST_DIST_SQL = """
+WITH px AS (
+  SELECT r.i AS row, c.i AS col
+  FROM range(128) r(i), range(128) c(i)
+),
+s(sr, sc) AS (VALUES (40, 60), (100, 10))
+SELECT CAST(px.row AS INTEGER) AS row,
+       CAST(px.col AS INTEGER) AS col,
+       round(CAST(min(abs(px.row - s.sr) + abs(px.col - s.sc))
+                  AS DOUBLE), 4) AS dist
+FROM px, s
+GROUP BY px.row, px.col
+ORDER BY row, col
+"""
+
+
+@query("raster_cost_distance", "pipeline",
+       "geo analytics: ITERATIVE cost-distance — block-synchronous "
+       "Bellman-Ford, each round ships only the 1-px dist halo and "
+       "the driver loops on one aggregated boolean; rounds = path "
+       "length in blocks, never O(pixels)", _COST_DIST_SQL)
+def raster_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost distance from two sources over a uniform unit-cost
+    128x128 / 2x2-block grid, 4-connected — the accumulated cost is
+    then exactly the Manhattan distance to the nearest source, which
+    the oracle states in closed form (integer-exact doubles).  The
+    wavefront must cross every block boundary to fill the far
+    corners: the per-round halo exchange and the driver's
+    fixpoint loop are precisely what the oracle verifies.  The
+    8-connected weighted/obstacle form is pytest-checked against a
+    reference Dijkstra (test_cost_distance_vs_dijkstra)."""
+    import numpy as np
+
+    from geohub_data_pipeline_spark.operators import raster as R
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    load_tables(spark, sf_dir)             # harness contract
+    n, b = 128, 64
+    rows = []
+    for by in range(0, n, b):
+        for bx in range(0, n, b):
+            rows.append(("d", None, 1, 0, bx // b, by // b, b, b,
+                         [1.0] * (b * b), None, 4326))
+    blocks = spark.createDataFrame(
+        rows, "dataset string, subdataset string, band int, "
+              "level int, block_x int, block_y int, width int, "
+              "height int, pixels array<double>, nodata double, "
+              "srid int")
+    sources = spark.createDataFrame([(40, 60), (100, 10)],
+                                    "row long, col long")
+    out = R.cost_distance(blocks, sources, diagonal=False, block=b)
+    return _flatten_pixels(out, b, "dist")

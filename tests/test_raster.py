@@ -414,3 +414,72 @@ def test_curvature_kinds_seam_identical(spark):
         if r.block_x == 0 and r.block_y == 0:
             w = r.width
             assert r.pixels[1 * w + 1] == 0.0
+
+
+def test_cost_distance_vs_dijkstra(spark):
+    """Iterative block-synchronous cost distance equals a reference
+    Dijkstra on an 8-connected weighted grid with obstacles; the
+    wall forces the wavefront around through several blocks, so the
+    per-round halo exchange is what carries it."""
+    import heapq
+
+    import numpy as np
+
+    n, b = 16, 4
+    rng = np.arange(n, dtype=float)
+    cost = 1.0 + ((rng[:, None] * 3 + rng[None, :] * 5) % 4)
+    cost[4:12, 8] = np.nan                # vertical wall w/ gaps
+    rows = []
+    for by in range(0, n, b):
+        for bx in range(0, n, b):
+            t = cost[by:by + b, bx:bx + b]
+            rows.append(("d", None, 1, 0, bx // b, by // b, b, b,
+                         [float(v) for v in t.ravel()], None, 4326))
+    blocks = spark.createDataFrame(
+        rows, "dataset string, subdataset string, band int, "
+              "level int, block_x int, block_y int, width int, "
+              "height int, pixels array<double>, nodata double, "
+              "srid int")
+    sources = spark.createDataFrame([(7, 2), (1, 14)],
+                                    "row long, col long")
+    got = np.full((n, n), np.nan)
+    for r in R.cost_distance(blocks, sources, diagonal=True,
+                             block=b).collect():
+        arr = np.asarray(
+            [np.nan if v is None else v for v in r.pixels],
+            float).reshape(r.height, r.width)
+        got[r.block_y * b:r.block_y * b + r.height,
+            r.block_x * b:r.block_x * b + r.width] = arr
+
+    # reference Dijkstra
+    INF = float("inf")
+    dist = np.full((n, n), INF)
+    pq = []
+    for sr, sc in [(7, 2), (1, 14)]:
+        dist[sr, sc] = 0.0
+        heapq.heappush(pq, (0.0, sr, sc))
+    dirs = [(-1, 0, 1.0), (1, 0, 1.0), (0, -1, 1.0), (0, 1, 1.0),
+            (-1, -1, 2 ** 0.5), (-1, 1, 2 ** 0.5),
+            (1, -1, 2 ** 0.5), (1, 1, 2 ** 0.5)]
+    while pq:
+        d, rr, cc = heapq.heappop(pq)
+        if d > dist[rr, cc]:
+            continue
+        for dy, dx, wgt in dirs:
+            r2, c2 = rr + dy, cc + dx
+            if not (0 <= r2 < n and 0 <= c2 < n):
+                continue
+            if np.isnan(cost[r2, c2]) or np.isnan(cost[rr, cc]):
+                continue
+            nd = d + (cost[rr, cc] + cost[r2, c2]) / 2.0 * wgt
+            if nd < dist[r2, c2] - 1e-12:
+                dist[r2, c2] = nd
+                heapq.heappush(pq, (nd, r2, c2))
+
+    for rr in range(n):
+        for cc in range(n):
+            if np.isnan(cost[rr, cc]):
+                assert np.isnan(got[rr, cc]), (rr, cc)
+            else:
+                assert abs(got[rr, cc] - dist[rr, cc]) < 1e-9, (
+                    rr, cc, got[rr, cc], dist[rr, cc])
