@@ -1118,6 +1118,69 @@ def sample_at_points(blocks: DataFrame, georef: DataFrame,
             .select("point_id", "band", "value"))
 
 
+def _chain_relax_row(d: np.ndarray, c: np.ndarray) -> None:
+    """Exact in-row chain relaxation, both directions, vectorized:
+    d[j] <- min over k of d[k] + sum of step costs between k and j,
+    step = mean of adjacent pixel costs.  NaN cost breaks the chain
+    (obstacle); runs the prefix-min trick per unbroken segment —
+    d - P is monotone-min-accumulated, then re-based onto P."""
+    s = (c[:-1] + c[1:]) / 2.0
+    bad = np.flatnonzero(np.isnan(s))
+    segs = (np.split(np.arange(d.size), bad + 1) if bad.size
+            else [np.arange(d.size)])
+    for seg in segs:
+        if seg.size < 2:
+            continue
+        ds = d[seg[0]:seg[-1] + 1]
+        ss = s[seg[0]:seg[-1]]
+        P = np.concatenate([[0.0], np.cumsum(ss)])
+        ds[:] = np.fmin(ds, P + np.minimum.accumulate(ds - P))
+        Q = P[-1] - P
+        ds[:] = np.fmin(ds, Q + np.minimum.accumulate(
+            (ds - Q)[::-1])[::-1])
+
+
+def _sweep_relax(dd: np.ndarray, dc: np.ndarray, use_diag: bool,
+                 rt2: float, max_pass: int = 16) -> None:
+    """Chamfer-style local fixpoint on a halo-padded canvas:
+    alternate forward (top-down: N/NW/NE + in-row chains) and
+    backward (bottom-up: S/SW/SE + in-row chains) passes until
+    stable.  Each pass is row-sequential but fully vectorized across
+    columns; the in-row chain closure is exact, so a pass carries a
+    wavefront across the whole block, not one pixel."""
+    h, w = dd.shape[0] - 2, dd.shape[1] - 2
+    blocked = np.isnan(dc[1:-1, 1:-1])
+    dd[1:-1, 1:-1][blocked] = np.inf
+
+    def pull(i, di):
+        row_d = dd[i, 1:-1]
+        row_c = dc[i, 1:-1]
+        nb_d = dd[i + di, 1:-1]
+        nb_c = dc[i + di, 1:-1]
+        cand = nb_d + (row_c + nb_c) / 2.0
+        if use_diag:
+            for sl_d, sl_c in ((dd[i + di, :-2], dc[i + di, :-2]),
+                               (dd[i + di, 2:], dc[i + di, 2:])):
+                cand = np.fmin(cand, sl_d + (row_c + sl_c)
+                               / 2.0 * rt2)
+        cand = np.where(np.isnan(cand), np.inf, cand)
+        row_d[:] = np.fmin(row_d, cand)
+        # chain over the FULL padded row so paths entering through
+        # the halo columns relax too
+        _chain_relax_row(dd[i, :], dc[i, :])
+        row_d[np.isnan(row_c)] = np.inf
+
+    for _ in range(max_pass):
+        before = dd[1:-1, 1:-1].copy()
+        for i in range(1, h + 1):          # forward: N, NW, NE
+            pull(i, -1)
+        for i in range(h, 0, -1):          # backward: S, SW, SE
+            pull(i, 1)
+        if np.array_equal(before, dd[1:-1, 1:-1]):
+            break
+    dd[1:-1, 1:-1][blocked] = np.inf
+
+
 def cost_distance(blocks: DataFrame, sources: DataFrame,
                   diagonal: bool = True, max_rounds: int = 128,
                   block: int = BLOCK) -> DataFrame:
@@ -1226,28 +1289,9 @@ def cost_distance(blocks: DataFrame, sources: DataFrame,
             x0 = {"w": 0, "c": 1, "e": w + 2 - sw}[xs]
             dc[y0:y0 + sh, x0:x0 + sw] = sc
             dd[y0:y0 + sh, x0:x0 + sw] = sd
-        # 8-shift min-plus sweeps to the local fixpoint
-        dirs = [(-1, 0, 1.0), (1, 0, 1.0), (0, -1, 1.0),
-                (0, 1, 1.0)]
-        if use_diag:
-            dirs += [(-1, -1, rt2), (-1, 1, rt2),
-                     (1, -1, rt2), (1, 1, rt2)]
-        center_cost = dc[1:-1, 1:-1]
-        blocked = np.isnan(center_cost)
-        for _ in range(2 * max(h, w)):
-            before = dd[1:-1, 1:-1].copy()
-            for dy, dx, wgt in dirs:
-                nb_d = dd[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
-                nb_c = dc[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
-                step = (center_cost + nb_c) / 2.0 * wgt
-                cand = nb_d + step
-                cur = dd[1:-1, 1:-1]
-                upd = np.where(
-                    np.isnan(cand) | blocked, cur,
-                    np.minimum(cur, cand))
-                dd[1:-1, 1:-1] = upd
-            if np.array_equal(before, dd[1:-1, 1:-1]):
-                break
+        # chamfer-style sweeps to the local fixpoint: row-
+        # sequential, column-vectorized, exact in-row chain closure
+        _sweep_relax(dd, dc, use_diag, rt2)
         new_dist = dd[1:-1, 1:-1]
         chg = bool((new_dist < dist).any())
         out.append((r.dataset, r.subdataset, int(r.band),

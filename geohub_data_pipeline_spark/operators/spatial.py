@@ -737,11 +737,8 @@ def rasterize(polygons: DataFrame, origin_x: float, origin_y: float,
         by = int(pdf["block_y"].iloc[0])
         w = min(block, int(width) - bx * block)
         h = min(block, int(height) - by * block)
-        jj = np.arange(w)
-        ii = np.arange(h)
-        lon = ox + (bx * block + jj + 0.5) * psx
-        lat = oy - (by * block + ii + 0.5) * psy
-        LO, LA = np.meshgrid(lon, lat)
+        lon = ox + (bx * block + np.arange(w) + 0.5) * psx
+        lat = oy - (by * block + np.arange(h) + 0.5) * psy
         canvas = np.full((h, w), np.nan)
         # ascending poly_id: the highest id paints last and wins
         pdf = pdf.sort_values("poly_id")
@@ -749,9 +746,22 @@ def rasterize(polygons: DataFrame, origin_x: float, origin_y: float,
             rings = _rings_of_wkb(bytes(r.geometry))
             if not rings:
                 continue
+            # paint only the bbox sub-rectangle: a small polygon in
+            # a big block tests its own pixels, not the whole canvas
+            allc = np.concatenate(rings)
+            lo_x, lo_y = allc.min(axis=0)
+            hi_x, hi_y = allc.max(axis=0)
+            j0 = np.searchsorted(lon, lo_x, "left")
+            j1 = np.searchsorted(lon, hi_x, "right")
+            i0 = np.searchsorted(-lat, -hi_y, "left")
+            i1 = np.searchsorted(-lat, -lo_y, "right")
+            if j1 <= j0 or i1 <= i0:
+                continue
+            LO, LA = np.meshgrid(lon[j0:j1], lat[i0:i1])
             mask = pnpoly_mask(LO.ravel(), LA.ravel(), rings) \
-                .reshape(h, w)
-            canvas[mask] = r.burn
+                .reshape(i1 - i0, j1 - j0)
+            sub = canvas[i0:i1, j0:j1]
+            sub[mask] = r.burn
         if np.isnan(canvas).all():
             # bbox candidate whose geometry misses every pixel
             # center: keep the output sparse, emit nothing
