@@ -1369,3 +1369,206 @@ def cost_distance(blocks: DataFrame, sources: DataFrame,
         "block_x", "block_y", "width", "height",
         inf_to_nan.alias("pixels"),
         F.lit(float("nan")).alias("nodata"), "srid")
+
+
+# ESRI D8 codes in PRIORITY order (ties break to the first listed)
+_D8 = [("E", 1, 0, 1, 1.0), ("SE", 2, 1, 1, None),
+       ("S", 4, 1, 0, 1.0), ("SW", 8, 1, -1, None),
+       ("W", 16, 0, -1, 1.0), ("NW", 32, -1, -1, None),
+       ("N", 64, -1, 0, 1.0), ("NE", 128, -1, 1, None)]
+
+
+def flow_direction(blocks: DataFrame, cellsize: float = 1.0,
+                   border: str = "nan") -> DataFrame:
+    """D8 flow direction (ESRI codes E=1 clockwise to NE=128): each
+    cell points at the steepest-descent neighbor, drop = dz /
+    distance; ties break in code order (E first) so results are
+    deterministic; pits and flats (no positive drop) emit 0.
+
+    ``border="nan"``: complete-window semantics — a cell missing any
+    neighbor (raster border) is NaN, seam cells prove the halo like
+    the terrain trio.  ``border="clamp"``: missing neighbors are
+    simply never chosen (drop -inf) — the mode flow ACCUMULATION
+    needs, where border cells still route flow off the raster edge.
+
+    Same 1-px halo-exchange plan as every focal operator here.
+    """
+    if border not in ("nan", "clamp"):
+        raise ValueError(f"unknown border mode {border!r}")
+    L = float(cellsize)
+    d2 = L * float(np.sqrt(2.0))
+    codes = np.array([c for _, c, _, _, _ in _D8], np.float64)
+
+    def canvas_fn(z):
+        z5 = z[1:-1, 1:-1]
+        h, w = z5.shape
+        drops = []
+        for _, _c, dy, dx, dist in _D8:
+            nb = z[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+            drops.append((z5 - nb) / (L if dist else d2))
+        stack = np.stack(drops)
+        incomplete = np.isnan(stack).any(axis=0) | np.isnan(z5)
+        if border == "clamp":
+            stack = np.where(np.isnan(stack), -np.inf, stack)
+        mx = np.nanmax(np.where(np.isnan(stack), -np.inf, stack),
+                       axis=0)
+        best = np.argmax(
+            np.where(np.isnan(stack), -np.inf, stack), axis=0)
+        out = np.where(mx > 0.0, codes[best], 0.0)
+        if border == "nan":
+            return np.where(incomplete, np.nan, out)
+        return np.where(np.isnan(z5), np.nan, out)
+
+    return _focal_window(blocks, canvas_fn)
+
+
+def flow_accumulation(dirs: DataFrame, max_rounds: int = 128,
+                      block: int = BLOCK) -> DataFrame:
+    """D8 flow accumulation: for each cell, the number of cells
+    whose flow path passes through it (itself included) — the
+    hydrology operator behind stream extraction and drainage area.
+    Input: ``flow_direction(border="clamp")`` output (BLOCK_SCHEMA,
+    pixel = D8 code; 0 = pit, NaN = nodata).
+
+    Same iterative block-synchronous pattern as ``cost_distance``:
+    per-round 1-px halo exchange of (dir, acc) strips, in-block
+    fixpoint via masked shifted adds (acc = 1 + sum of inflows —
+    monotone, so the driver's one-boolean-per-round loop terminates
+    at the global fixpoint; rounds = longest flow path in BLOCKS).
+    The in-block pass propagates one step per iteration; a
+    topological in-block ordering would cut the constant, the
+    exchange shape is the scale story.
+    """
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(dirs.sparkSession)
+
+    lvl0 = dirs.filter(F.col("level") == 0)
+    st_schema = ("dataset string, subdataset string, band int, "
+                 "block_x int, block_y int, width int, height int, "
+                 "dir array<double>, acc array<double>, srid int, "
+                 "changed boolean")
+
+    def init_rows(it):
+        for pdf in it:
+            out = []
+            for r in pdf.itertuples(index=False):
+                w, h = int(r.width), int(r.height)
+                dr = np.asarray(r.pixels, np.float64).reshape(h, w)
+                if r.nodata is not None and not np.isnan(r.nodata):
+                    dr = np.where(dr == float(r.nodata), np.nan, dr)
+                acc = np.where(np.isnan(dr), np.nan, 1.0)
+                out.append((r.dataset, r.subdataset, int(r.band),
+                            int(r.block_x), int(r.block_y), w, h,
+                            dr.ravel().tolist(),
+                            acc.ravel().tolist(), int(r.srid),
+                            True))
+            yield pd.DataFrame(out, columns=[
+                "dataset", "subdataset", "band", "block_x",
+                "block_y", "width", "height", "dir", "acc",
+                "srid", "changed"])
+
+    state = lvl0.mapInPandas(init_rows, st_schema)
+
+    fan_schema = st_schema.replace(", changed boolean",
+                                   ", kind string")
+
+    def fan(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                w, h = int(r.width), int(r.height)
+                dr = np.asarray(r.dir, np.float64).reshape(h, w)
+                ac = np.asarray(r.acc, np.float64).reshape(h, w)
+                bx, by = int(r.block_x), int(r.block_y)
+
+                def emit(tbx, tby, d, a, kind):
+                    rows.append((r.dataset, r.subdataset,
+                                 int(r.band), tbx, tby,
+                                 d.shape[1], d.shape[0],
+                                 d.ravel().tolist(),
+                                 a.ravel().tolist(), int(r.srid),
+                                 kind))
+
+                emit(bx, by, dr, ac, "self")
+                strips = {
+                    (0, -1): (dr[:, :1], ac[:, :1], "c,e"),
+                    (0, 1): (dr[:, -1:], ac[:, -1:], "c,w"),
+                    (-1, 0): (dr[:1, :], ac[:1, :], "s,c"),
+                    (1, 0): (dr[-1:, :], ac[-1:, :], "n,c"),
+                    (-1, -1): (dr[:1, :1], ac[:1, :1], "s,e"),
+                    (-1, 1): (dr[:1, -1:], ac[:1, -1:], "s,w"),
+                    (1, -1): (dr[-1:, :1], ac[-1:, :1], "n,e"),
+                    (1, 1): (dr[-1:, -1:], ac[-1:, -1:], "n,w"),
+                }
+                for (dby, dbx), (d, a, kind) in strips.items():
+                    emit(bx + dbx, by + dby, d, a, kind)
+            yield pd.DataFrame(rows, columns=[
+                "dataset", "subdataset", "band", "block_x",
+                "block_y", "width", "height", "dir", "acc",
+                "srid", "kind"])
+
+    empty_state = pd.DataFrame(columns=[
+        "dataset", "subdataset", "band", "block_x", "block_y",
+        "width", "height", "dir", "acc", "srid", "changed"])
+
+    def relax(pdf: pd.DataFrame) -> pd.DataFrame:
+        selfs = pdf[pdf["kind"] == "self"]
+        if selfs.empty:
+            return empty_state
+        r = next(selfs.itertuples(index=False))
+        w, h = int(r.width), int(r.height)
+        dr = np.asarray(r.dir, np.float64).reshape(h, w)
+        old_acc = np.asarray(r.acc, np.float64).reshape(h, w)
+        cd = np.full((h + 2, w + 2), np.nan)
+        ca = np.full((h + 2, w + 2), 0.0)
+        cd[1:-1, 1:-1] = dr
+        ca[1:-1, 1:-1] = old_acc
+        for s in pdf[pdf["kind"] != "self"].itertuples(index=False):
+            sh, sw = int(s.height), int(s.width)
+            ys, xs = s.kind.split(",")
+            y0 = {"n": 0, "c": 1, "s": h + 2 - sh}[ys]
+            x0 = {"w": 0, "c": 1, "e": w + 2 - sw}[xs]
+            cd[y0:y0 + sh, x0:x0 + sw] = np.asarray(
+                s.dir, np.float64).reshape(sh, sw)
+            ca[y0:y0 + sh, x0:x0 + sw] = np.asarray(
+                s.acc, np.float64).reshape(sh, sw)
+        ca = np.where(np.isnan(ca), 0.0, ca)
+        nanmask = np.isnan(dr)
+        for _ in range(2 * (h + w)):
+            inflow = np.zeros((h, w))
+            for _n, code, dy, dx, _d in _D8:
+                src_d = cd[1 - dy:1 - dy + h, 1 - dx:1 - dx + w]
+                src_a = ca[1 - dy:1 - dy + h, 1 - dx:1 - dx + w]
+                inflow += np.where(src_d == code, src_a, 0.0)
+            new = 1.0 + inflow
+            if np.array_equal(new, ca[1:-1, 1:-1]):
+                break
+            ca[1:-1, 1:-1] = new
+        acc = np.where(nanmask, np.nan, ca[1:-1, 1:-1])
+        chg = bool(np.nansum(acc) > np.nansum(old_acc))
+        return pd.DataFrame([(
+            r.dataset, r.subdataset, int(r.band), int(r.block_x),
+            int(r.block_y), w, h, dr.ravel().tolist(),
+            acc.ravel().tolist(), int(r.srid), chg)],
+            columns=["dataset", "subdataset", "band", "block_x",
+                     "block_y", "width", "height", "dir", "acc",
+                     "srid", "changed"])
+
+    state = state.localCheckpoint(eager=True)
+    for _ in range(int(max_rounds)):
+        fanned = state.mapInPandas(fan, fan_schema)
+        state_new = fanned.groupBy(
+            "dataset", "subdataset", "band", "block_x", "block_y"
+        ).applyInPandas(relax, st_schema).localCheckpoint(eager=True)
+        any_chg = state_new.agg(
+            F.max(F.col("changed").cast("int")).alias("c")
+        ).collect()[0]["c"]
+        state = state_new
+        if not any_chg:
+            break
+
+    return state.select(
+        "dataset", "subdataset", "band", F.lit(0).alias("level"),
+        "block_x", "block_y", "width", "height",
+        F.col("acc").alias("pixels"),
+        F.lit(float("nan")).alias("nodata"), "srid")

@@ -4935,3 +4935,120 @@ def raster_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     "row long, col long")
     out = R.cost_distance(blocks, sources, diagonal=False, block=b)
     return _flatten_pixels(out, b, "dist")
+
+
+_FLOWDIR_SQL = """
+WITH px AS (
+  SELECT r.i AS row, c.i AS col,
+         CAST(5 * r.i + 3 * c.i + (r.i * c.i) % 7 AS DOUBLE) AS v
+  FROM range(128) r(i), range(128) c(i)
+),
+d AS (
+  SELECT a.row, a.col,
+         (a.v - e.v)  / 1.0       AS de,
+         (a.v - se.v) / sqrt(2.0) AS dse,
+         (a.v - s.v)  / 1.0       AS ds,
+         (a.v - sw.v) / sqrt(2.0) AS dsw,
+         (a.v - w.v)  / 1.0       AS dw,
+         (a.v - nw.v) / sqrt(2.0) AS dnw,
+         (a.v - n.v)  / 1.0       AS dn,
+         (a.v - ne.v) / sqrt(2.0) AS dne
+  FROM px a
+  JOIN px nw ON nw.row = a.row - 1 AND nw.col = a.col - 1
+  JOIN px n  ON n.row  = a.row - 1 AND n.col  = a.col
+  JOIN px ne ON ne.row = a.row - 1 AND ne.col = a.col + 1
+  JOIN px w  ON w.row  = a.row     AND w.col  = a.col - 1
+  JOIN px e  ON e.row  = a.row     AND e.col  = a.col + 1
+  JOIN px sw ON sw.row = a.row + 1 AND sw.col = a.col - 1
+  JOIN px s  ON s.row  = a.row + 1 AND s.col  = a.col
+  JOIN px se ON se.row = a.row + 1 AND se.col = a.col + 1
+)
+SELECT CAST(row AS INTEGER) AS row, CAST(col AS INTEGER) AS col,
+       CASE
+         WHEN greatest(de, dse, ds, dsw, dw, dnw, dn, dne) <= 0
+           THEN 0.0
+         WHEN de  = greatest(de, dse, ds, dsw, dw, dnw, dn, dne)
+           THEN 1.0
+         WHEN dse = greatest(de, dse, ds, dsw, dw, dnw, dn, dne)
+           THEN 2.0
+         WHEN ds  = greatest(de, dse, ds, dsw, dw, dnw, dn, dne)
+           THEN 4.0
+         WHEN dsw = greatest(de, dse, ds, dsw, dw, dnw, dn, dne)
+           THEN 8.0
+         WHEN dw  = greatest(de, dse, ds, dsw, dw, dnw, dn, dne)
+           THEN 16.0
+         WHEN dnw = greatest(de, dse, ds, dsw, dw, dnw, dn, dne)
+           THEN 32.0
+         WHEN dn  = greatest(de, dse, ds, dsw, dw, dnw, dn, dne)
+           THEN 64.0
+         ELSE 128.0
+       END AS dir
+FROM d
+ORDER BY row, col
+"""
+
+
+@query("raster_flow_direction", "pipeline",
+       "geo analytics: D8 flow direction — steepest-drop stencil on "
+       "the shared 1-px halo exchange; deterministic tie-break in "
+       "code order", _FLOWDIR_SQL)
+def raster_flow_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 codes over the shared synthetic 2x2-block DEM: the
+    (row*col)%7 texture makes every direction appear, block-seam
+    cells prove the halo, and the oracle restates steepest-drop with
+    the same priority CASE the operator's argmax stack order
+    encodes.  Border cells are complete-window NaN both sides."""
+    from geohub_data_pipeline_spark.operators import raster as R
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    load_tables(spark, sf_dir)             # harness contract
+    blocks, b = _demo_dem_blocks(spark)
+    return _flatten_pixels(R.flow_direction(blocks, border="nan"),
+                           b, "dir")
+
+
+_FLOWACC_SQL = """
+SELECT CAST(r.i AS INTEGER) AS row, CAST(c.i AS INTEGER) AS col,
+       CAST(c.i + 1 AS DOUBLE) AS acc
+FROM range(128) r(i), range(128) c(i)
+ORDER BY row, col
+"""
+
+
+@query("raster_flow_accumulation", "pipeline",
+       "geo analytics: ITERATIVE D8 flow accumulation — the "
+       "cost-distance pattern on the flow DAG: per-round (dir, acc) "
+       "halo strips, in-block fixpoint, driver loops on one boolean",
+       _FLOWACC_SQL)
+def raster_flow_accumulation(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Accumulation over an east-tilted plane (z = -col): every cell
+    flows E, so drainage through (r, c) is exactly c+1 — a closed
+    form the 128-cell-long chains must cross BOTH block borders to
+    reach, which is what the per-round halo exchange proves.
+    Converging/diagonal flow is pytest-checked against a topological
+    reference (test_flow_direction_and_accumulation)."""
+    import numpy as np
+
+    from geohub_data_pipeline_spark.operators import raster as R
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    load_tables(spark, sf_dir)             # harness contract
+    n, b = 128, 64
+    arr = np.tile(-np.arange(n, dtype=float), (n, 1))
+    rows = []
+    for by in range(0, n, b):
+        for bx in range(0, n, b):
+            t = arr[by:by + b, bx:bx + b]
+            rows.append(("d", None, 1, 0, bx // b, by // b, b, b,
+                         [float(v) for v in t.ravel()], None, 4326))
+    blocks = spark.createDataFrame(
+        rows, "dataset string, subdataset string, band int, "
+              "level int, block_x int, block_y int, width int, "
+              "height int, pixels array<double>, nodata double, "
+              "srid int")
+    dirs = R.flow_direction(blocks, border="clamp")
+    return _flatten_pixels(R.flow_accumulation(dirs, block=b), b,
+                           "acc")

@@ -483,3 +483,101 @@ def test_cost_distance_vs_dijkstra(spark):
             else:
                 assert abs(got[rr, cc] - dist[rr, cc]) < 1e-9, (
                     rr, cc, got[rr, cc], dist[rr, cc])
+
+
+def test_flow_direction_and_accumulation(spark):
+    """D8 direction picks the steepest positive drop (ties to the
+    first code in E..NE order; pits 0); accumulation equals a
+    reference topological count on a converging-flow DEM spanning
+    block seams."""
+    import numpy as np
+
+    n, b = 12, 4
+    # valley along the diagonal: z = |r - c| + 0.01*(r + c)
+    rng = np.arange(n, dtype=float)
+    arr = (np.abs(rng[:, None] - rng[None, :])
+           + 0.01 * (rng[:, None] + rng[None, :]))
+    rows = []
+    for by in range(0, n, b):
+        for bx in range(0, n, b):
+            t = arr[by:by + b, bx:bx + b]
+            rows.append(("d", None, 1, 0, bx // b, by // b, b, b,
+                         [float(v) for v in t.ravel()], None, 4326))
+    blocks = spark.createDataFrame(
+        rows, "dataset string, subdataset string, band int, "
+              "level int, block_x int, block_y int, width int, "
+              "height int, pixels array<double>, nodata double, "
+              "srid int")
+
+    codes = {(0, 1): 1, (1, 1): 2, (1, 0): 4, (1, -1): 8,
+             (0, -1): 16, (-1, -1): 32, (-1, 0): 64, (-1, 1): 128}
+    order = [(0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1),
+             (-1, 0), (-1, 1)]
+    rt2 = 2 ** 0.5
+
+    def ref_dir(r, c, clamp):
+        best, bd = 0, 0.0
+        for dy, dx in order:
+            r2, c2 = r + dy, c + dx
+            if not (0 <= r2 < n and 0 <= c2 < n):
+                if clamp:
+                    continue
+                return None                # complete-window NaN
+            d = (arr[r, c] - arr[r2, c2]) / (rt2 if dy and dx else 1)
+            if d > bd:
+                best, bd = codes[(dy, dx)], d
+        return best
+
+    got = {}
+    dirs_df = R.flow_direction(blocks, border="nan")
+    for r in dirs_df.collect():
+        for p, v in enumerate(r.pixels):
+            rr = r.block_y * b + p // r.width
+            cc = r.block_x * b + p % r.width
+            got[(rr, cc)] = v
+    import math
+    for rr in range(n):
+        for cc in range(n):
+            exp = ref_dir(rr, cc, clamp=False)
+            if exp is None:
+                assert got[(rr, cc)] is None or math.isnan(
+                    got[(rr, cc)]), (rr, cc)
+            else:
+                assert got[(rr, cc)] == exp, (rr, cc)
+
+    # accumulation on clamp-mode dirs vs a topological reference
+    dirs2 = R.flow_direction(blocks, border="clamp")
+    acc_df = R.flow_accumulation(dirs2, block=b)
+    gacc = {}
+    for r in acc_df.collect():
+        for p, v in enumerate(r.pixels):
+            rr = r.block_y * b + p // r.width
+            cc = r.block_x * b + p % r.width
+            gacc[(rr, cc)] = v
+
+    dref = {(rr, cc): ref_dir(rr, cc, clamp=True)
+            for rr in range(n) for cc in range(n)}
+    off = {v: k for k, v in codes.items()}
+    ref = {k: 1 for k in dref}
+    # topological: repeatedly push counts downstream
+    import collections
+    indeg = collections.Counter()
+    down = {}
+    for (rr, cc), d in dref.items():
+        if d:
+            dy, dx = off[d]
+            t = (rr + dy, cc + dx)
+            if t in dref:
+                down[(rr, cc)] = t
+                indeg[t] += 1
+    q = [k for k in dref if indeg[k] == 0]
+    while q:
+        u = q.pop()
+        if u in down:
+            t = down[u]
+            ref[t] += ref[u]
+            indeg[t] -= 1
+            if indeg[t] == 0:
+                q.append(t)
+    for k, v in ref.items():
+        assert gacc[k] == v, (k, gacc[k], v)
