@@ -69,6 +69,7 @@ promote([
     "zonal_histogram", "text_line_dedup", "raster_point_sample",
     "raster_curvature", "vector_rasterize", "raster_cost_distance",
     "raster_flow_direction", "raster_flow_accumulation",
+    "events_cohort_retention",
     "scalar_string", "scalar_math", "scalar_datetime",
     "conditional_case", "agg_approx_distinct", "agg_collect_array",
     "scalar_null_handling", "backfill_anti_join", "progress_partition",

@@ -516,3 +516,59 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased")))
         .crossJoin(lat)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention
+# ---------------------------------------------------------------------------
+
+_RETENTION_SQL = """
+WITH d AS (
+  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+  FROM events
+),
+firsts AS (
+  SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT user_id, day FROM d
+)
+SELECT f.cohort_day,
+       CAST(a.day - f.cohort_day AS INTEGER) AS day_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM act a JOIN firsts f ON a.user_id = f.user_id
+GROUP BY f.cohort_day, day_offset
+ORDER BY f.cohort_day, day_offset
+"""
+
+
+@query("events_cohort_retention", "temporal",
+       "§2.5 temporal analytics: cohort retention — two partial-"
+       "aggregated groupBys and one user-keyed join, the classic "
+       "product-analytics rollup", _RETENTION_SQL)
+def events_cohort_retention(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Day-granularity cohort retention: cohort = each user's first
+    active day, one row per (cohort_day, day_offset) with the
+    distinct active users — the triangle table behind every
+    retention curve.
+
+    Scale: first-day extraction and daily-activity dedup are both
+    partial-aggregated groupBys on user_id (map-side combine);
+    the join back is user-keyed (AQE broadcasts the cohort side
+    when small) and the final rollup groups ~cohorts x offsets
+    rows, never raw events.
+    """
+    t = load_tables(spark, sf_dir)
+    d = t.events.select(
+        "user_id", F.to_date(F.col("ts")).alias("day"))
+    firsts = d.groupBy("user_id").agg(
+        F.min("day").alias("cohort_day"))
+    act = d.distinct()
+    return (act.join(firsts, "user_id")
+            .groupBy("cohort_day",
+                     F.datediff("day", "cohort_day")
+                     .cast("int").alias("day_offset"))
+            .agg(F.count_distinct("user_id").cast("long")
+                 .alias("n_users"))
+            .orderBy("cohort_day", "day_offset"))
