@@ -1537,3 +1537,195 @@ def scalar_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").isNull().alias("bal_is_null"),
         masked.isNull().alias("masked_is_null"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped multi-join analytics (Q3 / Q5 / Q10 adapted to the
+# generated schema: o_orderpriority stands in for o_shippriority)
+# ---------------------------------------------------------------------------
+
+_Q3_SQL = f"""
+SELECT l.l_orderkey AS orderkey,
+       {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 6)}
+         AS revenue,
+       CAST(o.o_orderdate AS TIMESTAMP) AS orderdate,
+       o.o_orderpriority AS orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, orderdate, orderkey
+LIMIT 10
+"""
+
+
+@query("q3_shipping_priority", "relational",
+       "§2.5 joins+agg: TPC-H Q3 shape — three-way join, filtered "
+       "both sides, grouped revenue, deterministic top-10",
+       _Q3_SQL)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unshipped-order revenue (TPC-H Q3 adapted): segment-filtered
+    customers join orders and open lineitems; revenue per order,
+    top 10 with full tie-break.  Scale: both filters reach the
+    scans (predicate pushdown), partial aggregation before the
+    final sort, TakeOrderedAndProject for the limit."""
+    t = load_tables(spark, sf_dir)
+    d = F.lit("1998-01-01").cast("timestamp")
+    return (t.customer.filter(F.col("c_mktsegment") == "BUILDING")
+            .join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
+            .filter(F.col("o_orderdate") < d)
+            .join(t.lineitem,
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .filter(F.col("l_shipdate") > d)
+            .groupBy(F.col("l_orderkey").alias("orderkey"),
+                     F.col("o_orderdate").cast("timestamp_ntz")
+                     .alias("orderdate"),
+                     F.col("o_orderpriority").alias("orderpriority"))
+            .agg(dsum(F.col("l_extendedprice")
+                      * (1 - F.col("l_discount")), 6)
+                 .alias("revenue"))
+            .select("orderkey", "revenue", "orderdate",
+                    "orderpriority")
+            .orderBy(F.desc("revenue"), "orderdate", "orderkey")
+            .limit(10))
+
+
+_Q5_SQL = f"""
+SELECT n.n_name AS nation,
+       {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 6)}
+         AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+ORDER BY revenue DESC, nation
+"""
+
+
+@query("q5_local_supplier", "relational",
+       "§2.5 joins: TPC-H Q5 shape — six-table join with the "
+       "local-supplier equality, dims broadcast", _Q5_SQL)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier volume (TPC-H Q5): revenue where the customer
+    and the line's supplier share a nation, one region, one year.
+    Scale: nation/region broadcast; the c=s nationkey equality rides
+    the supplier join (no extra shuffle); date filter pushed to the
+    orders scan."""
+    t = load_tables(spark, sf_dir)
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    dims = (t.nation.join(F.broadcast(
+        t.region.filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey")))
+    return (t.customer
+            .join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
+            .filter((F.col("o_orderdate") >= lo)
+                    & (F.col("o_orderdate") < hi))
+            .join(t.lineitem,
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(t.supplier,
+                  (F.col("l_suppkey") == F.col("s_suppkey"))
+                  & (F.col("c_nationkey") == F.col("s_nationkey")))
+            .join(F.broadcast(dims),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(dsum(F.col("l_extendedprice")
+                      * (1 - F.col("l_discount")), 6)
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), "nation"))
+
+
+_Q10_SQL = f"""
+SELECT c.c_custkey AS custkey, c.c_name AS name,
+       {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 6)}
+         AS revenue,
+       c.c_acctbal AS acctbal, n.n_name AS nation
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, custkey
+LIMIT 20
+"""
+
+
+@query("q10_returned_items", "relational",
+       "§2.5 joins+agg: TPC-H Q10 shape — returned-item revenue per "
+       "customer, quarter-filtered, top 20", _Q10_SQL)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting (TPC-H Q10): revenue lost to returns
+    per customer in one quarter, top 20 deterministic.  Scale: the
+    returnflag and date filters push to the scans; nation
+    broadcasts; one hash agg on the customer grain."""
+    t = load_tables(spark, sf_dir)
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1996-04-01").cast("timestamp")
+    return (t.customer
+            .join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
+            .filter((F.col("o_orderdate") >= lo)
+                    & (F.col("o_orderdate") < hi))
+            .join(t.lineitem.filter(F.col("l_returnflag") == "R"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(t.nation),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy(F.col("c_custkey").alias("custkey"),
+                     F.col("c_name").alias("name"),
+                     F.col("c_acctbal").alias("acctbal"),
+                     F.col("n_name").alias("nation"))
+            .agg(dsum(F.col("l_extendedprice")
+                      * (1 - F.col("l_discount")), 6)
+                 .alias("revenue"))
+            .select("custkey", "name", "revenue", "acctbal",
+                    "nation")
+            .orderBy(F.desc("revenue"), "custkey")
+            .limit(20))
+
+
+_WINDOW_DIST_SQL = """
+SELECT c_custkey AS custkey, c_mktsegment AS segment,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal, c_custkey)
+ORDER BY custkey
+"""
+
+
+@query("window_distribution", "relational",
+       "§2.5 windows: distribution functions — ntile / percent_rank "
+       "/ cume_dist over a total per-partition order", _WINDOW_DIST_SQL)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucketing and distribution ranks per market segment
+    (the remaining window-function family: ntile, percent_rank,
+    cume_dist).  The window order carries the custkey tie-break so
+    both engines bucket identically; the rank fractions are exact
+    rationals of identical integers.  Scale: one segment-keyed
+    window partition per group — the partition key is the bounded
+    segment domain times the customer spread, never one global
+    window."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        "c_acctbal", "c_custkey")
+    return (t.customer.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"))
+        .orderBy("custkey"))
