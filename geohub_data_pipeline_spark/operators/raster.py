@@ -1572,3 +1572,102 @@ def flow_accumulation(dirs: DataFrame, max_rounds: int = 128,
         "block_x", "block_y", "width", "height",
         F.col("acc").alias("pixels"),
         F.lit(float("nan")).alias("nodata"), "srid")
+
+
+def equalize(blocks: DataFrame, levels: int = 256) -> DataFrame:
+    """Histogram equalization over the WHOLE raster (per dataset,
+    subdataset, band): each pixel maps to floor(cdf(v) * (levels-1))
+    where cdf is the value's cumulative pixel fraction — the classic
+    contrast stretch, computed with the global-statistics-then-
+    map-side-apply pattern:
+
+    1. per-value pixel counts: explode-free two-phase aggregate
+       (per-block ``np.unique`` partials, then a partial-aggregated
+       groupBy — pixels never shuffle, only (value, count) partials);
+    2. the cumulative table builds on a per-band window over the
+       DISTINCT VALUE domain (bounded — quantize continuous rasters
+       first, the documented contract; never a window over pixels);
+    3. the value->level table broadcasts back and every block remaps
+       with one vectorized ``searchsorted``.
+
+    Integer-exact: cdf = (cumulative count) / N is a ratio of exact
+    longs, identical in any engine; the floor of its product with
+    (levels-1) is therefore bit-stable.
+    """
+    from pyspark.sql import Window
+
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(blocks.sparkSession)
+
+    lvl0 = blocks.filter(F.col("level") == 0)
+
+    def partial_counts(it):
+        for pdf in it:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = np.asarray(r.pixels, np.float64)
+                if r.nodata is not None and not np.isnan(r.nodata):
+                    arr = arr[arr != float(r.nodata)]
+                arr = arr[~np.isnan(arr)]
+                vals, cnts = np.unique(arr, return_counts=True)
+                for v, c in zip(vals, cnts):
+                    out.append((r.dataset, r.subdataset,
+                                int(r.band), float(v), int(c)))
+            yield pd.DataFrame(out, columns=[
+                "dataset", "subdataset", "band", "v", "c"])
+
+    counts = lvl0.mapInPandas(
+        partial_counts,
+        "dataset string, subdataset string, band int, v double, "
+        "c long"
+    ).groupBy("dataset", "subdataset", "band", "v").agg(
+        F.sum("c").alias("n"))
+
+    w = (Window.partitionBy("dataset", "subdataset", "band")
+         .orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    wt = Window.partitionBy("dataset", "subdataset", "band")
+    table = counts.select(
+        "dataset", "subdataset", "band", "v",
+        F.floor(F.sum("n").over(w).cast("double")
+                / F.sum("n").over(wt) * (levels - 1))
+        .cast("double").alias("eq"))
+
+    # the value->level table is bounded by the distinct-value domain
+    # (quantize continuous rasters first — documented contract), so
+    # it collects once and ships to every task in the kernel closure
+    # — the same bounded-manifest pattern as warp's georef collect.
+    lut: dict = {}
+    for r in table.collect():
+        lut.setdefault((r.dataset, r.subdataset, r.band),
+                       []).append((float(r.v), float(r.eq)))
+    lut = {k: (np.array([p[0] for p in sorted(v)]),
+               np.array([p[1] for p in sorted(v)]))
+           for k, v in lut.items()}
+
+    def remap(it):
+        for pdf in it:
+            out = []
+            for r in pdf.itertuples(index=False):
+                vs, eq = lut.get(
+                    (r.dataset, r.subdataset, int(r.band)),
+                    (np.array([]), np.array([])))
+                arr = np.asarray(r.pixels, np.float64)
+                keep = ~np.isnan(arr)
+                if r.nodata is not None and not np.isnan(r.nodata):
+                    keep &= arr != float(r.nodata)
+                mapped = np.full_like(arr, np.nan)
+                if vs.size:
+                    idx = np.searchsorted(vs, arr[keep])
+                    mapped[keep] = eq[np.clip(idx, 0, vs.size - 1)]
+                out.append((r.dataset, r.subdataset, int(r.band), 0,
+                            int(r.block_x), int(r.block_y),
+                            int(r.width), int(r.height),
+                            mapped.tolist(), float("nan"),
+                            int(r.srid)))
+            yield pd.DataFrame(out, columns=[
+                "dataset", "subdataset", "band", "level", "block_x",
+                "block_y", "width", "height", "pixels", "nodata",
+                "srid"])
+
+    return lvl0.mapInPandas(remap, BLOCK_SCHEMA)

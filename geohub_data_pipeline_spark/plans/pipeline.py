@@ -5052,3 +5052,64 @@ def raster_flow_accumulation(spark: SparkSession,
     dirs = R.flow_direction(blocks, border="clamp")
     return _flatten_pixels(R.flow_accumulation(dirs, block=b), b,
                            "acc")
+
+
+_EQUALIZE_SQL = """
+WITH px AS (
+  SELECT r.i AS row, c.i AS col,
+         CAST((7 * r.i + c.i) % 1000 AS DOUBLE) AS v
+  FROM range(300) r(i), range(300) c(i)
+),
+hist AS (
+  SELECT v, count(*) AS n FROM px GROUP BY v
+),
+cdf AS (
+  SELECT v,
+         CAST(floor(CAST(sum(n) OVER (ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               / sum(n) OVER () * 255) AS DOUBLE) AS eq
+  FROM hist
+)
+SELECT CAST(px.row AS INTEGER) AS row, CAST(px.col AS INTEGER) AS col,
+       cdf.eq AS eq
+FROM px JOIN cdf ON px.v = cdf.v
+ORDER BY row, col
+"""
+
+
+@query("raster_equalize", "pipeline",
+       "geo analytics: histogram equalization — the global-stats-"
+       "then-map-side-apply pattern: per-block np.unique partials, "
+       "one (value,count) shuffle, bounded LUT back to every block",
+       _EQUALIZE_SQL)
+def raster_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrast stretch over the 300x300 formula raster: pixel ->
+    floor(global-cdf * 255).  The cdf is a ratio of exact longs so
+    the mapping is bit-stable; the oracle restates it as a SQL
+    window over the distinct-value histogram.  Pixels never
+    shuffle — only (value, count) partials do, and the bounded
+    value->level table rides the task closure back."""
+    import numpy as np
+
+    from geohub_data_pipeline_spark.operators import raster as R
+    from geohub_data_pipeline_spark.operators.raster import BLOCK
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    load_tables(spark, sf_dir)             # harness contract
+    n = 300
+    arr = (7 * np.arange(n)[:, None] + np.arange(n)[None, :]) % 1000
+    rows = []
+    for by in range(0, n, BLOCK):
+        for bx in range(0, n, BLOCK):
+            tile = arr[by:by + BLOCK, bx:bx + BLOCK]
+            rows.append(("dem", None, 1, 0, bx // BLOCK, by // BLOCK,
+                         int(tile.shape[1]), int(tile.shape[0]),
+                         [float(v) for v in tile.ravel()], None,
+                         4326))
+    blocks = spark.createDataFrame(
+        rows, "dataset string, subdataset string, band int, "
+              "level int, block_x int, block_y int, width int, "
+              "height int, pixels array<double>, nodata double, "
+              "srid int")
+    return _flatten_pixels(R.equalize(blocks), BLOCK, "eq")

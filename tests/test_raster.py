@@ -581,3 +581,47 @@ def test_flow_direction_and_accumulation(spark):
                 q.append(t)
     for k, v in ref.items():
         assert gacc[k] == v, (k, gacc[k], v)
+
+
+def test_equalize_nodata_and_multiband(spark):
+    """Equalization maps per (dataset, band) independently, skips
+    nodata (stays NaN), and floor(cdf*(L-1)) matches a direct numpy
+    computation."""
+    import numpy as np
+
+    vals1 = np.array([[1.0, 1.0, 2.0, 5.0],
+                      [5.0, 5.0, 5.0, -9.0]])
+    vals2 = np.array([[10.0, 20.0, 20.0, 30.0],
+                      [30.0, 30.0, 40.0, 40.0]])
+    rows = [("d", None, 1, 0, 0, 0, 4, 2,
+             [float(v) for v in vals1.ravel()], -9.0, 4326),
+            ("d", None, 2, 0, 0, 0, 4, 2,
+             [float(v) for v in vals2.ravel()], None, 4326)]
+    blocks = spark.createDataFrame(
+        rows, "dataset string, subdataset string, band int, "
+              "level int, block_x int, block_y int, width int, "
+              "height int, pixels array<double>, nodata double, "
+              "srid int")
+    got = {r.band: r.pixels
+           for r in R.equalize(blocks, levels=8).collect()}
+
+    def ref(arr, nodata):
+        flat = arr.ravel()
+        ok = flat[~np.isnan(flat)]
+        if nodata is not None:
+            ok = ok[ok != nodata]
+        vs, cnts = np.unique(ok, return_counts=True)
+        cdf = np.cumsum(cnts) / ok.size
+        m = dict(zip(vs, np.floor(cdf * 7)))
+        return [m.get(v, None) if (nodata is None or v != nodata)
+                else None for v in flat]
+
+    exp1 = ref(vals1, -9.0)
+    for g, e in zip(got[1], exp1):
+        if e is None:
+            assert g is None or np.isnan(g)
+        else:
+            assert g == e
+    exp2 = ref(vals2, None)
+    for g, e in zip(got[2], exp2):
+        assert g == e
