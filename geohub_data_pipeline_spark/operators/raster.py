@@ -1545,7 +1545,9 @@ def flow_accumulation(dirs: DataFrame, max_rounds: int = 128,
                 break
             ca[1:-1, 1:-1] = new
         acc = np.where(nanmask, np.nan, ca[1:-1, 1:-1])
-        chg = bool(np.nansum(acc) > np.nansum(old_acc))
+        # exact element comparison: a nansum can round away a +1 in
+        # a block whose total exceeds 2^53
+        chg = not np.array_equal(acc, old_acc, equal_nan=True)
         return pd.DataFrame([(
             r.dataset, r.subdataset, int(r.band), int(r.block_x),
             int(r.block_y), w, h, dr.ravel().tolist(),

@@ -233,7 +233,8 @@ def _sqlite_type(v) -> str:
 
 def write_gpkg(path: str, layers: dict[str, list[tuple]],
                srid: int = 4326,
-               srs_definition: str | None = None) -> None:
+               srs_definition: str | None = None,
+               layer_srids: dict[str, int] | None = None) -> None:
     """Minimal spec-conformant GeoPackage writer (fixtures + sinks):
     ``layers`` maps layer name -> [(fid, wkb bytes), ...] or
     [(fid, wkb, properties), ...] where ``properties`` is a dict or
@@ -251,10 +252,14 @@ def write_gpkg(path: str, layers: dict[str, list[tuple]],
             "srs_id INTEGER PRIMARY KEY, organization TEXT NOT NULL, "
             "organization_coordsys_id INTEGER NOT NULL, "
             "definition TEXT NOT NULL, description TEXT)")
-        con.execute(
-            "INSERT INTO gpkg_spatial_ref_sys VALUES "
-            "(?, ?, 'EPSG', ?, ?, NULL)",
-            (f"EPSG:{srid}", srid, srid, srs_definition or "undefined"))
+        all_srids = sorted({srid, *(layer_srids or {}).values()})
+        for sid in all_srids:
+            con.execute(
+                "INSERT INTO gpkg_spatial_ref_sys VALUES "
+                "(?, ?, 'EPSG', ?, ?, NULL)",
+                (f"EPSG:{sid}", sid, sid,
+                 srs_definition if sid == srid and srs_definition
+                 else "undefined"))
         con.execute(
             "CREATE TABLE gpkg_contents (table_name TEXT NOT NULL PRIMARY "
             "KEY, data_type TEXT NOT NULL, identifier TEXT UNIQUE, "
@@ -290,20 +295,21 @@ def write_gpkg(path: str, layers: dict[str, list[tuple]],
             con.execute(
                 f"CREATE TABLE {_q(layer)} (fid INTEGER PRIMARY KEY, "
                 f"geom BLOB{attr_ddl})")
+            lyr_srid = (layer_srids or {}).get(layer, srid)
             con.execute(
                 "INSERT INTO gpkg_contents (table_name, data_type, "
                 "identifier, srs_id) VALUES (?, 'features', ?, ?)",
-                (layer, layer, srid))
+                (layer, layer, lyr_srid))
             con.execute(
                 "INSERT INTO gpkg_geometry_columns VALUES "
-                "(?, 'geom', 'GEOMETRY', ?, 0, 0)", (layer, srid))
+                "(?, 'geom', 'GEOMETRY', ?, 0, 0)", (layer, lyr_srid))
             marks = ", ".join(["?", "?"] + ["?"] * len(col_names))
             for f, pr in zip(feats, props_of):
                 fid, wkb = f[0], f[1]
                 blob = None
                 if wkb is not None:
                     blob = (b"GP\x00\x01"          # version 0, LE, no env
-                            + struct.pack("<i", srid) + wkb)
+                            + struct.pack("<i", lyr_srid) + wkb)
                 vals = [pr.get(c) for c in col_names]
                 vals = [str(v) if cols.get(c) == "TEXT"
                         and v is not None else v
@@ -350,6 +356,7 @@ def write_gpkg_tables(features: DataFrame, dst_dir: str) -> DataFrame:
         if os.path.exists(path):
             os.unlink(path)                # write_gpkg creates it
         layers: dict[str, list[tuple]] = {}
+        layer_srids: dict[str, set] = {}
         pdf = pdf.sort_values(["layer", "fid"])
         for row in pdf.itertuples(index=False):
             if row.geometry is None:
@@ -358,14 +365,26 @@ def write_gpkg_tables(features: DataFrame, dst_dir: str) -> DataFrame:
             props = (row.properties
                      if has_props and isinstance(row.properties, str)
                      else None)
-            layers.setdefault(str(row.layer), []).append(
+            lyr = str(row.layer)
+            layers.setdefault(lyr, []).append(
                 (fid, bytes(row.geometry), props))
-        srids = {int(s) for s in pdf["srid"].dropna()} or {4326}
-        srid = sorted(srids)[0]
+            if not pd.isna(row.srid):
+                layer_srids.setdefault(lyr, set()).add(int(row.srid))
+        # per-LAYER srid: mixed srids within one layer are malformed
+        # input — refuse loudly, never silently re-tag geometry
+        for lyr, sids in layer_srids.items():
+            if len(sids) > 1:
+                raise ValueError(
+                    f"layer {lyr!r} of dataset {dataset!r} mixes "
+                    f"srids {sorted(sids)}: normalize before writing")
+        per_layer = {lyr: next(iter(sids))
+                     for lyr, sids in layer_srids.items()}
+        srid = min(per_layer.values(), default=4326)
         wkts = [w for w in pdf.get("crs_wkt", pd.Series(dtype=object))
                 .dropna().unique() if w] if "crs_wkt" in pdf else []
         write_gpkg(path, layers, srid=srid,
-                   srs_definition=(wkts[0] if wkts else None))
+                   srs_definition=(wkts[0] if wkts else None),
+                   layer_srids=per_layer)
         n = sum(len(v) for v in layers.values())
         return pd.DataFrame([{
             "dataset": dataset, "path": path,

@@ -338,62 +338,93 @@ def _shp_payload(wkb: bytes) -> tuple[int, bytes]:
     return stype, body
 
 
+def _dbf_render(v, t: str, d: int) -> str:
+    """One value as its dBASE text form (N right-justified later)."""
+    if t == "L":
+        return "T" if v else "F"
+    if t == "N":
+        return f"{v:.{d}f}" if d else str(int(v))
+    return str(v)
+
+
 def _dbf_bytes(props: list[dict]) -> bytes:
     """Attribute dicts -> dBASE III bytes (the ``parse_dbf``
-    inverse): int/float -> N, bool -> L, else C; column widths sized
-    to the data."""
-    cols: dict[str, tuple[str, int, int]] = {}   # name -> (type, w, dec)
+    inverse): int/float -> N, bool -> L, else C.  Column WIDTHS are
+    sized to the widest rendered value (never truncated — a chopped
+    numeral is a silently wrong number); stored names laundered to
+    the 10-char dBASE limit with collision suffixes, values still
+    looked up by the ORIGINAL key."""
+    # original key -> (type, dec); conflicts widen (int+float -> N.6,
+    # anything else -> C)
+    kinds: dict[str, tuple[str, int]] = {}
     for pr in props:
         for k, v in pr.items():
-            name = str(k)[:10]
-            if isinstance(v, bool):
-                t, w, d = "L", 1, 0
-            elif isinstance(v, int):
-                t, w, d = "N", max(18, len(str(v))), 0
-            elif isinstance(v, float):
-                t, w, d = "N", 24, 6
-            elif v is None:
+            if v is None:
                 continue
+            if isinstance(v, bool):
+                t, d = "L", 0
+            elif isinstance(v, int):
+                t, d = "N", 0
+            elif isinstance(v, float):
+                t, d = "N", 6
             else:
-                t, w, d = "C", min(max(1, len(str(v))), 254), 0
-            prev = cols.get(name)
-            if prev is None:
-                cols[name] = (t, w, d)
-            elif prev[0] != t or ({prev[0], t} == {"N"}
-                                  and prev[2] != d):
-                # type conflict widens to text
-                if prev[0] == t == "N":
-                    cols[name] = ("N", 24, 6)
-                else:
-                    cols[name] = ("C", 254, 0)
+                t, d = "C", 0
+            prev = kinds.get(k)
+            if prev is None or prev == (t, d):
+                kinds[k] = (t, d)
+            elif prev[0] == t == "N":
+                kinds[k] = ("N", 6)
             else:
-                cols[name] = (t, max(prev[1], w), max(prev[2], d))
-    names = sorted(cols)
-    record_len = 1 + sum(cols[n][1] for n in names)
-    header_len = 32 + 32 * len(names) + 1
+                kinds[k] = ("C", 0)
+    keys = sorted(kinds)
+    widths: dict[str, int] = {}
+    for k in keys:
+        t, d = kinds[k]
+        w = 1
+        for pr in props:
+            v = pr.get(k)
+            if v is None or (t == "L" and not isinstance(v, bool)):
+                continue
+            w = max(w, len(_dbf_render(v, t, d)))
+        widths[k] = min(w, 254) if t == "C" else w
+    # laundered unique 10-char names
+    names: dict[str, str] = {}
+    used: set[str] = set()
+    for k in keys:
+        base = str(k)[:10] or "F"
+        name, i = base, 1
+        while name in used:
+            i += 1
+            suf = f"_{i}"
+            name = base[:10 - len(suf)] + suf
+        used.add(name)
+        names[k] = name
+
+    record_len = 1 + sum(widths[k] for k in keys)
+    header_len = 32 + 32 * len(keys) + 1
     out = bytearray()
     out += struct.pack("<B3BIHH20x", 0x03, 26, 8, 15, len(props),
                        header_len, record_len)
-    for n in names:
-        t, w, d = cols[n]
-        out += struct.pack("<11sc4xBB14x", n.encode("ascii", "replace"),
-                           t.encode(), w, d)
+    for k in keys:
+        t, d = kinds[k]
+        out += struct.pack("<11sc4xBB14x",
+                           names[k].encode("ascii", "replace"),
+                           t.encode(), widths[k], d)
     out += b"\x0d"
     for pr in props:
         out += b" "
-        for n in names:
-            t, w, d = cols[n]
-            v = pr.get(n)
+        for k in keys:
+            t, d = kinds[k]
+            w = widths[k]
+            v = pr.get(k)
             if v is None or (t == "L" and not isinstance(v, bool)):
                 out += (b"?" if t == "L" else b" " * w)[:w].ljust(w)
                 continue
-            if t == "L":
-                out += b"T" if v else b"F"
-            elif t == "N":
-                s = (f"{v:.{d}f}" if d else str(int(v)))[:w]
-                out += s.rjust(w).encode("ascii", "replace")
+            txt = _dbf_render(v, t, d)
+            if t == "N":
+                out += txt[:w].rjust(w).encode("ascii", "replace")
             else:
-                out += str(v)[:w].ljust(w).encode("latin-1", "replace")
+                out += txt[:w].ljust(w).encode("latin-1", "replace")
     out += b"\x1a"
     return bytes(out)
 

@@ -166,3 +166,35 @@ def test_write_gpkg_tables_roundtrip(spark, tmp_path):
     assert props["name"] == "b" and props["lanes"] == 4
     back2 = GP.features_from_gpkg(spark, man["d2"].path).collect()
     assert len(back2) == 1 and back2[0].srid == 3857
+
+
+def test_write_gpkg_tables_per_layer_srid(spark, tmp_path):
+    """One dataset with layers in DIFFERENT CRSs keeps each layer's
+    srid in the registry tables and GP headers; mixed srids WITHIN a
+    layer refuse loudly (never silent re-tagging)."""
+    import pytest as _pytest
+
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.sources.flatgeobuf import (
+        FEATURE_SCHEMA,
+    )
+
+    def pt(x, y):
+        return G.wkb_from_geojson(
+            {"type": "Point", "coordinates": [x, y]})
+
+    rows = [("d", "wgs", 1, pt(1.0, 2.0), 4326, None, None),
+            ("d", "merc", 1, pt(111319.0, 222684.0), 3857, None,
+             None)]
+    feats = spark.createDataFrame(rows, FEATURE_SCHEMA)
+    out = GP.write_gpkg_tables(feats, str(tmp_path / "a")).collect()
+    back = {r.layer: r for r in GP.features_from_gpkg(
+        spark, out[0].path).collect()}
+    assert back["wgs"].srid == 4326 and back["merc"].srid == 3857
+
+    bad = spark.createDataFrame(
+        [("d", "one", 1, pt(0.0, 0.0), 4326, None, None),
+         ("d", "one", 2, pt(1.0, 1.0), 3857, None, None)],
+        FEATURE_SCHEMA)
+    with _pytest.raises(Exception, match="mixes"):
+        GP.write_gpkg_tables(bad, str(tmp_path / "b")).collect()

@@ -409,7 +409,7 @@ def test_rasterize_burn_and_precedence(spark):
             px[(p // b00.width, p % b00.width)] = v
     # poly 2 (burn 20) wins the col-2 overlap despite poly 1 in df
     assert px[(0, 2)] == 20.0 and px[(0, 0)] == 20.0
-    assert (0, 3) in {k for k in px} or True
+    assert px[(0, 3)] == 10.0          # poly 1 alone past x=3
     b10 = by[(1, 0)]
     vals = [v for v in b10.pixels
             if v is not None and not math.isnan(v)]
