@@ -1195,10 +1195,14 @@ def cost_distance(blocks: DataFrame, sources: DataFrame,
 
     1. per-block state (cost + running dist) initialized from the
        sources (one equi-join);
-    2. each ROUND ships only the 1-pixel dist halo to the 8
-       neighbor groups (the `_focal_window` exchange, ~1.5% of
-       pixel volume), relaxes every block to a LOCAL fixpoint with
-       vectorized 8-shift min-plus sweeps, and reports one boolean;
+    2. each ROUND regroups the state on its block key — the self
+       block plus the 8 neighbors' 1-pixel edge strips land in one
+       shuffle (state rides it once per round; a partitioning-
+       preserving state store would cut the exchange to strips-only,
+       but DataFrame localCheckpoint drops the partitioning, so the
+       honest per-round network cost is ~1x state + 1.5% strips) —
+       then every block relaxes to a LOCAL fixpoint with chamfer-
+       style sweeps and reports one boolean;
     3. the driver loops on `any(changed)` — one aggregated row per
        round, never pixel data — until the global fixpoint, bounded
        by max_rounds.
@@ -1430,8 +1434,9 @@ def flow_accumulation(dirs: DataFrame, max_rounds: int = 128,
     Input: ``flow_direction(border="clamp")`` output (BLOCK_SCHEMA,
     pixel = D8 code; 0 = pit, NaN = nodata).
 
-    Same iterative block-synchronous pattern as ``cost_distance``:
-    per-round 1-px halo exchange of (dir, acc) strips, in-block
+    Same iterative block-synchronous pattern (and the same honest
+    per-round shuffle cost — state + strips) as ``cost_distance``:
+    per-round (dir, acc) halo strips, in-block
     fixpoint via masked shifted adds (acc = 1 + sum of inflows —
     monotone, so the driver's one-boolean-per-round loop terminates
     at the global fixpoint; rounds = longest flow path in BLOCKS).
