@@ -1358,3 +1358,41 @@ def dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                      | F.coalesce("__dup", F.lit(False)))
                     .alias("removed_ok"),
                     (F.col("__nc") <= 8).alias("clusters_ok")))
+
+
+@query("bpe_train_merges", "llm",
+       "LLM tokenization: distributed BPE training — one corpus "
+       "pass to the word-type table, then bounded per-merge rounds "
+       "(pair-count groupBy + global argmax); no SQL oracle (the "
+       "sequential argmax is not SQL-expressible — pytest parity "
+       "with a reference Sennrich implementation pins it)", None)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 24 BPE merges learned from the documents corpus, in
+    rank order.  Rows-only gate entry by design; the merge sequence
+    is deterministic (count desc, lexicographic tie-break), so the
+    row COUNT and schema are stable and the content is pinned by
+    tests/test_tokenizer.py."""
+    from geohub_data_pipeline_spark.operators import tokenizer as TK
+
+    t = load_tables(spark, sf_dir)
+    merges = TK.bpe_train(t.documents, n_merges=24)
+    return spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(merges)],
+        "rank long, left string, right string").orderBy("rank")
+
+
+@query("bpe_encode_stats", "llm",
+       "LLM tokenization: BPE encode — merge ranks broadcast in the "
+       "closure, map-side per-word encode with a batch word cache; "
+       "rows-only (encode applies the trained sequential model)",
+       None)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts + token-stream md5 under the
+    24-merge model trained on the same corpus — the artifact a shard
+    packer would consume.  Deterministic end to end (training
+    tie-breaks + md5 content hash)."""
+    from geohub_data_pipeline_spark.operators import tokenizer as TK
+
+    t = load_tables(spark, sf_dir)
+    merges = TK.bpe_train(t.documents, n_merges=24)
+    return TK.bpe_encode(t.documents, merges).orderBy("doc_id")

@@ -1,0 +1,95 @@
+"""BPE trainer/encoder parity with a reference single-process
+Sennrich implementation (identical merge sequence under identical
+tie-breaks), plus encode invariants."""
+
+from __future__ import annotations
+
+import collections
+
+from geohub_data_pipeline_spark.operators import tokenizer as TK
+
+
+def _ref_bpe(word_counts: dict[str, int], n_merges: int):
+    """Reference Sennrich trainer: same tie-break (count desc, then
+    lexicographic pair)."""
+    types = {tuple(list(w) + [TK.END]): n
+             for w, n in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = collections.Counter()
+        for syms, n in types.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        (l, r), _ = best
+        merges.append((l, r))
+        types = {tuple(TK._merge_symbols(list(s), l, r)): n
+                 for s, n in types.items()}
+    return merges
+
+
+CORPUS = [
+    (0, "low low low low low"),
+    (1, "lower lower newest newest"),
+    (2, "newest newest newest newest widest"),
+    (3, "widest widest low lower"),
+]
+
+
+def test_bpe_train_matches_reference(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    got = TK.bpe_train(docs, n_merges=12)
+
+    wc = collections.Counter()
+    for _, t in CORPUS:
+        wc.update(t.split())
+    exp = _ref_bpe(dict(wc), 12)
+    assert got == exp
+    # classic Sennrich outcome: 'est</w>' forms within the budget
+    joined = ["".join(m) for m in got]
+    assert any("est" in j for j in joined)
+
+
+def test_bpe_encode_invariants(spark):
+    import hashlib
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    merges = TK.bpe_train(docs, n_merges=8)
+    enc = {r.doc_id: r for r in TK.bpe_encode(docs, merges).collect()}
+    assert enc[0].n_words == 5
+    # encoding "low" five times: tokens per word identical ->
+    # n_tokens divisible by 5 and hash deterministic
+    assert enc[0].n_tokens % 5 == 0
+
+    def ref_encode(word):
+        syms = list(word) + [TK.END]
+        rank = {m: i for i, m in enumerate(merges)}
+        while len(syms) > 1:
+            cands = [(rank[(a, b)], i) for i, (a, b) in
+                     enumerate(zip(syms, syms[1:]))
+                     if (a, b) in rank]
+            if not cands:
+                break
+            rk, _ = min(cands)
+            l, r = merges[rk]
+            syms = TK._merge_symbols(syms, l, r)
+        return syms
+
+    toks = []
+    for w in CORPUS[1][1].split():
+        toks.extend(ref_encode(w))
+    assert enc[1].tokens_hash == hashlib.md5(
+        " ".join(toks).encode()).hexdigest()
+    assert enc[1].n_tokens == len(toks)
+
+
+def test_bpe_no_mergeable_pairs_stops(spark):
+    docs = spark.createDataFrame([(0, "a b c d")],
+                                 "doc_id long, text string")
+    # every word is a single char + END; the only pairs are
+    # (char, END) with count 1 each -> below the min count, no merges
+    assert TK.bpe_train(docs, n_merges=5) == []
