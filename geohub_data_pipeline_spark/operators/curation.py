@@ -366,3 +366,25 @@ def line_dedup(lines: DataFrame, id_col: str = "doc_id",
                     F.coalesce("kept_chars", F.lit(0))
                     .alias("kept_chars"),
                     "kept_hash"))
+
+
+def group_aware_split(docs: DataFrame, group_col: str,
+                      id_col: str = "doc_id",
+                      train_below: str = "e") -> DataFrame:
+    """Leakage-safe split: every document of a GROUP (a near-dup
+    cluster canonical, a source domain, a repository) lands in the
+    SAME split, so eval never sees a near-copy of a training doc —
+    the group-aware form of ``hash_split`` (same md5-bucket rule,
+    keyed on the group instead of the id).
+
+    Map-side only and corpus-independent like hash_split: a group's
+    split never changes as the corpus grows, which is what makes
+    incremental re-splits reproducible.
+    """
+    bucket = F.substring(doc_hash(F.col(group_col)), 1, 1)
+    return docs.select(
+        id_col, group_col,
+        bucket.alias("hash_bucket"),
+        F.when(bucket < F.lit(train_below), F.lit("train"))
+        .otherwise(F.lit("val")).alias("split"),
+    )

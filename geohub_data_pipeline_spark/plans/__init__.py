@@ -69,7 +69,8 @@ promote([
     "zonal_histogram", "text_line_dedup", "raster_point_sample",
     "raster_curvature", "vector_rasterize", "raster_cost_distance",
     "raster_flow_direction", "raster_flow_accumulation",
-    "events_cohort_retention", "raster_equalize", "bpe_train_merges",
+    "events_cohort_retention", "raster_equalize", "split_group_aware",
+    "bpe_train_merges",
     "bpe_encode_stats", "q3_shipping_priority",
     "q5_local_supplier", "q10_returned_items", "window_distribution",
     "scalar_string", "scalar_math", "scalar_datetime",

@@ -879,3 +879,27 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("line_no").cast("long").alias("line_no"),
              "line")
     return C.line_dedup(lines).orderBy("doc_id")
+
+
+_GROUP_SPLIT_SQL = """
+SELECT doc_id, source,
+       substr(md5(source), 1, 1) AS hash_bucket,
+       CASE WHEN substr(md5(source), 1, 1) < 'e'
+            THEN 'train' ELSE 'val' END AS split
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("split_group_aware", "llm",
+       "LLM curation: leakage-safe group-aware split — all docs of "
+       "a group share one md5-bucket decision; map-side, corpus-"
+       "independent", _GROUP_SPLIT_SQL)
+def split_group_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/val split keyed on the source domain (in
+    production the group is a near-dup cluster canonical from
+    dedup_cluster_canonical — same operator, different key), so eval
+    never sees a near-copy of a training document.  Exact md5 parity
+    with the oracle."""
+    t = load_tables(spark, sf_dir)
+    return C.group_aware_split(t.documents, "source").orderBy("doc_id")
