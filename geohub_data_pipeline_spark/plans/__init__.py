@@ -41,6 +41,16 @@ from geohub_data_pipeline_spark.plans.registry import promote  # noqa: E402
 # continuation block sits at 51+ — verified locally at sf0.01 with
 # the gate comparator (see scripts/check_oracle.py), first in line
 # for round 7 ahead of the r4-checked block.
+#
+# Second-half additions (this round, slots 51+, all verified at
+# sf0.001 AND sf0.01 with the gate comparator; full-registry sweeps
+# green at both SFs): text_line_dedup, raster_point_sample,
+# raster_curvature, vector_rasterize, raster_cost_distance,
+# raster_flow_direction/accumulation, events_cohort_retention,
+# raster_equalize, split_group_aware, bpe_train/encode (rows-only by
+# design — sequential argmax), TPC-H q3/q5/q10, window_distribution.
+# Round-7 prefix should lead with the continuation + second-half
+# blocks, then rotate back to the r4-checked queries.
 promote([
     "join_inner", "join_left_outer", "join_full_outer", "join_semi",
     "join_anti", "agg_stats", "agg_distinct", "agg_pivot_status",
