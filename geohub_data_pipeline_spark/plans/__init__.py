@@ -80,6 +80,7 @@ promote([
     "raster_curvature", "vector_rasterize", "raster_cost_distance",
     "raster_flow_direction", "raster_flow_accumulation",
     "events_cohort_retention", "raster_equalize", "split_group_aware",
+    "tile_diff",
     "bpe_train_merges",
     "bpe_encode_stats", "q3_shipping_priority",
     "q5_local_supplier", "q10_returned_items", "window_distribution",

@@ -5113,3 +5113,95 @@ def raster_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
               "height int, pixels array<double>, nodata double, "
               "srid int")
     return _flatten_pixels(R.equalize(blocks), BLOCK, "eq")
+
+
+_TILE_DIFF_SQL = f"""
+WITH pts AS ({_TILE_MATH_SQL}),
+keyed AS ({_TILE_XY_SQL}),
+old AS (
+  SELECT z, x, y,
+         CAST(count(*) AS BIGINT) AS n,
+         md5(string_agg(CAST(event_id AS VARCHAR), ','
+                        ORDER BY event_id)) AS sig
+  FROM keyed WHERE event_id % 3 <> 0 GROUP BY z, x, y
+),
+new AS (
+  SELECT z, x, y,
+         CAST(count(*) AS BIGINT) AS n,
+         md5(string_agg(CAST(event_id AS VARCHAR), ','
+                        ORDER BY event_id)) AS sig
+  FROM keyed WHERE event_id % 2 <> 0 GROUP BY z, x, y
+)
+SELECT COALESCE(old.z, new.z) AS z,
+       COALESCE(old.x, new.x) AS x,
+       COALESCE(old.y, new.y) AS y,
+       CASE WHEN old.z IS NULL THEN 'added'
+            WHEN new.z IS NULL THEN 'removed'
+            WHEN old.sig <> new.sig THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       COALESCE(old.n, 0) AS old_n, COALESCE(new.n, 0) AS new_n
+FROM old FULL OUTER JOIN new
+  ON old.z = new.z AND old.x = new.x AND old.y = new.y
+ORDER BY z, x, y
+"""
+
+
+@query("tile_diff", "pipeline",
+       "§2.2 T8/T17 tile-set diff — the incremental re-publish "
+       "planner: two snapshot tile aggregations, one full-outer "
+       "join on the tile key, content-hash change detection",
+       _TILE_DIFF_SQL)
+def tile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two tile-set snapshots (deterministic overlapping event
+    subsets): which z/x/y tiles a re-publish must add, remove, or
+    regenerate — the planning step before an incremental PMTiles
+    update, with md5-of-members change detection so a tile only
+    regenerates when its content actually moved.
+
+    Scale: each side is one partial-aggregated groupBy on the tile
+    key; the diff is one equi-join of TILE summaries (never
+    features); AQE handles the skewed-popular-tile case.
+    """
+    from geohub_data_pipeline_spark.functions import tiles as TL
+
+    t = load_tables(spark, sf_dir)
+    pts = t.events.select(
+        "event_id",
+        (F.lit(2) + F.col("event_id") % 5).cast("int").alias("z"),
+        ((F.col("event_id") % 360).cast("double") - 180.0 + 0.25)
+        .alias("lon"),
+        (((F.col("user_id") * 11) % 160).cast("double") - 80.0 + 0.5)
+        .alias("lat"),
+    ).select("event_id",
+             *TL.tile_cols(F.col("lon"), F.col("lat"), F.col("z")))
+
+    def snap(cond):
+        return (pts.filter(cond).groupBy("z", "x", "y").agg(
+            F.count("*").cast("long").alias("n"),
+            F.md5(F.array_join(
+                F.transform(F.sort_array(F.collect_list("event_id")),
+                            lambda v: v.cast("string")), ","))
+            .alias("sig")))
+
+    old = snap(F.col("event_id") % 3 != 0)
+    new = snap(F.col("event_id") % 2 != 0)
+    o = old.select(F.col("z").alias("oz"), F.col("x").alias("ox"),
+                   F.col("y").alias("oy"), F.col("n").alias("on"),
+                   F.col("sig").alias("osig"))
+    nw = new.select(F.col("z").alias("nz"), F.col("x").alias("nx"),
+                    F.col("y").alias("ny"), F.col("n").alias("nn"),
+                    F.col("sig").alias("nsig"))
+    j = o.join(nw, (F.col("oz") == F.col("nz"))
+               & (F.col("ox") == F.col("nx"))
+               & (F.col("oy") == F.col("ny")), "full_outer")
+    return (j.select(
+        F.coalesce("oz", "nz").alias("z"),
+        F.coalesce("ox", "nx").alias("x"),
+        F.coalesce("oy", "ny").alias("y"),
+        F.when(F.col("oz").isNull(), "added")
+        .when(F.col("nz").isNull(), "removed")
+        .when(F.col("osig") != F.col("nsig"), "changed")
+        .otherwise("unchanged").alias("status"),
+        F.coalesce("on", F.lit(0)).alias("old_n"),
+        F.coalesce("nn", F.lit(0)).alias("new_n"))
+        .orderBy("z", "x", "y"))
