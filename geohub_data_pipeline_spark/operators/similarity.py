@@ -995,3 +995,87 @@ def adc_topk(
         .alias("approx_sim"),
     )
     return _ranked_topk(scored, k, "approx_sim")
+
+
+def embedding_pca(vecs: DataFrame, k: int, vec_col: str = "vec",
+                  id_col: str = "vec_id",
+                  whiten: bool = False) -> tuple[DataFrame, list]:
+    """Distributed PCA over an embedding column — the dimensionality
+    reduction / whitening step before clustering or SemDeDup (Abbas
+    et al. 2023 operate on normalized embeddings; whitened PCA is
+    the standard preconditioner).
+
+    Single data pass: every partition emits its (count, sum-vector,
+    raw second-moment d x d matrix) — d is the embedding width, a
+    model constant, so the partials are O(d^2) per PARTITION, never
+    per row — the driver combines them into the covariance
+    (S - m m^T / n) / (n - 1), eigendecomposes (d x d, trivial), and
+    the top-k components broadcast back in the projection kernel's
+    closure.  Component signs are fixed deterministically (largest-
+    magnitude entry positive).
+
+    Returns ``(projected, eigvals)``: one row per vector with the
+    k-dim projection (variance-normalized when ``whiten``), plus the
+    full eigenvalue spectrum (descending) for scree/variance
+    reporting.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(vecs.sparkSession)
+
+    def moments(it):
+        n = 0
+        s = None
+        ss = None
+        for pdf in it:
+            for v in pdf[vec_col]:
+                x = np.asarray(v, np.float64)
+                if s is None:
+                    s = np.zeros_like(x)
+                    ss = np.zeros((x.size, x.size))
+                n += 1
+                s += x
+                ss += np.outer(x, x)
+        if n:
+            yield pd.DataFrame([{
+                "n": n, "s": s.tolist(),
+                "ss": ss.ravel().tolist()}])
+
+    parts = vecs.select(vec_col).mapInPandas(
+        moments, "n long, s array<double>, ss array<double>"
+    ).collect()                            # one row per partition
+    if not parts:
+        raise ValueError("embedding_pca: empty input")
+    n = sum(p["n"] for p in parts)
+    s = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
+    d = s.size
+    ss = np.sum([np.asarray(p["ss"]).reshape(d, d) for p in parts],
+                axis=0)
+    mean = s / n
+    cov = (ss - np.outer(s, mean)) / max(n - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)    # ascending
+    order = np.argsort(evals)[::-1]
+    evals = evals[order]
+    comps = evecs[:, order[:k]]           # d x k
+    # deterministic signs: largest-|entry| of each component positive
+    for j in range(comps.shape[1]):
+        i = int(np.argmax(np.abs(comps[:, j])))
+        if comps[i, j] < 0:
+            comps[:, j] = -comps[:, j]
+    scale = (1.0 / np.sqrt(np.maximum(evals[:k], 1e-12))
+             if whiten else np.ones(k))
+
+    def project(it):
+        for pdf in it:
+            rows = []
+            for vid, v in zip(pdf[id_col], pdf[vec_col]):
+                x = np.asarray(v, np.float64) - mean
+                rows.append((int(vid),
+                             ((x @ comps) * scale).tolist()))
+            yield pd.DataFrame(rows, columns=[id_col, "proj"])
+
+    projected = vecs.select(id_col, vec_col).mapInPandas(
+        project, f"{id_col} long, proj array<double>")
+    return projected, [float(v) for v in evals]

@@ -82,7 +82,7 @@ promote([
     "events_cohort_retention", "raster_equalize", "split_group_aware",
     "tile_diff",
     "bpe_train_merges",
-    "bpe_encode_stats", "q3_shipping_priority",
+    "bpe_encode_stats", "embedding_pca_project", "q3_shipping_priority",
     "q5_local_supplier", "q10_returned_items", "window_distribution",
     "scalar_string", "scalar_math", "scalar_datetime",
     "conditional_case", "agg_approx_distinct", "agg_collect_array",

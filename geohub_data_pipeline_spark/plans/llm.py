@@ -1396,3 +1396,21 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     merges = TK.bpe_train(t.documents, n_merges=24)
     return TK.bpe_encode(t.documents, merges).orderBy("doc_id")
+
+
+@query("embedding_pca_project", "llm",
+       "LLM embeddings: distributed PCA/whitening — one data pass "
+       "of O(d^2)-per-PARTITION moment partials, driver d x d eigh, "
+       "components broadcast back map-side; rows-only (no SQL "
+       "eigendecomposition — numpy parity pytest pins values)", None)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 whitened principal components of the embeddings table —
+    the preconditioner before k-means / SemDeDup clustering.  Signs
+    fixed deterministically (largest-magnitude entry positive);
+    exactness vs numpy's full-matrix eigendecomposition is pinned by
+    tests/test_similarity.py::test_embedding_pca_matches_numpy."""
+    t = load_tables(spark, sf_dir)
+    vecs = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+    proj, _evals = S.embedding_pca(vecs, k=8, whiten=True)
+    return proj.orderBy("vec_id")

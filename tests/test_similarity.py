@@ -270,3 +270,39 @@ def test_adc_matches_reconstruction_scoring(spark, sf_dir):
              .first())
     assert len(first.c) == 16
     assert all(0 <= x < 16 for x in first.c)
+
+
+def test_embedding_pca_matches_numpy(spark):
+    """Distributed one-pass PCA equals numpy's eigendecomposition of
+    the full covariance (within float tolerance), signs fixed
+    deterministically; whitening scales to unit variance."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(400, 6) @ np.diag([5, 3, 1, 0.5, 0.2, 0.1])
+    X += rng.randn(6) * 2
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, vec array<double>")
+    from geohub_data_pipeline_spark.operators import similarity as S
+    proj_df, evals = S.embedding_pca(df, k=3)
+    P = np.array([r.proj for r in
+                  sorted(proj_df.collect(), key=lambda r: r.vec_id)])
+
+    cov = np.cov(X, rowvar=False)
+    ev, evec = np.linalg.eigh(cov)
+    order = np.argsort(ev)[::-1]
+    comps = evec[:, order[:3]]
+    for j in range(3):
+        i = int(np.argmax(np.abs(comps[:, j])))
+        if comps[i, j] < 0:
+            comps[:, j] = -comps[:, j]
+    ref = (X - X.mean(axis=0)) @ comps
+    assert np.allclose(P, ref, atol=1e-8)
+    assert np.allclose(sorted(evals, reverse=True),
+                       ev[order], atol=1e-8)
+    # whitened: per-component variance ~1
+    w_df, _ = S.embedding_pca(df, k=3, whiten=True)
+    W = np.array([r.proj for r in
+                  sorted(w_df.collect(), key=lambda r: r.vec_id)])
+    assert np.allclose(W.var(axis=0, ddof=1), 1.0, atol=1e-6)
