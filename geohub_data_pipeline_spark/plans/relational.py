@@ -1729,3 +1729,42 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"))
         .orderBy("custkey"))
+
+
+_EXISTS_SQL = """
+SELECT c.c_custkey AS custkey, c.c_name AS name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 400000)
+  AND NOT EXISTS (SELECT 1 FROM orders o2
+                  WHERE o2.o_custkey = c.c_custkey
+                    AND o2.o_orderstatus = 'F'
+                    AND o2.o_totalprice < 1000)
+ORDER BY custkey
+"""
+
+
+@query("subquery_exists_correlated", "relational",
+       "§2.5 subqueries: correlated EXISTS + NOT EXISTS — planned "
+       "as one semi- and one anti-join, both pushed-filtered",
+       _EXISTS_SQL)
+def subquery_exists_correlated(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Customers with a big order and no cheap failed one — the
+    correlated EXISTS/NOT EXISTS pair, expressed as the semi/anti
+    joins Catalyst plans them to (filters reach the orders scan
+    before either join)."""
+    t = load_tables(spark, sf_dir)
+    big = t.orders.filter(F.col("o_totalprice") > 400000)
+    cheap_f = t.orders.filter((F.col("o_orderstatus") == "F")
+                              & (F.col("o_totalprice") < 1000))
+    return (t.customer
+            .join(big, F.col("c_custkey") == big["o_custkey"],
+                  "left_semi")
+            .join(cheap_f,
+                  F.col("c_custkey") == cheap_f["o_custkey"],
+                  "left_anti")
+            .select(F.col("c_custkey").alias("custkey"),
+                    F.col("c_name").alias("name"))
+            .orderBy("custkey"))
