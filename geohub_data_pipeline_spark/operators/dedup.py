@@ -302,27 +302,43 @@ def alternating_cc(edges: DataFrame, src: str = "id_a",
     for _ in range(max_iters):
         # large-star: group the full (symmetric) neighborhood of u,
         # link each v > u to min(N(u) + {u})
-        sym = e.unionByName(e.select(F.col("v").alias("u"),
-                                     F.col("u").alias("v"))).distinct()
-        mins = sym.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("__m"))
+        # collision-free aliases throughout: re-using the u/v names
+        # across self-union + self-join + swap-selects trips a
+        # Catalyst internal attribute-resolution error
+        # (NoSuchElementException: key not found) on checkpointed
+        # lineages under the tuned session; fresh names avoid the
+        # rewrite entirely.  min over N(u)+{u} is min-then-least on
+        # the group key (first("u") in the aggregate is the same
+        # bug class).
+        sym = (e.select(F.col("u").alias("su"), F.col("v").alias("sv"))
+               .unionByName(e.select(F.col("v").alias("su"),
+                                     F.col("u").alias("sv")))
+               .distinct())
+        mins = (sym.groupBy("su").agg(F.min("sv").alias("__mn"))
+                .select("su", F.least(F.col("su"), F.col("__mn"))
+                        .alias("__m")))
         e = (
-            sym.join(mins, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("__m").alias("v"))
+            sym.join(mins, "su")
+            .filter(F.col("sv") > F.col("su"))
+            .select(F.col("sv").alias("u"), F.col("__m").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
             .localCheckpoint()
         )
         # small-star: direct every edge large->small, link each small
         # neighbor AND u itself to the min of the small neighborhood
+        # collision-free aliases: swapping u/v names inside one
+        # select trips the same Catalyst attribute-resolution error
+        # as the large-star first("u") form on checkpointed lineages
         directed = e.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-        mins = directed.groupBy("u").agg(F.min("v").alias("__m"))
-        stars = directed.join(mins, "u")
+            F.greatest("u", "v").alias("du"),
+            F.least("u", "v").alias("dv"))
+        mins = directed.groupBy("du").agg(F.min("dv").alias("__m"))
+        stars = directed.join(mins, "du")
         e = (
-            stars.select(F.col("v").alias("u"), F.col("__m").alias("v"))
-            .unionByName(stars.select("u", F.col("__m").alias("v")))
+            stars.select(F.col("dv").alias("u"), F.col("__m").alias("v"))
+            .unionByName(stars.select(F.col("du").alias("u"),
+                                      F.col("__m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
             .localCheckpoint()

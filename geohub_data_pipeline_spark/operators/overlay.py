@@ -1419,3 +1419,96 @@ def overlay_erase(left: DataFrame, right: DataFrame,
     return joined.groupBy("a_id").applyInPandas(
         erase, "a_id long, geometry binary, area double, "
                "n_rings long, degenerate boolean")
+
+
+def merge_lines(lines: DataFrame) -> DataFrame:
+    """Line merge (the GDAL/ESRI "merge touching lines" tool, the
+    LINE analog of dissolve): segments sharing an endpoint weld into
+    chains — road-network building from segment soup.
+
+    Distributed shape:
+
+    1. map-side endpoint extraction (exact coordinate keys — welding
+       is defined by vertex-identical endpoints, the same coverage
+       contract as dissolve);
+    2. segments sharing an endpoint become edges of a segment graph
+       via ONE endpoint-keyed groupBy (per endpoint, (min, other)
+       star edges — bounded by junction degree, never all-pairs);
+    3. connected components (``dedup.connected_components``
+       hash-to-min) label each chain;
+    4. per-chain aggregation: part count, total planar length, and
+       junction audit — a chain containing a >2-degree endpoint is
+       flagged ``branched`` (it welds into a network, not a simple
+       path; the caller decides, nothing is silently dropped).
+
+    Output: one row per chain — ``chain_id`` (min line_id), ``n_parts``,
+    ``length``, ``branched``.  Isolated segments are their own chain.
+    """
+    from geohub_data_pipeline_spark.operators import dedup as DD
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(lines.sparkSession)
+
+    def ends(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for lid, wkb in zip(pdf["line_id"], pdf["geometry"]):
+                p = G.parse_wkb(bytes(wkb))
+                if p is None or p["type"] != G.LINESTRING:
+                    continue
+                c = np.asarray(p["parts"][0], np.float64).reshape(-1, 2)
+                if len(c) < 2:
+                    continue
+                seg_len = float(np.sum(np.sqrt(
+                    np.sum(np.diff(c, axis=0) ** 2, axis=1))))
+                for pt in (c[0], c[-1]):
+                    rows.append((int(lid), seg_len,
+                                 f"{pt[0]!r},{pt[1]!r}"))
+            yield pd.DataFrame(rows, columns=[
+                "line_id", "seg_len", "endpoint"])
+
+    ep = lines.select("line_id", "geometry").mapInPandas(
+        ends, "line_id long, seg_len double, endpoint string")
+
+    # materialize the endpoint table once: it feeds the edge list,
+    # the CC (which re-plans its input every round), and the branch
+    # audit — and its exploded lineage trips a Catalyst internal
+    # attribute-resolution error inside the CC's self-joins when
+    # re-planned (NoSuchElementException on an internal id)
+    by_ep = ep.groupBy("endpoint").agg(
+        F.collect_set("line_id").alias("ids"),
+        F.count("*").alias("degree")).localCheckpoint()
+    edges = (by_ep.filter(F.size("ids") > 1)
+             .select(F.explode(F.expr(
+                 "transform(slice(array_sort(ids), 2, "
+                 "size(ids) - 1), x -> "
+                 "struct(array_sort(ids)[0] AS id_a, x AS id_b))"))
+                 .alias("e"))
+             .select("e.id_a", "e.id_b"))
+    # chains are the diameter-heavy case (a 10k-segment road is a
+    # 10k-hop path): the large/small-star CC converges in O(log n)
+    # rounds independent of diameter, where hash-to-min needs
+    # diameter rounds
+    # checkpoint the edge list: its exploded-struct lineage trips a
+    # Catalyst attribute-resolution bug inside the CC's self-joins
+    # (NoSuchElementException on an internal attribute id), and the
+    # CC re-joins it every round anyway
+    labels = DD.alternating_cc(edges.localCheckpoint())
+
+    segs = ep.groupBy("line_id").agg(F.first("seg_len").alias("len"))
+    labeled = (segs.join(labels.withColumnRenamed("node", "line_id"),
+                         "line_id", "left")
+               .select("line_id", "len",
+                       F.coalesce("label", "line_id")
+                       .alias("chain_id")))
+    branch_eps = by_ep.filter(F.col("degree") > 2).select(
+        F.explode("ids").alias("line_id"),
+        F.lit(True).alias("at_branch"))
+    labeled = labeled.join(branch_eps.distinct(), "line_id", "left")
+    return (labeled.groupBy("chain_id").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        # DECIMAL sum: order-independent across partial aggregation
+        F.sum(F.col("len").cast("decimal(30,12)")).cast("double")
+        .alias("length"),
+        F.max(F.coalesce("at_branch", F.lit(False))).alias("branched"))
+        .orderBy("chain_id"))

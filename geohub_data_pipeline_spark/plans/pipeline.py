@@ -5205,3 +5205,70 @@ def tile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("on", F.lit(0)).alias("old_n"),
         F.coalesce("nn", F.lit(0)).alias("new_n"))
         .orderBy("z", "x", "y"))
+
+
+_LINE_MERGE_SQL = """
+WITH seg AS (
+  SELECT event_id,
+         CAST(event_id % 40 AS BIGINT) AS chain,
+         sqrt(CAST(0.01 AS DOUBLE) * CAST(0.01 AS DOUBLE)
+              + CAST(0.02 AS DOUBLE) * CAST(0.02 AS DOUBLE))
+           AS seg_len
+  FROM events WHERE event_id < 2000
+)
+SELECT chain AS chain_id,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       round(CAST(sum(CAST(seg_len AS DECIMAL(30,12)))
+                  AS DOUBLE), 6) AS length,
+       false AS branched
+FROM seg GROUP BY chain
+ORDER BY chain_id
+"""
+
+
+@query("geo_line_merge", "pipeline",
+       "geo analytics: line merge (weld touching segments into "
+       "chains) — endpoint-keyed groupBy to star edges, hash-to-min "
+       "connected components, per-chain DECIMAL-exact aggregation",
+       _LINE_MERGE_SQL)
+def geo_line_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forty segment chains generated from events (chain = id % 40,
+    consecutive positions share an exact endpoint; segments arrive
+    shuffled across partitions), welded back by merge_lines.  The
+    operator must DISCOVER connectivity from vertex-identical
+    endpoints; the oracle knows the generating chain and states the
+    closed-form part counts and lengths.  chain_id = min line id of
+    the component = the residue itself (ids are dense from 0).
+
+    Scale: one endpoint shuffle bounded by junction degree, CC
+    rounds ~ log of chain length, per-chain aggregation only."""
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.operators import overlay as OV
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    t = load_tables(spark, sf_dir)
+    ids = t.events.select("event_id").filter(
+        F.col("event_id") < 2000).distinct()
+
+    def mk(it):
+        import pandas as pd
+        for pdf in it:
+            rows = []
+            for eid in pdf["event_id"]:
+                eid = int(eid)
+                c = eid % 40
+                p = eid // 40
+                x0 = c * 2.0 + p * 0.01
+                y0 = (c * 7 % 11) * 1.0 + p * 0.02
+                x1 = c * 2.0 + (p + 1) * 0.01
+                y1 = (c * 7 % 11) * 1.0 + (p + 1) * 0.02
+                rows.append((eid, G.wkb_linestring(
+                    [(x0, y0), (x1, y1)])))
+            yield pd.DataFrame(rows, columns=["line_id", "geometry"])
+
+    lines = ids.mapInPandas(mk, "line_id long, geometry binary")
+    out = OV.merge_lines(lines)
+    return out.select("chain_id", "n_parts",
+                      F.round("length", 6).alias("length"),
+                      "branched").orderBy("chain_id")

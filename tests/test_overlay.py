@@ -435,3 +435,34 @@ def test_merge_hole_pocket_quarantined():
 def OV_area(ring):
     from geohub_data_pipeline_spark.operators import geometry as GG
     return GG._ring_area2(ring) / 2.0
+
+
+def test_merge_lines_chains_and_junctions(spark):
+    """Segments weld into chains by exact shared endpoints: two
+    disjoint chains, an isolated segment, and a T-junction flagged
+    branched (welded as one component, never silently split)."""
+    def seg(a, b):
+        return G.wkb_linestring([a, b])
+
+    rows = [
+        # chain A: (0,0)->(1,0)->(2,0)->(3,0), shuffled ids
+        (10, seg((1.0, 0.0), (2.0, 0.0))),
+        (3, seg((0.0, 0.0), (1.0, 0.0))),
+        (7, seg((2.0, 0.0), (3.0, 0.0))),
+        # chain B: (5,5)->(5,6)
+        (20, seg((5.0, 5.0), (5.0, 6.0))),
+        # isolated
+        (30, seg((9.0, 9.0), (9.5, 9.0))),
+        # T-junction: three segments meeting at (0,10)
+        (40, seg((-1.0, 10.0), (0.0, 10.0))),
+        (41, seg((0.0, 10.0), (1.0, 10.0))),
+        (42, seg((0.0, 10.0), (0.0, 11.0))),
+    ]
+    lines = spark.createDataFrame(rows, "line_id long, geometry binary")
+    got = {r.chain_id: r for r in OV.merge_lines(lines).collect()}
+    assert got[3].n_parts == 3 and abs(got[3].length - 3.0) < 1e-12
+    assert not got[3].branched
+    assert got[20].n_parts == 1 and got[20].length == 1.0
+    assert got[30].n_parts == 1 and abs(got[30].length - 0.5) < 1e-12
+    assert got[40].n_parts == 3 and got[40].branched
+    assert set(got) == {3, 20, 30, 40}
