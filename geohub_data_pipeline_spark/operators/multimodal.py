@@ -384,3 +384,132 @@ def frame_sample_plan(decoded: DataFrame, every_n: int = 30) -> DataFrame:
                        F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+def _defilter_gray8(raw: bytes, width: int, height: int) -> "np.ndarray":
+    """PNG scanline defilter (spec §9, filters 0-4) for 8-bit
+    grayscale — returns the (height, width) pixel array."""
+    import numpy as np
+
+    stride = width + 1
+    out = np.zeros((height, width), np.uint8)
+    prev = np.zeros(width, np.int32)
+    for y in range(height):
+        line = raw[y * stride:(y + 1) * stride]
+        ft = line[0]
+        cur = np.frombuffer(line[1:], np.uint8).astype(np.int32)
+        if ft == 0:
+            rec = cur
+        elif ft == 2:                      # Up
+            rec = (cur + prev) & 0xFF
+        elif ft in (1, 3, 4):              # Sub / Average / Paeth
+            rec = np.zeros(width, np.int32)
+            a = 0
+            for x in range(width):
+                b = int(prev[x])
+                if ft == 1:
+                    rec[x] = (cur[x] + a) & 0xFF
+                elif ft == 3:
+                    rec[x] = (cur[x] + (a + b) // 2) & 0xFF
+                else:
+                    c = int(prev[x - 1]) if x else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if pa <= pb and pa <= pc else (
+                        b if pb <= pc else c)
+                    rec[x] = (cur[x] + pr) & 0xFF
+                a = int(rec[x])
+        else:
+            raise ValueError(f"unknown PNG filter {ft}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
+def thumbnail_media(media: DataFrame, max_side: int = 8) -> DataFrame:
+    """Multimodal RESIZE: decode each 8-bit grayscale PNG payload to
+    pixels (full spec §9 defilter, all five filter types), nearest-
+    resample so the longest side is ``max_side`` (integer dim and
+    source mapping rules — ``side * ms // max(w, h)`` and
+    ``src = (dst * n) // m`` — deterministic, no float rounding
+    ambiguity), and re-encode a real PNG thumbnail.
+
+    Output per image row: original + thumb dims, the thumbnail PNG
+    bytes, and the thumbnail's exact pixel mean (sum of uint8 over
+    count — a rational the gate oracle states in closed form from
+    the generator formula).  Non-image or undecodable payloads pass
+    through with ``ok=false`` and the error string — quarantine,
+    never a dropped row.
+
+    Map-side Arrow batches only; payload bytes never shuffle.
+    """
+    import numpy as np
+
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(media.sparkSession)
+    ms = int(max_side)
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, mtype, payload in zip(
+                    pdf["media_id"], pdf["media_type"], pdf["payload"]):
+                mid = int(mid)
+                err = None
+                try:
+                    if mtype != "image":
+                        raise ValueError(f"not an image: {mtype}")
+                    payload = bytes(payload)
+                    if payload[:8] != PNG_MAGIC:
+                        raise ValueError("not a PNG")
+                    pos, width = 8, None
+                    idat: list[bytes] = []
+                    while pos + 8 <= len(payload):
+                        (ln,) = struct.unpack_from(">I", payload, pos)
+                        ct = payload[pos + 4:pos + 8]
+                        data = payload[pos + 8:pos + 8 + ln]
+                        if ct == b"IHDR":
+                            (width, height, depth, color, _c, _f,
+                             inter) = struct.unpack(">IIBBBBB", data)
+                        elif ct == b"IDAT":
+                            idat.append(data)
+                        elif ct == b"IEND":
+                            break
+                        pos += 12 + ln
+                    if width is None or not idat:
+                        raise ValueError("missing IHDR/IDAT")
+                    if depth != 8 or color != 0 or inter:
+                        raise ValueError(
+                            "thumbnail supports 8-bit gray PNG")
+                    px = _defilter_gray8(
+                        zlib.decompress(b"".join(idat)), width, height)
+                    # integer dim rule (exactly mirrorable in SQL):
+                    # side * ms // max_side, floored, at least 1
+                    mx = max(width, height)
+                    tw = max(1, (width * ms) // mx)
+                    th = max(1, (height * ms) // mx)
+                    ys = (np.arange(th) * height) // th
+                    xs = (np.arange(tw) * width) // tw
+                    thumb = px[np.ix_(ys, xs)]
+                    buf = encode_png_gray(
+                        tw, th,
+                        pixel_fn=lambda x, y: int(thumb[y, x]))
+                    rows.append((mid, True, None, int(width),
+                                 int(height), int(tw), int(th),
+                                 buf,
+                                 float(int(thumb.sum())
+                                       / (tw * th))))
+                    continue
+                except Exception as ex:
+                    err = str(ex)
+                rows.append((mid, False, err, None, None, None,
+                             None, None, None))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "ok", "error", "width", "height",
+                "thumb_w", "thumb_h", "thumb_png", "pixel_mean"])
+
+    return media.mapInPandas(
+        kernel,
+        "media_id long, ok boolean, error string, width int, "
+        "height int, thumb_w int, thumb_h int, thumb_png binary, "
+        "pixel_mean double")

@@ -5272,3 +5272,77 @@ def geo_line_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("chain_id", "n_parts",
                       F.round("length", 6).alias("length"),
                       "branched").orderBy("chain_id")
+
+
+_THUMBNAIL_SQL = """
+WITH img AS (
+  SELECT doc_id,
+         CAST(4 + doc_id % 8 AS INTEGER) AS w,
+         CAST(2 + doc_id % 4 AS INTEGER) AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+dims AS (
+  SELECT doc_id, w, h, greatest(w, h) AS mx,
+         greatest(1, (w * 4) // greatest(w, h)) AS tw,
+         greatest(1, (h * 4) // greatest(w, h)) AS th
+  FROM img
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h, d.tw, d.th,
+         ((((j.i * d.w) // d.tw) * 31
+           + ((i.i * d.h) // d.th) * 17) % 251) AS v
+  FROM dims d
+  CROSS JOIN range(16) i(i) CROSS JOIN range(16) j(i)
+  WHERE i.i < d.th AND j.i < d.tw
+)
+SELECT doc_id, TRUE AS ok,
+       CAST(max(w) AS INTEGER) AS width,
+       CAST(max(h) AS INTEGER) AS height,
+       CAST(max(tw) AS INTEGER) AS thumb_w,
+       CAST(max(th) AS INTEGER) AS thumb_h,
+       CAST(sum(v) AS DOUBLE) / (max(tw) * max(th)) AS pixel_mean
+FROM px GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@query("multimodal_thumbnail", "pipeline",
+       "north star: multimodal RESIZE — real PNG decode (all five "
+       "spec filters), integer nearest resample, real PNG re-encode; "
+       "map-side Arrow batches, payload bytes never shuffle",
+       _THUMBNAIL_SQL)
+def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail every image document (the multimodal pipeline's
+    resize stage): GENUINE PNG bytes per row, decoded by the real
+    defilter, nearest-resampled with integer rules the oracle states
+    in closed form from the generator formula, re-encoded as real
+    PNGs whose exact pixel mean the compare verifies — a broken
+    encoder, defilter, resampler, or re-encoder all fail the gate."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.operators import multimodal as MM
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id").filter(
+        F.col("doc_id") % 3 == 0)
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rows.append((did, "image", MM.encode_png_gray(
+                    4 + did % 8, 2 + did % 4), "docs"))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "media_type", "payload", "source"])
+
+    media = base.mapInPandas(gen, MM.MEDIA_SCHEMA)
+    return (MM.thumbnail_media(media, max_side=4)
+            .select(F.col("media_id").alias("doc_id"), "ok",
+                    "width", "height", "thumb_w", "thumb_h",
+                    "pixel_mean")
+            .orderBy("doc_id"))

@@ -150,3 +150,89 @@ def test_gif_full_lzw_decode_paths():
     blob = encode_gif(idx, pal)
     meta = M._decode_one("image", blob[:20])
     assert meta["ok"] and (meta["width"], meta["height"]) == (13, 21)
+
+
+def test_thumbnail_roundtrip_and_filters(spark):
+    """Thumbnail: decode (all-filter defilter) -> nearest resize ->
+    re-encoded PNG decodes back to the exact sampled pixels; non-
+    image rows quarantine with ok=false."""
+    import zlib as _z
+    import struct as _s
+
+    import numpy as np
+
+    from geohub_data_pipeline_spark.operators import multimodal as MM
+
+    big = MM.encode_png_gray(20, 10)        # formula pixels
+    # a PNG using Sub/Up/Average/Paeth filters on a gradient
+    w, h = 6, 5
+    px = np.arange(w * h, dtype=np.uint8).reshape(h, w) * 3
+    raw = bytearray()
+    prev = np.zeros(w, np.int32)
+    for y in range(h):
+        ft = [0, 1, 2, 3, 4][y]
+        cur = px[y].astype(np.int32)
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            enc = cur.copy()
+            enc[1:] = (cur[1:] - cur[:-1]) & 0xFF
+        elif ft == 2:
+            enc = (cur - prev) & 0xFF
+        elif ft == 3:
+            enc = cur.copy()
+            for x in range(w):
+                a = int(cur[x - 1]) if x else 0
+                enc[x] = (cur[x] - (a + int(prev[x])) // 2) & 0xFF
+        else:
+            enc = cur.copy()
+            for x in range(w):
+                a = int(cur[x - 1]) if x else 0
+                b = int(prev[x])
+                c = int(prev[x - 1]) if x else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (
+                    b if pb <= pc else c)
+                enc[x] = (cur[x] - pr) & 0xFF
+        raw += b"%c" % ft + bytes(int(v) for v in enc)
+        prev = cur
+
+    def chunk(ctype, data):
+        return (_s.pack(">I", len(data)) + ctype + data
+                + _s.pack(">I", _z.crc32(ctype + data)))
+
+    filt_png = (MM.PNG_MAGIC
+                + chunk(b"IHDR", _s.pack(">IIBBBBB", w, h, 8, 0,
+                                         0, 0, 0))
+                + chunk(b"IDAT", _z.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+
+    media = spark.createDataFrame(
+        [(0, "image", big, "t"), (1, "image", filt_png, "t"),
+         (2, "audio", MM.encode_wav_pcm16(10, 8000), "t")],
+        MM.MEDIA_SCHEMA)
+    got = {r.media_id: r
+           for r in MM.thumbnail_media(media, max_side=5).collect()}
+    assert got[0].ok and (got[0].thumb_w, got[0].thumb_h) == (5, 2)
+    assert not got[2].ok and "not an image" in got[2].error
+
+    # decode the thumbnail of the FILTERED png and compare with a
+    # direct nearest-resample of the known pixels
+    r = got[1]
+    assert r.ok and (r.thumb_w, r.thumb_h) == (5, 4)
+    tp = bytes(r.thumb_png)
+    # defilter via the operator's own path (filter 0 output)
+    pos = 8
+    idat = b""
+    while pos + 8 <= len(tp):
+        (ln,) = _s.unpack_from(">I", tp, pos)
+        ct = tp[pos + 4:pos + 8]
+        if ct == b"IDAT":
+            idat += tp[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+    out = MM._defilter_gray8(_z.decompress(idat), 5, 4)
+    ys = (np.arange(4) * h) // 4
+    xs = (np.arange(5) * w) // 5
+    assert (out == px[np.ix_(ys, xs)]).all()
+    assert r.pixel_mean == px[np.ix_(ys, xs)].sum() / 20
