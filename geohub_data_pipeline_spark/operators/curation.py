@@ -57,6 +57,16 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
     )
 
 
+def _bucket_split(key_col: str, train_below: str):
+    """The shared md5-bucket split rule: first hex char of
+    md5(key) below ``train_below`` -> train.  One definition so the
+    id-keyed and group-keyed paths can never diverge."""
+    bucket = F.substring(doc_hash(F.col(key_col)), 1, 1)
+    split = (F.when(bucket < F.lit(train_below), F.lit("train"))
+             .otherwise(F.lit("val")).alias("split"))
+    return bucket, split
+
+
 def hash_split(docs: DataFrame, id_col: str = "doc_id",
                train_below: str = "e") -> DataFrame:
     """Deterministic train/val assignment from the first hex char of
@@ -66,13 +76,8 @@ def hash_split(docs: DataFrame, id_col: str = "doc_id",
 
     Map-side only; the predicate pushes into any downstream filter.
     """
-    bucket = F.substring(doc_hash(F.col(id_col)), 1, 1)
-    return docs.select(
-        id_col,
-        bucket.alias("hash_bucket"),
-        F.when(bucket < F.lit(train_below), F.lit("train"))
-        .otherwise(F.lit("val")).alias("split"),
-    )
+    bucket, split = _bucket_split(id_col, train_below)
+    return docs.select(id_col, bucket.alias("hash_bucket"), split)
 
 
 def stratified_sample(docs: DataFrame, strata_col: str,
@@ -381,10 +386,6 @@ def group_aware_split(docs: DataFrame, group_col: str,
     split never changes as the corpus grows, which is what makes
     incremental re-splits reproducible.
     """
-    bucket = F.substring(doc_hash(F.col(group_col)), 1, 1)
-    return docs.select(
-        id_col, group_col,
-        bucket.alias("hash_bucket"),
-        F.when(bucket < F.lit(train_below), F.lit("train"))
-        .otherwise(F.lit("val")).alias("split"),
-    )
+    bucket, split = _bucket_split(group_col, train_below)
+    return docs.select(id_col, group_col,
+                       bucket.alias("hash_bucket"), split)

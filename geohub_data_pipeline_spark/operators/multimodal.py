@@ -454,7 +454,8 @@ def thumbnail_media(media: DataFrame, max_side: int = 8) -> DataFrame:
             rows = []
             for mid, mtype, payload in zip(
                     pdf["media_id"], pdf["media_type"], pdf["payload"]):
-                mid = int(mid)
+                # null id still quarantines (never a dead task)
+                mid = None if pd.isna(mid) else int(mid)
                 err = None
                 try:
                     if mtype != "image":

@@ -1441,8 +1441,13 @@ def merge_lines(lines: DataFrame) -> DataFrame:
        flagged ``branched`` (it welds into a network, not a simple
        path; the caller decides, nothing is silently dropped).
 
-    Output: one row per chain — ``chain_id`` (min line_id), ``n_parts``,
-    ``length``, ``branched``.  Isolated segments are their own chain.
+    Output: one row per chain — ``chain_id`` (min line_id),
+    ``n_parts``, ``length``, ``branched``, ``n_rejected``
+    (unparseable / non-line / degenerate inputs surface as their own
+    zero-length chains with ``n_rejected`` = 1, never a silent
+    drop).  MultiLineStrings weld as ONE node — every part's
+    endpoints attach to the same feature.  Isolated segments are
+    their own chain.
     """
     from geohub_data_pipeline_spark.operators import dedup as DD
     from geohub_data_pipeline_spark.operators import geometry as G
@@ -1453,29 +1458,45 @@ def merge_lines(lines: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for lid, wkb in zip(pdf["line_id"], pdf["geometry"]):
-                p = G.parse_wkb(bytes(wkb))
-                if p is None or p["type"] != G.LINESTRING:
+                p = G.parse_wkb(bytes(wkb)) if wkb is not None else None
+                parts = []
+                if p is not None and p["type"] in (
+                        G.LINESTRING, G.MULTILINESTRING):
+                    parts = [np.asarray(x, np.float64).reshape(-1, 2)
+                             for x in p.get("parts") or []]
+                    parts = [c for c in parts if len(c) >= 2]
+                if not parts:
+                    # unusable input surfaces as a rejected row —
+                    # never a silent drop
+                    rows.append((int(lid), 0.0, None, False))
                     continue
-                c = np.asarray(p["parts"][0], np.float64).reshape(-1, 2)
-                if len(c) < 2:
-                    continue
-                seg_len = float(np.sum(np.sqrt(
-                    np.sum(np.diff(c, axis=0) ** 2, axis=1))))
-                for pt in (c[0], c[-1]):
-                    rows.append((int(lid), seg_len,
-                                 f"{pt[0]!r},{pt[1]!r}"))
+                # a multi-part line is ONE graph node: every part's
+                # endpoints attach to the same line_id, so touching
+                # parts (its own or neighbors') weld through it
+                seg_len = float(sum(
+                    np.sum(np.sqrt(np.sum(np.diff(c, axis=0) ** 2,
+                                          axis=1)))
+                    for c in parts))
+                for c in parts:
+                    for pt in (c[0], c[-1]):
+                        # float() first: repr of numpy scalars is
+                        # numpy-version-dependent
+                        rows.append((int(lid), seg_len,
+                                     f"{float(pt[0])!r},"
+                                     f"{float(pt[1])!r}", True))
             yield pd.DataFrame(rows, columns=[
-                "line_id", "seg_len", "endpoint"])
+                "line_id", "seg_len", "endpoint", "usable"])
 
     ep = lines.select("line_id", "geometry").mapInPandas(
-        ends, "line_id long, seg_len double, endpoint string")
+        ends, "line_id long, seg_len double, endpoint string, "
+              "usable boolean")
 
     # materialize the endpoint table once: it feeds the edge list,
     # the CC (which re-plans its input every round), and the branch
     # audit — and its exploded lineage trips a Catalyst internal
     # attribute-resolution error inside the CC's self-joins when
     # re-planned (NoSuchElementException on an internal id)
-    by_ep = ep.groupBy("endpoint").agg(
+    by_ep = ep.filter("usable").groupBy("endpoint").agg(
         F.collect_set("line_id").alias("ids"),
         F.count("*").alias("degree")).localCheckpoint()
     edges = (by_ep.filter(F.size("ids") > 1)
@@ -1495,10 +1516,12 @@ def merge_lines(lines: DataFrame) -> DataFrame:
     # CC re-joins it every round anyway
     labels = DD.alternating_cc(edges.localCheckpoint())
 
-    segs = ep.groupBy("line_id").agg(F.first("seg_len").alias("len"))
+    segs = ep.groupBy("line_id").agg(
+        F.first("seg_len").alias("len"),
+        F.max(F.col("usable").cast("int")).alias("ok"))
     labeled = (segs.join(labels.withColumnRenamed("node", "line_id"),
                          "line_id", "left")
-               .select("line_id", "len",
+               .select("line_id", "len", "ok",
                        F.coalesce("label", "line_id")
                        .alias("chain_id")))
     branch_eps = by_ep.filter(F.col("degree") > 2).select(
@@ -1506,9 +1529,10 @@ def merge_lines(lines: DataFrame) -> DataFrame:
         F.lit(True).alias("at_branch"))
     labeled = labeled.join(branch_eps.distinct(), "line_id", "left")
     return (labeled.groupBy("chain_id").agg(
-        F.count("*").cast("long").alias("n_parts"),
+        F.sum("ok").cast("long").alias("n_parts"),
         # DECIMAL sum: order-independent across partial aggregation
         F.sum(F.col("len").cast("decimal(30,12)")).cast("double")
         .alias("length"),
-        F.max(F.coalesce("at_branch", F.lit(False))).alias("branched"))
+        F.max(F.coalesce("at_branch", F.lit(False))).alias("branched"),
+        F.sum(1 - F.col("ok")).cast("long").alias("n_rejected"))
         .orderBy("chain_id"))

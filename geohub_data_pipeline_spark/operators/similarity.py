@@ -1005,14 +1005,15 @@ def embedding_pca(vecs: DataFrame, k: int, vec_col: str = "vec",
     et al. 2023 operate on normalized embeddings; whitened PCA is
     the standard preconditioner).
 
-    Single data pass: every partition emits its (count, sum-vector,
-    raw second-moment d x d matrix) — d is the embedding width, a
-    model constant, so the partials are O(d^2) per PARTITION, never
-    per row — the driver combines them into the covariance
-    (S - m m^T / n) / (n - 1), eigendecomposes (d x d, trivial), and
-    the top-k components broadcast back in the projection kernel's
-    closure.  Component signs are fixed deterministically (largest-
-    magnitude entry positive).
+    Two data passes: pass 1 aggregates per-partition (count, sum)
+    partials into the mean; pass 2 aggregates CENTERED d x d outer-
+    product partials — O(d^2) per PARTITION, never per row, and
+    numerically stable (the one-pass E[xx^T] - n mm^T form cancels
+    catastrophically when the mean dwarfs the spread).  The driver
+    eigendecomposes the d x d covariance and the top-k components
+    broadcast back in the projection kernel's closure.  Component
+    signs are fixed deterministically (largest-magnitude entry
+    positive); ``k`` is clamped to the embedding width.
 
     Returns ``(projected, eigvals)``: one row per vector with the
     k-dim projection (variance-normalized when ``whiten``), plus the
@@ -1025,36 +1026,45 @@ def embedding_pca(vecs: DataFrame, k: int, vec_col: str = "vec",
     from geohub_data_pipeline_spark.session import ship_package
     ship_package(vecs.sparkSession)
 
-    def moments(it):
+    def sums(it):
         n = 0
         s = None
-        ss = None
         for pdf in it:
             for v in pdf[vec_col]:
                 x = np.asarray(v, np.float64)
                 if s is None:
                     s = np.zeros_like(x)
-                    ss = np.zeros((x.size, x.size))
                 n += 1
                 s += x
-                ss += np.outer(x, x)
         if n:
-            yield pd.DataFrame([{
-                "n": n, "s": s.tolist(),
-                "ss": ss.ravel().tolist()}])
+            yield pd.DataFrame([{"n": n, "s": s.tolist()}])
 
-    parts = vecs.select(vec_col).mapInPandas(
-        moments, "n long, s array<double>, ss array<double>"
-    ).collect()                            # one row per partition
+    src = vecs.select(vec_col).localCheckpoint()  # two passes, one plan
+    parts = src.mapInPandas(
+        sums, "n long, s array<double>").collect()
     if not parts:
         raise ValueError("embedding_pca: empty input")
     n = sum(p["n"] for p in parts)
     s = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
     d = s.size
-    ss = np.sum([np.asarray(p["ss"]).reshape(d, d) for p in parts],
-                axis=0)
     mean = s / n
-    cov = (ss - np.outer(s, mean)) / max(n - 1, 1)
+
+    def centered(it, mean=mean):
+        ss = None
+        for pdf in it:
+            for v in pdf[vec_col]:
+                x = np.asarray(v, np.float64) - mean
+                if ss is None:
+                    ss = np.zeros((x.size, x.size))
+                ss += np.outer(x, x)
+        if ss is not None:
+            yield pd.DataFrame([{"ss": ss.ravel().tolist()}])
+
+    cparts = src.mapInPandas(centered, "ss array<double>").collect()
+    ss = np.sum([np.asarray(p["ss"]).reshape(d, d) for p in cparts],
+                axis=0)
+    cov = ss / max(n - 1, 1)
+    k = min(int(k), d)
     evals, evecs = np.linalg.eigh(cov)    # ascending
     order = np.argsort(evals)[::-1]
     evals = evals[order]

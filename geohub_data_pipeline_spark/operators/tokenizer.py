@@ -157,7 +157,10 @@ def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]],
             ids, n_toks, n_words, hashes = [], [], [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 toks: list[str] = []
-                words = [w for w in str(text).split(" ") if w]
+                # NULL text is an empty document, not the word "None"
+                words = ([] if text is None or (isinstance(text, float)
+                                                and pd.isna(text))
+                         else [w for w in str(text).split(" ") if w])
                 for w in words:
                     toks.extend(encode_word(w, cache))
                 ids.append(did)

@@ -5220,7 +5220,8 @@ SELECT chain AS chain_id,
        CAST(count(*) AS BIGINT) AS n_parts,
        round(CAST(sum(CAST(seg_len AS DECIMAL(30,12)))
                   AS DOUBLE), 6) AS length,
-       false AS branched
+       false AS branched,
+       CAST(0 AS BIGINT) AS n_rejected
 FROM seg GROUP BY chain
 ORDER BY chain_id
 """
@@ -5271,7 +5272,7 @@ def geo_line_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = OV.merge_lines(lines)
     return out.select("chain_id", "n_parts",
                       F.round("length", 6).alias("length"),
-                      "branched").orderBy("chain_id")
+                      "branched", "n_rejected").orderBy("chain_id")
 
 
 _THUMBNAIL_SQL = """

@@ -458,11 +458,22 @@ def test_merge_lines_chains_and_junctions(spark):
         (41, seg((0.0, 10.0), (1.0, 10.0))),
         (42, seg((0.0, 10.0), (0.0, 11.0))),
     ]
+    # a MultiLineString welds as ONE node: part endpoints at (3,0)
+    # attach it to chain A; rejected inputs surface, never vanish
+    rows += [
+        (50, G.wkb_from_geojson({"type": "MultiLineString",
+                                 "coordinates": [
+                                     [[3.0, 0.0], [4.0, 0.0]],
+                                     [[4.0, 0.0], [4.0, 1.0]]]})),
+        (60, G.wkb_point(0.0, 0.0)),       # not a line: rejected
+    ]
     lines = spark.createDataFrame(rows, "line_id long, geometry binary")
     got = {r.chain_id: r for r in OV.merge_lines(lines).collect()}
-    assert got[3].n_parts == 3 and abs(got[3].length - 3.0) < 1e-12
-    assert not got[3].branched
+    assert got[3].n_parts == 4 and abs(got[3].length - 5.0) < 1e-12
+    assert not got[3].branched and got[3].n_rejected == 0
     assert got[20].n_parts == 1 and got[20].length == 1.0
     assert got[30].n_parts == 1 and abs(got[30].length - 0.5) < 1e-12
     assert got[40].n_parts == 3 and got[40].branched
-    assert set(got) == {3, 20, 30, 40}
+    assert got[60].n_parts == 0 and got[60].n_rejected == 1
+    assert got[60].length == 0.0
+    assert set(got) == {3, 20, 30, 40, 60}
