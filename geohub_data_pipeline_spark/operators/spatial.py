@@ -778,3 +778,66 @@ def rasterize(polygons: DataFrame, origin_x: float, origin_y: float,
 
     return cells.groupBy("block_x", "block_y").applyInPandas(
         paint, BLOCK_SCHEMA)
+
+
+def centroid_features(features: DataFrame,
+                      id_col: str = "fid",
+                      geom_col: str = "geometry") -> DataFrame:
+    """Planar area-weighted centroid + signed area per polygon
+    feature (the ST_Centroid analog for the normalize/enrich stage):
+    shoelace centroid over every ring — holes carry negative signed
+    area, so they subtract from both the area and the centroid
+    moments, the OGC semantics.
+
+    Map-side Arrow kernel only (no shuffle): one row in, one row
+    out — ``id, cx, cy, area``; degenerate inputs (zero total area,
+    unparseable, non-polygon) emit NULL coordinates with the error
+    kind, never a dropped row.
+    """
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(features.sparkSession)
+
+    def kernel(it):
+        for pdf in it:
+            rows = []
+            for fid, wkb in zip(pdf[id_col], pdf[geom_col]):
+                fid = None if pd.isna(fid) else int(fid)
+                p = (G.parse_wkb(bytes(wkb))
+                     if wkb is not None else None)
+                if p is None or p["type"] not in (G.POLYGON,
+                                                  G.MULTIPOLYGON):
+                    rows.append((fid, None, None, None,
+                                 "not-a-polygon"))
+                    continue
+                a2 = 0.0                   # 2x signed area
+                mx = 0.0                   # 6x centroid moments
+                my = 0.0
+                roles = p.get("roles") or [True] * len(p["parts"])
+                for part, is_shell in zip(p["parts"], roles):
+                    c = np.asarray(part, np.float64).reshape(-1, 2)
+                    if len(c) < 4:
+                        continue
+                    x, y = c[:, 0], c[:, 1]
+                    cross = x[:-1] * y[1:] - x[1:] * y[:-1]
+                    ra2 = float(np.sum(cross))
+                    # normalize winding: shells positive, holes
+                    # negative, whatever the source wound them
+                    want = 1.0 if is_shell else -1.0
+                    if ra2 != 0.0 and (ra2 > 0) != (want > 0):
+                        ra2, cross = -ra2, -cross
+                    a2 += ra2
+                    mx += float(np.sum((x[:-1] + x[1:]) * cross))
+                    my += float(np.sum((y[:-1] + y[1:]) * cross))
+                if a2 == 0.0:
+                    rows.append((fid, None, None, 0.0,
+                                 "zero-area"))
+                    continue
+                rows.append((fid, mx / (3.0 * a2), my / (3.0 * a2),
+                             a2 / 2.0, None))
+            yield pd.DataFrame(rows, columns=[
+                id_col, "cx", "cy", "area", "error"])
+
+    return features.select(id_col, geom_col).mapInPandas(
+        kernel, f"{id_col} long, cx double, cy double, "
+                "area double, error string")

@@ -85,7 +85,7 @@ promote([
     "bpe_encode_stats", "embedding_pca_project", "q3_shipping_priority",
     "q5_local_supplier", "q10_returned_items", "window_distribution",
     "subquery_exists_correlated", "geo_line_merge",
-    "multimodal_thumbnail",
+    "multimodal_thumbnail", "vector_centroid",
     "scalar_string", "scalar_math", "scalar_datetime",
     "conditional_case", "agg_approx_distinct", "agg_collect_array",
     "scalar_null_handling", "backfill_anti_join", "progress_partition",

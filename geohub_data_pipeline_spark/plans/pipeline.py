@@ -5347,3 +5347,94 @@ def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "width", "height", "thumb_w", "thumb_h",
                     "pixel_mean")
             .orderBy("doc_id"))
+
+
+_CENTROID_SQL = """
+WITH f AS (
+  SELECT c_custkey AS fid,
+         CAST((c_custkey * 13) % 200 - 100 AS DOUBLE) + 0.5 AS ox,
+         CAST((c_custkey * 7) % 160 - 80 AS DOUBLE) + 0.5 AS oy
+  FROM customer
+),
+u(i, dx, dy) AS (VALUES
+  (0, CAST(1 AS DOUBLE), CAST(0 AS DOUBLE)),
+  (1, sqrt(2.0) / 2, sqrt(2.0) / 2),
+  (2, CAST(0 AS DOUBLE), CAST(1 AS DOUBLE)),
+  (3, -sqrt(2.0) / 2, sqrt(2.0) / 2),
+  (4, CAST(-1 AS DOUBLE), CAST(0 AS DOUBLE)),
+  (5, -sqrt(2.0) / 2, -sqrt(2.0) / 2),
+  (6, CAST(0 AS DOUBLE), CAST(-1 AS DOUBLE)),
+  (7, sqrt(2.0) / 2, -sqrt(2.0) / 2)),
+v AS (
+  SELECT f.fid, u.i,
+         f.ox + (1.0 + CAST((f.fid + u.i * 3) % 5 AS DOUBLE) * 0.2)
+              * u.dx AS x,
+         f.oy + (1.0 + CAST((f.fid + u.i * 3) % 5 AS DOUBLE) * 0.2)
+              * u.dy AS y
+  FROM f CROSS JOIN u
+),
+e AS (
+  SELECT a.fid, a.x AS x0, a.y AS y0, b.x AS x1, b.y AS y1
+  FROM v a JOIN v b
+    ON a.fid = b.fid AND b.i = (a.i + 1) % 8
+)
+SELECT fid,
+       round(sum((x0 + x1) * (x0 * y1 - x1 * y0))
+             / (3.0 * sum(x0 * y1 - x1 * y0)), 6) AS cx,
+       round(sum((y0 + y1) * (x0 * y1 - x1 * y0))
+             / (3.0 * sum(x0 * y1 - x1 * y0)), 6) AS cy,
+       round(sum(x0 * y1 - x1 * y0) / 2.0, 6) AS area
+FROM e GROUP BY fid
+ORDER BY fid
+"""
+
+
+@query("vector_centroid", "pipeline",
+       "geo analytics: planar area-weighted centroid + signed area "
+       "per feature — map-side shoelace over WKB, no shuffle",
+       _CENTROID_SQL)
+def vector_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid/area enrichment over irregular octagons built
+    deterministically from customer keys (varying per-vertex radii,
+    so centroids are NOT the centers): the Spark side parses real
+    WKB and runs the ring shoelace with hole-aware winding; the
+    oracle restates the same moments over the generating vertices.
+    Rounded to 6 decimals — the aggregation ORDER differs between a
+    numpy sequential sum and SQL's unordered SUM."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.operators import spatial as SP
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    t = load_tables(spark, sf_dir)
+    s = float(np.sqrt(2.0)) / 2.0
+    UNIT = [(1.0, 0.0), (s, s), (0.0, 1.0), (-s, s),
+            (-1.0, 0.0), (-s, -s), (0.0, -1.0), (s, -s)]
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for k in pdf["c_custkey"]:
+                k = int(k)
+                ox = float((k * 13) % 200 - 100) + 0.5
+                oy = float((k * 7) % 160 - 80) + 0.5
+                ring = []
+                for i, (dx, dy) in enumerate(UNIT):
+                    r = 1.0 + float((k + i * 3) % 5) * 0.2
+                    ring.append((ox + r * dx, oy + r * dy))
+                ring.append(ring[0])
+                rows.append((k, G.wkb_polygon([ring])))
+            yield pd.DataFrame(rows, columns=["fid", "geometry"])
+
+    feats = t.customer.select("c_custkey").mapInPandas(
+        gen, "fid long, geometry binary")
+    out = SP.centroid_features(feats)
+    return (out.select("fid", F.round("cx", 6).alias("cx"),
+                       F.round("cy", 6).alias("cy"),
+                       F.round("area", 6).alias("area"))
+            .orderBy("fid"))

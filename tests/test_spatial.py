@@ -415,3 +415,33 @@ def test_rasterize_burn_and_precedence(spark):
             if v is not None and not math.isnan(v)]
     assert set(vals) == {10.0}                # poly 1 alone past x=3
     assert px[(3, 0)] == 20.0 and (4, 0) not in px
+
+
+def test_centroid_holes_and_quarantine(spark):
+    """Shoelace centroid: a square with an off-center hole shifts
+    the centroid AWAY from the hole; degenerate and non-polygon
+    inputs surface with error kinds, never dropped."""
+    from geohub_data_pipeline_spark.operators import geometry as G
+
+    sq = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0),
+          (0.0, 0.0)]
+    hole = [(1.0, 1.0), (1.0, 4.0), (4.0, 4.0), (4.0, 1.0),
+            (1.0, 1.0)]
+    rows = [
+        (1, G.wkb_polygon([sq])),
+        (2, G.wkb_polygon([sq, hole])),
+        (3, G.wkb_point(0.0, 0.0)),
+        (4, None),
+    ]
+    feats = spark.createDataFrame(rows, "fid long, geometry binary")
+    got = {r.fid: r for r in SP.centroid_features(feats).collect()}
+    assert (got[1].cx, got[1].cy) == (5.0, 5.0)
+    assert got[1].area == 100.0 and got[1].error is None
+    # hole area 9 centered at (2.5, 2.5):
+    # cx = (100*5 - 9*2.5) / 91
+    assert abs(got[2].cx - (500.0 - 22.5) / 91.0) < 1e-12
+    assert abs(got[2].cy - (500.0 - 22.5) / 91.0) < 1e-12
+    assert got[2].area == 91.0
+    assert got[3].error == "not-a-polygon" and got[3].cx is None
+    assert got[4].error == "not-a-polygon"
+    assert set(got) == {1, 2, 3, 4}
