@@ -92,3 +92,20 @@ def is_raw(blob_url: Column) -> Column:
 def user_id_hash(user: Column) -> Column:
     """md5 user id (T18, ref ingest/fgb_upload/main.py:36-41)."""
     return F.md5(user)
+
+
+def artifact_stem(dataset: str, layer: str) -> str:
+    """Collision-free filename stem for per-(dataset, layer) sink
+    artifacts.  A plain ``f"{dataset}_{layer}"`` collides for
+    distinct pairs containing underscores (('a_b','c') vs
+    ('a','b_c')) and two groups then write the same file
+    concurrently — so each part is percent-encoded (path separators,
+    '%' and '_' included) before joining with '_': the joiner can
+    no longer appear inside a part.  Plain names stay readable:
+    ('roads', 'lines') -> 'roads_lines'."""
+    from urllib.parse import quote
+
+    def esc(s: str) -> str:
+        return quote(s, safe="").replace("_", "%5F")
+
+    return f"{esc(dataset)}_{esc(layer)}"

@@ -103,7 +103,10 @@ def write_mbtiles_tables(tiles_df, dst_dir: str):
             # and TileJSON-derived readers that honour a scheme key
             # would double-flip rows if it were present.
         }
-        path = os.path.join(dst_dir, f"{dataset}.mbtiles")
+        from urllib.parse import quote
+        # percent-encode so a dataset name carrying '/' or '..'
+        # can't escape dst_dir (the artifact_stem convention)
+        path = os.path.join(dst_dir, quote(dataset, safe="") + ".mbtiles")
         os.makedirs(dst_dir, exist_ok=True)
         nbytes = write_mbtiles(
             path, [(z, x, y, p) for (z, x, y), p in per_tile.items()],

@@ -1141,6 +1141,8 @@ def _fan_bbox_tiles(side: str, n: int, lines: bool = False,
         for pdf in it:
             rows = []
             for pid, wkb in zip(pdf["poly_id"], pdf["geometry"]):
+                if wkb is None:      # NULL geometry: no candidates
+                    continue
                 parts = coords_of(bytes(wkb))
                 if parts is None:
                     continue
@@ -1394,7 +1396,15 @@ def overlay_erase(left: DataFrame, right: DataFrame,
 
     def erase(pdf: pd.DataFrame) -> pd.DataFrame:
         a_id = int(pdf["a_id"].iloc[0])
-        pieces = _polys_of_wkb(bytes(pdf["a_geom"].iloc[0]))
+        a_wkb = pdf["a_geom"].iloc[0]
+        if a_wkb is None:
+            # NULL left geometry: quarantine as a degenerate
+            # zero-area row (the merge_lines / centroid_features
+            # rejected-row convention) — never crash the stage
+            return pd.DataFrame([{
+                "a_id": a_id, "geometry": None, "area": 0.0,
+                "n_rings": 0, "degenerate": True}])
+        pieces = _polys_of_wkb(bytes(a_wkb))
         degen = False
         for bw in pdf["b_geom"]:
             if bw is None:

@@ -308,6 +308,18 @@ def _focal_window(blocks: DataFrame, canvas_fn, halo: int = 1,
             rows = []
             for r in pdf.itertuples(index=False):
                 w, h = int(r.width), int(r.height)
+                # the single-ring halo exchange is only exact when
+                # every block can supply the full R-pixel strip its
+                # neighbors need; a block smaller than R (e.g. a 4px
+                # edge sliver at max_dist=8) would silently hide
+                # targets two blocks away — enforce, don't document
+                if w < R or h < R:
+                    raise ValueError(
+                        f"focal halo {R} exceeds block dims "
+                        f"{w}x{h} at block ({int(r.block_x)},"
+                        f"{int(r.block_y)}) of {r.dataset!r}; "
+                        "reduce the radius or re-block the raster "
+                        "so every block is at least halo-sized")
                 arr = np.asarray(r.pixels, np.float64).reshape(h, w)
                 # declared fill values must not enter the stencil as
                 # elevations — mask to NaN (which the Horn kernel
@@ -1071,7 +1083,7 @@ def sample_at_points(blocks: DataFrame, georef: DataFrame,
     )
 
     b = blocks.filter(F.col("level") == 0).select(
-        "dataset", "band", "block_x", "block_y",
+        "dataset", "subdataset", "band", "block_x", "block_y",
         "width", "height", "pixels", "nodata")
 
     j = c.join(b, ["dataset", "block_x", "block_y"]).filter(
@@ -1081,8 +1093,12 @@ def sample_at_points(blocks: DataFrame, georef: DataFrame,
         "pixels",
         ((F.col("rr") - F.col("block_y") * block) * F.col("width")
          + (F.col("cc") - F.col("block_x") * block) + 1).cast("int"))
+    # subdataset rides the keys end-to-end: a dataset carrying
+    # several subdatasets (NetCDF variables) must complete its 2x2
+    # stencil WITHIN one subdataset, not find each corner twice and
+    # fail the n==4 guard (ADVICE r6)
     j = j.select(
-        "point_id", "band", "wx", "wy", "dc", "dr",
+        "point_id", "subdataset", "band", "wx", "wy", "dc", "dr",
         val.alias("v"),
         ((F.col("nodata").isNotNull())
          & ~F.isnan("nodata")
@@ -1092,7 +1108,7 @@ def sample_at_points(blocks: DataFrame, georef: DataFrame,
         return F.max(F.when((F.col("dc") == dc)
                             & (F.col("dr") == dr), F.col("v")))
 
-    agg = j.groupBy("point_id", "band").agg(
+    agg = j.groupBy("point_id", "subdataset", "band").agg(
         F.first("wx").alias("wx"), F.first("wy").alias("wy"),
         corner(0, 0).alias("v00"), corner(1, 0).alias("v10"),
         corner(0, 1).alias("v01"), corner(1, 1).alias("v11"),
@@ -1104,18 +1120,24 @@ def sample_at_points(blocks: DataFrame, georef: DataFrame,
              + wy * ((1.0 - wx) * F.col("v01")
                      + wx * F.col("v11")))
     sampled = agg.select(
-        "point_id", "band",
+        "point_id", "subdataset", "band",
         F.when((F.col("n") == 4) & (F.col("bad") == 0), blend)
         .alias("value"))
     # a fully-out-of-extent point joins NO block: restore its row
-    # (NULL value) from the tiny per-dataset band list so callers
-    # see an explicit miss, never a silent drop
+    # (NULL value) from the tiny per-dataset (subdataset, band) list
+    # so callers see an explicit miss, never a silent drop.  One
+    # output row per (point, subdataset, band); the null-safe eqNullSafe
+    # keeps the single-subdataset (NULL) common case joined.
     bands = blocks.filter(F.col("level") == 0).select(
-        "dataset", "band").distinct()
+        "dataset", "subdataset", "band").distinct()
     base = points.join(F.broadcast(bands), "dataset").select(
-        "point_id", "band")
-    return (base.join(sampled, ["point_id", "band"], "left")
-            .select("point_id", "band", "value"))
+        "point_id", "subdataset", "band")
+    cond = ((base.point_id == sampled.point_id)
+            & base.subdataset.eqNullSafe(sampled.subdataset)
+            & (base.band == sampled.band))
+    return (base.join(sampled, cond, "left")
+            .select(base.point_id.alias("point_id"),
+                    base.band.alias("band"), "value"))
 
 
 def _chain_relax_row(d: np.ndarray, c: np.ndarray) -> None:

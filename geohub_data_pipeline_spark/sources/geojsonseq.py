@@ -123,7 +123,10 @@ def write_geojsonseq_tables(features: DataFrame,
         layer = str(pdf["layer"].iloc[0])
         pdf = pdf.sort_values("fid")
         os.makedirs(dst_dir, exist_ok=True)
-        path = os.path.join(dst_dir, f"{dataset}_{layer}.geojsonl")
+        from geohub_data_pipeline_spark.functions.paths import (
+            artifact_stem)
+        path = os.path.join(
+            dst_dir, artifact_stem(dataset, layer) + ".geojsonl")
         n = 0
         with open(path, "w", encoding="utf-8") as f:
             for row in pdf.itertuples(index=False):

@@ -351,8 +351,11 @@ def write_gpkg_tables(features: DataFrame, dst_dir: str) -> DataFrame:
 
     def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
         dataset = str(pdf["dataset"].iloc[0])
+        from urllib.parse import quote
         os.makedirs(dst_dir, exist_ok=True)
-        path = os.path.join(dst_dir, f"{dataset}.gpkg")
+        # percent-encode so a dataset name carrying '/' or '..'
+        # can't escape dst_dir (the artifact_stem convention)
+        path = os.path.join(dst_dir, quote(dataset, safe="") + ".gpkg")
         if os.path.exists(path):
             os.unlink(path)                # write_gpkg creates it
         layers: dict[str, list[tuple]] = {}

@@ -524,8 +524,10 @@ def write_shapefile_tables(features: DataFrame,
     def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
         dataset = str(pdf["dataset"].iloc[0])
         layer = str(pdf["layer"].iloc[0])
+        from geohub_data_pipeline_spark.functions.paths import (
+            artifact_stem)
         os.makedirs(dst_dir, exist_ok=True)
-        base = os.path.join(dst_dir, f"{dataset}_{layer}")
+        base = os.path.join(dst_dir, artifact_stem(dataset, layer))
         pdf = pdf.sort_values("fid")
         feats = []
         for row in pdf.itertuples(index=False):

@@ -523,3 +523,17 @@ def test_geojsonseq_writer_roundtrip(spark, tmp_path):
     p3 = G.parse_wkb(bytes(back[3].geometry))
     assert len(p3["parts"]) == 2           # hole survived
     assert _json.loads(back[3].properties)["hole"] is True
+
+    # underscore-carrying (dataset, layer) pairs that collide under
+    # naive f"{dataset}_{layer}" naming get distinct files (ADVICE r6)
+    pt = G.wkb_point(0.0, 0.0)
+    tricky = spark.createDataFrame(
+        [("a_b", "c", 1, pt, 4326, None, None),
+         ("a", "b_c", 2, pt, 4326, None, None)],
+        "dataset string, layer string, fid long, geometry binary, "
+        "srid int, crs_wkt string, properties string")
+    man2 = write_geojsonseq_tables(tricky, str(tmp_path)).collect()
+    paths = {r.path for r in man2}
+    assert len(paths) == 2
+    for r in man2:
+        assert r.n_features == 1

@@ -375,6 +375,17 @@ def test_overlay_erase(spark):
     assert rows[2].area == 0.0 and rows[2].n_rings == 0
     assert rows[3].degenerate
 
+    # NULL left geometry quarantines as a degenerate zero-area row
+    # (ADVICE r6) — never a stage-failing TypeError
+    a_null = spark.createDataFrame(
+        [(9, None), (1, rect(40.0, 0.0, 4.0, 4.0))],
+        "a_id long, geometry binary")
+    got = {r.a_id: r for r in OV.overlay_erase(a_null, b,
+                                               zoom=5).collect()}
+    assert got[9].geometry is None and got[9].area == 0.0
+    assert got[9].degenerate
+    assert got[1].area == 16.0
+
 
 def test_overlay_erase_overlapping_b(spark):
     """Overlapping B features must erase their UNION, not double-

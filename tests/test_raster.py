@@ -252,6 +252,10 @@ def test_proximity_bounded_distance(spark):
     assert np.isnan(out[(7, 0)])
     with pytest.raises(ValueError):
         R.proximity(blocks, [5.0], max_dist=0)
+    # halo > block dims would silently miss targets two blocks
+    # away — the fan enforces the contract instead (ADVICE r6)
+    with pytest.raises(Exception, match="focal halo"):
+        R.proximity(blocks, [5.0], max_dist=6).collect()
 
 
 def test_resample_bilinear_seams_and_nodata(spark):
@@ -350,6 +354,30 @@ def test_sample_at_points_bilinear(spark):
     assert got[1] == 16.5
     assert got[2] is None and got[3] is None and got[4] is None
     assert set(got) == {0, 1, 2, 3, 4}
+
+    # multi-subdataset dataset: each subdataset completes its own
+    # 2x2 stencil (ADVICE r6 — the n==4 guard must not see corners
+    # twice and null valid points).  Same grid twice, +100 offset.
+    rows2 = []
+    for sub, off in (("a", 0.0), ("b", 100.0)):
+        for by in range(0, 4, blk):
+            for bx in range(0, 4, blk):
+                t = arr[by:by + blk, bx:bx + blk] + off
+                rows2.append(("d", sub, 1, 0, bx // blk, by // blk,
+                              t.shape[1], t.shape[0],
+                              [float(v) for v in t.ravel()],
+                              None, 4326))
+    blocks2 = spark.createDataFrame(
+        rows2, "dataset string, subdataset string, band int, "
+               "level int, block_x int, block_y int, width int, "
+               "height int, pixels array<double>, nodata double, "
+               "srid int")
+    pt = spark.createDataFrame(
+        [(0, "d", 101.5, 48.5)],
+        "point_id long, dataset string, x double, y double")
+    vals = sorted(r.value for r in R.sample_at_points(
+        blocks2, georef, pt, block=blk).collect())
+    assert vals == [11.0, 111.0]
 
 
 def test_curvature_kinds_seam_identical(spark):
