@@ -49,6 +49,8 @@ def test_bpe_train_matches_reference(spark):
         wc.update(t.split())
     exp = _ref_bpe(dict(wc), 12)
     assert got == exp
+    # the over-cap distributed loop learns the same merges
+    assert TK.bpe_train(docs, n_merges=12, type_table_cap=0) == exp
     # classic Sennrich outcome: 'est</w>' forms within the budget
     joined = ["".join(m) for m in got]
     assert any("est" in j for j in joined)
@@ -85,6 +87,36 @@ def test_bpe_encode_invariants(spark):
     assert enc[1].tokens_hash == hashlib.md5(
         " ".join(toks).encode()).hexdigest()
     assert enc[1].n_tokens == len(toks)
+
+
+def test_bpe_batched_matches_reference_random_corpus(spark):
+    """Batched merge selection (the ~3-jobs-per-batch path) must
+    reproduce the sequential Sennrich merge sequence EXACTLY on a
+    corpus with heavy tie and symbol-collision structure — repeated
+    stems, shared prefixes/suffixes, runs like 'aaaa' where merges
+    overlap themselves."""
+    import random
+
+    rng = random.Random(1234)
+    stems = ["low", "lower", "lowest", "new", "newest", "wide",
+             "widest", "aaaa", "aabb", "abab", "banana", "bandana",
+             "an", "ana", "nan", "est", "wes", "stest"]
+    words = [rng.choice(stems) + rng.choice(["", "s", "er", "est"])
+             for _ in range(400)]
+    corpus = [(i, " ".join(words[i * 20:(i + 1) * 20]))
+              for i in range(20)]
+    wc = collections.Counter()
+    for _, t in corpus:
+        wc.update(t.split())
+    exp = _ref_bpe(dict(wc), 40)
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    # in-memory tier (the common path)
+    assert TK.bpe_train(docs, n_merges=40) == exp
+    # distributed tier, forced, at several batch widths — the
+    # risen-pair bound must keep every width order-exact
+    for b in (1, 4, 64):
+        assert TK.bpe_train(docs, n_merges=40, batch=b,
+                            type_table_cap=0) == exp, b
 
 
 def test_bpe_no_mergeable_pairs_stops(spark):
