@@ -5438,3 +5438,237 @@ def vector_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.round("cy", 6).alias("cy"),
                        F.round("area", 6).alias("area"))
             .orderBy("fid"))
+
+
+# ---------------------------------------------------------------------------
+# §2.3 sinks under the oracle gate (r7 brief #6): write each artifact
+# format through its DISTRIBUTED sink, read it back through the
+# engine's own reader, and project per-feature values the oracle
+# states in closed form — the fgb_source pattern, lifted from
+# byte-level codecs to the (dataset, layer)-grouped table sinks.
+# ---------------------------------------------------------------------------
+
+def _sink_feature_rows(spark: SparkSession, sf_dir: str,
+                       int_props: bool = False) -> DataFrame:
+    """Deterministic FEATURE_SCHEMA workload from ``documents``:
+    point geometry + properties in closed form of doc_id.
+    ``int_props=True`` swaps the double property for an integer one
+    (dBASE renders numerics as fixed-width text; integers round-trip
+    bit-exactly without depending on its decimal policy)."""
+    import json
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    t = load_tables(spark, sf_dir)
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                x = float(did % 360) - 180.0 + 0.25
+                y = float((did * 7) % 170) - 85.0 + 0.5
+                props = {"name": f"d{did}"}
+                if int_props:
+                    props["pop"] = did * 3
+                else:
+                    props["v"] = did * 0.5
+                rows.append((f"ds{did % 3}", f"l{did % 2}", did,
+                             G.wkb_point(x, y), 4326, None,
+                             json.dumps(props, sort_keys=True,
+                                        separators=(",", ":"))))
+            yield pd.DataFrame(rows, columns=[
+                "dataset", "layer", "fid", "geometry", "srid",
+                "crs_wkt", "properties"])
+
+    return t.documents.select("doc_id").mapInPandas(
+        gen, "dataset string, layer string, fid long, "
+             "geometry binary, srid int, crs_wkt string, "
+             "properties string")
+
+
+def _sink_project(back: DataFrame, fid_from_props: bool = False,
+                  split_layer: bool = False,
+                  int_props: bool = False) -> DataFrame:
+    """Shared read-back projection: parse the point from WKB, the
+    properties from JSON, optionally recover the original fid from
+    properties (shapefile renumbers records 1..n) and split the
+    percent-encoded ``<dataset>_<layer>`` artifact stem."""
+    import json
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.operators import geometry as G
+
+    vcol = "pop" if int_props else "v"
+
+    def proj(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                p = G.parse_wkb(bytes(r.geometry))
+                xy = (p.get("coords") or
+                      (p.get("parts") or [[None, None]])[0])
+                pr = json.loads(r.properties)
+                fid = int(pr["fid"]) if fid_from_props else int(r.fid)
+                if split_layer:
+                    ds, ly = str(r.layer).split("_", 1)
+                else:
+                    ds = str(r.dataset).rsplit(".", 1)[0]
+                    ly = str(r.layer)
+                rows.append((fid, ds, ly, float(xy[0]), float(xy[1]),
+                             float(pr[vcol]), str(pr["name"])))
+            yield pd.DataFrame(rows, columns=[
+                "fid", "dataset", "layer", "x", "y", vcol, "name"])
+
+    return back.mapInPandas(
+        proj, f"fid long, dataset string, layer string, x double, "
+              f"y double, {vcol} double, name string").orderBy("fid")
+
+
+def _sink_sql(int_props: bool = False) -> str:
+    vexpr = ("CAST(doc_id * 3 AS DOUBLE) AS pop" if int_props
+             else "CAST(doc_id AS DOUBLE) * 0.5 AS v")
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS fid,
+       'ds' || CAST(doc_id % 3 AS VARCHAR) AS dataset,
+       'l' || CAST(doc_id % 2 AS VARCHAR) AS layer,
+       CAST(doc_id % 360 AS DOUBLE) - 180.0 + 0.25 AS x,
+       CAST((doc_id * 7) % 170 AS DOUBLE) - 85.0 + 0.5 AS y,
+       {vexpr},
+       'd' || CAST(doc_id AS VARCHAR) AS name
+FROM documents
+ORDER BY fid
+"""
+
+
+@query("gpkg_sink", "pipeline",
+       "§2.3 sink gate: distributed GeoPackage sink -> engine gpkg "
+       "reader round-trip (sources/geopackage.py write_gpkg_tables; "
+       "the reference ships artifacts per dataset the same way — "
+       "ref ingest/processing.py dataset2fgb analog)", _sink_sql())
+def gpkg_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write one .gpkg per dataset (two layers each, typed
+    attributes, per-layer srids) with the DISTRIBUTED sink, read the
+    directory back through features_from_gpkg, and project fid /
+    layer / point coords / attributes — sqlite schema, gpkg blob
+    header, and attribute typing all sit under the value hash."""
+    import tempfile
+
+    from geohub_data_pipeline_spark.sources.geopackage import (
+        features_from_gpkg, write_gpkg_tables)
+
+    feats = _sink_feature_rows(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="gpkg_sink_")
+    write_gpkg_tables(feats, tmp).collect()       # bounded manifest
+    return _sink_project(features_from_gpkg(spark, tmp))
+
+
+@query("shapefile_sink", "pipeline",
+       "§2.3 sink gate: distributed Shapefile sink (.shp/.shx/.dbf/"
+       ".prj) -> shapefile_feature_rows round-trip "
+       "(sources/shapefile.py)", _sink_sql(int_props=True))
+def shapefile_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write one shapefile trio per (dataset, layer), read the loose
+    sidecar set back through the archive-member reader (pairing .shp
+    with .dbf/.prj), and recover the ORIGINAL fid from the dBASE
+    attributes (shapefile records renumber 1..n — the sink stores
+    fid as a field for exactly this reason)."""
+    import tempfile
+
+    from geohub_data_pipeline_spark.sources.shapefile import (
+        shapefile_feature_rows, write_shapefile_tables)
+
+    feats = _sink_feature_rows(spark, sf_dir, int_props=True)
+    tmp = tempfile.mkdtemp(prefix="shp_sink_")
+    write_shapefile_tables(feats, tmp).collect()  # bounded manifest
+    raw = (spark.read.format("binaryFile").load(tmp)
+           .select(F.lit(tmp).alias("archive_path"),
+                   F.element_at(F.split("path", "/"), -1)
+                   .alias("member"), "content"))
+    back = shapefile_feature_rows(raw)
+    return _sink_project(back, fid_from_props=True, split_layer=True,
+                         int_props=True)
+
+
+@query("geojsonseq_sink", "pipeline",
+       "§2.3 sink gate: distributed newline-delimited GeoJSON sink "
+       "-> features_from_geojsonseq round-trip "
+       "(sources/geojsonseq.py)", _sink_sql())
+def geojsonseq_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write one .geojsonl per (dataset, layer), read the directory
+    back through the line reader (fid from the Feature id, RFC 7946
+    geometry, properties JSON) — double coordinates survive via
+    shortest-repr JSON text."""
+    import tempfile
+
+    from geohub_data_pipeline_spark.sources.geojsonseq import (
+        features_from_geojsonseq, write_geojsonseq_tables)
+
+    feats = _sink_feature_rows(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="gjs_sink_")
+    write_geojsonseq_tables(feats, tmp).collect()  # bounded manifest
+    return _sink_project(features_from_geojsonseq(spark, tmp),
+                         split_layer=True)
+
+
+_MBTILES_SINK_SQL = """
+SELECT 'ds' || CAST(doc_id % 3 AS VARCHAR) AS dataset,
+       CAST(13 AS INTEGER) AS z,
+       CAST(doc_id % 8192 AS INTEGER) AS x,
+       CAST((doc_id * 7) % 8192 AS INTEGER) AS y,
+       md5('pl' || CAST(doc_id AS VARCHAR)) AS payload_md5
+FROM documents
+ORDER BY dataset, x, y
+"""
+
+
+@query("mbtiles_sink", "pipeline",
+       "§2.3 sink gate: distributed MBTiles sink -> "
+       "tiles_from_mbtiles round-trip incl. the XYZ<->TMS row flip "
+       "(operators/mbtiles.py; .mbtiles is in the reference's "
+       "accepted upload list, ref ingest/config.py registry)",
+       _MBTILES_SINK_SQL)
+def mbtiles_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write one .mbtiles per dataset from a deterministic tile set,
+    read the directory back through the sqlite scan, and hash each
+    payload — the unique (z, x, y) index, TMS flip, and metadata
+    parse all sit under the value hash."""
+    import tempfile
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.operators.mbtiles import (
+        tiles_from_mbtiles, write_mbtiles_tables)
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    t = load_tables(spark, sf_dir)
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rows.append((f"ds{did % 3}", 13, did % 8192,
+                             (did * 7) % 8192,
+                             f"pl{did}".encode("ascii")))
+            yield pd.DataFrame(rows, columns=[
+                "dataset", "z", "x", "y", "payload"])
+
+    tiles = t.documents.select("doc_id").mapInPandas(
+        gen, "dataset string, z int, x int, y int, payload binary")
+    tmp = tempfile.mkdtemp(prefix="mbt_sink_")
+    write_mbtiles_tables(tiles, tmp).collect()     # bounded manifest
+    back = tiles_from_mbtiles(spark, tmp)
+    return (back.select(
+        F.regexp_replace("dataset", r"\.mbtiles$", "").alias("dataset"),
+        "z", "x", "y", F.md5("payload").alias("payload_md5"))
+        .orderBy("dataset", "x", "y"))
