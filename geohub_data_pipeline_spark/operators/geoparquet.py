@@ -134,23 +134,32 @@ def _epsg_code(crs) -> int | None:
     return None
 
 
-def _srid_of_geo(geo: dict) -> int:
-    """GeoParquet ``crs``: null/absent means OGC:CRS84 (lon/lat WGS84
-    == srid 4326 for this 2D engine); a PROJJSON object carries its
-    EPSG code under id.code.  A PRESENT but unresolvable crs raises —
-    silently assuming 4326 would mis-georeference every feature
-    downstream (the caller's dead-letter path is the quarantine)."""
+def _srid_of_geo(geo: dict) -> tuple[int, str | None]:
+    """GeoParquet ``crs`` -> (srid, crs_text): null/absent means
+    OGC:CRS84 (lon/lat WGS84 == srid 4326 for this 2D engine); a
+    PROJJSON object with an EPSG id resolves to that code.  A
+    PROJJSON object WITHOUT an EPSG identity keeps its JSON text as
+    the crs_wkt sidecar with srid 0 — the shapefile .prj convention
+    ("EPSG unknown, reproject via the embedded CRS text"), resolved
+    downstream by operators/crs_wkt.pair_from_wkt's PROJJSON path.
+    A crs that is neither raises — silently assuming lon/lat would
+    mis-georeference every feature (quarantine instead)."""
+    import json as _json
+
     col = geo.get("columns", {}).get(geo.get("primary_column",
                                              "geometry"), {})
     crs = col.get("crs")
     if not crs:
-        return 4326
+        return 4326, None
     code = _epsg_code(crs)
-    if code is None:
-        raise ValueError(
-            "GeoParquet crs has no EPSG identity (PROJJSON without "
-            "id.authority=EPSG) — refusing to assume lon/lat")
-    return code
+    if code is not None:
+        return code, None
+    if isinstance(crs, dict) and crs.get("type"):
+        return 0, _json.dumps(crs, sort_keys=True,
+                              separators=(",", ":"))
+    raise ValueError(
+        "GeoParquet crs has no EPSG identity and is not a PROJJSON "
+        "object — refusing to assume lon/lat")
 
 
 def _check_encoding(geo: dict, path: str) -> None:
@@ -183,7 +192,7 @@ def features_from_geoparquet(spark, path: str):
     gcol = geo.get("primary_column", "geometry")
     if geo:
         _check_encoding(geo, path)
-    srid = _srid_of_geo(geo) if geo else 4326
+    srid, crs_text = _srid_of_geo(geo) if geo else (4326, None)
 
     df = spark.read.parquet(path)
     if gcol not in df.columns:
@@ -203,7 +212,7 @@ def features_from_geoparquet(spark, path: str):
         .alias("fid"),
         F.col(gcol).alias("geometry"),
         F.lit(srid).cast("int").alias("srid"),
-        F.lit(None).cast("string").alias("crs_wkt"),
+        F.lit(crs_text).cast("string").alias("crs_wkt"),
         (F.to_json(F.struct(*[F.col(c) for c in props])) if props
          else F.lit(None).cast("string")).alias("properties"),
     )

@@ -5672,3 +5672,191 @@ def mbtiles_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("dataset", r"\.mbtiles$", "").alias("dataset"),
         "z", "x", "y", F.md5("payload").alias("payload_md5"))
         .orderBy("dataset", "x", "y"))
+
+
+# ---------------------------------------------------------------------------
+# T7 round 7: WKT2 (ISO 19162) + PROJJSON + BOUNDCRS resolution
+# ---------------------------------------------------------------------------
+
+_CRS_WKT2_SQL = """
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'wkt2_tm' WHEN 1 THEN 'wkt2_lcc2'
+            WHEN 2 THEN 'projjson_tm' ELSE 'boundcrs_tm' END AS family,
+       round(CASE doc_id % 4
+            WHEN 0 THEN 9.0 + (doc_id % 60) * 0.2
+            WHEN 1 THEN -4.0 + (doc_id % 80) * 0.1
+            WHEN 2 THEN 9.0 + (doc_id % 60) * 0.2
+            ELSE -6.0 + (doc_id % 70) * 0.1 END, 4) AS lon_rt,
+       round(CASE doc_id % 4
+            WHEN 0 THEN 30.0 + ((doc_id * 3) % 80) * 0.5
+            WHEN 1 THEN 42.2 + ((doc_id * 3) % 80) * 0.1
+            WHEN 2 THEN 30.0 + ((doc_id * 3) % 80) * 0.5
+            ELSE 50.0 + ((doc_id * 3) % 90) * 0.1 END, 4) AS lat_rt
+FROM documents
+ORDER BY doc_id
+"""
+
+_WKT2_BANK = [
+    # WKT2 PROJCRS with a datum ENSEMBLE (== EPSG:32633)
+    'PROJCRS["WGS 84 / UTM zone 33N",'
+    'BASEGEOGCRS["WGS 84",ENSEMBLE["WGS 84 ensemble",MEMBER["t"],'
+    'ELLIPSOID["WGS 84",6378137,298.257223563,LENGTHUNIT["metre",1]],'
+    'ENSEMBLEACCURACY[2.0]],'
+    'PRIMEM["Greenwich",0,ANGLEUNIT["degree",0.0174532925199433]]],'
+    'CONVERSION["UTM zone 33N",'
+    'METHOD["Transverse Mercator",ID["EPSG",9807]],'
+    'PARAMETER["Latitude of natural origin",0,'
+    'ANGLEUNIT["degree",0.0174532925199433]],'
+    'PARAMETER["Longitude of natural origin",15,'
+    'ANGLEUNIT["degree",0.0174532925199433]],'
+    'PARAMETER["Scale factor at natural origin",0.9996,'
+    'SCALEUNIT["unity",1]],'
+    'PARAMETER["False easting",500000,LENGTHUNIT["metre",1]],'
+    'PARAMETER["False northing",0,LENGTHUNIT["metre",1]]],'
+    'CS[Cartesian,2],AXIS["(E)",east,ORDER[1],'
+    'LENGTHUNIT["metre",1]],AXIS["(N)",north,ORDER[2],'
+    'LENGTHUNIT["metre",1]],ID["EPSG",32633]]',
+    # WKT2 LCC 2SP with EPSG spelled-out parameter names (== 2154)
+    'PROJCRS["RGF93 v1 / Lambert-93",'
+    'BASEGEOGCRS["RGF93 v1",DATUM["Reseau Geodesique Francais 1993",'
+    'ELLIPSOID["GRS 1980",6378137,298.257222101,'
+    'LENGTHUNIT["metre",1]]],'
+    'PRIMEM["Greenwich",0,ANGLEUNIT["degree",0.0174532925199433]]],'
+    'CONVERSION["Lambert-93",'
+    'METHOD["Lambert Conic Conformal (2SP)",ID["EPSG",9802]],'
+    'PARAMETER["Latitude of false origin",46.5,'
+    'ANGLEUNIT["degree",0.0174532925199433]],'
+    'PARAMETER["Longitude of false origin",3,'
+    'ANGLEUNIT["degree",0.0174532925199433]],'
+    'PARAMETER["Latitude of 1st standard parallel",49,'
+    'ANGLEUNIT["degree",0.0174532925199433]],'
+    'PARAMETER["Latitude of 2nd standard parallel",44,'
+    'ANGLEUNIT["degree",0.0174532925199433]],'
+    'PARAMETER["Easting at false origin",700000,'
+    'LENGTHUNIT["metre",1]],'
+    'PARAMETER["Northing at false origin",6600000,'
+    'LENGTHUNIT["metre",1]]],'
+    'CS[Cartesian,2],AXIS["(X)",east,ORDER[1],'
+    'LENGTHUNIT["metre",1]],AXIS["(Y)",north,ORDER[2],'
+    'LENGTHUNIT["metre",1]]]',
+    # PROJJSON ProjectedCRS WITHOUT an EPSG id (GeoParquet crs form)
+    '{"type":"ProjectedCRS","name":"no-id UTM 33N",'
+    '"base_crs":{"type":"GeographicCRS","name":"WGS 84",'
+    '"datum_ensemble":{"name":"e","ellipsoid":{"name":"WGS 84",'
+    '"semi_major_axis":6378137,'
+    '"inverse_flattening":298.257223563}}},'
+    '"conversion":{"name":"c",'
+    '"method":{"name":"Transverse Mercator"},"parameters":['
+    '{"name":"Latitude of natural origin","value":0,'
+    '"unit":"degree"},'
+    '{"name":"Longitude of natural origin","value":15,'
+    '"unit":"degree"},'
+    '{"name":"Scale factor at natural origin","value":0.9996,'
+    '"unit":"unity"},'
+    '{"name":"False easting","value":500000,"unit":"metre"},'
+    '{"name":"False northing","value":0,"unit":"metre"}]},'
+    '"coordinate_system":{"subtype":"Cartesian","axis":['
+    '{"name":"E","direction":"east","unit":"metre"}]}}',
+    # BOUNDCRS: OSGB 27700 with an abridged Helmert transformation
+    'BOUNDCRS[SOURCECRS[PROJCRS["OSGB36 / British National Grid",'
+    'BASEGEOGCRS["OSGB36",'
+    'DATUM["Ordnance Survey of Great Britain 1936",'
+    'ELLIPSOID["Airy 1830",6377563.396,299.3249646,'
+    'LENGTHUNIT["metre",1]]],'
+    'PRIMEM["Greenwich",0,ANGLEUNIT["degree",0.0174532925199433]]],'
+    'CONVERSION["British National Grid",'
+    'METHOD["Transverse Mercator",ID["EPSG",9807]],'
+    'PARAMETER["Latitude of natural origin",49,'
+    'ANGLEUNIT["degree",0.0174532925199433]],'
+    'PARAMETER["Longitude of natural origin",-2,'
+    'ANGLEUNIT["degree",0.0174532925199433]],'
+    'PARAMETER["Scale factor at natural origin",0.9996012717,'
+    'SCALEUNIT["unity",1]],'
+    'PARAMETER["False easting",400000,LENGTHUNIT["metre",1]],'
+    'PARAMETER["False northing",-100000,LENGTHUNIT["metre",1]]],'
+    'CS[Cartesian,2],AXIS["(E)",east,ORDER[1],'
+    'LENGTHUNIT["metre",1]],AXIS["(N)",north,ORDER[2],'
+    'LENGTHUNIT["metre",1]]]],'
+    'TARGETCRS[GEOGCRS["WGS 84",ENSEMBLE["WGS 84 ensemble",'
+    'MEMBER["t"],ELLIPSOID["WGS 84",6378137,298.257223563,'
+    'LENGTHUNIT["metre",1]],ENSEMBLEACCURACY[2.0]],'
+    'PRIMEM["Greenwich",0,ANGLEUNIT["degree",0.0174532925199433]],'
+    'CS[ellipsoidal,2],AXIS["latitude",north,ORDER[1],'
+    'ANGLEUNIT["degree",0.0174532925199433]],'
+    'AXIS["longitude",east,ORDER[2],'
+    'ANGLEUNIT["degree",0.0174532925199433]]]],'
+    'ABRIDGEDTRANSFORMATION["OSGB36 to WGS 84 (6)",'
+    'METHOD["Position Vector transformation (geog2D domain)",'
+    'ID["EPSG",9606]],'
+    'PARAMETER["X-axis translation",446.448,ID["EPSG",8605]],'
+    'PARAMETER["Y-axis translation",-125.157,ID["EPSG",8606]],'
+    'PARAMETER["Z-axis translation",542.06,ID["EPSG",8607]],'
+    'PARAMETER["X-axis rotation",0.15,ID["EPSG",8608]],'
+    'PARAMETER["Y-axis rotation",0.247,ID["EPSG",8609]],'
+    'PARAMETER["Z-axis rotation",0.842,ID["EPSG",8610]],'
+    'PARAMETER["Scale difference",-20.489,ID["EPSG",8611]]]]',
+]
+
+_WKT2_FAMILY = ["wkt2_tm", "wkt2_lcc2", "projjson_tm", "boundcrs_tm"]
+
+
+@query("crs_wkt2_roundtrip", "pipeline",
+       "§2.2 T7 reprojection via embedded WKT2 (ISO 19162) / "
+       "PROJJSON / BOUNDCRS (operators/crs_wkt.py r7): modern "
+       "GeoPackage definition_12_063 and GeoParquet crs objects "
+       "resolve closed-form without an EPSG table entry "
+       "(ref resolves any SRS via PROJ, ingest/processing.py:142)",
+       _CRS_WKT2_SQL)
+def crs_wkt2_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward+inverse through four modern CRS encodings: WKT2
+    PROJCRS with a datum ENSEMBLE, WKT2 LCC-2SP with EPSG spelled-out
+    parameter names, PROJJSON without an EPSG id (the GeoParquet
+    crs), and a BOUNDCRS carrying an abridged Helmert transformation.
+    The oracle is the input formula (round-trip identity at 4
+    decimals).
+
+    Scale: stateless per-row math in an Arrow-batched kernel — a
+    scan, no shuffle; the four transform pairs build once per batch
+    iterator.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.operators import crs_wkt as CW
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id")
+    lon_of = [
+        lambda d: 9.0 + (d % 60) * 0.2,
+        lambda d: -4.0 + (d % 80) * 0.1,
+        lambda d: 9.0 + (d % 60) * 0.2,
+        lambda d: -6.0 + (d % 70) * 0.1,
+    ]
+    lat_of = [
+        lambda d: 30.0 + ((d * 3) % 80) * 0.5,
+        lambda d: 42.2 + ((d * 3) % 80) * 0.1,
+        lambda d: 30.0 + ((d * 3) % 80) * 0.5,
+        lambda d: 50.0 + ((d * 3) % 90) * 0.1,
+    ]
+
+    def rt(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pairs = [CW.pair_from_wkt(w) for w in _WKT2_BANK]
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                k = did % 4
+                lon, lat = lon_of[k](did), lat_of[k](did)
+                fwd, inv = pairs[k]
+                lon2, lat2 = inv(*fwd(lon, lat))
+                rows.append((did, _WKT2_FAMILY[k],
+                             round(lon2, 4) + 0.0,
+                             round(lat2, 4) + 0.0))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "family", "lon_rt", "lat_rt"])
+
+    return base.mapInPandas(
+        rt, "doc_id long, family string, lon_rt double, lat_rt double")

@@ -80,15 +80,34 @@ def _srs_definitions(con: sqlite3.Connection) -> dict[int, str]:
     """srs_id -> WKT definition from ``gpkg_spatial_ref_sys`` (spec
     table 4, column ``definition``).  Lets layers whose srs_id is not
     an EPSG code the engine knows reproject via operators/crs_wkt.py,
-    the way GDAL resolves the same column."""
+    the way GDAL resolves the same column.  When the OGC 12-063
+    extension column (``definition_12_063`` — WKT2) is present and
+    populated it wins over the WKT1 ``definition``: modern GeoPackage
+    writers fill only it, leaving ``definition`` as 'undefined'."""
     try:
         rows = con.execute(
-            "SELECT srs_id, definition FROM gpkg_spatial_ref_sys"
-        ).fetchall()
+            "SELECT srs_id, definition, definition_12_063 "
+            "FROM gpkg_spatial_ref_sys").fetchall()
     except sqlite3.Error:
-        return {}
-    return {int(s): str(d) for s, d in rows
-            if d and str(d).strip().upper() not in ("", "UNDEFINED")}
+        try:
+            rows = [(s, d, None) for s, d in con.execute(
+                "SELECT srs_id, definition FROM gpkg_spatial_ref_sys"
+            ).fetchall()]
+        except sqlite3.Error:
+            return {}
+
+    def pick(d1, d2):
+        for d in (d2, d1):                 # WKT2 column wins
+            if d and str(d).strip().upper() not in ("", "UNDEFINED"):
+                return str(d)
+        return None
+
+    out = {}
+    for s, d1, d2 in rows:
+        got = pick(d1, d2)
+        if got is not None:
+            out[int(s)] = got
+    return out
 
 
 def _q(ident: str) -> str:

@@ -549,3 +549,249 @@ def test_hotine_variant_a_natural_origin():
     xa, ya = fwd(-84.5, 42.3)
     xe, ye = fwd_e(-84.5, 42.3)
     assert xa == xe and ya == ye
+
+
+# ---------------------------------------------------------------------------
+# WKT2 (ISO 19162) + PROJJSON + BOUNDCRS (r7)
+# ---------------------------------------------------------------------------
+
+WKT2_UTM33 = '''PROJCRS["WGS 84 / UTM zone 33N",
+  BASEGEOGCRS["WGS 84",
+    ENSEMBLE["World Geodetic System 1984 ensemble",
+      MEMBER["World Geodetic System 1984 (Transit)"],
+      ELLIPSOID["WGS 84",6378137,298.257223563,LENGTHUNIT["metre",1]],
+      ENSEMBLEACCURACY[2.0]],
+    PRIMEM["Greenwich",0,ANGLEUNIT["degree",0.0174532925199433]]],
+  CONVERSION["UTM zone 33N",
+    METHOD["Transverse Mercator",ID["EPSG",9807]],
+    PARAMETER["Latitude of natural origin",0,ANGLEUNIT["degree",0.0174532925199433],ID["EPSG",8801]],
+    PARAMETER["Longitude of natural origin",15,ANGLEUNIT["degree",0.0174532925199433]],
+    PARAMETER["Scale factor at natural origin",0.9996,SCALEUNIT["unity",1]],
+    PARAMETER["False easting",500000,LENGTHUNIT["metre",1]],
+    PARAMETER["False northing",0,LENGTHUNIT["metre",1]]],
+  CS[Cartesian,2],
+  AXIS["(E)",east,ORDER[1],LENGTHUNIT["metre",1]],
+  AXIS["(N)",north,ORDER[2],LENGTHUNIT["metre",1]],
+  ID["EPSG",32633]]'''
+
+WKT2_L93 = '''PROJCRS["RGF93 v1 / Lambert-93",
+  BASEGEOGCRS["RGF93 v1",
+    DATUM["Reseau Geodesique Francais 1993 v1",
+      ELLIPSOID["GRS 1980",6378137,298.257222101,LENGTHUNIT["metre",1]]],
+    PRIMEM["Greenwich",0,ANGLEUNIT["degree",0.0174532925199433]]],
+  CONVERSION["Lambert-93",
+    METHOD["Lambert Conic Conformal (2SP)",ID["EPSG",9802]],
+    PARAMETER["Latitude of false origin",46.5,ANGLEUNIT["degree",0.0174532925199433]],
+    PARAMETER["Longitude of false origin",3,ANGLEUNIT["degree",0.0174532925199433]],
+    PARAMETER["Latitude of 1st standard parallel",49,ANGLEUNIT["degree",0.0174532925199433]],
+    PARAMETER["Latitude of 2nd standard parallel",44,ANGLEUNIT["degree",0.0174532925199433]],
+    PARAMETER["Easting at false origin",700000,LENGTHUNIT["metre",1]],
+    PARAMETER["Northing at false origin",6600000,LENGTHUNIT["metre",1]]],
+  CS[Cartesian,2],
+  AXIS["easting (X)",east,ORDER[1],LENGTHUNIT["metre",1]],
+  AXIS["northing (Y)",north,ORDER[2],LENGTHUNIT["metre",1]],
+  ID["EPSG",2154]]'''
+
+# NTF (Paris) / Lambert zone II-style: grads on the parallels AND a
+# non-Greenwich prime meridian carrying its own ANGLEUNIT
+WKT2_NTF_GRADS = '''PROJCRS["NTF (Paris) / Lambert zone II",
+  BASEGEOGCRS["NTF (Paris)",
+    DATUM["Nouvelle Triangulation Francaise (Paris)",
+      ELLIPSOID["Clarke 1880 (IGN)",6378249.2,293.466021293627,
+        LENGTHUNIT["metre",1]]],
+    PRIMEM["Paris",2.5969213,ANGLEUNIT["grad",0.0157079632679489]]],
+  CONVERSION["Lambert zone II",
+    METHOD["Lambert Conic Conformal (1SP)",ID["EPSG",9801]],
+    PARAMETER["Latitude of natural origin",52,
+      ANGLEUNIT["grad",0.0157079632679489]],
+    PARAMETER["Longitude of natural origin",0,
+      ANGLEUNIT["grad",0.0157079632679489]],
+    PARAMETER["Scale factor at natural origin",0.99987742,
+      SCALEUNIT["unity",1]],
+    PARAMETER["False easting",600000,LENGTHUNIT["metre",1]],
+    PARAMETER["False northing",2200000,LENGTHUNIT["metre",1]]],
+  CS[Cartesian,2],
+  AXIS["easting (X)",east,ORDER[1],LENGTHUNIT["metre",1]],
+  AXIS["northing (Y)",north,ORDER[2],LENGTHUNIT["metre",1]]]'''
+
+
+def test_wkt2_utm33_matches_table():
+    fwd, inv = W.pair_from_wkt(WKT2_UTM33)
+    tf = C.from_lonlat(32633)
+    for lon, lat in [(15.0, 0.0), (16.5, 48.2), (12.0, -33.0)]:
+        x1, y1 = fwd(lon, lat)
+        x2, y2 = tf(lon, lat)
+        assert abs(x1 - x2) < 1e-6 and abs(y1 - y2) < 1e-6
+        lo, la = inv(x1, y1)
+        # ~5e-9 deg lat is the tm inverse series' own residual (the
+        # EPSG-table pair shows the identical number)
+        assert abs(lo - lon) < 1e-7 and abs(la - lat) < 1e-7
+
+
+def test_wkt2_lambert93_matches_table():
+    fwd, _ = W.pair_from_wkt(WKT2_L93)
+    tf = C.from_lonlat(2154)
+    for lon, lat in [(2.35, 48.85), (5.4, 43.3)]:
+        x1, y1 = fwd(lon, lat)
+        x2, y2 = tf(lon, lat)
+        assert abs(x1 - x2) < 1e-6 and abs(y1 - y2) < 1e-6
+
+
+def test_wkt2_grad_units_and_paris_meridian():
+    """Per-parameter grad ANGLEUNITs and a Paris PRIMEM with its own
+    grad unit must both convert; the WKT1 twin (same parameters in
+    WKT1 syntax, degree equivalents) is the truth."""
+    wkt1 = (
+        'PROJCS["NTF (Paris) / Lambert zone II",GEOGCS["NTF (Paris)",'
+        'DATUM["Nouvelle_Triangulation_Francaise_Paris",'
+        'SPHEROID["Clarke 1880 (IGN)",6378249.2,293.466021293627]],'
+        'PRIMEM["Paris",2.33722917],'
+        'UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Lambert_Conformal_Conic_1SP"],'
+        'PARAMETER["latitude_of_origin",46.8],'
+        'PARAMETER["central_meridian",0],'
+        'PARAMETER["scale_factor",0.99987742],'
+        'PARAMETER["false_easting",600000],'
+        'PARAMETER["false_northing",2200000],UNIT["metre",1]]')
+    f2, i2 = W.pair_from_wkt(WKT2_NTF_GRADS)
+    f1, _ = W.pair_from_wkt(wkt1)
+    for lon, lat in [(2.35, 48.85), (4.8, 45.76)]:
+        a, b = f1(lon, lat), f2(lon, lat)
+        # grads carry the rounded rad/grad factor: ~1e-7 deg slack
+        assert abs(a[0] - b[0]) < 0.05 and abs(a[1] - b[1]) < 0.05
+        lo, la = i2(*b)
+        assert abs(lo - lon) < 1e-9 and abs(la - lat) < 1e-9
+
+
+def test_projjson_utm33_matches_table():
+    import json
+
+    pj = {
+        "type": "ProjectedCRS", "name": "WGS 84 / UTM zone 33N",
+        "base_crs": {
+            "type": "GeographicCRS", "name": "WGS 84",
+            "datum_ensemble": {
+                "name": "World Geodetic System 1984 ensemble",
+                "ellipsoid": {"name": "WGS 84",
+                              "semi_major_axis": 6378137,
+                              "inverse_flattening": 298.257223563}}},
+        "conversion": {
+            "name": "UTM zone 33N",
+            "method": {"name": "Transverse Mercator",
+                       "id": {"authority": "EPSG", "code": 9807}},
+            "parameters": [
+                {"name": "Latitude of natural origin", "value": 0,
+                 "unit": "degree"},
+                {"name": "Longitude of natural origin", "value": 15,
+                 "unit": "degree"},
+                {"name": "Scale factor at natural origin",
+                 "value": 0.9996, "unit": "unity"},
+                {"name": "False easting", "value": 500000,
+                 "unit": "metre"},
+                {"name": "False northing", "value": 0,
+                 "unit": "metre"}]},
+        "coordinate_system": {
+            "subtype": "Cartesian",
+            "axis": [{"name": "Easting", "direction": "east",
+                      "unit": "metre"},
+                     {"name": "Northing", "direction": "north",
+                      "unit": "metre"}]},
+        "id": {"authority": "EPSG", "code": 32633}}
+    fwd, inv = W.pair_from_wkt(json.dumps(pj))
+    tf = C.from_lonlat(32633)
+    for lon, lat in [(15.0, 0.0), (16.5, 48.2)]:
+        x1, y1 = fwd(lon, lat)
+        x2, y2 = tf(lon, lat)
+        assert abs(x1 - x2) < 1e-6 and abs(y1 - y2) < 1e-6
+        lo, la = inv(x1, y1)
+        assert abs(lo - lon) < 1e-8 and abs(la - lat) < 1e-8
+
+
+BOUND_OSGB = '''BOUNDCRS[
+ SOURCECRS[PROJCRS["OSGB36 / British National Grid",
+   BASEGEOGCRS["OSGB36",DATUM["Ordnance Survey of Great Britain 1936",
+     ELLIPSOID["Airy 1830",6377563.396,299.3249646,LENGTHUNIT["metre",1]]],
+     PRIMEM["Greenwich",0,ANGLEUNIT["degree",0.0174532925199433]]],
+   CONVERSION["British National Grid",
+     METHOD["Transverse Mercator",ID["EPSG",9807]],
+     PARAMETER["Latitude of natural origin",49,ANGLEUNIT["degree",0.0174532925199433]],
+     PARAMETER["Longitude of natural origin",-2,ANGLEUNIT["degree",0.0174532925199433]],
+     PARAMETER["Scale factor at natural origin",0.9996012717,SCALEUNIT["unity",1]],
+     PARAMETER["False easting",400000,LENGTHUNIT["metre",1]],
+     PARAMETER["False northing",-100000,LENGTHUNIT["metre",1]]],
+   CS[Cartesian,2],AXIS["(E)",east,ORDER[1],LENGTHUNIT["metre",1]],
+   AXIS["(N)",north,ORDER[2],LENGTHUNIT["metre",1]]]],
+ TARGETCRS[GEOGCRS["WGS 84",ENSEMBLE["WGS 84 ensemble",
+   MEMBER["t"],ELLIPSOID["WGS 84",6378137,298.257223563,LENGTHUNIT["metre",1]],
+   ENSEMBLEACCURACY[2.0]],
+   PRIMEM["Greenwich",0,ANGLEUNIT["degree",0.0174532925199433]],
+   CS[ellipsoidal,2],
+   AXIS["latitude",north,ORDER[1],ANGLEUNIT["degree",0.0174532925199433]],
+   AXIS["longitude",east,ORDER[2],ANGLEUNIT["degree",0.0174532925199433]]]],
+ ABRIDGEDTRANSFORMATION["OSGB36 to WGS 84 (6)",
+   METHOD["Position Vector transformation (geog2D domain)",ID["EPSG",9606]],
+   PARAMETER["X-axis translation",446.448,ID["EPSG",8605]],
+   PARAMETER["Y-axis translation",-125.157,ID["EPSG",8606]],
+   PARAMETER["Z-axis translation",542.06,ID["EPSG",8607]],
+   PARAMETER["X-axis rotation",0.15,ID["EPSG",8608]],
+   PARAMETER["Y-axis rotation",0.247,ID["EPSG",8609]],
+   PARAMETER["Z-axis rotation",0.842,ID["EPSG",8610]],
+   PARAMETER["Scale difference",-20.489,ID["EPSG",8611]]]]'''
+
+
+def test_wkt2_boundcrs_matches_wkt1_towgs84():
+    """BOUNDCRS + ABRIDGEDTRANSFORMATION = WKT1 PROJCS + TOWGS84 on
+    identical parameters (the PROJ export twins of EPSG:27700)."""
+    wkt1 = (
+        'PROJCS["OSGB36 / British National Grid",GEOGCS["OSGB36",'
+        'DATUM["OSGB_1936",SPHEROID["Airy 1830",6377563.396,'
+        '299.3249646],TOWGS84[446.448,-125.157,542.06,0.15,0.247,'
+        '0.842,-20.489]],PRIMEM["Greenwich",0],'
+        'UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Transverse_Mercator"],'
+        'PARAMETER["latitude_of_origin",49],'
+        'PARAMETER["central_meridian",-2],'
+        'PARAMETER["scale_factor",0.9996012717],'
+        'PARAMETER["false_easting",400000],'
+        'PARAMETER["false_northing",-100000],UNIT["metre",1]]')
+    f1, _ = W.pair_from_wkt(wkt1)
+    f2, i2 = W.pair_from_wkt(BOUND_OSGB)
+    for lon, lat in [(-0.12, 51.5), (-3.2, 55.95)]:
+        a, b = f1(lon, lat), f2(lon, lat)
+        assert abs(a[0] - b[0]) < 1e-6 and abs(a[1] - b[1]) < 1e-6
+        lo, la = i2(*b)
+        # first-order Helmert negation residual (~4 mm), same as the
+        # WKT1 TOWGS84 path
+        assert abs(lo - lon) < 1e-6 and abs(la - lat) < 1e-6
+
+
+def test_wkt2_geogcrs_ensemble_identity():
+    wkt2 = ('GEOGCRS["WGS 84",ENSEMBLE["World Geodetic System 1984 '
+            'ensemble",MEMBER["t"],ELLIPSOID["WGS 84",6378137,'
+            '298.257223563,LENGTHUNIT["metre",1]],'
+            'ENSEMBLEACCURACY[2.0]],PRIMEM["Greenwich",0,'
+            'ANGLEUNIT["degree",0.0174532925199433]],'
+            'CS[ellipsoidal,2],AXIS["latitude",north,ORDER[1],'
+            'ANGLEUNIT["degree",0.0174532925199433]],'
+            'AXIS["longitude",east,ORDER[2],'
+            'ANGLEUNIT["degree",0.0174532925199433]],'
+            'ID["EPSG",4326]]')
+    fwd, inv = W.pair_from_wkt(wkt2)
+    assert fwd(12.5, -33.25) == (12.5, -33.25)
+    assert inv(12.5, -33.25) == (12.5, -33.25)
+
+
+def test_wkt2_np_kernels_match_scalar():
+    import numpy as np
+
+    fwd_np, inv_np = W.pair_from_wkt(WKT2_L93, use_np=True)
+    fwd_s, _ = W.pair_from_wkt(WKT2_L93)
+    lon = np.array([2.35, 5.4])
+    lat = np.array([48.85, 43.3])
+    x, y = fwd_np(lon, lat)
+    for i, (lo, la) in enumerate([(2.35, 48.85), (5.4, 43.3)]):
+        xs, ys = fwd_s(lo, la)
+        assert abs(x[i] - xs) < 1e-6 and abs(y[i] - ys) < 1e-6
+    lo2, la2 = inv_np(x, y)
+    assert np.allclose(lo2, lon, atol=1e-9)
+    assert np.allclose(la2, lat, atol=1e-9)

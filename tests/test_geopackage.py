@@ -198,3 +198,54 @@ def test_write_gpkg_tables_per_layer_srid(spark, tmp_path):
         FEATURE_SCHEMA)
     with _pytest.raises(Exception, match="mixes"):
         GP.write_gpkg_tables(bad, str(tmp_path / "b")).collect()
+
+
+def test_gpkg_definition_12_063_wkt2_resolves(spark, tmp_path):
+    """A modern GeoPackage whose srs row has definition='undefined'
+    but a populated OGC 12-063 WKT2 column must reproject through
+    the closed-form WKT2 resolver (r7) — srs_id deliberately NOT an
+    EPSG code the engine knows."""
+    import sqlite3
+
+    from geohub_data_pipeline_spark.operators import crs as C
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.sources.geopackage import (
+        features_from_gpkg, write_gpkg)
+
+    wkt2 = (
+        'PROJCRS["WGS 84 / UTM zone 33N",'
+        'BASEGEOGCRS["WGS 84",ENSEMBLE["WGS 84 ensemble",'
+        'MEMBER["t"],ELLIPSOID["WGS 84",6378137,298.257223563,'
+        'LENGTHUNIT["metre",1]],ENSEMBLEACCURACY[2.0]],'
+        'PRIMEM["Greenwich",0,'
+        'ANGLEUNIT["degree",0.0174532925199433]]],'
+        'CONVERSION["UTM zone 33N",'
+        'METHOD["Transverse Mercator",ID["EPSG",9807]],'
+        'PARAMETER["Latitude of natural origin",0,'
+        'ANGLEUNIT["degree",0.0174532925199433]],'
+        'PARAMETER["Longitude of natural origin",15,'
+        'ANGLEUNIT["degree",0.0174532925199433]],'
+        'PARAMETER["Scale factor at natural origin",0.9996,'
+        'SCALEUNIT["unity",1]],'
+        'PARAMETER["False easting",500000,LENGTHUNIT["metre",1]],'
+        'PARAMETER["False northing",0,LENGTHUNIT["metre",1]]],'
+        'CS[Cartesian,2],'
+        'AXIS["(E)",east,ORDER[1],LENGTHUNIT["metre",1]],'
+        'AXIS["(N)",north,ORDER[2],LENGTHUNIT["metre",1]]]')
+    x, y = C.from_lonlat(32633)(15.5, 47.0)
+    path = str(tmp_path / "w2.gpkg")
+    write_gpkg(path, {"pts": [(1, G.wkb_point(x, y))]}, srid=99999)
+    con = sqlite3.connect(path)
+    con.execute("ALTER TABLE gpkg_spatial_ref_sys "
+                "ADD COLUMN definition_12_063 TEXT")
+    con.execute("UPDATE gpkg_spatial_ref_sys "
+                "SET definition_12_063 = ? WHERE srs_id = 99999",
+                (wkt2,))
+    con.commit()
+    con.close()
+    feats = features_from_gpkg(spark, path)
+    row = feats.collect()[0]
+    assert row.srid == 99999 and row.crs_wkt == wkt2
+    norm = G.normalize_features(feats).collect()[0]
+    assert abs(norm.bbox_minx - 15.5) < 1e-7
+    assert abs(norm.bbox_miny - 47.0) < 1e-7

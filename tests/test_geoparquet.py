@@ -104,11 +104,83 @@ def test_geoparquet_rejects_non_wkb_and_unresolvable_crs(spark, tmp_path):
     with pytest.raises(ValueError, match="encoding"):
         features_from_geoparquet(spark, str(native))
 
+    # PROJJSON without an EPSG identity: carried as the crs_wkt
+    # sidecar (srid 0, the .prj convention) so the WKT/PROJJSON
+    # resolver can reproject it downstream (r7)
     nocrs = tmp_path / "nocrs.parquet"
+    noid_crs = {"type": "ProjectedCRS", "name": "mystery"}
     write_with_geo(str(nocrs), {
         "version": "1.0.0", "primary_column": "geometry",
         "columns": {"geometry": {"encoding": "WKB",
-                                 "crs": {"type": "ProjectedCRS",
-                                         "name": "mystery"}}}})
+                                 "crs": noid_crs}}})
+    row = features_from_geoparquet(spark, str(nocrs)).collect()[0]
+    assert row.srid == 0
+    assert json.loads(row.crs_wkt) == noid_crs
+
+    # a crs that is neither EPSG-identified nor a PROJJSON object
+    # still rejects — assuming lon/lat would mis-georeference
+    badcrs = tmp_path / "badcrs.parquet"
+    write_with_geo(str(badcrs), {
+        "version": "1.0.0", "primary_column": "geometry",
+        "columns": {"geometry": {"encoding": "WKB",
+                                 "crs": "mystery text"}}})
     with pytest.raises(ValueError, match="EPSG"):
-        features_from_geoparquet(spark, str(nocrs))
+        features_from_geoparquet(spark, str(badcrs))
+
+
+def test_geoparquet_projjson_no_epsg_reprojects(spark, tmp_path):
+    """A GeoParquet whose crs is a PROJJSON ProjectedCRS WITHOUT an
+    EPSG id must reproject through the closed-form PROJJSON resolver
+    (srid 0 + crs_wkt sidecar, r7)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from geohub_data_pipeline_spark.operators import crs as C
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.operators.geoparquet import (
+        features_from_geoparquet,
+    )
+
+    pjson = {
+        "type": "ProjectedCRS", "name": "no-id UTM 33N",
+        "base_crs": {
+            "type": "GeographicCRS", "name": "WGS 84",
+            "datum_ensemble": {
+                "name": "e",
+                "ellipsoid": {"name": "WGS 84",
+                              "semi_major_axis": 6378137,
+                              "inverse_flattening": 298.257223563}}},
+        "conversion": {
+            "name": "UTM 33N",
+            "method": {"name": "Transverse Mercator"},
+            "parameters": [
+                {"name": "Latitude of natural origin", "value": 0,
+                 "unit": "degree"},
+                {"name": "Longitude of natural origin", "value": 15,
+                 "unit": "degree"},
+                {"name": "Scale factor at natural origin",
+                 "value": 0.9996, "unit": "unity"},
+                {"name": "False easting", "value": 500000,
+                 "unit": "metre"},
+                {"name": "False northing", "value": 0,
+                 "unit": "metre"}]},
+        "coordinate_system": {
+            "subtype": "Cartesian",
+            "axis": [{"name": "E", "direction": "east",
+                      "unit": "metre"}]}}
+    x, y = C.from_lonlat(32633)(15.5, 47.0)
+    geo = {"version": "1.0.0", "primary_column": "geometry",
+           "columns": {"geometry": {"encoding": "WKB",
+                                    "crs": pjson}}}
+    tbl = pa.Table.from_pandas(pd.DataFrame({
+        "geometry": [G.wkb_point(x, y)], "fid": [1]}))
+    tbl = tbl.replace_schema_metadata(
+        {b"geo": json.dumps(geo).encode()})
+    path = str(tmp_path / "pj.parquet")
+    pq.write_table(tbl, path)
+    feats = features_from_geoparquet(spark, path)
+    row = feats.collect()[0]
+    assert row.srid == 0 and row.crs_wkt
+    norm = G.normalize_features(feats).collect()[0]
+    assert abs(norm.bbox_minx - 15.5) < 1e-7
+    assert abs(norm.bbox_miny - 47.0) < 1e-7
