@@ -707,3 +707,184 @@ def merge_tile_fragments(feats) -> "DataFrame":
             F.col("__props").alias("properties"),
             F.col("__n").cast("int").alias("n_tiles"))
     )
+
+
+def weld_clipped_fragments(feats, cells: int = 256,
+                           use_fid: bool = True):
+    """Geometric border-weld for THIRD-PARTY clipped MVT archives —
+    the companion to ``merge_tile_fragments`` (which is exact for
+    this engine's non-clipping encoder but keeps one row per clipped
+    part for tippecanoe-style archives whose encoder cut geometries
+    at tile borders).
+
+    Identification is geometric, not byte-identity: a clipped
+    polygon fragment carries ring segments LYING ON its tile's
+    border lines.  Each such border run is rasterized onto a GLOBAL
+    web-mercator cell grid (``cells`` per tile side — neighbors
+    across a border compute identical cell indices because the grid
+    is global), fragments sharing a border cell become edges of a
+    fragment graph, connected components label original features,
+    and each component dissolves along its (vertex-identical,
+    same-global-pixel-grid) clip edges into one geometry via the
+    coverage dissolver.  ``n_open > 0`` on the output flags
+    encoder-rounding wobble the stitcher could not absorb — reported
+    per feature, never guessed at.
+
+    Input: ``features_from_tiles`` output (properties carry the
+    ``_z/_x/_y`` provenance).  POLYGON rows weld; point/line rows
+    pass through one-per-input-row with ``n_fragments = 1`` (line
+    welding is ``overlay.merge_lines``' job on endpoint identity).
+
+    ``use_fid=True`` (default) welds only fragments sharing a
+    feature id — tippecanoe preserves ids, and two DISTINCT features
+    clipped at the same border spot must not merge.  Pass False for
+    id-less archives (per-tile synthesized fids), accepting the
+    documented geometric ambiguity at border-cell granularity.
+
+    Output: dataset, layer, fid (min over the component), geometry,
+    srid, crs_wkt, properties (provenance stripped), n_fragments,
+    n_open.
+
+    Scale: border cells are a map-side fan bounded by 4 x ``cells``
+    rows per fragment; the graph join + CC shuffle touch cell keys
+    and 8-byte ids only; the dissolve is the coverage dissolver's
+    one edge-keyed shuffle.  No all-pairs anywhere.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from geohub_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+    from geohub_data_pipeline_spark.operators.overlay import dissolve
+    from geohub_data_pipeline_spark.session import ship_package
+    from geohub_data_pipeline_spark.sources.shapefile import (
+        FEATURE_SCHEMA,
+    )
+    ship_package(feats.sparkSession)
+
+    f = feats.withColumn(
+        "frag_id", F.xxhash64("dataset", "layer", "fid", "geometry",
+                             "properties"))
+
+    def is_poly(wkb: bytes) -> bool:
+        if wkb is None or len(wkb) < 5:
+            return False
+        import struct
+        gtype = struct.unpack_from(
+            "<I", wkb, 1)[0] % 1000
+        return gtype in (G.POLYGON, G.MULTIPOLYGON)
+
+    def border_cells(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from geohub_data_pipeline_spark.operators import spatial as SP
+        for pdf in it:
+            ks, fr = [], []
+            for r in pdf.itertuples(index=False):
+                if r.geometry is None or not is_poly(bytes(r.geometry)):
+                    continue
+                try:
+                    props = json.loads(r.properties or "{}")
+                    z = int(props["_z"])
+                    tx = int(props["_x"])
+                    ty = int(props["_y"])
+                except (ValueError, KeyError, TypeError):
+                    continue               # no provenance: can't weld
+                fk = int(r.fid) if use_fid else 0
+                n = 1 << z
+                rings = SP._rings_of_wkb(bytes(r.geometry)) or []
+                for ring in rings:
+                    arr = np.asarray(ring, np.float64).reshape(-1, 2)
+                    # global mercator units scaled to the cell grid
+                    u = (arr[:, 0] + 180.0) / 360.0 * n * cells
+                    latr = np.radians(np.clip(arr[:, 1], -89.9999,
+                                              89.9999))
+                    v = (1.0 - np.log(np.tan(latr) + 1.0
+                                      / np.cos(latr)) / math.pi) \
+                        / 2.0 * n * cells
+                    bu = np.array([tx * cells, (tx + 1) * cells],
+                                  np.float64)
+                    bv = np.array([ty * cells, (ty + 1) * cells],
+                                  np.float64)
+                    eps = 1e-6
+                    for i in range(len(arr) - 1):
+                        u0, u1, v0, v1 = u[i], u[i + 1], v[i], v[i + 1]
+                        for b in bu:       # vertical border runs
+                            if abs(u0 - b) < eps and abs(u1 - b) < eps:
+                                lo = int(math.floor(min(v0, v1)))
+                                hi = int(math.ceil(max(v0, v1)))
+                                for c in range(lo, hi):
+                                    ks.append(f"{r.dataset}|{r.layer}"
+                                              f"|{fk}|{z}|v|"
+                                              f"{round(b)}|{c}")
+                                    fr.append(int(r.frag_id))
+                        for b in bv:       # horizontal border runs
+                            if abs(v0 - b) < eps and abs(v1 - b) < eps:
+                                lo = int(math.floor(min(u0, u1)))
+                                hi = int(math.ceil(max(u0, u1)))
+                                for c in range(lo, hi):
+                                    ks.append(f"{r.dataset}|{r.layer}"
+                                              f"|{fk}|{z}|h|"
+                                              f"{round(b)}|{c}")
+                                    fr.append(int(r.frag_id))
+            yield pd.DataFrame({"cell": ks, "frag": fr})
+
+    cell_rows = f.mapInPandas(border_cells, "cell string, frag long")
+    # min-star edges per cell: bounded by fragments per border cell
+    edges = (cell_rows.groupBy("cell")
+             .agg(F.collect_set("frag").alias("fs"))
+             .select(F.explode("fs").alias("id_b"),
+                     F.array_min("fs").alias("id_a"))
+             .filter(F.col("id_a") != F.col("id_b"))
+             .distinct())
+    labels = connected_components(edges)
+
+    # strip the _z/_x/_y provenance python-side so property VALUE
+    # types survive (an expression round-trip through
+    # map<string,string> would stringify numbers)
+    def strip_k(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            clean = []
+            for props in pdf["properties"]:
+                try:
+                    d = json.loads(props) if props else {}
+                except ValueError:
+                    d = {}
+                d.pop("_z", None)
+                d.pop("_x", None)
+                d.pop("_y", None)
+                clean.append(json.dumps(d, sort_keys=True,
+                                        default=str))
+            out = pdf.copy()
+            out["properties"] = clean
+            yield out
+
+    stripped = f.mapInPandas(strip_k,
+                             FEATURE_SCHEMA + ", frag_id long")
+    lab = labels.select(F.col("node").alias("frag_id"),
+                        F.col("label").alias("weld_lbl"))
+    j = (stripped.join(lab, "frag_id", "left")
+         .withColumn("weld_lbl",
+                     F.coalesce("weld_lbl", F.col("frag_id"))))
+
+    attrs = (j.groupBy("dataset", "layer", "weld_lbl")
+             .agg(F.min("fid").alias("fid"),
+                  F.first("srid").alias("srid"),
+                  F.first("crs_wkt").alias("crs_wkt"),
+                  F.min("properties").alias("properties"),
+                  F.count(F.lit(1)).alias("n_fragments")))
+
+    polys = j.filter(F.col("geometry").isNotNull()).select(
+        F.col("weld_lbl").alias("key"), "geometry")
+    merged = dissolve(polys).select(
+        F.col("key").alias("weld_lbl"), "geometry",
+        F.col("n_open").cast("int").alias("n_open"))
+
+    return (attrs.join(merged, "weld_lbl")
+            .select("dataset", "layer", "fid", "geometry", "srid",
+                    "crs_wkt", "properties",
+                    F.col("n_fragments").cast("int").alias(
+                        "n_fragments"), "n_open"))

@@ -5860,3 +5860,103 @@ def crs_wkt2_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return base.mapInPandas(
         rt, "doc_id long, family string, lon_rt double, lat_rt double")
+
+
+# ---------------------------------------------------------------------------
+# S5n round 7: geometric border-weld for CLIPPED MVT archives
+# ---------------------------------------------------------------------------
+
+_WELD_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS fid,
+       CAST(FLOOR((-170.2 + (doc_id % 72) * 4.2
+                   + 10.5 + (doc_id % 4) * 5.625 + 180.0) / 22.5)
+            - FLOOR((-170.2 + (doc_id % 72) * 4.2 + 180.0) / 22.5)
+            + 1 AS INTEGER) AS n_fragments,
+       CAST(0 AS INTEGER) AS n_open,
+       round((10.5 + (doc_id % 4) * 5.625) * 10.25, 6) AS area
+FROM documents
+ORDER BY fid
+"""
+
+
+@query("mvt_border_weld", "pipeline",
+       "§2.1 S5n extension: geometric border-weld re-ingest for "
+       "THIRD-PARTY clipped MVT archives (operators/mvt.py "
+       "weld_clipped_fragments r7) — border-cell fragment graph -> "
+       "connected components -> coverage dissolve; the reference "
+       "only passthroughs .pmtiles (ref ingest/ingest.py:246-247)",
+       _WELD_SQL)
+def mvt_border_weld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: a rectangle spanning 1-3 z=4 tile columns is
+    CLIPPED at the vertical tile borders (the tippecanoe archive
+    situation), the per-tile fragments run through the weld, and the
+    oracle states fragment count (border-crossing arithmetic), a
+    closed border audit (n_open = 0) and the EXACT dissolved area
+    (dyadic width x height, so the shoelace over the stitched ring
+    reproduces the product bit-stably at 6 decimals).
+    """
+    import json
+    import math
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.operators import mvt as MVT
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    t = load_tables(spark, sf_dir)
+    z = 4
+    n = 1 << z
+    ty = 7                                 # lat band 0..21.94 deg
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                lon0 = -170.2 + (did % 72) * 4.2
+                lon1 = lon0 + 10.5 + (did % 4) * 5.625
+                lat0, lat1 = 5.25, 15.5
+                for tx in range(n):
+                    w = tx / n * 360.0 - 180.0
+                    e = (tx + 1) / n * 360.0 - 180.0
+                    cx0, cx1 = max(lon0, w), min(lon1, e)
+                    if cx0 >= cx1:
+                        continue
+                    wkb = G.wkb_polygon([[
+                        (cx0, lat0), (cx1, lat0), (cx1, lat1),
+                        (cx0, lat1), (cx0, lat0)]])
+                    props = json.dumps(
+                        {"_z": z, "_x": tx, "_y": ty, "d": did},
+                        sort_keys=True)
+                    rows.append(("d", "l", did, wkb, 4326, None,
+                                 props))
+            yield pd.DataFrame(rows, columns=[
+                "dataset", "layer", "fid", "geometry", "srid",
+                "crs_wkt", "properties"])
+
+    frags = t.documents.select("doc_id").mapInPandas(
+        gen, "dataset string, layer string, fid long, "
+             "geometry binary, srid int, crs_wkt string, "
+             "properties string")
+    welded = MVT.weld_clipped_fragments(frags)
+
+    def finish(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from geohub_data_pipeline_spark.operators import spatial as SP
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                tot = 0.0
+                for ring in SP._rings_of_wkb(bytes(r.geometry)):
+                    tot += G._ring_area2(
+                        [(float(x), float(y)) for x, y in ring]) / 2.0
+                rows.append((int(r.fid), int(r.n_fragments),
+                             int(r.n_open), round(tot, 6) + 0.0))
+            yield pd.DataFrame(rows, columns=[
+                "fid", "n_fragments", "n_open", "area"])
+
+    return welded.mapInPandas(
+        finish, "fid long, n_fragments int, n_open int, area double"
+    ).orderBy("fid")

@@ -435,3 +435,76 @@ def test_merge_tile_fragments_roundtrip(spark, tmp_path):
     xs, ys = c[0::2], c[1::2]
     assert abs(min(xs) - -10.0) < 0.05 and abs(max(xs) - 30.0) < 0.05
     assert abs(min(ys) - -5.0) < 0.05 and abs(max(ys) - 25.0) < 0.05
+
+
+def test_weld_clipped_fragments_recovers_features(spark):
+    """A synthetically CLIPPED archive (tippecanoe-style: every tile
+    carries only its clip of the geometry) welds back to one row per
+    original feature: fragment count, exact area, closed borders."""
+    import json as _json
+    import math
+
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.operators import mvt as MVT
+
+    z = 3
+    n = 1 << z
+
+    def lat_of_row(wy):
+        return math.degrees(math.atan(
+            math.sinh(math.pi * (1 - 2 * wy / n))))
+
+    def rect(x0, y0, x1, y1):
+        return G.wkb_polygon([[(x0, y0), (x1, y0), (x1, y1),
+                               (x0, y1), (x0, y0)]])
+
+    def clipped_rows(fid, lon0, lon1, lat0, lat1):
+        """Clip the rect at z-level tile borders, one row per tile."""
+        rows = []
+        for tx in range(n):
+            w = tx / n * 360.0 - 180.0
+            e = (tx + 1) / n * 360.0 - 180.0
+            cx0, cx1 = max(lon0, w), min(lon1, e)
+            if cx0 >= cx1:
+                continue
+            for ty in range(n):
+                top, bot = lat_of_row(ty), lat_of_row(ty + 1)
+                cy0, cy1 = max(lat0, bot), min(lat1, top)
+                if cy0 >= cy1:
+                    continue
+                props = {"_z": z, "_x": tx, "_y": ty, "name": "r"}
+                rows.append(("d", "l", fid,
+                             rect(cx0, cy0, cx1, cy1), 4326, None,
+                             _json.dumps(props, sort_keys=True)))
+        return rows
+
+    # rect A spans one vertical border (lon 45 at z=3); rect B spans
+    # a horizontal border (lat_of_row(3) ~ 40.98); rect C inside one
+    # tile (no clipping)
+    rows = (clipped_rows(1, 40.0, 50.0, 10.0, 20.0)
+            + clipped_rows(2, 10.0, 20.0, 35.0, 45.0)
+            + clipped_rows(3, 50.0, 55.0, 10.0, 15.0))
+    feats = spark.createDataFrame(
+        rows, "dataset string, layer string, fid long, "
+              "geometry binary, srid int, crs_wkt string, "
+              "properties string")
+    out = {r.fid: r for r in
+           MVT.weld_clipped_fragments(feats).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_fragments == 2 and out[2].n_fragments == 2
+    assert out[3].n_fragments == 1
+    assert all(r.n_open == 0 for r in out.values())
+    assert all(_json.loads(r.properties) == {"name": "r"}
+               for r in out.values())
+
+    def area(wkb):
+        from geohub_data_pipeline_spark.operators import spatial as SP
+        tot = 0.0
+        for ring in SP._rings_of_wkb(bytes(wkb)):
+            tot += G._ring_area2([(float(x), float(y))
+                                  for x, y in ring]) / 2.0
+        return tot
+
+    assert abs(area(out[1].geometry) - 100.0) < 1e-9
+    assert abs(area(out[2].geometry) - 100.0) < 1e-9
+    assert abs(area(out[3].geometry) - 25.0) < 1e-9
