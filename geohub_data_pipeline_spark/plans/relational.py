@@ -1768,3 +1768,258 @@ def subquery_exists_correlated(spark: SparkSession,
             .select(F.col("c_custkey").alias("custkey"),
                     F.col("c_name").alias("name"))
             .orderBy("custkey"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes, round 7: Q4 / Q6 / Q7 / Q14 / Q18 / Q19 (adapted to
+# the harness tables' columns: l_shipdate stands in for the
+# commit/receipt pair, p_type is the promo flag domain)
+# ---------------------------------------------------------------------------
+
+_Q4_SQL = """
+SELECT o.o_orderpriority AS orderpriority,
+       CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o.o_orderpriority
+ORDER BY orderpriority
+"""
+
+
+@query("q4_order_priority", "relational",
+       "§2.5 subqueries: TPC-H Q4 shape — correlated EXISTS with an "
+       "inequality on both sides (late-shipment probe), priority "
+       "counts", _Q4_SQL)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with at least one lineitem shipped >60 days after the
+    order date, counted per priority — the EXISTS compiles to a LEFT
+    SEMI join on the order key with the inequality as a join-side
+    filter; the date window pushes to the orders scan."""
+    t = load_tables(spark, sf_dir)
+    o = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    late = t.lineitem.select("l_orderkey", "l_shipdate")
+    sem = o.join(
+        late,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate")
+           > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi")
+    return (sem.groupBy(F.col("o_orderpriority").alias("orderpriority"))
+            .agg(F.count(F.lit(1)).alias("order_count"))
+            .orderBy("orderpriority"))
+
+
+_Q6_SQL = f"""
+SELECT {dsum_sql('l_extendedprice * l_discount', 6)} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("q6_forecast_revenue", "relational",
+       "§2.5 aggregation: TPC-H Q6 — pure scan-filter-aggregate; "
+       "every predicate reaches the parquet scan", _Q6_SQL)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-change forecast: one pass, no shuffle beyond the
+    2-row partial-aggregate exchange."""
+    t = load_tables(spark, sf_dir)
+    return (t.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), 6)
+             .alias("revenue")))
+
+
+_Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
+       {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 6)}
+         AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+WHERE n1.n_nationkey <> n2.n_nationkey
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+  AND (n1.n_nationkey + n2.n_nationkey) % 5 = 0
+GROUP BY n1.n_name, n2.n_name, EXTRACT(year FROM l.l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("q7_volume_shipping", "relational",
+       "§2.5 joins+agg: TPC-H Q7 shape — five-way join, cross-nation "
+       "pair filter, per-year revenue", _Q7_SQL)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-nation shipping volume per year.  The nation pair
+    filter replaces Q7's two-name IN list with an arithmetic pair
+    selector so the output covers many pairs (no dependence on the
+    synthetic name set).  Scale: nation broadcasts twice (25 rows),
+    supplier/customer hash-join the fact once each."""
+    t = load_tables(spark, sf_dir)
+    n1 = t.nation.select(F.col("n_nationkey").alias("sn_key"),
+                         F.col("n_name").alias("supp_nation"))
+    n2 = t.nation.select(F.col("n_nationkey").alias("cn_key"),
+                         F.col("n_name").alias("cust_nation"))
+    return (t.lineitem
+            .filter((F.col("l_shipdate")
+                     >= F.lit("1996-01-01").cast("timestamp"))
+                    & (F.col("l_shipdate")
+                       < F.lit("1998-01-01").cast("timestamp")))
+            .join(t.supplier,
+                  F.col("s_suppkey") == F.col("l_suppkey"))
+            .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+            .join(F.broadcast(n1),
+                  F.col("sn_key") == F.col("s_nationkey"))
+            .join(F.broadcast(n2),
+                  F.col("cn_key") == F.col("c_nationkey"))
+            .filter((F.col("sn_key") != F.col("cn_key"))
+                    & ((F.col("sn_key") + F.col("cn_key")) % 5 == 0))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("int").alias("l_year"))
+            .agg(dsum(F.col("l_extendedprice")
+                      * (1 - F.col("l_discount")), 6).alias("revenue"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+_Q14_SQL = f"""
+SELECT 100.0 * {dsum_sql(
+    "CASE WHEN p.p_type = 'PROMO' "
+    "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END", 6)}
+       / {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 6)}
+       AS promo_revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-04-01'
+"""
+
+
+@query("q14_promo_effect", "relational",
+       "§2.5 joins+agg: TPC-H Q14 — conditional aggregate ratio over "
+       "a fact-dim join (promo revenue share)", _Q14_SQL)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo revenue share for one month.  part broadcasts; both
+    sums are exact decimals so the single double division is
+    bit-stable."""
+    t = load_tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (t.lineitem
+            .filter((F.col("l_shipdate")
+                     >= F.lit("1997-03-01").cast("timestamp"))
+                    & (F.col("l_shipdate")
+                       < F.lit("1997-04-01").cast("timestamp")))
+            .join(F.broadcast(t.part),
+                  F.col("p_partkey") == F.col("l_partkey"))
+            .agg((F.lit(100.0)
+                  * dsum(F.when(F.col("p_type") == "PROMO", rev)
+                         .otherwise(F.lit(0.0)), 6)
+                  / dsum(rev, 6)).alias("promo_revenue")))
+
+
+_Q18_SQL = f"""
+SELECT c.c_name AS c_name,
+       c.c_custkey AS c_custkey,
+       o.o_orderkey AS o_orderkey,
+       CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+       {dsum_sql('l.l_quantity', 2)} AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS
+        DECIMAL(30,2))) > 150)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+         o.o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 20
+"""
+
+
+@query("q18_large_orders", "relational",
+       "§2.5 subqueries: TPC-H Q18 — HAVING subquery feeding a "
+       "semi-filter on a three-way join, deterministic top-20",
+       _Q18_SQL)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders: the HAVING pre-aggregate is tiny (one
+    row per qualifying order) and LEFT SEMI joins the fact before
+    the customer join."""
+    t = load_tables(spark, sf_dir)
+    big = (t.lineitem.groupBy("l_orderkey")
+           .agg(dsum(F.col("l_quantity"), 2).alias("q"))
+           .filter(F.col("q") > 150).select("l_orderkey"))
+    return (t.orders
+            .join(big.withColumnRenamed("l_orderkey", "bk"),
+                  F.col("bk") == F.col("o_orderkey"), "left_semi")
+            .join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+            .join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("c_name", "c_custkey", "o_orderkey",
+                     F.col("o_orderdate").cast("timestamp_ntz")
+                     .alias("o_orderdate"),
+                     F.col("o_totalprice").cast("double")
+                     .alias("o_totalprice"))
+            .agg(dsum(F.col("l_quantity"), 2).alias("sum_qty"))
+            .orderBy(F.desc("o_totalprice"), "o_orderdate",
+                     "o_orderkey")
+            .limit(20))
+
+
+_Q19_SQL = f"""
+SELECT {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 6)}
+         AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 21)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+"""
+
+
+@query("q19_discounted_revenue", "relational",
+       "§2.5 joins: TPC-H Q19 — disjunction of conjunct blocks "
+       "across both join sides (the OR-of-ANDs join filter)",
+       _Q19_SQL)
+def q19_discounted_revenue(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Three brand/size/quantity windows OR-ed together — the
+    classic predicate that defeats naive pushdown; Spark still
+    pushes the common join key and evaluates the disjunction
+    post-join on the broadcast dim."""
+    t = load_tables(spark, sf_dir)
+    q = F.col("l_quantity")
+
+    def block(brand, smax, qlo, qhi):
+        return ((F.col("p_brand") == brand)
+                & (F.col("p_size") >= 1) & (F.col("p_size") <= smax)
+                & (q >= qlo) & (q <= qhi))
+
+    return (t.lineitem
+            .join(F.broadcast(t.part),
+                  F.col("p_partkey") == F.col("l_partkey"))
+            .filter(block("Brand#12", 15, 1, 21)
+                    | block("Brand#23", 25, 10, 30)
+                    | block("Brand#34", 35, 20, 40))
+            .agg(dsum(F.col("l_extendedprice")
+                      * (1 - F.col("l_discount")), 6)
+                 .alias("revenue")))
