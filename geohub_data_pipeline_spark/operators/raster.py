@@ -1750,3 +1750,140 @@ def equalize(blocks: DataFrame, levels: int = 256,
                 "srid"])
 
     return lvl0.mapInPandas(remap, BLOCK_SCHEMA)
+
+
+def basin_labels(dirs: DataFrame, max_rounds: int = 128,
+                 block: int = BLOCK) -> DataFrame:
+    """D8 watershed / basin labeling (the ESRI Basin / GRASS
+    r.watershed-basins analog): every cell is labeled with the
+    GLOBAL id of the sink it drains to — a pit (D8 code 0) or an
+    off-raster outlet (a border cell whose code points outside).
+    Label encoding: ``global_row * 2^26 + global_col`` (exact in a
+    double up to 67M-pixel sides).  Nodata cells stay NaN.
+
+    Third consumer of the ``_halo_fixpoint`` partitioning-preserving
+    state store (after cost_distance / flow_accumulation): per
+    block, pointer-DOUBLING over the D8 target map resolves every
+    in-block chain in O(log(hw)) vectorized steps; chains leaving
+    the block terminate at a cached halo cell whose label arrives
+    from the neighbor — one 1-px strip per round, labels flow
+    upstream one block-hop per round like a wavefront, and only
+    CHANGED blocks re-send.  A halo side with NO neighbor (round-1
+    mail covers every existing side) marks off-raster outlets.
+
+    Input: ``flow_direction`` output (BLOCK_SCHEMA, pixel = D8
+    code).  Output: BLOCK_SCHEMA, pixel = basin label (double).
+    """
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(dirs.sparkSession)
+    GID = 1 << 26
+
+    lvl0 = dirs.filter(F.col("level") == 0)
+
+    def to_kv(r):
+        w, h = int(r["width"]), int(r["height"])
+        dr = np.asarray(r["pixels"], np.float64).reshape(h, w)
+        nod = r["nodata"]
+        if nod is not None and not np.isnan(nod):
+            dr = np.where(dr == float(nod), np.nan, dr)
+        key = (r["dataset"], r["subdataset"], int(r["band"]),
+               int(r["block_x"]), int(r["block_y"]))
+        lab = np.full((h, w), -1, np.int64)
+        by, bx = int(r["block_y"]), int(r["block_x"])
+        rows = (by * block + np.arange(h))[:, None]
+        cols = (bx * block + np.arange(w))[None, :]
+        gid = rows * GID + cols
+        lab[dr == 0.0] = gid[dr == 0.0]    # pits label themselves
+        lab[np.isnan(dr)] = -9             # nodata
+        return key, {"w": w, "h": h, "dir": dr, "lab": lab,
+                     "gid": gid, "srid": int(r["srid"]),
+                     "changed": True, "fresh": True}
+
+    _STRIPS = {
+        (0, -1): (np.s_[:, :1], "c,e"), (0, 1): (np.s_[:, -1:], "c,w"),
+        (-1, 0): (np.s_[:1, :], "s,c"), (1, 0): (np.s_[-1:, :], "n,c"),
+        (-1, -1): (np.s_[:1, :1], "s,e"),
+        (-1, 1): (np.s_[:1, -1:], "s,w"),
+        (1, -1): (np.s_[-1:, :1], "n,e"),
+        (1, 1): (np.s_[-1:, -1:], "n,w"),
+    }
+
+    def strip_fn(key, st):
+        ds, sub, band, bx, by = key
+        for (dby, dbx), (sl, kind) in _STRIPS.items():
+            yield ((ds, sub, band, bx + dbx, by + dby),
+                   (kind, st["lab"][sl].copy()))
+
+    def relax_fn(key, st, payloads):
+        w, h = st["w"], st["h"]
+        halo = dict(st.get("halo") or {})
+        for kind, sl in payloads:
+            halo[kind] = sl
+        H, W = h + 2, w + 2
+        lab = np.full((H, W), -1, np.int64)
+        lab[1:-1, 1:-1] = st["lab"]
+        for kind, sl in halo.items():
+            sh, sw = sl.shape
+            ys, xs = kind.split(",")
+            y0 = {"n": 0, "c": 1, "s": H - sh}[ys]
+            x0 = {"w": 0, "c": 1, "e": W - sw}[xs]
+            lab[y0:y0 + sh, x0:x0 + sw] = sl
+        dirc = np.full((H, W), np.nan)
+        dirc[1:-1, 1:-1] = st["dir"]
+        # canvas coverage: interior + every halo cell a PRESENT
+        # strip wrote.  A cell whose one-step target is uncovered
+        # points off the raster (round-1 mail covers every existing
+        # neighbor side, so an uncovered halo cell has no block
+        # behind it): it is its own outlet.
+        covered = np.zeros((H, W), bool)
+        covered[1:-1, 1:-1] = True
+        for kind, sl in halo.items():
+            sh, sw = sl.shape
+            ys, xs = kind.split(",")
+            y0 = {"n": 0, "c": 1, "s": H - sh}[ys]
+            x0 = {"w": 0, "c": 1, "e": W - sw}[xs]
+            covered[y0:y0 + sh, x0:x0 + sw] = True
+        idx = np.arange(H * W).reshape(H, W)
+        T = idx.copy()
+        for _nm, code, dy, dx, _d in _D8:
+            m = dirc == code
+            m[0, :] = m[-1, :] = False
+            m[:, 0] = m[:, -1] = False
+            tgt = np.roll(np.roll(idx, -dy, axis=0), -dx, axis=1)
+            T[m] = tgt[m]
+        interior = np.zeros((H, W), bool)
+        interior[1:-1, 1:-1] = True
+        self_cells = (interior
+                      & ~covered.ravel()[T.ravel()].reshape(H, W))
+        T[self_cells] = idx[self_cells]
+        gidc = np.full((H, W), -1, np.int64)
+        gidc[1:-1, 1:-1] = st["gid"]
+        lab[self_cells] = gidc[self_cells]
+        # pointer doubling to the terminal of every chain
+        Tf = T.ravel()
+        for _ in range(int(np.ceil(np.log2(H * W))) + 1):
+            Tn = Tf[Tf]
+            if np.array_equal(Tn, Tf):
+                break
+            Tf = Tn
+        new_lab = lab.ravel()[Tf].reshape(H, W)[1:-1, 1:-1].copy()
+        new_lab[st["lab"] == -9] = -9      # nodata stays nodata
+        # pits keep their own gid (their terminal is themselves)
+        chg = not np.array_equal(new_lab, st["lab"])
+        return {"w": w, "h": h, "dir": st["dir"], "lab": new_lab,
+                "gid": st["gid"], "halo": halo,
+                "srid": st["srid"], "changed": chg}
+
+    spark = dirs.sparkSession
+    final = _halo_fixpoint(spark, lvl0.rdd.map(to_kv), strip_fn,
+                           relax_fn, max_rounds)
+
+    def to_row(kv):
+        (ds, sub, band, bx, by), st = kv
+        px = st["lab"].astype(np.float64)
+        px[st["lab"] < 0] = np.nan         # nodata / unresolved
+        return (ds, sub, band, 0, bx, by, st["w"], st["h"],
+                px.ravel().tolist(), float("nan"), st["srid"])
+
+    return spark.createDataFrame(final.map(to_row), BLOCK_SCHEMA,
+                                 verifySchema=False)

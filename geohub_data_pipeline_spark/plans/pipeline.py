@@ -5960,3 +5960,55 @@ def mvt_border_weld(spark: SparkSession, sf_dir: str) -> DataFrame:
     return welded.mapInPandas(
         finish, "fid long, n_fragments int, n_open int, area double"
     ).orderBy("fid")
+
+
+# ---------------------------------------------------------------------------
+# Geo analytics round 7: D8 watershed / basin labeling
+# ---------------------------------------------------------------------------
+
+_BASIN_SQL = """
+SELECT CAST(r.i AS INTEGER) AS row, CAST(c.i AS INTEGER) AS col,
+       CAST(127 * CAST(67108864 AS BIGINT)
+            + CASE WHEN c.i >= 64 THEN 127 ELSE 0 END
+            AS DOUBLE) AS basin
+FROM range(128) r(i), range(128) c(i)
+ORDER BY row, col
+"""
+
+
+@query("raster_basin_labels", "pipeline",
+       "geo analytics: D8 watershed/basin labeling — pointer-doubling"
+       " per block + 1-px label halo on the partitioning-preserving "
+       "state store (raster._halo_fixpoint, its third consumer after "
+       "cost_distance/flow_accumulation)", _BASIN_SQL)
+def raster_basin_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two drainage basins over a 128x128 / 2x2-block D8 field: the
+    west half channels to the pit at (127, 0), the east half to
+    (127, 127) — every chain crosses both block seams, so labels
+    must flow upstream through the halo.  The oracle states the
+    closed-form label (row*2^26 + col of the pit).
+    """
+    import numpy as np
+
+    from geohub_data_pipeline_spark.operators import raster as R
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    load_tables(spark, sf_dir)             # harness contract
+    n, b = 128, 64
+    E, S, W_ = 1.0, 4.0, 16.0
+    dirs = np.where(np.arange(n)[None, :] <= 63, W_, E) \
+        * np.ones((n, 1))
+    dirs[:, 0] = S
+    dirs[:, n - 1] = S
+    dirs[n - 1, 0] = 0.0
+    dirs[n - 1, n - 1] = 0.0
+    rows = []
+    for by in range(0, n, b):
+        for bx in range(0, n, b):
+            t = dirs[by:by + b, bx:bx + b]
+            rows.append(("d8", None, 1, 0, bx // b, by // b, b, b,
+                         t.ravel().tolist(), None, 4326))
+    blocks = spark.createDataFrame(rows, R.BLOCK_SCHEMA)
+    return _flatten_pixels(R.basin_labels(blocks, block=b), b,
+                           "basin").orderBy("row", "col")

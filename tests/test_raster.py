@@ -693,3 +693,69 @@ def test_equalize_continuous_domain_auto_quantizes(spark):
     vs2, c2 = np.unique(small, return_counts=True)
     lut2 = dict(zip(vs2, np.floor(np.cumsum(c2) / small.size * 7)))
     assert np.array_equal(got[2], np.array([lut2[v] for v in small]))
+
+
+def test_basin_labels_two_basins_and_outlets(spark):
+    """D8 basin labeling over a blocked 32x32 grid: west half drains
+    to pit (31,0), east half to pit (31,31), a nodata hole stays
+    NaN, and a row flowing NORTH off the raster labels each exit
+    cell as its own outlet.  Reference = python pointer chase."""
+    import numpy as np
+
+    n, b = 32, 16
+    GID = 1 << 26
+    E, S, W_, N = 1.0, 4.0, 16.0, 64.0
+    dirs = np.zeros((n, n))
+    for r in range(1, n):
+        for c in range(n):
+            if c == 0 or c == n - 1:
+                dirs[r, c] = S
+            elif c <= n // 2 - 1:
+                dirs[r, c] = W_
+            else:
+                dirs[r, c] = E
+    dirs[n - 1, 0] = 0.0                   # pit west
+    dirs[n - 1, n - 1] = 0.0               # pit east
+    dirs[0, :] = N                         # top row exits the raster
+    dirs[5, 5] = np.nan                    # nodata hole
+
+    rows = []
+    for by in range(0, n, b):
+        for bx in range(0, n, b):
+            t = dirs[by:by + b, bx:bx + b]
+            rows.append(("d", None, 1, 0, bx // b, by // b, b, b,
+                         [None if np.isnan(v) else float(v)
+                          for v in t.ravel()], None, 4326))
+    blocks = spark.createDataFrame(rows, R.BLOCK_SCHEMA)
+    got = np.full((n, n), np.nan)
+    for r in R.basin_labels(blocks, block=b).collect():
+        px = np.asarray([np.nan if p is None else p for p in r.pixels
+                         ]).reshape(r.height, r.width)
+        got[r.block_y * b:(r.block_y + 1) * b,
+            r.block_x * b:(r.block_x + 1) * b] = px
+
+    # python reference: chase pointers
+    off = {1.0: (0, 1), 2.0: (1, 1), 4.0: (1, 0), 8.0: (1, -1),
+           16.0: (0, -1), 32.0: (-1, -1), 64.0: (-1, 0),
+           128.0: (-1, 1)}
+    ref = np.full((n, n), np.nan)
+    for r0 in range(n):
+        for c0 in range(n):
+            if np.isnan(dirs[r0, c0]):
+                continue
+            r, c = r0, c0
+            while True:
+                d = dirs[r, c]
+                if np.isnan(d):
+                    ref[r0, c0] = np.nan
+                    break
+                if d == 0.0:
+                    ref[r0, c0] = r * GID + c
+                    break
+                dy, dx = off[d]
+                rr, cc = r + dy, c + dx
+                if not (0 <= rr < n and 0 <= cc < n):
+                    ref[r0, c0] = r * GID + c      # off-raster outlet
+                    break
+                r, c = rr, cc
+    assert np.array_equal(got, ref, equal_nan=True)
