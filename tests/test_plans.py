@@ -402,3 +402,44 @@ def test_dsir_bucket_table_broadcasts(spark, sf_dir):
     # stream on bucket (the bucket-count partial agg may hash its
     # own 256-group exchange — that's map-side-combined and tiny)
     assert "SortMergeJoin" not in plan
+
+
+def test_q6_all_predicates_reach_scan(spark, sf_dir):
+    """TPC-H Q6 is a pure scan-filter-aggregate: every predicate
+    (date window, discount band, quantity cap) pushes to the parquet
+    scan and no join/window appears anywhere."""
+    plan = plan_of(SPECS["q6_forecast_revenue"].fn(spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_discount" in plan
+    assert "LessThan(l_quantity" in plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_q7_nation_dims_broadcast(spark, sf_dir):
+    """Q7's two 25-row nation dims broadcast; the fact is never
+    nested-looped."""
+    plan = plan_of(SPECS["q7_volume_shipping"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q18_having_filter_is_semi_join(spark, sf_dir):
+    """Q18's HAVING subquery lands as a LEFT SEMI join on the order
+    key — the qualifying-order list never multiplies fact rows."""
+    plan = plan_of(SPECS["q18_large_orders"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_q4_exists_is_semi_join_with_pushed_window(spark, sf_dir):
+    """Q4's EXISTS compiles to a LEFT SEMI join and the order-date
+    window pushes to the orders scan."""
+    plan = plan_of(SPECS["q4_order_priority"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q14_part_broadcasts(spark, sf_dir):
+    plan = plan_of(SPECS["q14_promo_effect"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
