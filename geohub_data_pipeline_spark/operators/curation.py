@@ -389,3 +389,129 @@ def group_aware_split(docs: DataFrame, group_col: str,
     bucket, split = _bucket_split(group_col, train_below)
     return docs.select(id_col, group_col,
                        bucket.alias("hash_bucket"), split)
+
+
+# ---------------------------------------------------------------------------
+# Trained quality classifier (fastText-style hashed n-gram logistic
+# regression — the model-based counterpart of the heuristic
+# Gopher/C4 rules; the quality-filter stage of CCNet/FineWeb-style
+# pipelines trains exactly this shape)
+# ---------------------------------------------------------------------------
+
+def _hash_ngrams(text: str, dim: int):
+    """Hashed bag of word unigrams+bigrams -> (index, count) numpy
+    pair.  zlib.crc32 is process-stable (python hash() is salted),
+    so the feature space is identical on driver and executors."""
+    import zlib
+
+    import numpy as np
+
+    words = text.split() if text else []
+    idx = [zlib.crc32(w.encode()) % dim for w in words]
+    idx += [zlib.crc32(f"{a} {b}".encode()) % dim
+            for a, b in zip(words, words[1:])]
+    if not idx:
+        return (np.zeros(0, np.int64), np.zeros(0, np.float64))
+    arr = np.asarray(idx, np.int64)
+    u, c = np.unique(arr, return_counts=True)
+    # L2-normalized counts: document length stops dominating
+    v = c.astype(np.float64)
+    v /= np.linalg.norm(v)
+    return u, v
+
+
+def train_quality_classifier(docs: DataFrame, label_col: str,
+                             text_col: str = "text",
+                             dim: int = 4096, iters: int = 30,
+                             lr: float = 2.0, l2: float = 1e-6):
+    """Full-batch logistic regression over hashed n-gram features —
+    returns the (dim+1,) weight vector (bias last) as numpy.
+
+    Distributed shape: ONE pass featurizes and caches the corpus as
+    (label, sparse indices, values) partitions; each GD iteration is
+    one ``treeAggregate`` of the dense gradient (a ``dim``-sized
+    vector per partition — the model, not the data, rides the
+    network) with the current weights in the closure.  The driver
+    applies the update: the same bounded-model driver-step pattern
+    as the k-means|| codebook and the BPE type-table trainer.  At
+    100 TB the per-iteration cost is one map-side pass + an
+    O(dim * n_partitions) tree reduction.
+    """
+    import numpy as np
+
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(docs.sparkSession)
+
+    d = int(dim)
+
+    def featurize(row):
+        u, v = _hash_ngrams(row[text_col] or "", d)
+        return (float(row[label_col]), u, v)
+
+    feats = docs.select(label_col, text_col).rdd.map(featurize)
+    feats = feats.persist()
+    n = feats.count()
+    if n == 0:
+        raise ValueError("train_quality_classifier: empty input")
+
+    w = np.zeros(d + 1)
+
+    def grad_part(acc, row):
+        y, u, v = row
+        z = float(v @ acc["w"][u]) + acc["w"][d]
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - y
+        acc["g"][u] += g * v
+        acc["g"][d] += g
+        return acc
+
+    for _ in range(int(iters)):
+        wb = w                          # closure-captured snapshot
+        zero = {"w": wb, "g": np.zeros(d + 1)}
+
+        def seq(acc, row, _wb=wb):
+            if acc is None or "g" not in acc:
+                acc = {"w": _wb, "g": np.zeros(d + 1)}
+            return grad_part(acc, row)
+
+        def comb(a, b):
+            a["g"] += b["g"]
+            return a
+
+        got = feats.treeAggregate(zero, seq, comb)
+        g = got["g"] / n
+        g[:d] += l2 * w[:d]
+        w = w - lr * g
+    feats.unpersist()
+    return w
+
+
+def score_quality(docs: DataFrame, weights,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Map-side scoring with a broadcast weight vector: one row per
+    document — ``doc_id, score`` (sigmoid) and ``pred`` (0/1)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(docs.sparkSession)
+    w = np.asarray(weights, np.float64)
+    d = w.size - 1
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, scores = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                u, v = _hash_ngrams(text or "", d)
+                z = float(v @ w[u]) + w[d]
+                ids.append(int(did))
+                scores.append(1.0 / (1.0 + np.exp(-z)))
+            out = pd.DataFrame({"doc_id": ids, "score": scores})
+            out["pred"] = (out["score"] >= 0.5).astype("int32")
+            yield out
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel, "doc_id long, score double, pred int")

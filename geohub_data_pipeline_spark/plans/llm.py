@@ -1414,3 +1414,31 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("vec"))
     proj, _evals = S.embedding_pca(vecs, k=8, whiten=True)
     return proj.orderBy("vec_id")
+
+
+@query("text_quality_classifier", "llm",
+       "LLM curation: TRAINED quality filter — fastText-style hashed "
+       "n-gram logistic regression (treeAggregate full-batch GD, "
+       "O(dim) model rides the network per iteration; the CCNet/"
+       "FineWeb quality-filter stage) — rows-only: training is not "
+       "SQL", None)
+def text_quality_classifier(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Train on a text-derived rule (document mentions 'spark'),
+    score every document map-side with the broadcast weights, return
+    (doc_id, score, pred).  Pytest pins >=98% accuracy and
+    float-tolerance parity with a local numpy GD on the identical
+    featurization (tests/test_curation.py)."""
+    from geohub_data_pipeline_spark.operators import curation as CU
+
+    t = load_tables(spark, sf_dir)
+    labeled = t.documents.select(
+        "doc_id", "text",
+        F.when(F.col("text").contains("spark"), 1)
+        .otherwise(0).alias("label"))
+    w = CU.train_quality_classifier(labeled, "label", dim=4096,
+                                    iters=40)
+    return (CU.score_quality(labeled, w)
+            .select("doc_id", F.round("score", 4).alias("score"),
+                    "pred")
+            .orderBy("doc_id"))

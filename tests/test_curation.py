@@ -152,3 +152,47 @@ def test_line_dedup(spark):
     assert got[2].n_lines == 1 and got[2].n_kept == 0
     assert got[2].kept_hash is None and got[2].kept_chars == 0
     assert got[3].n_kept == 2 and got[3].kept_hash == h("delta", "eps")
+
+
+def test_quality_classifier_learns_and_matches_local_gd(spark):
+    """Hashed-ngram logistic regression: learns a text-derived rule
+    to >=98% train accuracy, and the distributed treeAggregate
+    gradient matches a local numpy implementation of the identical
+    full-batch GD to float-reassociation tolerance."""
+    import numpy as np
+
+    from geohub_data_pipeline_spark.operators import curation as CU
+
+    rng = np.random.RandomState(3)
+    vocab = ["table", "scan", "merge", "row", "batch", "filter",
+             "join", "key", "data", "slow", "fast", "query"]
+    rows = []
+    for i in range(400):
+        words = list(rng.choice(vocab, size=12))
+        y = i % 2
+        if y:
+            words.insert(int(rng.randint(0, 12)), "goodtoken")
+        rows.append((i, " ".join(words), y))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, label int")
+    w = CU.train_quality_classifier(docs, "label", dim=4096, iters=60)
+    scored = CU.score_quality(docs, w).collect()
+    lab = {r[0]: r[2] for r in rows}
+    acc = sum(1 for r in scored if r.pred == lab[r.doc_id]) / 400
+    assert acc >= 0.98
+
+    # local reference: identical featurization + full-batch GD
+    feats = [(float(y), *CU._hash_ngrams(t, 4096))
+             for _i, t, y in rows]
+    wl = np.zeros(4097)
+    for _ in range(60):
+        g = np.zeros(4097)
+        for y, u, v in feats:
+            z = float(v @ wl[u]) + wl[4096]
+            p = 1.0 / (1.0 + np.exp(-z))
+            g[u] += (p - y) * v
+            g[4096] += p - y
+        g /= 400.0
+        g[:4096] += 1e-6 * wl[:4096]
+        wl = wl - 2.0 * g
+    assert np.allclose(w, wl, atol=1e-8)
