@@ -514,3 +514,60 @@ def thumbnail_media(media: DataFrame, max_side: int = 8) -> DataFrame:
         "media_id long, ok boolean, error string, width int, "
         "height int, thumb_w int, thumb_h int, thumb_png binary, "
         "pixel_mean double")
+
+
+def audio_frame_features(media: "DataFrame", frame: int,
+                         id_col: str = "doc_id") -> "DataFrame":
+    """Per-frame audio features over real PCM16 WAV payloads — the
+    feature-extraction stage of an audio training-data pipeline
+    (VAD/quality gating runs on exactly these): fixed-length frames,
+    per-frame RMS and zero-crossing count.  Stdlib ``wave`` decode +
+    one vectorized numpy pass per payload, map-side (Arrow batches,
+    no shuffle); a trailing partial frame is dropped (the standard
+    frame-aligned convention).  Undecodable payloads are skipped —
+    the quarantine convention, never a stage failure.
+
+    Output: ``doc_id, frame_idx, rms (double), crossings (int)``.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(media.sparkSession)
+    fl = int(frame)
+    if fl < 2:
+        raise ValueError("frame must be >= 2")
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fidx, rms, zc = [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    with wave.open(io.BytesIO(bytes(payload)),
+                                   "rb") as w:
+                        if w.getsampwidth() != 2 \
+                                or w.getnchannels() != 1:
+                            continue
+                        raw = w.readframes(w.getnframes())
+                except Exception:
+                    continue               # quarantine, don't crash
+                s = np.frombuffer(raw, "<i2").astype(np.float64)
+                n = (s.size // fl) * fl
+                if n == 0:
+                    continue
+                fr = s[:n].reshape(-1, fl)
+                r = np.sqrt(np.mean(fr * fr, axis=1))
+                flips = np.sum(fr[:, :-1] * fr[:, 1:] < 0, axis=1)
+                k = fr.shape[0]
+                ids += [int(did)] * k
+                fidx += list(range(k))
+                rms += r.tolist()
+                zc += [int(v) for v in flips]
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": fidx,
+                                "rms": rms, "crossings": zc})
+
+    return media.select(id_col, "payload").mapInPandas(
+        kernel, "doc_id long, frame_idx int, rms double, "
+                "crossings int")

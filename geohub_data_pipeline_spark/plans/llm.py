@@ -1442,3 +1442,79 @@ def text_quality_classifier(spark: SparkSession,
             .select("doc_id", F.round("score", 4).alias("score"),
                     "pred")
             .orderBy("doc_id"))
+
+
+_AUDIO_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         1000.0 + (doc_id % 7) * 500.0 AS amp,
+         CAST(4 + doc_id % 5 AS BIGINT) AS half
+  FROM documents
+)
+SELECT p.doc_id,
+       CAST(f.i AS INTEGER) AS frame_idx,
+       amp AS rms,
+       CAST(5 AS INTEGER) AS crossings
+FROM p, range(4) f(i)
+ORDER BY doc_id, frame_idx
+"""
+
+
+@query("multimodal_audio_features", "llm",
+       "multimodal: per-frame audio RMS + zero-crossing features "
+       "over REAL stdlib-encoded PCM16 WAV bytes (the VAD/quality "
+       "feature stage of an audio pipeline); map-side Arrow kernel",
+       _AUDIO_SQL)
+def multimodal_audio_features(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Each document synthesizes a REAL mono PCM16 WAV (stdlib
+    ``wave`` writer) carrying a square wave of amplitude
+    1000 + (doc%7)*500 and half-period 4 + doc%5; frames of 6 x half
+    samples make the features closed-form: per-frame RMS = the
+    amplitude exactly (integer squares), zero crossings = 5 (three
+    periods minus the frame-boundary flip).  The WAV container,
+    decoder, framing and the numpy feature pass all sit under the
+    value hash."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.operators import multimodal as MM
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    t = load_tables(spark, sf_dir)
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                amp = 1000 + (did % 7) * 500
+                half = 4 + did % 5
+                frame = 6 * half
+                n = 4 * frame
+
+                def sq(i, amp=amp, half=half):
+                    return amp if (i // half) % 2 == 0 else -amp
+
+                rows.append((did, MM.encode_wav_pcm16(
+                    n, 16000, sample_fn=sq)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    media = t.documents.select("doc_id").mapInPandas(
+        gen, "doc_id long, payload binary")
+
+    # frame length varies per doc (6 x half): run the operator once
+    # per half-period bucket and union — each branch is map-side
+    out = None
+    for h in range(4, 9):
+        part = MM.audio_frame_features(
+            media.join(
+                t.documents.select("doc_id").filter(
+                    F.col("doc_id") % 5 == h - 4), "doc_id"),
+            frame=6 * h)
+        out = part if out is None else out.unionByName(part)
+    return (out.select("doc_id", "frame_idx",
+                       F.round("rms", 6).alias("rms"), "crossings")
+            .orderBy("doc_id", "frame_idx"))
