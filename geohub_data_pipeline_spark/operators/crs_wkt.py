@@ -615,20 +615,27 @@ def pair_from_wkt(wkt: str, use_np: bool = False):
     return fwd_m, inv_m
 
 
+_PARSE_ERRORS = (ValueError, IndexError, KeyError, TypeError,
+                 ZeroDivisionError, AttributeError)
+
+
 def to_lonlat_wkt(wkt: str, use_np: bool = False):
-    """``f(x, y) -> (lon, lat)`` for a WKT1 CRS, else None."""
+    """``f(x, y) -> (lon, lat)`` for a WKT1/WKT2/PROJJSON CRS, else
+    None (malformed input of any of the three grammars quarantines,
+    never crashes a stage)."""
     try:
         made = pair_from_wkt(wkt, use_np=use_np)
-    except (ValueError, IndexError, ZeroDivisionError, AttributeError):
+    except _PARSE_ERRORS:
         return None
     return made[1] if made else None
 
 
 def from_lonlat_wkt(wkt: str):
-    """``f(lon, lat) -> (x, y)`` for a WKT1 CRS, else None."""
+    """``f(lon, lat) -> (x, y)`` for a WKT1/WKT2/PROJJSON CRS, else
+    None."""
     try:
         made = pair_from_wkt(wkt)
-    except (ValueError, IndexError, ZeroDivisionError, AttributeError):
+    except _PARSE_ERRORS:
         return None
     return made[0] if made else None
 

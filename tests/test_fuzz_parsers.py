@@ -165,3 +165,17 @@ def test_hfa_mutation_robustness(tmp_path):
                 HFA._layer_mapinfo(parsed, layer)
         except (ValueError, struct.error, IndexError, KeyError):
             pass
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(min_size=0, max_size=300))
+def test_fuzz_wkt2_projjson_text(text):
+    """The WKT2/PROJJSON grammars gate like WKT1: truncated or
+    mutated CRS text returns None, never an uncaught exception."""
+    for wrapped in (
+            '{"type":"ProjectedCRS",' + text,
+            'PROJCRS["x",' + text,
+            'BOUNDCRS[SOURCECRS[' + text,
+            '{"type":"GeographicCRS","datum":' + text + '}'):
+        got = W.to_lonlat_wkt(wrapped)
+        assert got is None or callable(got)
