@@ -6012,3 +6012,50 @@ def raster_basin_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks = spark.createDataFrame(rows, R.BLOCK_SCHEMA)
     return _flatten_pixels(R.basin_labels(blocks, block=b), b,
                            "basin").orderBy("row", "col")
+
+
+_CLUMP_SQL = """
+SELECT CAST(r.i AS INTEGER) AS row, CAST(c.i AS INTEGER) AS col,
+       CAST(CASE
+         WHEN r.i BETWEEN 30 AND 37
+           THEN 30 * CAST(67108864 AS BIGINT)
+         WHEN r.i < 30 THEN 3 * CAST(FLOOR(c.i / 3) AS BIGINT)
+         ELSE 38 * CAST(67108864 AS BIGINT)
+              + 3 * CAST(FLOOR(c.i / 3) AS BIGINT)
+       END AS DOUBLE) AS clump
+FROM range(128) r(i), range(128) c(i)
+ORDER BY row, col
+"""
+
+
+@query("raster_clump_labels", "pipeline",
+       "geo analytics: clump/region labeling (GRASS r.clump / ESRI "
+       "Region Group) — cached in-block union-find + 1-px label halo "
+       "on the partitioning-preserving state store "
+       "(raster._halo_fixpoint, fourth consumer)", _CLUMP_SQL)
+def raster_clump_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-value regions over a 128x128 / 2x2-block raster:
+    3-wide alternating vertical stripes cut by a full-width band at
+    rows 30-37 — the band merges across the vertical seam, the lower
+    stripe halves merge across the horizontal seam, and every label
+    is the closed-form minimum global id of its region."""
+    import numpy as np
+
+    from geohub_data_pipeline_spark.operators import raster as R
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    load_tables(spark, sf_dir)             # harness contract
+    n, b = 128, 64
+    val = ((np.arange(n)[None, :] // 3) % 2).astype(float) \
+        * np.ones((n, 1))
+    val[30:38, :] = 99.0
+    rows = []
+    for by in range(0, n, b):
+        for bx in range(0, n, b):
+            t = val[by:by + b, bx:bx + b]
+            rows.append(("cl", None, 1, 0, bx // b, by // b, b, b,
+                         t.ravel().tolist(), None, 4326))
+    blocks = spark.createDataFrame(rows, R.BLOCK_SCHEMA)
+    return _flatten_pixels(R.clump_labels(blocks, block=b), b,
+                           "clump").orderBy("row", "col")

@@ -759,3 +759,82 @@ def test_basin_labels_two_basins_and_outlets(spark):
                     break
                 r, c = rr, cc
     assert np.array_equal(got, ref, equal_nan=True)
+
+
+def test_clump_labels_vs_bfs_reference(spark):
+    """Region labeling across block seams equals a python BFS
+    reference — 4-connected stripes+band pattern, then an
+    8-connected diagonal chain that only connects through a corner
+    seam; nodata stays NaN."""
+    import numpy as np
+
+    n, b = 32, 16
+    GID = 1 << 26
+    val = ((np.arange(n)[None, :] // 3) % 2) * np.ones((n, 1))
+    val[10:14, :] = 99.0                   # band crossing stripes
+    val[5, 5] = np.nan                     # nodata hole
+    rows = []
+    for by in range(0, n, b):
+        for bx in range(0, n, b):
+            t = val[by:by + b, bx:bx + b]
+            rows.append(("d", None, 1, 0, bx // b, by // b, b, b,
+                         [None if np.isnan(v) else float(v)
+                          for v in t.ravel()], None, 4326))
+    blocks = spark.createDataFrame(rows, R.BLOCK_SCHEMA)
+
+    def collect(df):
+        got = np.full((n, n), np.nan)
+        for r in df.collect():
+            px = np.asarray([np.nan if p is None else p
+                             for p in r.pixels]).reshape(r.height,
+                                                         r.width)
+            got[r.block_y * b:(r.block_y + 1) * b,
+                r.block_x * b:(r.block_x + 1) * b] = px
+        return got
+
+    def bfs_ref(v, diag):
+        from collections import deque
+        lab = np.full((n, n), np.nan)
+        offs = [(0, 1), (1, 0), (0, -1), (-1, 0)]
+        if diag:
+            offs += [(1, 1), (1, -1), (-1, 1), (-1, -1)]
+        seen = np.zeros((n, n), bool)
+        for r0 in range(n):
+            for c0 in range(n):
+                if seen[r0, c0] or np.isnan(v[r0, c0]):
+                    continue
+                q = deque([(r0, c0)])
+                seen[r0, c0] = True
+                comp = []
+                while q:
+                    r, c = q.popleft()
+                    comp.append((r, c))
+                    for dy, dx in offs:
+                        rr, cc = r + dy, c + dx
+                        if 0 <= rr < n and 0 <= cc < n \
+                                and not seen[rr, cc] \
+                                and v[rr, cc] == v[r, c]:
+                            seen[rr, cc] = True
+                            q.append((rr, cc))
+                m = min(r * GID + c for r, c in comp)
+                for r, c in comp:
+                    lab[r, c] = m
+        return lab
+
+    got = collect(R.clump_labels(blocks, block=b))
+    assert np.array_equal(got, bfs_ref(val, False), equal_nan=True)
+
+    # 8-connected: a diagonal chain of equal values crossing the
+    # corner where all four blocks meet
+    v2 = np.zeros((n, n))
+    for i in range(n):
+        v2[i, i] = 7.0                     # diagonal through (15,15)
+    rows2 = []
+    for by in range(0, n, b):
+        for bx in range(0, n, b):
+            t = v2[by:by + b, bx:bx + b]
+            rows2.append(("d", None, 1, 0, bx // b, by // b, b, b,
+                          t.ravel().tolist(), None, 4326))
+    blocks2 = spark.createDataFrame(rows2, R.BLOCK_SCHEMA)
+    got8 = collect(R.clump_labels(blocks2, diagonal=True, block=b))
+    assert np.array_equal(got8, bfs_ref(v2, True), equal_nan=True)
