@@ -2050,3 +2050,222 @@ def clump_labels(blocks: DataFrame, diagonal: bool = False,
 
     return spark.createDataFrame(final.map(to_row), BLOCK_SCHEMA,
                                  verifySchema=False)
+
+
+def _clump_adjacency(lab_blocks: DataFrame,
+                     diagonal: bool) -> DataFrame:
+    """Distinct (label_a, label_b) adjacency pairs of a clump-label
+    raster, seams included — the same 1-px halo fan as
+    ``_focal_window`` with a pair-emitting kernel."""
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(lab_blocks.sparkSession)
+
+    lvl0 = lab_blocks.filter(F.col("level") == 0)
+
+    def halo(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                w, h = int(r.width), int(r.height)
+                arr = np.asarray(r.pixels, np.float64).reshape(h, w)
+                bx, by = int(r.block_x), int(r.block_y)
+                rows.append((r.dataset, r.subdataset, int(r.band),
+                             bx, by, bx, by, w, h,
+                             arr.ravel().tolist()))
+                pieces = {
+                    (bx - 1, by): arr[:, :1], (bx + 1, by): arr[:, -1:],
+                    (bx, by - 1): arr[:1, :], (bx, by + 1): arr[-1:, :],
+                    (bx - 1, by - 1): arr[:1, :1],
+                    (bx + 1, by - 1): arr[:1, -1:],
+                    (bx - 1, by + 1): arr[-1:, :1],
+                    (bx + 1, by + 1): arr[-1:, -1:],
+                }
+                for (tx, ty), piece in pieces.items():
+                    if tx < 0 or ty < 0:
+                        continue
+                    rows.append((r.dataset, r.subdataset,
+                                 int(r.band), tx, ty, bx, by,
+                                 piece.shape[1], piece.shape[0],
+                                 piece.ravel().tolist()))
+            yield pd.DataFrame(rows, columns=[
+                "dataset", "subdataset", "band", "tgt_x", "tgt_y",
+                "src_x", "src_y", "width", "height", "pixels"])
+
+    fanned = lvl0.mapInPandas(
+        halo, "dataset string, subdataset string, band int, "
+              "tgt_x int, tgt_y int, src_x int, src_y int, "
+              "width int, height int, pixels array<double>")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        center = pdf[(pdf["src_x"] == pdf["tgt_x"])
+                     & (pdf["src_y"] == pdf["tgt_y"])]
+        if center.empty:
+            return pd.DataFrame({"la": [], "lb": []})
+        c = center.iloc[0]
+        w, h = int(c["width"]), int(c["height"])
+        bx, by = int(c["tgt_x"]), int(c["tgt_y"])
+        canvas = np.full((h + 2, w + 2), np.nan)
+        canvas[1:-1, 1:-1] = np.asarray(
+            c["pixels"], np.float64).reshape(h, w)
+        for r in pdf.itertuples(index=False):
+            if r.src_x == bx and r.src_y == by:
+                continue
+            piece = np.asarray(r.pixels, np.float64).reshape(
+                int(r.height), int(r.width))
+            ph, pw = piece.shape
+            xs = slice(1 - pw, 1) if r.src_x < bx else (
+                slice(w + 1, w + 1 + pw) if r.src_x > bx
+                else slice(1, 1 + pw))
+            ys = slice(1 - ph, 1) if r.src_y < by else (
+                slice(h + 1, h + 1 + ph) if r.src_y > by
+                else slice(1, 1 + ph))
+            canvas[ys, xs] = piece
+        cen = canvas[1:-1, 1:-1]
+        las, lbs = [], []
+        offs = [(0, 1), (1, 0)] + ([(1, 1), (1, -1)]
+                                   if diagonal else [])
+        # halo-side neighbors too (one direction suffices per pair:
+        # the mirrored pair arrives from the other block)
+        offs += [(0, -1), (-1, 0)] + ([(-1, -1), (-1, 1)]
+                                      if diagonal else [])
+        for dy, dx in offs:
+            nb = canvas[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+            m = (~np.isnan(cen)) & (~np.isnan(nb)) & (cen != nb)
+            if m.any():
+                las.append(cen[m])
+                lbs.append(nb[m])
+        if not las:
+            return pd.DataFrame({"la": [], "lb": []})
+        out = pd.DataFrame({
+            "la": np.concatenate(las), "lb": np.concatenate(lbs)})
+        return out.drop_duplicates()
+
+    return (fanned.groupBy("dataset", "subdataset", "band",
+                           "tgt_x", "tgt_y")
+            .applyInPandas(kernel, "la double, lb double")
+            .distinct())
+
+
+def sieve_filter(blocks: DataFrame, min_size: int,
+                 diagonal: bool = False, max_rounds: int = 128,
+                 block: int = BLOCK) -> DataFrame:
+    """Minimum-mapping-unit sieve (the gdal_sieve analog): clumps
+    smaller than ``min_size`` pixels are absorbed into their LARGEST
+    adjacent clump's value (single pass, gdal's policy; a merged
+    result can itself still be small — run again for the iterated
+    form).  Small clumps with no neighbor (isolated among nodata)
+    keep their value.
+
+    Plan: ``clump_labels`` (the halo state store), one per-label
+    size aggregation, one halo adjacency fan, a size-ranked pick of
+    each small label's replacement, and a map-side rewrite with the
+    small->value table in the closure — the table is bounded by the
+    number of UNDER-THRESHOLD clumps (collected; a raster where
+    millions of clumps fail the threshold wants a larger
+    ``min_size``, and the bound is enforced at 4M entries).
+    """
+    from geohub_data_pipeline_spark.session import ship_package
+    spark = blocks.sparkSession
+    ship_package(spark)
+
+    labs = clump_labels(blocks, diagonal=diagonal,
+                        max_rounds=max_rounds, block=block)
+    labs = labs.persist()
+
+    def stats(it):
+        for pdf in it:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = np.asarray(r.pixels, np.float64)
+                ok = ~np.isnan(arr)
+                u, c = np.unique(arr[ok], return_counts=True)
+                out += [(float(a), int(b)) for a, b in zip(u, c)]
+            yield pd.DataFrame(out, columns=["label", "n"])
+
+    sizes = (labs.mapInPandas(stats, "label double, n long")
+             .groupBy("label").agg(F.sum("n").alias("size")))
+
+    # label -> value (constant per clump): pair label blocks with the
+    # original values block-by-block
+    orig = blocks.filter(F.col("level") == 0).select(
+        "dataset",
+        # subdataset is nullable: substitute a sentinel so the
+        # block-key equi-join stays null-safe
+        F.coalesce("subdataset", F.lit("\x00")).alias("__sub"),
+        "band", "block_x", "block_y",
+        F.col("pixels").alias("vals"))
+    lb = (labs.withColumn(
+        "__sub", F.coalesce("subdataset", F.lit("\x00")))
+        .join(orig, ["dataset", "__sub", "band",
+                     "block_x", "block_y"])
+        .drop("__sub"))
+
+    def lab_val(it):
+        for pdf in it:
+            out = []
+            for r in pdf.itertuples(index=False):
+                la = np.asarray(r.pixels, np.float64)
+                va = np.asarray(r.vals, np.float64)
+                ok = ~np.isnan(la)
+                u, idx = np.unique(la[ok], return_index=True)
+                out += [(float(a), float(v))
+                        for a, v in zip(u, va[ok][idx])]
+            yield pd.DataFrame(out, columns=["label", "value"])
+
+    label_value = (lb.mapInPandas(lab_val, "label double, value double")
+                   .groupBy("label").agg(F.first("value").alias("value")))
+
+    adj = _clump_adjacency(labs, diagonal)
+    # for each SMALL label: the adjacent label with the largest size
+    # (ties to the smaller label id — deterministic)
+    small = sizes.filter(F.col("size") < int(min_size)) \
+        .select(F.col("label").alias("la"))
+    cand = (adj.join(small, "la")
+            .join(sizes.select(F.col("label").alias("lb"),
+                               F.col("size").alias("nb_size")), "lb")
+            .join(label_value.select(F.col("label").alias("lb"),
+                                     F.col("value").alias("nb_value")),
+                  "lb"))
+    from pyspark.sql import Window
+    w_pick = Window.partitionBy("la").orderBy(
+        F.desc("nb_size"), F.asc("lb"))
+    repl = (cand.withColumn("rk", F.row_number().over(w_pick))
+            .filter(F.col("rk") == 1)
+            .select("la", "nb_value"))
+    repl_rows = repl.collect()
+    if len(repl_rows) > (1 << 22):
+        raise ValueError("sieve_filter: more than 4M under-threshold "
+                         "clumps; raise min_size")
+    table = {float(r["la"]): float(r["nb_value"]) for r in repl_rows}
+    bc = spark.sparkContext.broadcast(table)
+
+    def rewrite(it):
+        for pdf in it:
+            out = []
+            for r in pdf.itertuples(index=False):
+                la = np.asarray(r.pixels, np.float64)
+                va = np.asarray(r.vals, np.float64)
+                t = bc.value
+                if t:
+                    keys = np.array(sorted(t), np.float64)
+                    vals = np.array([t[k] for k in sorted(t)],
+                                    np.float64)
+                    ok = ~np.isnan(la)
+                    pos = np.searchsorted(keys, la[ok])
+                    pos = np.clip(pos, 0, keys.size - 1)
+                    hit = keys[pos] == la[ok]
+                    nv = va[ok].copy()
+                    nv[hit] = vals[pos][hit]
+                    va = va.copy()
+                    va[ok] = nv
+                out.append((r.dataset, r.subdataset, int(r.band), 0,
+                            int(r.block_x), int(r.block_y),
+                            int(r.width), int(r.height),
+                            va.tolist(), float("nan"), int(r.srid)))
+            yield pd.DataFrame(out, columns=[
+                "dataset", "subdataset", "band", "level", "block_x",
+                "block_y", "width", "height", "pixels", "nodata",
+                "srid"])
+
+    out = lb.mapInPandas(rewrite, BLOCK_SCHEMA)
+    return out

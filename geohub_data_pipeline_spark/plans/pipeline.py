@@ -6059,3 +6059,48 @@ def raster_clump_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks = spark.createDataFrame(rows, R.BLOCK_SCHEMA)
     return _flatten_pixels(R.clump_labels(blocks, block=b), b,
                            "clump").orderBy("row", "col")
+
+
+_SIEVE_SQL = """
+SELECT CAST(r.i AS INTEGER) AS row, CAST(c.i AS INTEGER) AS col,
+       CAST(CASE WHEN r.i BETWEEN 30 AND 37 THEN 99.0
+                 ELSE CAST(FLOOR(c.i / 3) AS BIGINT) % 2
+            END AS DOUBLE) AS v
+FROM range(128) r(i), range(128) c(i)
+ORDER BY row, col
+"""
+
+
+@query("raster_sieve", "pipeline",
+       "geo analytics: minimum-mapping-unit sieve (gdal_sieve "
+       "analog) — clump labeling + per-label sizes + halo adjacency "
+       "fan + largest-neighbor absorption, map-side rewrite",
+       _SIEVE_SQL)
+def raster_sieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three 2-px islands (value 50) planted inside stripes of the
+    clump fixture — one straddling the vertical block seam — absorb
+    into their surrounding stripe under min_size=5, so the sieved
+    raster equals the closed-form base pattern exactly."""
+    import numpy as np
+
+    from geohub_data_pipeline_spark.operators import raster as R
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    load_tables(spark, sf_dir)             # harness contract
+    n, b = 128, 64
+    val = ((np.arange(n)[None, :] // 3) % 2).astype(float) \
+        * np.ones((n, 1))
+    val[30:38, :] = 99.0
+    for (r0, c0) in ((10, 10), (60, 64), (100, 118)):
+        val[r0:r0 + 2, c0] = 50.0
+    rows = []
+    for by in range(0, n, b):
+        for bx in range(0, n, b):
+            t = val[by:by + b, bx:bx + b]
+            rows.append(("sv", None, 1, 0, bx // b, by // b, b, b,
+                         t.ravel().tolist(), None, 4326))
+    blocks = spark.createDataFrame(rows, R.BLOCK_SCHEMA)
+    return _flatten_pixels(R.sieve_filter(blocks, min_size=5,
+                                          block=b), b,
+                           "v").orderBy("row", "col")

@@ -838,3 +838,46 @@ def test_clump_labels_vs_bfs_reference(spark):
     blocks2 = spark.createDataFrame(rows2, R.BLOCK_SCHEMA)
     got8 = collect(R.clump_labels(blocks2, diagonal=True, block=b))
     assert np.array_equal(got8, bfs_ref(v2, True), equal_nan=True)
+
+
+def test_sieve_filter_absorbs_small_islands(spark):
+    """gdal_sieve analog: a 2x2 island (< min_size) straddling a
+    block seam absorbs into the surrounding clump's value; a clump
+    at exactly min_size survives; isolated-in-nodata small clumps
+    keep their value."""
+    import numpy as np
+
+    n, b = 16, 8
+    val = np.zeros((n, n))
+    val[7:9, 7:9] = 5.0                    # 4-px island on the seam
+    val[0:2, 0:2] = 9.0                    # 4-px corner clump
+    val[12, 0:4] = 3.0                     # 4-px line, survives at 4
+    val[15, 15] = np.nan
+    rows = []
+    for by in range(0, n, b):
+        for bx in range(0, n, b):
+            t = val[by:by + b, bx:bx + b]
+            rows.append(("d", None, 1, 0, bx // b, by // b, b, b,
+                         [None if np.isnan(x) else float(x)
+                          for x in t.ravel()], None, 4326))
+    blocks = spark.createDataFrame(rows, R.BLOCK_SCHEMA)
+    got = np.full((n, n), np.nan)
+    for r in R.sieve_filter(blocks, min_size=5, block=b).collect():
+        px = np.asarray([np.nan if p is None else p for p in r.pixels
+                         ]).reshape(r.height, r.width)
+        got[r.block_y * b:(r.block_y + 1) * b,
+            r.block_x * b:(r.block_x + 1) * b] = px
+    exp = val.copy()
+    exp[7:9, 7:9] = 0.0                    # island absorbed
+    exp[0:2, 0:2] = 0.0                    # corner clump absorbed
+    exp[12, 0:4] = 0.0                     # 4 < 5: absorbed too
+    assert np.array_equal(got, exp, equal_nan=True)
+
+    # min_size=4: the 4-px clumps survive
+    got2 = np.full((n, n), np.nan)
+    for r in R.sieve_filter(blocks, min_size=4, block=b).collect():
+        px = np.asarray([np.nan if p is None else p for p in r.pixels
+                         ]).reshape(r.height, r.width)
+        got2[r.block_y * b:(r.block_y + 1) * b,
+             r.block_x * b:(r.block_x + 1) * b] = px
+    assert np.array_equal(got2, val, equal_nan=True)
