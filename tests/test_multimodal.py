@@ -236,3 +236,30 @@ def test_thumbnail_roundtrip_and_filters(spark):
     xs = (np.arange(5) * w) // 5
     assert (out == px[np.ix_(ys, xs)]).all()
     assert r.pixel_mean == px[np.ix_(ys, xs)].sum() / 20
+
+
+def test_audio_frame_features_quarantine_and_framing(spark):
+    """Stereo and truncated payloads quarantine (skipped, never a
+    stage failure); a trailing partial frame drops; frame < 2
+    rejects up front."""
+    import struct
+
+    import pytest as _pytest
+
+    from geohub_data_pipeline_spark.operators import multimodal as MM
+
+    mono = MM.encode_wav_pcm16(10, 8000,
+                               sample_fn=lambda i: 100)
+    stereo = MM.encode_wav_pcm16(8, 8000, n_channels=2,
+                                 sample_fn=lambda i: 100)
+    rows = [(1, mono), (2, stereo), (3, b"RIFFgarbage"),
+            (4, mono[:20])]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = MM.audio_frame_features(media, frame=4).collect()
+    # only the mono payload survives: 10 samples -> 2 full frames
+    assert {r.doc_id for r in got} == {1}
+    assert sorted(r.frame_idx for r in got) == [0, 1]
+    assert all(abs(r.rms - 100.0) < 1e-12 and r.crossings == 0
+               for r in got)
+    with _pytest.raises(ValueError):
+        MM.audio_frame_features(media, frame=1)

@@ -881,3 +881,20 @@ def test_sieve_filter_absorbs_small_islands(spark):
         got2[r.block_y * b:(r.block_y + 1) * b,
              r.block_x * b:(r.block_x + 1) * b] = px
     assert np.array_equal(got2, val, equal_nan=True)
+
+
+def test_clump_single_block_and_all_nodata(spark):
+    """Degenerate clump inputs: a single block labels correctly with
+    no neighbors at all; an all-nodata block stays NaN everywhere."""
+    import numpy as np
+
+    rows = [("a", None, 1, 0, 0, 0, 2, 2, [1.0, 1.0, 2.0, 2.0],
+             None, 4326),
+            ("b", None, 1, 0, 0, 0, 2, 2, [9.0, 9.0, 9.0, 9.0],
+             9.0, 4326)]
+    blocks = spark.createDataFrame(rows, R.BLOCK_SCHEMA)
+    got = {r.dataset: r.pixels
+           for r in R.clump_labels(blocks, block=2).collect()}
+    GID = 1 << 26
+    assert got["a"] == [0.0, 0.0, float(GID), float(GID)]
+    assert all(p is None or np.isnan(p) for p in got["b"])
