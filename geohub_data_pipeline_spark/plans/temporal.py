@@ -572,3 +572,92 @@ def events_cohort_retention(spark: SparkSession,
             .agg(F.count_distinct("user_id").cast("long")
                  .alias("n_users"))
             .orderBy("cohort_day", "day_offset"))
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation + event transition matrix (round 7)
+# ---------------------------------------------------------------------------
+
+_RFM_SQL = f"""
+WITH agg AS (
+  SELECT o_custkey AS custkey,
+         CAST(max(o_orderdate) AS TIMESTAMP) AS last_order,
+         CAST(count(*) AS BIGINT) AS frequency,
+         {dsum_sql('o_totalprice', 4)} AS monetary
+  FROM orders GROUP BY o_custkey
+)
+SELECT custkey, last_order, frequency, monetary,
+       CAST(ntile(5) OVER (ORDER BY last_order, custkey)
+            AS INTEGER) AS r_q,
+       CAST(ntile(5) OVER (ORDER BY frequency, custkey)
+            AS INTEGER) AS f_q,
+       CAST(ntile(5) OVER (ORDER BY monetary, custkey)
+            AS INTEGER) AS m_q
+FROM agg
+ORDER BY custkey
+"""
+
+
+@query("events_rfm_segments", "temporal",
+       "§2.5 agg+windows: RFM segmentation — per-customer recency/"
+       "frequency/monetary + deterministic ntile quintiles (the "
+       "classic customer-value rollup)", _RFM_SQL)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency/frequency/monetary per customer with quintile scores
+    — one groupBy, three global ntile windows over the AGGREGATED
+    table (bounded: one row per customer, never over the fact), each
+    with a full tie-break so the quintiles are deterministic."""
+    t = load_tables(spark, sf_dir)
+    agg = (t.orders.groupBy(F.col("o_custkey").alias("custkey"))
+           .agg(F.max("o_orderdate").cast("timestamp_ntz")
+                .alias("last_order"),
+                F.count(F.lit(1)).alias("frequency"),
+                dsum(F.col("o_totalprice"), 4).alias("monetary")))
+    return (agg.select(
+        "custkey", "last_order", "frequency", "monetary",
+        F.ntile(5).over(Window.orderBy("last_order", "custkey"))
+        .alias("r_q"),
+        F.ntile(5).over(Window.orderBy("frequency", "custkey"))
+        .alias("f_q"),
+        F.ntile(5).over(Window.orderBy("monetary", "custkey"))
+        .alias("m_q"))
+        .orderBy("custkey"))
+
+
+_TRANSITION_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS src, next_type AS dst,
+       CAST(count(*) AS BIGINT) AS n
+FROM seq
+WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+ORDER BY n DESC, src, dst
+LIMIT 25
+"""
+
+
+@query("events_transition_matrix", "temporal",
+       "§2.5 windows+agg: first-order event transition matrix "
+       "(per-user lead, pair counts — the Markov-chain view of the "
+       "event stream behind next-action models)", _TRANSITION_SQL)
+def events_transition_matrix(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Consecutive event-type pairs per user, counted — ONE
+    user-keyed window for the lead and one pair-keyed partial
+    aggregate; the per-user ordering tie-breaks on event_id so the
+    matrix is deterministic."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (t.events
+            .select(F.col("event_type").alias("src"),
+                    F.lead("event_type").over(w).alias("dst"))
+            .filter(F.col("dst").isNotNull())
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "src", "dst")
+            .limit(25))
