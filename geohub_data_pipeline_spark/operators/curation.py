@@ -423,12 +423,22 @@ def _hash_ngrams(text: str, dim: int):
 def train_quality_classifier(docs: DataFrame, label_col: str,
                              text_col: str = "text",
                              dim: int = 4096, iters: int = 30,
-                             lr: float = 2.0, l2: float = 1e-6):
+                             lr: float = 1.0, l2: float = 1e-6):
     """Full-batch logistic regression over hashed n-gram features —
     returns the (dim+1,) weight vector (bias last) as numpy.
 
+    The update is ADAGRAD (per-feature adaptive step): on
+    L2-normalized sparse text features a plain global step
+    underfits badly — a rare-but-decisive token's gradient is tiny
+    next to the bias dimension, and measured on the sf0.01 gate
+    corpus plain GD still predicts the majority class after 40
+    rounds (77% accuracy) where Adagrad reaches 100% within 80
+    (r8; the offline A/B lives in PERF.md).  The accumulator is one
+    extra O(dim) driver-side vector — the distributed shape is
+    unchanged.
+
     Distributed shape: ONE pass featurizes and caches the corpus as
-    (label, sparse indices, values) partitions; each GD iteration is
+    (label, sparse indices, values) partitions; each iteration is
     one ``treeAggregate`` of the dense gradient (a ``dim``-sized
     vector per partition — the model, not the data, rides the
     network) with the current weights in the closure.  The driver
@@ -455,6 +465,7 @@ def train_quality_classifier(docs: DataFrame, label_col: str,
         raise ValueError("train_quality_classifier: empty input")
 
     w = np.zeros(d + 1)
+    accum = np.full(d + 1, 1e-8)       # adagrad G, driver-resident
 
     def grad_part(acc, row):
         y, u, v = row
@@ -481,7 +492,8 @@ def train_quality_classifier(docs: DataFrame, label_col: str,
         got = feats.treeAggregate(zero, seq, comb)
         g = got["g"] / n
         g[:d] += l2 * w[:d]
-        w = w - lr * g
+        accum += g * g
+        w = w - lr * g / np.sqrt(accum)
     feats.unpersist()
     return w
 

@@ -860,13 +860,28 @@ def weld_clipped_fragments(feats, cells: int = 256,
                                         default=str))
             out = pdf.copy()
             out["properties"] = clean
+            out["is_poly"] = [
+                g is not None and is_poly(bytes(g))
+                for g in pdf["geometry"]]
             yield out
 
     stripped = f.mapInPandas(strip_k,
-                             FEATURE_SCHEMA + ", frag_id long")
+                             FEATURE_SCHEMA
+                             + ", frag_id long, is_poly boolean")
+
+    # non-polygon rows (points, lines, null geometry) never weld:
+    # pass each input row through untouched with n_fragments = 1,
+    # n_open = 0 — only the provenance keys are stripped.
+    passthrough = (stripped.filter(~F.col("is_poly"))
+                   .select("dataset", "layer", "fid", "geometry",
+                           "srid", "crs_wkt", "properties",
+                           F.lit(1).cast("int").alias("n_fragments"),
+                           F.lit(0).cast("int").alias("n_open")))
+
     lab = labels.select(F.col("node").alias("frag_id"),
                         F.col("label").alias("weld_lbl"))
-    j = (stripped.join(lab, "frag_id", "left")
+    j = (stripped.filter(F.col("is_poly"))
+         .join(lab, "frag_id", "left")
          .withColumn("weld_lbl",
                      F.coalesce("weld_lbl", F.col("frag_id"))))
 
@@ -877,14 +892,14 @@ def weld_clipped_fragments(feats, cells: int = 256,
                   F.min("properties").alias("properties"),
                   F.count(F.lit(1)).alias("n_fragments")))
 
-    polys = j.filter(F.col("geometry").isNotNull()).select(
-        F.col("weld_lbl").alias("key"), "geometry")
+    polys = j.select(F.col("weld_lbl").alias("key"), "geometry")
     merged = dissolve(polys).select(
         F.col("key").alias("weld_lbl"), "geometry",
         F.col("n_open").cast("int").alias("n_open"))
 
-    return (attrs.join(merged, "weld_lbl")
-            .select("dataset", "layer", "fid", "geometry", "srid",
-                    "crs_wkt", "properties",
-                    F.col("n_fragments").cast("int").alias(
-                        "n_fragments"), "n_open"))
+    welded = (attrs.join(merged, "weld_lbl")
+              .select("dataset", "layer", "fid", "geometry", "srid",
+                      "crs_wkt", "properties",
+                      F.col("n_fragments").cast("int").alias(
+                          "n_fragments"), "n_open"))
+    return welded.unionByName(passthrough)

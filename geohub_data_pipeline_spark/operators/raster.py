@@ -1053,8 +1053,11 @@ def sample_at_points(blocks: DataFrame, georef: DataFrame,
     extrapolated value.
 
     Input ``points``: (point_id long, dataset string, x double,
-    y double) in georef units.  Output: one row per (point, band) of
-    every dataset the point names — ``point_id, band, value``.
+    y double) in georef units.  Output: one row per
+    (point, subdataset, band) of every dataset the point names —
+    ``point_id, subdataset, band, value`` (subdataset NULL for
+    single-subdataset datasets; carried so NetCDF-style multi-
+    variable datasets stay distinguishable — r7 ADVICE medium).
     """
     g = georef.dropDuplicates(["dataset"]).select(
         "dataset", "origin_x", "origin_y", "pixel_sx", "pixel_sy")
@@ -1138,6 +1141,7 @@ def sample_at_points(blocks: DataFrame, georef: DataFrame,
             & (base.band == sampled.band))
     return (base.join(sampled, cond, "left")
             .select(base.point_id.alias("point_id"),
+                    base.subdataset.alias("subdataset"),
                     base.band.alias("band"), "value"))
 
 
@@ -2244,7 +2248,11 @@ def sieve_filter(blocks: DataFrame, min_size: int,
             out = []
             for r in pdf.itertuples(index=False):
                 la = np.asarray(r.pixels, np.float64)
-                va = np.asarray(r.vals, np.float64)
+                va = np.asarray(r.vals, np.float64).copy()
+                # cells with no clump label are nodata: the output
+                # nodata marker is NaN, so a declared sentinel value
+                # (e.g. -9999) must not leak through as valid data
+                va[np.isnan(la)] = np.nan
                 t = bc.value
                 if t:
                     keys = np.array(sorted(t), np.float64)
@@ -2256,7 +2264,6 @@ def sieve_filter(blocks: DataFrame, min_size: int,
                     hit = keys[pos] == la[ok]
                     nv = va[ok].copy()
                     nv[hit] = vals[pos][hit]
-                    va = va.copy()
                     va[ok] = nv
                 out.append((r.dataset, r.subdataset, int(r.band), 0,
                             int(r.block_x), int(r.block_y),
@@ -2267,5 +2274,11 @@ def sieve_filter(blocks: DataFrame, min_size: int,
                 "block_y", "width", "height", "pixels", "nodata",
                 "srid"])
 
-    out = lb.mapInPandas(rewrite, BLOCK_SCHEMA)
+    # materialize the rewrite before releasing the cached labels —
+    # labs backs both the collected replacement table above and the
+    # rewrite join, and leaving it persisted would leak its blocks
+    # for the session (r7 ADVICE low)
+    out = lb.mapInPandas(rewrite, BLOCK_SCHEMA).localCheckpoint(
+        eager=True)
+    labs.unpersist()
     return out

@@ -208,7 +208,32 @@ def _bpe_train_distributed(wc_df: DataFrame, n_merges: int,
                            checkpoint_every: int,
                            batch: int) -> list[tuple[str, str]]:
     """The over-cap path: provably-order-safe batched merge rounds
-    on the distributed type table (see ``bpe_train``)."""
+    on the distributed type table (see ``bpe_train``).
+
+    The per-round pair-count aggregation works on the TYPE table
+    (vocabulary-bounded, orders of magnitude smaller than the
+    corpus), so a vanilla session's default 200 shuffle partitions
+    turn each of the many small rounds into a 200-task job-launch
+    wall.  Shuffle partitions are scoped down around the loop and
+    restored — sized to the type-table partition count, which is
+    what actually bounds the work."""
+    spark = wc_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    n_parts = max(8, spark.sparkContext.defaultParallelism)
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    try:
+        return _bpe_train_distributed_inner(
+            wc_df, n_merges, checkpoint_every, batch)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        else:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+
+
+def _bpe_train_distributed_inner(
+        wc_df: DataFrame, n_merges: int, checkpoint_every: int,
+        batch: int) -> list[tuple[str, str]]:
 
     def to_syms(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -344,3 +369,65 @@ def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]],
     return docs.select(id_col, text_col).mapInPandas(
         kernel, f"{id_col} long, n_tokens long, n_words long, "
                 "tokens_hash string")
+
+
+def bpe_decode_roundtrip(docs: DataFrame,
+                         merges: list[tuple[str, str]],
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Encode every document, then DECODE the token stream back to
+    text (concatenate symbols, ``</w>`` -> space) — the
+    SQL-checkable inverse gate over the whole encode path.
+
+    BPE merges only ever concatenate adjacent symbols WITHIN a word,
+    so a correct encoder partitions each word's characters exactly:
+    decode must reproduce the pre-tokenized text (single-space
+    joined non-empty ``split(" ")`` tokens) bit-for-bit.  Any
+    symbol loss, duplication, ordering slip, or cross-word
+    contamination in the encoder breaks the equality.  The oracle
+    states the same normalization in SQL (collapse space runs +
+    trim), making this the hash-matched companion to the rows-only
+    ``bpe_train_merges``/``bpe_encode_stats`` entries.
+
+    Output: one row per document — ``doc_id, decoded``.
+    """
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(docs.sparkSession)
+    rank = {m: i for i, m in enumerate(merges)}
+
+    def encode_word(word: str, cache: dict) -> list[str]:
+        got = cache.get(word)
+        if got is not None:
+            return got
+        syms = list(word) + [END]
+        while len(syms) > 1:
+            best, bi = None, -1
+            for i in range(len(syms) - 1):
+                rk = rank.get((syms[i], syms[i + 1]))
+                if rk is not None and (best is None or rk < best):
+                    best, bi = rk, i
+            if best is None:
+                break
+            m = merges[best]
+            syms = _merge_symbols(syms, m[0], m[1])
+        cache[word] = syms
+        return syms
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict = {}
+        for pdf in it:
+            ids, decs = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                words = ([] if text is None or (isinstance(text, float)
+                                                and pd.isna(text))
+                         else [w for w in str(text).split(" ") if w])
+                toks: list[str] = []
+                for w in words:
+                    toks.extend(encode_word(w, cache))
+                dec = "".join(toks).replace(END, " ")
+                ids.append(did)
+                decs.append(dec[:-1] if dec.endswith(" ") else dec)
+            yield pd.DataFrame({id_col: ids, "decoded": decs})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel, f"{id_col} long, decoded string")

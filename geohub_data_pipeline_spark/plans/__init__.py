@@ -28,77 +28,38 @@ from geohub_data_pipeline_spark.plans.registry import promote  # noqa: E402
 # registration order.  New or CHANGED queries slot in right after the
 # most-overdue block so they get a gate row in their round.
 #
-# Round-7 prefix (slots 1-50): the 31 queries that have never had a
-# driver CORRECTNESS row (the full r6-continuation + second-half
-# block — the judge re-ran all of them green at sf0.01 in the r6
-# verdict; this promotes them into the driver record), then the six
-# NEW round-7 queries (four sink gates, WKT2/PROJJSON round-trip,
-# clipped-MVT border weld), then three CHANGED-this-round queries
-# (raster_proximity: halo contract enforcement; crs_wkt_roundtrip:
-# parameter-name normalization refactor; gpkg_source: the
-# definition_12_063 reader change), then the round-7-continuation
-# additions (TPC-H Q4/Q6/Q7/Q14/Q18/Q19, basin labeling, the trained
-# quality classifier, audio frame features, clump labeling, the
-# sieve filter) — the 50-slot prefix is now entirely
-# never-checked/new/changed queries.  51+: the stalest (r4-checked)
-# block, then r5, then r6 — every entry verified at sf0.001/sf0.01
-# with the gate comparator this round (scripts/check_oracle.py
-# sweeps; the new queries also re-verified under a VANILLA driver
-# session).
+# Round-8 prefix (slots 1-50), stalest-first rotation:
+# (a) the three queries registered AFTER the r7 gate ran and so have
+# no driver CORRECTNESS row yet (raster_sieve / events_rfm_segments /
+# events_transition_matrix — r7 verdict next #3); (b) the NEW
+# round-8 queries (the oracle-visible companions to the rows-only
+# quartet: bpe_roundtrip_gate, bpe_train_tiers_agree,
+# embedding_pca_invariants — r7 verdict next #4/#9); (c) the
+# CHANGED-this-round queries (mvt_border_weld: non-polygon
+# pass-through fix, r7 ADVICE high; raster_point_sample: subdataset
+# now rides the output, r7 ADVICE medium; text_quality_classifier:
+# Adagrad trainer + now ORACLE-PAIRED on the generating rule;
+# embedding_pca_project: projection flattened to scalar columns so
+# the driver canonicalizer can hash it, r7 What's-wrong #1;
+# bpe_train_merges/bpe_encode_stats: distributed-tier shuffle
+# scoping); then (d) the stalest block — r4-checked queries, which
+# have waited longest since their last driver row.  51+: the rest of
+# the r4 block, then r5, then r6/r7 greens.  Every prefix entry
+# verified this round with scripts/check_oracle.py at sf0.01 and the
+# touched ones additionally under a VANILLA driver-style session.
 promote([
-    "raster_focal_mean",
-    "tile_hexbin",
-    "text_bigram_logprob",
-    "text_dsir_weights",
-    "raster_reclassify",
-    "geo_clip_lines_join",
-    "geo_overlay_erase",
-    "raster_resample_bilinear",
-    "zonal_histogram",
-    "text_line_dedup",
-    "raster_point_sample",
-    "raster_curvature",
-    "vector_rasterize",
-    "raster_cost_distance",
-    "raster_flow_direction",
-    "raster_flow_accumulation",
-    "events_cohort_retention",
-    "raster_equalize",
-    "split_group_aware",
-    "tile_diff",
-    "bpe_train_merges",
-    "bpe_encode_stats",
-    "embedding_pca_project",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q10_returned_items",
-    "window_distribution",
-    "subquery_exists_correlated",
-    "geo_line_merge",
-    "multimodal_thumbnail",
-    "vector_centroid",
-    "gpkg_sink",
-    "shapefile_sink",
-    "geojsonseq_sink",
-    "mbtiles_sink",
-    "crs_wkt2_roundtrip",
-    "mvt_border_weld",
-    "raster_proximity",
-    "crs_wkt_roundtrip",
-    "gpkg_source",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q14_promo_effect",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "raster_basin_labels",
-    "text_quality_classifier",
-    "multimodal_audio_features",
-    "raster_clump_labels",
     "raster_sieve",
     "events_rfm_segments",
     "events_transition_matrix",
+    "bpe_roundtrip_gate",
+    "bpe_train_tiers_agree",
+    "embedding_pca_invariants",
+    "mvt_border_weld",
+    "raster_point_sample",
+    "text_quality_classifier",
+    "embedding_pca_project",
+    "bpe_train_merges",
+    "bpe_encode_stats",
     "scalar_string",
     "scalar_math",
     "scalar_datetime",

@@ -1398,6 +1398,103 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TK.bpe_encode(t.documents, merges).orderBy("doc_id")
 
 
+_BPE_ROUNDTRIP_SQL = """
+SELECT doc_id,
+       trim(regexp_replace(coalesce(text, ''), ' +', ' ', 'g'),
+            ' ') AS decoded
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("bpe_roundtrip_gate", "llm",
+       "LLM tokenization: BPE encode->decode inverse gate — the "
+       "hash-matched SQL companion to the rows-only bpe_* entries "
+       "(r7 verdict missing #2): decode(encode(doc)) must equal the "
+       "space-normalized document bit-for-bit, so symbol loss / "
+       "duplication / cross-word contamination in the encoder fails "
+       "the value hash", _BPE_ROUNDTRIP_SQL)
+def bpe_roundtrip_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the 24-merge model on the corpus, encode every
+    document, decode the token stream (concat symbols, </w> ->
+    space), and return (doc_id, decoded).  The oracle states the
+    identical normalization in SQL — collapse space runs, trim —
+    which the decode reproduces exactly IFF the encoder partitioned
+    every word's characters."""
+    from geohub_data_pipeline_spark.operators import tokenizer as TK
+
+    t = load_tables(spark, sf_dir)
+    merges = TK.bpe_train(t.documents, n_merges=24)
+    return TK.bpe_decode_roundtrip(t.documents, merges) \
+        .orderBy("doc_id")
+
+
+_BPE_TIERS_SQL = """
+SELECT CAST(i AS BIGINT) AS rank, TRUE AS tiers_agree
+FROM range(16) t(i)
+ORDER BY rank
+"""
+
+
+@query("bpe_train_tiers_agree", "llm",
+       "LLM tokenization: the OVER-CAP distributed BPE tier gets "
+       "its own gate row (r7 verdict next #9) — type_table_cap=0 "
+       "forces the provably-order-safe batched distributed loop, "
+       "and every learned merge must equal the exact in-memory "
+       "tier's merge at the same rank", _BPE_TIERS_SQL)
+def bpe_train_tiers_agree(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Train 16 merges twice — the in-memory type-table tier
+    (exact sequential Sennrich) and the distributed batched tier
+    (forced via type_table_cap=0) — and emit one row per rank with
+    the agreement bit.  The order-safety bound guarantees identical
+    sequences on ANY corpus; the oracle states 16 TRUE rows, so a
+    single divergent merge fails the value hash.
+
+    The corpus derives from documents but is CONSTRUCTED so the
+    batch selector can prove large batches: 16 symbol-disjoint
+    target pairs (w_i = "A_i B_i A_i B_i" repeated 100-i times, so
+    pair counts 2*(100-i) are strictly separated and dominate every
+    risen pair's bound of 100-i) — the distributed tier completes
+    in ~1 round instead of the 1-3-merges-per-round crawl natural
+    text forces, keeping the gate inside the sweep budget while
+    still exercising the cap trigger, the top-K bound estimate, and
+    the batched merge application end to end.  Natural-text parity
+    (both tiers vs a sequential Sennrich reference) stays pinned in
+    tests/test_tokenizer.py."""
+    from geohub_data_pipeline_spark.operators import tokenizer as TK
+
+    syms = "abcdefghijklmnopqrstuvwxyz234567"
+    t = load_tables(spark, sf_dir)
+    base = (t.documents.filter(F.col("doc_id") < 16)
+            .select("doc_id",
+                    F.array_join(
+                        F.array_repeat(
+                            F.concat(
+                                F.substring(F.lit(syms),
+                                            (F.col("doc_id") * 2 + 1)
+                                            .cast("int"), 1),
+                                F.lit(""),
+                                F.substring(F.lit(syms),
+                                            (F.col("doc_id") * 2 + 2)
+                                            .cast("int"), 1)),
+                            (F.lit(100) - F.col("doc_id"))
+                            .cast("int")),
+                        " ").alias("text")))
+    # each doc's word is "AB" repeated; join two copies per token so
+    # the in-word pair (A,B) occurs twice per occurrence: "ABAB"
+    base = base.select(
+        "doc_id", F.regexp_replace(
+            "text", r"(\S+)", r"$1$1").alias("text"))
+    exact = TK.bpe_train(base, n_merges=16)
+    dist = TK.bpe_train(base, n_merges=16, type_table_cap=0)
+    rows = [(i, bool(i < len(dist) and i < len(exact)
+                     and exact[i] == dist[i]))
+            for i in range(16)]
+    return spark.createDataFrame(
+        rows, "rank long, tiers_agree boolean").orderBy("rank")
+
+
 @query("embedding_pca_project", "llm",
        "LLM embeddings: distributed PCA/whitening — one data pass "
        "of O(d^2)-per-PARTITION moment partials, driver d x d eigh, "
@@ -1408,27 +1505,98 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     the preconditioner before k-means / SemDeDup clustering.  Signs
     fixed deterministically (largest-magnitude entry positive);
     exactness vs numpy's full-matrix eigendecomposition is pinned by
-    tests/test_similarity.py::test_embedding_pca_matches_numpy."""
+    tests/test_similarity.py::test_embedding_pca_matches_numpy.
+
+    The projection flattens to SCALAR columns (proj_0..proj_7,
+    rounded) — an array<double> result column crashes the external
+    comparator's canonicalizer (r7 What's-wrong #1), and scalars
+    carry the identical information for the gate."""
     t = load_tables(spark, sf_dir)
     vecs = t.embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec"))
     proj, _evals = S.embedding_pca(vecs, k=8, whiten=True)
-    return proj.orderBy("vec_id")
+    return proj.select(
+        "vec_id",
+        *[F.round(F.element_at("proj", i + 1), 6).alias(f"proj_{i}")
+          for i in range(8)]).orderBy("vec_id")
+
+
+_PCA_INVARIANT_SQL = """
+SELECT CAST(a.i AS INTEGER) AS ci, CAST(b.i AS INTEGER) AS cj,
+       TRUE AS gram_ok, TRUE AS mean_ok
+FROM range(8) a(i), range(8) b(i)
+ORDER BY ci, cj
+"""
+
+
+@query("embedding_pca_invariants", "llm",
+       "LLM embeddings: SQL-checkable invariant companion to the "
+       "rows-only PCA projection (r7 verdict missing #2) — a "
+       "whitened projection has per-component mean 0 and IDENTITY "
+       "sample Gram matrix; the Spark side measures both over the "
+       "real projection, the oracle states the 8x8 expectation",
+       _PCA_INVARIANT_SQL)
+def embedding_pca_invariants(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Whitened-PCA law check over the actual ``embedding_pca``
+    output: for components i, j the sample statistic
+    sum(p_i * p_j) / (n-1) must equal [i == j] (whitening scales
+    each axis to unit variance; eigenvectors are orthogonal), and
+    each component's mean must be 0 (projection of CENTERED data).
+    Tolerance 1e-6 absorbs float reassociation; any real defect in
+    the moment accumulation, eigh ordering, sign fixing, or
+    whitening scale shows up orders of magnitude above it."""
+    t = load_tables(spark, sf_dir)
+    vecs = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+    proj, _evals = S.embedding_pca(vecs, k=8, whiten=True)
+    pairs = (proj.select("vec_id", F.posexplode("proj")
+                         .alias("ci", "p"))
+             .join(proj.select(F.col("vec_id").alias("vid2"),
+                               F.posexplode("proj")
+                               .alias("cj", "q")),
+                   F.col("vec_id") == F.col("vid2"))
+             .groupBy("ci", "cj")
+             .agg(F.sum(F.col("p") * F.col("q")).alias("xp"),
+                  F.sum("p").alias("sp"),
+                  F.count(F.lit(1)).alias("n")))
+    return (pairs.select(
+        F.col("ci").cast("int").alias("ci"),
+        F.col("cj").cast("int").alias("cj"),
+        (F.abs(F.col("xp") / (F.col("n") - 1)
+               - F.when(F.col("ci") == F.col("cj"), 1.0)
+               .otherwise(0.0)) < 1e-6).alias("gram_ok"),
+        (F.abs(F.col("sp") / F.col("n")) < 1e-6).alias("mean_ok"))
+        .orderBy("ci", "cj"))
+
+
+_QUALITY_CLF_SQL = """
+SELECT doc_id,
+       CAST(CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END
+            AS INTEGER) AS pred
+FROM documents
+ORDER BY doc_id
+"""
 
 
 @query("text_quality_classifier", "llm",
        "LLM curation: TRAINED quality filter — fastText-style hashed "
-       "n-gram logistic regression (treeAggregate full-batch GD, "
-       "O(dim) model rides the network per iteration; the CCNet/"
-       "FineWeb quality-filter stage) — rows-only: training is not "
-       "SQL", None)
+       "n-gram logistic regression (treeAggregate full-batch "
+       "Adagrad, O(dim) model rides the network per iteration; the "
+       "CCNet/FineWeb quality-filter stage).  Oracle-paired r8: the "
+       "trained model must REPRODUCE the generating rule per "
+       "document — the oracle states the rule, the Spark side "
+       "states the model's predictions", _QUALITY_CLF_SQL)
 def text_quality_classifier(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
     """Train on a text-derived rule (document mentions 'spark'),
     score every document map-side with the broadcast weights, return
-    (doc_id, score, pred).  Pytest pins >=98% accuracy and
-    float-tolerance parity with a local numpy GD on the identical
-    featurization (tests/test_curation.py)."""
+    (doc_id, pred).  The value-hash gate demands the learned
+    classifier match the rule on EVERY document (the rule is
+    linearly separable in the hashed n-gram space, and full-batch
+    Adagrad reaches the separator — r8; plain GD did not, see
+    PERF.md).  Scores and numpy-parity stay pinned in
+    tests/test_curation.py."""
     from geohub_data_pipeline_spark.operators import curation as CU
 
     t = load_tables(spark, sf_dir)
@@ -1437,10 +1605,9 @@ def text_quality_classifier(spark: SparkSession,
         F.when(F.col("text").contains("spark"), 1)
         .otherwise(0).alias("label"))
     w = CU.train_quality_classifier(labeled, "label", dim=4096,
-                                    iters=40)
+                                    iters=80)
     return (CU.score_quality(labeled, w)
-            .select("doc_id", F.round("score", 4).alias("score"),
-                    "pred")
+            .select("doc_id", "pred")
             .orderBy("doc_id"))
 
 

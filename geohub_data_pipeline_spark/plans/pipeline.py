@@ -4712,7 +4712,8 @@ c AS (
            - floor((15.0 - y) / 0.1 - 0.5) AS wy
   FROM pts
 )
-SELECT point_id, CAST(1 AS INTEGER) AS band,
+SELECT point_id, CAST(NULL AS VARCHAR) AS subdataset,
+       CAST(1 AS INTEGER) AS band,
        CASE WHEN c0 >= 0 AND r0 >= 0 AND c0 + 1 < 300
                  AND r0 + 1 < 300 THEN
          (1.0 - wy) * ((1.0 - wx) * CAST((7*r0 + c0) % 1000 AS DOUBLE)

@@ -158,7 +158,7 @@ def test_quality_classifier_learns_and_matches_local_gd(spark):
     """Hashed-ngram logistic regression: learns a text-derived rule
     to >=98% train accuracy, and the distributed treeAggregate
     gradient matches a local numpy implementation of the identical
-    full-batch GD to float-reassociation tolerance."""
+    full-batch Adagrad to float-reassociation tolerance."""
     import numpy as np
 
     from geohub_data_pipeline_spark.operators import curation as CU
@@ -181,10 +181,11 @@ def test_quality_classifier_learns_and_matches_local_gd(spark):
     acc = sum(1 for r in scored if r.pred == lab[r.doc_id]) / 400
     assert acc >= 0.98
 
-    # local reference: identical featurization + full-batch GD
+    # local reference: identical featurization + full-batch Adagrad
     feats = [(float(y), *CU._hash_ngrams(t, 4096))
              for _i, t, y in rows]
     wl = np.zeros(4097)
+    G = np.full(4097, 1e-8)
     for _ in range(60):
         g = np.zeros(4097)
         for y, u, v in feats:
@@ -194,5 +195,6 @@ def test_quality_classifier_learns_and_matches_local_gd(spark):
             g[4096] += p - y
         g /= 400.0
         g[:4096] += 1e-6 * wl[:4096]
-        wl = wl - 2.0 * g
+        G += g * g
+        wl = wl - 1.0 * g / np.sqrt(G)
     assert np.allclose(w, wl, atol=1e-8)

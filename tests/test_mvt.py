@@ -508,3 +508,48 @@ def test_weld_clipped_fragments_recovers_features(spark):
     assert abs(area(out[1].geometry) - 100.0) < 1e-9
     assert abs(area(out[2].geometry) - 100.0) < 1e-9
     assert abs(area(out[3].geometry) - 25.0) < 1e-9
+
+
+def test_weld_passes_through_points_and_lines(spark):
+    """Non-polygon rows (points, lines, null geometry) route AROUND
+    the dissolve: one output row per input row, n_fragments = 1,
+    n_open = 0, provenance stripped — alongside welded polygons
+    (r7 ADVICE high: the inner attrs->merged join used to drop every
+    non-polygon feature)."""
+    import json as _json
+
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.operators import mvt as MVT
+
+    def props(name):
+        return _json.dumps({"_z": 3, "_x": 5, "_y": 3, "name": name},
+                           sort_keys=True)
+
+    poly = G.wkb_polygon([[(50.0, 10.0), (55.0, 10.0), (55.0, 15.0),
+                           (50.0, 15.0), (50.0, 10.0)]])
+    rows = [
+        ("d", "l", 1, poly, 4326, None, props("poly")),
+        ("d", "l", 2, G.wkb_point(51.0, 11.0), 4326, None,
+         props("pt")),
+        ("d", "l", 3, G.wkb_linestring([(50.5, 10.5), (54.0, 14.0)]),
+         4326, None, props("ln")),
+        ("d", "l", 4, None, 4326, None, props("null")),
+    ]
+    feats = spark.createDataFrame(
+        rows, "dataset string, layer string, fid long, "
+              "geometry binary, srid int, crs_wkt string, "
+              "properties string")
+    out = {r.fid: r for r in
+           MVT.weld_clipped_fragments(feats).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    for fid in (2, 3, 4):
+        assert out[fid].n_fragments == 1
+        assert out[fid].n_open == 0
+        d = _json.loads(out[fid].properties)
+        assert "_z" not in d and "_x" not in d and "_y" not in d
+    # geometry bytes of the pass-through rows are untouched
+    assert bytes(out[2].geometry) == G.wkb_point(51.0, 11.0)
+    assert bytes(out[3].geometry) == G.wkb_linestring(
+        [(50.5, 10.5), (54.0, 14.0)])
+    assert out[4].geometry is None
+    assert out[1].n_fragments == 1 and out[1].n_open == 0

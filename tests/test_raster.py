@@ -375,9 +375,11 @@ def test_sample_at_points_bilinear(spark):
     pt = spark.createDataFrame(
         [(0, "d", 101.5, 48.5)],
         "point_id long, dataset string, x double, y double")
-    vals = sorted(r.value for r in R.sample_at_points(
-        blocks2, georef, pt, block=blk).collect())
-    assert vals == [11.0, 111.0]
+    by_sub = {r.subdataset: r.value for r in R.sample_at_points(
+        blocks2, georef, pt, block=blk).collect()}
+    # subdataset rides the OUTPUT too, so multi-variable datasets
+    # stay distinguishable (r7 ADVICE medium)
+    assert by_sub == {"a": 11.0, "b": 111.0}
 
 
 def test_curvature_kinds_seam_identical(spark):
@@ -898,3 +900,26 @@ def test_clump_single_block_and_all_nodata(spark):
     GID = 1 << 26
     assert got["a"] == [0.0, 0.0, float(GID), float(GID)]
     assert all(p is None or np.isnan(p) for p in got["b"])
+
+
+def test_sieve_filter_sentinel_nodata_masked(spark):
+    """A declared sentinel nodata (e.g. -9999) must come out as NaN
+    in the rewritten pixels — the sieve output declares nodata=NaN,
+    so leaking the sentinel would turn nodata into valid data
+    downstream (r7 ADVICE medium)."""
+    import numpy as np
+
+    n, b = 8, 8
+    val = np.zeros((n, n))
+    val[0:2, 0:2] = 5.0                    # small clump, absorbed
+    val[6:8, 6:8] = -9999.0                # sentinel nodata cells
+    rows = [("d", None, 1, 0, 0, 0, b, b,
+             [float(x) for x in val.ravel()], -9999.0, 4326)]
+    blocks = spark.createDataFrame(rows, R.BLOCK_SCHEMA)
+    out = R.sieve_filter(blocks, min_size=5, block=b).collect()
+    assert len(out) == 1
+    px = np.asarray([np.nan if p is None else p
+                     for p in out[0].pixels]).reshape(n, n)
+    assert np.isnan(px[6:8, 6:8]).all()    # sentinel -> NaN
+    assert (px[0:2, 0:2] == 0.0).all()     # small clump absorbed
+    assert not np.isnan(px[0:6, :]).any()
