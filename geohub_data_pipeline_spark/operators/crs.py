@@ -210,8 +210,10 @@ def to_lonlat_np(srid: int):
     if 32701 <= srid <= 32760:
         return make(srid % 100 * 6.0 - 183.0, _UTM_K0, _UTM_FE,
                     _UTM_FN_SOUTH, _TM_WGS84)
-    if 25828 <= srid <= 25838 or 26901 <= srid <= 26923:
-        zone = srid - (25800 if srid < 26000 else 26900)
+    if (25828 <= srid <= 25838 or 26901 <= srid <= 26923
+            or 6330 <= srid <= 6348):
+        zone = srid - (6329 if srid < 25000 else
+                       25800 if srid < 26000 else 26900)
         return make(zone * 6.0 - 183.0, _UTM_K0, _UTM_FE, 0.0,
                     _TM_GRS80)
     if 28348 <= srid <= 28358:
@@ -245,8 +247,10 @@ def from_lonlat_np(srid: int):
     if 32701 <= srid <= 32760:
         return make(srid % 100 * 6.0 - 183.0, _UTM_K0, _UTM_FE,
                     _UTM_FN_SOUTH, _TM_WGS84)
-    if 25828 <= srid <= 25838 or 26901 <= srid <= 26923:
-        zone = srid - (25800 if srid < 26000 else 26900)
+    if (25828 <= srid <= 25838 or 26901 <= srid <= 26923
+            or 6330 <= srid <= 6348):
+        zone = srid - (6329 if srid < 25000 else
+                       25800 if srid < 26000 else 26900)
         return make(zone * 6.0 - 183.0, _UTM_K0, _UTM_FE, 0.0,
                     _TM_GRS80)
     if 28348 <= srid <= 28358:
@@ -1469,6 +1473,57 @@ _CRS_TABLE.update({
     for z in range(3, 23)
 })
 
+# --- round-8 additions: SPCS83 State Plane families (VERDICT r7
+# next #8 — EPSG-code-only US uploads with no embedded WKT).
+# Parameters are the published SPCS83 metric definitions (NOAA
+# Manual NOS NGS 5); NAD83<->WGS84 treated as identity, same
+# posture as the NAD83 UTM range.  The ftUS twins reuse the metric
+# parameters with the exact US-survey-foot axis unit (1200/3937 m)
+# — the EPSG ftUS false origins are derived from these same metric
+# values, so the conversion is exact, not a rounding.
+_FT_US = 1200.0 / 3937.0
+_SPCS83_LCC = {
+    # zone: (sp1, sp2, lat0, lon0, fe_m, fn_m)
+    # California zones 1-6 (meters 26941-26946, ftUS 2225-2230)
+    26941: ((40.0, 41.0 + 40.0 / 60.0, 39.0 + 20.0 / 60.0, -122.0,
+             2000000.0, 500000.0), 2225),
+    26942: ((38.0 + 20.0 / 60.0, 39.0 + 50.0 / 60.0,
+             37.0 + 40.0 / 60.0, -122.0, 2000000.0, 500000.0), 2226),
+    26943: ((37.0 + 4.0 / 60.0, 38.0 + 26.0 / 60.0,
+             36.5, -120.5, 2000000.0, 500000.0), 2227),
+    26944: ((36.0, 37.25, 35.0 + 20.0 / 60.0, -119.0,
+             2000000.0, 500000.0), 2228),
+    26945: ((34.0 + 2.0 / 60.0, 35.0 + 28.0 / 60.0,
+             33.5, -118.0, 2000000.0, 500000.0), 2229),
+    26946: ((32.0 + 47.0 / 60.0, 33.0 + 53.0 / 60.0,
+             32.0 + 10.0 / 60.0, -116.25, 2000000.0, 500000.0), 2230),
+    # New York Long Island (meters 32118, ftUS 2263)
+    32118: ((40.0 + 40.0 / 60.0, 41.0 + 2.0 / 60.0,
+             40.0 + 10.0 / 60.0, -74.0, 300000.0, 0.0), 2263),
+    # Texas zones N/NC/C/SC/S (meters 32137-32141, ftUS 2275-2279)
+    32137: ((34.0 + 39.0 / 60.0, 36.0 + 11.0 / 60.0, 34.0, -101.5,
+             200000.0, 1000000.0), 2275),
+    32138: ((32.0 + 8.0 / 60.0, 33.0 + 58.0 / 60.0,
+             31.0 + 40.0 / 60.0, -98.5, 600000.0, 2000000.0), 2276),
+    32139: ((30.0 + 7.0 / 60.0, 31.0 + 53.0 / 60.0,
+             29.0 + 40.0 / 60.0, -100.0 - 20.0 / 60.0,
+             700000.0, 3000000.0), 2277),
+    32140: ((28.0 + 23.0 / 60.0, 30.0 + 17.0 / 60.0,
+             27.0 + 50.0 / 60.0, -99.0, 600000.0, 4000000.0), 2278),
+    32141: ((26.0 + 10.0 / 60.0, 27.0 + 50.0 / 60.0,
+             25.0 + 40.0 / 60.0, -98.5, 300000.0, 5000000.0), 2279),
+}
+for _m_code, ((_sp1, _sp2, _lat0, _lon0, _fe, _fn),
+              _ft_code) in _SPCS83_LCC.items():
+    _CRS_TABLE[_m_code] = (
+        "lcc2", _GRS80,
+        dict(lat0=_lat0, lon0=_lon0, sp1=_sp1, sp2=_sp2,
+             fe=_fe, fn=_fn), None)
+    _CRS_TABLE[_ft_code] = (
+        "lcc2", _GRS80,
+        dict(lat0=_lat0, lon0=_lon0, sp1=_sp1, sp2=_sp2,
+             fe=_fe, fn=_fn, to_m=_FT_US), None)
+
 # North Pole LAEA regional grids (EPSG 3571-3576: Bering Sea, Alaska,
 # Canada, Atlantic, Europe, Russia — lon0 180/-150/-100/-40/10/90).
 _CRS_TABLE.update({
@@ -1488,13 +1543,32 @@ _PAIR_CACHE: dict[int, tuple] = {}
 
 
 def _pair(srid: int):
-    """(fwd, inv) closures for a table CRS, built once per srid."""
+    """(fwd, inv) closures for a table CRS, built once per srid.
+
+    ``params["to_m"]`` (optional) is the CRS axis unit in meters —
+    e.g. the US survey foot 1200/3937 for the State Plane ftUS
+    codes.  Projection parameters stay in meters (the EPSG
+    defining values); the wrapper converts the COORDINATES, which
+    is exact because each zone's ftUS false easting/northing is
+    itself derived from the metric definition."""
     if srid in _PAIR_CACHE:
         return _PAIR_CACHE[srid]
     family, ellps, params, helmert = _CRS_TABLE[srid]
+    params = dict(params)
+    to_m = params.pop("to_m", None)
     fwd, inv = _FAMILIES[family](ellps, **params)
     if helmert is not None:
         fwd, inv = _with_datum(fwd, inv, ellps, helmert)
+    if to_m is not None:
+        fwd_m, inv_m = fwd, inv
+
+        def fwd(lon, lat, _f=fwd_m, _u=to_m):
+            x, y = _f(lon, lat)
+            return x / _u, y / _u
+
+        def inv(x, y, _i=inv_m, _u=to_m):
+            return _i(x * _u, y * _u)
+
     _PAIR_CACHE[srid] = (fwd, inv)
     return fwd, inv
 
@@ -1504,7 +1578,7 @@ def supported_srids() -> list[int]:
     return (sorted(_CRS_TABLE)
             + list(range(32601, 32661)) + list(range(32701, 32761))
             + list(range(25828, 25839)) + list(range(26901, 26924))
-            + list(range(28348, 28359)))
+            + list(range(6330, 6349)) + list(range(28348, 28359)))
 
 
 def to_lonlat(srid: int):
@@ -1532,6 +1606,10 @@ def to_lonlat(srid: int):
         zone = srid - 26900
         return lambda x, y: utm_to_lonlat(x, y, zone, north=True,
                                           ellipsoid=_TM_GRS80)
+    if 6330 <= srid <= 6348:                # NAD83(2011) / UTM 1N..19N
+        zone = srid - 6329
+        return lambda x, y: utm_to_lonlat(x, y, zone, north=True,
+                                          ellipsoid=_TM_GRS80)
     if 28348 <= srid <= 28358:              # GDA94 / MGA 48S..58S (GRS80)
         zone = srid - 28300
         return lambda x, y: utm_to_lonlat(x, y, zone, north=False,
@@ -1555,6 +1633,10 @@ def from_lonlat(srid: int):
                                               ellipsoid=_TM_GRS80)
     if 26901 <= srid <= 26923:              # NAD83 / UTM 1N..23N (GRS80)
         zone = srid - 26900
+        return lambda lon, lat: lonlat_to_utm(lon, lat, zone, north=True,
+                                              ellipsoid=_TM_GRS80)
+    if 6330 <= srid <= 6348:                # NAD83(2011) / UTM 1N..19N
+        zone = srid - 6329
         return lambda lon, lat: lonlat_to_utm(lon, lat, zone, north=True,
                                               ellipsoid=_TM_GRS80)
     if 28348 <= srid <= 28358:              # GDA94 / MGA 48S..58S (GRS80)

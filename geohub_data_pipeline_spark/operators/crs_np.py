@@ -478,7 +478,9 @@ def pair_np(srid: int):
     if entry is None:
         return None
     family, ellps, params, helmert = entry
-    if family == "tm":
+    params = dict(params)
+    to_m = params.pop("to_m", None)    # axis unit (e.g. ftUS), see
+    if family == "tm":                 # crs._pair
         fwd, inv = _make_tm_np(ellps, **params)
     elif family in _FAMILIES_NP:
         fwd, inv = _FAMILIES_NP[family](ellps, **params)
@@ -486,6 +488,17 @@ def pair_np(srid: int):
         return None
     if helmert is not None:
         fwd, inv = _with_datum_np(fwd, inv, ellps, helmert)
+    if to_m is not None:
+        fwd_m, inv_m = fwd, inv
+
+        def fwd(lon, lat, _f=fwd_m, _u=to_m):
+            x, y = _f(lon, lat)
+            return x / _u, y / _u
+
+        def inv(x, y, _i=inv_m, _u=to_m):
+            import numpy as _np
+            return _i(_np.asarray(x) * _u, _np.asarray(y) * _u)
+
     _PAIR_NP_CACHE[srid] = (fwd, inv)
     return fwd, inv
 

@@ -1504,15 +1504,16 @@ def crs_roundtrip_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CRS_CODES = [28992, 2056, 31370, 31467, 23031, 26714, 27572, 6931,
-              32661, 2180]
+              32661, 2180, 6339, 2229, 2277]
 _CRS_CODES_SQL = """
 SELECT doc_id,
-       CAST(CASE doc_id % 10
+       CAST(CASE doc_id % 13
             WHEN 0 THEN 28992 WHEN 1 THEN 2056 WHEN 2 THEN 31370
             WHEN 3 THEN 31467 WHEN 4 THEN 23031 WHEN 5 THEN 26714
             WHEN 6 THEN 27572 WHEN 7 THEN 6931 WHEN 8 THEN 32661
-            ELSE 2180 END AS INTEGER) AS srid,
-       round(CASE doc_id % 10
+            WHEN 9 THEN 2180 WHEN 10 THEN 6339 WHEN 11 THEN 2229
+            ELSE 2277 END AS INTEGER) AS srid,
+       round(CASE doc_id % 13
              WHEN 0 THEN 3.5 + (doc_id % 30) * 0.1
              WHEN 1 THEN 6.0 + (doc_id % 35) * 0.1
              WHEN 2 THEN 2.6 + (doc_id % 35) * 0.1
@@ -1522,8 +1523,11 @@ SELECT doc_id,
              WHEN 6 THEN -4.0 + (doc_id % 110) * 0.1
              WHEN 7 THEN -180.0 + (doc_id % 120) * 3.0
              WHEN 8 THEN -180.0 + (doc_id % 120) * 3.0
-             ELSE 14.2 + (doc_id % 95) * 0.1 END, 4) AS lon_rt,
-       round(CASE doc_id % 10
+             WHEN 9 THEN 14.2 + (doc_id % 95) * 0.1
+             WHEN 10 THEN -126.0 + (doc_id % 60) * 0.1
+             WHEN 11 THEN -119.8 + (doc_id % 45) * 0.1
+             ELSE -103.5 + (doc_id % 90) * 0.1 END, 4) AS lon_rt,
+       round(CASE doc_id % 13
              WHEN 0 THEN 50.8 + ((doc_id * 3) % 25) * 0.1
              WHEN 1 THEN 46.0 + ((doc_id * 3) % 18) * 0.1
              WHEN 2 THEN 49.6 + ((doc_id * 3) % 19) * 0.1
@@ -1533,17 +1537,21 @@ SELECT doc_id,
              WHEN 6 THEN 42.5 + ((doc_id * 3) % 85) * 0.1
              WHEN 7 THEN 25.0 + ((doc_id * 3) % 60) * 1.0
              WHEN 8 THEN 60.0 + ((doc_id * 3) % 30) * 1.0
-             ELSE 49.1 + ((doc_id * 3) % 55) * 0.1 END, 4) AS lat_rt
+             WHEN 9 THEN 49.1 + ((doc_id * 3) % 55) * 0.1
+             WHEN 10 THEN 32.0 + ((doc_id * 3) % 160) * 0.1
+             WHEN 11 THEN 33.0 + ((doc_id * 3) % 30) * 0.1
+             ELSE 29.0 + ((doc_id * 3) % 30) * 0.1 END, 4) AS lat_rt
 FROM documents
 ORDER BY doc_id
 """
 
 
 @query("crs_roundtrip_codes", "pipeline",
-       "§2.2 T7 reprojection, round-5b: EPSG-code-only national "
-       "grids — RD New, Swiss LV95, Belgian L72, DHDN GK3, ED50/"
-       "NAD27 UTM, NTF Lambert II, EASE-Grid 2.0 N, UPS N, Poland "
-       "CS92 (ref reprojects any SRS via PROJ, "
+       "§2.2 T7 reprojection, round-5b (+r8): EPSG-code-only "
+       "national grids — RD New, Swiss LV95, Belgian L72, DHDN GK3, "
+       "ED50/NAD27 UTM, NTF Lambert II, EASE-Grid 2.0 N, UPS N, "
+       "Poland CS92, and the r8 US families NAD83(2011) UTM + SPCS83 "
+       "State Plane m/ftUS (ref reprojects any SRS via PROJ, "
        "ingest/processing.py:142-150)", _CRS_CODES_SQL)
 def crs_roundtrip_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward+inverse through the round-5b ``_CRS_TABLE`` additions
@@ -1582,6 +1590,9 @@ def crs_roundtrip_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda d: -180.0 + (d % 120) * 3.0,
         lambda d: -180.0 + (d % 120) * 3.0,
         lambda d: 14.2 + (d % 95) * 0.1,
+        lambda d: -126.0 + (d % 60) * 0.1,
+        lambda d: -119.8 + (d % 45) * 0.1,
+        lambda d: -103.5 + (d % 90) * 0.1,
     ]
     lat_of = [
         lambda d: 50.8 + ((d * 3) % 25) * 0.1,
@@ -1594,6 +1605,9 @@ def crs_roundtrip_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda d: 25.0 + ((d * 3) % 60) * 1.0,
         lambda d: 60.0 + ((d * 3) % 30) * 1.0,
         lambda d: 49.1 + ((d * 3) % 55) * 0.1,
+        lambda d: 32.0 + ((d * 3) % 160) * 0.1,
+        lambda d: 33.0 + ((d * 3) % 30) * 0.1,
+        lambda d: 29.0 + ((d * 3) % 30) * 0.1,
     ]
 
     def rt(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1603,7 +1617,7 @@ def crs_roundtrip_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                k = did % 10
+                k = did % 13
                 srid = _CRS_CODES[k]
                 lon, lat = lon_of[k](did), lat_of[k](did)
                 fwd, inv = pairs[srid]

@@ -273,3 +273,115 @@ def test_new_codes_dispatch_and_supported():
         assert srid in sup
         assert C.to_lonlat(srid) is not None
         assert C.from_lonlat(srid) is not None
+
+
+# ---------------------------------------------------------------------------
+# Round-8 additions: SPCS83 State Plane + NAD83(2011) UTM (VERDICT r7
+# next #8)
+# ---------------------------------------------------------------------------
+
+def test_nad83_2011_utm_matches_nad83_utm():
+    """EPSG:6330-6348 (NAD83(2011) / UTM 1N-19N) are numerically the
+    NAD83 UTM projections (26901+zone): same GRS80 TM series, the
+    2011 realization shift is sub-decimeter and both are treated as
+    WGS84-identical — so the closed-form outputs must be
+    bit-identical."""
+    for srid in (6330, 6339, 6345, 6348):
+        zone = srid - 6329
+        lon0 = zone * 6.0 - 183.0
+        for dlon, lat in ((-1.5, 32.0), (2.1, 47.3)):
+            x1, y1 = C.from_lonlat(srid)(lon0 + dlon, lat)
+            x2, y2 = C.from_lonlat(26900 + zone)(lon0 + dlon, lat)
+            assert x1 == x2 and y1 == y2
+            _rt(srid, lon0 + dlon, lat, tol=1e-8)
+
+
+def test_spcs83_grid_origin_false_origin():
+    """Every SPCS83 LCC zone maps its (lon0, lat0) grid origin to
+    exactly the false origin — catches lon0/lat0/FE/FN entry slips
+    in the zone table."""
+    origins = {
+        26941: (-122.0, 39.0 + 20.0 / 60.0, 2000000.0, 500000.0),
+        26945: (-118.0, 33.5, 2000000.0, 500000.0),
+        32118: (-74.0, 40.0 + 10.0 / 60.0, 300000.0, 0.0),
+        32139: (-100.0 - 20.0 / 60.0, 29.0 + 40.0 / 60.0,
+                700000.0, 3000000.0),
+        32141: (-98.5, 25.0 + 40.0 / 60.0, 300000.0, 5000000.0),
+    }
+    for srid, (lon0, lat0, fe, fn) in origins.items():
+        x, y = C.from_lonlat(srid)(lon0, lat0)
+        assert abs(x - fe) < 1e-6 and abs(y - fn) < 1e-6, (srid, x, y)
+
+
+def test_spcs83_standard_parallel_scale_unity():
+    """LCC-2SP is exact-scale along BOTH standard parallels: the
+    numerical east-west distance scale at sp1/sp2 must be 1 to 1e-9
+    — catches sp1/sp2 entry slips (a wrong parallel shows k != 1 at
+    the claimed one)."""
+    zones = {
+        26941: (40.0, 41.0 + 40.0 / 60.0, -122.0),
+        26944: (36.0, 37.25, -119.0),
+        26946: (32.0 + 47.0 / 60.0, 33.0 + 53.0 / 60.0, -116.25),
+        32118: (40.0 + 40.0 / 60.0, 41.0 + 2.0 / 60.0, -74.0),
+        32137: (34.0 + 39.0 / 60.0, 36.0 + 11.0 / 60.0, -101.5),
+        32140: (28.0 + 23.0 / 60.0, 30.0 + 17.0 / 60.0, -99.0),
+    }
+    a, f = 6378137.0, 1.0 / 298.257222101
+    e2 = f * (2 - f)
+    for srid, (sp1, sp2, lon0) in zones.items():
+        fwd = C.from_lonlat(srid)
+        for sp in (sp1, sp2):
+            phi = math.radians(sp)
+            nu = a / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+            dlon = 1e-5
+            x1, y1 = fwd(lon0 - dlon / 2, sp)
+            x2, y2 = fwd(lon0 + dlon / 2, sp)
+            ground = math.radians(dlon) * nu * math.cos(phi)
+            k = math.hypot(x2 - x1, y2 - y1) / ground
+            assert abs(k - 1.0) < 1e-9, (srid, sp, k)
+
+
+def test_spcs83_ftus_twins_exact_unit():
+    """The ftUS codes are the metric zones re-expressed in US survey
+    feet (1200/3937 m exactly): coordinates scale by exactly that
+    factor and round-trip to the same lon/lat."""
+    ft = 1200.0 / 3937.0
+    for m_code, f_code, lon, lat in (
+            (26945, 2229, -118.24, 34.05),     # Los Angeles
+            (32118, 2263, -73.99, 40.75),      # Manhattan
+            (32139, 2277, -97.74, 30.27)):     # Austin
+        xm, ym = C.from_lonlat(m_code)(lon, lat)
+        xf, yf = C.from_lonlat(f_code)(lon, lat)
+        assert abs(xf * ft - xm) < 1e-9 * max(1.0, abs(xm))
+        assert abs(yf * ft - ym) < 1e-9 * max(1.0, abs(ym))
+        _rt(f_code, lon, lat, tol=1e-8)
+
+
+def test_spcs83_numpy_twins_match_scalar():
+    """The vectorized table path (crs_np.pair_np) agrees with the
+    scalar closures for the new metric AND ftUS zones."""
+    import numpy as np
+
+    from geohub_data_pipeline_spark.operators import crs_np
+    for srid, lon, lat in ((26943, -121.9, 37.4),
+                           (2229, -118.24, 34.05),
+                           (2277, -97.74, 30.27),
+                           (32118, -73.99, 40.75)):
+        fwd_np, inv_np = crs_np.pair_np(srid)
+        xs, ys = fwd_np(np.array([lon]), np.array([lat]))
+        x, y = C.from_lonlat(srid)(lon, lat)
+        assert abs(xs[0] - x) < 1e-6 and abs(ys[0] - y) < 1e-6
+        los, las = inv_np(xs, ys)
+        assert abs(los[0] - lon) < 1e-9 and abs(las[0] - lat) < 1e-9
+
+
+def test_round8_codes_dispatch_and_supported():
+    new = ([26941 + i for i in range(6)] + [2225 + i for i in range(6)]
+           + [32118, 2263]
+           + [32137 + i for i in range(5)] + [2275 + i for i in range(5)]
+           + list(range(6330, 6349)))
+    sup = set(C.supported_srids())
+    for srid in new:
+        assert srid in sup
+        assert C.to_lonlat(srid) is not None
+        assert C.from_lonlat(srid) is not None
