@@ -42,9 +42,13 @@ from geohub_data_pipeline_spark.plans.registry import promote  # noqa: E402
 # embedding_pca_project: projection flattened to scalar columns so
 # the driver canonicalizer can hash it, r7 What's-wrong #1;
 # bpe_train_merges/bpe_encode_stats: distributed-tier shuffle
-# scoping); then (d) the stalest block — r4-checked queries, which
-# have waited longest since their last driver row.  51+: the rest of
-# the r4 block, then r5, then r6/r7 greens.  Every prefix entry
+# scoping); then (d) the round-8-continuation additions — the TPC-H
+# closure set Q2/Q8/Q9/Q11/Q12/Q13/Q15/Q16/Q17/Q20/Q21/Q22
+# (completing all 22 TPC-H query shapes on this schema) and the
+# r8-extended crs_roundtrip_codes (SPCS83 State Plane + NAD83(2011)
+# UTM families); then (e) the stalest block — r4-checked queries,
+# which have waited longest since their last driver row.  51+: the
+# rest of the r4 block, then r5, then r6/r7 greens.  Every prefix entry
 # verified this round with scripts/check_oracle.py at sf0.01 and the
 # touched ones additionally under a VANILLA driver-style session.
 promote([
@@ -60,6 +64,19 @@ promote([
     "embedding_pca_project",
     "bpe_train_merges",
     "bpe_encode_stats",
+    "crs_roundtrip_codes",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_priority_lateness",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_qty_revenue",
+    "q20_excess_shipments",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
     "scalar_string",
     "scalar_math",
     "scalar_datetime",
@@ -139,7 +156,6 @@ promote([
     "makevalid_audit",
     "raster_probe",
     "crs_roundtrip_equalarea",
-    "crs_roundtrip_codes",
     "text_gopher_rules",
     "text_c4_rules",
     "kml_source",

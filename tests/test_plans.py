@@ -443,3 +443,60 @@ def test_q14_part_broadcasts(spark, sf_dir):
     plan = plan_of(SPECS["q14_promo_effect"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-8 TPC-H closure plan shapes (Q2/Q13/Q16/Q20/Q21/Q22)
+# ---------------------------------------------------------------------------
+
+def test_q2_correlated_min_is_window_not_self_join(spark, sf_dir):
+    """Q2's correlated MIN subquery compiles to a window min over
+    the region-filtered relation — one exchange, no second scan of
+    the part-supplier relation, dims broadcast."""
+    plan = plan_of(SPECS["q2_min_cost_supplier"].fn(spark, sf_dir))
+    assert "Window" in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q13_left_join_preserves_zero_bucket(spark, sf_dir):
+    """Q13 keeps customers with no orders: the join is LEFT OUTER
+    (never inner), and the priority exclusion sits join-side."""
+    plan = plan_of(SPECS["q13_order_distribution"].fn(spark, sf_dir))
+    assert "LeftOuter" in plan
+
+
+def test_q16_not_in_is_anti_join(spark, sf_dir):
+    """Q16's NOT IN exclusion compiles to a broadcast LEFT ANTI
+    join, not a nested-loop null-semantics expansion (the subquery
+    is provably non-null)."""
+    plan = plan_of(SPECS["q16_supplier_part_count"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q20_nested_in_is_semi_join_chain(spark, sf_dir):
+    """Q20's nested INs land as semi-joins: part filter prunes
+    lineitem BEFORE the HAVING aggregate, qualifying suppliers
+    semi-join the supplier dim."""
+    plan = plan_of(SPECS["q20_excess_shipments"].fn(spark, sf_dir))
+    assert plan.count("LeftSemi") >= 2
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_q21_exists_pair_is_single_aggregate(spark, sf_dir):
+    """Q21's EXISTS + NOT EXISTS pair rewrites to ONE per-order
+    aggregate joined back — no correlated rescans, so the lineitem
+    fact appears in at most two scans (late relation + aggregate),
+    never three."""
+    plan = plan_of(SPECS["q21_waiting_suppliers"].fn(spark, sf_dir))
+    assert plan.count("FileScan parquet") <= 5     # 2x lineitem+orders, 1 dims
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_scalar_avg_broadcasts(spark, sf_dir):
+    """Q22's scalar AVG threshold is a 1-row broadcast (nested-loop
+    on a singleton is the correct physical form) and the NOT EXISTS
+    is an anti-join on custkey."""
+    plan = plan_of(SPECS["q22_global_sales_opportunity"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan
