@@ -431,3 +431,225 @@ def bpe_decode_roundtrip(docs: DataFrame,
 
     return docs.select(id_col, text_col).mapInPandas(
         kernel, f"{id_col} long, decoded string")
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM tokenizer (SentencePiece-style, Kudo 2018) — round 8
+# ---------------------------------------------------------------------------
+
+def _viterbi_segment(word: str, logp: dict, max_len: int):
+    """Best segmentation of ``word`` under piece log-probs: standard
+    Viterbi over cut positions.  Ties break to the FEWER-pieces
+    parse, then to the lexicographically earlier piece sequence —
+    fully deterministic.  Returns (pieces, total_logp); every
+    single character is guaranteed in the vocab, so a parse always
+    exists."""
+    n = len(word)
+    best = [(-1e30, 0, None, None)] * (n + 1)   # (lp, -npieces, bt, piece)
+    best[0] = (0.0, 0, None, None)
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_len), i):
+            piece = word[j:i]
+            lp = logp.get(piece)
+            if lp is None:
+                continue
+            cand = (best[j][0] + lp, best[j][1] - 1, j, piece)
+            if (cand[0], cand[1]) > (best[i][0], best[i][1]) or (
+                    (cand[0], cand[1]) == (best[i][0], best[i][1])
+                    and best[i][3] is not None
+                    and piece < best[i][3]):
+                best[i] = cand
+    out = []
+    i = n
+    while i > 0:
+        _, _, j, piece = best[i]
+        out.append(piece)
+        i = j
+    out.reverse()
+    return out, best[n][0]
+
+
+def unigram_train(docs: DataFrame, vocab_size: int,
+                  text_col: str = "text", max_piece_len: int = 6,
+                  seed_factor: int = 4, em_iters: int = 2,
+                  prune_frac: float = 0.25):
+    """Train a Unigram-LM tokenizer vocabulary (the SentencePiece
+    algorithm, Kudo 2018 "Subword Regularization", Viterbi-EM
+    variant).  Returns ``(pieces, logp)``: the piece list in
+    deterministic order and their final log-probabilities.
+
+    Distributed factorization mirrors ``bpe_train``: every
+    corpus-sized pass is bounded —
+
+    1. corpus -> word-TYPE table (ONE corpus pass, the same
+       ``word_counts``);
+    2. seed vocab: every substring of length <= ``max_piece_len``
+       explodes off the type table, aggregates, and the top
+       ``seed_factor * vocab_size`` by (count x length) survive,
+       plus EVERY single character (segmentability guarantee).
+       This is an explode + partial-agg groupBy + one bounded
+       ``limit`` collect — vocabulary-bounded, never corpus-bound;
+    3. Viterbi-EM rounds: piece log-probs broadcast in the closure,
+       the E-step segments each word TYPE map-side (Arrow batches)
+       weighted by its count, the M-step is one groupBy over piece
+       usage (vocab-bounded);
+    4. prune the lowest-usage ``prune_frac`` (never single chars),
+       re-run EM, until ``vocab_size`` remains.
+
+    The model (pieces + probs) is driver-resident by design, like
+    the BPE merge table: its size is the vocabulary, not the data.
+    Determinism: all ties (seed ranking, usage pruning) break by
+    (count desc, piece asc); Viterbi ties prefer fewer pieces.
+    """
+    import math
+
+    from geohub_data_pipeline_spark.session import ship_package
+    spark = docs.sparkSession
+    ship_package(spark)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(max(8, spark.sparkContext.defaultParallelism)))
+    try:
+        wc_df = word_counts(docs, text_col).localCheckpoint()
+
+        L = int(max_piece_len)
+
+        def subst(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                ps, ns = [], []
+                for word, n in zip(pdf["word"], pdf["n"]):
+                    n = int(n)
+                    seen = {}
+                    for i in range(len(word)):
+                        for j in range(i + 1,
+                                       min(i + L, len(word)) + 1):
+                            p = word[i:j]
+                            seen[p] = seen.get(p, 0) + 1
+                    for p, k in seen.items():   # k = multiplicity
+                        #   of the substring within the word
+                        ps.append(p)
+                        ns.append(n * k)
+                yield pd.DataFrame({"piece": ps, "cnt": ns})
+
+        sub = (wc_df.mapInPandas(subst, "piece string, cnt long")
+               .groupBy("piece").agg(F.sum("cnt").alias("cnt")))
+        k_seed = int(seed_factor) * int(vocab_size)
+        seeds = (sub.withColumn(
+            "score", F.col("cnt") * F.length("piece"))
+            .orderBy(F.desc("score"), "piece")
+            .limit(k_seed).collect())
+        chars = {r["piece"]: int(r["cnt"]) for r in
+                 sub.filter(F.length("piece") == 1).collect()}
+        vocab = {r["piece"]: int(r["cnt"]) for r in seeds}
+        for c, n in chars.items():
+            vocab.setdefault(c, n)
+
+        def norm_logp(counts: dict) -> dict:
+            tot = sum(counts.values())
+            return {p: math.log(c / tot) for p, c in counts.items()}
+
+        logp = norm_logp(vocab)
+
+        def em_usage(logp_b):
+            def kernel(it: Iterator[pd.DataFrame]
+                       ) -> Iterator[pd.DataFrame]:
+                for pdf in it:
+                    use: dict = {}
+                    ll = 0.0
+                    for word, n in zip(pdf["word"], pdf["n"]):
+                        pieces, lp = _viterbi_segment(
+                            word, logp_b, L)
+                        ll += lp * int(n)
+                        for p in pieces:
+                            use[p] = use.get(p, 0) + int(n)
+                    yield pd.DataFrame({
+                        "piece": list(use) + ["\x00ll"],
+                        "cnt": list(use.values()) + [0],
+                        "ll": [0.0] * len(use) + [ll]})
+            rows = (wc_df.mapInPandas(
+                kernel, "piece string, cnt long, ll double")
+                .groupBy("piece")
+                .agg(F.sum("cnt").alias("cnt"),
+                     F.sum("ll").alias("ll")).collect())
+            usage = {}
+            ll = 0.0
+            for r in rows:
+                if r["piece"] == "\x00ll":
+                    ll = float(r["ll"])
+                else:
+                    usage[r["piece"]] = int(r["cnt"])
+            return usage, ll
+
+        ll_trace = []
+        while True:
+            for _ in range(int(em_iters)):
+                usage, ll = em_usage(logp)
+                ll_trace.append(ll)
+                # M-step: re-estimate from usage; unused pieces get
+                # dropped implicitly unless single chars
+                new_counts = {p: c for p, c in usage.items() if c > 0}
+                for c, n in chars.items():
+                    new_counts.setdefault(c, 1)
+                logp = norm_logp(new_counts)
+                vocab = new_counts
+            if len(vocab) <= int(vocab_size):
+                break
+            # prune lowest-usage multi-char pieces
+            multi = sorted(
+                ((c, p) for p, c in vocab.items() if len(p) > 1))
+            n_drop = min(len(multi),
+                         max(1, int(len(vocab) * float(prune_frac))),
+                         len(vocab) - int(vocab_size))
+            drop = {p for _c, p in multi[:n_drop]}
+            vocab = {p: c for p, c in vocab.items() if p not in drop}
+            logp = norm_logp(vocab)
+        pieces = sorted(vocab, key=lambda p: (-vocab[p], p))
+        return pieces, logp, ll_trace
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        else:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+
+
+def unigram_encode(docs: DataFrame, logp: dict,
+                   max_piece_len: int = 6, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Viterbi-encode every document with a trained unigram vocab:
+    one row per document — ``n_tokens``, ``n_words``, ``decoded``
+    (the concatenated parse, for the SQL roundtrip gate: a unigram
+    parse PARTITIONS each word, so decode == space-normalized
+    text).  Map-side only; the model broadcasts in the closure."""
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(docs.sparkSession)
+    L = int(max_piece_len)
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict = {}
+        for pdf in it:
+            ids, n_toks, n_words, decs = [], [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                words = ([] if text is None or (isinstance(text, float)
+                                                and pd.isna(text))
+                         else [w for w in str(text).split(" ") if w])
+                toks = 0
+                parts = []
+                for w in words:
+                    got = cache.get(w)
+                    if got is None:
+                        got = _viterbi_segment(w, logp, L)[0]
+                        cache[w] = got
+                    toks += len(got)
+                    parts.append("".join(got))
+                ids.append(did)
+                n_toks.append(toks)
+                n_words.append(len(words))
+                decs.append(" ".join(parts))
+            yield pd.DataFrame({
+                id_col: ids, "n_tokens": n_toks,
+                "n_words": n_words, "decoded": decs})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel, f"{id_col} long, n_tokens long, n_words long, "
+                "decoded string")

