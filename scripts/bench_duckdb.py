@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
 
-from bench import HEADLINE  # noqa: E402
+from bench import GEO_HEADLINE, HEADLINE  # noqa: E402
 from geohub_data_pipeline_spark.plans import all_queries  # noqa: E402
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -35,30 +35,37 @@ def main() -> None:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     specs = all_queries()
-    timings: dict[str, float] = {}
-    total = 0.0
-    for n in HEADLINE:
-        spec = specs.get(n)
-        if spec is None or spec.sql is None:
-            continue
-        try:
-            con.execute(spec.sql).fetchall()          # warm-up
-        except Exception as ex:
-            print(f"-- {n} failed: {ex}", file=sys.stderr)
-            continue
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            con.execute(spec.sql).fetchall()
-            best = min(best, time.time() - t0)
-        timings[n] = round(best, 3)
-        total += timings[n]
+
+    def run(names):
+        timings: dict[str, float] = {}
+        total = 0.0
+        for n in names:
+            spec = specs.get(n)
+            if spec is None or spec.sql is None:
+                continue
+            try:
+                con.execute(spec.sql).fetchall()      # warm-up
+            except Exception as ex:
+                print(f"-- {n} failed: {ex}", file=sys.stderr)
+                continue
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                con.execute(spec.sql).fetchall()
+                best = min(best, time.time() - t0)
+            timings[n] = round(best, 3)
+            total += timings[n]
+        return timings, total
+
+    timings, total = run(HEADLINE)
+    geo_timings, geo_total = run(GEO_HEADLINE)
     print(json.dumps({
         "metric": "duckdb_oracle_wall_clock",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "geo": {"value": round(geo_total, 3), "queries": geo_timings},
     }))
 
 
