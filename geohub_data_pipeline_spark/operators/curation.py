@@ -527,3 +527,61 @@ def score_quality(docs: DataFrame, weights,
 
     return docs.select(id_col, text_col).mapInPandas(
         kernel, "doc_id long, score double, pred int")
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string join (entity-resolution blocking) — round 8
+# ---------------------------------------------------------------------------
+
+def fuzzy_join_strings(left: DataFrame, right: DataFrame,
+                       left_col: str, right_col: str,
+                       max_dist: int = 1) -> DataFrame:
+    """Edit-distance join via SYMMETRIC-DELETE blocking (the
+    SymSpell scheme): two strings are within edit distance 1 iff
+    their 1-deletion neighborhoods intersect (a substitution at
+    position i gives a common variant by deleting i from both; an
+    insert/delete makes one string itself a variant of the other),
+    so the join is
+
+        explode deletion variants on BOTH sides
+        -> one equi-join on the variant string
+        -> distinct candidate pairs
+        -> verify with the built-in levenshtein on candidates only.
+
+    Everything is Catalyst expressions (the variant fan-out is a
+    ``transform(sequence(...))`` + explode; verification is the JVM
+    ``levenshtein``) — no Python in the path, no all-pairs product
+    anywhere.  Only ``max_dist=1`` is supported: the d-deletion
+    generalization fans L^d variants per row and is not needed by
+    any current consumer.
+
+    Output: every (left row, right row) pair with
+    ``dist = levenshtein(left_col, right_col) <= max_dist`` — all
+    original columns from both sides plus ``dist int``.
+
+    Scale: the variant explode is a map-side fan of length+1 rows;
+    the shuffle carries (variant, row-key) pairs; candidate counts
+    are bounded by true near-matches plus hash-sized collision
+    groups, never |L| x |R|.
+    """
+    if int(max_dist) != 1:
+        raise ValueError("fuzzy_join_strings: only max_dist=1 is "
+                         "implemented (SymSpell 1-deletion blocking)")
+
+    def variants(col: str) -> Column:
+        # the string itself + every single-character deletion
+        return F.expr(
+            f"array_union(array({col}), "
+            f"transform(sequence(1, length({col})), "
+            f"i -> concat(substring({col}, 1, i - 1), "
+            f"substring({col}, i + 1, length({col})))))")
+
+    lv = left.withColumn("__v", F.explode(variants(left_col)))
+    rv = right.withColumn("__v", F.explode(variants(right_col)))
+    cand = (lv.join(rv, "__v")
+            .drop("__v")
+            .distinct())
+    return (cand
+            .withColumn("dist", F.levenshtein(F.col(left_col),
+                                              F.col(right_col)))
+            .filter(F.col("dist") <= int(max_dist)))

@@ -1760,3 +1760,74 @@ def multimodal_audio_features(spark: SparkSession,
     return (out.select("doc_id", "frame_idx",
                        F.round("rms", 6).alias("rms"), "crossings")
             .orderBy("doc_id", "frame_idx"))
+
+
+_FUZZY_JOIN_SQL = """
+WITH names AS (
+  SELECT p_name,
+         CAST(row_number() OVER (ORDER BY p_name) - 1 AS BIGINT)
+           AS idx
+  FROM (SELECT DISTINCT p_name FROM part)
+),
+dirty AS (
+  SELECT d.doc_id,
+         substring(n.p_name, 1,
+                   CAST(d.doc_id % length(n.p_name) AS INTEGER))
+         || substring(n.p_name,
+                      CAST(d.doc_id % length(n.p_name) AS INTEGER)
+                      + 2) AS dirty_name
+  FROM documents d
+  JOIN names n ON n.idx = d.doc_id % (SELECT count(*) FROM names)
+)
+SELECT d.doc_id, d.dirty_name, n.p_name AS matched_name,
+       CAST(levenshtein(d.dirty_name, n.p_name) AS INTEGER) AS dist
+FROM dirty d
+JOIN names n ON levenshtein(d.dirty_name, n.p_name) <= 1
+ORDER BY doc_id, matched_name
+"""
+
+
+@query("fuzzy_join_names", "llm",
+       "entity resolution: edit-distance-1 fuzzy string join via "
+       "SYMMETRIC-DELETE blocking (SymSpell) — deletion-variant "
+       "explode on both sides, ONE equi-join on the variant, "
+       "built-in levenshtein verify on candidates only; the oracle "
+       "is the brute-force cross join, so the hash match also "
+       "proves the blocking is COMPLETE (no missed pair)",
+       _FUZZY_JOIN_SQL)
+def fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each document derives a 'dirty' part name (one deterministic
+    character deletion from its assigned catalog name) and the
+    fuzzy join recovers every catalog name within edit distance 1.
+    The Spark side runs the scalable blocking plan
+    (curation.fuzzy_join_strings — no all-pairs product anywhere);
+    the DuckDB oracle computes the literal |dirty| x |names| cross
+    join with levenshtein, so any candidate the blocking misses OR
+    invents fails the value hash."""
+    from pyspark.sql import Window as W
+
+    from geohub_data_pipeline_spark.operators import curation as CU
+
+    t = load_tables(spark, sf_dir)
+    names = (t.part.select("p_name").distinct()
+             .withColumn("idx", F.row_number().over(
+                 W.orderBy("p_name")).cast("long") - 1))
+    n_names = names.count()
+    dirty = (t.documents.select("doc_id")
+             .join(F.broadcast(names),
+                   F.col("idx") == F.col("doc_id") % n_names)
+             .select("doc_id",
+                     F.concat(
+                         F.expr("substring(p_name, 1, "
+                                "CAST(doc_id % length(p_name) "
+                                "AS INT))"),
+                         F.expr("substring(p_name, "
+                                "CAST(doc_id % length(p_name) "
+                                "AS INT) + 2, length(p_name))"))
+                     .alias("dirty_name")))
+    out = CU.fuzzy_join_strings(
+        dirty, names.select("p_name"), "dirty_name", "p_name")
+    return (out.select("doc_id", "dirty_name",
+                       F.col("p_name").alias("matched_name"),
+                       F.col("dist").cast("int").alias("dist"))
+            .orderBy("doc_id", "matched_name"))

@@ -198,3 +198,45 @@ def test_quality_classifier_learns_and_matches_local_gd(spark):
         G += g * g
         wl = wl - 1.0 * g / np.sqrt(G)
     assert np.allclose(w, wl, atol=1e-8)
+
+
+def test_fuzzy_join_strings_complete_and_candidates_only(spark):
+    """SymSpell 1-deletion blocking finds EXACTLY the pairs a brute
+    force finds for edit distance <= 1 (equal / substitution /
+    insertion / deletion all covered), and the physical plan has no
+    cartesian product."""
+    from geohub_data_pipeline_spark.operators import curation as CU
+
+    left = spark.createDataFrame(
+        [(0, "widget"), (1, "wdget"), (2, "widgets"), (3, "wadget"),
+         (4, "gizmo"), (5, "completely-different")],
+        "lid long, a string")
+    right = spark.createDataFrame(
+        [(0, "widget"), (1, "gizmos"), (2, "gadget")],
+        "rid long, b string")
+    got = sorted((r.lid, r.rid, r.dist) for r in
+                 CU.fuzzy_join_strings(left, right, "a", "b")
+                 .collect())
+
+    def lev(s, t):
+        import numpy as np
+        d = np.arange(len(t) + 1)
+        for i, cs in enumerate(s, 1):
+            prev, d[0] = d[0], i
+            for j, ct in enumerate(t, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (cs != ct))
+        return int(d[-1])
+
+    brute = sorted(
+        (l.lid, r.rid, lev(l.a, r.b))
+        for l in left.collect() for r in right.collect()
+        if lev(l.a, r.b) <= 1)
+    assert got == brute
+    assert (0, 0, 0) in got and (1, 0, 1) in got
+    assert (2, 0, 1) in got and (3, 0, 1) in got
+    assert (4, 1, 1) in got
+    plan = (CU.fuzzy_join_strings(left, right, "a", "b")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
