@@ -6119,3 +6119,64 @@ def raster_sieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _flatten_pixels(R.sieve_filter(blocks, min_size=5,
                                           block=b), b,
                            "v").orderBy("row", "col")
+
+
+# ---------------------------------------------------------------------------
+# Round 8: Z-order spatial clustering key
+# ---------------------------------------------------------------------------
+
+_ZORDER_SQL = """
+WITH pts AS (
+  SELECT event_id,
+         (CAST(event_id % 360 AS DOUBLE) - 180.0) + 0.25 AS lon,
+         (CAST((user_id * 11) % 160 AS DOUBLE) - 80.0) + 0.5 AS lat
+  FROM events
+),
+g AS (
+  SELECT event_id,
+         CAST(least(greatest(floor((lon + 180.0) / 360.0 * 65536),
+                             0), 65535) AS BIGINT) AS gx,
+         CAST(least(greatest(floor((lat + 90.0) / 180.0 * 65536),
+                             0), 65535) AS BIGINT) AS gy
+  FROM pts
+)
+SELECT event_id, gx, gy,
+       CAST((SELECT sum((((gx >> CAST(i AS INTEGER)) & 1)
+                         << CAST(2 * i AS INTEGER))
+                        + (((gy >> CAST(i AS INTEGER)) & 1)
+                           << CAST(2 * i + 1 AS INTEGER)))
+             FROM range(16) t(i)) AS BIGINT) AS zkey
+FROM g
+ORDER BY event_id
+"""
+
+
+@query("spatial_zorder_key", "pipeline",
+       "data layout: Z-order / Morton spatial clustering key "
+       "(the Delta OPTIMIZE ZORDER analog) — grid snap + bit "
+       "interleave as pure Catalyst fold, the range-partition key "
+       "that co-locates spatial neighbors per file at 100 TB",
+       _ZORDER_SQL)
+def spatial_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton key per event-derived point: 16-bit grid snap per
+    axis, bits interleaved by an aggregate(sequence) fold —
+    whole-stage codegen end to end.  The oracle restates the
+    interleave as a correlated bit-arithmetic sum, so every bit of
+    every key is value-hashed.  The write-side layout operator
+    (spatial.zorder_partition) range-partitions on this key; its
+    locality property is pinned in tests/test_spatial.py."""
+    from geohub_data_pipeline_spark.operators import spatial as SP
+
+    t = load_tables(spark, sf_dir)
+    pts = t.events.select(
+        "event_id",
+        ((F.col("event_id") % 360).cast("double") - 180.0 + 0.25)
+        .alias("lon"),
+        (((F.col("user_id") * 11) % 160).cast("double") - 80.0 + 0.5)
+        .alias("lat"))
+    gx, gy, zk = SP.morton_cols(F.col("lon"), F.col("lat"))
+    return (pts.withColumn("__gx", gx).withColumn("__gy", gy)
+            .withColumn("zkey", zk)
+            .select("event_id", F.col("__gx").alias("gx"),
+                    F.col("__gy").alias("gy"), "zkey")
+            .orderBy("event_id"))

@@ -445,3 +445,50 @@ def test_centroid_holes_and_quarantine(spark):
     assert got[3].error == "not-a-polygon" and got[3].cx is None
     assert got[4].error == "not-a-polygon"
     assert set(got) == {1, 2, 3, 4}
+
+
+def test_zorder_partition_locality_and_key(spark):
+    """Range-partitioning on the Morton key co-locates spatial
+    neighbors: the per-partition bbox areas are far smaller than
+    under a hash layout (the arbitrary arrival order of a raw
+    write), and the key equals a python-reference bit interleave."""
+    from pyspark.sql import functions as F
+
+    from geohub_data_pipeline_spark.operators import spatial as SP
+
+    pts = spark.range(4096).select(
+        F.col("id").alias("i"),
+        ((F.col("id") % 64).cast("double") * 5.6 - 179.0).alias("lon"),
+        (((F.col("id") / 64).cast("int") % 64).cast("double") * 2.8
+         - 89.0).alias("lat"))
+
+    def interleave(x, y, bits=16):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    gx, gy, zk = SP.morton_cols(F.col("lon"), F.col("lat"))
+    few = (pts.limit(50)
+           .withColumn("__gx", gx).withColumn("__gy", gy)
+           .withColumn("zkey", zk).collect())
+    for r in few:
+        assert r["zkey"] == interleave(r["__gx"], r["__gy"]), r
+
+    def bbox_area_sum(df, n_parts):
+        part = df.withColumn("__pid", F.spark_partition_id())
+        rows = (part.groupBy("__pid")
+                .agg((F.max("lon") - F.min("lon")).alias("w"),
+                     (F.max("lat") - F.min("lat")).alias("h"))
+                .collect())
+        assert len(rows) >= n_parts // 2     # actually spread out
+        return sum(r["w"] * r["h"] for r in rows)
+
+    zp = SP.zorder_partition(pts, "lon", "lat", 16)
+    assert "zkey" in zp.columns
+    a_z = bbox_area_sum(zp, 16)
+    # baseline: hash layout — the arbitrary arrival order a raw
+    # write produces; every partition's bbox is near-global
+    a_hash = bbox_area_sum(pts.repartition(16), 16)
+    assert a_z * 3 < a_hash, (a_z, a_hash)
