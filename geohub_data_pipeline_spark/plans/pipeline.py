@@ -6180,3 +6180,90 @@ def spatial_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", F.col("__gx").alias("gx"),
                     F.col("__gy").alias("gy"), "zkey")
             .orderBy("event_id"))
+
+
+# ---------------------------------------------------------------------------
+# Round 8: hydrology composite — stream network extraction
+# ---------------------------------------------------------------------------
+
+_STREAM_NET_SQL = """
+SELECT CAST(r.i * 96 + 24 AS BIGINT) AS chain_id,
+       CAST(71 AS BIGINT) AS n_parts,
+       CAST(71.0 AS DOUBLE) AS length,
+       false AS branched,
+       CAST(0 AS BIGINT) AS n_rejected
+FROM range(96) r(i)
+ORDER BY chain_id
+"""
+
+
+@query("raster_stream_network", "pipeline",
+       "hydrology composite: D8 stream-network extraction — "
+       "flow_direction -> flow_accumulation (the halo state store) "
+       "-> accumulation threshold -> cell-center segment vectorize "
+       "-> merge_lines weld; four operators chained, the GRASS "
+       "r.stream.extract analog", _STREAM_NET_SQL)
+def raster_stream_network(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Streams of a 96x96 east-sloping DEM (3x3 blocks of 32, so
+    accumulation crosses two block seams per row): cells with
+    accumulation >= 25 are channel cells, each emits a segment from
+    its center to its D8 downstream center (map-side — the endpoint
+    follows from the direction code alone, and a stream cell's
+    downstream is always a stream cell because accumulation is
+    monotone along flow), and merge_lines welds each row's segments
+    into one chain.  The oracle states the closed form: one
+    unbranched chain per row, 71 parts, exact length 71.0, chain id
+    = the row's first channel cell (r*96 + 24)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.operators import geometry as G
+    from geohub_data_pipeline_spark.operators import overlay as OV
+    from geohub_data_pipeline_spark.operators import raster as R
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    n, b, thr = 96, 32, 25
+    dem = (n - 1 - np.arange(n))[None, :] * np.ones((n, 1))
+    rows = []
+    for by in range(0, n, b):
+        for bx in range(0, n, b):
+            t = dem[by:by + b, bx:bx + b]
+            rows.append(("dem", None, 1, 0, bx // b, by // b, b, b,
+                         t.ravel().tolist(), None, 4326))
+    blocks = spark.createDataFrame(rows, R.BLOCK_SCHEMA)
+    dirs = R.flow_direction(blocks, border="clamp")
+    acc = R.flow_accumulation(dirs, block=b)
+
+    dcode = {code: (dy, dx) for _nm, code, dy, dx, _d in R._D8}
+
+    d2 = dirs.select("block_x", "block_y",
+                     F.col("pixels").alias("dirpx"))
+    j = acc.join(d2, ["block_x", "block_y"])
+
+    def segs(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = []
+        for pdf in it:
+            for r in pdf.itertuples(index=False):
+                w, h = int(r.width), int(r.height)
+                a = np.asarray(r.pixels, np.float64).reshape(h, w)
+                d = np.asarray(r.dirpx, np.float64).reshape(h, w)
+                ys, xs = np.where((a >= thr) & (d > 0))
+                for yy, xx in zip(ys, xs):
+                    gy = int(r.block_y) * b + int(yy)
+                    gx = int(r.block_x) * b + int(xx)
+                    dy, dx = dcode[int(d[yy, xx])]
+                    out.append((gy * n + gx, G.wkb_linestring(
+                        [(gx + 0.5, gy + 0.5),
+                         (gx + dx + 0.5, gy + dy + 0.5)])))
+        yield pd.DataFrame(out, columns=["line_id", "geometry"])
+
+    lines = j.mapInPandas(segs, "line_id long, geometry binary")
+    return (OV.merge_lines(lines)
+            .select("chain_id", "n_parts",
+                    F.round("length", 6).alias("length"),
+                    "branched", "n_rejected")
+            .orderBy("chain_id"))
