@@ -564,3 +564,61 @@ def semdedup_kmeans(vecs: DataFrame, k: int = 8, iters: int = 2,
     codebook = cents.select(F.col("cell").cast("long").alias("cid"),
                             F.col("centroid").alias("cv"))
     return semdedup(vecs, tau=tau, centroids=codebook)
+
+
+def triangle_counts(edges: DataFrame, src: str = "id_a",
+                    dst: str = "id_b") -> DataFrame:
+    """Per-node triangle counts over an undirected graph — the
+    degree-ORIENTED algorithm (Cohen / Suri-Vassilvitskii): each
+    undirected edge is directed from its lower-degree endpoint to
+    the higher (ties by id), every triangle then appears as exactly
+    one wedge a->b, b->c closed by a->c, and the wedge fan-out per
+    node is bounded by its ORIENTED out-degree <= sqrt(2m) — the
+    bound that keeps skewed (power-law) graphs from exploding the
+    join, which is why this shape survives a hub node at 100 TB
+    where the naive three-way self-join does not.
+
+    Plan: one degree aggregation, one broadcast-or-shuffle join to
+    orient, one self-join on the wedge midpoint, one semi-join
+    against the oriented edge set to close wedges, and a final
+    explode + count per corner.  Input rows may list an edge in
+    either or both directions; self-loops and duplicates are
+    dropped.
+
+    Output: ``node long, n_triangles long`` (nodes in no triangle
+    omitted — a left join against the vertex set restores them if
+    the caller needs zeros).
+    """
+    e = (edges.select(F.col(src).cast("long").alias("u"),
+                      F.col(dst).cast("long").alias("v"))
+         .filter(F.col("u") != F.col("v"))
+         .select(F.least("u", "v").alias("u"),
+                 F.greatest("u", "v").alias("v"))
+         .distinct())
+    deg = (e.select(F.col("u").alias("n"))
+           .unionAll(e.select(F.col("v").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    # orient low-degree -> high-degree (ties: smaller id first)
+    oriented = (e.join(du, "u").join(dv, "v")
+                .select(
+                    F.when((F.col("du") < F.col("dv"))
+                           | ((F.col("du") == F.col("dv"))
+                              & (F.col("u") < F.col("v"))),
+                           F.struct(F.col("u").alias("a"),
+                                    F.col("v").alias("b")))
+                    .otherwise(F.struct(F.col("v").alias("a"),
+                                        F.col("u").alias("b")))
+                    .alias("e"))
+                .select("e.a", "e.b"))
+    w1 = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    w2 = oriented.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedges = w1.join(w2, "y").filter(F.col("x") != F.col("z"))
+    closing = oriented.select(F.col("a").alias("x"),
+                              F.col("b").alias("z"))
+    tri = wedges.join(closing, ["x", "z"], "left_semi")
+    corners = tri.select(F.explode(F.array("x", "y", "z"))
+                         .alias("node"))
+    return (corners.groupBy("node")
+            .agg(F.count(F.lit(1)).alias("n_triangles")))

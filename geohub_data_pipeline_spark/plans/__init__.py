@@ -37,7 +37,8 @@ from geohub_data_pipeline_spark.plans.registry import promote  # noqa: E402
 # embedding_pca_invariants — r7 verdict next #4/#9 — and the
 # Unigram-LM tokenizer pair, the SymSpell fuzzy string join, and
 # the Z-order clustering key, NEW operator family members, plus
-# the raster_stream_network hydrology composite); (c) the
+# the raster_stream_network hydrology composite, degree-oriented
+# triangle counting, and time-series resample+ffill); (c) the
 # CHANGED-this-round queries (mvt_border_weld: non-polygon
 # pass-through fix, r7 ADVICE high; raster_point_sample: subdataset
 # now rides the output, r7 ADVICE medium; text_quality_classifier:
@@ -66,6 +67,8 @@ promote([
     "fuzzy_join_names",
     "spatial_zorder_key",
     "raster_stream_network",
+    "graph_triangle_count",
+    "events_resample_ffill",
     "mvt_border_weld",
     "raster_point_sample",
     "text_quality_classifier",

@@ -1831,3 +1831,53 @@ def fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("p_name").alias("matched_name"),
                        F.col("dist").cast("int").alias("dist"))
             .orderBy("doc_id", "matched_name"))
+
+
+_TRIANGLE_SQL = """
+WITH raw AS (
+  SELECT CAST(event_id % 97 AS BIGINT) AS u,
+         CAST((event_id * 7 + 3) % 97 AS BIGINT) AS v
+  FROM events
+),
+e AS (
+  SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+  FROM raw WHERE u <> v
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY node
+ORDER BY node
+"""
+
+
+@query("graph_triangle_count", "llm",
+       "graph analytics: per-node triangle counts via the "
+       "degree-ORIENTED wedge join (Suri-Vassilvitskii) — oriented "
+       "out-degree <= sqrt(2m) bounds the wedge fan-out, the shape "
+       "that survives power-law hubs at 100 TB; the oracle is the "
+       "id-canonical three-way self-join (same triangle set)",
+       _TRIANGLE_SQL)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles of the deterministic 97-node event graph
+    (u = id % 97, v = (7 id + 3) % 97): the Spark side orients every
+    edge low-degree -> high-degree and closes wedges with a
+    semi-join (operators/dedup.py triangle_counts); the oracle
+    enumerates the identical triangle set by id order.  Per-node
+    counts hash every triangle's three corners."""
+    from geohub_data_pipeline_spark.operators import dedup as DD
+
+    t = load_tables(spark, sf_dir)
+    edges = t.events.select(
+        (F.col("event_id") % 97).cast("long").alias("id_a"),
+        ((F.col("event_id") * 7 + 3) % 97).cast("long").alias("id_b"))
+    return DD.triangle_counts(edges).orderBy("node")

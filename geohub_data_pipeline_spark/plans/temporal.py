@@ -661,3 +661,67 @@ def events_transition_matrix(spark: SparkSession,
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.desc("n"), "src", "dst")
             .limit(25))
+
+
+# ---------------------------------------------------------------------------
+# Round 8: time-series resample + gap fill
+# ---------------------------------------------------------------------------
+
+_RESAMPLE_SQL = f"""
+WITH daily AS (
+  SELECT CAST(user_id % 20 AS BIGINT) AS series,
+         CAST(date_trunc('day', ts) AS DATE) AS day,
+         {dsum_sql('value')} AS v
+  FROM events
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT s.series, CAST(g.d AS DATE) AS day
+  FROM (SELECT DISTINCT series FROM daily) s,
+       (SELECT unnest(generate_series(DATE '2024-01-01',
+                                      DATE '2024-01-30',
+                                      INTERVAL 1 DAY)) AS d) g
+)
+SELECT g.series AS series, g.day AS day,
+       last_value(d.v IGNORE NULLS) OVER (
+         PARTITION BY g.series ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS value_filled,
+       d.v IS NULL AS was_gap
+FROM grid g
+LEFT JOIN daily d ON d.series = g.series AND d.day = g.day
+ORDER BY g.series, g.day
+"""
+
+
+@query("events_resample_ffill", "temporal",
+       "time series: fixed-grid resample + forward fill — the "
+       "pandas asfreq/ffill analog distributed: a generated date "
+       "grid per series, one left join against the daily aggregate, "
+       "and last(ignorenulls) over an unbounded-preceding row frame",
+       _RESAMPLE_SQL)
+def events_resample_ffill(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Daily value per series (user_id % 20) over the full January
+    grid: days with no events carry the last seen value forward
+    (NULL before the first observation) and flag ``was_gap``.  The
+    grid is a sequence() explode — no driver loop; the fill is one
+    window pass per series; the daily sums are exact decimals so
+    both engines agree bit-for-bit."""
+    t = load_tables(spark, sf_dir)
+    daily = (t.events.groupBy(
+        (F.col("user_id") % 20).cast("long").alias("series"),
+        F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(dsum(F.col("value")).alias("v")))
+    grid = (daily.select("series").distinct()
+            .select("series", F.explode(F.expr(
+                "sequence(DATE '2024-01-01', DATE '2024-01-30', "
+                "interval 1 day)")).alias("day")))
+    j = grid.join(daily, ["series", "day"], "left")
+    w = (Window.partitionBy("series").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (j.select(
+        "series", "day",
+        F.last("v", ignorenulls=True).over(w).alias("value_filled"),
+        F.col("v").isNull().alias("was_gap"))
+        .orderBy("series", "day"))

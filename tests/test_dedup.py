@@ -108,3 +108,42 @@ def test_cc_algorithms_agree_on_random_graphs(spark):
                for r in D.alternating_cc(e).collect()}
         assert htm == truth, f"hash-to-min diverges (seed {seed})"
         assert alt == truth, f"alternating diverges (seed {seed})"
+
+
+def test_triangle_counts_matches_brute_force(spark):
+    """Degree-oriented wedge counting equals the brute-force
+    enumeration on a random graph (duplicates, reversed edges, and
+    self-loops in the input), and the plan has no cartesian
+    product."""
+    import itertools
+    import random
+
+    from geohub_data_pipeline_spark.operators.dedup import (
+        triangle_counts,
+    )
+
+    rng = random.Random(7)
+    nodes = list(range(30))
+    edges = set()
+    while len(edges) < 90:
+        a, b = rng.sample(nodes, 2)
+        edges.add((min(a, b), max(a, b)))
+    rows = []
+    for a, b in edges:
+        rows.append((a, b))
+        if rng.random() < 0.3:
+            rows.append((b, a))           # reversed duplicate
+    rows += [(5, 5), (7, 7)]              # self-loops: ignored
+    df = spark.createDataFrame(rows, "id_a long, id_b long")
+    got = {r.node: r.n_triangles
+           for r in triangle_counts(df).collect()}
+
+    brute = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if ({(a, b), (a, c), (b, c)} <= edges):
+            for n in (a, b, c):
+                brute[n] = brute.get(n, 0) + 1
+    assert got == brute
+    plan = (triangle_counts(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
