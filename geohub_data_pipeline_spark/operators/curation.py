@@ -585,3 +585,50 @@ def fuzzy_join_strings(left: DataFrame, right: DataFrame,
             .withColumn("dist", F.levenshtein(F.col(left_col),
                                               F.col(right_col)))
             .filter(F.col("dist") <= int(max_dist)))
+
+
+def weighted_sample_topk(docs: DataFrame, weight_col: str, k: int,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis / PPSWOR): rank by key_i and keep the top
+    ``k``, where key_i ~ Uniform^(1/w_i).  The standard form
+    computes u^(1/w) (or -ln(u)/w) — a transcendental whose last
+    ulp DIFFERS between the JVM and other engines, which poisons a
+    bit-exact oracle.  For INTEGER weights the same distribution
+    has an exact form: the max of w independent uniforms
+    (P(max <= x) = x^w), so the key is
+
+        key_i = max_{j < w_i} uniform(md5(id || '|' || j))
+
+    with the uniform built from the first 13 md5 hex chars (52
+    bits — exactly representable, and the 2^-52 scaling is a
+    power-of-two division, so every engine produces the identical
+    double).  No transcendentals anywhere; ties break by id.
+
+    Distributed shape: a sequence() explode of w rows per document
+    (weights are CAPPED small integers — importance tiers, not raw
+    token counts), one max-aggregation back to documents, one
+    global top-k (TakeOrdered — never a full sort).  The explode is
+    the price of exactness; for tiered sampling (the common corpus
+    case: a handful of importance levels) w <= ~16 and the fan-out
+    is bounded.
+    """
+    w = F.col(weight_col).cast("int")
+    u = (F.conv(F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|"),
+                       F.col("__j").cast("string"))), 1, 13),
+        16, 10).cast("double") + 0.5) / float(1 << 52)
+    keyed = (docs.select(id_col, w.alias("__w"))
+             .filter(F.col("__w") >= 1)
+             .withColumn("__j", F.explode(F.expr(
+                 "sequence(0, __w - 1)")))
+             .select(id_col, "__w", u.alias("__u"))
+             .groupBy(id_col)
+             .agg(F.first("__w").alias("weight"),
+                  F.max("__u").alias("key")))
+    return (keyed
+            .orderBy(F.desc("key"), id_col)
+            .limit(int(k))
+            .select(F.row_number().over(
+                Window.orderBy(F.desc("key"), id_col))
+                .alias("rank"), id_col, "weight"))

@@ -38,7 +38,8 @@ from geohub_data_pipeline_spark.plans.registry import promote  # noqa: E402
 # Unigram-LM tokenizer pair, the SymSpell fuzzy string join, and
 # the Z-order clustering key, NEW operator family members, plus
 # the raster_stream_network hydrology composite, degree-oriented
-# triangle counting, and time-series resample+ffill); (c) the
+# triangle counting, time-series resample+ffill, and exact
+# integer-weight PPSWOR sampling); (c) the
 # CHANGED-this-round queries (mvt_border_weld: non-polygon
 # pass-through fix, r7 ADVICE high; raster_point_sample: subdataset
 # now rides the output, r7 ADVICE medium; text_quality_classifier:
@@ -69,6 +70,7 @@ promote([
     "raster_stream_network",
     "graph_triangle_count",
     "events_resample_ffill",
+    "sample_weighted_topk",
     "mvt_border_weld",
     "raster_point_sample",
     "text_quality_classifier",

@@ -903,3 +903,54 @@ def split_group_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the oracle."""
     t = load_tables(spark, sf_dir)
     return C.group_aware_split(t.documents, "source").orderBy("doc_id")
+
+
+_WSAMPLE_SQL = """
+WITH docs AS (
+  SELECT doc_id,
+         CAST(1 + doc_id % 7 AS INTEGER) AS w
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, w,
+         (SELECT max(CASE WHEN j < w THEN
+              ((SELECT sum(
+                  (strpos('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR) || '|'
+                                 || CAST(j AS VARCHAR)),
+                          CAST(i + 1 AS INTEGER), 1)) - 1)
+                  * power(16.0, 12 - i)) FROM range(13) t(i))
+               + 0.5) / 4503599627370496.0 END)
+          FROM range(7) r(j)) AS key
+  FROM docs
+)
+SELECT CAST(row_number() OVER (ORDER BY key DESC, doc_id)
+            AS INTEGER) AS rank,
+       doc_id, w AS weight
+FROM keyed
+ORDER BY key DESC, doc_id
+LIMIT 64
+"""
+
+
+@query("sample_weighted_topk", "curation",
+       "corpus curation: deterministic weighted sampling WITHOUT "
+       "replacement (Efraimidis-Spirakis / PPSWOR) — the exact "
+       "integer-weight form (key = max of w hash uniforms, the "
+       "u^(1/w) law with NO transcendentals, so both engines agree "
+       "bit-for-bit); sequence explode + max-agg + global top-k",
+       _WSAMPLE_SQL)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Draw 64 documents PPS-without-replacement under importance
+    tiers w = 1 + doc_id % 7: higher-weight docs win
+    proportionally more often, the draw is reproducible on any
+    cluster layout, and the oracle replays the identical keyed
+    ranking in SQL."""
+    from geohub_data_pipeline_spark.operators import curation as CU
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id", (1 + F.col("doc_id") % 7).cast("int").alias("w"))
+    return (CU.weighted_sample_topk(docs, "w", 64)
+            .select(F.col("rank").cast("int").alias("rank"),
+                    "doc_id", "weight"))

@@ -240,3 +240,36 @@ def test_fuzzy_join_strings_complete_and_candidates_only(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_weighted_sample_topk_pps_property(spark):
+    """The exact integer-weight PPSWOR draw: (a) deterministic
+    across runs and partitionings, (b) heavier docs are sampled
+    proportionally more (statistical check over disjoint id
+    ranges), (c) key law matches a python reference."""
+    import hashlib
+
+    from geohub_data_pipeline_spark.operators import curation as CU
+
+    rows = [(i, 1 if i < 2000 else 7) for i in range(4000)]
+    docs = spark.createDataFrame(rows, "doc_id long, w int")
+    got = CU.weighted_sample_topk(docs, "w", 200).collect()
+    got2 = CU.weighted_sample_topk(docs.repartition(13), "w",
+                                   200).collect()
+    assert [(r.rank, r.doc_id) for r in got] == \
+        [(r.rank, r.doc_id) for r in got2]
+    heavy = sum(1 for r in got if r.doc_id >= 2000)
+    # E[heavy] = 200 * 7/8 = 175; binomial sd ~ 4.7
+    assert heavy > 150, heavy
+
+    def key_of(i, w):
+        best = 0.0
+        for j in range(w):
+            h = hashlib.md5(f"{i}|{j}".encode()).hexdigest()[:13]
+            best = max(best, (int(h, 16) + 0.5) / float(1 << 52))
+        return best
+
+    exp = sorted(((key_of(i, w), -i) for i, w in rows),
+                 reverse=True)[:200]
+    exp_ids = [-x[1] for x in exp]
+    assert [r.doc_id for r in got] == exp_ids
