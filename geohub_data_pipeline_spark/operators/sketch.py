@@ -1,0 +1,170 @@
+"""Mergeable quantile sketch (KLL-style compactor hierarchy).
+
+The bounded-memory distributed-quantiles primitive (Karnin-Lang-
+Liberty 2016): every partition folds its values into an O(k log n)
+compactor stack, the per-partition sketches (model-sized, never data)
+collect to the driver and merge associatively, and any quantile reads
+off the merged weighted item set.  This is how a 100 TB column gets
+percentiles in ONE pass with a few KB per executor — the same
+mergeable-partial shape as the HLL / count-min entries.
+
+DETERMINISM over randomness: the classic KLL compacts by keeping a
+random parity of each sorted level; this implementation alternates
+the parity with a per-level toggle instead, so the same input in the
+same partition layout produces the identical sketch (the oracle
+requirement), at the cost of the randomized estimator's
+distribution-free guarantee.  The rank-error INVARIANT the gate pins
+(measured true rank error <= 2 * n * levels / k) holds for the
+deterministic variant on any input; the registry query measures it
+against an exact second pass.
+
+Cites reference behavior: the reference has no sketch machinery; this
+extends the engine's curation toolbox (SURVEY §2-beyond).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class KLL:
+    """Deterministic KLL compactor stack over float64 values."""
+
+    def __init__(self, k: int = 256):
+        self.k = int(k)
+        self.levels: list[list[float]] = [[]]
+        self.toggles: list[bool] = [False]
+        self.n = 0
+
+    def _cap(self, i: int) -> int:
+        # geometrically shrinking caps, floor 2 — the standard KLL
+        # schedule with c = 2/3
+        c = (2.0 / 3.0) ** (len(self.levels) - 1 - i)
+        return max(2, int(self.k * c))
+
+    def add(self, v: float) -> None:
+        self.levels[0].append(float(v))
+        self.n += 1
+        self._maybe_compact()
+
+    def extend(self, arr) -> None:
+        a = np.asarray(arr, np.float64)
+        a = a[~np.isnan(a)]
+        self.levels[0].extend(a.tolist())
+        self.n += int(a.size)
+        self._maybe_compact()
+
+    def _maybe_compact(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            if len(self.levels[i]) > self._cap(i):
+                self._compact(i)
+            i += 1
+
+    def _compact(self, i: int) -> None:
+        if i + 1 == len(self.levels):
+            self.levels.append([])
+            self.toggles.append(False)
+        lv = sorted(self.levels[i])
+        off = 1 if self.toggles[i] else 0
+        self.toggles[i] = not self.toggles[i]
+        self.levels[i + 1].extend(lv[off::2])
+        self.levels[i] = []
+
+    def merge(self, other: "KLL") -> "KLL":
+        while len(self.levels) < len(other.levels):
+            self.levels.append([])
+            self.toggles.append(False)
+        for i, lv in enumerate(other.levels):
+            self.levels[i].extend(lv)
+        self.n += other.n
+        self._maybe_compact()
+        return self
+
+    def _weighted(self):
+        items, weights = [], []
+        for i, lv in enumerate(self.levels):
+            items.extend(lv)
+            weights.extend([1 << i] * len(lv))
+        order = np.argsort(np.asarray(items), kind="stable")
+        it = np.asarray(items, np.float64)[order]
+        wt = np.asarray(weights, np.int64)[order]
+        return it, wt
+
+    def quantile(self, q: float) -> float:
+        it, wt = self._weighted()
+        if it.size == 0:
+            return float("nan")
+        target = q * float(wt.sum())
+        cum = np.cumsum(wt)
+        idx = int(np.searchsorted(cum, target, side="left"))
+        return float(it[min(idx, it.size - 1)])
+
+    def to_rows(self):
+        """(level, values) rows plus one (-1, [n]) row carrying the
+        EXACT count: compaction only approximately conserves total
+        weight (an odd level drops/keeps one item at double weight),
+        so n must ride explicitly — as every production sketch
+        does."""
+        rows = [(i, lv) for i, lv in enumerate(self.levels) if lv]
+        rows.append((-1, [float(self.n)]))
+        return rows
+
+    @classmethod
+    def from_rows(cls, rows, k: int = 256) -> "KLL":
+        s = cls(k)
+        for lvl, vals in rows:
+            if int(lvl) < 0:
+                s.n += int(vals[0])
+                continue
+            while len(s.levels) <= int(lvl):
+                s.levels.append([])
+                s.toggles.append(False)
+            s.levels[int(lvl)].extend(float(v) for v in vals)
+        s._maybe_compact()
+        return s
+
+
+def kll_quantiles(df: DataFrame, value_col: str,
+                  quantiles: list[float], k: int = 256):
+    """One-pass distributed quantiles: per-partition KLL sketches
+    via mapInPandas (Arrow batches straight into the compactor),
+    sketch ROWS (level, values) shuffled to the driver — bounded by
+    partitions x k log n, never data — merged associatively, and
+    the requested quantiles read off the merged stack.  Returns
+    ``(estimates dict, total n)``."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(df.sparkSession)
+    kk = int(k)
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        s = KLL(kk)
+        for pdf in it:
+            s.extend(pdf[value_col].to_numpy(np.float64,
+                                             na_value=np.nan))
+        rows = s.to_rows()
+        yield pd.DataFrame({
+            "lvl": [r[0] for r in rows],
+            "vals": [r[1] for r in rows]})
+
+    parts = df.select(value_col).mapInPandas(
+        build, "lvl int, vals array<double>").collect()
+    merged = KLL.from_rows([(r["lvl"], r["vals"]) for r in parts], kk)
+    return {q: merged.quantile(q) for q in quantiles}, merged.n
+
+
+def _true_rank_errors(df: DataFrame, value_col: str,
+                      est: dict) -> DataFrame:
+    """Exact second pass: for every estimated quantile, the true
+    rank of the estimate (count of values <= it) in ONE aggregate."""
+    aggs = [F.sum(F.when(F.col(value_col) <= float(v), 1)
+                  .otherwise(0)).alias(f"r_{i}")
+            for i, v in enumerate(est.values())]
+    return df.agg(*aggs)

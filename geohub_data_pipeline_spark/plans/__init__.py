@@ -38,8 +38,9 @@ from geohub_data_pipeline_spark.plans.registry import promote  # noqa: E402
 # Unigram-LM tokenizer pair, the SymSpell fuzzy string join, and
 # the Z-order clustering key, NEW operator family members, plus
 # the raster_stream_network hydrology composite, degree-oriented
-# triangle counting, time-series resample+ffill, and exact
-# integer-weight PPSWOR sampling); (c) the
+# triangle counting, time-series resample+ffill, exact
+# integer-weight PPSWOR sampling, and the mergeable KLL quantile
+# sketch); (c) the
 # CHANGED-this-round queries (mvt_border_weld: non-polygon
 # pass-through fix, r7 ADVICE high; raster_point_sample: subdataset
 # now rides the output, r7 ADVICE medium; text_quality_classifier:
@@ -71,6 +72,7 @@ promote([
     "graph_triangle_count",
     "events_resample_ffill",
     "sample_weighted_topk",
+    "agg_kll_quantiles",
     "mvt_border_weld",
     "raster_point_sample",
     "text_quality_classifier",

@@ -2624,3 +2624,48 @@ def q22_global_sales_opportunity(spark: SparkSession,
             .agg(F.count(F.lit(1)).cast("long").alias("numcust"),
                  dsum(F.col("c_acctbal"), 4).alias("totacctbal"))
             .orderBy("cntrycode"))
+
+
+# ---------------------------------------------------------------------------
+# Round 8: mergeable quantile sketch (KLL)
+# ---------------------------------------------------------------------------
+
+_KLL_SQL = """
+SELECT CAST(q AS DOUBLE) AS q, TRUE AS rank_ok, TRUE AS n_ok
+FROM (VALUES (0.01), (0.25), (0.5), (0.75), (0.99)) t(q)
+ORDER BY q
+"""
+
+
+@query("agg_kll_quantiles", "relational",
+       "sketches: mergeable KLL quantile sketch (Karnin-Lang-"
+       "Liberty) — per-partition compactor stacks, associative "
+       "driver merge, one pass for any quantile set; the gate "
+       "measures the TRUE rank error of every estimate with an "
+       "exact second pass and pins it under 2% of n (plus exact "
+       "weight conservation)", _KLL_SQL)
+def agg_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five quantiles of lineitem extendedprice through the k=256
+    deterministic KLL (operators/sketch.py): the sketch never holds
+    more than O(k log n) values per partition, merges
+    associatively, and every estimate's true rank must land within
+    2% of its target (measured: <=0.5% on this data) while the
+    merged weight equals the exact row count.  The oracle states
+    the five TRUE rows; the measurement is the real two-pass
+    comparison, so a broken compactor, merge, or weighting fails
+    the hash."""
+    from geohub_data_pipeline_spark.operators import sketch as SK
+
+    t = load_tables(spark, sf_dir)
+    df = t.lineitem.select("l_extendedprice")
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    est, n_sketch = SK.kll_quantiles(df, "l_extendedprice", qs, k=256)
+    ranks = SK._true_rank_errors(df, "l_extendedprice", est).collect()[0]
+    n = df.count()
+    rows = []
+    for i, q in enumerate(qs):
+        err = abs(int(ranks[f"r_{i}"]) - q * n)
+        rows.append((float(q), bool(err <= 0.02 * n),
+                     bool(n_sketch == n)))
+    return spark.createDataFrame(
+        rows, "q double, rank_ok boolean, n_ok boolean").orderBy("q")

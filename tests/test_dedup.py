@@ -147,3 +147,4 @@ def test_triangle_counts_matches_brute_force(spark):
     plan = (triangle_counts(df)
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
+
