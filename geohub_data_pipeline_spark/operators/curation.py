@@ -576,11 +576,20 @@ def fuzzy_join_strings(left: DataFrame, right: DataFrame,
             f"i -> concat(substring({col}, 1, i - 1), "
             f"substring({col}, i + 1, length({col})))))")
 
-    lv = left.withColumn("__v", F.explode(variants(left_col)))
-    rv = right.withColumn("__v", F.explode(variants(right_col)))
+    # A (left row, right row) pair can meet through SEVERAL shared
+    # deletion variants (e.g. "ab"/"ba" share both "a" and "b"), so
+    # candidate pairs need deduping by ROW IDENTITY — synthetic ids,
+    # not a whole-row distinct, which would silently collapse
+    # duplicate input rows into one output pair (r8 ADVICE).  The
+    # ids never leave this function.
+    lv = (left.withColumn("__lid", F.monotonically_increasing_id())
+          .withColumn("__v", F.explode(variants(left_col))))
+    rv = (right.withColumn("__rid", F.monotonically_increasing_id())
+          .withColumn("__v", F.explode(variants(right_col))))
     cand = (lv.join(rv, "__v")
             .drop("__v")
-            .distinct())
+            .dropDuplicates(["__lid", "__rid"])
+            .drop("__lid", "__rid"))
     return (cand
             .withColumn("dist", F.levenshtein(F.col(left_col),
                                               F.col(right_col)))

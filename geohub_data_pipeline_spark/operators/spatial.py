@@ -856,9 +856,12 @@ def morton_cols(lon, lat, bits: int = 16):
     instead of scanning everything.
 
     Pure Catalyst: the grid snap is floor arithmetic, the bit
-    interleave is an ``aggregate(sequence(...))`` fold of
-    shift/mask terms — whole-stage codegen, no UDF.  Returns the
-    three columns ``(gx long, gy long, zkey long)``; callers alias.
+    interleave is an UNROLLED sum of shift/mask terms built directly
+    from the gx/gy expressions (``bits`` is a plan-time constant, so
+    the loop unrolls into one whole-stage-codegen expression — no
+    UDF, and no dependency on caller column names, which the r8
+    ``F.expr("__gx")`` version had).  Returns the three columns
+    ``(gx long, gy long, zkey long)``; callers alias.
 
     ``bits`` <= 31 per axis (the key needs 2*bits bits; 16 gives
     ~600 m cells at the equator — the file-level clustering grain,
@@ -873,11 +876,13 @@ def morton_cols(lon, lat, bits: int = 16):
     gy = F.least(
         F.greatest(F.floor((lat + 90.0) / 180.0 * n), F.lit(0)),
         F.lit(n - 1)).cast("long")
-    zkey = F.expr(
-        f"aggregate(sequence(0, {int(bits) - 1}), 0L, "
-        f"(acc, i) -> acc "
-        f"+ shiftleft(shiftright(__gx, i) & 1, 2 * i) "
-        f"+ shiftleft(shiftright(__gy, i) & 1, 2 * i + 1))")
+    zkey = F.lit(0).cast("long")
+    for i in range(int(bits)):
+        zkey = (zkey
+                + F.shiftleft(F.shiftright(gx, i)
+                              .bitwiseAND(F.lit(1)), 2 * i)
+                + F.shiftleft(F.shiftright(gy, i)
+                              .bitwiseAND(F.lit(1)), 2 * i + 1))
     return gx, gy, zkey
 
 
@@ -892,7 +897,6 @@ def zorder_partition(df: DataFrame, lon_col: str, lat_col: str,
     along as ``zkey`` for downstream pruning predicates."""
     from pyspark.sql import functions as F
 
-    gx, gy, zk = morton_cols(F.col(lon_col), F.col(lat_col), bits)
-    with_key = (df.withColumn("__gx", gx).withColumn("__gy", gy)
-                .withColumn("zkey", zk).drop("__gx", "__gy"))
+    _gx, _gy, zk = morton_cols(F.col(lon_col), F.col(lat_col), bits)
+    with_key = df.withColumn("zkey", zk)
     return with_key.repartitionByRange(int(num_partitions), "zkey")

@@ -463,6 +463,14 @@ def _viterbi_segment(word: str, logp: dict, max_len: int):
     i = n
     while i > 0:
         _, _, j, piece = best[i]
+        if piece is None:
+            # Character absent from the vocab (e.g. encode with a
+            # model trained on a different corpus): fall back to
+            # emitting the raw character so a parse always exists,
+            # instead of the opaque backtrack TypeError (r8 ADVICE).
+            # best[n][0] already carries the -1e30 unreachable
+            # penalty, so callers see the degenerate score.
+            piece, j = word[i - 1], i - 1
         out.append(piece)
         i = j
     out.reverse()
@@ -601,6 +609,13 @@ def unigram_train(docs: DataFrame, vocab_size: int,
             n_drop = min(len(multi),
                          max(1, int(len(vocab) * float(prune_frac))),
                          len(vocab) - int(vocab_size))
+            if n_drop <= 0:
+                # Only single-char pieces survive and they are never
+                # prunable (every char must stay segmentable), so the
+                # vocab cannot shrink to vocab_size — stop at the
+                # char-level floor instead of looping forever
+                # (r8 ADVICE: vocab_size < distinct-char count hangs).
+                break
             drop = {p for _c, p in multi[:n_drop]}
             vocab = {p: c for p, c in vocab.items() if p not in drop}
             logp = norm_logp(vocab)
