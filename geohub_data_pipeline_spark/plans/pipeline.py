@@ -1632,6 +1632,120 @@ def crs_roundtrip_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# T7 CRS stack round 9: the JGD / SWEREF99 / TM35FIN / NTM / GDA2020 /
+# SIRGAS / PT-TM06 / MGI / LUREF families under the gate
+# ---------------------------------------------------------------------------
+
+_CRS_CODES_R9 = [2443, 6677, 3006, 3012, 3067, 5118, 7852, 31983,
+                 31971, 3763, 31256, 31258, 2169]
+_CRS_R9_LON = [
+    "128.8 + (doc_id % 20) * 0.1",
+    "138.9 + (doc_id % 25) * 0.1",
+    "12.0 + (doc_id % 110) * 0.1",
+    "13.6 + (doc_id % 15) * 0.1",
+    "21.0 + (doc_id % 90) * 0.1",
+    "17.8 + (doc_id % 14) * 0.1",
+    "126.2 + (doc_id % 55) * 0.1",
+    "-47.8 + (doc_id % 55) * 0.1",
+    "-83.8 + (doc_id % 55) * 0.1",
+    "-9.4 + (doc_id % 30) * 0.1",
+    "14.9 + (doc_id % 22) * 0.1",
+    "12.0 + (doc_id % 26) * 0.1",
+    "5.7 + (doc_id % 9) * 0.1",
+]
+_CRS_R9_LAT = [
+    "31.5 + ((doc_id * 3) % 40) * 0.1",
+    "35.0 + ((doc_id * 3) % 30) * 0.1",
+    "55.5 + ((doc_id * 3) % 110) * 0.1",
+    "57.0 + ((doc_id * 3) % 60) * 0.1",
+    "60.0 + ((doc_id * 3) % 85) * 0.1",
+    "58.5 + ((doc_id * 3) % 95) * 0.1",
+    "-35.0 + ((doc_id * 3) % 200) * 0.1",
+    "-25.0 + ((doc_id * 3) % 45) * 0.1",
+    "0.5 + ((doc_id * 3) % 90) * 0.1",
+    "37.0 + ((doc_id * 3) % 48) * 0.1",
+    "46.4 + ((doc_id * 3) % 26) * 0.1",
+    "46.4 + ((doc_id * 3) % 26) * 0.1",
+    "49.4 + ((doc_id * 3) % 8) * 0.1",
+]
+
+
+def _crs_r9_sql() -> str:
+    srid_branches = " ".join(
+        f"WHEN {k} THEN {srid}"
+        for k, srid in enumerate(_CRS_CODES_R9[:-1]))
+    lon_branches = " ".join(
+        f"WHEN {k} THEN {e}" for k, e in enumerate(_CRS_R9_LON[:-1]))
+    lat_branches = " ".join(
+        f"WHEN {k} THEN {e}" for k, e in enumerate(_CRS_R9_LAT[:-1]))
+    return f"""
+SELECT doc_id,
+       CAST(CASE doc_id % 13 {srid_branches}
+            ELSE {_CRS_CODES_R9[-1]} END AS INTEGER) AS srid,
+       round(CASE doc_id % 13 {lon_branches}
+             ELSE {_CRS_R9_LON[-1]} END, 4) AS lon_rt,
+       round(CASE doc_id % 13 {lat_branches}
+             ELSE {_CRS_R9_LAT[-1]} END, 4) AS lat_rt
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("crs_roundtrip_codes_r9", "pipeline",
+       "§2.2 T7 reprojection, round-9: EPSG-code-only national grids "
+       "— JGD2000/JGD2011 Japan Plane Rectangular CS, SWEREF99 TM + "
+       "local zones, ETRS-TM35FIN, Norway NTM, GDA2020 MGA, SIRGAS "
+       "2000 UTM N/S, Portugal TM06, MGI Austria GK (Bessel + "
+       "Helmert), Luxembourg LUREF (ref reprojects any SRS via PROJ, "
+       "ingest/processing.py:142-150)", _crs_r9_sql())
+def crs_roundtrip_codes_r9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward+inverse through the round-9 ``_CRS_TABLE`` additions
+    (VERDICT r8 next #6) — code-only uploads for the Japanese,
+    Nordic, Australian, South-American and Alpine national grids.
+    The oracle is the input formula: a broken forward, inverse,
+    parameter row, or datum shift surfaces as a value mismatch;
+    absolute control points (Stockholm/Helsinki/Sao Paulo/Bogota,
+    zone-origin identities, UTM-twin equalities) live in
+    tests/test_crs_codes.py.
+
+    Scale: stateless per-row math in an Arrow-batched kernel — a
+    scan, no shuffle.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.operators import crs as C
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id")
+    lon_of = [eval(f"lambda doc_id: {e}") for e in _CRS_R9_LON]  # noqa: S307
+    lat_of = [eval(f"lambda doc_id: {e}") for e in _CRS_R9_LAT]  # noqa: S307
+
+    def rt(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pairs = {s: (C.from_lonlat(s), C.to_lonlat(s))
+                 for s in _CRS_CODES_R9}
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                k = did % 13
+                srid = _CRS_CODES_R9[k]
+                lon, lat = lon_of[k](did), lat_of[k](did)
+                fwd, inv = pairs[srid]
+                lon2, lat2 = inv(*fwd(lon, lat))
+                rows.append((did, srid,
+                             round(lon2, 4) + 0.0, round(lat2, 4) + 0.0))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "srid", "lon_rt", "lat_rt"])
+
+    return base.mapInPandas(
+        rt, "doc_id long, srid int, lon_rt double, lat_rt double")
+
+
+# ---------------------------------------------------------------------------
 # Multimodal round 4: baseline JPEG pixel decode under the gate
 # ---------------------------------------------------------------------------
 

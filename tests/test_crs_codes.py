@@ -385,3 +385,159 @@ def test_round8_codes_dispatch_and_supported():
         assert srid in sup
         assert C.to_lonlat(srid) is not None
         assert C.from_lonlat(srid) is not None
+
+
+# ---------------------------------------------------------------------------
+# Round-9 additions (VERDICT r8 next #6): JGD2000/JGD2011 Japan Plane
+# Rectangular CS, SWEREF99, ETRS-TM35FIN, Norway NTM, GDA2020 MGA,
+# SIRGAS 2000 UTM, Portugal TM06, Austria MGI GK, Luxembourg LUREF.
+# ---------------------------------------------------------------------------
+
+def test_jgd_zone_origins_are_exact_and_realizations_agree():
+    """Every Japan Plane Rectangular CS zone maps its natural origin
+    to exactly (0, 0), and the JGD2011 code (666x) is defined
+    identically to its JGD2000 twin (244x)."""
+    for i, (la, lo) in enumerate(C._JPRCS):
+        x, y = C.from_lonlat(2443 + i)(lo, la)
+        assert abs(x) < 1e-9 and abs(y) < 1e-9, (2443 + i, x, y)
+        x2, y2 = C.from_lonlat(6669 + i)(139.9, 35.7)
+        x1, y1 = C.from_lonlat(2443 + i)(139.9, 35.7)
+        assert x1 == x2 and y1 == y2
+        _rt(2443 + i, lo + 0.4, la - 0.2)
+
+
+def test_jgd_zone_ix_tokyo_offsets():
+    """Zone IX origin is 36N 139 50E; central Tokyo (~35.7N,
+    139.9E) must land a few km east and ~33 km south (0.3 deg of
+    latitude) of the origin — pins lat0/lon0 against a swap."""
+    x, y = C.from_lonlat(2451)(139.9, 35.7)
+    assert 4000 < x < 8000 and -34500 < y < -32000
+
+
+def test_sweref99_tm_and_local_zones():
+    """EPSG:3006 is UTM-33-like (lon0 15, k0 0.9996, fe 500000) and
+    the local zones are k0=1 fe=150000; central Stockholm lands at
+    the published ~E 674.6 km / N 6580.8 km in 3006."""
+    x, y = C.from_lonlat(3006)(15.0, 0.0)
+    assert abs(x - 500000.0) < 1e-9 and abs(y) < 1e-9
+    x, y = C.from_lonlat(3006)(18.0686, 59.3293)
+    assert abs(x - 674600) < 1500 and abs(y - 6580800) < 1500
+    # local zone 18 00 (3011): on its meridian easting is exactly fe
+    x, y = C.from_lonlat(3011)(18.0, 59.0)
+    assert abs(x - 150000.0) < 1e-9
+    for srid in range(3007, 3019):
+        _rt(srid, 16.0, 62.5)
+
+
+def test_tm35fin_equals_etrs89_utm35():
+    """EPSG:3067 is the UTM-35 parameter set on GRS80 — it must match
+    the already-pinned ETRS89 / UTM 35N (25835) bit-for-bit."""
+    for lon, lat in ((24.9384, 60.1699), (27.0, 65.0), (21.5, 61.2)):
+        assert C.from_lonlat(3067)(lon, lat) == \
+            C.from_lonlat(25835)(lon, lat)
+    x, y = C.from_lonlat(3067)(24.9384, 60.1699)
+    assert abs(x - 385700) < 1000 and abs(y - 6672100) < 1000  # Helsinki
+
+
+def test_norway_ntm_zone_rule():
+    """NTM zone n: lon0 = n + 0.5 deg, lat0 58N, k0 1, fe 100000,
+    fn 1000000 — on the central meridian at 58N the grid reads
+    exactly (100000, 1000000)."""
+    for z in (5, 10, 18, 30):
+        x, y = C.from_lonlat(5100 + z)(z + 0.5, 58.0)
+        assert abs(x - 100000.0) < 1e-9 and abs(y - 1000000.0) < 1e-9
+        _rt(5100 + z, z + 0.9, 61.0)
+
+
+def test_gda2020_mga_matches_gda94_mga():
+    """GDA2020 zones (7846-7859) share the MGA defining parameters
+    with the pinned GDA94 range (28348-28358) — identical output."""
+    for z in (49, 52, 55, 58):
+        for lon, lat in ((6.0 * z - 183.0 + 1.2, -25.0),
+                         (6.0 * z - 183.0 - 2.1, -41.5)):
+            assert C.from_lonlat(7800 + z)(lon, lat) == \
+                C.from_lonlat(28300 + z)(lon, lat)
+    _rt(7846, 94.0, -12.0)
+    _rt(7859, 172.0, -43.0)
+
+
+def test_sirgas2000_utm_families():
+    """SIRGAS 2000 / UTM: 31965-31976 are 11N-22N, 31977-31985 are
+    17S-25S (GRS80).  Sao Paulo in 23S (31983) is the published
+    ~E 333.6 km / N 7394.6 km; Bogota in 18N (31972) ~E 603.1 km /
+    N 520.7 km."""
+    x, y = C.from_lonlat(31983)(-46.6333, -23.55)
+    assert abs(x - 333600) < 1500 and abs(y - 7394600) < 1500
+    x, y = C.from_lonlat(31972)(-74.0721, 4.711)
+    assert abs(x - 603100) < 1500 and abs(y - 520700) < 1500
+    # south zones carry the 10 Mm false northing, north zones do not
+    xn, yn = C.from_lonlat(31966)(-69.0, 1.0)
+    xs, ys = C.from_lonlat(31978)(-69.0, -1.0)
+    assert yn < 200000 and ys > 9800000
+    for srid in (31965, 31976, 31977, 31985):
+        fam, ell, par, _ = C._CRS_TABLE[srid]
+        _rt(srid, par["lon0"] + 1.5, 2.0 if par["fn"] == 0.0 else -12.0)
+
+
+def test_portugal_tm06_origin_and_roundtrip():
+    """PT-TM06 (3763): natural origin 39 40 05.73 N / 8 07 59.19 W
+    maps to exactly (0, 0); Lisbon is west and south of it."""
+    lat0 = 39.0 + 40.0 / 60.0 + 5.73 / 3600.0
+    lon0 = -(8.0 + 7.0 / 60.0 + 59.19 / 3600.0)
+    x, y = C.from_lonlat(3763)(lon0, lat0)
+    assert abs(x) < 1e-9 and abs(y) < 1e-9
+    x, y = C.from_lonlat(3763)(-9.1393, 38.7223)
+    assert x < -80000 and y < -100000
+    _rt(3763, -7.5, 41.0)
+
+
+def test_austria_gk_offsets_and_datum():
+    """MGI GK: the West/Central/East codes (31257-31259) are the
+    M28/M31/M34 meridian strips (31254-31256) shifted east by
+    150/450/750 km; the MGI datum shift at Vienna is a horizontal
+    offset of order 100 m (EPSG:1618 negated), not zero and not km."""
+    for i in range(3):
+        x0, y0 = C.from_lonlat(31254 + i)(13.4, 47.3)
+        x1, y1 = C.from_lonlat(31257 + i)(13.4, 47.3)
+        assert abs((x1 - x0) - (150000.0 + 300000.0 * i)) < 1e-6
+        assert abs(y1 - y0) < 1e-6
+        _rt(31254 + i, 13.4, 47.3)
+    fam, ell, par, _ = C._CRS_TABLE[31256]
+    fwd_nodatum, _ = C._FAMILIES[fam](ell, **par)
+    xa, ya = C.from_lonlat(31256)(16.37, 48.21)
+    xn, yn = fwd_nodatum(16.37, 48.21)
+    assert 30.0 < math.hypot(xa - xn, ya - yn) < 500.0
+
+
+def test_luxembourg_luref_roundtrip_and_city():
+    """LUREF (2169): Luxembourg City sits near the grid's published
+    ~(77 km, 75 km); the origin 49 50 N / 6 10 E reads (80000,
+    100000) apart from the datum shift (order 100 m)."""
+    x, y = C.from_lonlat(2169)(6.13, 49.61)
+    assert abs(x - 77000) < 2500 and abs(y - 75000) < 2500
+    _rt(2169, 6.1, 49.8)
+
+
+def test_round9_codes_dispatch_supported_and_np_twins():
+    import numpy as np
+
+    from geohub_data_pipeline_spark.operators import crs_np
+    new = (list(range(2443, 2462)) + list(range(6669, 6688))
+           + list(range(3006, 3019)) + [3067, 3763, 2169]
+           + list(range(5105, 5131)) + list(range(7846, 7860))
+           + list(range(31965, 31986)) + list(range(31254, 31260)))
+    sup = set(C.supported_srids())
+    for srid in new:
+        assert srid in sup
+        assert C.to_lonlat(srid) is not None
+        assert C.from_lonlat(srid) is not None
+    # numpy twins agree with the scalar closures (incl. datum-shifted)
+    for srid, lon, lat in ((6677, 139.9, 35.7), (3006, 18.07, 59.33),
+                           (31983, -46.63, -23.55), (31256, 16.37, 48.21),
+                           (2169, 6.13, 49.61)):
+        fwd_np, inv_np = crs_np.pair_np(srid)
+        xs, ys = fwd_np(np.array([lon]), np.array([lat]))
+        x, y = C.from_lonlat(srid)(lon, lat)
+        assert abs(xs[0] - x) < 1e-6 and abs(ys[0] - y) < 1e-6
+        los, las = inv_np(xs, ys)
+        assert abs(los[0] - lon) < 1e-7 and abs(las[0] - lat) < 1e-7
