@@ -266,6 +266,15 @@ class IngestService:
     # its Spark job group cancelled, a timeout error row (the
     # ``.timeout`` marker analog), and a 'Cancelled' stage row.
     ingest_timeout: float = 3600.0
+    # X2 relaxed (r8 verdict next #7): the reference receives ONE
+    # message at a time because a single asyncio process bounds its
+    # own RAM (ref ingest/ingest.py:225-233, receive batch size 1);
+    # a Spark cluster has no such constraint — conversions are
+    # distributed jobs, and the driver can keep N of them in flight
+    # (each in its own cancellable job group, watchdog + cancel
+    # preserved per message).  1 keeps the reference's semantics;
+    # ledger output is deterministic in QUEUE order either way.
+    max_concurrent_messages: int = 1
     # RocksDB state store by default: the service is the long-running
     # entry point, and at the 100 TB regime its stateful stages (dedup,
     # watchdog, windows) must hold state off-heap, sized by unique
@@ -289,19 +298,115 @@ class IngestService:
         return os.path.join(
             os.path.dirname(self.ledger_dir.rstrip("/")), "datasets")
 
-    def _real_ledger(self, routed: DataFrame) -> DataFrame:
-        """T13 for real: per work message, run probe -> convert ->
-        write through ``processing.process_geo_file`` and derive the
-        ledger rows from the actual probe.  The driver loop is over
-        MESSAGES (bounded by the queue's rate, as the reference's
-        one-at-a-time receive); each conversion is a distributed
-        Spark job."""
+    def _message_rows(self, m, cancelled: set[str]) -> list[tuple]:
+        """Route + (maybe) convert ONE message; returns its ledger
+        rows (dataset, kind, stage, progress, content) in emit order.
+        Thread-safe: everything per-message, and the conversion runs
+        under its own cancellable job group."""
         import json
         import os
         import shutil
 
         from geohub_data_pipeline_spark import processing as PROC
 
+        rows: list[tuple] = []
+
+        def add(dataset, kind, stage, progress, content=None):
+            rows.append((dataset, kind, stage, progress, content))
+
+        dataset = _chop_url(m.blob_url) if m.blob_url \
+            else f"msg_{m.msg_id}"
+        if m.route == "dead_letter":
+            add(dataset, "error", None, None,
+                f"dead-letter: unparseable message: {m.body}")
+            return rows
+        if m.route == "complete_untouched":
+            add(dataset, "progress", "completed_untouched", 100)
+            return rows
+        if m.blob_url in cancelled:
+            add(dataset, "progress", "Cancelled", 100)
+            return rows
+        src = PROC.resolve_local_path(m.blob_url)
+        if src is None:
+            # download failure dead-letters (ref ingest.py:184-187)
+            add(dataset, "error", None, None,
+                f"download failed: {m.blob_url}")
+            return rows
+        # raw -> datasets rewrite names the output location.
+        # The blob_url is queue-controlled input: normalize and
+        # reject any path that escapes the output root ('..'
+        # segments survive _chop_url otherwise — a message like
+        # https://host/c/../../x would write outside output_dir).
+        dst_rel = os.path.normpath(
+            dataset.replace("/raw/", "/datasets/")).lstrip("/")
+        out_root = os.path.realpath(self._out_dir())
+        if (dst_rel.startswith("..") or os.path.commonpath(
+                [out_root, os.path.realpath(
+                    os.path.join(out_root, dst_rel))]) != out_root):
+            add(dataset, "error", None, None,
+                f"rejected: output path escapes dataset root: "
+                f"{m.blob_url}")
+            return rows
+        if m.route == "passthrough":
+            # K9 server-side copy, for real
+            dst = os.path.join(self._out_dir(), dst_rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copyfile(src, dst)
+            add(dataset, "progress", "copied", 100, dst)
+            return rows
+        add(dataset, "progress", "downloading", 0)
+        add(dataset, "progress", "downloaded", 30)
+        stem = dst_rel.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+        dst_dir = os.path.join(
+            self._out_dir(), os.path.dirname(dst_rel), stem)
+        try:
+            res = self._convert_with_timeout(
+                src, dst_dir, bool(m.join_vector_tiles), dataset,
+                blob_url=m.blob_url, msg_id=m.msg_id)
+        except TimeoutError:
+            # .timeout marker + Cancelled stage + metadata, as
+            # the reference's asyncio.wait timeout branch
+            # (ref ingest/ingest.py:131-152)
+            add(dataset, "error", None, None,
+                f"timeout: conversion exceeded "
+                f"{self.ingest_timeout:.0f}s")
+            add(dataset, "progress", "Cancelled", 100)
+            return rows
+        except CancelledIngest:
+            # mid-conversion external cancel (X5/X6): same error
+            # + Cancelled trail the reference emits
+            # (ref ingest/ingest.py:131-152, utils.py:126-131)
+            add(dataset, "error", None, None,
+                "cancelled by user request during processing")
+            add(dataset, "progress", "Cancelled", 100)
+            return rows
+        except Exception as exc:       # .error blob + dead-letter
+            add(dataset, "error", None, None,
+                f"ingest error: {type(exc).__name__}: {exc}")
+            return rows
+        n = max(len(res["chunks"]), 1)
+        # ref compute_progress: offset 30, per-chunk to 100
+        # (ingest/utils.py:79-84)
+        for i, ch in enumerate(res["chunks"], 1):
+            add(dataset, "progress",
+                f"processing {ch['kind']} {ch['name']}",
+                30 + (70 * i) // n)
+        for a in res["artifacts"]:
+            add(dataset, "artifact", None, None, a)
+        add(dataset, "progress", "processed", 100,
+            json.dumps(res["audits"], sort_keys=True))
+        return rows
+
+    def _real_ledger(self, routed: DataFrame) -> DataFrame:
+        """T13 for real: per work message, run probe -> convert ->
+        write through ``processing.process_geo_file`` and derive the
+        ledger rows from the actual probe.  The driver loop is over
+        MESSAGES (bounded by the queue's rate); each conversion is a
+        distributed Spark job.  ``max_concurrent_messages`` > 1 keeps
+        that many conversions in flight at once (thread-per-message
+        drivers over distributed jobs; Spark's scheduler interleaves
+        their stages) — the ledger still comes out in queue order
+        because the fan-out is an order-preserving map."""
         cancelled: set[str] = set()
         cancels = self._cancels()
         if cancels is not None:
@@ -310,93 +415,16 @@ class IngestService:
 
         msgs = routed.select("msg_id", "body", "blob_url", "route",
                              "join_vector_tiles").collect()
-        rows: list[tuple] = []           # (dataset, kind, stage, progress, content)
+        n_conc = max(1, int(self.max_concurrent_messages))
+        if n_conc == 1 or len(msgs) <= 1:
+            per_msg = [self._message_rows(m, cancelled) for m in msgs]
+        else:
+            import concurrent.futures
 
-        def add(dataset, kind, stage, progress, content=None):
-            rows.append((dataset, kind, stage, progress, content))
-
-        for m in msgs:
-            dataset = _chop_url(m.blob_url) if m.blob_url \
-                else f"msg_{m.msg_id}"
-            if m.route == "dead_letter":
-                add(dataset, "error", None, None,
-                    f"dead-letter: unparseable message: {m.body}")
-                continue
-            if m.route == "complete_untouched":
-                add(dataset, "progress", "completed_untouched", 100)
-                continue
-            if m.blob_url in cancelled:
-                add(dataset, "progress", "Cancelled", 100)
-                continue
-            src = PROC.resolve_local_path(m.blob_url)
-            if src is None:
-                # download failure dead-letters (ref ingest.py:184-187)
-                add(dataset, "error", None, None,
-                    f"download failed: {m.blob_url}")
-                continue
-            # raw -> datasets rewrite names the output location.
-            # The blob_url is queue-controlled input: normalize and
-            # reject any path that escapes the output root ('..'
-            # segments survive _chop_url otherwise — a message like
-            # https://host/c/../../x would write outside output_dir).
-            dst_rel = os.path.normpath(
-                dataset.replace("/raw/", "/datasets/")).lstrip("/")
-            out_root = os.path.realpath(self._out_dir())
-            if (dst_rel.startswith("..") or os.path.commonpath(
-                    [out_root, os.path.realpath(
-                        os.path.join(out_root, dst_rel))]) != out_root):
-                add(dataset, "error", None, None,
-                    f"rejected: output path escapes dataset root: "
-                    f"{m.blob_url}")
-                continue
-            if m.route == "passthrough":
-                # K9 server-side copy, for real
-                dst = os.path.join(self._out_dir(), dst_rel)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                shutil.copyfile(src, dst)
-                add(dataset, "progress", "copied", 100, dst)
-                continue
-            add(dataset, "progress", "downloading", 0)
-            add(dataset, "progress", "downloaded", 30)
-            stem = dst_rel.rsplit("/", 1)[-1].rsplit(".", 1)[0]
-            dst_dir = os.path.join(
-                self._out_dir(), os.path.dirname(dst_rel), stem)
-            try:
-                res = self._convert_with_timeout(
-                    src, dst_dir, bool(m.join_vector_tiles), dataset,
-                    blob_url=m.blob_url)
-            except TimeoutError:
-                # .timeout marker + Cancelled stage + metadata, as
-                # the reference's asyncio.wait timeout branch
-                # (ref ingest/ingest.py:131-152)
-                add(dataset, "error", None, None,
-                    f"timeout: conversion exceeded "
-                    f"{self.ingest_timeout:.0f}s")
-                add(dataset, "progress", "Cancelled", 100)
-                continue
-            except CancelledIngest:
-                # mid-conversion external cancel (X5/X6): same error
-                # + Cancelled trail the reference emits
-                # (ref ingest/ingest.py:131-152, utils.py:126-131)
-                add(dataset, "error", None, None,
-                    "cancelled by user request during processing")
-                add(dataset, "progress", "Cancelled", 100)
-                continue
-            except Exception as exc:       # .error blob + dead-letter
-                add(dataset, "error", None, None,
-                    f"ingest error: {type(exc).__name__}: {exc}")
-                continue
-            n = max(len(res["chunks"]), 1)
-            # ref compute_progress: offset 30, per-chunk to 100
-            # (ingest/utils.py:79-84)
-            for i, ch in enumerate(res["chunks"], 1):
-                add(dataset, "progress",
-                    f"processing {ch['kind']} {ch['name']}",
-                    30 + (70 * i) // n)
-            for a in res["artifacts"]:
-                add(dataset, "artifact", None, None, a)
-            add(dataset, "progress", "processed", 100,
-                json.dumps(res["audits"], sort_keys=True))
+            with concurrent.futures.ThreadPoolExecutor(n_conc) as pool:
+                per_msg = list(pool.map(
+                    lambda m: self._message_rows(m, cancelled), msgs))
+        rows = [r for msg_rows in per_msg for r in msg_rows]
 
         schema = T.StructType([
             T.StructField("dataset", T.StringType()),
@@ -421,7 +449,8 @@ class IngestService:
     def _convert_with_timeout(self, src: str, dst_dir: str,
                               join_tiles: bool, dataset: str,
                               blob_url: str | None = None,
-                              poll_secs: float = 2.0):
+                              poll_secs: float = 2.0,
+                              msg_id=None):
         """Run one message's conversion under the X4/X5/X6 watchdog:
         the work executes in a helper thread whose Spark jobs share a
         cancellable job group (``interruptOnCancel``); the waiter
@@ -437,7 +466,12 @@ class IngestService:
         from geohub_data_pipeline_spark import processing as PROC
 
         sc = self.spark.sparkContext
-        group = f"ingest:{dataset}"
+        # msg_id disambiguates the cancellable group when
+        # max_concurrent_messages > 1 runs two messages for the SAME
+        # dataset path at once — cancelling one must not kill the
+        # other's stages.
+        group = (f"ingest:{dataset}" if msg_id is None
+                 else f"ingest:{dataset}#{msg_id}")
 
         def run():
             # job-group properties are thread-local, so only THIS
