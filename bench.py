@@ -159,20 +159,29 @@ def _med_iqr(runs: list[float]) -> tuple[float, float]:
     return med, runs[-1] - runs[0]
 
 
-def run_suite(spark, sf_dir: str, cpus: int, names=None):
+def run_suite(spark, sf_dir: str, cpus: int, names=None,
+              tiny_partitions: int = 1):
     """Run the headline suite (or ``names``) at ``sf_dir``; returns
     (timings(median), iqrs, total, skipped).
 
-    Tiny-input policy (<50 MB compressed): AQE OFF + 4 shuffle
-    partitions.  At ms scale AQE's per-stage runtime replanning IS
-    the cost (measured r7: the 19-query gate suite 3.84 s -> 2.93 s,
+    Tiny-input policy (<50 MB compressed): AQE OFF + ``tiny_partitions``
+    shuffle partitions.  At ms scale AQE's per-stage runtime replanning
+    IS the cost (measured r7: the 19-query gate suite 3.84 s -> 2.93 s,
     the five floor-bound queries -30..-45% each, no query worse);
     at sf1+ the data-proportional regime returns and AQE's
     coalesce/skew handling earns its latency back, so it stays on.
+
+    tiny_partitions: r9 A/B (interleaved best-of-3 suites, quiet box)
+    measured partitions=1 at -5.7% suite total vs 4 on the relational
+    HEADLINE (the floor-bound five -8.6%; only events_sessionization
+    regressed, +17% on a 0.28 s median) but +4% on the GEO suite
+    (geo_tile_pipeline's owner-tile shuffle wants the parallelism), so
+    the relational suites plan one final task and geo keeps 4.
     """
     if _input_bytes(sf_dir) < (50 << 20):
         spark.conf.set("spark.sql.adaptive.enabled", "false")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(tiny_partitions))
     else:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.shuffle.partitions",
@@ -291,7 +300,7 @@ def main() -> None:
         spark, gate_dir, cpus)
 
     geo_timings, geo_iqrs, geo_total, geo_skipped = run_suite(
-        spark, gate_dir, cpus, names=GEO_HEADLINE)
+        spark, gate_dir, cpus, names=GEO_HEADLINE, tiny_partitions=4)
 
     # Stdout carries ONE COMPACT line — the r7 record went
     # unparseable when per-query IQRs doubled the line past the
