@@ -59,6 +59,7 @@ def main() -> None:
 
     timings, total = run(HEADLINE)
     geo_timings, geo_total = run(GEO_HEADLINE)
+    geo_ref = _geo_cross_engine(con, sf_dir)
     print(json.dumps({
         "metric": "duckdb_oracle_wall_clock",
         "value": round(total, 3),
@@ -66,7 +67,72 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "geo": {"value": round(geo_total, 3), "queries": geo_timings},
+        "geo_ref": geo_ref,
     }))
+
+
+def _geo_cross_engine(con, sf_dir: str) -> dict:
+    """True cross-engine geo references (r8 verdict next #8): for the
+    two kernels whose FULL result is computable from materialized
+    inputs — zonal_stats (per-pixel zone assignment + aggregation
+    over the 300x300 lattice) and spatial_join_intersects (per-point
+    containment over every document point) — write the same logical
+    inputs to parquet and time DuckDB computing the complete output
+    from those files, so it pays I/O + the per-row work, unlike the
+    registry oracles' range()-generated twins.  The remaining
+    asymmetry is documented in BASELINE.md: DuckDB tests the diamond
+    via its closed L1 form where Spark decodes real WKB rings — the
+    same results from the same inputs, minus the geometry-codec tax
+    Spark pays and DuckDB has no native way to pay."""
+    import tempfile
+    import time
+
+    with tempfile.TemporaryDirectory() as tmp:
+        con.execute(f"""
+            COPY (SELECT r.i AS row, c.i AS col,
+                         CAST((7 * r.i + c.i) % 1000 AS DOUBLE) AS v,
+                         -15.0 + (c.i + 0.5) * 0.1 AS lon,
+                         15.0 - (r.i + 0.5) * 0.1 AS lat
+                  FROM range(300) r(i), range(300) c(i))
+            TO '{tmp}/px.parquet' (FORMAT PARQUET)""")
+        con.execute(f"""
+            COPY (SELECT CAST(t.i AS BIGINT) AS poly_id,
+                         -15.0 + t.i * 6.0 AS cx,
+                         -10.0 + (t.i % 3) * 8.0 AS cy,
+                         2.47 + t.i * 0.4 AS r
+                  FROM range(6) t(i))
+            TO '{tmp}/zones.parquet' (FORMAT PARQUET)""")
+        con.execute(f"""
+            COPY (SELECT doc_id AS point_id,
+                         -19.95 + ((doc_id * 13) % 400) / 10.0 AS lon,
+                         -19.95 + ((doc_id * 7) % 400) / 10.0 AS lat
+                  FROM documents)
+            TO '{tmp}/points.parquet' (FORMAT PARQUET)""")
+        refs = {
+            "zonal_stats": f"""
+                SELECT 'dem' AS dataset, 1 AS band, z.poly_id,
+                       count(*) AS n_pixels, sum(px.v) AS sum_v,
+                       min(px.v) AS min_v, max(px.v) AS max_v,
+                       round(sum(px.v) / count(*), 6) AS mean_v
+                FROM '{tmp}/px.parquet' px, '{tmp}/zones.parquet' z
+                WHERE abs(px.lon - z.cx) + abs(px.lat - z.cy) < z.r
+                GROUP BY z.poly_id ORDER BY z.poly_id""",
+            "spatial_join_intersects": f"""
+                SELECT p.point_id AS doc_id, z.poly_id
+                FROM '{tmp}/points.parquet' p, '{tmp}/zones.parquet' z
+                WHERE abs(p.lon - z.cx) + abs(p.lat - z.cy) < z.r
+                ORDER BY doc_id, poly_id""",
+        }
+        out = {}
+        for name, sql in refs.items():
+            con.execute(sql).fetchall()          # warm-up
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                con.execute(sql).fetchall()
+                best = min(best, time.time() - t0)
+            out[name] = round(best, 3)
+    return out
 
 
 if __name__ == "__main__":
