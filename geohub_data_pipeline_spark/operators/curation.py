@@ -641,3 +641,47 @@ def weighted_sample_topk(docs: DataFrame, weight_col: str, k: int,
             .select(F.row_number().over(
                 Window.orderBy(F.desc("key"), id_col))
                 .alias("rank"), id_col, "weight"))
+
+
+def skyline_2d(df: DataFrame, minimize: str, maximize: str) -> DataFrame:
+    """Pareto frontier (2-D skyline): the distinct (minimize,
+    maximize) points not dominated by any other point — q dominates p
+    iff q.min <= p.min AND q.max >= p.max with one inequality strict.
+
+    Two-phase distributed skyline: each partition computes its LOCAL
+    skyline with a partition-scoped cumulative max (sort by minimize
+    asc / maximize desc; a row survives iff every predecessor's
+    maximize is strictly below its own — every dominator sorts
+    earlier under this order, so the filter is exact), then the final
+    skyline runs the same filter once over the union of survivors.
+    skyline(S) = skyline(union of local skylines): a global skyline
+    point is undominated, hence survives its local pass, and every
+    local reject was dominated by a surviving local point.  The
+    per-partition pass never shuffles; only local survivors (output-
+    sized, not input-sized) reach the single final window — the shape
+    that makes the frontier of a 100 TB relation a map-side scan plus
+    one tiny sort, where the textbook NOT EXISTS self-join is a
+    cartesian.
+
+    Duplicate (min, max) points collapse to one output row.
+    Comparisons only — no float arithmetic — so the result is exact
+    for any input types.
+    """
+    pts = df.select(F.col(minimize).alias("_x"),
+                    F.col(maximize).alias("_y"))
+
+    def survivors(frame: DataFrame, part_cols: list) -> DataFrame:
+        w = (Window.partitionBy(*part_cols)
+             .orderBy(F.col("_x").asc(), F.col("_y").desc())
+             .rowsBetween(Window.unboundedPreceding, -1))
+        return (frame.withColumn("_m", F.max("_y").over(w))
+                .filter(F.col("_m").isNull()
+                        | (F.col("_m") < F.col("_y")))
+                .drop("_m"))
+
+    local = survivors(
+        pts.withColumn("_pid", F.spark_partition_id()), ["_pid"])
+    out = survivors(local.drop("_pid").withColumn("_g", F.lit(0)),
+                    ["_g"]).drop("_g")
+    return out.select(F.col("_x").alias(minimize),
+                      F.col("_y").alias(maximize))

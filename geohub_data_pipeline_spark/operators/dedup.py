@@ -622,3 +622,122 @@ def triangle_counts(edges: DataFrame, src: str = "id_a",
                          .alias("node"))
     return (corners.groupBy("node")
             .agg(F.count(F.lit(1)).alias("n_triangles")))
+
+
+def pagerank_fixed_point(edges: DataFrame, n_iters: int = 3,
+                         src: str = "src", dst: str = "dst",
+                         scale: int = 1_000_000,
+                         damping_num: int = 17,
+                         damping_den: int = 20) -> DataFrame:
+    """PageRank over a directed graph in FIXED-POINT integer
+    arithmetic — rank held in ``scale``-ths (millionths by default)
+    and the damped update computed as
+
+        R_{k+1}(v) = ((den-num)*scale) div den
+                     + (num * sum_{u->v} (R_k(u) div outdeg(u))) div den
+
+    with integer division throughout (damping num/den = 17/20 =
+    0.85).  Every quantity is an exact integer, so the result is
+    bit-identical regardless of partitioning, summation order, or
+    engine — the property the value-hash gate needs and the reason
+    production ranking systems run integer PageRank (float partial
+    sums reorder under retries).  Dangling mass is dropped (nodes
+    with no out-edges contribute nothing), the common simplified
+    form; R0 = scale for every node.
+
+    Plan per iteration: one broadcast-or-shuffle join of the rank
+    vector (O(V)) against the edge list keyed by src, one groupBy(dst)
+    sum, one left join back to the vertex set for the teleport term.
+    Edges never move after their first hash partition on src; the
+    rank vector is the only thing that flows.  No driver collect,
+    no cartesian — the same plan at 100 TB just has a bigger edge
+    relation behind the same O(V) rank exchanges.
+
+    Output: ``node long, rank_fp long`` (rank in scale-ths, all
+    nodes present).
+    """
+    e = (edges.select(F.col(src).cast("long").alias("s"),
+                      F.col(dst).cast("long").alias("t"))
+         .filter(F.col("s") != F.col("t"))
+         .distinct())
+    nodes = (e.select(F.col("s").alias("node"))
+             .unionAll(e.select(F.col("t").alias("node")))
+             .distinct())
+    outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("od"))
+    ew = e.join(outdeg, "s")      # (s, t, od) — static across iters
+    teleport = ((damping_den - damping_num) * scale) // damping_den
+    ranks = nodes.select("node", F.lit(int(scale)).alias("rank_fp"))
+    for _ in range(n_iters):
+        contrib = (ew.join(ranks.withColumnRenamed("node", "s"), "s")
+                   .select("t", F.expr("rank_fp div od").alias("c")))
+        summed = contrib.groupBy("t").agg(F.sum("c").alias("sc"))
+        ranks = (nodes.join(summed.withColumnRenamed("t", "node"),
+                            "node", "left")
+                 .select("node",
+                         (F.lit(teleport)
+                          + F.expr(f"({damping_num} * "
+                                   f"coalesce(sc, 0)) div "
+                                   f"{damping_den}"))
+                         .alias("rank_fp")))
+    return ranks
+
+
+def sparse_cosine_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", min_df: int = 2,
+                        max_df: int = 20,
+                        threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate pairs by COSINE over sparse shingle-count
+    vectors, via an inverted-index join — the classic document-
+    similarity self-join shape (term-keyed postings, never doc x doc).
+
+    Terms are word 3-gram shingles (functions/text.py word_shingles,
+    the same space the MinHash pipeline hashes): unigrams carry no
+    signal on a small shared vocabulary, and shingles are what make
+    the df band meaningful — the vector space is shingles appearing
+    in [min_df, max_df] documents.  min_df=2 drops unpairable
+    hapaxes; max_df caps every posting list, which bounds the
+    per-term pair fan-out at C(max_df, 2) and keeps the join
+    sub-quadratic at corpus scale (boilerplate shingles are exactly
+    the ones that would otherwise explode, and their idf ~ 0).
+
+    Exactness: dot products and squared norms are INTEGER sums
+    (order-independent), and the cosine is one correctly-rounded
+    sqrt/multiply/divide chain — bit-identical across engines and
+    partitionings, so the value-hash gate can pin it.
+
+    Plan: one (doc, term) count shuffle, one term df aggregation
+    (broadcast back), one term-keyed postings self-join, one
+    (doc_a, doc_b) sum shuffle.  Output:
+    ``doc_a, doc_b, cos_sim`` (cos >= threshold, doc_a < doc_b,
+    cosine rounded to 6).
+    """
+    from geohub_data_pipeline_spark.functions import text as T
+
+    tok = docs.select(F.col(id_col).alias("_id"),
+                      F.explode(T.word_shingles(F.col(text_col)))
+                      .alias("term"))
+    c = tok.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tc"))
+    dfq = c.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    kept = (c.join(F.broadcast(dfq.filter(
+                (F.col("dfreq") >= min_df)
+                & (F.col("dfreq") <= max_df))), "term")
+            .select("_id", "term", "tc"))
+    n2 = kept.groupBy("_id").agg(
+        F.sum(F.col("tc") * F.col("tc")).alias("nn"))
+    a = kept.select(F.col("term"), F.col("_id").alias("doc_a"),
+                    F.col("tc").alias("tca"))
+    b = kept.select(F.col("term"), F.col("_id").alias("doc_b"),
+                    F.col("tc").alias("tcb"))
+    pairs = (a.join(b, "term")
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.sum(F.col("tca") * F.col("tcb")).alias("dot")))
+    na = n2.select(F.col("_id").alias("doc_a"), F.col("nn").alias("na"))
+    nb = n2.select(F.col("_id").alias("doc_b"), F.col("nn").alias("nb"))
+    cos = (F.col("dot").cast("double")
+           / (F.sqrt(F.col("na").cast("double"))
+              * F.sqrt(F.col("nb").cast("double"))))
+    return (pairs.join(na, "doc_a").join(nb, "doc_b")
+            .filter(cos >= float(threshold))
+            .select("doc_a", "doc_b",
+                    (F.round(cos, 6) + F.lit(0.0)).alias("cos_sim")))

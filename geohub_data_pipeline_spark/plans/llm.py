@@ -1946,3 +1946,140 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("eid") % 97).alias("id_a"),
             ((F.col("eid") * 3 + 5) % 97).alias("id_b")))
     return DD.triangle_counts(edges).orderBy("node")
+
+
+_PAGERANK_SQL = """
+WITH raw AS (
+  SELECT CAST(event_id % 127 AS BIGINT) AS s,
+         CAST((event_id * 11 + 2) % 127 AS BIGINT) AS t
+  FROM events
+  UNION ALL
+  SELECT CAST(event_id % 127 AS BIGINT) AS s,
+         CAST((event_id * 5 + 7) % 127 AS BIGINT) AS t
+  FROM events
+),
+e AS (SELECT DISTINCT s, t FROM raw WHERE s <> t),
+nodes AS (SELECT s AS node FROM e UNION SELECT t FROM e),
+od AS (SELECT s, count(*) AS od FROM e GROUP BY s),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+it1 AS (
+  SELECT n.node, CAST(150000 + (17 * coalesce(c.sc, 0)) // 20
+                      AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.t AS node, sum(rk.r // od.od) AS sc
+    FROM e JOIN od USING (s) JOIN r0 rk ON rk.node = e.s
+    GROUP BY e.t) c USING (node)
+),
+it2 AS (
+  SELECT n.node, CAST(150000 + (17 * coalesce(c.sc, 0)) // 20
+                      AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.t AS node, sum(rk.r // od.od) AS sc
+    FROM e JOIN od USING (s) JOIN it1 rk ON rk.node = e.s
+    GROUP BY e.t) c USING (node)
+),
+it3 AS (
+  SELECT n.node, CAST(150000 + (17 * coalesce(c.sc, 0)) // 20
+                      AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.t AS node, sum(rk.r // od.od) AS sc
+    FROM e JOIN od USING (s) JOIN it2 rk ON rk.node = e.s
+    GROUP BY e.t) c USING (node)
+)
+SELECT node, r AS rank_fp FROM it3 ORDER BY node
+"""
+
+
+@query("graph_pagerank", "llm",
+       "graph analytics: 3-iteration damped PageRank in fixed-point "
+       "integer arithmetic (rank in millionths, damping 17/20) — "
+       "bit-exact under any partitioning/summation order; the "
+       "oracle unrolls the same three updates as chained CTEs",
+       _PAGERANK_SQL)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the deterministic 127-node directed
+    event graph (two unioned functional edge families, s = id % 127
+    with t = (11 id + 2) % 127 and t = (5 id + 7) % 127).  Integer
+    fixed-point (operators/dedup.py pagerank_fixed_point) instead of
+    float power iteration because float partial sums reorder across
+    partitions/retries — the exactness property the value-hash gate
+    verifies is the same one production ranking systems buy with
+    integer rank storage.
+
+    Scale: per iteration one rank-vector join keyed on src (the edge
+    relation never re-shuffles after its first hash partition), one
+    groupBy(dst) sum, one vertex left-join; rank state is O(V).
+    """
+    from geohub_data_pipeline_spark.operators import dedup as DD
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select(F.col("event_id").cast("long").alias("eid"))
+    edges = ev.select(
+        (F.col("eid") % 127).alias("src"),
+        ((F.col("eid") * 11 + 2) % 127).alias("dst")).unionAll(
+        ev.select(
+            (F.col("eid") % 127).alias("src"),
+            ((F.col("eid") * 5 + 7) % 127).alias("dst")))
+    return (DD.pagerank_fixed_point(edges, n_iters=3)
+            .select("node", F.col("rank_fp").cast("long").alias("rank_fp"))
+            .orderBy("node"))
+
+
+_SPARSE_COSINE_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, least(len(ws) - 2, 50) + 1),
+           i -> ws[i] || '_' || ws[i+1] || '_' || ws[i+2]) AS s
+  FROM w WHERE len(ws) >= 3
+),
+tok AS (SELECT doc_id, unnest(s) AS term FROM sh),
+c AS (SELECT doc_id, term, count(*) AS tc FROM tok GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*) AS dfreq FROM c GROUP BY term),
+kept AS (
+  SELECT c.doc_id, c.term, c.tc
+  FROM c JOIN dfq USING (term) WHERE dfreq BETWEEN 2 AND 20
+),
+n2 AS (SELECT doc_id, sum(tc * tc) AS nn FROM kept GROUP BY doc_id),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         sum(a.tc * b.tc) AS dot
+  FROM kept a JOIN kept b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na.nn AS DOUBLE))
+                * sqrt(CAST(nb.nn AS DOUBLE))), 6) + 0.0 AS cos_sim
+FROM p
+JOIN n2 na ON na.doc_id = p.doc_a
+JOIN n2 nb ON nb.doc_id = p.doc_b
+WHERE CAST(dot AS DOUBLE)
+      / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE)))
+      >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("dedup_sparse_cosine", "llm",
+       "north star: near-dup detection — sparse term-vector cosine "
+       "via an inverted-index join (df-band vocabulary bounds every "
+       "posting list; integer dot/norm sums + correctly-rounded "
+       "sqrt keep the result bit-exact across engines)",
+       _SPARSE_COSINE_SQL)
+def dedup_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs with term-count cosine >= 0.5 in the df-band
+    [2, 20] vocabulary (operators/dedup.py sparse_cosine_pairs).
+    Complements dedup_embedding_cosine (dense vectors, LSH buckets)
+    with the sparse lexical shape: postings self-join keyed by term,
+    pair fan-out capped at C(max_df, 2) per term — the sub-quadratic
+    bound that survives a 100 TB corpus where all-pairs cannot.
+    """
+    from geohub_data_pipeline_spark.operators import dedup as DD
+
+    t = load_tables(spark, sf_dir)
+    return (DD.sparse_cosine_pairs(t.documents)
+            .orderBy("doc_a", "doc_b"))

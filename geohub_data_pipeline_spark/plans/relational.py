@@ -2669,3 +2669,39 @@ def agg_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                      bool(n_sketch == n)))
     return spark.createDataFrame(
         rows, "q double, rank_ok boolean, n_ok boolean").orderBy("q")
+
+
+_SKYLINE_SQL = """
+WITH pts AS (
+  SELECT DISTINCT p_retailprice AS price, p_size AS size FROM part
+)
+SELECT price, CAST(size AS INTEGER) AS size
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.price <= p.price AND q.size >= p.size
+    AND (q.price < p.price OR q.size > p.size))
+ORDER BY price
+"""
+
+
+@query("skyline_pareto", "relational",
+       "relational closure: Pareto frontier / 2-D skyline (cheapest "
+       "price for every size level) — two-phase distributed skyline "
+       "(per-partition local frontier, output-sized final merge); "
+       "the oracle is the textbook NOT EXISTS dominance self-join",
+       _SKYLINE_SQL)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts on the (minimize retail price, maximize size) Pareto
+    frontier.  The Spark side runs the two-phase skyline
+    (operators/curation.py skyline_2d: map-side local frontiers,
+    one tiny final window — no self-join, no cartesian); the oracle
+    states dominance directly as NOT EXISTS.  Comparisons only, no
+    float arithmetic, so the hash match is exact.
+    """
+    from geohub_data_pipeline_spark.operators import curation as CU
+
+    t = load_tables(spark, sf_dir)
+    pts = t.part.select(F.col("p_retailprice").alias("price"),
+                        F.col("p_size").cast("int").alias("size"))
+    return CU.skyline_2d(pts, "price", "size").orderBy("price")

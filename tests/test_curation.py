@@ -273,3 +273,27 @@ def test_weighted_sample_topk_pps_property(spark):
                  reverse=True)[:200]
     exp_ids = [-x[1] for x in exp]
     assert [r.doc_id for r in got] == exp_ids
+
+
+def test_skyline_2d_matches_brute_force(spark):
+    """r9: two-phase distributed skyline equals the O(n^2) dominance
+    scan on random points with planted duplicates and ties."""
+    import random
+
+    from geohub_data_pipeline_spark.operators.curation import skyline_2d
+
+    rng = random.Random(412)
+    pts = [(round(rng.uniform(0, 100), 1), rng.randrange(50))
+           for _ in range(400)]
+    pts += pts[:20]                       # duplicates
+    pts += [(pts[0][0], pts[0][1] + 1)]   # same-x tie
+    df = spark.createDataFrame(pts, "price double, size int") \
+        .repartition(7)                   # force multi-partition phase
+    got = {(r.price, r.size)
+           for r in skyline_2d(df, "price", "size").collect()}
+
+    dpts = set(pts)
+    want = {(x, y) for (x, y) in dpts
+            if not any((qx <= x and qy >= y and (qx < x or qy > y))
+                       for (qx, qy) in dpts)}
+    assert got == want and got

@@ -148,3 +148,93 @@ def test_triangle_counts_matches_brute_force(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
 
+
+
+def test_pagerank_fixed_point_matches_brute_force(spark):
+    """r9: integer fixed-point PageRank equals a driver-side integer
+    simulation on a random 40-node directed graph — same floor-div
+    update, so equality is EXACT (no tolerance)."""
+    import random
+
+    from geohub_data_pipeline_spark.operators.dedup import (
+        pagerank_fixed_point,
+    )
+
+    rng = random.Random(907)
+    edges = {(rng.randrange(40), rng.randrange(40)) for _ in range(160)}
+    edges = sorted((s, t) for s, t in edges if s != t)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank_fp
+           for r in pagerank_fixed_point(df, n_iters=3).collect()}
+
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    out = {}
+    for s, t in edges:
+        out.setdefault(s, []).append(t)
+    rank = {n: 1_000_000 for n in nodes}
+    for _ in range(3):
+        acc = {n: 0 for n in nodes}
+        for s, ts in out.items():
+            c = rank[s] // len(ts)
+            for t in ts:
+                acc[t] += c
+        rank = {n: 150_000 + (17 * acc[n]) // 20 for n in nodes}
+    assert got == rank
+    # every rank >= the teleport floor, <= teleport + damped TOTAL mass
+    cap = 150_000 + (17 * len(nodes) * 1_000_000) // 20
+    assert all(150_000 <= v <= cap for v in got.values())
+
+
+def test_sparse_cosine_pairs_matches_brute_force(spark):
+    """r9: inverted-index shingle-cosine equals the all-pairs numpy
+    cosine on a corpus with planted near-duplicates."""
+    import math
+    from collections import Counter
+
+    from geohub_data_pipeline_spark.functions.text import (
+        MAX_SHINGLES,
+        SHINGLE_WORDS,
+    )
+    from geohub_data_pipeline_spark.operators.dedup import (
+        sparse_cosine_pairs,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+            "kappa lam mu nu xi omicron pi rho sigma tau")
+    docs = [(1, base), (2, base),                        # exact dup
+            (3, base.replace("delta", "psi")),           # near dup
+            (4, "one two three four five six seven"),
+            (5, "one two three four five six eight"),    # near dup of 4
+            (6, "totally different words entirely here now")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r.cos_sim
+           for r in sparse_cosine_pairs(
+               df, min_df=2, max_df=20, threshold=0.3).collect()}
+
+    def shingles(text):
+        ws = text.split(" ")
+        n = min(len(ws) - (SHINGLE_WORDS - 1), MAX_SHINGLES)
+        return ["_".join(ws[i:i + SHINGLE_WORDS]) for i in range(n)]
+
+    vecs = {d: Counter(shingles(t)) for d, t in docs}
+    df_count = Counter(term for v in vecs.values() for term in set(v))
+    kept_terms = {t for t, c in df_count.items() if 2 <= c <= 20}
+    want = {}
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            va = {t: c for t, c in vecs[a].items() if t in kept_terms}
+            vb = {t: c for t, c in vecs[b].items() if t in kept_terms}
+            dot = sum(va[t] * vb[t] for t in va if t in vb)
+            na = math.sqrt(sum(c * c for c in va.values()))
+            nb = math.sqrt(sum(c * c for c in vb.values()))
+            if na and nb and dot / (na * nb) >= 0.3:
+                want[(a, b)] = round(dot / (na * nb), 6)
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)] == 1.0       # exact dup
+    # 4/5 differ only in hapax shingles, which the df band prunes —
+    # identical in the kept space, so cosine 1.0 by design
+    assert (4, 5) in got and got[(4, 5)] == 1.0
+    # 3's substitution shingles are hapaxes too, but 1/2 KEEP their
+    # df=2 'delta' shingles that 3 lacks -> a genuinely partial match
+    assert (1, 3) in got and 0.3 <= got[(1, 3)] < 1.0
