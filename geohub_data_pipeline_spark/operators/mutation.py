@@ -1,0 +1,109 @@
+"""Snapshot-mutation operators: SCD2 merge and table diff.
+
+The reference pipeline re-writes whole artifacts per upload (ref
+ingest/processing.py — every conversion overwrites its deterministic
+output path); an analytics engine over the same data additionally
+needs the incremental shapes a lakehouse user expects: apply a batch
+of updates to a versioned dimension (slowly-changing-dimension
+type 2) and diff two snapshots of a table into insert/update/delete
+rows.  Both are pure DataFrame plans — no driver-side state.
+
+Scale posture: the update/new-snapshot side of both operators is the
+small side in production (a batch of changes against a large
+dimension / yesterday's snapshot), so the joins are broadcast-able;
+either way each operator is at most two hash joins on the key, no
+window over a global order, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def scd2_merge(current: DataFrame, updates: DataFrame, key: str,
+               attrs: list[str], batch: int,
+               valid_from: str = "valid_from",
+               valid_to: str = "valid_to") -> DataFrame:
+    """Apply one batch of updates to an SCD type-2 dimension.
+
+    ``current`` carries (key, attrs..., valid_from, valid_to) with
+    ``valid_to`` NULL on the open (live) version of each key;
+    ``updates`` carries (key, attrs...).  Version bounds are integer
+    batch numbers (no wall-clock — deterministic and timezone-free).
+
+    Semantics (the standard MERGE template):
+    * a key in ``updates`` whose attrs differ from its open version:
+      the open row closes (valid_to = batch) and a new open row is
+      inserted (valid_from = batch);
+    * a brand-new key inserts an open row;
+    * an update identical to the open version is a no-op;
+    * closed (historical) rows are never touched;
+    * keys absent from ``updates`` are untouched (this is upsert, not
+      snapshot replacement).
+
+    Plan: one join of the open slice against updates (broadcast when
+    the batch is small), unions for the three output classes.  The
+    historical slice passes through without touching the join at all
+    — at 100 TB that is the bulk of the table and it never shuffles.
+    """
+    upd = updates.select(key, *attrs)
+    open_rows = current.filter(F.col(valid_to).isNull())
+    closed_rows = current.filter(F.col(valid_to).isNotNull())
+
+    # all attrs null-safe equal between the open version and the update
+    same = F.lit(True)
+    for a in attrs:
+        same = same & F.col(f"cur.{a}").eqNullSafe(F.col(f"upd.{a}"))
+    # side-presence flags: marker literals, never null on their side
+    # (a full-outer join leaves every other column nullable)
+    cur = open_rows.alias("cur").withColumn("_c", F.lit(1))
+    up = F.broadcast(upd.alias("upd").withColumn("_u", F.lit(1)))
+    j = cur.join(up, key, "full_outer")
+    untouched_open = (j.filter(F.col("_u").isNull())
+                      .select(key, *[f"cur.{a}" for a in attrs],
+                              valid_from, valid_to))
+    unchanged_open = (j.filter(F.col("_c").isNotNull()
+                               & F.col("_u").isNotNull() & same)
+                      .select(key, *[f"cur.{a}" for a in attrs],
+                              valid_from, valid_to))
+    closed_out = (j.filter(F.col("_c").isNotNull()
+                           & F.col("_u").isNotNull() & ~same)
+                  .select(key, *[f"cur.{a}" for a in attrs], valid_from)
+                  .withColumn(valid_to, F.lit(batch).cast("long")))
+    new_versions = (j.filter(F.col("_u").isNotNull()
+                             & (F.col("_c").isNull() | ~same))
+                    .select(key, *[F.col(f"upd.{a}").alias(a)
+                                   for a in attrs])
+                    .withColumn(valid_from, F.lit(batch).cast("long"))
+                    .withColumn(valid_to, F.lit(None).cast("long")))
+    return (closed_rows.select(key, *attrs, valid_from, valid_to)
+            .unionByName(untouched_open)
+            .unionByName(unchanged_open)
+            .unionByName(closed_out)
+            .unionByName(new_versions))
+
+
+def table_diff(old: DataFrame, new: DataFrame, key: str,
+               attrs: list[str]) -> DataFrame:
+    """Snapshot diff: classify every key as ``insert`` (new only),
+    ``delete`` (old only), or ``update`` (both, any attr differs —
+    null-safe); unchanged keys are omitted.  One full-outer hash join
+    on the key; attrs compared column-wise, no row serialization.
+
+    Output: ``key, change_type`` plus the NEW side's attrs (null for
+    deletes).
+    """
+    o = old.select(key, *attrs).alias("o").withColumn("_o", F.lit(1))
+    n = new.select(key, *attrs).alias("n").withColumn("_n", F.lit(1))
+    same = F.lit(True)
+    for a in attrs:
+        same = same & F.col(f"o.{a}").eqNullSafe(F.col(f"n.{a}"))
+    j = o.join(n, key, "full_outer")
+    ct = (F.when(F.col("_o").isNull(), F.lit("insert"))
+          .when(F.col("_n").isNull(), F.lit("delete"))
+          .when(~same, F.lit("update")))
+    return (j.withColumn("change_type", ct)
+            .filter(F.col("change_type").isNotNull())
+            .select(key, "change_type",
+                    *[F.col(f"n.{a}").alias(a) for a in attrs]))

@@ -2705,3 +2705,175 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = t.part.select(F.col("p_retailprice").alias("price"),
                         F.col("p_size").cast("int").alias("size"))
     return CU.skyline_2d(pts, "price", "size").orderBy("price")
+
+
+_SCD2_SQL = """
+WITH cur_open AS (
+  SELECT c_custkey AS cust_key, c_mktsegment AS mktseg,
+         CAST(c_nationkey AS BIGINT) AS nationkey,
+         CAST(CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END
+              AS BIGINT) AS valid_from,
+         CAST(NULL AS BIGINT) AS valid_to
+  FROM customer
+),
+closed AS (
+  SELECT c_custkey AS cust_key, 'LEGACY' AS mktseg,
+         CAST(c_nationkey AS BIGINT) AS nationkey,
+         CAST(0 AS BIGINT) AS valid_from, CAST(1 AS BIGINT) AS valid_to
+  FROM customer WHERE c_custkey % 5 = 0
+),
+upd AS (
+  SELECT c_custkey AS cust_key,
+         'SEG_' || CAST(c_nationkey AS VARCHAR) AS mktseg,
+         CAST(c_nationkey AS BIGINT) AS nationkey
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, CAST(c_nationkey AS BIGINT)
+  FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 3 <> 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEW', CAST(c_nationkey AS BIGINT)
+  FROM customer WHERE c_custkey % 11 = 0
+),
+changed AS (
+  SELECT u.cust_key, u.mktseg, u.nationkey
+  FROM upd u JOIN cur_open c USING (cust_key)
+  WHERE NOT (u.mktseg = c.mktseg AND u.nationkey = c.nationkey)
+),
+inserts AS (
+  SELECT u.cust_key, u.mktseg, u.nationkey
+  FROM upd u LEFT JOIN cur_open c USING (cust_key)
+  WHERE c.valid_from IS NULL
+),
+kept_open AS (
+  SELECT c.* FROM cur_open c LEFT JOIN changed ch USING (cust_key)
+  WHERE ch.cust_key IS NULL
+),
+closed_out AS (
+  SELECT c.cust_key, c.mktseg, c.nationkey, c.valid_from,
+         CAST(2 AS BIGINT) AS valid_to
+  FROM cur_open c JOIN changed ch USING (cust_key)
+),
+new_open AS (
+  SELECT cust_key, mktseg, nationkey, CAST(2 AS BIGINT) AS valid_from,
+         CAST(NULL AS BIGINT) AS valid_to
+  FROM (SELECT * FROM changed UNION ALL SELECT * FROM inserts)
+)
+SELECT * FROM closed
+UNION ALL SELECT * FROM kept_open
+UNION ALL SELECT * FROM closed_out
+UNION ALL SELECT * FROM new_open
+ORDER BY cust_key, valid_from
+"""
+
+
+@query("scd2_merge_dimension", "relational",
+       "lakehouse mutation: slowly-changing-dimension type-2 MERGE — "
+       "close changed open versions at the batch number, insert new "
+       "versions, pass history through untouched (broadcast update "
+       "batch, historical slice never shuffles)", _SCD2_SQL)
+def scd2_merge_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One SCD2 batch against a customer dimension with planted
+    history (every 5th key carries a closed LEGACY version): every
+    3rd key changes segment, every 7th (not 3rd) arrives unchanged
+    (no-op), every 11th inserts a brand-new key.  The oracle states
+    the same MERGE template declaratively; integer version bounds
+    keep it exact.
+
+    Scale: operators/mutation.py scd2_merge — one broadcast join of
+    the open slice against the batch; closed history unions through
+    without joining.
+    """
+    from geohub_data_pipeline_spark.operators import mutation as MU
+
+    t = load_tables(spark, sf_dir)
+    c = t.customer
+    open_rows = c.select(
+        F.col("c_custkey").alias("cust_key"),
+        F.col("c_mktsegment").alias("mktseg"),
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(1)).otherwise(0)
+        .cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"))
+    closed = (c.filter(F.col("c_custkey") % 5 == 0)
+              .select(F.col("c_custkey").alias("cust_key"),
+                      F.lit("LEGACY").alias("mktseg"),
+                      F.col("c_nationkey").cast("long").alias("nationkey"),
+                      F.lit(0).cast("long").alias("valid_from"),
+                      F.lit(1).cast("long").alias("valid_to")))
+    current = closed.unionByName(open_rows)
+    updates = (
+        c.filter(F.col("c_custkey") % 3 == 0)
+        .select(F.col("c_custkey").alias("cust_key"),
+                F.concat(F.lit("SEG_"),
+                         F.col("c_nationkey").cast("string"))
+                .alias("mktseg"),
+                F.col("c_nationkey").cast("long").alias("nationkey"))
+        .unionByName(
+            c.filter((F.col("c_custkey") % 7 == 0)
+                     & (F.col("c_custkey") % 3 != 0))
+            .select(F.col("c_custkey").alias("cust_key"),
+                    F.col("c_mktsegment").alias("mktseg"),
+                    F.col("c_nationkey").cast("long").alias("nationkey")))
+        .unionByName(
+            c.filter(F.col("c_custkey") % 11 == 0)
+            .select((F.col("c_custkey") + 1000000).alias("cust_key"),
+                    F.lit("NEW").alias("mktseg"),
+                    F.col("c_nationkey").cast("long").alias("nationkey"))))
+    out = MU.scd2_merge(current, updates, "cust_key",
+                        ["mktseg", "nationkey"], batch=2)
+    return out.orderBy("cust_key", "valid_from")
+
+
+_TABLE_DIFF_SQL = """
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus AS status,
+         o_orderpriority AS priority
+  FROM orders WHERE o_orderkey % 100 <> 3
+),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 1 THEN 'X'
+              ELSE o_orderstatus END AS status,
+         o_orderpriority AS priority
+  FROM orders WHERE o_orderkey % 100 <> 7
+)
+SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+            WHEN n.o_orderkey IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       n.status, n.priority
+FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+      OR o.status <> n.status OR o.priority <> n.priority
+ORDER BY o_orderkey
+"""
+
+
+@query("table_diff_snapshots", "relational",
+       "lakehouse mutation: snapshot diff — classify keys as "
+       "insert/update/delete between two table versions with one "
+       "full-outer hash join, column-wise null-safe compare",
+       _TABLE_DIFF_SQL)
+def table_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two deterministic snapshots of orders (old drops keys
+    ending 03, new drops keys ending 07 and flips status to 'X' for
+    keys ending in 1): inserts = restored 03s, deletes = removed
+    07s, updates = flipped statuses.  operators/mutation.py
+    table_diff; the oracle is the same full-outer classification.
+    """
+    from geohub_data_pipeline_spark.operators import mutation as MU
+
+    t = load_tables(spark, sf_dir)
+    o = t.orders
+    old = (o.filter(F.col("o_orderkey") % 100 != 3)
+           .select("o_orderkey",
+                   F.col("o_orderstatus").alias("status"),
+                   F.col("o_orderpriority").alias("priority")))
+    new = (o.filter(F.col("o_orderkey") % 100 != 7)
+           .select("o_orderkey",
+                   F.when(F.col("o_orderkey") % 10 == 1, F.lit("X"))
+                   .otherwise(F.col("o_orderstatus")).alias("status"),
+                   F.col("o_orderpriority").alias("priority")))
+    return (MU.table_diff(old, new, "o_orderkey",
+                          ["status", "priority"])
+            .orderBy("o_orderkey"))

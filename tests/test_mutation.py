@@ -1,0 +1,73 @@
+"""Snapshot-mutation operators: SCD2 merge + table diff (round 9).
+
+Brute-force parity on small synthetic dimensions covering every
+MERGE class: change, no-op update, brand-new key, untouched key,
+closed history passthrough, and null attrs (null-safe compare).
+"""
+
+from geohub_data_pipeline_spark.operators.mutation import (
+    scd2_merge,
+    table_diff,
+)
+
+
+def test_scd2_merge_all_classes(spark):
+    current = spark.createDataFrame(
+        [
+            (1, "a", 10, 0, 5),      # closed history — untouched
+            (1, "b", 10, 5, None),   # open, will CHANGE (seg -> c)
+            (2, "x", 20, 0, None),   # open, no-op update arrives
+            (3, "y", 30, 0, None),   # open, no update at all
+            (4, None, 40, 0, None),  # open with NULL attr, changes
+        ],
+        "k long, seg string, nk long, valid_from long, valid_to long")
+    updates = spark.createDataFrame(
+        [(1, "c", 10), (2, "x", 20), (4, "z", 40), (9, "n", 90)],
+        "k long, seg string, nk long")
+    out = scd2_merge(current, updates, "k", ["seg", "nk"], batch=7)
+    rows = {(r.k, r.seg, r.nk, r.valid_from, r.valid_to)
+            for r in out.collect()}
+    assert rows == {
+        (1, "a", 10, 0, 5),          # history passthrough
+        (1, "b", 10, 5, 7),          # closed out at batch
+        (1, "c", 10, 7, None),       # new version
+        (2, "x", 20, 0, None),       # no-op: open row kept as-is
+        (3, "y", 30, 0, None),       # untouched key
+        (4, None, 40, 0, 7),         # null attr closed (null-safe !=)
+        (4, "z", 40, 7, None),
+        (9, "n", 90, 7, None),       # brand-new key
+    }
+
+
+def test_scd2_merge_idempotent_on_reapply(spark):
+    """Re-applying the SAME batch to the merged result is a no-op
+    (every update now equals its open version) — the at-least-once
+    safety a retried batch needs."""
+    current = spark.createDataFrame(
+        [(1, "b", 10, 0, None), (2, "x", 20, 0, None)],
+        "k long, seg string, nk long, valid_from long, valid_to long")
+    updates = spark.createDataFrame(
+        [(1, "c", 10), (3, "n", 30)], "k long, seg string, nk long")
+    once = scd2_merge(current, updates, "k", ["seg", "nk"], batch=5)
+    twice = scd2_merge(once, updates, "k", ["seg", "nk"], batch=5)
+    assert (sorted(map(tuple, once.collect()))
+            == sorted(map(tuple, twice.collect())))
+
+
+def test_table_diff_classes_and_nulls(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 2), (3, None, 3), (4, "d", 4)],
+        "k long, s string, p long")
+    new = spark.createDataFrame(
+        [(1, "a", 1),                 # unchanged -> omitted
+         (2, "B", 2),                 # update (value change)
+         (3, None, 3),                # unchanged incl. null (null-safe)
+         (5, "e", 5)],                # insert; 4 deleted
+        "k long, s string, p long")
+    got = {(r.k, r.change_type, r.s, r.p)
+           for r in table_diff(old, new, "k", ["s", "p"]).collect()}
+    assert got == {
+        (2, "update", "B", 2),
+        (4, "delete", None, None),
+        (5, "insert", "e", 5),
+    }
