@@ -2083,3 +2083,60 @@ def dedup_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return (DD.sparse_cosine_pairs(t.documents)
             .orderBy("doc_a", "doc_b"))
+
+
+_LEXDIV_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+c AS (SELECT doc_id, term, count(*) AS tc FROM tok GROUP BY doc_id, term),
+d AS (
+  SELECT doc_id,
+         CAST(sum(tc) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(tc * (tc - 1)) AS BIGINT) AS rep_pairs
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_types,
+       CAST(n_types AS DOUBLE) / n_tokens AS type_token_ratio,
+       CASE WHEN n_tokens > 1
+            THEN CAST(rep_pairs AS DOUBLE) / (n_tokens * (n_tokens - 1))
+            ELSE 0.0 END AS simpson_repeat_rate
+FROM d ORDER BY doc_id
+"""
+
+
+@query("text_lexical_diversity", "llm",
+       "north star: text quality — lexical diversity per document "
+       "(type-token ratio + Simpson repeat rate), exact integer "
+       "rationals with one double division each, map-side "
+       "aggregation only", _LEXDIV_SQL)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity: type-token ratio and the
+    Simpson repeat rate sum tc(tc-1) / (n(n-1)) — the probability two
+    random token draws are the same type, the statistic repetition
+    filters threshold on (high = boilerplate/spam).  Both are exact
+    integer rationals with a single correctly-rounded division, so
+    the hash match is bit-exact without rounding tricks.
+
+    Scale: one (doc, term) count and one per-doc aggregation — both
+    combine map-side; nothing wider than a doc's type table ever
+    shuffles.
+    """
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    c = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tc"))
+    d = c.groupBy("doc_id").agg(
+        F.sum("tc").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("tc") * (F.col("tc") - 1)).alias("rep_pairs"))
+    return (d.select(
+        "doc_id", "n_tokens", "n_types",
+        (F.col("n_types").cast("double") / F.col("n_tokens"))
+        .alias("type_token_ratio"),
+        F.when(F.col("n_tokens") > 1,
+               F.col("rep_pairs").cast("double")
+               / (F.col("n_tokens") * (F.col("n_tokens") - 1)))
+        .otherwise(F.lit(0.0)).alias("simpson_repeat_rate"))
+        .orderBy("doc_id"))
