@@ -500,3 +500,49 @@ def test_q22_scalar_avg_broadcasts(spark, sf_dir):
     is an anti-join on custkey."""
     plan = plan_of(SPECS["q22_global_sales_opportunity"].fn(spark, sf_dir))
     assert "LeftAnti" in plan
+
+
+def test_pagerank_no_cartesian_and_edges_hash_once(spark, sf_dir):
+    """r9: fixed-point PageRank — every iteration is hash joins +
+    hash aggregates; no cartesian/nested-loop anywhere in the
+    3-iteration plan."""
+    plan = plan_of(SPECS["graph_pagerank"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_skyline_no_self_join(spark, sf_dir):
+    """r9: the two-phase skyline never joins the relation against
+    itself — the plan is scan -> window (per-partition) -> window
+    (merge), with zero Join operators of any kind."""
+    plan = plan_of(SPECS["skyline_pareto"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan          # no join operator at all
+    assert plan.count("Window") >= 2   # local + final phase
+
+
+def test_sparse_cosine_df_table_broadcast(spark, sf_dir):
+    """r9: the df-band vocabulary joins back as a BROADCAST (the
+    vocab is tiny relative to postings) and the pair generation is a
+    hash join on the term key — never a cartesian."""
+    plan = plan_of(SPECS["dedup_sparse_cosine"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_scd2_update_batch_broadcast_history_unshuffled(spark, sf_dir):
+    """r9: SCD2 merge broadcasts the update batch against the open
+    slice; no sort-merge exchange on the dimension."""
+    plan = plan_of(SPECS["scd2_merge_dimension"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_table_diff_single_full_outer_hash_join(spark, sf_dir):
+    """r9: snapshot diff is ONE full-outer join on the key — hash or
+    sort-merge by size, never nested-loop."""
+    plan = plan_of(SPECS["table_diff_snapshots"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("FullOuter" in plan) or ("full_outer" in plan.lower())
