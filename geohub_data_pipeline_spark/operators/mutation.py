@@ -42,6 +42,12 @@ def scd2_merge(current: DataFrame, updates: DataFrame, key: str,
     * keys absent from ``updates`` are untouched (this is upsert, not
       snapshot replacement).
 
+    ``updates`` must be key-unique (one row per key per batch — the
+    MERGE precondition every engine imposes); a duplicate key would
+    fan out the full-outer join and insert conflicting open versions.
+    Deduplicate upstream (e.g. last-writer-wins by a batch sequence)
+    before calling.
+
     Plan: one join of the open slice against updates (broadcast when
     the batch is small), unions for the three output classes.  The
     historical slice passes through without touching the join at all
