@@ -2877,3 +2877,109 @@ def table_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (MU.table_diff(old, new, "o_orderkey",
                           ["status", "priority"])
             .orderBy("o_orderkey"))
+
+
+_ARRAY_FN_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id,
+       list_slice(list_sort(ws), 1, 5) AS first5_sorted,
+       CAST(len(list_distinct(ws)) AS INTEGER) AS n_distinct,
+       CAST(list_max(list_transform(ws, x -> len(x)))
+            AS INTEGER) AS max_word_len,
+       CAST(list_sum(list_transform(ws, x -> len(x)))
+            AS BIGINT) AS total_chars,
+       CAST(len(list_filter(ws, x -> len(x) > 5))
+            AS INTEGER) AS n_long_words
+FROM w ORDER BY doc_id
+"""
+
+
+@query("scalar_array_functions", "relational",
+       "relational closure: higher-order array functions — "
+       "sort/slice/distinct/transform/aggregate/filter evaluated "
+       "JVM-side in whole-stage codegen (no UDF); DuckDB's list_* "
+       "twins form the oracle", _ARRAY_FN_SQL)
+def scalar_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function closure over each document's word list:
+    sorted prefix (slice+sort_array), distinct count, longest word
+    (transform+array_max), total characters (aggregate fold), long-
+    word count (filter).  All lambda-based higher-order functions
+    stay inside codegen — the map-side scalar surface a 100 TB scan
+    needs (a Python UDF here would be the 10-100x slow path).
+    """
+    t = load_tables(spark, sf_dir)
+    ws = F.split(F.col("text"), " ")
+    return (t.documents.select(
+        "doc_id",
+        F.slice(F.sort_array(ws), 1, 5).alias("first5_sorted"),
+        F.size(F.array_distinct(ws)).alias("n_distinct"),
+        F.array_max(F.transform(ws, lambda x: F.length(x)))
+        .cast("int").alias("max_word_len"),
+        F.aggregate(ws, F.lit(0).cast("long"),
+                    lambda acc, x: acc + F.length(x))
+        .alias("total_chars"),
+        F.size(F.filter(ws, lambda x: F.length(x) > 5))
+        .alias("n_long_words"))
+        .orderBy("doc_id"))
+
+
+_INCR_AGG_SQL = """
+WITH full_agg AS (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS sum_cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, n_orders, sum_cents FROM full_agg
+ORDER BY o_custkey
+"""
+
+
+@query("agg_incremental_maintenance", "relational",
+       "lakehouse mutation: incremental aggregate-view maintenance — "
+       "base aggregate + delta-batch aggregate merged by one outer "
+       "join equals the full recompute EXACTLY (integer-cents sums); "
+       "the oracle is the recompute", _INCR_AGG_SQL)
+def agg_incremental_maintenance(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance identity: a per-customer
+    (count, sum) aggregate maintained incrementally — aggregate the
+    base slice (order keys ending 0-6), aggregate the delta batch
+    (keys ending 7-9), merge with one full-outer join and coalesced
+    adds — must equal the full recompute bit-for-bit.  Sums are
+    integer CENTS, so the incremental split changes nothing (float
+    sums would differ in the last ulp between the split and the
+    recompute — the reason production view maintenance keeps money
+    in integers).
+
+    Scale: the delta aggregate is batch-sized; the merge join is as
+    wide as the GROUPS, not the fact table — the base never rescans.
+    """
+    t = load_tables(spark, sf_dir)
+    o = t.orders.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+
+    def agg(df):
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"))
+
+    base = agg(o.filter(F.col("o_orderkey") % 10 <= 6))
+    delta = agg(o.filter(F.col("o_orderkey") % 10 >= 7))
+    b = base.select(F.col("o_custkey"),
+                    F.col("n_orders").alias("bn"),
+                    F.col("sum_cents").alias("bs"))
+    d = delta.select(F.col("o_custkey"),
+                     F.col("n_orders").alias("dn"),
+                     F.col("sum_cents").alias("ds"))
+    return (b.join(d, "o_custkey", "full_outer")
+            .select("o_custkey",
+                    (F.coalesce(F.col("bn"), F.lit(0))
+                     + F.coalesce(F.col("dn"), F.lit(0)))
+                    .alias("n_orders"),
+                    (F.coalesce(F.col("bs"), F.lit(0))
+                     + F.coalesce(F.col("ds"), F.lit(0)))
+                    .alias("sum_cents"))
+            .orderBy("o_custkey"))
