@@ -685,3 +685,67 @@ def skyline_2d(df: DataFrame, minimize: str, maximize: str) -> DataFrame:
                     ["_g"]).drop("_g")
     return out.select(F.col("_x").alias(minimize),
                       F.col("_y").alias(maximize))
+
+
+def profile_key_skew(df: DataFrame, key: str,
+                     top_k: int = 10) -> DataFrame:
+    """Key-distribution skew profile — the diagnostic a 100 TB join
+    or groupBy needs BEFORE it runs (a hot key that holds 20% of the
+    rows is the difference between a 10-minute job and a 10-hour
+    straggler; the output feeds the salting decision in
+    operators/skew.py).
+
+    Returns the ``top_k`` heaviest keys with exact share and
+    cumulative share, plus the exact GINI coefficient of the count
+    distribution (0 = uniform, ->1 = one key owns everything) via the
+    rank formula G = (2*sum(i*c_i) - (n+1)*sum(c_i)) / (n*sum(c_i))
+    over counts sorted ascending — every term an integer aggregate,
+    one final division, so the result is bit-exact across engines.
+
+    The global ascending rank uses the pack_token_shards distributed
+    prefix pattern: range-partition by (cnt, key), per-partition row
+    counts to the driver (P longs, not data), offsets broadcast back,
+    partition-local row_number + offset — no single-partition global
+    window, so the profile itself scales to any key cardinality.
+    The final summary join is a 1-row broadcast.
+    """
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    part = (counts.repartitionByRange(F.col("cnt"), F.col(key))
+            .sortWithinPartitions("cnt", key)
+            .withColumn("__pid", F.spark_partition_id()))
+    sizes = {r["__pid"]: r["__n"]
+             for r in part.groupBy("__pid")
+             .agg(F.count(F.lit(1)).alias("__n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    omap = F.create_map(
+        *[F.lit(x) for pid in offsets
+          for x in (pid, int(offsets[pid]))])
+    wl = Window.partitionBy("__pid").orderBy("cnt", key)
+    ranked = part.withColumn(
+        "rank_asc",
+        (F.row_number().over(wl).cast("long")
+         + omap[F.col("__pid")].cast("long")))
+    summary = ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.sum(F.col("rank_asc") * F.col("cnt")).alias("__ric"))
+    top = (ranked.crossJoin(F.broadcast(summary))
+           .withColumn("heavy_rank",
+                       (F.col("n_keys") + 1 - F.col("rank_asc"))
+                       .cast("int"))
+           .filter(F.col("heavy_rank") <= int(top_k)))
+    wc = (Window.orderBy("heavy_rank")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    return (top.select(
+        "heavy_rank", F.col(key), "cnt",
+        (F.col("cnt").cast("double") / F.col("n_rows")).alias("share"),
+        (F.sum("cnt").over(wc).cast("double") / F.col("n_rows"))
+        .alias("cum_share"),
+        ((2 * F.col("__ric") - (F.col("n_keys") + 1) * F.col("n_rows"))
+         .cast("double")
+         / (F.col("n_keys") * F.col("n_rows"))).alias("gini"),
+        "n_keys", "n_rows")
+        .orderBy("heavy_rank"))

@@ -954,3 +954,59 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (CU.weighted_sample_topk(docs, "w", 64)
             .select(F.col("rank").cast("int").alias("rank"),
                     "doc_id", "weight"))
+
+
+_KEY_SKEW_SQL = """
+WITH c AS (
+  SELECT user_id AS key, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id
+),
+r AS (
+  SELECT key, cnt,
+         CAST(row_number() OVER (ORDER BY cnt, key) AS BIGINT)
+         AS rank_asc
+  FROM c
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(sum(rank_asc * cnt) AS BIGINT) AS ric
+  FROM r
+),
+t AS (
+  SELECT key, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, key DESC)
+              AS INTEGER) AS heavy_rank
+  FROM c
+)
+SELECT t.heavy_rank, t.key AS user_id, t.cnt,
+       CAST(t.cnt AS DOUBLE) / s.n_rows AS share,
+       CAST(sum(t.cnt) OVER (ORDER BY t.heavy_rank) AS DOUBLE)
+       / s.n_rows AS cum_share,
+       CAST(2 * s.ric - (s.n_keys + 1) * s.n_rows AS DOUBLE)
+       / (s.n_keys * s.n_rows) AS gini,
+       s.n_keys, s.n_rows
+FROM t, s
+WHERE t.heavy_rank <= 10
+ORDER BY t.heavy_rank
+"""
+
+
+@query("profile_key_skew", "llm",
+       "scale diagnostics: key-distribution skew profile — top-10 "
+       "heavy keys with exact shares + the exact Gini coefficient "
+       "via the integer rank formula; global rank computed with the "
+       "distributed prefix pattern (no single-partition window)",
+       _KEY_SKEW_SQL)
+def profile_key_skew_events(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Skew profile of events.user_id — the pre-flight a 100 TB
+    groupBy/join runs to decide whether operators/skew.py salting is
+    needed.  Every statistic is integer arithmetic with one final
+    division (bit-exact across engines); operators/curation.py
+    profile_key_skew.
+    """
+    from geohub_data_pipeline_spark.operators import curation as CU
+
+    t = load_tables(spark, sf_dir)
+    return CU.profile_key_skew(t.events, "user_id", top_k=10)

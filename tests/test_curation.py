@@ -297,3 +297,42 @@ def test_skyline_2d_matches_brute_force(spark):
             if not any((qx <= x and qy >= y and (qx < x or qy > y))
                        for (qx, qy) in dpts)}
     assert got == want and got
+
+
+def test_profile_key_skew_matches_brute_force(spark):
+    """r9: exact Gini + heavy-key shares vs a driver-side integer
+    computation on a deliberately skewed distribution."""
+    from geohub_data_pipeline_spark.operators.curation import (
+        profile_key_skew,
+    )
+
+    rows = []
+    rid = 0
+    # key k gets k^2 rows (k = 1..12): strong planted skew
+    for k in range(1, 13):
+        for _ in range(k * k):
+            rows.append((rid, k))
+            rid += 1
+    df = spark.createDataFrame(rows, "row_id long, k long").repartition(5)
+    got = profile_key_skew(df, "k", top_k=3).collect()
+
+    counts = {k: k * k for k in range(1, 13)}
+    n = len(counts)
+    tot = sum(counts.values())
+    asc = sorted(counts.items(), key=lambda kv: (kv[1], kv[0]))
+    ric = sum((i + 1) * c for i, (_, c) in enumerate(asc))
+    gini = (2 * ric - (n + 1) * tot) / (n * tot)
+
+    assert [r.k for r in got] == [12, 11, 10]
+    assert got[0].cnt == 144 and got[0].n_keys == n and got[0].n_rows == tot
+    assert got[0].share == 144 / tot
+    assert got[2].cum_share == (144 + 121 + 100) / tot
+    for r in got:
+        assert r.gini == gini
+    assert 0.4 < gini < 1.0          # the planted skew is visible
+    # uniform control: every key the same count -> gini exactly
+    # (2*sum(i*c) - (n+1)*n*c) / (n*n*c) = 0
+    uni = spark.createDataFrame(
+        [(i, i % 6) for i in range(60)], "row_id long, k long")
+    g0 = profile_key_skew(uni, "k", top_k=2).collect()
+    assert all(r.gini == 0.0 for r in g0)
