@@ -668,3 +668,226 @@ def unigram_encode(docs: DataFrame, logp: dict,
     return docs.select(id_col, text_col).mapInPandas(
         kernel, f"{id_col} long, n_tokens long, n_words long, "
                 "decoded string")
+
+
+# ---------------------------------------------------------------------------
+# WordPiece (Schuster & Nakajima 2012; the BERT tokenizer family)
+# ---------------------------------------------------------------------------
+
+def _merge_symbols_wp(syms: list[str], left: str, right: str,
+                      merged: str) -> list[str]:
+    out = []
+    i = 0
+    while i < len(syms):
+        if (i + 1 < len(syms) and syms[i] == left
+                and syms[i + 1] == right):
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _wp_merged(left: str, right: str) -> str:
+    """The piece a WordPiece merge produces: continuation marker of
+    the RIGHT symbol is absorbed (l + '##x' -> l + 'x'); the result
+    keeps the left symbol's position form."""
+    return left + (right[2:] if right.startswith("##") else right)
+
+
+def _wordpiece_train_type_counts(wc: dict[str, int],
+                                 vocab_size: int) -> list[str]:
+    """Exact WordPiece trainer on an in-memory word-type table.
+
+    Merge score is the LIKELIHOOD ratio count(ab)/(count(a)*count(b))
+    (not raw count as in BPE) — compared as exact ``Fraction``s so
+    ties and orderings never depend on float rounding; tie-break is
+    the lexicographically smallest pair.  The argmax heap uses lazy
+    invalidation with one extra obligation BPE does not have: a
+    merge changes SYMBOL counts, which RAISES the score of every
+    pair sharing a symbol with the merge even when that pair's own
+    count is untouched — so after each merge every pair indexed
+    under a touched symbol is re-pushed with its fresh score (a
+    stale-high entry is caught by the recompute-at-pop check, a
+    stale-LOW entry can only be fixed by the re-push).
+    """
+    import collections
+    import heapq
+    from fractions import Fraction
+
+    types: list[list] = []
+    for w, n in wc.items():
+        syms = [w[0]] + ["##" + ch for ch in w[1:]]
+        types.append([syms, n])
+    sc: collections.Counter = collections.Counter()
+    pc: collections.Counter = collections.Counter()
+    where: dict = collections.defaultdict(set)
+    pairs_of: dict = collections.defaultdict(set)
+    for ti, (syms, n) in enumerate(types):
+        for s in syms:
+            sc[s] += n
+        for a, b in zip(syms, syms[1:]):
+            pc[(a, b)] += n
+            where[(a, b)].add(ti)
+            pairs_of[a].add((a, b))
+            pairs_of[b].add((a, b))
+
+    vocab: list[str] = sorted(sc)          # alphabet, both forms
+    vset = set(vocab)
+
+    def score(p):
+        c = pc.get(p, 0)
+        if c < 2:
+            return None
+        d = sc.get(p[0], 0) * sc.get(p[1], 0)
+        return Fraction(c, d) if d else None
+
+    heap = []
+    for p in pc:
+        s = score(p)
+        if s is not None:
+            heapq.heappush(heap, (-s, p))
+    while len(vocab) < int(vocab_size) and heap:
+        negs, p = heapq.heappop(heap)
+        cur = score(p)
+        if cur is None:
+            continue
+        if -negs != cur:                   # stale entry: re-queue truth
+            heapq.heappush(heap, (-cur, p))
+            continue
+        l, r = p
+        merged = _wp_merged(l, r)
+        if merged not in vset:
+            vocab.append(merged)
+            vset.add(merged)
+        touched: set = set()
+        for ti in list(where.get(p, ())):
+            syms, n = types[ti]
+            for s in syms:
+                sc[s] -= n
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] -= n
+                where[(a, b)].discard(ti)
+            new = _merge_symbols_wp(syms, l, r, merged)
+            types[ti][0] = new
+            for s in new:
+                sc[s] += n
+            for a, b in zip(new, new[1:]):
+                pc[(a, b)] += n
+                where[(a, b)].add(ti)
+                pairs_of[a].add((a, b))
+                pairs_of[b].add((a, b))
+            touched.update(syms)
+            touched.update(new)
+        pc.pop(p, None)
+        where.pop(p, None)
+        repush: set = set()
+        for s in touched:
+            repush |= pairs_of[s]
+        for q in repush:
+            sq = score(q)
+            if sq is not None:
+                heapq.heappush(heap, (-sq, q))
+    return vocab
+
+
+def wordpiece_train(docs: DataFrame, vocab_size: int,
+                    text_col: str = "text",
+                    type_table_cap: int = 4_000_000) -> list[str]:
+    """Learn a WordPiece vocabulary (alphabet in both position forms
+    + likelihood-scored merges) of up to ``vocab_size`` pieces.
+
+    Same two-tier posture as ``bpe_train``: the corpus-sized work is
+    the ONE distributed ``word_counts`` pass; merge decisions depend
+    only on the word-TYPE table, which is vocabulary-bounded.  Over
+    ``type_table_cap`` the table is truncated to the top-cap types by
+    (count desc, word) — the standard frequency truncation practical
+    trainers apply (a rare tail cannot outscore head pairs whose
+    counts dominate the likelihood ratio), stated here rather than
+    hidden.  Model size is vocab_size — driver-resident by design.
+    """
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(docs.sparkSession)
+
+    wc_df = word_counts(docs, text_col)
+    rows = (wc_df.orderBy(F.desc("n"), "word")
+            .limit(int(type_table_cap)).collect())
+    wc = {r["word"]: int(r["n"]) for r in rows}
+    return _wordpiece_train_type_counts(wc, vocab_size)
+
+
+def _wp_encode_word(w: str, vset: set, max_len: int,
+                    cache: dict) -> list[str]:
+    """Greedy longest-match-first (BERT WordPieceTokenizer): the
+    longest vocab piece matching the remaining prefix, continuation
+    pieces in their '##' form; a word with any unmatchable position
+    becomes the single [UNK] token."""
+    got = cache.get(w)
+    if got is not None:
+        return got
+    pieces: list[str] = []
+    i = 0
+    while i < len(w):
+        j = min(len(w), i + max_len)
+        piece = None
+        while j > i:
+            cand = w[i:j] if i == 0 else "##" + w[i:j]
+            if cand in vset:
+                piece = cand
+                break
+            j -= 1
+        if piece is None:
+            pieces = ["[UNK]"]
+            break
+        pieces.append(piece)
+        i = j
+    cache[w] = pieces
+    return pieces
+
+
+def wordpiece_encode(docs: DataFrame, vocab: list[str],
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Encode each document to its WordPiece token sequence —
+    map-side (broadcast vocab set, Arrow batches, per-batch word
+    cache), no shuffle.  Output: ``(id, tokens array<string>)``."""
+    spark = docs.sparkSession
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(spark)
+    bvocab = spark.sparkContext.broadcast(list(vocab))
+
+    def enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vset = set(bvocab.value)
+        max_len = max((len(v) - 2 if v.startswith("##") else len(v))
+                      for v in vset) if vset else 1
+        cache: dict = {}
+        for pdf in it:
+            toks = []
+            for text in pdf[text_col]:
+                out: list[str] = []
+                for w in str(text).split(" "):
+                    if w:
+                        out.extend(
+                            _wp_encode_word(w, vset, max_len, cache))
+                toks.append(out)
+            yield pd.DataFrame({id_col: pdf[id_col], "tokens": toks})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        enc, f"{id_col} long, tokens array<string>")
+
+
+def wordpiece_decode_roundtrip(docs: DataFrame, vocab: list[str],
+                               text_col: str = "text",
+                               id_col: str = "doc_id") -> DataFrame:
+    """encode -> decode (strip '##', re-join with single spaces):
+    equals the space-normalized document IFF the encoder partitioned
+    every word exactly (alphabet closure guarantees no [UNK] on the
+    training corpus itself)."""
+    toks = wordpiece_encode(docs, vocab, text_col, id_col)
+    word = F.expr(
+        "array_join(transform(tokens, t -> CASE WHEN t LIKE '##%' "
+        "THEN substring(t, 3, length(t)) ELSE concat(' ', t) END), '')")
+    return toks.select(
+        F.col(id_col),
+        F.trim(word).alias("decoded"))

@@ -203,3 +203,126 @@ def test_unigram_em_usage_matches_local_reference(spark):
     assert set(ref) == set(logp)
     for p in ref:
         assert abs(ref[p] - logp[p]) < 1e-12, p
+
+
+# ---------------------------------------------------------------------------
+# WordPiece (round 9)
+# ---------------------------------------------------------------------------
+
+def _wp_reference_train(wc, vocab_size):
+    """Brute-force WordPiece reference: full argmax scan per merge
+    over exact Fraction scores — no heap, no incremental updates."""
+    from fractions import Fraction
+
+    from geohub_data_pipeline_spark.operators.tokenizer import (
+        _merge_symbols_wp,
+        _wp_merged,
+    )
+
+    types = [[[w[0]] + ["##" + c for c in w[1:]], n]
+             for w, n in wc.items()]
+
+    def tally():
+        sc, pc = {}, {}
+        for syms, n in types:
+            for s in syms:
+                sc[s] = sc.get(s, 0) + n
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + n
+        return sc, pc
+
+    sc0, _ = tally()
+    vocab = sorted(sc0)
+    while len(vocab) < vocab_size:
+        sc, pc = tally()
+        best = None
+        for p, c in pc.items():
+            if c < 2:
+                continue
+            s = Fraction(c, sc[p[0]] * sc[p[1]])
+            # max score; ties -> lexicographically SMALLEST pair tuple
+            if (best is None or s > best[0]
+                    or (s == best[0] and p < best[1])):
+                best = (s, p)
+        if best is None:
+            break
+        l, r = best[1]
+        merged = _wp_merged(l, r)
+        if merged not in vocab:
+            vocab.append(merged)
+        for t in types:
+            t[0] = _merge_symbols_wp(t[0], l, r, merged)
+    return vocab
+
+
+def test_wordpiece_trainer_matches_reference():
+    """The lazy-invalidation heap trainer (with the symbol-touched
+    re-push WordPiece needs and BPE does not) produces the IDENTICAL
+    vocab sequence as the brute-force rescan reference on a random
+    corpus — including after merges that raise other pairs' scores
+    purely through symbol-count changes."""
+    import random
+
+    from geohub_data_pipeline_spark.operators.tokenizer import (
+        _wordpiece_train_type_counts,
+    )
+
+    rng = random.Random(1311)
+    alpha = "abcdef"
+    wc = {}
+    for _ in range(60):
+        w = "".join(rng.choice(alpha)
+                    for _ in range(rng.randrange(2, 8)))
+        wc[w] = wc.get(w, 0) + rng.randrange(1, 9)
+    got = _wordpiece_train_type_counts(wc, vocab_size=40)
+    want = _wp_reference_train(wc, vocab_size=40)
+    assert got == want
+
+
+def test_wordpiece_encode_greedy_longest_match(spark):
+    """The canonical BERT example: with pieces un/##aff/##able the
+    word 'unaffable' encodes to exactly [un, ##aff, ##able]; a word
+    with an uncovered character becomes [UNK]; roundtrip restores
+    the normalized text."""
+    from geohub_data_pipeline_spark.operators.tokenizer import (
+        wordpiece_decode_roundtrip,
+        wordpiece_encode,
+    )
+
+    vocab = ["u", "n", "a", "f", "b", "l", "e", "##n", "##a", "##f",
+             "##b", "##l", "##e", "un", "##aff", "##able"]
+    docs = spark.createDataFrame(
+        [(1, "unaffable"), (2, "ban"), (3, "qux unaffable")],
+        "doc_id long, text string")
+    toks = {r.doc_id: r.tokens
+            for r in wordpiece_encode(docs, vocab).collect()}
+    assert toks[1] == ["un", "##aff", "##able"]
+    assert toks[2] == ["b", "##a", "##n"]
+    assert toks[3] == ["[UNK]", "un", "##aff", "##able"]  # q not in vocab
+    rt = {r.doc_id: r.decoded
+          for r in wordpiece_decode_roundtrip(docs, vocab).collect()}
+    assert rt[1] == "unaffable" and rt[2] == "ban"
+
+
+def test_wordpiece_roundtrip_random_corpus(spark):
+    """Train on a random corpus, encode/decode the same corpus:
+    alphabet closure guarantees an exact roundtrip for every doc."""
+    import random
+
+    from geohub_data_pipeline_spark.operators.tokenizer import (
+        wordpiece_decode_roundtrip,
+        wordpiece_train,
+    )
+
+    rng = random.Random(77)
+    alpha = "abcdefgh"
+    docs = [(i, " ".join("".join(rng.choice(alpha)
+                                 for _ in range(rng.randrange(1, 9)))
+                         for _ in range(rng.randrange(3, 12))))
+            for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    vocab = wordpiece_train(df, vocab_size=60)
+    rt = {r.doc_id: r.decoded
+          for r in wordpiece_decode_roundtrip(df, vocab).collect()}
+    for i, text in docs:
+        assert rt[i] == " ".join(w for w in text.split(" ") if w)
