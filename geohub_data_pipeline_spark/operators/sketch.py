@@ -168,3 +168,56 @@ def _true_rank_errors(df: DataFrame, value_col: str,
                   .otherwise(0)).alias(f"r_{i}")
             for i, v in enumerate(est.values())]
     return df.agg(*aggs)
+
+
+def kll_quantiles_grouped(df: DataFrame, group_col: str,
+                          value_col: str, quantiles: list[float],
+                          k: int = 256) -> DataFrame:
+    """Per-GROUP one-pass quantiles — the mergeable property doing
+    the work it exists for: each task keeps one compactor stack PER
+    GROUP it sees (map-side dict), emits sketch rows (group, level,
+    values), and the only shuffle carries those rows keyed by group
+    — bounded by groups x partitions x k log n, never data.  The
+    per-group merge + quantile read happens inside applyInPandas on
+    the group key, so no single node ever holds more than one
+    group's sketches.
+
+    Output: ``(group, q, est, n)`` — n is the exact per-group count
+    (carried in the sketches' -1 rows, summed at merge).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(df.sparkSession)
+    kk = int(k)
+    qs = [float(q) for q in quantiles]
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sketches: dict = {}
+        for pdf in it:
+            for g, sub in pdf.groupby(group_col, sort=False):
+                s = sketches.get(g)
+                if s is None:
+                    s = sketches[g] = KLL(kk)
+                s.extend(sub[value_col].to_numpy(np.float64,
+                                                 na_value=np.nan))
+        rows = []
+        for g, s in sketches.items():
+            for lvl, vals in s.to_rows():
+                rows.append((g, lvl, list(vals)))
+        yield pd.DataFrame(rows, columns=[group_col, "level", "vals"])
+
+    sk_rows = df.select(group_col, value_col).mapInPandas(
+        build, f"{group_col} string, level int, vals array<double>")
+
+    def finish(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        s = KLL.from_rows(
+            list(zip(pdf["level"], pdf["vals"])), kk)
+        return pd.DataFrame(
+            [(key[0], q, s.quantile(q), s.n) for q in qs],
+            columns=[group_col, "q", "est", "n"])
+
+    return (sk_rows.groupBy(group_col).applyInPandas(
+        finish, f"{group_col} string, q double, est double, n long"))

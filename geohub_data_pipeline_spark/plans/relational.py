@@ -2983,3 +2983,49 @@ def agg_incremental_maintenance(spark: SparkSession,
                      + F.coalesce(F.col("ds"), F.lit(0)))
                     .alias("sum_cents"))
             .orderBy("o_custkey"))
+
+
+_KLL_GROUPED_SQL = """
+SELECT l.lang, q.q, TRUE AS rank_ok, TRUE AS n_ok
+FROM (SELECT DISTINCT lang FROM documents) l
+CROSS JOIN (VALUES (0.25), (0.5), (0.75)) AS q(q)
+ORDER BY lang, q
+"""
+
+
+@query("agg_kll_quantiles_grouped", "relational",
+       "sketches: per-GROUP mergeable KLL quantiles — map-side one "
+       "compactor per (task, group), sketch rows shuffle keyed by "
+       "group, per-group merge in applyInPandas; the gate measures "
+       "every estimate's TRUE per-group rank with an exact second "
+       "pass (<=2% of the group's n) plus exact per-group counts",
+       _KLL_GROUPED_SQL)
+def agg_kll_quantiles_grouped(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Document-length quartiles per language through the grouped
+    KLL (operators/sketch.py kll_quantiles_grouped).  The oracle
+    states one TRUE row per (lang, quantile); the Spark side does
+    the real two-pass measurement — per-group exact rank of each
+    estimate via one broadcast join + conditional aggregation — so
+    a broken per-group compactor, a sketch row leaking into the
+    wrong group, or a lost exact count fails the hash."""
+    from geohub_data_pipeline_spark.operators import sketch as SK
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select("lang",
+                              F.col("n_chars").cast("double")
+                              .alias("v"))
+    est = SK.kll_quantiles_grouped(docs, "lang", "v",
+                                   [0.25, 0.5, 0.75], k=256)
+    exact = (docs.join(F.broadcast(est), "lang")
+             .groupBy("lang", "q")
+             .agg(F.count(F.lit(1)).alias("n_exact"),
+                  F.sum(F.when(F.col("v") <= F.col("est"), 1)
+                        .otherwise(0)).alias("rank_est"),
+                  F.first("n").alias("n_sketch")))
+    return (exact.select(
+        "lang", "q",
+        (F.abs(F.col("rank_est") - F.col("q") * F.col("n_exact"))
+         <= 0.02 * F.col("n_exact")).alias("rank_ok"),
+        (F.col("n_sketch") == F.col("n_exact")).alias("n_ok"))
+        .orderBy("lang", "q"))

@@ -33,3 +33,42 @@ def test_kll_sketch_rank_error_and_merge(spark):
     est2, n2 = SK.kll_quantiles(
         df2.limit(1000), "x", [0.5], k=64)
     assert n2 <= 1000 and est2[0.5] == est2[0.5]  # not NaN
+
+
+def test_kll_grouped_matches_per_group_reference(spark):
+    """r9: grouped KLL — every group's estimates land within the
+    rank bound of that group's EXACT quantiles, no cross-group
+    contamination (groups have disjoint value ranges, so one leaked
+    sketch row would blow the bound), exact per-group n."""
+    import random
+
+    from geohub_data_pipeline_spark.operators.sketch import (
+        kll_quantiles_grouped,
+    )
+
+    rng = random.Random(63)
+    rows = []
+    sizes = {"a": 3000, "b": 800, "c": 40}
+    for g, (lo, hi) in zip(sizes, ((0, 100), (1000, 1100), (5000, 5010))):
+        for _ in range(sizes[g]):
+            rows.append((g, rng.uniform(lo, hi)))
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "g string, v double").repartition(6)
+    out = kll_quantiles_grouped(df, "g", "v", [0.1, 0.5, 0.9], k=128)
+    got = {(r.g, r.q): (r.est, r.n) for r in out.collect()}
+    assert len(got) == 9
+    import numpy as np
+    vals = {}
+    for g, v in rows:
+        vals.setdefault(g, []).append(v)
+    for g, vs in vals.items():
+        a = np.sort(np.asarray(vs))
+        n = len(a)
+        for q in (0.1, 0.5, 0.9):
+            est, n_got = got[(g, q)]
+            assert n_got == n
+            true_rank = int(np.searchsorted(a, est, side="right"))
+            assert abs(true_rank - q * n) <= max(2, 0.02 * n), (g, q)
+            # disjoint ranges: the estimate must be INSIDE its
+            # group's range — a leaked row would land outside
+            assert a[0] <= est <= a[-1]
