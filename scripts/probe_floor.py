@@ -52,7 +52,8 @@ def main() -> None:
     spark = (SparkSession.builder.master(f"local[{cpus}]")
              .appName("floor-probe")
              .config("spark.sql.adaptive.enabled", "false")
-             .config("spark.sql.shuffle.partitions", "4")
+             .config("spark.sql.shuffle.partitions",
+                     os.environ.get("SPARK_GRAFT_PROBE_PARTS", "1"))
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_queries()
