@@ -682,3 +682,62 @@ def test_service_concurrent_messages_match_sequential(spark, tmp_path):
     before = len(conc.ledger().collect())
     conc.run_available_now(queue_rate=8)
     assert len(conc.ledger().collect()) == before
+
+
+def test_concurrent_timeout_isolated_to_one_message(spark, tmp_path,
+                                                    monkeypatch):
+    """r9: with max_concurrent_messages=2, one hanging message times
+    out WITHOUT cancelling or stalling its concurrently-running
+    sibling — the msg_id-disambiguated job groups isolate the kill
+    even when both messages target the SAME dataset path."""
+    import time as _time
+
+    from geohub_data_pipeline_spark import processing as PROC
+
+    raw = tmp_path / "u" / "raw"
+    raw.mkdir(parents=True)
+    (raw / "twin.gpkg").write_bytes(b"gpkg-ish")
+    blob = f"file://{raw}/twin.gpkg"
+
+    real_sleep = _time.sleep
+    calls = {"n": 0}
+
+    def convert(spark_arg, src, dst_dir, **kw):
+        # first-invoked message hangs past the timeout; the other
+        # finishes quickly with a real-looking result dict
+        calls["n"] += 1
+        me = calls["n"]
+        if me == 1:
+            real_sleep(90)
+        real_sleep(0.2)
+        return {"chunks": [{"kind": "layer", "name": "pts"}],
+                "artifacts": [], "audits": {}}
+
+    monkeypatch.setattr(PROC, "process_geo_file", convert)
+    svc = IngestService(
+        spark=spark,
+        messages_dir=f"{tmp_path}/msgs",
+        ledger_dir=f"{tmp_path}/ledger",
+        checkpoint_dir=f"{tmp_path}/ckpt",
+        output_dir=f"{tmp_path}/out",
+        ingest_timeout=3.0,
+        max_concurrent_messages=2,
+    )
+    _write_msgs(svc.messages_dir, "b.json", [
+        {"msg_id": 1, "body": f"{blob};t;join_vector_tiles=false",
+         "enqueued_ts": "2024-01-01T00:00:00"},
+        {"msg_id": 2, "body": f"{blob};t;join_vector_tiles=false",
+         "enqueued_ts": "2024-01-01T00:00:01"},
+    ])
+    t0 = _time.time()
+    svc.run_available_now(queue_rate=4)
+    wall = _time.time() - t0
+    assert wall < 60                      # the hang did not serialize
+    rows = svc.ledger().collect()
+    errs = [r.content for r in rows if r.kind == "error"]
+    assert sum("timeout" in (e or "") for e in errs) == 1
+    stages = [r.stage for r in rows if r.kind == "progress"]
+    # the sibling COMPLETED: its probe chunk + processed rows exist
+    assert "processing layer pts" in stages
+    assert "processed" in stages
+    assert "Cancelled" in stages          # the timed-out one
