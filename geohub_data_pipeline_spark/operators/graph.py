@@ -1,0 +1,175 @@
+"""Graph analytics beyond dedup clustering: BFS, k-core, link prediction.
+
+The dedup module owns the graph shapes the duplicate pipeline needs
+(connected components, triangles, PageRank); this module adds the
+general graph-analytics operators a training-data pipeline reaches for
+when it treats its corpus as a graph — crawl-frontier reachability
+(BFS), spam-farm / boilerplate-kernel extraction (k-core), and
+citation/link prediction (common-neighbor scoring).
+
+All three keep the properties the rest of the repo's iterative
+operators pin:
+
+* integer-exact state (hop counts, degrees, ppm-scaled ratios) so the
+  value-hash oracle can compare bit-for-bit across engines;
+* per-round shuffles keyed on node ids only — the edge relation is
+  hash-partitioned once (``localCheckpoint``) and never re-shipped;
+* lineage truncation per round, bounded driver-side convergence
+  probes (``limit(1).count()`` / edge-count compare), no collect of
+  any O(V) or O(E) state.
+
+Reference parity: the reference pipeline has no graph engine at all —
+these cover the "beyond the reference: large-scale training-data
+pipeline" bucket (SURVEY.md §2 addendum), same as operators/dedup.py's
+graph family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bfs_hops(edges: DataFrame, source: int, src: str = "src",
+             dst: str = "dst", max_hops: int = 20) -> DataFrame:
+    """Single-source shortest HOP counts over a directed graph by
+    frontier-expansion BFS — ``(node, hop)`` for every node reachable
+    from ``source`` within ``max_hops`` (the source itself at hop 0).
+
+    Each round joins the current frontier against the edge list and
+    anti-joins the visited set, so a node is labeled the first time
+    it is reached — which IS its shortest hop distance, making the
+    result exactly ``min(hop)`` over all paths (what the recursive-CTE
+    oracle computes) without ever enumerating multiple paths.
+
+    Scale: the edge list is materialized once (``localCheckpoint``)
+    and re-used every round; per round the only moving state is the
+    frontier (worst case O(V), typically a thin BFS layer) through
+    one hash join keyed on src and one anti-join keyed on node.
+    Frontier emptiness is the convergence probe (``limit(1).count()``,
+    stops at the first row).  No path enumeration, no driver-side
+    graph state — a 100 TB edge relation behind the same O(layer)
+    exchanges.
+    """
+    e = (edges.select(F.col(src).cast("long").alias("s"),
+                      F.col(dst).cast("long").alias("t"))
+         .filter(F.col("s") != F.col("t"))
+         .distinct()
+         .localCheckpoint())
+    visited = (e.sparkSession
+               .createDataFrame([(int(source), 0)], "node long, hop int")
+               .localCheckpoint())
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (frontier.join(e, frontier["node"] == e["s"])
+               .select(F.col("t").alias("node"))
+               .distinct()
+               .join(visited, "node", "left_anti")
+               .withColumn("hop", F.lit(hop))
+               .localCheckpoint())
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited.select("node", F.col("hop").cast("long").alias("hop"))
+
+
+def kcore_members(edges: DataFrame, k: int, src: str = "id_a",
+                  dst: str = "id_b", max_iters: int = 30) -> DataFrame:
+    """The k-core of an undirected graph — the maximal subgraph in
+    which every node has degree >= k — by iterative peeling: drop all
+    nodes with degree < k, recompute degrees in what remains, repeat
+    to fixpoint.  The peel is monotone (the alive edge set only
+    shrinks), so the fixpoint is unique and equals the standard
+    k-core regardless of round grouping — which is what lets a
+    round-unrolled SQL oracle reproduce it exactly.
+
+    Scale: per round one degree aggregation (groupBy node) and two
+    semi-joins of the edge list against the surviving vertex set, all
+    keyed on node ids; ``localCheckpoint`` truncates lineage and the
+    convergence probe compares alive-edge counts (a count(), not a
+    collect).  Degree skew is harmless here — peeling only ever
+    *removes* low-degree nodes, hubs never fan anything out.
+
+    Returns ``(node, core_degree)`` — members of the k-core with
+    their degree inside the core, the number production spam-kernel
+    extraction thresholds on.
+    """
+    alive = (edges.select(F.col(src).cast("long").alias("u"),
+                          F.col(dst).cast("long").alias("v"))
+             .filter(F.col("u") != F.col("v"))
+             .select(F.least("u", "v").alias("u"),
+                     F.greatest("u", "v").alias("v"))
+             .distinct()
+             .localCheckpoint())
+    n_alive = alive.count()
+    for _ in range(max_iters):
+        if n_alive == 0:
+            break
+        deg = (alive.select(F.col("u").alias("node"))
+               .unionAll(alive.select(F.col("v").alias("node")))
+               .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+        keep = deg.filter(F.col("d") >= k).select("node")
+        nxt = (alive
+               .join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+               .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+               .select("u", "v")
+               .localCheckpoint())
+        n_nxt = nxt.count()
+        alive = nxt
+        if n_nxt == n_alive:
+            break
+        n_alive = n_nxt
+    return (alive.select(F.col("u").alias("node"))
+            .unionAll(alive.select(F.col("v").alias("node")))
+            .groupBy("node").agg(F.count(F.lit(1)).alias("core_degree")))
+
+
+def common_neighbor_pairs(edges: DataFrame, min_common: int = 2,
+                          src: str = "id_a", dst: str = "id_b",
+                          deg_cap: int = 32) -> DataFrame:
+    """Link prediction by common-neighbor counting: for every node
+    pair (a, b), a < b, the number of shared neighbors and the
+    neighborhood-Jaccard in exact parts-per-million —
+    ``jaccard_ppm = (1_000_000 * common) div (deg(a)+deg(b)-common)``
+    (integer division, so bit-exact across engines).
+
+    The pair fan-out comes from a wedge self-join keyed on the shared
+    MIDDLE node, so a middle of degree d emits C(d, 2) pairs; middles
+    with degree > ``deg_cap`` are excluded from wedge formation (the
+    standard link-prediction move — a hub shared by everyone carries
+    no signal, and C(hub_degree, 2) is exactly the blow-up that kills
+    the join at 100 TB).  Pair degrees (for the Jaccard denominator)
+    still count ALL neighbors, capped middles included.
+
+    Plan: one degree aggregation, one semi-join to drop capped
+    middles, one middle-keyed self-join, one (a, b) count shuffle,
+    two broadcast-sized degree joins.  Output:
+    ``(node_a, node_b, common_cnt, jaccard_ppm)``.
+    """
+    e = (edges.select(F.col(src).cast("long").alias("u"),
+                      F.col(dst).cast("long").alias("v"))
+         .filter(F.col("u") != F.col("v"))
+         .select(F.least("u", "v").alias("u"),
+                 F.greatest("u", "v").alias("v"))
+         .distinct())
+    adj = (e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+           .unionAll(e.select(F.col("v").alias("node"),
+                              F.col("u").alias("nbr"))))
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    ok_mid = (deg.filter(F.col("d") <= deg_cap)
+              .select(F.col("node").alias("nbr")))
+    wedge_adj = adj.join(ok_mid, "nbr", "left_semi")
+    a = wedge_adj.select(F.col("node").alias("node_a"), "nbr")
+    b = wedge_adj.select(F.col("node").alias("node_b"), "nbr")
+    pairs = (a.join(b, "nbr")
+             .filter(F.col("node_a") < F.col("node_b"))
+             .groupBy("node_a", "node_b")
+             .agg(F.count(F.lit(1)).alias("common_cnt"))
+             .filter(F.col("common_cnt") >= min_common))
+    da = deg.select(F.col("node").alias("node_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("node_b"), F.col("d").alias("db"))
+    return (pairs.join(da, "node_a").join(db, "node_b")
+            .select("node_a", "node_b", "common_cnt",
+                    F.expr("(1000000 * common_cnt) div "
+                           "(da + db - common_cnt)").alias("jaccard_ppm")))

@@ -2240,3 +2240,206 @@ def wordpiece_vocab_invariants(spark: SparkSession,
             ("size_bound", bool(size_bound))]
     return (spark.createDataFrame(rows, "invariant string, holds boolean")
             .orderBy("invariant"))
+
+
+# ---------------------------------------------------------------------------
+# graph analytics beyond dedup: BFS reachability, k-core, link prediction
+# (operators/graph.py — crawl-frontier / spam-kernel / citation shapes)
+# ---------------------------------------------------------------------------
+
+_BFS_SQL = """
+WITH RECURSIVE raw AS (
+  SELECT CAST(event_id % 101 AS BIGINT) AS s,
+         CAST((event_id * 13 + 1) % 101 AS BIGINT) AS t FROM events
+  UNION ALL
+  SELECT CAST(event_id % 101 AS BIGINT) AS s,
+         CAST((event_id * 3 + 7) % 101 AS BIGINT) AS t FROM events
+),
+e AS (SELECT DISTINCT s, t FROM raw WHERE s <> t),
+walk(node, hop) AS (
+  SELECT CAST(0 AS BIGINT) AS node, 0 AS hop
+  UNION
+  SELECT e.t, w.hop + 1 FROM walk w JOIN e ON e.s = w.node
+  WHERE w.hop < 20
+)
+SELECT node, CAST(min(hop) AS BIGINT) AS hop
+FROM walk GROUP BY node ORDER BY node
+"""
+
+
+@query("graph_bfs_hops", "llm",
+       "graph analytics: single-source shortest hops by frontier BFS "
+       "— per round one edge join + one visited anti-join, frontier "
+       "is the only moving state; the oracle is a recursive CTE whose "
+       "min(hop) equals first-reach order",
+       _BFS_SQL)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest hop counts from node 0 over the deterministic 101-node
+    directed event graph (t = (13 id + 1) % 101 and (3 id + 7) % 101
+    from s = id % 101; every node reachable, eccentricity 8).  The
+    frontier loop (operators/graph.py bfs_hops) labels each node at
+    first reach — exactly the oracle's min(hop) over the recursive
+    walk, without enumerating paths.  Hop counts are integers, so the
+    hash gate is bit-exact.
+
+    Scale: the edge relation is checkpointed once and re-joined per
+    layer; only the frontier (one BFS layer) and the visited set move
+    through shuffles keyed on node ids.  Convergence probe is
+    frontier-emptiness via limit(1).count().
+    """
+    from geohub_data_pipeline_spark.operators import graph as G
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select(F.col("event_id").cast("long").alias("eid"))
+    edges = ev.select(
+        (F.col("eid") % 101).alias("src"),
+        ((F.col("eid") * 13 + 1) % 101).alias("dst")).unionAll(
+        ev.select(
+            (F.col("eid") % 101).alias("src"),
+            ((F.col("eid") * 3 + 7) % 101).alias("dst")))
+    return G.bfs_hops(edges, source=0, max_hops=20).orderBy("node")
+
+
+def _kcore_sql(k: int = 4, rounds: int = 8) -> str:
+    """Round-unrolled peeling oracle.  The Spark side iterates to the
+    (unique, monotone) fixpoint; the test graph reaches it in 3
+    rounds, so 8 unrolled rounds bound it with margin at every SF —
+    the edge set depends only on residues mod 211, which even the
+    smallest harness SF covers completely.
+
+    Per-round CTEs are MATERIALIZED: each round references the
+    previous one twice (u IN / v IN), so default CTE inlining would
+    duplicate the scan 2^rounds times (DuckDB exhausts file handles
+    re-opening the parquet under the exponential plan)."""
+    parts = ["""WITH res AS (
+  SELECT DISTINCT CAST(event_id % 211 AS BIGINT) AS u FROM events
+),
+raw AS (
+  SELECT u, (u * 7 + 3) % 211 AS v FROM res
+  UNION ALL SELECT u, (u * 3 + 5) % 211 FROM res WHERE u < 90
+  UNION ALL SELECT u, (u + 1) % 24 FROM res WHERE u < 24
+  UNION ALL SELECT u, (u + 2) % 24 FROM res WHERE u < 24
+  UNION ALL SELECT u, (u + 3) % 24 FROM res WHERE u < 24
+),
+e0 AS MATERIALIZED (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+       FROM raw WHERE u <> v)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+k{i} AS MATERIALIZED (
+  SELECT node FROM (SELECT u AS node FROM e{i-1}
+                    UNION ALL SELECT v FROM e{i-1})
+  GROUP BY node HAVING count(*) >= {k}
+),
+e{i} AS MATERIALIZED (
+  SELECT u, v FROM e{i-1}
+  WHERE u IN (SELECT node FROM k{i}) AND v IN (SELECT node FROM k{i})
+)""")
+    parts.append(f"""
+SELECT node, CAST(count(*) AS BIGINT) AS core_degree
+FROM (SELECT u AS node FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+GROUP BY node ORDER BY node""")
+    return "".join(parts)
+
+
+@query("graph_kcore", "llm",
+       "graph analytics: k-core extraction by iterative peeling — "
+       "monotone alive-set shrink, per round one degree agg + two "
+       "semi-joins keyed on node ids; the oracle unrolls the peel "
+       "(unique fixpoint, so round count does not matter)",
+       _kcore_sql())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4-core of a deterministic 211-node graph built to cascade:
+    a global ring (u*7+3), extra low-id edges (u*3+5 for u < 90) and
+    a circulant C24(1,2,3) kernel that survives the peel.  Peeling
+    runs 210 -> 55 -> 24 nodes over 3 rounds to a 24-node core — a
+    non-trivial multi-round cascade, so the gate certifies the loop,
+    not just the degree filter.  Output (node, core_degree) is pure
+    integers; the oracle unrolls 8 peel rounds (fixpoint + margin,
+    valid at every SF because the edge set depends only on residues
+    mod 211).
+    """
+    from geohub_data_pipeline_spark.operators import graph as G
+
+    t = load_tables(spark, sf_dir)
+    u = (t.events.select((F.col("event_id").cast("long") % 211)
+                         .alias("u")).distinct())
+    edges = (
+        u.select("u", ((F.col("u") * 7 + 3) % 211).alias("v"))
+        .unionAll(u.filter(F.col("u") < 90)
+                  .select("u", ((F.col("u") * 3 + 5) % 211).alias("v")))
+        .unionAll(u.filter(F.col("u") < 24)
+                  .select("u", ((F.col("u") + 1) % 24).alias("v")))
+        .unionAll(u.filter(F.col("u") < 24)
+                  .select("u", ((F.col("u") + 2) % 24).alias("v")))
+        .unionAll(u.filter(F.col("u") < 24)
+                  .select("u", ((F.col("u") + 3) % 24).alias("v"))))
+    return (G.kcore_members(edges.withColumnRenamed("u", "id_a")
+                            .withColumnRenamed("v", "id_b"), k=4)
+            .orderBy("node"))
+
+
+_COMMON_NBR_SQL = """
+WITH raw AS (
+  SELECT CAST(event_id % 83 AS BIGINT) AS u,
+         CAST((event_id * 7 + 2) % 83 AS BIGINT) AS v FROM events
+  UNION ALL
+  SELECT CAST(event_id % 83 AS BIGINT) AS u,
+         CAST((event_id * 3 + 11) % 83 AS BIGINT) AS v FROM events
+  UNION ALL
+  SELECT CAST(event_id % 83 AS BIGINT) AS u,
+         CAST((event_id % 83) % 9 AS BIGINT) AS v FROM events
+  WHERE (event_id % 83) >= 40
+),
+e AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+      FROM raw WHERE u <> v),
+adj AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT node, count(*) AS d FROM adj GROUP BY node),
+okmid AS (SELECT node AS nbr FROM deg WHERE d <= 32),
+wadj AS (SELECT a.node, a.nbr FROM adj a JOIN okmid USING (nbr)),
+p AS (
+  SELECT a.node AS node_a, b.node AS node_b,
+         CAST(count(*) AS BIGINT) AS common_cnt
+  FROM wadj a JOIN wadj b ON a.nbr = b.nbr AND a.node < b.node
+  GROUP BY a.node, b.node HAVING count(*) >= 2
+)
+SELECT node_a, node_b, common_cnt,
+       (1000000 * common_cnt) // (da.d + db.d - common_cnt) AS jaccard_ppm
+FROM p
+JOIN deg da ON da.node = p.node_a
+JOIN deg db ON db.node = p.node_b
+ORDER BY node_a, node_b
+"""
+
+
+@query("graph_common_neighbors", "llm",
+       "graph analytics: link prediction by common-neighbor count + "
+       "exact integer neighborhood-Jaccard (ppm) — wedge self-join "
+       "keyed on the shared middle with a degree cap that bounds the "
+       "C(d,2) fan-out hubs would otherwise explode",
+       _COMMON_NBR_SQL)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node pairs of the deterministic 83-node event graph (two affine
+    families + a hub family wiring high ids to hubs 0..8) that share
+    >= 2 neighbors, scored by common count and neighborhood Jaccard
+    in parts-per-million (integer division — bit-exact).  Middles
+    with degree > 32 are excluded from wedge formation in BOTH
+    engines (operators/graph.py common_neighbor_pairs): the
+    link-prediction convention that caps the quadratic per-middle
+    fan-out, which is what keeps this join alive on a power-law graph
+    at 100 TB.
+    """
+    from geohub_data_pipeline_spark.operators import graph as G
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select(F.col("event_id").cast("long").alias("eid"))
+    res = ev.select((F.col("eid") % 83).alias("u"), "eid")
+    edges = (
+        res.select(F.col("u").alias("id_a"),
+                   ((F.col("eid") * 7 + 2) % 83).alias("id_b"))
+        .unionAll(res.select(
+            F.col("u").alias("id_a"),
+            ((F.col("eid") * 3 + 11) % 83).alias("id_b")))
+        .unionAll(res.filter(F.col("u") >= 40).select(
+            F.col("u").alias("id_a"), (F.col("u") % 9).alias("id_b"))))
+    return (G.common_neighbor_pairs(edges, min_common=2, deg_cap=32)
+            .orderBy("node_a", "node_b"))

@@ -1,0 +1,159 @@
+"""operators/graph.py — BFS hops, k-core, common-neighbor scoring.
+
+Every test pins the distributed operator against a brute-force
+reference on a random graph (messy input: duplicate edges, reversed
+edges, self-loops), plus the plan properties the 100 TB story rests
+on (no cartesian products).
+"""
+
+import random
+
+import pytest
+
+from geohub_data_pipeline_spark.operators import graph as G
+
+
+def _random_edges(seed, n_nodes=40, n_edges=100):
+    rng = random.Random(seed)
+    edges = set()
+    while len(edges) < n_edges:
+        a, b = rng.sample(range(n_nodes), 2)
+        edges.add((min(a, b), max(a, b)))
+    return rng, edges
+
+
+def test_bfs_hops_matches_brute_force(spark):
+    """Frontier BFS equals a reference BFS on a random DIRECTED graph
+    with unreachable nodes; source at hop 0."""
+    rng = random.Random(11)
+    n = 35
+    edges = set()
+    while len(edges) < 80:
+        a, b = rng.sample(range(n), 2)
+        edges.add((a, b))                 # directed
+    rows = list(edges) + [(3, 3)]         # self-loop: ignored
+    df = spark.createDataFrame(rows, "src long, dst long")
+
+    got = {r.node: r.hop for r in G.bfs_hops(df, source=0).collect()}
+
+    # reference BFS
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    truth, frontier, hop = {0: 0}, [0], 0
+    while frontier:
+        hop += 1
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, []):
+                if v not in truth:
+                    truth[v] = hop
+                    nxt.append(v)
+        frontier = nxt
+    assert got == truth
+    # unreachable nodes are genuinely absent
+    assert set(got) == set(truth)
+
+
+def test_bfs_hops_max_hops_truncates(spark):
+    """A chain 0->1->2->3->4 with max_hops=2 stops at hop 2."""
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src long, dst long")
+    got = {r.node: r.hop
+           for r in G.bfs_hops(df, source=0, max_hops=2).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
+@pytest.mark.parametrize("seed,k", [(3, 3), (4, 4), (5, 3)])
+def test_kcore_matches_brute_force_peel(spark, seed, k):
+    """Distributed peeling equals the sequential peel (unique
+    fixpoint), including degrees inside the core."""
+    rng, edges = _random_edges(seed)
+    rows = []
+    for a, b in edges:
+        rows.append((a, b))
+        if rng.random() < 0.3:
+            rows.append((b, a))           # reversed duplicate
+    rows += [(9, 9)]                      # self-loop: ignored
+    df = spark.createDataFrame(rows, "id_a long, id_b long")
+
+    got = {r.node: r.core_degree
+           for r in G.kcore_members(df, k=k).collect()}
+
+    E = set(edges)
+    while True:
+        deg = {}
+        for a, b in E:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {x for x, d in deg.items() if d >= k}
+        E2 = {(a, b) for a, b in E if a in keep and b in keep}
+        if E2 == E:
+            break
+        E = E2
+    truth = {}
+    for a, b in E:
+        truth[a] = truth.get(a, 0) + 1
+        truth[b] = truth.get(b, 0) + 1
+    assert got == truth
+
+
+def test_kcore_empty_core(spark):
+    """A tree has no 2-core: result is empty, loop terminates."""
+    df = spark.createDataFrame(
+        [(0, i) for i in range(1, 8)], "id_a long, id_b long")
+    assert G.kcore_members(df, k=2).count() == 0
+
+
+def test_common_neighbors_matches_brute_force(spark):
+    """Wedge-join common-neighbor counts + integer Jaccard equal the
+    brute-force pair enumeration (no degree cap binding)."""
+    rng, edges = _random_edges(21, n_nodes=25, n_edges=70)
+    df = spark.createDataFrame(
+        list(edges) + [(2, 2)], "id_a long, id_b long")
+    got = {(r.node_a, r.node_b): (r.common_cnt, r.jaccard_ppm)
+           for r in G.common_neighbor_pairs(
+               df, min_common=2, deg_cap=100).collect()}
+
+    nbr = {}
+    for a, b in edges:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    truth = {}
+    nodes = sorted(nbr)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            common = len(nbr[a] & nbr[b])
+            if common >= 2:
+                denom = len(nbr[a]) + len(nbr[b]) - common
+                truth[(a, b)] = (common, 1_000_000 * common // denom)
+    assert got == truth
+
+
+def test_common_neighbors_deg_cap_drops_hub_wedges(spark):
+    """A star hub above the cap forms no wedges; its spokes pair up
+    only through other middles.  Degrees for Jaccard still count the
+    hub edges."""
+    # hub 0 connected to 1..6; plus a triangle 1-2-7
+    rows = [(0, i) for i in range(1, 7)] + [(1, 2), (1, 7), (2, 7)]
+    df = spark.createDataFrame(rows, "id_a long, id_b long")
+    got = {(r.node_a, r.node_b): (r.common_cnt, r.jaccard_ppm)
+           for r in G.common_neighbor_pairs(
+               df, min_common=2, deg_cap=3).collect()}
+    # hub 0 (degree 6 > 3) is no middle: the spoke pairs that only
+    # share the hub vanish; (0,7) remains via middles 1 and 2, and
+    # its Jaccard denominator still uses the hub's FULL degree 6.
+    assert got == {(0, 7): (2, 333_333)}
+
+
+def test_graph_plans_no_cartesian(spark):
+    """No cartesian product in any of the three operators' plans."""
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3)], "id_a long, id_b long")
+    for plan_df in (
+            G.kcore_members(df, k=2),
+            G.common_neighbor_pairs(df, min_common=1),
+            G.bfs_hops(df.withColumnRenamed("id_a", "src")
+                       .withColumnRenamed("id_b", "dst"), source=0)):
+        plan = (plan_df._jdf.queryExecution().executedPlan().toString())
+        assert "CartesianProduct" not in plan
