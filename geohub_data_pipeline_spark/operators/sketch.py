@@ -221,3 +221,122 @@ def kll_quantiles_grouped(df: DataFrame, group_col: str,
 
     return (sk_rows.groupBy(group_col).applyInPandas(
         finish, f"{group_col} string, q double, est double, n long"))
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta distinct-count sketch with set operations
+# ---------------------------------------------------------------------------
+
+_FLIP = np.uint64(0x8000000000000000)    # signed -> unsigned order flip
+_U64 = float(2 ** 64)
+
+
+def _kmv_merge(arrays, k: int):
+    """k smallest DISTINCT flipped-u64 hashes across sketch arrays."""
+    if not arrays:
+        return np.empty(0, dtype=np.uint64)
+    u = np.unique(np.concatenate(arrays))
+    return u[:k]
+
+
+def _kmv_estimate(mins: np.ndarray, k: int) -> float:
+    """(k-1) * 2^64 / h_k — or the exact size when the sketch holds
+    everything (fewer than k distinct hashes seen)."""
+    if len(mins) < k:
+        return float(len(mins))
+    return (k - 1) * _U64 / float(int(mins[k - 1]) + 1)
+
+
+def kmv_setop_estimates(dfa: DataFrame, dfb: DataFrame, col: str,
+                        k: int = 4096) -> dict:
+    """Distinct-count estimates for A, B, A∪B, A∩B, A\\B from ONE
+    pass over each side — the KMV / theta-sketch construction
+    (Bar-Yossef et al. 2002; Dasgupta et al., the DataSketches theta
+    sketch): per partition keep the k smallest DISTINCT hash values;
+    sketches merge associatively (k smallest of the union), so the
+    shuffle carries at most ``partitions x k`` longs — never data.
+
+    Set semantics come from the theta view: with
+    ``theta_X = h_k(X)`` (or 2^64 when the sketch is exhaustive),
+    every sketch is a uniform hash sample below its theta, so below
+    ``theta = min(theta_A, theta_B)`` membership tests against the
+    other sketch are EXACT and
+
+        |A ∩ B|  ≈  |{h ∈ S_A ∩ S_B : h < theta}| * 2^64 / theta
+        |A \\ B| ≈  |{h ∈ S_A \\ S_B : h < theta}| * 2^64 / theta
+
+    while the union re-estimates from the merged k smallest.  When
+    both sides hold fewer than k distinct values the sketches are
+    exhaustive and every estimate is EXACT — the property the
+    small-SF gates pin bit-for-bit; at large SF the estimates carry
+    the ~1/sqrt(k-1) relative standard error the gate bounds.
+
+    Hashing is JVM-side ``xxhash64`` (one whole-stage-codegen
+    projection); the Python side only ever sees per-partition min
+    arrays through Arrow as exact int64 bit patterns (a double would
+    silently round 64-bit hashes).  The driver merge handles
+    ``2 x partitions`` arrays of ≤ k longs — a bounded manifest, not
+    data.
+
+    Returns ``{"est_a", "est_b", "est_union", "est_intersect",
+    "est_diff"}`` (A-minus-B) as floats.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(dfa.sparkSession)
+    kk = int(k)
+
+    tagged = (dfa.select(F.xxhash64(F.col(col)).alias("h"),
+                         F.lit(0).alias("side"))
+              .unionAll(dfb.select(F.xxhash64(F.col(col)).alias("h"),
+                                   F.lit(1).alias("side"))))
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: dict[int, list] = {0: [], 1: []}
+        for pdf in it:
+            hs = pdf["h"].to_numpy(np.int64).view(np.uint64) ^ _FLIP
+            sides = pdf["side"].to_numpy()
+            for s in (0, 1):
+                sel = hs[sides == s]
+                if len(sel):
+                    best[s].append(np.unique(sel)[:kk])
+        rows = []
+        for s in (0, 1):
+            mins = _kmv_merge(best[s], kk)
+            rows.append((s, (mins ^ _FLIP).view(np.int64).tolist()))
+        yield pd.DataFrame(rows, columns=["side", "mins"])
+
+    parts = tagged.mapInPandas(
+        build, "side int, mins array<long>").collect()
+    per_side: dict[int, list] = {0: [], 1: []}
+    for r in parts:
+        per_side[r["side"]].append(
+            np.asarray(r["mins"], dtype=np.int64).view(np.uint64)
+            ^ _FLIP)
+    sa = _kmv_merge(per_side[0], kk)
+    sb = _kmv_merge(per_side[1], kk)
+    su = _kmv_merge([sa, sb], kk)
+
+    # thetas as exact python ints — a float64 comparison would round
+    # 64-bit hashes at the boundary
+    theta_a = int(sa[kk - 1]) + 1 if len(sa) >= kk else 2 ** 64
+    theta_b = int(sb[kk - 1]) + 1 if len(sb) >= kk else 2 ** 64
+    theta = min(theta_a, theta_b)
+    if theta >= 2 ** 64:
+        a_below, b_below = sa, sb
+    else:
+        t = np.uint64(theta)
+        a_below, b_below = sa[sa < t], sb[sb < t]
+    inter = np.intersect1d(a_below, b_below)
+    diff = np.setdiff1d(a_below, b_below)
+    scale = _U64 / float(theta)
+    return {
+        "est_a": _kmv_estimate(sa, kk),
+        "est_b": _kmv_estimate(sb, kk),
+        "est_union": _kmv_estimate(su, kk),
+        "est_intersect": float(len(inter)) * scale,
+        "est_diff": float(len(diff)) * scale,
+    }

@@ -72,3 +72,51 @@ def test_kll_grouped_matches_per_group_reference(spark):
             # disjoint ranges: the estimate must be INSIDE its
             # group's range — a leaked row would land outside
             assert a[0] <= est <= a[-1]
+
+
+def test_kmv_exact_below_k(spark):
+    """With fewer than k distinct values on both sides, every
+    set-operation estimate is EXACT, at any partition layout."""
+    from geohub_data_pipeline_spark.operators import sketch as SK
+
+    a_vals = list(range(0, 600))            # A = {0..599}
+    b_vals = list(range(400, 900))          # B = {400..899}
+    dfa = spark.createDataFrame(
+        [(v,) for v in a_vals * 3], "key long")   # duplicates: ignored
+    dfb = spark.createDataFrame([(v,) for v in b_vals], "key long")
+    for parts in (1, 5, 16):
+        est = SK.kmv_setop_estimates(
+            dfa.repartition(parts), dfb.repartition(parts),
+            "key", k=1024)
+        assert est["est_a"] == 600.0
+        assert est["est_b"] == 500.0
+        assert est["est_union"] == 900.0
+        assert est["est_intersect"] == 200.0
+        assert est["est_diff"] == 400.0
+
+
+def test_kmv_error_bound_above_k(spark):
+    """Estimation regime (50k distinct >> k=512): every estimate
+    lands within 5 relative standard errors, and the layout does
+    not change the result (the merge is associative and the hash is
+    deterministic)."""
+    from geohub_data_pipeline_spark.operators import sketch as SK
+
+    n = 50_000
+    dfa = spark.range(0, n).withColumnRenamed("id", "key")
+    dfb = spark.range(n // 2, n + n // 2).withColumnRenamed("id", "key")
+    k = 512
+    rse = 1.0 / (k - 1) ** 0.5
+    ests = []
+    for parts in (4, 32):
+        est = SK.kmv_setop_estimates(
+            dfa.repartition(parts), dfb.repartition(parts),
+            "key", k=k)
+        ests.append(est)
+        for op, exact in [("est_a", n), ("est_b", n),
+                          ("est_union", int(1.5 * n)),
+                          ("est_intersect", n // 2),
+                          ("est_diff", n // 2)]:
+            assert abs(est[op] - exact) <= 5 * rse * 1.5 * n, (
+                parts, op, est[op], exact)
+    assert ests[0] == ests[1]          # layout-independent
