@@ -2443,3 +2443,136 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("u").alias("id_a"), (F.col("u") % 9).alias("id_b"))))
     return (G.common_neighbor_pairs(edges, min_common=2, deg_cap=32)
             .orderBy("node_a", "node_b"))
+
+
+# ---------------------------------------------------------------------------
+# text analysis: collocation mining + readability scoring
+# ---------------------------------------------------------------------------
+
+_COLLOCATION_SQL = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+uni AS (SELECT unnest(ws) AS w FROM tok),
+c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w),
+big AS (
+  SELECT unnest(list_transform(range(1, len(ws)),
+                i -> ws[i] || ' ' || ws[i+1])) AS bg
+  FROM tok WHERE len(ws) >= 2
+),
+c2 AS (SELECT string_split(bg, ' ')[1] AS w1,
+              string_split(bg, ' ')[2] AS w2,
+              CAST(count(*) AS BIGINT) AS pair_cnt
+       FROM big GROUP BY bg)
+SELECT w1, w2, pair_cnt,
+       (2000000 * pair_cnt) // (a.c + b.c) AS dice_ppm
+FROM c2 JOIN c1 a ON a.w = c2.w1 JOIN c1 b ON b.w = c2.w2
+WHERE pair_cnt >= 5
+ORDER BY dice_ppm DESC, w1, w2
+"""
+
+
+@query("text_collocations_dice", "llm",
+       "north star: collocation mining — adjacent-bigram Dice "
+       "association (2*c_xy/(c_x+c_y) in exact ppm) over corpus "
+       "unigram/bigram counts; two map-side-combining aggregations "
+       "and one vocabulary-keyed join, never a doc x doc shape",
+       _COLLOCATION_SQL)
+def text_collocations_dice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocations: adjacent word bigrams seen >= 5 times
+    scored by the Dice coefficient in parts-per-million — the
+    integer-exact association measure (PMI's log would hash-diverge
+    across engines; Dice ranks candidate collocations the same way
+    phrase-mining pipelines use it).  The bigram relation comes from
+    one pass (``transform(sequence(...))`` over the token array —
+    no self-join of token positions), unigram counts join in on the
+    vocabulary key.
+
+    Scale: bigram and unigram counts both combine map-side; the
+    final join is keyed on single words (vocabulary-sized relation,
+    AQE free to broadcast it when small).  Nothing quadratic in
+    corpus size anywhere.
+    """
+    t = load_tables(spark, sf_dir)
+    ws = t.documents.select("doc_id",
+                            F.split(F.col("text"), " ").alias("ws"))
+    uni = ws.select(F.explode("ws").alias("w"))
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    big = (ws.filter(F.size("ws") >= 2)
+           .select(F.explode(F.expr(
+               "transform(sequence(0, size(ws)-2), "
+               "i -> struct(ws[i] AS w1, ws[i+1] AS w2))")).alias("bg"))
+           .select("bg.w1", "bg.w2"))
+    c2 = (big.groupBy("w1", "w2")
+          .agg(F.count(F.lit(1)).alias("pair_cnt"))
+          .filter(F.col("pair_cnt") >= 5))
+    a = c1.select(F.col("w").alias("w1"), F.col("c").alias("ca"))
+    b = c1.select(F.col("w").alias("w2"), F.col("c").alias("cb"))
+    return (c2.join(a, "w1").join(b, "w2")
+            .select("w1", "w2", "pair_cnt",
+                    F.expr("(2000000 * pair_cnt) div (ca + cb)")
+                    .alias("dice_ppm"))
+            .orderBy(F.desc("dice_ppm"), "w1", "w2"))
+
+
+_READABILITY_SQL = """
+WITH d AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+    CAST(greatest(1, length(regexp_replace(text, '[^.!?]', '', 'g')))
+         AS BIGINT) AS n_sents,
+    CAST(length(regexp_replace(lower(text), '[aeiouy]+', '#', 'g'))
+         - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g'))
+         AS BIGINT) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sents, n_syllables,
+       206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+               - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)
+         AS flesch_ease,
+       0.39 * (CAST(n_words AS DOUBLE) / n_sents)
+         + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59
+         AS fk_grade
+FROM d ORDER BY doc_id
+"""
+
+
+@query("text_readability", "llm",
+       "north star: text quality — Flesch reading ease + "
+       "Flesch-Kincaid grade per document from integer word / "
+       "sentence / vowel-run-syllable counts (pure map-side "
+       "projection, identical IEEE expression tree on both engines)",
+       _READABILITY_SQL)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document readability: words (space tokens), sentences
+    (terminal-punctuation count, floored at 1), syllables (maximal
+    [aeiouy]+ runs — the standard cheap proxy), and the Flesch /
+    Flesch-Kincaid formulas evaluated with the exact same
+    double-precision expression tree as the oracle (each term one
+    correctly-rounded divide + multiply, so the bits match without
+    rounding).  Quality-filter pipelines threshold on these scores
+    to drop word-salad and legalese.
+
+    Scale: a single narrow projection — no shuffle at all; Catalyst
+    keeps the three regexp counts in one whole-stage-codegen pass
+    over the text column.
+    """
+    t = load_tables(spark, sf_dir)
+    low = F.lower(F.col("text"))
+    d = t.documents.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long")
+        .alias("n_words"),
+        F.greatest(F.lit(1), F.length(
+            F.regexp_replace(F.col("text"), "[^.!?]", "")))
+        .cast("long").alias("n_sents"),
+        (F.length(F.regexp_replace(low, "[aeiouy]+", "#"))
+         - F.length(F.regexp_replace(low, "[aeiouy]+", "")))
+        .cast("long").alias("n_syllables"))
+    wps = F.col("n_words").cast("double") / F.col("n_sents")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    return (d.select(
+        "doc_id", "n_words", "n_sents", "n_syllables",
+        (F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw)
+        .alias("flesch_ease"),
+        (F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59))
+        .alias("fk_grade"))
+        .orderBy("doc_id"))

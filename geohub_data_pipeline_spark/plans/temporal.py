@@ -725,3 +725,58 @@ def events_resample_ffill(spark: SparkSession,
         F.last("v", ignorenulls=True).over(w).alias("value_filled"),
         F.col("v").isNull().alias("was_gap"))
         .orderBy("series", "day"))
+
+
+_INTERVAL_OVERLAP_SQL = """
+WITH act AS (
+  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         min(epoch_us(CAST(ts AS TIMESTAMP))) AS a0,
+         max(epoch_us(CAST(ts AS TIMESTAMP))) AS a1
+  FROM events GROUP BY user_id, day
+),
+j AS (
+  SELECT user_id,
+         greatest(0, least(a1, epoch_us(day) + 18000000000)
+                     - greatest(a0, epoch_us(day) + 7200000000)) AS ov_us
+  FROM act
+)
+SELECT user_id, CAST(sum(ov_us) AS BIGINT) AS overlap_us
+FROM j GROUP BY user_id HAVING sum(ov_us) > 0 ORDER BY user_id
+"""
+
+
+@query("events_interval_overlap", "temporal",
+       "temporal closure: interval-overlap duration — per-user daily "
+       "activity spans intersected with a fixed 02:00-05:00 "
+       "maintenance window, exact epoch-us integer arithmetic "
+       "(greatest/least clamp), one groupBy(user, day) then one "
+       "groupBy(user)", _INTERVAL_OVERLAP_SQL)
+def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seconds (in epoch-µs) each user's daily activity interval
+    [min ts, max ts] overlaps the recurring 02:00-05:00 UTC
+    maintenance window — the interval-intersection aggregate
+    (billing overlap, SLA downtime attribution) computed as pure
+    integer clamp arithmetic: overlap = max(0, min(ends) -
+    max(starts)).  Users with zero total overlap are dropped.
+
+    Scale: the maintenance set is IMPLICIT (derived per row from
+    date_trunc), so there is no interval join at all — just two
+    keyed aggregations that combine map-side.  A general two-table
+    interval join is the join_range_theta / asof_join_events shape;
+    this query pins the overlap ARITHMETIC bit-exactly.
+    """
+    t = load_tables(spark, sf_dir)
+    act = (t.events.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.min(F.unix_micros("ts")).alias("a0"),
+             F.max(F.unix_micros("ts")).alias("a1")))
+    day_us = F.unix_micros("day")
+    ov = F.greatest(
+        F.lit(0),
+        F.least(F.col("a1"), day_us + F.lit(18_000_000_000))
+        - F.greatest(F.col("a0"), day_us + F.lit(7_200_000_000)))
+    return (act.select("user_id", ov.alias("ov_us"))
+            .groupBy("user_id")
+            .agg(F.sum("ov_us").alias("overlap_us"))
+            .filter(F.col("overlap_us") > 0)
+            .orderBy("user_id"))

@@ -546,3 +546,50 @@ def test_table_diff_single_full_outer_hash_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("FullOuter" in plan) or ("full_outer" in plan.lower())
+
+
+def test_readability_is_scan_only(spark, sf_dir):
+    """text_readability is a pure projection: no Exchange anywhere
+    (the final orderBy is the harness's presentation sort — ignore
+    its range exchange by checking the pre-sort child)."""
+    df = SPECS["text_readability"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    # exactly the presentation sort's range exchange, nothing keyed
+    assert "Exchange hashpartitioning" not in plan
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    read_cols = {c.split(":")[0] for c in schema.split(",") if ":" in c}
+    assert read_cols <= {"doc_id", "text"}        # column pruning
+
+
+def test_interval_overlap_shuffles_on_user_keys_only(spark, sf_dir):
+    """events_interval_overlap: both aggregations combine map-side
+    and shuffle on user-derived keys; no join, no cartesian."""
+    plan = plan_of(SPECS["events_interval_overlap"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan                      # implicit window set
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_collocations_no_position_self_join(spark, sf_dir):
+    """text_collocations_dice builds bigrams with transform() over
+    the token array — one scan, no token-position self-join; the
+    only joins are the two vocabulary-keyed count joins."""
+    plan = plan_of(SPECS["text_collocations_dice"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # two joins against the unigram count relation, none other
+    # (each join node prints twice: tree + details section)
+    joins = re.findall(
+        r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", plan)
+    assert len(joins) <= 4, joins
+
+
+def test_theta_sketch_shuffle_is_sketch_rows_only(spark, sf_dir):
+    """agg_theta_sketch_setops runs before plan capture (it drives
+    jobs internally); assert its OUTPUT is the 5 verdict rows with
+    all tolerances met — the plan property (partitions x k longs,
+    never data) is pinned by the operator contract test in
+    test_sketch.py."""
+    rows = (SPECS["agg_theta_sketch_setops"].fn(spark, sf_dir)
+            .collect())
+    assert len(rows) == 5
+    assert all(r.within_tol for r in rows)
