@@ -113,3 +113,62 @@ def table_diff(old: DataFrame, new: DataFrame, key: str,
             .filter(F.col("change_type").isNotNull())
             .select(key, "change_type",
                     *[F.col(f"n.{a}").alias(a) for a in attrs]))
+
+
+def quality_checks(df: DataFrame, *, not_null: list[str] = (),
+                   unique: list[str] = (),
+                   ranges: list[tuple[str, str]] = (),
+                   accepted: list[tuple[str, list]] = (),
+                   foreign_keys: list[tuple[str, DataFrame, str]] = ()
+                   ) -> DataFrame:
+    """Declarative data-quality validation (the dbt-tests / Deequ
+    shape): evaluate every rule against the frame and return one row
+    per check — ``(check_name, violations, passed)``.
+
+    All ROW-LEVEL rules (not-null, range predicates, accepted value
+    sets) compile into a SINGLE conditional aggregation — one scan of
+    the table no matter how many rules, which is the property that
+    matters when the table is 100 TB.  ``unique`` rules ride the same
+    scan pattern as one groupBy per key (count - distinct via a
+    two-level aggregate), and each ``foreign_keys`` rule is one
+    LEFT ANTI join against the dimension's key projection (broadcast
+    when the dimension is small — Catalyst/AQE's call).
+
+    Parameters mirror the usual declarative config:
+    ``not_null=["col", ...]``; ``ranges=[(name, sql_predicate)]``
+    where the predicate states VALIDITY (violations = NOT predicate);
+    ``accepted=[(col, [allowed, ...])]``;
+    ``foreign_keys=[(col, dim_df, dim_key)]``.
+    """
+    aggs = []
+    names = []
+    for c in not_null:
+        names.append(f"not_null:{c}")
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                    .alias(names[-1]))
+    for name, pred in ranges:
+        names.append(f"range:{name}")
+        aggs.append(F.sum(F.when(~F.expr(pred), 1).otherwise(0))
+                    .alias(names[-1]))
+    for c, allowed in accepted:
+        names.append(f"accepted:{c}")
+        aggs.append(F.sum(F.when(~F.col(c).isin(list(allowed)), 1)
+                          .otherwise(0)).alias(names[-1]))
+    for c in unique:
+        names.append(f"unique:{c}")
+        aggs.append((F.count(F.col(c)) - F.countDistinct(F.col(c)))
+                    .alias(names[-1]))
+    row = df.agg(*aggs).collect()[0] if aggs else None
+
+    spark = df.sparkSession
+    out = [(n, int(row[n])) for n in names] if row is not None else []
+    for c, dim, dim_key in foreign_keys:
+        orphans = (df.select(F.col(c).alias("__k")).filter(
+            F.col("__k").isNotNull())
+            .join(dim.select(F.col(dim_key).alias("__k")).distinct(),
+                  "__k", "left_anti")
+            .count())
+        out.append((f"fk:{c}->{dim_key}", int(orphans)))
+    return (spark.createDataFrame(
+        [(n, v, v == 0) for n, v in out],
+        "check_name string, violations long, passed boolean"))

@@ -44,3 +44,50 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
                              F.lit(n_salts - 1).cast("int"))))
     out = b.join(s, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def profile_columns(df, specs) -> "DataFrame":
+    """Single-pass column profiler — the ``DESCRIBE``-style data
+    audit every ingestion pipeline runs before trusting a new drop:
+    for each column, row count, null count, EXACT distinct count,
+    and min/max rendered through an explicit cross-engine format.
+
+    ``specs`` is ``[(col, kind)]`` with kind in ``int`` (cast to
+    string), ``num2`` (via DECIMAL(18,2) — double-to-string
+    formatting differs between engines, decimal does not), ``ts``
+    (explicit yyyy-MM-dd HH:mm:ss), ``str`` (as-is).
+
+    ALL columns profile in ONE aggregation over ONE scan — the
+    shape that matters at 100 TB where "profile the table" must not
+    mean one job per column.  The only driver-side data is the
+    single aggregate row (4 x n_cols scalars), re-emitted as the
+    (column, metric) result frame.
+    """
+    from pyspark.sql import functions as F
+
+    def fmt(expr, kind):
+        # format AFTER aggregating — min/max must compare in the
+        # column's native order, not lexicographically
+        if kind == "num2":
+            return expr.cast("decimal(18,2)").cast("string")
+        if kind == "ts":
+            return F.date_format(expr, "yyyy-MM-dd HH:mm:ss")
+        return expr.cast("string")
+
+    aggs = []
+    for col, kind in specs:
+        aggs += [
+            F.count(F.lit(1)).alias(f"n__{col}"),
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+            .alias(f"nulls__{col}"),
+            F.countDistinct(F.col(col)).alias(f"dist__{col}"),
+            fmt(F.min(F.col(col)), kind).alias(f"min__{col}"),
+            fmt(F.max(F.col(col)), kind).alias(f"max__{col}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    rows = [(col, int(row[f"n__{col}"]), int(row[f"nulls__{col}"]),
+             int(row[f"dist__{col}"]), row[f"min__{col}"],
+             row[f"max__{col}"]) for col, _ in specs]
+    return df.sparkSession.createDataFrame(
+        rows, "col_name string, n_rows long, n_nulls long, "
+              "n_distinct long, min_value string, max_value string")

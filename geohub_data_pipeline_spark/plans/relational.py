@@ -3116,3 +3116,168 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (spark.createDataFrame(
         rows, "set_op string, exact_cnt long, within_tol boolean")
         .orderBy("set_op"))
+
+
+_PROFILE_COLS_SQL = """
+WITH s AS (
+  SELECT
+    count(*) AS n,
+    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nu1,
+    count(DISTINCT o_orderkey) AS d1,
+    CAST(min(o_orderkey) AS VARCHAR) AS mn1,
+    CAST(max(o_orderkey) AS VARCHAR) AS mx1,
+    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nu2,
+    count(DISTINCT o_custkey) AS d2,
+    CAST(min(o_custkey) AS VARCHAR) AS mn2,
+    CAST(max(o_custkey) AS VARCHAR) AS mx2,
+    sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nu3,
+    count(DISTINCT o_orderstatus) AS d3,
+    min(o_orderstatus) AS mn3,
+    max(o_orderstatus) AS mx3,
+    sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nu4,
+    count(DISTINCT o_totalprice) AS d4,
+    CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS mn4,
+    CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS mx4,
+    sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS nu5,
+    count(DISTINCT o_orderdate) AS d5,
+    strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mn5,
+    strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mx5
+  FROM orders
+)
+SELECT col_name, n_rows, n_nulls, n_distinct, min_value, max_value
+FROM (
+  SELECT 'o_orderkey' AS col_name, CAST(n AS BIGINT) AS n_rows,
+         CAST(nu1 AS BIGINT) AS n_nulls, CAST(d1 AS BIGINT) AS n_distinct,
+         mn1 AS min_value, mx1 AS max_value FROM s
+  UNION ALL SELECT 'o_custkey', CAST(n AS BIGINT), CAST(nu2 AS BIGINT),
+         CAST(d2 AS BIGINT), mn2, mx2 FROM s
+  UNION ALL SELECT 'o_orderstatus', CAST(n AS BIGINT),
+         CAST(nu3 AS BIGINT), CAST(d3 AS BIGINT), mn3, mx3 FROM s
+  UNION ALL SELECT 'o_totalprice', CAST(n AS BIGINT),
+         CAST(nu4 AS BIGINT), CAST(d4 AS BIGINT), mn4, mx4 FROM s
+  UNION ALL SELECT 'o_orderdate', CAST(n AS BIGINT),
+         CAST(nu5 AS BIGINT), CAST(d5 AS BIGINT), mn5, mx5 FROM s
+) ORDER BY col_name
+"""
+
+
+@query("profile_table_columns", "relational",
+       "data engineering: single-pass column profiler — per column "
+       "row/null/EXACT-distinct counts + min/max through an explicit "
+       "cross-engine format (decimal for doubles, fixed timestamp "
+       "pattern); all columns in ONE aggregation over ONE scan",
+       _PROFILE_COLS_SQL)
+def profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE-style audit of the orders table (operators/skew.py
+    profile_columns): five columns profiled — counts, nulls, exact
+    distincts, formatted min/max — from a single conditional
+    aggregation (one scan however many columns), the shape a 100 TB
+    drop audit needs.  Doubles format through DECIMAL(18,2) and
+    timestamps through an explicit pattern because raw
+    double/timestamp-to-string rendering differs across engines.
+    """
+    from geohub_data_pipeline_spark.operators.skew import profile_columns
+
+    t = load_tables(spark, sf_dir)
+    return profile_columns(t.orders, [
+        ("o_orderkey", "int"), ("o_custkey", "int"),
+        ("o_orderstatus", "str"), ("o_totalprice", "num2"),
+        ("o_orderdate", "ts")]).orderBy("col_name")
+
+
+_DQ_SQL = """
+WITH bad_src AS (SELECT * FROM orders WHERE o_orderkey % 97 = 0),
+t AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+  UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            FROM bad_src                                  -- duplicate keys
+  UNION ALL SELECT o_orderkey + 10000000, NULL, o_orderstatus,
+                   o_totalprice FROM bad_src              -- null custkey
+  UNION ALL SELECT o_orderkey + 20000000, o_custkey, o_orderstatus,
+                   -o_totalprice FROM bad_src             -- bad range
+  UNION ALL SELECT o_orderkey + 30000000, o_custkey, 'X',
+                   o_totalprice FROM bad_src              -- bad status
+  UNION ALL SELECT o_orderkey + 40000000, o_custkey + 9000000,
+                   o_orderstatus, o_totalprice FROM bad_src  -- orphan fk
+),
+agg AS (
+  SELECT
+    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_notnull,
+    sum(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS v_range,
+    sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END)
+      AS v_accepted,
+    count(o_orderkey) - count(DISTINCT o_orderkey) AS v_unique
+  FROM t
+),
+orphans AS (
+  SELECT count(*) AS v_fk FROM t
+  WHERE o_custkey IS NOT NULL
+    AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+)
+SELECT check_name, violations, violations = 0 AS passed FROM (
+  SELECT 'not_null:o_custkey' AS check_name,
+         CAST(v_notnull AS BIGINT) AS violations FROM agg
+  UNION ALL SELECT 'range:o_totalprice', CAST(v_range AS BIGINT) FROM agg
+  UNION ALL SELECT 'accepted:o_orderstatus', CAST(v_accepted AS BIGINT)
+            FROM agg
+  UNION ALL SELECT 'unique:o_orderkey', CAST(v_unique AS BIGINT) FROM agg
+  UNION ALL SELECT 'fk:o_custkey->c_custkey', CAST(v_fk AS BIGINT)
+            FROM orphans
+) ORDER BY check_name
+"""
+
+
+@query("data_quality_checks", "relational",
+       "data engineering: declarative quality validation (dbt-tests/"
+       "Deequ shape) — not-null / range / accepted-values / unique "
+       "compile into ONE conditional aggregation, referential "
+       "integrity is one anti-join; the corpus injects a "
+       "deterministic violation family per rule so every check "
+       "certifies a NON-ZERO count", _DQ_SQL)
+def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five quality rules over orders with seeded corruption (every
+    97th orderkey re-injected five ways: verbatim duplicate, NULL
+    custkey, negated price, status 'X', orphaned custkey), so each
+    check's violation count is non-zero and scales with SF — the
+    gate certifies the checker finds what is planted, not that clean
+    data is clean (the vacuous-gate lesson from graph_triangle_count
+    r8).  operators/mutation.py quality_checks compiles the four
+    row-level rules into one scan; the FK rule is a single left-anti
+    join against the customer key projection.
+    """
+    from geohub_data_pipeline_spark.operators.mutation import (
+        quality_checks,
+    )
+
+    t = load_tables(spark, sf_dir)
+    o = t.orders.select("o_orderkey", "o_custkey", "o_orderstatus",
+                        "o_totalprice")
+    bad = t.orders.filter(F.col("o_orderkey") % 97 == 0)
+    corrupted = (
+        o
+        .unionAll(bad.select("o_orderkey", "o_custkey", "o_orderstatus",
+                             "o_totalprice"))
+        .unionAll(bad.select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            F.lit(None).cast("long").alias("o_custkey"),
+            "o_orderstatus", "o_totalprice"))
+        .unionAll(bad.select(
+            (F.col("o_orderkey") + 20_000_000).alias("o_orderkey"),
+            "o_custkey", "o_orderstatus",
+            (-F.col("o_totalprice")).alias("o_totalprice")))
+        .unionAll(bad.select(
+            (F.col("o_orderkey") + 30_000_000).alias("o_orderkey"),
+            "o_custkey", F.lit("X").alias("o_orderstatus"),
+            "o_totalprice"))
+        .unionAll(bad.select(
+            (F.col("o_orderkey") + 40_000_000).alias("o_orderkey"),
+            (F.col("o_custkey") + 9_000_000).alias("o_custkey"),
+            "o_orderstatus", "o_totalprice")))
+    return quality_checks(
+        corrupted,
+        not_null=["o_custkey"],
+        unique=["o_orderkey"],
+        ranges=[("o_totalprice", "o_totalprice > 0")],
+        accepted=[("o_orderstatus", ["O", "F", "P"])],
+        foreign_keys=[("o_custkey", t.customer, "c_custkey")],
+    ).orderBy("check_name")

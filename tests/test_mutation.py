@@ -71,3 +71,59 @@ def test_table_diff_classes_and_nulls(spark):
         (4, "delete", None, None),
         (5, "insert", "e", 5),
     }
+
+
+def test_quality_checks_finds_each_planted_violation(spark):
+    """Each rule counts exactly its planted violations; clean data
+    passes all checks."""
+    from geohub_data_pipeline_spark.operators.mutation import (
+        quality_checks,
+    )
+
+    base = spark.createDataFrame(
+        [(1, 10, "A", 5.0), (2, 11, "B", 6.0), (3, 12, "A", 7.0)],
+        "k long, fk long, status string, v double")
+    dim = spark.createDataFrame([(10,), (11,), (12,)], "dk long")
+    clean = quality_checks(
+        base, not_null=["fk"], unique=["k"],
+        ranges=[("v", "v > 0")], accepted=[("status", ["A", "B"])],
+        foreign_keys=[("fk", dim, "dk")])
+    assert all(r.passed and r.violations == 0
+               for r in clean.collect())
+
+    dirty = base.unionAll(spark.createDataFrame(
+        [(1, 10, "A", 5.0),        # dup key
+         (4, None, "A", 5.0),      # null fk
+         (5, 99, "A", 5.0),        # orphan fk
+         (6, 10, "Z", 5.0),        # bad status
+         (7, 10, "A", -1.0)],      # bad range
+        "k long, fk long, status string, v double"))
+    got = {r.check_name: r.violations for r in quality_checks(
+        dirty, not_null=["fk"], unique=["k"],
+        ranges=[("v", "v > 0")], accepted=[("status", ["A", "B"])],
+        foreign_keys=[("fk", dim, "dk")]).collect()}
+    assert got == {"not_null:fk": 1, "unique:k": 1, "range:v": 1,
+                   "accepted:status": 1, "fk:fk->dk": 1}
+
+
+def test_profile_columns_exact_and_formatted(spark):
+    """Profiler: counts/nulls/distinct exact; min/max use NATIVE
+    order then format (not lexicographic on strings)."""
+    from geohub_data_pipeline_spark.operators.skew import (
+        profile_columns,
+    )
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(9, 2.5, dt.datetime(2020, 1, 2)),
+         (10, 100.125, dt.datetime(2019, 12, 31)),
+         (None, None, None)],
+        "a long, b double, t timestamp")
+    got = {r.col_name: r for r in profile_columns(
+        df, [("a", "int"), ("b", "num2"), ("t", "ts")]).collect()}
+    # native numeric order: 9 < 10 (lexicographic would say '10'<'9')
+    assert (got["a"].min_value, got["a"].max_value) == ("9", "10")
+    assert got["a"].n_nulls == 1 and got["a"].n_distinct == 2
+    assert (got["b"].min_value, got["b"].max_value) == ("2.50", "100.13")
+    assert got["t"].min_value == "2019-12-31 00:00:00"
+    assert got["t"].n_rows == 3
