@@ -571,3 +571,57 @@ def audio_frame_features(media: "DataFrame", frame: int,
     return media.select(id_col, "payload").mapInPandas(
         kernel, "doc_id long, frame_idx int, rms double, "
                 "crossings int")
+
+
+def video_sample_frames(media: DataFrame, id_col: str = "doc_id",
+                        payload_col: str = "payload",
+                        every_n: int = 2) -> DataFrame:
+    """Sample every ``every_n``-th frame of AVI/MJPEG videos and
+    report per-frame pixel statistics — the frame-sampling primitive
+    a multimodal training pipeline runs before captioning/embedding
+    (nobody embeds all 30 fps).
+
+    The container walk (functions/avicodec.py parse_avi) locates the
+    '00dc' chunks WITHOUT decoding them; only the sampled frames go
+    through the baseline JPEG decoder (functions/jpegcodec.py), so
+    the per-row cost is proportional to frames KEPT, not frames
+    stored.  Malformed containers are skipped (quarantine
+    semantics), matching the audio kernel above.
+
+    Scale: stateless Arrow-batched kernel over the binary column —
+    a scan, no shuffle; output is one row per SAMPLED frame
+    ``(id, frame_idx, n_frames, width, height, px_mean, px_min,
+    px_max)``.
+    """
+    import numpy as np
+
+    from geohub_data_pipeline_spark.functions import avicodec as A
+    from geohub_data_pipeline_spark.functions import jpegcodec as J
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(media.sparkSession)
+    step = int(every_n)
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    meta = A.parse_avi(bytes(payload))
+                except ValueError:
+                    continue               # quarantine, don't crash
+                for fi in range(0, meta["n_frames"], step):
+                    px = J.decode_baseline_jpeg(meta["frames"][fi])
+                    rows.append((
+                        int(did), fi, meta["n_frames"],
+                        int(px.shape[1]), int(px.shape[0]),
+                        round(float(px.mean()), 4) + 0.0,
+                        int(px.min()), int(px.max())))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "frame_idx", "n_frames", "width", "height",
+                "px_mean", "px_min", "px_max"])
+
+    return media.select(id_col, payload_col).mapInPandas(
+        kernel, "doc_id long, frame_idx int, n_frames int, "
+                "width int, height int, px_mean double, "
+                "px_min int, px_max int")

@@ -6381,3 +6381,95 @@ def raster_stream_network(spark: SparkSession,
                     F.round("length", 6).alias("length"),
                     "branched", "n_rejected")
             .orderBy("chain_id"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal round 9: AVI/MJPEG container + frame sampling under the gate
+# ---------------------------------------------------------------------------
+
+# Frames are constant EVEN 8x8 tiles (bit-exact through the baseline
+# JPEG codec), so sampled-frame statistics have a closed form over
+# the tile-value formula.
+_VIDEO_SQL = """
+SELECT d.doc_id,
+       CAST(f.fi AS INTEGER) AS frame_idx,
+       CAST(4 + d.doc_id % 5 AS INTEGER) AS n_frames,
+       CAST(16 AS INTEGER) AS width,
+       CAST(16 AS INTEGER) AS height,
+       round(s.mean_v, 4) AS px_mean,
+       CAST(s.min_v AS INTEGER) AS px_min,
+       CAST(s.max_v AS INTEGER) AS px_max
+FROM documents d,
+LATERAL (
+    SELECT i AS fi FROM range(9) r(i)
+    WHERE i < 4 + d.doc_id % 5 AND i % 2 = 0
+) f,
+LATERAL (
+    SELECT avg(((d.doc_id * 7 + f.fi * 13 + t.i * 10) % 128) * 2.0)
+             AS mean_v,
+           min(((d.doc_id * 7 + f.fi * 13 + t.i * 10) % 128) * 2)
+             AS min_v,
+           max(((d.doc_id * 7 + f.fi * 13 + t.i * 10) % 128) * 2)
+             AS max_v
+    FROM range(4) t(i)
+) s
+ORDER BY d.doc_id, frame_idx
+"""
+
+
+@query("multimodal_video_frames", "pipeline",
+       "multimodal: AVI/MJPEG video — real RIFF container walk "
+       "(functions/avicodec.py: chunk tree, even-byte padding, "
+       "header/frame-count validation) + every-Nth frame sampling, "
+       "sampled frames decoded by the baseline JPEG codec under a "
+       "closed-form pixel oracle", _VIDEO_SQL)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a deterministic MJPEG AVI per document (4-8 frames of
+    16x16 constant-tile JPEGs), then run the frame-sampling operator
+    (operators/multimodal.py video_sample_frames): the RIFF walk
+    locates '00dc' chunks without decoding, every 2nd frame decodes
+    through the baseline JPEG path, and per-frame pixel stats land
+    under the oracle.  Container framing (LIST nesting, odd-size
+    chunk padding, avih/strf validation) all sit in the checked
+    path — a corrupt offset or a padding slip shifts bytes and
+    breaks the JPEG decode, which breaks the hash.
+
+    Scale: two stateless Arrow-batched kernels (synthesize, then
+    parse+sample) — a scan each, no shuffle; decode cost scales
+    with frames SAMPLED, not stored.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.functions import avicodec as A
+    from geohub_data_pipeline_spark.functions import jpegcodec as J
+    from geohub_data_pipeline_spark.operators.multimodal import (
+        video_sample_frames,
+    )
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id")
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = []
+                for fi in range(4 + did % 5):
+                    img = np.zeros((16, 16), dtype=np.uint8)
+                    for ti in range(4):
+                        ty, tx = divmod(ti, 2)
+                        img[ty * 8:(ty + 1) * 8, tx * 8:(tx + 1) * 8] \
+                            = ((did * 7 + fi * 13 + ti * 10) % 128) * 2
+                    frames.append(J.encode_baseline_jpeg(img))
+                rows.append((did, A.encode_mjpeg_avi(frames, 16, 16)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    media = base.mapInPandas(synth, "doc_id long, payload binary")
+    return (video_sample_frames(media, every_n=2)
+            .orderBy("doc_id", "frame_idx"))

@@ -263,3 +263,69 @@ def test_audio_frame_features_quarantine_and_framing(spark):
                for r in got)
     with _pytest.raises(ValueError):
         MM.audio_frame_features(media, frame=1)
+
+
+def test_avi_codec_roundtrip_and_validation():
+    """RIFF walk: frames round-trip bit-exactly (odd-size padding
+    honored), malformed containers raise."""
+    import numpy as np
+    import pytest
+
+    from geohub_data_pipeline_spark.functions import avicodec as A
+    from geohub_data_pipeline_spark.functions import jpegcodec as J
+
+    frames = []
+    for f in range(5):
+        img = np.full((16, 24), (f * 40 + 10) % 256, dtype=np.uint8)
+        img[:, :8] = (f * 40 + 60) % 256
+        frames.append(J.encode_baseline_jpeg(img & 0xFE))
+    avi = A.encode_mjpeg_avi(frames, 24, 16, fps=25)
+    m = A.parse_avi(avi)
+    assert (m["width"], m["height"], m["fps"], m["n_frames"]) \
+        == (24, 16, 25, 5)
+    assert m["frames"] == frames            # exact bytes back
+    assert any(len(f) % 2 for f in frames)  # padding path exercised
+
+    with pytest.raises(ValueError):
+        A.parse_avi(avi[:40])               # truncated
+    with pytest.raises(ValueError):
+        A.parse_avi(b"JUNK" + avi[4:])      # bad magic
+    # frame-count mismatch: clip one frame chunk out of movi
+    bad = bytearray(avi)
+    i = bad.find(b"00dc")
+    import struct as _s
+    sz = _s.unpack_from("<I", bad, i + 4)[0]
+    del bad[i:i + 8 + sz + (sz % 2)]
+    _s.pack_into("<I", bad, 4, len(bad) - 8)
+    with pytest.raises(ValueError):
+        A.parse_avi(bytes(bad))
+
+
+def test_video_sample_frames_sampling_and_quarantine(spark):
+    """Every-Nth sampling keeps exactly the right frames; a corrupt
+    payload is skipped, not fatal."""
+    import numpy as np
+
+    from geohub_data_pipeline_spark.functions import avicodec as A
+    from geohub_data_pipeline_spark.functions import jpegcodec as J
+    from geohub_data_pipeline_spark.operators.multimodal import (
+        video_sample_frames,
+    )
+
+    def make(n, base):
+        fr = [J.encode_baseline_jpeg(
+            np.full((8, 8), (base + i * 20) % 250 & 0xFE,
+                    dtype=np.uint8)) for i in range(n)]
+        return A.encode_mjpeg_avi(fr, 8, 8)
+
+    rows = [(1, bytearray(make(7, 10))), (2, bytearray(make(4, 100))),
+            (3, bytearray(b"not an avi at all, sorry"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = video_sample_frames(df, every_n=3).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    assert by_doc == {1: [0, 3, 6], 2: [0, 3]}   # doc 3 quarantined
+    means = {(r.doc_id, r.frame_idx): r.px_mean for r in got}
+    assert means[(1, 3)] == float((10 + 60) % 250 & 0xFE)
+    assert all(r.n_frames in (7, 4) for r in got)
