@@ -340,3 +340,82 @@ def kmv_setop_estimates(dfa: DataFrame, dfb: DataFrame, col: str,
         "est_intersect": float(len(inter)) * scale,
         "est_diff": float(len(diff)) * scale,
     }
+
+
+def join_cardinality_estimate(dfa: DataFrame, key_a: str,
+                              dfb: DataFrame, key_b: str,
+                              k: int = 1024) -> dict:
+    """Estimate ``|A ⋈ B|`` (inner equi-join output rows) WITHOUT
+    running the join — the end-biased-sampling / theta-sketch trick
+    query optimizers use to choose join strategies: join sizes are
+    ``sum_key cA(key) * cB(key)``, and a uniform HASH sample of the
+    key domain estimates that sum unbiasedly because both sides
+    agree on which keys fall below theta.
+
+    Two phases, both cheap relative to the join being sized:
+
+    1. a KMV pass over the two key columns fixes ``theta`` = the
+       k-th smallest distinct hash of the UNION key domain (the
+       sample fraction is then ~ k / |keys|);
+    2. each side filters to ``xxhash64(key) < theta`` — a JVM-side
+       predicate that keeps ~k keys' worth of rows — aggregates
+       per-key counts of the SAMPLE, and the two tiny count tables
+       join and dot-product.  ``est = sample_dot * 2^64 / theta``.
+
+    Everything heavy stays JVM-side (hash filter + groupBy of a
+    ~k-key subset); the driver sees only the merged KMV mins and
+    the one-row dot product.  Exact when the union key domain has
+    fewer than k distinct values (theta = 2^64, sample = everything
+    — the small-SF gate regime).
+
+    Returns ``{"estimate": float, "theta_frac": float}`` where
+    theta_frac is the sampled fraction of hash space.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.session import ship_package
+    ship_package(dfa.sparkSession)
+    kk = int(k)
+
+    keys = (dfa.select(F.col(key_a).alias("key"))
+            .unionAll(dfb.select(F.col(key_b).alias("key"))))
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: list = []
+        for pdf in it:
+            hs = (pdf["key"].to_numpy(np.int64).view(np.uint64)
+                  ^ _FLIP)
+            if len(hs):
+                best.append(np.unique(hs)[:kk])
+        mins = _kmv_merge(best, kk)
+        yield pd.DataFrame(
+            {"mins": [(mins ^ _FLIP).view(np.int64).tolist()]})
+
+    parts = keys.select(F.xxhash64(F.col("key")).alias("key")) \
+        .mapInPandas(build, "mins array<long>").collect()
+    mins = _kmv_merge(
+        [np.asarray(r["mins"], dtype=np.int64).view(np.uint64) ^ _FLIP
+         for r in parts], kk)
+    theta = int(mins[kk - 1]) + 1 if len(mins) >= kk else 2 ** 64
+    # back to the SIGNED threshold xxhash64 compares against (the
+    # flip is monotone, so unsigned h < theta <=> signed h < thr)
+    thr = int(np.uint64(theta % 2 ** 64) ^ _FLIP.item()) \
+        - (2 ** 64 if (theta % 2 ** 64) ^ int(_FLIP) >= 2 ** 63 else 0)
+
+    def sample_counts(df, key):
+        s = df.select(F.col(key).alias("key"),
+                      F.xxhash64(F.col(key)).alias("__h"))
+        if theta < 2 ** 64:
+            s = s.filter(F.col("__h") < F.lit(thr))
+        return s.groupBy("key").agg(F.count(F.lit(1)).alias("c"))
+
+    ca = sample_counts(dfa, key_a)
+    cb = sample_counts(dfb, key_b).withColumnRenamed("c", "c2")
+    row = (ca.join(cb, "key")
+           .agg(F.sum(F.col("c") * F.col("c2")).alias("dot"))
+           .collect()[0])
+    dot = int(row["dot"] or 0)
+    return {"estimate": dot * (2.0 ** 64) / float(theta),
+            "theta_frac": float(theta) / 2.0 ** 64}

@@ -55,18 +55,22 @@ from geohub_data_pipeline_spark.plans.registry import promote  # noqa: E402
 # events_interval_overlap (epoch-us interval clamp),
 # profile_table_columns (single-pass column profiler) and
 # data_quality_checks (declarative validation with seeded
-# violations), and multimodal_video_frames (AVI/MJPEG RIFF walk +
-# frame sampling) — each verified at sf0.001 AND sf0.01 under a
-# vanilla driver session; (c) the STALEST block — the r4-checked
-# queries, which have waited longest since their last driver row;
-# 31 new/changed + the first 19 of the 33 r4-stale queries = 50;
-# the last fourteen r4 members (window_range_frame,
+# violations), multimodal_video_frames (AVI/MJPEG RIFF walk +
+# frame sampling), join_cardinality_estimate (pre-join sizing via
+# theta sampling), events_seasonal_decompose (MA trend + dow
+# index), and dedup_containment (asymmetric Broder containment) —
+# each verified at sf0.001 AND sf0.01 under a vanilla driver
+# session; (c) the STALEST block — the r4-checked queries, which
+# have waited longest since their last driver row; 34 new/changed
+# + the first 16 of the 33 r4-stale queries = 50; the last
+# seventeen r4 members (events_dedup_latest, events_json_props,
+# events_map_functions, window_range_frame,
 # events_time_range_pushdown, events_watermark_lateness,
 # events_funnel, zoom_heuristic, gdb_source, nc4_probe,
 # crs_roundtrip_extended, jpeg_pixel_stats, erdas_source,
 # fgb_source, gif_pixel_stats, raster_warp, geotiff_source — slots
-# 51-64) carry over to lead the r10 prefix.
-# 65+: the r5 block (q1_pricing_summary first), then r6, r7, r8
+# 51-67) carry over to lead the r10 prefix.
+# 68+: the r5 block (q1_pricing_summary first), then r6, r7, r8
 # greens.  Every prefix entry verified this
 # round with scripts/check_oracle.py at sf0.001 and the new/changed
 # ones additionally at sf0.01 under a VANILLA driver-style session.
@@ -102,6 +106,9 @@ promote([
     "profile_table_columns",
     "data_quality_checks",
     "multimodal_video_frames",
+    "join_cardinality_estimate",
+    "events_seasonal_decompose",
+    "dedup_containment",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",

@@ -2576,3 +2576,96 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59))
         .alias("fk_grade"))
         .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# asymmetric near-dup: shingle containment (quote / subset detection)
+# ---------------------------------------------------------------------------
+
+_CONTAINMENT_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {DUP_OFFSET} AS doc_id, text FROM documents
+  WHERE doc_id % {DUP_EVERY} = 0
+),
+w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM corpus
+),
+sh AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, least(len(ws) - 2, 50) + 1),
+           i -> ws[i] || '_' || ws[i+1] || '_' || ws[i+2]) AS s
+  FROM w WHERE len(ws) >= 3
+),
+tok AS (SELECT DISTINCT doc_id, unnest(s) AS term FROM sh),
+dfq AS (SELECT term, count(*) AS dfreq FROM tok GROUP BY term),
+banded AS (
+  SELECT tok.doc_id, tok.term FROM tok
+  JOIN dfq USING (term) WHERE dfreq <= 20
+),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM banded
+       GROUP BY doc_id),
+shared AS (
+  SELECT banded.doc_id, banded.term FROM banded
+  JOIN dfq USING (term) WHERE dfreq BETWEEN 2 AND 20
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS common_shingles
+  FROM shared a JOIN shared b
+    ON a.term = b.term AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, common_shingles,
+       (1000000 * common_shingles) // sa.n AS containment_ppm
+FROM inter JOIN sz sa ON sa.doc_id = inter.doc_a
+WHERE (1000000 * common_shingles) // sa.n >= 600000
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("dedup_containment", "llm",
+       "north star: ASYMMETRIC near-dup — shingle containment "
+       "|S_a ∩ S_b| / |S_a| in exact ppm (detects quotes/subsets "
+       "that symmetric Jaccard misses); df-capped inverted-index "
+       "join, directed pairs, integer division",
+       _CONTAINMENT_SQL)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed document pairs with shingle containment >= 0.6 over
+    the duplicate-injected corpus: containment C(a, b) =
+    |S_a ∩ S_b| / |S_a| is the ASYMMETRIC companion to Jaccard
+    (Broder's original resemblance/containment pair) — a short doc
+    quoted inside a long one scores ~1.0 in one direction and low
+    Jaccard, which is exactly the case dedup_ngram_jaccard cannot
+    flag.  Denominators count each doc's distinct shingles in the
+    df <= 20 vocabulary; intersections ride the df in [2, 20]
+    posting lists (a df-1 shingle can share nothing), so every
+    posting list and per-term pair fan-out stays bounded at corpus
+    scale.  Integer ppm division keeps the hash bit-exact.
+    """
+    from geohub_data_pipeline_spark.functions import text as T
+
+    docs = _corpus(spark, sf_dir)
+    tok = (docs.select(
+        "doc_id", F.explode(T.word_shingles(F.col("text")))
+        .alias("term")).distinct())
+    dfq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    banded = (tok.join(dfq, "term").filter(F.col("dfreq") <= 20)
+              .select("doc_id", "term", "dfreq"))
+    sz = (banded.groupBy("doc_id")
+          .agg(F.count(F.lit(1)).alias("n")))
+    shared = banded.filter(F.col("dfreq") >= 2).select("doc_id", "term")
+    a = shared.select(F.col("doc_id").alias("doc_a"), "term")
+    b = shared.select(F.col("doc_id").alias("doc_b"), "term")
+    inter = (a.join(b, "term")
+             .filter(F.col("doc_a") != F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("common_shingles")))
+    return (inter.join(sz.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+            .select("doc_a", "doc_b", "common_shingles",
+                    F.expr("(1000000 * common_shingles) div n")
+                    .alias("containment_ppm"))
+            .filter(F.col("containment_ppm") >= 600_000)
+            .orderBy("doc_a", "doc_b"))

@@ -780,3 +780,76 @@ def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("ov_us").alias("overlap_us"))
             .filter(F.col("overlap_us") > 0)
             .orderBy("user_id"))
+
+
+_SEASONAL_SQL = """
+WITH d AS (
+  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT day, n_events,
+         CASE WHEN count(*) OVER win = 7
+              THEN CAST(sum(n_events) OVER win AS BIGINT) END AS sum7,
+         CAST(epoch_us(day) // 86400000000 % 7 AS BIGINT) AS dow
+  FROM d
+  WINDOW win AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+r AS (
+  SELECT day, n_events, sum7, dow,
+         CAST(7 * n_events - sum7 AS BIGINT) AS resid7
+  FROM w
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, n_events, sum7, dow, resid7,
+       CAST(sum(resid7) OVER (PARTITION BY dow) AS DOUBLE)
+         / count(resid7) OVER (PARTITION BY dow) AS dow_mean_resid7
+FROM r ORDER BY day
+"""
+
+
+@query("events_seasonal_decompose", "temporal",
+       "temporal closure: trend/seasonal decomposition — 7-day "
+       "centered moving-average trend (full windows only) and "
+       "day-of-week seasonal index, all integer until one final "
+       "division (residuals scaled by 7 so no float sums ever "
+       "accumulate)", _SEASONAL_SQL)
+def events_seasonal_decompose(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Classic moving-average seasonal decomposition of the daily
+    event count: trend = centered 7-day sum (NULL at the edges where
+    the window is partial), residual held as the INTEGER
+    7*count - sum7 (so nothing fractional accumulates), and the
+    day-of-week seasonal index as one final sum/count division per
+    dow partition.  Day-of-week comes from epoch-day arithmetic —
+    both engines' dayofweek() disagree on numbering, epoch division
+    does not.
+
+    Scale: one groupBy(day) (map-side combining), then windows over
+    the DAY-GRAIN relation — thousands of rows per tracked year no
+    matter how many raw events, so the window stage is free; the
+    heavy lifting is the first aggregation.
+    """
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    d = (t.events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events")))
+    win = Window.orderBy("day").rowsBetween(-3, 3)
+    w = d.select(
+        "day", "n_events",
+        F.when(F.count(F.lit(1)).over(win) == 7,
+               F.sum("n_events").over(win)).alias("sum7"),
+        (F.unix_micros(F.col("day")) / F.lit(86_400_000_000) % 7)
+        .cast("long").alias("dow"))
+    r = w.withColumn(
+        "resid7", (F.lit(7) * F.col("n_events") - F.col("sum7"))
+        .cast("long"))
+    dw = Window.partitionBy("dow")
+    return (r.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events", "sum7", "dow", "resid7",
+        (F.sum("resid7").over(dw).cast("double")
+         / F.count("resid7").over(dw)).alias("dow_mean_resid7"))
+        .orderBy("day"))

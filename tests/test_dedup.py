@@ -238,3 +238,38 @@ def test_sparse_cosine_pairs_matches_brute_force(spark):
     # 3's substitution shingles are hapaxes too, but 1/2 KEEP their
     # df=2 'delta' shingles that 3 lacks -> a genuinely partial match
     assert (1, 3) in got and 0.3 <= got[(1, 3)] < 1.0
+
+
+def test_containment_is_asymmetric(spark):
+    """A short doc quoted inside a long one: containment ~1 in the
+    short->long direction, low the other way — the case symmetric
+    Jaccard misses.  Checked through the registry query's exact
+    pipeline shape on a hand-built corpus."""
+    from pyspark.sql import functions as F
+
+    from geohub_data_pipeline_spark.functions import text as T
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, short), (2, short + " " + filler), (3, filler)],
+        "doc_id long, text string")
+    tok = (docs.select("doc_id",
+                       F.explode(T.word_shingles(F.col("text")))
+                       .alias("term")).distinct())
+    dfq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    banded = tok.join(dfq, "term").filter(F.col("dfreq") <= 20)
+    sz = banded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    shared = banded.filter(F.col("dfreq") >= 2).select("doc_id", "term")
+    a = shared.select(F.col("doc_id").alias("doc_a"), "term")
+    b = shared.select(F.col("doc_id").alias("doc_b"), "term")
+    inter = (a.join(b, "term")
+             .filter(F.col("doc_a") != F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("c")))
+    got = {(r.doc_a, r.doc_b):
+           1_000_000 * r.c // r.n for r in
+           inter.join(sz.withColumnRenamed("doc_id", "doc_a"),
+                      "doc_a").collect()}
+    assert got[(1, 2)] == 1_000_000      # short fully inside long
+    assert got[(2, 1)] < 250_000         # long not inside short

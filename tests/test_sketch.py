@@ -120,3 +120,29 @@ def test_kmv_error_bound_above_k(spark):
             assert abs(est[op] - exact) <= 5 * rse * 1.5 * n, (
                 parts, op, est[op], exact)
     assert ests[0] == ests[1]          # layout-independent
+
+
+def test_join_cardinality_exact_below_k_and_bounded_above(spark):
+    """Join-size estimate: exact when the union key domain fits the
+    sketch; within 5 RSE on a skewed 20k-key domain above it."""
+    from pyspark.sql import functions as F
+
+    from geohub_data_pipeline_spark.operators import sketch as SK
+
+    # small domain: exact.  A has key i twice, B once -> |A><B| = 2n
+    n = 300
+    dfa = spark.range(0, n).select(
+        F.explode(F.array(F.col("id"), F.col("id"))).alias("k"))
+    dfb = spark.range(0, n).withColumnRenamed("id", "k")
+    r = SK.join_cardinality_estimate(dfa, "k", dfb, "k", k=1024)
+    assert r["estimate"] == float(2 * n)
+    assert r["theta_frac"] == 1.0
+
+    # big skewed domain: key i appears (i % 7) + 1 times on each side
+    big = spark.range(0, 20_000).select(
+        F.col("id").alias("k"), ((F.col("id") % 7) + 1).alias("m"))
+    rep = big.select(F.explode(F.expr(
+        "transform(sequence(1, m), x -> k)")).alias("k"))
+    r = SK.join_cardinality_estimate(rep, "k", rep, "k", k=1024)
+    exact = sum(((i % 7) + 1) ** 2 for i in range(20_000))
+    assert abs(r["estimate"] - exact) <= 5 * exact / (1024 - 1) ** 0.5
