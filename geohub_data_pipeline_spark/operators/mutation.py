@@ -172,3 +172,40 @@ def quality_checks(df: DataFrame, *, not_null: list[str] = (),
     return (spark.createDataFrame(
         [(n, v, v == 0) for n, v in out],
         "check_name string, violations long, passed boolean"))
+
+
+def apply_changelog(base: DataFrame, changes: DataFrame, key: str,
+                    seq: str, op: str = "op") -> DataFrame:
+    """Compact a CDC changelog onto a base snapshot — the
+    merge-on-read resolution every lakehouse upsert table performs
+    (Delta MERGE / Hudi compaction / Kafka-connect upsert sinks):
+    for each key, the HIGHEST-sequence change wins; a winning 'D'
+    deletes the key; keys without changes keep their base row.
+
+    The base rides along as sequence -1 (below every real change),
+    so resolution is ONE window — row_number over
+    (partition by key, order by seq desc) — then keep rank 1 rows
+    whose op is not 'D'.  No joins, no driver state; the shuffle is
+    keyed on the table key, which is how this stays one pass when
+    the changelog is 100 TB of kafka history against a wide base.
+
+    ``changes`` must carry the same value columns as ``base`` plus
+    ``seq`` (bigint, unique per key — ties would be
+    nondeterministic, so the caller guarantees uniqueness the way
+    log offsets do) and ``op`` in {'I','U','D'} ('I' and 'U' both
+    mean upsert; the distinction is kept for audit output).
+    """
+    from pyspark.sql.window import Window
+
+    value_cols = [c for c in base.columns if c != key]
+    b = base.select(key, *value_cols,
+                    F.lit(-1).cast("long").alias(seq),
+                    F.lit("U").alias(op))
+    c = changes.select(key, *value_cols,
+                       F.col(seq).cast("long").alias(seq),
+                       F.col(op))
+    w = Window.partitionBy(key).orderBy(F.desc(seq))
+    return (b.unionByName(c)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") == 1) & (F.col(op) != "D"))
+            .select(key, *value_cols))

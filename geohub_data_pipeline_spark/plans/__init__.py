@@ -58,12 +58,14 @@ from geohub_data_pipeline_spark.plans.registry import promote  # noqa: E402
 # violations), multimodal_video_frames (AVI/MJPEG RIFF walk +
 # frame sampling), join_cardinality_estimate (pre-join sizing via
 # theta sampling), events_seasonal_decompose (MA trend + dow
-# index), and dedup_containment (asymmetric Broder containment) —
-# each verified at sf0.001 AND sf0.01 under a vanilla driver
-# session; (c) the STALEST block — the r4-checked queries, which
-# have waited longest since their last driver row; 34 new/changed
-# + the first 16 of the 33 r4-stale queries = 50; the last
-# seventeen r4 members (events_dedup_latest, events_json_props,
+# index), dedup_containment (asymmetric Broder containment), and
+# cdc_apply_changelog (CDC log compaction, completing the lakehouse
+# mutation family) — each verified at sf0.001 AND sf0.01 under a
+# vanilla driver session; (c) the STALEST block — the r4-checked
+# queries, which have waited longest since their last driver row;
+# 35 new/changed + the first 15 of the 33 r4-stale queries = 50;
+# the last eighteen r4 members (events_sliding_window,
+# events_dedup_latest, events_json_props,
 # events_map_functions, window_range_frame,
 # events_time_range_pushdown, events_watermark_lateness,
 # events_funnel, zoom_heuristic, gdb_source, nc4_probe,
@@ -109,6 +111,7 @@ promote([
     "join_cardinality_estimate",
     "events_seasonal_decompose",
     "dedup_containment",
+    "cdc_apply_changelog",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",

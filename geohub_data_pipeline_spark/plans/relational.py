@@ -3336,3 +3336,72 @@ def join_cardinality_estimate_q(spark: SparkSession,
     return spark.createDataFrame(
         [(exact, bool(abs(est - exact) <= 0.08 * exact))],
         "exact_rows long, within_tol boolean")
+
+
+_CDC_SQL = """
+WITH base AS (
+  SELECT c_custkey AS k, c_acctbal AS bal, c_mktsegment AS seg
+  FROM customer
+),
+chg AS (
+  SELECT o_custkey AS k,
+         o_totalprice AS bal,
+         o_orderpriority AS seg,
+         o_orderkey AS seq,
+         CASE WHEN o_orderkey % 10 < 6 THEN 'U'
+              WHEN o_orderkey % 10 < 8 THEN 'I'
+              ELSE 'D' END AS op
+  FROM orders
+),
+unioned AS (
+  SELECT k, bal, seg, CAST(-1 AS BIGINT) AS seq, 'U' AS op FROM base
+  UNION ALL SELECT k, bal, seg, CAST(seq AS BIGINT), op FROM chg
+),
+ranked AS (
+  SELECT k, bal, seg, op,
+         row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+  FROM unioned
+)
+SELECT k, bal, seg FROM ranked WHERE rn = 1 AND op <> 'D'
+ORDER BY k
+"""
+
+
+@query("cdc_apply_changelog", "relational",
+       "lakehouse mutation: CDC changelog compaction onto a base "
+       "snapshot (Delta MERGE / Hudi merge-on-read resolution) — "
+       "base rides as sequence -1, ONE key-partitioned window "
+       "resolves last-writer-wins, winning deletes drop the key; "
+       "no join, no driver state", _CDC_SQL)
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a deterministic changelog derived from orders (op by
+    orderkey mod 10: 60% update / 20% insert / 20% delete, sequence
+    = orderkey — unique like a log offset) onto the customer
+    snapshot (operators/mutation.py apply_changelog).  Keys touched
+    only by a delete vanish; untouched keys keep their base row;
+    everything else takes the highest-sequence change — all decided
+    by one row_number window keyed on the table key.
+
+    Completes the lakehouse mutation family: SCD2 keeps history
+    (scd2_merge_dimension), snapshot diff audits it
+    (table_diff_snapshots), incremental maintenance folds deltas
+    into aggregates (agg_incremental_maintenance), and this one
+    compacts raw CDC streams into current state.
+    """
+    from geohub_data_pipeline_spark.operators.mutation import (
+        apply_changelog,
+    )
+
+    t = load_tables(spark, sf_dir)
+    base = t.customer.select(F.col("c_custkey").alias("k"),
+                             F.col("c_acctbal").alias("bal"),
+                             F.col("c_mktsegment").alias("seg"))
+    chg = t.orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_totalprice").alias("bal"),
+        F.col("o_orderpriority").alias("seg"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 10 < 6, "U")
+        .when(F.col("o_orderkey") % 10 < 8, "I")
+        .otherwise("D").alias("op"))
+    return apply_changelog(base, chg, "k", "seq").orderBy("k")

@@ -127,3 +127,30 @@ def test_profile_columns_exact_and_formatted(spark):
     assert (got["b"].min_value, got["b"].max_value) == ("2.50", "100.13")
     assert got["t"].min_value == "2019-12-31 00:00:00"
     assert got["t"].n_rows == 3
+
+
+def test_apply_changelog_last_writer_wins(spark):
+    """CDC compaction: delete wins at highest seq, re-insert after
+    delete resurrects, untouched base rows persist, brand-new keys
+    appear."""
+    from geohub_data_pipeline_spark.operators.mutation import (
+        apply_changelog,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    chg = spark.createDataFrame(
+        [(1, "a2", 10, "U"),           # update
+         (2, "x", 5, "U"), (2, None, 7, "D"),   # update then delete
+         (3, None, 4, "D"), (3, "c2", 9, "I"),  # delete then re-insert
+         (4, "new", 3, "I")],          # key not in base
+        "k long, v string, seq long, op string")
+    got = {r.k: r.v for r in
+           apply_changelog(base, chg, "k", "seq").collect()}
+    assert got == {1: "a2", 3: "c2", 4: "new"}
+
+    # empty changelog: snapshot unchanged
+    empty = chg.filter("seq < 0")
+    got2 = {r.k: r.v for r in
+            apply_changelog(base, empty, "k", "seq").collect()}
+    assert got2 == {1: "a", 2: "b", 3: "c"}
