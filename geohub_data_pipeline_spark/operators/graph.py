@@ -173,3 +173,57 @@ def common_neighbor_pairs(edges: DataFrame, min_common: int = 2,
             .select("node_a", "node_b", "common_cnt",
                     F.expr("(1000000 * common_cnt) div "
                            "(da + db - common_cnt)").alias("jaccard_ppm")))
+
+
+def label_propagation(edges: DataFrame, rounds: int = 3,
+                      src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan
+    et al. 2007), made DETERMINISTIC: every node starts labeled with
+    itself; each round it adopts the label with the highest vote
+    count among its neighbors PLUS its own current label, ties
+    broken by the smaller label.  The classic LPA breaks ties
+    randomly; the (count desc, label asc) rule makes the same input
+    produce the same communities on any engine/partitioning — the
+    oracle requirement — while keeping the community behavior
+    connected components cannot give (a single bridge edge does NOT
+    merge two dense blocks, because one vote loses to many).
+
+    Runs a FIXED number of synchronous rounds (callers pick small
+    rounds; LPA famously converges in ~5), so a round-unrolled SQL
+    oracle can reproduce it exactly — no convergence probe needed.
+
+    Scale per round: one edge-to-label join keyed on the neighbor
+    id, one (node, label) vote count, one per-node argmax window —
+    all shuffles keyed on node ids, label state is O(V), edges are
+    checkpointed once and never re-shipped.
+
+    Returns ``(node, label)``.
+    """
+    from pyspark.sql.window import Window
+
+    sym = (edges.select(F.col(src).cast("long").alias("u"),
+                        F.col(dst).cast("long").alias("v"))
+           .filter(F.col("u") != F.col("v"))
+           .select(F.least("u", "v").alias("u"),
+                   F.greatest("u", "v").alias("v"))
+           .distinct())
+    adj = (sym.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+           .unionAll(sym.select(F.col("v").alias("node"),
+                                F.col("u").alias("nbr")))
+           .localCheckpoint())
+    labels = (adj.select("node").distinct()
+              .withColumn("label", F.col("node"))
+              .localCheckpoint())
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(rounds):
+        nbr_votes = (adj.join(
+            labels.withColumnRenamed("node", "nbr"), "nbr")
+            .select("node", "label"))
+        votes = nbr_votes.unionAll(labels.select("node", "label"))
+        tally = (votes.groupBy("node", "label")
+                 .agg(F.count(F.lit(1)).alias("c")))
+        labels = (tally.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == 1)
+                  .select("node", "label")
+                  .localCheckpoint())
+    return labels

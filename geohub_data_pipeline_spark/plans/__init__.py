@@ -60,11 +60,13 @@ from geohub_data_pipeline_spark.plans.registry import promote  # noqa: E402
 # theta sampling), events_seasonal_decompose (MA trend + dow
 # index), dedup_containment (asymmetric Broder containment), and
 # cdc_apply_changelog (CDC log compaction, completing the lakehouse
-# mutation family) — each verified at sf0.001 AND sf0.01 under a
-# vanilla driver session; (c) the STALEST block — the r4-checked
-# queries, which have waited longest since their last driver row;
-# 35 new/changed + the first 15 of the 33 r4-stale queries = 50;
-# the last eighteen r4 members (events_sliding_window,
+# mutation family), and graph_label_propagation (deterministic
+# synchronous LPA communities) — each verified at sf0.001 AND
+# sf0.01 under a vanilla driver session; (c) the STALEST block —
+# the r4-checked queries, which have waited longest since their
+# last driver row; 36 new/changed + the first 14 of the 33
+# r4-stale queries = 50; the last nineteen r4 members
+# (events_tumbling_window, events_sliding_window,
 # events_dedup_latest, events_json_props,
 # events_map_functions, window_range_frame,
 # events_time_range_pushdown, events_watermark_lateness,
@@ -112,6 +114,7 @@ promote([
     "events_seasonal_decompose",
     "dedup_containment",
     "cdc_apply_changelog",
+    "graph_label_propagation",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",

@@ -2669,3 +2669,95 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("containment_ppm"))
             .filter(F.col("containment_ppm") >= 600_000)
             .orderBy("doc_a", "doc_b"))
+
+
+def _lpa_sql(rounds: int = 3) -> str:
+    """Round-unrolled synchronous LPA oracle.  Labels are
+    MATERIALIZED per round (each round references the previous
+    label table twice: neighbor join + self vote)."""
+    head = """WITH res AS (
+  SELECT DISTINCT CAST(event_id % 60 AS BIGINT) AS u FROM events
+),
+raw AS (
+  SELECT u, CASE WHEN u < 30 THEN (u + 1) % 30
+                 ELSE 30 + ((u - 30 + 1) % 30) END AS v FROM res
+  UNION ALL
+  SELECT u, CASE WHEN u < 30 THEN (u + 2) % 30
+                 ELSE 30 + ((u - 30 + 2) % 30) END FROM res
+  UNION ALL
+  SELECT u, CASE WHEN u < 30 THEN (u + 3) % 30
+                 ELSE 30 + ((u - 30 + 3) % 30) END FROM res
+  UNION ALL
+  SELECT u, CAST(30 AS BIGINT) FROM res WHERE u = 29
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+  FROM raw WHERE u <> v
+),
+adj AS MATERIALIZED (
+  SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e
+),
+l0 AS MATERIALIZED (
+  SELECT node, node AS label FROM (SELECT DISTINCT node FROM adj)
+)"""
+    parts = [head]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+v{i} AS (
+  SELECT a.node, l.label FROM adj a JOIN l{i-1} l ON l.node = a.nbr
+  UNION ALL SELECT node, label FROM l{i-1}
+),
+t{i} AS (SELECT node, label, count(*) AS c FROM v{i}
+         GROUP BY node, label),
+l{i} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, label) AS rn
+    FROM t{i}) WHERE rn = 1
+)""")
+    parts.append(f"""
+SELECT node, CAST(label AS BIGINT) AS label FROM l{rounds}
+ORDER BY node""")
+    return "".join(parts)
+
+
+@query("graph_label_propagation", "llm",
+       "graph analytics: deterministic synchronous label-propagation "
+       "communities (count-desc/label-asc tie-break instead of LPA's "
+       "random choice) — a bridge edge does NOT merge two dense "
+       "blocks, the community behavior connected components cannot "
+       "give; fixed rounds, round-unrolled oracle", _lpa_sql())
+def graph_label_propagation(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Three synchronous LPA rounds over a deterministic 60-node
+    graph built as two dense circulant blocks C30(1,2,3) joined by
+    ONE bridge edge (29-30).  After three rounds the label sets of
+    the two blocks are disjoint — the single bridge vote always
+    loses to the in-block majority — while hash-to-min connected
+    components would collapse everything to label 0; that contrast
+    is what this gate certifies, along with the vote-count/argmax
+    machinery (operators/graph.py label_propagation).
+
+    Scale per round: one neighbor-keyed label join, one (node,
+    label) vote count, one per-node argmax window — all shuffles
+    keyed on node ids; edges checkpoint once.
+    """
+    from geohub_data_pipeline_spark.operators import graph as G
+
+    t = load_tables(spark, sf_dir)
+    u = (t.events.select((F.col("event_id").cast("long") % 60)
+                         .alias("u")).distinct())
+    in_block = lambda k: (F.when(  # noqa: E731
+        F.col("u") < 30, (F.col("u") + k) % 30)
+        .otherwise(30 + ((F.col("u") - 30 + k) % 30)))
+    edges = (
+        u.select(F.col("u").alias("id_a"), in_block(1).alias("id_b"))
+        .unionAll(u.select(F.col("u").alias("id_a"),
+                           in_block(2).alias("id_b")))
+        .unionAll(u.select(F.col("u").alias("id_a"),
+                           in_block(3).alias("id_b")))
+        .unionAll(u.filter(F.col("u") == 29)
+                  .select(F.col("u").alias("id_a"),
+                          F.lit(30).cast("long").alias("id_b"))))
+    return G.label_propagation(edges, rounds=3).orderBy("node")

@@ -157,3 +157,47 @@ def test_graph_plans_no_cartesian(spark):
                        .withColumnRenamed("id_b", "dst"), source=0)):
         plan = (plan_df._jdf.queryExecution().executedPlan().toString())
         assert "CartesianProduct" not in plan
+
+
+def test_label_propagation_matches_reference_and_keeps_blocks(spark):
+    """Synchronous LPA with (count desc, label asc) tie-break equals
+    the sequential reference on a random graph; on a two-block
+    bridge graph the blocks keep disjoint label sets (what CC cannot
+    do)."""
+    rng, edges = _random_edges(31, n_nodes=30, n_edges=70)
+    df = spark.createDataFrame(list(edges), "id_a long, id_b long")
+    got = {r.node: r.label
+           for r in G.label_propagation(df, rounds=3).collect()}
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lab = {n: n for n in adj}
+    for _ in range(3):
+        new = {}
+        for n in adj:
+            votes = {}
+            for m in adj[n]:
+                votes[lab[m]] = votes.get(lab[m], 0) + 1
+            votes[lab[n]] = votes.get(lab[n], 0) + 1
+            new[n] = sorted(votes.items(),
+                            key=lambda kv: (-kv[1], kv[0]))[0][0]
+        lab = new
+    assert got == lab
+
+    # two dense blocks + one bridge: labels stay block-local
+    blocks = set()
+    for u in range(20):
+        for k in (1, 2, 3):
+            v = (u + k) % 10 if u < 10 else 10 + ((u - 10 + k) % 10)
+            if v != u:
+                blocks.add((min(u, v), max(u, v)))
+    blocks.add((9, 10))
+    bdf = spark.createDataFrame(list(blocks), "id_a long, id_b long")
+    lp = {r.node: r.label
+          for r in G.label_propagation(bdf, rounds=3).collect()}
+    a_labels = {lp[n] for n in range(10)}
+    b_labels = {lp[n] for n in range(10, 20)}
+    assert a_labels <= set(range(10))
+    assert b_labels <= set(range(10, 20))
