@@ -60,13 +60,16 @@ from geohub_data_pipeline_spark.plans.registry import promote  # noqa: E402
 # theta sampling), events_seasonal_decompose (MA trend + dow
 # index), dedup_containment (asymmetric Broder containment), and
 # cdc_apply_changelog (CDC log compaction, completing the lakehouse
-# mutation family), and graph_label_propagation (deterministic
-# synchronous LPA communities) — each verified at sf0.001 AND
-# sf0.01 under a vanilla driver session; (c) the STALEST block —
-# the r4-checked queries, which have waited longest since their
-# last driver row; 36 new/changed + the first 14 of the 33
-# r4-stale queries = 50; the last nineteen r4 members
-# (events_tumbling_window, events_sliding_window,
+# mutation family), graph_label_propagation (deterministic
+# synchronous LPA communities), events_attribution_last_touch
+# (windowed argmax credit, no self-join), and
+# basket_copurchase_rules (order-keyed association rules) — each
+# verified at sf0.001 AND sf0.01 under a vanilla driver session;
+# (c) the STALEST block — the r4-checked queries, which have
+# waited longest since their last driver row; 38 new/changed + the
+# first 12 of the 33 r4-stale queries = 50; the last twenty-one r4
+# members (events_sessionization, asof_join_events,
+# events_tumbling_window, events_sliding_window,
 # events_dedup_latest, events_json_props,
 # events_map_functions, window_range_frame,
 # events_time_range_pushdown, events_watermark_lateness,
@@ -115,6 +118,8 @@ promote([
     "dedup_containment",
     "cdc_apply_changelog",
     "graph_label_propagation",
+    "events_attribution_last_touch",
+    "basket_copurchase_rules",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",

@@ -3405,3 +3405,69 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("o_orderkey") % 10 < 8, "I")
         .otherwise("D").alias("op"))
     return apply_changelog(base, chg, "k", "seq").orderBy("k")
+
+
+_COPURCHASE_SQL = """
+WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem),
+n AS (SELECT count(DISTINCT o) AS n_orders FROM b),
+sup1 AS (SELECT p, CAST(count(*) AS BIGINT) AS s FROM b GROUP BY p),
+pr AS (
+  SELECT a.p AS item_a, b2.p AS item_b,
+         CAST(count(*) AS BIGINT) AS support
+  FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p
+  GROUP BY a.p, b2.p HAVING count(*) >= 2
+)
+SELECT item_a, item_b, support,
+       (1000000 * support) // sa.s AS conf_ab_ppm,
+       (1000000 * support) // sb.s AS conf_ba_ppm,
+       (1000000 * support * n.n_orders) // (sa.s * sb.s) AS lift_ppm
+FROM pr
+JOIN sup1 sa ON sa.p = pr.item_a
+JOIN sup1 sb ON sb.p = pr.item_b
+CROSS JOIN n
+ORDER BY item_a, item_b
+"""
+
+
+@query("basket_copurchase_rules", "relational",
+       "relational closure: market-basket association rules — "
+       "order-keyed basket self-join (fan-out bounded by basket "
+       "size, never catalog size), support / both-direction "
+       "confidence / lift in exact integer ppm",
+       _COPURCHASE_SQL)
+def basket_copurchase_rules(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Part pairs co-purchased in >= 2 orders with support,
+    directional confidences, and lift — the Apriori-style pair pass
+    every recommender bootstrap runs.  The pair relation comes from
+    a self-join keyed on the ORDER (so a basket of k items fans out
+    C(k,2), bounded by basket size — the join never touches catalog
+    x catalog), item supports broadcast back in, and every ratio is
+    an integer ppm division, bit-exact across engines.
+    """
+    t = load_tables(spark, sf_dir)
+    b = (t.lineitem.select(F.col("l_orderkey").alias("o"),
+                           F.col("l_partkey").alias("p"))
+         .distinct())
+    n_orders = b.select("o").distinct().count()
+    sup1 = b.groupBy("p").agg(F.count(F.lit(1)).alias("s"))
+    a = b.select("o", F.col("p").alias("item_a"))
+    b2 = b.select("o", F.col("p").alias("item_b"))
+    pr = (a.join(b2, "o")
+          .filter(F.col("item_a") < F.col("item_b"))
+          .groupBy("item_a", "item_b")
+          .agg(F.count(F.lit(1)).alias("support"))
+          .filter(F.col("support") >= 2))
+    sa = sup1.select(F.col("p").alias("item_a"), F.col("s").alias("sa"))
+    sb = sup1.select(F.col("p").alias("item_b"), F.col("s").alias("sb"))
+    return (pr.join(sa, "item_a").join(sb, "item_b")
+            .select("item_a", "item_b", "support",
+                    F.expr("(1000000 * support) div sa")
+                    .alias("conf_ab_ppm"),
+                    F.expr("(1000000 * support) div sb")
+                    .alias("conf_ba_ppm"),
+                    F.expr(f"(1000000 * support * "
+                           f"{n_orders}L) div (sa * sb)")
+                    .alias("lift_ppm"))
+            .orderBy("item_a", "item_b"))

@@ -853,3 +853,85 @@ def events_seasonal_decompose(spark: SparkSession,
         (F.sum("resid7").over(dw).cast("double")
          / F.count("resid7").over(dw)).alias("dow_mean_resid7"))
         .orderBy("day"))
+
+
+_ATTRIBUTION_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, value,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         event_id
+  FROM events
+),
+enc AS (
+  SELECT user_id, event_type, value, us, event_id,
+         max(CASE WHEN event_type IN ('click', 'view')
+                  THEN us * 2 + CASE WHEN event_type = 'view'
+                                     THEN 1 ELSE 0 END END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_enc
+  FROM ev
+),
+p AS (
+  SELECT CASE WHEN last_enc IS NOT NULL
+               AND us - last_enc // 2 <= 259200000000
+              THEN CASE WHEN last_enc % 2 = 1 THEN 'view'
+                        ELSE 'click' END
+              ELSE 'none' END AS attributed_type,
+         value
+  FROM enc WHERE event_type = 'purchase'
+)
+SELECT attributed_type,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS total_value
+FROM p GROUP BY attributed_type ORDER BY attributed_type
+"""
+
+
+@query("events_attribution_last_touch", "temporal",
+       "temporal closure: last-touch marketing attribution — every "
+       "purchase credited to the user's most recent click/view "
+       "within 72 h via ONE user-keyed window (argmax carried as an "
+       "encoded epoch-us integer, so the tie-break is deterministic "
+       "and no self-join happens)", _ATTRIBUTION_SQL)
+def events_attribution_last_touch(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Revenue attribution: each purchase takes the type of the
+    LAST preceding click-or-view by the same user within 3 days,
+    else 'none'.  The argmax rides one max() window over an encoded
+    integer (us * 2 + type bit) — most-recent wins, view beats
+    click on an exact timestamp tie, bit-exactly on both engines —
+    instead of the purchase-to-touch self-join that explodes on
+    active users.  Money sums go through DECIMAL (order-independent).
+
+    Scale: one shuffle keyed on user_id for the window, one tiny
+    groupBy(attributed_type); no join at all.
+    """
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select(
+        "user_id", "event_type", "value", "event_id",
+        F.unix_micros("ts").alias("us"))
+    w = (Window.partitionBy("user_id").orderBy("us", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    enc = ev.withColumn(
+        "last_enc",
+        F.max(F.when(F.col("event_type").isin("click", "view"),
+                     F.col("us") * 2
+                     + F.when(F.col("event_type") == "view", 1)
+                     .otherwise(0))).over(w))
+    p = (enc.filter(F.col("event_type") == "purchase")
+         .select(
+             F.when(F.col("last_enc").isNotNull()
+                    & (F.col("us") - F.expr("last_enc div 2")
+                       <= 259_200_000_000),
+                    F.when(F.col("last_enc") % 2 == 1, "view")
+                    .otherwise("click"))
+             .otherwise("none").alias("attributed_type"),
+             "value"))
+    from geohub_data_pipeline_spark.plans._util import dsum
+    return (p.groupBy("attributed_type")
+            .agg(F.count(F.lit(1)).alias("n_purchases"),
+                 dsum(F.col("value")).alias("total_value"))
+            .orderBy("attributed_type"))
