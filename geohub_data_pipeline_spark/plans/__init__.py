@@ -63,12 +63,15 @@ from geohub_data_pipeline_spark.plans.registry import promote  # noqa: E402
 # mutation family), graph_label_propagation (deterministic
 # synchronous LPA communities), events_attribution_last_touch
 # (windowed argmax credit, no self-join), and
-# basket_copurchase_rules (order-keyed association rules) — each
+# basket_copurchase_rules (order-keyed association rules),
+# privacy_k_anonymity (k-anonymity + l-diversity audit), and
+# events_time_weighted_avg (TWAP, width-pinned decimals) — each
 # verified at sf0.001 AND sf0.01 under a vanilla driver session;
 # (c) the STALEST block — the r4-checked queries, which have
-# waited longest since their last driver row; 38 new/changed + the
-# first 12 of the 33 r4-stale queries = 50; the last twenty-one r4
-# members (events_sessionization, asof_join_events,
+# waited longest since their last driver row; 40 new/changed + the
+# first 10 of the 33 r4-stale queries = 50; the last twenty-three
+# r4 members (text_token_count, text_fingerprint,
+# events_sessionization, asof_join_events,
 # events_tumbling_window, events_sliding_window,
 # events_dedup_latest, events_json_props,
 # events_map_functions, window_range_frame,
@@ -120,6 +123,8 @@ promote([
     "graph_label_propagation",
     "events_attribution_last_touch",
     "basket_copurchase_rules",
+    "privacy_k_anonymity",
+    "events_time_weighted_avg",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",

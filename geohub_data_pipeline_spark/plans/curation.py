@@ -1010,3 +1010,56 @@ def profile_key_skew_events(spark: SparkSession,
 
     t = load_tables(spark, sf_dir)
     return CU.profile_key_skew(t.events, "user_id", top_k=10)
+
+
+_KANON_SQL = """
+WITH q AS (
+  SELECT o_custkey % 50 AS qi_bucket, o_orderpriority AS qi_priority,
+         o_orderstatus AS sensitive
+  FROM orders
+),
+cls AS (
+  SELECT qi_bucket, qi_priority,
+         CAST(count(*) AS BIGINT) AS class_size,
+         CAST(count(DISTINCT sensitive) AS BIGINT) AS l_diversity
+  FROM q GROUP BY qi_bucket, qi_priority
+)
+SELECT qi_bucket, qi_priority, class_size, l_diversity,
+       class_size < 5 AS violates_k,
+       l_diversity < 2 AS violates_l
+FROM cls
+WHERE class_size < 5 OR l_diversity < 2
+ORDER BY qi_bucket, qi_priority
+"""
+
+
+@query("privacy_k_anonymity", "curation",
+       "privacy audit: k-anonymity + l-diversity over quasi-"
+       "identifier classes — equivalence classes below k=5 members "
+       "or below 2 distinct sensitive values, the pre-release check "
+       "a training-data pipeline runs before publishing derived "
+       "tables; one groupBy, integer counts", _KANON_SQL)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quasi-identifier classes of orders (custkey bucket x
+    priority) that violate k-anonymity (fewer than 5 members — the
+    class re-identifies its users) or l-diversity (all members share
+    one sensitive value — membership leaks the attribute even at
+    k >= 5).  The audit is a single groupBy over the
+    quasi-identifier tuple with an exact distinct count of the
+    sensitive column — the shape that scales to any table width
+    because only the QI columns shuffle.
+    """
+    t = load_tables(spark, sf_dir)
+    q = t.orders.select(
+        (F.col("o_custkey") % 50).alias("qi_bucket"),
+        F.col("o_orderpriority").alias("qi_priority"),
+        F.col("o_orderstatus").alias("sensitive"))
+    cls = (q.groupBy("qi_bucket", "qi_priority")
+           .agg(F.count(F.lit(1)).alias("class_size"),
+                F.countDistinct("sensitive").alias("l_diversity")))
+    return (cls.select(
+        "qi_bucket", "qi_priority", "class_size", "l_diversity",
+        (F.col("class_size") < 5).alias("violates_k"),
+        (F.col("l_diversity") < 2).alias("violates_l"))
+        .filter((F.col("class_size") < 5) | (F.col("l_diversity") < 2))
+        .orderBy("qi_bucket", "qi_priority"))

@@ -935,3 +935,76 @@ def events_attribution_last_touch(spark: SparkSession,
             .agg(F.count(F.lit(1)).alias("n_purchases"),
                  dsum(F.col("value")).alias("total_value"))
             .orderBy("attributed_type"))
+
+
+_TWAP_SQL = """
+WITH ev AS (
+  SELECT user_id, value,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+  FROM events
+),
+g AS (
+  SELECT user_id, value, us,
+         lead(us) OVER (PARTITION BY user_id
+                        ORDER BY us, event_id) AS next_us
+  FROM ev
+),
+w AS (
+  SELECT user_id, value, CAST(next_us - us AS BIGINT) AS wt
+  FROM g WHERE next_us IS NOT NULL
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(wt) AS BIGINT) AS span_us,
+       round(CAST(sum(CAST(value AS DECIMAL(16,6))
+                      * CAST(wt AS DECIMAL(19,0))) AS DOUBLE)
+             / CAST(sum(wt) AS BIGINT), 8) AS twap
+FROM w GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query("events_time_weighted_avg", "temporal",
+       "temporal closure: time-weighted average (TWAP) — each "
+       "observation weighted by its holding interval to the next "
+       "event (lead window), weights exact epoch-us integers, "
+       "value x weight through DECIMAL so nothing float ever "
+       "accumulates; one user-keyed window + one aggregation",
+       _TWAP_SQL)
+def events_time_weighted_avg(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of the event value — the
+    TWAP/billing-meter aggregate where a value held for 6 hours
+    counts 6x one held for an hour: weight = µs until the user's
+    next event (lead over (us, event_id) — the id tie-break keeps
+    equal timestamps deterministic), last event carries no interval.
+    The weighted sum runs in width-pinned DECIMAL (exact, order-
+    independent); the final quotient rounds to 8 decimals because
+    DuckDB's int128-decimal -> double conversion differs from
+    Java's correctly-rounded one by 1 ulp on ~20-digit sums.
+
+    Scale: one shuffle keyed on user_id shared by the window and
+    the groupBy (Catalyst reuses the partitioning); no join.
+    """
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select("user_id", "value", "event_id",
+                         F.unix_micros("ts").alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    g = ev.withColumn("next_us", F.lead("us").over(w))
+    wd = (g.filter(F.col("next_us").isNotNull())
+          .select("user_id", "value",
+                  (F.col("next_us") - F.col("us")).alias("wt")))
+    # widths pinned so the product stays inside decimal(38,_) on
+    # BOTH engines: value(16,6) x wt(19,0) -> (36,6); a (30,6) x
+    # bigint product would overflow Spark's 38-digit cap and
+    # silently rescale
+    return (wd.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_intervals"),
+                 F.sum("wt").alias("span_us"),
+                 F.round(
+                     F.sum(F.col("value").cast("decimal(16,6)")
+                           * F.col("wt").cast("decimal(19,0)"))
+                     .cast("double")
+                     / F.sum("wt"), 8).alias("twap"))
+            .orderBy("user_id"))
