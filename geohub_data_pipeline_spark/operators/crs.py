@@ -1654,6 +1654,70 @@ _CRS_TABLE[2169] = (
     dict(lat0=49.0 + 50.0 / 60.0, lon0=6.0 + 10.0 / 60.0,
          k0=1.0, fe=80000.0, fn=100000.0), _HELMERT_WGS84_TO_LUREF)
 
+# --- round-9b additions: remaining plain-TM national grids --------
+# ETRS89 / UTM zones 28N-38N (EPSG 25828-25838): standard UTM north
+# on GRS80 — the pan-European projected family (German/Dutch/Danish
+# national mapping defaults to 25832/25833).
+_CRS_TABLE.update({
+    25800 + _z: ("tm", _GRS80,
+                 dict(lat0=0.0, lon0=6.0 * _z - 183.0, k0=_UTM_K0,
+                      fe=_UTM_FE, fn=0.0), None)
+    for _z in range(28, 39)
+})
+
+# Israeli TM Grid (ITM, EPSG 2039): TM on GRS80, origin
+# 31 44 03.817 N / 35 12 16.261 E, k0=1.0000067, fe=219529.584,
+# fn=626907.39 (EPSG registry values).
+_CRS_TABLE[2039] = (
+    "tm", _GRS80,
+    dict(lat0=31.0 + 44.0 / 60.0 + 3.817 / 3600.0,
+         lon0=35.0 + 12.0 / 60.0 + 16.261 / 3600.0,
+         k0=1.0000067, fe=219529.584, fn=626907.39), None)
+
+# TWD97 / TM2 (Taiwan, GRS80): zone 121 (EPSG 3826, main island)
+# and zone 119 (EPSG 3825, Penghu) — k0=0.9999, fe=250000.
+_CRS_TABLE[3826] = ("tm", _GRS80,
+                    dict(lat0=0.0, lon0=121.0, k0=0.9999,
+                         fe=250000.0, fn=0.0), None)
+_CRS_TABLE[3825] = ("tm", _GRS80,
+                    dict(lat0=0.0, lon0=119.0, k0=0.9999,
+                         fe=250000.0, fn=0.0), None)
+
+# Korea 2000 (GRS80): Unified CS (EPSG 5179, lat0 38, lon0 127.5,
+# k0=0.9996, fe=1000000, fn=2000000 — the Naver/Kakao national
+# grid) and the 2010 belts West/Central/East/East-Sea (EPSG
+# 5185-5188: lon0 125/127/129/131, k0=1, fe=200000, fn=600000).
+_CRS_TABLE[5179] = ("tm", _GRS80,
+                    dict(lat0=38.0, lon0=127.5, k0=0.9996,
+                         fe=1000000.0, fn=2000000.0), None)
+_CRS_TABLE.update({
+    5185 + _i: ("tm", _GRS80,
+                dict(lat0=38.0, lon0=125.0 + 2.0 * _i, k0=1.0,
+                     fe=200000.0, fn=600000.0), None)
+    for _i in range(4)
+})
+
+# CGCS2000 / 3-degree Gauss-Kruger CM zones (EPSG 4534-4554):
+# central meridians 75E..135E step 3, k0=1, fe=500000 (the
+# non-zone-prefixed "CM" variants); the CGCS2000 ellipsoid's
+# defining constants equal GRS80 at this precision.
+_CRS_TABLE.update({
+    4534 + _i: ("tm", _GRS80,
+                dict(lat0=0.0, lon0=75.0 + 3.0 * _i, k0=1.0,
+                     fe=500000.0, fn=0.0), None)
+    for _i in range(21)
+})
+
+# Baltic grids on GRS80: LKS94 / Lithuania TM (EPSG 3346, lon0 24,
+# k0=0.9998) and LKS92 / Latvia TM (EPSG 3059, lon0 24, k0=0.9996,
+# fn=-6000000).
+_CRS_TABLE[3346] = ("tm", _GRS80,
+                    dict(lat0=0.0, lon0=24.0, k0=0.9998,
+                         fe=500000.0, fn=0.0), None)
+_CRS_TABLE[3059] = ("tm", _GRS80,
+                    dict(lat0=0.0, lon0=24.0, k0=0.9996,
+                         fe=500000.0, fn=-6000000.0), None)
+
 _FAMILIES = {"tm": _make_tm, "lcc2": _make_lcc2,
              "laea": _make_laea, "aea": _make_aea,
              "ps": _make_ps, "krovak": _make_krovak,

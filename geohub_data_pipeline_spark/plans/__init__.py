@@ -65,12 +65,15 @@ from geohub_data_pipeline_spark.plans.registry import promote  # noqa: E402
 # (windowed argmax credit, no self-join), and
 # basket_copurchase_rules (order-keyed association rules),
 # privacy_k_anonymity (k-anonymity + l-diversity audit), and
-# events_time_weighted_avg (TWAP, width-pinned decimals) — each
-# verified at sf0.001 AND sf0.01 under a vanilla driver session;
-# (c) the STALEST block — the r4-checked queries, which have
-# waited longest since their last driver row; 40 new/changed + the
-# first 10 of the 33 r4-stale queries = 50; the last twenty-three
-# r4 members (text_token_count, text_fingerprint,
+# events_time_weighted_avg (TWAP, width-pinned decimals), and
+# crs_roundtrip_codes_r9b (ETRS89 UTM / ITM / TWD97 / Korea 2000 /
+# CGCS2000 GK / Baltic grids — 43 more code-only EPSG entries) —
+# each verified at sf0.001 AND sf0.01 under a vanilla driver
+# session; (c) the STALEST block — the r4-checked queries, which
+# have waited longest since their last driver row; 41 new/changed
+# + the first 9 of the 33 r4-stale queries = 50; the last
+# twenty-four r4 members (text_quality_score, text_token_count,
+# text_fingerprint,
 # events_sessionization, asof_join_events,
 # events_tumbling_window, events_sliding_window,
 # events_dedup_latest, events_json_props,
@@ -125,6 +128,7 @@ promote([
     "basket_copurchase_rules",
     "privacy_k_anonymity",
     "events_time_weighted_avg",
+    "crs_roundtrip_codes_r9b",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",

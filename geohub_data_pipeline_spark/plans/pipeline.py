@@ -6473,3 +6473,110 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = base.mapInPandas(synth, "doc_id long, payload binary")
     return (video_sample_frames(media, every_n=2)
             .orderBy("doc_id", "frame_idx"))
+
+
+# --- round-9b: remaining plain-TM national grids under the gate ----
+
+_CRS_CODES_R9B = [25832, 25835, 2039, 3825, 3826, 5179, 5186, 4544,
+                  3346, 3059]
+_CRS_R9B_LON = [
+    "6.2 + (doc_id % 55) * 0.1",
+    "24.2 + (doc_id % 55) * 0.1",
+    "34.3 + (doc_id % 18) * 0.1",
+    "119.2 + (doc_id % 8) * 0.1",
+    "120.1 + (doc_id % 20) * 0.1",
+    "124.8 + (doc_id % 55) * 0.1",
+    "126.1 + (doc_id % 18) * 0.1",
+    "103.6 + (doc_id % 28) * 0.1",
+    "21.0 + (doc_id % 40) * 0.1",
+    "21.0 + (doc_id % 40) * 0.1",
+]
+_CRS_R9B_LAT = [
+    "47.5 + ((doc_id * 3) % 90) * 0.1",
+    "59.0 + ((doc_id * 3) % 90) * 0.1",
+    "29.6 + ((doc_id * 3) % 35) * 0.1",
+    "23.2 + ((doc_id * 3) % 12) * 0.1",
+    "21.9 + ((doc_id * 3) % 35) * 0.1",
+    "33.2 + ((doc_id * 3) % 53) * 0.1",
+    "33.2 + ((doc_id * 3) % 48) * 0.1",
+    "21.0 + ((doc_id * 3) % 120) * 0.1",
+    "53.9 + ((doc_id * 3) % 25) * 0.1",
+    "55.7 + ((doc_id * 3) % 25) * 0.1",
+]
+
+
+def _crs_r9b_sql() -> str:
+    n = len(_CRS_CODES_R9B)
+    srid_branches = " ".join(
+        f"WHEN {k} THEN {srid}"
+        for k, srid in enumerate(_CRS_CODES_R9B[:-1]))
+    lon_branches = " ".join(
+        f"WHEN {k} THEN {e}" for k, e in enumerate(_CRS_R9B_LON[:-1]))
+    lat_branches = " ".join(
+        f"WHEN {k} THEN {e}" for k, e in enumerate(_CRS_R9B_LAT[:-1]))
+    return f"""
+SELECT doc_id,
+       CAST(CASE doc_id % {n} {srid_branches}
+            ELSE {_CRS_CODES_R9B[-1]} END AS INTEGER) AS srid,
+       round(CASE doc_id % {n} {lon_branches}
+             ELSE {_CRS_R9B_LON[-1]} END, 4) AS lon_rt,
+       round(CASE doc_id % {n} {lat_branches}
+             ELSE {_CRS_R9B_LAT[-1]} END, 4) AS lat_rt
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("crs_roundtrip_codes_r9b", "pipeline",
+       "§2.2 T7 reprojection, round-9b: EPSG-code-only grids — "
+       "ETRS89 UTM 28N-38N (the pan-European default), Israeli TM "
+       "Grid, TWD97 TM2 Taiwan+Penghu, Korea 2000 Unified + 2010 "
+       "belts, CGCS2000 3-degree Gauss-Kruger CM zones, LKS94/LKS92 "
+       "Baltic (ref reprojects any SRS via PROJ, "
+       "ingest/processing.py:142-150)", _crs_r9b_sql())
+def crs_roundtrip_codes_r9b(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Forward+inverse through the round-9b ``_CRS_TABLE``
+    additions — code-only uploads for the European UTM family and
+    the East-Asian / Levant / Baltic national grids.  The oracle is
+    the input formula (roundtrip to 4 decimals); absolute control
+    points (Jerusalem ITM, Taipei TWD97, Seoul Korea-2000, and the
+    ETRS89-UTM vs WGS84-UTM twin equality) live in
+    tests/test_crs_codes.py.
+
+    Scale: stateless per-row math in an Arrow-batched kernel — a
+    scan, no shuffle.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.operators import crs as C
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id")
+    n = len(_CRS_CODES_R9B)
+    lon_of = [eval(f"lambda doc_id: {e}") for e in _CRS_R9B_LON]  # noqa: S307
+    lat_of = [eval(f"lambda doc_id: {e}") for e in _CRS_R9B_LAT]  # noqa: S307
+
+    def rt(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pairs = {s: (C.from_lonlat(s), C.to_lonlat(s))
+                 for s in _CRS_CODES_R9B}
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                k = did % n
+                srid = _CRS_CODES_R9B[k]
+                lon, lat = lon_of[k](did), lat_of[k](did)
+                fwd, inv = pairs[srid]
+                lon2, lat2 = inv(*fwd(lon, lat))
+                rows.append((did, srid,
+                             round(lon2, 4) + 0.0, round(lat2, 4) + 0.0))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "srid", "lon_rt", "lat_rt"])
+
+    return base.mapInPandas(
+        rt, "doc_id long, srid int, lon_rt double, lat_rt double")

@@ -541,3 +541,43 @@ def test_round9_codes_dispatch_supported_and_np_twins():
         assert abs(xs[0] - x) < 1e-6 and abs(ys[0] - y) < 1e-6
         los, las = inv_np(xs, ys)
         assert abs(los[0] - lon) < 1e-7 and abs(las[0] - lat) < 1e-7
+
+
+def test_r9b_absolute_control_points():
+    """Round-9b grids against independently known coordinates:
+    Jerusalem in ITM, Taipei 101 in TWD97 TM2, Seoul City Hall in
+    Korea 2000 Unified — each within a 200 m box of the published
+    value — plus the ETRS89-UTM / WGS84-UTM twin equality (same
+    defining parameters, so forwards agree to ~mm)."""
+    from geohub_data_pipeline_spark.operators import crs as C
+
+    x, y = C.from_lonlat(2039)(35.2345, 31.7767)     # Jerusalem
+    assert abs(x - 222_370) < 200 and abs(y - 631_600) < 200
+
+    x, y = C.from_lonlat(3826)(121.5645, 25.0340)    # Taipei 101
+    assert abs(x - 306_966) < 200 and abs(y - 2_769_662) < 200
+
+    x, y = C.from_lonlat(5179)(126.9780, 37.5665)    # Seoul City Hall
+    assert abs(x - 953_898) < 200 and abs(y - 1_952_050) < 200
+
+    e1 = C.from_lonlat(25832)(9.5, 52.0)
+    e2 = C.from_lonlat(32632)(9.5, 52.0)
+    assert abs(e1[0] - e2[0]) < 0.01 and abs(e1[1] - e2[1]) < 0.01
+
+
+def test_r9b_roundtrips_all_codes():
+    """Forward+inverse self-consistency < 1e-7 deg for every new
+    r9b code at an in-zone point."""
+    from geohub_data_pipeline_spark.operators import crs as C
+
+    pts = {25828: (-14.0, 28.5), 25832: (9.5, 52.0),
+           25838: (45.0, 40.0), 2039: (35.2, 31.8),
+           3825: (119.5, 23.5), 3826: (121.3, 24.5),
+           5179: (127.2, 36.4), 5185: (125.4, 37.2),
+           5186: (127.3, 36.0), 5187: (129.1, 35.5),
+           5188: (130.9, 37.4), 4534: (75.8, 39.0),
+           4544: (105.2, 30.0), 4554: (134.6, 47.0),
+           3346: (24.5, 55.2), 3059: (24.5, 57.0)}
+    for code, (lon, lat) in pts.items():
+        lon2, lat2 = C.to_lonlat(code)(*C.from_lonlat(code)(lon, lat))
+        assert abs(lon2 - lon) < 1e-7 and abs(lat2 - lat) < 1e-7, code
