@@ -67,13 +67,16 @@ from geohub_data_pipeline_spark.plans.registry import promote  # noqa: E402
 # privacy_k_anonymity (k-anonymity + l-diversity audit), and
 # events_time_weighted_avg (TWAP, width-pinned decimals), and
 # crs_roundtrip_codes_r9b (ETRS89 UTM / ITM / TWD97 / Korea 2000 /
-# CGCS2000 GK / Baltic grids — 43 more code-only EPSG entries) —
-# each verified at sf0.001 AND sf0.01 under a vanilla driver
-# session; (c) the STALEST block — the r4-checked queries, which
-# have waited longest since their last driver row; 41 new/changed
-# + the first 9 of the 33 r4-stale queries = 50; the last
-# twenty-four r4 members (text_quality_score, text_token_count,
-# text_fingerprint,
+# CGCS2000 GK / Baltic grids — 43 more code-only EPSG entries),
+# agg_pearson_grouped + agg_chi_square + events_zscore_anomaly
+# (the statistics suite: DECIMAL moment sums, per-cell chi-square,
+# trailing z-score) — each verified at sf0.001 AND sf0.01 under a
+# vanilla driver session; (c) the STALEST block — the r4-checked
+# queries, which have waited longest since their last driver row;
+# 44 new/changed + the first 6 of the 33 r4-stale queries = 50;
+# the last twenty-seven r4 members (ann_pq_adc,
+# dedup_cluster_altcc, text_language_id,
+# text_quality_score, text_token_count, text_fingerprint,
 # events_sessionization, asof_join_events,
 # events_tumbling_window, events_sliding_window,
 # events_dedup_latest, events_json_props,
@@ -129,6 +132,9 @@ promote([
     "privacy_k_anonymity",
     "events_time_weighted_avg",
     "crs_roundtrip_codes_r9b",
+    "agg_pearson_grouped",
+    "agg_chi_square",
+    "events_zscore_anomaly",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",

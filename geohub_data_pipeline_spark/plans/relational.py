@@ -3471,3 +3471,133 @@ def basket_copurchase_rules(spark: SparkSession,
                            f"{n_orders}L) div (sa * sb)")
                     .alias("lift_ppm"))
             .orderBy("item_a", "item_b"))
+
+
+_PEARSON_SQL = """
+WITH s AS (
+  SELECT l_returnflag AS grp,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
+         sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS sy,
+         sum(CAST(l_quantity AS DECIMAL(19,6))
+             * CAST(l_quantity AS DECIMAL(18,6))) AS sxx,
+         sum(CAST(l_extendedprice AS DECIMAL(19,6))
+             * CAST(l_extendedprice AS DECIMAL(18,6))) AS syy,
+         sum(CAST(l_quantity AS DECIMAL(19,6))
+             * CAST(l_extendedprice AS DECIMAL(18,6))) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT grp, n,
+       round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+              * CAST(sy AS DOUBLE))
+             / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                     * CAST(sx AS DOUBLE))
+                    * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                       * CAST(sy AS DOUBLE))), 6) AS pearson_r
+FROM s ORDER BY grp
+"""
+
+
+@query("agg_pearson_grouped", "relational",
+       "relational closure: per-group Pearson correlation from the "
+       "five DECIMAL moment sums (exact, order-independent "
+       "accumulation — the float-partial-sum trap corr() has on "
+       "both engines), one final rounded double expression",
+       _PEARSON_SQL)
+def agg_pearson_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation of quantity vs extended price per returnflag via
+    the moment method: all five sums (x, y, x², y², xy) accumulate
+    in width-pinned DECIMAL — exact and order-independent, where
+    the built-in corr() aggregates float partials whose value
+    depends on partition order on BOTH engines — then one identical
+    double expression tree computes r, rounded to 6.
+
+    Scale: a single map-side-combining groupBy; the moment trick is
+    what makes correlation a one-pass distributed aggregate.
+    """
+    t = load_tables(spark, sf_dir)
+    # left factors at (19,6): DuckDB multiplies two DECIMAL(18)s in
+    # int64 physical width and overflows; 19 digits forces int128,
+    # and 19+18+1 = 38 stays inside Spark's decimal cap
+    x = F.col("l_quantity").cast("decimal(18,6)")
+    y = F.col("l_extendedprice").cast("decimal(18,6)")
+    xw = F.col("l_quantity").cast("decimal(19,6)")
+    yw = F.col("l_extendedprice").cast("decimal(19,6)")
+    s = (t.lineitem.groupBy(F.col("l_returnflag").alias("grp"))
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+              F.sum(xw * x).alias("sxx"), F.sum(yw * y).alias("syy"),
+              F.sum(xw * y).alias("sxy")))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    r = ((F.col("n") * d("sxy") - d("sx") * d("sy"))
+         / F.sqrt((F.col("n") * d("sxx") - d("sx") * d("sx"))
+                  * (F.col("n") * d("syy") - d("sy") * d("sy"))))
+    return (s.select("grp", "n", F.round(r, 6).alias("pearson_r"))
+            .orderBy("grp"))
+
+
+_CHI2_SQL = """
+WITH o AS (
+  SELECT o_orderpriority AS pri, o_orderstatus AS st,
+         CAST(count(*) AS BIGINT) AS observed
+  FROM orders GROUP BY o_orderpriority, o_orderstatus
+),
+m AS (
+  SELECT pri, st, observed,
+         sum(observed) OVER (PARTITION BY pri) AS rt,
+         sum(observed) OVER (PARTITION BY st) AS ct,
+         sum(observed) OVER () AS n
+  FROM o
+)
+SELECT pri, st, observed,
+       round(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+             / CAST(n AS DOUBLE), 6) AS expected,
+       round((CAST(observed AS DOUBLE) - CAST(rt AS DOUBLE)
+              * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(observed AS DOUBLE) - CAST(rt AS DOUBLE)
+                * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                / CAST(n AS DOUBLE)), 6) AS chi2_contrib
+FROM m ORDER BY pri, st
+"""
+
+
+@query("agg_chi_square", "relational",
+       "relational closure: chi-square independence test over the "
+       "priority x status contingency table — integer observed "
+       "counts, expected and per-cell contributions as identical "
+       "rounded double expressions (PER-CELL output, so no "
+       "order-dependent float total ever accumulates)", _CHI2_SQL)
+def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell chi-square decomposition of the order-priority x
+    order-status contingency table: observed integer counts, margin
+    totals via windows over the CELL relation (a few dozen rows no
+    matter the data size), expected = row x col / n, and the
+    (O-E)²/E contribution per cell.  Emitting contributions per
+    cell instead of the summed statistic keeps every float a
+    deterministic per-row expression — the caller sums the column
+    if they want the statistic (and owns that rounding).
+
+    Scale: one map-side-combining groupBy; everything after runs on
+    the contingency table itself.
+    """
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    o = (t.orders.groupBy(F.col("o_orderpriority").alias("pri"),
+                          F.col("o_orderstatus").alias("st"))
+         .agg(F.count(F.lit(1)).alias("observed")))
+    m = o.select(
+        "pri", "st", "observed",
+        F.sum("observed").over(Window.partitionBy("pri")).alias("rt"),
+        F.sum("observed").over(Window.partitionBy("st")).alias("ct"),
+        F.sum("observed").over(
+            Window.partitionBy(F.lit(1))).alias("n"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    e = d("rt") * d("ct") / d("n")
+    return (m.select(
+        "pri", "st", "observed",
+        F.round(e, 6).alias("expected"),
+        F.round((d("observed") - e) * (d("observed") - e) / e, 6)
+        .alias("chi2_contrib"))
+        .orderBy("pri", "st"))

@@ -1008,3 +1008,78 @@ def events_time_weighted_avg(spark: SparkSession,
                      .cast("double")
                      / F.sum("wt"), 8).alias("twap"))
             .orderBy("user_id"))
+
+
+_ZSCORE_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, value,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+),
+w AS (
+  SELECT user_id, event_id, value,
+         count(*) OVER trail AS k,
+         sum(CAST(value AS DECIMAL(18,6))) OVER trail AS s1,
+         sum(CAST(value AS DECIMAL(19,6))
+             * CAST(value AS DECIMAL(18,6))) OVER trail AS s2
+  FROM ev
+  WINDOW trail AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id,
+       round((CAST(value AS DOUBLE) - CAST(s1 AS DOUBLE) / k)
+             / sqrt(CAST(s2 AS DOUBLE) / k
+                    - (CAST(s1 AS DOUBLE) / k)
+                      * (CAST(s1 AS DOUBLE) / k)), 6) AS zscore
+FROM w
+WHERE k = 5
+  AND CAST(s2 AS DOUBLE) / k
+      - (CAST(s1 AS DOUBLE) / k) * (CAST(s1 AS DOUBLE) / k) > 1e-12
+  AND abs((CAST(value AS DOUBLE) - CAST(s1 AS DOUBLE) / k)
+          / sqrt(CAST(s2 AS DOUBLE) / k
+                 - (CAST(s1 AS DOUBLE) / k)
+                   * (CAST(s1 AS DOUBLE) / k))) >= 2.0
+ORDER BY user_id, event_id
+"""
+
+
+@query("events_zscore_anomaly", "temporal",
+       "temporal closure: trailing-window z-score anomaly detection "
+       "— per-event z against the user's previous 5 values, moment "
+       "sums in DECIMAL over the window frame (exact), one rounded "
+       "double expression; |z| >= 2 flagged", _ZSCORE_SQL)
+def events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value deviates >= 2 trailing standard deviations
+    from the same user's previous five events — the stream-style
+    anomaly primitive, computed batch-side with the same trailing
+    frame semantics (ROWS 5 PRECEDING .. 1 PRECEDING, (us, event_id)
+    order so timestamp ties stay deterministic).  The mean/variance
+    come from DECIMAL moment sums over the frame — exact, so the
+    only floats are one identical rounded expression per row;
+    degenerate windows (fewer than 5 priors, ~zero variance) are
+    excluded on both engines identically.
+
+    Scale: one shuffle keyed on user_id; the frame is O(1) per row.
+    """
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select("user_id", "event_id", "value",
+                         F.unix_micros("ts").alias("us"))
+    trail = (Window.partitionBy("user_id").orderBy("us", "event_id")
+             .rowsBetween(-5, -1))
+    # (19,6) left factor: forces DuckDB's int128 multiply path
+    v = F.col("value").cast("decimal(18,6)")
+    vw = F.col("value").cast("decimal(19,6)")
+    w = ev.select(
+        "user_id", "event_id", "value",
+        F.count(F.lit(1)).over(trail).alias("k"),
+        F.sum(v).over(trail).alias("s1"),
+        F.sum(vw * v).over(trail).alias("s2"))
+    mean = F.col("s1").cast("double") / F.col("k")
+    var = F.col("s2").cast("double") / F.col("k") - mean * mean
+    z = (F.col("value").cast("double") - mean) / F.sqrt(var)
+    return (w.filter((F.col("k") == 5) & (var > 1e-12)
+                     & (F.abs(z) >= 2.0))
+            .select("user_id", "event_id", F.round(z, 6).alias("zscore"))
+            .orderBy("user_id", "event_id"))
