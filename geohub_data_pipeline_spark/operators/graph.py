@@ -1,13 +1,16 @@
-"""Graph analytics beyond dedup clustering: BFS, k-core, link prediction.
+"""Graph analytics beyond dedup clustering: BFS, k-core, link
+prediction, label-propagation communities.
 
 The dedup module owns the graph shapes the duplicate pipeline needs
 (connected components, triangles, PageRank); this module adds the
 general graph-analytics operators a training-data pipeline reaches for
 when it treats its corpus as a graph — crawl-frontier reachability
-(BFS), spam-farm / boilerplate-kernel extraction (k-core), and
-citation/link prediction (common-neighbor scoring).
+(BFS), spam-farm / boilerplate-kernel extraction (k-core),
+citation/link prediction (common-neighbor scoring), and community
+detection that a single bridge edge does not collapse
+(label_propagation).
 
-All three keep the properties the rest of the repo's iterative
+All four keep the properties the rest of the repo's iterative
 operators pin:
 
 * integer-exact state (hop counts, degrees, ppm-scaled ratios) so the
