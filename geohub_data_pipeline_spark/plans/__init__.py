@@ -90,6 +90,15 @@ from geohub_data_pipeline_spark.plans.registry import promote  # noqa: E402
 # greens.  Every prefix entry verified this
 # round with scripts/check_oracle.py at sf0.001 and the new/changed
 # ones additionally at sf0.01 under a VANILLA driver-style session.
+#
+# Rotation trade-off, stated plainly: the r9 second wave added 23
+# NEW queries, and the prefix prioritizes giving every new query a
+# driver gate row over refreshing the full r4-stale block (a new
+# query with no driver row ever is a bigger evidence gap than an
+# r4 green growing one round older).  The 27 displaced r4 members
+# are NOT unverified — they are covered by this round's full-
+# registry sf0.001 sweeps (scripts/check_oracle.py, recorded in
+# PERF.md) and lead the r10 prefix for driver-row refresh.
 promote([
     "crs_roundtrip_codes_r9",
     "graph_pagerank",
