@@ -106,11 +106,17 @@ def parse_avi(data: bytes) -> dict:
                 if list_type in (b"hdrl", b"strl", b"movi"):
                     walk(body_start + 4, body_end)
             elif fourcc == b"avih":
+                if size < 20:
+                    raise ValueError(
+                        f"avih chunk too small ({size} bytes)")
                 us_pf, _, _, _, total = struct.unpack_from(
                     "<5I", data, body_start)
                 meta["fps"] = 1_000_000 // us_pf if us_pf else 0
                 meta["n_frames_hdr"] = total
             elif fourcc == b"strf":
+                if size < 12:
+                    raise ValueError(
+                        f"strf chunk too small ({size} bytes)")
                 _, w, h = struct.unpack_from("<Iii", data, body_start)
                 meta["width"], meta["height"] = w, abs(h)
             elif fourcc in (b"00dc", b"00db"):

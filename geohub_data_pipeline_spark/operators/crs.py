@@ -1655,15 +1655,10 @@ _CRS_TABLE[2169] = (
          k0=1.0, fe=80000.0, fn=100000.0), _HELMERT_WGS84_TO_LUREF)
 
 # --- round-9b additions: remaining plain-TM national grids --------
-# ETRS89 / UTM zones 28N-38N (EPSG 25828-25838): standard UTM north
-# on GRS80 — the pan-European projected family (German/Dutch/Danish
-# national mapping defaults to 25832/25833).
-_CRS_TABLE.update({
-    25800 + _z: ("tm", _GRS80,
-                 dict(lat0=0.0, lon0=6.0 * _z - 183.0, k0=_UTM_K0,
-                      fe=_UTM_FE, fn=0.0), None)
-    for _z in range(28, 39)
-})
+# (ETRS89 / UTM zones 28N-38N, EPSG 25828-25838, are NOT table rows:
+# the range dispatch above already resolves them, and a duplicate
+# definition would invite drift — crs_roundtrip_codes_r9b gates the
+# range path.)
 
 # Israeli TM Grid (ITM, EPSG 2039): TM on GRS80, origin
 # 31 44 03.817 N / 35 12 16.261 E, k0=1.0000067, fe=219529.584,

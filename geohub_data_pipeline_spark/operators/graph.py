@@ -85,7 +85,11 @@ def kcore_members(edges: DataFrame, k: int, src: str = "id_a",
     to fixpoint.  The peel is monotone (the alive edge set only
     shrinks), so the fixpoint is unique and equals the standard
     k-core regardless of round grouping — which is what lets a
-    round-unrolled SQL oracle reproduce it exactly.
+    round-unrolled SQL oracle reproduce it exactly.  If the peel
+    has not converged within ``max_iters`` rounds the function
+    RAISES rather than return the (wrong) intermediate set — long
+    path-like graphs peel only their endpoints each round, so the
+    cap is reachable on legitimate inputs.
 
     Scale: per round one degree aggregation (groupBy node) and two
     semi-joins of the edge list against the surviving vertex set, all
@@ -106,8 +110,9 @@ def kcore_members(edges: DataFrame, k: int, src: str = "id_a",
              .distinct()
              .localCheckpoint())
     n_alive = alive.count()
+    converged = n_alive == 0
     for _ in range(max_iters):
-        if n_alive == 0:
+        if converged:
             break
         deg = (alive.select(F.col("u").alias("node"))
                .unionAll(alive.select(F.col("v").alias("node")))
@@ -119,10 +124,17 @@ def kcore_members(edges: DataFrame, k: int, src: str = "id_a",
                .select("u", "v")
                .localCheckpoint())
         n_nxt = nxt.count()
+        converged = n_nxt == n_alive or n_nxt == 0
         alive = nxt
-        if n_nxt == n_alive:
-            break
         n_alive = n_nxt
+    if not converged:
+        # a silent cap-exit would return a superset that is NOT the
+        # k-core (e.g. a long path peels two endpoints per round);
+        # wrong-but-plausible is worse than loud
+        raise RuntimeError(
+            f"k-core peel did not reach its fixpoint within "
+            f"{max_iters} rounds ({n_alive} edges still alive); "
+            f"raise max_iters")
     return (alive.select(F.col("u").alias("node"))
             .unionAll(alive.select(F.col("v").alias("node")))
             .groupBy("node").agg(F.count(F.lit(1)).alias("core_degree")))

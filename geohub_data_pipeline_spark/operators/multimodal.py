@@ -588,6 +588,10 @@ def video_sample_frames(media: DataFrame, id_col: str = "doc_id",
     stored.  Malformed containers are skipped (quarantine
     semantics), matching the audio kernel above.
 
+    Quarantine is all-or-nothing per row: a payload whose container
+    parses but whose sampled frames fail JPEG decode contributes
+    NO rows (not a prefix of them).
+
     Scale: stateless Arrow-batched kernel over the binary column —
     a scan, no shuffle; output is one row per SAMPLED frame
     ``(id, frame_idx, n_frames, width, height, px_mean, px_min,
@@ -608,15 +612,17 @@ def video_sample_frames(media: DataFrame, id_col: str = "doc_id",
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
                     meta = A.parse_avi(bytes(payload))
+                    doc_rows = []
+                    for fi in range(0, meta["n_frames"], step):
+                        px = J.decode_baseline_jpeg(meta["frames"][fi])
+                        doc_rows.append((
+                            int(did), fi, meta["n_frames"],
+                            int(px.shape[1]), int(px.shape[0]),
+                            round(float(px.mean()), 4) + 0.0,
+                            int(px.min()), int(px.max())))
                 except ValueError:
-                    continue               # quarantine, don't crash
-                for fi in range(0, meta["n_frames"], step):
-                    px = J.decode_baseline_jpeg(meta["frames"][fi])
-                    rows.append((
-                        int(did), fi, meta["n_frames"],
-                        int(px.shape[1]), int(px.shape[0]),
-                        round(float(px.mean()), 4) + 0.0,
-                        int(px.min()), int(px.max())))
+                    continue   # quarantine: bad container OR bad frame
+                rows.extend(doc_rows)
             yield pd.DataFrame(rows, columns=[
                 "doc_id", "frame_idx", "n_frames", "width", "height",
                 "px_mean", "px_min", "px_max"])

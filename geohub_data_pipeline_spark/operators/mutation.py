@@ -161,7 +161,10 @@ def quality_checks(df: DataFrame, *, not_null: list[str] = (),
     row = df.agg(*aggs).collect()[0] if aggs else None
 
     spark = df.sparkSession
-    out = [(n, int(row[n])) for n in names] if row is not None else []
+    # sum() over zero rows is NULL: an empty batch passes every
+    # rule with 0 violations
+    out = ([(n, int(row[n] or 0)) for n in names]
+           if row is not None else [])
     for c, dim, dim_key in foreign_keys:
         orphans = (df.select(F.col(c).alias("__k")).filter(
             F.col("__k").isNotNull())

@@ -3450,7 +3450,10 @@ def basket_copurchase_rules(spark: SparkSession,
     b = (t.lineitem.select(F.col("l_orderkey").alias("o"),
                            F.col("l_partkey").alias("p"))
          .distinct())
-    n_orders = b.select("o").distinct().count()
+    # n_orders folds in as a one-row broadcast aggregate (same shape
+    # as the oracle's CROSS JOIN n) — no driver-side action at plan
+    # build, the whole gate stays one lazy job
+    n = b.agg(F.countDistinct("o").alias("n_orders"))
     sup1 = b.groupBy("p").agg(F.count(F.lit(1)).alias("s"))
     a = b.select("o", F.col("p").alias("item_a"))
     b2 = b.select("o", F.col("p").alias("item_b"))
@@ -3462,13 +3465,14 @@ def basket_copurchase_rules(spark: SparkSession,
     sa = sup1.select(F.col("p").alias("item_a"), F.col("s").alias("sa"))
     sb = sup1.select(F.col("p").alias("item_b"), F.col("s").alias("sb"))
     return (pr.join(sa, "item_a").join(sb, "item_b")
+            .crossJoin(F.broadcast(n))
             .select("item_a", "item_b", "support",
                     F.expr("(1000000 * support) div sa")
                     .alias("conf_ab_ppm"),
                     F.expr("(1000000 * support) div sb")
                     .alias("conf_ba_ppm"),
-                    F.expr(f"(1000000 * support * "
-                           f"{n_orders}L) div (sa * sb)")
+                    F.expr("(1000000 * support * n_orders) "
+                           "div (sa * sb)")
                     .alias("lift_ppm"))
             .orderBy("item_a", "item_b"))
 

@@ -201,3 +201,14 @@ def test_label_propagation_matches_reference_and_keeps_blocks(spark):
     b_labels = {lp[n] for n in range(10, 20)}
     assert a_labels <= set(range(10))
     assert b_labels <= set(range(10, 20))
+
+
+def test_kcore_raises_on_iteration_cap(spark):
+    """A path graph peels two endpoints per round; an insufficient
+    max_iters must RAISE, never return the non-fixpoint superset."""
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        G.kcore_members(path, k=2, max_iters=3)
+    # with enough rounds the 2-core of a path is empty
+    assert G.kcore_members(path, k=2, max_iters=30).count() == 0

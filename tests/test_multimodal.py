@@ -329,3 +329,28 @@ def test_video_sample_frames_sampling_and_quarantine(spark):
     means = {(r.doc_id, r.frame_idx): r.px_mean for r in got}
     assert means[(1, 3)] == float((10 + 60) % 250 & 0xFE)
     assert all(r.n_frames in (7, 4) for r in got)
+
+
+def test_video_quarantine_covers_bad_frames(spark):
+    """A container that parses but holds undecodable frame bytes is
+    quarantined whole (no rows, no crash), and undersized header
+    chunks raise ValueError (not struct.error)."""
+    import pytest as _pytest
+    import struct as _s
+
+    from geohub_data_pipeline_spark.functions import avicodec as A
+    from geohub_data_pipeline_spark.operators.multimodal import (
+        video_sample_frames,
+    )
+
+    bad_frames = A.encode_mjpeg_avi([b"not a jpeg at all"], 8, 8)
+    df = spark.createDataFrame(
+        [(1, bytearray(bad_frames))], "doc_id long, payload binary")
+    assert video_sample_frames(df, every_n=1).count() == 0
+
+    # undersized avih chunk: ValueError, not struct.error
+    avih_small = (b"RIFF" + _s.pack("<I", 24) + b"AVI "
+                  + b"LIST" + _s.pack("<I", 12) + b"hdrl"
+                  + b"avih" + _s.pack("<I", 4) + b"\x00" * 4)
+    with _pytest.raises(ValueError):
+        A.parse_avi(avih_small)

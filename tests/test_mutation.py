@@ -154,3 +154,22 @@ def test_apply_changelog_last_writer_wins(spark):
     got2 = {r.k: r.v for r in
             apply_changelog(base, empty, "k", "seq").collect()}
     assert got2 == {1: "a", 2: "b", 3: "c"}
+
+
+def test_quality_checks_empty_input_passes(spark):
+    """An empty batch passes every rule with 0 violations (sum over
+    zero rows is NULL, not a crash)."""
+    from geohub_data_pipeline_spark.operators.mutation import (
+        quality_checks,
+    )
+
+    base = spark.createDataFrame(
+        [(1, 10, "A", 5.0)], "k long, fk long, status string, v double"
+    ).filter("k < 0")
+    dim = spark.createDataFrame([(10,)], "dk long")
+    rows = quality_checks(
+        base, not_null=["fk"], unique=["k"],
+        ranges=[("v", "v > 0")], accepted=[("status", ["A"])],
+        foreign_keys=[("fk", dim, "dk")]).collect()
+    assert len(rows) == 5
+    assert all(r.passed and r.violations == 0 for r in rows)
