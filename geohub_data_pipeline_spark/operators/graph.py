@@ -72,7 +72,10 @@ def bfs_hops(edges: DataFrame, source: int, src: str = "src",
                .localCheckpoint())
         if nxt.limit(1).count() == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        # visited stays a LAZY union of already-checkpointed
+        # frontiers: no per-round materialization job, and the plan
+        # is a flat union over <= max_hops checkpointed layers
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return visited.select("node", F.col("hop").cast("long").alias("hop"))
 
