@@ -3605,3 +3605,102 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((d("observed") - e) * (d("observed") - e) / e, 6)
         .alias("chi2_contrib"))
         .orderBy("pri", "st"))
+
+
+_MODE_SQL = """
+WITH c AS (
+  SELECT o_orderpriority AS grp, o_orderstatus AS val,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY o_orderpriority, o_orderstatus
+),
+r AS (
+  SELECT grp, val, cnt,
+         row_number() OVER (PARTITION BY grp
+                            ORDER BY cnt DESC, val) AS rn
+  FROM c
+)
+SELECT grp, val AS mode_val, cnt AS mode_cnt FROM r WHERE rn = 1
+ORDER BY grp
+"""
+
+
+@query("agg_mode_per_group", "relational",
+       "relational closure: per-group MODE with a deterministic "
+       "(count desc, value asc) tie-break — built-in mode() breaks "
+       "ties arbitrarily on both engines, the argmax-window form "
+       "does not", _MODE_SQL)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent order status per priority: count + argmax
+    window with the explicit (count desc, value asc) tie-break —
+    the form that hash-matches across engines where the native
+    mode() aggregate is free to pick any modal value.  One
+    map-side-combining count, one window over the tiny (group,
+    value) relation.
+    """
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    c = (t.orders.groupBy(F.col("o_orderpriority").alias("grp"),
+                          F.col("o_orderstatus").alias("val"))
+         .agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.partitionBy("grp").orderBy(F.desc("cnt"), F.asc("val"))
+    return (c.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("grp", F.col("val").alias("mode_val"),
+                    F.col("cnt").alias("mode_cnt"))
+            .orderBy("grp"))
+
+
+_WMEDIAN_SQL = """
+WITH c AS (
+  SELECT l_returnflag AS grp, l_extendedprice AS price,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY l_returnflag, l_extendedprice
+),
+r AS (
+  SELECT grp, price, w,
+         sum(w) OVER (PARTITION BY grp ORDER BY price
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum,
+         sum(w) OVER (PARTITION BY grp) AS tot
+  FROM c
+)
+SELECT grp, min(price) AS weighted_median
+FROM r WHERE 2 * cum >= tot GROUP BY grp ORDER BY grp
+"""
+
+
+@query("agg_weighted_median", "relational",
+       "relational closure: weighted median (lower) per group — "
+       "integer quantity weights, cumulative-weight window over the "
+       "(group, value) relation, first value whose cumulative "
+       "weight reaches half the total; all comparisons integer",
+       _WMEDIAN_SQL)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per returnflag: the
+    smallest price whose cumulative quantity weight reaches half
+    the group's total (the lower weighted median — pure integer
+    threshold comparisons, no interpolation, so the gate is exact).
+    Weights pre-aggregate onto distinct values, so the window runs
+    over the (group, value) relation, not the raw rows.
+
+    Scale: one map-side-combining (group, value) weight sum, one
+    cumulative window keyed on the group — the exact-median shape;
+    the approximate path at 100 TB is the KLL sketch family.
+    """
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    c = (t.lineitem.groupBy(F.col("l_returnflag").alias("grp"),
+                            F.col("l_extendedprice").alias("price"))
+         .agg(F.sum(F.col("l_quantity").cast("long")).alias("w")))
+    cum = Window.partitionBy("grp").orderBy("price") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = Window.partitionBy("grp")
+    r = c.select("grp", "price", "w",
+                 F.sum("w").over(cum).alias("cum"),
+                 F.sum("w").over(tot).alias("tot"))
+    return (r.filter(2 * F.col("cum") >= F.col("tot"))
+            .groupBy("grp")
+            .agg(F.min("price").alias("weighted_median"))
+            .orderBy("grp"))

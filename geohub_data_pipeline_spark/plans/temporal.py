@@ -1083,3 +1083,58 @@ def events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                      & (F.abs(z) >= 2.0))
             .select("user_id", "event_id", F.round(z, 6).alias("zscore"))
             .orderBy("user_id", "event_id"))
+
+
+_SLIDING_DISTINCT_SQL = """
+WITH ev AS (
+  SELECT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+  FROM events
+),
+asg AS (
+  SELECT DISTINCT user_id, day - o.k AS win_start_day
+  FROM ev, (SELECT unnest(range(3)) AS k) o
+),
+w AS (
+  SELECT win_start_day, CAST(count(*) AS BIGINT) AS distinct_users
+  FROM asg GROUP BY win_start_day
+)
+SELECT CAST(win_start_day AS BIGINT) AS win_start_day, distinct_users
+FROM w ORDER BY win_start_day
+"""
+
+
+@query("events_sliding_distinct_users", "temporal",
+       "temporal closure: DISTINCT users per sliding 3-day window "
+       "(slide 1 day) — each event fans out to its 3 windows "
+       "map-side, then ONE (window, user) dedup-count; the "
+       "sliding-distinct shape tumbling sums cannot express",
+       _SLIDING_DISTINCT_SQL)
+def events_sliding_distinct_users(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """3-day rolling active-user counts at day grain: every event
+    lands in the 3 windows starting on its day and the two days
+    before, and the aggregate is COUNT(DISTINCT user) per window —
+    the rolling-MAU/WAU shape, which cannot be composed from
+    tumbling results because distinct does not merge.  Epoch-day
+    integer arithmetic (engine-neutral), one explode (factor 3 =
+    window/slide), one (window, user) dedup, one count.
+
+    Scale: the only shuffle keys on (window, user); the explode
+    factor is the window/slide ratio, the standard cost of exact
+    sliding distinct (approximate variants ride the HLL/theta
+    sketches elsewhere in the registry).
+    """
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select(
+        "user_id",
+        (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long")
+        .alias("day"))
+    asg = (ev.select(
+        "user_id",
+        F.explode(F.array(F.col("day"), F.col("day") - 1,
+                          F.col("day") - 2)).alias("win_start_day"))
+        .distinct())
+    return (asg.groupBy("win_start_day")
+            .agg(F.count(F.lit(1)).alias("distinct_users"))
+            .orderBy("win_start_day"))
