@@ -741,3 +741,55 @@ def test_concurrent_timeout_isolated_to_one_message(spark, tmp_path,
     assert "processing layer pts" in stages
     assert "processed" in stages
     assert "Cancelled" in stages          # the timed-out one
+
+
+def test_stream_sliding_distinct_users_parity(spark, sf_dir, tmp_path):
+    """Streaming twin of events_sliding_distinct_users: watermarked
+    dropDuplicates on (user, window) chained into a windowed count —
+    exact sliding distinct with bounded keyed state (Spark 4.x
+    chained stateful operators).  Every window the drained stream
+    emits matches the batch computation bit-for-bit, and every
+    window closed by the final watermark is emitted."""
+    events = load_table(spark, sf_dir, "events").limit(400)
+    src = f"{tmp_path}/events_json"
+    events.select(
+        "event_id", "user_id",
+        F.col("ts").cast("string").alias("ts"),
+    ).coalesce(1).write.json(src)
+
+    schema = "event_id LONG, user_id LONG, ts STRING"
+    stream = (
+        spark.readStream.schema(schema).json(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    win = F.window(F.col("ts"), "3 days", "1 day")
+    out_dir = f"{tmp_path}/out"
+    q = (
+        stream.withWatermark("ts", "1 day")
+        .select("user_id", "ts", win.alias("window"))
+        .dropDuplicates(["user_id", "window"])
+        .groupBy("window")
+        .agg(F.count(F.lit(1)).alias("distinct_users"))
+        .select("window.start", "window.end", "distinct_users")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(out_dir)
+    want = (events.select("user_id", win.alias("window"))
+            .distinct()
+            .groupBy("window")
+            .agg(F.count(F.lit(1)).alias("distinct_users"))
+            .select("window.start", "window.end", "distinct_users"))
+    assert got.exceptAll(want.select(*got.columns)).count() == 0
+    max_ts = events.agg(F.max("ts")).first()[0]
+    closed = want.filter(
+        F.col("end") <= F.lit(max_ts) - F.expr("INTERVAL 1 DAY")
+    ).select(*got.columns)
+    assert closed.exceptAll(got).count() == 0
+    assert got.count() >= closed.count()
