@@ -2761,3 +2761,177 @@ def graph_label_propagation(spark: SparkSession,
                   .select(F.col("u").alias("id_a"),
                           F.lit(30).cast("long").alias("id_b"))))
     return G.label_propagation(edges, rounds=3).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# encoding hygiene: control / replacement / non-ASCII character audit
+# ---------------------------------------------------------------------------
+
+_SCRIPT_PROFILE_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id, text || chr(7) || chr(65533) || 'café'
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(length(regexp_replace(text,
+       '[^\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')) AS BIGINT)
+    AS n_control,
+  CAST(length(text) - length(replace(text, chr(65533), ''))
+       AS BIGINT) AS n_replacement,
+  CAST(length(regexp_replace(text, '[\\x20-\\x7E]', '', 'g'))
+       AS BIGINT) AS n_non_ascii,
+  length(regexp_replace(text,
+       '[^\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')) > 0
+    OR length(text) - length(replace(text, chr(65533), '')) > 0
+    AS mojibake_flag
+FROM corpus ORDER BY doc_id
+"""
+
+
+@query("text_script_profile", "llm",
+       "north star: encoding hygiene — per-document counts of "
+       "control characters, U+FFFD replacement characters, and "
+       "non-ASCII-printable characters (explicit codepoint-range "
+       "regexes, engine-neutral); the corpus seeds a deterministic "
+       "corruption family so the flags certify NON-ZERO findings",
+       _SCRIPT_PROFILE_SQL)
+def text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake / encoding audit: every 7th document gets a seeded
+    BEL + U+FFFD + accented suffix, and the profiler must count the
+    control char, the replacement char (the tell-tale of a decode
+    error upstream), and the non-ASCII-printables — the checks a
+    curation pipeline runs before trusting a crawl dump.  Character
+    classes are EXPLICIT codepoint ranges (no \\p{...} properties,
+    whose Unicode tables differ across regex engines), so the
+    counts are bit-identical.
+
+    Scale: scan-only projection — three regexp counts fused in one
+    whole-stage-codegen pass, no shuffle.
+    """
+    t = load_tables(spark, sf_dir)
+    corpus = (t.documents.filter(F.col("doc_id") % 7 != 0)
+              .select("doc_id", "text")
+              .unionAll(
+                  t.documents.filter(F.col("doc_id") % 7 == 0)
+                  .select("doc_id",
+                          F.concat(F.col("text"),
+                                   F.lit("\x07�" + "café"))
+                          .alias("text"))))
+    ctrl = F.length(F.regexp_replace(
+        F.col("text"), "[^\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))
+    repl = (F.length(F.col("text"))
+            - F.length(F.regexp_replace(F.col("text"), "�", "")))
+    nonascii = F.length(F.regexp_replace(
+        F.col("text"), "[\\x20-\\x7E]", ""))
+    return (corpus.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        ctrl.cast("long").alias("n_control"),
+        repl.cast("long").alias("n_replacement"),
+        nonascii.cast("long").alias("n_non_ascii"),
+        ((ctrl > 0) | (repl > 0)).alias("mojibake_flag"))
+        .orderBy("doc_id"))
+
+
+_ASSORT_SQL = """
+WITH res AS (
+  SELECT DISTINCT CAST(event_id % 131 AS BIGINT) AS id,
+         CAST(event_id AS BIGINT) AS eid FROM events
+),
+raw AS (
+  SELECT CAST(eid % 131 AS BIGINT) AS a,
+         CAST((eid * 7 + 3) % 131 AS BIGINT) AS b FROM res
+  UNION ALL
+  SELECT CAST(eid % 131 AS BIGINT),
+         CAST((eid * 3 + 5) % 131 AS BIGINT) FROM res
+  UNION ALL
+  SELECT CAST(eid % 131 AS BIGINT), CAST((eid % 131) % 11 AS BIGINT)
+  FROM res WHERE (eid % 131) >= 100
+),
+e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      FROM raw WHERE a <> b),
+adj AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT x AS node, CAST(count(*) AS BIGINT) AS d
+        FROM adj GROUP BY x),
+pairs AS (
+  SELECT da.d AS dx, db.d AS dy
+  FROM adj JOIN deg da ON da.node = adj.x
+           JOIN deg db ON db.node = adj.y
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+         CAST(sum(dx * dx) AS BIGINT) AS sxx,
+         CAST(sum(dy * dy) AS BIGINT) AS syy,
+         CAST(sum(dx * dy) AS BIGINT) AS sxy
+  FROM pairs
+)
+SELECT m AS n_directed_edges,
+       round((m * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+              * CAST(sy AS DOUBLE))
+             / sqrt((m * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                     * CAST(sx AS DOUBLE))
+                    * (m * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                       * CAST(sy AS DOUBLE))), 6) AS assortativity
+FROM s
+"""
+
+
+@query("graph_assortativity", "llm",
+       "graph analytics: degree assortativity (Newman r) — Pearson "
+       "of endpoint degrees over directed edge instances, all moment "
+       "sums exact integers (degrees are small ints), one rounded "
+       "double expression; negative on hub-and-spoke graphs",
+       _ASSORT_SQL)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of a deterministic 131-node graph
+    with a hub family (high ids wired to hubs 0..10, giving the
+    degree variance that makes r meaningful — pure functional
+    families are near-regular and r degenerates).  Computed as the
+    Pearson correlation of (deg(x), deg(y)) over DIRECTED edge
+    instances (each undirected edge counted both ways, the standard
+    formula): all five moment sums are exact integer aggregates, so
+    the only float is the final rounded expression.
+
+    Scale: one degree aggregation + two degree joins keyed on node
+    ids + one global moment aggregate; no quadratic shape anywhere.
+    """
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select(F.col("event_id").cast("long").alias("eid"))
+    res = ev.select((F.col("eid") % 131).alias("id"), "eid").distinct()
+    raw = (res.select((F.col("eid") % 131).alias("a"),
+                      ((F.col("eid") * 7 + 3) % 131).alias("b"))
+           .unionAll(res.select(
+               (F.col("eid") % 131).alias("a"),
+               ((F.col("eid") * 3 + 5) % 131).alias("b")))
+           .unionAll(res.filter((F.col("eid") % 131) >= 100).select(
+               (F.col("eid") % 131).alias("a"),
+               ((F.col("eid") % 131) % 11).alias("b"))))
+    e = (raw.filter(F.col("a") != F.col("b"))
+         .select(F.least("a", "b").alias("u"),
+                 F.greatest("a", "b").alias("v"))
+         .distinct())
+    adj = (e.select(F.col("u").alias("x"), F.col("v").alias("y"))
+           .unionAll(e.select(F.col("v").alias("x"),
+                              F.col("u").alias("y"))))
+    deg = adj.groupBy(F.col("x").alias("node")) \
+        .agg(F.count(F.lit(1)).alias("d"))
+    pairs = (adj.join(deg.select(F.col("node").alias("x"),
+                                 F.col("d").alias("dx")), "x")
+             .join(deg.select(F.col("node").alias("y"),
+                              F.col("d").alias("dy")), "y"))
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("dx").alias("sx"), F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    r = ((F.col("m") * d("sxy") - d("sx") * d("sy"))
+         / F.sqrt((F.col("m") * d("sxx") - d("sx") * d("sx"))
+                  * (F.col("m") * d("syy") - d("sy") * d("sy"))))
+    return s.select(F.col("m").alias("n_directed_edges"),
+                    F.round(r, 6).alias("assortativity"))

@@ -3704,3 +3704,67 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("grp")
             .agg(F.min("price").alias("weighted_median"))
             .orderBy("grp"))
+
+
+_BENFORD_SQL = """
+WITH d AS (
+  SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                1, 1) AS digit
+  FROM orders WHERE o_totalprice >= 1
+),
+c AS (SELECT digit, CAST(count(*) AS BIGINT) AS observed
+      FROM d GROUP BY digit),
+n AS (SELECT CAST(sum(observed) AS BIGINT) AS total FROM c),
+exp_t(digit, expected_ppm) AS (VALUES
+  ('1', CAST(301030 AS BIGINT)), ('2', 176091), ('3', 124939),
+  ('4', 96910), ('5', 79181), ('6', 66947), ('7', 57992),
+  ('8', 51153), ('9', 45757))
+SELECT e.digit, coalesce(c.observed, 0) AS observed,
+       (1000000 * coalesce(c.observed, 0)) // n.total AS observed_ppm,
+       e.expected_ppm
+FROM exp_t e LEFT JOIN c USING (digit) CROSS JOIN n
+ORDER BY e.digit
+"""
+
+
+@query("agg_benford_first_digit", "relational",
+       "relational closure: Benford first-digit audit — leading "
+       "digit via the stable DECIMAL string rendering (log10-based "
+       "extraction is ulp-fragile at powers of ten), observed ppm "
+       "by integer division against the fixed Benford constants",
+       _BENFORD_SQL)
+def agg_benford_first_digit(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """First-digit distribution of order totals against Benford's
+    law — the fraud/synthetic-data audit: observed counts and ppm
+    shares per leading digit 1-9 next to the fixed Benford
+    expectation (log10(1+1/d), precomputed ppm literals so no
+    transcendental evaluates at query time).  The digit comes from
+    the DECIMAL(18,2) string rendering — floor(log10(x)) extraction
+    is off-by-one within an ulp of each power of ten and would
+    hash-diverge.
+
+    Scale: one map-side-combining count by digit; everything else
+    runs on nine rows.
+    """
+    t = load_tables(spark, sf_dir)
+    d = (t.orders.filter(F.col("o_totalprice") >= 1)
+         .select(F.substring(
+             F.col("o_totalprice").cast("decimal(18,2)")
+             .cast("string"), 1, 1).alias("digit")))
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("observed"))
+    n = c.agg(F.sum("observed").alias("total"))
+    exp_rows = [("1", 301030), ("2", 176091), ("3", 124939),
+                ("4", 96910), ("5", 79181), ("6", 66947),
+                ("7", 57992), ("8", 51153), ("9", 45757)]
+    exp_t = spark.createDataFrame(
+        exp_rows, "digit string, expected_ppm long")
+    return (exp_t.join(c, "digit", "left")
+            .crossJoin(F.broadcast(n))
+            .select("digit",
+                    F.coalesce(F.col("observed"), F.lit(0))
+                    .alias("observed"),
+                    F.expr("(1000000 * coalesce(observed, 0)) "
+                           "div total").alias("observed_ppm"),
+                    "expected_ppm")
+            .orderBy("digit"))
