@@ -245,3 +245,63 @@ def label_propagation(edges: DataFrame, rounds: int = 3,
                   .select("node", "label")
                   .localCheckpoint())
     return labels
+
+
+def sssp_bellman_ford(edges: DataFrame, source: int,
+                      src: str = "src", dst: str = "dst",
+                      weight: str = "w",
+                      max_rounds: int = 40) -> DataFrame:
+    """Single-source shortest WEIGHTED paths by distributed
+    Bellman-Ford relaxation: each round extends every currently
+    reached node's distance across its out-edges and folds with
+    min() — the min-plus matrix-vector step — until no distance
+    improves.  Weights are non-negative INTEGERS (caller contract),
+    so distances are exact and the fixpoint is the true shortest
+    path cost; convergence takes at most (longest shortest path's
+    edge count) rounds.
+
+    Complements ``bfs_hops`` (unit weights): BFS's first-reach
+    trick is wrong under weights — a later-relaxed path may be
+    cheaper — so state here is (node, best-so-far) and rounds fold
+    with min.  Like ``kcore_members``, the cap is loud: if the
+    relaxation has not converged within ``max_rounds`` the function
+    RAISES rather than return inflated distances.
+
+    Scale per round: one edge-keyed join of the distance vector
+    (O(reached)), one groupBy(node) min — shuffles keyed on node
+    ids; edges are checkpointed once.  The convergence probe joins
+    successive vectors and stops at the first improved row.
+
+    Returns ``(node, dist)`` over reached nodes.
+    """
+    e = (edges.select(F.col(src).cast("long").alias("u"),
+                      F.col(dst).cast("long").alias("v"),
+                      F.col(weight).cast("long").alias("w"))
+         .filter(F.col("u") != F.col("v"))
+         .groupBy("u", "v").agg(F.min("w").alias("w"))
+         .localCheckpoint())
+    dist = (e.sparkSession
+            .createDataFrame([(int(source), 0)], "node long, dist long")
+            .localCheckpoint())
+    converged = False
+    for _ in range(max_rounds):
+        cand = (e.join(dist.withColumnRenamed("node", "u"), "u")
+                .select(F.col("v").alias("node"),
+                        (F.col("dist") + F.col("w")).alias("dist")))
+        new = (dist.unionByName(cand)
+               .groupBy("node").agg(F.min("dist").alias("dist"))
+               .localCheckpoint())
+        improved = (new.join(
+            dist.withColumnRenamed("dist", "__old"), "node", "left")
+            .filter(F.col("__old").isNull()
+                    | (F.col("dist") < F.col("__old")))
+            .limit(1).count())
+        dist = new
+        if improved == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"Bellman-Ford did not converge within {max_rounds} "
+            f"rounds; raise max_rounds")
+    return dist

@@ -2935,3 +2935,71 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
                   * (F.col("m") * d("syy") - d("sy") * d("sy"))))
     return s.select(F.col("m").alias("n_directed_edges"),
                     F.round(r, 6).alias("assortativity"))
+
+
+def _sssp_sql(rounds: int = 16) -> str:
+    """Round-unrolled min-plus relaxation (MATERIALIZED: each round
+    references the previous vector twice).  The 97-node test graph
+    reaches its fixpoint in 12 rounds; 16 bounds it with margin at
+    every SF (the edge set depends only on residues mod 97)."""
+    head = """WITH res AS (
+  SELECT DISTINCT CAST(event_id % 97 AS BIGINT) AS u FROM events
+),
+raw AS (
+  SELECT u, (u * 13 + 1) % 97 AS v FROM res
+  UNION ALL SELECT u, (u * 3 + 7) % 97 FROM res
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT u, v, 1 + (u + v) % 7 AS w
+  FROM raw WHERE u <> v
+),
+d0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS node,
+                           CAST(0 AS BIGINT) AS dist)"""
+    parts = [head]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+d{i} AS MATERIALIZED (
+  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+    SELECT node, dist FROM d{i-1}
+    UNION ALL
+    SELECT e.v AS node, d.dist + e.w AS dist
+    FROM e JOIN d{i-1} d ON d.node = e.u
+  ) GROUP BY node
+)""")
+    parts.append(f"""
+SELECT node, dist FROM d{rounds} ORDER BY node""")
+    return "".join(parts)
+
+
+@query("graph_sssp_weighted", "llm",
+       "graph analytics: weighted single-source shortest paths by "
+       "distributed Bellman-Ford (min-plus rounds over an integer-"
+       "weight edge relation, loud non-convergence cap); the oracle "
+       "unrolls the relaxation with MATERIALIZED rounds",
+       _sssp_sql())
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shortest-path costs from node 0 over the deterministic
+    97-node weighted digraph (two affine families, weight
+    1 + (u+v) % 7) — the weighted companion to graph_bfs_hops,
+    where first-reach is NOT optimal and rounds must fold with min
+    (operators/graph.py sssp_bellman_ford).  Integer weights keep
+    every distance exact; the graph converges in 12 rounds and the
+    oracle unrolls 16.
+
+    Scale per round: one join of the O(V) distance vector against
+    the edge relation keyed on src, one groupBy(node) min — the
+    same O(V)-state-flowing shape as PageRank.
+    """
+    from geohub_data_pipeline_spark.operators import graph as G
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select(F.col("event_id").cast("long").alias("eid"))
+    res = ev.select((F.col("eid") % 97).alias("u")).distinct()
+    edges = (res.select("u", ((F.col("u") * 13 + 1) % 97).alias("v"))
+             .unionAll(res.select(
+                 "u", ((F.col("u") * 3 + 7) % 97).alias("v")))
+             .withColumn("w", 1 + (F.col("u") + F.col("v")) % 7)
+             .withColumnRenamed("u", "src")
+             .withColumnRenamed("v", "dst"))
+    return (G.sssp_bellman_ford(edges, source=0)
+            .orderBy("node"))

@@ -212,3 +212,40 @@ def test_kcore_raises_on_iteration_cap(spark):
         G.kcore_members(path, k=2, max_iters=3)
     # with enough rounds the 2-core of a path is empty
     assert G.kcore_members(path, k=2, max_iters=30).count() == 0
+
+
+def test_sssp_matches_dijkstra_reference(spark):
+    """Bellman-Ford fixpoint equals a Dijkstra reference on a random
+    weighted digraph (a case where first-reach BFS order is wrong:
+    cheaper multi-hop paths exist), and non-convergence raises."""
+    import heapq
+
+    rng = random.Random(17)
+    n = 30
+    edges = {}
+    while len(edges) < 90:
+        a, b = rng.sample(range(n), 2)
+        edges[(a, b)] = rng.randint(1, 9)
+    rows = [(a, b, w) for (a, b), w in edges.items()]
+    df = spark.createDataFrame(rows, "src long, dst long, w long")
+
+    got = {r.node: r.dist
+           for r in G.sssp_bellman_ford(df, source=0).collect()}
+
+    dist = {0: 0}
+    pq = [(0, 0)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, 1 << 60):
+            continue
+        for (a, b), w in edges.items():
+            if a == u and d + w < dist.get(b, 1 << 60):
+                dist[b] = d + w
+                heapq.heappush(pq, (d + w, b))
+    assert got == dist
+
+    # a 10-edge chain cannot converge in 3 rounds: loud, not wrong
+    chain = spark.createDataFrame(
+        [(i, i + 1, 1) for i in range(10)], "src long, dst long, w long")
+    with pytest.raises(RuntimeError, match="converge"):
+        G.sssp_bellman_ford(chain, source=0, max_rounds=3)
