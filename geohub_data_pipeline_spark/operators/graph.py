@@ -63,6 +63,7 @@ def bfs_hops(edges: DataFrame, source: int, src: str = "src",
                .createDataFrame([(int(source), 0)], "node long, hop int")
                .localCheckpoint())
     frontier = visited
+    converged = False
     for hop in range(1, max_hops + 1):
         nxt = (frontier.join(e, frontier["node"] == e["s"])
                .select(F.col("t").alias("node"))
@@ -71,12 +72,28 @@ def bfs_hops(edges: DataFrame, source: int, src: str = "src",
                .withColumn("hop", F.lit(hop))
                .localCheckpoint())
         if nxt.limit(1).count() == 0:
+            converged = True
             break
         # visited stays a LAZY union of already-checkpointed
         # frontiers: no per-round materialization job, and the plan
         # is a flat union over <= max_hops checkpointed layers
         visited = visited.unionByName(nxt)
         frontier = nxt
+    if not converged:
+        # One extra probe: a truncated reachability set is
+        # indistinguishable from a converged one, so — like
+        # kcore_members and sssp_bellman_ford — RAISE loudly when
+        # reachable nodes remain past the cap instead of returning a
+        # wrong-but-plausible subset.
+        remaining = (frontier.join(e, frontier["node"] == e["s"])
+                     .select(F.col("t").alias("node"))
+                     .distinct()
+                     .join(visited, "node", "left_anti"))
+        if remaining.limit(1).count() != 0:
+            raise RuntimeError(
+                f"bfs_hops: frontier still expanding after "
+                f"max_hops={max_hops} rounds — reachability set would "
+                f"be truncated; raise max_hops")
     return visited.select("node", F.col("hop").cast("long").alias("hop"))
 
 

@@ -597,8 +597,6 @@ def video_sample_frames(media: DataFrame, id_col: str = "doc_id",
     ``(id, frame_idx, n_frames, width, height, px_mean, px_min,
     px_max)``.
     """
-    import numpy as np
-
     from geohub_data_pipeline_spark.functions import avicodec as A
     from geohub_data_pipeline_spark.functions import jpegcodec as J
     from geohub_data_pipeline_spark.session import ship_package
@@ -620,8 +618,14 @@ def video_sample_frames(media: DataFrame, id_col: str = "doc_id",
                             int(px.shape[1]), int(px.shape[0]),
                             round(float(px.mean()), 4) + 0.0,
                             int(px.min()), int(px.max())))
-                except ValueError:
-                    continue   # quarantine: bad container OR bad frame
+                except (ValueError, struct.error, IndexError,
+                        KeyError, zlib.error):
+                    # quarantine: bad container OR bad frame — the
+                    # codecs' full failure surface on adversarial
+                    # bytes (truncated struct fields, out-of-range
+                    # chunk indices, corrupt DEFLATE), not just the
+                    # ValueErrors they raise deliberately
+                    continue
                 rows.extend(doc_rows)
             yield pd.DataFrame(rows, columns=[
                 "doc_id", "frame_idx", "n_frames", "width", "height",

@@ -289,10 +289,15 @@ def kmv_setop_estimates(dfa: DataFrame, dfb: DataFrame, col: str,
     ship_package(dfa.sparkSession)
     kk = int(k)
 
-    tagged = (dfa.select(F.xxhash64(F.col(col)).alias("h"),
-                         F.lit(0).alias("side"))
-              .unionAll(dfb.select(F.xxhash64(F.col(col)).alias("h"),
-                                   F.lit(1).alias("side"))))
+    # NULL keys are excluded up front: count(DISTINCT) semantics skip
+    # NULLs, but Spark's xxhash64(NULL) returns the seed (42), which
+    # would contribute one phantom distinct value to each sketch.
+    tagged = (dfa.filter(F.col(col).isNotNull())
+              .select(F.xxhash64(F.col(col)).alias("h"),
+                      F.lit(0).alias("side"))
+              .unionAll(dfb.filter(F.col(col).isNotNull())
+                        .select(F.xxhash64(F.col(col)).alias("h"),
+                                F.lit(1).alias("side"))))
 
     def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         best: dict[int, list] = {0: [], 1: []}
@@ -379,8 +384,12 @@ def join_cardinality_estimate(dfa: DataFrame, key_a: str,
     ship_package(dfa.sparkSession)
     kk = int(k)
 
+    # NULL keys never join, and xxhash64(NULL) = seed would plant a
+    # phantom value in the KMV domain — exclude them like the
+    # sample_counts phase below already does.
     keys = (dfa.select(F.col(key_a).alias("key"))
-            .unionAll(dfb.select(F.col(key_b).alias("key"))))
+            .unionAll(dfb.select(F.col(key_b).alias("key")))
+            .filter(F.col("key").isNotNull()))
 
     def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         best: list = []
@@ -413,8 +422,12 @@ def join_cardinality_estimate(dfa: DataFrame, key_a: str,
 
     ca = sample_counts(dfa, key_a)
     cb = sample_counts(dfb, key_b).withColumnRenamed("c", "c2")
+    # decimal(38,0) accumulation: at the 100 TB scale this targets, a
+    # single heavy-hitter key (~3B rows each side) overflows the int64
+    # product c*c2 and would silently corrupt the estimate.
     row = (ca.join(cb, "key")
-           .agg(F.sum(F.col("c") * F.col("c2")).alias("dot"))
+           .agg(F.sum(F.col("c").cast("decimal(38,0)")
+                      * F.col("c2").cast("decimal(38,0)")).alias("dot"))
            .collect()[0])
     dot = int(row["dot"] or 0)
     return {"estimate": dot * (2.0 ** 64) / float(theta),

@@ -2882,7 +2882,8 @@ def table_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ARRAY_FN_SQL = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
 SELECT doc_id,
-       list_slice(list_sort(ws), 1, 5) AS first5_sorted,
+       array_to_string(list_slice(list_sort(ws), 1, 5), ' ')
+           AS first5_sorted,
        CAST(len(list_distinct(ws)) AS INTEGER) AS n_distinct,
        CAST(list_max(list_transform(ws, x -> len(x)))
             AS INTEGER) AS max_word_len,
@@ -2911,7 +2912,8 @@ def scalar_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = F.split(F.col("text"), " ")
     return (t.documents.select(
         "doc_id",
-        F.slice(F.sort_array(ws), 1, 5).alias("first5_sorted"),
+        F.array_join(F.slice(F.sort_array(ws), 1, 5), " ")
+        .alias("first5_sorted"),
         F.size(F.array_distinct(ws)).alias("n_distinct"),
         F.array_max(F.transform(ws, lambda x: F.length(x)))
         .cast("int").alias("max_word_len"),

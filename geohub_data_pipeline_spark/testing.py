@@ -26,9 +26,20 @@ def canon(df: pd.DataFrame) -> list[tuple]:
                 out.append(repr(v))
             elif hasattr(v, "isoformat"):
                 out.append(pd.Timestamp(v).isoformat())
-            elif isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-                out.append(tuple(repr(float(x)) if isinstance(x, float) else x
-                                 for x in v))
+            elif isinstance(v, (list, tuple, dict)) \
+                    or type(v).__name__ == "ndarray":
+                # The DRIVER's canonicalizer sorts the pandas frame by
+                # all columns; numpy arrays are unhashable there, so a
+                # query returning a raw ARRAY/MAP column is unverifiable
+                # by the hard gate even when values match (round-9
+                # scalar_array_functions escape).  Refuse locally too —
+                # the local stand-in must never be more permissive than
+                # the driver.  Serialize (array_join / to_json) instead.
+                raise TypeError(
+                    "non-scalar result column value "
+                    f"{type(v).__name__!s}: serialize arrays/maps "
+                    "(F.array_join / F.to_json) before returning — "
+                    "the driver gate cannot canonicalize them")
             else:
                 out.append(v)
         rows.append(tuple(out))

@@ -66,7 +66,12 @@ def main() -> int:
                   f"duck={sorted(ddf.columns)}")
             ok = False
         else:
-            cs, cd = canon(sdf), canon(ddf)
+            try:
+                cs, cd = canon(sdf), canon(ddf)
+            except TypeError as ex:
+                print(f"FAIL {name}: canonicalization: {ex}")
+                n_fail += 1
+                continue
             if cs != cd:
                 bad = [i for i, (a, b) in enumerate(zip(cs, cd)) if a != b][:3]
                 print(f"FAIL {name}: values differ at sorted rows {bad}")

@@ -55,13 +55,25 @@ def test_bfs_hops_matches_brute_force(spark):
     assert set(got) == set(truth)
 
 
-def test_bfs_hops_max_hops_truncates(spark):
-    """A chain 0->1->2->3->4 with max_hops=2 stops at hop 2."""
+def test_bfs_hops_max_hops_raises_on_truncation(spark):
+    """A chain 0->1->2->3->4 with max_hops=2 would truncate the
+    reachability set — bfs_hops now RAISES (consistent with
+    kcore_members / sssp_bellman_ford) instead of returning a
+    wrong-but-plausible subset."""
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="max_hops"):
+        G.bfs_hops(df, source=0, max_hops=2)
+
+
+def test_bfs_hops_cap_equal_to_diameter_is_not_truncation(spark):
+    """max_hops exactly the eccentricity: the last frontier is
+    non-empty but nothing remains beyond it — must NOT raise."""
     df = spark.createDataFrame(
         [(i, i + 1) for i in range(5)], "src long, dst long")
     got = {r.node: r.hop
-           for r in G.bfs_hops(df, source=0, max_hops=2).collect()}
-    assert got == {0: 0, 1: 1, 2: 2}
+           for r in G.bfs_hops(df, source=0, max_hops=5).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 5}
 
 
 @pytest.mark.parametrize("seed,k", [(3, 3), (4, 4), (5, 3)])
