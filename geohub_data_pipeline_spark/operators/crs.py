@@ -1713,6 +1713,142 @@ _CRS_TABLE[3059] = ("tm", _GRS80,
                     dict(lat0=0.0, lon0=24.0, k0=0.9996,
                          fe=500000.0, fn=-6000000.0), None)
 
+# --- round-10 additions (VERDICT r9 next #5: close the EPSG-code-only
+# gap to a DECLARED boundary — the biggest remaining national families).
+# All parameters are the published EPSG registry / national-agency
+# defining values (NOAA NOS NGS 5 for SPCS83, NRCan for MTM, the EPSG
+# dataset for Kalianpur).  NAD83<->WGS84 identity, same posture as the
+# NAD83 UTM range.
+
+# NAD83 / MTM zones 1-17 (EPSG 32181-32197, Natural Resources Canada):
+# 3-degree Modified Transverse Mercator, k0=0.9999, FE=304800 m
+# (= 1,000,000 ft).  Zones 12-17 (Ontario) sit on 3-degree-offset
+# meridians rather than the Atlantic 3-degree ladder.
+_MTM_LON0 = [-53.0, -56.0, -58.5, -61.5, -64.5, -67.5, -70.5, -73.5,
+             -76.5, -79.5, -82.5, -81.0, -84.0, -87.0, -90.0, -93.0,
+             -96.0]
+_CRS_TABLE.update({
+    32181 + _i: ("tm", _GRS80,
+                 dict(lat0=0.0, lon0=_lo, k0=0.9999,
+                      fe=304800.0, fn=0.0), None)
+    for _i, _lo in enumerate(_MTM_LON0)
+})
+
+# SPCS83 Transverse-Mercator states (NAD83 meters; the LCC states are
+# the round-8 block above).  zone: (lat0, lon0, k0, fe, fn) — k0
+# written as its defining fraction where SPCS declares one.
+_SPCS83_TM = {
+    26929: (30.5, -(85.0 + 50.0 / 60.0), 0.99996, 200000.0, 0.0),
+    26930: (30.0, -87.5, 1.0 - 1.0 / 15000.0, 600000.0, 0.0),
+    # Alaska zones 2-9 (26932-26939): lat0 54, CM -142..-170 step 4
+    **{26930 + _z: (54.0, -142.0 - 4.0 * (_z - 2), 0.9999,
+                    500000.0, 0.0)
+       for _z in range(2, 10)},
+    26948: (31.0, -(110.0 + 10.0 / 60.0), 0.9999, 213360.0, 0.0),
+    26949: (31.0, -(111.0 + 55.0 / 60.0), 0.9999, 213360.0, 0.0),
+    26950: (31.0, -113.75, 1.0 - 1.0 / 15000.0, 213360.0, 0.0),
+    26957: (38.0, -(75.0 + 25.0 / 60.0), 1.0 - 1.0 / 200000.0,
+            200000.0, 0.0),
+    26958: (24.0 + 20.0 / 60.0, -81.0, 1.0 - 1.0 / 17000.0,
+            200000.0, 0.0),
+    26959: (24.0 + 20.0 / 60.0, -82.0, 1.0 - 1.0 / 17000.0,
+            200000.0, 0.0),
+    26961: (18.0 + 50.0 / 60.0, -155.5, 1.0 - 1.0 / 30000.0,
+            500000.0, 0.0),
+    26962: (20.0 + 20.0 / 60.0, -(156.0 + 40.0 / 60.0),
+            1.0 - 1.0 / 30000.0, 500000.0, 0.0),
+    26963: (21.0 + 10.0 / 60.0, -158.0, 1.0 - 1.0 / 100000.0,
+            500000.0, 0.0),
+    26964: (21.0 + 50.0 / 60.0, -159.5, 1.0 - 1.0 / 100000.0,
+            500000.0, 0.0),
+    26965: (21.0 + 40.0 / 60.0, -(160.0 + 10.0 / 60.0), 1.0,
+            500000.0, 0.0),
+    26966: (30.0, -(82.0 + 10.0 / 60.0), 0.9999, 200000.0, 0.0),
+    26967: (30.0, -(84.0 + 10.0 / 60.0), 0.9999, 700000.0, 0.0),
+    26968: (41.0 + 40.0 / 60.0, -(112.0 + 10.0 / 60.0),
+            1.0 - 1.0 / 19000.0, 200000.0, 0.0),
+    26969: (41.0 + 40.0 / 60.0, -114.0, 1.0 - 1.0 / 19000.0,
+            500000.0, 0.0),
+    26970: (41.0 + 40.0 / 60.0, -115.75, 1.0 - 1.0 / 15000.0,
+            800000.0, 0.0),
+    26971: (36.0 + 40.0 / 60.0, -(88.0 + 20.0 / 60.0),
+            1.0 - 1.0 / 40000.0, 300000.0, 0.0),
+    26972: (36.0 + 40.0 / 60.0, -(90.0 + 10.0 / 60.0),
+            1.0 - 1.0 / 17000.0, 700000.0, 0.0),
+    26973: (37.5, -(85.0 + 40.0 / 60.0), 1.0 - 1.0 / 30000.0,
+            100000.0, 250000.0),
+    26974: (37.5, -(87.0 + 5.0 / 60.0), 1.0 - 1.0 / 30000.0,
+            900000.0, 250000.0),
+    26983: (43.0 + 40.0 / 60.0, -68.5, 0.9999, 300000.0, 0.0),
+    26984: (42.0 + 50.0 / 60.0, -(70.0 + 10.0 / 60.0),
+            1.0 - 1.0 / 30000.0, 900000.0, 0.0),
+    26994: (29.5, -(88.0 + 50.0 / 60.0), 1.0 - 1.0 / 20000.0,
+            300000.0, 0.0),
+    26995: (29.5, -(90.0 + 20.0 / 60.0), 1.0 - 1.0 / 20000.0,
+            700000.0, 0.0),
+    26996: (35.0 + 50.0 / 60.0, -90.5, 1.0 - 1.0 / 15000.0,
+            250000.0, 0.0),
+    26997: (35.0 + 50.0 / 60.0, -92.5, 1.0 - 1.0 / 15000.0,
+            500000.0, 0.0),
+    26998: (36.0 + 10.0 / 60.0, -94.5, 1.0 - 1.0 / 17000.0,
+            850000.0, 0.0),
+    32107: (34.75, -(115.0 + 35.0 / 60.0), 0.9999,
+            200000.0, 8000000.0),
+    32108: (34.75, -(116.0 + 40.0 / 60.0), 0.9999,
+            500000.0, 6000000.0),
+    32109: (34.75, -(118.0 + 35.0 / 60.0), 0.9999,
+            800000.0, 4000000.0),
+    32110: (42.5, -(71.0 + 40.0 / 60.0), 1.0 - 1.0 / 30000.0,
+            300000.0, 0.0),
+    32111: (38.0 + 50.0 / 60.0, -74.5, 0.9999, 150000.0, 0.0),
+    32112: (31.0, -(104.0 + 20.0 / 60.0), 1.0 - 1.0 / 11000.0,
+            165000.0, 0.0),
+    32113: (31.0, -106.25, 0.9999, 500000.0, 0.0),
+    32114: (31.0, -(107.0 + 50.0 / 60.0), 1.0 - 1.0 / 12000.0,
+            830000.0, 0.0),
+    32115: (38.0 + 50.0 / 60.0, -74.5, 0.9999, 150000.0, 0.0),
+    32116: (40.0, -(76.0 + 35.0 / 60.0), 1.0 - 1.0 / 16000.0,
+            250000.0, 0.0),
+    32117: (40.0, -(78.0 + 35.0 / 60.0), 1.0 - 1.0 / 16000.0,
+            350000.0, 0.0),
+    32130: (41.0 + 5.0 / 60.0, -71.5, 1.0 - 1.0 / 160000.0,
+            100000.0, 0.0),
+    32145: (42.5, -72.5, 1.0 - 1.0 / 28000.0, 500000.0, 0.0),
+    32155: (40.5, -(105.0 + 10.0 / 60.0), 1.0 - 1.0 / 16000.0,
+            200000.0, 0.0),
+    32156: (40.5, -(107.0 + 20.0 / 60.0), 1.0 - 1.0 / 16000.0,
+            400000.0, 100000.0),
+    32157: (40.5, -108.75, 1.0 - 1.0 / 16000.0, 600000.0, 0.0),
+    32158: (40.5, -(110.0 + 5.0 / 60.0), 1.0 - 1.0 / 16000.0,
+            800000.0, 100000.0),
+}
+_CRS_TABLE.update({
+    _code: ("tm", _GRS80,
+            dict(lat0=_la, lon0=_lo, k0=_k0, fe=_fe, fn=_fn), None)
+    for _code, (_la, _lo, _k0, _fe, _fn) in _SPCS83_TM.items()
+})
+
+# Kalianpur / India zones (EPSG LCC-1SP method 9801; the lcc2 family
+# with sp1 == sp2 == lat0 and k0 is the exact 1SP form).  Everest
+# ellipsoids; Helmert to WGS84 from the EPSG dataset.
+_EV1975 = (6377299.151, 1.0 / 300.8017255)   # Everest 1830 (1975 defn)
+_EV1962 = (6377301.243, 1.0 / 300.8017255)   # Everest 1830 (1962 defn)
+_HELM_K1975 = (295.0, 736.0, 257.0, 0.0, 0.0, 0.0, 0.0)
+_HELM_K1962 = (283.0, 682.0, 231.0, 0.0, 0.0, 0.0, 0.0)
+_INDIA_ZONES = {
+    # code: (ellps, helmert, lat0, lon0)
+    24378: (_EV1962, _HELM_K1962, 32.5, 68.0),   # Kalianpur 1962 zI
+    24379: (_EV1962, _HELM_K1962, 26.0, 74.0),   # Kalianpur 1962 zIIa
+    24380: (_EV1975, _HELM_K1975, 26.0, 90.0),   # Kalianpur 1975 zIIb
+    24381: (_EV1975, _HELM_K1975, 19.0, 80.0),   # Kalianpur 1975 zIII
+    24382: (_EV1975, _HELM_K1975, 12.0, 80.0),   # Kalianpur 1975 zIV
+}
+for _code, (_ell, _helm, _la, _lo) in _INDIA_ZONES.items():
+    _CRS_TABLE[_code] = (
+        "lcc2", _ell,
+        dict(lat0=_la, lon0=_lo, sp1=_la, sp2=_la, k0=0.99878641,
+             fe=2743195.5, fn=914398.5), _helm)
+
 _FAMILIES = {"tm": _make_tm, "lcc2": _make_lcc2,
              "laea": _make_laea, "aea": _make_aea,
              "ps": _make_ps, "krovak": _make_krovak,
@@ -1760,6 +1896,51 @@ def supported_srids() -> list[int]:
             + list(range(32601, 32661)) + list(range(32701, 32761))
             + list(range(25828, 25839)) + list(range(26901, 26924))
             + list(range(6330, 6349)) + list(range(28348, 28359)))
+
+
+# The DECLARED closed-form coverage boundary (r9 verdict next #5).
+# A FROZEN literal — generated once from supported_srids() after the
+# round-10 additions, then pinned: the crs_coverage_boundary gate
+# query probes the LIVE resolver (to_lonlat/from_lonlat + pair
+# construction) over these ranges plus a halo and compares against
+# this declaration, so any drift — a table entry whose family breaks,
+# a range branch lost in refactoring, a new family not declared —
+# surfaces as a gate mismatch instead of silent scope creep.
+# Everything OUTSIDE these ranges is the documented drop-audit
+# boundary (operators/geometry.py unknown-CRS path).
+DECLARED_SRID_RANGES: tuple[tuple[int, int], ...] = (
+    (2039, 2039), (2056, 2056), (2154, 2154), (2163, 2163),
+    (2169, 2169), (2180, 2180), (2193, 2193), (2225, 2230),
+    (2263, 2263), (2275, 2279), (2443, 2461), (3006, 3018),
+    (3031, 3031), (3035, 3035), (3059, 3059), (3067, 3067),
+    (3112, 3112), (3346, 3346), (3410, 3410), (3413, 3413),
+    (3571, 3577), (3763, 3763), (3825, 3826), (3978, 3978),
+    (4534, 4554), (5070, 5070), (5105, 5130), (5179, 5179),
+    (5185, 5188), (5514, 5514), (6330, 6348), (6669, 6687),
+    (6931, 6933), (7846, 7859), (9311, 9311), (21781, 21781),
+    (23028, 23038), (24378, 24382), (25828, 25838), (26703, 26722),
+    (26901, 26923), (26929, 26930), (26932, 26939), (26941, 26946),
+    (26948, 26950), (26957, 26959), (26961, 26974), (26983, 26985),
+    (26994, 26998), (27571, 27573), (27700, 27700), (28348, 28358),
+    (28992, 28992), (29902, 29903), (31254, 31259), (31370, 31370),
+    (31466, 31469), (31965, 31985), (32107, 32118), (32130, 32130),
+    (32137, 32141), (32145, 32145), (32155, 32158), (32181, 32197),
+    (32601, 32661), (32701, 32761), (54009, 54009), (54034, 54034),
+    (102001, 102001), (102003, 102003), (102008, 102008),
+)
+
+
+def srid_resolves(srid: int) -> bool:
+    """True iff the LIVE engine can actually build BOTH direction
+    closures for ``srid`` (table lookup / range branch AND projection
+    constant construction succeed).  Exceptions count as unresolvable
+    — this is the probe the coverage-boundary gate runs against
+    DECLARED_SRID_RANGES."""
+    try:
+        return (to_lonlat(srid) is not None
+                and from_lonlat(srid) is not None)
+    except Exception:
+        return False
 
 
 def to_lonlat(srid: int):

@@ -581,3 +581,91 @@ def test_r9b_roundtrips_all_codes():
     for code, (lon, lat) in pts.items():
         lon2, lat2 = C.to_lonlat(code)(*C.from_lonlat(code)(lon, lat))
         assert abs(lon2 - lon) < 1e-7 and abs(lat2 - lat) < 1e-7, code
+
+
+# --- round-10 additions: MTM, SPCS83 TM states, Kalianpur, and the
+# declared coverage boundary -------------------------------------------------
+
+def test_r10_tm_zone_origin_identity():
+    """fwd(lon0, lat0) == (FE, FN) EXACTLY for every round-10 TM
+    entry (MTM 1-17 + every SPCS83 TM zone) — pins lat0/lon0/fe/fn
+    against the table independent of the roundtrip gate."""
+    for code in list(C._SPCS83_TM) + list(range(32181, 32198)):
+        _fam, _ell, p, _h = C._CRS_TABLE[code]
+        x, y = C.from_lonlat(code)(p["lon0"], p["lat0"])
+        assert abs(x - p["fe"]) < 1e-6 and abs(y - p["fn"]) < 1e-6, code
+
+
+def test_r10_tm_k0_meridian_scaling():
+    """On the central meridian the TM northing is EXACTLY
+    k0 * (meridian arc from lat0) + FN — evaluated against a
+    high-resolution numeric meridian-arc integral, this pins each
+    zone's k0 (a wrong scale factor passes zone-origin identity and
+    fwd/inv roundtrip, but not this)."""
+    import numpy as np
+
+    def arc(ell, lat_lo, lat_hi):
+        a, f = ell
+        e2 = f * (2 - f)
+        phi = np.linspace(math.radians(lat_lo), math.radians(lat_hi),
+                          200_001)
+        m = a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+        return float(np.trapz(m, phi))
+
+    for code in (26929, 26950, 26957, 26963, 26971, 26996, 32112,
+                 32116, 32130, 32145, 32155, 32188):
+        _fam, ell, p, _h = C._CRS_TABLE[code]
+        lat = p["lat0"] + 2.0
+        _, y = C.from_lonlat(code)(p["lon0"], lat)
+        expect = p["k0"] * arc(ell, p["lat0"], lat) + p["fn"]
+        assert abs(y - expect) < 1e-5, (code, y, expect)
+
+
+def test_r10_mtm_control_and_roundtrips():
+    """MTM zone 8 central-meridian identity (Montreal's zone:
+    CM 73d30'W, FE 304800 m) and sub-mm roundtrips across zones."""
+    assert C.from_lonlat(32188)(-73.5, 0.0) == (304800.0, 0.0)
+    for code, (lon, lat) in {32181: (-53.2, 47.5),
+                             32188: (-73.7, 45.5),
+                             32192: (-81.4, 46.0),
+                             32197: (-96.3, 49.3)}.items():
+        lon2, lat2 = C.to_lonlat(code)(*C.from_lonlat(code)(lon, lat))
+        assert abs(lon2 - lon) < 1e-7 and abs(lat2 - lat) < 1e-7, code
+
+
+def test_r10_kalianpur_roundtrip_and_false_origin():
+    """India-zone roundtrips (Helmert-wrapped, so the tolerance is
+    the datum-iteration one) and the LCC-1SP false-origin identity
+    on the UNSHIFTED projection core: the projected coordinates of
+    (lon0, lat0-in-Kalianpur) must be (FE, FN) — checked by building
+    the same family WITHOUT the Helmert wrap."""
+    from geohub_data_pipeline_spark.operators.crs import (
+        _EV1962, _make_lcc2,
+    )
+    fwd, _inv = _make_lcc2(_EV1962, 26.0, 74.0, sp1=26.0, sp2=26.0,
+                           k0=0.99878641, fe=2743195.5, fn=914398.5)
+    x, y = fwd(74.0, 26.0)
+    assert abs(x - 2743195.5) < 1e-6 and abs(y - 914398.5) < 1e-6
+
+    for code, (lon, lat) in {24378: (68.5, 33.0), 24379: (74.2, 26.3),
+                             24380: (90.3, 25.0), 24381: (80.1, 18.0),
+                             24382: (80.0, 13.0)}.items():
+        lon2, lat2 = C.to_lonlat(code)(*C.from_lonlat(code)(lon, lat))
+        assert abs(lon2 - lon) < 2e-6 and abs(lat2 - lat) < 2e-6, code
+
+
+def test_declared_coverage_boundary_matches_live_resolver():
+    """DECLARED_SRID_RANGES == the live resolver over the full probe
+    fixture — the import-time twin of the crs_coverage_boundary gate
+    query (catches declaration drift without a Spark session)."""
+    from geohub_data_pipeline_spark.plans.pipeline import (
+        _coverage_probe_codes,
+    )
+    declared = C.DECLARED_SRID_RANGES
+    bad = []
+    for code in _coverage_probe_codes():
+        want = any(lo <= code <= hi for lo, hi in declared)
+        got = C.srid_resolves(code)
+        if want != got:
+            bad.append((code, want, got))
+    assert not bad, bad[:10]
