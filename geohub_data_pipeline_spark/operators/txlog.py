@@ -1,0 +1,189 @@
+"""Log-structured snapshot-isolation table format (Delta/Iceberg-style
+read side).
+
+A table is a directory of immutable parquet data files plus an
+append-only JSON transaction log under ``_txlog/``: version N is the
+file set obtained by replaying the add/remove actions of log entries
+0..N in order.  Readers never lock and never see a torn state — a
+snapshot is defined entirely by a log PREFIX, so a writer committing
+version N+1 cannot affect a reader pinned at N (snapshot isolation),
+and "time travel" is just replaying a shorter prefix.
+
+This is the versioned-table read the reference delegates to its blob
+store's immutability (uploads are processed as immutable object sets,
+ingest/ingest.py:72-118); here it is a first-class queryable format.
+
+Scale design:
+
+* The LOG is bounded metadata — actions are file-level, so a
+  petabyte table is thousands of log entries, not billions.  Replay
+  is a driver-side fold over JSON lines; data rows NEVER pass
+  through the driver.
+* The snapshot reader hands the replayed file list straight to
+  ``spark.read.parquet(*files)`` — scan parallelism, column pruning
+  and predicate pushdown stay Spark-native.
+* Every add action carries ``(rows, min_k, max_k)`` for a declared
+  stats column; ``plan_scan`` prunes whole files against a key-range
+  predicate BEFORE the scan plans (the Delta data-skipping trick):
+  at 100 TB a selective key range touches the handful of files whose
+  stats overlap, independent of table size.
+* Data files are written by ONE distributed job partitioned on the
+  bucket expression (no per-bucket job loop); per-file stats come
+  from one map-side-combined aggregation whose result is
+  file-COUNT-sized.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_LOG_FMT = "{:010d}.json"
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(path, "_txlog")
+
+
+def table_versions(path: str) -> list[int]:
+    """All committed versions, ascending (missing table = [])."""
+    d = _log_dir(path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        m = re.fullmatch(r"(\d{10})\.json", f)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def commit(path: str, adds: list[dict], removes: list[str],
+           op: str = "write") -> int:
+    """Append one atomic log entry; returns the new version.
+
+    Atomicity on a real object store would use put-if-absent on the
+    version-numbered key (the Delta protocol); locally, O_EXCL gives
+    the same lose-the-race-loudly property."""
+    versions = table_versions(path)
+    version = (versions[-1] + 1) if versions else 0
+    os.makedirs(_log_dir(path), exist_ok=True)
+    entry = os.path.join(_log_dir(path), _LOG_FMT.format(version))
+    fd = os.open(entry, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    with os.fdopen(fd, "w") as f:
+        f.write(json.dumps({"commit": {"version": version, "op": op}})
+                + "\n")
+        for r in removes:
+            f.write(json.dumps({"remove": {"path": r}}) + "\n")
+        for a in adds:
+            f.write(json.dumps({"add": a}) + "\n")
+    return version
+
+
+def snapshot_actions(path: str, version: int | None = None
+                     ) -> list[dict[str, Any]]:
+    """Replay the log prefix up to ``version`` (default: latest);
+    returns the ACTIVE add actions.  A remove of an unknown path or
+    an add of an already-active path raises — a corrupt log must be
+    loud, not a silently wrong table."""
+    versions = table_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no transaction log under {path}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(f"version {version} not in {versions}")
+    active: dict[str, dict] = {}
+    for v in versions:
+        if v > version:
+            break
+        with open(os.path.join(_log_dir(path), _LOG_FMT.format(v))) as f:
+            for line in f:
+                action = json.loads(line)
+                if "add" in action:
+                    a = action["add"]
+                    if a["path"] in active:
+                        raise ValueError(
+                            f"v{v}: double add of {a['path']}")
+                    active[a["path"]] = a
+                elif "remove" in action:
+                    p = action["remove"]["path"]
+                    if p not in active:
+                        raise ValueError(
+                            f"v{v}: remove of inactive {p}")
+                    del active[p]
+    return [active[p] for p in sorted(active)]
+
+
+def write_version(df: DataFrame, path: str, bucket_col,
+                  n_buckets: int, stats_col: str,
+                  removes: list[str] | None = None,
+                  prefix: str = "part", op: str = "write") -> int:
+    """Write ``df`` as ``n_buckets`` data files (ONE distributed job,
+    partitioned on the bucket expression) and commit them — plus any
+    ``removes`` — as one atomic version.
+
+    ``bucket_col`` is a Column expression in [0, n_buckets); each
+    bucket becomes one add action carrying (rows, min, max) stats of
+    ``stats_col`` from a single map-side-combined aggregation."""
+    b = bucket_col.cast("int").alias("__b")
+    staged = df.withColumn("__b", b)
+    data_dir = os.path.join(path, "data", prefix)
+    (staged.repartition(n_buckets, "__b")
+     .write.mode("overwrite").partitionBy("__b").parquet(data_dir))
+    stats = (staged.groupBy("__b")
+             .agg(F.count(F.lit(1)).alias("rows"),
+                  F.min(stats_col).alias("min_k"),
+                  F.max(stats_col).alias("max_k"))
+             .collect())
+    adds = []
+    for r in stats:                       # file-count-sized metadata
+        adds.append({
+            "path": os.path.join(data_dir, f"__b={int(r['__b'])}"),
+            "rows": int(r["rows"]),
+            "stats_col": stats_col,
+            "min_k": None if r["min_k"] is None else int(r["min_k"]),
+            "max_k": None if r["max_k"] is None else int(r["max_k"]),
+        })
+    return commit(path, adds, removes or [], op=op)
+
+
+def plan_scan(path: str, version: int | None = None,
+              key_min: int | None = None, key_max: int | None = None
+              ) -> tuple[list[dict], list[dict]]:
+    """Split the snapshot's files into (scanned, skipped) under an
+    optional closed key-range predicate on the stats column — file
+    skipping from log metadata alone, before any I/O."""
+    actions = snapshot_actions(path, version)
+    if key_min is None and key_max is None:
+        return actions, []
+    scanned, skipped = [], []
+    for a in actions:
+        if a["min_k"] is None:            # no stats -> must scan
+            scanned.append(a)
+        elif ((key_max is not None and a["min_k"] > key_max)
+              or (key_min is not None and a["max_k"] < key_min)):
+            skipped.append(a)
+        else:
+            scanned.append(a)
+    return scanned, skipped
+
+
+def read_snapshot(spark: SparkSession, path: str,
+                  version: int | None = None,
+                  key_min: int | None = None,
+                  key_max: int | None = None) -> DataFrame:
+    """DataFrame over the snapshot, file-pruned by the key range
+    (the range predicate itself must still be applied by the caller
+    — pruning is a superset guarantee, exactly like parquet row-group
+    skipping)."""
+    scanned, _skipped = plan_scan(path, version, key_min, key_max)
+    if not scanned:
+        raise ValueError(f"empty snapshot scan for {path}@{version}")
+    df = spark.read.parquet(*[a["path"] for a in scanned])
+    return df.drop("__b") if "__b" in df.columns else df

@@ -1,0 +1,99 @@
+"""Transaction-log table format: snapshot isolation, time travel,
+stats pruning, and loud-failure contracts."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from geohub_data_pipeline_spark.operators import txlog as TX
+
+
+@pytest.fixture(scope="module")
+def table(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("tx") / "t")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    TX.write_version(df.filter(F.col("k") < 60), path,
+                     (F.col("k") / 20).cast("int"), 3, "k", prefix="v0")
+    TX.write_version(df.filter(F.col("k") >= 60), path,
+                     F.lit(0), 1, "k", prefix="v1", op="append")
+    # v2: delete-rewrite of v0 bucket 1 (k in [20, 40)) keeping evens
+    TX.write_version(
+        df.filter((F.col("k") >= 20) & (F.col("k") < 40)
+                  & (F.col("k") % 2 == 0)),
+        path, F.lit(0), 1, "k",
+        removes=[os.path.join(path, "data", "v0", "__b=1")],
+        prefix="v2", op="delete")
+    return path
+
+
+def test_latest_snapshot_applies_delete_rewrite(spark, table):
+    ks = {r.k for r in TX.read_snapshot(spark, table).collect()}
+    expect = ({k for k in range(100)}
+              - {k for k in range(20, 40) if k % 2 == 1})
+    assert ks == expect
+
+
+def test_time_travel_prefixes(spark, table):
+    assert TX.read_snapshot(spark, table, version=0).count() == 60
+    assert TX.read_snapshot(spark, table, version=1).count() == 100
+    assert TX.read_snapshot(spark, table, version=2).count() == 90
+
+
+def test_reader_pinned_at_old_version_is_isolated(spark, table):
+    """The removed file still exists on disk; a v1-pinned reader uses
+    the log prefix, not the directory listing, and still sees it."""
+    removed = os.path.join(table, "data", "v0", "__b=1")
+    assert os.path.isdir(removed)          # physically present
+    paths = {a["path"] for a in TX.snapshot_actions(table, version=1)}
+    assert removed in paths
+    paths2 = {a["path"] for a in TX.snapshot_actions(table)}
+    assert removed not in paths2
+
+
+def test_stats_pruning_is_superset_and_exact_for_ranges(spark, table):
+    scanned, skipped = TX.plan_scan(table, version=0,
+                                    key_min=0, key_max=19)
+    assert len(scanned) == 1 and len(skipped) == 2
+    got = (TX.read_snapshot(spark, table, version=0,
+                            key_min=0, key_max=19)
+           .filter(F.col("k") <= 19).count())
+    assert got == 20
+
+
+def test_corrupt_log_is_loud(tmp_path):
+    add_x = {"path": "/x", "rows": 1, "stats_col": "k",
+             "min_k": 0, "max_k": 0}
+    path = str(tmp_path / "bad1")
+    TX.commit(path, [add_x], [])
+    TX.commit(path, [], ["/x"])
+    TX.commit(path, [], ["/x"])            # /x already removed
+    with pytest.raises(ValueError, match="remove of inactive"):
+        TX.snapshot_actions(path)
+    # double add is equally loud
+    path2 = str(tmp_path / "bad2")
+    TX.commit(path2, [add_x], [])
+    TX.commit(path2, [add_x], [])
+    with pytest.raises(ValueError, match="double add"):
+        TX.snapshot_actions(path2)
+
+
+def test_commit_conflict_loses_loudly(tmp_path):
+    """Two writers racing to the same version: the second O_EXCL
+    create fails instead of silently clobbering history."""
+    path = str(tmp_path / "race")
+    TX.commit(path, [], [])
+    entry = os.path.join(path, "_txlog", "0000000001.json")
+    os.makedirs(os.path.dirname(entry), exist_ok=True)
+    with open(entry, "w") as f:            # a rival won version 1
+        f.write(json.dumps({"commit": {"version": 1, "op": "w"}}) + "\n")
+    with pytest.raises(FileExistsError):
+        fd = os.open(entry, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        os.close(fd)
+
+
+def test_unknown_version_raises(table):
+    with pytest.raises(ValueError, match="version 99"):
+        TX.snapshot_actions(table, version=99)
