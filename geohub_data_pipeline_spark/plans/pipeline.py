@@ -6794,3 +6794,99 @@ def crs_coverage_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_probed"),
                  F.sum("ok").cast("long").alias("n_resolvable"))
             .orderBy("band"))
+
+
+# ---------------------------------------------------------------------------
+# Round 10: geodesic buffering (ellipsoidal Vincenty direct/inverse)
+# ---------------------------------------------------------------------------
+
+_GEOBUF_RADIUS_M = 100_000.0
+_GEOBUF_AZIMUTHS = 16
+
+
+def _geobuf_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t.documents.select(
+        F.col("doc_id").alias("id"),
+        ((F.col("doc_id") % 300).cast("double") * 1.1 - 165.0)
+        .alias("lon"),
+        (((F.col("doc_id") * 7) % 140).cast("double") - 70.0)
+        .alias("lat"))
+
+
+@query("geodesic_buffer_rings", "pipeline",
+       "geo analytics: geodesic buffering — 16-azimuth 100 km buffer "
+       "ring per point via Vincenty DIRECT on WGS84 (ref buffers "
+       "through OGR/PROJ's geodesic code in its vector path); the "
+       "iterative series is not SQL-expressible, so the oracle is "
+       "the write->read-back parquet gate; the absolute control "
+       "(Vincenty's published Flinders Peak-Buninyong line to the "
+       "mm) lives in tests/test_geodesic.py",
+       "SELECT * FROM read_parquet('/tmp/geohub_gate_artifacts/"
+       "geodesic_rings.parquet/*.parquet') ORDER BY id, k")
+def geodesic_buffer_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Buffer ring vertices for deterministic per-document points —
+    one row per (point, azimuth).  Scale: stateless Arrow kernel,
+    no shuffle, fan-out fixed at 16."""
+    from geohub_data_pipeline_spark.operators import geodesic as GE
+    from geohub_data_pipeline_spark.plans.llm import _parquet_roundtrip
+
+    rings = GE.buffer_points(_geobuf_points(spark, sf_dir),
+                             _GEOBUF_RADIUS_M, _GEOBUF_AZIMUTHS)
+    out = rings.select("id", "k", F.round("vlon", 9).alias("vlon"),
+                       F.round("vlat", 9).alias("vlat"))
+    return _parquet_roundtrip(out, "geodesic_rings").orderBy("id", "k")
+
+
+def _geobuf_invariant_sql() -> str:
+    return f"""
+SELECT CAST(x.range AS INTEGER) AS k,
+       TRUE AS within_mm,
+       (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_points
+FROM range({_GEOBUF_AZIMUTHS}) x ORDER BY k
+"""
+
+
+@query("geodesic_buffer_invariants", "pipeline",
+       "geo analytics: geodesic buffer law check — every ring vertex "
+       "must sit EXACTLY the buffer radius from its center, measured "
+       "by the INDEPENDENT Vincenty inverse iteration (direct and "
+       "inverse agreeing to <1 mm over every point x azimuth is a "
+       "two-algorithm cross-check, same pattern as the PCA "
+       "invariants); the oracle states the 16-row expectation",
+       _geobuf_invariant_sql())
+def geodesic_buffer_invariants(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Per azimuth k: does max |inverse(center, vertex) - R| over all
+    points stay under 1 mm?  A broken series term, a flattening typo,
+    or a quadrant error in EITHER algorithm breaks the agreement."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from geohub_data_pipeline_spark.operators import geodesic as GE
+    from geohub_data_pipeline_spark.session import ship_package
+
+    ship_package(spark)
+    pts = _geobuf_points(spark, sf_dir)
+    step = 360.0 / _GEOBUF_AZIMUTHS
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for pid, lon, lat in zip(pdf["id"], pdf["lon"], pdf["lat"]):
+                for k in range(_GEOBUF_AZIMUTHS):
+                    vlon, vlat = GE.geodesic_direct(
+                        float(lon), float(lat), k * step,
+                        _GEOBUF_RADIUS_M)
+                    err = abs(GE.geodesic_inverse(
+                        float(lon), float(lat), vlon, vlat)
+                        - _GEOBUF_RADIUS_M)
+                    rows.append((k, err))
+            yield pd.DataFrame(rows, columns=["k", "err_m"])
+
+    errs = pts.mapInPandas(kernel, "k int, err_m double")
+    return (errs.groupBy("k")
+            .agg((F.max("err_m") < 0.001).alias("within_mm"),
+                 F.count(F.lit(1)).cast("long").alias("n_points"))
+            .orderBy("k"))
