@@ -793,3 +793,111 @@ def test_stream_sliding_distinct_users_parity(spark, sf_dir, tmp_path):
     ).select(*got.columns)
     assert closed.exceptAll(got).count() == 0
     assert got.count() >= closed.count()
+
+
+# --- round 10: streaming joins beyond the cancel inner join ----------------
+
+def _write_rows(d: str, name: str, rows: list[dict]) -> None:
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_interval_join_outer_batch_parity(spark, tmp_path):
+    """Stream-stream LEFT OUTER interval join == the batch left join
+    on the same data: matched rows carry the ack timestamp, events
+    whose ack never arrived (or arrived past the horizon) emit with
+    NULL once the watermark proves no match can come.  A sentinel
+    event far in the future pushes the final watermark so every
+    outer result is flushed under availableNow."""
+    events = [
+        {"event_id": 1, "ts": "2026-01-01 10:00:00", "v": 10},
+        {"event_id": 2, "ts": "2026-01-01 10:01:00", "v": 20},
+        {"event_id": 3, "ts": "2026-01-01 10:02:00", "v": 30},
+        {"event_id": 4, "ts": "2026-01-01 10:03:00", "v": 40},
+        # sentinel: advances the watermark past every horizon
+        {"event_id": 999, "ts": "2026-01-02 00:00:00", "v": 0},
+    ]
+    acks = [
+        {"event_id": 1, "ack_ts": "2026-01-01 10:04:00"},  # in horizon
+        {"event_id": 2, "ack_ts": "2026-01-01 10:30:00"},  # PAST horizon
+        # event 3: no ack at all
+        {"event_id": 4, "ack_ts": "2026-01-01 10:05:00"},  # in horizon
+        {"event_id": 999, "ack_ts": "2026-01-02 00:00:01"},
+    ]
+    ldir, rdir = f"{tmp_path}/ev", f"{tmp_path}/ack"
+    _write_rows(ldir, "a.json", events[:3])
+    _write_rows(ldir, "b.json", events[3:])
+    _write_rows(rdir, "a.json", acks[:2])
+    _write_rows(rdir, "b.json", acks[2:])
+
+    lschema = "event_id long, ts timestamp, v long"
+    rschema = "event_id long, ack_ts timestamp"
+    ls = (spark.readStream.schema(lschema)
+          .option("maxFilesPerTrigger", 1).json(ldir))
+    rs = (spark.readStream.schema(rschema)
+          .option("maxFilesPerTrigger", 1).json(rdir))
+    q = (W.interval_join_outer(ls, rs, watermark="1 minute",
+                               horizon="10 minutes")
+         .writeStream.outputMode("append")
+         .option("checkpointLocation", f"{tmp_path}/ckpt")
+         .trigger(availableNow=True)
+         .format("memory").queryName("ij_outer").start())
+    q.awaitTermination(300)
+    got = {(r.event_id, r.v,
+            None if r.matched_ack_ts is None
+            else r.matched_ack_ts.strftime("%H:%M:%S"))
+           for r in spark.sql(
+               "SELECT * FROM ij_outer WHERE event_id != 999").collect()}
+
+    lb = spark.createDataFrame(
+        [(e["event_id"], e["ts"], e["v"]) for e in events],
+        "event_id long, ts string, v long"
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "v")
+    rb = spark.createDataFrame(
+        [(a["event_id"], a["ack_ts"]) for a in acks],
+        "event_id long, ack_ts string"
+    ).select("event_id", F.col("ack_ts").cast("timestamp").alias("ack_ts"))
+    batch = lb.alias("l").join(
+        rb.alias("r"),
+        (F.col("l.event_id") == F.col("r.event_id"))
+        & (F.col("r.ack_ts") >= F.col("l.ts"))
+        & (F.col("r.ack_ts") <= F.col("l.ts")
+           + F.expr("INTERVAL 10 minutes")),
+        "leftOuter").select("l.event_id", "l.v", "r.ack_ts")
+    want = {(r.event_id, r.v,
+             None if r.ack_ts is None
+             else r.ack_ts.strftime("%H:%M:%S"))
+            for r in batch.filter("event_id != 999").collect()}
+
+    assert want == {(1, 10, "10:04:00"), (2, 20, None),
+                    (3, 30, None), (4, 40, "10:05:00")}
+    assert got == want
+
+
+def test_enrich_stream_static_broadcast(spark, tmp_path):
+    """Stream-static enrichment: every micro-batch row picks up its
+    dimension attributes via a broadcast join — no stream shuffle,
+    and rows with no dim entry survive (left join)."""
+    rows = [{"event_id": i, "nation_key": i % 5} for i in range(20)]
+    src = f"{tmp_path}/ev2"
+    _write_rows(src, "a.json", rows[:11])
+    _write_rows(src, "b.json", rows[11:])
+    dim = spark.createDataFrame(
+        [(k, f"nation_{k}") for k in range(3)],   # keys 3, 4 missing
+        "nation_key long, nation_name string")
+    stream = (spark.readStream.schema("event_id long, nation_key long")
+              .option("maxFilesPerTrigger", 1).json(src))
+    q = (W.enrich_stream_static(stream, dim, "nation_key")
+         .writeStream.outputMode("append")
+         .option("checkpointLocation", f"{tmp_path}/ckpt2")
+         .trigger(availableNow=True)
+         .format("memory").queryName("enriched").start())
+    q.awaitTermination(300)
+    out = spark.sql("SELECT * FROM enriched").collect()
+    assert len(out) == 20
+    named = {r.event_id: r.nation_name for r in out}
+    for i in range(20):
+        expect = f"nation_{i % 5}" if i % 5 < 3 else None
+        assert named[i] == expect, i
