@@ -3978,3 +3978,96 @@ def txlog_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(len(skipped)).cast("int").alias("n_files_skipped"),
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("cents").cast("long").alias("sum_cents"))
+
+
+_TXLOG_ZORDER_SQL = """
+WITH pts AS (
+  SELECT doc_id,
+         (doc_id * 73) % 360 - 179.5 AS lon,
+         (doc_id * 37) % 180 - 89.5 AS lat
+  FROM documents
+),
+q2 AS (SELECT * FROM pts WHERE lat >= 0 AND lon < 0)
+SELECT phase, n_files, n_files_scanned, n_files_skipped,
+       (SELECT CAST(count(*) AS BIGINT) FROM q2) AS n_rows,
+       (SELECT CAST(sum(doc_id) AS BIGINT) FROM q2) AS id_checksum
+FROM (VALUES ('1_unclustered', 4, 4, 0),
+             ('2_zordered',    4, 1, 3))
+     v(phase, n_files, n_files_scanned, n_files_skipped)
+ORDER BY phase
+"""
+
+
+@query("txlog_optimize_zorder", "relational",
+       "lakehouse: OPTIMIZE ZORDER — the same point table written "
+       "hash-bucketed (every file spans the whole key space; a "
+       "spatial-quadrant probe must scan 4/4) then REWRITTEN in one "
+       "log commit clustered by Morton quadrant (per-file zkey "
+       "min/max become disjoint; the identical probe scans 1/4 from "
+       "log metadata alone); the oracle pins both phases' planner "
+       "counts and the invariant query answer", _TXLOG_ZORDER_SQL)
+def txlog_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order data-layout optimization as a transaction-log rewrite
+    (the Delta ``OPTIMIZE ZORDER BY`` analog).  The probe is the
+    north-west quadrant as a Morton-key range [2*4^15, 3*4^15): on
+    the hash layout no file can be skipped; after the one-commit
+    clustered rewrite, three of four are — and the QUERY ANSWER
+    (row count + id checksum under the residual predicate) is
+    bit-identical in both phases, which is the whole point of a
+    layout optimization.
+
+    Scale: the rewrite is one distributed job partitioned on the
+    cluster key; the old files are retired in the SAME atomic log
+    entry, so concurrent snapshot readers never see a half-optimized
+    table."""
+    import hashlib
+    import os
+    import shutil
+
+    from geohub_data_pipeline_spark.operators import spatial as SP
+    from geohub_data_pipeline_spark.operators import txlog as TX
+
+    t = load_tables(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/geohub_gate_artifacts/txlog_z_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+
+    pts = t.documents.select(
+        "doc_id",
+        ((F.col("doc_id") * 73) % 360 - 179.5).alias("lon"),
+        ((F.col("doc_id") * 37) % 180 - 89.5).alias("lat"))
+    _gx, _gy, zkey = SP.morton_cols(F.col("lon"), F.col("lat"), 16)
+    staged = pts.select("doc_id", zkey.alias("zkey"))
+
+    TX.write_version(staged, path, F.col("doc_id") % 4, 4, "zkey",
+                     prefix="v0")
+    lo, hi = 2 << 30, (3 << 30) - 1          # NW quadrant key range
+
+    def probe(phase: str) -> tuple:
+        scanned, skipped = TX.plan_scan(path, key_min=lo, key_max=hi)
+        agg = (TX.read_snapshot(spark, path, key_min=lo, key_max=hi)
+               .filter(F.col("zkey").between(lo, hi))   # residual
+               .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.sum("doc_id").cast("long").alias("id_checksum"))
+               ).collect()[0]
+        return (phase, len(scanned) + len(skipped), len(scanned),
+                len(skipped), int(agg["n_rows"]),
+                int(agg["id_checksum"]))
+
+    before = probe("1_unclustered")
+
+    # OPTIMIZE: one atomic commit — rewrite clustered by quadrant,
+    # retire every v0 file
+    current = TX.snapshot_actions(path)
+    TX.write_version(
+        TX.read_snapshot(spark, path),
+        path, F.shiftright(F.col("zkey"), 30).cast("int"), 4, "zkey",
+        removes=[a["path"] for a in current],
+        prefix="v1", op="optimize")
+    after = probe("2_zordered")
+
+    return spark.createDataFrame(
+        [before, after],
+        "phase string, n_files int, n_files_scanned int, "
+        "n_files_skipped int, n_rows long, id_checksum long"
+    ).orderBy("phase")
