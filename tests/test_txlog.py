@@ -97,3 +97,48 @@ def test_commit_conflict_loses_loudly(tmp_path):
 def test_unknown_version_raises(table):
     with pytest.raises(ValueError, match="version 99"):
         TX.snapshot_actions(table, version=99)
+
+
+def test_vacuum_reclaims_only_unreferenced(spark, tmp_path):
+    """VACUUM deletes exactly the files no retained version needs;
+    the retained snapshots still read correctly afterwards."""
+    from pyspark.sql import functions as F
+    path = str(tmp_path / "vac")
+    df = spark.range(40).select(F.col("id").alias("k"),
+                                (F.col("id") * 2).alias("v"))
+    TX.write_version(df, path, (F.col("k") / 10).cast("int"), 4, "k",
+                     prefix="v0")
+    # OPTIMIZE-style rewrite retires all v0 files
+    old = [a["path"] for a in TX.snapshot_actions(path)]
+    TX.write_version(TX.read_snapshot(spark, path), path,
+                     F.lit(0), 1, "k", removes=old, prefix="v1")
+    # retain 1 version: every v0 file is dead
+    dead = TX.vacuum(path, retain_versions=1)
+    assert sorted(dead) == sorted(old)
+    for p in old:
+        assert not os.path.exists(p)
+    assert TX.read_snapshot(spark, path).count() == 40
+    # time travel to v0 is now loudly impossible at read time
+    with pytest.raises(Exception):
+        TX.read_snapshot(spark, path, version=0).count()
+
+
+def test_vacuum_keeps_files_shared_with_retained_versions(spark, tmp_path):
+    """A file added in v0 and still active in the latest version must
+    survive a retain_versions=1 vacuum."""
+    from pyspark.sql import functions as F
+    path = str(tmp_path / "vac2")
+    df = spark.range(20).select(F.col("id").alias("k"),
+                                F.col("id").alias("v"))
+    TX.write_version(df, path, (F.col("k") / 10).cast("int"), 2, "k",
+                     prefix="v0")
+    TX.write_version(df.filter("k >= 100"), path, F.lit(0), 1, "k",
+                     prefix="v1", op="append")     # empty append
+    dead = TX.vacuum(path, retain_versions=1)
+    assert dead == []
+    assert TX.read_snapshot(spark, path).count() == 20
+
+
+def test_vacuum_refuses_zero_retention(tmp_path):
+    with pytest.raises(ValueError, match="retain_versions"):
+        TX.vacuum(str(tmp_path / "x"), retain_versions=0)
