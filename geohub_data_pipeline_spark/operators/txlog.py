@@ -177,15 +177,25 @@ def plan_scan(path: str, version: int | None = None,
 def read_snapshot(spark: SparkSession, path: str,
                   version: int | None = None,
                   key_min: int | None = None,
-                  key_max: int | None = None) -> DataFrame:
+                  key_max: int | None = None,
+                  merge_schema: bool = False) -> DataFrame:
     """DataFrame over the snapshot, file-pruned by the key range
     (the range predicate itself must still be applied by the caller
     — pruning is a superset guarantee, exactly like parquet row-group
-    skipping)."""
+    skipping).
+
+    ``merge_schema=True`` enables additive schema evolution: files
+    written before a column existed read it back as NULL (parquet
+    mergeSchema), so an append with a widened schema needs no rewrite
+    of history — the Delta-style evolution contract.  Off by default:
+    schema union costs a footer pass per file."""
     scanned, _skipped = plan_scan(path, version, key_min, key_max)
     if not scanned:
         raise ValueError(f"empty snapshot scan for {path}@{version}")
-    df = spark.read.parquet(*[a["path"] for a in scanned])
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(*[a["path"] for a in scanned])
     return df.drop("__b") if "__b" in df.columns else df
 
 

@@ -142,3 +142,23 @@ def test_vacuum_keeps_files_shared_with_retained_versions(spark, tmp_path):
 def test_vacuum_refuses_zero_retention(tmp_path):
     with pytest.raises(ValueError, match="retain_versions"):
         TX.vacuum(str(tmp_path / "x"), retain_versions=0)
+
+
+def test_schema_evolution_additive_append(spark, tmp_path):
+    """An append with a NEW column needs no rewrite of history:
+    merge_schema reads pre-evolution files with the column as NULL."""
+    from pyspark.sql import functions as F
+    path = str(tmp_path / "evo")
+    v0 = spark.range(10).select(F.col("id").alias("k"),
+                                (F.col("id") * 2).alias("v"))
+    TX.write_version(v0, path, F.lit(0), 1, "k", prefix="v0")
+    v1 = spark.range(10, 20).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+        F.lit("new").alias("w"))
+    TX.write_version(v1, path, F.lit(0), 1, "k", prefix="v1",
+                     op="append")
+    df = TX.read_snapshot(spark, path, merge_schema=True)
+    assert set(df.columns) == {"k", "v", "w"}
+    rows = {r.k: r.w for r in df.collect()}
+    assert len(rows) == 20
+    assert rows[5] is None and rows[15] == "new"
