@@ -124,50 +124,6 @@ promote([
     "geodesic_buffer_invariants",
     "txlog_optimize_zorder",
     "crs_roundtrip_codes_r9",
-    "graph_pagerank",
-    "skyline_pareto",
-    "dedup_sparse_cosine",
-    "scd2_merge_dimension",
-    "table_diff_snapshots",
-    "text_lexical_diversity",
-    "agg_incremental_maintenance",
-    "profile_key_skew",
-    "wordpiece_roundtrip_gate",
-    "wordpiece_vocab_invariants",
-    "agg_kll_quantiles_grouped",
-    "graph_triangle_count",
-    "embedding_pca_project",
-    "bpe_train_merges",
-    "bpe_encode_stats",
-    "unigram_roundtrip_gate",
-    "unigram_train_invariants",
-    "fuzzy_join_names",
-    "spatial_zorder_key",
-    "graph_kcore",
-    "graph_common_neighbors",
-    "text_collocations_dice",
-    "text_readability",
-    "events_interval_overlap",
-    "profile_table_columns",
-    "data_quality_checks",
-    "events_seasonal_decompose",
-    "dedup_containment",
-    "cdc_apply_changelog",
-    "graph_label_propagation",
-    "events_attribution_last_touch",
-    "basket_copurchase_rules",
-    "privacy_k_anonymity",
-    "events_time_weighted_avg",
-    "crs_roundtrip_codes_r9b",
-    "agg_pearson_grouped",
-    "agg_chi_square",
-    "events_zscore_anomaly",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "ann_lsh_multiprobe",
-    "ann_quantized_int8",
-    "ann_pq_reconstructed",
     "q1_pricing_summary",
     "join_multiway_broadcast",
     "join_range_theta",
@@ -349,4 +305,48 @@ promote([
     "ann_lsh_bucketed",
     "dedup_exact_keep_first",
     "minhash_signatures",
+    "graph_pagerank",
+    "skyline_pareto",
+    "dedup_sparse_cosine",
+    "scd2_merge_dimension",
+    "table_diff_snapshots",
+    "text_lexical_diversity",
+    "agg_incremental_maintenance",
+    "profile_key_skew",
+    "wordpiece_roundtrip_gate",
+    "wordpiece_vocab_invariants",
+    "agg_kll_quantiles_grouped",
+    "graph_triangle_count",
+    "embedding_pca_project",
+    "bpe_train_merges",
+    "bpe_encode_stats",
+    "unigram_roundtrip_gate",
+    "unigram_train_invariants",
+    "fuzzy_join_names",
+    "spatial_zorder_key",
+    "graph_kcore",
+    "graph_common_neighbors",
+    "text_collocations_dice",
+    "text_readability",
+    "events_interval_overlap",
+    "profile_table_columns",
+    "data_quality_checks",
+    "events_seasonal_decompose",
+    "dedup_containment",
+    "cdc_apply_changelog",
+    "graph_label_propagation",
+    "events_attribution_last_touch",
+    "basket_copurchase_rules",
+    "privacy_k_anonymity",
+    "events_time_weighted_avg",
+    "crs_roundtrip_codes_r9b",
+    "agg_pearson_grouped",
+    "agg_chi_square",
+    "events_zscore_anomaly",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "ann_lsh_multiprobe",
+    "ann_quantized_int8",
+    "ann_pq_reconstructed",
 ])
