@@ -593,3 +593,49 @@ def test_theta_sketch_shuffle_is_sketch_rows_only(spark, sf_dir):
             .collect())
     assert len(rows) == 5
     assert all(r.within_tol for r in rows)
+
+
+def test_txlog_snapshot_scan_is_pruned_to_one_file(spark, tmp_path):
+    """The key-range snapshot read plans a parquet scan over ONLY the
+    surviving file — file skipping happens before Spark ever sees the
+    table, so the physical plan contains one scan of one directory
+    and no filter on the pruned files."""
+    from pyspark.sql import functions as F
+
+    from geohub_data_pipeline_spark.operators import txlog as TX
+
+    path = str(tmp_path / "t")
+    df = spark.range(100).select(F.col("id").alias("k"),
+                                 (F.col("id") * 3).alias("v"))
+    TX.write_version(df, path, (F.col("k") / 25).cast("int"), 4, "k",
+                     prefix="v0")
+    pruned = TX.read_snapshot(spark, path, key_min=0, key_max=24)
+    plan = plan_of(pruned)
+    # exactly one __b=<n> location in the scan
+    assert plan.count("__b=") == 1, plan
+
+
+def test_geodesic_buffer_has_no_shuffle(spark, sf_dir):
+    """Buffering is a stateless Arrow kernel over the scan — the plan
+    up to the ring rows carries NO Exchange."""
+    from geohub_data_pipeline_spark.operators import geodesic as GE
+    from geohub_data_pipeline_spark.plans.pipeline import _geobuf_points
+
+    rings = GE.buffer_points(_geobuf_points(spark, sf_dir),
+                             100_000.0, 16)
+    plan = plan_of(rings)
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan, plan
+
+
+def test_crs_coverage_probe_is_metadata_sized(spark, sf_dir):
+    """The coverage fixture is the distinct-code DOMAIN, not data:
+    ~5k rows regardless of SF, one band aggregation."""
+    from geohub_data_pipeline_spark.plans.pipeline import (
+        _coverage_probe_codes,
+    )
+    codes = _coverage_probe_codes()
+    assert 4000 < len(codes) < 8000
+    plan = plan_of(SPECS["crs_coverage_boundary"].fn(spark, sf_dir))
+    # probe repartition + agg + final orderBy range exchange
+    assert plan.count("Exchange") <= 3, plan
