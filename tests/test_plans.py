@@ -637,5 +637,6 @@ def test_crs_coverage_probe_is_metadata_sized(spark, sf_dir):
     codes = _coverage_probe_codes()
     assert 4000 < len(codes) < 8000
     plan = plan_of(SPECS["crs_coverage_boundary"].fn(spark, sf_dir))
-    # probe repartition + agg + final orderBy range exchange
-    assert plan.count("Exchange") <= 3, plan
+    # probe repartition + agg + final orderBy range exchange (the
+    # formatted plan prints each node twice: tree line + detail)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
