@@ -123,6 +123,7 @@ promote([
     "geodesic_buffer_rings",
     "geodesic_buffer_invariants",
     "txlog_optimize_zorder",
+    "txlog_bloom_point_lookup",
     "crs_roundtrip_codes_r9",
     "q1_pricing_summary",
     "join_multiway_broadcast",

@@ -162,3 +162,43 @@ def test_schema_evolution_additive_append(spark, tmp_path):
     rows = {r.k: r.w for r in df.collect()}
     assert len(rows) == 20
     assert rows[5] is None and rows[15] == "new"
+
+
+def test_bloom_point_lookup_skips_keyfree_files(spark, tmp_path):
+    """Hash-bucketed files all overlap on min/max, so a point lookup
+    scans 4/4 on stats alone; blooms prove 3 of 4 key-free.  The
+    probe key's own file always survives (no false negatives)."""
+    from pyspark.sql import functions as F
+    path = str(tmp_path / "bl")
+    df = spark.range(400).select(F.col("id").alias("k"),
+                                 (F.col("id") * 5).alias("v"))
+    TX.write_version(df, path, F.col("k") % 4, 4, "k", prefix="v0")
+    s0, k0 = TX.plan_scan(path, key_min=17, key_max=17)
+    assert len(s0) == 4 and len(k0) == 0      # stats can't help
+    TX.attach_blooms(spark, path)
+    s1, k1 = TX.plan_point_lookup(spark, path, 17)
+    # key 17 lives in bucket 1; its file must be scanned, and with
+    # 100 keys per file in a 2^16 bitmap the other three are clean
+    assert len(s1) == 1 and len(k1) == 3
+    owner = s1[0]["path"]
+    assert owner.endswith("__b=1")
+    got = (spark.read.parquet(owner)
+           .filter(F.col("k") == 17).collect())
+    assert len(got) == 1 and got[0]["v"] == 85
+
+
+def test_bloom_survives_as_snapshot_metadata(spark, tmp_path):
+    """attach_blooms is a metadata-only commit: the data files are
+    byte-identical, the row count unchanged, and time travel to the
+    pre-bloom version still plans on stats alone."""
+    from pyspark.sql import functions as F
+    path = str(tmp_path / "bl2")
+    df = spark.range(100).select(F.col("id").alias("k"),
+                                 F.col("id").alias("v"))
+    TX.write_version(df, path, F.col("k") % 2, 2, "k", prefix="v0")
+    v1 = TX.attach_blooms(spark, path)
+    assert TX.read_snapshot(spark, path).count() == 100
+    pre, _ = TX.plan_scan(path, version=v1 - 1)
+    assert all("bloom" not in a for a in pre)
+    post = TX.snapshot_actions(path)
+    assert all(a.get("bloom") for a in post)
