@@ -327,3 +327,28 @@ def plan_point_lookup(spark: SparkSession, path: str, key_value,
         else:
             scanned.append(a)
     return scanned, skipped
+
+
+def history(spark: SparkSession, path: str) -> DataFrame:
+    """The table's commit history as a DataFrame (Delta DESCRIBE
+    HISTORY analog): one row per version with the operation label and
+    action counts — the introspection surface an auditor or a
+    retention policy reads.  Bounded metadata; built driver-side from
+    the log and parallelized only for uniformity of the return type."""
+    rows = []
+    for v in table_versions(path):
+        op, n_add, n_rem, rows_added = "?", 0, 0, 0
+        with open(os.path.join(_log_dir(path), _LOG_FMT.format(v))) as f:
+            for line in f:
+                action = json.loads(line)
+                if "commit" in action:
+                    op = action["commit"].get("op", "?")
+                elif "add" in action:
+                    n_add += 1
+                    rows_added += int(action["add"].get("rows", 0))
+                elif "remove" in action:
+                    n_rem += 1
+        rows.append((v, op, n_add, n_rem, rows_added))
+    return spark.createDataFrame(
+        rows, "version int, op string, n_adds int, n_removes int, "
+              "rows_added long")

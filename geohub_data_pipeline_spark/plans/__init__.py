@@ -124,6 +124,7 @@ promote([
     "geodesic_buffer_invariants",
     "txlog_optimize_zorder",
     "txlog_bloom_point_lookup",
+    "txlog_describe_history",
     "crs_roundtrip_codes_r9",
     "q1_pricing_summary",
     "join_multiway_broadcast",

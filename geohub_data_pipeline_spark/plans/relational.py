@@ -4134,3 +4134,41 @@ def txlog_bloom_point_lookup(spark: SparkSession,
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.coalesce(F.sum("cents"), F.lit(0)).cast("long")
         .alias("sum_cents"))
+
+
+_TXLOG_HISTORY_SQL = """
+WITH counts AS (
+  SELECT count(*) FILTER (o_orderkey % 3 = 0) AS v0_rows,
+         count(*) FILTER (o_orderkey % 3 = 1) AS v1_rows,
+         count(*) FILTER (o_orderkey % 3 = 0 AND o_orderkey % 4 = 2
+                          AND o_orderkey % 5 != 0) AS v2_rows
+  FROM orders
+)
+SELECT * FROM (
+  SELECT CAST(0 AS INTEGER) AS version, 'write' AS op,
+         CAST(4 AS INTEGER) AS n_adds, CAST(0 AS INTEGER) AS n_removes,
+         CAST(v0_rows AS BIGINT) AS rows_added FROM counts
+  UNION ALL
+  SELECT 1, 'append', 4, 0, CAST(v1_rows AS BIGINT) FROM counts
+  UNION ALL
+  SELECT 2, 'delete', 1, 1, CAST(v2_rows AS BIGINT) FROM counts
+) ORDER BY version
+"""
+
+
+@query("txlog_describe_history", "relational",
+       "lakehouse: DESCRIBE HISTORY — the transaction log itself as "
+       "a queryable relation (one row per version: op label, file "
+       "add/remove counts, rows added); the oracle states the demo "
+       "table's three-version history closed-form over orders",
+       _TXLOG_HISTORY_SQL)
+def txlog_describe_history(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Audit surface for the versioned table: who wrote what, when,
+    and how much — read from the bounded log, no data I/O.  The
+    row counts per version double as an integrity check on the
+    write path's stats aggregation."""
+    from geohub_data_pipeline_spark.operators import txlog as TX
+
+    path = _build_txlog_table(spark, sf_dir)
+    return TX.history(spark, path).orderBy("version")
