@@ -52,25 +52,26 @@ from geohub_data_pipeline_spark.plans.registry import promote  # noqa: E402
 #     accumulation — r9 ADVICE), and multimodal_video_frames
 #     (quarantine now catches the codecs' full failure surface —
 #     struct.error/IndexError/KeyError/zlib.error — r9 ADVICE).
-# (d) slots 40-48: the NINE new round-10 queries —
+# (d) slots 40-49: the TEN new round-10 queries —
 #     crs_roundtrip_codes_r10 (MTM/SPCS-TM/Kalianpur national grids)
 #     + crs_coverage_boundary (live resolver vs the frozen
 #     DECLARED_SRID_RANGES over ~5k probe codes), the
 #     snapshot-isolation lakehouse read family (txlog_snapshot_read /
-#     txlog_time_travel / txlog_file_skipping / txlog_optimize_zorder)
+#     txlog_time_travel / txlog_file_skipping / txlog_optimize_zorder
+#     / txlog_bloom_point_lookup / txlog_describe_history)
 #     and the geodesic pair (geodesic_buffer_rings sink-gate +
 #     geodesic_buffer_invariants direct-vs-inverse cross-check).
-# 49+: everything else, r5-greens first, then r6..r9 in rotation
-# order — after this round no driver row is older than r6 except the
-# r5 block, which rotates next.
+# Slot 50 + onward: the r5 block (q1_pricing_summary first), then
+# r6..r8 greens; the 46 r9-gated queries rotate LAST (freshest
+# driver rows).  After this round no driver row is older than r5.
 #
-# Rotation math (r9 verdict next #7), stated plainly: 273 queries
+# Rotation math (r9 verdict next #7), stated plainly: 275 queries
 # over a 50-slot gate = a 5.5-round full rotation if nothing changes;
 # the stalest-first order makes that bound exact, and this round's
-# 48-slot backlog-drain leaves nothing older than r5 in the queue.
+# 49-slot backlog-drain leaves nothing older than r5 in the queue.
 # The compensating evidence for off-prefix rounds is the committed
 # full-registry sf0.001 sweep (scripts/check_oracle.py — recorded
-# per-round in PERF.md), which covers all 273 queries every round.
+# per-round in PERF.md), which covers all 275 queries every round.
 #
 # Every prefix entry is verified this round with
 # scripts/check_oracle.py at sf0.001, and the new/changed ones
@@ -125,7 +126,6 @@ promote([
     "txlog_optimize_zorder",
     "txlog_bloom_point_lookup",
     "txlog_describe_history",
-    "crs_roundtrip_codes_r9",
     "q1_pricing_summary",
     "join_multiway_broadcast",
     "join_range_theta",
@@ -307,6 +307,7 @@ promote([
     "ann_lsh_bucketed",
     "dedup_exact_keep_first",
     "minhash_signatures",
+    "crs_roundtrip_codes_r9",
     "graph_pagerank",
     "skyline_pareto",
     "dedup_sparse_cosine",
