@@ -269,30 +269,42 @@ def attach_blooms(spark: SparkSession, path: str,
     movement, like Delta's stats recomputation).
 
     The filter is a SET OF OCCUPIED POSITIONS (k=2 xxhash64 probes
-    into a 2^16 slot space), built by one distributed aggregation
-    whose per-file output is bounded by min(rows*k, m) ints — never
-    data.  No false negatives by construction, so point-lookup
-    pruning is a superset guarantee exactly like min/max skipping.
+    into a per-file-sized slot space — see _bloom_m), built by ONE
+    distributed pass over all active files at once: the file identity
+    comes from input_file_name(), so a 100k-file table is one job
+    with one (file, position)-distinct aggregation whose output is
+    bounded by files x m ints of metadata — never data, never a
+    per-file job loop.  No false negatives by construction, so
+    point-lookup pruning is a superset guarantee exactly like
+    min/max skipping.
     """
     actions = snapshot_actions(path)
-    blooms: dict[str, tuple[int, list[int]]] = {}
-    for a in actions:
-        col = key_col or a["stats_col"]
-        m = _bloom_m(a["rows"])
-        df = spark.read.parquet(a["path"]).select(F.col(col).alias("k"))
-        probes = None
-        for seed in _BLOOM_SEEDS:
-            p = df.select(
-                F.pmod(F.xxhash64(F.col("k"), F.lit(seed)),
-                       F.lit(m)).alias("pos"))
-            probes = p if probes is None else probes.unionAll(p)
-        positions = [int(r["pos"]) for r in
-                     probes.distinct().collect()]     # <= m ints
-        blooms[a["path"]] = (m, sorted(positions))
+    col = key_col or actions[0]["stats_col"]
+    m_of = {a["path"]: _bloom_m(a["rows"]) for a in actions}
+    # one scan of every active file; the owning add-action directory
+    # is the input file's parent partition dir (writer layout __b=N)
+    scan = spark.read.parquet(*[a["path"] for a in actions]).select(
+        F.col(col).alias("k"),
+        F.regexp_extract(
+            F.regexp_replace(F.input_file_name(), r"^file://", ""),
+            r"^(.*)/[^/]+$", 1).alias("fdir"))
+    # per-file m as a broadcast lookup (file-count-sized)
+    mdf = F.broadcast(spark.createDataFrame(
+        [(p, m) for p, m in m_of.items()], "fdir string, m long"))
+    probed = (scan.join(mdf, "fdir")
+              .select("fdir", F.explode(F.array(*[
+                  F.pmod(F.xxhash64(F.col("k"), F.lit(s)), F.col("m"))
+                  for s in _BLOOM_SEEDS])).alias("pos"))
+              .distinct()
+              .groupBy("fdir")
+              .agg(F.sort_array(F.collect_set("pos")).alias("poss")))
+    blooms = {r["fdir"]: [int(x) for x in r["poss"]]
+              for r in probed.collect()}   # <= files x m ints
     adds = []
     for a in actions:
         enriched = dict(a)
-        enriched["bloom_m"], enriched["bloom"] = blooms[a["path"]]
+        enriched["bloom_m"] = m_of[a["path"]]
+        enriched["bloom"] = blooms.get(a["path"], [])
         adds.append(enriched)
     return commit(path, adds, [a["path"] for a in actions],
                   op="attach_blooms")
