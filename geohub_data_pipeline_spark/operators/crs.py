@@ -1835,19 +1835,28 @@ _EV1975 = (6377299.151, 1.0 / 300.8017255)   # Everest 1830 (1975 defn)
 _EV1962 = (6377301.243, 1.0 / 300.8017255)   # Everest 1830 (1962 defn)
 _HELM_K1975 = (295.0, 736.0, 257.0, 0.0, 0.0, 0.0, 0.0)
 _HELM_K1962 = (283.0, 682.0, 231.0, 0.0, 0.0, 0.0, 0.0)
+# False origin is 3,000,000 / 1,000,000 INDIAN YARDS — whose metric
+# value differs by datum epoch (the yard was re-determined): the
+# 1962 yard gives FE/FN 2743196.4 / 914398.8 m, the 1975 yard
+# 2743195.5 / 914398.5 m (the EPSG projected-CRS defining values).
 _INDIA_ZONES = {
-    # code: (ellps, helmert, lat0, lon0)
-    24378: (_EV1962, _HELM_K1962, 32.5, 68.0),   # Kalianpur 1962 zI
-    24379: (_EV1962, _HELM_K1962, 26.0, 74.0),   # Kalianpur 1962 zIIa
-    24380: (_EV1975, _HELM_K1975, 26.0, 90.0),   # Kalianpur 1975 zIIb
-    24381: (_EV1975, _HELM_K1975, 19.0, 80.0),   # Kalianpur 1975 zIII
-    24382: (_EV1975, _HELM_K1975, 12.0, 80.0),   # Kalianpur 1975 zIV
+    # code: (ellps, helmert, lat0, lon0, fe_m, fn_m)
+    24378: (_EV1962, _HELM_K1962, 32.5, 68.0,
+            2743196.4, 914398.8),                # Kalianpur 1962 zI
+    24379: (_EV1962, _HELM_K1962, 26.0, 74.0,
+            2743196.4, 914398.8),                # Kalianpur 1962 zIIa
+    24380: (_EV1975, _HELM_K1975, 26.0, 90.0,
+            2743195.5, 914398.5),                # Kalianpur 1975 zIIb
+    24381: (_EV1975, _HELM_K1975, 19.0, 80.0,
+            2743195.5, 914398.5),                # Kalianpur 1975 zIII
+    24382: (_EV1975, _HELM_K1975, 12.0, 80.0,
+            2743195.5, 914398.5),                # Kalianpur 1975 zIV
 }
-for _code, (_ell, _helm, _la, _lo) in _INDIA_ZONES.items():
+for _code, (_ell, _helm, _la, _lo, _fe, _fn) in _INDIA_ZONES.items():
     _CRS_TABLE[_code] = (
         "lcc2", _ell,
         dict(lat0=_la, lon0=_lo, sp1=_la, sp2=_la, k0=0.99878641,
-             fe=2743195.5, fn=914398.5), _helm)
+             fe=_fe, fn=_fn), _helm)
 
 _FAMILIES = {"tm": _make_tm, "lcc2": _make_lcc2,
              "laea": _make_laea, "aea": _make_aea,

@@ -125,6 +125,18 @@ def geodesic_inverse(lon1: float, lat1: float, lon2: float,
     return _B * big_a * (sigma - delta)
 
 
+def ring_vertices(lon: float, lat: float, radius_m: float,
+                  n_azimuths: int) -> list[tuple[int, float, float]]:
+    """The buffer ring of one point: [(k, vlon, vlat)] for k equal
+    azimuth steps.  THE shared kernel — buffer_points and the
+    direct-vs-inverse invariants gate both call this, so the
+    cross-check always validates the exact computation the buffer
+    operator ships."""
+    step = 360.0 / n_azimuths
+    return [(k, *geodesic_direct(lon, lat, k * step, radius_m))
+            for k in range(n_azimuths)]
+
+
 def buffer_points(points: DataFrame, radius_m: float, n_azimuths: int,
                   id_col: str = "id", lon_col: str = "lon",
                   lat_col: str = "lat") -> DataFrame:
@@ -141,17 +153,16 @@ def buffer_points(points: DataFrame, radius_m: float, n_azimuths: int,
     from geohub_data_pipeline_spark.session import ship_package
 
     ship_package(points.sparkSession)
-    step = 360.0 / n_azimuths
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for pid, lon, lat in zip(pdf[id_col], pdf[lon_col],
                                      pdf[lat_col]):
-                for k in range(n_azimuths):
-                    vlon, vlat = geodesic_direct(
-                        float(lon), float(lat), k * step, radius_m)
-                    rows.append((int(pid), k, vlon, vlat))
+                rows.extend(
+                    (int(pid), k, vlon, vlat)
+                    for k, vlon, vlat in ring_vertices(
+                        float(lon), float(lat), radius_m, n_azimuths))
             yield pd.DataFrame(rows, columns=["id", "k", "vlon", "vlat"])
 
     return points.select(

@@ -130,13 +130,32 @@ def write_version(df: DataFrame, path: str, bucket_col,
 
     ``bucket_col`` is a Column expression in [0, n_buckets); each
     bucket becomes one add action carrying (rows, min, max) stats of
-    ``stats_col`` from a single map-side-combined aggregation."""
+    ``stats_col`` from a single map-side-combined aggregation — over
+    the WRITTEN files, not the input plan: a non-deterministic input
+    (rand(), sample(), tie-broken shuffles) re-executed for stats
+    would disagree with the bytes on disk and make plan_scan prune
+    files that actually contain matching rows.
+
+    A prefix may be used by at most ONE commit per table: the data
+    directory is immutable once written (re-using it would physically
+    clobber files earlier log versions still reference — breaking
+    snapshot isolation with a perfectly consistent-looking log), so
+    an existing directory raises."""
     b = bucket_col.cast("int").alias("__b")
     staged = df.withColumn("__b", b)
     data_dir = os.path.join(path, "data", prefix)
+    if os.path.exists(data_dir):
+        raise ValueError(
+            f"prefix {prefix!r} already written under {path} — data "
+            f"files are immutable; use a fresh prefix per commit")
     (staged.repartition(n_buckets, "__b")
-     .write.mode("overwrite").partitionBy("__b").parquet(data_dir))
-    stats = (staged.groupBy("__b")
+     .write.mode("errorifexists").partitionBy("__b").parquet(data_dir))
+    # an EMPTY input writes no partition dirs at all (just _SUCCESS):
+    # a legitimate no-op append — commit with zero adds
+    if not any(e.startswith("__b=") for e in os.listdir(data_dir)):
+        return commit(path, [], removes or [], op=op)
+    written = df.sparkSession.read.parquet(data_dir)
+    stats = (written.groupBy("__b")
              .agg(F.count(F.lit(1)).alias("rows"),
                   F.min(stats_col).alias("min_k"),
                   F.max(stats_col).alias("max_k"))
@@ -188,10 +207,20 @@ def read_snapshot(spark: SparkSession, path: str,
     written before a column existed read it back as NULL (parquet
     mergeSchema), so an append with a widened schema needs no rewrite
     of history — the Delta-style evolution contract.  Off by default:
-    schema union costs a footer pass per file."""
+    schema union costs a footer pass per file.
+
+    A key range that prunes EVERY file is a legitimately empty
+    selective query (e.g. an incremental load past the high-water
+    mark), not an error: it returns an empty DataFrame with the
+    table's schema (read from any active file's footer)."""
     scanned, _skipped = plan_scan(path, version, key_min, key_max)
     if not scanned:
-        raise ValueError(f"empty snapshot scan for {path}@{version}")
+        actions = snapshot_actions(path, version)
+        if not actions:
+            raise ValueError(f"empty snapshot for {path}@{version}")
+        empty = spark.read.parquet(actions[0]["path"]).limit(0)
+        return (empty.drop("__b") if "__b" in empty.columns
+                else empty)
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
@@ -248,6 +277,52 @@ def vacuum(path: str, retain_versions: int = 2) -> list[str]:
 _BLOOM_SEEDS = (1, 2)       # k = 2 hash functions (xxhash64 seeds)
 _BLOOM_M_CAP = 1 << 20
 
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_MASK = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _MASK
+
+
+def _fmix(h: int) -> int:
+    h ^= h >> 33
+    h = h * _P2 & _MASK
+    h ^= h >> 29
+    h = h * _P3 & _MASK
+    h ^= h >> 32
+    return h
+
+
+def _hash_long(v: int, seed: int) -> int:
+    h = (seed + _P5 + 8) & _MASK
+    h ^= _rotl((v & _MASK) * _P2 & _MASK, 31) * _P1 & _MASK
+    h = (_rotl(h, 27) * _P1 + _P4) & _MASK
+    return _fmix(h)
+
+
+def _hash_int(v: int, seed: int) -> int:
+    h = (seed + _P5 + 4) & _MASK
+    h ^= (v & 0xFFFFFFFF) * _P1 & _MASK
+    h = (_rotl(h, 23) * _P2 + _P3) & _MASK
+    return _fmix(h)
+
+
+def xxhash64_long_int(k: int, s: int) -> int:
+    """Pure-Python twin of Spark's ``F.xxhash64(col LONG, lit(s) INT)``
+    — the SQL function folds every argument into one running hash
+    starting from seed 42 (hashInt(s, hashLong(k, 42))), which is
+    exactly what the bloom BUILD side computes per row (bit-verified
+    against Spark in tests/test_txlog.py).  Lets point-lookup
+    PLANNING stay driver-side: no Spark job to hash a probe key.
+    Returned as Spark's SIGNED long."""
+    h = _hash_int(s, _hash_long(k, 42))
+    return h - (1 << 64) if h >= (1 << 63) else h
+
 
 def _bloom_m(rows: int) -> int:
     """Bitmap size for a file: next power of two >= 16x rows (k=2 ->
@@ -283,8 +358,12 @@ def attach_blooms(spark: SparkSession, path: str,
     m_of = {a["path"]: _bloom_m(a["rows"]) for a in actions}
     # one scan of every active file; the owning add-action directory
     # is the input file's parent partition dir (writer layout __b=N)
+    # keys hash as LONG on both the build and probe side — Spark's
+    # xxhash64 of int 17 != long 17, so an IntegerType stats column
+    # hashed natively would never match the probe positions and the
+    # owner file would be silently skipped
     scan = spark.read.parquet(*[a["path"] for a in actions]).select(
-        F.col(col).alias("k"),
+        F.col(col).cast("long").alias("k"),
         F.regexp_extract(
             F.regexp_replace(F.input_file_name(), r"^file://", ""),
             r"^(.*)/[^/]+$", 1).alias("fdir"))
@@ -303,8 +382,22 @@ def attach_blooms(spark: SparkSession, path: str,
     adds = []
     for a in actions:
         enriched = dict(a)
-        enriched["bloom_m"] = m_of[a["path"]]
-        enriched["bloom"] = blooms.get(a["path"], [])
+        if a["path"] in blooms:
+            enriched["bloom_m"] = m_of[a["path"]]
+            enriched["bloom"] = blooms[a["path"]]
+        elif a["rows"] == 0:
+            enriched["bloom_m"] = m_of[a["path"]]
+            enriched["bloom"] = []         # truly empty file
+        else:
+            # a NON-EMPTY file whose directory failed the
+            # input_file_name match (symlinked /tmp, URI-encoded
+            # chars, relative table path): an empty bloom here would
+            # read as PROOF the file is key-free and silently drop
+            # lookups — refuse loudly instead
+            raise ValueError(
+                f"attach_blooms: no rows matched back to "
+                f"{a['path']} — path representation mismatch; "
+                f"use an absolute, symlink-free table path")
         adds.append(enriched)
     return commit(path, adds, [a["path"] for a in actions],
                   op="attach_blooms")
@@ -318,26 +411,26 @@ def plan_point_lookup(spark: SparkSession, path: str, key_value,
     not all occupied is provably key-free and skipped."""
     k = int(key_value)
     scanned0, skipped = plan_scan(path, version, key_min=k, key_max=k)
-    # distinct bloom sizes among candidate files -> one probe row
-    sizes = sorted({a["bloom_m"] for a in scanned0
-                    if a.get("bloom") is not None})
+    # probe positions computed DRIVER-SIDE (pure-Python xxhash64 twin
+    # of Spark's long hash) — lookup planning is O(log entries) with
+    # no job submission; % m matches F.pmod (m is a power of two, and
+    # the bitmask of the signed hash equals the unsigned remainder)
     pos_by_m: dict[int, list[int]] = {}
-    if sizes:
-        row = spark.createDataFrame([(k,)], "k long").select(
-            *[F.pmod(F.xxhash64(F.col("k"), F.lit(s)), F.lit(m))
-              .alias(f"p_{m}_{s}")
-              for m in sizes for s in _BLOOM_SEEDS]).collect()[0]
-        for m in sizes:
-            pos_by_m[m] = [int(row[f"p_{m}_{s}"])
-                           for s in _BLOOM_SEEDS]
     scanned = []
     for a in scanned0:
         bloom = a.get("bloom")
-        if bloom is not None and not all(
-                p in set(bloom) for p in pos_by_m[a["bloom_m"]]):
-            skipped.append(a)
-        else:
+        if bloom is None:
             scanned.append(a)
+            continue
+        m = a["bloom_m"]
+        if m not in pos_by_m:
+            pos_by_m[m] = [xxhash64_long_int(k, s) & (m - 1)
+                           for s in _BLOOM_SEEDS]
+        occupied = set(bloom)
+        if all(p in occupied for p in pos_by_m[m]):
+            scanned.append(a)
+        else:
+            skipped.append(a)
     return scanned, skipped
 
 

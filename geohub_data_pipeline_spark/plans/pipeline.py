@@ -6869,16 +6869,17 @@ def geodesic_buffer_invariants(spark: SparkSession,
 
     ship_package(spark)
     pts = _geobuf_points(spark, sf_dir)
-    step = 360.0 / _GEOBUF_AZIMUTHS
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for pid, lon, lat in zip(pdf["id"], pdf["lon"], pdf["lat"]):
-                for k in range(_GEOBUF_AZIMUTHS):
-                    vlon, vlat = GE.geodesic_direct(
-                        float(lon), float(lat), k * step,
-                        _GEOBUF_RADIUS_M)
+                # the SAME shared ring kernel buffer_points ships —
+                # the cross-check must validate the shipped math, not
+                # a re-implementation that could drift from it
+                for k, vlon, vlat in GE.ring_vertices(
+                        float(lon), float(lat), _GEOBUF_RADIUS_M,
+                        _GEOBUF_AZIMUTHS):
                     err = abs(GE.geodesic_inverse(
                         float(lon), float(lat), vlon, vlat)
                         - _GEOBUF_RADIUS_M)

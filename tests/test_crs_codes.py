@@ -610,7 +610,8 @@ def test_r10_tm_k0_meridian_scaling():
         phi = np.linspace(math.radians(lat_lo), math.radians(lat_hi),
                           200_001)
         m = a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
-        return float(np.trapz(m, phi))
+        trapezoid = getattr(np, "trapezoid", None) or np.trapz
+        return float(trapezoid(m, phi))
 
     for code in (26929, 26950, 26957, 26963, 26971, 26996, 32112,
                  32116, 32130, 32145, 32155, 32188):
@@ -643,9 +644,9 @@ def test_r10_kalianpur_roundtrip_and_false_origin():
         _EV1962, _make_lcc2,
     )
     fwd, _inv = _make_lcc2(_EV1962, 26.0, 74.0, sp1=26.0, sp2=26.0,
-                           k0=0.99878641, fe=2743195.5, fn=914398.5)
+                           k0=0.99878641, fe=2743196.4, fn=914398.8)
     x, y = fwd(74.0, 26.0)
-    assert abs(x - 2743195.5) < 1e-6 and abs(y - 914398.5) < 1e-6
+    assert abs(x - 2743196.4) < 1e-6 and abs(y - 914398.8) < 1e-6
 
     for code, (lon, lat) in {24378: (68.5, 33.0), 24379: (74.2, 26.3),
                              24380: (90.3, 25.0), 24381: (80.1, 18.0),

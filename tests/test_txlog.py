@@ -202,3 +202,60 @@ def test_bloom_survives_as_snapshot_metadata(spark, tmp_path):
     assert all("bloom" not in a for a in pre)
     post = TX.snapshot_actions(path)
     assert all(a.get("bloom") for a in post)
+
+
+def test_xxhash64_twin_matches_spark(spark):
+    """The driver-side probe hash is bit-identical to the build
+    side's F.xxhash64(long_col, lit(int_seed)) for signed extremes
+    and both bloom seeds."""
+    from pyspark.sql import functions as F
+    vals = [0, 17, -1, 1093, 2**62, -2**62, 123456789, -(2**63)]
+    rows = spark.createDataFrame([(v,) for v in vals], "k long").select(
+        "k", *[F.xxhash64(F.col("k"), F.lit(s)).alias(f"s{s}")
+               for s in TX._BLOOM_SEEDS]).collect()
+    for r in rows:
+        for s in TX._BLOOM_SEEDS:
+            assert TX.xxhash64_long_int(r["k"], s) == r[f"s{s}"], \
+                (r["k"], s)
+
+
+def test_bloom_lookup_with_integer_stats_column(spark, tmp_path):
+    """An IntegerType stats column must behave exactly like a long
+    one (the build side casts to long; Spark hashes int 17 and long
+    17 DIFFERENTLY, so an uncast build would silently skip the owner
+    file)."""
+    from pyspark.sql import functions as F
+    path = str(tmp_path / "bli")
+    df = spark.range(200).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 5).alias("v"))
+    TX.write_version(df, path, F.col("k") % 4, 4, "k", prefix="v0")
+    TX.attach_blooms(spark, path)
+    scanned, skipped = TX.plan_point_lookup(spark, path, 17)
+    assert len(scanned) == 1 and len(skipped) == 3
+    assert scanned[0]["path"].endswith("__b=1")
+
+
+def test_write_version_refuses_prefix_reuse(spark, tmp_path):
+    """Re-using a data prefix would clobber files earlier versions
+    still reference — it must raise, not silently rewrite history."""
+    from pyspark.sql import functions as F
+    path = str(tmp_path / "pr")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    TX.write_version(df, path, F.lit(0), 1, "k", prefix="v0")
+    with pytest.raises(ValueError, match="already written"):
+        TX.write_version(df, path, F.lit(0), 1, "k", prefix="v0")
+
+
+def test_fully_pruned_range_read_is_empty_not_error(spark, tmp_path):
+    """A key range past the table's high-water mark is a legitimate
+    empty query: empty DataFrame with the table schema, no raise."""
+    from pyspark.sql import functions as F
+    path = str(tmp_path / "hw")
+    df = spark.range(100).select(F.col("id").alias("k"),
+                                 F.col("id").alias("v"))
+    TX.write_version(df, path, (F.col("k") / 25).cast("int"), 4, "k",
+                     prefix="v0")
+    out = TX.read_snapshot(spark, path, key_min=1000, key_max=2000)
+    assert out.count() == 0
+    assert set(out.columns) == {"k", "v"}
