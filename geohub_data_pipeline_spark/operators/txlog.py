@@ -63,60 +63,165 @@ def table_versions(path: str) -> list[int]:
     return sorted(out)
 
 
+class CommitConflictError(RuntimeError):
+    """A concurrent commit touched the same files (true conflict) or
+    the optimistic retry budget ran out — the writer must re-read the
+    table and re-derive its change, not blindly re-append."""
+
+
+def _entry_actions(path: str, version: int) -> list[dict[str, Any]]:
+    with open(os.path.join(_log_dir(path), _LOG_FMT.format(version))) as f:
+        return [json.loads(line) for line in f]
+
+
 def commit(path: str, adds: list[dict], removes: list[str],
-           op: str = "write") -> int:
+           op: str = "write", base_version: int | None = None,
+           max_retries: int = 0, info: dict | None = None) -> int:
     """Append one atomic log entry; returns the new version.
 
     Atomicity on a real object store would use put-if-absent on the
     version-numbered key (the Delta protocol); locally, O_EXCL gives
-    the same lose-the-race-loudly property."""
+    the same lose-the-race-loudly property.
+
+    Optimistic concurrency (the Delta conflict-resolution pattern):
+    pass ``base_version`` (the snapshot the change was derived from)
+    and ``max_retries`` > 0, and a commit that finds interleaved
+    versions REBASES when the interleaved commits touched a DISJOINT
+    file set — two writers appending different files both land, in
+    some serial order.  A true conflict (an interleaved commit added
+    or removed one of OUR paths) raises :class:`CommitConflictError`
+    immediately: rebasing it would silently drop the rival's change.
+    With the defaults (``base_version=None, max_retries=0``) behavior
+    is unchanged: lose the O_EXCL race loudly."""
+    add_paths = {a["path"] for a in adds}
+    touched_ours = add_paths | set(removes)
+    attempts = 0
+    while True:
+        known = sorted(set(table_versions(path)) | set(checkpoints(path)))
+        latest = known[-1] if known else -1
+        if base_version is None:
+            base_version = latest
+        if latest > base_version:
+            # interleaved commits: rebase iff their file sets are
+            # disjoint from ours (checkpoints touch no files)
+            rival: set[str] = set()
+            for v in table_versions(path):
+                if v <= base_version:
+                    continue
+                for action in _entry_actions(path, v):
+                    if "add" in action:
+                        rival.add(action["add"]["path"])
+                    elif "remove" in action:
+                        rival.add(action["remove"]["path"])
+            clash = sorted(rival & touched_ours)
+            if clash:
+                raise CommitConflictError(
+                    f"versions {base_version + 1}..{latest} touched "
+                    f"{clash} — re-read the table and re-derive")
+            base_version = latest          # disjoint: rebase forward
+        version = latest + 1
+        os.makedirs(_log_dir(path), exist_ok=True)
+        entry = os.path.join(_log_dir(path), _LOG_FMT.format(version))
+        try:
+            fd = os.open(entry, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        except FileExistsError:
+            attempts += 1
+            if attempts > max_retries:
+                raise
+            continue                       # re-list, conflict-check
+        commit_rec: dict[str, Any] = {"version": version, "op": op}
+        if info:
+            commit_rec.update(info)
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps({"commit": commit_rec}) + "\n")
+            for r in removes:
+                f.write(json.dumps({"remove": {"path": r}}) + "\n")
+            for a in adds:
+                f.write(json.dumps({"add": a}) + "\n")
+        return version
+
+
+_CP_FMT = "{:010d}.checkpoint.json"
+
+
+def checkpoints(path: str) -> list[int]:
+    """Versions that have a checkpoint file, ascending."""
+    d = _log_dir(path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        m = re.fullmatch(r"(\d{10})\.checkpoint\.json", f)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def checkpoint(path: str, version: int | None = None) -> int:
+    """Materialize the ACTIVE file set at ``version`` (default:
+    latest) as a single checkpoint file — the Delta `_checkpoint`
+    pattern.  Snapshot reconstruction then loads the newest
+    checkpoint <= the requested version and replays only the log
+    SUFFIX, so replay cost is O(commits since last checkpoint), not
+    O(table lifetime); entries <= a checkpoint may even be truncated
+    away (reads at older versions then raise loudly).  Written via
+    tmp+rename so readers never see a torn checkpoint."""
     versions = table_versions(path)
-    version = (versions[-1] + 1) if versions else 0
-    os.makedirs(_log_dir(path), exist_ok=True)
-    entry = os.path.join(_log_dir(path), _LOG_FMT.format(version))
-    fd = os.open(entry, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
-    with os.fdopen(fd, "w") as f:
-        f.write(json.dumps({"commit": {"version": version, "op": op}})
-                + "\n")
-        for r in removes:
-            f.write(json.dumps({"remove": {"path": r}}) + "\n")
-        for a in adds:
-            f.write(json.dumps({"add": a}) + "\n")
+    if version is None:
+        if not versions:
+            raise FileNotFoundError(f"no transaction log under {path}")
+        version = versions[-1]
+    active = snapshot_actions(path, version)
+    cp = os.path.join(_log_dir(path), _CP_FMT.format(version))
+    tmp = cp + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "adds": active}, f)
+    os.replace(tmp, cp)
     return version
 
 
 def snapshot_actions(path: str, version: int | None = None
                      ) -> list[dict[str, Any]]:
-    """Replay the log prefix up to ``version`` (default: latest);
-    returns the ACTIVE add actions.  A remove of an unknown path or
-    an add of an already-active path raises — a corrupt log must be
-    loud, not a silently wrong table."""
+    """Replay the log up to ``version`` (default: latest); returns the
+    ACTIVE add actions.  Starts from the newest checkpoint <= version
+    when one exists and replays only the suffix.  A remove of an
+    unknown path or an add of an already-active path raises — a
+    corrupt log must be loud, not a silently wrong table."""
     versions = table_versions(path)
-    if not versions:
+    cps = checkpoints(path)
+    known = sorted(set(versions) | set(cps))
+    if not known:
         raise FileNotFoundError(f"no transaction log under {path}")
     if version is None:
-        version = versions[-1]
-    if version not in versions:
-        raise ValueError(f"version {version} not in {versions}")
+        version = known[-1]
+    if version not in known:
+        raise ValueError(f"version {version} not in {known}")
     active: dict[str, dict] = {}
+    base = -1
+    usable = [c for c in cps if c <= version]
+    if usable:
+        base = usable[-1]
+        with open(os.path.join(_log_dir(path), _CP_FMT.format(base))) as f:
+            for a in json.load(f)["adds"]:
+                active[a["path"]] = a
     for v in versions:
+        if v <= base:
+            continue
         if v > version:
             break
-        with open(os.path.join(_log_dir(path), _LOG_FMT.format(v))) as f:
-            for line in f:
-                action = json.loads(line)
-                if "add" in action:
-                    a = action["add"]
-                    if a["path"] in active:
-                        raise ValueError(
-                            f"v{v}: double add of {a['path']}")
-                    active[a["path"]] = a
-                elif "remove" in action:
-                    p = action["remove"]["path"]
-                    if p not in active:
-                        raise ValueError(
-                            f"v{v}: remove of inactive {p}")
-                    del active[p]
+        for action in _entry_actions(path, v):
+            if "add" in action:
+                a = action["add"]
+                if a["path"] in active:
+                    raise ValueError(
+                        f"v{v}: double add of {a['path']}")
+                active[a["path"]] = a
+            elif "remove" in action:
+                p = action["remove"]["path"]
+                if p not in active:
+                    raise ValueError(
+                        f"v{v}: remove of inactive {p}")
+                del active[p]
     return [active[p] for p in sorted(active)]
 
 
@@ -148,28 +253,47 @@ def write_version(df: DataFrame, path: str, bucket_col,
         raise ValueError(
             f"prefix {prefix!r} already written under {path} — data "
             f"files are immutable; use a fresh prefix per commit")
+    import shutil
+
     (staged.repartition(n_buckets, "__b")
      .write.mode("errorifexists").partitionBy("__b").parquet(data_dir))
-    # an EMPTY input writes no partition dirs at all (just _SUCCESS):
-    # a legitimate no-op append — commit with zero adds
-    if not any(e.startswith("__b=") for e in os.listdir(data_dir)):
-        return commit(path, [], removes or [], op=op)
-    written = df.sparkSession.read.parquet(data_dir)
-    stats = (written.groupBy("__b")
-             .agg(F.count(F.lit(1)).alias("rows"),
-                  F.min(stats_col).alias("min_k"),
-                  F.max(stats_col).alias("max_k"))
-             .collect())
-    adds = []
-    for r in stats:                       # file-count-sized metadata
-        adds.append({
-            "path": os.path.join(data_dir, f"__b={int(r['__b'])}"),
-            "rows": int(r["rows"]),
-            "stats_col": stats_col,
-            "min_k": None if r["min_k"] is None else int(r["min_k"]),
-            "max_k": None if r["max_k"] is None else int(r["max_k"]),
-        })
-    return commit(path, adds, removes or [], op=op)
+    # a NULL bucket value writes a __b=__HIVE_DEFAULT_PARTITION__ dir:
+    # refuse it (and clean up) rather than let the stats loop crash on
+    # int(None) with the half-written dir blocking the prefix forever
+    if any(e == "__b=__HIVE_DEFAULT_PARTITION__"
+           for e in os.listdir(data_dir)):
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise ValueError(
+            "bucket_col evaluated to NULL for some rows — buckets "
+            "must be non-null ints in [0, n_buckets); coalesce NULLs "
+            "to a bucket explicitly")
+    try:
+        # an EMPTY input writes no partition dirs (just _SUCCESS): a
+        # legitimate no-op append — commit with zero adds
+        if not any(e.startswith("__b=") for e in os.listdir(data_dir)):
+            return commit(path, [], removes or [], op=op)
+        written = df.sparkSession.read.parquet(data_dir)
+        stats = (written.groupBy("__b")
+                 .agg(F.count(F.lit(1)).alias("rows"),
+                      F.min(stats_col).alias("min_k"),
+                      F.max(stats_col).alias("max_k"))
+                 .collect())
+        adds = []
+        for r in stats:                   # file-count-sized metadata
+            adds.append({
+                "path": os.path.join(data_dir, f"__b={int(r['__b'])}"),
+                "rows": int(r["rows"]),
+                "stats_col": stats_col,
+                "min_k": None if r["min_k"] is None else int(r["min_k"]),
+                "max_k": None if r["max_k"] is None else int(r["max_k"]),
+            })
+        return commit(path, adds, removes or [], op=op)
+    except BaseException:
+        # the data dir is referenced by NO log entry (the commit never
+        # landed): delete it so the prefix stays usable for a retry —
+        # an orphaned dir would trip the immutable-prefix guard forever
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise
 
 
 def plan_scan(path: str, version: int | None = None,
@@ -215,10 +339,18 @@ def read_snapshot(spark: SparkSession, path: str,
     table's schema (read from any active file's footer)."""
     scanned, _skipped = plan_scan(path, version, key_min, key_max)
     if not scanned:
+        # legitimately-empty selective read: the schema must still
+        # honor merge_schema (under additive evolution the first file
+        # alphabetically can predate evolved columns, and an empty
+        # frame missing them breaks callers that union it)
         actions = snapshot_actions(path, version)
         if not actions:
             raise ValueError(f"empty snapshot for {path}@{version}")
-        empty = spark.read.parquet(actions[0]["path"]).limit(0)
+        if merge_schema:
+            empty = (spark.read.option("mergeSchema", "true")
+                     .parquet(*[a["path"] for a in actions]).limit(0))
+        else:
+            empty = spark.read.parquet(actions[0]["path"]).limit(0)
         return (empty.drop("__b") if "__b" in empty.columns
                 else empty)
     reader = spark.read
@@ -263,12 +395,16 @@ def vacuum(path: str, retain_versions: int = 2) -> list[str]:
                 if "add" in action:
                     ever.add(action["add"]["path"])
     dead = sorted(ever - keep)
+    # marker FIRST, listing the paths being reclaimed: a crash
+    # mid-deletion then leaves a log record naming exactly which
+    # files may be gone, so a torn vacuum is diagnosable from the
+    # log instead of surfacing later as raw parquet path errors
+    commit(path, [], [], op="vacuum", info={"reclaiming": dead})
     for p in dead:
         if os.path.isdir(p):
             shutil.rmtree(p, ignore_errors=True)
         elif os.path.exists(p):
             os.remove(p)
-    commit(path, [], [], op="vacuum")
     return dead
 
 

@@ -4076,8 +4076,8 @@ def txlog_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TXLOG_BLOOM_SQL = """
 SELECT CAST(4 AS INTEGER) AS n_files,
        CAST(4 AS INTEGER) AS stats_scanned,
-       CAST(1 AS INTEGER) AS bloom_scanned,
-       CAST(3 AS INTEGER) AS bloom_skipped,
+       CAST(1 AS INTEGER) AS owner_scanned,
+       CAST(1 AS INTEGER) AS planner_log_agree,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0)
             AS BIGINT) AS sum_cents
@@ -4088,25 +4088,30 @@ FROM orders WHERE o_orderkey = 17
 @query("txlog_bloom_point_lookup", "relational",
        "lakehouse: Bloom-filter file skipping — hash-bucketed files "
        "all overlap on min/max (stats prune NOTHING for a point "
-       "lookup); per-file Blooms in the log metadata prove 3 of 4 "
-       "key-free with zero I/O; the oracle pins the planner counts "
-       "(no false negatives makes 'owner file scanned' exact; the "
-       "per-file-sized bitmap makes the skip count deterministic at "
-       "every gate SF — measured 1/3 at sf0.001/0.01/0.1) and the "
-       "lookup answer", _TXLOG_BLOOM_SQL)
+       "lookup); per-file Blooms in the log metadata prove key-free "
+       "files skippable with zero I/O.  The oracle pins only the "
+       "GUARANTEED invariants: the key's owner file is always "
+       "scanned (no false negatives), and the live planner agrees "
+       "with an independent raw-JSON-log probe — the exact skip "
+       "count is NOT pinned because a bloom false positive "
+       "(~1.5%/file) can legitimately flip it at an unmeasured SF",
+       _TXLOG_BLOOM_SQL)
 def txlog_bloom_point_lookup(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """Point lookup of o_orderkey = 17 against a 4-file hash-bucketed
     table: min/max stats keep all 4 files (every bucket spans the
-    whole key range), the attached Blooms keep only bucket 1 (17 mod
-    4).  Both planner phases are reported live and the oracle pins
-    them, plus the looked-up row itself.
+    whole key range); the attached Blooms prove non-owner files
+    key-free.  Pinned: owner file scanned (guaranteed by no-false-
+    negatives), planner == an independent re-derivation from the raw
+    log JSON, and the lookup answer itself.
 
     Scale: bloom construction is one bounded aggregation per file
     (<= m positions of metadata); the lookup planning is O(log
     entries) driver-side — the point-access path that avoids
     touching 100 TB for one key."""
     import hashlib
+    import json as _json
+    import os as _os
     import shutil
 
     from geohub_data_pipeline_spark.operators import txlog as TX
@@ -4123,14 +4128,38 @@ def txlog_bloom_point_lookup(spark: SparkSession,
     stats_scanned, _ = TX.plan_scan(path, key_min=17, key_max=17)
     TX.attach_blooms(spark, path)
     scanned, skipped = TX.plan_point_lookup(spark, path, 17)
+    owner_scanned = int(any(a["path"].endswith("__b=1")
+                            for a in scanned))
+
+    # independent cross-check: re-derive the scanned set straight from
+    # the raw JSON of the attach_blooms log entry (its adds ARE the
+    # full active set), probing each bloom with the pure-Python
+    # xxhash64 twin — no shared planner code beyond the hash itself
+    last = max(TX.table_versions(path))
+    raw = _os.path.join(path, "_txlog", f"{last:010d}.json")
+    expect = set()
+    with open(raw) as fh:
+        for line in fh:
+            action = _json.loads(line)
+            if "add" not in action:
+                continue
+            a = action["add"]
+            if a["min_k"] > 17 or a["max_k"] < 17:
+                continue
+            m = a["bloom_m"]
+            pos = [TX.xxhash64_long_int(17, s) & (m - 1)
+                   for s in TX._BLOOM_SEEDS]
+            if all(p in set(a["bloom"]) for p in pos):
+                expect.add(a["path"])
+    agree = int({a["path"] for a in scanned} == expect)
 
     hit = (spark.read.parquet(*[a["path"] for a in scanned])
            .filter(F.col("o_orderkey") == 17))
     return hit.agg(
         F.lit(len(scanned) + len(skipped)).cast("int").alias("n_files"),
         F.lit(len(stats_scanned)).cast("int").alias("stats_scanned"),
-        F.lit(len(scanned)).cast("int").alias("bloom_scanned"),
-        F.lit(len(skipped)).cast("int").alias("bloom_skipped"),
+        F.lit(owner_scanned).cast("int").alias("owner_scanned"),
+        F.lit(agree).cast("int").alias("planner_log_agree"),
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.coalesce(F.sum("cents"), F.lit(0)).cast("long")
         .alias("sum_cents"))

@@ -259,3 +259,159 @@ def test_fully_pruned_range_read_is_empty_not_error(spark, tmp_path):
     out = TX.read_snapshot(spark, path, key_min=1000, key_max=2000)
     assert out.count() == 0
     assert set(out.columns) == {"k", "v"}
+
+
+def test_null_bucket_is_refused_and_prefix_stays_usable(spark, tmp_path):
+    """A NULL bucket would write a __HIVE_DEFAULT_PARTITION__ dir and
+    crash the stats pass; it must raise loudly AND clean up so the
+    prefix is not permanently blocked by the half-written dir."""
+    path = str(tmp_path / "nb")
+    df = spark.range(10).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 5, F.col("id") % 2).alias("b"))
+    with pytest.raises(ValueError, match="NULL"):
+        TX.write_version(df, path, F.col("b"), 2, "k", prefix="v0")
+    # the prefix is reusable after the refusal
+    TX.write_version(df.filter(F.col("b").isNotNull()), path,
+                     F.col("b"), 2, "k", prefix="v0")
+    assert TX.read_snapshot(spark, path).count() == 5
+
+
+def test_commit_failure_cleans_orphaned_data_dir(spark, tmp_path,
+                                                 monkeypatch):
+    """If the commit never lands, the just-written data dir (which no
+    log entry references) is deleted so the prefix can be retried."""
+    path = str(tmp_path / "cf")
+    df = spark.range(10).select(F.col("id").alias("k"))
+
+    def boom(*a, **kw):
+        raise OSError("simulated commit failure")
+
+    monkeypatch.setattr(TX, "commit", boom)
+    with pytest.raises(OSError, match="simulated"):
+        TX.write_version(df, path, F.lit(0), 1, "k", prefix="v0")
+    monkeypatch.undo()
+    assert not os.path.exists(os.path.join(path, "data", "v0"))
+    TX.write_version(df, path, F.lit(0), 1, "k", prefix="v0")  # retry ok
+    assert TX.read_snapshot(spark, path).count() == 10
+
+
+def test_optimistic_commit_rebases_disjoint_writers(tmp_path):
+    """Two writers derived from the same base snapshot, touching
+    DISJOINT file sets: both commits land (in some serial order)."""
+    path = str(tmp_path / "occ")
+    a0 = {"path": "/t/a", "rows": 1, "stats_col": "k",
+          "min_k": 0, "max_k": 0}
+    base = TX.commit(path, [a0], [])
+    add_b = dict(a0, path="/t/b")
+    add_c = dict(a0, path="/t/c")
+    v1 = TX.commit(path, [add_b], [], base_version=base, max_retries=2)
+    v2 = TX.commit(path, [add_c], [], base_version=base, max_retries=2)
+    assert (v1, v2) == (1, 2)
+    paths = {a["path"] for a in TX.snapshot_actions(path)}
+    assert paths == {"/t/a", "/t/b", "/t/c"}
+
+
+def test_optimistic_commit_conflict_raises(tmp_path):
+    """An interleaved commit that removed one of OUR paths is a true
+    conflict — rebasing would drop the rival's change; it raises."""
+    path = str(tmp_path / "occ2")
+    a0 = {"path": "/t/a", "rows": 1, "stats_col": "k",
+          "min_k": 0, "max_k": 0}
+    base = TX.commit(path, [a0], [])
+    TX.commit(path, [], ["/t/a"])              # rival removed /t/a
+    with pytest.raises(TX.CommitConflictError, match="/t/a"):
+        TX.commit(path, [], ["/t/a"], base_version=base, max_retries=2)
+
+
+def test_optimistic_commit_threaded_race_all_land(tmp_path):
+    """Eight threads racing disjoint commits from the same base: with
+    retries every one lands exactly once (the O_EXCL loser re-lists
+    and rebases)."""
+    import threading
+    path = str(tmp_path / "occ3")
+    base = TX.commit(path, [], [])
+    barrier = threading.Barrier(8)
+    errs = []
+
+    def writer(i):
+        add = {"path": f"/t/f{i}", "rows": 1, "stats_col": "k",
+               "min_k": 0, "max_k": 0}
+        barrier.wait()
+        try:
+            TX.commit(path, [add], [], base_version=base,
+                      max_retries=32)
+        except Exception as e:            # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=writer, args=(i,)) for i in range(8)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert errs == []
+    paths = {a["path"] for a in TX.snapshot_actions(path)}
+    assert paths == {f"/t/f{i}" for i in range(8)}
+    assert TX.table_versions(path) == list(range(9))
+
+
+def test_checkpoint_replays_suffix_only(spark, tmp_path):
+    """snapshot_actions from a checkpoint + log suffix equals the full
+    replay; entries at or before the checkpoint may be truncated and
+    reads at >= the checkpoint version still work."""
+    path = str(tmp_path / "cp")
+    df = spark.range(40).select(F.col("id").alias("k"))
+    TX.write_version(df.filter("k < 10"), path, F.lit(0), 1, "k",
+                     prefix="v0")
+    TX.write_version(df.filter("k >= 10 and k < 20"), path, F.lit(0),
+                     1, "k", prefix="v1", op="append")
+    full = TX.snapshot_actions(path)
+    cpv = TX.checkpoint(path)
+    assert cpv == 1 and TX.checkpoints(path) == [1]
+    assert TX.snapshot_actions(path) == full          # cp == replay
+    TX.write_version(df.filter("k >= 20"), path, F.lit(0), 1, "k",
+                     prefix="v2", op="append")
+    assert TX.read_snapshot(spark, path).count() == 40
+    # truncate the pre-checkpoint log entries: reads still work
+    for v in (0, 1):
+        os.remove(os.path.join(path, "_txlog", f"{v:010d}.json"))
+    assert TX.read_snapshot(spark, path).count() == 40
+    assert TX.read_snapshot(spark, path, version=1).count() == 20
+    with pytest.raises(ValueError, match="version 0"):
+        TX.snapshot_actions(path, version=0)
+    # and the next commit does NOT reuse a truncated version number
+    TX.commit(path, [], [], op="noop")
+    assert max(TX.table_versions(path)) == 3
+
+
+def test_vacuum_marker_precedes_deletion(spark, tmp_path):
+    """The op=vacuum log entry lists the paths being reclaimed and is
+    written BEFORE deletion, so a torn vacuum is diagnosable."""
+    path = str(tmp_path / "vm")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    TX.write_version(df, path, F.lit(0), 1, "k", prefix="v0")
+    old = [a["path"] for a in TX.snapshot_actions(path)]
+    TX.write_version(df, path, F.lit(0), 1, "k", removes=old,
+                     prefix="v1")
+    dead = TX.vacuum(path, retain_versions=1)
+    assert dead == old
+    last = max(TX.table_versions(path))
+    rec = TX._entry_actions(path, last)[0]["commit"]
+    assert rec["op"] == "vacuum" and rec["reclaiming"] == old
+
+
+def test_fully_pruned_read_honors_merge_schema(spark, tmp_path):
+    """Under additive evolution, an empty selective read must carry
+    the EVOLVED schema when merge_schema=True (not the schema of the
+    first file alphabetically)."""
+    path = str(tmp_path / "hw2")
+    v0 = spark.range(10).select(F.col("id").alias("k"))
+    TX.write_version(v0, path, F.lit(0), 1, "k", prefix="v0")
+    v1 = spark.range(10, 20).select(F.col("id").alias("k"),
+                                    F.lit("x").alias("w"))
+    TX.write_version(v1, path, F.lit(0), 1, "k", prefix="v1",
+                     op="append")
+    out = TX.read_snapshot(spark, path, key_min=1000, key_max=2000,
+                           merge_schema=True)
+    assert out.count() == 0
+    assert set(out.columns) == {"k", "w"}
