@@ -286,10 +286,39 @@ def _duckdb_ref() -> dict:
         return {}
 
 
+def _load_gate() -> tuple[float | None, str]:
+    """Refuse to start a record on a loaded box (r10 verdict
+    What's-wrong #1: the committed r10 record carried load1 10.46 and
+    read as a +15% regression that was pure box load).  Warn-and-retry:
+    wait up to ~2 min for load1 to drop below the gate; if it never
+    does, proceed but stamp the record 'exceeded' so the reader knows
+    the numbers are not comparison-grade.  Gate threshold via
+    SPARK_GRAFT_LOAD_GATE (0 disables)."""
+    try:
+        gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "5"))
+    except ValueError:
+        gate = 5.0
+    try:
+        load = os.getloadavg()[0]
+    except OSError:
+        return None, "unavailable"
+    if gate <= 0:
+        return round(load, 2), "disabled"
+    waited = 0
+    while load > gate and waited < 120:
+        print(f"-- load1 {load:.1f} > gate {gate:g}: waiting for a "
+              f"quiet box ({waited}s)", file=sys.stderr)
+        time.sleep(20)
+        waited += 20
+        load = os.getloadavg()[0]
+    return round(load, 2), ("ok" if load <= gate else "exceeded")
+
+
 def main() -> None:
     gate_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     gate_sf = gate_dir.rstrip("/").rsplit("sf", 1)[-1]
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    load1_start, load_gate = _load_gate()
     spark = get_session("bench")
 
     # sf1 primary point: only when benchmarking the standard sf0.1 gate
@@ -352,7 +381,8 @@ def main() -> None:
         load1 = None
     detail: dict = {"unit": "sec", "duckdb_ref": _duckdb_ref(),
                     "loadavg": list(os.getloadavg()) if load1 is not None
-                    else None, "cpus": cpus}
+                    else None, "cpus": cpus,
+                    "load1_start": load1_start, "load_gate": load_gate}
     if sf1_result is not None:
         timings, iqrs, total, skipped = sf1_result
         out = {
@@ -407,6 +437,8 @@ def main() -> None:
                                  "queries_iqr": geo_iqrs,
                                  "skipped": geo_skipped},
         })
+    out["load1_start"] = load1_start
+    out["load_gate"] = load_gate
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
     print(json.dumps(out, separators=(",", ":")))

@@ -1,7 +1,10 @@
 #!/usr/bin/env python
 """DuckDB side of the benchmark: run each headline query's ORACLE SQL
-on the same parquet dir and report best-of-3 timings — the measured
-baseline bench.py is compared against.
+on the same parquet dir and report MEDIAN-of-5 warm timings — the
+SAME per-query protocol bench.py uses for the Spark side (r10 verdict
+What's-wrong #2: the old best-of-3 vs median-of-5 asymmetry made the
+2x letter compare unlike with like; a floor-bound Spark median was
+being held to DuckDB's luckiest run).
 
 Usage: SPARK_GRAFT_SF_DIR=... python scripts/bench_duckdb.py
 Prints one JSON line mirroring bench.py's shape.
@@ -48,12 +51,13 @@ def main() -> None:
             except Exception as ex:
                 print(f"-- {n} failed: {ex}", file=sys.stderr)
                 continue
-            best = float("inf")
-            for _ in range(3):
+            runs = []
+            for _ in range(5):
                 t0 = time.time()
                 con.execute(spec.sql).fetchall()
-                best = min(best, time.time() - t0)
-            timings[n] = round(best, 3)
+                runs.append(time.time() - t0)
+            runs.sort()
+            timings[n] = round(runs[2], 3)        # median of 5
             total += timings[n]
         return timings, total
 
@@ -61,7 +65,7 @@ def main() -> None:
     geo_timings, geo_total = run(GEO_HEADLINE)
     geo_ref = _geo_cross_engine(con, sf_dir)
     print(json.dumps({
-        "metric": "duckdb_oracle_wall_clock",
+        "metric": "duckdb_oracle_wall_clock", "protocol": "median_of_5_warm",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
@@ -217,12 +221,13 @@ def _geo_cross_engine(con, sf_dir: str) -> dict:
         out = {}
         for name, sql in refs.items():
             con.execute(sql).fetchall()          # warm-up
-            best = float("inf")
-            for _ in range(3):
+            runs = []
+            for _ in range(5):
                 t0 = time.time()
                 con.execute(sql).fetchall()
-                best = min(best, time.time() - t0)
-            out[name] = round(best, 3)
+                runs.append(time.time() - t0)
+            runs.sort()
+            out[name] = round(runs[2], 3)         # median of 5
         out["raster_warp_scale_note"] = "doc_id%8 subset; x8 for corpus"
     # raster_cost_distance — iterative, no SQL form: the absolute
     # anchor is a SINGLE-THREADED Python Dijkstra over the identical
@@ -233,7 +238,7 @@ def _geo_cross_engine(con, sf_dir: str) -> dict:
 
 def _dijkstra_ref(n: int = 128,
                   sources=((40, 60), (100, 10))) -> float:
-    """Best-of-3 wall of the classic heapq Dijkstra computing the
+    """Median-of-5 wall of the classic heapq Dijkstra computing the
     exact grid the raster_cost_distance gate query computes."""
     import heapq
 
@@ -256,12 +261,13 @@ def _dijkstra_ref(n: int = 128,
                     heapq.heappush(pq, (d + 1.0, r * n + c))
         return sum(dist)
 
-    best = float("inf")
-    for _ in range(3):
+    runs = []
+    for _ in range(5):
         t0 = time.time()
         run()
-        best = min(best, time.time() - t0)
-    return round(best, 4)
+        runs.append(time.time() - t0)
+    runs.sort()
+    return round(runs[2], 4)
 
 
 if __name__ == "__main__":
