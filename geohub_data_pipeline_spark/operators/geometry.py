@@ -233,10 +233,13 @@ def ring_is_bowtie(ring: list[float]) -> bool:
 # Greiner–Hormann-style difference, ``_ring_difference``), holes
 # outside every shell (dropped — they subtract nothing), overlapping
 # polygon parts (noded union, ``_ring_overlay(union=True)``, enclosed
-# loops becoming holes), and nested shells (absorbed, GEOS
-# structure-mode semantics).  What still stays flagged: tangencies /
-# endpoint-touches / collinear overlaps (ambiguous noding) and rings
-# with > _MAX_SPLITS crossings.
+# loops becoming holes), nested shells (absorbed, GEOS
+# structure-mode semantics), self-TANGENT rings (figure-eight pinch:
+# node-split at the revisited point, r11), and point-tangent holes
+# (recognized as VALID OGC geometry and kept, r11).  What still stays
+# flagged: collinear-overlap (line) tangencies and mixed
+# crossing+touch relations (ambiguous noding), and rings with
+# > _MAX_SPLITS crossings.
 # ---------------------------------------------------------------------------
 
 def _pairs(flat: list[float]) -> list[tuple[float, float]]:
@@ -410,9 +413,12 @@ def _point_in_ring(pt: tuple[float, float],
 
 def _crossing_params(a1, a2, b1, b2):
     """Segment intersection with parameters: returns (t, u, point) for
-    a proper interior crossing, None for disjoint, or the string
-    'degenerate' for tangencies / endpoint-touches / collinear overlap
-    (cases the node-split repair refuses — caller keeps the flag)."""
+    a proper interior crossing, None for disjoint, or a string for the
+    degenerate classes — 'overlap' for collinear overlap, 'touch' for
+    an endpoint lying on the other segment (the node-split repair
+    refuses both; _tangency_class tells them apart because a pure
+    point-touch between a hole and its shell is VALID OGC geometry
+    while a collinear overlap is not)."""
     (x1, y1), (x2, y2) = a1, a2
     (x3, y3), (x4, y4) = b1, b2
     den = (x2 - x1) * (y4 - y3) - (y2 - y1) * (x4 - x3)
@@ -424,7 +430,7 @@ def _crossing_params(a1, a2, b1, b2):
             lo1, hi1 = sorted((a1, a2))
             lo2, hi2 = sorted((b1, b2))
             if max(lo1, lo2) < min(hi1, hi2):
-                return "degenerate"        # collinear overlap
+                return "overlap"           # collinear overlap
         return None
     t = ((x3 - x1) * (y4 - y3) - (y3 - y1) * (x4 - x3)) / den
     u = ((x3 - x1) * (y2 - y1) - (y3 - y1) * (x2 - x1)) / den
@@ -432,7 +438,68 @@ def _crossing_params(a1, a2, b1, b2):
         return (t, u, (x1 + t * (x2 - x1), y1 + t * (y2 - y1)))
     if (0 <= t <= 1 and u in (0.0, 1.0)) or (0 <= u <= 1
                                              and t in (0.0, 1.0)):
-        return "degenerate"                # endpoint touches the other
+        return "touch"                     # endpoint touches the other
+    return None
+
+
+def _tangency_class(shell: list[tuple[float, float]],
+                    other: list[tuple[float, float]]) -> str:
+    """How two closed rings meet, for the degenerate cases the
+    node-split overlay refuses: 'cross' if ANY proper crossing exists
+    (mixed crossing+touch — unsafe to node), else 'line' if any
+    collinear overlap, else 'point' if they only touch at isolated
+    points, else 'disjoint'."""
+    A = shell[:-1]
+    B = other[:-1]
+    saw_touch = saw_line = False
+    for i in range(len(A)):
+        a1, a2 = A[i], A[(i + 1) % len(A)]
+        for j in range(len(B)):
+            r = _crossing_params(a1, a2, B[j], B[(j + 1) % len(B)])
+            if r == "overlap":
+                saw_line = True
+            elif r == "touch":
+                saw_touch = True
+            elif r is not None:
+                return "cross"
+    if saw_line:
+        return "line"
+    return "point" if saw_touch else "disjoint"
+
+
+def _split_at_pinch(pts: list[tuple[float, float]]
+                    ) -> tuple[list[tuple[float, float]],
+                               list[tuple[float, float]]] | None:
+    """Detect a SELF-TANGENT ring (the boundary revisits a point — a
+    repeated non-consecutive vertex, or a vertex lying in the interior
+    of a non-adjacent edge: the figure-eight/pinch invalidity) and
+    split it into the two loops meeting there — the node-split GEOS
+    MakeValid applies at a pinch.  Returns None for a simple ring."""
+    n = len(pts) - 1                       # closed: last == first
+    seen: dict[tuple[float, float], int] = {}
+    for i in range(n):
+        p = pts[i]
+        if p in seen:
+            j0 = seen[p]
+            a = pts[j0:i + 1]              # pts[j0] == pts[i]: closed
+            b = pts[i:n] + pts[:j0 + 1]    # wraps the seam; closed
+            return a, b
+        seen[p] = i
+    # a vertex on the INTERIOR of a non-adjacent edge: insert it as a
+    # node on that edge, which creates the repeated vertex above
+    for i in range(n):
+        x, y = pts[i]
+        for j in range(n):
+            if j == i or (i - 1) % n == j:
+                continue                   # the vertex's own edges
+            (x1, y1), (x2, y2) = pts[j], pts[j + 1]
+            if (x, y) == (x1, y1) or (x, y) == (x2, y2):
+                continue
+            cross = (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1)
+            if cross == 0 and min(x1, x2) <= x <= max(x1, x2) \
+                    and min(y1, y2) <= y <= max(y1, y2):
+                aug = pts[:j + 1] + [(x, y)] + pts[j + 1:]
+                return _split_at_pinch(aug)
     return None
 
 
@@ -474,7 +541,7 @@ def _ring_overlay(shell: list[tuple[float, float]],
         a1, a2 = A[i], A[(i + 1) % na]
         for j in range(nb):
             r = _crossing_params(a1, a2, B[j], B[(j + 1) % nb])
-            if r == "degenerate":
+            if isinstance(r, str):         # 'touch' / 'overlap'
                 return None
             if r is not None:
                 crossings.append((i, r[0], j, r[1], r[2]))
@@ -646,7 +713,20 @@ def make_valid_polygons(
                 r = queue.pop()
                 hit = _first_self_crossing(r)
                 if hit is None:
-                    simple.append(r)
+                    # proper-crossing-free: still self-TANGENT?  (a
+                    # figure-eight pinch: split the two loops at the
+                    # revisited point — GEOS node-split semantics)
+                    pinch = _split_at_pinch(r)
+                    if pinch is None:
+                        simple.append(r)
+                        continue
+                    splits += 1
+                    if splits > _MAX_SPLITS:
+                        repaired = False
+                        simple.append(r)
+                        continue
+                    changed = True
+                    queue += [x for x in pinch if len(x) >= 4]
                     continue
                 splits += 1
                 if splits > _MAX_SPLITS:
@@ -675,7 +755,19 @@ def make_valid_polygons(
             consumed = False
             for k, e in enumerate(exteriors):
                 diff = _ring_difference(e, h)
-                if diff is None:           # tangency/degenerate: flag
+                if diff is None:
+                    # degenerate relation: a hole touching its shell
+                    # at isolated POINTS only (never crossing, never
+                    # sharing a segment) is VALID OGC geometry — keep
+                    # it as an ordinary hole.  Line tangency
+                    # (collinear overlap) and mixed cross+touch stay
+                    # flagged: noding them is ambiguous.
+                    if _tangency_class(e, h) == "point":
+                        probe = _off_boundary_vertex(h, e)
+                        if probe is not None and _point_in_ring(probe, e):
+                            kept_holes.append(h)
+                            consumed = True
+                            break
                     repaired = False
                     consumed = True
                     break
@@ -753,7 +845,11 @@ def make_valid_polygons(
         changed |= (h2 is not h)
         homed = False
         for rings_out in out:
-            if _point_in_ring(h2[0], rings_out[0]):
+            # a tangent hole's first vertex can lie ON the shell
+            # boundary where the raycast is unreliable — probe with an
+            # off-boundary vertex when one exists
+            probe = _off_boundary_vertex(h2, rings_out[0]) or h2[0]
+            if _point_in_ring(probe, rings_out[0]):
                 rings_out.append(h2)
                 homed = True
                 break

@@ -1303,7 +1303,7 @@ def clip_lines_to_polygons(lines: DataFrame, polys: DataFrame,
                         bad = False
                         for e1, e2 in edges:
                             got = G._crossing_params(p, q, e1, e2)
-                            if got == "degenerate":
+                            if isinstance(got, str):   # touch/overlap
                                 bad = True
                                 break
                             if got is not None:

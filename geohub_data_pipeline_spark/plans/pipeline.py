@@ -1027,10 +1027,13 @@ def crs_roundtrip_equalarea(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MAKEVALID_SQL = """
 SELECT doc_id,
-       CASE doc_id % 4 WHEN 0 THEN 'ok' WHEN 1 THEN 'repaired'
-            WHEN 2 THEN 'repaired' ELSE 'flagged' END AS status,
-       CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
-            WHEN 2 THEN 1 ELSE 2 END AS INTEGER) AS n_rings
+       CASE doc_id % 7 WHEN 0 THEN 'ok' WHEN 1 THEN 'repaired'
+            WHEN 2 THEN 'repaired' WHEN 3 THEN 'ok'
+            WHEN 4 THEN 'repaired' WHEN 5 THEN 'repaired'
+            ELSE 'flagged' END AS status,
+       CAST(CASE doc_id % 7 WHEN 0 THEN 1 WHEN 1 THEN 2
+            WHEN 2 THEN 1 WHEN 3 THEN 2 WHEN 4 THEN 2
+            WHEN 5 THEN 1 ELSE 2 END AS INTEGER) AS n_rings
 FROM documents
 ORDER BY doc_id
 """
@@ -1042,12 +1045,16 @@ ORDER BY doc_id
        "geometry goldens in tests/test_geometry.py)", _MAKEVALID_SQL)
 def makevalid_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every document becomes a polygon in a rotating invalidity
-    class — valid square, bowtie self-intersection, hole crossing its
-    shell, tangent hole (unrepairable) — and ``make_valid_wkb``'s
-    verdict per class is oracle-checked: class 0 passes through
-    untouched (1 ring), bowties split into 2 simple rings, crossing
-    holes are consumed by noded subtraction (1 ring), tangencies stay
-    flagged with their original 2 rings.
+    class and ``make_valid_wkb``'s verdict per class is
+    oracle-checked: 0 valid square passes through untouched (1
+    ring); 1 bowtie splits into 2 simple rings; 2 crossing hole is
+    consumed by noded subtraction (1 ring); 3 POINT-tangent hole is
+    recognized as VALID OGC geometry and kept untouched (2 rings —
+    r11: previously flagged); 4 self-tangent figure-eight is
+    node-split at the pinch into 2 shells (r11); 5 nested shells are
+    absorbed to 1 ring (GEOS structure mode); 6 LINE-tangent hole
+    (collinear overlap) stays flagged with its original 2 rings —
+    noding a shared segment is ambiguous.
 
     Scale: per-feature map-side kernel — a scan, no shuffle.
     """
@@ -1073,7 +1080,7 @@ def makevalid_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 did, x, y = int(did), float(cx), float(cy)
                 sq = [(x, y), (x + 1, y), (x + 1, y + 1), (x, y + 1),
                       (x, y)]
-                cls = did % 4
+                cls = did % 7
                 if cls == 0:
                     buf = G.wkb_polygon([sq])
                 elif cls == 1:
@@ -1084,10 +1091,24 @@ def makevalid_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                             (x + 1.25, y + 0.75), (x + 0.75, y + 0.75),
                             (x + 0.75, y + 0.25)]
                     buf = G.wkb_polygon([sq, hole[::-1]])
-                else:
+                elif cls == 3:
                     tang = [(x + 0.5, y), (x + 0.75, y + 0.25),
                             (x + 0.25, y + 0.25), (x + 0.5, y)]
                     buf = G.wkb_polygon([sq, tang[::-1]])
+                elif cls == 4:
+                    fe = [(x, y), (x + 1, y), (x + 0.5, y + 0.5),
+                          (x + 1, y + 1), (x, y + 1),
+                          (x + 0.5, y + 0.5), (x, y)]
+                    buf = G.wkb_polygon([fe])
+                elif cls == 5:
+                    inner = [(x + 0.25, y + 0.25), (x + 0.75, y + 0.25),
+                             (x + 0.75, y + 0.75), (x + 0.25, y + 0.75),
+                             (x + 0.25, y + 0.25)]
+                    buf = G.wkb_multipolygon([[sq], [inner]])
+                else:
+                    lt = [(x + 0.25, y), (x + 0.75, y),
+                          (x + 0.5, y + 0.25), (x + 0.25, y)]
+                    buf = G.wkb_polygon([sq, lt[::-1]])
                 out, invalid = G.make_valid_wkb(buf)
                 status = ("flagged" if invalid
                           else "repaired" if out != buf else "ok")

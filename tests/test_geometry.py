@@ -189,10 +189,39 @@ def test_make_valid_hole_edge_cases():
     assert p["roles"] == [True, False, False]
     assert sum(G._ring_area2(G._pairs(x)) / 2
                for x in p["parts"]) == pytest.approx(14.0)
-    # tangency (hole vertex ON a shell edge): refused, stays flagged
+    # POINT tangency (hole vertex ON a shell edge, interiors still
+    # connected): VALID OGC geometry — kept untouched, not flagged
+    # (r11; GEOS IsValid agrees a point-touching hole is valid)
     tang = [(2.0, 0.0), (3.0, 1.0), (1.0, 1.0), (2.0, 0.0)]
-    out, invalid = G.make_valid_wkb(G.wkb_polygon([sq, tang[::-1]]))
+    buf = G.wkb_polygon([sq, tang[::-1]])
+    out, invalid = G.make_valid_wkb(buf)
+    assert invalid is False
+    assert out == buf                      # nothing to repair
+    # LINE tangency (hole sharing a boundary segment with the shell):
+    # ambiguous noding — still refused, stays flagged
+    lt = [(1.0, 0.0), (3.0, 0.0), (2.0, 1.0), (1.0, 0.0)]
+    out, invalid = G.make_valid_wkb(G.wkb_polygon([sq, lt[::-1]]))
     assert invalid is True
+
+
+def test_make_valid_self_tangent_pinch():
+    """A figure-eight ring (boundary revisits a point) is node-split
+    at the pinch into two shells — GEOS MakeValid semantics (r11)."""
+    fe = [(0.0, 0.0), (2.0, 0.0), (1.0, 1.0), (2.0, 2.0), (0.0, 2.0),
+          (1.0, 1.0), (0.0, 0.0)]
+    out, invalid = G.make_valid_wkb(G.wkb_polygon([fe]))
+    assert invalid is False
+    p = G.parse_wkb(out)
+    assert p["roles"] == [True, True]
+    areas = sorted(abs(G._ring_area2(G._pairs(x))) / 2
+                   for x in p["parts"])
+    assert areas == pytest.approx([1.0, 1.0])
+    # vertex-on-edge pinch (T-touch): node inserted, then split
+    tt = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (2.0, 0.0), (0.0, 4.0),
+          (0.0, 0.0)]
+    out, invalid = G.make_valid_wkb(G.wkb_polygon([tt]))
+    assert invalid is False
+    assert G.parse_wkb(out)["roles"] == [True, True]
 
 
 def test_make_valid_overlapping_and_nested_shells():
