@@ -6912,3 +6912,108 @@ def geodesic_buffer_invariants(spark: SparkSession,
             .agg((F.max("err_m") < 0.001).alias("within_mm"),
                  F.count(F.lit(1)).cast("long").alias("n_points"))
             .orderBy("k"))
+
+
+# ---------------------------------------------------------------------------
+# S5/S6 round 11: raster-tile MBTiles input (r10 verdict missing #3)
+# ---------------------------------------------------------------------------
+
+_MBTILES_RASTER_SQL = """
+WITH png AS (
+  SELECT * FROM (VALUES (0,0,0),(1,0,0),(1,1,0),(1,0,1),(1,1,1))
+       t(z, x, y)
+),
+png_stats AS (
+  SELECT p.z, p.x, p.y,
+         sum((p.z*31 + p.x*7 + p.y*11 + i.i + 2*j.i) % 251) AS s,
+         min((p.z*31 + p.x*7 + p.y*11 + i.i + 2*j.i) % 251) AS lo,
+         max((p.z*31 + p.x*7 + p.y*11 + i.i + 2*j.i) % 251) AS hi
+  FROM png p, range(64) i(i), range(64) j(i)
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(z AS INTEGER) AS z, CAST(x AS INTEGER) AS x,
+       CAST(y AS INTEGER) AS y,
+       CAST(2 - z AS INTEGER) AS level, CAST(1 AS INTEGER) AS band,
+       CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height,
+       CAST(4096 AS BIGINT) AS n_px, CAST(s AS BIGINT) AS px_sum,
+       CAST(lo AS INTEGER) AS px_min, CAST(hi AS INTEGER) AS px_max
+FROM png_stats
+UNION ALL
+SELECT 2, 0, 0, 0, 1, 64, 64, 4096, 128 * 4096, 128, 128
+UNION ALL
+SELECT 2, 1, 0, 0, -1, 10, 0, 0, 0, 0, 0
+ORDER BY z, x, y
+"""
+
+
+@query("mbtiles_raster_source", "pipeline",
+       "§2.1 S5/S6: RASTER-tile MBTiles input — PNG/JPEG tile "
+       "payloads decoded into the BLOCK model (GDAL reads such "
+       "archives as raster; ref ingest/config.py:42-66 allowlists "
+       ".mbtiles)", _MBTILES_RASTER_SQL)
+def mbtiles_raster_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a synthetic MBTiles archive of REAL image tiles — five
+    8-bit grayscale PNGs (zooms 0-1, closed-form pixel ramp), one
+    constant-even baseline JPEG (z2: DCT+quantization round-trips
+    bit-exactly), and one corrupt payload — then decode it through
+    ``mbtiles_raster_blocks`` into the engine's BLOCK model and
+    report per-tile pixel statistics.  The oracle states every PNG
+    tile's sum/min/max in closed form from the generator formula, the
+    JPEG's from its constant, and the corrupt tile's quarantine row
+    (band = -1, payload size as width) — so the SQLite walk, the TMS
+    row flip, both stdlib codecs, the level = maxzoom - z convention
+    and the quarantine contract all sit under the hash compare.
+
+    Scale: one archive = one task across a binaryFile scan; decode is
+    map-side Arrow batches (pixel rows never shuffle here); the
+    per-tile aggregation shuffles only file-count-sized stats rows.
+    Reference: GDAL's MBTiles raster driver reads the same layout.
+    """
+    import hashlib
+    import os
+    import shutil
+
+    import numpy as np
+
+    from geohub_data_pipeline_spark.functions import jpegcodec as J
+    from geohub_data_pipeline_spark.operators import mbtiles as MB
+    from geohub_data_pipeline_spark.operators.multimodal import (
+        encode_png_gray,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/geohub_gate_artifacts/mbtiles_raster_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+
+    tiles = []
+    for z, x, y in [(0, 0, 0), (1, 0, 0), (1, 1, 0), (1, 0, 1),
+                    (1, 1, 1)]:
+        base = z * 31 + x * 7 + y * 11
+        tiles.append((z, x, y, encode_png_gray(
+            64, 64,
+            pixel_fn=lambda px, py, b=base: (b + py + 2 * px) % 251)))
+    const = np.full((64, 64), 128, dtype=np.uint8)
+    tiles.append((2, 0, 0, J.encode_baseline_jpeg(const)))
+    tiles.append((2, 1, 0, b"not a tile"))
+    MB.write_mbtiles(os.path.join(root, "t.mbtiles"), tiles,
+                     {"name": "t", "format": "png"})
+
+    blocks = MB.mbtiles_raster_blocks(spark, root)
+    return (blocks.select(
+        (F.lit(2) - F.col("level")).cast("int").alias("z"),
+        F.col("block_x").cast("int").alias("x"),
+        F.col("block_y").cast("int").alias("y"),
+        F.col("level").cast("int").alias("level"),
+        F.col("band").cast("int").alias("band"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.size("pixels").cast("long").alias("n_px"),
+        F.coalesce(
+            F.aggregate("pixels", F.lit(0.0), lambda a, v: a + v),
+            F.lit(0.0)).cast("long").alias("px_sum"),
+        F.coalesce(F.array_min("pixels"), F.lit(0.0)).cast("int")
+        .alias("px_min"),
+        F.coalesce(F.array_max("pixels"), F.lit(0.0)).cast("int")
+        .alias("px_max"))
+        .orderBy("z", "x", "y"))

@@ -185,3 +185,46 @@ def test_mbtiles_to_pmtiles_cli(spark, tmp_path, capsys):
     assert arch["tiles"][(0, 0, 0)] == b"\x1a\x05tile0"
     assert arch["tiles"][(1, 1, 1)] == b"\x1a\x05tile3"
     assert (arch["min_zoom"], arch["max_zoom"]) == (0, 1)
+
+
+def test_mbtiles_raster_blocks(spark, tmp_path):
+    """PNG/JPEG tile payloads decode into the BLOCK model: XYZ round
+    trip, level = maxzoom - z, RGB JPEG -> 3 band rows, corrupt
+    payload -> auditable quarantine row (band = -1)."""
+    import numpy as np
+
+    from geohub_data_pipeline_spark.functions import jpegcodec as J
+    from geohub_data_pipeline_spark.operators.multimodal import (
+        encode_png_gray,
+    )
+
+    png = encode_png_gray(16, 8, pixel_fn=lambda x, y: (3 * x + y) % 251)
+    rgb = np.zeros((8, 8, 3), dtype=np.uint8)
+    rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2] = 64, 128, 192
+    tiles = [(0, 0, 0, png),
+             (1, 1, 0, J.encode_baseline_jpeg(rgb)),
+             (1, 0, 1, b"garbage")]
+    path = str(tmp_path / "r.mbtiles")
+    MB.write_mbtiles(path, tiles, {"name": "r", "format": "png"})
+
+    rows = MB.mbtiles_raster_blocks(spark, str(tmp_path)).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault((r.level, r.block_x, r.block_y), []).append(r)
+
+    # PNG at z0 -> level 1 (maxzoom 1), dims kept, exact pixels
+    (p0,) = by_key[(1, 0, 0)]
+    assert (p0.band, p0.width, p0.height) == (1, 16, 8)
+    assert p0.pixels[:4] == [0.0, 3.0, 6.0, 9.0]
+    assert p0.srid == 3857 and p0.subdataset == "r"
+    # RGB JPEG at z1 -> level 0, one row per band, constant planes
+    b3 = sorted(by_key[(0, 1, 0)], key=lambda r: r.band)
+    assert [r.band for r in b3] == [1, 2, 3]
+    for r, v in zip(b3, (64.0, 128.0, 192.0)):
+        # RGB->YCbCr->DCT->back is not bit-exact for arbitrary
+        # constants (color transform rounding): near-constant plane
+        assert all(abs(x - v) <= 3 for x in r.pixels), (r.band, v)
+    # corrupt tile quarantined, not dropped and not fatal
+    (q,) = by_key[(0, 0, 1)]
+    assert q.band == -1 and q.width == len(b"garbage")
+    assert q.pixels == []
