@@ -467,6 +467,45 @@ def _tangency_class(shell: list[tuple[float, float]],
     return "point" if saw_touch else "disjoint"
 
 
+def _touch_points(a: list[tuple[float, float]],
+                  b: list[tuple[float, float]]) -> set:
+    """Distinct points where two closed rings TOUCH (an endpoint of
+    one lying on a segment of the other).  A hole meeting its shell
+    at exactly ONE such point is valid OGC geometry; two or more
+    touch points disconnect the interior (GEOS IsValid:
+    'Interior is disconnected')."""
+    pts: set = set()
+    for ring, other in ((a, b), (b, a)):
+        for p in ring[:-1]:
+            x, y = p
+            for (x1, y1), (x2, y2) in zip(other, other[1:]):
+                cross = (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1)
+                if cross == 0 and min(x1, x2) <= x <= max(x1, x2) \
+                        and min(y1, y2) <= y <= max(y1, y2):
+                    pts.add(p)
+                    break
+    return pts
+
+
+def _nesting_depth(loops: list[list[tuple[float, float]]]
+                   ) -> list[int]:
+    """Containment depth of each simple loop among its siblings
+    (loops meeting at most at isolated points, e.g. the pieces of one
+    node-split ring).  Probes with an off-boundary vertex so the
+    shared pinch point cannot fool the raycast; a loop whose every
+    vertex lies on the candidate container's boundary counts as not
+    contained."""
+    depth = [0] * len(loops)
+    for i, inner in enumerate(loops):
+        for j, outer in enumerate(loops):
+            if i == j:
+                continue
+            probe = _off_boundary_vertex(inner, outer)
+            if probe is not None and _point_in_ring(probe, outer):
+                depth[i] += 1
+    return depth
+
+
 def _split_at_pinch(pts: list[tuple[float, float]]
                     ) -> tuple[list[tuple[float, float]],
                                list[tuple[float, float]]] | None:
@@ -737,12 +776,33 @@ def make_valid_polygons(
                 a, b = _split_ring(r, hit[0], hit[1], hit[2])
                 queue += [x for x in (a, b) if len(x) >= 4]
             if is_ext:
-                exteriors += simple
+                if len(simple) > 1:
+                    # GEOS MakeValid linework semantics: the repaired
+                    # area is what the original ring encloses an ODD
+                    # number of times, so a split loop nested at odd
+                    # containment depth (an inverted pocket re-entering
+                    # through the pinch) is a HOLE, not a second shell
+                    # — appending it as a shell double-covers its
+                    # interior.  Side-by-side bowtie loops are all
+                    # depth 0 and stay shells.
+                    depth = _nesting_depth(simple)
+                    exteriors += [r for r, d in zip(simple, depth)
+                                  if d % 2 == 0]
+                    holes += [r for r, d in zip(simple, depth)
+                              if d % 2 == 1]
+                else:
+                    exteriors += simple
             else:
                 # a self-crossing (bowtie) hole splits into multiple
-                # simple holes — each homes independently below
+                # simple holes — each homes independently below.
+                # NESTED hole loops (odd depth = an island inside the
+                # hole under the even-odd rule) are not repaired here:
+                # subtracting both would silently erase the island, so
+                # the row stays flagged.
                 if len(simple) > 1:
                     changed = True
+                    if any(d % 2 for d in _nesting_depth(simple)):
+                        repaired = False
                 holes += simple
         if not exteriors:
             changed = True                 # whole polygon degenerated
@@ -757,12 +817,15 @@ def make_valid_polygons(
                 diff = _ring_difference(e, h)
                 if diff is None:
                     # degenerate relation: a hole touching its shell
-                    # at isolated POINTS only (never crossing, never
-                    # sharing a segment) is VALID OGC geometry — keep
-                    # it as an ordinary hole.  Line tangency
-                    # (collinear overlap) and mixed cross+touch stay
-                    # flagged: noding them is ambiguous.
-                    if _tangency_class(e, h) == "point":
+                    # at exactly ONE isolated point (never crossing,
+                    # never sharing a segment) is VALID OGC geometry —
+                    # keep it as an ordinary hole.  TWO or more touch
+                    # points disconnect the interior (GEOS IsValid
+                    # rejects it), and line tangency (collinear
+                    # overlap) / mixed cross+touch stay flagged:
+                    # noding them is ambiguous.
+                    if (_tangency_class(e, h) == "point"
+                            and len(_touch_points(e, h)) == 1):
                         probe = _off_boundary_vertex(h, e)
                         if probe is not None and _point_in_ring(probe, e):
                             kept_holes.append(h)

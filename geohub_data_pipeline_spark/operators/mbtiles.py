@@ -152,7 +152,13 @@ def tiles_from_mbtiles(spark, path: str):
                         f.write(bytes(content))
                     meta, tiles = read_mbtiles(tmp)
                 except (sqlite3.Error, ValueError, OSError):
-                    continue               # corrupt archive: quarantine
+                    # corrupt ARCHIVE: auditable quarantine row
+                    # (z/x/y=-1, n_features=-1) — never silently fewer
+                    # tiles downstream
+                    rows.append((dataset,
+                                 os.path.splitext(dataset)[0],
+                                 -1, -1, -1, b"", -1))
+                    continue
                 finally:
                     if os.path.exists(tmp):
                         os.unlink(tmp)
@@ -194,9 +200,7 @@ def mbtiles_raster_blocks(spark, path: str):
     here — downstream consumers (overview cascade, COG assembly)
     shuffle on the block key exactly as for any other raster source.
     """
-    import struct
     import tempfile
-    import zlib
     from collections.abc import Iterator
 
     from geohub_data_pipeline_spark.operators.raster import BLOCK_SCHEMA
@@ -212,30 +216,8 @@ def mbtiles_raster_blocks(spark, path: str):
         from geohub_data_pipeline_spark.functions import jpegcodec as J
         from geohub_data_pipeline_spark.operators.multimodal import (
             PNG_MAGIC,
-            _defilter_gray8,
+            decode_png_gray8,
         )
-
-        def decode_png_gray(payload: bytes) -> "np.ndarray":
-            pos, width = 8, None
-            idat: list[bytes] = []
-            while pos + 8 <= len(payload):
-                (ln,) = struct.unpack_from(">I", payload, pos)
-                ct = payload[pos + 4:pos + 8]
-                data = payload[pos + 8:pos + 8 + ln]
-                if ct == b"IHDR":
-                    (width, height, depth, color, _c, _f,
-                     inter) = struct.unpack(">IIBBBBB", data)
-                elif ct == b"IDAT":
-                    idat.append(data)
-                elif ct == b"IEND":
-                    break
-                pos += 12 + ln
-            if width is None or not idat:
-                raise ValueError("missing IHDR/IDAT")
-            if depth != 8 or color != 0 or inter:
-                raise ValueError("raster tiles support 8-bit gray PNG")
-            return _defilter_gray8(
-                zlib.decompress(b"".join(idat)), width, height)
 
         for pdf in it:
             rows = []
@@ -247,7 +229,14 @@ def mbtiles_raster_blocks(spark, path: str):
                         f.write(bytes(content))
                     meta, tiles = read_mbtiles(tmp)
                 except (sqlite3.Error, ValueError, OSError):
-                    continue               # corrupt archive: quarantine
+                    # corrupt ARCHIVE: one auditable quarantine row
+                    # (band=-1, level=-1, payload size as width) —
+                    # never a silently shrunk raster set
+                    rows.append((dataset,
+                                 os.path.splitext(dataset)[0], -1,
+                                 -1, -1, -1, len(bytes(content)),
+                                 0, [], None, 3857))
+                    continue
                 finally:
                     if os.path.exists(tmp):
                         os.unlink(tmp)
@@ -258,7 +247,7 @@ def mbtiles_raster_blocks(spark, path: str):
                     payload = bytes(payload)
                     try:
                         if payload[:8] == PNG_MAGIC:
-                            bands = [decode_png_gray(payload)]
+                            bands = [decode_png_gray8(payload)]
                         elif payload[:2] == b"\xff\xd8":
                             img = J.decode_baseline_jpeg(payload)
                             bands = ([img] if img.ndim == 2 else

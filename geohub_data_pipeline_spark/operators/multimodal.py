@@ -386,6 +386,36 @@ def frame_sample_plan(decoded: DataFrame, every_n: int = 30) -> DataFrame:
     )
 
 
+def decode_png_gray8(payload: bytes) -> "np.ndarray":
+    """Full 8-bit grayscale PNG decode (chunk walk + IHDR + IDAT
+    collect + spec-§9 defilter) — the ONE shared implementation
+    behind the thumbnail kernel and the MBTiles raster tile decode.
+    Raises ValueError on anything that is not a non-interlaced 8-bit
+    gray PNG."""
+    import zlib as _zlib
+
+    pos, width = 8, None
+    idat: list[bytes] = []
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        ct = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        if ct == b"IHDR":
+            (width, height, depth, color, _c, _f,
+             inter) = struct.unpack(">IIBBBBB", data)
+        elif ct == b"IDAT":
+            idat.append(data)
+        elif ct == b"IEND":
+            break
+        pos += 12 + ln
+    if width is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    if depth != 8 or color != 0 or inter:
+        raise ValueError("only non-interlaced 8-bit gray PNG")
+    return _defilter_gray8(
+        _zlib.decompress(b"".join(idat)), width, height)
+
+
 def _defilter_gray8(raw: bytes, width: int, height: int) -> "np.ndarray":
     """PNG scanline defilter (spec §9, filters 0-4) for 8-bit
     grayscale — returns the (height, width) pixel array."""
@@ -463,27 +493,8 @@ def thumbnail_media(media: DataFrame, max_side: int = 8) -> DataFrame:
                     payload = bytes(payload)
                     if payload[:8] != PNG_MAGIC:
                         raise ValueError("not a PNG")
-                    pos, width = 8, None
-                    idat: list[bytes] = []
-                    while pos + 8 <= len(payload):
-                        (ln,) = struct.unpack_from(">I", payload, pos)
-                        ct = payload[pos + 4:pos + 8]
-                        data = payload[pos + 8:pos + 8 + ln]
-                        if ct == b"IHDR":
-                            (width, height, depth, color, _c, _f,
-                             inter) = struct.unpack(">IIBBBBB", data)
-                        elif ct == b"IDAT":
-                            idat.append(data)
-                        elif ct == b"IEND":
-                            break
-                        pos += 12 + ln
-                    if width is None or not idat:
-                        raise ValueError("missing IHDR/IDAT")
-                    if depth != 8 or color != 0 or inter:
-                        raise ValueError(
-                            "thumbnail supports 8-bit gray PNG")
-                    px = _defilter_gray8(
-                        zlib.decompress(b"".join(idat)), width, height)
+                    px = decode_png_gray8(payload)
+                    height, width = px.shape
                     # integer dim rule (exactly mirrorable in SQL):
                     # side * ms // max_side, floored, at least 1
                     mx = max(width, height)

@@ -97,18 +97,37 @@ def commit(path: str, adds: list[dict], removes: list[str],
     touched_ours = add_paths | set(removes)
     attempts = 0
     while True:
-        known = sorted(set(table_versions(path)) | set(checkpoints(path)))
+        entry_versions = set(table_versions(path))
+        known = sorted(entry_versions | set(checkpoints(path)))
         latest = known[-1] if known else -1
         if base_version is None:
             base_version = latest
         if latest > base_version:
             # interleaved commits: rebase iff their file sets are
-            # disjoint from ours (checkpoints touch no files)
+            # disjoint from ours.  EVERY version in (base, latest]
+            # must have a readable entry — a version whose entry was
+            # truncated behind a checkpoint (or is otherwise
+            # unreadable) means disjointness cannot be verified, and
+            # rebasing blind could silently drop the rival's change.
             rival: set[str] = set()
-            for v in table_versions(path):
-                if v <= base_version:
-                    continue
-                for action in _entry_actions(path, v):
+            for v in range(base_version + 1, latest + 1):
+                if v not in entry_versions:
+                    raise CommitConflictError(
+                        f"version {v} has no readable log entry "
+                        f"(truncated behind a checkpoint?) — cannot "
+                        f"verify disjointness with base "
+                        f"{base_version}; re-read the table at the "
+                        f"latest version and re-derive")
+                actions = _entry_actions(path, v)
+                if not any("commit" in a for a in actions):
+                    # an entry with no commit record is anomalous
+                    # (every committed entry leads with one) — treat
+                    # as unverifiable, same as a missing entry
+                    raise CommitConflictError(
+                        f"version {v}'s log entry carries no commit "
+                        f"record — cannot verify disjointness; "
+                        f"re-read and re-derive")
+                for action in actions:
                     if "add" in action:
                         rival.add(action["add"]["path"])
                     elif "remove" in action:
@@ -122,22 +141,31 @@ def commit(path: str, adds: list[dict], removes: list[str],
         version = latest + 1
         os.makedirs(_log_dir(path), exist_ok=True)
         entry = os.path.join(_log_dir(path), _LOG_FMT.format(version))
-        try:
-            fd = os.open(entry, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
-        except FileExistsError:
-            attempts += 1
-            if attempts > max_retries:
-                raise
-            continue                       # re-list, conflict-check
         commit_rec: dict[str, Any] = {"version": version, "op": op}
         if info:
             commit_rec.update(info)
-        with os.fdopen(fd, "w") as f:
+        # Write the FULL entry to a private tmp file, then claim the
+        # version slot with os.link — atomic create-if-absent like
+        # O_EXCL, but the entry appears with its complete content, so
+        # a rival's conflict scan can never read a torn/empty entry
+        # (the object-store analogue: single put-if-absent of the
+        # whole body).
+        tmp = entry + f".tmp.{os.getpid()}.{os.urandom(6).hex()}"
+        with open(tmp, "w") as f:
             f.write(json.dumps({"commit": commit_rec}) + "\n")
             for r in removes:
                 f.write(json.dumps({"remove": {"path": r}}) + "\n")
             for a in adds:
                 f.write(json.dumps({"add": a}) + "\n")
+        try:
+            os.link(tmp, entry)
+        except FileExistsError:
+            attempts += 1
+            if attempts > max_retries:
+                raise
+            continue                       # re-list, conflict-check
+        finally:
+            os.unlink(tmp)
         return version
 
 

@@ -4144,7 +4144,13 @@ def txlog_bloom_point_lookup(spark: SparkSession,
             if "add" not in action:
                 continue
             a = action["add"]
-            if a["min_k"] > 17 or a["max_k"] < 17:
+            # None stats (empty bucket / stats-less add) cannot prove
+            # the key absent — route to scanned, same as TX.plan_scan
+            if (a["min_k"] is not None and a["max_k"] is not None
+                    and (a["min_k"] > 17 or a["max_k"] < 17)):
+                continue
+            if a.get("bloom") is None:     # no bloom: nothing proves
+                expect.add(a["path"])      # the key absent — scan
                 continue
             m = a["bloom_m"]
             pos = [TX.xxhash64_long_int(17, s) & (m - 1)

@@ -228,3 +228,24 @@ def test_mbtiles_raster_blocks(spark, tmp_path):
     (q,) = by_key[(0, 0, 1)]
     assert q.band == -1 and q.width == len(b"garbage")
     assert q.pixels == []
+
+
+def test_mbtiles_corrupt_archive_quarantines(spark, tmp_path):
+    """An unreadable .mbtiles ARCHIVE (not merely a bad tile) emits
+    one auditable quarantine row on BOTH scan routes instead of
+    silently shrinking the output (r11 self-review)."""
+    good = [(0, 0, 0, b"\x1a\x00payload")]
+    MB.write_mbtiles(str(tmp_path / "ok.mbtiles"), good,
+                     {"name": "ok", "format": "pbf"})
+    (tmp_path / "bad.mbtiles").write_bytes(b"not a sqlite file at all")
+
+    vec = MB.tiles_from_mbtiles(spark, str(tmp_path)).collect()
+    by_ds = {r.dataset: r for r in vec}
+    assert by_ds["ok.mbtiles"].z == 0
+    q = by_ds["bad.mbtiles"]
+    assert (q.z, q.x, q.y, q.n_features) == (-1, -1, -1, -1)
+
+    ras = MB.mbtiles_raster_blocks(spark, str(tmp_path)).collect()
+    qr = [r for r in ras if r.dataset == "bad.mbtiles"]
+    assert len(qr) == 1 and qr[0].band == -1 and qr[0].level == -1
+    assert qr[0].width == len(b"not a sqlite file at all")

@@ -224,6 +224,48 @@ def test_make_valid_self_tangent_pinch():
     assert G.parse_wkb(out)["roles"] == [True, True]
 
 
+def test_make_valid_pinch_pocket_becomes_hole():
+    """A CW pocket loop re-entering through the pinch point is NESTED
+    in the outer loop: GEOS MakeValid linework semantics (area covered
+    an ODD number of times) make it a HOLE, not a second shell —
+    the r11 self-review's double-cover finding."""
+    ring = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0),
+            (1.0, 1.0), (1.0, 2.0), (2.0, 1.0), (0.0, 0.0)]
+    out, invalid = G.make_valid_wkb(G.wkb_polygon([ring]))
+    assert invalid is False
+    p = G.parse_wkb(out)
+    assert p["roles"] == [True, False]              # shell + hole
+    areas = [G._ring_area2(G._pairs(x)) / 2 for x in p["parts"]]
+    assert areas[0] == pytest.approx(16.0)          # shell CCW
+    assert areas[1] == pytest.approx(-1.0)          # hole CW
+    # net covered area 15, NOT 17 (double cover) or 16 (pocket lost)
+
+    # nested loops inside a HOLE ring (island under even-odd) are not
+    # silently erased — the row stays flagged
+    shell = [(0.0, 0.0), (8.0, 0.0), (8.0, 8.0), (0.0, 8.0), (0.0, 0.0)]
+    h = [(1.0, 1.0), (6.0, 1.0), (6.0, 6.0), (1.0, 6.0), (1.0, 1.0),
+         (2.0, 2.0), (2.0, 3.0), (3.0, 2.0), (1.0, 1.0)]
+    buf = G.wkb_polygon([shell, h])
+    out, invalid = G.make_valid_wkb(buf)
+    assert invalid is True and out == buf
+
+
+def test_make_valid_multi_touch_hole_stays_flagged():
+    """A hole meeting its shell at ONE isolated point is valid OGC
+    geometry (kept); at TWO points the interior is disconnected (GEOS
+    IsValid rejects it) — stays flagged, never reported repaired."""
+    shell = [(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0), (0.0, 0.0)]
+    one = [(0.0, 1.0), (1.0, 0.5), (1.5, 1.0), (1.0, 1.5), (0.0, 1.0)]
+    buf = G.wkb_polygon([shell, one])
+    out, invalid = G.make_valid_wkb(buf)
+    assert invalid is False and out == buf          # valid: untouched
+
+    two = [(0.0, 1.0), (1.0, 0.5), (2.0, 1.0), (1.0, 1.5), (0.0, 1.0)]
+    buf = G.wkb_polygon([shell, two])
+    out, invalid = G.make_valid_wkb(buf)
+    assert invalid is True and out == buf           # disconnected interior
+
+
 def test_make_valid_overlapping_and_nested_shells():
     """Multipolygon parts whose interiors intersect are unioned via
     noded reassembly; fully-nested shells are absorbed (GEOS

@@ -415,3 +415,53 @@ def test_fully_pruned_read_honors_merge_schema(spark, tmp_path):
                            merge_schema=True)
     assert out.count() == 0
     assert set(out.columns) == {"k", "w"}
+
+
+def test_rival_scan_refuses_truncated_history(tmp_path):
+    """Optimistic rebase must fail loudly when any version in
+    (base, latest] has no readable entry (truncated behind a
+    checkpoint): disjointness cannot be verified, and rebasing blind
+    could silently drop the rival's change (r11 self-review)."""
+    path = str(tmp_path / "tr")
+    TX.commit(path, [{"path": "/t/a"}], [])           # v0
+    TX.commit(path, [], ["/t/a"])                     # v1: remove
+    TX.checkpoint(path, 1)
+    os.remove(os.path.join(path, "_txlog", "0000000001.json"))
+    with pytest.raises(TX.CommitConflictError, match="no readable"):
+        TX.commit(path, [], ["/t/a"], base_version=0, max_retries=2)
+    # the table itself is still readable at the checkpoint
+    assert TX.snapshot_actions(path) == []
+
+
+def test_rival_scan_refuses_commitless_entry(tmp_path):
+    """An interleaved entry with no commit record (the old torn-write
+    state; impossible to produce under the tmp+link commit, but may
+    pre-exist) is unverifiable — conflict, not silent rebase."""
+    path = str(tmp_path / "ce")
+    TX.commit(path, [{"path": "/t/a"}], [])
+    open(os.path.join(path, "_txlog", "0000000001.json"), "w").close()
+    with pytest.raises(TX.CommitConflictError, match="no commit"):
+        TX.commit(path, [], ["/t/a"], base_version=0, max_retries=2)
+
+
+def test_commit_entries_are_never_torn(tmp_path):
+    """Entries are published via tmp+hardlink: the version file either
+    does not exist or carries its COMPLETE content, and no tmp residue
+    survives a commit (win or lose)."""
+    path = str(tmp_path / "nt")
+    TX.commit(path, [{"path": f"/t/{i}"} for i in range(50)], [])
+    d = os.path.join(path, "_txlog")
+    assert sorted(os.listdir(d)) == ["0000000000.json"]
+    acts = TX._entry_actions(path, 0)
+    assert "commit" in acts[0] and len(acts) == 51
+    # losing the race: loser leaves no tmp file behind.  Force the
+    # loss deterministically with a STALE listing (the rival's entry
+    # lands between the list and the link).
+    real = TX.table_versions
+    try:
+        TX.table_versions = lambda p: []
+        with pytest.raises(FileExistsError):
+            TX.commit(path, [{"path": "/t/x"}], [])
+    finally:
+        TX.table_versions = real
+    assert sorted(os.listdir(d)) == ["0000000000.json"]
