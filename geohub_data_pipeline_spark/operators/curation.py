@@ -749,3 +749,56 @@ def profile_key_skew(df: DataFrame, key: str,
          / (F.col("n_keys") * F.col("n_rows"))).alias("gini"),
         "n_keys", "n_rows")
         .orderBy("heavy_rank"))
+
+
+def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """BM25 query ranking (Robertson/Okapi, Lucene idf variant):
+    the top-``k`` documents for a bag-of-words query.
+
+    score(D, Q) = sum over matched terms t of
+        idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * |D|/avgdl)),
+    idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1).
+
+    Cross-engine determinism: the per-term score is emitted as
+    integer MICROS (idf rounded to 6 decimals, the whole term score
+    round()ed at 1e-6) so the per-document sum is order-independent —
+    a raw double sum would vary with aggregation order.
+
+    Scale: the term filter lands immediately after tokenization, so
+    only the |Q| query terms' postings ever shuffle — scoring cost is
+    O(postings of the query terms), independent of vocabulary; the
+    per-term document frequencies derive from those same postings and
+    broadcast.  Document lengths are one map-side-combined pass.  The
+    final top-k is a TakeOrdered, not a global sort."""
+    tok = docs.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("term"))
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dlen"))
+    scalars = (docs.agg(F.count(F.lit(1)).alias("nd"))
+               .crossJoin(tok.agg(F.count(F.lit(1)).alias("tt")))
+               .collect()[0])             # two corpus scalars, one row
+    n_docs, avgdl = int(scalars["nd"]), scalars["tt"] / scalars["nd"]
+
+    tf = (tok.filter(F.col("term").isin(list(query_terms)))
+          .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tc")))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    idf6 = F.round(F.log(
+        (F.lit(n_docs) - F.col("dfreq") + F.lit(0.5))
+        / (F.col("dfreq") + F.lit(0.5)) + F.lit(1.0)), 6)
+    denom = (F.col("tc")
+             + F.lit(k1) * (F.lit(1.0 - b)
+                            + F.lit(b) * F.col("dlen") / F.lit(avgdl)))
+    micros = F.round(idf6 * (F.col("tc") * F.lit(k1 + 1.0))
+                     / denom * F.lit(1e6)).cast("long")
+    scored = (tf.join(dl, id_col).join(F.broadcast(dfq), "term")
+              .select(id_col, micros.alias("micros")))
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_terms"),
+        F.sum("micros").cast("long").alias("score_micros"))
+    top = (agg.orderBy(F.col("score_micros").desc(), F.col(id_col))
+           .limit(k))
+    w = Window.orderBy(F.col("score_micros").desc(), F.col(id_col))
+    return top.select(id_col, "n_terms", "score_micros",
+                      F.row_number().over(w).cast("int").alias("rank"))

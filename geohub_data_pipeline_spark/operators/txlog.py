@@ -388,6 +388,202 @@ def read_snapshot(spark: SparkSession, path: str,
     return df.drop("__b") if "__b" in df.columns else df
 
 
+def _dir_of_input_file() -> "F.Column":
+    """Directory of ``input_file_name()`` normalized to a local path —
+    matches the add-action ``path`` of the file the row came from."""
+    return F.regexp_replace(
+        F.regexp_replace(F.input_file_name(), "^file:(//)?", ""),
+        "/[^/]*$", "")
+
+
+def _range_bucket(col, lo: int, hi: int, n: int) -> "F.Column":
+    """n contiguous key-range buckets over [lo, hi] — rewrites stay
+    (or become) range-clustered so per-file min/max keep pruning."""
+    width = max(1, (hi - lo + n) // n)
+    return F.least(F.lit(n - 1),
+                   ((col - F.lit(lo)) / F.lit(width)).cast("long")
+                   ).cast("int")
+
+
+def delete_where(spark: SparkSession, path: str, predicate=None,
+                 key_min: int | None = None, key_max: int | None = None,
+                 prefix: str | None = None) -> dict:
+    """Row-level DELETE as one copy-on-write log commit (the Delta
+    DELETE pattern).  ``predicate`` is a Column over the table's data
+    columns; ``key_min``/``key_max`` is an optional closed range on
+    the stats column that BOUNDS the predicate (rows outside the
+    range are guaranteed unaffected), enabling metadata pruning.
+
+    File classes, cheapest first — the property that keeps a
+    selective delete O(files-touched) at 100 TB:
+
+    * SKIPPED — stats disjoint from the key range: untouched, zero
+      I/O (``plan_scan``).
+    * DROPPED — ``predicate is None`` (pure key-range delete) and the
+      file's stats range lies wholly INSIDE the range: removed by a
+      log action alone, zero I/O.
+    * UNTOUCHED — candidate read once but containing NO matching row
+      (per-file match counts via ``input_file_name``): not rewritten.
+    * REWRITTEN — survivors of files with matches, re-bucketed into
+      contiguous key ranges (one new file per touched file) so
+      stats-skipping keeps working after the delete.
+
+    Returns ``{"version", "skipped", "dropped", "untouched",
+    "rewritten"}`` (counts are file counts).
+    """
+    if prefix is None:                 # unique per call; an unlucky
+        prefix = f"del_{max(table_versions(path)) + 1:010d}"  # race
+        # still fails loudly via the immutable-prefix guard
+    scanned, skipped = plan_scan(path, key_min=key_min, key_max=key_max)
+    if not scanned:
+        return {"version": max(table_versions(path)),
+                "skipped": len(skipped), "dropped": 0,
+                "untouched": 0, "rewritten": 0}
+    stats_col = scanned[0]["stats_col"]
+    full_pred = predicate
+    if key_min is not None:
+        rng = F.col(stats_col) >= F.lit(key_min)
+        full_pred = rng if full_pred is None else (full_pred & rng)
+    if key_max is not None:
+        rng = F.col(stats_col) <= F.lit(key_max)
+        full_pred = rng if full_pred is None else (full_pred & rng)
+    if full_pred is None:
+        raise ValueError("delete_where needs a predicate or key range")
+
+    dropped: list[dict] = []
+    candidates: list[dict] = []
+    for a in scanned:
+        if (predicate is None and a["min_k"] is not None
+                and (key_min is None or a["min_k"] >= key_min)
+                and (key_max is None or a["max_k"] <= key_max)):
+            dropped.append(a)              # wholly inside: log-only
+        else:
+            candidates.append(a)
+
+    matched: list[dict] = []
+    if candidates:
+        cand_df = (spark.read.parquet(*[a["path"] for a in candidates])
+                   .withColumn("__dir", _dir_of_input_file()))
+        hit_dirs = {r["__dir"] for r in
+                    (cand_df.filter(full_pred).select("__dir")
+                     .distinct().collect())}   # file-count-sized
+        matched = [a for a in candidates if a["path"] in hit_dirs]
+
+    removes = [a["path"] for a in dropped + matched]
+    if not matched:
+        v = commit(path, [], removes, op="delete",
+                   info={"dropped": len(dropped), "rewritten": 0})
+        return {"version": v, "skipped": len(skipped),
+                "dropped": len(dropped),
+                "untouched": len(candidates), "rewritten": 0}
+
+    # DELETE keeps rows whose predicate is false OR NULL (SQL DELETE
+    # semantics) — a bare ~pred would silently drop NULL-pred rows
+    survivors = (spark.read.parquet(*[a["path"] for a in matched])
+                 .filter(~F.coalesce(full_pred, F.lit(False))))
+    n = len(matched)
+    if all(a["min_k"] is not None for a in matched):
+        lo = min(a["min_k"] for a in matched)
+        hi = max(a["max_k"] for a in matched)
+        bucket = _range_bucket(F.col(stats_col), lo, hi, n)
+    else:                                  # stats-less file: hash
+        bucket = F.pmod(F.xxhash64(F.col(stats_col)), F.lit(n)) \
+                  .cast("int")
+    cols = [c for c in survivors.columns if c != "__b"]
+    v = write_version(survivors.select(*cols), path, bucket, n,
+                      stats_col, removes=removes, prefix=prefix,
+                      op="delete")
+    return {"version": v, "skipped": len(skipped),
+            "dropped": len(dropped),
+            "untouched": len(candidates) - len(matched),
+            "rewritten": len(matched)}
+
+
+def merge_upsert(spark: SparkSession, path: str, source: DataFrame,
+                 prefix: str | None = None) -> dict:
+    """MERGE INTO (upsert) on the stats/key column: matched keys are
+    replaced by the source row, unmatched source rows are inserted —
+    one atomic copy-on-write commit (the Delta MERGE pattern,
+    whenMatchedUpdateAll + whenNotMatchedInsertAll).
+
+    Steps, each bounded by touched data — never O(table):
+
+    1. Source key bounds (one tiny agg) prune target files by their
+       log stats: a file that cannot contain a source key is
+       untouched without I/O.
+    2. One join pass over the candidates finds the files ACTUALLY
+       holding matched keys (per-file hits via ``input_file_name``).
+    3. Only those files rewrite: their unmatched survivors union the
+       whole source, range-re-bucketed so stats keep pruning.
+
+    Duplicate source keys raise (an ambiguous upsert — same contract
+    as Delta MERGE).  The source schema must carry exactly the
+    table's data columns.  Returns ``{"version", "pruned",
+    "untouched", "rewritten", "source_rows"}``.
+    """
+    actions = snapshot_actions(path)
+    if not actions:
+        raise ValueError(f"empty snapshot for {path}")
+    if prefix is None:
+        prefix = f"merge_{max(table_versions(path)) + 1:010d}"
+    stats_col = actions[0]["stats_col"]
+    table_cols = set(
+        spark.read.parquet(actions[0]["path"]).columns) - {"__b"}
+    if set(source.columns) != table_cols:
+        raise ValueError(
+            f"source columns {sorted(source.columns)} != table "
+            f"columns {sorted(table_cols)}")
+    key = F.col(stats_col)
+
+    agg = source.agg(
+        F.min(key).alias("lo"), F.max(key).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(key).alias("nd")).collect()[0]
+    if agg["n"] == 0:
+        return {"version": max(table_versions(path)), "pruned": 0,
+                "untouched": len(actions), "rewritten": 0,
+                "source_rows": 0}
+    if agg["n"] != agg["nd"]:
+        raise ValueError(
+            f"source holds duplicate {stats_col} keys "
+            f"({agg['n']} rows, {agg['nd']} distinct) — upsert is "
+            f"ambiguous; dedupe the source first")
+    lo, hi = int(agg["lo"]), int(agg["hi"])
+
+    scanned, skipped = plan_scan(path, key_min=lo, key_max=hi)
+    matched: list[dict] = []
+    if scanned:
+        cand_df = (spark.read.parquet(*[a["path"] for a in scanned])
+                   .withColumn("__dir", _dir_of_input_file()))
+        hit_dirs = {r["__dir"] for r in
+                    (cand_df.join(source.select(stats_col), stats_col,
+                                  "left_semi")
+                     .select("__dir").distinct().collect())}
+        matched = [a for a in scanned if a["path"] in hit_dirs]
+
+    if matched:
+        survivors = (spark.read
+                     .parquet(*[a["path"] for a in matched])
+                     .drop("__b")
+                     .join(source.select(stats_col), stats_col,
+                           "left_anti"))
+        out = survivors.unionByName(source)
+        mins = [a["min_k"] for a in matched if a["min_k"] is not None]
+        maxs = [a["max_k"] for a in matched if a["max_k"] is not None]
+        lo = min([lo] + mins)
+        hi = max([hi] + maxs)
+    else:
+        out = source                       # pure insert
+    n = len(matched) + 1
+    v = write_version(out, path, _range_bucket(key, lo, hi, n), n,
+                      stats_col, removes=[a["path"] for a in matched],
+                      prefix=prefix, op="merge")
+    n_upd = len(matched)
+    return {"version": v, "pruned": len(skipped),
+            "untouched": len(scanned) - n_upd, "rewritten": n_upd,
+            "source_rows": int(agg["n"])}
+
+
 def vacuum(path: str, retain_versions: int = 2) -> list[str]:
     """Delete data files referenced by NO retained version — the
     storage-reclaim counterpart of OPTIMIZE (Delta VACUUM).  The last

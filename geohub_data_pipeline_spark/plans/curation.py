@@ -1063,3 +1063,58 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_diversity") < 2).alias("violates_l"))
         .filter((F.col("class_size") < 5) | (F.col("l_diversity") < 2))
         .orderBy("qi_bucket", "qi_priority"))
+
+
+_BM25_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dlen FROM tok GROUP BY doc_id),
+n AS (SELECT (SELECT count(*) FROM documents) AS nd,
+             (SELECT count(*) FROM tok) AS tt),
+tf AS (
+  SELECT doc_id, term, count(*) AS tc FROM tok
+  WHERE term IN ('window', 'merge', 'scan') GROUP BY doc_id, term
+),
+dfq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+s AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           round(ln((n.nd - dfq.dfreq + 0.5) / (dfq.dfreq + 0.5) + 1.0),
+                 6)
+           * (tf.tc * 2.2)
+           / (tf.tc + 1.2 * (0.25 + 0.75 * dl.dlen
+                             / (CAST(n.tt AS DOUBLE) / n.nd)))
+           * 1000000.0) AS BIGINT) AS micros
+  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN n
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_terms,
+         CAST(sum(micros) AS BIGINT) AS score_micros
+  FROM s GROUP BY doc_id
+)
+SELECT doc_id, n_terms, score_micros,
+       CAST(row_number() OVER (ORDER BY score_micros DESC, doc_id)
+            AS INTEGER) AS rank
+FROM agg ORDER BY score_micros DESC, doc_id LIMIT 10
+"""
+
+
+@query("text_bm25_topk", "llm",
+       "north star: text retrieval (BM25 query ranking) — top-10 "
+       "documents for a bag-of-words query, Okapi BM25 with the "
+       "Lucene idf variant; per-term scores emitted as integer "
+       "micros so the per-document sum is order-independent and "
+       "bit-identical across engines", _BM25_SQL)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for the query {window, merge, scan} (k1=1.2,
+    b=0.75) over the documents table — the full-text ranking
+    counterpart of text_tfidf_top_terms' per-document salience.
+
+    Scale: only the query terms' postings shuffle (the isin filter
+    sits directly on the exploded tokens); document frequencies come
+    from those postings and broadcast; the top-k is a TakeOrdered.
+    At 100 TB the cost is O(query-term postings), never O(corpus
+    vocabulary)."""
+    t = load_tables(spark, sf_dir)
+    return C.bm25_topk(t.documents, ["window", "merge", "scan"], k=10)

@@ -4207,3 +4207,172 @@ def txlog_describe_history(spark: SparkSession,
 
     path = _build_txlog_table(spark, sf_dir)
     return TX.history(spark, path).orderBy("version")
+
+
+_TXLOG_DELETE_SQL = """
+WITH w AS (
+  SELECT CAST(ceil((max(o_orderkey) + 1) / 4.0) AS BIGINT) AS w
+  FROM orders
+),
+survive AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders, w
+  WHERE NOT (o_orderkey >= w.w AND o_orderkey < 2 * w.w + w.w // 2)
+    AND NOT (o_orderkey % 7 = 3 AND o_orderkey < w.w)
+)
+SELECT CAST(2 AS INTEGER) AS d1_skipped,
+       CAST(1 AS INTEGER) AS d1_dropped,
+       CAST(1 AS INTEGER) AS d1_rewritten,
+       CAST(2 AS INTEGER) AS d2_skipped,
+       CAST(0 AS INTEGER) AS d2_dropped,
+       CAST(1 AS INTEGER) AS d2_rewritten,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM survive
+"""
+
+
+@query("txlog_delete_where", "relational",
+       "lakehouse: row-level DELETE as a copy-on-write log commit "
+       "(Delta DELETE) on a range-bucketed 4-file table — a pure "
+       "key-range delete DROPS the wholly-covered file by log action "
+       "alone (zero I/O), REWRITES only the straddling file's "
+       "survivors, and leaves stats-disjoint files untouched; a "
+       "second predicate delete rewrites exactly the one file whose "
+       "rows can match; the oracle pins all six planner counts and "
+       "the surviving table closed-form", _TXLOG_DELETE_SQL)
+def txlog_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two deletes against a range-bucketed table (width-w files
+    0..3 on o_orderkey):
+
+    1. key range [w, 2w + w/2 - 1]: file 1 lies wholly inside -> a
+       log REMOVE with no read; file 2 straddles -> its survivors
+       rewrite; files 0 and 3 are stats-skipped.
+    2. predicate ``k % 7 = 3`` bounded to [0, w-1]: only file 0 can
+       match (the range prunes file 3 and the rewrite; nothing is
+       droppable because a predicate needs row evaluation).
+
+    Scale: the delete's cost is O(files actually containing matches)
+    + one log entry — a selective delete on a 100 TB table reads and
+    rewrites the handful of overlapping files, never the table.
+    Reference parity: the reference rebuilds whole artifacts on
+    re-ingest (ingest/ingest.py upload replace); row-level delete is
+    the lakehouse-native refinement."""
+    import hashlib
+    import shutil
+
+    from geohub_data_pipeline_spark.operators import txlog as TX
+
+    t = load_tables(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{_TXLOG_BASE}_del_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    o = t.orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    mx = int(o.agg(F.max("o_orderkey")).collect()[0][0])
+    width = (mx + 1 + 3) // 4
+    TX.write_version(
+        o, path, F.least(F.lit(3), (F.col("o_orderkey") / width)
+                         .cast("long")).cast("int"),
+        4, "o_orderkey", prefix="v0")
+
+    d1 = TX.delete_where(spark, path, key_min=width,
+                         key_max=2 * width + width // 2 - 1)
+    d2 = TX.delete_where(spark, path,
+                         predicate=(F.col("o_orderkey") % 7 == 3),
+                         key_min=0, key_max=width - 1)
+    return TX.read_snapshot(spark, path).agg(
+        F.lit(d1["skipped"]).cast("int").alias("d1_skipped"),
+        F.lit(d1["dropped"]).cast("int").alias("d1_dropped"),
+        F.lit(d1["rewritten"]).cast("int").alias("d1_rewritten"),
+        F.lit(d2["skipped"]).cast("int").alias("d2_skipped"),
+        F.lit(d2["dropped"]).cast("int").alias("d2_dropped"),
+        F.lit(d2["rewritten"]).cast("int").alias("d2_rewritten"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("sum_cents"))
+
+
+_TXLOG_MERGE_SQL = """
+WITH w AS (
+  SELECT CAST(ceil((max(o_orderkey) + 1) / 4.0) AS BIGINT) AS w,
+         max(o_orderkey) AS mx
+  FROM orders
+),
+base AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+merged AS (
+  SELECT k, CASE WHEN k >= 3 * w.w AND k % 5 = 0
+                 THEN -cents ELSE cents END AS cents
+  FROM base, w
+  UNION ALL
+  SELECT k + w.mx + 1 AS k, cents + 1 AS cents
+  FROM base, w WHERE k % 9 = 0
+)
+SELECT CAST(3 AS INTEGER) AS pruned,
+       CAST(0 AS INTEGER) AS untouched,
+       CAST(1 AS INTEGER) AS rewritten,
+       CAST(5 AS INTEGER) AS n_files_after,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM merged
+"""
+
+
+@query("txlog_merge_upsert", "relational",
+       "lakehouse: MERGE INTO (upsert) as one copy-on-write commit "
+       "(Delta MERGE) — source key bounds prune 3 of 4 target files "
+       "from log stats alone, one join pass proves which candidate "
+       "files hold matched keys, and ONLY those rewrite (survivors + "
+       "the whole source, range-re-bucketed); the oracle pins the "
+       "planner counts, post-merge file count, and the merged table "
+       "closed-form", _TXLOG_MERGE_SQL)
+def txlog_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert into the range-bucketed 4-file orders table: UPDATE
+    rows (negated cents) for keys in file 3 with ``k % 5 = 0``,
+    INSERT rows shifted past the max key (``k % 9 = 0`` sample,
+    cents + 1).  The source's key bounds start in file 3's range, so
+    files 0-2 are pruned without I/O; file 3 is the only rewrite;
+    inserts land in the new range buckets.
+
+    Scale: MERGE cost is O(touched files + source), never O(table) —
+    the property that makes continuous upserts viable at 100 TB."""
+    import hashlib
+    import shutil
+
+    from geohub_data_pipeline_spark.operators import txlog as TX
+
+    t = load_tables(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{_TXLOG_BASE}_mrg_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    o = t.orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    mx = int(o.agg(F.max("o_orderkey")).collect()[0][0])
+    width = (mx + 1 + 3) // 4
+    TX.write_version(
+        o, path, F.least(F.lit(3), (F.col("o_orderkey") / width)
+                         .cast("long")).cast("int"),
+        4, "o_orderkey", prefix="v0")
+
+    updates = (o.filter((F.col("o_orderkey") >= 3 * width)
+                        & (F.col("o_orderkey") % 5 == 0))
+               .select("o_orderkey", (-F.col("cents")).alias("cents")))
+    inserts = (o.filter(F.col("o_orderkey") % 9 == 0)
+               .select((F.col("o_orderkey") + mx + 1)
+                       .alias("o_orderkey"),
+                       (F.col("cents") + 1).alias("cents")))
+    m = TX.merge_upsert(spark, path, updates.unionByName(inserts))
+    n_after = len(TX.snapshot_actions(path))
+    return TX.read_snapshot(spark, path).agg(
+        F.lit(m["pruned"]).cast("int").alias("pruned"),
+        F.lit(m["untouched"]).cast("int").alias("untouched"),
+        F.lit(m["rewritten"]).cast("int").alias("rewritten"),
+        F.lit(n_after).cast("int").alias("n_files_after"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("sum_cents"))

@@ -336,3 +336,31 @@ def test_profile_key_skew_matches_brute_force(spark):
         [(i, i % 6) for i in range(60)], "row_id long, k long")
     g0 = profile_key_skew(uni, "k", top_k=2).collect()
     assert all(r.gini == 0.0 for r in g0)
+
+
+def test_bm25_topk_hand_computed(spark):
+    """BM25 on a 3-doc corpus matches the hand-derived scores."""
+    import math
+
+    from geohub_data_pipeline_spark.operators.curation import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "dog bird"), (3, "fish fish fish")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           bm25_topk(docs, ["cat", "dog"], k=3).collect()}
+    # N=3, total tokens=8, avgdl=8/3; df(cat)=1, df(dog)=2
+    avgdl = 8 / 3
+    idf_cat = round(math.log((3 - 1 + 0.5) / (1 + 0.5) + 1.0), 6)
+    idf_dog = round(math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0), 6)
+
+    def term(idf, tf, dlen):
+        return round(idf * (tf * 2.2)
+                     / (tf + 1.2 * (0.25 + 0.75 * dlen / avgdl)) * 1e6)
+
+    d1 = term(idf_cat, 2, 3) + term(idf_dog, 1, 3)
+    d2 = term(idf_dog, 1, 2)
+    assert out[1].score_micros == d1 and out[1].n_terms == 2
+    assert out[2].score_micros == d2 and out[2].n_terms == 1
+    assert 3 not in out                    # no query term: unranked
+    assert (out[1].rank, out[2].rank) == (1, 2)

@@ -640,3 +640,41 @@ def test_crs_coverage_probe_is_metadata_sized(spark, sf_dir):
     # probe repartition + agg + final orderBy range exchange (the
     # formatted plan prints each node twice: tree line + detail)
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
+
+
+def test_delete_where_reads_only_touched_files(spark, tmp_path):
+    """A pure key-range DELETE plans NO read at all for wholly-covered
+    files (log-action drop) — the rewrite scan covers only the
+    straddling file's directory."""
+    from pyspark.sql import functions as F
+
+    from geohub_data_pipeline_spark.operators import txlog as TX
+
+    path = str(tmp_path / "t")
+    df = spark.range(100).select(F.col("id").alias("k"),
+                                 (F.col("id") * 3).alias("v"))
+    TX.write_version(df, path, (F.col("k") / 25).cast("int"), 4, "k",
+                     prefix="v0")
+    r = TX.delete_where(spark, path, key_min=25, key_max=60)
+    assert (r["skipped"], r["dropped"], r["rewritten"]) == (2, 1, 1)
+    # the post-delete snapshot holds the 2 untouched v0 files + 1
+    # rewritten file; the dropped file left no new data behind
+    active = {a["path"] for a in TX.snapshot_actions(path)}
+    assert len(active) == 3
+    assert sum(p.endswith(("__b=0", "__b=3")) and "/v0/" in p
+               for p in active) == 2
+
+
+def test_bm25_filters_postings_before_shuffle(spark, sf_dir):
+    """Only the query terms' postings reach the tf aggregation: the
+    isin filter sits UNDER the first Exchange, so scoring cost is
+    O(query-term postings), not O(corpus vocabulary)."""
+    from geohub_data_pipeline_spark.operators import curation as C
+    from geohub_data_pipeline_spark.plans._util import load_tables
+
+    t = load_tables(spark, sf_dir)
+    top = C.bm25_topk(t.documents, ["window", "merge"], k=5)
+    plan = plan_of(top)
+    assert "IN (window,merge)" in plan.replace("'", ""), plan
+    # df-per-term join is broadcast (vocabulary-sized side)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

@@ -465,3 +465,94 @@ def test_commit_entries_are_never_torn(tmp_path):
     finally:
         TX.table_versions = real
     assert sorted(os.listdir(d)) == ["0000000000.json"]
+
+
+@pytest.fixture(scope="module")
+def rng_table(spark, tmp_path_factory):
+    """Range-bucketed 4-file table: keys 0..99, v = 7k."""
+    path = str(tmp_path_factory.mktemp("txrow") / "t")
+    df = spark.range(100).select(F.col("id").alias("k"),
+                                 (F.col("id") * 7).alias("v"))
+    TX.write_version(
+        df, path,
+        F.least(F.lit(3), (F.col("k") / 25).cast("long")).cast("int"),
+        4, "k", prefix="v0")
+    return path
+
+
+def test_delete_where_file_classes(spark, rng_table):
+    """Pure key-range delete: wholly-covered file DROPPED by log
+    action alone, straddler REWRITTEN, stats-disjoint files SKIPPED;
+    the final table equals SQL DELETE semantics."""
+    r = TX.delete_where(spark, rng_table, key_min=25, key_max=60)
+    assert (r["skipped"], r["dropped"], r["rewritten"]) == (2, 1, 1)
+    got = sorted(x.k for x in TX.read_snapshot(spark, rng_table).collect())
+    assert got == [k for k in range(100) if not 25 <= k <= 60]
+    # snapshot isolation: v0 still reads all 100 rows
+    assert TX.read_snapshot(spark, rng_table, version=0).count() == 100
+    # predicate delete: only files containing matches rewrite
+    r2 = TX.delete_where(spark, rng_table,
+                         predicate=(F.col("k") % 10 == 7))
+    assert r2["dropped"] == 0 and r2["rewritten"] >= 1
+    got = sorted(x.k for x in TX.read_snapshot(spark, rng_table).collect())
+    assert got == [k for k in range(100)
+                   if not 25 <= k <= 60 and k % 10 != 7]
+
+
+def test_delete_where_no_matches_and_no_args(spark, tmp_path):
+    path = str(tmp_path / "d0")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    TX.write_version(df, path, F.lit(0), 1, "k", prefix="v0")
+    r = TX.delete_where(spark, path, predicate=(F.col("k") > 1000))
+    assert r["rewritten"] == 0 and r["untouched"] == 1
+    assert TX.read_snapshot(spark, path).count() == 10
+    with pytest.raises(ValueError, match="predicate or key range"):
+        TX.delete_where(spark, path)
+
+
+def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
+    """SQL DELETE keeps rows whose predicate is NULL — a bare ~pred
+    would silently drop them."""
+    path = str(tmp_path / "dn")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "del")], "k long, tag string")
+    TX.write_version(df, path, F.lit(0), 1, "k", prefix="v0")
+    TX.delete_where(spark, path, predicate=(F.col("tag") == "del"))
+    got = sorted(x.k for x in TX.read_snapshot(spark, path).collect())
+    assert got == [1, 2]                   # NULL-tag row survives
+
+
+def test_merge_upsert_prunes_and_inserts(spark, rng_table):
+    """Update keys in one file + insert past the max: stats prune the
+    other files; only the matched file rewrites; history gains a
+    merge op; earlier versions stay intact."""
+    n_before = TX.read_snapshot(spark, rng_table).count()
+    versions_before = TX.table_versions(rng_table)
+    src = spark.createDataFrame(
+        [(80, -1), (85, -1), (200, -2)], "k long, v long")
+    m = TX.merge_upsert(spark, rng_table, src)
+    assert m["rewritten"] == 1 and m["pruned"] >= 1
+    rows = {x.k: x.v for x in TX.read_snapshot(spark, rng_table).collect()}
+    assert rows[80] == -1 and rows[85] == -1 and rows[200] == -2
+    assert rows[99] == 693                 # untouched row intact
+    assert len(rows) == n_before + 1       # one genuinely new key
+    # time travel: the pre-merge version still reads the old values
+    prev = {x.k: x.v for x in TX.read_snapshot(
+        spark, rng_table, version=versions_before[-1]).collect()}
+    assert prev[80] == 560 and 200 not in prev
+
+
+def test_merge_upsert_pure_insert_and_dup_source(spark, tmp_path):
+    path = str(tmp_path / "mi")
+    df = spark.range(10).select(F.col("id").alias("k"),
+                                F.lit(0).cast("long").alias("v"))
+    TX.write_version(df, path, F.lit(0), 1, "k", prefix="v0")
+    src = spark.createDataFrame([(100, 1), (101, 1)], "k long, v long")
+    m = TX.merge_upsert(spark, path, src)
+    assert m["rewritten"] == 0 and m["source_rows"] == 2
+    assert TX.read_snapshot(spark, path).count() == 12
+    with pytest.raises(ValueError, match="duplicate"):
+        TX.merge_upsert(spark, path, src.union(src))
+    with pytest.raises(ValueError, match="columns"):
+        TX.merge_upsert(spark, path,
+                        src.withColumnRenamed("v", "w"))
