@@ -171,7 +171,8 @@ TINY_PARTITION_OVERRIDES = {
 
 
 def run_suite(spark, sf_dir: str, cpus: int, names=None,
-              tiny_partitions: int = 1, tiny_overrides=None):
+              tiny_partitions: int = 1, tiny_overrides=None,
+              warm_passes: int = 1):
     """Run the headline suite (or ``names``) at ``sf_dir``; returns
     (timings(median), iqrs, total, skipped).
 
@@ -231,14 +232,22 @@ def run_suite(spark, sf_dir: str, cpus: int, names=None,
     # Warm-up: JVM JIT, parquet footers, broadcast machinery.  A query
     # failing at execution time is recorded as skipped, not fatal —
     # the suite must still produce a number for the remaining queries.
-    for n, df in list(plans.items()):
-        try:
-            _set_parts(n)
-            df.count()
-        except Exception as ex:
-            print(f"-- {n} failed to execute: {ex}", file=sys.stderr)
-            del plans[n]
-            skipped.append(n)
+    # ``warm_passes`` > 1 for suites whose expression-heavy members
+    # need several executions before C2 finishes compiling the hot
+    # generated code (measured r11 at sf3: dedup_pipeline_verified's
+    # ~240M-md5 verify leg runs 206 -> 90 -> 28 -> 10 -> 7 s across
+    # identical executions on a quiet box — one warm pass leaves the
+    # timed medians measuring the JVM compiler, not the plan; a real
+    # multi-minute job amortizes this tail to nothing).
+    for wp in range(max(1, warm_passes)):
+        for n, df in list(plans.items()):
+            try:
+                _set_parts(n)
+                df.count()
+            except Exception as ex:
+                print(f"-- {n} failed to execute: {ex}", file=sys.stderr)
+                del plans[n]
+                skipped.append(n)
 
     # n>=5 repeats -> MEDIAN per query (+ IQR reported alongside):
     # round-over-round deltas stop needing a bisection debate over
@@ -356,7 +365,8 @@ def main() -> None:
             except Exception:
                 pass
     sf1_result = run_suite(spark, sf1_dir, cpus) if sf1_dir else None
-    sf3_result = run_suite(spark, sf3_dir, cpus) if sf3_dir else None
+    sf3_result = (run_suite(spark, sf3_dir, cpus, warm_passes=3)
+                  if sf3_dir else None)
 
     gate_timings, gate_iqrs, gate_total, gate_skipped = run_suite(
         spark, gate_dir, cpus)
