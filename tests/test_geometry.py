@@ -258,7 +258,12 @@ def test_make_valid_multi_touch_hole_stays_flagged():
     one = [(0.0, 1.0), (1.0, 0.5), (1.5, 1.0), (1.0, 1.5), (0.0, 1.0)]
     buf = G.wkb_polygon([shell, one])
     out, invalid = G.make_valid_wkb(buf)
-    assert invalid is False and out == buf          # valid: untouched
+    assert invalid is False                         # valid: kept
+    p = G.parse_wkb(out)                            # (re-wound/promoted)
+    assert p["roles"] == [True, False]
+    areas = [G._ring_area2(G._pairs(x)) / 2 for x in p["parts"]]
+    assert areas[0] == pytest.approx(4.0)
+    assert areas[1] == pytest.approx(-0.75)         # hole survives, CW
 
     two = [(0.0, 1.0), (1.0, 0.5), (2.0, 1.0), (1.0, 1.5), (0.0, 1.0)]
     buf = G.wkb_polygon([shell, two])
