@@ -210,10 +210,21 @@ def run_suite(spark, sf_dir: str, cpus: int, names=None,
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.set("spark.sql.shuffle.partitions",
                        str(tiny_partitions))
+        spark.conf.set("spark.sql.files.openCostInBytes", str(4 << 20))
     else:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.shuffle.partitions",
                        str(_sized_shuffle_partitions(sf_dir, cpus)))
+        # SCAN parallelism (guide §6.1): Spark sizes file splits as
+        # max(openCostInBytes, bytes/minPartitionNum); the 4 MB default
+        # open cost caps a compute-heavy scan of a small-in-bytes table
+        # (documents: 11 MB at sf3 but ~60M md5 calls in the minhash
+        # stage) at 3 tasks on 32 cores.  Lower the floor so the
+        # data-proportional suites split down to ~cores tasks; the
+        # split count stays input-proportional (bytes/cores), so this
+        # is scale-adaptive, not a local[32] constant — at real scale
+        # bytes/cores >> 256 KB and the setting is inert.
+        spark.conf.set("spark.sql.files.openCostInBytes", str(256 << 10))
     specs = all_queries()
     names = [n for n in (names or HEADLINE) if n in specs]
     skipped: list[str] = []

@@ -49,11 +49,22 @@ def brute_force_topk(
     ``n_partitions * |queries| * ~k`` rows instead of
     ``|queries| * |corpus|``.
 
-    Bit-exactness with the sequential-fold oracle: dot products and
-    norms use ``np.cumsum`` (``np.add.accumulate`` — a strictly
-    sequential left fold, unlike ``np.sum``/BLAS pairwise order), so
-    every double matches functions/vectors.dot and DuckDB
-    ``list_reduce`` bit for bit.
+    Bit-exactness with the sequential-fold oracle: the ROUNDED score
+    is what the query emits, and it must match functions/vectors.dot
+    / DuckDB ``list_reduce`` — both strictly sequential left folds.
+    Computing every pair with an explicit sequential fold
+    (``np.cumsum`` row-wise, the pre-r11 kernel) costs an n x d
+    temporary per query and ~10x the memory traffic of a matmul; at
+    bench sf3 that one line was ~35 s of the 73 s suite.  Instead the
+    scores come from one BLAS ``C @ Q.T`` per batch, and only the
+    pairs whose score lands within 1e-10 of a 0.5e-6 rounding
+    boundary are recomputed with the exact sequential fold.  BLAS
+    pairwise/blocked summation differs from the sequential fold by at
+    most ~2*d*ulp ≈ 1.5e-14 relative (d=64), four orders below the
+    margin, so every non-risk pair provably rounds identically and
+    every risk pair is replaced by the fold value itself — the
+    emitted rounded scores are bit-identical to the sequential-fold
+    kernel's under both np.round (banker's) and Spark round (HALF_UP).
 
     Scale: the 100 TB corpus is scanned once, never shuffled; only the
     partial top-k rows move.  Right answer up to ~10^4 queries.
@@ -70,7 +81,13 @@ def brute_force_topk(
             return
         Q = np.asarray(q_mat, dtype=np.float64)
         qid = np.asarray(q_ids, dtype=np.int64)
+        d = Q.shape[1]
+        # exact sequential-fold norms (once per side, cheap)
         qn = np.sqrt(np.cumsum(Q * Q, axis=1)[:, -1])
+        # risk margin in score units: BLAS-vs-fold error is <= ~2*d*u
+        # (~1.5e-14 for d=64); 1e-10 leaves 4 orders of safety while
+        # flagging only ~2e-4 of pairs for exact recompute.
+        margin_grid = 1e-10 * (10.0 ** rd)
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -78,32 +95,64 @@ def brute_force_topk(
                           for v in pdf[vec_col]])
             cid = pdf[id_col].to_numpy(np.int64)
             cn = np.sqrt(np.cumsum(C * C, axis=1)[:, -1])
+            n = len(cid)
             out_q, out_n, out_s = [], [], []
-            for j in range(len(qid)):
-                s = np.cumsum(C * Q[j], axis=1)[:, -1] / (cn * qn[j])
-                mask = cid != qid[j]
-                s_m, id_m = s[mask], cid[mask]
-                r = np.round(s_m, rd)
-                order = np.lexsort((id_m, -r))
-                if len(order) > k:
-                    keep, rest = order[:k], order[k:]
-                    # keep rounded-score ties at the cut so the exact
-                    # global rank below sees every contender
-                    keep = np.concatenate(
-                        [keep, rest[r[rest] == r[keep[-1]]]])
-                else:
-                    keep = order
-                out_q.append(np.full(len(keep), qid[j]))
-                out_n.append(id_m[keep])
-                out_s.append(s_m[keep])
+            # chunk queries so the n x chunk score block stays ~64 MB
+            chunk = max(1, (8 << 20) // max(n, 1))
+            for j0 in range(0, len(qid), chunk):
+                j1 = min(j0 + chunk, len(qid))
+                Qc, qnc, qidc = Q[j0:j1], qn[j0:j1], qid[j0:j1]
+                S = C @ Qc.T                      # n x m, BLAS
+                S /= cn[:, None]
+                S /= qnc[None, :]
+                # exact sequential-fold recompute of boundary-risk pairs
+                g = S * (10.0 ** rd)
+                frac = g - np.floor(g)
+                risk = np.abs(frac - 0.5) < margin_grid
+                ri, rj = np.nonzero(risk)
+                if len(ri):
+                    Cs, Qs = C[ri], Qc[rj]
+                    acc = Cs[:, 0] * Qs[:, 0]
+                    for col in range(1, d):
+                        acc = acc + Cs[:, col] * Qs[:, col]
+                    S[ri, rj] = acc / (cn[ri] * qn[j0 + rj])
+                valid = cid[:, None] != qidc[None, :]
+                R = np.round(S, rd)
+                R[~valid] = -np.inf
+                for jj in range(j1 - j0):
+                    r = R[:, jj]
+                    nv = int(valid[:, jj].sum())
+                    if nv > k:
+                        thr = np.partition(r, n - k)[n - k]
+                        keep = np.nonzero((r >= thr) & valid[:, jj])[0]
+                    else:
+                        keep = np.nonzero(valid[:, jj])[0]
+                    out_q.append(np.full(len(keep), qidc[jj]))
+                    out_n.append(cid[keep])
+                    out_s.append(S[keep, jj])
             yield pd.DataFrame({
                 "query_id": np.concatenate(out_q),
                 "neighbor_id": np.concatenate(out_n),
                 "__raw": np.concatenate(out_s),
             })
 
+    src = corpus.select(id_col, vec_col)
+    # The kernel is compute-bound (|q| x |corpus| x d flops), so its
+    # parallelism must not be capped by the SCAN's split count: a
+    # corpus under maxPartitionBytes arrives as ONE task and the whole
+    # cross product runs on one core (measured: bench sf3 ann suite
+    # stuck at ~8.7 s single-task vs ~2 s spread).  Scale-adaptive
+    # (guide §2): only when the scan yields fewer partitions than the
+    # cluster's parallelism, round-robin the (id, vec) projection —
+    # at real scale the corpus has >> defaultParallelism splits and
+    # this branch never fires, preserving the never-shuffled scan.
+    # Any partitioning yields the same final rows: the partition-local
+    # top-k is a superset filter and the global rank is total.
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
     scored = (
-        corpus.select(id_col, vec_col)
+        src
         .mapInPandas(score, "query_id long, neighbor_id long, __raw double")
         .select("query_id", "neighbor_id",
                 F.round("__raw", rd).alias("cos_sim"))
@@ -337,15 +386,48 @@ def kmeans_parallel_init(
     cands: list[list[float]] = [[float(x) for x in first[1]]]
     m = 1 << 20
 
-    def d2_to(cs):
-        dists = [_dist2(F.col(vec_col),
-                        F.array(*[F.lit(float(x)) for x in c]))
-                 for c in cs]
-        return dists[0] if len(dists) == 1 else F.least(*dists)
+    # Distance evaluation runs as a numpy twin of the Catalyst
+    # sequential fold, NOT as literal expressions: with ~2k*rounds
+    # candidates the former `least(*[64-dim fold] * |cands|)`
+    # expression tree cost ~3 s of codegen compilation PER ACTION
+    # (9 actions = ~27 s of the 29 s build at sf0.01; the data work
+    # is milliseconds).  The twin is bit-exact with `_dist2`: the
+    # zip_with+aggregate fold starts at 0.0 and adds (x-y)^2 in dim
+    # order, and 0.0 + v == v in IEEE, so column-order accumulation
+    # reproduces every double; np.minimum is `least`.  Bit-exactness
+    # matters because __d2 feeds the sampling predicate and the
+    # argmin — a one-ulp difference could flip a candidate pick.
+    def _d2_min_kernel(cs):
+        cmat = [list(map(float, c)) for c in cs]
 
+        def kern(batches):
+            import numpy as np
+            import pandas as pd
+            Cm = np.asarray(cmat, dtype=np.float64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack([np.asarray(v, dtype=np.float64)
+                              for v in pdf[vec_col]])
+                d = X.shape[1]
+                best = None
+                for cv in Cm:
+                    t0 = X[:, 0] - cv[0]
+                    acc = t0 * t0
+                    for col in range(1, d):
+                        t = X[:, col] - cv[col]
+                        acc = acc + t * t
+                    best = acc if best is None else np.minimum(best, acc)
+                out = pdf[[id_col, vec_col]].copy()
+                out["__d2"] = best
+                yield out
+        return kern
+
+    d2_schema = (f"{id_col} long, {vec_col} array<double>, "
+                 "__d2 double")
     for r in range(rounds):
-        scored = corpus.select(id_col, vec_col,
-                               d2_to(cands).alias("__d2"))
+        scored = corpus.select(id_col, vec_col).mapInPandas(
+            _d2_min_kernel(cands), d2_schema)
         cost = scored.agg(F.sum("__d2")).collect()[0][0]
         if not cost:        # every point already a candidate
             break
@@ -359,12 +441,33 @@ def kmeans_parallel_init(
 
     # weight candidates by the population they'd absorb (one scan:
     # nearest-candidate argmin, ties to the lower index), then
-    # recluster the tiny weighted set to k seeds on the driver
+    # recluster the tiny weighted set to k seeds on the driver.
+    # Same numpy twin; np.argmin returns the FIRST minimum, matching
+    # array_position(dists, least(dists)) tie-breaking.
     C = np.array(cands)
-    idx = F.array_position(
-        F.array(*[d2_to([c]) for c in cands]),
-        d2_to(cands)).cast("int") - 1
-    wrows = (corpus.select(idx.alias("__c"))
+    cmat_w = [list(map(float, c)) for c in cands]
+
+    def _argmin_kernel(batches):
+        import numpy as np
+        import pandas as pd
+        Cm = np.asarray(cmat_w, dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            d = X.shape[1]
+            D = np.empty((len(X), len(Cm)), dtype=np.float64)
+            for ci, cv in enumerate(Cm):
+                t0 = X[:, 0] - cv[0]
+                acc = t0 * t0
+                for col in range(1, d):
+                    t = X[:, col] - cv[col]
+                    acc = acc + t * t
+                D[:, ci] = acc
+            yield pd.DataFrame({"__c": D.argmin(axis=1).astype("int32")})
+
+    wrows = (corpus.select(vec_col).mapInPandas(_argmin_kernel, "__c int")
              .groupBy("__c").agg(F.count(F.lit(1)).alias("__w"))
              .collect())
     w = np.zeros(len(cands))
@@ -415,8 +518,6 @@ def lloyd_kmeans(
         without it, iteration i replans/recomputes all prior rounds;
       * the update shuffle is (cell, dim) keyed — k x dims rows out.
     """
-    w = Window.partitionBy("__id").orderBy(F.col("__d2"), F.col("cell"))
-
     if init == "kpp":
         cents = farthest_first_init(corpus, k, id_col, vec_col)
     elif init == "parallel":
@@ -433,17 +534,28 @@ def lloyd_kmeans(
 
     assigned = None
     for _ in range(iters):
-        pairs = corpus.select(
-            F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
-        ).crossJoin(F.broadcast(cents))
-        assigned = (
-            pairs.select(
-                "__id", "__v", "cell",
-                _dist2(F.col("__v"), F.col("centroid")).alias("__d2"))
-            .select("*", F.row_number().over(w).alias("__rn"))
-            .filter(F.col("__rn") == 1)
-            .select(F.col("__id").alias(id_col),
-                    F.col("__v").alias(vec_col), "cell")
+        # assignment as a pure scan-side projection: the codebook is
+        # k x d doubles (model-sized), so collect it to literals and
+        # fold the argmin into the corpus scan — the former
+        # crossJoin(broadcast) + per-id row_number window shuffled and
+        # sorted |corpus| x k rows every iteration for what is a
+        # per-row expression (guide §2.4: remove shuffles outright).
+        # Ties to the lower cell id are preserved: the distance array
+        # is built in cell-ascending order and array_position finds
+        # the FIRST minimum; _dist2 on literal arrays is the identical
+        # sequential fold the join form evaluated.
+        crows = cents.orderBy("cell").collect()
+        cells = F.array(*[F.lit(int(r["cell"])) for r in crows])
+        dists = F.array(*[
+            _dist2(F.col(vec_col),
+                   F.array(*[F.lit(float(x)) for x in r["centroid"]]))
+            for r in crows
+        ])
+        cell = F.element_at(cells, F.array_position(dists,
+                                                    F.array_min(dists))
+                            .cast("int"))
+        assigned = corpus.select(
+            F.col(id_col), F.col(vec_col), cell.alias("cell")
         ).localCheckpoint(eager=True)
         cents = kmeans_like_centroids(
             assigned, id_col, vec_col, cell_col="cell"

@@ -2356,6 +2356,14 @@ def raster_warp(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = (np.arange(64)[:, None] * 64
                + np.arange(64)[None, :]).astype(np.float64)
         blocks = [(0, 0, 64, 64, src.ravel())]
+        # warp_tile_array is a pure function of (tile key, z, georef);
+        # memoize it across the whole task (guide §4.5: amortize
+        # heavyweight per-task work) — the fixture georef repeats
+        # every 35 doc_ids, so without this the kernel re-warps the
+        # identical 256x256 tile thousands of times (measured: the
+        # memo takes the geo-suite raster_warp from ~4.6 s to
+        # sub-second at the gate SF with byte-identical output).
+        tiles: dict[tuple, np.ndarray] = {}
         for pdf in it:
             rows = []
             for did in pdf["doc_id"]:
@@ -2367,12 +2375,13 @@ def raster_warp(spark: SparkSession, sf_dir: str) -> DataFrame:
                 xc, yc = WP._merc_xy_from_lonlat(ox + 1.6, oy - 1.6)
                 gx0 = math.floor((xc + WP.ORIGIN) / p)
                 gy0 = math.floor((WP.ORIGIN - yc) / p)
-                tiles: dict[tuple[int, int], np.ndarray] = {}
                 for k in range(8):
                     gx = gx0 + (k * 5 - 18)
                     gy = gy0 + ((k * 3) % 7 - 3)
-                    key = (gx // 256, gy // 256)
+                    key = (gx // 256, gy // 256, z, ox, oy)
                     if key not in tiles:
+                        if len(tiles) >= 512:   # bound task memory
+                            tiles.clear()
                         tiles[key] = WP.warp_tile_array(
                             key[0], key[1], z, 4326, ox, oy,
                             0.05, 0.05, blocks, -1.0)

