@@ -141,14 +141,29 @@ def _input_bytes(sf_dir: str) -> int:
     return total
 
 
-def _timed_runs(df, reps: int) -> list[float]:
+def _timed_runs(run_once, reps: int) -> list[float]:
     runs = []
     for _ in range(reps):
         t0 = time.time()
-        df.count()
+        run_once()
         runs.append(time.time() - t0)
     runs.sort()
     return runs
+
+
+# Queries whose BUILDER executes the computation eagerly (driver-side
+# iterative loops materialize their fixpoint state during fn()): under
+# the prepared-statement model the timed action would only read the
+# already-materialized result back — a measurement bug, fixed r11
+# (OPTIMIZATION_r11.md).  These queries are timed as a full
+# rebuild+execute per repetition so every timed run computes from the
+# inputs.  Identified empirically (scripts/probe_eager_build.py: jobs
+# launched during fn() vs first execute) — raster_cost_distance ran
+# 10 fixpoint jobs at build and 0.28 s at "execute".  Model-sized
+# prepare work (ANN query-vector collects, PQ codebook training
+# samples) stays at prepare time: those are bounded parameters of the
+# plan, not the data pass.
+EAGER_BUILD_QUERIES = {"raster_cost_distance"}
 
 
 def _med_iqr(runs: list[float]) -> tuple[float, float]:
@@ -215,27 +230,41 @@ def run_suite(spark, sf_dir: str, cpus: int, names=None,
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.shuffle.partitions",
                        str(_sized_shuffle_partitions(sf_dir, cpus)))
-        # SCAN parallelism (guide §6.1): Spark sizes file splits as
-        # max(openCostInBytes, bytes/minPartitionNum); the 4 MB default
-        # open cost caps a compute-heavy scan of a small-in-bytes table
-        # (documents: 11 MB at sf3 but ~60M md5 calls in the minhash
-        # stage) at 3 tasks on 32 cores.  Lower the floor so the
-        # data-proportional suites split down to ~cores tasks; the
-        # split count stays input-proportional (bytes/cores), so this
-        # is scale-adaptive, not a local[32] constant — at real scale
-        # bytes/cores >> 256 KB and the setting is inert.
-        spark.conf.set("spark.sql.files.openCostInBytes", str(256 << 10))
+        # SCAN split floor: keep the Spark default (4 MB open cost).
+        # r11 briefly lowered it to 256 KB so compute-heavy scans of
+        # small-in-bytes tables split to ~cores tasks, but the
+        # interleaved A/B at sf3 (scripts/probe_opencost.py) measured
+        # the 4 MB floor faster or equal for EVERY headline query —
+        # including the compute-heavy ones the change targeted
+        # (dedup_minhash 2.50 vs 2.69 s, text_fingerprint 0.78 vs
+        # 1.25 s) and up to 5.6x better for the floor-bound ones
+        # (dedup_exact_keep_first 0.67 vs 3.70 s): the extra map
+        # tasks multiply shuffle blocks (M x R, guide §2.2) and task
+        # launches faster than they add useful parallelism here.
+        # Operators that genuinely need pre-kernel parallelism
+        # rebalance themselves (similarity.brute_force_topk).
+        spark.conf.set("spark.sql.files.openCostInBytes", str(4 << 20))
     specs = all_queries()
     names = [n for n in (names or HEADLINE) if n in specs]
     skipped: list[str] = []
 
     # Build each plan ONCE (the prepared-statement model: analysis /
     # optimization happen at prepare time, the timed quantity is plan
-    # EXECUTION — the part that scales with data).
+    # EXECUTION — the part that scales with data).  EAGER_BUILD_QUERIES
+    # are the exception: their fn() IS the computation, so each run —
+    # warm or timed — rebuilds and executes from scratch.
     plans = {}
     for n in names:
         try:
-            plans[n] = specs[n].fn(spark, sf_dir)
+            if n in EAGER_BUILD_QUERIES:
+                def _rebuild(n=n):
+                    specs[n].fn(spark, sf_dir).count()
+                plans[n] = _rebuild
+            else:
+                df = specs[n].fn(spark, sf_dir)
+                def _execute(df=df):
+                    df.count()
+                plans[n] = _execute
         except Exception as ex:
             print(f"-- {n} failed to build: {ex}", file=sys.stderr)
             skipped.append(n)
@@ -251,10 +280,10 @@ def run_suite(spark, sf_dir: str, cpus: int, names=None,
     # timed medians measuring the JVM compiler, not the plan; a real
     # multi-minute job amortizes this tail to nothing).
     for wp in range(max(1, warm_passes)):
-        for n, df in list(plans.items()):
+        for n, run_once in list(plans.items()):
             try:
                 _set_parts(n)
-                df.count()
+                run_once()
             except Exception as ex:
                 print(f"-- {n} failed to execute: {ex}", file=sys.stderr)
                 del plans[n]
@@ -268,9 +297,9 @@ def run_suite(spark, sf_dir: str, cpus: int, names=None,
     timings: dict[str, float] = {}
     iqrs: dict[str, float] = {}
     total = 0.0
-    for n, df in plans.items():
+    for n, run_once in plans.items():
         _set_parts(n)
-        med, iqr = _med_iqr(_timed_runs(df, reps))
+        med, iqr = _med_iqr(_timed_runs(run_once, reps))
         # Dispersion guard (r8 verdict What's-wrong #2): the committed
         # r8 record was captured on a loaded box with per-query IQRs
         # approaching the medians, which made round-over-round
@@ -280,7 +309,7 @@ def run_suite(spark, sf_dir: str, cpus: int, names=None,
         # wide IQR rides along in the sidecar so the reader can see
         # the point is not comparison-grade.
         if reps >= 2 and med > 0 and iqr / med > 0.5:
-            med2, iqr2 = _med_iqr(_timed_runs(df, reps * 2))
+            med2, iqr2 = _med_iqr(_timed_runs(run_once, reps * 2))
             if iqr2 / max(med2, 1e-9) < iqr / med:
                 med, iqr = med2, iqr2
         iqrs[n] = round(iqr, 3)

@@ -77,12 +77,12 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str,
             F.array(*[F.col(f"band{b}") for b in range(n_bands)])
         ).alias("band_idx", "band_hash"),
     )
-    # Cached so the sibling query shapes (candidates-only, full
-    # verify pipeline, cluster closure) that rebuild the identical
-    # band lineage hit the CacheManager instead of recomputing the
-    # shingle->md5 signatures.  Tiny projection: (id, band_idx,
-    # 32-char hash) per doc-band.
-    bands = bands.cache()
+    # NOT cached: every invocation recomputes the shingle->md5
+    # signatures from source.  A .cache() here (removed r11) made
+    # repeat executions of the same plan — including the bench's
+    # timed repetitions — read the signatures back from memory
+    # instead of computing them, so the recorded medians measured
+    # cache reads, not the declared MinHash work.
     # bucket-local pair generation: ONE shuffle (groupBy bucket), then
     # the i<j combinations are a pure Catalyst expression over the
     # sorted id list — no bucket-size side-join, no self-join (which
