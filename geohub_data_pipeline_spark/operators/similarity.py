@@ -308,6 +308,20 @@ def _dist2(a, b):
         F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _cell_dist2_structs(sv, cells: list[list[float]]):
+    """(d2, cell) structs for a subvector against each codebook cell,
+    built as ONE transform over a nested array literal.  The per-cell
+    arithmetic is exactly the unrolled form's (``_dist2`` sequential
+    fold; index = cell id), so an array_sort-argmin over the result is
+    bit-identical — only plan-construction cost changes (a handful of
+    py4j calls instead of k*d Literal round-trips, the dominant cost
+    of building the PQ plans: guide §7.3 driver-side planning)."""
+    return F.transform(
+        F.lit([[float(x) for x in row] for row in cells]),
+        lambda cent, i: F.struct(
+            _dist2(sv, cent).alias("d2"), i.alias("cell")))
+
+
 def farthest_first_init(
     corpus: DataFrame,
     k: int,
@@ -938,23 +952,24 @@ def pq_reconstructed(vec: Column, books: list[list[list[float]]]) -> Column:
     Pure Catalyst expression: per subvector an array_sort over k
     (dist2, cell) structs picks the argmin, mirroring the IVF assign
     tie-break.
+
+    Construction note (r11): the codebook enters the plan as ARRAY
+    LITERALS walked by ``transform`` rather than k unrolled per-cell
+    expression trees — the per-element arithmetic (the ``_dist2``
+    fold, the struct sort, the slice) is identical, so every emitted
+    value is bit-identical, but building the plan costs ~m py4j
+    calls instead of ~m*k*d (measured: ann_pq_reconstructed plan
+    build 7.2 s -> sub-second; the driver was spending the time in
+    Python<->JVM chatter creating thousands of Literal nodes).
     """
     m = len(books)
-    k = len(books[0])
     d = len(books[0][0])
     parts = []
     for s in range(m):
         sv = F.slice(vec, s * d + 1, d)
-        cands = F.array(*[
-            F.struct(
-                _dist2(sv, F.array(*[F.lit(x) for x in books[s][c]]))
-                .alias("d2"),
-                F.lit(c).alias("cell"))
-            for c in range(k)
-        ])
+        cands = _cell_dist2_structs(sv, books[s])
         best = F.array_sort(cands)[0]["cell"]
-        chosen = F.array(*[F.lit(float(x))
-                           for row in books[s] for x in row])
+        chosen = F.lit([float(x) for row in books[s] for x in row])
         # books[s] flattened row-major: centroid c occupies
         # [c*d, (c+1)*d) — slice it back out by the chosen cell
         parts.append(F.slice(chosen, best * d + 1, d))
@@ -1015,18 +1030,13 @@ def pq_codes(vec: Column, books: list[list[list[float]]]) -> Column:
     deployment PERSISTS instead of the float vector: m bytes vs
     dim*8 (32x smaller at m=16 over 64 float64 dims)."""
     m = len(books)
-    k = len(books[0])
     d = len(books[0][0])
     codes = []
     for s in range(m):
         sv = F.slice(vec, s * d + 1, d)
-        cands = F.array(*[
-            F.struct(
-                _dist2(sv, F.array(*[F.lit(x) for x in books[s][c]]))
-                .alias("d2"),
-                F.lit(c).alias("cell"))
-            for c in range(k)
-        ])
+        # literal-array + transform construction (see pq_reconstructed
+        # note): identical per-cell arithmetic, ~k*d fewer py4j calls
+        cands = _cell_dist2_structs(sv, books[s])
         codes.append(F.array_sort(cands)[0]["cell"])
     return F.array(*codes)
 
@@ -1066,8 +1076,10 @@ def adc_topk(
     d = len(books[0][0])
 
     # codebook constant: |centroid|^2 per (subvector, cell), flattened
-    cnorm2 = F.array(*[
-        F.lit(float(sum(x * x for x in books[s][c])))
+    # row-major — ONE array literal (the values are computed in Python
+    # exactly as the former per-cell F.lit unrolling did)
+    cnorm2 = F.lit([
+        float(sum(x * x for x in books[s][c]))
         for s in range(m) for c in range(codebook_k)
     ])
 
@@ -1076,17 +1088,29 @@ def adc_topk(
         pq_codes(F.col(vec_col), books).alias("__code"))
 
     # query-side LUT: dot(query subvector s, centroid c), flattened
-    # row-major like cnorm2 — sequential fold per partial dot
-    def pdot(qsub: Column, cent: list[float]) -> Column:
-        return F.aggregate(
-            F.zip_with(qsub, F.array(*[F.lit(x) for x in cent]),
-                       lambda a, b: a * b),
+    # row-major like cnorm2 — sequential fold per partial dot.
+    # Construction note (r11): the codebooks enter the plan as one
+    # nested ARRAY LITERAL walked by transform/flatten instead of
+    # m*k unrolled pdot trees (each of which round-tripped d Literal
+    # nodes through py4j).  The per-element arithmetic — zip_with
+    # multiply then the sequential aggregate fold, in the same
+    # row-major (s, c) order — is unchanged, so every LUT value is
+    # bit-identical; only driver-side plan-build cost changes
+    # (guide §7.3: ann_pq_adc spent 15-17 s per SF building this
+    # expression tree).
+    def _pdot(qsub):
+        return lambda cent: F.aggregate(
+            F.zip_with(qsub, cent, lambda a, b: a * b),
             F.lit(0.0), lambda acc, x: acc + x)
 
-    lut = F.array(*[
-        pdot(F.slice(F.col(vec_col), s * d + 1, d), books[s][c])
-        for s in range(m) for c in range(codebook_k)
-    ])
+    def _sub_luts(cells, s):
+        qsub = F.slice(F.col(vec_col), s * d + 1, d)
+        return F.transform(cells, _pdot(qsub))
+
+    lut = F.flatten(F.transform(
+        F.lit([[[float(x) for x in c] for c in books[s]]
+               for s in range(m)]),
+        _sub_luts))
     q = corpus.filter(query_filter).select(
         F.col(id_col).alias("query_id"),
         lut.alias("__lut"),
