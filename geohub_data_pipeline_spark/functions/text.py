@@ -28,6 +28,19 @@ def words(text: Column) -> Column:
     return F.split(text, " ")
 
 
+def _let(bound: Column, body) -> Column:
+    """Evaluate ``bound`` once per row and let ``body`` reference it
+    many times: Catalyst has no let-form, so textual repetition of an
+    expression re-evaluates it at every reference site — inside a
+    higher-order-function lambda that means once per ARRAY ELEMENT
+    (split(text) ran ~3x per shingle before this).  Binding the value
+    as the lambda variable of a single-element-array ``transform``
+    makes every reference a free NamedLambdaVariable read.  The value
+    semantics are unchanged: same expression tree, same inputs.
+    """
+    return F.element_at(F.transform(F.array(bound), body), 1)
+
+
 def word_shingles(text: Column,
                   n: int = SHINGLE_WORDS,
                   max_shingles: int = MAX_SHINGLES) -> Column:
@@ -35,15 +48,18 @@ def word_shingles(text: Column,
 
     Returns NULL-safe empty array for texts with < n words.
     """
-    ws = words(text)
-    cnt = F.least(F.size(ws) - (n - 1), F.lit(max_shingles))
-    idx = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(
-        F.array().cast("array<int>"))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            "_", *[F.element_at(ws, (i + k).cast("int")) for k in range(n)]),
-    )
+    def build(ws: Column) -> Column:
+        cnt = F.least(F.size(ws) - (n - 1), F.lit(max_shingles))
+        idx = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(
+            F.array().cast("array<int>"))
+        return F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                "_",
+                *[F.element_at(ws, (i + k).cast("int")) for k in range(n)]),
+        )
+
+    return _let(words(text), build)
 
 
 def minhash(shingles: Column, seed: int) -> Column:
@@ -75,8 +91,6 @@ def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
     bit-pack — all codegen, no shuffle.
     """
     ws = words(text)
-    tok_h = F.transform(
-        ws, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"))
     # Unrolled per-bit majority votes (bits is a small static constant).
     # Dividing a long by 2**b is a binary-exact double op, so the
     # truncating cast is an exact right shift on both engines.
@@ -87,12 +101,21 @@ def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
         return lambda acc, h: acc + F.when(
             ((h / F.lit(pow2)).cast("long") % 2) == 1, 1).otherwise(-1)
 
-    fingerprint = F.lit(0).cast("long")
-    for b in range(bits):
-        vote = F.aggregate(tok_h, F.lit(0), make_vote(b))
-        fingerprint = fingerprint + F.when(
-            vote > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
-    return fingerprint
+    # The per-token hash array feeds every one of the ``bits`` vote
+    # folds — bind it once (_let) instead of recomputing the
+    # md5-per-token transform per bit.
+    def build(tok_h: Column) -> Column:
+        fingerprint = F.lit(0).cast("long")
+        for b in range(bits):
+            vote = F.aggregate(tok_h, F.lit(0), make_vote(b))
+            fingerprint = fingerprint + F.when(
+                vote > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+        return fingerprint
+
+    return _let(
+        F.transform(ws, lambda w: F.conv(
+            F.substring(F.md5(w), 1, 8), 16, 10).cast("long")),
+        build)
 
 
 def token_count_whitespace(text: Column) -> Column:

@@ -40,9 +40,12 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
     per-row scratch that never leaves the expression.
     """
     sh = T.word_shingles(F.col(text_col))
+    # word count >= SHINGLE_WORDS <=> shingle array non-empty; the
+    # cheap predicate avoids re-evaluating the pushed-down shingle
+    # transform per row (same fix as operators/dedup.py).
     base = (
-        docs.select(id_col, sh.alias("__sh"))
-        .filter(F.size("__sh") >= 1)
+        docs.filter(F.size(T.words(F.col(text_col))) >= T.SHINGLE_WORDS)
+        .select(id_col, sh.alias("__sh"))
         .select(
             id_col,
             F.size("__sh").alias("n_shingles"),

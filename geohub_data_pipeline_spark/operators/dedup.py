@@ -46,9 +46,16 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     Docs with fewer than SHINGLE_WORDS words are dropped (no shingle).
     """
     sh = T.word_shingles(F.col(text_col))
-    sig = df.select(
+    # ``size(__sh) >= 1`` is equivalent to ``word count >= n`` (a doc
+    # has a shingle iff it has at least SHINGLE_WORDS words) — but the
+    # former, pushed below the projection, re-evaluates the whole
+    # shingle transform per row just to test emptiness.  Filter on the
+    # cheap word count instead; survivors compute shingles once.
+    sig = df.filter(
+        F.size(T.words(F.col(text_col))) >= T.SHINGLE_WORDS
+    ).select(
         F.col(id_col), sh.alias("__sh")
-    ).filter(F.size("__sh") >= 1).select(
+    ).select(
         id_col,
         *[T.minhash(F.col("__sh"), j).alias(f"mh{j}") for j in range(n_funcs)],
     )

@@ -219,12 +219,15 @@ def streaming_near_dedup_verified(doc_stream: DataFrame,
 
     n_funcs, n_bands = T.MINHASH_FUNCS, T.LSH_BANDS
     sh = T.word_shingles(F.col(text_col))
+    # word count >= SHINGLE_WORDS <=> shingle array non-empty (cheap
+    # filter, no per-row shingle re-evaluation — see operators/dedup.py)
     base = (
-        doc_stream.select(
+        doc_stream.filter(
+            F.size(T.words(F.col(text_col))) >= T.SHINGLE_WORDS)
+        .select(
             F.col(id_col).cast("long").alias("doc_id"),
             F.array_distinct(T.words(F.col(text_col))).alias("toks"),
             sh.alias("__sh"))
-        .filter(F.size("__sh") >= 1)
         .select("doc_id", "toks",
                 *[T.minhash(F.col("__sh"), j).alias(f"mh{j}")
                   for j in range(n_funcs)])
