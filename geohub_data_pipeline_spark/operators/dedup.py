@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from geohub_data_pipeline_spark.functions import text as T
+from geohub_data_pipeline_spark.operators.skew import rebalance_for_compute
 
 
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
@@ -51,8 +52,13 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     # former, pushed below the projection, re-evaluates the whole
     # shingle transform per row just to test emptiness.  Filter on the
     # cheap word count instead; survivors compute shingles once.
-    sig = df.filter(
-        F.size(T.words(F.col(text_col))) >= T.SHINGLE_WORDS
+    # The signature projection (~n_funcs x MAX_SHINGLES md5/doc) is
+    # compute-bound, so its parallelism must not be capped by the
+    # byte-sized scan split count — rebalance when the scan yields
+    # fewer partitions than the cluster (identity at real scale).
+    sig = rebalance_for_compute(
+        df.filter(F.size(T.words(F.col(text_col))) >= T.SHINGLE_WORDS)
+        .select(F.col(id_col), F.col(text_col))
     ).select(
         F.col(id_col), sh.alias("__sh")
     ).select(
@@ -123,6 +129,9 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str,
     """SimHash fingerprint + high/low band split for hamming blocking."""
     half = bits // 2
     fp = T.simhash(F.col(text_col), bits)
+    # per-doc bit-vote folds are compute-bound — don't let a
+    # byte-small scan cap the parallelism (identity at real scale)
+    df = rebalance_for_compute(df.select(id_col, text_col))
     return df.select(
         id_col,
         fp.alias("simhash"),
@@ -147,7 +156,7 @@ def jaccard_for_pairs(df: DataFrame, pairs: DataFrame, text_col: str,
     Pairs with an empty token intersection are dropped (inner-join
     semantics of the exploded formulation this replaces).
     """
-    docs = df.select(
+    docs = rebalance_for_compute(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         F.array_distinct(T.words(F.col(text_col))).alias("__toks"),
     )
@@ -182,7 +191,7 @@ def jaccard_consecutive(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Pairs with an empty intersection are dropped (inner-join
     semantics of the token-level formulation this replaces).
     """
-    docs = df.select(
+    docs = rebalance_for_compute(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         F.array_distinct(T.words(F.col(text_col))).alias("__toks"),
     )
@@ -720,9 +729,9 @@ def sparse_cosine_pairs(docs: DataFrame, id_col: str = "doc_id",
     """
     from geohub_data_pipeline_spark.functions import text as T
 
-    tok = docs.select(F.col(id_col).alias("_id"),
-                      F.explode(T.word_shingles(F.col(text_col)))
-                      .alias("term"))
+    tok = rebalance_for_compute(docs.select(id_col, text_col)).select(
+        F.col(id_col).alias("_id"),
+        F.explode(T.word_shingles(F.col(text_col))).alias("term"))
     c = tok.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tc"))
     dfq = c.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
     kept = (c.join(F.broadcast(dfq.filter(

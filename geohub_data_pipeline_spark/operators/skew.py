@@ -21,6 +21,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def rebalance_for_compute(df: DataFrame) -> DataFrame:
+    """Round-robin ``df`` to ``defaultParallelism`` partitions IF its
+    current plan yields fewer — the scale-adaptive guard for
+    compute-bound projections over byte-small inputs (guide §2/§6.1:
+    scan split count follows *bytes*, so a table under
+    ``files.openCostInBytes`` arrives as ONE task and a compute-heavy
+    expression chain — MinHash's ~400 md5/doc, fingerprint sorts —
+    serializes on one core; measured r11: the sf1 MinHash signature
+    stage 9.2 s on 2 scan tasks vs 1.05 s rebalanced).
+
+    At real scale the input has >= defaultParallelism splits and this
+    is the identity — the branch never fires, no exchange is added.
+    Correct for any consumer whose result is partition-independent
+    (per-row projections, commutative aggregations, joins).
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def salted_join(big: DataFrame, small: DataFrame, key: str,
                 n_salts: int = 8, how: str = "inner",
                 salt_source: str | None = None) -> DataFrame:

@@ -776,9 +776,15 @@ ORDER BY keep_id
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive content fingerprint (sorted token set md5) —
     catches shuffled/reordered duplicates exact hashing misses."""
+    from geohub_data_pipeline_spark.operators.skew import (
+        rebalance_for_compute,
+    )
+
     t = load_tables(spark, sf_dir)
+    # per-doc distinct+sort+md5 is compute-bound: don't let the
+    # byte-small scan cap parallelism (identity at real scale)
     return (
-        t.documents
+        rebalance_for_compute(t.documents.select("doc_id", "text"))
         .select("doc_id", T.normalized_fingerprint(F.col("text"))
                 .alias("fingerprint"))
         .groupBy("fingerprint")
