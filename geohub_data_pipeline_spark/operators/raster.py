@@ -1296,7 +1296,8 @@ def _px_np(v) -> np.ndarray:
 
 def _halo_fixpoint(spark, init_kv, strip_fn, relax_fn,
                    max_rounds: int, num_partitions: int | None = None,
-                   n_blocks: int | None = None):
+                   n_blocks: int | None = None,
+                   px_per_block: int | None = None):
     """Partitioning-preserving iterative halo engine — the state
     store behind ``cost_distance`` and ``flow_accumulation`` (the r6
     judge's last flagged scale debt: the DataFrame loop re-shuffled
@@ -1341,18 +1342,30 @@ def _halo_fixpoint(spark, init_kv, strip_fn, relax_fn,
     if num_partitions:
         P = int(num_partitions)
     else:
-        # cap at defaultParallelism, not 2x: every round is a
-        # synchronous 2-stage job, so task COUNT is the per-round
-        # floor — P=2x parallelism doubled the task launches for
-        # zero extra concurrency (measured on the 1M-px probe:
-        # ~1.1 s/round fixed overhead at P=16 vs ~0.6 at P=8).
         # ``n_blocks`` lets the consumer supply the count from a
         # cheap JVM-side DataFrame count; falling back to counting
         # the RDD materializes the python init chain one extra time
         if n_blocks is None:
             init_kv = init_kv.persist()
             n_blocks = init_kv.count()
-        P = max(1, min(int(n_blocks), sc.defaultParallelism))
+        # Partition count balances two floors (measured r11):
+        # * task-dispatch: every round is a synchronous 2-stage job,
+        #   so with SMALL blocks the ~0.2 s/stage dispatch floor
+        #   dominates and packing several blocks per task wins (the
+        #   2x2-block 64-px gate fixture: P=4 ~0.95 s/round vs P=1
+        #   ~0.75);
+        # * compute: with BIG blocks the numpy relax is the cost and
+        #   packing serializes it (1M-px probe, 16 256-px blocks:
+        #   P=4 rounds 1.5-3.7 s vs P=16 ~0.6-1.1).
+        # Target ~one full-size (256^2 px) block of relax work per
+        # task: blocks_per_task = 65536 / px_per_block, so 256-px
+        # blocks get a task each and 64-px fixture blocks pack 16 to
+        # a task.  At real scale n_blocks >> parallelism and P stays
+        # = defaultParallelism regardless.
+        per_task = (max(1, 65536 // max(1, int(px_per_block)))
+                    if px_per_block else 1)
+        P = max(1, min(-(-int(n_blocks) // per_task),
+                       sc.defaultParallelism))
     # persist() BEFORE localCheckpoint is load-bearing: it sets the
     # python-side is_cached flag, which stops PipelinedRDD from
     # fusing later rounds' lambdas around this RDD with a fresh
@@ -1360,11 +1373,6 @@ def _halo_fixpoint(spark, init_kv, strip_fn, relax_fn,
     # and the checkpoint mark never participates (measured: stage
     # count grows linearly, 300+ stages by round 40)
     state = init_kv.partitionBy(P, _block_partition_func)
-    state.persist()
-    state.localCheckpoint()
-    state.count()                  # materialize + truncate lineage
-    if init_kv.is_cached:
-        init_kv.unpersist()
 
     def merge(pair):
         items, mail = pair
@@ -1395,7 +1403,30 @@ def _halo_fixpoint(spark, init_kv, strip_fn, relax_fn,
             yield k, st
 
     import time as _time
+    # Round 0 fused into the init materialization (r11): every block
+    # starts ``fresh`` and relaxes with an empty mailbox anyway, so
+    # running that first mail-less relax inside the same job that
+    # materializes the partitioned state saves one full synchronous
+    # round (one job + its dispatch floor).  Strips that the old
+    # round 1 delivered from the PRE-relax state now go out in the
+    # next round from the post-relax state instead — the relax
+    # kernels are monotone fixpoint iterations, so the schedule
+    # change cannot alter the fixpoint (oracle + Dijkstra-reference
+    # pytest re-verified).
+    t0 = _time.time()
+    state = state.mapPartitions(
+        lambda it: merge((list(it), [])), True)
+    state.persist()
+    state.localCheckpoint()
+    n_changed = state.filter(lambda kv: kv[1]["changed"]).count()
+    if init_kv.is_cached:
+        init_kv.unpersist()
+    if os.environ.get("SPARK_GRAFT_HALO_DEBUG"):
+        print(f"[halo] round0 changed={n_changed} "
+              f"wall={_time.time() - t0:.2f}s", flush=True)
     for _ in range(int(max_rounds)):
+        if not n_changed:
+            break
         t0 = _time.time()
         strips = (state.flatMap(
             lambda kv: strip_fn(kv[0], kv[1]) if kv[1]["changed"]
@@ -1539,8 +1570,11 @@ def cost_distance(blocks: DataFrame, sources: DataFrame,
                 "capped": not conv}
 
     spark = blocks.sparkSession
+    _meta = lvl0.agg(F.count(F.lit(1)),
+                     F.max(F.col("width") * F.col("height"))).first()
     final = _halo_fixpoint(spark, init_kv, strip_fn, relax_fn,
-                           max_rounds, n_blocks=lvl0.count())
+                           max_rounds, n_blocks=_meta[0] or 0,
+                           px_per_block=_meta[1])
 
     def to_row(kv):
         (ds, sub, band, bx, by), st = kv
@@ -1699,9 +1733,12 @@ def flow_accumulation(dirs: DataFrame, max_rounds: int = 128,
                 "capped": not conv}
 
     spark = dirs.sparkSession
+    _meta = lvl0.agg(F.count(F.lit(1)),
+                     F.max(F.col("width") * F.col("height"))).first()
     final = _halo_fixpoint(spark, _pack_pixels(lvl0).rdd.map(to_kv),
                            strip_fn, relax_fn, max_rounds,
-                           n_blocks=lvl0.count())
+                           n_blocks=_meta[0] or 0,
+                           px_per_block=_meta[1])
 
     def to_row(kv):
         (ds, sub, band, bx, by), st = kv
@@ -1983,9 +2020,12 @@ def basin_labels(dirs: DataFrame, max_rounds: int = 128,
                 "srid": st["srid"], "changed": chg}
 
     spark = dirs.sparkSession
+    _meta = lvl0.agg(F.count(F.lit(1)),
+                     F.max(F.col("width") * F.col("height"))).first()
     final = _halo_fixpoint(spark, _pack_pixels(lvl0).rdd.map(to_kv),
                            strip_fn, relax_fn, max_rounds,
-                           n_blocks=lvl0.count())
+                           n_blocks=_meta[0] or 0,
+                           px_per_block=_meta[1])
 
     def to_row(kv):
         (ds, sub, band, bx, by), st = kv
@@ -2147,9 +2187,12 @@ def clump_labels(blocks: DataFrame, diagonal: bool = False,
                 "halo": halo, "srid": st["srid"], "changed": chg}
 
     spark = blocks.sparkSession
+    _meta = lvl0.agg(F.count(F.lit(1)),
+                     F.max(F.col("width") * F.col("height"))).first()
     final = _halo_fixpoint(spark, _pack_pixels(lvl0).rdd.map(to_kv),
                            strip_fn, relax_fn, max_rounds,
-                           n_blocks=lvl0.count())
+                           n_blocks=_meta[0] or 0,
+                           px_per_block=_meta[1])
 
     def to_row(kv):
         (ds, sub, band, bx, by), st = kv
