@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from geohub_data_pipeline_spark.localdata import local_df
+
 
 def bfs_hops(edges: DataFrame, source: int, src: str = "src",
              dst: str = "dst", max_hops: int = 20) -> DataFrame:
@@ -59,8 +61,8 @@ def bfs_hops(edges: DataFrame, source: int, src: str = "src",
          .filter(F.col("s") != F.col("t"))
          .distinct()
          .localCheckpoint())
-    visited = (e.sparkSession
-               .createDataFrame([(int(source), 0)], "node long, hop int")
+    visited = (local_df(e.sparkSession, [(int(source), 0)],
+                        "node long, hop int")
                .localCheckpoint())
     frontier = visited
     converged = False
@@ -297,8 +299,8 @@ def sssp_bellman_ford(edges: DataFrame, source: int,
          .filter(F.col("u") != F.col("v"))
          .groupBy("u", "v").agg(F.min("w").alias("w"))
          .localCheckpoint())
-    dist = (e.sparkSession
-            .createDataFrame([(int(source), 0)], "node long, dist long")
+    dist = (local_df(e.sparkSession, [(int(source), 0)],
+                     "node long, dist long")
             .localCheckpoint())
     converged = False
     for _ in range(max_rounds):

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from geohub_data_pipeline_spark.localdata import local_df
+
 
 def scd2_merge(current: DataFrame, updates: DataFrame, key: str,
                attrs: list[str], batch: int,
@@ -172,7 +174,7 @@ def quality_checks(df: DataFrame, *, not_null: list[str] = (),
                   "__k", "left_anti")
             .count())
         out.append((f"fk:{c}->{dim_key}", int(orphans)))
-    return (spark.createDataFrame(
+    return (local_df(spark, 
         [(n, v, v == 0) for n, v in out],
         "check_name string, violations long, passed boolean"))
 

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from geohub_data_pipeline_spark.functions import vectors as V
+from geohub_data_pipeline_spark.localdata import local_df
 
 
 def with_norm(df: DataFrame, vec_col: str = "vec") -> DataFrame:
@@ -361,7 +362,8 @@ def farthest_first_init(
                .limit(1).collect()[0])
         seeds.append(list(nxt[1]))
     spark = corpus.sparkSession
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(i, [float(x) for x in s]) for i, s in enumerate(seeds)],
         "cell int, centroid array<double>")
 
@@ -500,7 +502,8 @@ def kmeans_parallel_init(
             if w[a == c].sum() > 0:
                 S[c] = (C[a == c] * w[a == c, None]).sum(0) / w[a == c].sum()
     spark = corpus.sparkSession
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(i, [float(x) for x in s]) for i, s in enumerate(S)],
         "cell int, centroid array<double>")
 

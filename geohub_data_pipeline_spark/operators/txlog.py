@@ -43,6 +43,8 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from geohub_data_pipeline_spark.localdata import local_df
+
 _LOG_FMT = "{:010d}.json"
 
 
@@ -728,8 +730,8 @@ def attach_blooms(spark: SparkSession, path: str,
             F.regexp_replace(F.input_file_name(), r"^file://", ""),
             r"^(.*)/[^/]+$", 1).alias("fdir"))
     # per-file m as a broadcast lookup (file-count-sized)
-    mdf = F.broadcast(spark.createDataFrame(
-        [(p, m) for p, m in m_of.items()], "fdir string, m long"))
+    mdf = F.broadcast(local_df(
+        spark, [(p, m) for p, m in m_of.items()], "fdir string, m long"))
     probed = (scan.join(mdf, "fdir")
               .select("fdir", F.explode(F.array(*[
                   F.pmod(F.xxhash64(F.col("k"), F.lit(s)), F.col("m"))
@@ -814,6 +816,6 @@ def history(spark: SparkSession, path: str) -> DataFrame:
                 elif "remove" in action:
                     n_rem += 1
         rows.append((v, op, n_add, n_rem, rows_added))
-    return spark.createDataFrame(
-        rows, "version int, op string, n_adds int, n_removes int, "
-              "rows_added long")
+    return local_df(
+        spark, rows, "version int, op string, n_adds int, n_removes int, "
+                     "rows_added long")

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geohub_data_pipeline_spark.plans.registry import query
+from geohub_data_pipeline_spark.localdata import local_df
 from geohub_data_pipeline_spark.plans._util import load_tables
 from geohub_data_pipeline_spark.functions import text as T
 from geohub_data_pipeline_spark.functions import vectors as V
@@ -1418,7 +1419,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     merges = TK.bpe_train(t.documents, n_merges=24)
-    out = spark.createDataFrame(
+    out = local_df(spark, 
         [(i, l, r) for i, (l, r) in enumerate(merges)],
         "rank long, left string, right string")
     return _parquet_roundtrip(out, "bpe_merges").orderBy("rank")
@@ -1537,7 +1538,7 @@ def bpe_train_tiers_agree(spark: SparkSession,
     rows = [(i, bool(i < len(dist) and i < len(exact)
                      and exact[i] == dist[i]))
             for i in range(16)]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "rank long, tiers_agree boolean").orderBy("rank")
 
 
@@ -1619,7 +1620,7 @@ def unigram_train_invariants(spark: SparkSession,
             ("ll_monotone", bool(ll_ok)),
             ("vocab_bounded", bool(vocab_ok)),
             ("tokens_le_chars", bad == 0)]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "check_name string, ok boolean").orderBy("check_name")
 
 
@@ -2244,7 +2245,7 @@ def wordpiece_vocab_invariants(spark: SparkSession,
             ("derivable_pieces", bool(derivable_pieces)),
             ("encode_no_unk", bool(encode_no_unk)),
             ("size_bound", bool(size_bound))]
-    return (spark.createDataFrame(rows, "invariant string, holds boolean")
+    return (local_df(spark, rows, "invariant string, holds boolean")
             .orderBy("invariant"))
 
 

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from geohub_data_pipeline_spark.plans.registry import query
+from geohub_data_pipeline_spark.localdata import local_df
 from geohub_data_pipeline_spark.plans._util import davg, davg_sql, dsum, dsum_sql, load_tables
 from geohub_data_pipeline_spark.functions import paths as P
 from geohub_data_pipeline_spark.functions import tiles as TL
@@ -2956,7 +2957,7 @@ def spatial_join_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ring = [(cx + r, cy), (cx, cy + r), (cx - r, cy),
                 (cx, cy - r), (cx + r, cy)]
         polys.append((pid, G.wkb_polygon([ring])))
-    polygons = spark.createDataFrame(
+    polygons = local_df(spark, 
         polys, "poly_id long, geometry binary")
     out = SP.points_in_polygons(points, polygons, zoom=6)
     return out.select(F.col("point_id").alias("doc_id"), "poly_id")
@@ -3022,12 +3023,12 @@ def zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows.append(("dem", None, 1, 0, bx // BLOCK, by // BLOCK,
                          int(tile.shape[1]), int(tile.shape[0]),
                          [float(v) for v in tile.ravel()], None, 4326))
-    blocks = spark.createDataFrame(
+    blocks = local_df(spark, 
         rows, "dataset string, subdataset string, band int, "
               "level int, block_x int, block_y int, width int, "
               "height int, pixels array<double>, nodata double, "
               "srid int")
-    georef = spark.createDataFrame(
+    georef = local_df(spark, 
         [("dem", -15.0, 15.0, 0.1, 0.1, 4326)],
         "dataset string, origin_x double, origin_y double, "
         "pixel_sx double, pixel_sy double, georef_srid int")
@@ -3038,7 +3039,7 @@ def zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ring = [(cx + r, cy), (cx, cy + r), (cx - r, cy),
                 (cx, cy - r), (cx + r, cy)]
         polys.append((pid, G.wkb_polygon([ring])))
-    polygons = spark.createDataFrame(
+    polygons = local_df(spark, 
         polys, "poly_id long, geometry binary")
     return SP.zonal_stats(blocks, georef, polygons)
 
@@ -3081,7 +3082,7 @@ def raster_band_math(spark: SparkSession, sf_dir: str) -> DataFrame:
            for r in range(n) for c in range(n)]
     red = [float((2 * r + c) % 80 + 10)
            for r in range(n) for c in range(n)]
-    blocks = spark.createDataFrame(
+    blocks = local_df(spark, 
         [("s2", None, 1, 0, 0, 0, n, n, nir, None, 4326),
          ("s2", None, 2, 0, 0, 0, n, n, red, None, 4326)],
         "dataset string, subdataset string, band int, level int, "
@@ -3137,7 +3138,7 @@ def _demo_dem_blocks(spark: SparkSession):
             tile = arr[by:by + b, bx:bx + b]
             rows.append(("dem", None, 1, 0, bx // b, by // b, b, b,
                          tile.ravel().tolist(), None, 4326))
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "dataset string, subdataset string, band int, "
               "level int, block_x int, block_y int, width int, "
               "height int, pixels array<double>, nodata double, "
@@ -3905,7 +3906,7 @@ def raster_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
                "level int, block_x int, block_y int, width int, "
                "height int, pixels array<double>, nodata double, "
                "srid int")
-    georef = spark.createDataFrame(
+    georef = local_df(spark, 
         [("dem", -15.0, 15.0, 0.1, 0.1, 4326)],
         "dataset string, origin_x double, origin_y double, "
         "pixel_sx double, pixel_sy double, srid int")
@@ -3982,7 +3983,7 @@ def raster_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
                "level int, block_x int, block_y int, width int, "
                "height int, pixels array<double>, nodata double, "
                "srid int")
-    georef = spark.createDataFrame(
+    georef = local_df(spark, 
         [("dem", -15.0, 15.0, 0.1, 0.1, 4326)],
         "dataset string, origin_x double, origin_y double, "
         "pixel_sx double, pixel_sy double, srid int")
@@ -4166,7 +4167,7 @@ def spatial_join_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
         ring = [(cx + r, cy), (cx, cy + r), (cx - r, cy),
                 (cx, cy - r), (cx + r, cy)]
         polys.append((pid, G.wkb_polygon([ring])))
-    a = spark.createDataFrame(polys, "a_id long, geometry binary")
+    a = local_df(spark, polys, "a_id long, geometry binary")
     return (SP.polygons_intersect_join(a, b, zoom=5)
             .orderBy("a_id", "b_id"))
 
@@ -4747,7 +4748,7 @@ def raster_resample_bilinear(spark: SparkSession,
                 "srid"])
 
     blocks = spark.range(4).mapInPandas(build, R.BLOCK_SCHEMA)
-    georef = spark.createDataFrame(
+    georef = local_df(spark, 
         [("dem", 0.0, 32.0, 0.25, 0.25, 4326)],
         "dataset string, origin_x double, origin_y double, "
         "pixel_sx double, pixel_sy double, georef_srid int")
@@ -4820,12 +4821,12 @@ def zonal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                          int(tile.shape[1]), int(tile.shape[0]),
                          [float(v) for v in tile.ravel()], None,
                          4326))
-    blocks = spark.createDataFrame(
+    blocks = local_df(spark, 
         rows, "dataset string, subdataset string, band int, "
               "level int, block_x int, block_y int, width int, "
               "height int, pixels array<double>, nodata double, "
               "srid int")
-    georef = spark.createDataFrame(
+    georef = local_df(spark, 
         [("dem", -15.0, 15.0, 0.1, 0.1, 4326)],
         "dataset string, origin_x double, origin_y double, "
         "pixel_sx double, pixel_sy double, georef_srid int")
@@ -4836,7 +4837,7 @@ def zonal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ring = [(cx + r, cy), (cx, cy + r), (cx - r, cy),
                 (cx, cy - r), (cx + r, cy)]
         polys.append((pid, G.wkb_polygon([ring])))
-    zones = spark.createDataFrame(polys, "poly_id long, "
+    zones = local_df(spark, polys, "poly_id long, "
                                          "geometry binary")
     classed = R.reclassify(
         blocks, [200.0, 400.0, 600.0, 800.0],
@@ -4915,12 +4916,12 @@ def raster_point_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows.append(("dem", None, 1, 0, bx // BLOCK, by // BLOCK,
                          int(tile.shape[1]), int(tile.shape[0]),
                          [float(v) for v in tile.ravel()], None, 4326))
-    blocks = spark.createDataFrame(
+    blocks = local_df(spark, 
         rows, "dataset string, subdataset string, band int, "
               "level int, block_x int, block_y int, width int, "
               "height int, pixels array<double>, nodata double, "
               "srid int")
-    georef = spark.createDataFrame(
+    georef = local_df(spark, 
         [("dem", -15.0, 15.0, 0.1, 0.1, 4326)],
         "dataset string, origin_x double, origin_y double, "
         "pixel_sx double, pixel_sy double, georef_srid int")
@@ -5034,7 +5035,7 @@ def vector_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (cx, cy - r), (cx + r, cy)]
         polys.append((pid, G.wkb_polygon([ring]),
                       float(pid * 10 + 5)))
-    polygons = spark.createDataFrame(
+    polygons = local_df(spark, 
         polys, "poly_id long, geometry binary, burn double")
     blocks = SP.rasterize(polygons, -15.0, 15.0, 0.1, 0.1,
                           300, 300, burn_col="burn")
@@ -5085,12 +5086,12 @@ def raster_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         for bx in range(0, n, b):
             rows.append(("d", None, 1, 0, bx // b, by // b, b, b,
                          [1.0] * (b * b), None, 4326))
-    blocks = spark.createDataFrame(
+    blocks = local_df(spark, 
         rows, "dataset string, subdataset string, band int, "
               "level int, block_x int, block_y int, width int, "
               "height int, pixels array<double>, nodata double, "
               "srid int")
-    sources = spark.createDataFrame([(40, 60), (100, 10)],
+    sources = local_df(spark, [(40, 60), (100, 10)],
                                     "row long, col long")
     out = R.cost_distance(blocks, sources, diagonal=False, block=b)
     return _flatten_pixels(out, b, "dist")
@@ -5203,7 +5204,7 @@ def raster_flow_accumulation(spark: SparkSession,
             t = arr[by:by + b, bx:bx + b]
             rows.append(("d", None, 1, 0, bx // b, by // b, b, b,
                          [float(v) for v in t.ravel()], None, 4326))
-    blocks = spark.createDataFrame(
+    blocks = local_df(spark, 
         rows, "dataset string, subdataset string, band int, "
               "level int, block_x int, block_y int, width int, "
               "height int, pixels array<double>, nodata double, "
@@ -5266,7 +5267,7 @@ def raster_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                          int(tile.shape[1]), int(tile.shape[0]),
                          [float(v) for v in tile.ravel()], None,
                          4326))
-    blocks = spark.createDataFrame(
+    blocks = local_df(spark, 
         rows, "dataset string, subdataset string, band int, "
               "level int, block_x int, block_y int, width int, "
               "height int, pixels array<double>, nodata double, "
@@ -6168,7 +6169,7 @@ def raster_basin_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             t = dirs[by:by + b, bx:bx + b]
             rows.append(("d8", None, 1, 0, bx // b, by // b, b, b,
                          t.ravel().tolist(), None, 4326))
-    blocks = spark.createDataFrame(rows, R.BLOCK_SCHEMA)
+    blocks = local_df(spark, rows, R.BLOCK_SCHEMA)
     return _flatten_pixels(R.basin_labels(blocks, block=b), b,
                            "basin").orderBy("row", "col")
 
@@ -6215,7 +6216,7 @@ def raster_clump_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             t = val[by:by + b, bx:bx + b]
             rows.append(("cl", None, 1, 0, bx // b, by // b, b, b,
                          t.ravel().tolist(), None, 4326))
-    blocks = spark.createDataFrame(rows, R.BLOCK_SCHEMA)
+    blocks = local_df(spark, rows, R.BLOCK_SCHEMA)
     return _flatten_pixels(R.clump_labels(blocks, block=b), b,
                            "clump").orderBy("row", "col")
 
@@ -6259,7 +6260,7 @@ def raster_sieve(spark: SparkSession, sf_dir: str) -> DataFrame:
             t = val[by:by + b, bx:bx + b]
             rows.append(("sv", None, 1, 0, bx // b, by // b, b, b,
                          t.ravel().tolist(), None, 4326))
-    blocks = spark.createDataFrame(rows, R.BLOCK_SCHEMA)
+    blocks = local_df(spark, rows, R.BLOCK_SCHEMA)
     return _flatten_pixels(R.sieve_filter(blocks, min_size=5,
                                           block=b), b,
                            "v").orderBy("row", "col")
@@ -6378,7 +6379,7 @@ def raster_stream_network(spark: SparkSession,
             t = dem[by:by + b, bx:bx + b]
             rows.append(("dem", None, 1, 0, bx // b, by // b, b, b,
                          t.ravel().tolist(), None, 4326))
-    blocks = spark.createDataFrame(rows, R.BLOCK_SCHEMA)
+    blocks = local_df(spark, rows, R.BLOCK_SCHEMA)
     dirs = R.flow_direction(blocks, border="clamp")
     acc = R.flow_accumulation(dirs, block=b)
 
@@ -6804,7 +6805,7 @@ def crs_coverage_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ship_package(spark)
     codes = _coverage_probe_codes()
-    base = spark.createDataFrame(
+    base = local_df(spark, 
         [(c,) for c in codes], "srid int").repartition(8)
 
     def probe(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from geohub_data_pipeline_spark.plans.registry import query
+from geohub_data_pipeline_spark.localdata import local_df
 from geohub_data_pipeline_spark.plans._util import (
     davg,
     davg_sql,
@@ -303,7 +304,7 @@ def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     BNLJ operator: ``operators/rangejoin.range_join_general``.
     """
     t = load_tables(spark, sf_dir)
-    buckets = spark.createDataFrame(
+    buckets = local_df(spark, 
         [(i, float(i * 5), float((i + 1) * 5)) for i in range(10)],
         "bucket_id INT, lo DOUBLE, hi DOUBLE",
     )
@@ -2683,7 +2684,7 @@ def agg_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         err = abs(int(ranks[f"r_{i}"]) - q * n)
         rows.append((float(q), bool(err <= 0.02 * n),
                      bool(n_sketch == n)))
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "q double, rank_ok boolean, n_ok boolean").orderBy("q")
 
 
@@ -3131,7 +3132,7 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
                else 0.06 * exact[op])
         rows.append((op, exact[op],
                      bool(abs(ests[op] - exact[op]) <= tol)))
-    return (spark.createDataFrame(
+    return (local_df(spark, 
         rows, "set_op string, exact_cnt long, within_tol boolean")
         .orderBy("set_op"))
 
@@ -3351,7 +3352,7 @@ def join_cardinality_estimate_q(spark: SparkSession,
     exact = int(ca.join(cb, "k")
                 .agg(F.sum(F.col("c") * F.col("c2")).alias("s"))
                 .collect()[0]["s"])
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(exact, bool(abs(est - exact) <= 0.08 * exact))],
         "exact_rows long, within_tol boolean")
 
@@ -3775,7 +3776,7 @@ def agg_benford_first_digit(spark: SparkSession,
     exp_rows = [("1", 301030), ("2", 176091), ("3", 124939),
                 ("4", 96910), ("5", 79181), ("6", 66947),
                 ("7", 57992), ("8", 51153), ("9", 45757)]
-    exp_t = spark.createDataFrame(
+    exp_t = local_df(spark, 
         exp_rows, "digit string, expected_ppm long")
     return (exp_t.join(c, "digit", "left")
             .crossJoin(F.broadcast(n))
@@ -4082,7 +4083,7 @@ def txlog_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix="v1", op="optimize")
     after = probe("2_zordered")
 
-    return spark.createDataFrame(
+    return local_df(spark, 
         [before, after],
         "phase string, n_files int, n_files_scanned int, "
         "n_files_skipped int, n_rows long, id_checksum long"
