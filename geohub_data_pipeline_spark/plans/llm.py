@@ -81,13 +81,24 @@ n AS (
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + every-97th re-injected duplicate, in ONE scan.
+
+    r11: was Union(scan, scan+filter) — the duplicate branch's modulo
+    predicate cannot push into parquet, so every corpus consumer read
+    the full documents table TWICE.  One scan with a per-row explode
+    (1 or 2 ids per row) emits the identical row multiset at half the
+    input I/O (guide §1.2: remove unnecessary passes) — at 100 TB the
+    corpus read is the dominant I/O of the whole dedup family.
+    """
     t = load_tables(spark, sf_dir)
-    docs = t.documents.select("doc_id", "text")
-    dups = (
-        docs.filter(F.col("doc_id") % DUP_EVERY == 0)
-        .select((F.col("doc_id") + DUP_OFFSET).alias("doc_id"), "text")
+    return t.documents.select(
+        F.explode(
+            F.when(F.col("doc_id") % DUP_EVERY == 0,
+                   F.array(F.col("doc_id"), F.col("doc_id") + DUP_OFFSET))
+            .otherwise(F.array(F.col("doc_id")))
+        ).alias("doc_id"),
+        "text",
     )
-    return docs.unionByName(dups)
 
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:

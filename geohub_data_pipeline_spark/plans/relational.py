@@ -393,12 +393,29 @@ ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
 
 @query("agg_cube", "relational", "§2.5 aggregation (cube)", _AGG_CUBE_SQL)
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over two dimensions (all 4 grouping sets)."""
+    """CUBE over two dimensions (all 4 grouping sets).
+
+    r11: pre-aggregate to the base (flag, status) group, then CUBE the
+    tiny aggregate — Spark's native cube Expands every input row x4
+    BEFORE the partial aggregate (plans/r11/agg_cube_before.txt), so
+    the 100 TB side pays 4x the hash-agg probes and decimal casts for
+    states that merge to the same 4 x |groups| rows anyway (guide
+    §2.3: aggregate before you shuffle).  count/sum are associative,
+    so re-aggregating the base partials is exact: sum of decimal
+    partials is the same decimal, count rolls up as a long sum —
+    bit-identical output.  The second exchange this adds carries
+    |groups| rows (6 here), nothing at any scale.
+    """
     t = load_tables(spark, sf_dir)
+    base = (
+        t.lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("__n"),
+             F.sum(F.col("l_quantity").cast("decimal(30,4)")).alias("__s"))
+    )
     return (
-        t.lineitem.cube("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("n_rows"),
-             dsum(F.col("l_quantity")).alias("sum_qty"))
+        base.cube("l_returnflag", "l_linestatus")
+        .agg(F.sum("__n").alias("n_rows"),
+             F.sum("__s").cast("double").alias("sum_qty"))
     )
 
 
@@ -466,25 +483,46 @@ ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 def agg_grouping_sets_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS ((status), (priority)) — both marginals in ONE
     scan and one shuffle (the expand operator tags each row per set),
-    where two separate groupBys would scan and shuffle twice."""
+    where two separate groupBys would scan and shuffle twice.
+
+    r11: base-aggregate to (status, priority) first, run the grouping
+    sets over the tiny partial (guide §2.3; see agg_cube) — the Expand
+    x2 then multiplies |groups| rows, not |orders| rows.
+    """
     t = load_tables(spark, sf_dir)
+    base = (
+        t.orders.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("__n"),
+             F.sum(F.col("o_totalprice").cast("decimal(30,4)")).alias("__s"))
+    )
     return (
-        t.orders.groupingSets(
+        base.groupingSets(
             [["o_orderstatus"], ["o_orderpriority"]],
             "o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_orders"),
-             dsum(F.col("o_totalprice")).alias("total_price"))
+        .agg(F.sum("__n").alias("n_orders"),
+             F.sum("__s").cast("double").alias("total_price"))
     )
 
 
 @query("agg_rollup", "relational", "§2.5 aggregation (rollup)", _AGG_ROLLUP_SQL)
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy status -> priority -> grand total."""
+    """ROLLUP hierarchy status -> priority -> grand total.
+
+    r11: base-aggregate first, ROLLUP the tiny partial (same move as
+    agg_cube, guide §2.3) — the native rollup Expands every input row
+    x3 before its partial aggregate; count/decimal-sum re-aggregate
+    exactly.
+    """
     t = load_tables(spark, sf_dir)
+    base = (
+        t.orders.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("__n"),
+             F.sum(F.col("o_totalprice").cast("decimal(30,4)")).alias("__s"))
+    )
     return (
-        t.orders.rollup("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_orders"),
-             dsum(F.col("o_totalprice")).alias("total_price"))
+        base.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.sum("__n").alias("n_orders"),
+             F.sum("__s").cast("double").alias("total_price"))
     )
 
 
@@ -728,13 +766,27 @@ SELECT k FROM (
 
 @query("set_except", "relational", "§2.5 set ops (except)", _SET_EXCEPT_SQL)
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parts never returned in bulk (EXCEPT DISTINCT semantics)."""
+    """Parts never returned in bulk (EXCEPT DISTINCT semantics).
+
+    r11: both EXCEPT branches read the SAME table, so the
+    ``a.subtract(b)`` plan (two full scans of lineitem + a left-anti
+    join over two exchanges) collapses to one scan + one keyed
+    aggregation (guide §2.4, the set_intersect move): a partkey
+    survives EXCEPT iff no row of it matches the bulk-return filter.
+    Map-side partial aggregation reduces the exchange to distinct
+    partkeys; NULL partkeys group together, matching EXCEPT's
+    null-equality.  The coalesce guards the all-NULL-condition group
+    (max of an empty/NULL vote is NULL, which must read as "never
+    returned", not "drop the key").
+    """
     t = load_tables(spark, sf_dir)
-    a = t.lineitem.select(F.col("l_partkey").alias("k"))
-    b = t.lineitem.filter(
-        (F.col("l_returnflag") == "R") & (F.col("l_quantity") > 40)
-    ).select(F.col("l_partkey").alias("k"))
-    return a.subtract(b)
+    bulk = (F.col("l_returnflag") == "R") & (F.col("l_quantity") > 40)
+    return (
+        t.lineitem.groupBy(F.col("l_partkey").alias("k"))
+        .agg(F.coalesce(F.max(bulk), F.lit(False)).alias("__bulk"))
+        .filter(~F.col("__bulk"))
+        .select("k")
+    )
 
 
 # ---------------------------------------------------------------------------
