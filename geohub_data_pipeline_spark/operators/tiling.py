@@ -85,10 +85,9 @@ def _encode_tile(pdf: pd.DataFrame) -> pd.DataFrame:
          "g": hashlib.md5(bytes(geom)).hexdigest()[:16]}
         for fid, geom in zip(pdf["fid"], pdf["geometry"])
     ]
-    payload = json.dumps(
-        {"z": int(pdf["z"].iloc[0]), "x": int(pdf["x"].iloc[0]),
-         "y": int(pdf["y"].iloc[0]), "features": feats},
-        separators=(",", ":"), sort_keys=True).encode()
+    payload = _tile_payload_json(
+        int(pdf["z"].iloc[0]), int(pdf["x"].iloc[0]),
+        int(pdf["y"].iloc[0]), feats)
     return pd.DataFrame([{
         "z": int(pdf["z"].iloc[0]),
         "x": int(pdf["x"].iloc[0]),
@@ -98,6 +97,75 @@ def _encode_tile(pdf: pd.DataFrame) -> pd.DataFrame:
         "payload": payload,
         "payload_hash": hashlib.md5(payload).hexdigest(),
     }])
+
+
+def _tile_payload_json(z: int, x: int, y: int, feats: list) -> bytes:
+    return json.dumps(
+        {"z": z, "x": x, "y": y, "features": feats},
+        separators=(",", ":"), sort_keys=True).encode()
+
+
+def _encode_tiles_batched(encode: str):
+    """Batched tile encoder: one Python batch carries MANY tiles (each
+    a pre-sorted feature list from collect_list), replacing the
+    per-group ``applyInPandas`` dispatch whose pandas-frame-per-tile
+    overhead dominated at ~1 ms x n_tiles (guide §4.1/§4.2: hand whole
+    batches to Python, not one group at a time).  Payload bytes are
+    byte-identical to the per-group encoders'."""
+    import json as _json
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from geohub_data_pipeline_spark.operators import mvt as MVT
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            out = {"z": [], "x": [], "y": [], "layer": [],
+                   "n_features": [], "payload": [], "payload_hash": []}
+            has_props = False
+            if len(pdf):
+                f0 = pdf["__feats"].iloc[0]
+                has_props = bool(len(f0)) and "properties" in f0[0]
+            for z, x, y, layer, fl in zip(
+                    pdf["z"], pdf["x"], pdf["y"], pdf["layer"],
+                    pdf["__feats"]):
+                z, x, y = int(z), int(x), int(y)
+                if encode == "mvt":
+                    if has_props:
+                        def props_of(p):
+                            if not isinstance(p, str):
+                                return None
+                            try:
+                                d = _json.loads(p)
+                                return d if isinstance(d, dict) else None
+                            except ValueError:
+                                return None
+                        feats = [(int(f["fid"]), bytes(f["geometry"]),
+                                  props_of(f["properties"])) for f in fl]
+                    else:
+                        feats = [(int(f["fid"]), bytes(f["geometry"]))
+                                 for f in fl]
+                    payload = MVT.encode_tile(z, x, y,
+                                              {str(layer): feats})
+                else:
+                    feats = [
+                        {"fid": int(f["fid"]),
+                         "g": hashlib.md5(
+                             bytes(f["geometry"])).hexdigest()[:16]}
+                        for f in fl
+                    ]
+                    payload = _tile_payload_json(z, x, y, feats)
+                out["z"].append(z)
+                out["x"].append(x)
+                out["y"].append(y)
+                out["layer"].append(layer)
+                out["n_features"].append(len(fl))
+                out["payload"].append(payload)
+                out["payload_hash"].append(
+                    hashlib.md5(payload).hexdigest())
+            yield pd.DataFrame(out)
+
+    return batches
 
 
 def _encode_tile_mvt(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -233,9 +301,23 @@ def build_tiles(normalized: DataFrame, maxzoom: int | None = None,
         .filter(F.col("__rank") <= max_features_per_tile)
         .drop("__rank")
     )
-    encoder = _encode_tile_mvt if encode == "mvt" else _encode_tile
-    return keyed.groupBy("z", "x", "y", "layer").applyInPandas(
-        encoder, TILE_SCHEMA)
+    # r11: per-tile payload encode used groupBy().applyInPandas — a
+    # pandas frame per GROUP, whose ~1 ms/group dispatch dominated the
+    # stage at tile counts in the tens of thousands (measured: the
+    # gate geo_tile_pipeline spent ~8.7 of its 9.4 s here).  Instead,
+    # collect each tile's (pre-capped) features into a sorted list —
+    # the aggregation reuses the window's (z,x,y,layer) exchange, so
+    # no new shuffle, and the cap above still bounds per-tile list
+    # size — and encode MANY tiles per Arrow batch in one mapInPandas
+    # (guide §4.2).  Feature order inside a payload is unchanged:
+    # fids are unique per (tile, layer), so sorting the structs by
+    # leading fid equals the old per-group sort_values("fid").
+    agged = (
+        keyed.groupBy("z", "x", "y", "layer")
+        .agg(F.sort_array(F.collect_list(
+            F.struct("fid", "geometry", *extra))).alias("__feats"))
+    )
+    return agged.mapInPandas(_encode_tiles_batched(encode), TILE_SCHEMA)
 
 
 def build_tiles_joined(layers: list[DataFrame], **kw) -> DataFrame:

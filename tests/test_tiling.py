@@ -226,3 +226,31 @@ def test_hex_cols_nearest_center(spark):
         for dq, dr in neigh[1:]:
             nx, ny = center(r0.hex_q + dq, r0.hex_r + dr)
             assert d0 <= np.hypot(r0.lon - nx, r0.lat - ny) + 1e-9
+
+
+def test_batched_encoder_byte_parity_with_per_group(spark):
+    """r11 optimization pin: build_tiles' batched mapInPandas encoder
+    must emit byte-identical payloads to the legacy per-group
+    encoders (_encode_tile / _encode_tile_mvt) for the same capped
+    feature groups — the rewrite moved WHERE encoding happens (one
+    batch of many tiles vs one pandas frame per tile), never WHAT is
+    encoded."""
+    import pandas as pd
+
+    norm = _normalized(spark, n=30)
+    for encode, legacy in (("json", TLG._encode_tile),
+                           ("mvt", TLG._encode_tile_mvt)):
+        tiles = {(t.z, t.x, t.y, t.layer): t
+                 for t in TLG.build_tiles(norm, maxzoom=2,
+                                          encode=encode).collect()}
+        keyed = TLG.tile_keys(norm.withColumn("maxzoom", F.lit(2)))
+        groups = (keyed.select("z", "x", "y", "layer", "fid",
+                               "geometry").toPandas()
+                  .groupby(["z", "x", "y", "layer"]))
+        assert len(tiles) == len(groups)
+        for key, gpdf in groups:
+            want = legacy(pd.DataFrame(gpdf)).iloc[0]
+            got = tiles[key]
+            assert bytes(got.payload) == bytes(want["payload"]), key
+            assert got.payload_hash == want["payload_hash"], key
+            assert got.n_features == want["n_features"], key
