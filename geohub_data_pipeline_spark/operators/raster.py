@@ -1374,6 +1374,58 @@ def _halo_fixpoint(spark, init_kv, strip_fn, relax_fn,
     # count grows linearly, 300+ stages by round 40)
     state = init_kv.partitionBy(P, _block_partition_func)
 
+    if P == 1:
+        # Degenerate-partitioning fast path (r11): with every block in
+        # ONE partition, the synchronous rounds exchange strips with
+        # themselves — each round still pays a full 2-stage Python-RDD
+        # job (~0.6 s dispatch floor measured on this box) plus a
+        # localCheckpoint, for zero distribution benefit.  Run the
+        # IDENTICAL round schedule inside the single task instead:
+        # round 0 mail-less relax, then synchronous strip-deliver +
+        # relax rounds with the same trigger rule as ``merge`` (mail,
+        # or self-changed while capped), same termination (no changed
+        # blocks), same ``max_rounds`` bound.  The state trajectory is
+        # step-for-step the distributed loop's — only the job/shuffle
+        # plumbing is gone.  At real scale n_blocks >> parallelism
+        # keeps P > 1 and this branch never fires.
+        mr = int(max_rounds)
+        dbg = bool(os.environ.get("SPARK_GRAFT_HALO_DEBUG"))
+
+        def local_fixpoint(it):
+            blocks = []
+            for k, st in it:
+                st = relax_fn(k, st, [])
+                st["fresh"] = False
+                blocks.append((k, st))
+            state = dict(blocks)
+            for _ in range(mr):
+                box: dict = {}
+                n_changed = 0
+                for k, st in state.items():
+                    if st["changed"]:
+                        n_changed += 1
+                        for nk, payload in strip_fn(k, st):
+                            box.setdefault(nk, []).append(payload)
+                if not n_changed:
+                    break
+                for k in list(state):
+                    st = state[k]
+                    payloads = box.get(k)
+                    if payloads or (st["changed"]
+                                    and st.get("capped", True)):
+                        state[k] = relax_fn(k, st, payloads or [])
+                    elif st["changed"]:
+                        st["changed"] = False
+            return iter(state.items())
+
+        if dbg:
+            print("[halo] P=1: in-task fixpoint (no per-round jobs)",
+                  flush=True)
+        out = state.mapPartitions(local_fixpoint, True)
+        out.persist()
+        out.localCheckpoint()
+        return out
+
     def merge(pair):
         items, mail = pair
         box: dict = {}

@@ -923,3 +923,52 @@ def test_sieve_filter_sentinel_nodata_masked(spark):
     assert np.isnan(px[6:8, 6:8]).all()    # sentinel -> NaN
     assert (px[0:2, 0:2] == 0.0).all()     # small clump absorbed
     assert not np.isnan(px[0:6, :]).any()
+
+
+def test_cost_distance_p1_fast_path_matches_distributed(spark, monkeypatch):
+    """r11 optimization pin: the P=1 in-task fixpoint (no per-round
+    jobs) must be bit-identical to the distributed per-round loop —
+    same fixture as the Dijkstra test, run through both code paths by
+    forcing num_partitions=4 for the distributed leg."""
+    import numpy as np
+
+    n, b = 16, 4
+    rng = np.arange(n, dtype=float)
+    cost = 1.0 + ((rng[:, None] * 3 + rng[None, :] * 5) % 4)
+    cost[4:12, 8] = np.nan
+    rows = []
+    for by in range(0, n, b):
+        for bx in range(0, n, b):
+            t = cost[by:by + b, bx:bx + b]
+            rows.append(("d", None, 1, 0, bx // b, by // b, b, b,
+                         [float(v) for v in t.ravel()], None, 4326))
+    schema = ("dataset string, subdataset string, band int, level int, "
+              "block_x int, block_y int, width int, height int, "
+              "pixels array<double>, nodata double, srid int")
+
+    def run():
+        blocks = spark.createDataFrame(rows, schema)
+        sources = spark.createDataFrame([(7, 2), (1, 14)],
+                                        "row long, col long")
+        got = np.full((n, n), np.nan)
+        for r in R.cost_distance(blocks, sources, diagonal=True,
+                                 block=b).collect():
+            arr = np.asarray(
+                [np.nan if v is None else v for v in r.pixels],
+                float).reshape(r.height, r.width)
+            got[r.block_y * b:r.block_y * b + r.height,
+                r.block_x * b:r.block_x * b + r.width] = arr
+        return got
+
+    local = run()                        # 16 blocks x 16 px -> P = 1
+
+    orig = R._halo_fixpoint
+
+    def forced(spark_, init_kv, strip_fn, relax_fn, max_rounds, **kw):
+        kw.pop("num_partitions", None)
+        return orig(spark_, init_kv, strip_fn, relax_fn, max_rounds,
+                    num_partitions=4, **kw)
+
+    monkeypatch.setattr(R, "_halo_fixpoint", forced)
+    dist = run()                         # forced P = 4 -> round loop
+    assert np.array_equal(local, dist, equal_nan=True)
