@@ -88,9 +88,21 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 # Static confs (must be set before the JVM starts).
+#
+# Driver heap (guide §5): in local mode the driver JVM IS the executor,
+# so the heap must be sized to the CONCURRENT TASKS, not to driver-only
+# work — 16g over local[32] left ~0.5 GB per running task and the sf3
+# dedup/ann suite spent its time in GC (measured r11, identical probe:
+# ann 4.61 -> 1.85 s, dedup_minhash 11.21 -> 3.46 s with IQR 4.08 ->
+# 0.26 going 16g -> 48g).  Default scales with the core count
+# (~1.5 GB/task, floor 8g) so the driver's lower-core bench re-runs
+# size down automatically; production clusters size executor memory
+# instead and SPARK_GRAFT_DRIVER_MEM overrides as before.
 STATIC_CONFS: dict[str, str] = {
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    "spark.driver.memory": os.environ.get(
+        "SPARK_GRAFT_DRIVER_MEM",
+        f"{max(8, (3 * int(os.environ.get('SPARK_GRAFT_CPUS', '32'))) // 2)}g"),
     "spark.ui.enabled": "false",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.mergeSchema": "false",
