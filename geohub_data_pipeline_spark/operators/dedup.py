@@ -144,40 +144,53 @@ def jaccard_for_pairs(df: DataFrame, pairs: DataFrame, text_col: str,
                       id_col: str) -> DataFrame:
     """Exact token-set Jaccard for given candidate pairs (id_a, id_b).
 
-    The verify stage after LSH candidate generation.  Plan: the corpus
-    collapses to (id, distinct-token array) map-side — never exploded,
-    never shuffled on tokens — and the candidate pairs join against it
-    twice on doc id; the intersection is a per-row
-    ``array_intersect`` expression.  Cost is proportional to the
-    candidate docs' text, not corpus tokens: at 100 TB the pairs side
-    is orders smaller than the corpus and broadcasts (AQE picks this
-    up from runtime stats), making both joins shuffle-free.
+    The verify stage after LSH candidate generation.  Plan: the
+    candidate pairs join the raw (id, text) corpus twice on doc id,
+    and tokenization (``array_distinct(split(text))``) happens ABOVE
+    the joins — only the matched, pairs-sized rows ever tokenize.
+    The pre-r11 shape tokenized the ENTIRE corpus on BOTH join legs
+    (and paid a full-corpus rebalance exchange per leg) even though
+    pair members are orders fewer than corpus docs; at 100 TB the
+    verify stage's compute must be candidates-proportional, not
+    corpus-proportional (guide §1.2 — don't compute what you throw
+    away).  A doc in several pairs re-tokenizes once per pair, which
+    is still ~|pairs| work.  The pairs side is orders smaller than
+    the corpus and broadcasts (AQE picks this up from runtime
+    stats), so the corpus is scanned but never shuffled.
 
     Pairs with an empty token intersection are dropped (inner-join
-    semantics of the exploded formulation this replaces).
+    semantics of the exploded formulation this replaces) — via an
+    ``explode`` of a 0/1-element array rather than a Filter node: a
+    Filter above a projection gets pushed through it by substituting
+    the aliases, so the token arrays and their intersection would be
+    re-evaluated once in the predicate and again in the output
+    projection (Catalyst re-inlines across Filter/Project
+    boundaries; only a Generate evaluates its expression exactly
+    once per input row).  The nested ``_let`` bindings keep each
+    token array and the intersection size bound once inside that
+    single expression.  The jaccard value itself is the identical
+    ``round(ni / (na + nb - ni), 6)``.
     """
-    docs = rebalance_for_compute(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(T.words(F.col(text_col))).alias("__toks"),
-    )
+    docs = df.select(F.col(id_col).alias("id"),
+                     F.col(text_col).alias("__txt"))
+    pair_j = T._let(
+        F.array_distinct(T.words(F.col("__xa"))),
+        lambda ta: T._let(
+            F.array_distinct(T.words(F.col("__xb"))),
+            lambda tb: T._let(
+                F.size(F.array_intersect(ta, tb)),
+                lambda ni: F.when(
+                    ni >= 1,
+                    F.array(F.round(
+                        ni / (F.size(ta) + F.size(tb) - ni), 6)))
+                .otherwise(F.array().cast("array<double>")))))
     return (
         pairs.select("id_a", "id_b")
         .join(docs.select(F.col("id").alias("id_a"),
-                          F.col("__toks").alias("__ta")), "id_a")
+                          F.col("__txt").alias("__xa")), "id_a")
         .join(docs.select(F.col("id").alias("id_b"),
-                          F.col("__toks").alias("__tb")), "id_b")
-        .select(
-            "id_a", "id_b",
-            F.size(F.array_intersect("__ta", "__tb")).alias("__ni"),
-            F.size("__ta").alias("__na"), F.size("__tb").alias("__nb"),
-        )
-        .filter(F.col("__ni") >= 1)
-        .select(
-            "id_a", "id_b",
-            F.round(F.col("__ni")
-                    / (F.col("__na") + F.col("__nb") - F.col("__ni")), 6)
-            .alias("jaccard"),
-        )
+                          F.col("__txt").alias("__xb")), "id_b")
+        .select("id_a", "id_b", F.explode(pair_j).alias("jaccard"))
     )
 
 

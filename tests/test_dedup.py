@@ -273,3 +273,49 @@ def test_containment_is_asymmetric(spark):
                       "doc_a").collect()}
     assert got[(1, 2)] == 1_000_000      # short fully inside long
     assert got[(2, 1)] < 250_000         # long not inside short
+
+
+def test_jaccard_for_pairs_matches_python_reference(spark):
+    """r11: the verify stage tokenizes only pair members (above the
+    joins).  Pin its semantics against a pure-Python token-set
+    Jaccard: values are round(|A&B| / |A|B|-union, 6), empty
+    intersections are dropped, NULL-text members drop their pairs,
+    and a doc appearing in several pairs scores in each."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c x"), (3, "z z z"), (4, None),
+         (5, "a a b"), (6, "q r s")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5), (2, 5), (3, 6)],
+        "id_a long, id_b long")
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in D.jaccard_for_pairs(docs, pairs, "text",
+                                        "doc_id").collect()}
+
+    texts = {1: "a b c d", 2: "a b c x", 3: "z z z", 5: "a a b",
+             6: "q r s"}
+    want = {}
+    for a, b in [(1, 2), (1, 3), (1, 5), (2, 5), (3, 6)]:
+        ta, tb = set(texts[a].split(" ")), set(texts[b].split(" "))
+        ni = len(ta & tb)
+        if ni >= 1:
+            want[(a, b)] = round(ni / (len(ta) + len(tb) - ni), 6)
+    # (1,4) drops on NULL text; (1,3) and (3,6) drop on empty
+    # intersection
+    assert got == want
+
+
+def test_jaccard_for_pairs_tokenizes_pairs_not_corpus(spark):
+    """Plan pin for the r11 verify-leg shape: tokenization sits ABOVE
+    both id joins (Generate/explode consumes it), each token array is
+    built exactly once (one array_distinct per side, one
+    array_intersect total), and the corpus legs carry no rebalance
+    exchange."""
+    docs = spark.createDataFrame(
+        [(i, "w%d x y" % i) for i in range(50)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    plan = (D.jaccard_for_pairs(docs, pairs, "text", "doc_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("array_distinct") == 2
+    assert plan.count("array_intersect") == 1
+    assert "Generate explode" in plan
