@@ -1742,7 +1742,17 @@ def text_quality_classifier(spark: SparkSession,
     linearly separable in the hashed n-gram space, and full-batch
     Adagrad reaches the separator — r8; plain GD did not, see
     PERF.md).  Scores and numpy-parity stay pinned in
-    tests/test_curation.py."""
+    tests/test_curation.py.
+
+    r11: trains ``until_zero`` (stop at the first iteration whose
+    model reproduces every label under the exact scoring rule,
+    cap 4000) instead of a fixed 80 rounds — the fixed count was
+    fixture-tuned to the small SFs and left 121 of 5000 sf0.1 docs
+    mislabeled (the separator needs ~1125 rounds there; both
+    driver-checked small SFs happened to pass).  The declared
+    output is the rule itself wherever training converges, so this
+    changes no oracle-visible value at the previously-passing SFs
+    and fixes the wrong one at sf0.1."""
     from geohub_data_pipeline_spark.operators import curation as CU
 
     t = load_tables(spark, sf_dir)
@@ -1751,7 +1761,7 @@ def text_quality_classifier(spark: SparkSession,
         F.when(F.col("text").contains("spark"), 1)
         .otherwise(0).alias("label"))
     w = CU.train_quality_classifier(labeled, "label", dim=4096,
-                                    iters=80)
+                                    iters=4000, until_zero=True)
     return (CU.score_quality(labeled, w)
             .select("doc_id", "pred")
             .orderBy("doc_id"))

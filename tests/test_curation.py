@@ -364,3 +364,74 @@ def test_bm25_topk_hand_computed(spark):
     assert out[2].score_micros == d2 and out[2].n_terms == 1
     assert 3 not in out                    # no query term: unranked
     assert (out[1].rank, out[2].rank) == (1, 2)
+
+
+def test_quality_classifier_until_zero_reaches_rule(spark):
+    """r11 convergence mode: training stops at the first iteration
+    whose model reproduces every label under the exact score_quality
+    rule — on a separable fixture the returned weights classify every
+    training document correctly (the fixed-count mode only gets
+    >=98%)."""
+    import numpy as np
+
+    from geohub_data_pipeline_spark.operators import curation as CU
+
+    rng = np.random.RandomState(7)
+    vocab = ["table", "scan", "merge", "row", "batch", "filter",
+             "join", "key", "data", "slow", "fast", "query"]
+    rows = []
+    for i in range(300):
+        words = list(rng.choice(vocab, size=10))
+        y = i % 2
+        if y:
+            words.insert(int(rng.randint(0, 10)), "goodtoken")
+        rows.append((i, " ".join(words), y))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, label int")
+    w = CU.train_quality_classifier(docs, "label", dim=4096,
+                                    iters=4000, until_zero=True)
+    scored = CU.score_quality(docs, w).collect()
+    lab = {r[0]: r[2] for r in rows}
+    assert all(r.pred == lab[r.doc_id] for r in scored)
+
+
+def test_quality_classifier_until_zero_distributed_parity(spark):
+    """The multi-partition (treeAggregate) until_zero path reaches a
+    zero-error separator too — same rule reproduction, independent of
+    partitioning."""
+    import numpy as np
+
+    from geohub_data_pipeline_spark.operators import curation as CU
+
+    rng = np.random.RandomState(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    rows = []
+    for i in range(160):
+        words = list(rng.choice(vocab, size=8))
+        y = i % 2
+        if y:
+            words.insert(int(rng.randint(0, 8)), "marker")
+        rows.append((i, " ".join(words), y))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, label int").repartition(4)
+    w = CU.train_quality_classifier(docs, "label", dim=2048,
+                                    iters=4000, until_zero=True)
+    scored = CU.score_quality(docs, w).collect()
+    lab = {r[0]: r[2] for r in rows}
+    assert all(r.pred == lab[r.doc_id] for r in scored)
+
+
+def test_quality_classifier_until_zero_raises_on_unseparable(spark):
+    """Two identical texts with opposite labels can never reach zero
+    errors: the cap must RAISE, not return a wrong-but-plausible
+    model."""
+    import pytest
+
+    from geohub_data_pipeline_spark.operators import curation as CU
+
+    docs = spark.createDataFrame(
+        [(1, "same words here", 0), (2, "same words here", 1)],
+        "doc_id long, text string, label int")
+    with pytest.raises(Exception, match="zero-error separator"):
+        CU.train_quality_classifier(docs, "label", dim=512,
+                                    iters=12, until_zero=True)
