@@ -21,12 +21,17 @@ def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_session()
     spark.sparkContext.setLogLevel("ERROR")
+    steal0 = bench._read_steal()
     timings, iqrs, total, skipped = bench.run_suite(
         spark, sf_dir, cpus, names=names,
         warm_passes=int(os.environ.get("PROBE_WARM", "2")))
+    steal1 = bench._read_steal()
+    steal = (round(100 * (steal1[0] - steal0[0])
+                   / max(1, steal1[1] - steal0[1]), 2)
+             if steal0 and steal1 else None)
     print(json.dumps({"sf_dir": sf_dir, "total": round(total, 3),
                       "queries": timings, "iqrs": iqrs,
-                      "skipped": skipped}))
+                      "skipped": skipped, "steal_pct": steal}))
     spark.stop()
 
 
