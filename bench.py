@@ -294,12 +294,51 @@ def run_suite(spark, sf_dir: str, cpus: int, names=None,
     # scheduler jitter (r6 judge brief #9).  Override with
     # SPARK_GRAFT_BENCH_REPS for quick local iteration.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
+    # Per-query steal retry (r11 session 3): a hypervisor-steal burst
+    # lasting longer than one query's reps inflates EVERY rep, so the
+    # dispersion guard below (which keys on IQR/median) never fires —
+    # the r11 first record attempt read sf1 14.6 s with run-wide
+    # steal 3.7% where the quiet tree reads ~9 s.  When the stolen
+    # fraction measured ACROSS a query's timed reps exceeds
+    # SPARK_GRAFT_QUERY_STEAL (default 6% of machine capacity), wait
+    # out the burst (up to 2 min) and re-measure — same reps, same
+    # median, just not under a neighbor's burst.  Two retries max;
+    # if the box never quiets the wide value stands and the record's
+    # steal_pct says why.
+    try:
+        q_steal_gate = float(os.environ.get("SPARK_GRAFT_QUERY_STEAL",
+                                            "0.06"))
+    except ValueError:
+        q_steal_gate = 0.06
+
+    def _measure_with_steal(run_once):
+        for _attempt in range(3):
+            s0 = _read_steal()
+            runs = _timed_runs(run_once, reps)
+            s1 = _read_steal()
+            if (q_steal_gate <= 0 or s0 is None or s1 is None
+                    or s1[1] <= s0[1]):
+                return runs
+            frac = (s1[0] - s0[0]) / (s1[1] - s0[1])
+            if frac <= q_steal_gate:
+                return runs
+            print(f"-- steal {frac:.1%} during timed reps: waiting "
+                  f"out the burst and re-measuring", file=sys.stderr)
+            waited = 0
+            cur = _steal_frac()
+            while (cur is not None and cur > q_steal_gate / 2
+                   and waited < 120):
+                time.sleep(15)
+                waited += 17
+                cur = _steal_frac()
+        return runs
+
     timings: dict[str, float] = {}
     iqrs: dict[str, float] = {}
     total = 0.0
     for n, run_once in plans.items():
         _set_parts(n)
-        med, iqr = _med_iqr(_timed_runs(run_once, reps))
+        med, iqr = _med_iqr(_measure_with_steal(run_once))
         # Dispersion guard (r8 verdict What's-wrong #2): the committed
         # r8 record was captured on a loaded box with per-query IQRs
         # approaching the medians, which made round-over-round
