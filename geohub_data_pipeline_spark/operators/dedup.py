@@ -25,7 +25,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from geohub_data_pipeline_spark.functions import text as T
-from geohub_data_pipeline_spark.operators.skew import rebalance_for_compute
+from geohub_data_pipeline_spark.operators.skew import (
+    fits_one_task as _fits_one_task,
+    rebalance_for_compute,
+)
 
 
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
@@ -260,6 +263,43 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         .distinct()
         .localCheckpoint()
     )
+    if _fits_one_task(sym):
+        # r12 in-task fixpoint (the halo-engine P=1 pattern, guide
+        # §1.2): when the materialized pair list landed in ONE
+        # partition, each hash-to-min round's 2-stage job exchanges
+        # with itself while paying the dispatch floor (measured:
+        # dedup_cluster_canonical 35 jobs / 4.4 s at sf0.01).  Same
+        # synchronous min-label rounds, same max_iters cap, all
+        # integer — bit-identical labels, pinned by a forced-
+        # distributed parity pytest.  At real scale the pair list
+        # spans many partitions and the loop below runs unchanged.
+        cap = int(max_iters)
+
+        def _run(it):
+            import pandas as pd
+
+            adj: dict = {}
+            for pdf in it:
+                for u, v in zip(pdf["u"].to_numpy(),
+                                pdf["v"].to_numpy()):
+                    adj.setdefault(int(u), []).append(int(v))
+            lab = {u: u for u in adj}
+            for _ in range(cap):
+                changed = False
+                new = {}
+                for n, vs in adj.items():
+                    m = min(lab[v] for v in vs)
+                    nl = lab[n] if lab[n] <= m else m
+                    new[n] = nl
+                    changed = changed or nl != lab[n]
+                lab = new
+                if not changed:
+                    break
+            yield pd.DataFrame({"node": list(lab),
+                                "label": list(lab.values())},
+                               dtype="int64")
+
+        return sym.mapInPandas(_run, "node long, label long")
     labels = (sym.select(F.col("u").alias("node")).distinct()
               .withColumn("label", F.col("node"))
               .localCheckpoint())
@@ -311,73 +351,133 @@ def alternating_cc(edges: DataFrame, src: str = "id_a",
 
     Returns (node, label), label = min node id of the component.
     """
+    # materialize the INPUT once (r12): e and nodes both derive from
+    # ``edges``, whose lineage may be an expensive pipeline (LSH
+    # candidates + verify) — two independent localCheckpoints ran it
+    # twice.  One narrow checkpoint of the two key columns feeds both.
+    ed = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+          .localCheckpoint())
     # parent pointers, initialised from the symmetrised edge list
     e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        ed.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .unionByName(
-            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+            ed.select(F.col("b").alias("u"), F.col("a").alias("v"))
             .filter(F.col("u") != F.col("v")))
         .distinct()
         .localCheckpoint()
     )
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
-        .distinct().localCheckpoint()
+        ed.select(F.col("a").alias("node"))
+        .unionByName(ed.select(F.col("b").alias("node")))
+        .distinct()
     )
 
-    prev = None
-    for _ in range(max_iters):
-        # large-star: group the full (symmetric) neighborhood of u,
-        # link each v > u to min(N(u) + {u})
-        # collision-free aliases throughout: re-using the u/v names
-        # across self-union + self-join + swap-selects trips a
-        # Catalyst internal attribute-resolution error
-        # (NoSuchElementException: key not found) on checkpointed
-        # lineages under the tuned session; fresh names avoid the
-        # rewrite entirely.  min over N(u)+{u} is min-then-least on
-        # the group key (first("u") in the aggregate is the same
-        # bug class).
-        sym = (e.select(F.col("u").alias("su"), F.col("v").alias("sv"))
-               .unionByName(e.select(F.col("v").alias("su"),
-                                     F.col("u").alias("sv")))
-               .distinct())
-        mins = (sym.groupBy("su").agg(F.min("sv").alias("__mn"))
-                .select("su", F.least(F.col("su"), F.col("__mn"))
-                        .alias("__m")))
-        e = (
-            sym.join(mins, "su")
-            .filter(F.col("sv") > F.col("su"))
-            .select(F.col("sv").alias("u"), F.col("__m").alias("v"))
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-            .localCheckpoint()
-        )
-        # small-star: direct every edge large->small, link each small
-        # neighbor AND u itself to the min of the small neighborhood
-        # collision-free aliases: swapping u/v names inside one
-        # select trips the same Catalyst attribute-resolution error
-        # as the large-star first("u") form on checkpointed lineages
-        directed = e.select(
-            F.greatest("u", "v").alias("du"),
-            F.least("u", "v").alias("dv"))
-        mins = directed.groupBy("du").agg(F.min("dv").alias("__m"))
-        stars = directed.join(mins, "du")
-        e = (
-            stars.select(F.col("dv").alias("u"), F.col("__m").alias("v"))
-            .unionByName(stars.select(F.col("du").alias("u"),
-                                      F.col("__m").alias("v")))
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-            .localCheckpoint()
-        )
-        if prev is not None and (
-            e.unionByName(prev).subtract(e.intersect(prev))
-            .limit(1).count() == 0
-        ):
-            break
-        prev = e
+    if _fits_one_task(e):
+        # r12 in-task fixpoint (see connected_components): identical
+        # large-star / small-star round schedule over Python sets —
+        # distinct-row semantics ARE set semantics, every quantity an
+        # integer, so the star fixpoint is bit-identical (pinned by a
+        # forced-distributed parity pytest); measured before:
+        # dedup_cluster_altcc 49 jobs / 5.4 s, geo_line_merge 133
+        # jobs / 10.9 s at sf0.01.  The final nodes-join below is
+        # shared with the distributed path.
+        cap = int(max_iters)
+
+        def _run(it):
+            import pandas as pd
+
+            E: set = set()
+            for pdf in it:
+                E.update((int(a), int(b)) for a, b in
+                         zip(pdf["u"].to_numpy(), pdf["v"].to_numpy()))
+            prev = None
+            for _ in range(cap):
+                sym_l = E | {(b, a) for a, b in E}
+                mn: dict = {}
+                for su, sv in sym_l:
+                    if sv < mn.get(su, sv + 1):
+                        mn[su] = sv
+                e1 = set()
+                for su, sv in sym_l:
+                    if sv > su:
+                        m = mn[su] if mn[su] < su else su
+                        if sv != m:
+                            e1.add((sv, m))
+                directed = {(a, b) if a > b else (b, a)
+                            for a, b in e1}
+                mn2: dict = {}
+                for du, dv in directed:
+                    if dv < mn2.get(du, dv + 1):
+                        mn2[du] = dv
+                e2 = set()
+                for du, dv in directed:
+                    m = mn2[du]
+                    if dv != m:
+                        e2.add((dv, m))
+                    if du != m:
+                        e2.add((du, m))
+                E = e2
+                if prev is not None and E == prev:
+                    break
+                prev = E
+            us = [a for a, _ in E]
+            vs = [b for _, b in E]
+            yield pd.DataFrame({"u": us, "v": vs}, dtype="int64")
+
+        e = e.mapInPandas(_run, "u long, v long")
+    else:
+        prev = None
+        for _ in range(max_iters):
+            # large-star: group the full (symmetric) neighborhood of
+            # u, link each v > u to min(N(u) + {u})
+            # collision-free aliases throughout: re-using the u/v names
+            # across self-union + self-join + swap-selects trips a
+            # Catalyst internal attribute-resolution error
+            # (NoSuchElementException: key not found) on checkpointed
+            # lineages under the tuned session; fresh names avoid the
+            # rewrite entirely.  min over N(u)+{u} is min-then-least on
+            # the group key (first("u") in the aggregate is the same
+            # bug class).
+            sym = (e.select(F.col("u").alias("su"), F.col("v").alias("sv"))
+                   .unionByName(e.select(F.col("v").alias("su"),
+                                         F.col("u").alias("sv")))
+                   .distinct())
+            mins = (sym.groupBy("su").agg(F.min("sv").alias("__mn"))
+                    .select("su", F.least(F.col("su"), F.col("__mn"))
+                            .alias("__m")))
+            e = (
+                sym.join(mins, "su")
+                .filter(F.col("sv") > F.col("su"))
+                .select(F.col("sv").alias("u"), F.col("__m").alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+                .localCheckpoint()
+            )
+            # small-star: direct every edge large->small, link each small
+            # neighbor AND u itself to the min of the small neighborhood
+            # collision-free aliases: swapping u/v names inside one
+            # select trips the same Catalyst attribute-resolution error
+            # as the large-star first("u") form on checkpointed lineages
+            directed = e.select(
+                F.greatest("u", "v").alias("du"),
+                F.least("u", "v").alias("dv"))
+            mins = directed.groupBy("du").agg(F.min("dv").alias("__m"))
+            stars = directed.join(mins, "du")
+            e = (
+                stars.select(F.col("dv").alias("u"), F.col("__m").alias("v"))
+                .unionByName(stars.select(F.col("du").alias("u"),
+                                          F.col("__m").alias("v")))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+                .localCheckpoint()
+            )
+            if prev is not None and (
+                e.unionByName(prev).subtract(e.intersect(prev))
+                .limit(1).count() == 0
+            ):
+                break
+            prev = e
     # fixpoint edges are (node, component-min) stars; roots label
     # themselves, as do any isolated self-loop inputs
     return (

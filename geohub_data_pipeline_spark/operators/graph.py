@@ -33,6 +33,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from geohub_data_pipeline_spark.localdata import local_df
+from geohub_data_pipeline_spark.operators.skew import fits_one_task
+
+# r12: every operator in this module gates its synchronous driver
+# loop on the MATERIALIZED edge relation's partition count (the r11
+# halo-engine / classifier P=1 pattern, guide §1.2/§2).  When the
+# checkpointed edges landed in ONE partition, each round's 2-stage
+# job only exchanges data with itself while paying the full
+# job-dispatch floor (measured r12 at sf0.01, 32 cores:
+# graph_bfs_hops 67 jobs / 10.6 s, graph_sssp_weighted 99 jobs /
+# 6.1 s, graph_kcore 28 jobs / 2.4 s, graph_label_propagation 23
+# jobs / 2.5 s — scripts/probe_iterative_jobs.py).  The local paths
+# run the IDENTICAL round schedule (same synchronous updates, same
+# convergence probes, same loud caps — all state is integer-exact,
+# so the emitted rows are bit-identical; pinned per operator by a
+# forced-distributed parity pytest) inside one task via mapInPandas.
+# At real scale the materialized relation spans many partitions and
+# the distributed loops below run unchanged.
+_fits_one_task = fits_one_task
 
 
 def bfs_hops(edges: DataFrame, source: int, src: str = "src",
@@ -61,6 +79,45 @@ def bfs_hops(edges: DataFrame, source: int, src: str = "src",
          .filter(F.col("s") != F.col("t"))
          .distinct()
          .localCheckpoint())
+    if _fits_one_task(e):
+        # in-task fixpoint: identical layer schedule (first-reach =
+        # min hop), identical truncation probe and RAISE — the raise
+        # now surfaces at ACTION time wrapped in Spark's Python
+        # exception, message preserved
+        src0, cap = int(source), int(max_hops)
+
+        def _run(it):
+            import pandas as pd
+
+            adj: dict = {}
+            for pdf in it:
+                for s, t in zip(pdf["s"].to_numpy(),
+                                pdf["t"].to_numpy()):
+                    adj.setdefault(int(s), []).append(int(t))
+            vis = {src0: 0}
+            frontier: set = {src0}
+            converged = False
+            for hop in range(1, cap + 1):
+                nxt = {t for n in frontier for t in adj.get(n, ())
+                       if t not in vis}
+                if not nxt:
+                    converged = True
+                    break
+                for t in nxt:
+                    vis[t] = hop
+                frontier = nxt
+            if not converged and any(
+                    t not in vis
+                    for n in frontier for t in adj.get(n, ())):
+                raise RuntimeError(
+                    f"bfs_hops: frontier still expanding after "
+                    f"max_hops={cap} rounds — reachability set would "
+                    f"be truncated; raise max_hops")
+            yield pd.DataFrame({"node": list(vis),
+                                "hop": list(vis.values())},
+                               dtype="int64")
+
+        return e.mapInPandas(_run, "node long, hop long")
     visited = (local_df(e.sparkSession, [(int(source), 0)],
                         "node long, hop int")
                .localCheckpoint())
@@ -131,6 +188,50 @@ def kcore_members(edges: DataFrame, k: int, src: str = "id_a",
                      F.greatest("u", "v").alias("v"))
              .distinct()
              .localCheckpoint())
+    if _fits_one_task(alive):
+        # in-task peel: same simultaneous-peel rounds, same
+        # convergence rule (alive-edge count unchanged or zero),
+        # same loud cap (RAISE surfaces at action time)
+        k0, cap = int(k), int(max_iters)
+
+        def _run(it):
+            import pandas as pd
+
+            E: set = set()
+            for pdf in it:
+                E.update(zip(pdf["u"].astype("int64"),
+                             pdf["v"].astype("int64")))
+            E = {(int(a), int(b)) for a, b in E}
+            n_alive = len(E)
+            converged = n_alive == 0
+            for _ in range(cap):
+                if converged:
+                    break
+                deg: dict = {}
+                for a, b in E:
+                    deg[a] = deg.get(a, 0) + 1
+                    deg[b] = deg.get(b, 0) + 1
+                keep = {x for x, d in deg.items() if d >= k0}
+                nxt = {(a, b) for a, b in E
+                       if a in keep and b in keep}
+                n_nxt = len(nxt)
+                converged = n_nxt == n_alive or n_nxt == 0
+                E = nxt
+                n_alive = n_nxt
+            if not converged:
+                raise RuntimeError(
+                    f"k-core peel did not reach its fixpoint within "
+                    f"{cap} rounds ({n_alive} edges still alive); "
+                    f"raise max_iters")
+            cd: dict = {}
+            for a, b in E:
+                cd[a] = cd.get(a, 0) + 1
+                cd[b] = cd.get(b, 0) + 1
+            yield pd.DataFrame({"node": list(cd),
+                                "core_degree": list(cd.values())},
+                               dtype="int64")
+
+        return alive.mapInPandas(_run, "node long, core_degree long")
     n_alive = alive.count()
     converged = n_alive == 0
     for _ in range(max_iters):
@@ -243,11 +344,46 @@ def label_propagation(edges: DataFrame, rounds: int = 3,
            .filter(F.col("u") != F.col("v"))
            .select(F.least("u", "v").alias("u"),
                    F.greatest("u", "v").alias("v"))
-           .distinct())
+           .distinct()
+           .localCheckpoint())
+    if _fits_one_task(sym):
+        # in-task rounds: same synchronous vote tally, same
+        # (count desc, label asc) argmax — integer-exact.  The
+        # symmetric adjacency is derived in-task from the undirected
+        # edge list (exactly what the distributed union below does).
+        r0 = int(rounds)
+
+        def _run(it):
+            import pandas as pd
+
+            nbrs: dict = {}
+            for pdf in it:
+                for u, v in zip(pdf["u"].to_numpy(),
+                                pdf["v"].to_numpy()):
+                    nbrs.setdefault(int(u), []).append(int(v))
+                    nbrs.setdefault(int(v), []).append(int(u))
+            lab = {n: n for n in nbrs}
+            for _ in range(r0):
+                new = {}
+                for n, ms in nbrs.items():
+                    votes: dict = {lab[n]: 1}
+                    for m in ms:
+                        lm = lab[m]
+                        votes[lm] = votes.get(lm, 0) + 1
+                    new[n] = min(votes.items(),
+                                 key=lambda kv: (-kv[1], kv[0]))[0]
+                lab = new
+            yield pd.DataFrame({"node": list(lab),
+                                "label": list(lab.values())},
+                               dtype="int64")
+
+        return sym.mapInPandas(_run, "node long, label long")
+    # adj derives from the CHECKPOINTED sym (narrow union of two
+    # selects over materialized rows), so the per-round joins never
+    # re-run the upstream lineage
     adj = (sym.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
            .unionAll(sym.select(F.col("v").alias("node"),
-                                F.col("u").alias("nbr")))
-           .localCheckpoint())
+                                F.col("u").alias("nbr"))))
     labels = (adj.select("node").distinct()
               .withColumn("label", F.col("node"))
               .localCheckpoint())
@@ -299,6 +435,45 @@ def sssp_bellman_ford(edges: DataFrame, source: int,
          .filter(F.col("u") != F.col("v"))
          .groupBy("u", "v").agg(F.min("w").alias("w"))
          .localCheckpoint())
+    if _fits_one_task(e):
+        # in-task min-plus rounds: same synchronous relaxation from
+        # the PREVIOUS round's vector, same improvement probe and
+        # loud cap — integer distances, bit-identical fixpoint
+        src0, cap = int(source), int(max_rounds)
+
+        def _run(it):
+            import pandas as pd
+
+            adj: dict = {}
+            for pdf in it:
+                for u, v, w in zip(pdf["u"].to_numpy(),
+                                   pdf["v"].to_numpy(),
+                                   pdf["w"].to_numpy()):
+                    adj.setdefault(int(u), []).append((int(v), int(w)))
+            dist = {src0: 0}
+            converged = False
+            for _ in range(cap):
+                new = dict(dist)
+                for u, d in dist.items():
+                    for v, w in adj.get(u, ()):
+                        nd = d + w
+                        if nd < new.get(v, nd + 1):
+                            new[v] = nd
+                improved = any(dist.get(n) is None or d < dist[n]
+                               for n, d in new.items())
+                dist = new
+                if not improved:
+                    converged = True
+                    break
+            if not converged:
+                raise RuntimeError(
+                    f"Bellman-Ford did not converge within {cap} "
+                    f"rounds; raise max_rounds")
+            yield pd.DataFrame({"node": list(dist),
+                                "dist": list(dist.values())},
+                               dtype="int64")
+
+        return e.mapInPandas(_run, "node long, dist long")
     dist = (local_df(e.sparkSession, [(int(source), 0)],
                      "node long, dist long")
             .localCheckpoint())

@@ -42,6 +42,25 @@ def rebalance_for_compute(df: DataFrame) -> DataFrame:
     return df
 
 
+def fits_one_task(df: DataFrame) -> bool:
+    """True when a MATERIALIZED (localCheckpoint'ed) relation landed
+    in a single partition — the degenerate-partitioning case where a
+    synchronous driver-looped fixpoint pays one full job dispatch per
+    round for zero distribution benefit (guide §1.2; the r11
+    halo-engine / classifier P=1 pattern, r12 graph/CC operators).
+
+    The caller must pass an already-materialized frame (checkpoint or
+    cached): for those the partition count is physical metadata, no
+    job runs.  At real scale the materialized relation spans many
+    partitions and this returns False — the distributed round loop is
+    untouched.
+    """
+    try:
+        return df.rdd.getNumPartitions() <= 1
+    except Exception:
+        return False
+
+
 def salted_join(big: DataFrame, small: DataFrame, key: str,
                 n_salts: int = 8, how: str = "inner",
                 salt_source: str | None = None) -> DataFrame:

@@ -32,7 +32,8 @@ def main() -> None:
     names = sys.argv[2:] or (bench.HEADLINE + bench.GEO_HEADLINE)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    out_dir = os.path.join(REPO, "plans", "r11")
+    out_dir = os.path.join(
+        REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r12"))
     os.makedirs(out_dir, exist_ok=True)
 
     spark = get_session("capture-plans")

@@ -319,3 +319,43 @@ def test_jaccard_for_pairs_tokenizes_pairs_not_corpus(spark):
     assert plan.count("array_distinct") == 2
     assert plan.count("array_intersect") == 1
     assert "Generate explode" in plan
+
+
+def test_cc_in_task_matches_distributed(spark, monkeypatch):
+    """r12: the P=1 in-task hash-to-min fixpoint emits bit-identical
+    labels to the distributed round loop (forced via the gate), and
+    the default tiny-input path really is in-task (MapInPandas)."""
+    import random
+
+    rng = random.Random(42)
+    pairs = list({(rng.randrange(60), rng.randrange(60))
+                  for _ in range(80)})
+    e = _edges(spark, pairs)
+    local = D.connected_components(e)
+    assert "MapInPandas" in (
+        local._jdf.queryExecution().executedPlan().toString())
+    got_local = {(r.node, r.label) for r in local.collect()}
+    monkeypatch.setattr(D, "_fits_one_task", lambda df: False)
+    dist = D.connected_components(e)
+    assert "MapInPandas" not in (
+        dist._jdf.queryExecution().executedPlan().toString())
+    assert got_local == {(r.node, r.label) for r in dist.collect()}
+
+
+def test_altcc_in_task_matches_distributed(spark, monkeypatch):
+    """r12: the P=1 in-task large/small-star fixpoint emits
+    bit-identical labels to the distributed loop, chains included
+    (the diameter-heavy case altcc exists for)."""
+    import random
+
+    rng = random.Random(43)
+    pairs = list({(rng.randrange(50), rng.randrange(50))
+                  for _ in range(60)})
+    pairs += [(100 + i, 101 + i) for i in range(25)]   # long chain
+    e = _edges(spark, pairs)
+    got_local = {(r.node, r.label)
+                 for r in D.alternating_cc(e).collect()}
+    monkeypatch.setattr(D, "_fits_one_task", lambda df: False)
+    got_dist = {(r.node, r.label)
+                for r in D.alternating_cc(e).collect()}
+    assert got_local == got_dist

@@ -57,13 +57,16 @@ def test_bfs_hops_matches_brute_force(spark):
 
 def test_bfs_hops_max_hops_raises_on_truncation(spark):
     """A chain 0->1->2->3->4 with max_hops=2 would truncate the
-    reachability set — bfs_hops now RAISES (consistent with
+    reachability set — bfs_hops RAISES (consistent with
     kcore_members / sssp_bellman_ford) instead of returning a
-    wrong-but-plausible subset."""
+    wrong-but-plausible subset.  r12: on the in-task fixpoint path
+    the raise surfaces at ACTION time wrapped in Spark's Python
+    exception, message preserved — so the test forces an action and
+    matches the message."""
     df = spark.createDataFrame(
         [(i, i + 1) for i in range(5)], "src long, dst long")
-    with pytest.raises(RuntimeError, match="max_hops"):
-        G.bfs_hops(df, source=0, max_hops=2)
+    with pytest.raises(Exception, match="max_hops"):
+        G.bfs_hops(df, source=0, max_hops=2).count()
 
 
 def test_bfs_hops_cap_equal_to_diameter_is_not_truncation(spark):
@@ -220,8 +223,9 @@ def test_kcore_raises_on_iteration_cap(spark):
     max_iters must RAISE, never return the non-fixpoint superset."""
     path = spark.createDataFrame(
         [(i, i + 1) for i in range(30)], "id_a long, id_b long")
-    with pytest.raises(RuntimeError, match="fixpoint"):
-        G.kcore_members(path, k=2, max_iters=3)
+    # action-time raise on the in-task path (message preserved)
+    with pytest.raises(Exception, match="fixpoint"):
+        G.kcore_members(path, k=2, max_iters=3).count()
     # with enough rounds the 2-core of a path is empty
     assert G.kcore_members(path, k=2, max_iters=30).count() == 0
 
@@ -257,7 +261,71 @@ def test_sssp_matches_dijkstra_reference(spark):
     assert got == dist
 
     # a 10-edge chain cannot converge in 3 rounds: loud, not wrong
+    # (action-time raise on the in-task path, message preserved)
     chain = spark.createDataFrame(
         [(i, i + 1, 1) for i in range(10)], "src long, dst long, w long")
-    with pytest.raises(RuntimeError, match="converge"):
-        G.sssp_bellman_ford(chain, source=0, max_rounds=3)
+    with pytest.raises(Exception, match="converge"):
+        G.sssp_bellman_ford(chain, source=0, max_rounds=3).count()
+
+
+# ---------------------------------------------------------------------------
+# r12: in-task fixpoint (P=1) vs distributed round loop — bit-exact
+# parity, the same pin the halo engine carries (guide §1.2).
+# ---------------------------------------------------------------------------
+
+def _force_distributed(monkeypatch):
+    monkeypatch.setattr(G, "_fits_one_task", lambda df: False)
+
+
+def test_bfs_in_task_matches_distributed(spark, monkeypatch):
+    """bfs_hops: the single-task BFS emits exactly the distributed
+    loop's rows, and the default tiny-input path really is in-task
+    (MapInPandas in the plan)."""
+    rng = random.Random(7)
+    rows = list({(rng.randrange(40), rng.randrange(40))
+                 for _ in range(120)})
+    df = spark.createDataFrame(rows, "src long, dst long")
+    local = G.bfs_hops(df, source=0)
+    plan = local._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan          # the gate fired
+    got_local = {(r.node, r.hop) for r in local.collect()}
+    _force_distributed(monkeypatch)
+    dist = G.bfs_hops(df, source=0)
+    assert "MapInPandas" not in (
+        dist._jdf.queryExecution().executedPlan().toString())
+    assert got_local == {(r.node, r.hop) for r in dist.collect()}
+
+
+def test_sssp_in_task_matches_distributed(spark, monkeypatch):
+    rng = random.Random(13)
+    rows = [(a, b, rng.randint(1, 9)) for a, b in
+            {(rng.randrange(30), rng.randrange(30)) for _ in range(90)}]
+    df = spark.createDataFrame(rows, "src long, dst long, w long")
+    got_local = {(r.node, r.dist)
+                 for r in G.sssp_bellman_ford(df, source=0).collect()}
+    _force_distributed(monkeypatch)
+    got_dist = {(r.node, r.dist)
+                for r in G.sssp_bellman_ford(df, source=0).collect()}
+    assert got_local == got_dist
+
+
+def test_kcore_in_task_matches_distributed(spark, monkeypatch):
+    rng, edges = _random_edges(9, n_nodes=30, n_edges=80)
+    df = spark.createDataFrame(list(edges), "id_a long, id_b long")
+    got_local = {(r.node, r.core_degree)
+                 for r in G.kcore_members(df, k=3).collect()}
+    _force_distributed(monkeypatch)
+    got_dist = {(r.node, r.core_degree)
+                for r in G.kcore_members(df, k=3).collect()}
+    assert got_local == got_dist
+
+
+def test_lpa_in_task_matches_distributed(spark, monkeypatch):
+    rng, edges = _random_edges(15, n_nodes=30, n_edges=70)
+    df = spark.createDataFrame(list(edges), "id_a long, id_b long")
+    got_local = {(r.node, r.label)
+                 for r in G.label_propagation(df, rounds=3).collect()}
+    _force_distributed(monkeypatch)
+    got_dist = {(r.node, r.label)
+                for r in G.label_propagation(df, rounds=3).collect()}
+    assert got_local == got_dist
