@@ -550,7 +550,13 @@ def train_quality_classifier(docs: DataFrame, label_col: str,
             for _ in range(it_n):
                 z = (np.bincount(R, weights=V * w_[C], minlength=nr)
                      + w_[d])
-                if (int(((z >= 0).astype(ys.dtype) != ys).sum()) == 0
+                # r12 (r11 ADVICE): the cheap bincount-z count can
+                # disagree with the exact per-row-dot rule near
+                # z == 0 (different float association) — run the
+                # exact check whenever the cheap count is NEAR zero
+                # too, so a boundary disagreement cannot push a
+                # converged model to the cap
+                if (int(((z >= 0).astype(ys.dtype) != ys).sum()) <= 4
                         and exact_ok(w_)):
                     yield w_
                     return
@@ -573,47 +579,119 @@ def train_quality_classifier(docs: DataFrame, label_col: str,
         feats.unpersist()
         return w
 
-    for it_i in range(int(iters)):
-        wb = w                          # closure-captured snapshot
-        zero = {"w": wb, "g": np.zeros(d + 1), "e": 0}
-
-        def seq(acc, row, _wb=wb):
-            if acc is None or "g" not in acc:
-                acc = {"w": _wb, "g": np.zeros(d + 1), "e": 0}
-            if until_zero:
-                # error count under the exact score_quality rule
-                # rides the SAME gradient pass (z is recomputed by
-                # grad_part anyway; one extra compare per row)
-                y, u, v = row
-                z = float(v @ acc["w"][u]) + acc["w"][d]
-                if ((1.0 / (1.0 + np.exp(-z)) >= 0.5)
-                        != bool(y)):
-                    acc["e"] += 1
-            return grad_part(acc, row)
-
-        def comb(a, b):
-            a["g"] += b["g"]
-            a["e"] = a.get("e", 0) + b.get("e", 0)
-            return a
-
-        got = feats.treeAggregate(zero, seq, comb)
-        if until_zero and got.get("e", 0) == 0:
-            # wb already reproduces every label — the gradient pass
-            # doubled as the convergence check; do NOT apply the
-            # update computed from it
-            feats.unpersist()
-            return wb
-        g = got["g"] / n
-        g[:d] += l2 * w[:d]
-        accum += g * g
-        w = w - lr * g / np.sqrt(accum)
-    feats.unpersist()
     if until_zero:
+        # r12 distributed until_zero (P > 1): the old path folded the
+        # persisted row RDD row-at-a-time in Python EVERY iteration —
+        # one pickled-row pass plus a SECOND per-row dot for the
+        # convergence count (r11 ADVICE) — and convergence can need
+        # thousands of iterations (sf0.1 measured ~1125), i.e.
+        # thousands of full-corpus Python folds.  Compress each
+        # partition ONCE into CSR-style numpy blocks and persist
+        # those; each iteration is then one treeAggregate whose
+        # per-partition work is three bincounts, with the cheap
+        # error count riding the same z.  The gradient is the same
+        # sum re-associated (float) — allowed, because the declared
+        # output is the LABELS wherever training converges, and
+        # convergence is confirmed under the EXACT score_quality
+        # per-row-dot rule before returning.  Worst-case job count:
+        # 1 (block build) + iters gradient passes + at most
+        # (1 + iters/8) exact-check passes, all bounded by ``iters``
+        # and raised on loudly at the cap.
+        def to_block(part):
+            rows = list(part)
+            nr = len(rows)
+            ys = np.asarray([r[0] for r in rows])
+            offs = np.zeros(nr + 1, np.int64)
+            for i, r in enumerate(rows):
+                offs[i + 1] = offs[i] + len(r[1])
+            C = (np.concatenate([r[1] for r in rows])
+                 if nr else np.zeros(0, np.int64))
+            V = (np.concatenate([r[2] for r in rows])
+                 if nr else np.zeros(0, np.float64))
+            R = np.repeat(np.arange(nr, dtype=np.int64),
+                          np.diff(offs))
+            yield (ys, R, C, V, offs)
+
+        blocks = feats.mapPartitions(to_block).persist()
+        blocks.count()
+        feats.unpersist()
+
+        def add(a, b):
+            return a[0] + b[0], a[1] + b[1]
+
+        def exact_errors(wv):
+            # the EXACT score_quality decision per row: BLAS dot +
+            # sigmoid >= 0.5 (same float ops as the scoring kernel)
+            def err(block, _w=wv):
+                ys, _R, C, V, offs = block
+                bad = 0
+                for i in range(len(ys)):
+                    u = C[offs[i]:offs[i + 1]]
+                    v = V[offs[i]:offs[i + 1]]
+                    z = float(v @ _w[u]) + _w[d]
+                    if ((1.0 / (1.0 + np.exp(-z)) >= 0.5)
+                            != bool(ys[i])):
+                        bad += 1
+                return bad
+            return blocks.map(err).sum()
+
+        for it_i in range(int(iters)):
+            wb = w                      # closure-captured snapshot
+
+            def stats(acc, block, _wb=wb):
+                ys, R, C, V, _offs = block
+                nr = len(ys)
+                z = (np.bincount(R, weights=V * _wb[C], minlength=nr)
+                     + _wb[d])
+                p = 1.0 / (1.0 + np.exp(-z))
+                gr = p - ys
+                g = np.bincount(C, weights=gr[R] * V, minlength=d + 1)
+                g[d] = gr.sum()
+                e = int(((z >= 0).astype(ys.dtype) != ys).sum())
+                return acc[0] + g, acc[1] + e
+
+            g_sum, cheap = blocks.treeAggregate(
+                (np.zeros(d + 1), 0), stats, add)
+            # exact-rule confirmation: always when the cheap count
+            # is zero; ALSO every 8th iteration while it is merely
+            # near zero (r11 ADVICE: the two float associations can
+            # disagree at the boundary, and missing a converged
+            # model would train to the cap and RAISE spuriously).
+            # The extra pass is bounded: <= 1 + iters/8 jobs.
+            if cheap == 0 or (cheap <= 4 and it_i % 8 == 0):
+                if exact_errors(wb) == 0:
+                    blocks.unpersist()
+                    return wb
+            g = g_sum / n
+            g[:d] += l2 * w[:d]
+            accum += g * g
+            w = w - lr * g / np.sqrt(accum)
+        blocks.unpersist()
         raise RuntimeError(
             f"train_quality_classifier(until_zero=True): no "
             f"zero-error separator within {int(iters)} iterations — "
             f"labels may not be separable in the {d}-dim hashed "
             f"feature space; raise iters or dim")
+
+    for it_i in range(int(iters)):
+        wb = w                          # closure-captured snapshot
+        zero = {"w": wb, "g": np.zeros(d + 1)}
+
+        def seq(acc, row, _wb=wb):
+            if acc is None or "g" not in acc:
+                acc = {"w": _wb, "g": np.zeros(d + 1)}
+            return grad_part(acc, row)
+
+        def comb(a, b):
+            a["g"] += b["g"]
+            return a
+
+        got = feats.treeAggregate(zero, seq, comb)
+        g = got["g"] / n
+        g[:d] += l2 * w[:d]
+        accum += g * g
+        w = w - lr * g / np.sqrt(accum)
+    feats.unpersist()
     return w
 
 

@@ -435,3 +435,28 @@ def test_quality_classifier_until_zero_raises_on_unseparable(spark):
     with pytest.raises(Exception, match="zero-error separator"):
         CU.train_quality_classifier(docs, "label", dim=512,
                                     iters=12, until_zero=True)
+
+
+def test_quality_classifier_until_zero_distributed_job_budget(spark):
+    """r12: the distributed until_zero path pays ONE vectorized
+    treeAggregate per iteration (over persisted CSR blocks, not
+    per-row Python folds) plus a bounded number of exact-rule
+    confirmation passes — worst case 2 + iters + (1 + iters/8) jobs.
+    Pinned on an unseparable 2-partition fixture that runs to the
+    cap (cheap error count is permanently 1, so the near-zero exact
+    check fires on its every-8th schedule)."""
+    import pytest
+
+    from geohub_data_pipeline_spark.operators import curation as CU
+
+    docs = spark.createDataFrame(
+        [(1, "same words here", 0), (2, "same words here", 1)],
+        "doc_id long, text string, label int").repartition(2)
+    sc = spark.sparkContext
+    sc.setJobGroup("uz-budget", "uz-budget")
+    with pytest.raises(Exception, match="zero-error separator"):
+        CU.train_quality_classifier(docs, "label", dim=512,
+                                    iters=16, until_zero=True)
+    jobs = len(sc.statusTracker().getJobIdsForGroup("uz-budget"))
+    sc.setJobGroup(None, None)
+    assert jobs <= 2 + 16 + (1 + 16 // 8)
