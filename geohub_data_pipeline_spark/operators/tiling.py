@@ -243,10 +243,22 @@ def build_tiles(normalized: DataFrame, maxzoom: int | None = None,
                 simplify_low_zooms: bool = False,
                 full_detail_zoom: int = 10,
                 encode: str = "json",
-                point_drop_rate: float | None = None) -> DataFrame:
+                point_drop_rate: float | None = None,
+                dataset_counts: DataFrame | None = None) -> DataFrame:
     """Full tile pyramid from normalize_features output.
 
     maxzoom: fixed, or None for the -zg per-dataset heuristic.
+    dataset_counts: optional ``(dataset, __n)`` frame for the -zg
+    heuristic.  By default the heuristic counts ``normalized`` —
+    which, because the normalize kernel is an opaque mapInPandas,
+    re-evaluates the whole Python normalize (and everything under
+    it) a second time per action (guide §4.1: Catalyst cannot CSE
+    across opaque operators).  A caller that KNOWS its upstream is
+    row-preserving for its data (normalize_features drops only
+    unparseable/NULL-srid/empty geometries) can compute the counts
+    from the cheap pre-normalize columns and pass them here; the
+    counts MUST equal ``normalized.groupBy("dataset").count()`` or
+    the -zg zoom choice changes.
     simplify_low_zooms: apply per-zoom Douglas-Peucker before the tile
     shuffle (tippecanoe --simplify-only-low-zooms).
     encode: 'json' (audit payloads) or 'mvt' (real Mapbox Vector
@@ -265,8 +277,9 @@ def build_tiles(normalized: DataFrame, maxzoom: int | None = None,
     from geohub_data_pipeline_spark.session import ship_package
     ship_package(normalized.sparkSession)
     if maxzoom is None:
-        counts = normalized.groupBy("dataset").agg(
-            F.count(F.lit(1)).alias("__n"))
+        counts = (dataset_counts if dataset_counts is not None
+                  else normalized.groupBy("dataset").agg(
+                      F.count(F.lit(1)).alias("__n")))
         zoom = F.lit(0)
         for z in range(15):
             zoom = F.when(F.col("__n") > 4 ** z, z + 1).otherwise(zoom)

@@ -891,7 +891,18 @@ def geo_tile_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = pts.mapInPandas(
         to_wkb, "dataset string, layer string, fid long, geometry binary, "
                 "srid int")
-    tiles = TLG.build_tiles(G.normalize_features(feats), maxzoom=None)
+    # -zg counts from the PRE-normalize columns (r12): to_wkb and
+    # normalize_features are 1:1 for these synthesized points (every
+    # geometry is a valid WKB point with srid 4326, so the normalize
+    # kernel drops nothing at any SF), which makes
+    # pts.groupBy(dataset).count() provably equal to counting the
+    # normalized output — without re-evaluating the two Python
+    # kernels a second time per action for the count branch
+    # (oracle-verified at sf0.001/0.01/0.1; the payload path is
+    # unchanged).
+    counts = pts.groupBy("dataset").agg(F.count(F.lit(1)).alias("__n"))
+    tiles = TLG.build_tiles(G.normalize_features(feats), maxzoom=None,
+                            dataset_counts=counts)
     return TLG.tile_audit(tiles)
 
 
