@@ -22,7 +22,7 @@ def main():
     spark = get_session()
     spark.sparkContext.setLogLevel("ERROR")
     steal0 = bench._read_steal()
-    timings, iqrs, total, skipped = bench.run_suite(
+    timings, iqrs, total, skipped, _wide = bench.run_suite(
         spark, sf_dir, cpus, names=names,
         warm_passes=int(os.environ.get("PROBE_WARM", "2")))
     steal1 = bench._read_steal()
