@@ -785,16 +785,55 @@ def pagerank_fixed_point(edges: DataFrame, n_iters: int = 3,
     Output: ``node long, rank_fp long`` (rank in scale-ths, all
     nodes present).
     """
+    # r12: materialize the deduped edge relation once — nodes, outdeg
+    # and every iteration's join all reference it, and the checkpoint
+    # both feeds the P=1 gate below and replaces re-planning the
+    # distinct subtree per reference (the exchange-reuse the lazy
+    # form relied on is an optimizer courtesy, not a contract)
     e = (edges.select(F.col(src).cast("long").alias("s"),
                       F.col(dst).cast("long").alias("t"))
          .filter(F.col("s") != F.col("t"))
-         .distinct())
+         .distinct()
+         .localCheckpoint())
+    teleport = ((damping_den - damping_num) * scale) // damping_den
+    if _fits_one_task(e):
+        # in-task fixed-point (see connected_components): identical
+        # integer update — rank div outdeg per edge, grouped sum,
+        # teleport + damped div — so the emitted rows are
+        # bit-identical to the distributed loop's
+        sc0, it0 = int(scale), int(n_iters)
+        dn, dd = int(damping_num), int(damping_den)
+
+        def _run(it):
+            import pandas as pd
+
+            outs: dict = {}
+            nodes: set = set()
+            for pdf in it:
+                for s, t in zip(pdf["s"].to_numpy(),
+                                pdf["t"].to_numpy()):
+                    outs.setdefault(int(s), []).append(int(t))
+                    nodes.add(int(s))
+                    nodes.add(int(t))
+            ranks = {n: sc0 for n in nodes}
+            for _ in range(it0):
+                summed: dict = {}
+                for s, ts in outs.items():
+                    c = ranks[s] // len(ts)
+                    for t in ts:
+                        summed[t] = summed.get(t, 0) + c
+                ranks = {n: teleport + (dn * summed.get(n, 0)) // dd
+                         for n in nodes}
+            yield pd.DataFrame({"node": list(ranks),
+                                "rank_fp": list(ranks.values())},
+                               dtype="int64")
+
+        return e.mapInPandas(_run, "node long, rank_fp long")
     nodes = (e.select(F.col("s").alias("node"))
              .unionAll(e.select(F.col("t").alias("node")))
              .distinct())
     outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("od"))
     ew = e.join(outdeg, "s")      # (s, t, od) — static across iters
-    teleport = ((damping_den - damping_num) * scale) // damping_den
     ranks = nodes.select("node", F.lit(int(scale)).alias("rank_fp"))
     for _ in range(n_iters):
         contrib = (ew.join(ranks.withColumnRenamed("node", "s"), "s")

@@ -359,3 +359,25 @@ def test_altcc_in_task_matches_distributed(spark, monkeypatch):
     got_dist = {(r.node, r.label)
                 for r in D.alternating_cc(e).collect()}
     assert got_local == got_dist
+
+
+def test_pagerank_in_task_matches_distributed(spark, monkeypatch):
+    """r12: the P=1 in-task integer PageRank emits bit-identical
+    ranks to the distributed per-iteration join loop."""
+    import random
+
+    from geohub_data_pipeline_spark.operators.dedup import (
+        pagerank_fixed_point,
+    )
+    from geohub_data_pipeline_spark.operators import dedup as D
+
+    rng = random.Random(27)
+    rows = list({(rng.randrange(40), rng.randrange(40))
+                 for _ in range(120)})
+    df = spark.createDataFrame(rows, "src long, dst long")
+    got_local = {(r.node, r.rank_fp)
+                 for r in pagerank_fixed_point(df, n_iters=3).collect()}
+    monkeypatch.setattr(D, "_fits_one_task", lambda df: False)
+    got_dist = {(r.node, r.rank_fp)
+                for r in pagerank_fixed_point(df, n_iters=3).collect()}
+    assert got_local == got_dist
